@@ -200,6 +200,29 @@ def _geo_html(i: int, links: list[str]) -> str:
     )
 
 
+def parser_for_source(src: str) -> str:
+    """Callback routing (reference spider parse methods, SURVEY §2.1)."""
+    if src == "ncbi_geo":
+        return "geo_table"
+    if src == "omicsdi":
+        return "jsonld_mainentity"  # omicsdi.py:31-33 unwrap
+    return "jsonld"
+
+
+def oracle_page_items(parser: str, html: str, url: str) -> list:
+    """Frozen per-parser extraction — the authority for pages.text."""
+    if parser == "geo_table":
+        data = parse_geo_table(html)
+        return [data] if data else []
+    items = extract_jsonld_items(html, url)
+    if parser == "jsonld_mainentity":
+        # reference omicsdi.py:31-33: yield jsld.get('mainEntity'); Scrapy
+        # silently drops None/falsy outputs
+        return [it.get("mainEntity") for it in items
+                if isinstance(it, dict) and it.get("mainEntity")]
+    return items
+
+
 def page_row(i: int, n_universe: int) -> dict:
     url = url_of(i)
     src = source_of(i)
@@ -207,11 +230,9 @@ def page_row(i: int, n_universe: int) -> dict:
     links = _links_for(i, n_universe)
     if src == "ncbi_geo":
         html = _geo_html(i, links)
-        data = parse_geo_table(html)
-        text = canonical_json([data] if data else [])
     else:
         html = _jsonld_html(src if src != "longtail" else "web", i, links)
-        text = canonical_json(extract_jsonld_items(html, url))
+    text = canonical_json(oracle_page_items(parser_for_source(src), html, url))
     return {
         "url": url,
         "warc_ts": EPOCH + dt.timedelta(seconds=h % 10_000_000),
@@ -223,6 +244,46 @@ def page_row(i: int, n_universe: int) -> dict:
 
 def gen_pages(n: int) -> list[dict]:
     return [page_row(i, n) for i in range(n)]
+
+
+# --- per-source link/extract policies (reference spider configs) -------------
+# follow/allow_link/extract_regex/same_domain/max_depth model the Scrapy
+# Rule()/sitemap_rules/allowed_domains configuration of each spider:
+#   figshare_brunel.py:20-28 (extract /articles/, follow all in-domain)
+#   edgar.py:9-18 (fetch+extract gene.py links only, no recursion)
+#   clic.py:61-103 (extract everything, follow same-domain, DEPTH_LIMIT 3)
+#   zenodo.py:17-18 / omicsdi.py:28-29 / massbank.py:11-13 (sitemap rules,
+#   no link-follow); ncbi_geo.py:21-27 (id-range, no link-follow)
+POLICIES: dict[str, dict] = {
+    "figshare_brunel": dict(follow=True, allow_link=None, extract_regex="/articles/",
+                            same_domain=True, max_depth=None),
+    "edgar": dict(follow=True, allow_link=r"gene.py\?gene=.+",
+                  extract_regex=r"gene.py\?gene=.+", same_domain=True, max_depth=1),
+    "clic": dict(follow=True, allow_link=None, extract_regex=None,
+                 same_domain=True, max_depth=3),
+    "zenodo": dict(follow=False, allow_link=None, extract_regex="/record/",
+                   same_domain=True, max_depth=None),
+    "omicsdi": dict(follow=False, allow_link=None, extract_regex="/dataset/",
+                    same_domain=True, max_depth=None),
+    "massbank": dict(follow=False, allow_link=None,
+                     extract_regex=r"/MassBank/RecordDisplay\?id=.+",
+                     same_domain=True, max_depth=None),
+    "ncbi_geo": dict(follow=False, allow_link=None, extract_regex=None,
+                     same_domain=True, max_depth=None),
+    "web": dict(follow=True, allow_link=None, extract_regex=None,
+                same_domain=True, max_depth=3),
+}
+
+POLICIES_SCHEMA = ("source string, follow boolean, allow_link string, "
+                   "extract_regex string, same_domain boolean, max_depth int")
+
+
+def gen_policies() -> list[dict]:
+    return [dict(source=s, **p) for s, p in POLICIES.items()]
+
+
+def policies_df(spark):
+    return spark.createDataFrame(gen_policies(), schema=POLICIES_SCHEMA)
 
 
 # --- seeds / robots / sitemaps ----------------------------------------------
@@ -237,7 +298,7 @@ def gen_seeds(n_universe: int) -> list[dict]:
             # pick an index that maps to this source's slot
             while source_of(i) != src:
                 i = (i + 1) % n_universe
-            parser = "geo_table" if src == "ncbi_geo" else "jsonld"
+            parser = parser_for_source(src)
             seeds.append({
                 "seed_id": f"{src}-{j}",
                 "url": url_of(i),

@@ -1,0 +1,137 @@
+"""Vectorized extraction UDFs — the engine side of the byte-identity gate.
+
+The reference extracts metadata row-at-a-time in Scrapy callbacks
+(crawler/spiders/helper.py:30-50 JSON-LD, ncbi_geo.py:29-53 GEO tables,
+LinkExtractor link-follow). Here each becomes an Arrow-batched pandas
+UDF (never a row-at-a-time Spark Python UDF — BASELINE.json input_hint):
+
+  * :func:`extract_items_udf` — (html, url, parser) -> array<canonical
+    JSON item strings>. UDTF-shaped: callers ``explode`` it. The JSON-LD
+    path is an *independent* implementation (regex script scan) of the
+    frozen oracle's html.parser walk; tests assert byte-equality per url
+    against both the oracle and the pages fixture's golden ``text``.
+  * :func:`extract_links_udf` — (html, url) -> array<absolute hrefs>
+    (urljoin'd, document order, duplicates preserved — the frontier
+    dedups later, like Scrapy's scheduler did).
+  * :func:`page_text_col` — canonical text of a page derived natively
+    from the items array (no extra Python): text == canonical JSON of
+    the item list.
+
+Scale notes: these UDFs run once per fetched page in the crawl round
+loop — the only Python in the hot path, Arrow-batched at
+``spark.sql.execution.arrow.maxRecordsPerBatch`` rows per batch. All
+downstream ops (hashing, dedup, joins, windows) stay JVM-side.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from biothings_crawler_spark.functions.json_canon import canonical_json
+from biothings_crawler_spark.oracle.geo_table import parse_geo_table
+from biothings_crawler_spark.oracle.jsonld import HTML_OR_JS_COMMENTLINE
+from biothings_crawler_spark.urlnorm import urljoin
+
+# independent JSON-LD script scan (engine side; oracle uses html.parser)
+_SCRIPT_RE = re.compile(
+    r"<script[^>]*\stype=(?:\"application/ld\+json\"|'application/ld\+json')[^>]*>(.*?)</script>",
+    re.IGNORECASE | re.DOTALL,
+)
+_HREF_RE = re.compile(
+    r"""<a\s[^>]*?href=(?:"([^"]*)"|'([^']*)')""", re.IGNORECASE | re.DOTALL
+)
+
+
+def _jsonld_items(html: str, url: str) -> list[str]:
+    items: list[str] = []
+    for m in _SCRIPT_RE.finditer(html):
+        script = m.group(1)
+        try:
+            data = json.loads(script, strict=False)
+        except ValueError:
+            try:
+                data = json.loads(HTML_OR_JS_COMMENTLINE.sub("", script), strict=False)
+            except ValueError:
+                continue
+        if isinstance(data, dict):
+            data = [data] if data else []
+        elif isinstance(data, list):
+            data = [d for d in data if d]
+        else:
+            continue
+        for item in data:
+            if isinstance(item, dict):
+                item = dict(item)
+                item["_id"] = url  # helper.py:44-45 (no explicit _id in batch mode)
+            items.append(canonical_json(item))
+    return items
+
+
+def _geo_items(html: str) -> list[str]:
+    data = parse_geo_table(html)
+    return [canonical_json(data)] if data else []
+
+
+def _decode(b) -> str:
+    if b is None:
+        return ""
+    if isinstance(b, (bytes, bytearray)):
+        return bytes(b).decode("utf-8", errors="replace")
+    return str(b)
+
+
+def _mainentity_items(html: str, url: str) -> list[str]:
+    """omicsdi unwrap (omicsdi.py:31-33): emit jsld['mainEntity'] when
+    truthy; the wrapper's injected _id is NOT propagated (Scrapy drops
+    the None yields silently)."""
+    out = []
+    for item_json in _jsonld_items(html, url):
+        inner = json.loads(item_json).get("mainEntity")
+        if inner:
+            out.append(canonical_json(inner))
+    return out
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_items_udf(html: pd.Series, url: pd.Series, parser: pd.Series) -> pd.Series:
+    out = []
+    for h, u, p in zip(html, url, parser):
+        text = _decode(h)
+        if p == "geo_table":
+            out.append(_geo_items(text))
+        elif p == "jsonld_mainentity":
+            out.append(_mainentity_items(text, u))
+        else:
+            out.append(_jsonld_items(text, u))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    out = []
+    for h, base in zip(html, url):
+        text = _decode(h)
+        links = []
+        for m in _HREF_RE.finditer(text):
+            href = m.group(1) if m.group(1) is not None else m.group(2)
+            if not href or href.startswith(("#", "javascript:", "mailto:")):
+                continue
+            links.append(urljoin(base, href))
+        out.append(links)
+    return pd.Series(out)
+
+
+def page_text_col(items: Column) -> Column:
+    """Canonical page text from the items array, derived JVM-side.
+
+    Each element is already canonical JSON, so the page text is exactly
+    ``"[" + join(items, ",") + "]"`` — byte-identical to
+    ``canonical_json(list_of_items)``.
+    """
+    return F.concat(F.lit("["), F.array_join(items, ","), F.lit("]"))

@@ -1,0 +1,102 @@
+"""Frontier construction and maintenance (the scheduler's data plane).
+
+The reference's frontier is Scrapy's in-memory/disk priority queue of
+Request objects plus the RFPDupeFilter (SURVEY.md §1.1 #1, §2.8). Here
+it is a DataFrame with a fixed schema, bucketable by ``url_hash``:
+
+  url:string          original URL as discovered
+  url_canon:string    canonical form (urlnorm) — the dedup identity
+  url_hash:long       xxhash64(url_canon) — partitioning / join key
+  host:string         for politeness grouping
+  depth:int           BFS depth (DEPTH_LIMIT filter, settings.py:24)
+  priority:int        lower = sooner (Scrapy priority semantics)
+  round:int           BFS round that discovered it
+  seed_id:string      provenance (which seed/source introduced it)
+  parser:string       'jsonld' | 'geo_table' (callback routing)
+
+All columns derive JVM-side (no Python). ``dropDuplicates`` on
+url_hash+url_canon keeps one discovery per canonical URL per round,
+deterministically (min priority, then min depth, then min url) so N-core
+and 4N-core runs build identical frontiers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from biothings_crawler_spark.urlnorm import canonicalize_col, host_col
+
+FRONTIER_COLS = [
+    "url", "url_canon", "url_hash", "host", "depth",
+    "priority", "round", "seed_id", "source", "parser",
+]
+
+
+def with_url_identity(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add url_canon / url_hash / host (native expressions, codegen)."""
+    c = canonicalize_col(F.col(url_col))
+    return (
+        df.withColumn("url_canon", c)
+        .withColumn("url_hash", F.xxhash64(F.col("url_canon")))
+        .withColumn("host", host_col(F.col(url_col)))
+        .filter(F.col("url_canon").isNotNull())
+    )
+
+
+def frontier_from_seeds(seeds: DataFrame, round_no: int = 0) -> DataFrame:
+    """seeds(seed_id, url, source, parser, priority) -> round-0 frontier."""
+    return (
+        with_url_identity(seeds)
+        .select(
+            "url", "url_canon", "url_hash", "host",
+            F.lit(0).alias("depth"),
+            F.col("priority").cast("int").alias("priority"),
+            F.lit(round_no).alias("round"),
+            "seed_id",
+            "source",
+            "parser",
+        )
+    )
+
+
+def dedup_frontier(frontier: DataFrame) -> DataFrame:
+    """One row per canonical URL, deterministic winner.
+
+    ``row_number`` over (priority, depth, url, seed_id) — a total order —
+    rather than ``dropDuplicates`` (whose survivor is partition-order
+    dependent and would break N vs 4N reproducibility).
+    """
+    w = Window.partitionBy("url_hash", "url_canon").orderBy(
+        "priority", "depth", "url", "seed_id"
+    )
+    return (
+        frontier.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def links_to_frontier(
+    links: DataFrame,
+    round_no: int,
+    max_depth: int | None = None,
+) -> DataFrame:
+    """Discovered links -> frontier rows for the next round.
+
+    Input: (link:string, depth:int of the discovering page + 1,
+    priority:int, seed_id:string, parser:string).
+    BFS ordering (DEPTH_PRIORITY=1, clic.py:71-73) is realized by the
+    round loop itself — children always fetch in a later round.
+    """
+    out = with_url_identity(links, "link").select(
+        F.col("link").alias("url"),
+        "url_canon", "url_hash", "host",
+        F.col("depth").cast("int").alias("depth"),
+        F.col("priority").cast("int").alias("priority"),
+        F.lit(round_no).alias("round"),
+        "seed_id", "source", "parser",
+    )
+    if max_depth is not None:
+        out = out.filter(F.col("depth") <= F.lit(max_depth))
+    return dedup_frontier(out)

@@ -1,0 +1,138 @@
+"""Per-host politeness: robots rules + budget window with explicit salting.
+
+Reference behavior being rebuilt (SURVEY.md §2.6, §4):
+
+  * AutoThrottle targets ~1 in-flight request per host
+    (crawler/settings.py:82-89) — i.e. a per-host *rate*; over a fixed
+    round duration that is a per-host, per-round budget.
+  * robots crawl-delays are honored socially (harvard.py:20 documents
+    ``Crawl-delay: 10``); NB the reference sets ``ROBOTSTXT_OBEY=False``
+    (crawler/settings.py:31) — allow/disallow rules were NOT enforced.
+    Our engine enforces them by default (BASELINE.json north_star
+    requires robots rules); ``obey_robots=False`` reproduces reference
+    behavior bit-for-bit.
+  * ``DownloaderAwarePriorityQueue`` (clic.py:63) spreads load — at
+    Spark scale the analogous problem is hot-host skew in the
+    ``groupBy(host)`` window; AQE skew handling does not apply to
+    windows, so we salt explicitly.
+
+Budget selection is a deterministic per-host top-B by
+(priority, url_hash, url_canon). Done naively it is
+``row_number().over(Window.partitionBy('host'))`` — one task per host,
+and the 30%-hot host makes one straggler task own 3·10^9 rows. Instead,
+**two-phase salted selection** (exact, not approximate):
+
+  phase 1: salt = pmod(url_hash, salt_n(host)) where salt_n grows with
+           the host's candidate count; rank within (host, salt); keep
+           per-bucket top-B. Worst case the true global top-B all land
+           in one bucket, so keeping B per bucket can never lose a
+           winner.
+  phase 2: rank within host over the ≤ salt_n·B phase-1 survivors
+           (tiny), keep top-B. Identical result to the naive window,
+           bounded task size.
+
+Both phases order by the same total order, so N-core and 4N-core runs
+schedule the identical URL set in the identical rank order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from biothings_crawler_spark.urlnorm import urljoin  # noqa: F401  (API surface)
+
+ORDER_COLS = ["priority", "url_hash", "url_canon"]
+
+
+def path_col(url):
+    """Path + query of a URL (robots matching operates on this)."""
+    return F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+
+
+def apply_robots(candidates: DataFrame, robots: DataFrame, obey: bool = True) -> DataFrame:
+    """Filter candidates by robots allow/disallow (longest-match wins).
+
+    robots(host, allow, disallow, crawl_delay, sitemap_urls) is a small
+    dimension — broadcast join, no shuffle of the candidate side.
+    Hosts with no robots row are allowed. With ``obey=False`` (the
+    reference's actual configuration) this is the identity.
+    """
+    if not obey:
+        return candidates
+    joined = candidates.join(
+        F.broadcast(robots.select("host", "allow", "disallow")), "host", "left"
+    )
+    path = path_col(F.col("url_canon"))
+    longest = lambda arr: F.aggregate(  # noqa: E731
+        F.filter(arr, lambda p: path.startswith(p)),
+        F.lit(0),
+        lambda acc, p: F.greatest(acc, F.length(p)),
+    )
+    allow_len = F.coalesce(longest(F.col("allow")), F.lit(0))
+    dis_len = F.coalesce(longest(F.col("disallow")), F.lit(0))
+    blocked = F.col("disallow").isNotNull() & (dis_len > allow_len) & (dis_len > 0)
+    return joined.filter(~blocked).drop("allow", "disallow")
+
+
+def host_budgets(
+    robots: DataFrame, round_seconds: float, default_budget: int
+) -> DataFrame:
+    """budget(host) = how many URLs one round may fetch from the host.
+
+    crawl_delay d => round_seconds / d requests per round (the
+    AutoThrottle target-concurrency-1.0 analog); no delay => default.
+    """
+    return robots.select(
+        "host",
+        F.when(
+            F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0),
+            F.greatest(F.floor(F.lit(round_seconds) / F.col("crawl_delay")), F.lit(1)),
+        )
+        .otherwise(F.lit(default_budget))
+        .cast("int")
+        .alias("budget"),
+    )
+
+
+def select_politely(
+    candidates: DataFrame,
+    budgets: DataFrame,
+    default_budget: int,
+    salt_target: int = 100_000,
+    max_salt: int = 4096,
+) -> DataFrame:
+    """Deterministic per-host top-budget selection, skew-proof.
+
+    Returns candidates + ``sched_rank`` (1-based rank within host) for
+    the selected rows. Unselected rows are NOT returned — the round
+    loop defers them to the next round's frontier.
+    """
+    counts = candidates.groupBy("host").agg(F.count(F.lit(1)).alias("n_cand"))
+    plan = (
+        counts.join(F.broadcast(budgets), "host", "left")
+        .withColumn("budget", F.coalesce(F.col("budget"), F.lit(default_budget)))
+        .withColumn(
+            "salt_n",
+            F.least(
+                F.greatest(F.ceil(F.col("n_cand") / F.lit(salt_target)), F.lit(1)),
+                F.lit(max_salt),
+            ).cast("int"),
+        )
+        .select("host", "budget", "salt_n")
+    )
+    cand = candidates.join(F.broadcast(plan), "host", "left").withColumn(
+        "salt", F.pmod(F.col("url_hash"), F.col("salt_n"))
+    )
+    w1 = Window.partitionBy("host", "salt").orderBy(*ORDER_COLS)
+    phase1 = (
+        cand.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= F.col("budget"))
+        .drop("__r1", "salt", "salt_n")
+    )
+    w2 = Window.partitionBy("host").orderBy(*ORDER_COLS)
+    return (
+        phase1.withColumn("sched_rank", F.row_number().over(w2))
+        .filter(F.col("sched_rank") <= F.col("budget"))
+        .drop("budget")
+    )

@@ -1,0 +1,302 @@
+"""URL-seen set: persistent bloom segments + exact anti-join backstop.
+
+The reference gets exactly-once fetching from Scrapy's in-memory
+RFPDupeFilter (never overridden; SURVEY.md §1.1) plus explicit ES
+``exists()`` point lookups for incremental sources (harvard.py:102-104,
+figshare.py:104-106). Neither survives a 10^10-URL frontier: the seen
+set is too large for one process and point lookups don't batch.
+
+Scale design (north_star):
+
+  * the seen set is partitioned into ``n_segments`` bloom filters keyed
+    by ``pmod(url_hash, n_segments)``; each segment is a numpy bitarray
+    serialized as a binary blob row in the ``seen_segments`` checkpoint
+    table: (segment_id, round, bloom:binary, n_items).
+  * per crawl round: candidates are COGROUPED with their segment on
+    segment_id (one shuffle; each task holds exactly one blob — blobs
+    are never replicated per row) and membership-tested vectorized in
+    numpy. ``maybe_seen=false`` rows are *definitely new* (blooms have
+    no false negatives) and skip the expensive path entirely.
+  * only ``maybe_seen=true`` rows (true dups + ~FPP false positives) go
+    through the exact ``left_anti`` join against the scheduled-URLs
+    table — so the engine is exactly-once AND complete (a bloom false
+    positive cannot lose a URL), at ~FPP of the anti-join cost a naive
+    design would pay.
+  * segments OR-merge across rounds (fixed bit width per segment), so
+    updating the seen set is an append of ``n_segments`` small rows per
+    round, not a rewrite of 10^10 keys.
+
+Bit positions use double hashing (Kirsch-Mitzenmacher) on the existing
+``xxhash64(url_canon)`` value with a splitmix64 remix — no Python-side
+string hashing anywhere; everything vectorizes over int64 numpy arrays.
+
+For politeness/robots *revocations* (URLs that must be deletable from
+the seen set so they can be re-fetched), blooms cannot delete; hosts
+with deletion events use a :class:`CuckooFilter` segment instead
+(SURVEY.md §4 "custom work").
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEEN_SEGMENTS_SCHEMA = "segment_id int, round int, bloom binary, n_items long"
+
+_SPLITMIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _remix(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — second independent hash stream from h."""
+    z = h.astype(np.uint64, copy=True)
+    z ^= z >> np.uint64(30)
+    z *= _SPLITMIX_C1
+    z ^= z >> np.uint64(27)
+    z *= _SPLITMIX_C2
+    z ^= z >> np.uint64(31)
+    return z
+
+
+class BloomFilter:
+    """Fixed-width bloom over int64 keys, numpy-vectorized, OR-mergeable."""
+
+    HEADER = np.uint64(0xB100F117)
+
+    def __init__(self, n_bits: int, n_hashes: int, bits: np.ndarray | None = None):
+        assert n_bits % 8 == 0
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        self.bits = bits if bits is not None else np.zeros(n_bits // 8, dtype=np.uint8)
+
+    @classmethod
+    def sized_for(cls, n_items: int, fpp: float = 0.01) -> "BloomFilter":
+        n_bits = max(64, int(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+        n_bits = (n_bits + 7) // 8 * 8
+        k = max(1, round(n_bits / max(1, n_items) * math.log(2)))
+        return cls(n_bits, k)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        """(len(keys), k) bit positions via double hashing (uint64 wrap)."""
+        h1 = keys.astype(np.uint64)
+        h2 = _remix(h1) | np.uint64(1)  # odd so strides cycle
+        i = np.arange(self.n_hashes, dtype=np.uint64)
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.n_bits)
+
+    def add_many(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        pos = self._positions(np.asarray(keys, dtype=np.int64)).ravel()
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(3)).astype(np.int64),
+                         np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)))
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(np.asarray(keys, dtype=np.int64))
+        byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+        bit = np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))
+        return ((self.bits[byte_idx] & bit) != 0).all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.n_bits == other.n_bits and self.n_hashes == other.n_hashes
+        return BloomFilter(self.n_bits, self.n_hashes, self.bits | other.bits)
+
+    def to_bytes(self) -> bytes:
+        head = np.array([self.HEADER, self.n_bits, self.n_hashes], dtype=np.uint64)
+        return head.tobytes() + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "BloomFilter":
+        head = np.frombuffer(blob[:24], dtype=np.uint64)
+        assert head[0] == cls.HEADER, "not a bloom blob"
+        return cls(int(head[1]), int(head[2]),
+                   np.frombuffer(blob[24:], dtype=np.uint8).copy())
+
+
+class CuckooFilter:
+    """Deletable membership filter (bucketed fingerprints, 4 slots/bucket).
+
+    Used for hosts with robots revocations — the only seen-set entries
+    that ever need deletion (SURVEY.md §4). Fingerprint 0 is reserved
+    for "empty"; remix() provides fingerprints and alt-bucket offsets.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, n_buckets: int, table: np.ndarray | None = None):
+        self.n_buckets = n_buckets
+        self.table = (table if table is not None
+                      else np.zeros((n_buckets, self.SLOTS), dtype=np.uint16))
+
+    @classmethod
+    def sized_for(cls, n_items: int) -> "CuckooFilter":
+        n_buckets = 1 << max(4, math.ceil(math.log2(max(1, n_items) / 3.2)))
+        return cls(n_buckets)
+
+    def _fp_and_buckets(self, key: int) -> tuple[int, int, int]:
+        h = np.uint64(np.int64(key).astype(np.uint64))
+        r = int(_remix(np.array([h], dtype=np.uint64))[0])
+        fp = (r & 0xFFFF) or 1
+        b1 = int(h) % self.n_buckets
+        b2 = (b1 ^ (int(_remix(np.array([fp], dtype=np.uint64))[0]))) % self.n_buckets
+        return fp, b1, b2
+
+    def _insert_at(self, b: int, fp: int) -> bool:
+        row = self.table[b]
+        empty = np.where(row == 0)[0]
+        if len(empty):
+            row[empty[0]] = fp
+            return True
+        return False
+
+    def add(self, key: int) -> bool:
+        fp, b1, b2 = self._fp_and_buckets(key)
+        if self._insert_at(b1, fp) or self._insert_at(b2, fp):
+            return True
+        b = b1 if (fp + b1) % 2 else b2
+        for kick in range(self.MAX_KICKS):
+            slot = (fp + kick) % self.SLOTS
+            fp, self.table[b][slot] = int(self.table[b][slot]), fp
+            b = (b ^ int(_remix(np.array([fp], dtype=np.uint64))[0])) % self.n_buckets
+            if self._insert_at(b, fp):
+                return True
+        return False  # table full — caller resizes
+
+    def contains(self, key: int) -> bool:
+        fp, b1, b2 = self._fp_and_buckets(key)
+        return bool((self.table[b1] == fp).any() or (self.table[b2] == fp).any())
+
+    def delete(self, key: int) -> bool:
+        fp, b1, b2 = self._fp_and_buckets(key)
+        for b in (b1, b2):
+            idx = np.where(self.table[b] == fp)[0]
+            if len(idx):
+                self.table[b][idx[0]] = 0
+                return True
+        return False
+
+    def to_bytes(self) -> bytes:
+        head = np.array([0xC0C00F11, self.n_buckets], dtype=np.uint64)
+        return head.tobytes() + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CuckooFilter":
+        head = np.frombuffer(blob[:16], dtype=np.uint64)
+        assert head[0] == 0xC0C00F11
+        n_buckets = int(head[1])
+        table = np.frombuffer(blob[16:], dtype=np.uint16).reshape(n_buckets, cls.SLOTS).copy()
+        return cls(n_buckets, table)
+
+
+# --- DataFrame-level seen-set ops ---------------------------------------------
+
+def segment_col(url_hash, n_segments: int):
+    return F.pmod(url_hash, F.lit(n_segments)).cast("int")
+
+
+def build_segments(
+    scheduled: DataFrame,
+    round_no: int,
+    n_segments: int,
+    bits_per_segment: int,
+    n_hashes: int,
+    prev_segments: DataFrame | None = None,
+) -> DataFrame:
+    """New seen_segments rows for this round (OR-merged with previous).
+
+    One shuffle on segment_id; each group builds its bloom in numpy.
+    """
+    keyed = scheduled.select(
+        segment_col(F.col("url_hash"), n_segments).alias("segment_id"), "url_hash"
+    )
+    prev = (
+        prev_segments.select("segment_id", "bloom", "n_items")
+        if prev_segments is not None
+        else None
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["segment_id"].iloc[0])
+        bf = BloomFilter(bits_per_segment, n_hashes)
+        prev_blob = pdf["bloom"].dropna()
+        prev_n = 0
+        if len(prev_blob):
+            bf = bf.merge(BloomFilter.from_bytes(bytes(prev_blob.iloc[0])))
+            prev_n = int(pdf["n_items"].dropna().iloc[0])
+        new_keys = pdf.loc[pdf["url_hash"].notna(), "url_hash"].to_numpy(dtype=np.int64)
+        bf.add_many(new_keys)
+        return pd.DataFrame(
+            [{"segment_id": seg, "round": round_no, "bloom": bf.to_bytes(),
+              "n_items": prev_n + len(new_keys)}]
+        )
+
+    if prev is not None:
+        unioned = keyed.withColumn("bloom", F.lit(None).cast("binary")).withColumn(
+            "n_items", F.lit(None).cast("long")
+        ).unionByName(
+            prev.withColumn("url_hash", F.lit(None).cast("long")).select(
+                "segment_id", "url_hash", "bloom", "n_items"
+            )
+        )
+    else:
+        unioned = keyed.withColumn("bloom", F.lit(None).cast("binary")).withColumn(
+            "n_items", F.lit(None).cast("long")
+        )
+    return unioned.groupBy("segment_id").applyInPandas(build, SEEN_SEGMENTS_SCHEMA)
+
+
+def mark_maybe_seen(
+    candidates: DataFrame, segments: DataFrame | None, n_segments: int
+) -> DataFrame:
+    """Add ``maybe_seen`` via cogrouped vectorized bloom probe.
+
+    false => definitely new (no false negatives); true => check exactly.
+    """
+    if segments is None:
+        return candidates.withColumn("maybe_seen", F.lit(False))
+    cand = candidates.withColumn(
+        "segment_id", segment_col(F.col("url_hash"), n_segments)
+    )
+    segs = segments.select("segment_id", "bloom")
+    out_schema = cand.drop("segment_id").schema.add("maybe_seen", "boolean")
+
+    def probe(cpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        cpdf = cpdf.drop(columns=["segment_id"])
+        if len(cpdf) == 0:
+            return cpdf.assign(maybe_seen=pd.Series([], dtype=bool))
+        if len(spdf) == 0:
+            return cpdf.assign(maybe_seen=False)
+        bf = BloomFilter.from_bytes(bytes(spdf["bloom"].iloc[0]))
+        keys = cpdf["url_hash"].to_numpy(dtype=np.int64)
+        return cpdf.assign(maybe_seen=bf.contains_many(keys))
+
+    return (
+        cand.groupBy("segment_id")
+        .cogroup(segs.groupBy("segment_id"))
+        .applyInPandas(probe, out_schema)
+    )
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    segments: DataFrame | None,
+    exact_seen: DataFrame | None,
+    n_segments: int,
+) -> DataFrame:
+    """Exactly-once + complete: bloom prune, then exact anti-join on the
+    (tiny) maybe-seen slice only."""
+    marked = mark_maybe_seen(candidates, segments, n_segments)
+    if exact_seen is None:
+        return marked.drop("maybe_seen")
+    definitely_new = marked.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    suspicious = marked.filter(F.col("maybe_seen")).drop("maybe_seen")
+    rescued = suspicious.join(
+        exact_seen.select("url_hash", "url_canon"), ["url_hash", "url_canon"], "left_anti"
+    )
+    return definitely_new.unionByName(rescued)

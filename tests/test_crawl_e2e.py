@@ -1,0 +1,116 @@
+"""End-to-end: engine BFS crawl == frozen oracle simulator, and
+kill/resume produces identical results (north_rule)."""
+
+import pytest
+
+from biothings_crawler_spark.fixtures import corpus
+from biothings_crawler_spark.oracle.bfs import CrawlConfig, simulate_crawl
+from biothings_crawler_spark.plans.crawl import run_crawl
+
+N = 300
+CFG = CrawlConfig(
+    max_rounds=5,
+    default_budget=15,
+    round_seconds=10.0,     # zenodo: 10, omicsdi: 5, clic: 20, dataverse: 1
+    obey_robots=True,
+    n_segments=8,
+    bloom_bits_per_segment=1 << 12,  # deliberately small -> real FPP exercised
+    bloom_hashes=5,
+)
+
+
+@pytest.fixture(scope="module")
+def oracle_result():
+    pages = {r["url"]: r["html"].decode("utf-8") for r in corpus.gen_pages(N)}
+    return simulate_crawl(
+        pages, corpus.gen_seeds(N), corpus.gen_robots(), corpus.POLICIES, CFG
+    )
+
+
+def _run_engine(spark, tmpdir, cfg=CFG):
+    return run_crawl(
+        spark,
+        corpus.pages_df(spark, N),
+        corpus.seeds_df(spark, N),
+        corpus.robots_df(spark),
+        corpus.gen_policies(),
+        str(tmpdir),
+        cfg,
+    )
+
+
+def _engine_tables(spark, tmpdir):
+    from biothings_crawler_spark.catalog import ParquetManifestCatalog
+
+    cat = ParquetManifestCatalog(str(tmpdir))
+    sched = cat.read(spark, "scheduled")
+    docs = cat.read(spark, "docs")
+    texts = cat.read(spark, "page_texts")
+    return sched, docs, texts
+
+
+def test_engine_matches_oracle(spark, tmp_path, oracle_result):
+    summary = _run_engine(spark, tmp_path / "cp")
+    assert summary["rounds"] >= 3
+    sched, docs, texts = _engine_tables(spark, tmp_path / "cp")
+
+    engine_ordering = sorted(
+        (r["round"], r["host"], r["sched_rank"], r["url_canon"])
+        for r in sched.select("round", "host", "sched_rank", "url_canon").collect()
+    )
+    assert engine_ordering == sorted(oracle_result.ordering)
+
+    engine_docs = sorted(
+        (r["round"], r["url_canon"], r["doc_json"])
+        for r in docs.select("round", "url_canon", "doc_json").collect()
+    )
+    assert engine_docs == sorted(oracle_result.docs)
+
+    engine_seen = {r["url_canon"] for r in sched.select("url_canon").collect()}
+    assert engine_seen == oracle_result.seen
+
+
+def test_page_texts_byte_identical_to_corpus_golden(spark, tmp_path, oracle_result):
+    _run_engine(spark, tmp_path / "cp")
+    _, _, texts = _engine_tables(spark, tmp_path / "cp")
+    golden = {r["url"]: r["text"] for r in corpus.gen_pages(N)}
+    rows = texts.select("url", "text").collect()
+    assert rows, "crawl extracted nothing"
+    bad = [r["url"] for r in rows if golden.get(r["url"]) != r["text"]]
+    assert bad == [], f"text mismatches: {bad[:5]}"
+
+
+def test_metrics_match_oracle(spark, tmp_path, oracle_result):
+    _run_engine(spark, tmp_path / "cp")
+    from biothings_crawler_spark.catalog import ParquetManifestCatalog
+
+    cat = ParquetManifestCatalog(str(tmp_path / "cp"))
+    m = cat.read(spark, "metrics")
+    engine = {
+        (r["round"], r["host"], r["metric"]): r["value"]
+        for r in m.collect()
+        if r["metric"] in ("scheduled", "fetched", "docs", "links")
+    }
+    for (rnd, host), counters in oracle_result.metrics.items():
+        for k, v in counters.items():
+            if v:
+                assert engine.get((rnd, host, k), 0) == v, (rnd, host, k)
+
+
+def test_resume_identical_after_kill(spark, tmp_path, oracle_result):
+    """Kill after round 1, resume -> byte-identical ordering + docs."""
+    cut = CrawlConfig(**{**CFG.__dict__, "max_rounds": 2})
+    _run_engine(spark, tmp_path / "cut", cut)     # killed after 2 rounds
+    _run_engine(spark, tmp_path / "cut", CFG)     # resume to completion
+    _run_engine(spark, tmp_path / "full", CFG)    # uninterrupted reference
+
+    for table in ("scheduled", "docs"):
+        from biothings_crawler_spark.catalog import ParquetManifestCatalog
+
+        a = ParquetManifestCatalog(str(tmp_path / "cut")).read(spark, table)
+        b = ParquetManifestCatalog(str(tmp_path / "full")).read(spark, table)
+        cols = sorted(set(a.columns) & set(b.columns))
+        key = lambda t: tuple((v is None, str(v)) for v in t)  # noqa: E731
+        ra = sorted((tuple(r[c] for c in cols) for r in a.select(*cols).collect()), key=key)
+        rb = sorted((tuple(r[c] for c in cols) for r in b.select(*cols).collect()), key=key)
+        assert ra == rb, table

@@ -93,14 +93,17 @@ def test_pages_deterministic_and_golden_matches_oracle():
     a = corpus.gen_pages(60)
     b = corpus.gen_pages(60)
     assert a == b
-    for row in a:
+    for i, row in enumerate(a):
         html = row["html"].decode("utf-8")
-        if "acc.cgi" in row["url"]:  # GEO pages: golden = geo-table oracle
-            data = parse_geo_table(html)
-            expect = corpus.canonical_json([data] if data else [])
-        else:
-            expect = corpus.canonical_json(extract_jsonld_items(html, row["url"]))
+        parser = corpus.parser_for_source(corpus.source_of(i))
+        expect = corpus.canonical_json(
+            corpus.oracle_page_items(parser, html, row["url"])
+        )
         assert row["text"] == expect, row["url"]
+        if parser == "jsonld":  # cross-check via the raw extractor too
+            assert expect == corpus.canonical_json(
+                extract_jsonld_items(html, row["url"])
+            )
 
 
 def test_pages_quirk_coverage():

@@ -1,0 +1,107 @@
+"""Politeness window (salted == naive), robots filter, catalog commits."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from biothings_crawler_spark.catalog import ParquetManifestCatalog
+from biothings_crawler_spark.fixtures import corpus
+from biothings_crawler_spark.hashing import xxhash64_str
+from biothings_crawler_spark.operators.politeness import (
+    ORDER_COLS,
+    apply_robots,
+    host_budgets,
+    select_politely,
+)
+
+
+def _cands(spark, n=500, hosts=("a.org", "b.org", "hot.org")):
+    rows = []
+    for i in range(n):
+        host = hosts[i % len(hosts)] if i % 10 else hosts[-1]
+        url = f"https://{host}/p/{i}"
+        rows.append((url, url, xxhash64_str(url), host, 0, i % 3))
+    return spark.createDataFrame(
+        rows, "url string, url_canon string, url_hash long, host string, depth int, priority int"
+    )
+
+
+def test_salted_selection_equals_naive_window(spark):
+    cands = _cands(spark)
+    budgets = spark.createDataFrame(
+        [("a.org", 7), ("hot.org", 13)], "host string, budget int"
+    )
+    # salt_target=10 forces real salting (multiple buckets per host)
+    got = select_politely(cands, budgets, default_budget=5, salt_target=10)
+    naive = (
+        cands.join(F.broadcast(budgets), "host", "left")
+        .withColumn("budget", F.coalesce("budget", F.lit(5)))
+        .withColumn("rk", F.row_number().over(Window.partitionBy("host").orderBy(*ORDER_COLS)))
+        .filter(F.col("rk") <= F.col("budget"))
+    )
+    g = {(r["host"], r["sched_rank"], r["url_canon"]) for r in got.collect()}
+    n = {(r["host"], r["rk"], r["url_canon"]) for r in naive.collect()}
+    assert g == n
+    # per-host quota never exceeded
+    per_host = got.groupBy("host").count().collect()
+    lim = {"a.org": 7, "hot.org": 13, "b.org": 5}
+    for r in per_host:
+        assert r["count"] <= lim[r["host"]]
+
+
+def test_budget_from_crawl_delay(spark):
+    robots = corpus.robots_df(spark)
+    b = {r["host"]: r["budget"] for r in host_budgets(robots, 60.0, 99).collect()}
+    assert b["zenodo.example.org"] == 60     # delay 1.0
+    assert b["omicsdi.example.org"] == 30    # delay 2.0
+    assert b["dataverse.example.org"] == 6   # delay 10.0
+    assert b["figshare.example.org"] == 99   # no delay -> default
+
+
+def test_robots_longest_match(spark):
+    robots = corpus.robots_df(spark)
+    cands = spark.createDataFrame(
+        [
+            ("https://omicsdi.example.org/dataset/1",) * 2 + ("omicsdi.example.org",),
+            ("https://omicsdi.example.org/ws/x",) * 2 + ("omicsdi.example.org",),
+            ("https://omicsdi.example.org/private/1",) * 2 + ("omicsdi.example.org",),
+            ("https://dataverse.example.org/any",) * 2 + ("dataverse.example.org",),
+            ("https://nohost.example.net/x",) * 2 + ("nohost.example.net",),
+        ],
+        "url string, url_canon string, host string",
+    )
+    kept = {r["url_canon"] for r in apply_robots(cands, robots, True).collect()}
+    assert "https://omicsdi.example.org/dataset/1" in kept
+    assert "https://omicsdi.example.org/ws/x" not in kept
+    assert "https://omicsdi.example.org/private/1" not in kept
+    assert "https://dataverse.example.org/any" not in kept  # Disallow: /
+    assert "https://nohost.example.net/x" in kept           # no robots row
+    assert apply_robots(cands, robots, False).count() == 5  # reference mode
+
+
+def test_catalog_atomic_commit_and_resume(spark, tmp_path):
+    cat = ParquetManifestCatalog(tmp_path / "cp")
+    df0 = spark.range(5).withColumnRenamed("id", "v")
+    cat.commit(0, {"t": df0})
+    assert cat.latest_round() == 0
+    cat.commit(1, {"t": spark.range(3).withColumnRenamed("id", "v")})
+    assert cat.rounds("t") == [0, 1]
+    assert cat.read(spark, "t").count() == 8
+    assert cat.read(spark, "t", 1).count() == 3
+    assert cat.read(spark, "missing") is None
+    with pytest.raises(ValueError):
+        cat.commit(1, {"t": df0})  # re-commit refused (resume safety)
+
+
+def test_catalog_uncommitted_rounds_invisible(spark, tmp_path):
+    """A crash between table write and manifest update leaves no trace."""
+    cat = ParquetManifestCatalog(tmp_path / "cp2")
+    cat.commit(0, {"t": spark.range(4).withColumnRenamed("id", "v")})
+    # simulate a crashed round-1 write (data dir exists, not in manifest)
+    df = spark.range(9).withColumnRenamed("id", "v")
+    df.write.parquet(str(cat._round_dir("t", 1)))
+    assert cat.rounds("t") == [0]
+    assert cat.read(spark, "t").count() == 4
+    # and a fresh commit for round 1 replaces the garbage
+    cat.commit(1, {"t": spark.range(2).withColumnRenamed("id", "v")})
+    assert cat.read(spark, "t", 1).count() == 2

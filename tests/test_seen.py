@@ -1,0 +1,115 @@
+"""Bloom/cuckoo seen-set: no false negatives, bounded FPP, serde, deletes,
+and the DataFrame-level prune+exact pipeline."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from biothings_crawler_spark.operators.seen import (
+    BloomFilter,
+    CuckooFilter,
+    build_segments,
+    filter_unseen,
+    mark_maybe_seen,
+)
+
+RNG_KEYS = np.arange(-50_000, 50_000, 7, dtype=np.int64) * 2_654_435_761
+
+
+def test_bloom_no_false_negatives_and_fpp():
+    bf = BloomFilter.sized_for(10_000, fpp=0.01)
+    ins = RNG_KEYS[:10_000]
+    bf.add_many(ins)
+    assert bf.contains_many(ins).all()
+    other = RNG_KEYS[10_000:14_000] + 1
+    fpp = bf.contains_many(other).mean()
+    assert fpp < 0.03, fpp
+
+
+def test_bloom_serde_and_merge():
+    a = BloomFilter(1 << 13, 5)
+    b = BloomFilter(1 << 13, 5)
+    a.add_many(RNG_KEYS[:100])
+    b.add_many(RNG_KEYS[100:200])
+    m = BloomFilter.from_bytes(a.merge(b).to_bytes())
+    assert m.contains_many(RNG_KEYS[:200]).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=200))
+def test_bloom_membership_property(keys):
+    bf = BloomFilter.sized_for(max(1, len(keys)))
+    bf.add_many(np.array(keys, dtype=np.int64))
+    if keys:
+        assert bf.contains_many(np.array(keys, dtype=np.int64)).all()
+
+
+def test_cuckoo_add_contains_delete():
+    cf = CuckooFilter.sized_for(2_000)
+    keys = [int(k) for k in RNG_KEYS[:2_000]]
+    for k in keys:
+        assert cf.add(k)
+    assert all(cf.contains(k) for k in keys)
+    for k in keys[:500]:
+        assert cf.delete(k)
+    # deleted keys are gone (up to fp collisions with remaining keys)
+    still = sum(cf.contains(k) for k in keys[:500])
+    assert still < 25, still
+    assert all(cf.contains(k) for k in keys[500:])
+    rt = CuckooFilter.from_bytes(cf.to_bytes())
+    assert all(rt.contains(k) for k in keys[500:])
+
+
+N_SEG = 8
+
+
+def _cand(spark, hashes):
+    return spark.createDataFrame(
+        [(int(h), f"u{h}") for h in hashes], "url_hash long, url_canon string"
+    )
+
+
+def test_segment_build_and_probe(spark):
+    seen_hashes = [int(k) for k in RNG_KEYS[:3_000]]
+    new_hashes = [int(k) + 1 for k in RNG_KEYS[3_000:3_400]]
+    segs = build_segments(_cand(spark, seen_hashes), 0, N_SEG, 1 << 16, 7)
+    segs_pd = segs.toPandas()
+    assert set(segs_pd["segment_id"]) <= set(range(N_SEG))
+    assert segs_pd["n_items"].sum() == len(seen_hashes)
+
+    marked = mark_maybe_seen(
+        _cand(spark, seen_hashes[:500] + new_hashes), segs, N_SEG
+    ).toPandas()
+    seen_set = set(seen_hashes[:500])
+    maybe = dict(zip(marked["url_hash"], marked["maybe_seen"]))
+    # no false negatives
+    assert all(maybe[h] for h in seen_set)
+    fp = sum(maybe[h] for h in new_hashes)
+    assert fp < len(new_hashes) * 0.05
+
+
+def test_segments_merge_across_rounds(spark):
+    r0 = [int(k) for k in RNG_KEYS[:1_000]]
+    r1 = [int(k) for k in RNG_KEYS[1_000:2_000]]
+    s0 = build_segments(_cand(spark, r0), 0, N_SEG, 1 << 16, 7)
+    s1 = build_segments(_cand(spark, r1), 1, N_SEG, 1 << 16, 7, prev_segments=s0)
+    marked = mark_maybe_seen(_cand(spark, r0 + r1), s1, N_SEG).toPandas()
+    assert marked["maybe_seen"].all()
+    assert s1.toPandas()["n_items"].sum() == 2_000
+
+
+def test_filter_unseen_exactness(spark):
+    """Bloom false positives must NOT lose unseen URLs (exact backstop)."""
+    seen = [int(k) for k in RNG_KEYS[:2_000]]
+    new = [int(k) + 1 for k in RNG_KEYS[2_000:4_000]]
+    segs = build_segments(_cand(spark, seen), 0, N_SEG, 1 << 10, 3)  # tiny -> high FPP
+    exact = _cand(spark, seen)
+    out = filter_unseen(_cand(spark, seen + new), segs, exact, N_SEG).toPandas()
+    assert set(out["url_hash"]) == set(new)  # complete AND exactly-once
+
+
+@pytest.mark.parametrize("n_seg", [1, 8])
+def test_filter_unseen_no_segments(spark, n_seg):
+    out = filter_unseen(_cand(spark, [1, 2, 3]), None, None, n_seg)
+    assert out.count() == 3
