@@ -368,6 +368,57 @@ def gen_sitemaps(n_universe: int) -> list[dict]:
     ]
 
 
+def gen_api_pages(n_universe: int) -> list[dict]:
+    """Paginated API responses (FIXTURES.md §5): zenodo_covid-style pages
+    with missing-link error hits; harvard-style with a short final page."""
+    rows = []
+    # zenodo_covid: 3 pages of 8 hits, every 5th hit missing its link
+    z_ids = [i for i in range(n_universe) if source_of(i) == "zenodo"]
+    for p in range(3):
+        hits = []
+        for j in range(8):
+            k = (p * 8 + j) % max(1, len(z_ids))
+            i = z_ids[k] if z_ids else 0
+            hits.append({
+                "id": f"zc{p}-{j}",
+                "url": url_of(i),
+                "published_date": (EPOCH + dt.timedelta(days=(p * 8 + j))).strftime("%Y-%m-%d"),
+                "missing_link": (p * 8 + j) % 5 == 4,
+            })
+        rows.append({
+            "source": "zenodo_covid", "page_no": p,
+            "cursor": str(p * 8),
+            "hits": hits,
+            "next_cursor": str((p + 1) * 8) if p < 2 else None,
+        })
+    # harvard: page size 10; page 2 is short (stop condition), page 3 exists
+    # but must never be consumed (harvard.py:63-71)
+    h_ids = [i for i in range(n_universe) if source_of(i) == "clic"]
+    for p, size in enumerate([10, 10, 4, 10]):
+        hits = [{
+            "id": f"hv{p}-{j}",
+            "url": url_of(h_ids[(p * 10 + j) % max(1, len(h_ids))] if h_ids else 0),
+            "published_date": (EPOCH + dt.timedelta(days=p * 10 + j)).strftime("%Y-%m-%d"),
+            "missing_link": False,
+        } for j in range(size)]
+        rows.append({
+            "source": "harvard", "page_no": p, "cursor": str(p * 10),
+            "hits": hits, "next_cursor": str((p + 1) * 10) if p < 3 else None,
+        })
+    return rows
+
+
+API_PAGES_SCHEMA = (
+    "source string, page_no int, cursor string, "
+    "hits array<struct<id:string, url:string, published_date:string, "
+    "missing_link:boolean>>, next_cursor string"
+)
+
+
+def api_pages_df(spark, n_universe: int):
+    return spark.createDataFrame(gen_api_pages(n_universe), schema=API_PAGES_SCHEMA)
+
+
 # --- Spark DataFrame builders ------------------------------------------------
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "

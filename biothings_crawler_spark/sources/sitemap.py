@@ -1,0 +1,94 @@
+"""Sitemap seed expansion (reference SitemapSpider analog).
+
+The reference's sitemap sources (zenodo.py:14-18, omicsdi.py:24-33,
+massbank.py:6-13) let Scrapy's SitemapSpider (a) start from sitemap
+URLs — or from robots.txt ``Sitemap:`` directives (massbank), (b)
+recursively expand sitemap *indexes*, (c) keep only leaf ``<loc>`` URLs
+whose path matches a ``sitemap_rules`` regex, routing them to a
+callback.
+
+Spark mapping: the sitemaps corpus is a table
+(sitemap_url, host, is_index, child_sitemaps, loc_urls, lastmod); index
+recursion is an iterative self-join to fixpoint (sitemap trees are
+shallow — depth ≤ 2 in the wild and in the fixture — so the loop runs
+2-3 small joins, each broadcastable); rule filtering is a native
+``rlike``. No Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def seed_sitemap_urls(robots: DataFrame, explicit: DataFrame | None = None) -> DataFrame:
+    """Union robots.txt Sitemap: directives with explicit sitemap seeds.
+
+    massbank seeds its crawl from robots.txt (massbank.py:10); zenodo
+    lists the sitemap directly (zenodo.py:17).
+    """
+    from_robots = robots.select(
+        F.explode("sitemap_urls").alias("sitemap_url")
+    )
+    if explicit is not None:
+        from_robots = from_robots.unionByName(explicit.select("sitemap_url"))
+    return from_robots.distinct()
+
+
+def expand_sitemaps(
+    sitemaps: DataFrame, start: DataFrame, max_depth: int = 8
+) -> DataFrame:
+    """Recursively expand sitemap indexes from *start* to leaf page URLs.
+
+    Iterative self-join until fixpoint: frontier of sitemap URLs ->
+    join the sitemaps table -> leaves contribute loc_urls, indexes
+    contribute child sitemaps for the next iteration. Determinism: set
+    semantics (distinct) at every step.
+    """
+    frontier = start.select("sitemap_url").distinct()
+    seen = frontier
+    loc_urls = None
+    for _ in range(max_depth):
+        hit = frontier.join(sitemaps, "sitemap_url")
+        leaves = hit.filter(~F.col("is_index")).select(
+            F.explode("loc_urls").alias("url")
+        )
+        loc_urls = leaves if loc_urls is None else loc_urls.unionByName(leaves)
+        children = (
+            hit.filter(F.col("is_index"))
+            .select(F.explode("child_sitemaps").alias("sitemap_url"))
+            .distinct()
+        )
+        frontier = children.join(seen, "sitemap_url", "left_anti")
+        if not frontier.head(1):
+            break
+        seen = seen.unionByName(frontier).distinct()
+    return loc_urls.distinct() if loc_urls is not None else loc_urls
+
+
+def sitemap_seeds(
+    sitemaps: DataFrame,
+    robots: DataFrame,
+    source: str,
+    host: str,
+    rule: str,
+    parser: str,
+    priority: int = 0,
+) -> DataFrame:
+    """Full sitemap source: robots+explicit sitemaps -> leaf URLs ->
+    sitemap_rules regex filter -> seed rows (SURVEY §2.1 rows 1-3)."""
+    start = sitemaps.filter(F.col("host") == host).select("sitemap_url")
+    start = seed_sitemap_urls(robots.filter(F.col("host") == host), start)
+    urls = expand_sitemaps(sitemaps, start)
+    if urls is None:
+        return None
+    return (
+        urls.filter(F.col("url").rlike(rule))
+        .select(
+            F.concat(F.lit(f"{source}:sitemap:"), F.col("url")).alias("seed_id"),
+            "url",
+            F.lit(source).alias("source"),
+            F.lit(parser).alias("parser"),
+            F.lit(priority).alias("priority"),
+        )
+    )
