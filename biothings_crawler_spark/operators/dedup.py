@@ -1,0 +1,270 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Everything here is native Spark SQL expressions — higher-order array
+functions (transform/aggregate/zip_with) keep the math JVM-side with
+zero Python in the path, and md5/xxhash64 are chosen because DuckDB has
+the same functions with the same bytes, so every operator gets a real
+SQL oracle pair in __spark_entry__.
+
+Scale design:
+  * exact dedup — one hash agg on the fingerprint; winner = min(id)
+    (deterministic, AQE-coalesced).
+  * MinHash — signatures are per-row expressions (no shuffle); LSH
+    banding shuffles once on (band_id, band_key); candidate pairs only
+    within buckets (the 10^10-safe path — never the n² cross join);
+    verification re-computes true Jaccard on the candidate sliver only.
+  * SimHash — 64-bit signature per row; banding on 16-bit sub-keys;
+    hamming distance via bit_count(xor).
+  * embedding near-dup — random-hyperplane signs bucket the vectors;
+    within-bucket cosine verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from biothings_crawler_spark.operators.text import fingerprint_col
+
+MAX_MD5 = "ffffffffffffffffffffffffffffffff"
+
+
+# --- exact -------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id representative per normalized-text fingerprint."""
+    return (
+        df.withColumn("fingerprint", fingerprint_col(F.col(text_col)))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# --- shingles + MinHash --------------------------------------------------------
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text."""
+    words = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - k),
+                lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(words, " ")))
+    )
+
+
+def minhash_signature_col(shingles: Column, n_perm: int = 16) -> Column:
+    """n_perm MinHash values: per permutation j, the lexicographic min of
+    md5(j || shingle) — a salted-hash permutation family shared
+    byte-for-byte with the DuckDB oracle."""
+    def _minhash(j: int):
+        return lambda acc, s: F.least(acc, F.md5(F.concat(F.lit(f"{j}:"), s)))
+
+    return F.array(*[
+        F.aggregate(shingles, F.lit(MAX_MD5), _minhash(j)) for j in range(n_perm)
+    ])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_perm: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via LSH banding + exact Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    rows = n_perm // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles_col(F.col(text_col), k).alias("sh"),
+    ).withColumn("sig", minhash_signature_col(F.col("sh"), n_perm))
+    banded = base.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)]).alias("band_key"),
+            )
+            for b in range(bands)
+        ])).alias("band"),
+    ).select("id", "sh", "band.band_id", "band.band_key")
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_id", "band_key"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band_id", "band_key"
+    )
+    pairs = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact all-pairs shingle Jaccard >= threshold (the brute-force
+    oracle for LSH recall; only for verification scale — at 10^10 use
+    minhash_lsh_pairs)."""
+    s = df.select(F.col(id_col).alias("id"), shingles_col(F.col(text_col), k).alias("sh"))
+    a = s.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash -------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 4 bands x 15 bits; stays clear of long-overflow (ANSI mode)
+
+
+def simhash_col(text: Column) -> Column:
+    """60-bit SimHash over distinct whitespace words (weight 1 each).
+
+    bit i set iff sum over words of sign(bit i of xxhash64(word)) > 0.
+    Built with two nested folds: the per-bit ±1 array is unrolled in
+    Python (shiftright needs a literal count), and the final signature
+    accumulates acc*2+bit over the reversed count array — equivalent to
+    a left shift without any dynamic-shift expression."""
+    words = F.array_distinct(F.filter(
+        F.split(F.lower(text), r"\s+"), lambda w: F.length(w) > 0
+    ))
+
+    def _bits_pm1(w: Column) -> Column:
+        h = F.xxhash64(w)
+        return F.array(*[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            for i in range(SIMHASH_BITS)
+        ])
+
+    counts = F.aggregate(
+        words,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, w: F.zip_with(acc, _bits_pm1(w), lambda a, b: a + b),
+    )
+    two = F.lit(2).cast("long")
+    return F.aggregate(
+        F.reverse(counts),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc * two
+        + F.when(c > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding (4×15-bit keys — two signatures
+    within hamming<=3 collide on >=1 band) + bit_count verify."""
+    sig = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sig"))
+    banded = sig.select(
+        "id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright("sig", b * 15).bitwiseAND(F.lit(0x7FFF)).alias("band_key"),
+            )
+            for b in range(4)
+        ])).alias("band"),
+    ).select("id", "sig", "band.band_id", "band.band_key")
+    l = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+                      "band_id", "band_key")
+    r = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+                      "band_id", "band_key")
+    return (
+        l.join(r, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- embedding near-dup ---------------------------------------------------------
+
+def cosine_col(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def hyperplane_sig_col(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
+    """Random-hyperplane sign signature. Plane p component i =
+    xxhash64(seed:p:i) mapped to ±1 — deterministic, no stored planes."""
+    def plane_dot(p: int) -> Column:
+        signs = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.when(
+                F.xxhash64(F.concat_ws(":", F.lit(seed), F.lit(p), i.cast("string"))) > 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        return F.aggregate(F.zip_with(vec, signs, lambda x, s: x * s),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    bits = [F.when(plane_dot(p) > 0, F.shiftleft(F.lit(1).cast("long"), p))
+            .otherwise(F.lit(0).cast("long")) for p in range(n_planes)]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+) -> DataFrame:
+    """Near-duplicate vectors: same hyperplane bucket -> cosine verify."""
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_sig_col(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    a = sig.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
+    b = sig.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

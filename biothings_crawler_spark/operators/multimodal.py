@@ -1,0 +1,112 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + typed
+metadata, processed by Arrow-batched mapInPandas stages.
+
+The Spark-side contract — schema, partitioning, UDF signature, batch
+shape — is real and tested; the actual media decoding is STUBBED
+(``decode_stub='fake'`` produces deterministic pseudo-features from the
+bytes; ``decode_stub='error'`` raises NotImplementedError) because no
+image/audio codec libraries exist in this container. Swapping the stub
+for PIL/torchaudio is a one-function change; nothing in the plan moves.
+
+Design notes for 100 TB of media:
+  * media rows are big — keep them in their own table keyed by
+    content hash, NEVER exploded alongside text columns;
+  * `mapInPandas` (not a scalar UDF) so one task streams batches and
+    can bound memory via maxRecordsPerBatch;
+  * feature output is a fixed-width array<float> ready for the
+    similarity operators (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, content binary, mime string, "
+    "width int, height int, duration_s double"
+)
+FEATURES_SCHEMA = "media_id long, kind string, n_bytes long, feature array<float>"
+
+N_FEATURES = 8
+
+
+def _fake_features(content: bytes, n: int = N_FEATURES) -> list[float]:
+    """Deterministic pseudo-features: byte-histogram moments. Stands in
+    for a real encoder; stable across runs and parallelism."""
+    if not content:
+        return [0.0] * n
+    arr = np.frombuffer(content, dtype=np.uint8)
+    chunks = np.array_split(arr, n)
+    return [float(c.mean()) / 255.0 if len(c) else 0.0 for c in chunks]
+
+
+def extract_media_features(
+    media: DataFrame, decode_stub: str = "fake"
+) -> DataFrame:
+    """media table -> per-row feature vectors via mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "error":
+                raise NotImplementedError(
+                    "real media decode requires PIL/av; not in this container"
+                )
+            feats = [_fake_features(bytes(b) if b is not None else b"")
+                     for b in pdf["content"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [len(b) if b is not None else 0 for b in pdf["content"]],
+                "feature": feats,
+            })
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def sample_video_frames(
+    media: DataFrame, every_s: float = 1.0, decode_stub: str = "fake"
+) -> DataFrame:
+    """Frame sampling contract: one output row per sampled timestamp.
+    The decode is stubbed; the 1->N row fan-out, schema and batching are
+    the real thing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "error":
+                raise NotImplementedError("real frame decode not available here")
+            out = {"media_id": [], "ts_s": [], "frame_feature": []}
+            for mid, dur, content in zip(pdf["media_id"], pdf["duration_s"], pdf["content"]):
+                n = max(1, int((dur or 0.0) / every_s))
+                raw = bytes(content) if content is not None else b""
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["ts_s"].append(i * every_s)
+                    # deterministic per-frame slice of the byte stream
+                    lo = (i * 997) % max(1, len(raw))
+                    out["frame_feature"].append(_fake_features(raw[lo:lo + 4096]))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, "media_id long, ts_s double, frame_feature array<float>"
+    )
+
+
+def gen_media_fixture(spark, n: int = 64) -> DataFrame:
+    """Deterministic opaque-binary media rows (no real codecs)."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        content = bytes(((i * 131 + j * 17) % 256) for j in range(256 + i % 512))
+        rows.append((
+            i, kind, content,
+            {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+            64 + i % 512 if kind == "image" else None,
+            64 + (i * 3) % 512 if kind == "image" else None,
+            float(1 + i % 10) if kind != "image" else None,
+        ))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

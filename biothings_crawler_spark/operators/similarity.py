@@ -1,0 +1,105 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, sharing one cosine kernel (native zip_with/aggregate — JVM):
+
+  * brute-force top-k — broadcast the (small) query set against the
+    corpus, window top-k per query. Exact; the recall oracle. At 100 TB
+    this is the wrong plan for big query sets but the right one for a
+    handful of probes (broadcast join, no shuffle of the corpus).
+  * IVF-style — deterministic coarse quantizer: C centroid rows sampled
+    by id hash, every corpus vector assigned to its nearest centroid
+    (broadcast centroids), queries probe the nprobe nearest centroid
+    cells only. The corpus is partitioned by cell — the 10^10-row path:
+    a query touches nprobe cells, not the whole table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from biothings_crawler_spark.operators.dedup import cosine_col
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, vec_id, cosine, rank<=k); exact. Deterministic
+    tie-break by vec_id."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cosine", cosine_col(F.col("qv"), F.col("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def pick_centroids(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int) -> DataFrame:
+    """Deterministic coarse quantizer: the n_centroids corpus rows with
+    smallest xxhash64(id) (a seeded uniform sample, reproducible at any
+    parallelism)."""
+    return (
+        corpus.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"))
+        .orderBy(F.xxhash64(F.col("centroid_id").cast("string")))
+        .limit(n_centroids)
+    )
+
+
+def assign_cells(
+    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Each vector -> nearest centroid cell (broadcast centroids +
+    window min; one shuffle on the corpus)."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    scored = c.join(F.broadcast(centroids)).withColumn(
+        "sim", cosine_col(F.col("v"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("centroid_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    cells: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k probing the nprobe nearest cells per query.
+
+    ``cells`` is the assign_cells output (ingest-time artifact at scale,
+    written bucketed by cell)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qc = q.join(F.broadcast(centroids)).withColumn(
+        "sim", cosine_col(F.col("qv"), F.col("cv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", F.col("centroid_id").alias("cell"))
+    )
+    scored = cells.join(F.broadcast(probes), "cell").withColumn(
+        "cosine", cosine_col(F.col("qv"), F.col("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -1,0 +1,88 @@
+"""Text-analysis operators for a training-data pipeline over the crawl
+output: language-ID, quality scoring, token counting, fingerprinting.
+
+All four are pure native-Spark column expressions (JVM, codegen) —
+deliberately SQL-expressible so the driver's DuckDB oracle can verify
+them 1:1 (each has a queries()/oracle_sql() pair in __spark_entry__).
+
+These extend the reference's capability set (its analysis layer stops
+at field coverage); they are what the same crawl corpus needs to feed
+an LLM-pretraining pipeline at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny marker-word lists; enough for a deterministic n-gram-free heuristic
+EN_MARKERS = ["the", "and", "of", "to", "a", "in", "is", "for", "with", "data"]
+DE_MARKERS = ["der", "die", "und", "das", "mit", "von", "für", "ist", "ein", "daten"]
+ES_MARKERS = ["el", "la", "de", "los", "con", "por", "una", "es", "para", "datos"]
+
+PUNCT_RE = r"[^\w\s]"
+# whitespace + BPE-ish boundaries: letter/digit runs and single punctuation
+TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def words_col(text: Column) -> Column:
+    """Lowercased whitespace words, empties removed."""
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda w: F.length(w) > 0
+    )
+
+
+def _marker_hits(words: Column, markers: list[str]) -> Column:
+    return F.size(
+        F.array_intersect(F.array_distinct(words), F.array(*[F.lit(m) for m in markers]))
+    )
+
+
+def lang_id_col(text: Column) -> Column:
+    """Marker-word language heuristic over {en,de,es}, 'und' when no
+    markers hit. Deterministic ties: en > de > es (>= comparisons)."""
+    w = words_col(text)
+    en, de, es = (_marker_hits(w, m) for m in (EN_MARKERS, DE_MARKERS, ES_MARKERS))
+    return (
+        F.when((en >= de) & (en >= es) & (en > 0), F.lit("en"))
+        .when((de >= es) & (de > 0), F.lit("de"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def token_count_col(text: Column) -> Column:
+    """BPE-ish token count: letter runs + digit runs + punctuation marks."""
+    return F.size(
+        F.filter(F.regexp_extract_all(text, F.lit(f"({TOKEN_RE})"), 1),
+                 lambda t: F.length(t) > 0)
+    )
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite [0,1] quality proxy: length band + punctuation ratio +
+    stopword presence + mean word length band (the classic pretraining
+    heuristics, each a native expression)."""
+    n_chars = F.length(text)
+    w = words_col(text)
+    n_words = F.size(w)
+    mean_wlen = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
+    n_punct = F.size(
+        F.filter(F.regexp_extract_all(text, F.lit(f"({PUNCT_RE})"), 1),
+                 lambda t: F.length(t) > 0)
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(1.0))
+    stop_ratio = F.when(
+        n_words > 0, _marker_hits(w, EN_MARKERS) / F.lit(float(len(EN_MARKERS)))
+    ).otherwise(F.lit(0.0))
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
+    wlen_ok = F.when((mean_wlen >= 3.0) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + wlen_ok + punct_ok + stop_ratio) / F.lit(4.0)
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text — the exact-dedup identity (md5 exists in both Spark and
+    DuckDB, keeping the oracle pair byte-comparable)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))

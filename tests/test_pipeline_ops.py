@@ -1,0 +1,225 @@
+"""Training-data pipeline operators: dedup family, similarity search,
+text analysis, multimodal plumbing, analysis queries."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from biothings_crawler_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_col,
+    simhash_pairs,
+)
+from biothings_crawler_spark.operators.multimodal import (
+    extract_media_features,
+    gen_media_fixture,
+    sample_video_frames,
+)
+from biothings_crawler_spark.operators.similarity import (
+    assign_cells,
+    brute_force_topk,
+    ivf_topk,
+    pick_centroids,
+)
+from biothings_crawler_spark.operators.text import (
+    fingerprint_col,
+    lang_id_col,
+    quality_score_col,
+    token_count_col,
+)
+from biothings_crawler_spark.plans.analysis import (
+    coverage_pivot,
+    field_coverage,
+    funder_counts,
+    funder_doc_ids,
+    irregular_funders,
+    search_view,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+def _texts(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog with data"),
+        (1, "the quick brown fox jumps over the lazy dog with data"),  # exact dup
+        (2, "The  Quick Brown  fox jumps over the lazy dog with data"),  # ws/case dup
+        (3, "the quick brown fox leaps over the lazy dog with data"),   # near dup
+        (4, "completely different content about spark query engines"),
+        (5, "der schnelle braune fuchs springt über den faulen hund und daten"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_texts(spark), "id", "text").collect()
+    groups = {r["id"]: r["n_dups"] for r in out}
+    assert groups[0] == 3  # ids 0,1,2 collapse; min id wins
+    assert 1 not in groups and 2 not in groups
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    # 16 bands x 1 row: any matching signature position collides (recall-max;
+    # the exact-jaccard verify restores precision)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(_texts(spark), "id", "text",
+                                        bands=16, verify_threshold=0.4).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and 0.4 <= pairs[(0, 3)] < 1.0
+    assert not any({a, b} == {0, 4} for a, b in pairs)
+
+
+def test_lsh_recall_vs_brute_force(spark, documents):
+    """LSH candidates must contain every true pair >= 0.7 jaccard."""
+    docs = documents.limit(120)
+    truth = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.7).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in minhash_lsh_pairs(docs, "doc_id", "text",
+                                      verify_threshold=0.7).collect()}
+    assert lsh <= {(a, b) for a, b in truth} | truth
+    missed = truth - lsh
+    assert len(missed) <= max(1, len(truth) // 10), (len(truth), len(missed))
+
+
+def test_simhash(spark):
+    df = _texts(spark)
+    sigs = {r["id"]: r["s"] for r in df.select("id", simhash_col(F.col("text")).alias("s")).collect()}
+    assert sigs[0] == sigs[1]  # identical text -> identical signature
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(df, "id", "text", max_hamming=12).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+    assert (0, 3) in pairs  # one word changed -> small hamming
+
+
+def test_embedding_near_dup_and_topk(spark, embeddings):
+    emb = embeddings.limit(200)
+    # plant a near-exact duplicate of vec 0
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias("embedding"),
+        "label",
+    )
+    planted = emb.unionByName(dup)
+    pairs = embedding_near_dup_pairs(planted, "vec_id", "embedding", dim=64,
+                                     threshold=0.999).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 10_000 for r in pairs)
+
+    q = emb.filter(F.col("vec_id") < 3)
+    topk = brute_force_topk(emb, q, k=5)
+    rows = topk.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        best = min(rs, key=lambda r: r["rank"])
+        assert best["vec_id"] == qid and best["cosine"] > 0.999999
+
+
+def test_ivf_recall(spark, embeddings):
+    cents = pick_centroids(embeddings, "vec_id", "embedding", 16)
+    cells = assign_cells(embeddings, cents, "vec_id", "embedding")
+    assert cells.count() == embeddings.count()
+    q = embeddings.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(embeddings, q, k=5)
+    approx = ivf_topk(cells, cents, q, k=5, nprobe=6)
+    et = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    at = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(et & at) / len(et)
+    assert recall >= 0.6, recall
+
+
+def test_text_analysis_cols(spark):
+    df = _texts(spark).select(
+        "id",
+        lang_id_col(F.col("text")).alias("lang"),
+        token_count_col(F.col("text")).alias("tokens"),
+        quality_score_col(F.col("text")).alias("q"),
+        fingerprint_col(F.col("text")).alias("fp"),
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[0]["lang"] == "en"
+    assert rows[5]["lang"] == "de"
+    assert rows[0]["tokens"] == 11
+    assert rows[0]["fp"] == rows[2]["fp"] != rows[3]["fp"]
+    assert 0.0 <= rows[0]["q"] <= 1.0
+    assert rows[0]["q"] > rows[5]["q"] - 1e-9  # en stopwords boost
+
+
+def test_multimodal_plumbing(spark):
+    media = gen_media_fixture(spark, 30)
+    feats = extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["feature"])
+    # determinism
+    again = extract_media_features(media).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+    frames = sample_video_frames(media, every_s=1.0)
+    fr = frames.collect()
+    vids = media.filter("kind = 'video'").select("media_id", "duration_s").collect()
+    expected = sum(max(1, int(v["duration_s"])) for v in vids)
+    assert len(fr) == expected
+    with pytest.raises(Exception):  # stub boundary is explicit
+        extract_media_features(media, decode_stub="error").collect()
+
+
+def _typed_docs(spark):
+    rows = [
+        ("s1", "a", json.dumps({"name": "n1", "funder": [
+            {"@type": "Organization", "name": "NIH"}]})),
+        ("s1", "b", json.dumps({"name": "n2", "keywords": ["x"],
+                                "custom_field": 1})),
+        ("s2", "c", json.dumps({"funder": [
+            {"@type": "Organization", "name": "NIH"},
+            {"@type": "Organization", "name": "NSF", "url": "u"},  # len 3 -> irregular
+            {"@type": "Person", "name": "NIH"}]})),          # wrong type -> irregular
+    ]
+    return spark.createDataFrame(rows, "source string, _id string, doc_json string")
+
+
+def test_field_coverage_and_pivot(spark):
+    cov = field_coverage(_typed_docs(spark))
+    got = {(r["source"], r["field"], r["valtype"]): (r["n"], r["ratio"])
+           for r in cov.collect()}
+    assert got[("s1", "name", "str")][0] == 2
+    assert got[("s1", "name", "str")][1] == 1.0
+    assert got[("s1", "__EE__", "int")][0] == 1  # custom_field binned
+    assert got[("s2", "funder", "list")] == (1, 1.0)
+    piv = coverage_pivot(cov, ["s1", "s2"]).collect()
+    by_field = {r["field"]: r for r in piv}
+    assert by_field["name"]["s1"] == 1.0 and by_field["name"]["s2"] is None
+
+
+def test_funder_queries(spark):
+    docs = _typed_docs(spark)
+    top = funder_counts(docs, 10).collect()
+    # name counting ignores @type (funder.py:131-137): NIH appears 3x
+    assert top[0]["name"] == "NIH" and top[0]["n"] == 3
+    irr = irregular_funders(docs).collect()
+    assert sum(r["n"] for r in irr) == 2
+    ids = [r["_id"] for r in funder_doc_ids(docs, "NIH").collect()]
+    assert ids == ["a", "c"]
+
+
+def test_search_view(spark):
+    docs = _typed_docs(spark)
+    hits = search_view(docs, "n1").collect()
+    assert hits and hits[0]["_id"] == "a" and hits[0]["_score"] == 7.0
