@@ -1,0 +1,171 @@
+"""Headline benchmark: crawl-scheduling + extraction throughput plus the
+representative operator suite, at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "urls_per_sec": ...,
+   "cores": ...}
+
+The two crawl-native jobs are the BASELINE.json metric surface:
+
+  * crawl_sched — 600k URLs synthesized from lineitem columns pushed
+    through the full scheduling plane: canonicalize → xxhash64 →
+    frontier dedup (deterministic winner window) → seen anti-join
+    (half the URL space pre-seen) → two-phase salted politeness window.
+  * extract_jsonld — the vectorized JSON-LD extraction UDF over HTML
+    synthesized by wrapping document text in ld+json script tags
+    (documents × 16 replicas).
+
+urls_per_sec = (scheduled + extracted rows) / (t_sched + t_extract).
+
+Scaling-efficiency evidence (north_rule N vs 4N): run
+scripts/scaling_bench.py, which executes this benchmark's crawl jobs at
+SPARK_GRAFT_CPUS=8 and =32 in fresh processes and writes BENCH_SCALING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from biothings_crawler_spark.operators.extract import extract_items_udf  # noqa: E402
+from biothings_crawler_spark.operators.frontier import (  # noqa: E402
+    dedup_frontier,
+    frontier_from_seeds,
+)
+from biothings_crawler_spark.operators.politeness import select_politely  # noqa: E402
+from biothings_crawler_spark.plans import driver_queries as dq  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+EXTRACT_REPLICAS = int(os.environ.get("SPARK_GRAFT_EXTRACT_REPLICAS", "16"))
+
+# operator-suite queries worth timing at sf0.1 (brute-force pair ops
+# excluded: they are oracle-scale verifiers, not the 10^10 path)
+SUITE = [
+    "q_pricing_summary",
+    "q_top_revenue_orders",
+    "q_region_revenue",
+    "q_politeness_quota",
+    "q_seen_antijoin",
+    "q_frontier_dedup",
+    "q_field_coverage",
+    "q_funder_top",
+    "q_exact_dedup",
+    "q_minhash_lsh",
+    "q_simhash_pairs",
+    "q_ann_ivf_topk",
+    "q_lang_id",
+    "q_token_stats",
+    "q_quality_stats",
+    "q_event_windows",
+]
+
+
+def crawl_sched_job(spark: SparkSession, sf_dir: str) -> int:
+    """Full scheduling plane over URLs synthesized from lineitem."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_parts = spark.sparkContext.defaultParallelism
+    seeds = li.repartition(n_parts).select(
+        F.concat(
+            F.lit("https://h"), (F.col("l_partkey") % 997).cast("string"),
+            F.lit(".example.org/p/"), F.col("l_orderkey").cast("string"),
+            F.lit("/"), F.col("l_linenumber").cast("string"),
+            F.lit("?b="), (F.col("l_suppkey") % 13).cast("string"),
+            F.lit("&a=1"),
+        ).alias("url"),
+        (F.col("l_suppkey") % 5).cast("int").alias("priority"),
+        F.lpad(F.col("l_orderkey").cast("string"), 12, "0").alias("seed_id"),
+        F.lit("bench").alias("source"),
+        F.lit("jsonld").alias("parser"),
+    )
+    frontier = dedup_frontier(frontier_from_seeds(seeds))
+    # half the URL space is already seen: exact anti-join on url_hash
+    seen = frontier.filter(F.col("url_hash") % 2 == 0).select("url_hash", "url_canon")
+    unseen = frontier.join(seen, ["url_hash", "url_canon"], "left_anti")
+    budgets = spark.createDataFrame([], "host string, budget int")
+    sched = select_politely(unseen, budgets, default_budget=400)
+    return sched.count()
+
+
+def extract_job(spark: SparkSession, sf_dir: str) -> int:
+    """Vectorized JSON-LD extraction over synthesized ld+json pages."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_parts = spark.sparkContext.defaultParallelism
+    pages = (
+        docs.crossJoin(spark.range(EXTRACT_REPLICAS).select(F.col("id").alias("rep")))
+        .repartition(n_parts)
+        .select(
+            F.concat(F.lit("https://docs.example.org/d/"),
+                     F.col("doc_id").cast("string"), F.lit("/"),
+                     F.col("rep").cast("string")).alias("url"),
+            F.encode(
+                F.concat(
+                    F.lit('<html><head><script type="application/ld+json">'
+                          '{"@type": "Dataset", "name": "doc'),
+                    F.col("doc_id").cast("string"),
+                    F.lit('", "description": "'), F.col("text"),
+                    F.lit('"}</script></head><body></body></html>'),
+                ), "utf-8").alias("html"),
+            F.lit("jsonld").alias("parser"),
+        )
+    )
+    extracted = pages.withColumn(
+        "items", extract_items_udf(F.col("html"), F.col("url"), F.col("parser"))
+    ).select(F.explode("items").alias("doc_json"))
+    return extracted.count()
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+    from biothings_crawler_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    # warm the JVM/Arrow paths so per-query numbers measure the plan
+    spark.range(1000).select(F.xxhash64("id")).count()
+
+    t0 = time.time()
+    counts["crawl_sched"] = crawl_sched_job(spark, SF_DIR)
+    timings["crawl_sched"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    counts["extract_jsonld"] = extract_job(spark, SF_DIR)
+    timings["extract_jsonld"] = round(time.time() - t0, 3)
+
+    for name in SUITE:
+        t0 = time.time()
+        # count() not collect(): measures the full plan without driver
+        # materialization skew
+        counts[name] = dq.QUERIES[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    crawl_secs = timings["crawl_sched"] + timings["extract_jsonld"]
+    urls = counts["crawl_sched"] + counts["extract_jsonld"]
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "crawl_sched_extract_plus_operator_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cores": int(cpus),
+        "urls_per_sec": round(urls / crawl_secs, 1) if crawl_secs else None,
+        "rows": counts,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

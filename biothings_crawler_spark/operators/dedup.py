@@ -146,10 +146,20 @@ def ngram_jaccard_pairs(
 SIMHASH_BITS = 60  # 4 bands x 15 bits; stays clear of long-overflow (ANSI mode)
 
 
-def simhash_col(text: Column) -> Column:
+def word_hash60_col(w: Column, hash_family: str = "xxhash64") -> Column:
+    """60-bit word hash. 'xxhash64' is the scale path (cheapest, JVM);
+    'md5' takes the top 15 hex chars of md5 — byte-identical in DuckDB
+    (``('0x' || substr(md5(w), 1, 15))::BIGINT``), enabling an exact SQL
+    oracle pair for every signature built on top."""
+    if hash_family == "md5":
+        return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    return F.xxhash64(w)
+
+
+def simhash_col(text: Column, hash_family: str = "xxhash64") -> Column:
     """60-bit SimHash over distinct whitespace words (weight 1 each).
 
-    bit i set iff sum over words of sign(bit i of xxhash64(word)) > 0.
+    bit i set iff sum over words of sign(bit i of hash60(word)) > 0.
     Built with two nested folds: the per-bit ±1 array is unrolled in
     Python (shiftright needs a literal count), and the final signature
     accumulates acc*2+bit over the reversed count array — equivalent to
@@ -159,7 +169,7 @@ def simhash_col(text: Column) -> Column:
     ))
 
     def _bits_pm1(w: Column) -> Column:
-        h = F.xxhash64(w)
+        h = word_hash60_col(w, hash_family)
         return F.array(*[
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
             .otherwise(F.lit(-1))
@@ -181,11 +191,13 @@ def simhash_col(text: Column) -> Column:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding (4×15-bit keys — two signatures
     within hamming<=3 collide on >=1 band) + bit_count verify."""
-    sig = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sig"))
+    sig = df.select(F.col(id_col).alias("id"),
+                    simhash_col(F.col(text_col), hash_family).alias("sig"))
     banded = sig.select(
         "id", "sig",
         F.explode(F.array(*[
@@ -222,16 +234,22 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
-def hyperplane_sig_col(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
+def hyperplane_sig_col(
+    vec: Column, dim: int, n_planes: int = 16, seed: int = 42,
+    hash_family: str = "xxhash64",
+) -> Column:
     """Random-hyperplane sign signature. Plane p component i =
-    xxhash64(seed:p:i) mapped to ±1 — deterministic, no stored planes."""
+    hash(seed:p:i) mapped to ±1 — deterministic, no stored planes.
+    'md5' family: +1 iff first hex digit of md5 < '8' (same in DuckDB)."""
+    def _sign(key: Column) -> Column:
+        if hash_family == "md5":
+            return F.when(F.substring(F.md5(key), 1, 1) < "8", F.lit(1.0)).otherwise(F.lit(-1.0))
+        return F.when(F.xxhash64(key) > 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
     def plane_dot(p: int) -> Column:
         signs = F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.when(
-                F.xxhash64(F.concat_ws(":", F.lit(seed), F.lit(p), i.cast("string"))) > 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
+            lambda i: _sign(F.concat_ws(":", F.lit(seed), F.lit(p), i.cast("string"))),
         )
         return F.aggregate(F.zip_with(vec, signs, lambda x, s: x * s),
                            F.lit(0.0), lambda acc, x: acc + x)
@@ -251,12 +269,13 @@ def embedding_near_dup_pairs(
     dim: int,
     threshold: float = 0.95,
     n_planes: int = 16,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate vectors: same hyperplane bucket -> cosine verify."""
     sig = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        hyperplane_sig_col(F.col(vec_col), dim, n_planes).alias("bucket"),
+        hyperplane_sig_col(F.col(vec_col), dim, n_planes, hash_family=hash_family).alias("bucket"),
     )
     a = sig.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
     b = sig.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")

@@ -43,13 +43,18 @@ def brute_force_topk(
     )
 
 
-def pick_centroids(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int) -> DataFrame:
+def pick_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
     """Deterministic coarse quantizer: the n_centroids corpus rows with
-    smallest xxhash64(id) (a seeded uniform sample, reproducible at any
-    parallelism)."""
+    smallest hash(id) (a seeded uniform sample, reproducible at any
+    parallelism; 'md5' family matches DuckDB byte-for-byte)."""
+    key = F.col("centroid_id").cast("string")
+    h = F.md5(key) if hash_family == "md5" else F.xxhash64(key)
     return (
         corpus.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"))
-        .orderBy(F.xxhash64(F.col("centroid_id").cast("string")))
+        .orderBy(h, "centroid_id")
         .limit(n_centroids)
     )
 

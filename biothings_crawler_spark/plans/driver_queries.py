@@ -1,0 +1,912 @@
+"""Driver-contract query registry: one (Spark query, DuckDB oracle SQL)
+pair per operator family from SURVEY.md §2, all over the driver's
+testdata tables (region nation customer supplier part orders lineitem
+events documents embeddings).
+
+Design rules that make the value-hash comparison deterministic:
+
+  * **Money/measure aggregation goes through DECIMAL.** Double sums are
+    partial-aggregation-order dependent; summing CAST(x AS DECIMAL(18,6))
+    is exact in both engines, then one CAST to DOUBLE at the end is the
+    same nearest-double on both sides.
+  * **Averages are computed as exact_sum_double / count**, never the
+    engines' avg() (whose internal accumulation order differs).
+  * **Hash-bearing operators use the md5 family** (`hash_family='md5'`
+    variants of SimHash / hyperplane-LSH / centroid picking):
+    Spark's md5() and DuckDB's md5() agree byte-for-byte, so even the
+    LSH banding internals get a CONFIRMED oracle. xxhash64 remains the
+    production scale path.
+  * **Float vector math is written as an identical left fold** on both
+    sides (Spark `aggregate`/`zip_with`; DuckDB `list_reduce` over
+    per-element FLOAT products cast to DOUBLE) — bit-identical cosines.
+  * **Integer-valued outputs are cast to BIGINT on both sides**
+    (row_number ranks, counts, bit counts) so pandas dtypes align.
+  * Timestamps are emitted as formatted strings.
+
+Scale notes live with each operator's implementation module; these
+wrappers only choose literals small enough for the sf0.01 oracle run
+while exercising the exact production code path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biothings_crawler_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from biothings_crawler_spark.operators.frontier import dedup_frontier, frontier_from_seeds
+from biothings_crawler_spark.operators.multimodal import extract_media_features
+from biothings_crawler_spark.operators.politeness import select_politely
+from biothings_crawler_spark.operators.similarity import (
+    assign_cells,
+    brute_force_topk,
+    ivf_topk,
+    pick_centroids,
+)
+from biothings_crawler_spark.operators.text import (
+    lang_id_col,
+    quality_score_col,
+    token_count_col,
+)
+from biothings_crawler_spark.plans.analysis import (
+    coverage_pivot,
+    field_coverage,
+    funder_counts,
+    search_view,
+)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+SOURCES = [f"src{i}" for i in range(20)]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c) -> F.Column:
+    return F.col(c).cast("decimal(18,6)")
+
+
+def _one() -> F.Column:
+    return F.lit(1).cast("decimal(18,6)")
+
+# SQL fragment: exact-fold cosine between two FLOAT[] columns (DuckDB).
+# Mirrors operators/dedup.cosine_col: FLOAT multiply, DOUBLE left-fold.
+
+
+def _sql_dot(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_reduce(list_transform(range({dim}), "
+        f"i -> CAST({a}[i+1] * {b}[i+1] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _sql_cosine(a: str, b: str, dim: int = 64) -> str:
+    na = (f"sqrt(list_reduce(list_transform(range({dim}), "
+          f"i -> CAST({a}[i+1] * {a}[i+1] AS DOUBLE)), (x, y) -> x + y))")
+    nb = (f"sqrt(list_reduce(list_transform(range({dim}), "
+          f"i -> CAST({b}[i+1] * {b}[i+1] AS DOUBLE)), (x, y) -> x + y))")
+    return f"({_sql_dot(a, b, dim)} / ({na} * {nb}))"
+
+
+# DuckDB shingle pipeline (mirrors operators/dedup.shingles_col, k=3)
+_SQL_SHINGLES = """
+    w AS (
+      SELECT doc_id,
+             list_filter(
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+               x -> len(x) > 0) AS words
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 3
+               THEN [array_to_string(words[j:j+2], ' ') for j in range(1, len(words) - 1)]
+               ELSE [array_to_string(words, ' ')] END) AS sh
+      FROM w)
+"""
+
+# ---------------------------------------------------------------------------
+# relational core (reference analysis/join/agg shapes over TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + filter + hash agg (partial/final), exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (_one() - _dec("l_discount"))
+    charge = disc_price * (_one() + _dec("l_tax"))
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("_sq"),
+            F.sum(_dec("l_extendedprice")).alias("_sbp"),
+            F.sum(disc_price).alias("_sdp"),
+            F.sum(charge).alias("_sc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.round(F.col("_sq").cast("double"), 4).alias("sum_qty"),
+        F.round(F.col("_sbp").cast("double"), 4).alias("sum_base_price"),
+        F.round(F.col("_sdp").cast("double"), 4).alias("sum_disc_price"),
+        F.round(F.col("_sc").cast("double"), 4).alias("sum_charge"),
+        F.round(F.col("_sq").cast("double") / F.col("count_order"), 4).alias("avg_qty"),
+        F.round(F.col("_sbp").cast("double") / F.col("count_order"), 4).alias("avg_price"),
+        "count_order",
+    )
+
+
+SQL_PRICING_SUMMARY = """
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS _sq,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS _sbp,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS _sdp,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
+             * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS _sc,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus,
+       round(CAST(_sq AS DOUBLE), 4) AS sum_qty,
+       round(CAST(_sbp AS DOUBLE), 4) AS sum_base_price,
+       round(CAST(_sdp AS DOUBLE), 4) AS sum_disc_price,
+       round(CAST(_sc AS DOUBLE), 4) AS sum_charge,
+       round(CAST(_sq AS DOUBLE) / count_order, 4) AS avg_qty,
+       round(CAST(_sbp AS DOUBLE) / count_order, 4) AS avg_price,
+       count_order
+FROM a
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-k (TakeOrderedAndProject)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(revenue).cast("double"), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = """
+SELECT o_orderkey, o_orderpriority,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1, 2
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through region→nation→customer→orders→lineitem; small
+    dims broadcast (no shuffle of the fact side until the agg)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(revenue).cast("double"), 4).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name, n_name,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl-engine shapes (politeness window, seen anti-join, frontier dedup)
+# ---------------------------------------------------------------------------
+
+POLITENESS_BUDGET = 5
+
+
+def q_politeness_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real two-phase salted per-host budget selection
+    (operators/politeness.select_politely) — users stand in for hosts,
+    event ids for url hashes. The oracle is the naive global window the
+    salted plan must equal exactly."""
+    ev = _t(spark, sf_dir, "events")
+    cand = ev.select(
+        F.col("user_id").cast("string").alias("host"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("url_canon"),
+        F.col("event_id").alias("url_hash"),
+        F.lit(0).alias("priority"),
+        F.col("user_id"),
+        F.col("event_id"),
+    )
+    budgets = spark.createDataFrame([], "host string, budget int")
+    sel = select_politely(cand, budgets, POLITENESS_BUDGET, salt_target=2000)
+    return sel.select(
+        "user_id", "event_id", F.col("sched_rank").cast("long").alias("sched_rank")
+    )
+
+
+SQL_POLITENESS_QUOTA = f"""
+SELECT user_id, event_id, CAST(rn AS BIGINT) AS sched_rank
+FROM (SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events)
+WHERE rn <= {POLITENESS_BUDGET}
+"""
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-seen anti-join shape (SURVEY.md §2.4 row 1) as left_anti."""
+    orders = _t(spark, sf_dir, "orders")
+    seen = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        orders.join(F.broadcast(seen), orders.o_custkey == seen.c_custkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_unseen"))
+    )
+
+
+SQL_SEEN_ANTIJOIN = """
+SELECT o_orderpriority, COUNT(*) AS n_unseen
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM customer
+                  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+GROUP BY 1
+"""
+
+
+def q_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real frontier construction + deterministic-winner dedup
+    (operators/frontier) over URLs synthesized from orders columns."""
+    orders = _t(spark, sf_dir, "orders")
+    seeds = orders.select(
+        F.concat(
+            F.lit("https://h"), (F.col("o_custkey") % 7).cast("string"),
+            F.lit(".example.org/o/"), (F.col("o_orderkey") % 500).cast("string"),
+        ).alias("url"),
+        (F.col("o_orderkey") % 3).cast("int").alias("priority"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("seed_id"),
+        F.lit("synthetic").alias("source"),
+        F.lit("jsonld").alias("parser"),
+    )
+    fr = dedup_frontier(frontier_from_seeds(seeds))
+    return fr.select("url", "host", F.col("priority").cast("long").alias("priority"),
+                     "seed_id")
+
+
+SQL_FRONTIER_DEDUP = """
+WITH f AS (
+  SELECT 'https://h' || CAST(o_custkey % 7 AS VARCHAR) || '.example.org/o/'
+           || CAST(o_orderkey % 500 AS VARCHAR) AS url,
+         'h' || CAST(o_custkey % 7 AS VARCHAR) || '.example.org' AS host,
+         CAST(o_orderkey % 3 AS BIGINT) AS priority,
+         lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS seed_id
+  FROM orders)
+SELECT url, host, priority, seed_id
+FROM (SELECT *, row_number() OVER (PARTITION BY url ORDER BY priority, seed_id) AS rn
+      FROM f)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# reference analysis layer (field coverage, pivot, funder top-k, search)
+# ---------------------------------------------------------------------------
+
+
+def _docs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → schema-free doc_json rows exactly like the crawl
+    output (SURVEY.md §1.4: dynamic schema = JSON payload column).
+    Field presence varies per row so coverage is non-trivial."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "source",
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("_id"),
+        F.to_json(F.struct(
+            F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("_id"),
+            F.col("text").alias("description"),
+            F.col("lang").alias("inLanguage"),
+            F.when(F.col("n_chars") % 2 == 0, F.split(F.col("text"), " ")).alias("keywords"),
+            F.when(
+                F.col("lang") == "en",
+                F.struct(F.lit("Organization").alias("@type"),
+                         F.concat(F.lit("Fund-"), (F.col("doc_id") % 7).cast("string")).alias("name")),
+            ).alias("curatedBy"),
+            F.col("n_chars").alias("payload_chars"),
+        )).alias("doc_json"),
+    )
+
+
+def q_field_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read field/type coverage (field_aggs.py:37-58) via the
+    vectorized melt UDF over the JSON payload column."""
+    cov = field_coverage(_docs_frame(spark, sf_dir))
+    return cov.select("source", "field", "valtype", "n", "ratio")
+
+
+SQL_FIELD_COVERAGE = """
+WITH t AS (SELECT source, COUNT(*) AS total FROM documents GROUP BY source),
+m AS (
+  SELECT source, '_id' AS field, 'str' AS valtype FROM documents
+  UNION ALL SELECT source, 'description', 'str' FROM documents
+  UNION ALL SELECT source, '__EE__', 'str' FROM documents
+  UNION ALL SELECT source, 'keywords', 'list' FROM documents WHERE n_chars % 2 = 0
+  UNION ALL SELECT source, 'curatedBy', 'dict' FROM documents WHERE lang = 'en'
+  UNION ALL SELECT source, '__EE__', 'int' FROM documents),
+c AS (SELECT source, field, valtype, COUNT(*) AS n FROM m GROUP BY 1, 2, 3),
+pf AS (SELECT source, field, SUM(n) AS n_field FROM c GROUP BY 1, 2)
+SELECT c.source, c.field, c.valtype, c.n,
+       CAST(pf.n_field AS DOUBLE) / t.total AS ratio
+FROM c JOIN pf USING (source, field) JOIN t USING (source)
+"""
+
+
+def q_coverage_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fields × sources ratio matrix (field_aggs.py:75-83)."""
+    cov = field_coverage(_docs_frame(spark, sf_dir))
+    return coverage_pivot(cov, SOURCES)
+
+
+SQL_COVERAGE_PIVOT = """
+WITH t AS (SELECT source, COUNT(*) AS total FROM documents GROUP BY source),
+m AS (
+  SELECT source, '_id' AS field FROM documents
+  UNION ALL SELECT source, 'description' FROM documents
+  UNION ALL SELECT source, '__EE__' FROM documents
+  UNION ALL SELECT source, 'keywords' FROM documents WHERE n_chars % 2 = 0
+  UNION ALL SELECT source, 'curatedBy' FROM documents WHERE lang = 'en'
+  UNION ALL SELECT source, '__EE__' FROM documents),
+pf AS (SELECT source, field, COUNT(*) AS n_field FROM m GROUP BY 1, 2),
+r AS (SELECT pf.source, pf.field, CAST(pf.n_field AS DOUBLE) / t.total AS ratio
+      FROM pf JOIN t USING (source))
+SELECT field, {cols}
+FROM r GROUP BY field ORDER BY field
+""".format(cols=", ".join(
+    f"max(CASE WHEN source = '{s}' THEN ratio END) AS {s}" for s in SOURCES
+))
+
+
+def q_funder_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode-funder top-k (funder.py:34-49) over constructed docs with
+    1–2 funders each."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "source",
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("_id"),
+        F.to_json(F.struct(F.when(
+            F.col("doc_id") % 3 == 0,
+            F.array(
+                F.struct(F.lit("Organization").alias("@type"),
+                         F.concat(F.lit("Fund-"), (F.col("doc_id") % 7).cast("string")).alias("name")),
+                F.struct(F.lit("Organization").alias("@type"),
+                         F.concat(F.lit("FundB-"), (F.col("doc_id") % 4).cast("string")).alias("name")),
+            ),
+        ).otherwise(F.array(
+            F.struct(F.lit("Organization").alias("@type"),
+                     F.concat(F.lit("Fund-"), (F.col("doc_id") % 7).cast("string")).alias("name")),
+        )).alias("funder"))).alias("doc_json"),
+    )
+    return funder_counts(docs, top_k=50)
+
+
+SQL_FUNDER_TOP = """
+WITH f AS (
+  SELECT 'Fund-' || CAST(doc_id % 7 AS VARCHAR) AS name FROM documents
+  UNION ALL
+  SELECT 'FundB-' || CAST(doc_id % 4 AS VARCHAR) FROM documents WHERE doc_id % 3 = 0)
+SELECT name, COUNT(*) AS n FROM f GROUP BY 1 ORDER BY n DESC, name LIMIT 50
+"""
+
+
+SEARCH_TERM = "spark"
+
+
+def q_search_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dis_max relevance proxy (web/pipeline.py:12-30): name^6,
+    description^3, any-field^1."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "source",
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("_id"),
+        F.to_json(F.struct(
+            F.substring(F.col("text"), 1, 40).alias("name"),
+            F.col("text").alias("description"),
+        )).alias("doc_json"),
+    )
+    return search_view(docs, SEARCH_TERM).select("source", "_id", "_score")
+
+
+SQL_SEARCH_VIEW = f"""
+SELECT source, _id, _score FROM (
+  SELECT source, 'doc' || CAST(doc_id AS VARCHAR) AS _id,
+         (CASE WHEN contains(lower(substr(text, 1, 40)), '{SEARCH_TERM}') THEN 6.0 ELSE 0.0 END
+          + CASE WHEN contains(lower(text), '{SEARCH_TERM}') THEN 3.0 ELSE 0.0 END
+          + CASE WHEN contains(lower(text), '{SEARCH_TERM}')
+                   OR contains(lower(substr(text, 1, 40)), '{SEARCH_TERM}') THEN 1.0 ELSE 0.0 END
+         ) AS _score
+  FROM documents)
+WHERE _score > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "doc_id", "text")
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", k=3, n_perm=16, bands=4,
+                             verify_threshold=0.5)
+
+
+SQL_MINHASH_LSH = f"""
+WITH {_SQL_SHINGLES},
+sig AS (
+  SELECT doc_id, sh,
+         [list_min(list_transform(sh, x -> md5(CAST(j AS VARCHAR) || ':' || x)))
+          for j in range(16)] AS sig
+  FROM s),
+banded AS (
+  SELECT doc_id, b AS band_id,
+         array_to_string(sig[b*4+1:b*4+4], '|') AS band_key
+  FROM sig, unnest(range(4)) AS u(b)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band_id, band_key)
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT p.id_a, p.id_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+  FROM pairs p
+  JOIN s sa ON sa.doc_id = p.id_a
+  JOIN s sb ON sb.doc_id = p.id_b)
+WHERE jaccard >= 0.5
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force all-pairs Jaccard — the LSH recall oracle (only run
+    at oracle scale; the LSH path is the 10^10 plan)."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES}
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+  FROM s a, s b WHERE a.doc_id < b.doc_id)
+WHERE jaccard >= 0.5
+"""
+
+_SQL_HASH60 = "CAST(('0x' || substr(md5({w}), 1, 15)) AS BIGINT)"
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    p = simhash_pairs(d, "doc_id", "text", max_hamming=8, hash_family="md5")
+    return p.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH words AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> len(x) > 0)) AS ws
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(60), i ->
+           CASE WHEN list_sum(list_transform(ws, w ->
+                  CASE WHEN ({_SQL_HASH60.format(w='w')} >> i) & 1 = 1
+                       THEN 1 ELSE -1 END)) > 0
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))::BIGINT AS sig
+  FROM words),
+banded AS (
+  SELECT doc_id, sig, b AS band_id, (sig >> (b * 15)) & 32767 AS band_key
+  FROM sig, unnest(range(4)) AS u(b)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b USING (band_id, band_key)
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM pairs
+WHERE bit_count(xor(sig_a, sig_b)) <= 8
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        e, "vec_id", "embedding", dim=64, threshold=0.25, n_planes=8,
+        hash_family="md5",
+    )
+
+
+def _sql_plane_sig(vec: str, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    terms = []
+    for p in range(n_planes):
+        dot = (
+            f"list_reduce(list_transform(range({dim}), i -> "
+            f"CAST({vec}[i+1] AS DOUBLE) * (CASE WHEN substr(md5('{seed}:{p}:' || CAST(i AS VARCHAR)), 1, 1) < '8' "
+            f"THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y)"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END")
+    return "(" + " | ".join(terms) + ")"
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH sig AS (
+  SELECT vec_id AS id, embedding AS v,
+         {_sql_plane_sig('embedding')} AS bucket
+  FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.id AS id_a, b.id AS id_b, {_sql_cosine('a.v', 'b.v')} AS cosine
+  FROM sig a JOIN sig b USING (bucket)
+  WHERE a.id < b.id)
+WHERE cosine >= 0.25
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search (brute-force + IVF)
+# ---------------------------------------------------------------------------
+
+N_QUERY_VECS = 5
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = brute_force_topk(e, q, "vec_id", "embedding", k=10)
+    return out.select("query_id", "vec_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+SQL_ANN_BRUTE_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id, embedding AS v FROM embeddings),
+sc AS (SELECT query_id, vec_id, {_sql_cosine('qv', 'v')} AS cosine FROM c, q)
+SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rn FROM sc)
+WHERE rn <= 10
+"""
+
+IVF_CENTROIDS = 8
+IVF_NPROBE = 3
+IVF_K = 5
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    cents = pick_centroids(e, "vec_id", "embedding", IVF_CENTROIDS, hash_family="md5")
+    cells = assign_cells(e, cents, "vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = ivf_topk(cells, cents, q, "vec_id", "embedding", k=IVF_K, nprobe=IVF_NPROBE)
+    return out.select("query_id", "vec_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_CENTROIDS}),
+asg AS (
+  SELECT vec_id, v, centroid_id AS cell FROM (
+    SELECT e.vec_id, e.embedding AS v, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_cosine('e.embedding', 'cent.cv')} DESC,
+                                       cent.centroid_id) AS rn
+    FROM embeddings e, cent)
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, centroid_id AS cell FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_sql_cosine('q.embedding', 'cent.cv')} DESC,
+                                       cent.centroid_id) AS rn
+    FROM embeddings q, cent WHERE q.vec_id < {N_QUERY_VECS})
+  WHERE rn <= {IVF_NPROBE}),
+sc AS (
+  SELECT p.query_id, a.vec_id, {_sql_cosine('p.qv', 'a.v')} AS cosine
+  FROM asg a JOIN probes p USING (cell))
+SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rn FROM sc)
+WHERE rn <= {IVF_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_SQL_WORDS = ("list_filter(string_split_regex(lower(text), '\\s+'), "
+              "x -> len(x) > 0)")
+_SQL_EN = "['the','and','of','to','a','in','is','for','with','data']"
+_SQL_DE = "['der','die','und','das','mit','von','für','ist','ein','daten']"
+_SQL_ES = "['el','la','de','los','con','por','una','es','para','datos']"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", lang_id_col(F.col("text")).alias("lang_pred"))
+        .groupBy("source", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_LANG_ID = f"""
+WITH h AS (
+  SELECT source,
+         len(list_intersect(list_distinct({_SQL_WORDS}), {_SQL_EN})) AS en,
+         len(list_intersect(list_distinct({_SQL_WORDS}), {_SQL_DE})) AS de,
+         len(list_intersect(list_distinct({_SQL_WORDS}), {_SQL_ES})) AS es
+  FROM documents)
+SELECT source,
+       CASE WHEN en >= de AND en >= es AND en > 0 THEN 'en'
+            WHEN de >= es AND de > 0 THEN 'de'
+            WHEN es > 0 THEN 'es'
+            ELSE 'und' END AS lang_pred,
+       COUNT(*) AS n
+FROM h GROUP BY 1, 2
+"""
+
+_SQL_TOKENS = ("len(list_filter(regexp_extract_all(text, "
+               "'([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])', 1), x -> len(x) > 0))")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    per = d.select("source", token_count_col(F.col("text")).alias("tok"))
+    return (
+        per.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("tok").alias("sum_tokens"))
+        .select("source", "n_docs", "sum_tokens",
+                (F.col("sum_tokens").cast("double") / F.col("n_docs")).alias("avg_tokens"))
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM({_SQL_TOKENS}) AS BIGINT) AS sum_tokens,
+       CAST(SUM({_SQL_TOKENS}) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM documents GROUP BY 1
+"""
+
+
+def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scores integer-encoded (×40 is exact: three 0/1 bands ×10
+    + stopword hits) so the per-source aggregate is order-independent."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.select(
+        "source",
+        F.round(quality_score_col(F.col("text")) * 40).cast("long").alias("q40"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("q40").alias("sum_q40"))
+        .select("source", "n_docs", "sum_q40",
+                (F.col("sum_q40").cast("double") / (F.col("n_docs") * 40)).alias("avg_quality"))
+    )
+
+
+SQL_QUALITY_STATS = f"""
+WITH per AS (
+  SELECT source,
+         (CASE WHEN len(text) BETWEEN 50 AND 20000 THEN 10 ELSE 0 END
+          + CASE WHEN len({_SQL_WORDS}) > 0
+                  AND CAST(len(text) AS DOUBLE) / len({_SQL_WORDS}) >= 3.0
+                  AND CAST(len(text) AS DOUBLE) / len({_SQL_WORDS}) <= 12.0
+                 THEN 10 ELSE 0 END
+          + CASE WHEN len(text) > 0
+                  AND CAST(len(list_filter(regexp_extract_all(text, '([^\\w\\s])', 1),
+                                           x -> len(x) > 0)) AS DOUBLE) / len(text) <= 0.2
+                 THEN 10 ELSE 0 END
+          + len(list_intersect(list_distinct({_SQL_WORDS}), {_SQL_EN}))) AS q40
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(q40) AS BIGINT) AS sum_q40,
+       CAST(SUM(q40) AS DOUBLE) / (COUNT(*) * 40) AS avg_quality
+FROM per GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental cursor / windowed events / union view
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-cursor checkpoint values (figshare.py:88-110 analog):
+    per source the next cursor = max(ts), plus the backlog count."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("cursor"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_INCREMENTAL_CURSOR = """
+SELECT event_type, strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS cursor,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (Structured Streaming shape run as a
+    batch plan — identical expression under readStream)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type", "n", "sum_value")
+    )
+
+
+SQL_EVENT_WINDOWS = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns) multi-source view (§2.8)."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("lang") == "en").select("doc_id", "source", "lang")
+    b = d.filter(F.col("lang") != "en").select("doc_id", "source")
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("lang").isNull().cast("long")).alias("n_lang_null"),
+    )
+
+
+SQL_UNION_SOURCES = """
+SELECT source, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_lang_null
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible: multimodal plumbing (rows-only check)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-media feature extraction plumbing over mapInPandas; media
+    bytes synthesized from document text (the decode step is the
+    documented stub — operators/multimodal.py)."""
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("double").alias("duration_s"),
+    )
+    return extract_media_features(media).select("media_id", "kind", "n_bytes")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_pricing_summary": q_pricing_summary,
+    "q_top_revenue_orders": q_top_revenue_orders,
+    "q_region_revenue": q_region_revenue,
+    "q_politeness_quota": q_politeness_quota,
+    "q_seen_antijoin": q_seen_antijoin,
+    "q_frontier_dedup": q_frontier_dedup,
+    "q_field_coverage": q_field_coverage,
+    "q_coverage_pivot": q_coverage_pivot,
+    "q_funder_top": q_funder_top,
+    "q_search_view": q_search_view,
+    "q_exact_dedup": q_exact_dedup,
+    "q_minhash_lsh": q_minhash_lsh,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_simhash_pairs": q_simhash_pairs,
+    "q_embedding_near_dup": q_embedding_near_dup,
+    "q_ann_brute_topk": q_ann_brute_topk,
+    "q_ann_ivf_topk": q_ann_ivf_topk,
+    "q_lang_id": q_lang_id,
+    "q_token_stats": q_token_stats,
+    "q_quality_stats": q_quality_stats,
+    "q_incremental_cursor": q_incremental_cursor,
+    "q_event_windows": q_event_windows,
+    "q_union_sources": q_union_sources,
+    "q_multimodal_features": q_multimodal_features,
+}
+
+ORACLES: dict[str, str] = {
+    "q_pricing_summary": SQL_PRICING_SUMMARY,
+    "q_top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
+    "q_region_revenue": SQL_REGION_REVENUE,
+    "q_politeness_quota": SQL_POLITENESS_QUOTA,
+    "q_seen_antijoin": SQL_SEEN_ANTIJOIN,
+    "q_frontier_dedup": SQL_FRONTIER_DEDUP,
+    "q_field_coverage": SQL_FIELD_COVERAGE,
+    "q_coverage_pivot": SQL_COVERAGE_PIVOT,
+    "q_funder_top": SQL_FUNDER_TOP,
+    "q_search_view": SQL_SEARCH_VIEW,
+    "q_exact_dedup": SQL_EXACT_DEDUP,
+    "q_minhash_lsh": SQL_MINHASH_LSH,
+    "q_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "q_simhash_pairs": SQL_SIMHASH_PAIRS,
+    "q_embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "q_ann_brute_topk": SQL_ANN_BRUTE_TOPK,
+    "q_ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "q_lang_id": SQL_LANG_ID,
+    "q_token_stats": SQL_TOKEN_STATS,
+    "q_quality_stats": SQL_QUALITY_STATS,
+    "q_incremental_cursor": SQL_INCREMENTAL_CURSOR,
+    "q_event_windows": SQL_EVENT_WINDOWS,
+    "q_union_sources": SQL_UNION_SOURCES,
+    # q_multimodal_features: mapInPandas stub — rows-only check by design
+}
