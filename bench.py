@@ -20,8 +20,10 @@ The two crawl-native jobs are the BASELINE.json metric surface:
 urls_per_sec = (scheduled + extracted rows) / (t_sched + t_extract).
 
 Scaling-efficiency evidence (north_rule N vs 4N): run
-scripts/scaling_bench.py, which executes this benchmark's crawl jobs at
-SPARK_GRAFT_CPUS=8 and =32 in fresh processes and writes BENCH_SCALING.json.
+scripts/scaling_bench.py, which executes this benchmark's crawl
+scheduling job at local[2] and local[8] in fresh processes and writes
+BENCH_SCALING.json (see its docstring for why 2→8 and not 8→32 on this
+16-physical-core SMT box).
 """
 
 from __future__ import annotations
@@ -86,10 +88,10 @@ def crawl_sched_job(spark: SparkSession, sf_dir: str) -> int:
         F.lit("bench").alias("source"),
         F.lit("jsonld").alias("parser"),
     )
-    frontier = dedup_frontier(frontier_from_seeds(seeds))
+    frontier = dedup_frontier(frontier_from_seeds(seeds)).persist()
     # half the URL space is already seen: exact anti-join on url_hash
     seen = frontier.filter(F.col("url_hash") % 2 == 0).select("url_hash", "url_canon")
-    unseen = frontier.join(seen, ["url_hash", "url_canon"], "left_anti")
+    unseen = frontier.join(seen, ["url_hash", "url_canon"], "left_anti").persist()
     budgets = spark.createDataFrame([], "host string, budget int")
     sched = select_politely(unseen, budgets, default_budget=400)
     return sched.count()

@@ -63,17 +63,24 @@ def frontier_from_seeds(seeds: DataFrame, round_no: int = 0) -> DataFrame:
 def dedup_frontier(frontier: DataFrame) -> DataFrame:
     """One row per canonical URL, deterministic winner.
 
-    ``row_number`` over (priority, depth, url, seed_id) — a total order —
-    rather than ``dropDuplicates`` (whose survivor is partition-order
-    dependent and would break N vs 4N reproducibility).
+    ``min(struct(priority, depth, url, seed_id, …))`` per (url_hash,
+    url_canon) — a hash aggregate with map-side partial aggregation —
+    rather than a ``row_number`` window (sort-based, no partial agg: at
+    10^10 rows the window shuffles every duplicate; the agg shuffles one
+    candidate winner per key per input partition) and rather than
+    ``dropDuplicates`` (whose survivor is partition-order dependent and
+    would break N vs 4N reproducibility). The struct comparison is the
+    same total order the window used, extended over all remaining
+    columns, so the winner is unique even among full-key ties.
     """
-    w = Window.partitionBy("url_hash", "url_canon").orderBy(
-        "priority", "depth", "url", "seed_id"
-    )
+    order_cols = ["priority", "depth", "url", "seed_id"]
+    payload = [c for c in frontier.columns
+               if c not in ("url_hash", "url_canon", *order_cols)]
     return (
-        frontier.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        frontier.groupBy("url_hash", "url_canon")
+        .agg(F.min(F.struct(*order_cols, *payload)).alias("__w"))
+        .select("url_hash", "url_canon", "__w.*")
+        .select(*frontier.columns)
     )
 
 
