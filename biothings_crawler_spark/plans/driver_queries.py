@@ -43,8 +43,17 @@ from biothings_crawler_spark.operators.dedup import (
     simhash_pairs,
 )
 from biothings_crawler_spark.operators.frontier import dedup_frontier, frontier_from_seeds
+from biothings_crawler_spark.sources.idrange import id_range_seeds
+from biothings_crawler_spark.sources.sitemap import expand_sitemaps
+from biothings_crawler_spark.streaming.incremental import incremental_round
+from biothings_crawler_spark.plans.upload import transform_docs
+from biothings_crawler_spark.urlnorm import domain_key_col
 from biothings_crawler_spark.operators.multimodal import extract_media_features
-from biothings_crawler_spark.operators.politeness import select_politely
+from biothings_crawler_spark.operators.politeness import (
+    apply_robots,
+    host_budgets,
+    select_politely,
+)
 from biothings_crawler_spark.operators.similarity import (
     assign_cells,
     brute_force_topk,
@@ -857,6 +866,277 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media).select("media_id", "kind", "n_bytes")
 
 
+
+
+# ---------------------------------------------------------------------------
+# sources, robots, transforms, incremental (batch 2)
+# ---------------------------------------------------------------------------
+
+GEO_PREFIX = "https://www.ncbi.nlm.nih.gov/geo/query/acc.cgi?acc="
+ID_RANGE_END = 2000
+
+
+def q_id_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-range seed generation (ncbi_geo.py:21-27 / nyu.py:42-51) —
+    spark.range + concat, bucketed count as the verifiable surface."""
+    seeds = id_range_seeds(
+        spark, "ncbi_geo", GEO_PREFIX + "GSE", 1, ID_RANGE_END,
+        parser="geo_table",
+    )
+    return (
+        seeds.groupBy(F.length("url").alias("url_len"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("url").alias("first_url"))
+    )
+
+
+SQL_ID_RANGE_SCAN = f"""
+SELECT len(u) AS url_len, COUNT(*) AS n, MIN(u) AS first_url FROM (
+  SELECT '{{pfx}}GSE' || CAST(g AS VARCHAR) AS u
+  FROM generate_series(1, {ID_RANGE_END}) t(g))
+GROUP BY 1
+""".format(pfx=GEO_PREFIX)
+
+
+def _sitemaps_frame(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    part = _t(spark, sf_dir, "part")
+    leaves = part.select(
+        F.concat(F.lit("https://s.example.org/smap-"),
+                 F.col("p_partkey").cast("string"), F.lit(".xml")).alias("sitemap_url"),
+        F.lit("s.example.org").alias("host"),
+        F.lit(False).alias("is_index"),
+        F.array().cast("array<string>").alias("child_sitemaps"),
+        F.array(
+            F.concat(F.lit("https://s.example.org/record/"), F.col("p_partkey").cast("string")),
+            F.concat(F.lit("https://s.example.org/other/"), F.col("p_partkey").cast("string")),
+        ).alias("loc_urls"),
+    )
+    indexes = (
+        part.groupBy((F.col("p_partkey") % 10).alias("bucket"))
+        .agg(F.collect_list(
+            F.concat(F.lit("https://s.example.org/smap-"),
+                     F.col("p_partkey").cast("string"), F.lit(".xml"))).alias("child_sitemaps"))
+        .select(
+            F.concat(F.lit("https://s.example.org/sitemap-index-"),
+                     F.col("bucket").cast("string"), F.lit(".xml")).alias("sitemap_url"),
+            F.lit("s.example.org").alias("host"),
+            F.lit(True).alias("is_index"),
+            "child_sitemaps",
+            F.array().cast("array<string>").alias("loc_urls"),
+        )
+    )
+    return leaves.unionByName(indexes), indexes.select("sitemap_url")
+
+
+def q_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-index recursion to fixpoint + rule routing (zenodo.py:
+    14-18, massbank.py:6-13): start from the index sitemaps only, expand
+    to leaves, keep /record/ URLs."""
+    sitemaps, start = _sitemaps_frame(spark, sf_dir)
+    urls = expand_sitemaps(sitemaps, start)
+    return urls.filter(F.col("url").rlike("/record/")).select("url")
+
+
+SQL_SITEMAP_EXPAND = """
+SELECT DISTINCT 'https://s.example.org/record/' || CAST(p_partkey AS VARCHAR) AS url
+FROM part
+"""
+
+ROBOTS_ROWS = [
+    ("h0.example.org", ["/private/ok"], ["/private/"], 10.0),
+    ("h1.example.org", [], ["/o/"], None),
+    ("h2.example.org", None, None, 2.0),
+]
+ROBOTS_SCHEMA = ("host string, allow array<string>, disallow array<string>, "
+                 "crawl_delay double")
+
+
+def _robots_frame(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(ROBOTS_ROWS, ROBOTS_SCHEMA)
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots allow/disallow enforcement, longest-match-wins
+    (operators/politeness.apply_robots; north_rule-mandated — the
+    reference itself ran ROBOTSTXT_OBEY=False, settings.py:31)."""
+    orders = _t(spark, sf_dir, "orders")
+    cand = orders.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 4).cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit("https://h"), (F.col("o_custkey") % 4).cast("string"),
+            F.lit(".example.org"),
+            F.when(F.col("o_orderkey") % 3 == 0,
+                   F.concat(F.lit("/private/ok/"), F.col("o_orderkey").cast("string")))
+            .when(F.col("o_orderkey") % 3 == 1,
+                  F.concat(F.lit("/private/x/"), F.col("o_orderkey").cast("string")))
+            .otherwise(F.concat(F.lit("/o/"), F.col("o_orderkey").cast("string"))),
+        ).alias("url_canon"),
+    )
+    out = apply_robots(cand, _robots_frame(spark), obey=True)
+    return out.groupBy("host").agg(F.count(F.lit(1)).alias("n_allowed"))
+
+
+SQL_ROBOTS_FILTER = """
+WITH robots AS (
+  SELECT * FROM (VALUES
+    ('h0.example.org', ['/private/ok'], ['/private/']),
+    ('h1.example.org', CAST([] AS VARCHAR[]), ['/o/']),
+    ('h2.example.org', CAST(NULL AS VARCHAR[]), CAST(NULL AS VARCHAR[]))
+  ) AS t(host, allow, disallow)),
+cand AS (
+  SELECT 'h' || CAST(o_custkey % 4 AS VARCHAR) || '.example.org' AS host,
+         CASE WHEN o_orderkey % 3 = 0 THEN '/private/ok/' || CAST(o_orderkey AS VARCHAR)
+              WHEN o_orderkey % 3 = 1 THEN '/private/x/' || CAST(o_orderkey AS VARCHAR)
+              ELSE '/o/' || CAST(o_orderkey AS VARCHAR) END AS path
+  FROM orders),
+j AS (
+  SELECT c.host, c.path, r.allow, r.disallow,
+         coalesce(list_max(list_transform(
+           list_filter(r.allow, p -> starts_with(c.path, p)), p -> len(p))), 0) AS allow_len,
+         coalesce(list_max(list_transform(
+           list_filter(r.disallow, p -> starts_with(c.path, p)), p -> len(p))), 0) AS dis_len
+  FROM cand c LEFT JOIN robots r USING (host))
+SELECT host, COUNT(*) AS n_allowed
+FROM j
+WHERE NOT (disallow IS NOT NULL AND dis_len > allow_len AND dis_len > 0)
+GROUP BY 1
+"""
+
+
+def q_host_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crawl_delay -> per-round budget (AutoThrottle target-1.0 analog,
+    settings.py:82-89; Crawl-delay honored, harvard.py:20)."""
+    return host_budgets(_robots_frame(spark), round_seconds=60.0, default_budget=100)
+
+
+SQL_HOST_BUDGETS = """
+SELECT host, CAST(CASE WHEN crawl_delay IS NOT NULL AND crawl_delay > 0
+            THEN greatest(floor(60.0 / crawl_delay), 1)
+            ELSE 100 END AS INTEGER) AS budget
+FROM (VALUES ('h0.example.org', 10.0), ('h1.example.org', CAST(NULL AS DOUBLE)),
+             ('h2.example.org', 2.0)) AS t(host, crawl_delay)
+"""
+
+
+def q_domain_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's lstrip('www.') same-domain quirk reproduced
+    bit-for-bit (clic.py:99-101; char-set strip, not prefix strip)."""
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select(
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("www."), F.col("source"), F.lit(".org")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("web."), F.col("source"), F.lit(".org")))
+        .otherwise(F.concat(F.col("source"), F.lit(".org"))).alias("host")
+    )
+    return (
+        hosts.select(domain_key_col(F.col("host")).alias("domain_key"))
+        .groupBy("domain_key").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_DOMAIN_KEY = """
+SELECT regexp_replace(host, '^[w.]*', '') AS domain_key, COUNT(*) AS n
+FROM (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'www.' || source || '.org'
+              WHEN doc_id % 3 = 1 THEN 'web.' || source || '.org'
+              ELSE source || '.org' END AS host
+  FROM documents)
+GROUP BY 1
+"""
+
+INCR_CURSOR = "2024-01-20 00:00:00"
+
+
+def q_incremental_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One resumable incremental-cursor round (figshare.py:77-129
+    semantics: >= cursor scope, seen anti-join) over events."""
+    ev = _t(spark, sf_dir, "events")
+    hits = ev.select(F.col("event_id").alias("id"),
+                     F.col("ts").alias("published_date"), "event_type")
+    seen = ev.filter(F.col("event_id") % 2 == 0).select(F.col("event_id").alias("id"))
+    new, next_cursor = incremental_round(hits, seen, INCR_CURSOR)
+    return new.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.date_format(F.max("published_date"), "yyyy-MM-dd HH:mm:ss").alias("cursor"),
+    )
+
+
+SQL_INCREMENTAL_ROUND = f"""
+SELECT event_type, COUNT(*) AS n_new,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS cursor
+FROM events
+WHERE ts >= TIMESTAMP '{INCR_CURSOR}' AND event_id % 2 = 1
+GROUP BY 1
+"""
+
+
+def _geo_docs_frame(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    d = _t(spark, sf_dir, "documents")
+    p1 = (F.col("doc_id") * 2 + 1).cast("string")
+    p2 = (F.col("doc_id") * 2 + 2).cast("string")
+    title = F.substring(F.col("text"), 1, 20)
+    docs = d.select(
+        F.lit("ncbi_geo").alias("source"),
+        F.concat(
+            F.lit('{"Citation(s)":"'), p1, F.lit(", "), p2,
+            F.lit('","Title":"'), title,
+            F.lit('","_id":"GSE'), F.col("doc_id").cast("string"), F.lit('"}'),
+        ).alias("doc_json"),
+    )
+    pmid_info = (
+        d.select(p1.alias("pmid"))
+        .unionByName(d.select(p2.alias("pmid")))
+        .select("pmid",
+                F.concat(F.lit("Citation "), F.col("pmid")).alias("citation"),
+                F.lit("[]").alias("grants_json"))
+    )
+    return docs, pmid_info
+
+
+def q_upload_geo_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full NCBI-GEO uploader transform (upload/ncbi_geo.py:27-99):
+    PMID broadcast enrichment + dict surgery + canonical sorted-key JSON
+    emit — the byte-identity surface, verified against an oracle that
+    constructs the exact output bytes in SQL."""
+    docs, pmid_info = _geo_docs_frame(spark, sf_dir)
+    return transform_docs(docs, pmid_info, run_ts="2026-01-01")
+
+
+SQL_UPLOAD_GEO_TRANSFORM = f"""
+SELECT 'ncbi_geo' AS source,
+       '{{pfx}}GSE' || CAST(doc_id AS VARCHAR) AS _id,
+       '{{{{"@context":"http://schema.org/","@type":"Dataset","citation":["Citation '
+         || CAST(doc_id * 2 + 1 AS VARCHAR) || '","Citation ' || CAST(doc_id * 2 + 2 AS VARCHAR)
+         || '"],"distribution":{{{{"@type":"dataDownload","contentUrl":"{{pfx}}GSE'
+         || CAST(doc_id AS VARCHAR)
+         || '"}}}},"identifier":"GSE' || CAST(doc_id AS VARCHAR)
+         || '","includedInDataCatalog":{{{{"@type":"DataCatalog","name":"NCBI GEO from Metadataplus","url":"https://www.ncbi.nlm.nih.gov/geo/"}}}},"name":"'
+         || substr(text, 1, 20) || '"}}}}' AS doc_json
+FROM documents
+""".format(pfx=GEO_PREFIX)
+
+
+def q_upload_dataset_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrawlerDatasetESUploader envelope (upload/__init__.py:105-117):
+    @context/@type under the doc, _id popped, canonical emit."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        F.lit("dataset").alias("source"),
+        F.concat(
+            F.lit('{"_id":"doc'), F.col("doc_id").cast("string"),
+            F.lit('","name":"'), F.substring(F.col("text"), 1, 20), F.lit('"}'),
+        ).alias("doc_json"),
+    )
+    return transform_docs(docs, None, run_ts="2026-01-01")
+
+
+SQL_UPLOAD_DATASET_ENVELOPE = """
+SELECT 'dataset' AS source, 'doc' || CAST(doc_id AS VARCHAR) AS _id,
+       '{"@context":"http://schema.org/","@type":"Dataset","name":"'
+         || substr(text, 1, 20) || '"}' AS doc_json
+FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_revenue_orders": q_top_revenue_orders,
@@ -882,6 +1162,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_event_windows": q_event_windows,
     "q_union_sources": q_union_sources,
     "q_multimodal_features": q_multimodal_features,
+    "q_id_range_scan": q_id_range_scan,
+    "q_sitemap_expand": q_sitemap_expand,
+    "q_robots_filter": q_robots_filter,
+    "q_host_budgets": q_host_budgets,
+    "q_domain_key": q_domain_key,
+    "q_incremental_round": q_incremental_round,
+    "q_upload_geo_transform": q_upload_geo_transform,
+    "q_upload_dataset_envelope": q_upload_dataset_envelope,
 }
 
 ORACLES: dict[str, str] = {
@@ -909,4 +1197,12 @@ ORACLES: dict[str, str] = {
     "q_event_windows": SQL_EVENT_WINDOWS,
     "q_union_sources": SQL_UNION_SOURCES,
     # q_multimodal_features: mapInPandas stub — rows-only check by design
+    "q_id_range_scan": SQL_ID_RANGE_SCAN,
+    "q_sitemap_expand": SQL_SITEMAP_EXPAND,
+    "q_robots_filter": SQL_ROBOTS_FILTER,
+    "q_host_budgets": SQL_HOST_BUDGETS,
+    "q_domain_key": SQL_DOMAIN_KEY,
+    "q_incremental_round": SQL_INCREMENTAL_ROUND,
+    "q_upload_geo_transform": SQL_UPLOAD_GEO_TRANSFORM,
+    "q_upload_dataset_envelope": SQL_UPLOAD_DATASET_ENVELOPE,
 }
