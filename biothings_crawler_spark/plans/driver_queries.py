@@ -46,6 +46,7 @@ from biothings_crawler_spark.operators.frontier import dedup_frontier, frontier_
 from biothings_crawler_spark.sources.idrange import id_range_seeds
 from biothings_crawler_spark.sources.sitemap import expand_sitemaps
 from biothings_crawler_spark.streaming.incremental import incremental_round
+from biothings_crawler_spark.operators.extract import extract_items_udf
 from biothings_crawler_spark.plans.upload import transform_docs
 from biothings_crawler_spark.urlnorm import domain_key_col
 from biothings_crawler_spark.operators.multimodal import extract_media_features
@@ -1137,6 +1138,160 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# batch 3: GEO table scrape byte-identity + zenodo/immport transforms
+# ---------------------------------------------------------------------------
+
+
+def _geo_skeleton() -> tuple[str, str]:
+    """The exact nested-table skeleton the GEO xpath walks (reference
+    ncbi_geo.py:29-34; same nesting as fixtures/corpus.py:162-202),
+    split at the variable row block."""
+    dummy = "<table><tr><td>x</td></tr></table>"
+    target = "<table>@@ROWS@@</table>"
+    lvl3 = f"<table><tr><td>{target}{dummy}</td></tr></table>"
+    lvl2 = (f"<table><tr><td><table><tr><td>{dummy}{lvl3}"
+            "</td></tr></table></td></tr></table>")
+    table6 = ("<table><tr><td>hdr</td></tr><tr><td>nav</td></tr>"
+              f"<tr><td>side</td><td>{lvl2}</td></tr></table>")
+    full = ("<html><body><table><tr><td>" + dummy * 5 + table6
+            + "</td></tr></table></body></html>")
+    pre, suf = full.split("@@ROWS@@")
+    return pre, suf
+
+
+def q_geo_table_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NCBI GEO nested-table scraper (ncbi_geo.py:29-53) as the
+    vectorized extraction UDF over HTML synthesized in-plan: _id from
+    the bgcolor row, single-value cells (string() + nbsp + strip),
+    multi-value onmouseout cells, canonical sorted-key JSON out —
+    byte-identical vs an oracle that constructs the JSON in SQL."""
+    pre, suf = _geo_skeleton()
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    ca = (F.col("doc_id") % 29).cast("string")
+    cb = ((F.col("doc_id") + 1) % 29).cast("string")
+    rows = F.concat(
+        F.lit('<tr bgcolor="#cccccc"><td colspan="2"><strong id="GSE'), i,
+        F.lit('">Series GSE'), i, F.lit("</strong></td></tr>"),
+        F.lit("<tr><td>Title</td><td>Expr data "), i, F.lit("&nbsp;study</td></tr>"),
+        F.lit('<tr><td>Contributor(s)&nbsp;</td><td onmouseout="x">'
+              '<a href="#">Contrib '), ca, F.lit('</a>,<a href="#">Contrib '), cb,
+        F.lit("</a>,</td></tr>"),
+        F.lit("<tr><td>Summary</td><td>Series "), i, F.lit(" summary.</td></tr>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://geo.example.org/acc.cgi?acc=GSE"), i).alias("url"),
+        F.encode(F.concat(F.lit(pre), rows, F.lit(suf)), "utf-8").alias("html"),
+    )
+    return pages.select(
+        "url",
+        F.explode(extract_items_udf(F.col("html"), F.col("url"),
+                                    F.lit("geo_table"))).alias("doc_json"),
+    )
+
+
+SQL_GEO_TABLE_SCRAPE = """
+SELECT 'https://geo.example.org/acc.cgi?acc=GSE' || CAST(doc_id AS VARCHAR) AS url,
+       '{"Contributor(s)":["Contrib ' || CAST(doc_id % 29 AS VARCHAR)
+         || '","Contrib ' || CAST((doc_id + 1) % 29 AS VARCHAR)
+         || '"],"Summary":"Series ' || CAST(doc_id AS VARCHAR)
+         || ' summary.","Title":"Expr data ' || CAST(doc_id AS VARCHAR)
+         || ' study","_id":"GSE' || CAST(doc_id AS VARCHAR) || '"}' AS doc_json
+FROM documents
+"""
+
+
+def q_upload_zenodo_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZenodoCovidUploader transform (upload/zenodo_covid.py:54-95):
+    curatedBy injection (run_ts for datetime.now), ScholarlyArticle ->
+    Publication, affiliation objectify, single-keywords re-split on
+    ', |,|; |;', dict-license unwrap, citation delete, zenodo _id rule."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    even = F.concat(
+        F.lit('{"@type":"ScholarlyArticle","_id":"10.5281/zenodo.'), i,
+        F.lit('","citation":"drop me","creator":[{"affiliation":"Aff '), i,
+        F.lit('","name":"N '), i,
+        F.lit('"}],"keywords":["alpha, beta; gamma"],"license":{"license":"CC-BY-'),
+        (F.col("doc_id") % 4).cast("string"), F.lit('"}}'),
+    )
+    odd = F.concat(
+        F.lit('{"@type":"Dataset","_id":"10.5281/zenodo.'), i,
+        F.lit('","creator":[{"affiliation":"Aff '), i,
+        F.lit('","name":"N '), i,
+        F.lit('"}],"keywords":["kw'), i, F.lit('","kw2"],"license":"MIT"}'),
+    )
+    docs = d.select(
+        F.lit("zenodo_covid").alias("source"),
+        F.when(F.col("doc_id") % 2 == 0, even).otherwise(odd).alias("doc_json"),
+    )
+    return transform_docs(docs, None, run_ts="2026-01-01")
+
+
+_ZC_CURATED = ('"curatedBy":{"@type":"Organization","name":"Zenodo",'
+               '"url":"https://zenodo.org/communities/covid-19/",'
+               '"versionDate":"2026-01-01"}')
+
+SQL_UPLOAD_ZENODO_TRANSFORM = """
+SELECT 'zenodo_covid' AS source,
+       'zenodo.' || CAST(doc_id AS VARCHAR) AS _id,
+       CASE WHEN doc_id % 2 = 0 THEN
+         '{{"@type":"Publication","creator":[{{"affiliation":{{"name":"Aff '
+           || CAST(doc_id AS VARCHAR) || '"}},"name":"N ' || CAST(doc_id AS VARCHAR)
+           || '"}}],{cb},"keywords":["alpha","beta","gamma"],"license":"CC-BY-'
+           || CAST(doc_id % 4 AS VARCHAR) || '"}}'
+       ELSE
+         '{{"@type":"Dataset","creator":[{{"affiliation":{{"name":"Aff '
+           || CAST(doc_id AS VARCHAR) || '"}},"name":"N ' || CAST(doc_id AS VARCHAR)
+           || '"}}],{cb},"keywords":["kw' || CAST(doc_id AS VARCHAR)
+           || '","kw2"],"license":"MIT"}}'
+       END AS doc_json
+FROM documents
+""".format(cb=_ZC_CURATED)
+
+
+def q_upload_immport_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ImmPortUploader transform (upload/immport.py:37-133): PI split
+    with ' - ' validation (malformed segments skipped), condition ->
+    keywords, DOI -> sameAs, renames, envelope merge, prune_untouched,
+    _id=None (reference lets ES mint)."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    docs = d.select(
+        F.lit("immport").alias("source"),
+        F.concat(
+            F.lit('{"Accession":"SDY'), i,
+            F.lit('","Title":"T'), i,
+            F.lit('","PI":"P One - UnivA; Bad Entry; P Two - UnivB"'),
+            F.lit(',"Condition Studied":"flu, cold"'),
+            F.lit(',"DOI":"10.1/x'), i,
+            F.lit('","_id":"https://immport.org/s/SDY'), i, F.lit('"}'),
+        ).alias("doc_json"),
+    )
+    return transform_docs(docs, None, run_ts="2026-01-01")
+
+
+SQL_UPLOAD_IMMPORT_TRANSFORM = """
+SELECT 'immport' AS source,
+       CAST(NULL AS VARCHAR) AS _id,
+       '{{"@context":"http://schema.org/","@type":"Dataset",'
+        || '"creator":[{{"@type":"Person","affiliation":"UnivA","name":"P One"}},'
+        || '{{"@type":"Person","affiliation":"UnivB","name":"P Two"}}],'
+        || '"curatedBy":{{"@type":"Organization","curationDate":"2026-01-01",'
+        || '"name":"ImmPort","url":"https://www.immport.org/shared/study/SDY'
+        || CAST(doc_id AS VARCHAR) || '"}},'
+        || '"identifier":"SDY' || CAST(doc_id AS VARCHAR) || '",'
+        || '"includedInDataCatalog":{{"@type":"DataCatalog","name":"ImmPort","url":"http://immport.org/"}},'
+        || '"keywords":["flu","cold"],'
+        || '"name":"T' || CAST(doc_id AS VARCHAR) || '",'
+        || '"sameAs":"https://www.doi.org/10.1/x' || CAST(doc_id AS VARCHAR) || '",'
+        || '"url":"https://immport.org/s/SDY' || CAST(doc_id AS VARCHAR) || '"}}'
+        AS doc_json
+FROM documents
+""".replace("{{", "{").replace("}}", "}")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_revenue_orders": q_top_revenue_orders,
@@ -1170,6 +1325,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_incremental_round": q_incremental_round,
     "q_upload_geo_transform": q_upload_geo_transform,
     "q_upload_dataset_envelope": q_upload_dataset_envelope,
+    "q_geo_table_scrape": q_geo_table_scrape,
+    "q_upload_zenodo_transform": q_upload_zenodo_transform,
+    "q_upload_immport_transform": q_upload_immport_transform,
 }
 
 ORACLES: dict[str, str] = {
@@ -1205,4 +1363,7 @@ ORACLES: dict[str, str] = {
     "q_incremental_round": SQL_INCREMENTAL_ROUND,
     "q_upload_geo_transform": SQL_UPLOAD_GEO_TRANSFORM,
     "q_upload_dataset_envelope": SQL_UPLOAD_DATASET_ENVELOPE,
+    "q_geo_table_scrape": SQL_GEO_TABLE_SCRAPE,
+    "q_upload_zenodo_transform": SQL_UPLOAD_ZENODO_TRANSFORM,
+    "q_upload_immport_transform": SQL_UPLOAD_IMMPORT_TRANSFORM,
 }

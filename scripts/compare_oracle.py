@@ -11,31 +11,9 @@ import sys
 import time
 
 import duckdb
-import pandas as pd
 
 from biothings_crawler_spark.plans.driver_queries import ORACLES, QUERIES, TABLES
-
-
-def norm_cell(v):
-    if v is None or v != v:  # NaN/None
-        return "␀"
-    if isinstance(v, float):
-        return repr(v)
-    return str(v)
-
-
-def frame_digest(pdf: pd.DataFrame) -> str:
-    import hashlib
-    cols = sorted(pdf.columns)
-    rows = sorted(
-        "\x1f".join(norm_cell(r[c]) for c in cols)
-        for r in pdf.to_dict("records")
-    )
-    h = hashlib.sha256()
-    for r in rows:
-        h.update(r.encode())
-        h.update(b"\x1e")
-    return h.hexdigest()[:16]
+from biothings_crawler_spark.testing import frame_digest, norm_cell
 
 
 def main() -> int:
