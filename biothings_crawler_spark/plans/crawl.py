@@ -149,10 +149,15 @@ def run_crawl(
             sched.select("url_hash", "url_canon"), ["url_hash", "url_canon"], "left_anti"
         )
 
-        fetched = sched.join(pages_c, "url_canon", "inner")
+        # persist: fetched feeds extraction AND link-follow; parsed feeds
+        # two sinks (docs, page_texts). Without persistence each consumer
+        # re-runs the fetch join and the extraction UDF — the most
+        # expensive Python stage — once per sink.
+        fetched = sched.join(pages_c, "url_canon", "inner").persist()
         parsed = (
             fetched.filter(extract_ok)
             .withColumn("items", extract_items_udf(F.col("html"), F.col("url"), F.col("parser")))
+            .persist()
         )
         page_texts = parsed.select(
             F.lit(rnd).alias("round"), "url_canon", "url", "source",
@@ -223,6 +228,8 @@ def run_crawl(
         summary["scheduled"] += sched.count()
         cand.unpersist()
         sched.unpersist()
+        fetched.unpersist()
+        parsed.unpersist()
         # re-read from the checkpoint: truncates lineage for the next round
         frontier = cat.read(spark, "next_frontier", rnd)
         segments = cat.read(spark, "seen_segments", rnd)

@@ -46,7 +46,7 @@ from biothings_crawler_spark.operators.frontier import dedup_frontier, frontier_
 from biothings_crawler_spark.sources.idrange import id_range_seeds
 from biothings_crawler_spark.sources.sitemap import expand_sitemaps
 from biothings_crawler_spark.streaming.incremental import incremental_round
-from biothings_crawler_spark.operators.extract import extract_items_udf
+from biothings_crawler_spark.operators.extract import extract_items_udf, extract_links_udf
 from biothings_crawler_spark.plans.upload import transform_docs
 from biothings_crawler_spark.urlnorm import domain_key_col
 from biothings_crawler_spark.operators.multimodal import extract_media_features
@@ -1292,6 +1292,171 @@ FROM documents
 """.replace("{{", "{").replace("}}", "}")
 
 
+# ---------------------------------------------------------------------------
+# batch 4: PMID citation formatting, link extraction, full BFS crawl
+# ---------------------------------------------------------------------------
+
+
+def q_pmid_citation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eutils XML -> citation string + grants (upload/helper.py:38-171
+    re-implementation, functions/citation.py) over XML synthesized
+    in-plan; exercises the et-al cutoff, ValidYN='N' skip,
+    CollectiveName trailing dot, numeric-month abbrev, day de-zeroing,
+    season dates, and grant extraction — byte-identical vs SQL."""
+    import pandas as pd
+
+    from biothings_crawler_spark.functions.citation import eutils_batch_info
+    from biothings_crawler_spark.functions.json_canon import canonical_json
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    c = F.col("doc_id") % 4
+
+    def au(last: str, init: str) -> str:
+        return (f"<Author><LastName>{last}</LastName>"
+                f"<Initials>{init}</Initials></Author>")
+
+    five = "".join(au(f"Auth{j}", "X") for j in range(5))
+    case0_authors = au("One", "A") + au("Two", "B")
+    case2_authors = ('<Author ValidYN="N"><LastName>Skip</LastName>'
+                     "<Initials>S</Initials></Author>"
+                     "<Author><CollectiveName>The Consortium</CollectiveName></Author>")
+    pubdate0 = "<Year>2020</Year><Month>03</Month><Day>05</Day>"
+    pubdate1 = "<Year>2021</Year>"
+    pubdate3 = "<Year>2019</Year><Season>Spring</Season>"
+
+    xml = F.concat(
+        F.lit("<PubmedArticleSet><PubmedArticle><MedlineCitation><PMID>"), i,
+        F.lit("</PMID><Article><ArticleTitle>Study "), i,
+        F.lit("</ArticleTitle><AuthorList>"),
+        F.when(c == 0, F.lit(case0_authors))
+        .when(c == 1, F.lit(five))
+        .when(c == 2, F.lit(case2_authors))
+        .otherwise(F.lit("")),
+        F.lit("</AuthorList><Journal><JournalIssue><Volume>12</Volume>"
+              "<Issue>3</Issue><PubDate>"),
+        F.when(c == 0, F.lit(pubdate0))
+        .when(c == 1, F.lit(pubdate1))
+        .when(c == 2, F.lit(pubdate1))
+        .otherwise(F.lit(pubdate3)),
+        F.lit("</PubDate></JournalIssue></Journal>"
+              "<Pagination><MedlinePgn>100-10</MedlinePgn></Pagination>"),
+        F.when(c == 0, F.concat(
+            F.lit('<GrantList><Grant><GrantID>R01-'), i,
+            F.lit("</GrantID><Agency>NIH</Agency></Grant></GrantList>"),
+        )).otherwise(F.lit("")),
+        F.lit("</Article><MedlineJournalInfo><MedlineTA>J Abbr</MedlineTA>"
+              "</MedlineJournalInfo></MedlineCitation></PubmedArticle>"
+              "</PubmedArticleSet>"),
+    )
+    rows = d.select(F.col("doc_id"), xml.alias("xml"))
+
+    def run(batches):
+        for pdf in batches:
+            cites, grants = [], []
+            for x in pdf["xml"]:
+                info = next(iter(eutils_batch_info(x).values()))
+                cites.append(info["citation"])
+                grants.append(canonical_json(info["grants"]))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "citation": cites, "grants_json": grants,
+            })
+
+    return rows.mapInPandas(run, "doc_id long, citation string, grants_json string")
+
+
+SQL_PMID_CITATION = """
+SELECT doc_id,
+  CASE doc_id % 4
+    WHEN 0 THEN 'One A, Two B. Study ' || CAST(doc_id AS VARCHAR)
+      || ' J Abbr 2020 Mar 5;12(3):100-10. PMID: ' || CAST(doc_id AS VARCHAR)
+    WHEN 1 THEN 'Auth0 X, Auth1 X, Auth2 X, Auth3 X et al. Study ' || CAST(doc_id AS VARCHAR)
+      || ' J Abbr 2021;12(3):100-10. PMID: ' || CAST(doc_id AS VARCHAR)
+    WHEN 2 THEN 'The Consortium.. Study ' || CAST(doc_id AS VARCHAR)
+      || ' J Abbr 2021;12(3):100-10. PMID: ' || CAST(doc_id AS VARCHAR)
+    ELSE '[No authors listed] Study ' || CAST(doc_id AS VARCHAR)
+      || ' J Abbr 2019 Spring;12(3):100-10. PMID: ' || CAST(doc_id AS VARCHAR)
+  END AS citation,
+  CASE doc_id % 4
+    WHEN 0 THEN '[{"funder":{"@type":"Organization","name":"NIH"},"identifier":"R01-'
+      || CAST(doc_id AS VARCHAR) || '"}]'
+    ELSE '[]'
+  END AS grants_json
+FROM documents
+"""
+
+
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """href extraction + urljoin resolution in document order with
+    duplicates preserved (LinkExtractor analog; extract_links_udf)."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("https://h"), (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".example.org/base/page.html"))
+    html = F.concat(
+        F.lit('<html><body><a href="/rel/'), i, F.lit('">x</a>'),
+        F.lit('<a href="https://abs.example.org/p/'), i, F.lit('">y</a>'),
+        F.lit('<a href="rel2">z</a>'),
+        F.lit('<a href="/rel/'), i, F.lit('">dup</a></body></html>'),
+    )
+    pages = d.select(base.alias("url"), F.encode(html, "utf-8").alias("html"))
+    return pages.select(
+        "url",
+        F.posexplode(extract_links_udf(F.col("html"), F.col("url"))).alias("pos", "link"),
+    ).select("url", F.col("pos").cast("long").alias("pos"), "link")
+
+
+SQL_LINK_EXTRACT = """
+WITH b AS (
+  SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS origin,
+         'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/base/page.html' AS url,
+         CAST(doc_id AS VARCHAR) AS i
+  FROM documents)
+SELECT url, CAST(pos AS BIGINT) AS pos, link FROM (
+  SELECT url, 0 AS pos, origin || '/rel/' || i AS link FROM b
+  UNION ALL SELECT url, 1, 'https://abs.example.org/p/' || i FROM b
+  UNION ALL SELECT url, 2, origin || '/base/rel2' FROM b
+  UNION ALL SELECT url, 3, origin || '/rel/' || i FROM b)
+"""
+
+
+def q_crawl_bfs_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BFS crawl engine (plans/crawl.run_crawl) over the
+    deterministic fixture corpus: frontier -> robots -> bloom+exact
+    seen filter -> salted politeness -> fetch join -> extraction ->
+    link follow -> atomic round checkpoints. Returns the crawl ordering
+    (round, host, sched_rank, url_canon). Non-SQL-expressible (stateful
+    round loop) -> driver rows-only check; full equality vs the frozen
+    BFS simulator is pytest-enforced (tests/test_crawl_e2e.py)."""
+    import tempfile
+
+    from biothings_crawler_spark.catalog import ParquetManifestCatalog
+    from biothings_crawler_spark.fixtures import corpus
+    from biothings_crawler_spark.oracle.bfs import CrawlConfig
+    from biothings_crawler_spark.plans.crawl import run_crawl
+
+    n = 100
+    cfg = CrawlConfig(max_rounds=2, default_budget=15, round_seconds=10.0,
+                      obey_robots=True, n_segments=4,
+                      bloom_bits_per_segment=1 << 14, bloom_hashes=5)
+    ckpt = tempfile.mkdtemp(prefix="crawl-bfs-driver-")
+    # tiny corpus: cap shuffle width so the round loop is not dominated
+    # by empty-task scheduling under a wide session default
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run_crawl(spark, corpus.pages_df(spark, n).coalesce(4),
+                  corpus.seeds_df(spark, n).coalesce(4),
+                  corpus.robots_df(spark).coalesce(1),
+                  corpus.gen_policies(), ckpt, cfg)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    sched = ParquetManifestCatalog(ckpt).read(spark, "scheduled")
+    return sched.select("round", "host",
+                        F.col("sched_rank").cast("long").alias("sched_rank"),
+                        "url_canon").orderBy("round", "host", "sched_rank")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_revenue_orders": q_top_revenue_orders,
@@ -1328,6 +1493,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_geo_table_scrape": q_geo_table_scrape,
     "q_upload_zenodo_transform": q_upload_zenodo_transform,
     "q_upload_immport_transform": q_upload_immport_transform,
+    "q_pmid_citation": q_pmid_citation,
+    "q_link_extract": q_link_extract,
+    "q_crawl_bfs_e2e": q_crawl_bfs_e2e,
 }
 
 ORACLES: dict[str, str] = {
@@ -1366,4 +1534,7 @@ ORACLES: dict[str, str] = {
     "q_geo_table_scrape": SQL_GEO_TABLE_SCRAPE,
     "q_upload_zenodo_transform": SQL_UPLOAD_ZENODO_TRANSFORM,
     "q_upload_immport_transform": SQL_UPLOAD_IMMPORT_TRANSFORM,
+    "q_pmid_citation": SQL_PMID_CITATION,
+    "q_link_extract": SQL_LINK_EXTRACT,
+    # q_crawl_bfs_e2e: stateful BFS round loop — rows-only by design
 }
