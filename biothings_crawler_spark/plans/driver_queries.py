@@ -467,7 +467,7 @@ def q_search_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SEARCH_VIEW = f"""
-SELECT source, _id, _score FROM (
+SELECT source, _id, CAST(_score AS DOUBLE) AS _score FROM (
   SELECT source, 'doc' || CAST(doc_id AS VARCHAR) AS _id,
          (CASE WHEN contains(lower(substr(text, 1, 40)), '{SEARCH_TERM}') THEN 6.0 ELSE 0.0 END
           + CASE WHEN contains(lower(text), '{SEARCH_TERM}') THEN 3.0 ELSE 0.0 END
@@ -885,7 +885,7 @@ def q_id_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         parser="geo_table",
     )
     return (
-        seeds.groupBy(F.length("url").alias("url_len"))
+        seeds.groupBy(F.length("url").cast("long").alias("url_len"))
         .agg(F.count(F.lit(1)).alias("n"), F.min("url").alias("first_url"))
     )
 
