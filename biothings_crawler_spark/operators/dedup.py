@@ -90,8 +90,12 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         shingles_col(F.col(text_col), k).alias("sh"),
     ).withColumn("sig", minhash_signature_col(F.col("sh"), n_perm))
+    # band join carries ONLY (id, band) — shuffling the shingle arrays
+    # (KBs/row) through the self-join would dominate at 10^10 rows; the
+    # arrays are re-joined per deduped candidate pair instead (two hash
+    # joins against the tiny candidate sliver).
     banded = base.select(
-        "id", "sh",
+        "id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band_id"),
@@ -99,23 +103,24 @@ def minhash_lsh_pairs(
             )
             for b in range(bands)
         ])).alias("band"),
-    ).select("id", "sh", "band.band_id", "band.band_key")
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_id", "band_key"
-    )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band_id", "band_key"
-    )
+    ).select("id", "band.band_id", "band.band_key")
+    left = banded.select(F.col("id").alias("id_a"), "band_id", "band_key")
+    right = banded.select(F.col("id").alias("id_b"), "band_id", "band_key")
     pairs = (
         left.join(right, ["band_id", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_map = base.select("id", "sh")
+    joined = (
+        pairs.join(sh_map.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_map.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        pairs.withColumn("jaccard", inter / union)
+        joined.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
     )

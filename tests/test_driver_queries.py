@@ -44,7 +44,10 @@ def duck():
 def test_registry_shape():
     assert set(ORACLES) <= set(QUERIES)
     # every query without an oracle is a documented rows-only check
-    assert set(QUERIES) - set(ORACLES) == {"q_multimodal_features"}
+    assert set(QUERIES) - set(ORACLES) == {
+        "q_multimodal_features",  # mapInPandas stub — no SQL analog
+        "q_crawl_bfs_e2e",        # stateful BFS round loop
+    }
 
 
 @pytest.mark.parametrize("name", FAST)
