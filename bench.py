@@ -108,7 +108,10 @@ def extract_input(spark: SparkSession, sf_dir: str):
     """ld+json pages synthesized from documents — materialized outside
     the timed window (see crawl_sched_input)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_parts = spark.sparkContext.defaultParallelism
+    # Python (Arrow) stages pay a per-partition worker cost in local
+    # mode — keep >= ~4k pages per partition so compute dominates
+    n_rows = docs.count() * EXTRACT_REPLICAS
+    n_parts = max(4, min(spark.sparkContext.defaultParallelism, n_rows // 4000))
     return (
         docs.crossJoin(spark.range(EXTRACT_REPLICAS).select(F.col("id").alias("rep")))
         .repartition(n_parts)

@@ -86,10 +86,15 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows = n_perm // bands
+    # persisted: the signature index is read by the band explode AND the
+    # per-pair verify join; without materialization Catalyst's projection
+    # collapse re-inlines the 16-fold signature expression once per
+    # sig[i] reference (16x the work per row). At 10^10 rows this index
+    # is a written table (LSH index build stage); in-memory here.
     base = df.select(
         F.col(id_col).alias("id"),
         shingles_col(F.col(text_col), k).alias("sh"),
-    ).withColumn("sig", minhash_signature_col(F.col("sh"), n_perm))
+    ).withColumn("sig", minhash_signature_col(F.col("sh"), n_perm)).persist()
     # band join carries ONLY (id, band) — shuffling the shingle arrays
     # (KBs/row) through the self-join would dominate at 10^10 rows; the
     # arrays are re-joined per deduped candidate pair instead (two hash
@@ -201,8 +206,11 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding (4×15-bit keys — two signatures
     within hamming<=3 collide on >=1 band) + bit_count verify."""
+    # persisted for the same projection-collapse reason as minhash:
+    # the 60-bit signature expression would otherwise be re-inlined per
+    # band-key reference
     sig = df.select(F.col(id_col).alias("id"),
-                    simhash_col(F.col(text_col), hash_family).alias("sig"))
+                    simhash_col(F.col(text_col), hash_family).alias("sig")).persist()
     banded = sig.select(
         "id", "sig",
         F.explode(F.array(*[
