@@ -223,3 +223,21 @@ def test_search_view(spark):
     docs = _typed_docs(spark)
     hits = search_view(docs, "n1").collect()
     assert hits and hits[0]["_id"] == "a" and hits[0]["_score"] == 7.0
+
+
+def test_shingle_twins_byte_equal(spark):
+    """shingles3_pandas_udf must equal shingles_col(k=3) exactly —
+    first-occurrence-distinct order included (LSH default path)."""
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.dedup import (
+        shingles3_pandas_udf,
+        shingles_col,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    both = d.select(
+        shingles_col(F.col("text"), 3).alias("a"),
+        shingles3_pandas_udf(F.col("text")).alias("b"),
+    )
+    assert both.filter(F.col("a") != F.col("b")).count() == 0
