@@ -43,6 +43,7 @@ from biothings_crawler_spark.operators.dedup import (
     simhash_pairs,
 )
 from biothings_crawler_spark.operators.frontier import dedup_frontier, frontier_from_seeds
+from biothings_crawler_spark.sources.api import expand_api_pages, stop_at_short_page
 from biothings_crawler_spark.sources.idrange import id_range_seeds
 from biothings_crawler_spark.sources.sitemap import expand_sitemaps
 from biothings_crawler_spark.streaming.incremental import incremental_round
@@ -1457,6 +1458,79 @@ def q_crawl_bfs_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "url_canon").orderBy("round", "host", "sched_rank")
 
 
+# ---------------------------------------------------------------------------
+# batch 5: paginated-API expansion, error-doc sink, short-page stop
+# ---------------------------------------------------------------------------
+
+
+def _api_pages_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    hit = F.struct(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.concat(F.lit("https://api.example.org/rec/"),
+                 F.col("o_orderkey").cast("string")).alias("url"),
+        (F.col("o_orderkey") % 17 == 0).alias("missing_link"),
+    )
+    return (
+        orders.groupBy((F.col("o_orderkey") % 40).alias("page_no"))
+        .agg(F.collect_list(hit).alias("hits"))
+        .select(F.lit("zenodo_covid").alias("source"), "page_no", "hits")
+    )
+
+
+def q_api_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paginated-API seed expansion (zenodo_covid.py:32-68): per-hit
+    URL routing, missing-link hits diverted to the errors table."""
+    seeds, _ = expand_api_pages(_api_pages_frame(spark, sf_dir), "zenodo_covid")
+    return seeds.select("seed_id", "url")
+
+
+SQL_API_SEED_EXPANSION = """
+SELECT 'zenodo_covid:' || CAST(o_orderkey AS VARCHAR) AS seed_id,
+       'https://api.example.org/rec/' || CAST(o_orderkey AS VARCHAR) AS url
+FROM orders WHERE o_orderkey % 17 <> 0
+"""
+
+
+def q_api_error_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-doc sink (zenodo_covid.py:48-51 / harvard.py:117-122):
+    malformed hits emitted as {"_type":"error","_document":hit}."""
+    _, errors = expand_api_pages(_api_pages_frame(spark, sf_dir), "zenodo_covid")
+    return errors.select("_type", "_document", F.col("page_no").cast("long").alias("page_no"))
+
+
+SQL_API_ERROR_DOCS = """
+SELECT 'error' AS _type,
+       '{"id":"' || CAST(o_orderkey AS VARCHAR)
+         || '","url":"https://api.example.org/rec/' || CAST(o_orderkey AS VARCHAR)
+         || '","missing_link":true}' AS _document,
+       o_orderkey % 40 AS page_no
+FROM orders WHERE o_orderkey % 17 = 0
+"""
+
+
+def q_api_stop_short(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """harvard.py:63-71 stop condition: pages after the first short page
+    are never requested."""
+    nation = _t(spark, sf_dir, "nation")
+    hit = F.struct(F.lit("x").alias("id"), F.lit("u").alias("url"),
+                   F.lit(False).alias("missing_link"))
+    pages = nation.select(
+        F.lit("harvard").alias("source"),
+        F.col("n_nationkey").alias("page_no"),
+        F.array_repeat(hit, F.when(F.col("n_nationkey") == 13, 3).otherwise(10)).alias("hits"),
+    )
+    kept = stop_at_short_page(pages, "harvard", 10)
+    return kept.select("page_no", F.size("hits").alias("n_hits"))
+
+
+SQL_API_STOP_SHORT = """
+SELECT n_nationkey AS page_no,
+       CAST(CASE WHEN n_nationkey = 13 THEN 3 ELSE 10 END AS INTEGER) AS n_hits
+FROM nation WHERE n_nationkey <= 13
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_revenue_orders": q_top_revenue_orders,
@@ -1496,6 +1570,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pmid_citation": q_pmid_citation,
     "q_link_extract": q_link_extract,
     "q_crawl_bfs_e2e": q_crawl_bfs_e2e,
+    "q_api_seed_expansion": q_api_seed_expansion,
+    "q_api_error_docs": q_api_error_docs,
+    "q_api_stop_short": q_api_stop_short,
 }
 
 ORACLES: dict[str, str] = {
@@ -1537,4 +1614,7 @@ ORACLES: dict[str, str] = {
     "q_pmid_citation": SQL_PMID_CITATION,
     "q_link_extract": SQL_LINK_EXTRACT,
     # q_crawl_bfs_e2e: stateful BFS round loop — rows-only by design
+    "q_api_seed_expansion": SQL_API_SEED_EXPANSION,
+    "q_api_error_docs": SQL_API_ERROR_DOCS,
+    "q_api_stop_short": SQL_API_STOP_SHORT,
 }
