@@ -180,3 +180,26 @@ def search_view(docs: DataFrame, q: str) -> DataFrame:
         .select("source", "_id", "_score", "doc_json")
         .orderBy(F.desc("_score"), F.asc("_id"))
     )
+
+
+def sample_docs(docs: DataFrame, k: int, seed: int = 42) -> DataFrame:
+    """Seeded random sampling (ALLOW_RANDOM_QUERY, config.py:35).
+
+    ``ORDER BY rand(seed) LIMIT k`` — deterministic for a fixed seed,
+    partitioning, and input order (documented: engine RNGs differ, so
+    no cross-engine oracle; the reference's ES random scoring is
+    likewise non-portable)."""
+    return docs.orderBy(F.rand(seed), F.asc("_id")).limit(k)
+
+
+def transform_hits(hits: DataFrame) -> DataFrame:
+    """Hit post-transform (web/pipeline.py:43-53): drop transport fields,
+    rewrite the index name to the source label by substring match."""
+    drop = [c for c in ("_type", "sort", "_node", "_shard") if c in hits.columns]
+    out = hits.drop(*drop)
+    if "_index" in out.columns:
+        out = out.withColumn(
+            "source",
+            F.regexp_extract(F.col("_index"), r"^indexed_([a-z0-9_]+)", 1),
+        ).drop("_index")
+    return out

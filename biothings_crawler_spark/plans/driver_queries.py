@@ -71,7 +71,9 @@ from biothings_crawler_spark.plans.analysis import (
     coverage_pivot,
     field_coverage,
     funder_counts,
+    sample_docs,
     search_view,
+    transform_hits,
 )
 
 TABLES = [
@@ -1531,6 +1533,35 @@ FROM nation WHERE n_nationkey <= 13
 """
 
 
+def q_hit_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side hit cleanup (web/pipeline.py:43-53): transport fields
+    stripped, _index rewritten to the source label."""
+    d = _t(spark, sf_dir, "documents")
+    hits = d.select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("_id"),
+        F.lit("_doc").alias("_type"),
+        F.lit("n1").alias("_node"),
+        F.concat(F.lit("indexed_"), F.col("source")).alias("_index"),
+        F.col("n_chars"),
+    )
+    return transform_hits(hits)
+
+
+SQL_HIT_TRANSFORM = """
+SELECT 'doc' || CAST(doc_id AS VARCHAR) AS _id, n_chars, source
+FROM documents
+"""
+
+
+def q_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded random sampling (config.py:35 ALLOW_RANDOM_QUERY) — engine
+    RNGs are not portable, so rows-only by design."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("_id"),
+                    "source")
+    return sample_docs(docs, 25, seed=42)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_revenue_orders": q_top_revenue_orders,
@@ -1573,6 +1604,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_api_seed_expansion": q_api_seed_expansion,
     "q_api_error_docs": q_api_error_docs,
     "q_api_stop_short": q_api_stop_short,
+    "q_hit_transform": q_hit_transform,
+    "q_random_sample": q_random_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1617,4 +1650,6 @@ ORACLES: dict[str, str] = {
     "q_api_seed_expansion": SQL_API_SEED_EXPANSION,
     "q_api_error_docs": SQL_API_ERROR_DOCS,
     "q_api_stop_short": SQL_API_STOP_SHORT,
+    "q_hit_transform": SQL_HIT_TRANSFORM,
+    # q_random_sample: seeded RNG — engines differ, rows-only by design
 }
