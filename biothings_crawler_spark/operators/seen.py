@@ -300,3 +300,22 @@ def filter_unseen(
         exact_seen.select("url_hash", "url_canon"), ["url_hash", "url_canon"], "left_anti"
     )
     return definitely_new.unionByName(rescued)
+
+
+def revoke_seen(exact_seen: DataFrame, revoked: DataFrame) -> DataFrame:
+    """Remove *revoked* URLs from the seen set so they re-fetch
+    (politeness/robots revocation — SURVEY.md §4 deletions row).
+
+    Only the exact table needs the delete: a stale bloom segment keeps
+    answering maybe-seen for a revoked URL, but :func:`filter_unseen`
+    routes maybe-seen rows through the exact anti-join, which no longer
+    matches — the URL passes. Correctness never depends on bloom
+    deletes; staleness only adds FPP-side anti-join traffic for the
+    revoked keys. Hosts with heavy revocation churn should store their
+    segment as a :class:`CuckooFilter` (supports true deletes, same
+    blob/serde contract) to win that cost back — that swap is a segment
+    build-time choice, not a semantic one.
+    """
+    return exact_seen.join(
+        revoked.select("url_hash", "url_canon"), ["url_hash", "url_canon"], "left_anti"
+    )

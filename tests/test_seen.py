@@ -113,3 +113,30 @@ def test_filter_unseen_exactness(spark):
 def test_filter_unseen_no_segments(spark, n_seg):
     out = filter_unseen(_cand(spark, [1, 2, 3]), None, None, n_seg)
     assert out.count() == 3
+
+
+def test_revoked_urls_refetch(spark):
+    """Revocation flow: stale bloom + pruned exact table => the revoked
+    URL passes filter_unseen again (correctness never needs bloom
+    deletes)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.seen import (
+        build_segments,
+        filter_unseen,
+        revoke_seen,
+    )
+
+    urls = spark.createDataFrame(
+        pd.DataFrame({"url_canon": [f"https://h/x{i}" for i in range(50)]})
+    ).withColumn("url_hash", F.xxhash64("url_canon"))
+    segments = build_segments(urls.select("url_hash"), 0, 4, 1 << 12, 5)
+    exact = urls.select("url_hash", "url_canon")
+
+    revoked = urls.filter(F.col("url_canon") == "https://h/x7")
+    exact2 = revoke_seen(exact, revoked)
+
+    out = filter_unseen(urls, segments.select("segment_id", "bloom"), exact2, 4)
+    passed = {r["url_canon"] for r in out.collect()}
+    assert passed == {"https://h/x7"}
