@@ -181,6 +181,22 @@ class CuckooFilter:
                 return True
         return False
 
+    def add_many(self, keys: np.ndarray) -> None:
+        for k in keys:
+            if not self.add(int(k)):
+                raise RuntimeError(
+                    "cuckoo segment full — size segments for expected "
+                    "capacity (CuckooFilter.sized_for)"
+                )
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (self.contains(int(k)) for k in keys), dtype=bool, count=len(keys)
+        )
+
+    def delete_many(self, keys: np.ndarray) -> int:
+        return sum(self.delete(int(k)) for k in keys)
+
     def to_bytes(self) -> bytes:
         head = np.array([0xC0C00F11, self.n_buckets], dtype=np.uint64)
         return head.tobytes() + self.table.tobytes()
@@ -192,6 +208,16 @@ class CuckooFilter:
         n_buckets = int(head[1])
         table = np.frombuffer(blob[16:], dtype=np.uint16).reshape(n_buckets, cls.SLOTS).copy()
         return cls(n_buckets, table)
+
+
+def filter_from_bytes(blob: bytes):
+    """Blob dispatcher: segments are self-describing (header word), so
+    bloom and cuckoo segments coexist in one seen_segments table —
+    deletion-heavy hosts get cuckoo, everyone else the cheaper bloom."""
+    head = int(np.frombuffer(blob[:8], dtype=np.uint64)[0])
+    if head == 0xC0C00F11:
+        return CuckooFilter.from_bytes(blob)
+    return BloomFilter.from_bytes(blob)
 
 
 # --- DataFrame-level seen-set ops ---------------------------------------------
@@ -207,10 +233,16 @@ def build_segments(
     bits_per_segment: int,
     n_hashes: int,
     prev_segments: DataFrame | None = None,
+    segment_kind: str = "bloom",
+    cuckoo_capacity: int | None = None,
 ) -> DataFrame:
-    """New seen_segments rows for this round (OR-merged with previous).
+    """New seen_segments rows for this round (merged with previous).
 
-    One shuffle on segment_id; each group builds its bloom in numpy.
+    One shuffle on segment_id; each group builds its filter in numpy.
+    ``segment_kind='cuckoo'`` builds deletable segments (robots
+    revocation hosts — SURVEY.md §4); capacity must be pre-sized
+    (``cuckoo_capacity`` items/segment) because fingerprints cannot be
+    rehashed into a bigger table.
     """
     keyed = scheduled.select(
         segment_col(F.col("url_hash"), n_segments).alias("segment_id"), "url_hash"
@@ -223,11 +255,15 @@ def build_segments(
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["segment_id"].iloc[0])
-        bf = BloomFilter(bits_per_segment, n_hashes)
+        if segment_kind == "cuckoo":
+            bf = CuckooFilter.sized_for(cuckoo_capacity or 1 << 16)
+        else:
+            bf = BloomFilter(bits_per_segment, n_hashes)
         prev_blob = pdf["bloom"].dropna()
         prev_n = 0
         if len(prev_blob):
-            bf = bf.merge(BloomFilter.from_bytes(bytes(prev_blob.iloc[0])))
+            prev_f = filter_from_bytes(bytes(prev_blob.iloc[0]))
+            bf = bf.merge(prev_f) if isinstance(prev_f, BloomFilter) and isinstance(bf, BloomFilter) else prev_f
             prev_n = int(pdf["n_items"].dropna().iloc[0])
         new_keys = pdf.loc[pdf["url_hash"].notna(), "url_hash"].to_numpy(dtype=np.int64)
         bf.add_many(new_keys)
@@ -272,7 +308,7 @@ def mark_maybe_seen(
             return cpdf.assign(maybe_seen=pd.Series([], dtype=bool))
         if len(spdf) == 0:
             return cpdf.assign(maybe_seen=False)
-        bf = BloomFilter.from_bytes(bytes(spdf["bloom"].iloc[0]))
+        bf = filter_from_bytes(bytes(spdf["bloom"].iloc[0]))
         keys = cpdf["url_hash"].to_numpy(dtype=np.int64)
         return cpdf.assign(maybe_seen=bf.contains_many(keys))
 
@@ -318,4 +354,38 @@ def revoke_seen(exact_seen: DataFrame, revoked: DataFrame) -> DataFrame:
     """
     return exact_seen.join(
         revoked.select("url_hash", "url_canon"), ["url_hash", "url_canon"], "left_anti"
+    )
+
+
+def delete_from_segments(
+    segments: DataFrame, revoked: DataFrame, n_segments: int
+) -> DataFrame:
+    """Delete revoked url_hashes from cuckoo segments (bloom segments
+    pass through untouched — their staleness is correctness-neutral, see
+    :func:`revoke_seen`). Returns the updated segments table."""
+    keyed = revoked.select(
+        segment_col(F.col("url_hash"), n_segments).alias("segment_id"), "url_hash"
+    )
+    out_schema = SEEN_SEGMENTS_SCHEMA
+
+    def drop(spdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(spdf) == 0:
+            return pd.DataFrame(columns=["segment_id", "round", "bloom", "n_items"])
+        row = spdf.iloc[0]
+        blob = bytes(row["bloom"])
+        filt = filter_from_bytes(blob)
+        n = int(row["n_items"])
+        if len(rpdf) and isinstance(filt, CuckooFilter):
+            keys = rpdf["url_hash"].to_numpy(dtype=np.int64)
+            n -= filt.delete_many(keys)
+            blob = filt.to_bytes()
+        return pd.DataFrame([{
+            "segment_id": int(row["segment_id"]), "round": int(row["round"]),
+            "bloom": blob, "n_items": n,
+        }])
+
+    return (
+        segments.groupBy("segment_id")
+        .cogroup(keyed.groupBy("segment_id"))
+        .applyInPandas(drop, out_schema)
     )

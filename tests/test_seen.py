@@ -140,3 +140,33 @@ def test_revoked_urls_refetch(spark):
     out = filter_unseen(urls, segments.select("segment_id", "bloom"), exact2, 4)
     passed = {r["url_canon"] for r in out.collect()}
     assert passed == {"https://h/x7"}
+
+
+def test_cuckoo_segments_end_to_end(spark):
+    """Cuckoo segment build -> probe -> segment-level delete -> revoked
+    key re-probes as unseen, all others still maybe-seen (no false
+    negatives)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.seen import (
+        build_segments,
+        delete_from_segments,
+        mark_maybe_seen,
+    )
+
+    urls = spark.createDataFrame(
+        pd.DataFrame({"url_canon": [f"https://h/c{i}" for i in range(200)]})
+    ).withColumn("url_hash", F.xxhash64("url_canon"))
+    segs = build_segments(
+        urls.select("url_hash"), 0, 4, 0, 0,
+        segment_kind="cuckoo", cuckoo_capacity=4096,
+    ).persist()
+    probed = mark_maybe_seen(urls, segs.select("segment_id", "bloom"), 4)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0  # no false negatives
+
+    revoked = urls.filter(F.col("url_canon").isin("https://h/c5", "https://h/c50"))
+    segs2 = delete_from_segments(segs, revoked, 4)
+    probed2 = mark_maybe_seen(urls, segs2.select("segment_id", "bloom"), 4)
+    unseen = {r["url_canon"] for r in probed2.filter(~F.col("maybe_seen")).collect()}
+    assert unseen == {"https://h/c5", "https://h/c50"}
