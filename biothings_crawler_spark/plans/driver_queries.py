@@ -44,7 +44,7 @@ from biothings_crawler_spark.operators.dedup import (
 )
 from biothings_crawler_spark.operators.frontier import dedup_frontier, frontier_from_seeds
 from biothings_crawler_spark.sources.api import expand_api_pages, stop_at_short_page
-from biothings_crawler_spark.sources.idrange import id_range_seeds
+from biothings_crawler_spark.sources.idrange import id_list_seeds, id_range_seeds
 from biothings_crawler_spark.sources.sitemap import expand_sitemaps
 from biothings_crawler_spark.streaming.incremental import incremental_round
 from biothings_crawler_spark.operators.extract import extract_items_udf, extract_links_udf
@@ -1562,6 +1562,24 @@ def q_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_docs(docs, 25, seed=42)
 
 
+def q_id_list_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-list seed generation (immport.py:44-65 / disprot.py:25-36):
+    search-hit ids -> per-ID page URLs."""
+    d = _t(spark, sf_dir, "documents")
+    ids = d.select(F.concat(F.lit("SDY"), F.col("doc_id").cast("string")).alias("id"))
+    seeds = id_list_seeds(ids, "immport", "https://www.immport.org/shared/study/")
+    return seeds.select("seed_id", "url", "source", "parser",
+                        F.col("priority").cast("long").alias("priority"))
+
+
+SQL_ID_LIST_SCAN = """
+SELECT 'immport:SDY' || CAST(doc_id AS VARCHAR) AS seed_id,
+       'https://www.immport.org/shared/study/SDY' || CAST(doc_id AS VARCHAR) AS url,
+       'immport' AS source, 'jsonld' AS parser, CAST(0 AS BIGINT) AS priority
+FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_revenue_orders": q_top_revenue_orders,
@@ -1606,6 +1624,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_api_stop_short": q_api_stop_short,
     "q_hit_transform": q_hit_transform,
     "q_random_sample": q_random_sample,
+    "q_id_list_scan": q_id_list_scan,
 }
 
 ORACLES: dict[str, str] = {
@@ -1652,4 +1671,5 @@ ORACLES: dict[str, str] = {
     "q_api_stop_short": SQL_API_STOP_SHORT,
     "q_hit_transform": SQL_HIT_TRANSFORM,
     # q_random_sample: seeded RNG — engines differ, rows-only by design
+    "q_id_list_scan": SQL_ID_LIST_SCAN,
 }
