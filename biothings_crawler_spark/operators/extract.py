@@ -135,3 +135,53 @@ def page_text_col(items: Column) -> Column:
     ``canonical_json(list_of_items)``.
     """
     return F.concat(F.lit("["), F.array_join(items, ","), F.lit("]"))
+
+
+def _hub_hrefs(node, out: list) -> None:
+    if node.tag == "a":
+        href = node.attrib.get("href")
+        if href:
+            out.append(href)
+    for c in node.child_elems():
+        _hub_hrefs(c, out)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_hub_table_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    """CLIC hub-table seed expansion round 0 (reference clic.py:80-81):
+    the hrefs inside the first <table> of the page, urljoin'd, document
+    order. Same mini-DOM as the GEO scraper (oracle/geo_table.py)."""
+    from biothings_crawler_spark.oracle.geo_table import build_dom
+
+    out = []
+    for h, base in zip(html, url):
+        dom = build_dom(h.decode("utf-8", errors="replace") if isinstance(h, (bytes, bytearray)) else h)
+        tables = dom.descendants("table")
+        links: list[str] = []
+        if tables:
+            _hub_hrefs(tables[0], links)
+        out.append([urljoin(base, x) for x in links])
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_website_field_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    """CLIC hub round 1 (reference clic.py:88-92): rows whose first-cell
+    label starts with 'Website' contribute their hrefs — the external
+    site roots the broad crawl then follows."""
+    from biothings_crawler_spark.oracle.geo_table import build_dom
+
+    out = []
+    for h, base in zip(html, url):
+        dom = build_dom(h.decode("utf-8", errors="replace") if isinstance(h, (bytes, bytearray)) else h)
+        links: list[str] = []
+        for tr in dom.descendants("tr"):
+            tds = tr.child_elems("td")
+            if not tds:
+                continue
+            label = "".join(tds[0].texts()).strip()
+            if label.startswith("Website"):
+                for td in tds[1:]:
+                    _hub_hrefs(td, links)
+        out.append([urljoin(base, x) for x in links])
+    return pd.Series(out)

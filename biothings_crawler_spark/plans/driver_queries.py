@@ -47,7 +47,12 @@ from biothings_crawler_spark.sources.api import expand_api_pages, stop_at_short_
 from biothings_crawler_spark.sources.idrange import id_list_seeds, id_range_seeds
 from biothings_crawler_spark.sources.sitemap import expand_sitemaps
 from biothings_crawler_spark.streaming.incremental import incremental_round
-from biothings_crawler_spark.operators.extract import extract_items_udf, extract_links_udf
+from biothings_crawler_spark.operators.extract import (
+    extract_hub_table_links_udf,
+    extract_items_udf,
+    extract_links_udf,
+    extract_website_field_links_udf,
+)
 from biothings_crawler_spark.plans.upload import transform_docs
 from biothings_crawler_spark.urlnorm import domain_key_col
 from biothings_crawler_spark.operators.multimodal import extract_media_features
@@ -1580,6 +1585,59 @@ FROM documents
 """
 
 
+def q_clic_hub_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIC two-hop hub expansion (clic.py:75-103): round-0 hub-table
+    links + round-1 'Website'-labeled field links, extracted from hub
+    HTML synthesized in-plan (mini-DOM xpath semantics)."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    hub_html = F.concat(
+        F.lit('<html><body><table><tr><td><a href="/clinic/'), i,
+        F.lit('">Clinic</a></td></tr><tr><td><a href="/clinic/'), i,
+        F.lit('b">Clinic B</a></td></tr></table>'),
+        F.lit('<a href="/outside">not in hub table</a></body></html>'),
+    )
+    detail_html = F.concat(
+        F.lit('<html><body><table><tr><td>Name</td><td>Clinic '), i,
+        F.lit('</td></tr><tr><td>Website</td><td><a href="https://ext'),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit('.example.com/">site</a></td></tr></table></body></html>'),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://clic.example.org/hub/"), i).alias("url"),
+        F.encode(hub_html, "utf-8").alias("hub_html"),
+        F.encode(detail_html, "utf-8").alias("detail_html"),
+    )
+    hub = pages.select(
+        "url",
+        F.explode(extract_hub_table_links_udf(F.col("hub_html"), F.col("url"))).alias("link"),
+    ).withColumn("hop", F.lit("hub_table"))
+    site = pages.select(
+        "url",
+        F.explode(extract_website_field_links_udf(F.col("detail_html"), F.col("url"))).alias("link"),
+    ).withColumn("hop", F.lit("website_field"))
+    return hub.unionByName(site)
+
+
+SQL_CLIC_HUB_LINKS = """
+SELECT url, link, hop FROM (
+  SELECT 'https://clic.example.org/hub/' || CAST(doc_id AS VARCHAR) AS url,
+         'https://clic.example.org/clinic/' || CAST(doc_id AS VARCHAR) AS link,
+         'hub_table' AS hop
+  FROM documents
+  UNION ALL
+  SELECT 'https://clic.example.org/hub/' || CAST(doc_id AS VARCHAR),
+         'https://clic.example.org/clinic/' || CAST(doc_id AS VARCHAR) || 'b',
+         'hub_table'
+  FROM documents
+  UNION ALL
+  SELECT 'https://clic.example.org/hub/' || CAST(doc_id AS VARCHAR),
+         'https://ext' || CAST(doc_id % 9 AS VARCHAR) || '.example.com/',
+         'website_field'
+  FROM documents)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_revenue_orders": q_top_revenue_orders,
@@ -1625,6 +1683,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hit_transform": q_hit_transform,
     "q_random_sample": q_random_sample,
     "q_id_list_scan": q_id_list_scan,
+    "q_clic_hub_links": q_clic_hub_links,
 }
 
 ORACLES: dict[str, str] = {
@@ -1672,4 +1731,5 @@ ORACLES: dict[str, str] = {
     "q_hit_transform": SQL_HIT_TRANSFORM,
     # q_random_sample: seeded RNG — engines differ, rows-only by design
     "q_id_list_scan": SQL_ID_LIST_SCAN,
+    "q_clic_hub_links": SQL_CLIC_HUB_LINKS,
 }
