@@ -241,3 +241,22 @@ def test_shingle_twins_byte_equal(spark):
         shingles3_pandas_udf(F.col("text")).alias("b"),
     )
     assert both.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_minhash_lsh_recall_vs_bruteforce(spark):
+    """LSH candidate generation must recover every true near-dup pair
+    the brute-force oracle finds at this threshold (banding with 4x4
+    bands at jaccard>=0.5 — recall 1.0 expected on this corpus)."""
+    from biothings_crawler_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lsh = {(r["id_a"], r["id_b"])
+           for r in minhash_lsh_pairs(d, "doc_id", "text").collect()}
+    brute = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(d, "doc_id", "text").collect()}
+    assert brute <= lsh or brute == lsh  # no missed true pairs
+    # and LSH emits nothing below the verify threshold
+    assert lsh <= brute
