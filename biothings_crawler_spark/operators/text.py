@@ -86,3 +86,63 @@ def fingerprint_col(text: Column) -> Column:
     text — the exact-dedup identity (md5 exists in both Spark and
     DuckDB, keeping the oracle pair byte-comparable)."""
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def line_dedup(
+    df,
+    id_col: str,
+    text_col: str,
+    line_sep: str = "\n",
+    max_occurrences: int = 10,
+):
+    """Corpus-level line deduplication (CCNet/RefinedWeb-style
+    boilerplate removal): lines whose exact content appears in more
+    than ``max_occurrences`` documents corpus-wide are dropped from
+    every document; surviving lines keep their original order.
+
+    Returns (id, clean_text, n_kept, n_removed).
+
+    Scale shape: posexplode -> hash-agg line counts (map-side partial;
+    the frequent-line set is tiny and broadcast back) -> anti-join ->
+    re-assemble with array_sort on (pos) — one shuffle for the count,
+    one for the regroup, no skew (line-hash keys).
+    """
+    from pyspark.sql import functions as F
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+    )
+    freq = (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_occurrences)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(freq), "line", "left_anti")
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                line_sep,
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), line_sep)).cast("long").alias("n_lines"),
+    )
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        )
+    )

@@ -69,6 +69,7 @@ from biothings_crawler_spark.operators.similarity import (
 )
 from biothings_crawler_spark.operators.text import (
     lang_id_col,
+    line_dedup,
     quality_score_col,
     token_count_col,
 )
@@ -1638,6 +1639,51 @@ SELECT url, link, hop FROM (
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (CCNet/RefinedWeb boilerplate removal):
+    multi-line docs synthesized from documents (5-word lines + an
+    injected COMMON FOOTER on every doc); lines appearing in > 10 docs
+    corpus-wide are dropped, order preserved."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / 5).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.array_join(F.slice(words, j * 5 + 1, 5), " "),
+    )
+    docs = d.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.array_join(chunks, "\n"), F.lit("\nCOMMON FOOTER")).alias("t"),
+    )
+    return line_dedup(docs, "id", "t", max_occurrences=10)
+
+
+SQL_LINE_DEDUP = """
+WITH docs AS (
+  SELECT doc_id AS id,
+         array_to_string(
+           [array_to_string((string_split(text, ' '))[j*5+1:j*5+5], ' ')
+            for j in range(0, CAST(ceil(len(string_split(text, ' ')) / 5.0) AS INTEGER))],
+           chr(10)) || chr(10) || 'COMMON FOOTER' AS t
+  FROM documents),
+lines AS (
+  SELECT id, ls[i] AS line, i AS pos
+  FROM (SELECT id, string_split(t, chr(10)) AS ls FROM docs),
+       UNNEST(range(1, len(ls) + 1)) AS r(i)),
+freq AS (SELECT line FROM lines GROUP BY line HAVING COUNT(*) > 10),
+kept AS (SELECT l.id, l.line, l.pos FROM lines l ANTI JOIN freq USING (line)),
+rebuilt AS (
+  SELECT id, array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY id),
+tot AS (SELECT id, len(string_split(t, chr(10))) AS n_lines FROM docs)
+SELECT t.id, coalesce(r.clean_text, '') AS clean_text,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN rebuilt r USING (id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_revenue_orders": q_top_revenue_orders,
@@ -1684,6 +1730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_random_sample": q_random_sample,
     "q_id_list_scan": q_id_list_scan,
     "q_clic_hub_links": q_clic_hub_links,
+    "q_line_dedup": q_line_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -1732,4 +1779,5 @@ ORACLES: dict[str, str] = {
     # q_random_sample: seeded RNG — engines differ, rows-only by design
     "q_id_list_scan": SQL_ID_LIST_SCAN,
     "q_clic_hub_links": SQL_CLIC_HUB_LINKS,
+    "q_line_dedup": SQL_LINE_DEDUP,
 }

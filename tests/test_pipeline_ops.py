@@ -260,3 +260,21 @@ def test_minhash_lsh_recall_vs_bruteforce(spark):
     assert brute <= lsh or brute == lsh  # no missed true pairs
     # and LSH emits nothing below the verify threshold
     assert lsh <= brute
+
+
+def test_line_dedup_removes_boilerplate(spark):
+    """Injected footer (on every doc) is removed; unique lines survive
+    in original order."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.text import line_dedup
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "id": list(range(20)),
+        "t": [f"unique {i} alpha\nFOOTER\nunique {i} beta" for i in range(20)],
+    }))
+    out = line_dedup(docs, "id", "t", max_occurrences=10).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[3]["clean_text"] == "unique 3 alpha\nunique 3 beta"
+    assert by_id[3]["n_removed"] == 1 and by_id[3]["n_kept"] == 2
