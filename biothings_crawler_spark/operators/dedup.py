@@ -341,3 +341,51 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# --- near-dup clustering ---------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs by smallest-id label
+    propagation: (id, component) where component = min id reachable.
+
+    The dedup completion step: survivors are the rows with
+    id == component. Iterations = graph diameter (near-dup clusters are
+    small, so a handful); each iteration is one join + hash agg, with
+    lineage truncated via localCheckpoint so the plan stays flat at any
+    iteration count (same pattern as the BFS round loop)."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iters):
+        neigh = (
+            und.join(labels, und.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("n_comp", F.col("component"))).alias("component"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels

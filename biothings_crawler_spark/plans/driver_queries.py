@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from biothings_crawler_spark.operators.dedup import (
+    connected_components,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -1684,6 +1685,37 @@ FROM tot t LEFT JOIN rebuilt r USING (id)
 """
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup completion: connected components over the MinHash-LSH
+    near-dup pairs — (id, component) with component = smallest reachable
+    id; survivors are id == component. Iterative label propagation on
+    Spark vs a recursive-CTE transitive closure in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", k=3, n_perm=16, bands=4,
+                              verify_threshold=0.5)
+    nodes = d.select(F.col("doc_id").alias("id"))
+    return connected_components(pairs, nodes)
+
+
+SQL_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM s a, s b WHERE a.doc_id < b.doc_id)
+  WHERE jaccard >= 0.5),
+und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_revenue_orders": q_top_revenue_orders,
@@ -1731,6 +1763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_id_list_scan": q_id_list_scan,
     "q_clic_hub_links": q_clic_hub_links,
     "q_line_dedup": q_line_dedup,
+    "q_neardup_clusters": q_neardup_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -1780,4 +1813,5 @@ ORACLES: dict[str, str] = {
     "q_id_list_scan": SQL_ID_LIST_SCAN,
     "q_clic_hub_links": SQL_CLIC_HUB_LINKS,
     "q_line_dedup": SQL_LINE_DEDUP,
+    "q_neardup_clusters": SQL_NEARDUP_CLUSTERS,
 }

@@ -278,3 +278,18 @@ def test_line_dedup_removes_boilerplate(spark):
     by_id = {r["id"]: r for r in out}
     assert by_id[3]["clean_text"] == "unique 3 alpha\nunique 3 beta"
     assert by_id[3]["n_removed"] == 1 and by_id[3]["n_kept"] == 2
+
+
+def test_connected_components_chain(spark):
+    """Label propagation finds the min id across a multi-hop chain."""
+    import pandas as pd
+
+    from biothings_crawler_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "id_a": [1, 2, 3, 10],
+        "id_b": [2, 3, 4, 11],
+    }))
+    nodes = spark.createDataFrame(pd.DataFrame({"id": [1, 2, 3, 4, 10, 11, 99]}))
+    out = {r["id"]: r["component"] for r in connected_components(pairs, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
