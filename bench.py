@@ -68,6 +68,7 @@ SUITE = [
     "q_token_stats",
     "q_quality_stats",
     "q_event_windows",
+    "q_line_dedup",
 ]
 
 
