@@ -1716,6 +1716,48 @@ SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a
 """
 
 
+def q_discovery_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API dump scan (discovery.py:29-35): one-shot hit list, _id = base
+    prefix + hit._id."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(F.lit("https://discovery.biothings.io/api/dataset/"),
+                 F.col("doc_id").cast("string")).alias("_id"),
+        F.col("source"),
+    )
+
+
+SQL_DISCOVERY_DUMP = """
+SELECT 'https://discovery.biothings.io/api/dataset/' || CAST(doc_id AS VARCHAR) AS _id,
+       source
+FROM documents
+"""
+
+
+def q_mainentity_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """omicsdi mainEntity unwrap (omicsdi.py:31-33): per extracted item
+    keep doc.mainEntity (null allowed -> row dropped downstream)."""
+    d = _t(spark, sf_dir, "documents")
+    doc = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit('{"mainEntity":{"@type":"Dataset","name":"m'),
+                 F.col("doc_id").cast("string"), F.lit('"}}')),
+    ).otherwise(F.concat(F.lit('{"name":"plain'), F.col("doc_id").cast("string"), F.lit('"}')))
+    return d.select(
+        F.col("doc_id"),
+        F.get_json_object(doc, "$.mainEntity").alias("main_entity"),
+    )
+
+
+SQL_MAINENTITY_UNWRAP = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0
+            THEN '{"@type":"Dataset","name":"m' || CAST(doc_id AS VARCHAR) || '"}'
+            ELSE NULL END AS main_entity
+FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pricing_summary": q_pricing_summary,
     "q_top_revenue_orders": q_top_revenue_orders,
@@ -1764,6 +1806,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_clic_hub_links": q_clic_hub_links,
     "q_line_dedup": q_line_dedup,
     "q_neardup_clusters": q_neardup_clusters,
+    "q_discovery_dump": q_discovery_dump,
+    "q_mainentity_unwrap": q_mainentity_unwrap,
 }
 
 ORACLES: dict[str, str] = {
@@ -1814,4 +1858,6 @@ ORACLES: dict[str, str] = {
     "q_clic_hub_links": SQL_CLIC_HUB_LINKS,
     "q_line_dedup": SQL_LINE_DEDUP,
     "q_neardup_clusters": SQL_NEARDUP_CLUSTERS,
+    "q_discovery_dump": SQL_DISCOVERY_DUMP,
+    "q_mainentity_unwrap": SQL_MAINENTITY_UNWRAP,
 }
