@@ -74,9 +74,13 @@ def shingles3_pandas_udf(text: pd.Series) -> pd.Series:
     output (first-occurrence-distinct k-word shingles). The expression
     version runs as interpreted higher-order functions (~2.5 ms/doc);
     this path is ~10x faster and is the default for the LSH operators.
-    k is fixed at 3 (pandas_udf closures can't take parameters)."""
+    k is fixed at 3 (pandas_udf closures can't take parameters).
+    NULL text -> NULL shingles, matching the expression twin."""
     out = []
     for t in text:
+        if t is None:
+            out.append(None)
+            continue
         words = [w for w in _WS_RE.split(_NONALNUM_RE.sub(" ", t.lower()).strip()) if w]
         if len(words) >= 3:
             sh = [" ".join(words[i:i + 3]) for i in range(len(words) - 2)]
@@ -125,15 +129,18 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows = n_perm // bands
-    # persisted: the signature index is read by the band explode AND the
-    # per-pair verify join; without materialization Catalyst's projection
-    # collapse re-inlines the 16-fold signature expression once per
-    # sig[i] reference (16x the work per row). At 10^10 rows this index
-    # is a written table (LSH index build stage); in-memory here.
+    # materialized (eager localCheckpoint): the signature index is read
+    # by the band explode AND the per-pair verify join; without
+    # materialization Catalyst's projection collapse re-inlines the
+    # 16-fold signature expression once per sig[i] reference (16x the
+    # work per row). localCheckpoint rather than persist() so the blocks
+    # are reclaimed by the ContextCleaner when this DataFrame is GC'd —
+    # a bare persist() here leaked cache for the session lifetime. At
+    # 10^10 rows this index is a written table (LSH index build stage).
     base = df.select(
         F.col(id_col).alias("id"),
         _shingles(F.col(text_col), k, shingle_impl).alias("sh"),
-    ).withColumn("sig", minhash_signature_col(F.col("sh"), n_perm)).persist()
+    ).withColumn("sig", minhash_signature_col(F.col("sh"), n_perm)).localCheckpoint(eager=True)
     # band join carries ONLY (id, band) — shuffling the shingle arrays
     # (KBs/row) through the self-join would dominate at 10^10 rows; the
     # arrays are re-joined per deduped candidate pair instead (two hash
@@ -247,11 +254,13 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding (4×15-bit keys — two signatures
     within hamming<=3 collide on >=1 band) + bit_count verify."""
-    # persisted for the same projection-collapse reason as minhash:
-    # the 60-bit signature expression would otherwise be re-inlined per
+    # materialized (eager localCheckpoint, GC-reclaimable — see minhash
+    # note) for the same projection-collapse reason as minhash: the
+    # 60-bit signature expression would otherwise be re-inlined per
     # band-key reference
     sig = df.select(F.col(id_col).alias("id"),
-                    simhash_col(F.col(text_col), hash_family).alias("sig")).persist()
+                    simhash_col(F.col(text_col), hash_family).alias("sig")
+                    ).localCheckpoint(eager=True)
     banded = sig.select(
         "id", "sig",
         F.explode(F.array(*[
@@ -365,6 +374,7 @@ def connected_components(
     ).persist()
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
     labels = labels.localCheckpoint()
+    changed = -1
     for _ in range(max_iters):
         neigh = (
             und.join(labels, und.dst == labels.id)
@@ -388,4 +398,11 @@ def connected_components(
         if changed == 0:
             break
     und.unpersist()
+    if changed != 0:
+        # unconverged labels are silently WRONG (split components ->
+        # duplicates survive downstream dedup); fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "iterations; raise max_iters (component diameter exceeds it)"
+        )
     return labels

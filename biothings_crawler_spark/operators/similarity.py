@@ -62,18 +62,40 @@ def pick_centroids(
 def assign_cells(
     corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Each vector -> nearest centroid cell (broadcast centroids +
-    window min; one shuffle on the corpus)."""
+    """Each vector -> nearest centroid cell with ZERO shuffle of the
+    corpus: the C centroids are folded into ONE array-of-structs row,
+    broadcast (single-row nested-loop join), and the argmax runs as a
+    per-row array fold. The naive alternative — explode corpus x
+    centroids + window min per vec_id — shuffles C x the corpus just to
+    pick a per-row argmax; at 10^10 vectors that shuffle IS the job.
+
+    Tie-break matches the window formulation it replaces: highest
+    cosine, then smallest centroid_id (the fold walks centroids in
+    centroid_id order and replaces only on strictly-greater sim)."""
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    scored = c.join(F.broadcast(centroids)).withColumn(
-        "sim", cosine_col(F.col("v"), F.col("cv"))
+    cell_type = centroids.schema["centroid_id"].dataType.simpleString()
+    cent_row = centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("centroid_id"), F.col("cv")))
+        ).alias("cents")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("centroid_id").alias("cell"))
+    scored = c.join(F.broadcast(cent_row))
+    sims = F.transform(
+        F.col("cents"),
+        lambda s: F.struct(
+            s["centroid_id"].alias("cell"),
+            cosine_col(F.col("v"), s["cv"]).alias("sim"),
+        ),
     )
+    best = F.aggregate(
+        sims,
+        F.struct(
+            F.lit(None).cast(cell_type).alias("cell"),
+            F.lit(-2.0).cast("double").alias("sim"),
+        ),
+        lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc),
+    )
+    return scored.select("vec_id", "v", best["cell"].alias("cell"))
 
 
 def ivf_topk(

@@ -102,10 +102,14 @@ def line_dedup(
 
     Returns (id, clean_text, n_kept, n_removed).
 
-    Scale shape: posexplode -> hash-agg line counts (map-side partial;
-    the frequent-line set is tiny and broadcast back) -> anti-join ->
-    re-assemble with array_sort on (pos) — one shuffle for the count,
-    one for the regroup, no skew (line-hash keys).
+    Scale shape: posexplode -> hash-agg per-document line presence
+    (countDistinct(id): a line repeated inside ONE document does not
+    count as boilerplate) -> shuffled anti-join on the line key ->
+    re-assemble with array_sort on (pos). No broadcast hint: at 100 TB
+    the >max_occurrences boilerplate set (nav bars, footers, cookie
+    banners) is itself tens of GB; the anti-join shuffles on the line
+    key and AQE is free to downgrade to broadcast when the set really
+    is small. No skew (line-content keys are near-unique).
     """
     from pyspark.sql import functions as F
 
@@ -115,11 +119,11 @@ def line_dedup(
     )
     freq = (
         lines.groupBy("line")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.countDistinct("id").alias("n"))
         .filter(F.col("n") > max_occurrences)
         .select("line")
     )
-    kept = lines.join(F.broadcast(freq), "line", "left_anti")
+    kept = lines.join(freq, "line", "left_anti")
     rebuilt = (
         kept.groupBy("id")
         .agg(
