@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -248,9 +249,80 @@ def simhash_col(text: Column, hash_family: str = "xxhash64") -> Column:
     )
 
 
+_WORDSPLIT_RE = re.compile(r"\s+")
+
+# per-worker word->hash60 cache; crawl text is Zipfian, so the hit rate
+# is high. Capped to bound executor memory.
+_H60_CACHE_MAX = 1 << 20
+_h60_cache_md5: dict = {}
+_h60_cache_xxh: dict = {}
+
+
+def _simhash_batch(text: pd.Series, hash_one, cache: dict) -> pd.Series:
+    """numpy SimHash kernel shared by both hash-family UDFs: per doc,
+    distinct lowercased whitespace words -> 60-bit word hashes (cached)
+    -> bit-unpack to a (n_words, 60) 0/1 matrix -> signed column sums ->
+    sign bits. Bit-identical to simhash_col by construction (same word
+    set, same per-word hash, same >0 test)."""
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.int64)
+    out: list = [0] * len(text)
+    for row, t in enumerate(text):
+        if t is None:
+            out[row] = None  # NULL in -> NULL out, like the expression twin
+            continue
+        words = {w for w in _WORDSPLIT_RE.split(t.lower()) if w}
+        if not words:
+            continue
+        hs = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = cache.get(w)
+            if h is None:
+                h = np.uint64(hash_one(w) & 0xFFFFFFFFFFFFFFFF)
+                if len(cache) < _H60_CACHE_MAX:
+                    cache[w] = h
+            hs[i] = h
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        counts = 2 * bits.sum(axis=0) - len(words)  # sum of +/-1 per bit
+        out[row] = int(((counts > 0).astype(np.int64) * weights).sum())
+    return pd.Series(out, dtype=object)
+
+
+@F.pandas_udf(T.LongType())
+def simhash60_md5_pandas_udf(text: pd.Series) -> pd.Series:
+    """Arrow-vectorized twin of simhash_col(hash_family='md5'):
+    word hash = int(md5(w)[:15 hex], 16) — hashlib runs at C speed, and
+    the 60-bit unpack/sum is numpy, replacing the interpreted 60-branch
+    shiftright expression tree (the round-1 bench's second-worst entry)."""
+    import hashlib
+
+    def h(w: str) -> int:
+        return int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+
+    return _simhash_batch(text, h, _h60_cache_md5)
+
+
+@F.pandas_udf(T.LongType())
+def simhash60_xxh_pandas_udf(text: pd.Series) -> pd.Series:
+    """Arrow-vectorized twin of simhash_col(hash_family='xxhash64'):
+    word hash = Spark-compatible XXH64(utf8, seed=42) from hashing.py
+    (pure Python but cached per distinct word — Zipf makes this cheap)."""
+    from biothings_crawler_spark.hashing import xxhash64_str
+
+    return _simhash_batch(text, xxhash64_str, _h60_cache_xxh)
+
+
+def _simhash(text: Column, hash_family: str, impl: str) -> Column:
+    if impl == "pandas":
+        if hash_family == "md5":
+            return simhash60_md5_pandas_udf(text)
+        return simhash60_xxh_pandas_udf(text)
+    return simhash_col(text, hash_family)
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
-    hash_family: str = "xxhash64",
+    hash_family: str = "xxhash64", sig_impl: str = "pandas",
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding (4×15-bit keys — two signatures
     within hamming<=3 collide on >=1 band) + bit_count verify."""
@@ -259,7 +331,7 @@ def simhash_pairs(
     # 60-bit signature expression would otherwise be re-inlined per
     # band-key reference
     sig = df.select(F.col(id_col).alias("id"),
-                    simhash_col(F.col(text_col), hash_family).alias("sig")
+                    _simhash(F.col(text_col), hash_family, sig_impl).alias("sig")
                     ).localCheckpoint(eager=True)
     banded = sig.select(
         "id", "sig",

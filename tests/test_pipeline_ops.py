@@ -107,6 +107,29 @@ def test_simhash(spark):
     assert (0, 3) in pairs  # one word changed -> small hamming
 
 
+def test_simhash_pandas_twin_bit_identical(spark, documents):
+    """The numpy pandas-UDF signature (scale path) must equal the
+    expression signature bit-for-bit, for both hash families."""
+    from biothings_crawler_spark.operators.dedup import (
+        simhash60_md5_pandas_udf,
+        simhash60_xxh_pandas_udf,
+    )
+
+    d = documents.limit(150)
+    for fam, udf in (("md5", simhash60_md5_pandas_udf),
+                     ("xxhash64", simhash60_xxh_pandas_udf)):
+        bad = d.select(
+            simhash_col(F.col("text"), fam).alias("a"),
+            udf(F.col("text")).alias("b"),
+        ).filter("a <> b").count()
+        assert bad == 0, fam
+    # NULL text -> NULL, empty text -> 0, matching the expression twin
+    nulls = spark.createDataFrame([(None,), ("",)], "text string")
+    got = nulls.select(
+        simhash60_md5_pandas_udf(F.col("text")).alias("b")).collect()
+    assert [r["b"] for r in got] == [None, 0]
+
+
 def test_embedding_near_dup_and_topk(spark, embeddings):
     emb = embeddings.limit(200)
     # plant a near-exact duplicate of vec 0
