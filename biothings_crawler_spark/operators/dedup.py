@@ -369,24 +369,44 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def _plane_signs(dim: int, n_planes: int, seed: int, hash_family: str) -> list:
+    """The ±1 hyperplane components hash(seed:p:i) — row-independent
+    constants, so they are computed ONCE here (driver side) instead of
+    dim×n_planes hash evaluations per corpus row. md5 here == Spark's
+    md5 == DuckDB's md5; xxhash64 via the Spark-compatible pure-Python
+    XXH64 in hashing.py."""
+    import hashlib
+
+    from biothings_crawler_spark.hashing import xxhash64_str
+
+    signs = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            key = f"{seed}:{p}:{i}"
+            if hash_family == "md5":
+                s = 1.0 if hashlib.md5(key.encode()).hexdigest()[0] < "8" else -1.0
+            else:
+                s = 1.0 if xxhash64_str(key) > 0 else -1.0
+            row.append(s)
+        signs.append(row)
+    return signs
+
+
 def hyperplane_sig_col(
     vec: Column, dim: int, n_planes: int = 16, seed: int = 42,
     hash_family: str = "xxhash64",
 ) -> Column:
     """Random-hyperplane sign signature. Plane p component i =
     hash(seed:p:i) mapped to ±1 — deterministic, no stored planes.
-    'md5' family: +1 iff first hex digit of md5 < '8' (same in DuckDB)."""
-    def _sign(key: Column) -> Column:
-        if hash_family == "md5":
-            return F.when(F.substring(F.md5(key), 1, 1) < "8", F.lit(1.0)).otherwise(F.lit(-1.0))
-        return F.when(F.xxhash64(key) > 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    'md5' family: +1 iff first hex digit of md5 < '8' (same in DuckDB).
+    The sign matrix is a precomputed literal (see _plane_signs); per row
+    only the n_planes dot products run."""
+    signs = _plane_signs(dim, n_planes, seed, hash_family)
 
     def plane_dot(p: int) -> Column:
-        signs = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: _sign(F.concat_ws(":", F.lit(seed), F.lit(p), i.cast("string"))),
-        )
-        return F.aggregate(F.zip_with(vec, signs, lambda x, s: x * s),
+        lit_signs = F.array(*[F.lit(s) for s in signs[p]])
+        return F.aggregate(F.zip_with(vec, lit_signs, lambda x, s: x * s),
                            F.lit(0.0), lambda acc, x: acc + x)
 
     bits = [F.when(plane_dot(p) > 0, F.shiftleft(F.lit(1).cast("long"), p))
@@ -405,22 +425,50 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 16,
     hash_family: str = "xxhash64",
+    n_tables: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
-    """Near-duplicate vectors: same hyperplane bucket -> cosine verify."""
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        hyperplane_sig_col(F.col(vec_col), dim, n_planes, hash_family=hash_family).alias("bucket"),
-    )
-    a = sig.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
-    b = sig.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
-    return (
-        a.join(b, "bucket")
+    """Near-duplicate vectors: hyperplane-LSH buckets -> cosine verify.
+
+    Recall amplification: ``n_tables`` INDEPENDENT hash tables (table t
+    uses hyperplane seed ``seed + 1000*t``) OR-combined — a true pair is
+    missed only if it splits in every table, turning a single-table
+    recall cliff near the threshold (P(all n_planes signs agree) can be
+    well under 0.5) into 1-(1-p)^n_tables. Recall vs the brute-force
+    oracle is pytest-enforced (test_pipeline_ops).
+
+    Scale shape mirrors minhash_lsh_pairs: the bucket self-join carries
+    ONLY (id, table, bucket) — never the vectors; candidate pairs are
+    deduped across tables BEFORE the vectors are re-joined for the
+    cosine verification, so each surviving pair pays one cosine."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    banded = base.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_sig_col(
+                    F.col("v"), dim, n_planes, seed=seed + 1000 * t,
+                    hash_family=hash_family,
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ])).alias("tb"),
+    ).select("id", "tb.tbl", "tb.bucket")
+    a = banded.select(F.col("id").alias("id_a"), "tbl", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "tbl", "bucket")
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.join(base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
         .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -605,11 +605,14 @@ WHERE bit_count(xor(sig_a, sig_b)) <= 8
 """
 
 
+EMB_TABLES = 2
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(
         e, "vec_id", "embedding", dim=64, threshold=0.25, n_planes=8,
-        hash_family="md5",
+        hash_family="md5", n_tables=EMB_TABLES,
     )
 
 
@@ -625,15 +628,25 @@ def _sql_plane_sig(vec: str, n_planes: int = 8, dim: int = 64, seed: int = 42) -
     return "(" + " | ".join(terms) + ")"
 
 
+_SQL_EMB_SIGS = ",\n".join(
+    f"sig{t} AS (SELECT vec_id AS id, "
+    f"{_sql_plane_sig('embedding', seed=42 + 1000 * t)} AS bucket FROM embeddings)"
+    for t in range(EMB_TABLES)
+)
+_SQL_EMB_UNION = "\n  UNION\n".join(
+    f"  SELECT a.id AS id_a, b.id AS id_b FROM sig{t} a JOIN sig{t} b "
+    f"USING (bucket) WHERE a.id < b.id"
+    for t in range(EMB_TABLES)
+)
+
 SQL_EMBEDDING_NEAR_DUP = f"""
-WITH sig AS (
-  SELECT vec_id AS id, embedding AS v,
-         {_sql_plane_sig('embedding')} AS bucket
-  FROM embeddings)
+WITH {_SQL_EMB_SIGS},
+pairs AS (
+{_SQL_EMB_UNION}),
+base AS (SELECT vec_id AS id, embedding AS v FROM embeddings)
 SELECT id_a, id_b, cosine FROM (
-  SELECT a.id AS id_a, b.id AS id_b, {_sql_cosine('a.v', 'b.v')} AS cosine
-  FROM sig a JOIN sig b USING (bucket)
-  WHERE a.id < b.id)
+  SELECT p.id_a, p.id_b, {_sql_cosine('a.v', 'b.v')} AS cosine
+  FROM pairs p JOIN base a ON a.id = p.id_a JOIN base b ON b.id = p.id_b)
 WHERE cosine >= 0.25
 """
 

@@ -107,6 +107,49 @@ def test_simhash(spark):
     assert (0, 3) in pairs  # one word changed -> small hamming
 
 
+def test_hyperplane_lsh_recall_vs_brute_force(spark, embeddings):
+    """Multi-table OR-amplification must recover >=90% of the true
+    cosine>=0.95 pairs that a single 8-plane table can miss (the
+    round-1 recall cliff). Planted near-dups: one coordinate inflated."""
+    from biothings_crawler_spark.operators.dedup import cosine_col
+
+    emb = embeddings.limit(100).select("vec_id", "embedding")
+    dup = emb.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == F.col("vec_id") % 64, x * F.lit(1.2)).otherwise(x),
+        ).alias("embedding"),
+    )
+    planted = emb.unionByName(dup)
+    a = planted.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = planted.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= 0.95)
+        .collect()
+    }
+    assert truth, "fixture produced no true near-dup pairs"
+
+    def recall(n_tables: int) -> float:
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                planted, "vec_id", "embedding", dim=64, threshold=0.95,
+                n_planes=8, n_tables=n_tables,
+            ).collect()
+        }
+        assert got <= truth  # cosine verify: no false positives
+        return len(got & truth) / len(truth)
+
+    r1, r6 = recall(1), recall(6)
+    assert r6 >= 0.9, (r1, r6, len(truth))
+    assert r6 >= r1
+
+
 def test_simhash_pandas_twin_bit_identical(spark, documents):
     """The numpy pandas-UDF signature (scale path) must equal the
     expression signature bit-for-bit, for both hash families."""
