@@ -147,18 +147,26 @@ class CuckooFilter:
         b2 = (b1 ^ (int(_remix(np.array([fp], dtype=np.uint64))[0]))) % self.n_buckets
         return fp, b1, b2
 
+    def _fp_buckets_many(self, keys) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Vectorized twin of _fp_and_buckets — one _remix call per
+        batch instead of two numpy allocations per key."""
+        h = np.asarray(keys, dtype=np.int64).astype(np.uint64)
+        fp = (_remix(h) & np.uint64(0xFFFF))
+        fp[fp == 0] = 1
+        nb = np.uint64(self.n_buckets)
+        b1 = h % nb
+        b2 = (b1 ^ _remix(fp)) % nb
+        return fp, b1.astype(np.int64), b2.astype(np.int64)
+
     def _insert_at(self, b: int, fp: int) -> bool:
         row = self.table[b]
-        empty = np.where(row == 0)[0]
-        if len(empty):
-            row[empty[0]] = fp
-            return True
+        for s in range(self.SLOTS):
+            if row[s] == 0:
+                row[s] = fp
+                return True
         return False
 
-    def add(self, key: int) -> bool:
-        fp, b1, b2 = self._fp_and_buckets(key)
-        if self._insert_at(b1, fp) or self._insert_at(b2, fp):
-            return True
+    def _kick_insert(self, fp: int, b1: int, b2: int) -> bool:
         b = b1 if (fp + b1) % 2 else b2
         for kick in range(self.MAX_KICKS):
             slot = (fp + kick) % self.SLOTS
@@ -167,6 +175,12 @@ class CuckooFilter:
             if self._insert_at(b, fp):
                 return True
         return False  # table full — caller resizes
+
+    def add(self, key: int) -> bool:
+        fp, b1, b2 = self._fp_and_buckets(key)
+        if self._insert_at(b1, fp) or self._insert_at(b2, fp):
+            return True
+        return self._kick_insert(fp, b1, b2)
 
     def contains(self, key: int) -> bool:
         fp, b1, b2 = self._fp_and_buckets(key)
@@ -182,20 +196,44 @@ class CuckooFilter:
         return False
 
     def add_many(self, keys: np.ndarray) -> None:
-        for k in keys:
-            if not self.add(int(k)):
-                raise RuntimeError(
-                    "cuckoo segment full — size segments for expected "
-                    "capacity (CuckooFilter.sized_for)"
-                )
+        """Bulk insert: fingerprints/buckets computed in one vectorized
+        pass (the former per-key numpy allocs dominated); the placement
+        loop stays sequential — same table state as repeated add()."""
+        if not len(keys):
+            return
+        fps, b1s, b2s = self._fp_buckets_many(keys)
+        for fp, b1, b2 in zip(fps.tolist(), b1s.tolist(), b2s.tolist()):
+            if (self._insert_at(b1, fp) or self._insert_at(b2, fp)
+                    or self._kick_insert(fp, b1, b2)):
+                continue
+            raise RuntimeError(
+                "cuckoo segment full — size segments for expected "
+                "capacity (CuckooFilter.sized_for)"
+            )
 
     def contains_many(self, keys: np.ndarray) -> np.ndarray:
-        return np.fromiter(
-            (self.contains(int(k)) for k in keys), dtype=bool, count=len(keys)
-        )
+        """Fully vectorized probe: both candidate buckets gathered and
+        compared in numpy (no per-key Python)."""
+        if not len(keys):
+            return np.zeros(0, dtype=bool)
+        fps, b1s, b2s = self._fp_buckets_many(keys)
+        fp16 = fps.astype(np.uint16)[:, None]
+        return ((self.table[b1s] == fp16).any(axis=1)
+                | (self.table[b2s] == fp16).any(axis=1))
 
     def delete_many(self, keys: np.ndarray) -> int:
-        return sum(self.delete(int(k)) for k in keys)
+        if not len(keys):
+            return 0
+        fps, b1s, b2s = self._fp_buckets_many(keys)
+        n = 0
+        for fp, b1, b2 in zip(fps.tolist(), b1s.tolist(), b2s.tolist()):
+            for b in (b1, b2):
+                idx = np.where(self.table[b] == fp)[0]
+                if len(idx):
+                    self.table[b][idx[0]] = 0
+                    n += 1
+                    break
+        return n
 
     def to_bytes(self) -> bytes:
         head = np.array([0xC0C00F11, self.n_buckets], dtype=np.uint64)
@@ -263,7 +301,17 @@ def build_segments(
         prev_n = 0
         if len(prev_blob):
             prev_f = filter_from_bytes(bytes(prev_blob.iloc[0]))
-            bf = bf.merge(prev_f) if isinstance(prev_f, BloomFilter) and isinstance(bf, BloomFilter) else prev_f
+            if not isinstance(prev_f, type(bf)):
+                # membership filters cannot be converted in place (a
+                # cuckoo needs the key set, which a bloom doesn't keep);
+                # silently keeping the old kind made revocation-host
+                # migration a permanent no-op — fail loudly instead.
+                raise ValueError(
+                    f"segment {seg}: stored kind {type(prev_f).__name__} != "
+                    f"requested segment_kind={segment_kind!r}; rebuild the "
+                    "segment from the full key set to migrate kinds"
+                )
+            bf = bf.merge(prev_f) if isinstance(bf, BloomFilter) else prev_f
             prev_n = int(pdf["n_items"].dropna().iloc[0])
         new_keys = pdf.loc[pdf["url_hash"].notna(), "url_hash"].to_numpy(dtype=np.int64)
         bf.add_many(new_keys)
