@@ -96,8 +96,10 @@ def sample_video_frames(
     )
 
 
-def gen_media_fixture(spark, n: int = 64) -> DataFrame:
-    """Deterministic opaque-binary media rows (no real codecs)."""
+def gen_media_rows(n: int = 64) -> list[tuple]:
+    """Deterministic opaque-binary media rows (no real codecs) — pure
+    Python so the golden oracle (oracle/golden.py) and the Spark
+    fixture build from the same bytes."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -109,4 +111,8 @@ def gen_media_fixture(spark, n: int = 64) -> DataFrame:
             64 + (i * 3) % 512 if kind == "image" else None,
             float(1 + i % 10) if kind != "image" else None,
         ))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def gen_media_fixture(spark, n: int = 64) -> DataFrame:
+    return spark.createDataFrame(gen_media_rows(n), MEDIA_SCHEMA)

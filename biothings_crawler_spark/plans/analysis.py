@@ -183,13 +183,16 @@ def search_view(docs: DataFrame, q: str) -> DataFrame:
 
 
 def sample_docs(docs: DataFrame, k: int, seed: int = 42) -> DataFrame:
-    """Seeded random sampling (ALLOW_RANDOM_QUERY, config.py:35).
+    """Seeded random sampling (ALLOW_RANDOM_QUERY, config.py:35) by
+    hash ordering: ``ORDER BY md5(seed:_id) LIMIT k``.
 
-    ``ORDER BY rand(seed) LIMIT k`` — deterministic for a fixed seed,
-    partitioning, and input order (documented: engine RNGs differ, so
-    no cross-engine oracle; the reference's ES random scoring is
-    likewise non-portable)."""
-    return docs.orderBy(F.rand(seed), F.asc("_id")).limit(k)
+    md5 of the id is a uniform deterministic ranking that is identical
+    in every engine AND at every parallelism (rand(seed) is partition-
+    layout-dependent; this is not). Physical plan stays
+    TakeOrderedAndProject — per-partition top-k then merge, no full
+    sort, safe at any corpus size."""
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("_id")))
+    return docs.orderBy(key, F.asc("_id")).limit(k)
 
 
 def transform_hits(hits: DataFrame) -> DataFrame:

@@ -887,20 +887,24 @@ FROM documents GROUP BY 1
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-media feature extraction plumbing over mapInPandas; media
-    bytes synthesized from document text (the decode step is the
-    documented stub — operators/multimodal.py)."""
-    d = _t(spark, sf_dir, "documents")
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.encode("text", "utf-8").alias("content"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("double").alias("duration_s"),
+    """Binary-media feature extraction over mapInPandas (the decode is
+    the documented deterministic stub — operators/multimodal.py). The
+    fake byte-histogram features ARE deterministic, so this now has an
+    exact golden-parquet oracle: features are float32-quantized to
+    floor(x*1e6) ints and emitted as a canonical string on both sides
+    (no float-array hashing across engines)."""
+    from biothings_crawler_spark.operators.multimodal import gen_media_fixture
+
+    media = gen_media_fixture(spark, 64).coalesce(2)  # 64 rows, 2 tasks
+    out = extract_media_features(media)
+    feature_q = F.array_join(
+        F.transform(
+            "feature",
+            lambda x: F.floor(x.cast("double") * F.lit(1e6)).cast("string"),
+        ),
+        ",",
     )
-    return extract_media_features(media).select("media_id", "kind", "n_bytes")
+    return out.select("media_id", "kind", "n_bytes", feature_q.alias("feature_q"))
 
 
 
@@ -1456,25 +1460,21 @@ SELECT url, CAST(pos AS BIGINT) AS pos, link FROM (
 """
 
 
-def q_crawl_bfs_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full BFS crawl engine (plans/crawl.run_crawl) over the
-    deterministic fixture corpus: frontier -> robots -> bloom+exact
-    seen filter -> salted politeness -> fetch join -> extraction ->
-    link follow -> atomic round checkpoints. Returns the crawl ordering
-    (round, host, sched_rank, url_canon). Non-SQL-expressible (stateful
-    round loop) -> driver rows-only check; full equality vs the frozen
-    BFS simulator is pytest-enforced (tests/test_crawl_e2e.py)."""
+def _run_fixture_crawl(spark: SparkSession):
+    """Run the BFS crawl engine over the golden fixture corpus with the
+    exact config the frozen-simulator golden tables were built from
+    (oracle/golden.CRAWL_N / CRAWL_CFG — single source of truth, so the
+    Spark query and the DuckDB oracle cannot drift apart)."""
     import tempfile
 
     from biothings_crawler_spark.catalog import ParquetManifestCatalog
     from biothings_crawler_spark.fixtures import corpus
+    from biothings_crawler_spark.oracle import golden
     from biothings_crawler_spark.oracle.bfs import CrawlConfig
     from biothings_crawler_spark.plans.crawl import run_crawl
 
-    n = 100
-    cfg = CrawlConfig(max_rounds=2, default_budget=15, round_seconds=10.0,
-                      obey_robots=True, n_segments=4,
-                      bloom_bits_per_segment=1 << 14, bloom_hashes=5)
+    n = golden.CRAWL_N
+    cfg = CrawlConfig(**golden.CRAWL_CFG)
     ckpt = tempfile.mkdtemp(prefix="crawl-bfs-driver-")
     # tiny corpus: cap shuffle width so the round loop is not dominated
     # by empty-task scheduling under a wide session default
@@ -1487,10 +1487,58 @@ def q_crawl_bfs_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                   corpus.gen_policies(), ckpt, cfg)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    sched = ParquetManifestCatalog(ckpt).read(spark, "scheduled")
-    return sched.select("round", "host",
+    return ParquetManifestCatalog(ckpt)
+
+
+def q_crawl_bfs_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BFS crawl engine (plans/crawl.run_crawl) over the
+    deterministic fixture corpus: frontier -> robots -> bloom+exact
+    seen filter -> salted politeness -> fetch join -> extraction ->
+    link follow -> atomic round checkpoints. Returns the crawl ordering
+    (round, host, sched_rank, url_canon); the oracle is the frozen
+    pure-Python BFS simulator's expected ordering materialized to a
+    golden parquet (oracle/golden.py) — an EXACT cross-implementation
+    pair for the engine's reason-to-exist (helper.py:30-50,
+    broadscrape/clic.py:61-103)."""
+    cat = _run_fixture_crawl(spark)
+    sched = cat.read(spark, "scheduled")
+    return sched.select(F.col("round").cast("long").alias("round"), "host",
                         F.col("sched_rank").cast("long").alias("sched_rank"),
-                        "url_canon").orderBy("round", "host", "sched_rank")
+                        "url_canon")
+
+
+def q_crawl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship evidence, part 2: the docs the crawl EXTRACTED
+    (fetch join -> extract_items_udf -> canonical JSON) vs the frozen
+    simulator's expected docs — this pins the JSON-LD/GEO extraction
+    inside the loop, not just the scheduling."""
+    cat = _run_fixture_crawl(spark)
+    docs = cat.read(spark, "docs")
+    return docs.select(F.col("round").cast("long").alias("round"),
+                       "url_canon", "doc_json")
+
+
+def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD / mainEntity / GEO-table extraction over every fixture
+    page quirk (extruct comment-retry, strict=False control chars,
+    top-level arrays, falsy drops, _id inject — helper.py:30-50,
+    omicsdi.py:31-33, ncbi_geo.py:29-53): the engine's regex-scan
+    pandas UDF vs the frozen html.parser oracle's golden parquet."""
+    from biothings_crawler_spark.fixtures import corpus as cx
+    from biothings_crawler_spark.oracle import golden
+
+    rows = []
+    for i in range(golden.JSONLD_N):
+        r = cx.page_row(i, golden.JSONLD_N)
+        rows.append((r["url"], r["html"], cx.parser_for_source(cx.source_of(i))))
+    # coalesce: 300 fixture rows don't amortize 32 python-worker forks
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, parser string").coalesce(4)
+    return pages.select(
+        "url", "parser",
+        F.explode(extract_items_udf(F.col("html"), F.col("url"), F.col("parser"))
+                  ).alias("item_json"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1587,12 +1635,22 @@ FROM documents
 
 
 def q_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded random sampling (config.py:35 ALLOW_RANDOM_QUERY) — engine
-    RNGs are not portable, so rows-only by design."""
+    """Seeded random sampling (config.py:35 ALLOW_RANDOM_QUERY) via
+    hash ordering — md5(seed:_id) is a uniform, deterministic,
+    CROSS-ENGINE ranking (engine RNGs are not portable; md5 is), so
+    this is now an exact pair instead of rows-only."""
     d = _t(spark, sf_dir, "documents")
     docs = d.select(F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("_id"),
                     "source")
     return sample_docs(docs, 25, seed=42)
+
+
+SQL_RANDOM_SAMPLE = """
+SELECT _id, source FROM (
+  SELECT 'doc' || CAST(doc_id AS VARCHAR) AS _id, source FROM documents)
+ORDER BY md5('42:' || _id), _id
+LIMIT 25
+"""
 
 
 def q_id_list_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1761,27 +1819,48 @@ FROM documents
 
 
 def q_mainentity_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """omicsdi mainEntity unwrap (omicsdi.py:31-33): per extracted item
-    keep doc.mainEntity (null allowed -> row dropped downstream)."""
-    d = _t(spark, sf_dir, "documents")
-    doc = F.when(
-        F.col("doc_id") % 3 == 0,
-        F.concat(F.lit('{"mainEntity":{"@type":"Dataset","name":"m'),
-                 F.col("doc_id").cast("string"), F.lit('"}}')),
-    ).otherwise(F.concat(F.lit('{"name":"plain'), F.col("doc_id").cast("string"), F.lit('"}')))
-    return d.select(
-        F.col("doc_id"),
-        F.get_json_object(doc, "$.mainEntity").alias("main_entity"),
+    """omicsdi mainEntity unwrap (omicsdi.py:31-33) through the REAL
+    extraction path: fixture omicsdi pages (JSON-LD wrapped in a
+    mainEntity envelope, falsy wrappers dropped) -> extract_items_udf
+    with parser='jsonld_mainentity' -> unwrapped canonical items,
+    paired against the frozen oracle's golden parquet. (The round-1
+    version synthesized its JSON inline, exercising a string CASE
+    rather than the extractor — this is the real operator.)"""
+    return (
+        q_jsonld_extract(spark, sf_dir)
+        .filter(F.col("parser") == "jsonld_mainentity")
+        .select("url", "item_json")
     )
 
 
-SQL_MAINENTITY_UNWRAP = """
-SELECT doc_id,
-       CASE WHEN doc_id % 3 = 0
-            THEN '{"@type":"Dataset","name":"m' || CAST(doc_id AS VARCHAR) || '"}'
-            ELSE NULL END AS main_entity
-FROM documents
-"""
+# --- golden-parquet oracles (frozen pure-Python implementations of the
+# non-single-statement operators, materialized once — oracle/golden.py).
+# paths() is generate-if-missing: pure Python, no SparkSession, ~2s on
+# first import, free afterwards.
+from biothings_crawler_spark.oracle import golden as _golden  # noqa: E402
+
+_GOLDEN = _golden.paths()
+
+SQL_CRAWL_BFS_E2E = (
+    "SELECT round, host, sched_rank, url_canon "
+    f"FROM read_parquet('{_GOLDEN['crawl_sched']}')"
+)
+SQL_CRAWL_DOCS = (
+    "SELECT round, url_canon, doc_json "
+    f"FROM read_parquet('{_GOLDEN['crawl_docs']}')"
+)
+SQL_JSONLD_EXTRACT = (
+    "SELECT url, parser, item_json "
+    f"FROM read_parquet('{_GOLDEN['jsonld_items']}')"
+)
+SQL_MAINENTITY_UNWRAP = (
+    f"SELECT url, item_json FROM read_parquet('{_GOLDEN['jsonld_items']}') "
+    "WHERE parser = 'jsonld_mainentity'"
+)
+SQL_MULTIMODAL_FEATURES = (
+    "SELECT media_id, kind, n_bytes, feature_q "
+    f"FROM read_parquet('{_GOLDEN['media_features']}')"
+)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1823,6 +1902,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pmid_citation": q_pmid_citation,
     "q_link_extract": q_link_extract,
     "q_crawl_bfs_e2e": q_crawl_bfs_e2e,
+    "q_crawl_docs": q_crawl_docs,
+    "q_jsonld_extract": q_jsonld_extract,
     "q_api_seed_expansion": q_api_seed_expansion,
     "q_api_error_docs": q_api_error_docs,
     "q_api_stop_short": q_api_stop_short,
@@ -1860,7 +1941,7 @@ ORACLES: dict[str, str] = {
     "q_incremental_cursor": SQL_INCREMENTAL_CURSOR,
     "q_event_windows": SQL_EVENT_WINDOWS,
     "q_union_sources": SQL_UNION_SOURCES,
-    # q_multimodal_features: mapInPandas stub — rows-only check by design
+    "q_multimodal_features": SQL_MULTIMODAL_FEATURES,
     "q_id_range_scan": SQL_ID_RANGE_SCAN,
     "q_sitemap_expand": SQL_SITEMAP_EXPAND,
     "q_robots_filter": SQL_ROBOTS_FILTER,
@@ -1874,12 +1955,14 @@ ORACLES: dict[str, str] = {
     "q_upload_immport_transform": SQL_UPLOAD_IMMPORT_TRANSFORM,
     "q_pmid_citation": SQL_PMID_CITATION,
     "q_link_extract": SQL_LINK_EXTRACT,
-    # q_crawl_bfs_e2e: stateful BFS round loop — rows-only by design
+    "q_crawl_bfs_e2e": SQL_CRAWL_BFS_E2E,
+    "q_crawl_docs": SQL_CRAWL_DOCS,
+    "q_jsonld_extract": SQL_JSONLD_EXTRACT,
     "q_api_seed_expansion": SQL_API_SEED_EXPANSION,
     "q_api_error_docs": SQL_API_ERROR_DOCS,
     "q_api_stop_short": SQL_API_STOP_SHORT,
     "q_hit_transform": SQL_HIT_TRANSFORM,
-    # q_random_sample: seeded RNG — engines differ, rows-only by design
+    "q_random_sample": SQL_RANDOM_SAMPLE,
     "q_id_list_scan": SQL_ID_LIST_SCAN,
     "q_clic_hub_links": SQL_CLIC_HUB_LINKS,
     "q_line_dedup": SQL_LINE_DEDUP,

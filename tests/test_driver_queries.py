@@ -43,12 +43,10 @@ def duck():
 
 def test_registry_shape():
     assert set(ORACLES) <= set(QUERIES)
-    # every query without an oracle is a documented rows-only check
-    assert set(QUERIES) - set(ORACLES) == {
-        "q_multimodal_features",  # mapInPandas stub — no SQL analog
-        "q_crawl_bfs_e2e",        # stateful BFS round loop
-        "q_random_sample",        # seeded RNGs differ across engines
-    }
+    # round 2: every query has an exact oracle (golden-parquet pairs
+    # cover the BFS loop, extraction, media stub, and hash-ordered
+    # sampling) — zero rows-only checks
+    assert set(QUERIES) - set(ORACLES) == set()
 
 
 @pytest.mark.parametrize("name", FAST)
