@@ -87,6 +87,18 @@ class ParquetManifestCatalog:
             if round_no not in manifest["tables"][name]:
                 manifest["tables"][name].append(round_no)
                 manifest["tables"][name].sort()
+        # _meta provenance per commit (the reference stamps build
+        # date/version on typed indices, upload/__init__.py:219-232);
+        # manifest-only, so table bytes stay deterministic across runs.
+        import datetime as _dt
+
+        from biothings_crawler_spark import __version__
+
+        manifest.setdefault("_meta", {})[str(round_no)] = {
+            "build_date": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "build_version": __version__,
+            "src": {"engine": "biothings_crawler_spark"},
+        }
         self._write_manifest(manifest)
 
     def latest_round(self) -> int | None:

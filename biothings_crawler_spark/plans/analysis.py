@@ -195,6 +195,20 @@ def sample_docs(docs: DataFrame, k: int, seed: int = 42) -> DataFrame:
     return docs.orderBy(key, F.asc("_id")).limit(k)
 
 
+def existence_sample(
+    docs: DataFrame, field: str, missing: bool = False, k: int = 10,
+    json_col: str = "doc_json", id_col: str = "_id",
+) -> DataFrame:
+    """First-k docs having (or missing) a field — the reference's
+    interactive spot-check (crawler/analysis/field_aggs_funder.py:20-36,
+    scan-until-10). ES scan order isn't reproducible, so 'first' is
+    defined by id order here; plan is a pushed filter +
+    TakeOrderedAndProject (per-partition top-k, no full sort)."""
+    present = F.get_json_object(F.col(json_col), f"$['{field}']").isNotNull()
+    cond = ~present if missing else present
+    return docs.filter(cond).orderBy(F.asc(id_col)).limit(k)
+
+
 def transform_hits(hits: DataFrame) -> DataFrame:
     """Hit post-transform (web/pipeline.py:43-53): drop transport fields,
     rewrite the index name to the source label by substring match."""

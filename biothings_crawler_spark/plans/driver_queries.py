@@ -1800,6 +1800,212 @@ SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a
 """
 
 
+def _typed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic typed-write input with planted mapping conflicts:
+    doc_id%7==3 -> keywords is a string (should be array);
+    doc_id%11==5 -> name is an array (should be string);
+    funder present iff doc_id%3==0 (existence-sampling probe field)."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    keywords = F.when(i % 7 == 3, F.concat(F.lit('"kw'), s, F.lit('"'))).otherwise(
+        F.concat(F.lit('["kw'), s, F.lit('","x"]')))
+    name = F.when(i % 11 == 5, F.concat(F.lit('["n'), s, F.lit('"]'))).otherwise(
+        F.concat(F.lit('"n'), s, F.lit('"')))
+    funder = F.when(i % 3 == 0, F.lit(',"funder":"NIH"')).otherwise(F.lit(""))
+    return d.select(
+        "source",
+        F.concat(F.lit("doc"), s).alias("_id"),
+        F.concat(F.lit('{"name":'), name, F.lit(',"keywords":'), keywords,
+                 funder, F.lit("}")).alias("doc_json"),
+    )
+
+
+def q_reindex_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed reindex with conflicts quarantine (SURVEY §2.2: replaces
+    the reference's retry-into-suffixed-indices at
+    upload/__init__.py:195-211): docs violating the enforced mapping
+    land in an explicit conflicts table with field + observed type."""
+    from biothings_crawler_spark.plans.upload import reindex_conflicts
+
+    docs = _typed_docs(spark, sf_dir)
+    typed, conflicts = reindex_conflicts(
+        docs, {"name": "string", "keywords": "array"})
+    return conflicts
+
+
+SQL_REINDEX_CONFLICTS = """
+SELECT source, 'doc' || CAST(doc_id AS VARCHAR) AS _id,
+       'keywords' AS field, 'array' AS expected, 'string' AS actual
+FROM documents WHERE doc_id % 7 = 3
+UNION ALL
+SELECT source, 'doc' || CAST(doc_id AS VARCHAR),
+       'name', 'string', 'array'
+FROM documents WHERE doc_id % 11 = 5
+"""
+
+
+def q_existence_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence sampling (field_aggs_funder.py:20-36): first-10 docs
+    having and missing the funder field, 'first' = id order."""
+    from biothings_crawler_spark.plans.analysis import existence_sample
+
+    docs = _typed_docs(spark, sf_dir)
+    having = existence_sample(docs, "funder", missing=False, k=10).select(
+        "_id", F.lit("having").alias("probe"))
+    missing = existence_sample(docs, "funder", missing=True, k=10).select(
+        "_id", F.lit("missing").alias("probe"))
+    return having.unionByName(missing)
+
+
+SQL_EXISTENCE_SAMPLE = """
+WITH docs AS (
+  SELECT 'doc' || CAST(doc_id AS VARCHAR) AS _id, doc_id % 3 = 0 AS has_f
+  FROM documents)
+SELECT _id, 'having' AS probe FROM (
+  SELECT _id FROM docs WHERE has_f ORDER BY _id LIMIT 10)
+UNION ALL
+SELECT _id, 'missing' FROM (
+  SELECT _id FROM docs WHERE NOT has_f ORDER BY _id LIMIT 10)
+"""
+
+
+def q_sitemap_from_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-from-robots seeding (massbank.py:10 path): robots.txt
+    Sitemap: directives unioned with explicit sitemap seeds, distinct
+    (dedicated pair — round 1 folded this into the sitemap expansion)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    host_urls = F.array(*[
+        F.concat(F.lit("https://h"), F.col("n_nationkey").cast("string"),
+                 F.lit(f".example.org/sm-{j}.xml")) for j in (0, 1)
+    ])
+    robots = n.select(
+        F.concat(F.lit("h"), F.col("n_nationkey").cast("string")).alias("host"),
+        F.when(F.col("n_nationkey") % 2 == 0, host_urls)
+        .otherwise(F.array().cast("array<string>")).alias("sitemap_urls"),
+    )
+    explicit = r.select(
+        F.concat(F.lit("https://explicit.example.org/r"),
+                 F.col("r_regionkey").cast("string"), F.lit(".xml")).alias("sitemap_url")
+    ).unionByName(
+        r.limit(1).select(F.lit("https://h0.example.org/sm-0.xml").alias("sitemap_url"))
+    )
+    from biothings_crawler_spark.sources.sitemap import seed_sitemap_urls
+
+    return seed_sitemap_urls(robots, explicit)
+
+
+SQL_SITEMAP_FROM_ROBOTS = """
+SELECT DISTINCT sitemap_url FROM (
+  SELECT 'https://h' || CAST(n_nationkey AS VARCHAR) || '.example.org/sm-'
+         || CAST(j AS VARCHAR) || '.xml' AS sitemap_url
+  FROM nation, unnest([0, 1]) AS t(j) WHERE n_nationkey % 2 = 0
+  UNION ALL
+  SELECT 'https://explicit.example.org/r' || CAST(r_regionkey AS VARCHAR) || '.xml'
+  FROM region
+  UNION ALL
+  SELECT 'https://h0.example.org/sm-0.xml')
+"""
+
+
+REDIRECT_MAX_HOPS = 5
+_RED_URL = "https://r.example.org/u/"
+
+
+def _redirect_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic network for redirect tracing (harvard.py:104-122),
+    derived from documents: %50==49 self-loops (cycle guard), %10==6
+    404 finals, %4==0 200 finals, %4==1/2 hop down-chain (302->301->200
+    two-hop chains), %4==3 hops to doc_id+1 (the last one dangles ->
+    connection error)."""
+    d = _t(spark, sf_dir, "documents")
+    u = lambda c: F.concat(F.lit(_RED_URL), c.cast("string"))  # noqa: E731
+    i = F.col("doc_id")
+    status = (
+        F.when(i % 50 == 49, F.lit(301))
+        .when(i % 10 == 6, F.lit(404))
+        .when(i % 4 == 0, F.lit(200))
+        .when(i % 4 == 1, F.lit(301))
+        .when(i % 4 == 2, F.lit(302))
+        .otherwise(F.lit(301))
+    )
+    nxt = (
+        F.when(i % 50 == 49, u(i))
+        .when((i % 10 == 6) | (i % 4 == 0), F.lit(None).cast("string"))
+        .when((i % 4 == 1) | (i % 4 == 2), u(i - 1))
+        .otherwise(u(i + 1))
+    )
+    return d.select(u(i).alias("url"), nxt.alias("next_url"),
+                    status.cast("int").alias("status"))
+
+
+def q_redirect_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harvard redirect-chain tracing (harvard.py:104-122): per seed,
+    follow the hop table to {_id, success, location, status, history[]}
+    with connection-error and too-many-redirects exception docs;
+    iterative join with lineage truncation vs a DuckDB recursive CTE."""
+    from biothings_crawler_spark.operators.redirects import trace_redirects
+
+    hops = _redirect_hops(spark, sf_dir)
+    seeds = hops.select("url")
+    return trace_redirects(seeds, hops, max_hops=REDIRECT_MAX_HOPS)
+
+
+SQL_REDIRECT_TRACE = f"""
+WITH RECURSIVE hops AS (
+  SELECT '{_RED_URL}' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 50 = 49 THEN '{_RED_URL}' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 10 = 6 OR doc_id % 4 = 0 THEN NULL
+              WHEN doc_id % 4 IN (1, 2) THEN '{_RED_URL}' || CAST(doc_id - 1 AS VARCHAR)
+              ELSE '{_RED_URL}' || CAST(doc_id + 1 AS VARCHAR) END AS next_url,
+         CASE WHEN doc_id % 50 = 49 THEN 301
+              WHEN doc_id % 10 = 6 THEN 404
+              WHEN doc_id % 4 = 0 THEN 200
+              WHEN doc_id % 4 = 1 THEN 301
+              WHEN doc_id % 4 = 2 THEN 302
+              ELSE 301 END AS status
+  FROM documents),
+trace(_id, cur, hist, n, done, success, location, status, exception) AS (
+  SELECT url, url, '', 0, FALSE, NULL::BOOLEAN, NULL::VARCHAR,
+         NULL::BIGINT, NULL::VARCHAR
+  FROM hops
+  UNION ALL
+  SELECT t._id,
+         CASE WHEN h.url IS NOT NULL AND h.next_url IS NOT NULL
+                   AND h.status BETWEEN 300 AND 399
+              THEN h.next_url ELSE t.cur END,
+         CASE WHEN h.url IS NOT NULL AND h.next_url IS NOT NULL
+                   AND h.status BETWEEN 300 AND 399
+              THEN CASE WHEN t.hist = '' THEN '' ELSE t.hist || ',' END
+                   || '{{"status":' || CAST(h.status AS VARCHAR)
+                   || ',"url":"' || t.cur || '"}}'
+              ELSE t.hist END,
+         t.n + 1,
+         (h.url IS NULL) OR NOT (h.next_url IS NOT NULL
+                                 AND h.status BETWEEN 300 AND 399),
+         CASE WHEN h.url IS NULL THEN FALSE
+              WHEN NOT (h.next_url IS NOT NULL AND h.status BETWEEN 300 AND 399)
+              THEN TRUE ELSE NULL END,
+         CASE WHEN h.url IS NOT NULL
+                   AND NOT (h.next_url IS NOT NULL AND h.status BETWEEN 300 AND 399)
+              THEN t.cur END,
+         CASE WHEN h.url IS NOT NULL
+                   AND NOT (h.next_url IS NOT NULL AND h.status BETWEEN 300 AND 399)
+              THEN CAST(h.status AS BIGINT) END,
+         CASE WHEN h.url IS NULL THEN 'connection error' END
+  FROM trace t LEFT JOIN hops h ON t.cur = h.url
+  WHERE NOT t.done AND t.n < {REDIRECT_MAX_HOPS})
+SELECT _id, success, location, status,
+       '[' || hist || ']' AS history_json, exception
+FROM (
+  SELECT _id, success, location, status, hist, exception FROM trace WHERE done
+  UNION ALL
+  SELECT _id, FALSE, NULL, NULL, hist, 'too many redirects'
+  FROM trace WHERE NOT done AND n = {REDIRECT_MAX_HOPS})
+"""
+
+
 def q_discovery_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     """API dump scan (discovery.py:29-35): one-shot hit list, _id = base
     prefix + hit._id."""
@@ -1913,6 +2119,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_clic_hub_links": q_clic_hub_links,
     "q_line_dedup": q_line_dedup,
     "q_neardup_clusters": q_neardup_clusters,
+    "q_redirect_trace": q_redirect_trace,
+    "q_reindex_conflicts": q_reindex_conflicts,
+    "q_existence_sample": q_existence_sample,
+    "q_sitemap_from_robots": q_sitemap_from_robots,
     "q_discovery_dump": q_discovery_dump,
     "q_mainentity_unwrap": q_mainentity_unwrap,
 }
@@ -1967,6 +2177,10 @@ ORACLES: dict[str, str] = {
     "q_clic_hub_links": SQL_CLIC_HUB_LINKS,
     "q_line_dedup": SQL_LINE_DEDUP,
     "q_neardup_clusters": SQL_NEARDUP_CLUSTERS,
+    "q_redirect_trace": SQL_REDIRECT_TRACE,
+    "q_reindex_conflicts": SQL_REINDEX_CONFLICTS,
+    "q_existence_sample": SQL_EXISTENCE_SAMPLE,
+    "q_sitemap_from_robots": SQL_SITEMAP_FROM_ROBOTS,
     "q_discovery_dump": SQL_DISCOVERY_DUMP,
     "q_mainentity_unwrap": SQL_MAINENTITY_UNWRAP,
 }

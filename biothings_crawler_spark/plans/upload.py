@@ -209,6 +209,62 @@ UPLOADERS: dict[str, Transform] = {
 }
 
 
+def json_type_col(json_col, field: str):
+    """Observed JSON type of a field: 'array' | 'object' | 'number' |
+    'string' | NULL (absent). get_json_object returns raw JSON for
+    containers and the unquoted scalar otherwise — first-char + numeric
+    shape classify it natively (no Python)."""
+    raw = F.get_json_object(json_col, f"$['{field}']")
+    return (
+        F.when(raw.isNull(), F.lit(None).cast("string"))
+        .when(raw.startswith("["), F.lit("array"))
+        .when(raw.startswith("{"), F.lit("object"))
+        .when(raw.rlike(r"^-?[0-9]+(\.[0-9]+)?([eE][-+]?[0-9]+)?$"), F.lit("number"))
+        .otherwise(F.lit("string"))
+    )
+
+
+def reindex_conflicts(
+    docs: DataFrame, mapping: dict[str, str]
+) -> tuple[DataFrame, DataFrame]:
+    """Typed reindex with a conflicts quarantine (SURVEY §2.2 row 3).
+
+    The reference retries mapping-conflict docs into suffixed indices
+    dest_0..dest_9 and swallows every exception while doing so
+    (crawler/upload/__init__.py:195-211). Under an enforced schema that
+    dance is unnecessary AND lossy; instead docs whose observed JSON
+    field type contradicts the declared ``mapping`` ({field: expected
+    type}) are diverted to an explicit quarantine table carrying the
+    offending field and the observed type, and the clean remainder is
+    the typed write. One pass, no Python: the per-field type check is a
+    native expression array; a doc with zero violations is typed.
+
+    Returns (typed, conflicts): typed keeps the input schema; conflicts
+    is (source, _id, field, expected, actual)."""
+    checks = F.array(*[
+        F.when(
+            json_type_col(F.col("doc_json"), field).isNotNull()
+            & (json_type_col(F.col("doc_json"), field) != expected),
+            F.struct(
+                F.lit(field).alias("field"),
+                F.lit(expected).alias("expected"),
+                json_type_col(F.col("doc_json"), field).alias("actual"),
+            ),
+        )
+        for field, expected in sorted(mapping.items())
+    ])
+    flagged = docs.withColumn(
+        "_violations", F.filter(checks, lambda c: c.isNotNull())
+    )
+    typed = flagged.filter(F.size("_violations") == 0).drop("_violations")
+    conflicts = (
+        flagged.filter(F.size("_violations") > 0)
+        .select("source", "_id", F.explode("_violations").alias("v"))
+        .select("source", "_id", "v.field", "v.expected", "v.actual")
+    )
+    return typed, conflicts
+
+
 def _pmids_col():
     """Per-source PMID list, extracted natively (no Python)."""
     geo = F.transform(

@@ -105,3 +105,19 @@ def test_catalog_uncommitted_rounds_invisible(spark, tmp_path):
     # and a fresh commit for round 1 replaces the garbage
     cat.commit(1, {"t": spark.range(2).withColumnRenamed("id", "v")})
     assert cat.read(spark, "t", 1).count() == 2
+
+
+def test_catalog_commit_stamps_meta_provenance(spark, tmp_path):
+    """_meta build date/version per commit (upload/__init__.py:219-232
+    analog) — manifest-only, table bytes untouched."""
+    import json
+
+    from biothings_crawler_spark import __version__
+    from biothings_crawler_spark.catalog import ParquetManifestCatalog
+
+    cat = ParquetManifestCatalog(str(tmp_path))
+    cat.commit(0, {"t": spark.range(3)})
+    meta = json.loads((tmp_path / "_manifest.json").read_text())["_meta"]["0"]
+    assert meta["build_version"] == __version__
+    assert meta["src"]["engine"] == "biothings_crawler_spark"
+    assert "build_date" in meta

@@ -1,0 +1,76 @@
+"""Redirect-chain tracing (harvard.py:104-122 rebuild): multi-hop
+chains, terminal statuses, connection errors, cycle guard."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from biothings_crawler_spark.operators.redirects import (
+    redirect_error_docs,
+    trace_redirects,
+)
+
+HOPS = [
+    # a 3-hop chain: a -> b -> c -> d(200)
+    ("http://x/a", "http://x/b", 301),
+    ("http://x/b", "http://x/c", 302),
+    ("http://x/c", "http://x/d", 301),
+    ("http://x/d", None, 200),
+    # direct 404 final
+    ("http://x/e", None, 404),
+    # 2-cycle: f <-> g
+    ("http://x/f", "http://x/g", 301),
+    ("http://x/g", "http://x/f", 302),
+    # redirect into a missing URL
+    ("http://x/h", "http://x/missing", 301),
+]
+
+
+def _trace(spark, max_hops=10):
+    hops = spark.createDataFrame(HOPS, "url string, next_url string, status int")
+    seeds = spark.createDataFrame(
+        [("http://x/a",), ("http://x/e",), ("http://x/f",), ("http://x/h",),
+         ("http://x/nowhere",)],
+        "url string",
+    )
+    rows = trace_redirects(seeds, hops, max_hops=max_hops).collect()
+    return {r["_id"]: r for r in rows}
+
+def test_three_hop_chain_resolves(spark):
+    got = _trace(spark)
+    a = got["http://x/a"]
+    assert a["success"] and a["location"] == "http://x/d" and a["status"] == 200
+    hist = json.loads(a["history_json"])
+    assert hist == [
+        {"status": 301, "url": "http://x/a"},
+        {"status": 302, "url": "http://x/b"},
+        {"status": 301, "url": "http://x/c"},
+    ]
+
+
+def test_terminal_statuses_and_errors(spark):
+    got = _trace(spark)
+    e = got["http://x/e"]
+    assert e["success"] and e["status"] == 404 and e["history_json"] == "[]"
+    nowhere = got["http://x/nowhere"]
+    assert not nowhere["success"] and nowhere["exception"] == "connection error"
+    h = got["http://x/h"]
+    assert not h["success"] and h["exception"] == "connection error"
+    assert json.loads(h["history_json"]) == [{"status": 301, "url": "http://x/h"}]
+
+
+def test_cycle_hits_loop_guard(spark):
+    got = _trace(spark, max_hops=6)
+    f = got["http://x/f"]
+    assert not f["success"] and f["exception"] == "too many redirects"
+    assert len(json.loads(f["history_json"])) == 6  # one entry per hop taken
+
+
+def test_error_doc_sink_shape(spark):
+    hops = spark.createDataFrame(HOPS, "url string, next_url string, status int")
+    seeds = spark.createDataFrame([("http://x/nowhere",)], "url string")
+    docs = redirect_error_docs(trace_redirects(seeds, hops)).collect()
+    assert len(docs) == 1 and docs[0]["_type"] == "error"
+    doc = json.loads(docs[0]["_document"])
+    assert doc == {"_id": "http://x/nowhere",
+                   "exception": "connection error", "success": False}

@@ -216,3 +216,32 @@ def test_transform_docs_without_pmid_info(spark):
     )
     out = transform_docs(raw, None, RUN_TS).collect()
     assert json.loads(out[0]["doc_json"])["@type"] == "Dataset"
+
+
+def test_reindex_conflicts_quarantine(spark):
+    """SURVEY §2.2: mapping violations -> conflicts table; clean docs
+    pass through typed unchanged (replaces upload/__init__.py:195-211
+    suffixed-index retry)."""
+    from biothings_crawler_spark.plans.upload import reindex_conflicts
+
+    docs = spark.createDataFrame(
+        [
+            ("s", "ok", '{"name":"a","keywords":["k"]}'),
+            ("s", "bad_kw", '{"name":"b","keywords":"k"}'),
+            ("s", "bad_name", '{"name":["b"],"keywords":["k"]}'),
+            ("s", "both", '{"name":[1],"keywords":{"x":1}}'),
+            ("s", "absent", '{"name":"c"}'),  # missing field: no conflict
+        ],
+        "source string, _id string, doc_json string",
+    )
+    typed, conflicts = reindex_conflicts(
+        docs, {"name": "string", "keywords": "array"})
+    assert {r["_id"] for r in typed.collect()} == {"ok", "absent"}
+    got = {(r["_id"], r["field"], r["expected"], r["actual"])
+           for r in conflicts.collect()}
+    assert got == {
+        ("bad_kw", "keywords", "array", "string"),
+        ("bad_name", "name", "string", "array"),
+        ("both", "keywords", "array", "object"),
+        ("both", "name", "string", "array"),
+    }
