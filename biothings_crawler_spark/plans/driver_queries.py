@@ -1460,11 +1460,19 @@ SELECT url, CAST(pos AS BIGINT) AS pos, link FROM (
 """
 
 
+_FIXTURE_CRAWL_CACHE: dict = {}
+
+
 def _run_fixture_crawl(spark: SparkSession):
     """Run the BFS crawl engine over the golden fixture corpus with the
     exact config the frozen-simulator golden tables were built from
     (oracle/golden.CRAWL_N / CRAWL_CFG — single source of truth, so the
-    Spark query and the DuckDB oracle cannot drift apart)."""
+    Spark query and the DuckDB oracle cannot drift apart).
+
+    Memoized per process: q_crawl_bfs_e2e and q_crawl_docs read
+    different tables of the SAME deterministic crawl, so the second
+    query reuses the first's committed checkpoint instead of re-running
+    the engine."""
     import tempfile
 
     from biothings_crawler_spark.catalog import ParquetManifestCatalog
@@ -1475,6 +1483,9 @@ def _run_fixture_crawl(spark: SparkSession):
 
     n = golden.CRAWL_N
     cfg = CrawlConfig(**golden.CRAWL_CFG)
+    cache_key = (id(spark._jsparkSession), n)
+    if cache_key in _FIXTURE_CRAWL_CACHE:
+        return ParquetManifestCatalog(_FIXTURE_CRAWL_CACHE[cache_key])
     ckpt = tempfile.mkdtemp(prefix="crawl-bfs-driver-")
     # tiny corpus: cap shuffle width so the round loop is not dominated
     # by empty-task scheduling under a wide session default
@@ -1487,6 +1498,7 @@ def _run_fixture_crawl(spark: SparkSession):
                   corpus.gen_policies(), ckpt, cfg)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _FIXTURE_CRAWL_CACHE[cache_key] = ckpt
     return ParquetManifestCatalog(ckpt)
 
 
