@@ -98,6 +98,22 @@ def assign_cells(
     return scored.select("vec_id", "v", best["cell"].alias("cell"))
 
 
+def write_ivf_index(cells: DataFrame, path: str) -> None:
+    """Persist the assign_cells output as the on-disk IVF index:
+    parquet PARTITIONED BY cell. A probe query then reads only the
+    nprobe probed cells — at 10^10 vectors the scan is pruned to
+    nprobe/C of the table, either statically (literal cell filter) or
+    via dynamic partition pruning when the probes side is a broadcast
+    join (ivf_topk's shape; DPP is on by default). This is the
+    ingest-time artifact the in-memory path in q_ann_ivf_topk stands
+    in for."""
+    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def read_ivf_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def ivf_topk(
     cells: DataFrame,
     centroids: DataFrame,

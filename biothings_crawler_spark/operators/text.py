@@ -12,6 +12,7 @@ an LLM-pretraining pipeline at 100 TB.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -86,6 +87,85 @@ def fingerprint_col(text: Column) -> Column:
     text — the exact-dedup identity (md5 exists in both Spark and
     DuckDB, keeping the oracle pair byte-comparable)."""
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def winnow_fps_py(t: str, k: int, w: int) -> list[str]:
+    """Pure-Python winnowing kernel: md5 char k-gram hashes, sliding
+    w-window minima, first-occurrence distinct. Shared by the pandas
+    UDF and tests; byte-identical to the expression twin."""
+    import hashlib
+    import re
+
+    norm = re.sub(r"\s+", " ", t.lower()).strip()
+    n_grams = max(len(norm) - (k - 1), 1)
+    grams = [hashlib.md5(norm[i:i + k].encode("utf-8")).hexdigest()
+             for i in range(n_grams)]
+    n_windows = max(len(grams) - (w - 1), 1)
+    seen: set = set()
+    out: list[str] = []
+    for j in range(n_windows):
+        m = min(grams[j:j + w])
+        if m not in seen:
+            seen.add(m)
+            out.append(m)
+    return out
+
+
+def winnow_fingerprints(
+    df,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    impl: str = "pandas",
+):
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm): hash every character k-gram of the normalized
+    text, slide a w-wide window, keep each window's minimum hash,
+    distinct — a position-robust fingerprint set that detects partial
+    overlap (exact dedup's md5 can't; shingle Jaccard needs pairwise
+    work). Returns (id, fp) rows ready for a groupBy(fp) inverted
+    index — overlap candidates are fingerprint collisions, never a
+    pairwise scan.
+
+    ``impl='pandas'`` (default, the scale path) runs the per-doc
+    kernel Arrow-batched with hashlib at C speed. ``impl='expr'`` is
+    the native-expression twin for the DuckDB oracle; its gram array
+    is materialized through an eager localCheckpoint because a lambda
+    body re-evaluates outer expressions per element — without the
+    barrier the k-gram hashing would rerun once per window (O(L^2))."""
+    from pyspark.sql import functions as F
+
+    if impl == "pandas":
+        from pyspark.sql import types as T
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def _udf(text: pd.Series) -> pd.Series:
+            return pd.Series(
+                [None if t is None else winnow_fps_py(t, k, w) for t in text],
+                dtype=object,
+            )
+
+        fps = _udf(F.col(text_col))
+        return df.select(F.col(id_col).alias("id"), F.explode(fps).alias("fp"))
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(F.substr(norm, i, F.lit(k))),
+    )
+    with_grams = df.select(
+        F.col(id_col).alias("id"), grams.alias("grams")
+    ).localCheckpoint(eager=True)
+    n_windows = F.greatest(F.size(F.col("grams")) - F.lit(w - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(F.col("grams"), j, w)),
+        )
+    )
+    return with_grams.select("id", F.explode(fps).alias("fp"))
 
 
 def line_dedup(

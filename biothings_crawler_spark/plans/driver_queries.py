@@ -1781,6 +1781,40 @@ FROM tot t LEFT JOIN rebuilt r USING (id)
 """
 
 
+WINNOW_K, WINNOW_W = 8, 4
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: per-doc distinct window
+    minima over char 8-gram md5s, window 4 — partial-overlap detection
+    via fingerprint collisions (operators/text.winnow_fingerprints).
+    Raw (id, fp) rows, value-hashed against the DuckDB twin."""
+    from biothings_crawler_spark.operators.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "doc_id", "text", k=WINNOW_K, w=WINNOW_W)
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH norm AS (
+  SELECT doc_id AS id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents),
+g AS (
+  SELECT id,
+         [md5(substr(t, i, {WINNOW_K}))
+          for i in range(1, GREATEST(len(t) - {WINNOW_K - 1}, 1) + 1)] AS grams
+  FROM norm),
+w AS (
+  SELECT id,
+         list_distinct(
+           [list_min(grams[j:j+{WINNOW_W - 1}])
+            for j in range(1, GREATEST(len(grams) - {WINNOW_W - 1}, 1) + 1)]) AS fps
+  FROM g)
+SELECT id, unnest(fps) AS fp FROM w
+"""
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup completion: connected components over the MinHash-LSH
     near-dup pairs — (id, component) with component = smallest reachable
@@ -2131,6 +2165,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_clic_hub_links": q_clic_hub_links,
     "q_line_dedup": q_line_dedup,
     "q_neardup_clusters": q_neardup_clusters,
+    "q_winnow_fingerprints": q_winnow_fingerprints,
     "q_redirect_trace": q_redirect_trace,
     "q_reindex_conflicts": q_reindex_conflicts,
     "q_existence_sample": q_existence_sample,
@@ -2189,6 +2224,7 @@ ORACLES: dict[str, str] = {
     "q_clic_hub_links": SQL_CLIC_HUB_LINKS,
     "q_line_dedup": SQL_LINE_DEDUP,
     "q_neardup_clusters": SQL_NEARDUP_CLUSTERS,
+    "q_winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "q_redirect_trace": SQL_REDIRECT_TRACE,
     "q_reindex_conflicts": SQL_REINDEX_CONFLICTS,
     "q_existence_sample": SQL_EXISTENCE_SAMPLE,

@@ -359,3 +359,55 @@ def test_connected_components_chain(spark):
     nodes = spark.createDataFrame(pd.DataFrame({"id": [1, 2, 3, 4, 10, 11, 99]}))
     out = {r["id"]: r["component"] for r in connected_components(pairs, nodes).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_ivf_index_write_prunes_probed_cells(spark, embeddings, tmp_path):
+    """The persisted IVF index (partitioned by cell) must (a) give the
+    same top-k as the in-memory path and (b) let the probe join prune
+    the scan to the probed cells (dynamic partition pruning)."""
+    from biothings_crawler_spark.operators.similarity import (
+        assign_cells,
+        ivf_topk,
+        pick_centroids,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = embeddings.limit(400)
+    cents = pick_centroids(emb, "vec_id", "embedding", 8)
+    cells = assign_cells(emb, cents, "vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(cells, path)
+    on_disk = read_ivf_index(spark, path)
+
+    q = emb.filter(F.col("vec_id") < 3)
+    want = {(r["query_id"], r["vec_id"], r["rank"])
+            for r in ivf_topk(cells, cents, q, k=5, nprobe=3).collect()}
+    out = ivf_topk(on_disk, cents, q, k=5, nprobe=3)
+    got = {(r["query_id"], r["vec_id"], r["rank"]) for r in out.collect()}
+    assert got == want and len(got) == 15
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+
+
+def test_winnow_twins_and_overlap_detection(spark, documents):
+    """Pandas winnowing kernel == expression twin byte-for-byte, and
+    a planted partial overlap collides on shared fingerprints while
+    unrelated docs (mostly) don't."""
+    from biothings_crawler_spark.operators.text import winnow_fingerprints
+
+    d = documents.limit(60).select("doc_id", "text")
+    a = winnow_fingerprints(d, "doc_id", "text", impl="pandas")
+    b = winnow_fingerprints(d, "doc_id", "text", impl="expr")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    # partial overlap: doc 1_000_000 = second half of doc 0's text +
+    # fresh prefix; they must share fingerprints via the common suffix
+    rows = [(r["doc_id"], r["text"]) for r in d.limit(2).collect()]
+    planted = rows + [(1_000_000, "an entirely new beginning " + rows[0][1][len(rows[0][1]) // 2:])]
+    pdf = spark.createDataFrame(planted, "doc_id long, text string")
+    fps = winnow_fingerprints(pdf, "doc_id", "text")
+    inv = fps.groupBy("fp").agg(F.collect_set("id").alias("ids"))
+    both = inv.filter(F.array_contains("ids", 0) & F.array_contains("ids", 1_000_000)).count()
+    assert both > 0  # shared-suffix collision found via the inverted index
