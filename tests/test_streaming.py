@@ -43,3 +43,50 @@ def test_incremental_stream_available_now(spark, tmp_path):
     # no-op (idempotent re-run, the reference's exists()-skip analog)
     run_round()
     assert spark.read.parquet(dest).count() == 8
+
+
+def test_stateful_cursor_survives_restart(spark, tmp_path):
+    """applyInPandasWithState per-source cursor: run 1 emits everything
+    and stores cursors in the state store; a RESTARTED query on the same
+    checkpoint suppresses replayed/old rows and emits only newer ones
+    (SURVEY §2.11 custom stateful operator)."""
+    import pandas as pd
+
+    from biothings_crawler_spark.streaming.stateful import (
+        RECORD_SCHEMA,
+        incremental_cursor_stream,
+    )
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def run_once():
+        stream = spark.readStream.schema(RECORD_SCHEMA).parquet(str(src))
+        q = (
+            incremental_cursor_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["source"], r["rec_id"], r["ts"])
+            for r in spark.read.schema(RECORD_SCHEMA).parquet(str(out)).collect()
+        }
+
+    batch1 = [("figshare", f"r{i}", i) for i in range(1, 6)] + [("zenodo", "z1", 10)]
+    spark.createDataFrame(batch1, RECORD_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(str(src))
+    got1 = run_once()
+    assert got1 == set(batch1)  # first run: no cursor yet, all emitted
+
+    # replay ts 3..5 (stale) plus genuinely new 6..8; zenodo replays only
+    batch2 = [("figshare", f"r{i}b", i) for i in range(3, 9)] + [("zenodo", "z1", 10)]
+    spark.createDataFrame(batch2, RECORD_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(str(src))
+    got2 = run_once()
+    assert got2 - got1 == {("figshare", f"r{i}b", i) for i in range(6, 9)}
