@@ -1741,18 +1741,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-line docs synthesized from documents (5-word lines + an
     injected COMMON FOOTER on every doc); lines appearing in > 10 docs
     corpus-wide are dropped, order preserved."""
-    d = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(words) / 5).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda j: F.array_join(F.slice(words, j * 5 + 1, 5), " "),
-    )
-    docs = d.select(
-        F.col("doc_id").alias("id"),
-        F.concat(F.array_join(chunks, "\n"), F.lit("\nCOMMON FOOTER")).alias("t"),
-    )
-    return line_dedup(docs, "id", "t", max_occurrences=10)
+    return line_dedup(_chunked_docs(spark, sf_dir), "id", "t", max_occurrences=10)
 
 
 SQL_LINE_DEDUP = """
@@ -1815,6 +1804,130 @@ SELECT id, unnest(fps) AS fp FROM w
 """
 
 
+def _chunked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line docs synthesized from documents (5-word lines + an
+    injected COMMON FOOTER) — shared by q_line_dedup and q_clean_corpus."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / 5).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.array_join(F.slice(words, j * 5 + 1, 5), " "),
+    )
+    return d.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.array_join(chunks, "\n"), F.lit("\nCOMMON FOOTER")).alias("t"),
+    )
+
+
+_SQL_CHUNKED_DOCS = """
+  SELECT doc_id AS id,
+         array_to_string(
+           [array_to_string((string_split(text, ' '))[j*5+1:j*5+5], ' ')
+            for j in range(0, CAST(ceil(len(string_split(text, ' ')) / 5.0) AS INTEGER))],
+           chr(10)) || chr(10) || 'COMMON FOOTER' AS text
+  FROM documents
+"""
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-corpus cleaning pipeline (plans/pipeline):
+    lang filter -> quality filter -> exact dedup -> MinHash near-dup
+    components -> boilerplate line dedup -> token count, end-to-end in
+    one lazy plan, verified against one DuckDB statement (brute-force
+    pair generation + recursive-CTE components on the oracle side)."""
+    from biothings_crawler_spark.plans.pipeline import clean_corpus
+
+    # 500-doc oracle fixture: cap shuffle width so the component loop's
+    # per-iteration jobs aren't dominated by empty-task scheduling
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = clean_corpus(_chunked_docs(spark, sf_dir).coalesce(8), "id", "t")
+        # the component loop materializes eagerly (localCheckpoint), so
+        # the capped width is baked in before the conf is restored
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_SQL_Q40 = f"""(CASE WHEN len(text) BETWEEN 50 AND 20000 THEN 10 ELSE 0 END
+          + CASE WHEN len({_SQL_WORDS}) > 0
+                  AND CAST(len(text) AS DOUBLE) / len({_SQL_WORDS}) >= 3.0
+                  AND CAST(len(text) AS DOUBLE) / len({_SQL_WORDS}) <= 12.0
+                 THEN 10 ELSE 0 END
+          + CASE WHEN len(text) > 0
+                  AND CAST(len(list_filter(regexp_extract_all(text, '([^\\w\\s])', 1),
+                                           x -> len(x) > 0)) AS DOUBLE) / len(text) <= 0.2
+                 THEN 10 ELSE 0 END
+          + len(list_intersect(list_distinct({_SQL_WORDS}), {_SQL_EN})))"""
+
+SQL_CLEAN_CORPUS = f"""
+WITH RECURSIVE docs AS ({_SQL_CHUNKED_DOCS}),
+lq AS (
+  SELECT id, text FROM (
+    SELECT id, text,
+           len(list_intersect(list_distinct({_SQL_WORDS}), {_SQL_EN})) AS en,
+           len(list_intersect(list_distinct({_SQL_WORDS}), {_SQL_DE})) AS de,
+           len(list_intersect(list_distinct({_SQL_WORDS}), {_SQL_ES})) AS es,
+           {_SQL_Q40} AS q40
+    FROM docs)
+  WHERE en >= de AND en >= es AND en > 0 AND q40 >= 20),
+ex AS (SELECT MIN(id) AS id FROM lq
+       GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+d2 AS (SELECT lq.id, lq.text FROM lq JOIN ex USING (id)),
+wds AS (
+  SELECT id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+                     x -> len(x) > 0) AS words
+  FROM d2),
+shg AS (
+  SELECT id,
+         list_distinct(CASE WHEN len(words) >= 3
+           THEN [array_to_string(words[j:j+2], ' ') for j in range(1, len(words) - 1)]
+           ELSE [array_to_string(words, ' ')] END) AS sh
+  FROM wds),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+    FROM shg a, shg b
+    -- J>=0.5 requires |sh| sizes within 2x (min>=t*max): prunes the
+    -- quadratic list_intersect work without changing the result set
+    WHERE a.id < b.id
+      AND len(a.sh) <= 2 * len(b.sh) AND len(b.sh) <= 2 * len(a.sh))
+  WHERE j >= 0.5),
+und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT id, id FROM d2
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a),
+surv AS (SELECT d2.id, d2.text FROM d2 JOIN comp ON d2.id = comp.id
+         WHERE comp.component = d2.id),
+lines AS (
+  SELECT id, ls[i] AS line, i AS pos
+  FROM (SELECT id, string_split(text, chr(10)) AS ls FROM surv),
+       UNNEST(range(1, len(ls) + 1)) AS r(i)),
+freq AS (SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT id) > 10),
+keptl AS (SELECT l.id, l.line, l.pos FROM lines l ANTI JOIN freq USING (line)),
+rebuilt AS (
+  SELECT id, array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM keptl GROUP BY id),
+tot AS (SELECT id, len(string_split(text, chr(10))) AS n_lines FROM surv)
+SELECT t.id, coalesce(r.clean_text, '') AS clean_text,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       CAST(len(list_filter(regexp_extract_all(coalesce(r.clean_text, ''),
+                 '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])', 1),
+                 x -> len(x) > 0)) AS BIGINT) AS n_tokens
+FROM tot t LEFT JOIN rebuilt r USING (id)
+"""
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup completion: connected components over the MinHash-LSH
     near-dup pairs — (id, component) with component = smallest reachable
@@ -1834,7 +1947,9 @@ pairs AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-    FROM s a, s b WHERE a.doc_id < b.doc_id)
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+      AND len(a.sh) <= 2 * len(b.sh) AND len(b.sh) <= 2 * len(a.sh))
   WHERE jaccard >= 0.5),
 und AS (SELECT id_a AS a, id_b AS b FROM pairs
         UNION SELECT id_b, id_a FROM pairs),
@@ -2166,6 +2281,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_line_dedup": q_line_dedup,
     "q_neardup_clusters": q_neardup_clusters,
     "q_winnow_fingerprints": q_winnow_fingerprints,
+    "q_clean_corpus": q_clean_corpus,
     "q_redirect_trace": q_redirect_trace,
     "q_reindex_conflicts": q_reindex_conflicts,
     "q_existence_sample": q_existence_sample,
@@ -2225,6 +2341,7 @@ ORACLES: dict[str, str] = {
     "q_line_dedup": SQL_LINE_DEDUP,
     "q_neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "q_winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "q_clean_corpus": SQL_CLEAN_CORPUS,
     "q_redirect_trace": SQL_REDIRECT_TRACE,
     "q_reindex_conflicts": SQL_REINDEX_CONFLICTS,
     "q_existence_sample": SQL_EXISTENCE_SAMPLE,
