@@ -411,3 +411,34 @@ def test_winnow_twins_and_overlap_detection(spark, documents):
     inv = fps.groupBy("fp").agg(F.collect_set("id").alias("ids"))
     both = inv.filter(F.array_contains("ids", 0) & F.array_contains("ids", 1_000_000)).count()
     assert both > 0  # shared-suffix collision found via the inverted index
+
+
+def test_clean_corpus_each_stage_bites(spark):
+    """One planted casualty per pipeline stage: non-English dropped,
+    low-quality dropped, exact dup dropped, near-dup dropped (min id
+    survives), boilerplate line stripped from every survivor."""
+    from biothings_crawler_spark.plans.pipeline import clean_corpus
+
+    base = ("the data analysis of spark queries is done for the "
+            "research group with data quality in mind")
+    footer = "COMMON BOILERPLATE FOOTER LINE"
+
+    def tail(i):  # unique 30-word tail keeps pairwise jaccard low
+        return " ".join(f"w{i}x{j}" for j in range(30))
+
+    rows = [(i, f"{base} {tail(i)}\n{footer}") for i in range(12)]
+    rows += [
+        (100, rows[0][1]),                                   # exact dup of 0
+        (101, rows[1][1].replace("w1x7", "w1zz")),           # near dup of 1
+        (102, "der schnelle braune fuchs springt über den faulen hund "
+              "und die daten sind für das haus mit dem mann\n" + footer),  # de
+        (103, "x y\n" + footer),                              # too short: quality
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in
+           clean_corpus(df, "id", "text", jaccard=0.7, max_line_occ=10).collect()}
+
+    assert set(out) == set(range(12))          # 100-103 all dropped
+    assert all(footer not in out[i]["clean_text"] for i in out)  # >10 docs -> stripped
+    assert all(out[i]["n_removed"] == 1 for i in out)
+    assert all(out[i]["n_tokens"] > 0 for i in out)
