@@ -70,6 +70,8 @@ SUITE = [
     "q_event_windows",
     "q_line_dedup",
     "q_embedding_near_dup",
+    "q_pii_scrub",
+    "q_decontamination",
 ]
 
 

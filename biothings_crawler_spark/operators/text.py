@@ -168,6 +168,83 @@ def winnow_fingerprints(
     return with_grams.select("id", F.explode(fps).alias("fp"))
 
 
+def repetition_stats(df, id_col: str, text_col: str, line_sep: str = "\n"):
+    """Gopher-style repetition/format signals per document (Rae et al.
+    2021 quality rules; beyond the reference's analysis layer — this is
+    what the same corpus needs before pretraining):
+
+    - ``dup_line_frac``   1 - distinct/total over non-empty lines
+    - ``dup_para_frac``   same over blank-line-separated paragraphs
+    - ``bullet_frac``     lines starting with ``- `` / ``* ``
+    - ``ellipsis_frac``   lines ending with ``...``
+    - ``top_word_frac``   most frequent word / total words
+
+    The four line/paragraph ratios are pure array expressions — no
+    shuffle, whole-stage codegen over the scan. The word mode is the
+    one genuinely distributive piece: explode -> two hash aggs keyed
+    (id, word) then (id) — partial-agg friendly, near-unique keys, no
+    skew — then a 1:1 join back on id. At 10^10 docs the expression
+    half is free and the mode half is a single well-keyed shuffle.
+
+    Returns (id, n_lines, n_words, dup_line_frac, dup_para_frac,
+    bullet_frac, ellipsis_frac, top_word_frac) with ratio columns as
+    doubles in [0,1].
+    """
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, line_sep), lambda l: F.length(F.trim(l)) > 0)
+    paras = F.filter(
+        F.split(t, line_sep + line_sep), lambda p: F.length(F.trim(p)) > 0
+    )
+    n_lines = F.size(lines)
+    n_paras = F.size(paras)
+
+    def _dup_frac(arr, n):
+        return F.when(
+            n > 0, F.lit(1.0) - F.size(F.array_distinct(arr)) / n.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    def _line_frac(pred, n):
+        return F.when(
+            n > 0, F.size(F.filter(lines, pred)) / n.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    per_doc = df.select(
+        F.col(id_col).alias("id"),
+        words_col(t).alias("words"),
+        n_lines.cast("long").alias("n_lines"),
+        _dup_frac(lines, n_lines).alias("dup_line_frac"),
+        _dup_frac(paras, n_paras).alias("dup_para_frac"),
+        _line_frac(lambda l: l.rlike(r"^[-*] "), n_lines).alias("bullet_frac"),
+        _line_frac(lambda l: l.rlike(r"\.\.\.$"), n_lines).alias("ellipsis_frac"),
+    )
+    word_counts = (
+        per_doc.select("id", F.explode("words").alias("w"))
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_words"))
+    )
+    return (
+        per_doc.drop("words")
+        .join(word_counts, "id", "left")
+        .select(
+            "id",
+            "n_lines",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            "dup_line_frac",
+            "dup_para_frac",
+            "bullet_frac",
+            "ellipsis_frac",
+            F.when(
+                F.col("n_words") > 0,
+                F.col("top_c") / F.col("n_words").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("top_word_frac"),
+        )
+    )
+
+
 def line_dedup(
     df,
     id_col: str,

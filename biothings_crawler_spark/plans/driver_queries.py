@@ -2200,6 +2200,215 @@ def q_mainentity_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# web-text pipeline: PII scrub / repetition filters / decontamination
+# ---------------------------------------------------------------------------
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministically injected PII (email for
+    id%3==0, phone for id%4==0, IPv4 for id%5==0 — combinations occur
+    at the lcm residues, and id%3,4,5 != 0 rows stay PII-free)."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.org"))
+    phone = F.concat(
+        F.lit(" call 555-"),
+        F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" from 10."), (did % 256).cast("string"),
+        F.lit("."), ((did * 7) % 256).cast("string"),
+        F.lit("."), ((did * 13) % 256).cast("string"),
+    )
+    t = F.col("text")
+    t = F.when(did % 3 == 0, F.concat(t, email)).otherwise(t)
+    t = F.when(did % 4 == 0, F.concat(t, phone)).otherwise(t)
+    t = F.when(did % 5 == 0, F.concat(t, ip)).otherwise(t)
+    return d.select(did.alias("id"), t.alias("text"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/pii.pii_scrub): per-doc
+    email/IPv4/phone counts and the redacted text, over documents with
+    deterministically injected contact strings. Pure-expression pass —
+    the plan is one WholeStageCodegen projection, no exchange."""
+    from biothings_crawler_spark.operators.pii import pii_scrub
+
+    return pii_scrub(_pii_docs(spark, sf_dir), "id", "text")
+
+
+_SQL_PII_DOCS = """
+  SELECT doc_id AS id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents
+"""
+
+_RE_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_RE_IPV4_SQL = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+_RE_PHONE_SQL = "\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b"
+
+SQL_PII_SCRUB = f"""
+WITH docs AS ({_SQL_PII_DOCS}),
+s1 AS (SELECT id, text,
+              regexp_replace(text, '{_RE_EMAIL_SQL}', '<EMAIL>', 'g') AS t1
+       FROM docs),
+s2 AS (SELECT *, regexp_replace(t1, '{_RE_IPV4_SQL}', '<IP>', 'g') AS t2 FROM s1)
+SELECT id,
+       CAST(len(regexp_extract_all(text, '{_RE_EMAIL_SQL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{_RE_IPV4_SQL}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t2, '{_RE_PHONE_SQL}')) AS BIGINT) AS n_phones,
+       regexp_replace(t2, '{_RE_PHONE_SQL}', '<PHONE>', 'g') AS clean_text
+FROM s2
+"""
+
+
+def _repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked multi-line docs with planted casualties: duplicated
+    spam lines (id%7==0), bullet lines (id%11==0), ellipsis lines
+    (id%13==0)."""
+    d = _chunked_docs(spark, sf_dir)
+    did = F.col("id")
+    t = F.col("t")
+    t = F.when(did % 7 == 0, F.concat(t, F.lit("\nbuy now\nbuy now\nbuy now"))).otherwise(t)
+    t = F.when(did % 11 == 0, F.concat(t, F.lit("\n- item one\n- item two"))).otherwise(t)
+    t = F.when(did % 13 == 0, F.concat(t, F.lit("\nread more..."))).otherwise(t)
+    return d.select("id", t.alias("t"))
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/format quality signals
+    (operators/text.repetition_stats) over multi-line docs with
+    planted spam/bullet/ellipsis casualties; ratios quantized to
+    floor(x*1e6) BIGINT for cross-engine hashing, plus the composite
+    Gopher flag (dup_line>0.3 | dup_para>0.3 | top_word>0.2)."""
+    from biothings_crawler_spark.operators.text import repetition_stats
+
+    r = repetition_stats(_repetition_docs(spark, sf_dir), "id", "t")
+
+    def q6(c: str):
+        return F.floor(F.col(c) * 1e6).cast("long").alias(c.replace("_frac", "_q6"))
+
+    return r.select(
+        "id", "n_lines", "n_words",
+        q6("dup_line_frac"), q6("dup_para_frac"),
+        q6("bullet_frac"), q6("ellipsis_frac"), q6("top_word_frac"),
+        (
+            (F.col("dup_line_frac") > 0.3)
+            | (F.col("dup_para_frac") > 0.3)
+            | (F.col("top_word_frac") > 0.2)
+        ).alias("flagged"),
+    )
+
+
+SQL_REPETITION_STATS = f"""
+WITH base AS ({_SQL_CHUNKED_DOCS}),
+docs AS (
+  SELECT id,
+         text
+         || CASE WHEN id % 7 = 0 THEN chr(10) || 'buy now' || chr(10) || 'buy now' || chr(10) || 'buy now' ELSE '' END
+         || CASE WHEN id % 11 = 0 THEN chr(10) || '- item one' || chr(10) || '- item two' ELSE '' END
+         || CASE WHEN id % 13 = 0 THEN chr(10) || 'read more...' ELSE '' END AS t
+  FROM base),
+per AS (
+  SELECT id,
+         list_filter(string_split(t, chr(10)), l -> len(trim(l)) > 0) AS lines,
+         list_filter(string_split(t, chr(10) || chr(10)), p -> len(trim(p)) > 0) AS paras,
+         list_filter(string_split_regex(lower(t), '\\s+'), x -> len(x) > 0) AS words
+  FROM docs),
+expr AS (
+  SELECT id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CASE WHEN len(lines) > 0
+              THEN 1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE)
+              ELSE 0.0 END AS dup_line_frac,
+         CASE WHEN len(paras) > 0
+              THEN 1.0 - len(list_distinct(paras)) / CAST(len(paras) AS DOUBLE)
+              ELSE 0.0 END AS dup_para_frac,
+         CASE WHEN len(lines) > 0
+              THEN len(list_filter(lines, l -> regexp_matches(l, '^[-*] '))) / CAST(len(lines) AS DOUBLE)
+              ELSE 0.0 END AS bullet_frac,
+         CASE WHEN len(lines) > 0
+              THEN len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$'))) / CAST(len(lines) AS DOUBLE)
+              ELSE 0.0 END AS ellipsis_frac
+  FROM per),
+wc AS (
+  SELECT id, w, COUNT(*) AS c
+  FROM (SELECT id, unnest(words) AS w FROM per)
+  GROUP BY id, w),
+tops AS (SELECT id, MAX(c) AS top_c, SUM(c) AS n_words FROM wc GROUP BY id),
+joined AS (
+  SELECT e.*, CAST(coalesce(tp.n_words, 0) AS BIGINT) AS n_words,
+         CASE WHEN coalesce(tp.n_words, 0) > 0
+              THEN tp.top_c / CAST(tp.n_words AS DOUBLE) ELSE 0.0 END AS top_word_frac
+  FROM expr e LEFT JOIN tops tp USING (id))
+SELECT id, n_lines, n_words,
+       CAST(floor(dup_line_frac * 1e6) AS BIGINT) AS dup_line_q6,
+       CAST(floor(dup_para_frac * 1e6) AS BIGINT) AS dup_para_q6,
+       CAST(floor(bullet_frac * 1e6) AS BIGINT) AS bullet_q6,
+       CAST(floor(ellipsis_frac * 1e6) AS BIGINT) AS ellipsis_q6,
+       CAST(floor(top_word_frac * 1e6) AS BIGINT) AS top_word_q6,
+       (dup_line_frac > 0.3 OR dup_para_frac > 0.3 OR top_word_frac > 0.2) AS flagged
+FROM joined
+"""
+
+DECONTAM_N = 5
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/contamination.decontaminate,
+    GPT-3-style n-gram overlap, n=5 at fixture scale): the 'benchmark'
+    is a 10-word slice of every 20th document — those documents (and
+    any chance n-gram collisions) must flag as contaminated. The
+    benchmark gram set is broadcast (bounded by construction); the
+    corpus side never shuffles."""
+    from biothings_crawler_spark.operators.contamination import decontaminate
+    from biothings_crawler_spark.operators.text import words_col
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "text")
+    bench = d.filter(F.col("id") % 20 == 0).select(
+        F.array_join(F.slice(words_col(F.col("text")), 3, 10), " ").alias("text")
+    )
+    return decontaminate(d, bench, "id", "text", n=DECONTAM_N)
+
+
+_SQL_GRAMS5 = (
+    "CASE WHEN len(words) >= 5 THEN "
+    "[array_to_string(words[i:i+4], ' ') for i in range(1, len(words) - 3)] "
+    "ELSE [] END"
+)
+
+SQL_DECONTAMINATION = f"""
+WITH wds AS (SELECT doc_id AS id, {_SQL_WORDS} AS words FROM documents),
+bwords AS (SELECT words[3:12] AS words FROM wds WHERE id % 20 = 0),
+bgrams AS (
+  SELECT DISTINCT unnest({_SQL_GRAMS5}) AS gram FROM bwords),
+dg AS (SELECT id, list_distinct({_SQL_GRAMS5}) AS grams FROM wds),
+hits AS (
+  SELECT id, COUNT(*) AS n_hits
+  FROM (SELECT id, unnest(grams) AS gram FROM dg) JOIN bgrams USING (gram)
+  GROUP BY id)
+SELECT d.id, CAST(len(d.grams) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) >= 1 AS contaminated
+FROM dg d LEFT JOIN hits h USING (id)
+"""
+
+
 # --- golden-parquet oracles (frozen pure-Python implementations of the
 # non-single-statement operators, materialized once — oracle/golden.py).
 # paths() is generate-if-missing: pure Python, no SparkSession, ~2s on
@@ -2288,6 +2497,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sitemap_from_robots": q_sitemap_from_robots,
     "q_discovery_dump": q_discovery_dump,
     "q_mainentity_unwrap": q_mainentity_unwrap,
+    "q_pii_scrub": q_pii_scrub,
+    "q_repetition_stats": q_repetition_stats,
+    "q_decontamination": q_decontamination,
 }
 
 ORACLES: dict[str, str] = {
@@ -2348,4 +2560,7 @@ ORACLES: dict[str, str] = {
     "q_sitemap_from_robots": SQL_SITEMAP_FROM_ROBOTS,
     "q_discovery_dump": SQL_DISCOVERY_DUMP,
     "q_mainentity_unwrap": SQL_MAINENTITY_UNWRAP,
+    "q_pii_scrub": SQL_PII_SCRUB,
+    "q_repetition_stats": SQL_REPETITION_STATS,
+    "q_decontamination": SQL_DECONTAMINATION,
 }

@@ -442,3 +442,95 @@ def test_clean_corpus_each_stage_bites(spark):
     assert all(footer not in out[i]["clean_text"] for i in out)  # >10 docs -> stripped
     assert all(out[i]["n_removed"] == 1 for i in out)
     assert all(out[i]["n_tokens"] > 0 for i in out)
+
+
+# ---------------------------------------------------------------------------
+# PII scrub / repetition stats / decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from biothings_crawler_spark.operators.pii import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@lab.example.org today"),
+            (2, "server 192.168.001.12 and backup 10.0.0.1 up"),
+            (3, "call 555-123-4567 or 555 987 6543 now"),
+            (4, "no pii here at all"),
+            (5, None),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in pii_scrub(df, "id", "text").collect()}
+    assert out[1]["n_emails"] == 1 and "<EMAIL>" in out[1]["clean_text"]
+    assert "jane" not in out[1]["clean_text"]
+    assert out[2]["n_ipv4"] == 2 and out[2]["clean_text"].count("<IP>") == 2
+    assert out[3]["n_phones"] == 2 and out[3]["clean_text"].count("<PHONE>") == 2
+    assert out[4]["n_emails"] == out[4]["n_ipv4"] == out[4]["n_phones"] == 0
+    assert out[4]["clean_text"] == "no pii here at all"
+    # null text survives as null, not a crash (ADVICE round-1 lesson)
+    assert out[5]["clean_text"] is None
+
+
+def test_pii_scrub_email_host_not_double_counted(spark):
+    from biothings_crawler_spark.operators.pii import pii_scrub
+
+    # the email is scrubbed first, so its digits can't count as an IP
+    df = spark.createDataFrame([(1, "x 1.2.3.4@example.com y")], "id long, text string")
+    row = pii_scrub(df, "id", "text").collect()[0]
+    assert row["n_emails"] == 1 and row["n_ipv4"] == 0
+    assert row["clean_text"] == "x <EMAIL> y"
+
+
+def test_repetition_stats_casualties(spark):
+    from biothings_crawler_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\nalpha beta\nalpha beta\ngamma delta"),  # 50% dup lines
+            (2, "- one\n- two\nplain line ends...\nanother"),
+            (3, "spam spam spam spam spam other"),  # top word 5/6
+            (4, "all unique lines\nhere we go\nclean doc"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in repetition_stats(df, "id", "text").collect()}
+    assert out[1]["dup_line_frac"] == pytest.approx(0.5)
+    assert out[2]["bullet_frac"] == pytest.approx(0.5)
+    assert out[2]["ellipsis_frac"] == pytest.approx(0.25)
+    assert out[3]["top_word_frac"] == pytest.approx(5 / 6)
+    assert out[4]["dup_line_frac"] == 0.0
+    assert out[4]["top_word_frac"] < 0.4
+
+
+def test_decontaminate_flags_leaked_doc(spark):
+    from biothings_crawler_spark.operators.contamination import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words appear in this clean document"),
+            (3, "short doc"),  # < n words -> zero grams
+        ],
+        "id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("quick brown fox jumps over",)], "text string"
+    )
+    out = {r["id"]: r for r in decontaminate(docs, bench, "id", "text", n=5).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+
+
+def test_decontaminate_plan_broadcasts_bench(spark):
+    from biothings_crawler_spark.operators.contamination import decontaminate
+
+    docs = spark.range(20).select(
+        F.col("id"), F.lit("one two three four five six seven").alias("text")
+    )
+    bench = spark.createDataFrame([("one two three four five",)], "text string")
+    plan = decontaminate(docs, bench, "id", "text", n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
