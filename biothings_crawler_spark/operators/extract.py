@@ -137,6 +137,37 @@ def page_text_col(items: Column) -> Column:
     return F.concat(F.lit("["), F.array_join(items, ","), F.lit("]"))
 
 
+def html_to_text_col(html: Column) -> Column:
+    """Main-content extraction: HTML (binary, UTF-8) -> readable text,
+    entirely as native regexp/replace expressions (JVM codegen, zero
+    Python, zero shuffle) — the batch analog of the readability pass a
+    web-text pipeline runs on every Common-Crawl page before quality
+    filtering. Deliberately RE2-compatible (no lookaround/backrefs) so
+    the DuckDB oracle (q_html_to_text) runs the identical pipeline.
+
+    Passes, in order: drop <script>/<style> blocks and comments ->
+    block-closing tags and <br> become newlines -> every remaining tag
+    becomes a space -> decode the six core entities (&amp; last, per
+    HTML semantics: '&amp;lt;' must yield literal '&lt;') -> collapse
+    horizontal whitespace, tighten newlines, cap blank runs, trim."""
+    t = F.decode(html, "UTF-8")
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", "")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", "")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", "")
+    t = F.regexp_replace(t, r"(?i)<br[^>]*>|</(p|div|h[1-6]|li|tr|title)>", "\n")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    t = F.replace(t, F.lit("&nbsp;"), F.lit(" "))
+    t = F.replace(t, F.lit("&lt;"), F.lit("<"))
+    t = F.replace(t, F.lit("&gt;"), F.lit(">"))
+    t = F.replace(t, F.lit("&quot;"), F.lit('"'))
+    t = F.replace(t, F.lit("&#39;"), F.lit("'"))
+    t = F.replace(t, F.lit("&amp;"), F.lit("&"))
+    t = F.regexp_replace(t, r"[^\S\n]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
 def _hub_hrefs(node, out: list) -> None:
     if node.tag == "a":
         href = node.attrib.get("href")

@@ -2409,6 +2409,64 @@ FROM dg d LEFT JOIN hits h USING (id)
 """
 
 
+def q_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (operators/extract.html_to_text_col):
+    full HTML pages synthesized from documents (script/style blocks,
+    comments, entities incl. the '&amp;lt;' double-escape case, block
+    tags, <br>) -> readable text, all JVM regexp expressions. Oracle =
+    the identical RE2 pipeline in DuckDB."""
+    from biothings_crawler_spark.operators.extract import html_to_text_col
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    words = F.split(F.col("text"), " ")
+    p1 = F.array_join(F.slice(words, 1, 8), " ")
+    p2 = F.array_join(F.slice(words, 9, 1000), " ")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), i, F.lit("</title>"),
+        F.lit("<style>body { color: red; }</style>"),
+        F.lit('<script type="text/javascript">var x = "'), i, F.lit('";</script></head>'),
+        F.lit("<body><!-- build "), i, F.lit(" --><h1>Q&amp;A &amp;lt;doc "), i, F.lit("&gt;</h1>"),
+        F.lit("<p>"), p1, F.lit("</p><p>"), p2, F.lit("&nbsp;&#39;end&quot;</p>"),
+        F.lit("<ul><li>alpha</li><li>beta</li></ul><br>tail</body></html>"),
+    )
+    pages = d.select(F.col("doc_id").alias("id"), F.encode(html, "utf-8").alias("html"))
+    return pages.select("id", html_to_text_col(F.col("html")).alias("text"))
+
+
+SQL_HTML_TO_TEXT = """
+WITH d AS (
+  SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS i,
+         string_split(text, ' ') AS w
+  FROM documents),
+h AS (
+  SELECT id,
+         '<html><head><title>Doc ' || i || '</title>'
+         || '<style>body { color: red; }</style>'
+         || '<script type="text/javascript">var x = "' || i || '";</script></head>'
+         || '<body><!-- build ' || i || ' --><h1>Q&amp;A &amp;lt;doc ' || i || '&gt;</h1>'
+         || '<p>' || array_to_string(w[1:8], ' ') || '</p><p>'
+         || array_to_string(w[9:], ' ') || '&nbsp;&#39;end&quot;</p>'
+         || '<ul><li>alpha</li><li>beta</li></ul><br>tail</body></html>' AS t
+  FROM d),
+r1 AS (SELECT id, regexp_replace(t, '(?is)<script[^>]*>.*?</script>', '', 'g') AS t FROM h),
+r2 AS (SELECT id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', '', 'g') AS t FROM r1),
+r3 AS (SELECT id, regexp_replace(t, '(?s)<!--.*?-->', '', 'g') AS t FROM r2),
+r4 AS (SELECT id, regexp_replace(t, '(?i)<br[^>]*>|</(p|div|h[1-6]|li|tr|title)>', chr(10), 'g') AS t FROM r3),
+r5 AS (SELECT id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM r4),
+e AS (
+  SELECT id,
+         replace(replace(replace(replace(replace(replace(t,
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
+  FROM r5),
+w1 AS (SELECT id, regexp_replace(t, '[^\\S\\n]+', ' ', 'g') AS t FROM e),
+w2 AS (SELECT id, regexp_replace(t, ' ?\\n ?', chr(10), 'g') AS t FROM w1),
+w3 AS (SELECT id, regexp_replace(t, '\\n{3,}', chr(10) || chr(10), 'g') AS t FROM w2)
+SELECT id, regexp_replace(t, '^\\s+|\\s+$', '', 'g') AS text FROM w3
+"""
+
+
 # --- golden-parquet oracles (frozen pure-Python implementations of the
 # non-single-statement operators, materialized once — oracle/golden.py).
 # paths() is generate-if-missing: pure Python, no SparkSession, ~2s on
@@ -2500,6 +2558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pii_scrub": q_pii_scrub,
     "q_repetition_stats": q_repetition_stats,
     "q_decontamination": q_decontamination,
+    "q_html_to_text": q_html_to_text,
 }
 
 ORACLES: dict[str, str] = {
@@ -2563,4 +2622,5 @@ ORACLES: dict[str, str] = {
     "q_pii_scrub": SQL_PII_SCRUB,
     "q_repetition_stats": SQL_REPETITION_STATS,
     "q_decontamination": SQL_DECONTAMINATION,
+    "q_html_to_text": SQL_HTML_TO_TEXT,
 }

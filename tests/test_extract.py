@@ -55,3 +55,35 @@ def test_no_batch_eval_python_in_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_html_to_text_literal(spark):
+    from biothings_crawler_spark.operators.extract import html_to_text_col
+    from pyspark.sql import functions as F
+
+    html = (
+        "<html><head><title>T</title><style>p {x}</style>"
+        "<script>var a = '<p>not text</p>';</script></head>"
+        "<body><!-- hidden --><h1>A &amp; B</h1>"
+        "<p>one   two</p>\n\n\n\n<p>&amp;lt;kept&gt; &nbsp;&#39;q&quot;</p>"
+        "<ul><li>i1</li><li>i2</li></ul><br>end</body></html>"
+    )
+    df = spark.createDataFrame([(1, html.encode())], "id long, html binary")
+    out = df.select(html_to_text_col(F.col("html")).alias("t")).collect()[0]["t"]
+    # script/style/comment gone; &amp;lt; stays literal '&lt;' (amp last);
+    # block closers -> newlines, runs of 3+ newlines capped at 2
+    # the </ul> tag becomes a space between the <li> and <br> newlines,
+    # which tightens to a blank line — a paragraph break after the list
+    assert out == "T\nA & B\none two\n\n&lt;kept> 'q\"\ni1\ni2\n\nend"
+
+
+def test_html_to_text_plan_is_pure_projection(spark):
+    from biothings_crawler_spark.operators.extract import html_to_text_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, b"<p>x</p>")], "id long, html binary")
+    plan = (
+        df.select(html_to_text_col(F.col("html")).alias("t"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
