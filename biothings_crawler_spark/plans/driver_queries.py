@@ -2467,6 +2467,40 @@ SELECT id, regexp_replace(t, '^\\s+|\\s+$', '', 'g') AS text FROM w3
 """
 
 
+MIX_RATES = [0.8, 0.4, 0.2, 0.1]  # by source-number % 4
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling (operators/sampling): per-source
+    keep rates (0.8/0.4/0.2/0.1 by source number % 4), decision =
+    md5-u60 hash threshold — zero shuffle, and the oracle verifies the
+    individual sampling DECISIONS, not just the rates."""
+    from biothings_crawler_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "source"
+    )
+    rates = {f"src{i}": MIX_RATES[i % 4] for i in range(20)}
+    return mixture_sample(d, "id", "source", rates, seed="mix1")
+
+
+def _mix_sql_thresholds() -> str:
+    from biothings_crawler_spark.operators.sampling import rate_threshold
+
+    whens = "\n".join(
+        f"         WHEN {m} THEN {rate_threshold(MIX_RATES[m])}" for m in range(4)
+    )
+    return f"CASE CAST(substr(source, 4) AS INT) % 4\n{whens}\n         END"
+
+
+SQL_MIXTURE_SAMPLE = f"""
+SELECT doc_id AS id, source
+FROM documents
+WHERE ('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      < {_mix_sql_thresholds()}
+"""
+
+
 # --- golden-parquet oracles (frozen pure-Python implementations of the
 # non-single-statement operators, materialized once — oracle/golden.py).
 # paths() is generate-if-missing: pure Python, no SparkSession, ~2s on
@@ -2559,6 +2593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_repetition_stats": q_repetition_stats,
     "q_decontamination": q_decontamination,
     "q_html_to_text": q_html_to_text,
+    "q_mixture_sample": q_mixture_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -2623,4 +2658,5 @@ ORACLES: dict[str, str] = {
     "q_repetition_stats": SQL_REPETITION_STATS,
     "q_decontamination": SQL_DECONTAMINATION,
     "q_html_to_text": SQL_HTML_TO_TEXT,
+    "q_mixture_sample": SQL_MIXTURE_SAMPLE,
 }

@@ -534,3 +534,34 @@ def test_decontaminate_plan_broadcasts_bench(spark):
     plan = decontaminate(docs, bench, "id", "text", n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from biothings_crawler_spark.operators.sampling import mixture_sample
+
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("src"),
+    )
+    out = mixture_sample(df, "id", "src", {"s0": 0.9, "s1": 0.1}, seed="t")
+    counts = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # 2000 per stratum; binomial bounds are generous
+    assert 1650 <= counts["s0"] <= 1950
+    assert 120 <= counts["s1"] <= 280
+    # identical second run (pure function of (seed, id))
+    again = mixture_sample(df, "id", "src", {"s0": 0.9, "s1": 0.1}, seed="t")
+    assert sorted(r["id"] for r in out.collect()) == sorted(r["id"] for r in again.collect())
+    # default_rate=0 drops strata not in the map
+    none = mixture_sample(df, "id", "src", {"s0": 0.5}, seed="t")
+    assert none.filter("src = 's1'").count() == 0
+    # plan: pure filter, no exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_mixture_sample_rejects_bad_rate(spark):
+    from biothings_crawler_spark.operators.sampling import mixture_sample
+
+    df = spark.range(5).select(F.col("id"), F.lit("s").alias("src"))
+    with pytest.raises(ValueError):
+        mixture_sample(df, "id", "src", {"s": 1.5})
