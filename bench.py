@@ -72,6 +72,7 @@ SUITE = [
     "q_embedding_near_dup",
     "q_pii_scrub",
     "q_decontamination",
+    "q_html_to_text",
 ]
 
 
