@@ -2409,61 +2409,196 @@ FROM dg d LEFT JOIN hits h USING (id)
 """
 
 
-def q_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Main-content extraction (operators/extract.html_to_text_col):
-    full HTML pages synthesized from documents (script/style blocks,
-    comments, entities incl. the '&amp;lt;' double-escape case, block
-    tags, <br>) -> readable text, all JVM regexp expressions. Oracle =
-    the identical RE2 pipeline in DuckDB."""
-    from biothings_crawler_spark.operators.extract import html_to_text_col
-
+def _synth_html_pages(
+    spark: SparkSession, sf_dir: str, inject_email: bool = False
+) -> DataFrame:
+    """(id, source, html binary) pages synthesized from documents:
+    script/style blocks, comments, entities incl. the '&amp;lt;'
+    double-escape case, block tags, <br>; optionally an email in the
+    second paragraph for id%3==0 (the web_refine PII casualty)."""
     d = _t(spark, sf_dir, "documents")
     i = F.col("doc_id").cast("string")
     words = F.split(F.col("text"), " ")
     p1 = F.array_join(F.slice(words, 1, 8), " ")
     p2 = F.array_join(F.slice(words, 9, 1000), " ")
+    spam = F.lit("")
+    if inject_email:
+        # web_refine casualties: an email (PII scrub must catch it) and,
+        # for id%9==0, a 6-item spam list (dup_line_frac 5/13 > 0.3 after
+        # html->text, so the repetition filter must drop the doc)
+        p2 = F.concat(
+            p2,
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), i, F.lit("@example.org")),
+            ).otherwise(F.lit("")),
+        )
+        spam = F.when(
+            F.col("doc_id") % 9 == 0, F.lit("<li>buy now</li>" * 6)
+        ).otherwise(F.lit(""))
     html = F.concat(
         F.lit("<html><head><title>Doc "), i, F.lit("</title>"),
         F.lit("<style>body { color: red; }</style>"),
         F.lit('<script type="text/javascript">var x = "'), i, F.lit('";</script></head>'),
         F.lit("<body><!-- build "), i, F.lit(" --><h1>Q&amp;A &amp;lt;doc "), i, F.lit("&gt;</h1>"),
         F.lit("<p>"), p1, F.lit("</p><p>"), p2, F.lit("&nbsp;&#39;end&quot;</p>"),
-        F.lit("<ul><li>alpha</li><li>beta</li></ul><br>tail</body></html>"),
+        F.lit("<ul><li>alpha</li><li>beta</li>"), spam,
+        F.lit("</ul><br>tail</body></html>"),
     )
-    pages = d.select(F.col("doc_id").alias("id"), F.encode(html, "utf-8").alias("html"))
+    return d.select(
+        F.col("doc_id").alias("id"), "source", F.encode(html, "utf-8").alias("html")
+    )
+
+
+def q_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (operators/extract.html_to_text_col):
+    full HTML pages synthesized from documents -> readable text, all
+    JVM regexp expressions. Oracle = the identical RE2 pipeline in
+    DuckDB."""
+    from biothings_crawler_spark.operators.extract import html_to_text_col
+
+    pages = _synth_html_pages(spark, sf_dir)
     return pages.select("id", html_to_text_col(F.col("html")).alias("text"))
 
 
-SQL_HTML_TO_TEXT = """
-WITH d AS (
+def _sql_html_pipeline(inject_email: bool = False) -> str:
+    """CTE chain d -> h -> ... -> tx(id, source, text): the synthetic
+    pages plus the full RE2 html->text pipeline, ending at extracted
+    text. Shared by SQL_HTML_TO_TEXT and SQL_WEB_REFINE."""
+    email = (
+        " || CASE WHEN id % 3 = 0 THEN ' contact user' || i || '@example.org'"
+        " ELSE '' END"
+        if inject_email
+        else ""
+    )
+    spam = (
+        " || CASE WHEN id % 9 = 0 THEN repeat('<li>buy now</li>', 6)"
+        " ELSE '' END"
+        if inject_email
+        else ""
+    )
+    return f"""
+d AS (
   SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS i,
-         string_split(text, ' ') AS w
+         string_split(text, ' ') AS w, source
   FROM documents),
 h AS (
-  SELECT id,
+  SELECT id, source,
          '<html><head><title>Doc ' || i || '</title>'
-         || '<style>body { color: red; }</style>'
+         || '<style>body {{ color: red; }}</style>'
          || '<script type="text/javascript">var x = "' || i || '";</script></head>'
          || '<body><!-- build ' || i || ' --><h1>Q&amp;A &amp;lt;doc ' || i || '&gt;</h1>'
          || '<p>' || array_to_string(w[1:8], ' ') || '</p><p>'
-         || array_to_string(w[9:], ' ') || '&nbsp;&#39;end&quot;</p>'
-         || '<ul><li>alpha</li><li>beta</li></ul><br>tail</body></html>' AS t
+         || array_to_string(w[9:], ' '){email} || '&nbsp;&#39;end&quot;</p>'
+         || '<ul><li>alpha</li><li>beta</li>'{spam}
+         || '</ul><br>tail</body></html>' AS t
   FROM d),
-r1 AS (SELECT id, regexp_replace(t, '(?is)<script[^>]*>.*?</script>', '', 'g') AS t FROM h),
-r2 AS (SELECT id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', '', 'g') AS t FROM r1),
-r3 AS (SELECT id, regexp_replace(t, '(?s)<!--.*?-->', '', 'g') AS t FROM r2),
-r4 AS (SELECT id, regexp_replace(t, '(?i)<br[^>]*>|</(p|div|h[1-6]|li|tr|title)>', chr(10), 'g') AS t FROM r3),
-r5 AS (SELECT id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM r4),
+r1 AS (SELECT id, source, regexp_replace(t, '(?is)<script[^>]*>.*?</script>', '', 'g') AS t FROM h),
+r2 AS (SELECT id, source, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', '', 'g') AS t FROM r1),
+r3 AS (SELECT id, source, regexp_replace(t, '(?s)<!--.*?-->', '', 'g') AS t FROM r2),
+r4 AS (SELECT id, source, regexp_replace(t, '(?i)<br[^>]*>|</(p|div|h[1-6]|li|tr|title)>', chr(10), 'g') AS t FROM r3),
+r5 AS (SELECT id, source, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM r4),
 e AS (
-  SELECT id,
+  SELECT id, source,
          replace(replace(replace(replace(replace(replace(t,
            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
            '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
   FROM r5),
-w1 AS (SELECT id, regexp_replace(t, '[^\\S\\n]+', ' ', 'g') AS t FROM e),
-w2 AS (SELECT id, regexp_replace(t, ' ?\\n ?', chr(10), 'g') AS t FROM w1),
-w3 AS (SELECT id, regexp_replace(t, '\\n{3,}', chr(10) || chr(10), 'g') AS t FROM w2)
-SELECT id, regexp_replace(t, '^\\s+|\\s+$', '', 'g') AS text FROM w3
+w1 AS (SELECT id, source, regexp_replace(t, '[^\\S\\n]+', ' ', 'g') AS t FROM e),
+w2 AS (SELECT id, source, regexp_replace(t, ' ?\\n ?', chr(10), 'g') AS t FROM w1),
+w3 AS (SELECT id, source, regexp_replace(t, '\\n{{3,}}', chr(10) || chr(10), 'g') AS t FROM w2),
+tx AS (SELECT id, source, regexp_replace(t, '^\\s+|\\s+$', '', 'g') AS text FROM w3)"""
+
+
+SQL_HTML_TO_TEXT = f"""
+WITH {_sql_html_pipeline()}
+SELECT id, text FROM tx
+"""
+
+
+def q_web_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED web-page refinement pipeline, end-to-end in one
+    lazy plan: synthetic HTML pages (with injected emails) ->
+    html_to_text -> PII scrub -> repetition filter (dup_line<=0.3,
+    top_word<=0.2) -> per-source mixture sampling. One DuckDB
+    statement is the oracle for the whole composition. The only
+    exchanges in the plan are the repetition word-mode agg and its
+    1:1 id-join back — extraction, scrubbing, and sampling are all
+    codegen projections / row-local filters riding the scan."""
+    from biothings_crawler_spark.operators.extract import html_to_text_col
+    from biothings_crawler_spark.operators.pii import (
+        pii_email_count,
+        pii_scrub_col,
+    )
+    from biothings_crawler_spark.operators.sampling import mixture_sample
+    from biothings_crawler_spark.operators.text import repetition_stats
+
+    pages = _synth_html_pages(spark, sf_dir, inject_email=True)
+    txt = pages.select("id", "source", html_to_text_col(F.col("html")).alias("text"))
+    t = F.col("text")
+    scr = txt.select(
+        "id", "source",
+        pii_email_count(t).cast("long").alias("n_emails"),
+        pii_scrub_col(t).alias("clean_text"),
+    )
+    rep = repetition_stats(scr, "id", "clean_text")
+    keep = scr.join(rep.select("id", "n_words", "dup_line_frac", "top_word_frac"), "id").filter(
+        (F.col("dup_line_frac") <= 0.3) & (F.col("top_word_frac") <= 0.2)
+    )
+    rates = {f"src{i}": MIX_RATES[i % 4] for i in range(20)}
+    sampled = mixture_sample(keep, "id", "source", rates, seed="web1")
+    return sampled.select(
+        "id", "source", "n_emails",
+        F.md5("clean_text").alias("text_md5"),
+        "n_words",
+    )
+
+
+def _sql_web_refine() -> str:
+    from biothings_crawler_spark.operators.sampling import rate_threshold
+
+    whens = "\n".join(
+        f"        WHEN {m} THEN {rate_threshold(MIX_RATES[m])}" for m in range(4)
+    )
+    return f"""
+WITH {_sql_html_pipeline(inject_email=True)},
+s1 AS (SELECT id, source, text,
+              regexp_replace(text, '{_RE_EMAIL_SQL}', '<EMAIL>', 'g') AS t1
+       FROM tx),
+s2 AS (SELECT *, regexp_replace(t1, '{_RE_IPV4_SQL}', '<IP>', 'g') AS t2 FROM s1),
+scr AS (
+  SELECT id, source,
+         CAST(len(regexp_extract_all(text, '{_RE_EMAIL_SQL}')) AS BIGINT) AS n_emails,
+         regexp_replace(t2, '{_RE_PHONE_SQL}', '<PHONE>', 'g') AS clean_text
+  FROM s2),
+per AS (
+  SELECT id,
+         list_filter(string_split(clean_text, chr(10)), l -> len(trim(l)) > 0) AS lines,
+         list_filter(string_split_regex(lower(clean_text), '\\s+'), x -> len(x) > 0) AS words
+  FROM scr),
+expr AS (
+  SELECT id,
+         CASE WHEN len(lines) > 0
+              THEN 1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE)
+              ELSE 0.0 END AS dup_line_frac
+  FROM per),
+wc AS (
+  SELECT id, w, COUNT(*) AS c
+  FROM (SELECT id, unnest(words) AS w FROM per)
+  GROUP BY id, w),
+tops AS (SELECT id, MAX(c) AS top_c, SUM(c) AS n_words FROM wc GROUP BY id),
+keep AS (
+  SELECT s.id, s.source, s.n_emails, s.clean_text,
+         CAST(tp.n_words AS BIGINT) AS n_words
+  FROM scr s JOIN expr e USING (id) JOIN tops tp USING (id)
+  WHERE e.dup_line_frac <= 0.3
+    AND tp.top_c / CAST(tp.n_words AS DOUBLE) <= 0.2)
+SELECT id, source, n_emails, md5(clean_text) AS text_md5, n_words
+FROM keep
+WHERE ('0x' || substr(md5('web1:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT
+      < CASE CAST(substr(source, 4) AS INT) % 4
+{whens}
+        END
 """
 
 
@@ -2499,6 +2634,9 @@ FROM documents
 WHERE ('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
       < {_mix_sql_thresholds()}
 """
+
+
+SQL_WEB_REFINE = _sql_web_refine()
 
 
 # --- golden-parquet oracles (frozen pure-Python implementations of the
@@ -2594,6 +2732,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_decontamination": q_decontamination,
     "q_html_to_text": q_html_to_text,
     "q_mixture_sample": q_mixture_sample,
+    "q_web_refine": q_web_refine,
 }
 
 ORACLES: dict[str, str] = {
@@ -2659,4 +2798,5 @@ ORACLES: dict[str, str] = {
     "q_decontamination": SQL_DECONTAMINATION,
     "q_html_to_text": SQL_HTML_TO_TEXT,
     "q_mixture_sample": SQL_MIXTURE_SAMPLE,
+    "q_web_refine": SQL_WEB_REFINE,
 }

@@ -565,3 +565,19 @@ def test_mixture_sample_rejects_bad_rate(spark):
     df = spark.range(5).select(F.col("id"), F.lit("s").alias("src"))
     with pytest.raises(ValueError):
         mixture_sample(df, "id", "src", {"s": 1.5})
+
+
+def test_web_refine_stages_fire(spark):
+    """Composed web-refine pipeline: every stage must have a casualty
+    at sf0.001 — emails scrubbed, spam-list docs dropped by the
+    repetition filter, sampling strictly between 0 and the survivors."""
+    from biothings_crawler_spark.plans.driver_queries import q_web_refine
+
+    rows = q_web_refine(spark, "/root/testdata/sf0.001").collect()
+    ids = {r["id"] for r in rows}
+    assert 0 < len(rows)
+    # id%9==0 docs carry the 6-item spam list -> dup_line_frac > 0.3
+    assert not any(i % 9 == 0 for i in ids)
+    # scrubbed docs report their email and the text is redacted
+    emailed = [r for r in rows if r["id"] % 3 == 0]
+    assert emailed and all(r["n_emails"] == 1 for r in emailed)
