@@ -245,6 +245,54 @@ def repetition_stats(df, id_col: str, text_col: str, line_sep: str = "\n"):
     )
 
 
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """Split documents into fixed-size token windows with overlap —
+    the packing step between a cleaned corpus and a pretraining
+    dataloader (each chunk becomes one training sequence; the overlap
+    preserves context across boundaries).
+
+    Tokens are whitespace words (words_col); chunk starts advance by
+    ``chunk_tokens - overlap`` while ``start <= max(n - overlap, 1)``,
+    so every token is covered and short docs yield exactly one chunk.
+    Returns (id, chunk_idx, n_tokens, chunk_text).
+
+    Scale shape: pure array expressions + one posexplode — row-local,
+    zero shuffle, codegen; output size is input × (1/(1-overlap
+    fraction)), the expected blow-up, with no skew (chunks inherit the
+    input partitioning)."""
+    from pyspark.sql import functions as F
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = words_col(F.col(text_col))
+    n = F.size(w)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(w, s, chunk_tokens), " ").alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - s + 1).cast("long").alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
 def line_dedup(
     df,
     id_col: str,

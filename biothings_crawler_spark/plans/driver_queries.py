@@ -2636,6 +2636,39 @@ WHERE ('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
 """
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 24, 8
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/text.chunk_documents):
+    24-token windows, 8-token overlap, whitespace tokens — pure array
+    expressions + posexplode, zero shuffle."""
+    from biothings_crawler_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        d, "doc_id", "text", chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH wds AS (SELECT doc_id AS id, {_SQL_WORDS} AS words FROM documents),
+st AS (
+  SELECT id, words,
+         range(1, GREATEST(len(words) - {CHUNK_OVERLAP}, 1) + 1,
+               {CHUNK_TOKENS - CHUNK_OVERLAP}) AS starts
+  FROM wds),
+ex AS (
+  SELECT id, generate_subscripts(starts, 1) - 1 AS chunk_idx,
+         unnest(starts) AS s, words
+  FROM st)
+SELECT id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(LEAST({CHUNK_TOKENS}, len(words) - s + 1) AS BIGINT) AS n_tokens,
+       array_to_string(words[s:s + {CHUNK_TOKENS - 1}], ' ') AS chunk_text
+FROM ex
+"""
+
+
 SQL_WEB_REFINE = _sql_web_refine()
 
 
@@ -2733,6 +2766,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_html_to_text": q_html_to_text,
     "q_mixture_sample": q_mixture_sample,
     "q_web_refine": q_web_refine,
+    "q_doc_chunks": q_doc_chunks,
 }
 
 ORACLES: dict[str, str] = {
@@ -2799,4 +2833,5 @@ ORACLES: dict[str, str] = {
     "q_html_to_text": SQL_HTML_TO_TEXT,
     "q_mixture_sample": SQL_MIXTURE_SAMPLE,
     "q_web_refine": SQL_WEB_REFINE,
+    "q_doc_chunks": SQL_DOC_CHUNKS,
 }

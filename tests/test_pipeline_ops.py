@@ -581,3 +581,23 @@ def test_web_refine_stages_fire(spark):
     # scrubbed docs report their email and the text is redacted
     emailed = [r for r in rows if r["id"] % 3 == 0]
     assert emailed and all(r["n_emails"] == 1 for r in emailed)
+
+
+def test_chunk_documents_boundaries(spark):
+    from biothings_crawler_spark.operators.text import chunk_documents
+
+    words40 = " ".join(f"w{i}" for i in range(40))
+    words41 = " ".join(f"w{i}" for i in range(41))
+    df = spark.createDataFrame(
+        [(1, words40), (2, words41), (3, "tiny doc")], "id long, text string"
+    )
+    out = chunk_documents(df, "id", "text", chunk_tokens=24, overlap=8)
+    rows = sorted((r["id"], r["chunk_idx"], r["n_tokens"]) for r in out.collect())
+    # 40 words: starts 1,17 -> 24+24 tokens (full coverage, 8-overlap)
+    # 41 words: starts 1,17,33 -> last chunk is the 9-token tail
+    # 2 words: one chunk of 2
+    assert rows == [(1, 0, 24), (1, 1, 24), (2, 0, 24), (2, 1, 24), (2, 2, 9), (3, 0, 2)]
+    texts = {(r["id"], r["chunk_idx"]): r["chunk_text"] for r in out.collect()}
+    assert texts[(1, 1)].split() == [f"w{i}" for i in range(16, 40)]
+    with pytest.raises(ValueError):
+        chunk_documents(df, "id", "text", chunk_tokens=8, overlap=8)
