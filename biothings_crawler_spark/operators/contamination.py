@@ -8,11 +8,20 @@ are millions of n-grams, not billions), so it is legitimately
 broadcast — this is the one place in the pipeline where a hard
 ``F.broadcast`` hint is correct by construction, unlike the
 boilerplate-line set (see operators/text.line_dedup's no-hint note).
-The corpus side explodes each document's DISTINCT n-grams once and
-hash-joins them against the broadcast set map-side: zero shuffle of
-corpus data, one partial-agg'd groupBy(id) over only the *hits*
-(a tiny fraction of the corpus). At 10^10 documents the whole pass
-is scan + broadcast-hash-join + near-empty aggregate.
+The corpus side explodes each document's DISTINCT n-grams and
+hash-joins them against the broadcast set map-side — no shuffle of
+the gram stream — then one partial-agg'd groupBy(id) over only the
+*hits* (a tiny fraction of the corpus).
+
+Honest cost accounting at 10^10 documents: the n-gram construction
+runs twice per document (once for the hit stream, once for the
+per-doc gram count) — both embarrassingly parallel scan passes —
+and the final totals⋈hits join keys 1-row-per-doc totals against the
+near-empty hits side (AQE broadcasts it in practice; without AQE it
+is one well-keyed exchange of (id, n_grams) pairs, not of text).
+The alternative single-pass shape (explode_outer + groupBy(id) over
+ALL grams) trades the second scan for shuffling the entire gram
+stream — strictly worse at corpus scale.
 """
 
 from __future__ import annotations

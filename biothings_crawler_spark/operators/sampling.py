@@ -28,8 +28,13 @@ U60_MAX = 1 << 60
 def hash_u60_col(id_col: Column, seed: str) -> Column:
     """Deterministic uniform BIGINT on [0, 2^60): the first 15 hex
     chars of md5(seed:id). Matches DuckDB's
-    ('0x' || substr(md5(seed || ':' || id), 1, 15))::BIGINT."""
-    h = F.md5(F.concat_ws(":", F.lit(seed), id_col.cast("string")))
+    ('0x' || substr(md5(seed || ':' || id), 1, 15))::BIGINT — including
+    for NULL ids: concat (not concat_ws) propagates the NULL, so a
+    null-id row hashes to NULL, fails every threshold comparison, and
+    is dropped on both engines (concat_ws would silently collapse all
+    null ids onto the single hash md5(seed), keeping or dropping them
+    en masse)."""
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), id_col.cast("string")))
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
 
 

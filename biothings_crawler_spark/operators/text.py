@@ -283,6 +283,9 @@ def chunk_documents(
             F.least(F.lit(chunk_tokens), n - s + 1).cast("long").alias("n_tokens"),
         ),
     )
+    # null text -> zero chunks (least/greatest skip nulls, which would
+    # otherwise fabricate a phantom full-size chunk with NULL text)
+    chunks = F.when(n.isNotNull(), chunks)
     return df.select(
         F.col(id_col).alias("id"), F.posexplode(chunks).alias("chunk_idx", "c")
     ).select(

@@ -2258,21 +2258,28 @@ _SQL_PII_DOCS = """
   FROM documents
 """
 
-_RE_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_RE_IPV4_SQL = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-_RE_PHONE_SQL = "\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b"
+# the oracle interpolates the OPERATOR's own patterns/tokens — editing
+# pii.py can't silently leave the DuckDB side running the old regex
+from biothings_crawler_spark.operators.pii import (  # noqa: E402
+    EMAIL_RE as _RE_EMAIL_SQL,
+    EMAIL_TOKEN as _TOK_EMAIL,
+    IPV4_RE as _RE_IPV4_SQL,
+    IPV4_TOKEN as _TOK_IP,
+    PHONE_RE as _RE_PHONE_SQL,
+    PHONE_TOKEN as _TOK_PHONE,
+)
 
 SQL_PII_SCRUB = f"""
 WITH docs AS ({_SQL_PII_DOCS}),
 s1 AS (SELECT id, text,
-              regexp_replace(text, '{_RE_EMAIL_SQL}', '<EMAIL>', 'g') AS t1
+              regexp_replace(text, '{_RE_EMAIL_SQL}', '{_TOK_EMAIL}', 'g') AS t1
        FROM docs),
-s2 AS (SELECT *, regexp_replace(t1, '{_RE_IPV4_SQL}', '<IP>', 'g') AS t2 FROM s1)
+s2 AS (SELECT *, regexp_replace(t1, '{_RE_IPV4_SQL}', '{_TOK_IP}', 'g') AS t2 FROM s1)
 SELECT id,
        CAST(len(regexp_extract_all(text, '{_RE_EMAIL_SQL}')) AS BIGINT) AS n_emails,
        CAST(len(regexp_extract_all(t1, '{_RE_IPV4_SQL}')) AS BIGINT) AS n_ipv4,
        CAST(len(regexp_extract_all(t2, '{_RE_PHONE_SQL}')) AS BIGINT) AS n_phones,
-       regexp_replace(t2, '{_RE_PHONE_SQL}', '<PHONE>', 'g') AS clean_text
+       regexp_replace(t2, '{_RE_PHONE_SQL}', '{_TOK_PHONE}', 'g') AS clean_text
 FROM s2
 """
 
@@ -2420,7 +2427,11 @@ def _synth_html_pages(
     i = F.col("doc_id").cast("string")
     words = F.split(F.col("text"), " ")
     p1 = F.array_join(F.slice(words, 1, 8), " ")
-    p2 = F.array_join(F.slice(words, 9, 1000), " ")
+    # unbounded tail (mirrors the oracle's w[9:]) — a fixed length cap
+    # would silently truncate long docs on the Spark side only
+    p2 = F.array_join(
+        F.slice(words, 9, F.greatest(F.size(words) - F.lit(8), F.lit(1))), " "
+    )
     spam = F.lit("")
     if inject_email:
         # web_refine casualties: an email (PII scrub must catch it) and,
@@ -2563,13 +2574,13 @@ def _sql_web_refine() -> str:
     return f"""
 WITH {_sql_html_pipeline(inject_email=True)},
 s1 AS (SELECT id, source, text,
-              regexp_replace(text, '{_RE_EMAIL_SQL}', '<EMAIL>', 'g') AS t1
+              regexp_replace(text, '{_RE_EMAIL_SQL}', '{_TOK_EMAIL}', 'g') AS t1
        FROM tx),
-s2 AS (SELECT *, regexp_replace(t1, '{_RE_IPV4_SQL}', '<IP>', 'g') AS t2 FROM s1),
+s2 AS (SELECT *, regexp_replace(t1, '{_RE_IPV4_SQL}', '{_TOK_IP}', 'g') AS t2 FROM s1),
 scr AS (
   SELECT id, source,
          CAST(len(regexp_extract_all(text, '{_RE_EMAIL_SQL}')) AS BIGINT) AS n_emails,
-         regexp_replace(t2, '{_RE_PHONE_SQL}', '<PHONE>', 'g') AS clean_text
+         regexp_replace(t2, '{_RE_PHONE_SQL}', '{_TOK_PHONE}', 'g') AS clean_text
   FROM s2),
 per AS (
   SELECT id,
@@ -2588,14 +2599,18 @@ wc AS (
   GROUP BY id, w),
 tops AS (SELECT id, MAX(c) AS top_c, SUM(c) AS n_words FROM wc GROUP BY id),
 keep AS (
+  -- LEFT JOIN + coalesce mirrors repetition_stats' left join: a
+  -- zero-word doc has no tops row but top_word_frac 0.0, so it passes
   SELECT s.id, s.source, s.n_emails, s.clean_text,
-         CAST(tp.n_words AS BIGINT) AS n_words
-  FROM scr s JOIN expr e USING (id) JOIN tops tp USING (id)
+         CAST(coalesce(tp.n_words, 0) AS BIGINT) AS n_words
+  FROM scr s JOIN expr e USING (id) LEFT JOIN tops tp USING (id)
   WHERE e.dup_line_frac <= 0.3
-    AND tp.top_c / CAST(tp.n_words AS DOUBLE) <= 0.2)
+    AND (CASE WHEN coalesce(tp.n_words, 0) > 0
+              THEN tp.top_c / CAST(tp.n_words AS DOUBLE)
+              ELSE 0.0 END) <= 0.2)
 SELECT id, source, n_emails, md5(clean_text) AS text_md5, n_words
 FROM keep
-WHERE ('0x' || substr(md5('web1:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT
+WHERE {_SQL_HASH60.format(w="'web1:' || CAST(id AS VARCHAR)")}
       < CASE CAST(substr(source, 4) AS INT) % 4
 {whens}
         END
@@ -2631,7 +2646,7 @@ def _mix_sql_thresholds() -> str:
 SQL_MIXTURE_SAMPLE = f"""
 SELECT doc_id AS id, source
 FROM documents
-WHERE ('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+WHERE {_SQL_HASH60.format(w="'mix1:' || CAST(doc_id AS VARCHAR)")}
       < {_mix_sql_thresholds()}
 """
 

@@ -559,6 +559,18 @@ def test_mixture_sample_rates_and_determinism(spark):
     assert "Exchange" not in plan
 
 
+def test_mixture_sample_drops_null_ids(spark):
+    from biothings_crawler_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "s"), (None, "s"), (None, "s")], "id long, src string"
+    )
+    out = mixture_sample(df, "id", "src", {"s": 1.0}, seed="t")
+    # null ids hash to NULL and fail every threshold (matching DuckDB),
+    # rather than collapsing onto the single hash md5(seed)
+    assert [r["id"] for r in out.collect()] == [1]
+
+
 def test_mixture_sample_rejects_bad_rate(spark):
     from biothings_crawler_spark.operators.sampling import mixture_sample
 
@@ -578,6 +590,12 @@ def test_web_refine_stages_fire(spark):
     assert 0 < len(rows)
     # id%9==0 docs carry the 6-item spam list -> dup_line_frac > 0.3
     assert not any(i % 9 == 0 for i in ids)
+    # the mixture-sampling stage must itself drop some survivors
+    # (every non-spam doc passes the repetition filter on this fixture)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_total = docs.count()
+    n_spam = docs.filter("doc_id % 9 = 0").count()
+    assert len(rows) < n_total - n_spam
     # scrubbed docs report their email and the text is redacted
     emailed = [r for r in rows if r["id"] % 3 == 0]
     assert emailed and all(r["n_emails"] == 1 for r in emailed)
@@ -589,9 +607,12 @@ def test_chunk_documents_boundaries(spark):
     words40 = " ".join(f"w{i}" for i in range(40))
     words41 = " ".join(f"w{i}" for i in range(41))
     df = spark.createDataFrame(
-        [(1, words40), (2, words41), (3, "tiny doc")], "id long, text string"
+        [(1, words40), (2, words41), (3, "tiny doc"), (4, None)],
+        "id long, text string",
     )
     out = chunk_documents(df, "id", "text", chunk_tokens=24, overlap=8)
+    # null text -> zero chunks, not a phantom NULL chunk
+    assert out.filter("id = 4").count() == 0
     rows = sorted((r["id"], r["chunk_idx"], r["n_tokens"]) for r in out.collect())
     # 40 words: starts 1,17 -> 24+24 tokens (full coverage, 8-overlap)
     # 41 words: starts 1,17,33 -> last chunk is the 9-token tail
