@@ -2684,6 +2684,60 @@ FROM ex
 """
 
 
+PR_ITERS = 4
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-priority PageRank (operators/pagerank): integer
+    micro-unit ranks over a deterministic hub graph (doc_id -> id//3
+    and id//7 — low ids are authorities), 4 synchronous iterations.
+    Exact cross-engine because every contribution is integer floor
+    division — sums commute at any partitioning."""
+    from biothings_crawler_spark.operators.pagerank import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    e = (
+        d.select(F.col("doc_id").alias("src"), F.expr("doc_id div 3").alias("dst"))
+        .union(
+            d.select(F.col("doc_id").alias("src"), F.expr("doc_id div 7").alias("dst"))
+        )
+        .distinct()
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return pagerank(e, iters=PR_ITERS)
+
+
+def _sql_pagerank() -> str:
+    from biothings_crawler_spark.operators.pagerank import PR_SCALE
+
+    base = 15 * PR_SCALE // 100
+    ctes = [
+        """
+e AS (
+  SELECT src, dst FROM (
+    SELECT doc_id AS src, doc_id // 3 AS dst FROM documents
+    UNION
+    SELECT doc_id AS src, doc_id // 7 AS dst FROM documents)
+  WHERE src <> dst),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)""",
+        f"r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(PR_ITERS):
+        ctes.append(f"""
+r{i + 1} AS (
+  SELECT n.node, CAST({base} + coalesce(s.in_sum, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM((85 * r.rank) // (100 * d.deg)) AS in_sum
+    FROM e JOIN deg d USING (src) JOIN r{i} r ON r.node = e.src
+    GROUP BY e.dst) s USING (node))""")
+    return "WITH " + ",".join(ctes) + f"\nSELECT node, rank FROM r{PR_ITERS}"
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+
 SQL_WEB_REFINE = _sql_web_refine()
 
 
@@ -2782,6 +2836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mixture_sample": q_mixture_sample,
     "q_web_refine": q_web_refine,
     "q_doc_chunks": q_doc_chunks,
+    "q_pagerank": q_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -2849,4 +2904,5 @@ ORACLES: dict[str, str] = {
     "q_mixture_sample": SQL_MIXTURE_SAMPLE,
     "q_web_refine": SQL_WEB_REFINE,
     "q_doc_chunks": SQL_DOC_CHUNKS,
+    "q_pagerank": SQL_PAGERANK,
 }

@@ -622,3 +622,29 @@ def test_chunk_documents_boundaries(spark):
     assert texts[(1, 1)].split() == [f"w{i}" for i in range(16, 40)]
     with pytest.raises(ValueError):
         chunk_documents(df, "id", "text", chunk_tokens=8, overlap=8)
+
+
+def test_pagerank_hand_computed(spark):
+    from biothings_crawler_spark.operators.pagerank import pagerank
+
+    e = spark.createDataFrame([(1, 0), (2, 0), (2, 1)], "src long, dst long")
+    # scale=1e12, base=0.15e12; deg(1)=1, deg(2)=2
+    # iter1: r0=0.15e12+0.85e12+0.425e12, r1=0.15e12+0.425e12, r2=base
+    # iter2: r0=base+85*r1//100+85*r2//200, r1=base+85*r2//200
+    out = {r["node"]: r["rank"] for r in pagerank(e, iters=2).collect()}
+    assert out[2] == 150_000_000_000
+    assert out[1] == 150_000_000_000 + (85 * 150_000_000_000) // 200
+    assert out[0] == (
+        150_000_000_000
+        + (85 * 575_000_000_000) // 100
+        + (85 * 150_000_000_000) // 200
+    )
+
+
+def test_pagerank_deterministic_under_partitioning(spark):
+    from biothings_crawler_spark.operators.pagerank import pagerank
+
+    e = spark.range(200).selectExpr("id AS src", "id div 3 AS dst").filter("src <> dst")
+    a = {r["node"]: r["rank"] for r in pagerank(e, iters=3).collect()}
+    b = {r["node"]: r["rank"] for r in pagerank(e.repartition(13), iters=3).collect()}
+    assert a == b
