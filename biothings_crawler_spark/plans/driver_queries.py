@@ -2684,6 +2684,66 @@ FROM ex
 """
 
 
+BLOCKLIST_MIN_QUALITY = 0.8
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality filtering (the CC-pipeline stage after
+    per-doc scoring): aggregate quality per source, derive the
+    blocklist (avg < 0.8 — 3 of 20 sources at sf0.01), anti-join it
+    out. The blocklist is one row per domain — inherently tiny, so the
+    hard broadcast on the anti-join is justified by construction
+    (contrast line_dedup's unbounded frequent-line set, which must not
+    be hinted)."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.select(
+        "source", F.round(quality_score_col(F.col("text")) * 40).cast("long").alias("q40")
+    )
+    stats = per.groupBy("source").agg(
+        F.sum("q40").alias("sum_q40"), F.count(F.lit(1)).alias("n")
+    )
+    block = stats.filter(
+        (F.col("sum_q40").cast("double") / (F.col("n") * 40)) < BLOCKLIST_MIN_QUALITY
+    ).select("source")
+    return (
+        d.join(F.broadcast(block), "source", "left_anti")
+        .select(F.col("doc_id").alias("id"), "source")
+    )
+
+
+SQL_DOMAIN_BLOCKLIST = f"""
+WITH per AS (
+  SELECT source, doc_id, {_SQL_Q40} AS q40 FROM documents),
+block AS (
+  SELECT source FROM per GROUP BY source
+  HAVING CAST(SUM(q40) AS DOUBLE) / (COUNT(*) * 40) < {BLOCKLIST_MIN_QUALITY})
+SELECT p.doc_id AS id, p.source
+FROM per p ANTI JOIN block b USING (source)
+"""
+
+
+def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of dropping near-dups, weight each
+    document by 1e6 // cluster_size micro-units (integer division =
+    cross-engine exact) so a training pipeline can downsample
+    duplicates proportionally. Composition: MinHash-LSH pairs ->
+    connected components -> one groupBy(component) count joined back —
+    a hash agg + a join keyed on the component label, no window."""
+    cc = q_neardup_clusters(spark, sf_dir)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return cc.join(sizes, "component").select(
+        "id", "component",
+        F.expr("1000000 div csize").alias("weight_ppm"),
+    )
+
+
+SQL_DEDUP_WEIGHTS = f"""
+SELECT id, component,
+       CAST(1000000 // COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS weight_ppm
+FROM ({SQL_NEARDUP_CLUSTERS})
+"""
+
+
 PR_ITERS = 4
 
 
@@ -2837,6 +2897,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_web_refine": q_web_refine,
     "q_doc_chunks": q_doc_chunks,
     "q_pagerank": q_pagerank,
+    "q_domain_blocklist": q_domain_blocklist,
+    "q_dedup_weights": q_dedup_weights,
 }
 
 ORACLES: dict[str, str] = {
@@ -2905,4 +2967,6 @@ ORACLES: dict[str, str] = {
     "q_web_refine": SQL_WEB_REFINE,
     "q_doc_chunks": SQL_DOC_CHUNKS,
     "q_pagerank": SQL_PAGERANK,
+    "q_domain_blocklist": SQL_DOMAIN_BLOCKLIST,
+    "q_dedup_weights": SQL_DEDUP_WEIGHTS,
 }

@@ -648,3 +648,30 @@ def test_pagerank_deterministic_under_partitioning(spark):
     a = {r["node"]: r["rank"] for r in pagerank(e, iters=3).collect()}
     b = {r["node"]: r["rank"] for r in pagerank(e.repartition(13), iters=3).collect()}
     assert a == b
+
+
+def test_dedup_weights_sum_to_cluster_unit(spark):
+    from biothings_crawler_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "id long")
+    cc = connected_components(pairs, nodes)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    w = {r["id"]: r["weight_ppm"] for r in cc.join(sizes, "component").select(
+        "id", F.expr("1000000 div csize").alias("weight_ppm")).collect()}
+    # cluster {1,2,3} -> 333333 each, {10,11} -> 500000, singleton -> 1000000
+    assert w[1] == w[2] == w[3] == 333_333
+    assert w[10] == w[11] == 500_000
+    assert w[99] == 1_000_000
+
+
+def test_domain_blocklist_drops_low_quality_sources(spark):
+    from biothings_crawler_spark.plans.driver_queries import q_domain_blocklist
+
+    out = q_domain_blocklist(spark, "/root/testdata/sf0.01")
+    kept_sources = {r["source"] for r in out.select("source").distinct().collect()}
+    assert 0 < len(kept_sources) < 20  # some sources blocked, not all
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
