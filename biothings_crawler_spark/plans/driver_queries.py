@@ -2684,6 +2684,66 @@ FROM ex
 """
 
 
+BM25_QUERY = ["data", "table", "spark"]
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over documents (operators/bm25.inverted_index):
+    (term, df, 'id:tf id:tf ...' postings in id order — canonical
+    string because array columns don't hash portably)."""
+    from biothings_crawler_spark.operators.bm25 import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+SQL_INVERTED_INDEX = f"""
+WITH tf AS (
+  SELECT term, id, COUNT(*) AS tf FROM (
+    SELECT doc_id AS id, unnest({_SQL_WORDS}) AS term FROM documents)
+  GROUP BY term, id)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       array_to_string(
+         list(CAST(id AS VARCHAR) || ':' || CAST(tf AS VARCHAR) ORDER BY id),
+         ' ') AS postings
+FROM tf GROUP BY term
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer BM25 ranked retrieval (operators/bm25.bm25_topk) for a
+    3-term query: exact rational arithmetic (no libm log — see module
+    docstring), so even the RANK ORDER is cross-engine verifiable."""
+    from biothings_crawler_spark.operators.bm25 import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", BM25_QUERY, k=20
+    )
+
+
+SQL_BM25_TOPK = f"""
+WITH docs AS (SELECT doc_id AS id, {_SQL_WORDS} AS words FROM documents),
+lens AS (SELECT id, CAST(len(words) AS BIGINT) AS dl FROM docs),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS w_total FROM lens),
+tf AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT id, unnest(words) AS term FROM docs)
+  WHERE term IN ({', '.join("'" + t + "'" for t in BM25_QUERY)})
+  GROUP BY id, term),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.id,
+         ((2 * t.n_docs - 2 * d.df + 1) * 1000000 // (2 * d.df + 1))
+           * 44 * tf.tf * t.w_total
+           // (20 * tf.tf * t.w_total + 6 * t.w_total + 18 * l.dl * t.n_docs)
+           AS term_score
+  FROM tf JOIN dfq d USING (term) JOIN lens l ON l.id = tf.id CROSS JOIN tot t)
+SELECT id, CAST(SUM(term_score) AS BIGINT) AS score
+FROM sc GROUP BY id
+ORDER BY score DESC, id LIMIT 20
+"""
+
+
 BLOCKLIST_MIN_QUALITY = 0.8
 
 
@@ -2899,6 +2959,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank": q_pagerank,
     "q_domain_blocklist": q_domain_blocklist,
     "q_dedup_weights": q_dedup_weights,
+    "q_inverted_index": q_inverted_index,
+    "q_bm25_topk": q_bm25_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -2969,4 +3031,6 @@ ORACLES: dict[str, str] = {
     "q_pagerank": SQL_PAGERANK,
     "q_domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "q_dedup_weights": SQL_DEDUP_WEIGHTS,
+    "q_inverted_index": SQL_INVERTED_INDEX,
+    "q_bm25_topk": SQL_BM25_TOPK,
 }

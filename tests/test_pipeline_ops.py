@@ -675,3 +675,25 @@ def test_domain_blocklist_drops_low_quality_sources(spark):
     assert 0 < len(kept_sources) < 20  # some sources blocked, not all
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_bm25_ranking_and_index(spark):
+    from biothings_crawler_spark.operators.bm25 import bm25_topk, inverted_index
+
+    df = spark.createDataFrame(
+        [
+            (1, "data data data filler filler"),
+            (2, "data filler filler filler filler"),
+            (3, "rare filler filler filler filler"),
+        ],
+        "id long, text string",
+    )
+    # idf(rare) > idf(data) (df 1 vs 2); tf boosts doc 1 over doc 2
+    ranked = [r["id"] for r in bm25_topk(df, "id", "text", ["data", "rare"], k=3).collect()]
+    assert ranked == [3, 1, 2]
+
+    idx = {r["term"]: (r["df"], r["postings"])
+           for r in inverted_index(df, "id", "text").collect()}
+    assert idx["data"] == (2, "1:3 2:1")
+    assert idx["filler"][0] == 3
+    assert idx["rare"] == (1, "3:1")
