@@ -2684,6 +2684,42 @@ FROM ex
 """
 
 
+SESSION_GAP_S = 600
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessionize): per-user
+    sessions over events with a 10-minute gap, integer
+    epoch-microsecond boundaries — batch twin of streaming session
+    windows."""
+    from biothings_crawler_spark.operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, "user_id", "ts", "event_id", gap_seconds=SESSION_GAP_S)
+
+
+SQL_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS boundary,
+         ts, event_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT key, us,
+         SUM(boundary) OVER (PARTITION BY key ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged)
+SELECT key, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(us) AS start_us, MAX(us) AS end_us,
+       MAX(us) - MIN(us) AS duration_us
+FROM sess GROUP BY key, session_idx
+"""
+
+
 BM25_QUERY = ["data", "table", "spark"]
 
 
@@ -2961,6 +2997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_weights": q_dedup_weights,
     "q_inverted_index": q_inverted_index,
     "q_bm25_topk": q_bm25_topk,
+    "q_sessionize": q_sessionize,
 }
 
 ORACLES: dict[str, str] = {
@@ -3033,4 +3070,5 @@ ORACLES: dict[str, str] = {
     "q_dedup_weights": SQL_DEDUP_WEIGHTS,
     "q_inverted_index": SQL_INVERTED_INDEX,
     "q_bm25_topk": SQL_BM25_TOPK,
+    "q_sessionize": SQL_SESSIONIZE,
 }

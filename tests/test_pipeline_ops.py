@@ -697,3 +697,27 @@ def test_bm25_ranking_and_index(spark):
     assert idx["data"] == (2, "1:3 2:1")
     assert idx["filler"][0] == 3
     assert idx["rare"] == (1, "3:1")
+
+
+def test_sessionize_gap_boundaries(spark):
+    from biothings_crawler_spark.operators.sessionize import sessionize
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 100),                                   # u1 s1
+        (2, t0 + dt.timedelta(seconds=300), 100),       # u1 s1 (5 min gap)
+        (3, t0 + dt.timedelta(seconds=1000), 100),      # u1 s2 (700s > 600)
+        (4, t0 + dt.timedelta(seconds=1600.000001), 100),  # u1 s3 (gap 600.000001s)
+        (5, t0, 200),                                   # u2 s1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long"
+    )
+    out = sessionize(df, "user_id", "ts", "event_id", gap_seconds=600)
+    got = {(r["key"], r["session_idx"]): (r["n_events"], r["duration_us"])
+           for r in out.collect()}
+    assert got[(100, 1)] == (2, 300_000_000)
+    assert got[(100, 2)] == (1, 0)
+    assert got[(100, 3)] == (1, 0)  # one microsecond over the gap
+    assert got[(200, 1)] == (1, 0)
