@@ -1,0 +1,105 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range
+(interval) join — composed from DataFrame primitives so Catalyst still
+owns the physical plan (no mapPartitions, no Python).
+
+As-of join (enrich each event with the most recent dimension snapshot
+at event time — e.g. a fetch with the robots/politeness config in
+force when it happened): implemented as the union-window trick. Tag
+right rows 0 and left rows 1, union, and take
+``last(value, ignorenulls) OVER (PARTITION BY key ORDER BY ts, tag)``
+— each left row sees exactly the latest right row with
+``r.ts <= l.ts``. One shuffle on the key, one ordered window, O(1)
+frames; versus a naive inequality join this is O((N+M) log) instead
+of O(N*M). DuckDB's native ASOF JOIN is the oracle (q_asof_join), so
+the composed operator is checked against an independent built-in
+implementation of the semantics.
+
+Range join (points x intervals): the naive non-equi join plans a
+nested loop — O(N*M). ``bucketed_range_join`` maps points to
+``ts div w`` buckets and explodes each interval to the buckets it
+covers, turning the join into an equi-join on the bucket key plus an
+exact range filter: O(N + M * span/w) hash join, shuffled on a key
+both sides share. Pick ``w`` near the typical interval span so each
+interval explodes to ~2 buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts_col: str,
+    right_ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """For every left row, attach ``value_col`` from the latest right
+    row of the same key with right_ts <= left_ts (NULL when none).
+    Returns the left columns plus ``value_col``. Right (key, ts) pairs
+    should be unique — with duplicates, the largest value at the tied
+    timestamp wins deterministically."""
+    lcols = left.columns
+    r = right.select(
+        F.col(key_col).alias("__k"),
+        F.col(right_ts_col).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.col(value_col).alias("__val"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    l = left.select(
+        F.col(key_col).alias("__k"),
+        F.col(left_ts_col).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(right.schema[value_col].dataType).alias("__val"),
+        *lcols,
+    )
+    # order by (ts, tag, value): right rows sort before left at equal
+    # ts (<= semantics); among tied right rows the last = max value
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__tag", "__val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        r.unionByName(l)
+        .select(*lcols, "__tag",
+                F.last("__val", ignorenulls=True).over(w).alias(value_col))
+        .filter(F.col("__tag") == 1)
+        .select(*lcols, value_col)
+    )
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Inner-join each point (integer ts) to every interval with
+    start <= ts <= end, via bucket equi-join + exact filter. All three
+    ts columns must be integers in the same unit (e.g. epoch
+    micros)."""
+    p = points.withColumn("__b", F.expr(f"{point_ts_col} div {bucket_width}"))
+    i = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} div {bucket_width}"),
+                F.expr(f"{end_col} div {bucket_width}"),
+            )
+        ),
+    )
+    return (
+        p.join(i, "__b")
+        .filter(
+            (F.col(point_ts_col) >= F.col(start_col))
+            & (F.col(point_ts_col) <= F.col(end_col))
+        )
+        .drop("__b")
+    )

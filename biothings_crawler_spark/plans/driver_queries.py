@@ -2684,6 +2684,80 @@ FROM ex
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.asof_join): every event enriched
+    with the latest per-user snapshot value at event time (12-hourly
+    snapshots). The oracle is DuckDB's NATIVE ASOF JOIN — the composed
+    union-window operator is checked against an independent built-in
+    implementation of the semantics."""
+    from biothings_crawler_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    upd = (
+        ev.select("user_id").distinct()
+        .select("user_id", F.explode(F.sequence(F.lit(0), F.lit(40))).alias("k"))
+        .select(
+            "user_id",
+            F.expr(
+                "timestampadd(HOUR, 12 * k, TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+            ).alias("rts"),
+            (F.col("user_id") * 1000 + F.col("k")).cast("long").alias("val"),
+        )
+    )
+    out = asof_join(ev, upd, "user_id", "ts", "rts", "val")
+    return out.select("event_id", "user_id", F.col("val").alias("snapshot_val"))
+
+
+SQL_ASOF_JOIN = """
+WITH upd AS (
+  SELECT u.user_id,
+         TIMESTAMP '2024-01-01 00:00:00' + k * INTERVAL 12 HOUR AS rts,
+         u.user_id * 1000 + k AS val
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN UNNEST(range(0, 41)) AS r(k))
+SELECT e.event_id, e.user_id, CAST(u.val AS BIGINT) AS snapshot_val
+FROM events e ASOF JOIN upd u
+  ON e.user_id = u.user_id AND e.ts >= u.rts
+"""
+
+RANGE_BUCKET_US = 3_600 * 1_000_000  # 1h buckets; intervals span 90min
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join (operators/temporal.bucketed_range_join):
+    events x 90-minute maintenance windows every 5 hours, joined via
+    1-hour bucket equi-join + exact filter instead of the O(N*M)
+    nested loop a plain inequality join would plan."""
+    from biothings_crawler_spark.operators.temporal import bucketed_range_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).alias("tus"),
+    )
+    iv = spark.range(100).select(
+        F.col("id").alias("window_id"),
+        (F.col("id") * 18_000_000_000).alias("start_us"),
+        (F.col("id") * 18_000_000_000 + 5_400_000_000).alias("end_us"),
+    )
+    out = bucketed_range_join(ev, iv, "tus", "start_us", "end_us", RANGE_BUCKET_US)
+    return out.select("event_id", "window_id")
+
+
+SQL_RANGE_JOIN = """
+WITH p AS (
+  SELECT event_id,
+         epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS tus
+  FROM events),
+iv AS (
+  SELECT k AS window_id, k * 18000000000 AS s, k * 18000000000 + 5400000000 AS e
+  FROM UNNEST(range(0, 100)) AS r(k))
+SELECT p.event_id, CAST(iv.window_id AS BIGINT) AS window_id
+FROM p JOIN iv ON p.tus BETWEEN iv.s AND iv.e
+"""
+
+
 SESSION_GAP_S = 600
 
 
@@ -2998,6 +3072,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_inverted_index": q_inverted_index,
     "q_bm25_topk": q_bm25_topk,
     "q_sessionize": q_sessionize,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -3071,4 +3147,6 @@ ORACLES: dict[str, str] = {
     "q_inverted_index": SQL_INVERTED_INDEX,
     "q_bm25_topk": SQL_BM25_TOPK,
     "q_sessionize": SQL_SESSIONIZE,
+    "q_asof_join": SQL_ASOF_JOIN,
+    "q_range_join": SQL_RANGE_JOIN,
 }

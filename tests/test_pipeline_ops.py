@@ -721,3 +721,38 @@ def test_sessionize_gap_boundaries(spark):
     assert got[(100, 2)] == (1, 0)
     assert got[(100, 3)] == (1, 0)  # one microsecond over the gap
     assert got[(200, 1)] == (1, 0)
+
+
+def test_asof_join_semantics(spark):
+    from biothings_crawler_spark.operators.temporal import asof_join
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 100, t(5)), (2, 100, t(10)), (3, 100, t(2)), (4, 200, t(30))],
+        "event_id long, k long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(100, t(3), 33), (100, t(10), 77), (200, t(31), 99)],
+        "k long, rts timestamp_ntz, val long",
+    )
+    out = {r["event_id"]: r["val"]
+           for r in asof_join(left, right, "k", "ts", "rts", "val").collect()}
+    assert out[1] == 33        # latest <= t5 is t3
+    assert out[2] == 77        # equal ts counts (<=)
+    assert out[3] is None      # before first snapshot
+    assert out[4] is None      # right exists only AFTER the event
+
+
+def test_bucketed_range_join_edges(spark):
+    from biothings_crawler_spark.operators.temporal import bucketed_range_join
+
+    points = spark.createDataFrame(
+        [(1, 100), (2, 150), (3, 200), (4, 201), (5, 99)], "pid long, tus long"
+    )
+    iv = spark.createDataFrame([(7, 100, 200)], "window_id long, s long, e long")
+    out = bucketed_range_join(points, iv, "tus", "s", "e", bucket_width=30)
+    got = sorted(r["pid"] for r in out.collect())
+    assert got == [1, 2, 3]  # inclusive both ends; 99 and 201 excluded
+    # interval spans buckets 3..6 with width 30 — no duplicate matches
+    assert out.count() == 3
