@@ -2684,6 +2684,68 @@ FROM ex
 """
 
 
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascaded rollup (TimescaleDB continuous
+    aggregates): hour buckets from raw events, day buckets from the
+    HOURLY materialization, month buckets from the DAILY one — each
+    coarser level re-aggregates the finer level, never the raw table
+    (at 100 TB that's the difference between scanning 24 rows per day
+    and 86M). Sums go through DECIMAL(18,6) so the cascade is exact
+    and order-independent; DOUBLE only in the final projection.
+    Output: (level, bucket, n_events, sum_value) across all three
+    levels. pytest asserts cascade == direct-from-raw per level."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(F.date_trunc("hour", "ts").alias("b"),
+                  F.col("value").cast("decimal(18,6)").alias("v"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("v").alias("s"))
+    )
+    daily = (
+        hourly.select(F.date_trunc("day", "b").alias("b"), "n", "s")
+        .groupBy("b").agg(F.sum("n").cast("long").alias("n"), F.sum("s").alias("s"))
+    )
+    monthly = (
+        daily.select(F.date_trunc("month", "b").alias("b"), "n", "s")
+        .groupBy("b").agg(F.sum("n").cast("long").alias("n"), F.sum("s").alias("s"))
+    )
+
+    def lvl(df, name):
+        return df.select(
+            F.lit(name).alias("level"),
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n",
+            F.col("s").cast("double").alias("sum_value"),
+        )
+
+    return (
+        lvl(hourly, "hour")
+        .unionByName(lvl(daily, "day"))
+        .unionByName(lvl(monthly, "month"))
+        .withColumnRenamed("n", "n_events")
+    )
+
+
+SQL_HYPERTABLE_ROLLUP = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS b, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events GROUP BY 1),
+daily AS (
+  SELECT date_trunc('day', b) AS b, SUM(n) AS n, SUM(s) AS s
+  FROM hourly GROUP BY 1),
+monthly AS (
+  SELECT date_trunc('month', b) AS b, SUM(n) AS n, SUM(s) AS s
+  FROM daily GROUP BY 1)
+SELECT 'hour' AS level, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(n AS BIGINT) AS n_events, CAST(s AS DOUBLE) AS sum_value FROM hourly
+UNION ALL
+SELECT 'day', strftime(b, '%Y-%m-%d %H:%M:%S'), CAST(n AS BIGINT), CAST(s AS DOUBLE) FROM daily
+UNION ALL
+SELECT 'month', strftime(b, '%Y-%m-%d %H:%M:%S'), CAST(n AS BIGINT), CAST(s AS DOUBLE) FROM monthly
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/temporal.asof_join): every event enriched
     with the latest per-user snapshot value at event time (12-hourly
@@ -3074,6 +3136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sessionize": q_sessionize,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
+    "q_hypertable_rollup": q_hypertable_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -3149,4 +3212,5 @@ ORACLES: dict[str, str] = {
     "q_sessionize": SQL_SESSIONIZE,
     "q_asof_join": SQL_ASOF_JOIN,
     "q_range_join": SQL_RANGE_JOIN,
+    "q_hypertable_rollup": SQL_HYPERTABLE_ROLLUP,
 }

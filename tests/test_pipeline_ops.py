@@ -756,3 +756,30 @@ def test_bucketed_range_join_edges(spark):
     assert got == [1, 2, 3]  # inclusive both ends; 99 and 201 excluded
     # interval spans buckets 3..6 with width 30 — no duplicate matches
     assert out.count() == 3
+
+
+def test_hypertable_rollup_cascade_equals_direct(spark):
+    """Day/month rollups computed FROM the hourly materialization must
+    equal aggregating the raw events directly — the continuous-
+    aggregate correctness property."""
+    from biothings_crawler_spark.plans.driver_queries import q_hypertable_rollup
+
+    out = q_hypertable_rollup(spark, "/root/testdata/sf0.001")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    direct_day = (
+        ev.select(F.date_trunc("day", "ts").alias("b"),
+                  F.col("value").cast("decimal(18,6)").alias("v"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.sum("v").cast("double").alias("sum_value"))
+        .select(F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+                "n_events", "sum_value")
+    )
+    got = {r["bucket"]: (r["n_events"], r["sum_value"])
+           for r in out.filter("level = 'day'").collect()}
+    want = {r["bucket"]: (r["n_events"], r["sum_value"]) for r in direct_day.collect()}
+    assert got == want and len(got) > 1
+    # level row counts nest: hours >= days >= months >= 1
+    counts = {r["level"]: r["c"] for r in
+              out.groupBy("level").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert counts["hour"] >= counts["day"] >= counts["month"] >= 1
