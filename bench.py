@@ -73,6 +73,12 @@ SUITE = [
     "q_pii_scrub",
     "q_decontamination",
     "q_html_to_text",
+    "q_bm25_topk",
+    "q_sessionize",
+    "q_asof_join",
+    "q_range_join",
+    "q_hypertable_rollup",
+    "q_pagerank",
 ]
 
 
