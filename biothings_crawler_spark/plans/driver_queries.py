@@ -2684,6 +2684,48 @@ FROM ex
 """
 
 
+HLL_MOD = 7000  # true cardinality at sf0.01: 500 docs x 20 -> 0..9999 mod 7000
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-arithmetic HyperLogLog (operators/sketch): distinct
+    count of 'v{(doc_id*20+k) % 7000}' over 20 values per doc (true
+    cardinality 7000 at sf0.01 — deliberately above the raw-HLL
+    small-range cutoff 2.5m=640, with planted duplicates). The
+    ESTIMATE itself is the oracle-compared value — md5 registers +
+    power-of-two integer harmonic mean make it bit-identical in
+    DuckDB, which no float HLL can be."""
+    from biothings_crawler_spark.operators.sketch import hll_distinct
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("k")
+    ).select(
+        F.concat(
+            F.lit("v"), ((F.col("doc_id") * 20 + F.col("k")) % HLL_MOD).cast("string")
+        ).alias("v")
+    )
+    return hll_distinct(d, "v")
+
+
+SQL_HLL_DISTINCT = f"""
+WITH vals AS (
+  SELECT 'v' || CAST((doc_id * 20 + k) % {HLL_MOD} AS VARCHAR) AS v
+  FROM documents CROSS JOIN UNNEST(range(0, 20)) AS r(k)),
+h AS (SELECT md5(v) AS h FROM vals),
+br AS (SELECT ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
+              ('0x' || substr(h, 3, 13))::BIGINT AS suffix FROM h),
+rr AS (SELECT bucket,
+              LEAST(CASE WHEN suffix > 0 THEN 53 - length(bin(suffix))
+                         ELSE 30 END, 30) AS rho
+       FROM br),
+regs AS (SELECT bucket, MAX(rho) AS r FROM rr GROUP BY bucket),
+z AS (SELECT SUM(1::BIGINT << (30 - r))
+             + (256 - COUNT(*)) * (1::BIGINT << 30) AS z FROM regs)
+SELECT CAST(712300 * (65536 * (1::BIGINT << 30) // z) // 1000000 AS BIGINT) AS estimate
+FROM z
+"""
+
+
 def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style cascaded rollup (TimescaleDB continuous
     aggregates): hour buckets from raw events, day buckets from the
@@ -3137,6 +3179,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
     "q_hypertable_rollup": q_hypertable_rollup,
+    "q_hll_distinct": q_hll_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -3213,4 +3256,5 @@ ORACLES: dict[str, str] = {
     "q_asof_join": SQL_ASOF_JOIN,
     "q_range_join": SQL_RANGE_JOIN,
     "q_hypertable_rollup": SQL_HYPERTABLE_ROLLUP,
+    "q_hll_distinct": SQL_HLL_DISTINCT,
 }

@@ -783,3 +783,17 @@ def test_hypertable_rollup_cascade_equals_direct(spark):
     counts = {r["level"]: r["c"] for r in
               out.groupBy("level").agg(F.count(F.lit(1)).alias("c")).collect()}
     assert counts["hour"] >= counts["day"] >= counts["month"] >= 1
+
+
+def test_hll_distinct_accuracy_and_dup_invariance(spark):
+    from biothings_crawler_spark.operators.sketch import hll_distinct
+
+    n = 4000
+    vals = spark.range(n).select(F.concat(F.lit("x"), F.col("id").cast("string")).alias("v"))
+    est = hll_distinct(vals, "v").collect()[0]["estimate"]
+    assert abs(est - n) / n < 0.08, est  # ~1.04/sqrt(256) std error
+    # duplicates must not move the estimate at all (max-register sketch)
+    dup3 = vals.union(vals).union(vals)
+    assert hll_distinct(dup3, "v").collect()[0]["estimate"] == est
+    # and the estimate is partitioning-invariant (integer sums commute)
+    assert hll_distinct(vals.repartition(17), "v").collect()[0]["estimate"] == est
