@@ -3105,7 +3105,35 @@ SQL_MULTIMODAL_FEATURES = (
 )
 
 
+# Registry order: the 24 queries with no driver CORRECTNESS row yet
+# (past the r2 gate's first-50 sample) come first, so the driver's
+# first-50 sample covers them; the 50 long-stable queries (green in
+# CORRECTNESS_r01/r02) follow.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_clean_corpus": q_clean_corpus,
+    "q_redirect_trace": q_redirect_trace,
+    "q_reindex_conflicts": q_reindex_conflicts,
+    "q_existence_sample": q_existence_sample,
+    "q_sitemap_from_robots": q_sitemap_from_robots,
+    "q_discovery_dump": q_discovery_dump,
+    "q_mainentity_unwrap": q_mainentity_unwrap,
+    "q_pii_scrub": q_pii_scrub,
+    "q_repetition_stats": q_repetition_stats,
+    "q_decontamination": q_decontamination,
+    "q_html_to_text": q_html_to_text,
+    "q_mixture_sample": q_mixture_sample,
+    "q_web_refine": q_web_refine,
+    "q_doc_chunks": q_doc_chunks,
+    "q_pagerank": q_pagerank,
+    "q_domain_blocklist": q_domain_blocklist,
+    "q_dedup_weights": q_dedup_weights,
+    "q_inverted_index": q_inverted_index,
+    "q_bm25_topk": q_bm25_topk,
+    "q_sessionize": q_sessionize,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
+    "q_hypertable_rollup": q_hypertable_rollup,
+    "q_hll_distinct": q_hll_distinct,
     "q_pricing_summary": q_pricing_summary,
     "q_top_revenue_orders": q_top_revenue_orders,
     "q_region_revenue": q_region_revenue,
@@ -3156,30 +3184,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_line_dedup": q_line_dedup,
     "q_neardup_clusters": q_neardup_clusters,
     "q_winnow_fingerprints": q_winnow_fingerprints,
-    "q_clean_corpus": q_clean_corpus,
-    "q_redirect_trace": q_redirect_trace,
-    "q_reindex_conflicts": q_reindex_conflicts,
-    "q_existence_sample": q_existence_sample,
-    "q_sitemap_from_robots": q_sitemap_from_robots,
-    "q_discovery_dump": q_discovery_dump,
-    "q_mainentity_unwrap": q_mainentity_unwrap,
-    "q_pii_scrub": q_pii_scrub,
-    "q_repetition_stats": q_repetition_stats,
-    "q_decontamination": q_decontamination,
-    "q_html_to_text": q_html_to_text,
-    "q_mixture_sample": q_mixture_sample,
-    "q_web_refine": q_web_refine,
-    "q_doc_chunks": q_doc_chunks,
-    "q_pagerank": q_pagerank,
-    "q_domain_blocklist": q_domain_blocklist,
-    "q_dedup_weights": q_dedup_weights,
-    "q_inverted_index": q_inverted_index,
-    "q_bm25_topk": q_bm25_topk,
-    "q_sessionize": q_sessionize,
-    "q_asof_join": q_asof_join,
-    "q_range_join": q_range_join,
-    "q_hypertable_rollup": q_hypertable_rollup,
-    "q_hll_distinct": q_hll_distinct,
 }
 
 ORACLES: dict[str, str] = {
