@@ -46,6 +46,7 @@ def trace_redirects(
     hops: DataFrame,
     url_col: str = "url",
     max_hops: int = 10,
+    round_sizes: list | None = None,
 ) -> DataFrame:
     """Follow each seed's redirect chain through the hop table.
 
@@ -53,13 +54,23 @@ def trace_redirects(
     status). A chain resolves when it reaches a non-3xx response
     (success, final location+status) or a URL with no hop row
     (connection error); chains still unresolved after ``max_hops``
-    rounds fail as 'too many redirects' (covers cycles)."""
+    rounds fail as 'too many redirects' (covers cycles).
+
+    Per round only the still-UNRESOLVED sliver is joined and
+    checkpointed — resolved chains (the vast majority after hop 1-2)
+    are captured lazily off each round's checkpoint and unioned once
+    at the end, never re-materialized, so state written per round
+    shrinks geometrically with chain length instead of rewriting the
+    whole frontier up to max_hops times. Pass ``round_sizes`` (a list)
+    to record the per-round pending count — test/observability hook
+    for the shrink invariant; it adds one count job per round, leave
+    it None in production."""
     h = hops.select(
         F.col("url").alias("h_url"),
         F.col("next_url").alias("h_next"),
         F.col("status").alias("h_status"),
     )
-    state = seeds.select(
+    pending = seeds.select(
         F.col(url_col).alias("_id"),
         F.col(url_col).alias("cur"),
         F.array().cast("array<string>").alias("history"),
@@ -70,12 +81,14 @@ def trace_redirects(
         F.lit(None).cast("string").alias("exception"),
     ).localCheckpoint(eager=True)
 
+    resolved_parts: list[DataFrame] = []
     for _ in range(max_hops):
-        unresolved = state.filter(~F.col("resolved"))
-        if unresolved.isEmpty():
+        if pending.isEmpty():
             break
-        j = unresolved.drop("resolved", "success", "location", "status",
-                            "exception").join(h, unresolved.cur == h.h_url, "left")
+        if round_sizes is not None:
+            round_sizes.append(pending.count())
+        j = pending.drop("resolved", "success", "location", "status",
+                         "exception").join(h, pending.cur == h.h_url, "left")
         missing = F.col("h_url").isNull()
         redirect = (~missing & F.col("h_next").isNotNull()
                     & F.col("h_status").between(300, 399))
@@ -95,11 +108,13 @@ def trace_redirects(
             .otherwise(F.lit(None).cast("long")).alias("status"),
             F.when(missing, F.lit(CONN_ERROR))
             .otherwise(F.lit(None).cast("string")).alias("exception"),
-        )
-        state = (
-            state.filter(F.col("resolved")).unionByName(stepped)
-            .localCheckpoint(eager=True)
-        )
+        ).localCheckpoint(eager=True)
+        resolved_parts.append(stepped.filter(F.col("resolved")))
+        pending = stepped.filter(~F.col("resolved"))
+
+    state = pending
+    for part in resolved_parts:
+        state = state.unionByName(part)
 
     return state.select(
         "_id",

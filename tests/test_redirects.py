@@ -66,6 +66,25 @@ def test_cycle_hits_loop_guard(spark):
     assert len(json.loads(f["history_json"])) == 6  # one entry per hop taken
 
 
+def test_round_state_shrinks_geometrically(spark):
+    """Only the unresolved sliver is carried (and checkpointed) per
+    round: the per-round pending counts must be non-increasing and
+    drop as chains resolve — resolved rows are never re-materialized."""
+    hops = spark.createDataFrame(HOPS, "url string, next_url string, status int")
+    seeds = spark.createDataFrame(
+        [("http://x/a",), ("http://x/e",), ("http://x/h",), ("http://x/nowhere",)],
+        "url string",
+    )
+    sizes: list = []
+    got = {r["_id"]: r
+           for r in trace_redirects(seeds, hops, round_sizes=sizes).collect()}
+    # round 1 carries all 4; e + nowhere resolve immediately, h after
+    # its one redirect, a walks its 3-hop chain alone
+    assert sizes == [4, 2, 1, 1]
+    assert got["http://x/a"]["success"] and got["http://x/a"]["status"] == 200
+    assert not got["http://x/nowhere"]["success"]
+
+
 def test_error_doc_sink_shape(spark):
     hops = spark.createDataFrame(HOPS, "url string, next_url string, status int")
     seeds = spark.createDataFrame([("http://x/nowhere",)], "url string")
