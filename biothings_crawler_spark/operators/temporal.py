@@ -41,21 +41,35 @@ def asof_join(
     row of the same key with right_ts <= left_ts (NULL when none).
     Returns the left columns plus ``value_col``. Right (key, ts) pairs
     should be unique — with duplicates, the largest value at the tied
-    timestamp wins deterministically."""
+    timestamp wins deterministically.
+
+    The as-of value is a function of (key, left_ts) alone, so the
+    union-window runs over a SLIM 4-column frame — distinct left
+    (key, ts) probes ∪ right (key, ts, value) rows — and the resulting
+    (key, ts) → value mapping is equi-joined back to the full left row.
+    A wide left table never rides through the window sort and right
+    rows never carry NULL-cast copies of left columns (the r2
+    schema-doubling note); the price is one distinct + one equi-join,
+    both keyed on (key, ts), which AQE turns into a broadcast when the
+    mapping is small."""
     lcols = left.columns
+    probes = (
+        left.select(
+            F.col(key_col).alias("__k"), F.col(left_ts_col).alias("__ts")
+        )
+        .distinct()
+        .select(
+            "__k",
+            "__ts",
+            F.lit(1).alias("__tag"),
+            F.lit(None).cast(right.schema[value_col].dataType).alias("__val"),
+        )
+    )
     r = right.select(
         F.col(key_col).alias("__k"),
         F.col(right_ts_col).alias("__ts"),
         F.lit(0).alias("__tag"),
         F.col(value_col).alias("__val"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-    )
-    l = left.select(
-        F.col(key_col).alias("__k"),
-        F.col(left_ts_col).alias("__ts"),
-        F.lit(1).alias("__tag"),
-        F.lit(None).cast(right.schema[value_col].dataType).alias("__val"),
-        *lcols,
     )
     # order by (ts, tag, value): right rows sort before left at equal
     # ts (<= semantics); among tied right rows the last = max value
@@ -64,13 +78,21 @@ def asof_join(
         .orderBy("__ts", "__tag", "__val")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        r.unionByName(l)
-        .select(*lcols, "__tag",
+    mapping = (
+        r.unionByName(probes)
+        .select("__k", "__ts", "__tag",
                 F.last("__val", ignorenulls=True).over(w).alias(value_col))
         .filter(F.col("__tag") == 1)
-        .select(*lcols, value_col)
+        .select("__k", "__ts", value_col)
     )
+    # null-safe equality so NULL key/ts left rows survive (they map to
+    # a NULL as-of value via the window's nulls-first ordering), same
+    # as the pre-rejoin semantics; <=> is still a hash-joinable key
+    return left.join(
+        mapping,
+        F.col(key_col).eqNullSafe(F.col("__k"))
+        & F.col(left_ts_col).eqNullSafe(F.col("__ts")),
+    ).select(*lcols, value_col)
 
 
 def bucketed_range_join(
