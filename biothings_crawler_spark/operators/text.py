@@ -52,6 +52,68 @@ def lang_id_col(text: Column) -> Column:
     )
 
 
+def _lang_id_py(texts: "pd.Series") -> "pd.Series":
+    """Deterministic Python twin of lang_id_col — the default stand-in
+    "model" for lang_id_model. Matches the expression for ASCII
+    whitespace (Python \\s is a unicode superset of Java's; fixture
+    text is ASCII, so the pytest equality holds)."""
+    import re
+
+    en, de, es = set(EN_MARKERS), set(DE_MARKERS), set(ES_MARKERS)
+
+    def one(t):
+        if t is None:
+            return None
+        words = {w for w in re.split(r"\s+", t.lower()) if w}
+        n_en, n_de, n_es = len(words & en), len(words & de), len(words & es)
+        if n_en >= n_de and n_en >= n_es and n_en > 0:
+            return "en"
+        if n_de >= n_es and n_de > 0:
+            return "de"
+        if n_es > 0:
+            return "es"
+        return "und"
+
+    return texts.map(one)
+
+
+def lang_id_model(
+    df,
+    text_col: str,
+    out_col: str = "lang_pred",
+    model_loader=None,
+):
+    """Pluggable model-based language ID over mapInPandas — the
+    production path a 100-TB pipeline swaps in for the marker-word
+    heuristic (same stub contract as operators/multimodal's decode:
+    the container ships no fastText-class model, so the default
+    "model" is the deterministic heuristic twin, and the Spark-side
+    plumbing — Arrow batching, per-worker model load, schema — is real
+    and tested).
+
+    ``model_loader``: zero-arg callable returning a batch predictor
+    ``pd.Series[str] -> pd.Series[str lang code]``. It runs ONCE PER
+    PYTHON WORKER (inside mapInPandas, before the batch loop), so a
+    real model (e.g. fastText lid.176) is loaded once and amortized
+    over all Arrow batches of that worker's partitions — never
+    per-row, never per-batch. Default: ``_lang_id_py``, the exact twin
+    of lang_id_col (pytest asserts equality against the expression).
+
+    Returns df plus ``out_col: string``.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(df.schema.fields + [StructField(out_col, StringType())])
+
+    def gen(batches):
+        predict = (model_loader or (lambda: _lang_id_py))()
+        for pdf in batches:
+            pdf[out_col] = predict(pdf[text_col])
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 def token_count_col(text: Column) -> Column:
     """BPE-ish token count: letter runs + digit runs + punctuation marks."""
     return F.size(

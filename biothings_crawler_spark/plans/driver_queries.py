@@ -2707,10 +2707,15 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(d, "v")
 
 
-SQL_HLL_DISTINCT = f"""
-WITH vals AS (
-  SELECT 'v' || CAST((doc_id * 20 + k) % {HLL_MOD} AS VARCHAR) AS v
-  FROM documents CROSS JOIN UNNEST(range(0, 20)) AS r(k)),
+# shared DuckDB HLL tail: registers -> harmonic mean -> estimate with
+# the linear-counting small-range branch; the LC lookup table literal
+# comes from operators.sketch.LC_LUT, so both engines embed the SAME
+# pre-rounded m*ln(m/V) integers (no runtime log in either engine)
+def _sql_hll_tail() -> str:
+    from biothings_crawler_spark.operators.sketch import LC_CUTOFF, LC_LUT
+
+    lut = ", ".join(str(x) for x in LC_LUT)
+    return f"""
 h AS (SELECT md5(v) AS h FROM vals),
 br AS (SELECT ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
               ('0x' || substr(h, 3, 13))::BIGINT AS suffix FROM h),
@@ -2720,9 +2725,49 @@ rr AS (SELECT bucket,
        FROM br),
 regs AS (SELECT bucket, MAX(rho) AS r FROM rr GROUP BY bucket),
 z AS (SELECT SUM(1::BIGINT << (30 - r))
-             + (256 - COUNT(*)) * (1::BIGINT << 30) AS z FROM regs)
-SELECT CAST(712300 * (65536 * (1::BIGINT << 30) // z) // 1000000 AS BIGINT) AS estimate
-FROM z
+             + (256 - COUNT(*)) * (1::BIGINT << 30) AS z,
+             CAST(256 - COUNT(*) AS BIGINT) AS v_empty FROM regs),
+raw AS (SELECT CAST(712300 * (65536 * (1::BIGINT << 30) // z) // 1000000
+               AS BIGINT) AS raw_est, v_empty FROM z)
+SELECT CAST(CASE WHEN raw_est <= {LC_CUTOFF} AND v_empty > 0
+            THEN list_extract([{lut}], CAST(v_empty AS INT))
+            ELSE raw_est END AS BIGINT) AS estimate
+FROM raw
+"""
+
+
+SQL_HLL_DISTINCT = f"""
+WITH vals AS (
+  SELECT 'v' || CAST((doc_id * 20 + k) % {HLL_MOD} AS VARCHAR) AS v
+  FROM documents CROSS JOIN UNNEST(range(0, 20)) AS r(k)),
+{_sql_hll_tail()}
+"""
+
+
+HLL_SMALL_MOD = 97  # true cardinality: deep in the linear-counting regime
+
+
+def q_hll_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer HLL in the SMALL-RANGE regime: distinct count of
+    'v{{doc_id % 97}}' (true cardinality 97, raw estimate <= 2.5m=640),
+    exercising the linear-counting branch — m*ln(m/V) via the shared
+    pre-rounded integer LUT, bit-identical in DuckDB. Linear counting
+    is near-exact at this load factor, so the sketch answer is also a
+    good estimate (pytest asserts error bounds)."""
+    from biothings_crawler_spark.operators.sketch import hll_distinct
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("v"), (F.col("doc_id") % HLL_SMALL_MOD).cast("string")
+        ).alias("v")
+    )
+    return hll_distinct(d, "v")
+
+
+SQL_HLL_SMALL = f"""
+WITH vals AS (
+  SELECT 'v' || CAST(doc_id % {HLL_SMALL_MOD} AS VARCHAR) AS v FROM documents),
+{_sql_hll_tail()}
 """
 
 
@@ -2902,12 +2947,18 @@ BM25_QUERY = ["data", "table", "spark"]
 
 
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted index over documents (operators/bm25.inverted_index):
-    (term, df, 'id:tf id:tf ...' postings in id order — canonical
-    string because array columns don't hash portably)."""
+    """Canonical inverted-index projection (operators/bm25.
+    inverted_index): (term, df, 'id:tf id:tf ...' postings in id order
+    — canonical string because array columns don't hash portably).
+    Fixture-scale oracle form only; the scale-path representation is
+    (term, id, tf) rows / bounded chunks — see q_postings_chunks.
+    chunk_range=64 here so the chunk re-assembly path is itself
+    exercised (multiple chunks per term at sf0.01)."""
     from biothings_crawler_spark.operators.bm25 import inverted_index
 
-    return inverted_index(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return inverted_index(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", chunk_range=64
+    )
 
 
 SQL_INVERTED_INDEX = f"""
@@ -2920,6 +2971,37 @@ SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
          list(CAST(id AS VARCHAR) || ':' || CAST(tf AS VARCHAR) ORDER BY id),
          ' ') AS postings
 FROM tf GROUP BY term
+"""
+
+
+def q_postings_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH index representation (operators/bm25.
+    postings_chunks): bounded (term, chunk_no, df_chunk, postings)
+    chunk rows keyed row-locally by id div 64 — per-group memory
+    bounded by the chunk range no matter how frequent the term, so hot
+    stop-word terms shard across reducers instead of one collect_list
+    reducer (the r2 scale-killer this replaces)."""
+    from biothings_crawler_spark.operators.bm25 import (
+        inverted_postings,
+        postings_chunks,
+    )
+
+    return postings_chunks(
+        inverted_postings(_t(spark, sf_dir, "documents"), "doc_id", "text"),
+        chunk_range=64,
+    )
+
+
+SQL_POSTINGS_CHUNKS = f"""
+WITH tf AS (
+  SELECT term, id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id AS id, unnest({_SQL_WORDS}) AS term FROM documents)
+  GROUP BY term, id)
+SELECT term, id // 64 AS chunk_no, CAST(COUNT(*) AS BIGINT) AS df_chunk,
+       array_to_string(
+         list(CAST(id AS VARCHAR) || ':' || CAST(tf AS VARCHAR) ORDER BY id),
+         ' ') AS postings
+FROM tf GROUP BY term, id // 64
 """
 
 
@@ -3110,6 +3192,8 @@ SQL_MULTIMODAL_FEATURES = (
 # first-50 sample covers them; the 50 long-stable queries (green in
 # CORRECTNESS_r01/r02) follow.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_postings_chunks": q_postings_chunks,
+    "q_hll_small": q_hll_small,
     "q_clean_corpus": q_clean_corpus,
     "q_redirect_trace": q_redirect_trace,
     "q_reindex_conflicts": q_reindex_conflicts,
@@ -3187,6 +3271,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_postings_chunks": SQL_POSTINGS_CHUNKS,
+    "q_hll_small": SQL_HLL_SMALL,
     "q_pricing_summary": SQL_PRICING_SUMMARY,
     "q_top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "q_region_revenue": SQL_REGION_REVENUE,

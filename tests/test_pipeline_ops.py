@@ -797,3 +797,83 @@ def test_hll_distinct_accuracy_and_dup_invariance(spark):
     assert hll_distinct(dup3, "v").collect()[0]["estimate"] == est
     # and the estimate is partitioning-invariant (integer sums commute)
     assert hll_distinct(vals.repartition(17), "v").collect()[0]["estimate"] == est
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Below 2.5m the estimate switches to linear counting via the
+    pre-rounded integer LUT — near-exact at low load factors, and
+    still deterministic/partitioning-invariant."""
+    from biothings_crawler_spark.operators.sketch import hll_distinct
+
+    n = 100
+    vals = spark.range(n).select(F.concat(F.lit("s"), F.col("id").cast("string")).alias("v"))
+    est = hll_distinct(vals, "v").collect()[0]["estimate"]
+    # LC std error ~ sqrt(m*(exp(t)-t-1))/n with t=n/m≈0.39 -> ~3%
+    assert abs(est - n) / n < 0.10, est
+    assert hll_distinct(vals.repartition(7), "v").collect()[0]["estimate"] == est
+    # tiny cardinality: LC is exact when every value lands its own bucket
+    few = spark.createDataFrame([("a",), ("b",), ("a",)], "v string")
+    assert hll_distinct(few, "v").collect()[0]["estimate"] == 2
+
+
+def test_postings_chunks_bounded_and_reassembly(spark):
+    """The scale-path chunked index: per-(term, chunk) groups bounded
+    by the id range, chunk keys row-local (no window), and the
+    canonical string reassembles from chunks in id order."""
+    from biothings_crawler_spark.operators.bm25 import (
+        inverted_index,
+        inverted_postings,
+        postings_chunks,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "common " + ("rare" if i == 5 else "filler")) for i in range(10)],
+        "id long, text string",
+    )
+    chunks = postings_chunks(
+        inverted_postings(df, "id", "text"), chunk_range=4
+    ).collect()
+    by_term = {}
+    for r in chunks:
+        by_term.setdefault(r["term"], {})[r["chunk_no"]] = (r["df_chunk"], r["postings"])
+    # 'common' hits all 10 docs -> chunks 0..2 with 4/4/2 postings
+    assert {c: d for c, (d, _) in by_term["common"].items()} == {0: 4, 1: 4, 2: 2}
+    assert by_term["common"][0][1] == "0:1 1:1 2:1 3:1"
+    assert by_term["common"][2][1] == "8:1 9:1"
+    assert by_term["rare"] == {1: (1, "5:1")}
+    # canonical projection == chunk strings concatenated in chunk order
+    idx = {r["term"]: (r["df"], r["postings"])
+           for r in inverted_index(df, "id", "text", chunk_range=4).collect()}
+    assert idx["common"] == (10, "0:1 1:1 2:1 3:1 4:1 5:1 6:1 7:1 8:1 9:1")
+    assert idx["rare"] == (1, "5:1")
+    # no per-term window anywhere in the chunk plan
+    plan = postings_chunks(
+        inverted_postings(df, "id", "text"), chunk_range=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_lang_id_model_hook_matches_expression(spark):
+    """The mapInPandas model hook with the default stand-in predictor
+    must agree with the codegen lang_id_col expression row-for-row;
+    a custom model_loader is honored and loaded per worker."""
+    from biothings_crawler_spark.operators.text import lang_id_col, lang_id_model
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    both = lang_id_model(docs, "text", out_col="pred").withColumn(
+        "expr_lang", lang_id_col(F.col("text"))
+    )
+    assert both.filter(F.col("pred") != F.col("expr_lang")).count() == 0
+
+    def loader():
+        return lambda texts: texts.map(lambda t: "xx")
+
+    got = lang_id_model(docs.limit(5), "text", model_loader=loader).collect()
+    assert all(r["lang_pred"] == "xx" for r in got)
+    # hook is Arrow-batched, not row-at-a-time Python
+    plan = lang_id_model(docs, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
