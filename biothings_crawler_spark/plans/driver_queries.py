@@ -67,6 +67,8 @@ from biothings_crawler_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
     pick_centroids,
+    read_ivf_index,
+    write_ivf_index,
 )
 from biothings_crawler_spark.operators.text import (
     lang_id_col,
@@ -683,11 +685,28 @@ IVF_K = 5
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the PERSISTED on-disk index: build (assign_cells ->
+    write_ivf_index, parquet partitioned by cell), then probe the
+    re-read index — so the gate's own plan runs the 10^10-row shape:
+    the probe join's partition filter prunes the scan to the nprobe
+    probed cells (dynamic partition pruning against the broadcast
+    probes side; pytest asserts the pruning expression in THIS query's
+    plan). The index lands in a per-sf temp dir, rebuilt idempotently
+    per call."""
+    import os
+    import tempfile
+
     e = _t(spark, sf_dir, "embeddings")
     cents = pick_centroids(e, "vec_id", "embedding", IVF_CENTROIDS, hash_family="md5")
     cells = assign_cells(e, cents, "vec_id", "embedding")
+    idx_path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ivf_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    write_ivf_index(cells, idx_path)
+    idx = read_ivf_index(spark, idx_path)
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
-    out = ivf_topk(cells, cents, q, "vec_id", "embedding", k=IVF_K, nprobe=IVF_NPROBE)
+    out = ivf_topk(idx, cents, q, "vec_id", "embedding", k=IVF_K, nprobe=IVF_NPROBE)
     return out.select("query_id", "vec_id", "cosine",
                       F.col("rank").cast("long").alias("rank"))
 

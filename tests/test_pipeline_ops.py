@@ -391,6 +391,24 @@ def test_ivf_index_write_prunes_probed_cells(spark, embeddings, tmp_path):
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
 
 
+def test_q_ann_ivf_topk_reads_persisted_index_with_pruning(spark):
+    """The driver-gate IVF query itself now builds, persists, and
+    re-reads the cell-partitioned index, so ITS plan must show the
+    probe-side partition pruning — not just the operator-level test
+    above."""
+    from biothings_crawler_spark.plans.driver_queries import q_ann_ivf_topk
+
+    out = q_ann_ivf_topk(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+    # 5 results per query vector, rank 1..5, deterministic
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
 def test_winnow_twins_and_overlap_detection(spark, documents):
     """Pandas winnowing kernel == expression twin byte-for-byte, and
     a planted partial overlap collides on shared fingerprints while
