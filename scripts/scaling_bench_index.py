@@ -1,0 +1,258 @@
+"""Third north-rule scaling datapoint: the BM25 index-build and
+sessionization paths at two parallelism levels on identical input —
+evidence that the scaling property holds for the shuffle-agg operators
+added late in round 2, not only the crawl-scheduling plane
+(scripts/scaling_bench.py) and the expression-heavy web-text path
+(scripts/scaling_bench_webtext.py).
+
+Two timed jobs per leg, ~10^6+ rows each:
+
+  * bm25_index — documents replicated REPLICAS_DOCS x ->
+    inverted_postings -> postings_chunks (the bounded chunked index,
+    the round-3 replacement for the unbounded postings string): one
+    explode + two keyed hash aggs, millions of (term, id, tf) rows.
+  * sessionize — events replicated REPLICAS_EV x with per-replica
+    key offsets (key cardinality grows with data, as a bigger crawl's
+    would) -> gap sessions: one keyed exchange + rank-style windows.
+
+Executor model matches scaling_bench_webtext.py: N = one 1-core JVM,
+4N = four CONCURRENT 1-core JVMs (the faithful process-per-executor
+model; threads inside one local JVM contend on a shared heap, which a
+real cluster does not). Efficiency = (aggregate 4N throughput /
+solo throughput) / 4, >= 0.8 required by BASELINE.json. Output counts
+are asserted identical across widths (determinism under parallelism).
+
+Results merge into BENCH_SCALING_WEBTEXT.json next to the web-text
+table.
+
+Usage:
+  python scripts/scaling_bench_index.py             # parent: N then 4N -> merged JSON
+  python scripts/scaling_bench_index.py --cores N   # child: one measured run, prints JSON
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOC_REPLICAS", "64"))
+REPLICAS_EV = int(os.environ.get("SPARK_GRAFT_SCALING_EV_REPLICAS", "40"))
+
+
+def _await_barrier(barrier: str) -> None:
+    """Signal input-built readiness, then block until the parent's go
+    file appears — aligns every concurrent child's TIMED region so one
+    child's (untimed) input synthesis never overlaps another's
+    measurement window."""
+    open(os.path.join(barrier, f"ready-{os.getpid()}"), "w").close()
+    go = os.path.join(barrier, "go")
+    t0 = time.time()
+    while not os.path.exists(go):
+        if time.time() - t0 > 300:
+            raise RuntimeError("barrier timeout")
+        time.sleep(0.05)
+
+
+def child(cores: int, job: str, barrier: str | None = None) -> None:
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.bm25 import (
+        inverted_postings,
+        postings_chunks,
+    )
+    from biothings_crawler_spark.operators.sessionize import sessionize
+    from biothings_crawler_spark.session import get_spark
+
+    # per-process tmpfs scratch for shuffle/spill: colocating 4
+    # "executors" on one box makes them share a single /tmp disk — an
+    # artifact a real cluster (per-executor local disks) does not have,
+    # same class as the shared-heap note in scaling_bench_webtext.py.
+    # Applied identically to BOTH legs so the comparison stays fair.
+    local_dir = f"/dev/shm/spark-scaling-{os.getpid()}"
+    os.makedirs(local_dir, exist_ok=True)
+    # a 1-core "executor" JVM must also have 1-core-proportional GC:
+    # the JVM defaults ParallelGCThreads to the MACHINE's 32 threads,
+    # so 4 colocated children would otherwise run 128 GC threads during
+    # this allocation-heavy work — a local-mode artifact (a real
+    # executor launched with --executor-cores 1 gets small GC pools)
+    gc_opts = "-XX:ParallelGCThreads=2 -XX:ConcGCThreads=1"
+    spark = get_spark(
+        "scaling-index", master=f"local[{cores}]",
+        shuffle_partitions=max(cores * 4, 8),
+        extra_conf={"spark.local.dir": local_dir,
+                    "spark.driver.extraJavaOptions": gc_opts},
+    )
+    out = {"cores": cores}
+
+    # ---- job 1: BM25 chunked index build over replicated documents.
+    # Replicated ids stay distinct so postings volume scales linearly;
+    # the repartition stands in for the multi-file scan parallelism a
+    # real corpus supplies (same at both widths relative to core count).
+    if job in ("bm25_index", "all"):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        reps = spark.range(REPLICAS_DOCS).select(F.col("id").alias("rep"))
+        d = (
+            docs.crossJoin(reps)
+            .select((F.col("doc_id") * REPLICAS_DOCS + F.col("rep")).alias("id"), "text")
+            .repartition(cores * 4, "id")
+            .localCheckpoint(eager=True)
+        )
+        n_docs = d.count()
+        if barrier:
+            _await_barrier(barrier)
+        t0 = time.time()
+        chunks = postings_chunks(inverted_postings(d, "id", "text"), chunk_range=1 << 12)
+        n_chunks, n_postings = chunks.agg(
+            F.count(F.lit(1)), F.sum("df_chunk")
+        ).collect()[0]
+        dt_idx = time.time() - t0
+        out["bm25_index"] = {
+            "seconds": round(dt_idx, 3), "n_docs": n_docs,
+            "n_postings": int(n_postings), "n_chunks": n_chunks,
+            "postings_per_sec": round(n_postings / dt_idx, 1),
+        }
+
+    # ---- job 2: sessionize replicated events (distinct key space per
+    # replica, so hot-key size stays constant while data grows).
+    if job in ("sessionize", "all"):
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        reps_e = spark.range(REPLICAS_EV).select(F.col("id").alias("rep"))
+        e = (
+            ev.crossJoin(reps_e)
+            .select(
+                (F.col("user_id") * REPLICAS_EV + F.col("rep")).alias("uid"),
+                "ts",
+                "event_id",
+            )
+            .repartition(cores * 4, "uid")
+            .localCheckpoint(eager=True)
+        )
+        n_events = e.count()
+        if barrier:
+            _await_barrier(barrier)
+        t0 = time.time()
+        sess = sessionize(e, "uid", "ts", "event_id", gap_seconds=600)
+        n_sessions = sess.count()
+        dt_sess = time.time() - t0
+        out["sessionize"] = {
+            "seconds": round(dt_sess, 3), "n_events": n_events,
+            "n_sessions": n_sessions,
+            "events_per_sec": round(n_events / dt_sess, 1),
+        }
+
+    print(json.dumps(out))
+    spark.stop()
+    import shutil
+
+    shutil.rmtree(local_dir, ignore_errors=True)
+
+
+def main() -> None:
+    if "--cores" in sys.argv:
+        jb = (sys.argv[sys.argv.index("--job") + 1]
+              if "--job" in sys.argv else "all")
+        br = (sys.argv[sys.argv.index("--barrier") + 1]
+              if "--barrier" in sys.argv else None)
+        child(int(sys.argv[sys.argv.index("--cores") + 1]), jb, br)
+        return
+    me = os.path.abspath(__file__)
+    # 6g heap per child, both legs identically: a 1-core executor on a
+    # real cluster gets a memory slice, not the whole driver default
+    env = {**os.environ, "PYTHONPATH": REPO,
+           "SPARK_GRAFT_DRIVER_MEM": os.environ.get(
+               "SPARK_GRAFT_SCALING_CHILD_MEM", "6g")}
+
+    def run_one(jb):
+        out = subprocess.run(
+            [sys.executable, me, "--cores", "1", "--job", jb],
+            capture_output=True, text=True, check=True, env=env,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    tables = {}
+    for job, unit_rows, unit in (
+        ("bm25_index", "n_postings", "postings"),
+        ("sessionize", "n_events", "events"),
+    ):
+        # leg A: one 1-core executor; leg B: four concurrent 1-core
+        # executors ALL running this same job (no cross-job phase mixing)
+        import tempfile
+
+        def concurrent_leg(n):
+            barrier = tempfile.mkdtemp(prefix="scaling-barrier-")
+            procs = [
+                subprocess.Popen(
+                    [sys.executable, me, "--cores", "1", "--job", job,
+                     "--barrier", barrier],
+                    stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                    text=True, env=env,
+                )
+                for _ in range(n)
+            ]
+            # release the timed regions together once every child has
+            # built its input (see _await_barrier)
+            while len([f for f in os.listdir(barrier)
+                       if f.startswith("ready-")]) < n:
+                time.sleep(0.1)
+            open(os.path.join(barrier, "go"), "w").close()
+            return [json.loads(p.communicate()[0].strip().splitlines()[-1])
+                    for p in procs]
+
+        solo = run_one(job)
+        outs2 = concurrent_leg(2)
+        outs4 = concurrent_leg(4)
+        for o in outs2 + outs4:  # determinism across widths
+            for k in (unit_rows, "n_chunks" if job == "bm25_index" else "n_sessions"):
+                assert o[job][k] == solo[job][k], (job, k)
+        rows = solo[job][unit_rows]
+        solo_tput = rows / solo[job]["seconds"]
+
+        def leg(outs):
+            n = len(outs)
+            wall = max(o[job]["seconds"] for o in outs)
+            agg = n * rows / wall
+            return {
+                "executors": n, "wall_seconds": round(wall, 3),
+                "per_executor_seconds": [o[job]["seconds"] for o in outs],
+                f"{unit}_per_sec_aggregate": round(agg, 1),
+                "speedup_vs_solo": round(agg / solo_tput, 2),
+                "scaling_efficiency": round(agg / solo_tput / n, 3),
+            }
+
+        l2, l4 = leg(outs2), leg(outs4)
+        tables[job] = {
+            "solo": solo[job],
+            "local2N": l2,
+            "local4N": l4,
+            "speedup_N_to_4N": l4["speedup_vs_solo"],
+            "scaling_efficiency": l4["scaling_efficiency"],
+            "target": 0.8, "pass": l4["scaling_efficiency"] >= 0.8,
+        }
+
+    entry = {
+        "model": "executors as processes: 1 JVM x 1 core vs 4 concurrent JVMs x 1 core",
+        "sf": SF_DIR,
+        "doc_replicas": REPLICAS_DOCS, "event_replicas": REPLICAS_EV,
+        **tables,
+    }
+
+    out_path = os.path.join(REPO, "BENCH_SCALING_WEBTEXT.json")
+    with open(out_path) as f:
+        existing = json.load(f)
+    if "job" in existing:  # old single-table layout
+        existing = {"webtext_refine": existing}
+    existing["bm25_index_and_sessionize"] = entry
+    with open(out_path, "w") as f:
+        json.dump(existing, f, indent=2)
+    print(json.dumps(entry))
+
+
+if __name__ == "__main__":
+    main()
