@@ -776,6 +776,35 @@ def test_bucketed_range_join_edges(spark):
     assert out.count() == 3
 
 
+def test_sessionize_matches_spark_builtin_session_window(spark):
+    """Cross-implementation check: our window-composition sessionize
+    must produce the same sessions as Spark's BUILT-IN session_window
+    aggregation on real event data. Boundary semantics differ by one
+    microsecond (ours keeps an exactly-gap event in the session,
+    session_window starts a new one at >= gap), so the built-in runs
+    with gap+1us — under that shift the two are defined to agree."""
+    from biothings_crawler_spark.operators.sessionize import sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ours = {
+        (r["key"], r["n_events"], r["start_us"], r["end_us"])
+        for r in sessionize(ev, "user_id", "ts", "event_id", gap_seconds=600).collect()
+    }
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    builtin = {
+        (r["user_id"], r["n"], r["s"], r["e"])
+        for r in (
+            ev.groupBy("user_id", F.session_window("ts", "600000001 microseconds"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min(us).alias("s"), F.max(us).alias("e"))
+            .collect()
+        )
+    }
+    assert ours == builtin and len(ours) > 100
+
+
 def test_hypertable_rollup_cascade_equals_direct(spark):
     """Day/month rollups computed FROM the hourly materialization must
     equal aggregating the raw events directly — the continuous-
