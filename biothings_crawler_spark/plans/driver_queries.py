@@ -777,6 +777,23 @@ SELECT source,
 FROM h GROUP BY 1, 2
 """
 
+def q_lang_id_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas model-hook path (operators/text.lang_id_model)
+    for language ID, aggregated the same way as q_lang_id — the driver
+    gate verifies the Arrow-batched per-worker-model plumbing end to
+    end against the identical DuckDB oracle (the default stand-in
+    predictor is the deterministic Python twin of the expression, so
+    the two queries share one oracle by construction)."""
+    from biothings_crawler_spark.operators.text import lang_id_model
+
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    return (
+        lang_id_model(d, "text", out_col="lang_pred")
+        .groupBy("source", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 _SQL_TOKENS = ("len(list_filter(regexp_extract_all(text, "
                "'([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])', 1), x -> len(x) > 0))")
 
@@ -3213,6 +3230,7 @@ SQL_MULTIMODAL_FEATURES = (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_postings_chunks": q_postings_chunks,
     "q_hll_small": q_hll_small,
+    "q_lang_id_model": q_lang_id_model,
     "q_clean_corpus": q_clean_corpus,
     "q_redirect_trace": q_redirect_trace,
     "q_reindex_conflicts": q_reindex_conflicts,
@@ -3292,6 +3310,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "q_postings_chunks": SQL_POSTINGS_CHUNKS,
     "q_hll_small": SQL_HLL_SMALL,
+    "q_lang_id_model": SQL_LANG_ID,
     "q_pricing_summary": SQL_PRICING_SUMMARY,
     "q_top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "q_region_revenue": SQL_REGION_REVENUE,
