@@ -2263,6 +2263,14 @@ def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.when(did % 3 == 0, F.concat(t, email)).otherwise(t)
     t = F.when(did % 4 == 0, F.concat(t, phone)).otherwise(t)
     t = F.when(did % 5 == 0, F.concat(t, ip)).otherwise(t)
+    # Luhn-VALID card for id%6==0, card-SHAPED-but-invalid for id%7==0:
+    # counts must see only the former, redaction masks both
+    t = F.when(
+        did % 6 == 0, F.concat(t, F.lit(" card 4111-1111-1111-1111"))
+    ).otherwise(t)
+    t = F.when(
+        did % 7 == 0, F.concat(t, F.lit(" ref 4111 1111 1111 1112"))
+    ).otherwise(t)
     return d.select(did.alias("id"), t.alias("text"))
 
 
@@ -2290,13 +2298,19 @@ _SQL_PII_DOCS = """
                  THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
                       || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
                       || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
-                 ELSE '' END AS text
+                 ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+                 THEN ' card 4111-1111-1111-1111' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' ref 4111 1111 1111 1112' ELSE '' END AS text
   FROM documents
 """
 
 # the oracle interpolates the OPERATOR's own patterns/tokens — editing
 # pii.py can't silently leave the DuckDB side running the old regex
 from biothings_crawler_spark.operators.pii import (  # noqa: E402
+    CC_RE as _RE_CC_SQL,
+    CC_TOKEN as _TOK_CC,
     EMAIL_RE as _RE_EMAIL_SQL,
     EMAIL_TOKEN as _TOK_EMAIL,
     IPV4_RE as _RE_IPV4_SQL,
@@ -2305,18 +2319,32 @@ from biothings_crawler_spark.operators.pii import (  # noqa: E402
     PHONE_TOKEN as _TOK_PHONE,
 )
 
+# DuckDB Luhn twin of operators.pii.luhn_valid_col: odd 1-based
+# positions doubled (16-digit shapes), -9 when over 9, sum % 10 == 0
+_SQL_LUHN = (
+    "list_sum(list_transform(range(1, 17), i -> "
+    "CASE WHEN i % 2 = 1 THEN "
+    "CASE WHEN 2 * CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'), i, 1) AS INT) > 9 "
+    "THEN 2 * CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'), i, 1) AS INT) - 9 "
+    "ELSE 2 * CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'), i, 1) AS INT) END "
+    "ELSE CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'), i, 1) AS INT) END)) % 10 = 0"
+)
+
 SQL_PII_SCRUB = f"""
 WITH docs AS ({_SQL_PII_DOCS}),
 s1 AS (SELECT id, text,
               regexp_replace(text, '{_RE_EMAIL_SQL}', '{_TOK_EMAIL}', 'g') AS t1
        FROM docs),
-s2 AS (SELECT *, regexp_replace(t1, '{_RE_IPV4_SQL}', '{_TOK_IP}', 'g') AS t2 FROM s1)
+s2 AS (SELECT *, regexp_replace(t1, '{_RE_IPV4_SQL}', '{_TOK_IP}', 'g') AS t2 FROM s1),
+s3 AS (SELECT *, regexp_replace(t2, '{_RE_PHONE_SQL}', '{_TOK_PHONE}', 'g') AS t3 FROM s2)
 SELECT id,
        CAST(len(regexp_extract_all(text, '{_RE_EMAIL_SQL}')) AS BIGINT) AS n_emails,
        CAST(len(regexp_extract_all(t1, '{_RE_IPV4_SQL}')) AS BIGINT) AS n_ipv4,
        CAST(len(regexp_extract_all(t2, '{_RE_PHONE_SQL}')) AS BIGINT) AS n_phones,
-       regexp_replace(t2, '{_RE_PHONE_SQL}', '{_TOK_PHONE}', 'g') AS clean_text
-FROM s2
+       CAST(len(list_filter(regexp_extract_all(t3, '{_RE_CC_SQL}'),
+                            c -> {_SQL_LUHN})) AS BIGINT) AS n_cards,
+       regexp_replace(t3, '{_RE_CC_SQL}', '{_TOK_CC}', 'g') AS clean_text
+FROM s3
 """
 
 

@@ -491,6 +491,32 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert out[5]["clean_text"] is None
 
 
+def test_pii_card_luhn_counts_valid_redacts_all_shapes(spark):
+    """Luhn gate: only valid card numbers COUNT; all card-shaped runs
+    are REDACTED (conservative over-masking, documented asymmetry).
+    Covers the three shapes (plain/dashed/spaced) and a 17-digit run
+    that must not match at all (word-boundary anchoring)."""
+    from biothings_crawler_spark.operators.pii import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "pay 4111-1111-1111-1111 now"),        # valid, dashed
+            (2, "pay 4111 1111 1111 1112 now"),        # invalid, spaced
+            (3, "pay 5500005555555559 now"),           # valid, plain
+            (4, "order 41111111111111111 ships"),      # 17 digits: no match
+            (5, "call 555-123-4567 re 4111111111111111"),  # phone + card
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in pii_scrub(df, "id", "text").collect()}
+    assert out[1]["n_cards"] == 1 and out[1]["clean_text"] == "pay <CARD> now"
+    assert out[2]["n_cards"] == 0 and out[2]["clean_text"] == "pay <CARD> now"
+    assert out[3]["n_cards"] == 1 and out[3]["clean_text"] == "pay <CARD> now"
+    assert out[4]["n_cards"] == 0 and "41111111111111111" in out[4]["clean_text"]
+    assert out[5]["n_cards"] == 1 and out[5]["n_phones"] == 1
+    assert out[5]["clean_text"] == "call <PHONE> re <CARD>"
+
+
 def test_pii_scrub_email_host_not_double_counted(spark):
     from biothings_crawler_spark.operators.pii import pii_scrub
 
