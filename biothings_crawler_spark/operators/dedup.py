@@ -22,6 +22,7 @@ Scale design:
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 import numpy as np
@@ -103,16 +104,60 @@ def _shingles(text: Column, k: int, impl: str) -> Column:
     return shingles_col(text, k)
 
 
-def minhash_signature_col(shingles: Column, n_perm: int = 16) -> Column:
-    """n_perm MinHash values: per permutation j, the lexicographic min of
-    md5(j || shingle) — a salted-hash permutation family shared
-    byte-for-byte with the DuckDB oracle."""
-    def _minhash(j: int):
-        return lambda acc, s: F.least(acc, F.md5(F.concat(F.lit(f"{j}:"), s)))
+# MinHash permutation family: ONE md5 per shingle (32-bit integer
+# h = first 8 hex chars), then perm_j(h) = (A_j*(h mod P) + B_j) mod P
+# over the Mersenne prime P = 2^31-1 — the classic affine
+# universal-hash family. The modulus MUST be comparable to the input
+# range: with a large P (say 2^61) and 32-bit inputs, A*h+B rarely
+# wraps, the map is order-preserving, and the corpus-global smallest
+# hash wins EVERY permutation — a degenerate single-permutation
+# sketch (caught by the brute-force recall oracle during this
+# rewrite). With P=2^31-1 every product wraps many times and each j
+# induces an independent ordering. A_j*(h mod P)+B_j < 2^62, so every
+# step is exact BIGINT arithmetic and the DuckDB twin reproduces it
+# bit for bit. This replaces the salted-md5 family (md5(j||shingle)),
+# which cost n_perm md5 evaluations per shingle — 16x the hash kernel
+# work for no statistical benefit.
+MINHASH_P = (1 << 31) - 1
+_MH_A = tuple(
+    int(hashlib.md5(f"mh-a-{j}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+    for j in range(64)
+)
+_MH_B = tuple(
+    int(hashlib.md5(f"mh-b-{j}".encode()).hexdigest()[:8], 16) % MINHASH_P
+    for j in range(64)
+)
 
-    return F.array(*[
-        F.aggregate(shingles, F.lit(MAX_MD5), _minhash(j)) for j in range(n_perm)
-    ])
+
+def shingle_hash_col(shingles: Column) -> Column:
+    """array<long> of md5-derived shingle hashes in [0, P) — the one
+    md5 pass; every permutation is an integer fold over this."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_P),
+    )
+
+
+def minhash_perm_col(hashes: Column, j: int) -> Column:
+    """min over the j-th affine permutation of the shingle hashes."""
+    return F.aggregate(
+        hashes,
+        F.lit(MINHASH_P).cast("long"),
+        lambda acc, x: F.least(
+            acc, (F.lit(_MH_A[j]) * x + F.lit(_MH_B[j])) % F.lit(MINHASH_P)
+        ),
+    )
+
+
+def minhash_signature_col(shingles: Column, n_perm: int = 16) -> Column:
+    """n_perm MinHash values over the affine family (array<long>).
+    NOTE: referencing this array column k times in a downstream
+    projection re-inlines the fold k times (CollapseProject) — inside
+    minhash_lsh_pairs the band keys are built from minhash_perm_col
+    directly, one reference each, over a checkpointed hash column."""
+    hs = shingle_hash_col(shingles)
+    return F.array(*[minhash_perm_col(hs, j) for j in range(n_perm)])
 
 
 def minhash_lsh_pairs(
@@ -130,18 +175,21 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows = n_perm // bands
-    # materialized (eager localCheckpoint): the signature index is read
-    # by the band explode AND the per-pair verify join; without
+    # materialized (eager localCheckpoint): the (id, sh, hs) index is
+    # read by the band projection AND the per-pair verify join; without
     # materialization Catalyst's projection collapse re-inlines the
-    # 16-fold signature expression once per sig[i] reference (16x the
-    # work per row). localCheckpoint rather than persist() so the blocks
-    # are reclaimed by the ContextCleaner when this DataFrame is GC'd —
-    # a bare persist() here leaked cache for the session lifetime. At
-    # 10^10 rows this index is a written table (LSH index build stage).
+    # md5-hash transform once per downstream reference. ONE md5 per
+    # shingle lives here; the n_perm permutations are integer folds
+    # over the checkpointed hs array, and each fold expression appears
+    # exactly once (inside its band key), so nothing multiplies.
+    # localCheckpoint rather than persist() so the blocks are reclaimed
+    # by the ContextCleaner when this DataFrame is GC'd — a bare
+    # persist() here leaked cache for the session lifetime. At 10^10
+    # rows this index is a written table (LSH index build stage).
     base = df.select(
         F.col(id_col).alias("id"),
         _shingles(F.col(text_col), k, shingle_impl).alias("sh"),
-    ).withColumn("sig", minhash_signature_col(F.col("sh"), n_perm)).localCheckpoint(eager=True)
+    ).withColumn("hs", shingle_hash_col(F.col("sh"))).localCheckpoint(eager=True)
     # band join carries ONLY (id, band) — shuffling the shingle arrays
     # (KBs/row) through the self-join would dominate at 10^10 rows; the
     # arrays are re-joined per deduped candidate pair instead (two hash
@@ -151,7 +199,10 @@ def minhash_lsh_pairs(
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)]).alias("band_key"),
+                F.concat_ws("|", *[
+                    minhash_perm_col(F.col("hs"), b * rows + r).cast("string")
+                    for r in range(rows)
+                ]).alias("band_key"),
             )
             for b in range(bands)
         ])).alias("band"),

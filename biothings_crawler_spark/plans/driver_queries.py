@@ -527,16 +527,34 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                              verify_threshold=0.5)
 
 
+# affine-family constants interpolated from the OPERATOR's own values
+# (operators.dedup) — the twin can't drift from the engine
+from biothings_crawler_spark.operators.dedup import (  # noqa: E402
+    MINHASH_P as _MH_P,
+    _MH_A,
+    _MH_B,
+)
+
+_MH_A16 = ", ".join(str(a) for a in _MH_A[:16])
+_MH_B16 = ", ".join(str(b) for b in _MH_B[:16])
+
 SQL_MINHASH_LSH = f"""
 WITH {_SQL_SHINGLES},
+hv AS (
+  SELECT doc_id, sh,
+         list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT
+                                 % {_MH_P}) AS hv
+  FROM s),
 sig AS (
   SELECT doc_id, sh,
-         [list_min(list_transform(sh, x -> md5(CAST(j AS VARCHAR) || ':' || x)))
+         [list_min(list_transform(hv, h -> ([{_MH_A16}][j+1] * h
+                                            + [{_MH_B16}][j+1]) % {_MH_P}))
           for j in range(16)] AS sig
-  FROM s),
+  FROM hv),
 banded AS (
   SELECT doc_id, b AS band_id,
-         array_to_string(sig[b*4+1:b*4+4], '|') AS band_key
+         array_to_string(list_transform(sig[b*4+1:b*4+4],
+                                        v -> CAST(v AS VARCHAR)), '|') AS band_key
   FROM sig, unnest(range(4)) AS u(b)),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
