@@ -420,3 +420,77 @@ def line_dedup(
             (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
         )
     )
+
+
+PASSAGE_POS_BITS = 20  # positions per doc must fit in 2^20
+
+
+def passage_dedup(
+    df,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_chars: int = 40,
+):
+    """Corpus-level KEEP-FIRST exact passage dedup (the Lee et al.
+    'Deduplicating Training Data Makes Language Models Better'
+    semantics at separator granularity): every later occurrence of a
+    normalized passage is removed corpus-wide; the single surviving
+    copy is the one at the smallest (doc id, position). Distinct from
+    line_dedup (CCNet boilerplate removal), which drops ALL copies of
+    over-frequent lines — here exactly one copy always survives and
+    frequency is irrelevant.
+
+    Passages whose normalized length is under ``min_chars`` are exempt
+    (section headers and list stubs repeat legitimately); eligibility
+    is a function of the normalized text, so all copies of a passage
+    share it.
+
+    Scale shape: one hash agg on the passage key (map-side partial
+    MIN over the integer ``id * 2^20 + pos`` winner encoding), one
+    equi-join back on the key, one per-doc rebuild agg whose
+    collect_list is bounded by the doc's own passage count. Returns
+    (id, clean_text, n_kept, n_removed).
+    """
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "passage"),
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("passage")), r"\s+", " "))
+    keyed = paras.select(
+        "id",
+        "pos",
+        "passage",
+        F.md5(norm).alias("k"),
+        (F.length(norm) >= min_chars).alias("eligible"),
+    )
+    code = F.col("id") * F.lit(1 << PASSAGE_POS_BITS) + F.col("pos")
+    winners = (
+        keyed.filter("eligible").groupBy("k").agg(F.min(code).alias("w"))
+    )
+    kept = keyed.join(winners, "k", "left").filter(
+        ~F.col("eligible") | (code == F.col("w"))
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "passage"))),
+                lambda s: s["passage"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_total"),
+    )
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        )
+    )

@@ -2366,6 +2366,50 @@ FROM s3
 """
 
 
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level KEEP-FIRST exact passage dedup (operators/text.
+    passage_dedup — Lee et al. 'Deduplicating Training Data' semantics
+    at line granularity): later occurrences of a normalized passage are
+    removed corpus-wide, the smallest (id, pos) copy survives; short
+    passages (<20 normalized chars — e.g. the COMMON FOOTER) are
+    exempt. Complements q_line_dedup, whose CCNet semantics instead
+    drop ALL copies of over-frequent lines."""
+    from biothings_crawler_spark.operators.text import passage_dedup
+
+    return passage_dedup(
+        _chunked_docs(spark, sf_dir), "id", "t", sep="\n", min_chars=20
+    )
+
+
+SQL_PASSAGE_DEDUP = f"""
+WITH docs AS ({_SQL_CHUNKED_DOCS}),
+lines AS (
+  SELECT id, ls[i] AS passage, i - 1 AS pos
+  FROM (SELECT id, string_split(text, chr(10)) AS ls FROM docs),
+       UNNEST(range(1, len(ls) + 1)) AS r(i)),
+keyed AS (
+  SELECT id, pos, passage,
+         md5(trim(regexp_replace(lower(passage), '\\s+', ' ', 'g'))) AS k,
+         len(trim(regexp_replace(lower(passage), '\\s+', ' ', 'g'))) >= 20
+           AS eligible
+  FROM lines),
+winners AS (
+  SELECT k, MIN(id * 1048576 + pos) AS w FROM keyed WHERE eligible GROUP BY k),
+kept AS (
+  SELECT x.id, x.pos, x.passage FROM keyed x LEFT JOIN winners USING (k)
+  WHERE NOT eligible OR id * 1048576 + pos = w),
+rebuilt AS (
+  SELECT id, array_to_string(list(passage ORDER BY pos), chr(10)) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY id),
+tot AS (SELECT id, len(string_split(text, chr(10))) AS n_total FROM docs)
+SELECT t.id, COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_total - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN rebuilt r USING (id)
+"""
+
+
 def _repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunked multi-line docs with planted casualties: duplicated
     spam lines (id%7==0), bullet lines (id%11==0), ellipsis lines
@@ -3277,6 +3321,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_postings_chunks": q_postings_chunks,
     "q_hll_small": q_hll_small,
     "q_lang_id_model": q_lang_id_model,
+    "q_passage_dedup": q_passage_dedup,
     "q_clean_corpus": q_clean_corpus,
     "q_redirect_trace": q_redirect_trace,
     "q_reindex_conflicts": q_reindex_conflicts,
@@ -3357,6 +3402,7 @@ ORACLES: dict[str, str] = {
     "q_postings_chunks": SQL_POSTINGS_CHUNKS,
     "q_hll_small": SQL_HLL_SMALL,
     "q_lang_id_model": SQL_LANG_ID,
+    "q_passage_dedup": SQL_PASSAGE_DEDUP,
     "q_pricing_summary": SQL_PRICING_SUMMARY,
     "q_top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "q_region_revenue": SQL_REGION_REVENUE,

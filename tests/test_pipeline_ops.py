@@ -346,6 +346,32 @@ def test_line_dedup_removes_boilerplate(spark):
     assert by_id[3]["n_removed"] == 1 and by_id[3]["n_kept"] == 2
 
 
+def test_passage_dedup_keep_first_semantics(spark):
+    """Keep-first passage dedup: the smallest (id, pos) copy survives,
+    later copies (cross-doc AND within-doc) are removed, short passages
+    are exempt, whitespace/case-normalized matching."""
+    import pandas as pd
+
+    from biothings_crawler_spark.operators.text import passage_dedup
+
+    dup = "this passage is duplicated verbatim across documents"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2, 3],
+        "t": [
+            f"{dup}\nunique one\nHEAD",
+            f"unique two\n{dup.upper()}\nHEAD",          # case-normalized dup
+            f"unique three\n{dup}\n{dup}\nHEAD",         # two more copies
+        ],
+    }))
+    out = {r["id"]: r for r in passage_dedup(docs, "id", "t", min_chars=20).collect()}
+    assert out[1]["clean_text"] == f"{dup}\nunique one\nHEAD"   # first copy survives
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "unique two\nHEAD" and out[2]["n_removed"] == 1
+    assert out[3]["clean_text"] == "unique three\nHEAD" and out[3]["n_removed"] == 2
+    # 'HEAD' repeats everywhere but is under min_chars -> exempt
+    assert all("HEAD" in out[i]["clean_text"] for i in (1, 2, 3))
+
+
 def test_connected_components_chain(spark):
     """Label propagation finds the min id across a multi-hop chain."""
     import pandas as pd
