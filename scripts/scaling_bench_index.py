@@ -178,8 +178,8 @@ def main() -> None:
 
     tables = {}
     for job, unit_rows, unit in (
-        ("bm25_index", "n_postings", "postings"),
         ("sessionize", "n_events", "events"),
+        ("bm25_index", "n_postings", "postings"),
     ):
         # leg A: one 1-core executor; leg B: four concurrent 1-core
         # executors ALL running this same job (no cross-job phase mixing)
