@@ -90,3 +90,66 @@ def test_stateful_cursor_survives_restart(spark, tmp_path):
         "append").parquet(str(src))
     got2 = run_once()
     assert got2 - got1 == {("figshare", f"r{i}b", i) for i in range(6, 9)}
+
+
+def test_session_stream_watermark_finalizes_and_resumes(spark, tmp_path):
+    """Streaming session windows: append mode emits a session exactly
+    once its window can no longer grow (watermark passed), un-final
+    sessions wait in the state store, and a restarted query on the
+    same checkpoint flushes them when later data advances the
+    watermark — no duplicates, no losses."""
+    import datetime as dt
+
+    from biothings_crawler_spark.streaming.sessions import session_stream
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    schema = "key long, ts timestamp_ntz"
+    src = tmp_path / "events"
+    src.mkdir()
+    # file 1: session A (key 1: t0,t1,t2) and session B (key 2: t1000,t1001)
+    spark.createDataFrame(
+        [(1, t(0)), (1, t(1)), (1, t(2)), (2, t(1000)), (2, t(1001))], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    # file 2: session C (key 1: t5000) + a far-future watermark driver
+    spark.createDataFrame([(1, t(5000)), (9, t(100000))], schema).coalesce(
+        1
+    ).write.parquet(str(src / "f2"))
+
+    dest = str(tmp_path / "sessions_out")
+
+    def run_round():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            session_stream(stream, "key", "ts", gap_seconds=60,
+                           watermark="10 seconds")
+            .writeStream.format("parquet")
+            .option("path", dest)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_round()
+    got = {(r["key"], r["n_events"]) for r in spark.read.parquet(dest).collect()}
+    # watermark reached 100000-10s: sessions A, B, C are all final;
+    # the driver event's own session (t100000) is not
+    assert got == {(1, 3), (2, 2), (1, 1)}
+
+    # round 2 on the same checkpoint: another watermark driver flushes
+    # the previously-open session for key 9; nothing re-emits
+    spark.createDataFrame([(9, t(200000))], schema).coalesce(1).write.parquet(
+        str(src / "f3")
+    )
+    run_round()
+    got2 = [(r["key"], r["n_events"]) for r in spark.read.parquet(dest).collect()]
+    assert sorted(got2) == sorted([(1, 3), (2, 2), (1, 1), (9, 1)])
+    # session rows carry the batch operator's epoch-us convention
+    row = {r["key"]: r for r in spark.read.parquet(dest).collect()}[2]
+    base = int(dt.datetime(2024, 1, 1).timestamp())  # UTC session tz
+    assert row["duration_us"] == 1_000_000 and row["n_events"] == 2
