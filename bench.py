@@ -73,6 +73,7 @@ SUITE = [
     "q_pii_scrub",
     "q_decontamination",
     "q_html_to_text",
+    "q_passage_dedup",
     "q_postings_chunks",
     "q_hll_small",
     "q_bm25_topk",
