@@ -2410,6 +2410,64 @@ FROM tot t LEFT JOIN rebuilt r USING (id)
 """
 
 
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl scheduling (operators/recrawl.recrawl_schedule
+    — Cho & Garcia-Molina refresh policy): fetch history synthesized
+    from events (url = user bucket, content hash = quantized value, so
+    changes occur deterministically), folded into per-url revisit
+    intervals (halve on change, double on no-change, clamped) and
+    next-due timestamps. Integer-only fold — bit-identical DuckDB
+    list_reduce twin."""
+    from biothings_crawler_spark.operators.recrawl import recrawl_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    fetches = ev.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 200).cast("string")).alias("url"),
+        F.col("ts"),
+        F.col("event_id"),
+        (F.floor(F.col("value") * 10).cast("long") % 3).cast("string").alias("h"),
+    )
+    return recrawl_schedule(
+        fetches, "url", "ts", "h", "event_id",
+        base_interval_s=86400, min_interval_s=3600, max_interval_s=2592000,
+    )
+
+
+SQL_RECRAWL_SCHEDULE = """
+WITH f AS (
+  SELECT 'u' || CAST(user_id % 200 AS VARCHAR) AS url,
+         ts, event_id,
+         CAST(CAST(floor(value * 10) AS BIGINT) % 3 AS VARCHAR) AS h,
+         epoch_us(ts) AS us
+  FROM events),
+fl AS (
+  SELECT url, us, event_id,
+         CASE WHEN lag(h) OVER w IS NOT NULL
+              THEN CAST(h <> lag(h) OVER w AS INT) END AS chg
+  FROM f WINDOW w AS (PARTITION BY url ORDER BY ts, event_id)),
+agg AS (
+  SELECT url, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+         CAST(COALESCE(SUM(chg), 0) AS BIGINT) AS n_changes,
+         MAX(us) AS last_us,
+         list(chg ORDER BY us, event_id) AS flags
+  FROM fl GROUP BY url),
+iv AS (
+  SELECT url, n_fetches, n_changes, last_us,
+         list_reduce(
+           list_prepend(CAST(86400 AS BIGINT),
+                        list_transform(list_filter(flags, c -> c IS NOT NULL),
+                                       c -> CAST(c AS BIGINT))),
+           (acc, c) -> CASE WHEN c = 1
+                            THEN GREATEST(CAST(3600 AS BIGINT), acc // 2)
+                            ELSE LEAST(CAST(2592000 AS BIGINT), acc * 2)
+                       END) AS interval_s
+  FROM agg)
+SELECT url, n_fetches, n_changes, interval_s,
+       last_us + interval_s * 1000000 AS next_due_us
+FROM iv
+"""
+
+
 def _repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunked multi-line docs with planted casualties: duplicated
     spam lines (id%7==0), bullet lines (id%11==0), ellipsis lines
@@ -3322,6 +3380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hll_small": q_hll_small,
     "q_lang_id_model": q_lang_id_model,
     "q_passage_dedup": q_passage_dedup,
+    "q_recrawl_schedule": q_recrawl_schedule,
     "q_clean_corpus": q_clean_corpus,
     "q_redirect_trace": q_redirect_trace,
     "q_reindex_conflicts": q_reindex_conflicts,
@@ -3403,6 +3462,7 @@ ORACLES: dict[str, str] = {
     "q_hll_small": SQL_HLL_SMALL,
     "q_lang_id_model": SQL_LANG_ID,
     "q_passage_dedup": SQL_PASSAGE_DEDUP,
+    "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
     "q_pricing_summary": SQL_PRICING_SUMMARY,
     "q_top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "q_region_revenue": SQL_REGION_REVENUE,

@@ -346,6 +346,41 @@ def test_line_dedup_removes_boilerplate(spark):
     assert by_id[3]["n_removed"] == 1 and by_id[3]["n_kept"] == 2
 
 
+def test_recrawl_schedule_fold_and_clamps(spark):
+    """Adaptive revisit intervals: halve on change, double on
+    no-change, clamped; first fetch carries no flag; next_due = last
+    fetch + interval."""
+    import datetime as dt
+
+    from biothings_crawler_spark.operators.recrawl import recrawl_schedule
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    rows = (
+        # url A: hashes x,x,y,y -> flags [0,1,0] -> 86400*2=172800,
+        # /2=86400, *2=172800
+        [("A", t(i * 100), i, h) for i, h in enumerate(["x", "x", "y", "y"])]
+        # url B: changes every fetch -> halving to the 3600 floor
+        + [("B", t(i * 100), 10 + i, str(i)) for i in range(8)]
+        # url C: never changes -> doubling to the max clamp
+        + [("C", t(i * 100), 20 + i, "z") for i in range(8)]
+        # url D: single fetch -> base interval untouched
+        + [("D", t(0), 30, "q")]
+    )
+    df = spark.createDataFrame(
+        rows, "url string, ts timestamp_ntz, event_id long, h string"
+    )
+    out = {r["url"]: r for r in recrawl_schedule(
+        df, "url", "ts", "h", "event_id",
+        base_interval_s=86400, min_interval_s=3600, max_interval_s=2592000,
+    ).collect()}
+    assert out["A"]["interval_s"] == 172800 and out["A"]["n_changes"] == 1
+    assert out["B"]["interval_s"] == 3600 and out["B"]["n_changes"] == 7
+    assert out["C"]["interval_s"] == 2592000 and out["C"]["n_changes"] == 0
+    assert out["D"]["interval_s"] == 86400 and out["D"]["n_fetches"] == 1
+    base_us = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert out["D"]["next_due_us"] == base_us + 86400 * 1_000_000
+
+
 def test_passage_dedup_keep_first_semantics(spark):
     """Keep-first passage dedup: the smallest (id, pos) copy survives,
     later copies (cross-doc AND within-doc) are removed, short passages
