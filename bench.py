@@ -74,6 +74,7 @@ SUITE = [
     "q_decontamination",
     "q_html_to_text",
     "q_passage_dedup",
+    "q_recrawl_schedule",
     "q_postings_chunks",
     "q_hll_small",
     "q_bm25_topk",
