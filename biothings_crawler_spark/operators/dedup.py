@@ -33,7 +33,6 @@ from pyspark.sql import types as T
 
 from biothings_crawler_spark.operators.text import fingerprint_col
 
-MAX_MD5 = "ffffffffffffffffffffffffffffffff"
 
 
 # --- exact -------------------------------------------------------------------
@@ -148,16 +147,6 @@ def minhash_perm_col(hashes: Column, j: int) -> Column:
             acc, (F.lit(_MH_A[j]) * x + F.lit(_MH_B[j])) % F.lit(MINHASH_P)
         ),
     )
-
-
-def minhash_signature_col(shingles: Column, n_perm: int = 16) -> Column:
-    """n_perm MinHash values over the affine family (array<long>).
-    NOTE: referencing this array column k times in a downstream
-    projection re-inlines the fold k times (CollapseProject) — inside
-    minhash_lsh_pairs the band keys are built from minhash_perm_col
-    directly, one reference each, over a checkpointed hash column."""
-    hs = shingle_hash_col(shingles)
-    return F.array(*[minhash_perm_col(hs, j) for j in range(n_perm)])
 
 
 def minhash_lsh_pairs(

@@ -12,6 +12,8 @@ an LLM-pretraining pipeline at 100 TB.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -63,7 +65,9 @@ def _lang_id_py(texts: "pd.Series") -> "pd.Series":
 
     def one(t):
         if t is None:
-            return None
+            # the expression's F.when chain falls through to 'und' on
+            # NULL text (NULL conditions never match) — mirror it
+            return "und"
         words = {w for w in re.split(r"\s+", t.lower()) if w}
         n_en, n_de, n_es = len(words & en), len(words & de), len(words & es)
         if n_en >= n_de and n_en >= n_es and n_en > 0:
@@ -452,9 +456,13 @@ def passage_dedup(
     collect_list is bounded by the doc's own passage count. Returns
     (id, clean_text, n_kept, n_removed).
     """
+    # F.split takes a REGEX but the rebuild joins with the literal sep
+    # — escape the pattern so metacharacter separators (e.g. '.') split
+    # literally and the two sides agree
+    sep_re = re.escape(sep)
     paras = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "passage"),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias("pos", "passage"),
     )
     norm = F.trim(F.regexp_replace(F.lower(F.col("passage")), r"\s+", " "))
     keyed = paras.select(
@@ -483,7 +491,7 @@ def passage_dedup(
     )
     totals = df.select(
         F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_total"),
+        F.size(F.split(F.col(text_col), sep_re)).cast("long").alias("n_total"),
     )
     return (
         totals.join(rebuilt, "id", "left")

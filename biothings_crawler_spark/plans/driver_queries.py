@@ -717,9 +717,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     cents = pick_centroids(e, "vec_id", "embedding", IVF_CENTROIDS, hash_family="md5")
     cells = assign_cells(e, cents, "vec_id", "embedding")
+    # pid-keyed so concurrent sessions over the same sf never race on
+    # the overwrite (and never collide on /tmp ownership across users);
+    # repeat calls within one process overwrite idempotently
     idx_path = os.path.join(
         tempfile.gettempdir(),
-        "spark_graft_ivf_" + os.path.basename(os.path.normpath(sf_dir)),
+        f"spark_graft_ivf_{os.getpid()}_"
+        + os.path.basename(os.path.normpath(sf_dir)),
     )
     write_ivf_index(cells, idx_path)
     idx = read_ivf_index(spark, idx_path)

@@ -45,19 +45,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICAS_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOC_REPLICAS", "64"))
 REPLICAS_EV = int(os.environ.get("SPARK_GRAFT_SCALING_EV_REPLICAS", "40"))
 
-
-def _await_barrier(barrier: str) -> None:
-    """Signal input-built readiness, then block until the parent's go
-    file appears — aligns every concurrent child's TIMED region so one
-    child's (untimed) input synthesis never overlaps another's
-    measurement window."""
-    open(os.path.join(barrier, f"ready-{os.getpid()}"), "w").close()
-    go = os.path.join(barrier, "go")
-    t0 = time.time()
-    while not os.path.exists(go):
-        if time.time() - t0 > 300:
-            raise RuntimeError("barrier timeout")
-        time.sleep(0.05)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _bench_barrier import await_barrier, release_when_ready  # noqa: E402
 
 
 def child(cores: int, job: str, barrier: str | None = None) -> None:
@@ -106,7 +95,7 @@ def child(cores: int, job: str, barrier: str | None = None) -> None:
         )
         n_docs = d.count()
         if barrier:
-            _await_barrier(barrier)
+            await_barrier(barrier)
         t0 = time.time()
         chunks = postings_chunks(inverted_postings(d, "id", "text"), chunk_range=1 << 12)
         n_chunks, n_postings = chunks.agg(
@@ -136,7 +125,7 @@ def child(cores: int, job: str, barrier: str | None = None) -> None:
         )
         n_events = e.count()
         if barrier:
-            _await_barrier(barrier)
+            await_barrier(barrier)
         t0 = time.time()
         sess = sessionize(e, "uid", "ts", "event_id", gap_seconds=600)
         n_sessions = sess.count()
@@ -197,11 +186,8 @@ def main() -> None:
                 for _ in range(n)
             ]
             # release the timed regions together once every child has
-            # built its input (see _await_barrier)
-            while len([f for f in os.listdir(barrier)
-                       if f.startswith("ready-")]) < n:
-                time.sleep(0.1)
-            open(os.path.join(barrier, "go"), "w").close()
+            # built its input; detects crashed children (shared helper)
+            release_when_ready(barrier, procs, n)
             return [json.loads(p.communicate()[0].strip().splitlines()[-1])
                     for p in procs]
 

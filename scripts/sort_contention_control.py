@@ -26,6 +26,9 @@ sys.path.insert(0, REPO)
 
 N_ROWS = int(os.environ.get("SPARK_GRAFT_SORT_CONTROL_ROWS", "4000000"))
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _bench_barrier import await_barrier, release_when_ready  # noqa: E402
+
 
 def child(job: str, barrier: str | None) -> None:
     from pyspark.sql import functions as F
@@ -47,17 +50,19 @@ def child(job: str, barrier: str | None) -> None:
     base.count()
 
     if barrier:
-        open(os.path.join(barrier, f"ready-{os.getpid()}"), "w").close()
-        go = os.path.join(barrier, "go")
-        t0 = time.time()
-        while not os.path.exists(go):
-            if time.time() - t0 > 300:
-                raise RuntimeError("barrier timeout")
-            time.sleep(0.05)
+        await_barrier(barrier)
 
     t0 = time.time()
     if job == "sort":
-        n = base.sortWithinPartitions("k").select(F.max("v")).collect()[0][0]
+        # write to the noop sink so Catalyst's EliminateSorts cannot
+        # drop the sort (an order-irrelevant aggregate above a sort
+        # gets the Sort optimized away and measures a bare scan -
+        # verified against the executed plan)
+        sorted_df = base.sortWithinPartitions("k")
+        assert " Sort " in (" " + sorted_df._jdf.queryExecution()
+                            .executedPlan().toString()), "sort eliminated"
+        sorted_df.write.mode("overwrite").format("noop").save()
+        n = N_ROWS
     elif job == "window":
         # the sessionize shape without sessionize: keyed exchange +
         # lag window + running-sum window + grouped agg
@@ -103,10 +108,7 @@ def main() -> None:
             [sys.executable, me, "--child", job, "--barrier", barrier],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
         ) for _ in range(4)]
-        while len([f for f in os.listdir(barrier)
-                   if f.startswith("ready-")]) < 4:
-            time.sleep(0.1)
-        open(os.path.join(barrier, "go"), "w").close()
+        release_when_ready(barrier, procs, 4)
         outs = [json.loads(p.communicate()[0].strip().splitlines()[-1])
                 for p in procs]
         wall4 = max(o["seconds"] for o in outs)

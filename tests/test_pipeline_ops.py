@@ -998,10 +998,15 @@ def test_lang_id_model_hook_matches_expression(spark):
         .select("doc_id", "text")
         .limit(200)
     )
+    # plant a NULL text row: both paths must yield 'und' for it
+    docs = docs.unionByName(
+        spark.createDataFrame([(10**9, None)], "doc_id long, text string")
+    )
     both = lang_id_model(docs, "text", out_col="pred").withColumn(
         "expr_lang", lang_id_col(F.col("text"))
     )
-    assert both.filter(F.col("pred") != F.col("expr_lang")).count() == 0
+    # null-safe comparison — a NULL on either side must count as a diff
+    assert both.filter(~F.col("pred").eqNullSafe(F.col("expr_lang"))).count() == 0
 
     def loader():
         return lambda texts: texts.map(lambda t: "xx")
