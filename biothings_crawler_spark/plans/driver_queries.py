@@ -697,6 +697,94 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rn <= 10
 """
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector 8-bit scalar quantization (operators/quantize) — the
+    4x index-compression path for 10^10-vector ANN. Codes use explicit
+    floor(x+0.5) rounding in DOUBLE so the DuckDB twin reproduces them
+    bit-for-bit (round() half-modes differ between the engines). Codes
+    emitted as a canonical comma string (array columns don't hash
+    portably)."""
+    from biothings_crawler_spark.operators.quantize import quantize_embeddings
+
+    qt = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return qt.select(
+        "vec_id",
+        "vmin",
+        "vmax",
+        F.array_join(
+            F.transform(F.col("qvec"), lambda q: q.cast("string")), ","
+        ).alias("qcodes"),
+    )
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH mm AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS vmin,
+         CAST(list_max(embedding) AS DOUBLE) AS vmax
+  FROM embeddings)
+SELECT vec_id, vmin, vmax,
+       array_to_string(
+         list_transform(embedding,
+           x -> CAST(CAST(CASE WHEN vmax - vmin > 0
+                     THEN floor((CAST(x AS DOUBLE) - vmin) * 255
+                                / (vmax - vmin) + 0.5)
+                     ELSE 0 END AS INT) AS VARCHAR)),
+         ',') AS qcodes
+FROM mm
+"""
+
+
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute top-k over the QUANTIZED index (dequantize -> cosine)
+    against full-precision query vectors — the serving arithmetic when
+    the stored index is 8-bit codes; exact oracle because quantize,
+    dequantize, and the cosine fold are the same IEEE doubles in both
+    engines. Recall vs full precision is pytest-measured separately."""
+    from biothings_crawler_spark.operators.quantize import (
+        quantize_embeddings,
+        quantized_brute_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = quantized_brute_topk(quantize_embeddings(e), q, k=10)
+    return out.select("query_id", "vec_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+SQL_ANN_QUANTIZED_TOPK = f"""
+WITH mm AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS vmin,
+         CAST(list_max(embedding) AS DOUBLE) AS vmax
+  FROM embeddings),
+qt AS (
+  SELECT vec_id, vmin, vmax,
+         list_transform(embedding,
+           x -> CAST(CASE WHEN vmax - vmin > 0
+                     THEN floor((CAST(x AS DOUBLE) - vmin) * 255
+                                / (vmax - vmin) + 0.5)
+                     ELSE 0 END AS INT)) AS qvec
+  FROM mm),
+c AS (
+  SELECT vec_id,
+         list_transform(qvec,
+           q -> vmin + CAST(q AS DOUBLE) * ((vmax - vmin) / 255.0)) AS v
+  FROM qt),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {{n_query}}),
+sc AS (SELECT query_id, vec_id, {{cosine}} AS cosine FROM c, q)
+SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rn FROM sc)
+WHERE rn <= 10
+"""
+SQL_ANN_QUANTIZED_TOPK = SQL_ANN_QUANTIZED_TOPK.format(
+    n_query=N_QUERY_VECS, cosine=_sql_cosine("qv", "v")
+)
+
+
 IVF_CENTROIDS = 8
 IVF_NPROBE = 3
 IVF_K = 5
@@ -3385,6 +3473,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lang_id_model": q_lang_id_model,
     "q_passage_dedup": q_passage_dedup,
     "q_recrawl_schedule": q_recrawl_schedule,
+    "q_quantize_embeddings": q_quantize_embeddings,
+    "q_ann_quantized_topk": q_ann_quantized_topk,
     "q_clean_corpus": q_clean_corpus,
     "q_redirect_trace": q_redirect_trace,
     "q_reindex_conflicts": q_reindex_conflicts,
@@ -3467,6 +3557,8 @@ ORACLES: dict[str, str] = {
     "q_lang_id_model": SQL_LANG_ID,
     "q_passage_dedup": SQL_PASSAGE_DEDUP,
     "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
+    "q_quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
+    "q_ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
     "q_pricing_summary": SQL_PRICING_SUMMARY,
     "q_top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "q_region_revenue": SQL_REGION_REVENUE,

@@ -346,6 +346,46 @@ def test_line_dedup_removes_boilerplate(spark):
     assert by_id[3]["n_removed"] == 1 and by_id[3]["n_kept"] == 2
 
 
+def test_quantize_roundtrip_bound_and_recall(spark, embeddings):
+    """8-bit scalar quantization: reconstruction error is bounded by
+    half a quantization step per element, and quantized brute top-k
+    keeps >=0.9 recall@10 vs full precision on real embeddings."""
+    from biothings_crawler_spark.operators.quantize import (
+        dequantize_col,
+        quantize_embeddings,
+        quantized_brute_topk,
+    )
+    from biothings_crawler_spark.operators.similarity import brute_force_topk
+
+    emb = embeddings.limit(400)
+    qt = quantize_embeddings(emb)
+    # round-trip error <= (vmax - vmin)/255/2 + eps, per element
+    err = (
+        qt.join(emb.selectExpr("vec_id", "embedding AS orig"), "vec_id")
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    dequantize_col(F.col("qvec"), F.col("vmin"), F.col("vmax")),
+                    F.col("orig"),
+                    lambda a, b: F.abs(a - b.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ).alias("max_err"),
+            ((F.col("vmax") - F.col("vmin")) / 510.0 + 1e-9).alias("bound"),
+        )
+    )
+    assert err.filter(F.col("max_err") > F.col("bound")).count() == 0
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb, q, k=10).collect()}
+    quant = {(r["query_id"], r["vec_id"])
+             for r in quantized_brute_topk(qt, q, k=10).collect()}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, recall
+
+
 def test_recrawl_schedule_fold_and_clamps(spark):
     """Adaptive revisit intervals: halve on change, double on
     no-change, clamped; first fetch carries no flag; next_due = last
