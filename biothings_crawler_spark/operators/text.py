@@ -234,6 +234,62 @@ def winnow_fingerprints(
     return with_grams.select("id", F.explode(fps).alias("fp"))
 
 
+def bigram_coverage(df, id_col: str, text_col: str, min_count: int = 3):
+    """Corpus-level fluency proxy: per document, the ratio of its word
+    bigrams that occur at least ``min_count`` times corpus-wide
+    (KenLM-style language-model scoring without the log-prob — rare
+    bigrams mark gibberish, OCR noise, and boilerplate-mangled text; a
+    deterministic integer/exact-ratio contract the DuckDB oracle can
+    pair, where a real LM would need the multimodal/lang-ID-style
+    model-hook treatment).
+
+    Output: (id, n_bigrams, n_common, coverage_q6) with coverage as an
+    exact millionths integer (n_common * 10^6 div n_bigrams) so the
+    cross-engine hash never touches float division.
+
+    Scale shape: one explode + one (bigram) hash agg with map-side
+    partial combine for the corpus counts, one equi-join of the
+    document's bigram stream against the common-bigram set (AQE may
+    broadcast it when small; at web scale it's a shuffled semi-join),
+    one per-doc count agg. No windows, no Python."""
+    words = words_col(F.col(text_col))
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                                  F.element_at(words, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = df.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("bg")
+    )
+    common = (
+        doc_grams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("bg")
+    )
+    hits = doc_grams.join(common, "bg", "left_semi").groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"), F.size(grams).cast("long").alias("n_bigrams")
+    )
+    return (
+        totals.join(hits, "id", "left")
+        .select(
+            "id",
+            "n_bigrams",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.expr("coalesce(n_common, 0) * 1000000 div n_bigrams"),
+            ).otherwise(F.lit(0)).cast("long").alias("coverage_q6"),
+        )
+    )
+
+
 def repetition_stats(df, id_col: str, text_col: str, line_sep: str = "\n"):
     """Gopher-style repetition/format signals per document (Rae et al.
     2021 quality rules; beyond the reference's analysis layer — this is

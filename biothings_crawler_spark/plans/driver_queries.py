@@ -908,6 +908,41 @@ _SQL_TOKENS = ("len(list_filter(regexp_extract_all(text, "
                "'([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])', 1), x -> len(x) > 0))")
 
 
+def q_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram-coverage fluency score (operators/text.
+    bigram_coverage): per doc, ratio of its word bigrams occurring
+    >= 3 times corpus-wide, as an exact millionths integer — KenLM-ish
+    quality scoring without float log-probs, so the pair hashes
+    exactly."""
+    from biothings_crawler_spark.operators.text import bigram_coverage
+
+    return bigram_coverage(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                           min_count=3)
+
+
+SQL_BIGRAM_COVERAGE = f"""
+WITH w AS (SELECT doc_id AS id, {_SQL_WORDS} AS ws FROM documents),
+g AS (
+  SELECT id, CASE WHEN len(ws) >= 2
+             THEN list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i + 1])
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM w),
+dg AS (SELECT id, unnest(grams) AS bg FROM g),
+common AS (SELECT bg FROM dg GROUP BY bg HAVING COUNT(*) >= 3),
+hits AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM dg SEMI JOIN common USING (bg) GROUP BY id),
+tot AS (SELECT id, CAST(len(grams) AS BIGINT) AS n_bigrams FROM g)
+SELECT t.id, t.n_bigrams,
+       CAST(COALESCE(h.n_common, 0) AS BIGINT) AS n_common,
+       CAST(CASE WHEN t.n_bigrams > 0
+            THEN COALESCE(h.n_common, 0) * 1000000 // t.n_bigrams
+            ELSE 0 END AS BIGINT) AS coverage_q6
+FROM tot t LEFT JOIN hits h USING (id)
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     per = d.select("source", token_count_col(F.col("text")).alias("tok"))
@@ -3475,6 +3510,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_recrawl_schedule": q_recrawl_schedule,
     "q_quantize_embeddings": q_quantize_embeddings,
     "q_ann_quantized_topk": q_ann_quantized_topk,
+    "q_bigram_coverage": q_bigram_coverage,
     "q_clean_corpus": q_clean_corpus,
     "q_redirect_trace": q_redirect_trace,
     "q_reindex_conflicts": q_reindex_conflicts,
@@ -3559,6 +3595,7 @@ ORACLES: dict[str, str] = {
     "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
     "q_quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "q_ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
+    "q_bigram_coverage": SQL_BIGRAM_COVERAGE,
     "q_pricing_summary": SQL_PRICING_SUMMARY,
     "q_top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "q_region_revenue": SQL_REGION_REVENUE,

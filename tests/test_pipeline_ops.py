@@ -346,6 +346,26 @@ def test_line_dedup_removes_boilerplate(spark):
     assert by_id[3]["n_removed"] == 1 and by_id[3]["n_kept"] == 2
 
 
+def test_bigram_coverage_scores_gibberish_low(spark):
+    """Docs made of corpus-common bigrams score high; a gibberish doc
+    whose bigrams appear nowhere else scores zero; exact millionths."""
+    from biothings_crawler_spark.operators.text import bigram_coverage
+
+    common = "the data is good and the data is fine"
+    rows = [(i, common) for i in range(5)] + [
+        (100, "zxqv wkjh plmn qrst uvwx"),          # unique bigrams
+        (101, common + " zxqv wkjh"),                # mixed
+        (102, "single"),                             # no bigrams
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in bigram_coverage(df, "id", "text", min_count=3).collect()}
+    assert out[0]["coverage_q6"] == 1_000_000
+    assert out[100]["coverage_q6"] == 0 and out[100]["n_bigrams"] == 4
+    # 8 of its 10 bigrams are corpus-common ('fine zxqv','zxqv wkjh' are not)
+    assert out[101]["n_common"] == 8 and out[101]["coverage_q6"] == 800_000
+    assert out[102]["n_bigrams"] == 0 and out[102]["coverage_q6"] == 0
+
+
 def test_quantize_roundtrip_bound_and_recall(spark, embeddings):
     """8-bit scalar quantization: reconstruction error is bounded by
     half a quantization step per element, and quantized brute top-k
