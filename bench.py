@@ -75,6 +75,9 @@ SUITE = [
     "q_html_to_text",
     "q_passage_dedup",
     "q_recrawl_schedule",
+    "q_quantize_embeddings",
+    "q_ann_quantized_topk",
+    "q_bigram_coverage",
     "q_postings_chunks",
     "q_hll_small",
     "q_bm25_topk",
