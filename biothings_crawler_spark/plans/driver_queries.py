@@ -2595,6 +2595,62 @@ FROM iv
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot diff (operators/snapshot.snapshot_diff): two
+    synthetic rounds derived from documents — round 2 drops doc_id%7==0
+    (removed), adds shifted ids (added), and rewrites text for
+    doc_id%5==0 (changed) — classified by one full-outer join +
+    row-local CASE; the added+changed set is the next round's
+    re-extract queue."""
+    from biothings_crawler_spark.operators.snapshot import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://s.example.org/d/"), F.col("doc_id").cast("string"))
+    old = d.select(url.alias("url"), F.md5("text").alias("content_hash"))
+    new = (
+        d.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            url.alias("url"),
+            F.md5(
+                F.when(F.col("doc_id") % 5 == 0,
+                       F.concat(F.col("text"), F.lit(" v2")))
+                .otherwise(F.col("text"))
+            ).alias("content_hash"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                F.concat(F.lit("https://s.example.org/d/"),
+                         (F.col("doc_id") + 1_000_000).cast("string")).alias("url"),
+                F.md5("text").alias("content_hash"),
+            )
+        )
+    )
+    return snapshot_diff(old, new)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT 'https://s.example.org/d/' || CAST(doc_id AS VARCHAR) AS url,
+         md5(text) AS old_hash
+  FROM documents),
+new AS (
+  SELECT 'https://s.example.org/d/' || CAST(doc_id AS VARCHAR) AS url,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS new_hash
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT 'https://s.example.org/d/' || CAST(doc_id + 1000000 AS VARCHAR),
+         md5(text)
+  FROM documents WHERE doc_id % 11 = 0)
+SELECT COALESCE(o.url, n.url) AS url,
+       CASE WHEN o.old_hash IS NULL THEN 'added'
+            WHEN n.new_hash IS NULL THEN 'removed'
+            WHEN o.old_hash <> n.new_hash THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.old_hash, n.new_hash
+FROM old o FULL OUTER JOIN new n ON o.url = n.url
+"""
+
+
 def _repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunked multi-line docs with planted casualties: duplicated
     spam lines (id%7==0), bullet lines (id%11==0), ellipsis lines
@@ -3511,6 +3567,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quantize_embeddings": q_quantize_embeddings,
     "q_ann_quantized_topk": q_ann_quantized_topk,
     "q_bigram_coverage": q_bigram_coverage,
+    "q_snapshot_diff": q_snapshot_diff,
     "q_clean_corpus": q_clean_corpus,
     "q_redirect_trace": q_redirect_trace,
     "q_reindex_conflicts": q_reindex_conflicts,
@@ -3596,6 +3653,7 @@ ORACLES: dict[str, str] = {
     "q_quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "q_ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
     "q_bigram_coverage": SQL_BIGRAM_COVERAGE,
+    "q_snapshot_diff": SQL_SNAPSHOT_DIFF,
     "q_pricing_summary": SQL_PRICING_SUMMARY,
     "q_top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "q_region_revenue": SQL_REGION_REVENUE,

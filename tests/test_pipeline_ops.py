@@ -346,6 +346,24 @@ def test_line_dedup_removes_boilerplate(spark):
     assert by_id[3]["n_removed"] == 1 and by_id[3]["n_kept"] == 2
 
 
+def test_snapshot_diff_classifies_and_queues(spark):
+    from biothings_crawler_spark.operators.snapshot import (
+        refetch_queue,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [("a", "h1"), ("b", "h2"), ("c", "h3")], "url string, content_hash string"
+    )
+    new = spark.createDataFrame(
+        [("a", "h1"), ("b", "h2x"), ("d", "h4")], "url string, content_hash string"
+    )
+    diff = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert diff == {"a": "unchanged", "b": "changed", "c": "removed", "d": "added"}
+    q = {r["url"] for r in refetch_queue(snapshot_diff(old, new)).collect()}
+    assert q == {"b", "d"}
+
+
 def test_bigram_coverage_scores_gibberish_low(spark):
     """Docs made of corpus-common bigrams score high; a gibberish doc
     whose bigrams appear nowhere else scores zero; exact millionths."""
