@@ -2651,6 +2651,139 @@ FROM old o FULL OUTER JOIN new n ON o.url = n.url
 """
 
 
+def q_refetch_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED incremental-crawl round built from the round-3
+    operators working together: snapshot_diff between the last two
+    rounds feeds refetch_queue (added+changed), recrawl_schedule over
+    a 3-round fetch history contributes the freshness-due URLs
+    (next_due_us <= cutoff), and the union is deduplicated per URL
+    keeping the highest-priority reason (changed > added > due).
+    Verified against ONE DuckDB statement for the whole composition —
+    the integration contract, like q_clean_corpus / q_web_refine."""
+    from biothings_crawler_spark.operators.recrawl import recrawl_schedule
+    from biothings_crawler_spark.operators.snapshot import (
+        refetch_queue,
+        snapshot_diff,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://s.example.org/d/"), F.col("doc_id").cast("string"))
+
+    # 3-round fetch history: content of doc_id%3==0 changes at round 2
+    rounds = spark.range(3).select(F.col("id").alias("r"))
+    hist = d.crossJoin(rounds).select(
+        url.alias("url"),
+        F.expr("TIMESTAMP_NTZ '2024-01-01 00:00:00' + make_interval(0,0,0,r)").alias("ts"),
+        (F.col("doc_id") * 3 + F.col("r")).alias("fetch_id"),
+        F.when((F.col("doc_id") % 3 == 0) & (F.col("r") == 2), F.lit("v2"))
+        .otherwise(F.lit("v1")).alias("h"),
+    )
+    sched = recrawl_schedule(
+        hist, "url", "ts", "h", "fetch_id",
+        base_interval_s=86400, min_interval_s=3600, max_interval_s=30 * 86400,
+    )
+    cutoff_us = 1704412800000000  # 2024-01-05T00:00:00Z epoch micros
+    due = sched.filter(F.col("next_due_us") <= cutoff_us).select(
+        "url", F.lit("due").alias("reason"), F.lit(3).alias("prio")
+    )
+
+    # snapshot diff between the last two rounds (same fixture rules as
+    # q_snapshot_diff: %7 removed, %11 added, %5 changed)
+    old = d.select(url.alias("url"), F.md5("text").alias("content_hash"))
+    new = (
+        d.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            url.alias("url"),
+            F.md5(
+                F.when(F.col("doc_id") % 5 == 0,
+                       F.concat(F.col("text"), F.lit(" v2")))
+                .otherwise(F.col("text"))
+            ).alias("content_hash"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                F.concat(F.lit("https://s.example.org/d/"),
+                         (F.col("doc_id") + 1_000_000).cast("string")).alias("url"),
+                F.md5("text").alias("content_hash"),
+            )
+        )
+    )
+    diffq = refetch_queue(snapshot_diff(old, new)).select(
+        "url",
+        F.col("status").alias("reason"),
+        F.when(F.col("status") == "changed", F.lit(1)).otherwise(F.lit(2)).alias("prio"),
+    )
+
+    merged = diffq.unionByName(due)
+    return (
+        merged.groupBy("url")
+        .agg(F.min(F.struct("prio", "reason")).alias("w"))
+        .select("url", F.col("w.reason").alias("reason"),
+                F.col("w.prio").cast("long").alias("prio"))
+    )
+
+
+SQL_REFETCH_ROUND = """
+WITH hist AS (
+  SELECT 'https://s.example.org/d/' || CAST(doc_id AS VARCHAR) AS url,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (r) DAY AS ts,
+         doc_id * 3 + r AS fetch_id,
+         CASE WHEN doc_id % 3 = 0 AND r = 2 THEN 'v2' ELSE 'v1' END AS h
+  FROM documents CROSS JOIN UNNEST(range(0, 3)) AS rr(r)),
+fl AS (
+  SELECT url, epoch_us(ts) AS us, fetch_id,
+         CASE WHEN lag(h) OVER w IS NOT NULL
+              THEN CAST(h <> lag(h) OVER w AS INT) END AS chg
+  FROM hist WINDOW w AS (PARTITION BY url ORDER BY ts, fetch_id)),
+agg AS (
+  SELECT url, MAX(us) AS last_us, list(chg ORDER BY us, fetch_id) AS flags
+  FROM fl GROUP BY url),
+iv AS (
+  SELECT url, last_us,
+         list_reduce(
+           list_prepend(CAST(86400 AS BIGINT),
+                        list_transform(list_filter(flags, c -> c IS NOT NULL),
+                                       c -> CAST(c AS BIGINT))),
+           (acc, c) -> CASE WHEN c = 1
+                            THEN GREATEST(CAST(3600 AS BIGINT), acc // 2)
+                            ELSE LEAST(CAST(2592000 AS BIGINT), acc * 2)
+                       END) AS interval_s
+  FROM agg),
+due AS (
+  SELECT url, 'due' AS reason, 3 AS prio FROM iv
+  WHERE last_us + interval_s * 1000000 <= 1704412800000000),
+old AS (
+  SELECT 'https://s.example.org/d/' || CAST(doc_id AS VARCHAR) AS url,
+         md5(text) AS old_hash
+  FROM documents),
+new AS (
+  SELECT 'https://s.example.org/d/' || CAST(doc_id AS VARCHAR) AS url,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS new_hash
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT 'https://s.example.org/d/' || CAST(doc_id + 1000000 AS VARCHAR),
+         md5(text)
+  FROM documents WHERE doc_id % 11 = 0),
+diffq AS (
+  SELECT COALESCE(o.url, n.url) AS url,
+         CASE WHEN o.old_hash IS NULL THEN 'added'
+              WHEN o.old_hash <> n.new_hash THEN 'changed' END AS reason
+  FROM old o FULL OUTER JOIN new n ON o.url = n.url
+  WHERE n.new_hash IS NOT NULL
+    AND (o.old_hash IS NULL OR o.old_hash <> n.new_hash)),
+merged AS (
+  SELECT url, reason,
+         CASE reason WHEN 'changed' THEN 1 WHEN 'added' THEN 2 END AS prio
+  FROM diffq
+  UNION ALL
+  SELECT url, reason, prio FROM due)
+SELECT url,
+       arg_min(reason, prio) AS reason,
+       CAST(MIN(prio) AS BIGINT) AS prio
+FROM merged GROUP BY url
+"""
+
+
 def _repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunked multi-line docs with planted casualties: duplicated
     spam lines (id%7==0), bullet lines (id%11==0), ellipsis lines
@@ -3568,6 +3701,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_quantized_topk": q_ann_quantized_topk,
     "q_bigram_coverage": q_bigram_coverage,
     "q_snapshot_diff": q_snapshot_diff,
+    "q_refetch_round": q_refetch_round,
     "q_clean_corpus": q_clean_corpus,
     "q_redirect_trace": q_redirect_trace,
     "q_reindex_conflicts": q_reindex_conflicts,
@@ -3654,6 +3788,7 @@ ORACLES: dict[str, str] = {
     "q_ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
     "q_bigram_coverage": SQL_BIGRAM_COVERAGE,
     "q_snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "q_refetch_round": SQL_REFETCH_ROUND,
     "q_pricing_summary": SQL_PRICING_SUMMARY,
     "q_top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "q_region_revenue": SQL_REGION_REVENUE,

@@ -346,6 +346,25 @@ def test_line_dedup_removes_boilerplate(spark):
     assert by_id[3]["n_removed"] == 1 and by_id[3]["n_kept"] == 2
 
 
+def test_refetch_round_composition_reasons(spark):
+    """The composed incremental round: changed beats due when a URL is
+    both content-changed and freshness-due; pure-due and added URLs
+    carry their own reasons; never-due unchanged URLs are absent."""
+    from biothings_crawler_spark.plans.driver_queries import q_refetch_round
+
+    out = {r["url"]: (r["reason"], r["prio"])
+           for r in q_refetch_round(spark, "/root/testdata/sf0.001").collect()}
+    base = "https://s.example.org/d/"
+    # doc 15: %3==0 (due) and %5==0 (changed) -> changed wins (prio 1)
+    assert out[base + "15"] == ("changed", 1)
+    # doc 3: %3==0 only -> due
+    assert out[base + "3"] == ("due", 3)
+    # added id carries 'added'
+    assert out[base + "1000011"] == ("added", 2)
+    # doc 1: not %3/%5/%7/%11 -> absent entirely
+    assert base + "1" not in out
+
+
 def test_snapshot_diff_classifies_and_queues(spark):
     from biothings_crawler_spark.operators.snapshot import (
         refetch_queue,
