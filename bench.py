@@ -78,6 +78,8 @@ SUITE = [
     "q_quantize_embeddings",
     "q_ann_quantized_topk",
     "q_bigram_coverage",
+    "q_snapshot_diff",
+    "q_refetch_round",
     "q_postings_chunks",
     "q_hll_small",
     "q_bm25_topk",
