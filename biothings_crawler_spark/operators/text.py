@@ -81,11 +81,17 @@ def _lang_id_py(texts: "pd.Series") -> "pd.Series":
     return texts.map(one)
 
 
+# Worker-process-global model cache: one loaded model per (worker, key),
+# shared across all partitions/generator invocations that worker runs.
+_WORKER_MODEL_CACHE: dict = {}
+
+
 def lang_id_model(
     df,
     text_col: str,
     out_col: str = "lang_pred",
     model_loader=None,
+    model_key: str | None = None,
 ):
     """Pluggable model-based language ID over mapInPandas — the
     production path a 100-TB pipeline swaps in for the marker-word
@@ -96,21 +102,33 @@ def lang_id_model(
     and tested).
 
     ``model_loader``: zero-arg callable returning a batch predictor
-    ``pd.Series[str] -> pd.Series[str lang code]``. It runs ONCE PER
-    PYTHON WORKER (inside mapInPandas, before the batch loop), so a
-    real model (e.g. fastText lid.176) is loaded once and amortized
-    over all Arrow batches of that worker's partitions — never
-    per-row, never per-batch. Default: ``_lang_id_py``, the exact twin
-    of lang_id_col (pytest asserts equality against the expression).
+    ``pd.Series[str] -> pd.Series[str lang code]``. mapInPandas invokes
+    the generator once per PARTITION, so the loader result is memoized
+    in a worker-process-global cache (keyed by ``model_key``, default
+    the loader's module+qualname): a real model (e.g. fastText lid.176)
+    is loaded once per Python worker and reused across every partition
+    and Arrow batch that worker processes — never per-partition, never
+    per-row. Distinct loaders that share a qualname (e.g. two lambdas
+    from the same scope) must pass distinct ``model_key`` strings.
+    Default loader: ``_lang_id_py``, the exact twin of lang_id_col
+    (pytest asserts equality against the expression).
 
     Returns df plus ``out_col: string``.
     """
     from pyspark.sql.types import StringType, StructField, StructType
 
     out_schema = StructType(df.schema.fields + [StructField(out_col, StringType())])
+    loader = model_loader or (lambda: _lang_id_py)
+    key = model_key or "%s.%s" % (
+        getattr(loader, "__module__", "?"),
+        getattr(loader, "__qualname__", repr(loader)),
+    )
 
     def gen(batches):
-        predict = (model_loader or (lambda: _lang_id_py))()
+        predict = _WORKER_MODEL_CACHE.get(key)
+        if predict is None:
+            predict = loader()
+            _WORKER_MODEL_CACHE[key] = predict
         for pdf in batches:
             pdf[out_col] = predict(pdf[text_col])
             yield pdf
@@ -482,9 +500,6 @@ def line_dedup(
     )
 
 
-PASSAGE_POS_BITS = 20  # positions per doc must fit in 2^20
-
-
 def passage_dedup(
     df,
     id_col: str,
@@ -507,8 +522,9 @@ def passage_dedup(
     share it.
 
     Scale shape: one hash agg on the passage key (map-side partial
-    MIN over the integer ``id * 2^20 + pos`` winner encoding), one
-    equi-join back on the key, one per-doc rebuild agg whose
+    MIN over a ``struct(id, pos)`` winner — lexicographic struct
+    ordering, correct for any long id, no bit-packing range limits),
+    one equi-join back on the key, one per-doc rebuild agg whose
     collect_list is bounded by the doc's own passage count. Returns
     (id, clean_text, n_kept, n_removed).
     """
@@ -528,12 +544,14 @@ def passage_dedup(
         F.md5(norm).alias("k"),
         (F.length(norm) >= min_chars).alias("eligible"),
     )
-    code = F.col("id") * F.lit(1 << PASSAGE_POS_BITS) + F.col("pos")
     winners = (
-        keyed.filter("eligible").groupBy("k").agg(F.min(code).alias("w"))
+        keyed.filter("eligible")
+        .groupBy("k")
+        .agg(F.min(F.struct("id", "pos")).alias("w"))
     )
     kept = keyed.join(winners, "k", "left").filter(
-        ~F.col("eligible") | (code == F.col("w"))
+        ~F.col("eligible")
+        | ((F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos")))
     )
     rebuilt = kept.groupBy("id").agg(
         F.array_join(

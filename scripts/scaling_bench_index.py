@@ -188,8 +188,17 @@ def main() -> None:
             # release the timed regions together once every child has
             # built its input; detects crashed children (shared helper)
             release_when_ready(barrier, procs, n)
-            return [json.loads(p.communicate()[0].strip().splitlines()[-1])
-                    for p in procs]
+            outs = []
+            for p in procs:
+                stdout, _ = p.communicate()
+                lines = (stdout or "").strip().splitlines()
+                if p.returncode != 0 or not lines:
+                    raise RuntimeError(
+                        f"scaling child (job={job}, n={n}) died after the "
+                        f"barrier: rc={p.returncode}, stdout empty={not lines}"
+                    )
+                outs.append(json.loads(lines[-1]))
+            return outs
 
         solo = run_one(job)
         outs2 = concurrent_leg(2)
@@ -230,8 +239,11 @@ def main() -> None:
     }
 
     out_path = os.path.join(REPO, "BENCH_SCALING_WEBTEXT.json")
-    with open(out_path) as f:
-        existing = json.load(f)
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            existing = json.load(f)
+    else:
+        existing = {}
     if "job" in existing:  # old single-table layout
         existing = {"webtext_refine": existing}
     existing["bm25_index_and_sessionize"] = entry
