@@ -572,3 +572,80 @@ def connected_components(
             "iterations; raise max_iters (component diameter exceeds it)"
         )
     return labels
+
+
+# --- semantic dedup (SemDeDup) ----------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+    threshold: float = 0.95,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Within-cluster semantic-duplicate pairs, SemDeDup-style (Abbas
+    et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", arXiv:2303.09540): coarse-quantize
+    the embedding space into cells (pick_centroids -> assign_cells, the
+    IVF coarse quantizer reused as the clustering step), then compute
+    EXACT pairwise cosine only WITHIN each cell and keep pairs at or
+    above ``threshold``. Returns (id_a, id_b, cosine), id_a < id_b.
+
+    Scale shape: the only shuffle of the corpus is the cell equi-join
+    (both sides hash-partitioned on cell); the quadratic pairwise step
+    is confined per cell — at 10^10 vectors you grow ``n_centroids``
+    proportionally so cell size stays bounded (SemDeDup's own recipe:
+    clusters of ~10^4-10^5), and a pathologically hot cell is split by
+    re-clustering its members. Semantic duplicates sit at cosine near
+    1.0, where nearest-centroid assignment provably co-cells them: an
+    exact scalar multiple of a vector has BIT-IDENTICAL cosine to every
+    centroid (the fold scales exactly), and near-identical vectors
+    share the argmax for any non-degenerate quantizer — the
+    within-cell restriction's zero-casualty property at high threshold
+    is pytest-enforced against the brute-force oracle."""
+    from biothings_crawler_spark.operators.similarity import (
+        assign_cells,
+        pick_centroids,
+    )
+
+    cents = pick_centroids(embeddings, id_col, vec_col, n_centroids,
+                           hash_family=hash_family)
+    cells = assign_cells(embeddings, cents, id_col, vec_col)
+    a = cells.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"), "cell")
+    b = cells.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"), "cell")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+    threshold: float = 0.95,
+    hash_family: str = "xxhash64",
+    max_iters: int = 25,
+) -> DataFrame:
+    """SemDeDup completion: within-cell semantic pairs -> connected
+    components -> soft 1e6//cluster_size weights (the q_dedup_weights
+    convention: integer micro-units, cross-engine exact), so a training
+    pipeline can keep one exemplar per semantic cluster (id ==
+    component) or downsample duplicates proportionally. Returns
+    (id, component, weight_ppm)."""
+    pairs = semantic_dedup_pairs(
+        embeddings, id_col, vec_col, n_centroids, threshold, hash_family
+    )
+    nodes = embeddings.select(F.col(id_col).alias("id"))
+    cc = connected_components(pairs.select("id_a", "id_b"), nodes,
+                              max_iters=max_iters)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return cc.join(sizes, "component").select(
+        "id", "component", F.expr("1000000 div csize").alias("weight_ppm")
+    )

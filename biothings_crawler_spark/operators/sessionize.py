@@ -3,19 +3,36 @@ Structured Streaming's session windows (the streaming side of this
 engine handles cursors/watermarks in streaming/; this operator derives
 sessions from the same events at rest).
 
-All arithmetic is integer epoch-microseconds (unix_micros /
-epoch_us(ts)), so boundaries and aggregates are cross-engine exact —
+All arithmetic is integer epoch-microseconds (timestampdiff from a
+fixed NTZ epoch), so boundaries and aggregates are cross-engine exact —
 no timestamp-format or float-second ambiguity.
 
-Scale shape: one window partitioned by the session key ordered by
-(ts, event_id) — per-key ordering is irreducible for sessionization,
-so the shuffle is one exchange on the key. Skew = the hottest key's
-event count; web-crawl keys (user/host) are bounded per day in
-practice, and a pathological key can be pre-split by day before
-calling (the boundary-flag + running-sum form composes: sessions never
-span the split when the gap exceeds it). The lag/sum window functions
-are rank-style (no buffering beyond the frame row), so task memory is
-O(1) per row.
+Scale shape: the per-event work is ONE ``session_window`` aggregation —
+Spark's built-in session assignment (sort within the key's partition,
+then a streaming merge of adjacent-in-time events; map-side partial
+session merge applies) — the same operator family as the streaming twin
+(streaming/sessions.py). The per-key session NUMBERING is a
+``row_number`` window, but it runs over the aggregated SESSION rows
+(orders of magnitude fewer than events), so the only full-data pass is
+the aggregation. This replaced an earlier lag+running-sum WindowExec
+composition over raw events: identical output (pytest cross-checks the
+two shapes' session sets), but the aggregation shape scales ~1.0 under
+multi-executor concurrency on hosts where per-event WindowExec
+provably degrades (see BENCH_SCALING_WEBTEXT.json / BASELINE.md).
+
+Boundary semantics: this operator KEEPS an exactly-at-gap event in the
+session (strict ``>`` on the gap) — and so does the built-in: Spark's
+``session_window`` merges an event whose timestamp equals the previous
+session's end (``ts + gap``), splitting only at gap strictly greater
+than the duration (verified empirically at the 1-microsecond boundary
+in tests/test_pipeline_ops.py::test_sessionize_gap_boundaries and the
+window-composition cross-check). The two definitions coincide with the
+gap passed through unchanged.
+
+Skew: the hottest key's event count bounds one sort run; web-crawl keys
+(user/host) are bounded per day in practice, and a pathological key can
+be pre-split by day before calling (sessions never span the split when
+the gap exceeds it).
 """
 
 from __future__ import annotations
@@ -35,7 +52,13 @@ def sessionize(
     since the previous event of the same key exceeds ``gap_seconds``.
     Returns one row per session: (key, session_idx, n_events,
     start_us, end_us, duration_us) with session_idx 1-based per key in
-    time order and timestamps as epoch-microsecond BIGINTs."""
+    time order and timestamps as epoch-microsecond BIGINTs.
+
+    ``order_tiebreak_col`` is accepted for API stability but session
+    membership is tiebreak-independent: equal timestamps have gap 0,
+    which never exceeds a positive ``gap_seconds``, so ties always land
+    in the same session regardless of intra-timestamp order.
+    """
     gap_us = gap_seconds * 1_000_000
     # timestampdiff from a fixed NTZ epoch: timezone-free integer
     # microseconds (unix_micros rejects TIMESTAMP_NTZ, and a cast to
@@ -43,38 +66,24 @@ def sessionize(
     us = F.expr(
         f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
     )
-    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak_col)
-    flagged = df.select(
-        F.col(key_col).alias("key"),
-        F.col(ts_col).alias("ts"),
-        F.col(order_tiebreak_col).alias("tb"),
-        us.alias("us"),
-        F.when(
-            F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > gap_us),
-            F.lit(1),
-        ).otherwise(F.lit(0)).alias("boundary"),
-    )
-    w2 = (
-        Window.partitionBy("key")
-        .orderBy("ts", "tb")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sessions = flagged.select(
-        "key", "us", F.sum("boundary").over(w2).alias("session_idx")
-    )
-    return (
-        sessions.groupBy("key", "session_idx")
+    sessions = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.session_window(F.col(ts_col), f"{gap_us} microseconds"),
+        )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.min("us").alias("start_us"),
-            F.max("us").alias("end_us"),
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
         )
-        .select(
-            "key",
-            F.col("session_idx").cast("long").alias("session_idx"),
-            "n_events",
-            "start_us",
-            "end_us",
-            (F.col("end_us") - F.col("start_us")).alias("duration_us"),
-        )
+    )
+    # 1-based per-key numbering over SESSION rows (small), not events
+    w = Window.partitionBy("key").orderBy("start_us")
+    return sessions.select(
+        "key",
+        F.row_number().over(w).cast("long").alias("session_idx"),
+        "n_events",
+        "start_us",
+        "end_us",
+        (F.col("end_us") - F.col("start_us")).alias("duration_us"),
     )

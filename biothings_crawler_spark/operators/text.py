@@ -86,6 +86,40 @@ def _lang_id_py(texts: "pd.Series") -> "pd.Series":
 _WORKER_MODEL_CACHE: dict = {}
 
 
+def _model_map_in_pandas(df, text_col, out_col, out_type, loader, model_key):
+    """Shared model-hook plumbing: mapInPandas that appends
+    ``out_col: out_type`` computed by a batch predictor, where the
+    predictor comes from ``loader()`` memoized in the worker-process-
+    global cache under ``model_key`` (mapInPandas invokes the generator
+    once per PARTITION; the cache makes heavy models load once per
+    Python WORKER and be reused across all its partitions/batches)."""
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(df.schema.fields + [StructField(out_col, out_type)])
+    key = model_key or "%s.%s" % (
+        getattr(loader, "__module__", "?"),
+        getattr(loader, "__qualname__", repr(loader)),
+    )
+
+    def gen(batches):
+        # resolve the cache through a real import ON THE WORKER:
+        # cloudpickle serializes this closure's globals by value per
+        # task (a fresh dict per partition); importing the module here
+        # lands on the worker process's one true module singleton, so
+        # the memoization actually spans partitions.
+        from biothings_crawler_spark.operators.text import _WORKER_MODEL_CACHE
+
+        predict = _WORKER_MODEL_CACHE.get(key)
+        if predict is None:
+            predict = loader()
+            _WORKER_MODEL_CACHE[key] = predict
+        for pdf in batches:
+            pdf[out_col] = predict(pdf[text_col])
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 def lang_id_model(
     df,
     text_col: str,
@@ -115,25 +149,12 @@ def lang_id_model(
 
     Returns df plus ``out_col: string``.
     """
-    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.types import StringType
 
-    out_schema = StructType(df.schema.fields + [StructField(out_col, StringType())])
-    loader = model_loader or (lambda: _lang_id_py)
-    key = model_key or "%s.%s" % (
-        getattr(loader, "__module__", "?"),
-        getattr(loader, "__qualname__", repr(loader)),
+    return _model_map_in_pandas(
+        df, text_col, out_col, StringType(),
+        model_loader or (lambda: _lang_id_py), model_key,
     )
-
-    def gen(batches):
-        predict = _WORKER_MODEL_CACHE.get(key)
-        if predict is None:
-            predict = loader()
-            _WORKER_MODEL_CACHE[key] = predict
-        for pdf in batches:
-            pdf[out_col] = predict(pdf[text_col])
-            yield pdf
-
-    return df.mapInPandas(gen, schema=out_schema)
 
 
 def token_count_col(text: Column) -> Column:
@@ -141,6 +162,48 @@ def token_count_col(text: Column) -> Column:
     return F.size(
         F.filter(F.regexp_extract_all(text, F.lit(f"({TOKEN_RE})"), 1),
                  lambda t: F.length(t) > 0)
+    )
+
+
+def _token_count_py(texts: "pd.Series") -> "pd.Series":
+    """Deterministic Python twin of token_count_col — the default
+    stand-in "tokenizer" for tokenizer_model (pytest asserts equality
+    against the expression). NULL text counts as NULL, mirroring
+    F.size over a NULL array. Same ASCII-whitespace caveat as
+    _lang_id_py (Python \\s is a unicode superset of Java's; fixture
+    text is ASCII)."""
+    pat = re.compile(TOKEN_RE)
+    return texts.map(lambda t: None if t is None else len(pat.findall(t)))
+
+
+def tokenizer_model(
+    df,
+    text_col: str,
+    out_col: str = "n_tokens",
+    model_loader=None,
+    model_key: str | None = None,
+):
+    """Pluggable model-backed token counting over mapInPandas — the
+    production path a 100-TB pipeline swaps a real subword tokenizer
+    into (e.g. a HuggingFace BPE/SentencePiece vocab), same stub
+    contract as lang_id_model: the container ships no tokenizer
+    package, so the default "model" is the deterministic regex-proxy
+    twin, and the Spark-side plumbing — Arrow batching, per-worker
+    memoized model load, schema — is real and oracle-verified.
+
+    ``model_loader``: zero-arg callable returning a batch counter
+    ``pd.Series[str] -> pd.Series[int]``; loaded once per Python worker
+    (memoized under ``model_key``, default the loader's qualname) and
+    reused across every partition that worker processes. Default:
+    ``_token_count_py``, the exact twin of token_count_col.
+
+    Returns df plus ``out_col: long``.
+    """
+    from pyspark.sql.types import LongType
+
+    return _model_map_in_pandas(
+        df, text_col, out_col, LongType(),
+        model_loader or (lambda: _token_count_py), model_key,
     )
 
 

@@ -869,6 +869,76 @@ WHERE rn <= {IVF_K}
 """
 
 
+def q_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the QUANTIZED persisted index (operators/quantize.
+    write_quantized_ivf_index): 8-bit codes + (vmin, vmax) partitioned
+    by cell on disk, probe with the same DPP-pruned plan as
+    q_ann_ivf_topk, dequantize only the probe sliver. Exact oracle:
+    quantize, dequantize, and the cosine fold are the same IEEE doubles
+    in both engines. Recall@k vs the full-precision IVF is
+    pytest-enforced (>= 0.9)."""
+    from biothings_crawler_spark.operators.quantize import (
+        ivf_quantized_topk,
+        write_quantized_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = pick_centroids(e, "vec_id", "embedding", IVF_CENTROIDS, hash_family="md5")
+    cells = assign_cells(e, cents, "vec_id", "embedding")
+    idx_path = _scratch_index_path("ivfq", sf_dir)
+    write_quantized_ivf_index(cells, idx_path)
+    qidx = spark.read.parquet(idx_path)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = ivf_quantized_topk(qidx, cents, q, "vec_id", "embedding",
+                             k=IVF_K, nprobe=IVF_NPROBE)
+    return out.select("query_id", "vec_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+SQL_ANN_IVF_QUANTIZED = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_CENTROIDS}),
+asg AS (
+  SELECT vec_id, v, centroid_id AS cell FROM (
+    SELECT e.vec_id, e.embedding AS v, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_cosine('e.embedding', 'cent.cv')} DESC,
+                                       cent.centroid_id) AS rn
+    FROM embeddings e, cent)
+  WHERE rn = 1),
+mm AS (
+  SELECT vec_id, cell, v,
+         CAST(list_min(v) AS DOUBLE) AS vmin,
+         CAST(list_max(v) AS DOUBLE) AS vmax
+  FROM asg),
+deq AS (
+  SELECT vec_id, cell,
+         list_transform(v,
+           x -> vmin + CAST(CAST(CASE WHEN vmax - vmin > 0
+                      THEN floor((CAST(x AS DOUBLE) - vmin) * 255
+                                 / (vmax - vmin) + 0.5)
+                      ELSE 0 END AS INT) AS DOUBLE)
+                * ((vmax - vmin) / 255.0)) AS dv
+  FROM mm),
+probes AS (
+  SELECT query_id, qv, centroid_id AS cell FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_sql_cosine('q.embedding', 'cent.cv')} DESC,
+                                       cent.centroid_id) AS rn
+    FROM embeddings q, cent WHERE q.vec_id < {N_QUERY_VECS})
+  WHERE rn <= {IVF_NPROBE}),
+sc AS (
+  SELECT p.query_id, d.vec_id, {_sql_cosine('p.qv', 'd.dv')} AS cosine
+  FROM deq d JOIN probes p USING (cell))
+SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rn FROM sc)
+WHERE rn <= {IVF_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -924,6 +994,27 @@ def q_lang_id_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TOKENS = ("len(list_filter(regexp_extract_all(text, "
                "'([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])', 1), x -> len(x) > 0))")
+
+
+def q_tokenizer_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas tokenizer-hook path (operators/text.
+    tokenizer_model) for token counting, aggregated the same way as
+    q_token_stats — the driver gate verifies the Arrow-batched
+    per-worker-memoized tokenizer plumbing end to end against the
+    identical DuckDB oracle (the default stand-in tokenizer is the
+    deterministic Python twin of the token_count_col expression, so
+    the two queries share one oracle by construction)."""
+    from biothings_crawler_spark.operators.text import tokenizer_model
+
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    per = tokenizer_model(d, "text", out_col="tok")
+    return (
+        per.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("tok").alias("sum_tokens"))
+        .select("source", "n_docs", "sum_tokens",
+                (F.col("sum_tokens").cast("double") / F.col("n_docs")).alias("avg_tokens"))
+    )
 
 
 def q_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2434,6 +2525,19 @@ def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.when(
         did % 7 == 0, F.concat(t, F.lit(" ref 4111 1111 1111 1112"))
     ).otherwise(t)
+    # SSN shape for id%8==0 (varying last group, no checksum);
+    # mod-97-VALID IBAN for id%9==0, IBAN-SHAPED-but-invalid (bad check
+    # digits) for id%11==0: counts see only the valid one, redaction
+    # masks both
+    ssn = F.concat(F.lit(" ssn 078-05-"),
+                   F.lpad((did % 10000).cast("string"), 4, "0"))
+    t = F.when(did % 8 == 0, F.concat(t, ssn)).otherwise(t)
+    t = F.when(
+        did % 9 == 0, F.concat(t, F.lit(" iban DE89370400440532013000"))
+    ).otherwise(t)
+    t = F.when(
+        did % 11 == 0, F.concat(t, F.lit(" acct DE00370400440532013000"))
+    ).otherwise(t)
     return d.select(did.alias("id"), t.alias("text"))
 
 
@@ -2465,7 +2569,14 @@ _SQL_PII_DOCS = """
          || CASE WHEN doc_id % 6 = 0
                  THEN ' card 4111-1111-1111-1111' ELSE '' END
          || CASE WHEN doc_id % 7 = 0
-                 THEN ' ref 4111 1111 1111 1112' ELSE '' END AS text
+                 THEN ' ref 4111 1111 1111 1112' ELSE '' END
+         || CASE WHEN doc_id % 8 = 0
+                 THEN ' ssn 078-05-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 9 = 0
+                 THEN ' iban DE89370400440532013000' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' acct DE00370400440532013000' ELSE '' END AS text
   FROM documents
 """
 
@@ -2476,10 +2587,14 @@ from biothings_crawler_spark.operators.pii import (  # noqa: E402
     CC_TOKEN as _TOK_CC,
     EMAIL_RE as _RE_EMAIL_SQL,
     EMAIL_TOKEN as _TOK_EMAIL,
+    IBAN_RE as _RE_IBAN_SQL,
+    IBAN_TOKEN as _TOK_IBAN,
     IPV4_RE as _RE_IPV4_SQL,
     IPV4_TOKEN as _TOK_IP,
     PHONE_RE as _RE_PHONE_SQL,
     PHONE_TOKEN as _TOK_PHONE,
+    SSN_RE as _RE_SSN_SQL,
+    SSN_TOKEN as _TOK_SSN,
 )
 
 # DuckDB Luhn twin of operators.pii.luhn_valid_col: odd 1-based
@@ -2493,21 +2608,36 @@ _SQL_LUHN = (
     "ELSE CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'), i, 1) AS INT) END)) % 10 = 0"
 )
 
+# DuckDB mod-97 twin of operators.pii.iban_valid_col: rearrange, fold
+# character ASCII codes with an integer-only running remainder
+_SQL_IBAN_VALID = (
+    "list_reduce(list_prepend(0, list_transform("
+    "list_filter(string_split(substr(c, 5) || substr(c, 1, 4), ''), "
+    "ch -> len(ch) > 0), ch -> ascii(ch))), "
+    "(r, d) -> CASE WHEN d <= 57 THEN (r * 10 + (d - 48)) % 97 "
+    "ELSE (r * 100 + (d - 55)) % 97 END) = 1"
+)
+
 SQL_PII_SCRUB = f"""
 WITH docs AS ({_SQL_PII_DOCS}),
 s1 AS (SELECT id, text,
               regexp_replace(text, '{_RE_EMAIL_SQL}', '{_TOK_EMAIL}', 'g') AS t1
        FROM docs),
 s2 AS (SELECT *, regexp_replace(t1, '{_RE_IPV4_SQL}', '{_TOK_IP}', 'g') AS t2 FROM s1),
-s3 AS (SELECT *, regexp_replace(t2, '{_RE_PHONE_SQL}', '{_TOK_PHONE}', 'g') AS t3 FROM s2)
+s3 AS (SELECT *, regexp_replace(t2, '{_RE_PHONE_SQL}', '{_TOK_PHONE}', 'g') AS t3 FROM s2),
+s4 AS (SELECT *, regexp_replace(t3, '{_RE_SSN_SQL}', '{_TOK_SSN}', 'g') AS t4 FROM s3),
+s5 AS (SELECT *, regexp_replace(t4, '{_RE_IBAN_SQL}', '{_TOK_IBAN}', 'g') AS t5 FROM s4)
 SELECT id,
        CAST(len(regexp_extract_all(text, '{_RE_EMAIL_SQL}')) AS BIGINT) AS n_emails,
        CAST(len(regexp_extract_all(t1, '{_RE_IPV4_SQL}')) AS BIGINT) AS n_ipv4,
        CAST(len(regexp_extract_all(t2, '{_RE_PHONE_SQL}')) AS BIGINT) AS n_phones,
-       CAST(len(list_filter(regexp_extract_all(t3, '{_RE_CC_SQL}'),
+       CAST(len(regexp_extract_all(t3, '{_RE_SSN_SQL}')) AS BIGINT) AS n_ssns,
+       CAST(len(list_filter(regexp_extract_all(t4, '{_RE_IBAN_SQL}'),
+                            c -> {_SQL_IBAN_VALID})) AS BIGINT) AS n_ibans,
+       CAST(len(list_filter(regexp_extract_all(t5, '{_RE_CC_SQL}'),
                             c -> {_SQL_LUHN})) AS BIGINT) AS n_cards,
-       regexp_replace(t3, '{_RE_CC_SQL}', '{_TOK_CC}', 'g') AS clean_text
-FROM s3
+       regexp_replace(t5, '{_RE_CC_SQL}', '{_TOK_CC}', 'g') AS clean_text
+FROM s5
 """
 
 
@@ -3596,6 +3726,94 @@ FROM per p ANTI JOIN block b USING (source)
 """
 
 
+SEMDEDUP_CENTROIDS = 8
+SEMDEDUP_THRESHOLD = 0.95
+
+
+def _semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings augmented with planted semantic duplicates: every
+    vec_id%10==0 vector gets a twin at vec_id+10000 scaled by 2, every
+    vec_id%20==0 additionally a twin at vec_id+20000 scaled by 4.
+    Power-of-two scaling is float-EXACT, and cosine is scale-invariant
+    bit-for-bit under the shared fold (dot and norms scale by exactly
+    2^k, the quotient is the identical double), so the planted twins
+    have cosine ~1.0 with their base on BOTH engines while the fixture's
+    natural max pairwise cosine is ~0.51 — the planted clusters are
+    exactly the pairs above the 0.95 threshold."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def twin(mod: int, off: int, scale: float) -> DataFrame:
+        return e.filter(F.col("vec_id") % mod == 0).select(
+            (F.col("vec_id") + off).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.lit(scale)).cast("float")
+            ).alias("embedding"),
+        )
+
+    return e.unionByName(twin(10, 10000, 2.0)).unionByName(twin(20, 20000, 4.0))
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition (operators/dedup.semantic_dedup, Abbas et
+    al. arXiv:2303.09540): IVF coarse cells as semantic clusters ->
+    exact pairwise cosine WITHIN cells only -> connected components ->
+    1e6//size soft weights, over the twin-augmented embeddings. The
+    within-cell restriction's zero-casualty property at this threshold
+    is separately pytest-enforced against brute force
+    (tests/test_pipeline_ops.py::test_semantic_dedup_no_casualties)."""
+    from biothings_crawler_spark.operators.dedup import semantic_dedup
+
+    aug = _semdedup_embeddings(spark, sf_dir)
+    return semantic_dedup(
+        aug, "vec_id", "embedding",
+        n_centroids=SEMDEDUP_CENTROIDS, threshold=SEMDEDUP_THRESHOLD,
+        hash_family="md5",
+    )
+
+
+_SQL_SEMDEDUP_EMB = """
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000,
+         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 2 AS FLOAT))
+  FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 20000,
+         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 4 AS FLOAT))
+  FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE emb AS ({_SQL_SEMDEDUP_EMB}),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM emb
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {SEMDEDUP_CENTROIDS}),
+asg AS (
+  SELECT vec_id, v, centroid_id AS cell FROM (
+    SELECT e.vec_id, e.embedding AS v, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_cosine('e.embedding', 'cent.cv')} DESC,
+                                       cent.centroid_id) AS rn
+    FROM emb e, cent)
+  WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg a JOIN asg b USING (cell)
+  WHERE a.vec_id < b.vec_id
+    AND {_sql_cosine('a.v', 'b.v')} >= {SEMDEDUP_THRESHOLD}),
+und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT vec_id, vec_id FROM emb
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+cc AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a)
+SELECT id, component,
+       CAST(1000000 // COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS weight_ppm
+FROM cc
+"""
+
+
 def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft deduplication: instead of dropping near-dups, weight each
     document by 1e6 // cluster_size micro-units (integer division =
@@ -3717,6 +3935,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (batched-convergence CC, rewritten r3) rotate in, plus every new r4 query.
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_neardup_clusters": q_neardup_clusters,
+    "q_tokenizer_model": q_tokenizer_model,
+    "q_semantic_dedup": q_semantic_dedup,
+    "q_ann_ivf_quantized": q_ann_ivf_quantized,
     "q_postings_chunks": q_postings_chunks,
     "q_hll_small": q_hll_small,
     "q_lang_id_model": q_lang_id_model,
@@ -3829,8 +4050,10 @@ ORACLES: dict[str, str] = {
     "q_embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "q_ann_brute_topk": SQL_ANN_BRUTE_TOPK,
     "q_ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "q_ann_ivf_quantized": SQL_ANN_IVF_QUANTIZED,
     "q_lang_id": SQL_LANG_ID,
     "q_token_stats": SQL_TOKEN_STATS,
+    "q_tokenizer_model": SQL_TOKEN_STATS,
     "q_quality_stats": SQL_QUALITY_STATS,
     "q_incremental_cursor": SQL_INCREMENTAL_CURSOR,
     "q_event_windows": SQL_EVENT_WINDOWS,
@@ -3861,6 +4084,7 @@ ORACLES: dict[str, str] = {
     "q_clic_hub_links": SQL_CLIC_HUB_LINKS,
     "q_line_dedup": SQL_LINE_DEDUP,
     "q_neardup_clusters": SQL_NEARDUP_CLUSTERS,
+    "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
     "q_winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "q_clean_corpus": SQL_CLEAN_CORPUS,
     "q_redirect_trace": SQL_REDIRECT_TRACE,

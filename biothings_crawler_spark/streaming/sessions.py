@@ -10,12 +10,14 @@ resumes mid-session with no duplicate or lost session rows (pytest
 drives exactly that: two AvailableNow rounds on one checkpoint, late
 batches advancing the watermark to flush earlier sessions).
 
-Semantics note vs the batch operator: session_window starts a new
-session at gap >= gap_seconds, the batch operator keeps an
-exactly-at-gap event in the session (documented 1-microsecond shift in
-tests/test_pipeline_ops.py::test_sessionize_matches_spark_builtin_
-session_window). Output columns match the batch operator's epoch-
-microsecond convention.
+Semantics note vs the batch operator: identical boundary behaviour —
+session_window merges an event whose timestamp equals the previous
+session's end (split only at gap strictly greater than the duration),
+which is exactly the batch operator's keep-at-gap contract; the batch
+operator now uses the same session_window aggregation (1-us boundary
+pinned in tests/test_pipeline_ops.py::test_sessionize_gap_boundaries).
+Output columns match the batch operator's epoch-microsecond
+convention.
 
 Scale note: state is sharded by the session key across executors; the
 watermark bounds state size to the sessions still open within the

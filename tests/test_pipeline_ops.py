@@ -211,6 +211,55 @@ def test_ivf_recall(spark, embeddings):
     assert recall >= 0.6, recall
 
 
+def test_quantized_ivf_index_recall_and_pruning(spark, embeddings, tmp_path):
+    """The 8-bit quantized cell-partitioned index must (a) keep
+    recall@10 >= 0.9 against the FULL-PRECISION IVF at the same
+    (nprobe, k) — quantization, not cell choice, is the only delta —
+    and (b) probe with the same partition-pruned plan as the
+    full-precision index (dequantize only on the probed sliver)."""
+    from biothings_crawler_spark.operators.quantize import (
+        ivf_quantized_topk,
+        write_quantized_ivf_index,
+    )
+    from biothings_crawler_spark.operators.similarity import (
+        assign_cells,
+        ivf_topk,
+        pick_centroids,
+    )
+
+    cents = pick_centroids(embeddings, "vec_id", "embedding", 16)
+    cells = assign_cells(embeddings, cents, "vec_id", "embedding")
+    path = str(tmp_path / "ivfq")
+    write_quantized_ivf_index(cells, path)
+    qidx = spark.read.parquet(path)
+
+    q = embeddings.filter(F.col("vec_id") < 8)
+    full = ivf_topk(cells, cents, q, k=10, nprobe=6)
+    quant = ivf_quantized_topk(qidx, cents, q, k=10, nprobe=6)
+    ft = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    qt = {(r["query_id"], r["vec_id"]) for r in quant.collect()}
+    recall = len(ft & qt) / len(ft)
+    assert recall >= 0.9, recall
+
+    plan = quant._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+
+
+def test_q_ann_ivf_quantized_plan_prunes(spark):
+    """The driver-gate quantized-IVF query itself builds, persists, and
+    re-reads the quantized index; ITS plan must show probe-side
+    partition pruning, same bar as q_ann_ivf_topk."""
+    from biothings_crawler_spark.plans.driver_queries import q_ann_ivf_quantized
+
+    out = q_ann_ivf_quantized(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+    per_q = {}
+    for r in out.collect():
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
 def test_text_analysis_cols(spark):
     df = _texts(spark).select(
         "id",
@@ -675,6 +724,35 @@ def test_pii_card_luhn_counts_valid_redacts_all_shapes(spark):
     assert out[5]["clean_text"] == "call <PHONE> re <CARD>"
 
 
+def test_pii_ssn_and_iban(spark):
+    """SSN shape counts and redacts (3-2-4, disjoint from the 3-3-4
+    phone shape); IBAN mod-97 gate: only checksum-valid IBANs COUNT,
+    all IBAN-shaped runs are REDACTED (same asymmetry as cards)."""
+    from biothings_crawler_spark.operators.pii import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "ssn 078-05-1120 on file"),
+            (2, "call 555-123-4567 ssn 078-05-1120"),      # phone != ssn
+            (3, "iban DE89370400440532013000 ok"),          # valid
+            (4, "acct DE00370400440532013000 bad"),         # invalid check
+            (5, "gb GB82WEST12345698765432 ok"),            # valid, GB
+            (6, "code DE8937040044053201300 short"),        # 21 chars: still shaped
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in pii_scrub(df, "id", "text").collect()}
+    assert out[1]["n_ssns"] == 1 and out[1]["clean_text"] == "ssn <SSN> on file"
+    assert out[2]["n_ssns"] == 1 and out[2]["n_phones"] == 1
+    assert out[2]["clean_text"] == "call <PHONE> ssn <SSN>"
+    assert out[3]["n_ibans"] == 1 and out[3]["clean_text"] == "iban <IBAN> ok"
+    assert out[4]["n_ibans"] == 0 and out[4]["clean_text"] == "acct <IBAN> bad"
+    assert out[5]["n_ibans"] == 1 and out[5]["clean_text"] == "gb <IBAN> ok"
+    # 21-char run is inside the 15-34 shape window: redacted, but the
+    # truncated check digits no longer validate -> not counted
+    assert out[6]["n_ibans"] == 0 and "<IBAN>" in out[6]["clean_text"]
+
+
 def test_pii_scrub_email_host_not_double_counted(spark):
     from biothings_crawler_spark.operators.pii import pii_scrub
 
@@ -960,33 +1038,49 @@ def test_bucketed_range_join_edges(spark):
     assert out.count() == 3
 
 
-def test_sessionize_matches_spark_builtin_session_window(spark):
-    """Cross-implementation check: our window-composition sessionize
-    must produce the same sessions as Spark's BUILT-IN session_window
-    aggregation on real event data. Boundary semantics differ by one
-    microsecond (ours keeps an exactly-gap event in the session,
-    session_window starts a new one at >= gap), so the built-in runs
-    with gap+1us — under that shift the two are defined to agree."""
+def test_sessionize_matches_window_composition(spark):
+    """Cross-implementation check: the production sessionize (built-in
+    session_window aggregation — the shape that scales under executor
+    concurrency) must produce the same sessions as the classic
+    lag+running-sum window composition on real event data, INCLUDING
+    session_idx. Both keep an exactly-at-gap event in the session
+    (session_window splits only at gap strictly greater than the
+    duration — the 1-us boundary is pinned by
+    test_sessionize_gap_boundaries)."""
+    from pyspark.sql import Window
     from biothings_crawler_spark.operators.sessionize import sessionize
 
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     ours = {
-        (r["key"], r["n_events"], r["start_us"], r["end_us"])
+        (r["key"], r["session_idx"], r["n_events"], r["start_us"], r["end_us"])
         for r in sessionize(ev, "user_id", "ts", "event_id", gap_seconds=600).collect()
     }
     us = F.expr(
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     )
-    builtin = {
-        (r["user_id"], r["n"], r["s"], r["e"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 600 * 1_000_000
+    composed = {
+        (r["user_id"], r["session_idx"], r["n"], r["s"], r["e"])
         for r in (
-            ev.groupBy("user_id", F.session_window("ts", "600000001 microseconds"))
+            ev.select(
+                "user_id", us.alias("us"),
+                F.when(
+                    F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > gap_us),
+                    F.lit(1),
+                ).otherwise(F.lit(0)).alias("boundary"),
+                F.col("ts"), F.col("event_id"),
+            )
+            .select("user_id", "us",
+                    F.sum("boundary").over(w2).cast("long").alias("session_idx"))
+            .groupBy("user_id", "session_idx")
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
-                 F.min(us).alias("s"), F.max(us).alias("e"))
+                 F.min("us").alias("s"), F.max("us").alias("e"))
             .collect()
         )
     }
-    assert ours == builtin and len(ours) > 100
+    assert ours == composed and len(ours) > 100
 
 
 def test_hypertable_rollup_cascade_equals_direct(spark):
@@ -1113,3 +1207,108 @@ def test_lang_id_model_hook_matches_expression(spark):
     # hook is Arrow-batched, not row-at-a-time Python
     plan = lang_id_model(docs, "text")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_tokenizer_model_hook_matches_expression(spark):
+    """The mapInPandas tokenizer hook with the default regex-proxy twin
+    must agree with the codegen token_count_col expression row-for-row
+    (NULL text included); a custom model_loader is honored and its
+    load is memoized in the worker-global cache, not re-run per
+    partition."""
+    from biothings_crawler_spark.operators import text as T
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+        .unionByName(
+            spark.createDataFrame([(10**9, None)], "doc_id long, text string")
+        )
+    )
+    both = T.tokenizer_model(docs, "text", out_col="n_tok").withColumn(
+        "expr_tok", T.token_count_col(F.col("text")).cast("long")
+    )
+    assert both.filter(~F.col("n_tok").eqNullSafe(F.col("expr_tok"))).count() == 0
+
+    def loader():
+        return lambda texts: texts.map(lambda t: 7)
+
+    got = T.tokenizer_model(docs.limit(5), "text", model_loader=loader).collect()
+    assert all(r["n_tokens"] == 7 for r in got)
+
+    # per-WORKER memoization (not per-partition): a loader that logs
+    # each load event must fire once per Python worker process, even
+    # when that worker runs many partitions (Spark reuses Python
+    # workers by default). 16 partitions on local[4] -> loads == the
+    # number of distinct worker pids, strictly fewer than partitions.
+    import os
+    import tempfile
+
+    log_dir = tempfile.mkdtemp(prefix="tok-loads-")
+
+    def counting_loader():
+        with open(os.path.join(log_dir, f"load-{os.getpid()}-{os.urandom(4).hex()}"), "w"):
+            pass
+        return lambda texts: texts.map(lambda t: 1)
+
+    T.tokenizer_model(
+        docs.repartition(16), "text",
+        model_loader=counting_loader, model_key="pytest-tok-count",
+    ).collect()
+    loads = os.listdir(log_dir)
+    pids = {name.split("-")[1] for name in loads}
+    assert len(loads) == len(pids), "loader re-ran inside a worker (per-partition load)"
+    assert len(loads) < 16, "loader fired once per partition, memoization broken"
+
+    plan = T.tokenizer_model(docs, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_semantic_dedup_no_casualties(spark):
+    """SemDeDup's within-cell restriction must lose NO pair the
+    brute-force all-pairs cosine finds at the fixture's threshold: the
+    planted twin families (exact power-of-two scalings, cosine ~1.0)
+    are the only pairs >= 0.95, and scale-invariance makes their cell
+    assignment bit-identical to the base vector's — so within-cell ==
+    brute force exactly. Also pins the CC completion: each family is
+    one component labeled by its base id with 1e6//size weights."""
+    from biothings_crawler_spark.operators.dedup import (
+        cosine_col,
+        semantic_dedup_pairs,
+    )
+    from biothings_crawler_spark.plans.driver_queries import (
+        _semdedup_embeddings,
+        q_semantic_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    aug = _semdedup_embeddings(spark, sf)
+    a = aug.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = aug.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in (
+            a.crossJoin(b)
+            .filter("id_a < id_b")
+            .withColumn("c", cosine_col(F.col("v_a"), F.col("v_b")))
+            .filter("c >= 0.95")
+            .collect()
+        )
+    }
+    within = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            aug, "vec_id", "embedding", n_centroids=8, threshold=0.95,
+            hash_family="md5",
+        ).collect()
+    }
+    # 25 triples (base, x2, x4) contribute 3 pairs, 25 pairs (base, x2)
+    # contribute 1: 100 planted pairs, zero natural ones, zero casualties
+    assert within == brute and len(brute) == 100
+
+    out = {r["id"]: (r["component"], r["weight_ppm"])
+           for r in q_semantic_dedup(spark, sf).collect()}
+    assert len(out) == 575
+    assert out[20000] == (0, 333333) and out[10000] == (0, 333333)
+    assert out[10010] == (10, 500000) and out[10] == (10, 500000)
+    assert out[1] == (1, 1000000)
