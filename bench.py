@@ -130,6 +130,56 @@ def crawl_sched_job(spark: SparkSession, seeds) -> int:
     return n
 
 
+MEGA_REPLICAS = int(os.environ.get("SPARK_GRAFT_MEGA_REPLICAS", "4"))
+MEGA_QUERY = ["data", "analysis", "research"]
+
+
+def mega_input(spark: SparkSession, sf_dir: str, replicas: int = MEGA_REPLICAS):
+    """Crawled-page corpus for the composed pipeline: documents x
+    replicas wrapped in full HTML (script/style/comment noise, an
+    email for id%3==0), distinct ids per replica — so exact dedup has
+    real work (the replicas are byte-identical bodies) and the PII
+    pass has real casualties. Materialized OUTSIDE the timed window."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_rows = docs.count() * replicas
+    n_parts = max(4, min(spark.sparkContext.defaultParallelism, n_rows // 4000))
+    i = F.col("doc_id") * replicas + F.col("rep")
+    s = i.cast("string")
+    email = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit(" contact user"), s, F.lit("@example.org")),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Page</title><style>p{margin:0}</style>"
+              '<script>var v="'), s, F.lit('";</script></head>'),
+        F.lit("<body><!-- rep --><h1>Doc</h1><p>"), F.col("text"),
+        email, F.lit("</p></body></html>"),
+    )
+    return (
+        docs.crossJoin(spark.range(replicas).select(F.col("id").alias("rep")))
+        .repartition(n_parts)
+        .select(i.alias("id"), F.encode(html, "utf-8").alias("html"))
+        .persist()
+    )
+
+
+def mega_pipeline_job(spark: SparkSession, pages) -> dict:
+    """The composed crawl-output-to-search pipeline (plans/pipeline.
+    web_pipeline): html->text -> PII scrub -> exact dedup -> near-dup
+    removal -> chunked inverted index -> BM25 top-k, with ONE
+    mid-pipeline materialization (the cleaned-corpus artifact a real
+    run persists before indexing)."""
+    from biothings_crawler_spark.plans.pipeline import web_pipeline
+
+    survivors, chunks, topk = web_pipeline(pages, "id", "html", MEGA_QUERY)
+    survivors = survivors.persist()
+    n_surv = survivors.count()
+    n_chunks = chunks.count()
+    n_topk = topk.count()
+    survivors.unpersist()
+    return {"survivors": n_surv, "chunks": n_chunks, "topk": n_topk}
+
+
 def extract_input(spark: SparkSession, sf_dir: str):
     """ld+json pages synthesized from documents — materialized outside
     the timed window (see crawl_sched_input)."""
@@ -199,6 +249,20 @@ def main() -> None:
         best = min(best or 1e9, time.time() - t0)
     timings["extract_jsonld"] = round(best, 3)
 
+    # the composed crawl-output-to-search pipeline, one wall number
+    # (best-of-2; the CC loop's eager checkpoints make reruns honest)
+    mega_pages = mega_input(spark, SF_DIR)
+    n_mega_pages = mega_pages.count()  # materialize, untimed
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        mega_counts = mega_pipeline_job(spark, mega_pages)
+        best = min(best or 1e9, time.time() - t0)
+    timings["mega_pipeline"] = round(best, 3)
+    counts["mega_pipeline_pages"] = n_mega_pages
+    counts["mega_pipeline_survivors"] = mega_counts["survivors"]
+    mega_pages.unpersist()
+
     for name in SUITE:
         # best-of-2 for every entry (round-1 judge flagged single-run
         # outliers; this VM swings 2-6x): min = steady-state plan cost.
@@ -226,8 +290,16 @@ def main() -> None:
         "urls_per_sec": round(urls / crawl_secs, 1) if crawl_secs else None,
         "rows": counts,
     }
+    # emit the result BEFORE spark.stop() and ALSO to a file: the
+    # driver parses stdout's last line, and a noisy shutdown tail once
+    # truncated the JSON mid-value (BENCH_r03 lesson). The file is the
+    # always-complete copy.
+    line = json.dumps(out)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LAST.json"), "w") as f:
+        f.write(line + "\n")
+    print(line, flush=True)
     spark.stop()
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":

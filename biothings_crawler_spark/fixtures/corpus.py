@@ -246,6 +246,24 @@ def gen_pages(n: int) -> list[dict]:
     return [page_row(i, n) for i in range(n)]
 
 
+def gen_pages_v2(n: int) -> list[dict]:
+    """Round-2 snapshot of the same corpus — the incremental-crawl
+    fixture: pages i%7==3 have DISAPPEARED, pages i%5==0 have CHANGED
+    (a trailing revision comment: the content hash moves, the
+    extraction semantics don't), everything else is byte-identical.
+    Deterministic pure function, shared by the Spark refetch-round
+    query and the frozen-simulator golden generator."""
+    out = []
+    for i in range(n):
+        if i % 7 == 3:
+            continue
+        r = page_row(i, n)
+        if i % 5 == 0:
+            r = dict(r, html=r["html"] + b"<!-- rev2 -->")
+        out.append(r)
+    return out
+
+
 # --- per-source link/extract policies (reference spider configs) -------------
 # follow/allow_link/extract_regex/same_domain/max_depth model the Scrapy
 # Rule()/sitemap_rules/allowed_domains configuration of each spider:
@@ -433,6 +451,10 @@ SITEMAPS_SCHEMA = ("sitemap_url string, host string, is_index boolean, "
 
 def pages_df(spark, n: int):
     return spark.createDataFrame(gen_pages(n), schema=PAGES_SCHEMA)
+
+
+def pages_v2_df(spark, n: int):
+    return spark.createDataFrame(gen_pages_v2(n), schema=PAGES_SCHEMA)
 
 
 def seeds_df(spark, n_universe: int):

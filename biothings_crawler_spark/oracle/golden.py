@@ -80,6 +80,47 @@ def _crawl_golden() -> tuple[str, str]:
     return _write("crawl_sched.parquet", sched), _write("crawl_docs.parquet", docs)
 
 
+def _refetch_golden() -> str:
+    """Expected docs of the REFETCH round (incremental crawl closed
+    end to end): crawl round 1 on corpus v1, diff v1 vs v2 content
+    hashes, queue the CHANGED urls that round 1 actually scheduled,
+    re-crawl them (follow off, one round) on v2 through extraction —
+    all in the frozen pure-Python semantics. The Spark side composes
+    snapshot_diff -> refetch_queue -> catalog semi-join -> run_crawl
+    over the identical fixture (plans/driver_queries.
+    q_crawl_refetch_round)."""
+    from biothings_crawler_spark.fixtures import corpus
+    from biothings_crawler_spark.oracle.bfs import CrawlConfig, simulate_crawl
+    from biothings_crawler_spark.urlnorm import canonicalize_url
+
+    n = CRAWL_N
+    v1 = {r["url"]: r["html"].decode("utf-8") for r in corpus.gen_pages(n)}
+    v2 = {r["url"]: r["html"].decode("utf-8") for r in corpus.gen_pages_v2(n)}
+    sim1 = simulate_crawl(v1, corpus.gen_seeds(n), corpus.gen_robots(),
+                          corpus.POLICIES, CrawlConfig(**CRAWL_CFG))
+    idx = {corpus.url_of(i): i for i in range(n)}
+    seeds2 = []
+    for u in sorted(v2):
+        if u not in v1 or v1[u] == v2[u]:
+            continue  # changed only: added urls enter via discovery, not refetch
+        if canonicalize_url(u) not in sim1.seen:
+            continue  # refetch only what round 1 actually scheduled
+        src = corpus.source_of(idx[u])
+        seeds2.append({
+            "seed_id": "refetch", "url": u, "source": src,
+            "parser": corpus.parser_for_source(src), "priority": 0,
+        })
+    pol2 = {k: {**v, "follow": False} for k, v in corpus.POLICIES.items()}
+    sim2 = simulate_crawl(v2, seeds2, corpus.gen_robots(), pol2,
+                          CrawlConfig(**{**CRAWL_CFG, "max_rounds": 1}))
+    drounds, durls, djsons = zip(*sorted(sim2.docs)) if sim2.docs else ((), (), ())
+    return _write("refetch_docs.parquet", pa.table({
+        "round": pa.array(drounds, pa.int64()),
+        "url_canon": pa.array(durls, pa.string()),
+        "doc_json": pa.array(djsons, pa.string()),
+    }))
+
+
 def _jsonld_golden() -> str:
     """Expected extraction items for every fixture page (all parser
     routes: jsonld quirks, mainEntity unwrap, GEO table scrape), from
@@ -135,11 +176,13 @@ def paths() -> dict[str, str]:
     need = {
         "crawl_sched": os.path.join(d, "crawl_sched.parquet"),
         "crawl_docs": os.path.join(d, "crawl_docs.parquet"),
+        "refetch_docs": os.path.join(d, "refetch_docs.parquet"),
         "jsonld_items": os.path.join(d, "jsonld_items.parquet"),
         "media_features": os.path.join(d, "media_features.parquet"),
     }
     if not all(os.path.exists(p) for p in need.values()):
         _crawl_golden()
+        _refetch_golden()
         _jsonld_golden()
         _media_golden()
     return need

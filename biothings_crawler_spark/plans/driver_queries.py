@@ -1820,6 +1820,94 @@ def q_crawl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "url_canon", "doc_json")
 
 
+def _run_refetch_crawl(spark: SparkSession):
+    """The incremental-crawl loop CLOSED end to end: round-1 BFS crawl
+    (memoized fixture crawl) -> md5 content diff of corpus v1 vs v2
+    (operators/snapshot.snapshot_diff) -> refetch queue (changed only;
+    added urls enter via discovery, not refetch) -> semi-join against
+    the round-1 catalog's scheduled table (refetch only what the crawl
+    actually fetched) -> host-rule source/parser routing (the
+    reference's sitemap-rule mechanism) -> a fresh one-round
+    run_crawl over corpus v2 with link-follow off, through the same
+    extraction UDFs and atomic checkpoint commit. Memoized per
+    process like _run_fixture_crawl."""
+    import tempfile
+
+    from biothings_crawler_spark.catalog import ParquetManifestCatalog
+    from biothings_crawler_spark.fixtures import corpus
+    from biothings_crawler_spark.operators.snapshot import (
+        CHANGED,
+        refetch_queue,
+        snapshot_diff,
+    )
+    from biothings_crawler_spark.oracle import golden
+    from biothings_crawler_spark.oracle.bfs import CrawlConfig
+    from biothings_crawler_spark.plans.crawl import run_crawl
+    from biothings_crawler_spark.urlnorm import canonicalize_col, host_col
+
+    n = golden.CRAWL_N
+    cache_key = (id(spark._jsparkSession), "refetch", n)
+    if cache_key in _FIXTURE_CRAWL_CACHE:
+        return ParquetManifestCatalog(_FIXTURE_CRAWL_CACHE[cache_key])
+    cat1 = _run_fixture_crawl(spark)
+
+    v1 = corpus.pages_df(spark, n).select(
+        "url", F.md5(F.col("html")).alias("content_hash"))
+    v2pages = corpus.pages_v2_df(spark, n)
+    v2 = v2pages.select("url", F.md5(F.col("html")).alias("content_hash"))
+    queue = refetch_queue(snapshot_diff(v1, v2)).filter(
+        F.col("status") == CHANGED)
+    sched1 = cat1.read(spark, "scheduled").select("url_canon").dropDuplicates()
+    qc = queue.withColumn("url_canon", canonicalize_col(F.col("url"))).join(
+        sched1, "url_canon", "semi")
+
+    h = host_col(F.col("url"))
+    src_expr = None
+    for src, (host, _tpl) in corpus.SOURCES.items():
+        cond = h == F.lit(host)
+        src_expr = (F.when(cond, F.lit(src)) if src_expr is None
+                    else src_expr.when(cond, F.lit(src)))
+    src_expr = src_expr.otherwise(F.lit("longtail"))
+    parser_expr = (
+        F.when(h == F.lit(corpus.SOURCES["ncbi_geo"][0]), F.lit("geo_table"))
+        .when(h == F.lit(corpus.SOURCES["omicsdi"][0]), F.lit("jsonld_mainentity"))
+        .otherwise(F.lit("jsonld"))
+    )
+    seeds2 = qc.select(
+        F.lit("refetch").alias("seed_id"),
+        "url",
+        src_expr.alias("source"),
+        parser_expr.alias("parser"),
+        F.lit(0).alias("priority"),
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="crawl-refetch-driver-")
+    pol2 = [dict(p, follow=False) for p in corpus.gen_policies()]
+    cfg = CrawlConfig(**{**golden.CRAWL_CFG, "max_rounds": 1})
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run_crawl(spark, v2pages.coalesce(4), seeds2.coalesce(1),
+                  corpus.robots_df(spark).coalesce(1), pol2, ckpt, cfg)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _FIXTURE_CRAWL_CACHE[cache_key] = ckpt
+    return ParquetManifestCatalog(ckpt)
+
+
+def q_crawl_refetch_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The docs the REFETCH round re-extracted (diff -> queue ->
+    catalog semi-join -> seeded run_crawl on the mutated corpus) vs
+    the frozen simulator's expected docs for the identical two-round
+    scenario — the golden pair that closes the incremental-crawl loop
+    (reference: the resumable/incremental harvest semantics of
+    crawler/spiders/helper.py round bookkeeping)."""
+    cat = _run_refetch_crawl(spark)
+    docs = cat.read(spark, "docs")
+    return docs.select(F.col("round").cast("long").alias("round"),
+                       "url_canon", "doc_json")
+
+
 def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-LD / mainEntity / GEO-table extraction over every fixture
     page quirk (extruct comment-retry, strict=False control chars,
@@ -3909,6 +3997,10 @@ SQL_CRAWL_DOCS = (
     "SELECT round, url_canon, doc_json "
     f"FROM read_parquet('{_GOLDEN['crawl_docs']}')"
 )
+SQL_CRAWL_REFETCH_ROUND = (
+    "SELECT round, url_canon, doc_json "
+    f"FROM read_parquet('{_GOLDEN['refetch_docs']}')"
+)
 SQL_JSONLD_EXTRACT = (
     "SELECT url, parser, item_json "
     f"FROM read_parquet('{_GOLDEN['jsonld_items']}')"
@@ -3938,6 +4030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tokenizer_model": q_tokenizer_model,
     "q_semantic_dedup": q_semantic_dedup,
     "q_ann_ivf_quantized": q_ann_ivf_quantized,
+    "q_crawl_refetch_round": q_crawl_refetch_round,
     "q_postings_chunks": q_postings_chunks,
     "q_hll_small": q_hll_small,
     "q_lang_id_model": q_lang_id_model,
@@ -4074,6 +4167,7 @@ ORACLES: dict[str, str] = {
     "q_link_extract": SQL_LINK_EXTRACT,
     "q_crawl_bfs_e2e": SQL_CRAWL_BFS_E2E,
     "q_crawl_docs": SQL_CRAWL_DOCS,
+    "q_crawl_refetch_round": SQL_CRAWL_REFETCH_ROUND,
     "q_jsonld_extract": SQL_JSONLD_EXTRACT,
     "q_api_seed_expansion": SQL_API_SEED_EXPANSION,
     "q_api_error_docs": SQL_API_ERROR_DOCS,

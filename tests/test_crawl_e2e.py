@@ -97,6 +97,59 @@ def test_metrics_match_oracle(spark, tmp_path, oracle_result):
                 assert engine.get((rnd, host, k), 0) == v, (rnd, host, k)
 
 
+def test_refetch_round_docs_and_resume(spark):
+    """The incremental-crawl composition (diff -> changed queue ->
+    catalog semi-join -> one-round refetch crawl on corpus v2) must
+    (a) re-extract exactly the simulator's expected docs, (b) resume
+    as a no-op: re-invoking the finished refetch crawl on its own
+    checkpoint schedules nothing new and leaves the docs byte-
+    identical, and (c) leave the round-1 checkpoint untouched."""
+    import duckdb
+
+    from biothings_crawler_spark.oracle import golden
+    from biothings_crawler_spark.plans.driver_queries import (
+        _run_fixture_crawl,
+        _run_refetch_crawl,
+        q_crawl_refetch_round,
+    )
+    from biothings_crawler_spark.oracle.bfs import CrawlConfig
+
+    got = sorted(
+        (r["round"], r["url_canon"], r["doc_json"])
+        for r in q_crawl_refetch_round(spark, "/root/testdata/sf0.001").collect()
+    )
+    want = sorted(
+        map(tuple,
+            duckdb.sql(
+                "SELECT round, url_canon, doc_json FROM "
+                f"read_parquet('{golden.paths()['refetch_docs']}')"
+            ).fetchall())
+    )
+    assert got == want and len(got) > 0
+
+    # resume no-op: the refetch checkpoint is complete; re-running the
+    # crawl on it must schedule 0 new rounds and keep docs identical
+    cat2 = _run_refetch_crawl(spark)
+    pol2 = [dict(p, follow=False) for p in corpus.gen_policies()]
+    cfg = CrawlConfig(**{**golden.CRAWL_CFG, "max_rounds": 1})
+    summary = run_crawl(
+        spark, corpus.pages_v2_df(spark, golden.CRAWL_N).coalesce(4),
+        corpus.seeds_df(spark, golden.CRAWL_N).coalesce(1),
+        corpus.robots_df(spark).coalesce(1), pol2, str(cat2.root), cfg,
+    )
+    assert summary["rounds"] == 0
+    again = sorted(
+        (r["round"], r["url_canon"], r["doc_json"])
+        for r in cat2.read(spark, "docs")
+        .select("round", "url_canon", "doc_json").collect()
+    )
+    assert [(int(r), u, j) for r, u, j in again] == got
+
+    # round-1 checkpoint untouched by the refetch run
+    cat1 = _run_fixture_crawl(spark)
+    assert cat1.latest_round() == golden.CRAWL_CFG["max_rounds"] - 1
+
+
 def test_resume_identical_after_kill(spark, tmp_path, oracle_result):
     """Kill after round 1, resume -> byte-identical ordering + docs."""
     cut = CrawlConfig(**{**CFG.__dict__, "max_rounds": 2})
