@@ -118,6 +118,48 @@ def ivf_quantized_topk(
     )
 
 
+def ivf_rerank_topk(
+    qindex: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    full_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Two-stage retrieval — the standard ANN serving shape at 10^10
+    vectors: stage 1 recalls ``k * rerank_factor`` candidates per query
+    from the 8-bit QUANTIZED cell-partitioned index (cheap scan, 4x
+    fewer bytes, DPP-pruned to nprobe cells); stage 2 re-scores ONLY
+    those candidates against the FULL-PRECISION vectors (one equi-join
+    on vec_id — at k*factor rows per query, a sliver) and re-ranks by
+    exact cosine. Quantization error can reorder or drop near-ties;
+    reranking restores the full-precision order among everything the
+    coarse stage recalled, so recall@k is bounded below by the
+    quantized stage's recall@(k*factor) — strictly better than
+    quantized-only at the same probe cost (pytest-measured)."""
+    cand = ivf_quantized_topk(
+        qindex, centroids, queries, id_col, vec_col,
+        k=k * rerank_factor, nprobe=nprobe,
+    ).select("query_id", "vec_id")
+    full = full_vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("fv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    rescored = (
+        cand.join(full, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", cosine_col(F.col("qv"), F.col("fv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def quantized_brute_topk(
     qcorpus: DataFrame,
     queries: DataFrame,

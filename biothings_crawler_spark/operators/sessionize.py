@@ -11,14 +11,20 @@ Scale shape: the per-event work is ONE ``session_window`` aggregation —
 Spark's built-in session assignment (sort within the key's partition,
 then a streaming merge of adjacent-in-time events; map-side partial
 session merge applies) — the same operator family as the streaming twin
-(streaming/sessions.py). The per-key session NUMBERING is a
-``row_number`` window, but it runs over the aggregated SESSION rows
-(orders of magnitude fewer than events), so the only full-data pass is
-the aggregation. This replaced an earlier lag+running-sum WindowExec
-composition over raw events: identical output (pytest cross-checks the
-two shapes' session sets), but the aggregation shape scales ~1.0 under
-multi-executor concurrency on hosts where per-event WindowExec
-provably degrades (see BENCH_SCALING_WEBTEXT.json / BASELINE.md).
+(streaming/sessions.py). The per-key session NUMBERING is a second
+HASH AGGREGATION (collect_list -> array_sort -> posexplode), NOT a
+row_number window: sparse-activity keys make sessions ~ events (the
+sf events table yields 3.94M sessions from 4M events), so a numbering
+window would be a second full-size WindowExec pass — the exact shape
+the pure-JVM control proves degrades >=2.15x under 4-way executor
+concurrency on this host class. The agg's per-group memory is bounded
+by one key's SESSION COUNT (bounded for real web keys — users/hosts
+have bounded activity per retention window; a degenerate single-key
+stream should be pre-split by time before calling). This replaced an
+earlier lag+running-sum WindowExec composition over raw events:
+identical output (pytest cross-checks the two shapes, session_idx
+included), in the shapes that scale under concurrency (see
+BENCH_SCALING_WEBTEXT.json / BASELINE.md).
 
 Boundary semantics: this operator KEEPS an exactly-at-gap event in the
 session (strict ``>`` on the gap) — and so does the built-in: Spark's
@@ -37,7 +43,7 @@ the gap exceeds it).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -77,13 +83,23 @@ def sessionize(
             F.max(us).alias("end_us"),
         )
     )
-    # 1-based per-key numbering over SESSION rows (small), not events
-    w = Window.partitionBy("key").orderBy("start_us")
-    return sessions.select(
+    # 1-based per-key numbering WITHOUT a window: collect the key's
+    # sessions (disjoint intervals, unique start_us), sort, posexplode.
+    # Hash-agg shape; per-group memory = one key's session count.
+    numbered = (
+        sessions.groupBy("key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("start_us", "end_us", "n_events"))
+            ).alias("ss")
+        )
+        .select("key", F.posexplode("ss").alias("idx", "s"))
+    )
+    return numbered.select(
         "key",
-        F.row_number().over(w).cast("long").alias("session_idx"),
-        "n_events",
-        "start_us",
-        "end_us",
-        (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+        (F.col("idx") + 1).cast("long").alias("session_idx"),
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.start_us").alias("start_us"),
+        F.col("s.end_us").alias("end_us"),
+        (F.col("s.end_us") - F.col("s.start_us")).alias("duration_us"),
     )

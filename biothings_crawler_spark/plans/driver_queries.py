@@ -895,8 +895,7 @@ def q_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
-SQL_ANN_IVF_QUANTIZED = f"""
-WITH cent AS (
+_SQL_IVFQ_CTES = f"""cent AS (
   SELECT vec_id AS centroid_id, embedding AS cv
   FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_CENTROIDS}),
 asg AS (
@@ -931,10 +930,60 @@ probes AS (
   WHERE rn <= {IVF_NPROBE}),
 sc AS (
   SELECT p.query_id, d.vec_id, {_sql_cosine('p.qv', 'd.dv')} AS cosine
-  FROM deq d JOIN probes p USING (cell))
+  FROM deq d JOIN probes p USING (cell))"""
+
+SQL_ANN_IVF_QUANTIZED = f"""
+WITH {_SQL_IVFQ_CTES}
 SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, vec_id) AS rn FROM sc)
+WHERE rn <= {IVF_K}
+"""
+
+RERANK_FACTOR = 4
+
+
+def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (operators/quantize.ivf_rerank_topk): the
+    quantized DPP-pruned IVF index recalls k*{RERANK_FACTOR} candidates
+    per query, the full-precision vectors re-score only that sliver,
+    exact cosine re-ranks. The oracle composes the identical two
+    stages in one DuckDB statement."""
+    from biothings_crawler_spark.operators.quantize import (
+        ivf_rerank_topk,
+        write_quantized_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = pick_centroids(e, "vec_id", "embedding", IVF_CENTROIDS, hash_family="md5")
+    cells = assign_cells(e, cents, "vec_id", "embedding")
+    idx_path = _scratch_index_path("ivfq", sf_dir)
+    write_quantized_ivf_index(cells, idx_path)
+    qidx = spark.read.parquet(idx_path)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = ivf_rerank_topk(qidx, cents, q, e, "vec_id", "embedding",
+                          k=IVF_K, nprobe=IVF_NPROBE,
+                          rerank_factor=RERANK_FACTOR)
+    return out.select("query_id", "vec_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+SQL_ANN_RERANK = f"""
+WITH {_SQL_IVFQ_CTES},
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rn FROM sc)
+  WHERE rn <= {IVF_K * RERANK_FACTOR}),
+fullv AS (SELECT vec_id, embedding AS fv FROM embeddings),
+q2 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       WHERE vec_id < {N_QUERY_VECS}),
+re AS (
+  SELECT c.query_id, c.vec_id, {_sql_cosine('q2.qv', 'fullv.fv')} AS cosine
+  FROM cand c JOIN fullv USING (vec_id) JOIN q2 USING (query_id))
+SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rn FROM re)
 WHERE rn <= {IVF_K}
 """
 
@@ -4031,6 +4080,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semantic_dedup": q_semantic_dedup,
     "q_ann_ivf_quantized": q_ann_ivf_quantized,
     "q_crawl_refetch_round": q_crawl_refetch_round,
+    "q_ann_rerank": q_ann_rerank,
     "q_postings_chunks": q_postings_chunks,
     "q_hll_small": q_hll_small,
     "q_lang_id_model": q_lang_id_model,
@@ -4144,6 +4194,7 @@ ORACLES: dict[str, str] = {
     "q_ann_brute_topk": SQL_ANN_BRUTE_TOPK,
     "q_ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "q_ann_ivf_quantized": SQL_ANN_IVF_QUANTIZED,
+    "q_ann_rerank": SQL_ANN_RERANK,
     "q_lang_id": SQL_LANG_ID,
     "q_token_stats": SQL_TOKEN_STATS,
     "q_tokenizer_model": SQL_TOKEN_STATS,

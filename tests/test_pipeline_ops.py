@@ -245,6 +245,57 @@ def test_quantized_ivf_index_recall_and_pruning(spark, embeddings, tmp_path):
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
 
 
+def test_rerank_beats_or_matches_quantized_only(spark, embeddings, tmp_path):
+    """Two-stage retrieval: reranking the quantized stage's k*4
+    candidates with full-precision cosine must give recall@10 vs the
+    full-precision IVF at least as high as quantized-only, and the
+    final ordering must be by exact (not quantized) cosine."""
+    from biothings_crawler_spark.operators.quantize import (
+        ivf_quantized_topk,
+        ivf_rerank_topk,
+        write_quantized_ivf_index,
+    )
+    from biothings_crawler_spark.operators.similarity import (
+        assign_cells,
+        ivf_topk,
+        pick_centroids,
+    )
+    from biothings_crawler_spark.operators.dedup import cosine_col
+
+    cents = pick_centroids(embeddings, "vec_id", "embedding", 16)
+    cells = assign_cells(embeddings, cents, "vec_id", "embedding")
+    path = str(tmp_path / "ivfq")
+    write_quantized_ivf_index(cells, path)
+    qidx = spark.read.parquet(path)
+    q = embeddings.filter(F.col("vec_id") < 8)
+
+    full = {(r["query_id"], r["vec_id"])
+            for r in ivf_topk(cells, cents, q, k=10, nprobe=6).collect()}
+    quant = {(r["query_id"], r["vec_id"])
+             for r in ivf_quantized_topk(qidx, cents, q, k=10, nprobe=6).collect()}
+    rer_rows = ivf_rerank_topk(qidx, cents, q, embeddings,
+                               k=10, nprobe=6, rerank_factor=4).collect()
+    rer = {(r["query_id"], r["vec_id"]) for r in rer_rows}
+    r_quant = len(full & quant) / len(full)
+    r_rerank = len(full & rer) / len(full)
+    assert r_rerank >= r_quant and r_rerank >= 0.9, (r_quant, r_rerank)
+
+    # final scores are EXACT cosines: recompute one row independently
+    # (cosine is symmetric, so operand order is irrelevant)
+    probe = next(r for r in rer_rows if r["query_id"] != r["vec_id"])
+    va, vb = (
+        embeddings.filter(F.col("vec_id").isin(int(probe["query_id"]),
+                                               int(probe["vec_id"])))
+        .orderBy("vec_id").collect()
+    )
+    got = (
+        spark.createDataFrame([(va["embedding"], vb["embedding"])],
+                              "a array<float>, b array<float>")
+        .select(cosine_col(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
+    )
+    assert abs(got - probe["cosine"]) < 1e-12
+
+
 def test_q_ann_ivf_quantized_plan_prunes(spark):
     """The driver-gate quantized-IVF query itself builds, persists, and
     re-reads the quantized index; ITS plan must show probe-side
@@ -636,6 +687,40 @@ def test_winnow_twins_and_overlap_detection(spark, documents):
     inv = fps.groupBy("fp").agg(F.collect_set("id").alias("ids"))
     both = inv.filter(F.array_contains("ids", 0) & F.array_contains("ids", 1_000_000)).count()
     assert both > 0  # shared-suffix collision found via the inverted index
+
+
+def test_web_pipeline_composition_and_plan(spark, documents):
+    """The composed crawl-output-to-search pipeline: exact dedup must
+    collapse byte-identical replicas to one survivor each, BM25 must
+    return ranked results over the survivors, and the extraction/scrub
+    stages must stay JVM-side (the only Python in any plan is the
+    Arrow-batched shingle UDF inside MinHash)."""
+    from biothings_crawler_spark.plans.pipeline import web_pipeline
+
+    base = documents.limit(120).select("doc_id", "text")
+    pages = (
+        base.crossJoin(spark.range(3).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("doc_id") * 3 + F.col("rep")).alias("id"),
+            F.encode(
+                F.concat(F.lit("<html><body><p>"), F.col("text"),
+                         F.lit("</p></body></html>")), "utf-8").alias("html"),
+        )
+        .coalesce(4)
+    )
+    survivors, chunks, topk = web_pipeline(
+        pages, "id", "html", ["data", "research"], bands=4)
+    n_surv = survivors.count()
+    # replicas are byte-identical bodies: exact dedup alone caps
+    # survivors at the unique-doc count; near-dup may remove more
+    assert 0 < n_surv <= 120
+    rows = topk.collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["score"] > 0 for r in rows)
+    # survivors' plan: extraction + scrub are expressions, no
+    # row-at-a-time Python anywhere in the composition
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
 
 
 def test_clean_corpus_each_stage_bites(spark):
