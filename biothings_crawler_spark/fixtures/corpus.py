@@ -457,6 +457,38 @@ def pages_v2_df(spark, n: int):
     return spark.createDataFrame(gen_pages_v2(n), schema=PAGES_SCHEMA)
 
 
+def fixture_seed_router(queue):
+    """Seed router for plans/crawl.run_refetch over the fixture corpus:
+    maps a queue DataFrame (url, url_canon, ...) to refetch seeds via
+    host-rule source/parser routing — the fixture's analog of the
+    reference's sitemap-rule mechanism (each source owns a host;
+    unknown hosts route to the longtail default). A pure-expression
+    CASE chain, no UDF, no join."""
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.urlnorm import host_col
+
+    h = host_col(F.col("url"))
+    src_expr = None
+    for src, (host, _tpl) in SOURCES.items():
+        cond = h == F.lit(host)
+        src_expr = (F.when(cond, F.lit(src)) if src_expr is None
+                    else src_expr.when(cond, F.lit(src)))
+    src_expr = src_expr.otherwise(F.lit("longtail"))
+    parser_expr = (
+        F.when(h == F.lit(SOURCES["ncbi_geo"][0]), F.lit("geo_table"))
+        .when(h == F.lit(SOURCES["omicsdi"][0]), F.lit("jsonld_mainentity"))
+        .otherwise(F.lit("jsonld"))
+    )
+    return queue.select(
+        F.lit("refetch").alias("seed_id"),
+        "url",
+        src_expr.alias("source"),
+        parser_expr.alias("parser"),
+        F.lit(0).alias("priority"),
+    ).coalesce(1)
+
+
 def seeds_df(spark, n_universe: int):
     return spark.createDataFrame(gen_seeds(n_universe), schema=SEEDS_SCHEMA)
 

@@ -47,3 +47,41 @@ def snapshot_diff(
 def refetch_queue(diff: DataFrame) -> DataFrame:
     """URLs the next round must (re)process: added + changed."""
     return diff.filter(F.col("status").isin(ADDED, CHANGED)).select("url", "status")
+
+
+def latest_snapshot(
+    df: DataFrame,
+    url_col: str,
+    us_col: str,
+    tiebreak_col: str,
+    payload_cols: tuple = (),
+) -> DataFrame:
+    """Common-Crawl ingest dedup: a crawl archive holds MANY fetch
+    records per URL across crawls; keep exactly the newest one per URL
+    — the step that turns raw WARC records into the one-row-per-URL
+    pages table every downstream operator assumes.
+
+    Shape: ONE aggregation taking max(struct(us, tiebreak, *payload))
+    per url — lexicographic struct ordering picks the newest (largest
+    epoch-us, then tiebreak), and the payload columns ride inside the
+    struct so no join-back is needed. A struct-typed buffer plans as
+    SortAggregate (not HashAggregate), but the property that matters
+    at 10^10 fetch records is the MAP-SIDE PARTIAL MAX: a hot URL
+    (fetched every crawl for years) collapses to one row per input
+    partition BEFORE the shuffle, so the exchange carries ~|urls| rows
+    — a row_number window would instead shuffle every fetch record to
+    its url's partition and sort them all there.
+
+    Returns (url, fetched_us, *payload_cols). ``us_col`` must already
+    be integer epoch-microseconds (cross-engine exact by convention).
+    """
+    w = F.max(
+        F.struct(F.col(us_col), F.col(tiebreak_col),
+                 *[F.col(c) for c in payload_cols])
+    ).alias("w")
+    agg = df.groupBy(F.col(url_col).alias("url")).agg(w)
+    return agg.select(
+        "url",
+        F.col(f"w.{us_col}").alias("fetched_us"),
+        *[F.col(f"w.{c}").alias(c) for c in payload_cols],
+    )

@@ -59,7 +59,7 @@ from biothings_crawler_spark.operators.seen import build_segments, filter_unseen
 from biothings_crawler_spark.oracle.bfs import CrawlConfig
 from biothings_crawler_spark.urlnorm import canonicalize_col, domain_key_col, host_col
 
-__all__ = ["CrawlConfig", "run_crawl"]
+__all__ = ["CrawlConfig", "run_crawl", "run_refetch"]
 
 
 def _policy_case(policies: list[dict], key: str, default):
@@ -92,6 +92,57 @@ def _allow_link_ok(policies: list[dict]):
         val = F.lit(True) if al is None else F.col("link").rlike(al)
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
     return expr.otherwise(F.lit(True))
+
+
+def run_refetch(
+    spark: SparkSession,
+    old_pages: DataFrame,
+    new_pages: DataFrame,
+    prev_checkpoint: str,
+    seed_router,
+    robots: DataFrame,
+    policies: list[dict],
+    checkpoint_dir: str,
+    cfg: CrawlConfig | None = None,
+) -> dict:
+    """The incremental REFETCH round, first-class: md5-content diff of
+    the old vs new page snapshots (operators/snapshot.snapshot_diff) ->
+    changed-only refetch queue (added urls enter via the normal
+    discovery path, not refetch) -> semi-join against the PREVIOUS
+    crawl checkpoint's scheduled table (refetch only what that crawl
+    actually fetched) -> ``seed_router`` (a callable mapping the queue
+    DataFrame [url, url_canon] to a seeds DataFrame with seed_id/url/
+    source/parser/priority — typically a host-rule CASE, the
+    reference's sitemap-rule mechanism) -> a fresh ``run_crawl`` over
+    the NEW corpus with link-follow off, through extraction and atomic
+    commit. Returns run_crawl's summary.
+
+    Scale shape: the diff is one full-outer equi-join on url (both
+    sides bucketed by url at production scale = co-located); the
+    semi-join prunes the queue to the scheduled sliver; everything
+    downstream is the normal crawl plane over a queue-sized frontier —
+    the 10^10-page property is that re-processing cost is proportional
+    to the DELTA, never the corpus."""
+    from biothings_crawler_spark.operators.snapshot import (
+        CHANGED,
+        refetch_queue,
+        snapshot_diff,
+    )
+
+    cfg = cfg or CrawlConfig(max_rounds=1)
+    prev = ParquetManifestCatalog(prev_checkpoint)
+    old = old_pages.select("url", F.md5(F.col("html")).alias("content_hash"))
+    new = new_pages.select("url", F.md5(F.col("html")).alias("content_hash"))
+    queue = refetch_queue(snapshot_diff(old, new)).filter(
+        F.col("status") == CHANGED)
+    sched_prev = prev.read(spark, "scheduled")
+    if sched_prev is None:
+        raise ValueError(f"no committed crawl rounds in {prev_checkpoint}")
+    qc = queue.withColumn("url_canon", canonicalize_col(F.col("url"))).join(
+        sched_prev.select("url_canon").dropDuplicates(), "url_canon", "semi")
+    seeds = seed_router(qc)
+    pol = [dict(p, follow=False) for p in policies]
+    return run_crawl(spark, new_pages, seeds, robots, pol, checkpoint_dir, cfg)
 
 
 def run_crawl(

@@ -1876,23 +1876,19 @@ def _run_refetch_crawl(spark: SparkSession):
     added urls enter via discovery, not refetch) -> semi-join against
     the round-1 catalog's scheduled table (refetch only what the crawl
     actually fetched) -> host-rule source/parser routing (the
-    reference's sitemap-rule mechanism) -> a fresh one-round
-    run_crawl over corpus v2 with link-follow off, through the same
-    extraction UDFs and atomic checkpoint commit. Memoized per
+    reference's sitemap-rule mechanism; corpus.fixture_seed_router) ->
+    a fresh one-round run_crawl over corpus v2 with link-follow off,
+    through the same extraction UDFs and atomic checkpoint commit.
+    The whole composition is plans/crawl.run_refetch — the same code
+    path jobs/refetch_job.py launches via spark-submit. Memoized per
     process like _run_fixture_crawl."""
     import tempfile
 
     from biothings_crawler_spark.catalog import ParquetManifestCatalog
     from biothings_crawler_spark.fixtures import corpus
-    from biothings_crawler_spark.operators.snapshot import (
-        CHANGED,
-        refetch_queue,
-        snapshot_diff,
-    )
     from biothings_crawler_spark.oracle import golden
     from biothings_crawler_spark.oracle.bfs import CrawlConfig
-    from biothings_crawler_spark.plans.crawl import run_crawl
-    from biothings_crawler_spark.urlnorm import canonicalize_col, host_col
+    from biothings_crawler_spark.plans.crawl import run_refetch
 
     n = golden.CRAWL_N
     cache_key = (id(spark._jsparkSession), "refetch", n)
@@ -1900,44 +1896,22 @@ def _run_refetch_crawl(spark: SparkSession):
         return ParquetManifestCatalog(_FIXTURE_CRAWL_CACHE[cache_key])
     cat1 = _run_fixture_crawl(spark)
 
-    v1 = corpus.pages_df(spark, n).select(
-        "url", F.md5(F.col("html")).alias("content_hash"))
-    v2pages = corpus.pages_v2_df(spark, n)
-    v2 = v2pages.select("url", F.md5(F.col("html")).alias("content_hash"))
-    queue = refetch_queue(snapshot_diff(v1, v2)).filter(
-        F.col("status") == CHANGED)
-    sched1 = cat1.read(spark, "scheduled").select("url_canon").dropDuplicates()
-    qc = queue.withColumn("url_canon", canonicalize_col(F.col("url"))).join(
-        sched1, "url_canon", "semi")
-
-    h = host_col(F.col("url"))
-    src_expr = None
-    for src, (host, _tpl) in corpus.SOURCES.items():
-        cond = h == F.lit(host)
-        src_expr = (F.when(cond, F.lit(src)) if src_expr is None
-                    else src_expr.when(cond, F.lit(src)))
-    src_expr = src_expr.otherwise(F.lit("longtail"))
-    parser_expr = (
-        F.when(h == F.lit(corpus.SOURCES["ncbi_geo"][0]), F.lit("geo_table"))
-        .when(h == F.lit(corpus.SOURCES["omicsdi"][0]), F.lit("jsonld_mainentity"))
-        .otherwise(F.lit("jsonld"))
-    )
-    seeds2 = qc.select(
-        F.lit("refetch").alias("seed_id"),
-        "url",
-        src_expr.alias("source"),
-        parser_expr.alias("parser"),
-        F.lit(0).alias("priority"),
-    )
-
     ckpt = tempfile.mkdtemp(prefix="crawl-refetch-driver-")
-    pol2 = [dict(p, follow=False) for p in corpus.gen_policies()]
     cfg = CrawlConfig(**{**golden.CRAWL_CFG, "max_rounds": 1})
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        run_crawl(spark, v2pages.coalesce(4), seeds2.coalesce(1),
-                  corpus.robots_df(spark).coalesce(1), pol2, ckpt, cfg)
+        run_refetch(
+            spark,
+            corpus.pages_df(spark, n).coalesce(4),
+            corpus.pages_v2_df(spark, n).coalesce(4),
+            str(cat1.root),
+            corpus.fixture_seed_router,
+            corpus.robots_df(spark).coalesce(1),
+            corpus.gen_policies(),
+            ckpt,
+            cfg,
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     _FIXTURE_CRAWL_CACHE[cache_key] = ckpt
@@ -2933,6 +2907,45 @@ SELECT COALESCE(o.url, n.url) AS url,
             ELSE 'unchanged' END AS status,
        o.old_hash, n.new_hash
 FROM old o FULL OUTER JOIN new n ON o.url = n.url
+"""
+
+
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl ingest dedup (operators/snapshot.latest_snapshot):
+    events re-keyed as repeated URL fetch records (each url fetched by
+    many events over time) -> exactly one row per url, the newest by
+    (epoch-us, event_id), payload carried inside the max-struct — one
+    hash agg, no window. The oracle is the row_number formulation;
+    equality proves the struct-max picks the identical winner."""
+    from biothings_crawler_spark.operators.snapshot import latest_snapshot
+
+    ev = _t(spark, sf_dir, "events")
+    snaps = ev.select(
+        F.concat(
+            F.lit("https://h"), (F.col("user_id") % 97).cast("string"),
+            F.lit(".example.org/p/"), (F.col("event_id") % 2000).cast("string"),
+        ).alias("url"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("us"),
+        "event_id",
+        F.md5(F.col("props")).alias("content_hash"),
+    )
+    return latest_snapshot(snaps, "url", "us", "event_id",
+                           payload_cols=("content_hash",))
+
+
+SQL_LATEST_SNAPSHOT = """
+WITH s AS (
+  SELECT 'https://h' || CAST(user_id % 97 AS VARCHAR)
+           || '.example.org/p/' || CAST(event_id % 2000 AS VARCHAR) AS url,
+         epoch_us(ts) AS us, event_id, md5(props) AS content_hash
+  FROM events)
+SELECT url, us AS fetched_us, content_hash
+FROM (SELECT *, row_number() OVER (PARTITION BY url
+                                   ORDER BY us DESC, event_id DESC) AS rn
+      FROM s)
+WHERE rn = 1
 """
 
 
@@ -4081,6 +4094,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivf_quantized": q_ann_ivf_quantized,
     "q_crawl_refetch_round": q_crawl_refetch_round,
     "q_ann_rerank": q_ann_rerank,
+    "q_latest_snapshot": q_latest_snapshot,
     "q_postings_chunks": q_postings_chunks,
     "q_hll_small": q_hll_small,
     "q_lang_id_model": q_lang_id_model,
@@ -4175,6 +4189,7 @@ ORACLES: dict[str, str] = {
     "q_ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
     "q_bigram_coverage": SQL_BIGRAM_COVERAGE,
     "q_snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "q_latest_snapshot": SQL_LATEST_SNAPSHOT,
     "q_refetch_round": SQL_REFETCH_ROUND,
     "q_pricing_summary": SQL_PRICING_SUMMARY,
     "q_top_revenue_orders": SQL_TOP_REVENUE_ORDERS,

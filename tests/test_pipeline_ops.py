@@ -689,6 +689,31 @@ def test_winnow_twins_and_overlap_detection(spark, documents):
     assert both > 0  # shared-suffix collision found via the inverted index
 
 
+def test_latest_snapshot_picks_newest_no_window(spark):
+    """One row per URL, the newest by (us, tiebreak), payload carried
+    through; the plan is a hash aggregate (map-side partials), with no
+    Window node anywhere."""
+    from biothings_crawler_spark.operators.snapshot import latest_snapshot
+
+    df = spark.createDataFrame(
+        [
+            ("a", 100, 1, "h1"),
+            ("a", 300, 2, "h2"),   # newest for a
+            ("a", 300, 1, "h3"),   # same us, lower tiebreak -> loses
+            ("b", 50, 9, "h4"),
+        ],
+        "url string, us long, fid long, content_hash string",
+    )
+    out = latest_snapshot(df, "url", "us", "fid", payload_cols=("content_hash",))
+    got = {r["url"]: (r["fetched_us"], r["content_hash"]) for r in out.collect()}
+    assert got == {"a": (300, "h2"), "b": (50, "h4")}
+    # aggregation with MAP-SIDE partial max (the exchange carries one
+    # row per (url, input partition), not every fetch record), and no
+    # Window node anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window [" not in plan and "partial_max" in plan
+
+
 def test_web_pipeline_composition_and_plan(spark, documents):
     """The composed crawl-output-to-search pipeline: exact dedup must
     collapse byte-identical replicas to one survivor each, BM25 must
