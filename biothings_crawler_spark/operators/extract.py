@@ -29,7 +29,7 @@ import json
 import re
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -216,3 +216,71 @@ def extract_website_field_links_udf(html: pd.Series, url: pd.Series) -> pd.Serie
                     _hub_hrefs(td, links)
         out.append([urljoin(base, x) for x in links])
     return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# anchor-text index (pure codegen — no Python in the hot path)
+# ---------------------------------------------------------------------------
+
+_ANCHOR_RE = r'<a\s+href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def anchor_pairs_col(html_text: Column, base_url: Column) -> Column:
+    """``array<struct<target,text>>`` of a page's resolved anchors.
+
+    The classic web-search signal the reference never needed (Scrapy's
+    LinkExtractor drops anchor text; reference link-follow keeps hrefs
+    only) but a search/ranking pipeline over the crawl output does:
+    what OTHER pages call a URL.  Pure JVM expressions end-to-end —
+    ``regexp_extract_all`` of the whole ``<a>`` element, then per-match
+    group extraction inside :func:`F.transform` (no second pass over
+    the document, no Python).
+
+    Resolution keeps absolute http(s) hrefs and root-relative hrefs
+    (``/path`` joined onto the page's scheme+host); other forms
+    (dir-relative, mailto:, javascript:) resolve to NULL and are
+    filtered — at crawl scale they're noise the frontier never admits
+    anyway.  Both regexes are RE2-safe so the DuckDB oracle runs the
+    identical pipeline.
+    """
+    ms = F.regexp_extract_all(html_text, F.lit(_ANCHOR_RE), F.lit(0))
+    root = F.regexp_extract(base_url, r"^(https?://[^/]+)", 1)
+
+    def _resolve(m: Column) -> Column:
+        href = F.regexp_extract(m, _ANCHOR_RE, 1)
+        txt = F.trim(F.regexp_extract(m, _ANCHOR_RE, 2))
+        tgt = (
+            F.when(href.rlike(r"^https?://"), href)
+            .when(href.startswith("/"), F.concat(root, href))
+            .otherwise(F.lit(None).cast("string"))
+        )
+        return F.struct(tgt.alias("target"), txt.alias("text"))
+
+    return F.filter(
+        F.transform(ms, _resolve), lambda s: s.getField("target").isNotNull()
+    )
+
+
+def anchor_text_index(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Corpus-wide anchor-text table ``(target_url, anchor_text,
+    n_refs)`` — the inlink-text aggregation a ranking stage joins
+    against the document table.
+
+    Shape: per-page array build (narrow), ``explode``, ONE hash
+    aggregation keyed by (target, text) with map-side partials — the
+    same scale class as exact dedup.  No windows, no joins; hot
+    targets spread across reducers because the key includes the
+    anchor text.
+    """
+    txt = F.decode(F.col(html_col), "utf-8")
+    pairs = anchor_pairs_col(txt, F.col(url_col))
+    return (
+        pages.select(F.explode(pairs).alias("a"))
+        .groupBy(
+            F.col("a.target").alias("target_url"),
+            F.col("a.text").alias("anchor_text"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )

@@ -4077,6 +4077,177 @@ SQL_MULTIMODAL_FEATURES = (
 )
 
 
+# ---------------------------------------------------------------------------
+# crawl hygiene: trap detection, hot-host skew, anchor-text index (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _trap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic frontier with three URL populations routed per-row
+    by o_orderkey % 5: lanes 0-2 = calendar-trap hosts (every order a
+    fresh URL, ONE digit-normalized pattern), lane 3 = benign
+    priority/status pages (≈15 distinct URLs/host), lane 4 = a
+    mid-size host (60 URLs, one pattern — clears the ratio gate but
+    NOT min_urls, exercising the AND)."""
+    orders = _t(spark, sf_dir, "orders")
+    lane = F.col("o_orderkey") % 5
+    ck = (F.col("o_custkey") % 3).cast("string")
+    ok = F.col("o_orderkey").cast("string")
+    url = (
+        F.when(lane <= 2, F.concat(
+            F.lit("https://trap"), ck, F.lit(".example.org/cal/"), ok))
+        .when(lane == 3, F.concat(
+            F.lit("https://site"), ck, F.lit(".example.org/"),
+            F.col("o_orderpriority"), F.lit("/"), F.col("o_orderstatus")))
+        .otherwise(F.concat(
+            F.lit("https://mid.example.org/m/"),
+            (F.col("o_orderkey") % 60).cast("string")))
+    )
+    host = (
+        F.when(lane <= 2, F.concat(F.lit("trap"), ck, F.lit(".example.org")))
+        .when(lane == 3, F.concat(F.lit("site"), ck, F.lit(".example.org")))
+        .otherwise(F.lit("mid.example.org"))
+    )
+    return orders.select(url.alias("url"), host.alias("host"))
+
+
+# The same synthetic frontier as a DuckDB CTE (shared by both oracles).
+_SQL_TRAP_FRONTIER = """
+f AS (
+  SELECT CASE
+           WHEN o_orderkey % 5 <= 2 THEN
+             'https://trap' || CAST(o_custkey % 3 AS VARCHAR)
+               || '.example.org/cal/' || CAST(o_orderkey AS VARCHAR)
+           WHEN o_orderkey % 5 = 3 THEN
+             'https://site' || CAST(o_custkey % 3 AS VARCHAR)
+               || '.example.org/' || o_orderpriority || '/' || o_orderstatus
+           ELSE 'https://mid.example.org/m/' || CAST(o_orderkey % 60 AS VARCHAR)
+         END AS url,
+         CASE
+           WHEN o_orderkey % 5 <= 2 THEN
+             'trap' || CAST(o_custkey % 3 AS VARCHAR) || '.example.org'
+           WHEN o_orderkey % 5 = 3 THEN
+             'site' || CAST(o_custkey % 3 AS VARCHAR) || '.example.org'
+           ELSE 'mid.example.org'
+         END AS host
+  FROM orders)"""
+
+
+def q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spider-trap detection (operators/traps.detect_traps): hosts
+    whose distinct-URL count explodes relative to their distinct
+    digit-normalized URL patterns."""
+    from biothings_crawler_spark.operators.traps import detect_traps
+
+    return detect_traps(_trap_frontier(spark, sf_dir))
+
+
+SQL_CRAWL_TRAPS = f"""
+WITH {_SQL_TRAP_FRONTIER},
+p AS (
+  SELECT host, url,
+         regexp_replace(regexp_replace(url, '[?#].*$', ''),
+                        '[0-9]+', '{{N}}', 'g') AS pattern
+  FROM f),
+a AS (
+  SELECT host,
+         CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+         CAST(COUNT(DISTINCT pattern) AS BIGINT) AS n_patterns
+  FROM p GROUP BY host)
+SELECT host, n_urls, n_patterns,
+       CAST(n_urls * 1000000 // n_patterns AS BIGINT) AS urls_per_pattern_ppm,
+       n_urls >= 100 AND n_urls * 1000000 // n_patterns >= 50000000 AS is_trap
+FROM a
+"""
+
+
+def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-host skew report (operators/traps.host_skew_report): top-10
+    hosts by frontier share with the exact-integer salt factor the
+    politeness window would apply."""
+    from biothings_crawler_spark.operators.traps import host_skew_report
+
+    return host_skew_report(
+        _trap_frontier(spark, sf_dir), top_k=10, target_per_task=100
+    )
+
+
+SQL_HOST_SKEW = f"""
+WITH {_SQL_TRAP_FRONTIER},
+c AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls FROM f GROUP BY host),
+t AS (SELECT CAST(SUM(n_urls) AS BIGINT) AS total_urls,
+             CAST(COUNT(*) AS BIGINT) AS n_hosts FROM c)
+SELECT host, n_urls,
+       CAST(n_urls * 1000000 // total_urls AS BIGINT) AS share_ppm,
+       CAST(n_urls * n_hosts * 1000000 // total_urls AS BIGINT) AS skew_x_ppm,
+       CAST((n_urls + 99) // 100 AS BIGINT) AS salt
+FROM c, t
+ORDER BY n_urls DESC, host
+LIMIT 10
+"""
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index (operators/extract.anchor_text_index): pages
+    with absolute, root-relative, and unresolvable anchors -> the
+    aggregated (target_url, anchor_text, n_refs) inlink-text table."""
+    from biothings_crawler_spark.operators.extract import anchor_text_index
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><p>intro "), i, F.lit("</p>"),
+        F.lit('<a href="https://docs.example.org/doc/'),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit('" class="x">doc '), (F.col("doc_id") % 97).cast("string"), F.lit("</a>"),
+        F.lit('<a href="/about">About us </a>'),
+        F.lit('<a href="rel/x">relative dropped</a>'),
+        F.lit('<a href="https://docs.example.org/doc/'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('">read more</a></body></html>'),
+    )
+    pages = d.select(
+        F.encode(html, "utf-8").alias("html"),
+        F.concat(F.lit("https://site"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".example.org/page/"), i).alias("url"),
+    )
+    return anchor_text_index(pages)
+
+
+SQL_ANCHOR_TEXT = r"""
+WITH d AS (
+  SELECT doc_id,
+         '<html><body><p>intro ' || CAST(doc_id AS VARCHAR) || '</p>'
+         || '<a href="https://docs.example.org/doc/' || CAST(doc_id % 97 AS VARCHAR)
+         || '" class="x">doc ' || CAST(doc_id % 97 AS VARCHAR) || '</a>'
+         || '<a href="/about">About us </a>'
+         || '<a href="rel/x">relative dropped</a>'
+         || '<a href="https://docs.example.org/doc/' || CAST(doc_id % 7 AS VARCHAR)
+         || '">read more</a></body></html>' AS html,
+         'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/page/'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+m AS (
+  SELECT doc_id, url,
+         regexp_extract_all(html, '<a\s+href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS hrefs,
+         regexp_extract_all(html, '<a\s+href="([^"]*)"[^>]*>([^<]*)</a>', 2) AS texts
+  FROM d),
+x AS (
+  SELECT url, hrefs[i] AS href, trim(texts[i]) AS anchor_text
+  FROM (SELECT *, unnest(generate_series(1, len(hrefs))) AS i FROM m)),
+r AS (
+  SELECT CASE
+           WHEN regexp_matches(href, '^https?://') THEN href
+           WHEN href LIKE '/%' THEN regexp_extract(url, '^(https?://[^/]+)', 1) || href
+         END AS target_url,
+         anchor_text
+  FROM x)
+SELECT target_url, anchor_text, CAST(COUNT(*) AS BIGINT) AS n_refs
+FROM r WHERE target_url IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # Registry order: the 24 queries with no driver CORRECTNESS row yet
 # (past the r2 gate's first-50 sample) come first, so the driver's
 # first-50 sample covers them; the 50 long-stable queries (green in
@@ -4087,6 +4258,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green driver row is seated here, ahead of the stable tail.  Round 4:
     # q_ann_ivf_topk (persisted-DPP index, rewritten r3) and q_neardup_clusters
     # (batched-convergence CC, rewritten r3) rotate in, plus every new r4 query.
+    "q_crawl_traps": q_crawl_traps,
+    "q_host_skew": q_host_skew,
+    "q_anchor_text": q_anchor_text,
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_neardup_clusters": q_neardup_clusters,
     "q_tokenizer_model": q_tokenizer_model,
@@ -4180,6 +4354,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_crawl_traps": SQL_CRAWL_TRAPS,
+    "q_host_skew": SQL_HOST_SKEW,
+    "q_anchor_text": SQL_ANCHOR_TEXT,
     "q_postings_chunks": SQL_POSTINGS_CHUNKS,
     "q_hll_small": SQL_HLL_SMALL,
     "q_lang_id_model": SQL_LANG_ID,

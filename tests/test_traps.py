@@ -1,0 +1,129 @@
+"""Crawl-trap detection, host-skew report, anchor-text index."""
+
+from pyspark.sql import functions as F
+
+from biothings_crawler_spark.operators.extract import anchor_text_index
+from biothings_crawler_spark.operators.traps import (
+    detect_traps,
+    host_skew_report,
+    url_pattern_col,
+)
+
+
+def _frontier(spark, rows):
+    return spark.createDataFrame(rows, "url string, host string")
+
+
+def test_url_pattern_strips_query_and_digits(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://h.example.org/item/8841?sid=3&d=20260817",),
+            ("https://h.example.org/item/17",),
+            ("https://h.example.org/about#frag",),
+        ],
+        "url string",
+    )
+    pats = [r.p for r in df.select(url_pattern_col(F.col("url")).alias("p")).collect()]
+    assert pats == [
+        "https://h.example.org/item/{N}",
+        "https://h.example.org/item/{N}",
+        "https://h.example.org/about",
+    ]
+
+
+def test_detect_traps_flags_and_gates(spark):
+    rows = (
+        # trap host: 120 distinct URLs, one pattern
+        [(f"https://trap.example.org/cal/{i}", "trap.example.org") for i in range(120)]
+        # ratio-clearing but small host: 60 URLs, one pattern -> NOT a trap
+        + [(f"https://mid.example.org/m/{i}", "mid.example.org") for i in range(60)]
+        # benign host: 120 distinct URLs over 120 distinct ALPHA patterns
+        # (digit-bearing paths would collapse onto one '{N}' pattern)
+        + [
+            (
+                f"https://ok.example.org/{chr(97 + i % 26)}{chr(97 + i // 26)}",
+                "ok.example.org",
+            )
+            for i in range(120)
+        ]
+    )
+    out = {
+        r.host: r
+        for r in detect_traps(_frontier(spark, rows)).collect()
+    }
+    trap, mid, ok = out["trap.example.org"], out["mid.example.org"], out["ok.example.org"]
+    assert trap.is_trap and trap.n_urls == 120 and trap.n_patterns == 1
+    assert trap.urls_per_pattern_ppm == 120_000_000
+    # clears the ratio gate (60e6 >= 50e6) but fails min_urls -> benign
+    assert mid.urls_per_pattern_ppm == 60_000_000 and not mid.is_trap
+    assert ok.n_patterns == ok.n_urls == 120 and not ok.is_trap
+
+
+def test_detect_traps_counts_distinct_not_rows(spark):
+    rows = [("https://h.example.org/cal/1", "h.example.org")] * 500
+    r = detect_traps(_frontier(spark, rows), min_urls=1).collect()[0]
+    assert r.n_urls == 1 and r.n_patterns == 1
+    assert r.urls_per_pattern_ppm == 1_000_000
+
+
+def test_host_skew_report_exact_integers(spark):
+    rows = (
+        [(f"https://big.example.org/{i}", "big.example.org") for i in range(300)]
+        + [(f"https://a.example.org/{i}", "a.example.org") for i in range(60)]
+        + [(f"https://b.example.org/{i}", "b.example.org") for i in range(40)]
+    )
+    out = host_skew_report(
+        _frontier(spark, rows), top_k=2, target_per_task=100
+    ).collect()
+    assert [r.host for r in out] == ["big.example.org", "a.example.org"]
+    big = out[0]
+    assert big.n_urls == 300
+    assert big.share_ppm == 300 * 1_000_000 // 400
+    assert big.skew_x_ppm == 300 * 3 * 1_000_000 // 400  # 2.25x the mean
+    assert big.salt == 3  # ceil(300/100)
+    assert out[1].salt == 1
+
+
+def test_host_skew_tiebreak_is_host_order(spark):
+    rows = [
+        ("https://z.example.org/1", "z.example.org"),
+        ("https://a.example.org/1", "a.example.org"),
+    ]
+    out = host_skew_report(_frontier(spark, rows), top_k=2).collect()
+    assert [r.host for r in out] == ["a.example.org", "z.example.org"]
+
+
+def test_anchor_text_index_resolution_and_counts(spark):
+    html = (
+        '<html><body>'
+        '<a href="https://other.example.org/x" rel="nofollow">Other page </a>'
+        '<a href="/about">About</a>'
+        '<a href="rel/y">dropped relative</a>'
+        '<a href="mailto:x@example.org">dropped mailto</a>'
+        '<a href="https://other.example.org/x">Other page</a>'
+        "</body></html>"
+    )
+    pages = spark.createDataFrame(
+        [(html.encode(), "https://site.example.org/page/1")], "html binary, url string"
+    )
+    out = {
+        (r.target_url, r.anchor_text): r.n_refs
+        for r in anchor_text_index(pages).collect()
+    }
+    # trimmed text unifies the two absolute anchors
+    assert out == {
+        ("https://other.example.org/x", "Other page"): 2,
+        ("https://site.example.org/about", "About"): 1,
+    }
+
+
+def test_anchor_and_trap_plans_are_jvm_only(spark):
+    rows = [("https://h.example.org/cal/1", "h.example.org")]
+    plan = detect_traps(_frontier(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Window" not in plan
+    pages = spark.createDataFrame(
+        [(b"<a href=\"/a\">x</a>", "https://h.example.org/")], "html binary, url string"
+    )
+    aplan = anchor_text_index(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in aplan and "ArrowEvalPython" not in aplan
+    assert "Window" not in aplan
