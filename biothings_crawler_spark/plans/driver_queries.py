@@ -4187,6 +4187,97 @@ LIMIT 10
 """
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl WARC ingestion (sources/warc.warc_pages): raw
+    CRLF-framed WARC records synthesized from documents — response
+    records with an HTTP header block, request records (dropped), and
+    a torn record with no Target-URI (dropped) — parsed to the
+    input_hint page shape entirely in codegen regexes."""
+    from biothings_crawler_spark.sources.warc import warc_pages
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    # doc_id%7==3 -> request record; doc_id%13==6 -> torn (no URI header)
+    wtype = F.when(F.col("doc_id") % 7 == 3, F.lit("request")).otherwise(
+        F.lit("response")
+    )
+    date = F.concat(
+        F.lit("2026-08-"),
+        F.lpad((F.lit(1) + F.col("doc_id") % 28).cast("string"), 2, "0"),
+        F.lit("T"),
+        F.lpad((F.col("doc_id") % 24).cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((F.col("doc_id") * 7 % 60).cast("string"), 2, "0"),
+        F.lit("Z"),
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><body>"),
+        F.col("text"), F.lit("</body></html>"),
+    )
+    uri_line = F.when(
+        F.col("doc_id") % 13 == 6, F.lit("")
+    ).otherwise(F.concat(
+        F.lit("WARC-Target-URI: https://site"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.org/page/"), i, F.lit("\r\n"),
+    ))
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: "), wtype, F.lit("\r\n"),
+        uri_line,
+        F.lit("WARC-Date: "), date, F.lit("\r\n"),
+        F.lit("Content-Length: "), F.length(http).cast("string"), F.lit("\r\n"),
+        F.lit("\r\n"), http,
+    )
+    return warc_pages(d.select(F.encode(record, "utf-8").alias("record")))
+
+
+SQL_WARC_INGEST = r"""
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 7 = 3 THEN 'request' ELSE 'response' END AS wtype,
+         '2026-08-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+           || 'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+           || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+           || ':' || lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0') || 'Z' AS dt,
+         'HTTP/1.1 200 OK' || chr(13) || chr(10) || 'Content-Type: text/html'
+           || chr(13) || chr(10) || chr(13) || chr(10)
+           || '<html><body>' || text || '</body></html>' AS http,
+         CASE WHEN doc_id % 13 = 6 THEN ''
+              ELSE 'WARC-Target-URI: https://site' || CAST(doc_id % 5 AS VARCHAR)
+                   || '.example.org/page/' || CAST(doc_id AS VARCHAR)
+                   || chr(13) || chr(10) END AS uri_line
+  FROM documents),
+rec AS (
+  SELECT 'WARC/1.0' || chr(13) || chr(10) || 'WARC-Type: ' || wtype
+         || chr(13) || chr(10) || uri_line
+         || 'WARC-Date: ' || dt || chr(13) || chr(10)
+         || 'Content-Length: ' || CAST(length(http) AS VARCHAR)
+         || chr(13) || chr(10) || chr(13) || chr(10) || http AS t
+  FROM d),
+p AS (
+  SELECT regexp_extract(t, '(?s)^(.*?)\r\n\r\n', 1) AS hdr,
+         regexp_replace(t, '(?s)^.*?\r\n\r\n', '') AS payload
+  FROM rec),
+x AS (
+  SELECT nullif(regexp_extract(hdr, '(?m)^WARC-Target-URI: ([^\r\n]+)', 1), '') AS url,
+         nullif(regexp_extract(hdr, '(?m)^WARC-Type: ([^\r\n]+)', 1), '') AS warc_type,
+         CAST(epoch_us(strptime(
+           nullif(regexp_extract(hdr, '(?m)^WARC-Date: ([^\r\n]+)', 1), ''),
+           '%Y-%m-%dT%H:%M:%SZ')) AS BIGINT) AS warc_ts_us,
+         CAST(nullif(regexp_extract(hdr, '(?m)^Content-Length: ([0-9]+)', 1), '')
+              AS BIGINT) AS content_length,
+         payload
+  FROM p)
+SELECT url, warc_ts_us, content_length,
+       CASE WHEN regexp_matches(payload, '^HTTP/[0-9.]+ ')
+            THEN regexp_replace(payload, '(?s)^.*?\r\n\r\n', '')
+            ELSE payload END AS html
+FROM x
+WHERE warc_type = 'response' AND url IS NOT NULL
+"""
+
+
 def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text index (operators/extract.anchor_text_index): pages
     with absolute, root-relative, and unresolvable anchors -> the
@@ -4261,6 +4352,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_crawl_traps": q_crawl_traps,
     "q_host_skew": q_host_skew,
     "q_anchor_text": q_anchor_text,
+    "q_warc_ingest": q_warc_ingest,
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_neardup_clusters": q_neardup_clusters,
     "q_tokenizer_model": q_tokenizer_model,
@@ -4357,6 +4449,7 @@ ORACLES: dict[str, str] = {
     "q_crawl_traps": SQL_CRAWL_TRAPS,
     "q_host_skew": SQL_HOST_SKEW,
     "q_anchor_text": SQL_ANCHOR_TEXT,
+    "q_warc_ingest": SQL_WARC_INGEST,
     "q_postings_chunks": SQL_POSTINGS_CHUNKS,
     "q_hll_small": SQL_HLL_SMALL,
     "q_lang_id_model": SQL_LANG_ID,

@@ -1,0 +1,69 @@
+"""WARC record parsing (sources/warc)."""
+
+from datetime import datetime, timezone
+
+from biothings_crawler_spark.sources.warc import parse_warc_records, warc_pages
+
+
+def _rec(
+    *,
+    wtype="response",
+    uri="https://h.example.org/p/1",
+    date="2026-08-17T12:00:05Z",
+    body="<html>x</html>",
+    http=True,
+):
+    payload = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n{body}" if http else body
+    )
+    uri_line = f"WARC-Target-URI: {uri}\r\n" if uri else ""
+    return (
+        f"WARC/1.0\r\nWARC-Type: {wtype}\r\n{uri_line}"
+        f"WARC-Date: {date}\r\nContent-Length: {len(payload)}\r\n\r\n{payload}"
+    ).encode()
+
+
+def _df(spark, records):
+    return spark.createDataFrame([(r,) for r in records], "record binary")
+
+
+def test_parse_fields_and_epoch(spark):
+    out = parse_warc_records(_df(spark, [_rec()])).collect()[0]
+    assert out.url == "https://h.example.org/p/1"
+    assert out.warc_type == "response"
+    expect = int(
+        datetime(2026, 8, 17, 12, 0, 5, tzinfo=timezone.utc).timestamp() * 1_000_000
+    )
+    assert out.warc_ts_us == expect
+    assert out.payload.startswith("HTTP/1.1 200 OK\r\n")
+    assert out.content_length == len(out.payload)
+
+
+def test_torn_record_degrades_to_nulls(spark):
+    out = parse_warc_records(_df(spark, [_rec(uri=None), b"garbage no crlf"])).collect()
+    assert out[0].url is None and out[0].warc_type == "response"
+    torn = out[1]
+    assert torn.url is None and torn.warc_ts_us is None
+    assert torn.payload == "garbage no crlf"  # no header block -> passthrough
+
+
+def test_warc_pages_filters_and_strips_http(spark):
+    recs = [
+        _rec(body="<html>keep</html>"),
+        _rec(wtype="request", body="GET / HTTP/1.1", http=False),
+        _rec(uri=None),
+        _rec(body="raw body no http header", http=False),
+    ]
+    rows = warc_pages(_df(spark, recs)).collect()
+    assert len(rows) == 2
+    by_html = sorted(r.html for r in rows)
+    assert by_html == ["<html>keep</html>", "raw body no http header"]
+
+
+def test_warc_plan_is_jvm_only(spark):
+    plan = (
+        warc_pages(_df(spark, [_rec()]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # narrow projection end-to-end
