@@ -88,6 +88,9 @@ SUITE = [
     "q_range_join",
     "q_hypertable_rollup",
     "q_pagerank",
+    "q_crawl_traps",
+    "q_anchor_text",
+    "q_warc_ingest",
 ]
 
 
