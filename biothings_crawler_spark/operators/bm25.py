@@ -141,3 +141,80 @@ def bm25_topk(
         .agg(F.sum("term_score").cast("long").alias("score"))
     )
     return scored.orderBy(F.desc("score"), "id").limit(k)
+
+
+def merge_postings(
+    base: DataFrame, delta_docs: DataFrame, removed_ids: DataFrame,
+    id_col: str = "id", text_col: str = "text",
+) -> DataFrame:
+    """Incremental index maintenance: fold a refetch round's changed
+    docs and removals into an existing (term, id, tf) index without
+    re-tokenizing the unchanged corpus.
+
+    The continuous-crawl loop (snapshot diff -> refetch queue ->
+    re-extraction, plans/crawl.run_refetch) yields exactly these two
+    inputs: ``delta_docs`` = re-fetched documents (their OLD postings
+    are stale in ``base``), ``removed_ids`` = URLs that disappeared.
+    Semantics: every posting of a delta/removed id is dropped from the
+    base, then the delta docs' fresh postings are unioned in — i.e.
+    per-document replacement, the same contract as the reindex sink's
+    typed upsert (plans/upload.py) but for the search index.
+
+    Scale shape: ONE id-keyed left_anti join against the (small)
+    delta+removed id set — broadcast when it fits, never a shuffle of
+    the full base on a 10^10-posting index with runtime bloom pruning
+    on (spark.sql.optimizer.runtime.bloomFilter, session.py) — plus
+    inverted_postings over only the delta docs. No windows; the
+    output is the same (term, id, tf) shape, so postings_chunks /
+    bm25_topk consume it unchanged.
+    """
+    stale = (
+        delta_docs.select(F.col(id_col).alias("id"))
+        .unionByName(removed_ids.select(F.col(id_col).alias("id")))
+        .distinct()
+    )
+    kept = base.join(F.broadcast(stale), "id", "left_anti")
+    fresh = inverted_postings(delta_docs, id_col, text_col)
+    return kept.unionByName(fresh)
+
+
+def retrieval_metrics(
+    ranked: DataFrame, qrels: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact-integer retrieval evaluation over a ranked run:
+    ``(query_id, n_rel, n_hits_at_k, first_rank, rr_ppm,
+    recall_at_k_ppm)`` per query.
+
+    ``ranked`` = (query_id, id, rank) from bm25_topk / ANN top-k;
+    ``qrels`` = (query_id, id) relevance judgments.  rr_ppm =
+    10^6 div first relevant rank (reciprocal rank; 0 when nothing
+    relevant was retrieved), recall_at_k_ppm = hits in the top-k per
+    10^6 div the query's judged-relevant count — all floor divisions,
+    so MRR/recall aggregates are bit-identical cross-engine.
+
+    Scale shape: judgment sets are small by construction — qrels
+    broadcast into ONE equi-join on (query_id, id), then a
+    query-keyed hash agg; per-query totals ride a second broadcast
+    join.  No windows (first_rank is a MIN, not a row_number).
+    """
+    totals = qrels.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = (
+        ranked.filter(F.col("rank") <= k)
+        .join(F.broadcast(qrels), ["query_id", "id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits_at_k"),
+            F.min("rank").alias("first_rank"),
+        )
+    )
+    return (
+        totals.join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id", "n_rel",
+            F.coalesce(F.col("n_hits_at_k"), F.lit(0)).alias("n_hits_at_k"),
+            "first_rank",
+            F.coalesce(F.expr("1000000 div first_rank"), F.lit(0)).alias("rr_ppm"),
+            F.expr("coalesce(n_hits_at_k, 0) * 1000000 div n_rel")
+            .alias("recall_at_k_ppm"),
+        )
+    )

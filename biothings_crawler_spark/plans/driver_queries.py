@@ -4187,6 +4187,109 @@ LIMIT 10
 """
 
 
+def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (operators/bm25.merge_postings):
+    a refetch round's changed docs (doc_id%11==5, text refreshed) and
+    removals (doc_id%17==3) folded into the base (term, id, tf) index
+    by per-document replacement — one broadcast anti-join + fresh
+    postings over only the delta."""
+    from biothings_crawler_spark.operators.bm25 import (
+        inverted_postings,
+        merge_postings,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    base = inverted_postings(docs, "id", "text")
+    delta = docs.filter(F.col("id") % 11 == 5).select(
+        "id", F.concat(F.col("text"), F.lit(" refreshed crawl refreshed")).alias("text")
+    )
+    removed = docs.filter(F.col("id") % 17 == 3).select("id")
+    return merge_postings(base, delta, removed)
+
+
+_SQL_WORDS_T = _SQL_WORDS.replace("lower(text)", "lower(t.text)")
+
+SQL_INDEX_MERGE = f"""
+WITH base_tf AS (
+  SELECT term, id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id AS id, unnest({_SQL_WORDS}) AS term FROM documents)
+  GROUP BY term, id),
+delta AS (
+  SELECT doc_id AS id, text || ' refreshed crawl refreshed' AS text
+  FROM documents WHERE doc_id % 11 = 5),
+stale AS (
+  SELECT id FROM delta
+  UNION SELECT doc_id AS id FROM documents WHERE doc_id % 17 = 3),
+fresh AS (
+  SELECT term, id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT t.id, unnest({_SQL_WORDS_T}) AS term FROM delta t)
+  GROUP BY term, id)
+SELECT term, id, tf FROM base_tf WHERE id NOT IN (SELECT id FROM stale)
+UNION ALL
+SELECT term, id, tf FROM fresh
+"""
+
+
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer retrieval evaluation (operators/bm25.
+    retrieval_metrics): a deterministic 50-query ranked run vs a
+    3-judgment qrels set with query-varying overlap (some queries hit
+    at rank 1, some never) — per-query reciprocal rank and recall@10
+    in ppm floor divisions."""
+    from biothings_crawler_spark.operators.bm25 import retrieval_metrics
+
+    qs = spark.range(1, 51).select(F.col("id").alias("query_id"))
+    q = F.col("query_id")
+    ranked = qs.select(
+        "query_id", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("r")
+    ).select(
+        "query_id",
+        ((q * 7 + F.col("r") * F.col("r")) % 97).cast("long").alias("id"),
+        F.col("r").cast("long").alias("rank"),
+    )
+    qrels = (
+        qs.select(
+            "query_id",
+            F.explode(F.array(q % 11, (q * q) % 23, (q + 17) % 31)).alias("o"),
+        )
+        .select("query_id", ((q * 7 + F.col("o")) % 97).cast("long").alias("id"))
+        .distinct()
+    )
+    return retrieval_metrics(ranked, qrels, k=10)
+
+
+SQL_RETRIEVAL_METRICS = """
+WITH qs AS (SELECT CAST(range AS BIGINT) AS query_id FROM range(1, 51)),
+ranked AS (
+  SELECT query_id,
+         CAST((query_id * 7 + r * r) % 97 AS BIGINT) AS id,
+         CAST(r AS BIGINT) AS rank
+  FROM qs, (SELECT unnest(generate_series(1, 10)) AS r)),
+qrels AS (
+  SELECT DISTINCT query_id,
+         CAST((query_id * 7 + o) % 97 AS BIGINT) AS id
+  FROM (SELECT query_id,
+               unnest([query_id % 11, (query_id * query_id) % 23,
+                       (query_id + 17) % 31]) AS o
+        FROM qs)),
+t AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM qrels GROUP BY 1),
+h AS (
+  SELECT r.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits_at_k,
+         CAST(MIN(rank) AS BIGINT) AS first_rank
+  FROM ranked r JOIN qrels q ON r.query_id = q.query_id AND r.id = q.id
+  WHERE rank <= 10 GROUP BY 1)
+SELECT t.query_id, n_rel,
+       CAST(COALESCE(n_hits_at_k, 0) AS BIGINT) AS n_hits_at_k,
+       first_rank,
+       CAST(COALESCE(1000000 // first_rank, 0) AS BIGINT) AS rr_ppm,
+       CAST(COALESCE(n_hits_at_k, 0) * 1000000 // n_rel AS BIGINT)
+         AS recall_at_k_ppm
+FROM t LEFT JOIN h ON t.query_id = h.query_id
+"""
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl WARC ingestion (sources/warc.warc_pages): raw
     CRLF-framed WARC records synthesized from documents — response
@@ -4353,6 +4456,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_host_skew": q_host_skew,
     "q_anchor_text": q_anchor_text,
     "q_warc_ingest": q_warc_ingest,
+    "q_index_merge": q_index_merge,
+    "q_retrieval_metrics": q_retrieval_metrics,
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_neardup_clusters": q_neardup_clusters,
     "q_tokenizer_model": q_tokenizer_model,
@@ -4450,6 +4555,8 @@ ORACLES: dict[str, str] = {
     "q_host_skew": SQL_HOST_SKEW,
     "q_anchor_text": SQL_ANCHOR_TEXT,
     "q_warc_ingest": SQL_WARC_INGEST,
+    "q_index_merge": SQL_INDEX_MERGE,
+    "q_retrieval_metrics": SQL_RETRIEVAL_METRICS,
     "q_postings_chunks": SQL_POSTINGS_CHUNKS,
     "q_hll_small": SQL_HLL_SMALL,
     "q_lang_id_model": SQL_LANG_ID,
