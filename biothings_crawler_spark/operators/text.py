@@ -639,3 +639,37 @@ def passage_dedup(
             (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
         )
     )
+
+
+def heavy_bigrams(df, id_col: str, text_col: str, top_k: int = 100):
+    """Corpus-wide heavy-hitter word bigrams: ``(bigram, n)`` — the
+    top-``top_k`` most frequent bigrams with a deterministic
+    (n desc, bigram asc) order.
+
+    The boilerplate/template detector that feeds line-dedup and
+    repetition filtering: headers, cookie banners, and nav chrome
+    surface as bigrams whose corpus frequency is orders of magnitude
+    above the Zipf tail.  Same gram construction as
+    :func:`bigram_coverage` so the two share one contract.
+
+    Scale shape: explode -> ONE bigram-keyed hash agg with map-side
+    partial combine -> TakeOrderedAndProject (never a full sort).  A
+    hot bigram is one reducer key holding a single counter — bounded
+    state by construction.
+    """
+    words = words_col(F.col(text_col))
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                                  F.element_at(words, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(top_k)
+    )

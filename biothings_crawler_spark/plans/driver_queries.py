@@ -4187,6 +4187,74 @@ LIMIT 10
 """
 
 
+def q_heavy_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy-hitter bigrams (operators/text.heavy_bigrams):
+    top-100 most frequent word bigrams, deterministic (n desc, bigram)
+    order — the boilerplate/template detector."""
+    from biothings_crawler_spark.operators.text import heavy_bigrams
+
+    return heavy_bigrams(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                         top_k=100)
+
+
+SQL_HEAVY_BIGRAMS = f"""
+WITH w AS (SELECT {_SQL_WORDS} AS ws FROM documents),
+g AS (
+  SELECT CASE WHEN len(ws) >= 2
+         THEN list_transform(range(1, len(ws)),
+                             i -> ws[i] || ' ' || ws[i + 1])
+         ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM w)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(grams) AS bigram FROM g)
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 100
+"""
+
+
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted crawl-budget allocation (operators/
+    pagerank.allocate_budget): the q_pagerank hub graph's micro-unit
+    ranks rolled up to host mass (node % 23 hosts), budget 100k split
+    by floor-division share."""
+    from biothings_crawler_spark.operators.pagerank import allocate_budget, pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    e = (
+        d.select(F.col("doc_id").alias("src"), F.expr("doc_id div 3").alias("dst"))
+        .union(
+            d.select(F.col("doc_id").alias("src"), F.expr("doc_id div 7").alias("dst"))
+        )
+        .distinct()
+        .filter(F.col("src") != F.col("dst"))
+    )
+    ranks = pagerank(e, iters=PR_ITERS)
+    host = F.concat(
+        F.lit("h"), (F.col("node") % 23).cast("string"), F.lit(".example.org")
+    )
+    return allocate_budget(ranks, host, total_budget=100_000)
+
+
+def _sql_crawl_budget() -> str:
+    pr = _sql_pagerank()
+    return f"""
+WITH pr AS ({pr}),
+hm AS (
+  SELECT 'h' || CAST(node % 23 AS VARCHAR) || '.example.org' AS host,
+         CAST(SUM(rank) AS BIGINT) AS mass
+  FROM pr GROUP BY 1),
+t AS (SELECT CAST(SUM(mass) AS BIGINT) AS total FROM hm)
+SELECT host, mass,
+       CAST(greatest(CAST(mass AS HUGEINT) * 100000 // total, 1) AS BIGINT)
+         AS quota
+FROM hm, t
+"""
+
+
+SQL_CRAWL_BUDGET = _sql_crawl_budget()
+
+
 def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance (operators/bm25.merge_postings):
     a refetch round's changed docs (doc_id%11==5, text refreshed) and
@@ -4458,6 +4526,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_warc_ingest": q_warc_ingest,
     "q_index_merge": q_index_merge,
     "q_retrieval_metrics": q_retrieval_metrics,
+    "q_heavy_bigrams": q_heavy_bigrams,
+    "q_crawl_budget": q_crawl_budget,
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_neardup_clusters": q_neardup_clusters,
     "q_tokenizer_model": q_tokenizer_model,
@@ -4557,6 +4627,8 @@ ORACLES: dict[str, str] = {
     "q_warc_ingest": SQL_WARC_INGEST,
     "q_index_merge": SQL_INDEX_MERGE,
     "q_retrieval_metrics": SQL_RETRIEVAL_METRICS,
+    "q_heavy_bigrams": SQL_HEAVY_BIGRAMS,
+    "q_crawl_budget": SQL_CRAWL_BUDGET,
     "q_postings_chunks": SQL_POSTINGS_CHUNKS,
     "q_hll_small": SQL_HLL_SMALL,
     "q_lang_id_model": SQL_LANG_ID,
