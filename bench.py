@@ -91,6 +91,8 @@ SUITE = [
     "q_crawl_traps",
     "q_anchor_text",
     "q_warc_ingest",
+    "q_link_farm",
+    "q_corpus_datasheet",
 ]
 
 

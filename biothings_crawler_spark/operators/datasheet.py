@@ -1,0 +1,72 @@
+"""Corpus datasheet: the composition report a training-data release
+ships alongside the parquet ("Datasheets for Datasets", Gebru et al.
+2018; the Pile/Dolma papers publish exactly this table).
+
+The reference has no analogue — its corpus is one source at a time and
+a human eyeballs counts in Kibana (reference ``hub/api`` stats
+endpoints).  A 100-TB corpus needs the composition table computed *by
+the engine*: per (lang, source) stratum, how many documents, what
+share of the corpus, how many tokens, how short-doc-heavy.
+
+Shape: one projection (token/char counts are row-local codegen
+expressions — the same ``TOKEN_RE`` proxy as operators/text.py, so the
+datasheet agrees with the pipeline's own token accounting), ONE hash
+aggregation keyed by the stratum, then a 1-row global-totals broadcast
+join (same pattern as traps.host_skew_report / bm25's totals).  No
+windows, no driver collects; the stratum domain is |langs|×|sources|-
+bounded, so the final join is trivially broadcast-able at any corpus
+size.  All derived ratios are exact integer parts-per-million so the
+DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from biothings_crawler_spark.operators.text import token_count_col
+
+
+def corpus_datasheet(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    short_chars: int = 200,
+) -> DataFrame:
+    """Per-(lang, source) composition table: ``(lang, source, n_docs,
+    share_ppm, total_tokens, avg_tokens_ppm, total_chars,
+    short_docs_ppm)``.
+
+    * ``share_ppm``      — stratum's share of all documents, ppm.
+    * ``avg_tokens_ppm`` — mean tokens per document ×10^6 (floor
+      division — exact, so "12.345678 tokens/doc" survives the oracle
+      hash).
+    * ``short_docs_ppm`` — fraction of the stratum under
+      ``short_chars`` characters, ppm: the boilerplate/stub-page
+      warning light.
+    """
+    per_doc = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.col(source_col).alias("source"),
+        token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        (F.length(text_col) < short_chars).cast("long").alias("is_short"),
+    )
+    strata = per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("is_short").alias("n_short"),
+    )
+    totals = strata.agg(F.sum("n_docs").alias("total_docs"))
+    return (
+        strata.join(F.broadcast(totals))
+        .select(
+            "lang", "source", "n_docs",
+            F.expr("n_docs * 1000000 div total_docs").alias("share_ppm"),
+            "total_tokens",
+            F.expr("total_tokens * 1000000 div n_docs").alias("avg_tokens_ppm"),
+            "total_chars",
+            F.expr("n_short * 1000000 div n_docs").alias("short_docs_ppm"),
+        )
+    )

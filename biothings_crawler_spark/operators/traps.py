@@ -25,6 +25,17 @@ needs both as first-class batch operators over the frontier table.
   global-totals broadcast join (same pattern as bm25.py's totals),
   TakeOrderedAndProject for the top-k.  All integer arithmetic
   (ppm shares, ceil-division salt) so the DuckDB oracle is exact.
+
+* :func:`link_farm_report` — reciprocal-link spam: honest sites link
+  *out* to hubs far more than hubs link back, while link farms
+  exchange links pairwise to inflate each other's in-degree (the
+  classic TrustRank-era signal).  Per host, compare distinct outlink
+  partners against partners that link back.  Shape: one distinct on
+  the host-pair (hash agg keyed by pair), one left-semi self-join on
+  the REVERSED pair key (shuffles only (src,dst) string pairs — never
+  page payloads), two per-host hash aggs, one left join.  Nothing
+  all-pairs; survives a 10^10-edge host graph because the host-pair
+  domain is |hosts|-bounded, not |pages|-bounded.
 """
 
 from __future__ import annotations
@@ -118,4 +129,51 @@ def host_skew_report(
         )
         .orderBy(F.col("n_urls").desc(), "host")
         .limit(top_k)
+    )
+
+
+def link_farm_report(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    min_partners: int = 3,
+    min_recip_ppm: int = 500_000,
+) -> DataFrame:
+    """Per-host reciprocal-link report: ``(host, n_partners,
+    n_reciprocal, recip_ppm, is_farm)``.
+
+    ``n_partners`` = distinct hosts this host links out to,
+    ``n_reciprocal`` = how many of those link back, ``recip_ppm`` =
+    reciprocity ratio in parts-per-million (exact integer division).
+    A host is flagged when it has at least ``min_partners`` outlink
+    partners AND at least ``min_recip_ppm`` of them reciprocate —
+    honest hub-and-spoke graphs sit near 0, farms near 1_000_000.
+
+    Self-links are ignored (a host "linking to itself" is navigation,
+    not endorsement).  Input is page-level edges; the first distinct
+    collapses them to the |hosts|²-bounded pair domain before any join.
+    """
+    pairs = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    back = pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = pairs.join(back, ["src", "dst"], "left_semi")
+    partners = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("n_partners"))
+    recips = recip.groupBy("src").agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    ratio = F.expr("n_reciprocal * 1000000 div n_partners")
+    return (
+        partners.join(recips, "src", "left")
+        .select(
+            F.col("src").alias("host"),
+            "n_partners",
+            F.coalesce("n_reciprocal", F.lit(0)).alias("n_reciprocal"),
+        )
+        .select(
+            "host", "n_partners", "n_reciprocal",
+            ratio.alias("recip_ppm"),
+            ((F.col("n_partners") >= F.lit(min_partners))
+             & (ratio >= F.lit(min_recip_ppm))).alias("is_farm"),
+        )
     )

@@ -4510,6 +4510,113 @@ GROUP BY 1, 2
 """
 
 
+def _farm_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic host link graph from ``orders``: four ``farmN`` hosts
+    exchanging links pairwise (lanes 0-5), forty honest ``siteN``
+    hosts all linking the hub (lanes 6-8), and the hub linking back to
+    just seven of them (lane 9).  Farms show full reciprocity over 3
+    partners (flagged); sites 0-6 are fully reciprocal but have a
+    single partner (partner gate blocks them); sites 7-39 sit at 0
+    ppm; the hub's own OUTLINK partners are exactly the seven sites
+    that link back, so it flags too — reciprocity is computed over
+    outlinks, and a hub that only ever links to back-linkers is
+    exactly the exchange pattern the operator exists to surface."""
+    orders = _t(spark, sf_dir, "orders")
+    lane = F.col("o_orderkey") % 10
+    ext = F.lit(".example.org")
+    src = (
+        F.when(lane <= 5, F.concat(
+            F.lit("farm"), (F.col("o_custkey") % 4).cast("string"), ext))
+        .when(lane <= 8, F.concat(
+            F.lit("site"), (F.col("o_custkey") % 40).cast("string"), ext))
+        .otherwise(F.lit("hub.example.org"))
+    )
+    dst = (
+        F.when(lane <= 5, F.concat(
+            F.lit("farm"),
+            ((F.col("o_custkey") + 1 + F.col("o_orderkey") % 3) % 4).cast("string"),
+            ext))
+        .when(lane <= 8, F.lit("hub.example.org"))
+        .otherwise(F.concat(
+            F.lit("site"), (F.col("o_orderkey") % 7).cast("string"), ext))
+    )
+    return orders.select(src.alias("src_host"), dst.alias("dst_host"))
+
+
+def q_link_farm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-link farm detection (operators/traps.link_farm_report):
+    per-host outlink partners vs partners that link back, exact ppm
+    reciprocity, farm flag."""
+    from biothings_crawler_spark.operators.traps import link_farm_report
+
+    return link_farm_report(_farm_edges(spark, sf_dir))
+
+
+SQL_LINK_FARM = """
+WITH e AS (
+  SELECT CASE
+           WHEN o_orderkey % 10 <= 5 THEN
+             'farm' || CAST(o_custkey % 4 AS VARCHAR) || '.example.org'
+           WHEN o_orderkey % 10 <= 8 THEN
+             'site' || CAST(o_custkey % 40 AS VARCHAR) || '.example.org'
+           ELSE 'hub.example.org'
+         END AS src,
+         CASE
+           WHEN o_orderkey % 10 <= 5 THEN
+             'farm' || CAST((o_custkey + 1 + o_orderkey % 3) % 4 AS VARCHAR)
+               || '.example.org'
+           WHEN o_orderkey % 10 <= 8 THEN 'hub.example.org'
+           ELSE 'site' || CAST(o_orderkey % 7 AS VARCHAR) || '.example.org'
+         END AS dst
+  FROM orders),
+p AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+r AS (SELECT a.src, a.dst FROM p a JOIN p b ON a.src = b.dst AND a.dst = b.src),
+pa AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_partners FROM p GROUP BY 1),
+ra AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_reciprocal FROM r GROUP BY 1)
+SELECT pa.src AS host, n_partners,
+       CAST(COALESCE(n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+       CAST(COALESCE(n_reciprocal, 0) * 1000000 // n_partners AS BIGINT)
+         AS recip_ppm,
+       n_partners >= 3
+         AND COALESCE(n_reciprocal, 0) * 1000000 // n_partners >= 500000
+         AS is_farm
+FROM pa LEFT JOIN ra ON pa.src = ra.src
+"""
+
+
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition datasheet (operators/datasheet.corpus_datasheet):
+    per-(lang, source) doc counts, corpus share, token totals, and
+    short-doc fraction — all exact integer ppm."""
+    from biothings_crawler_spark.operators.datasheet import corpus_datasheet
+
+    return corpus_datasheet(_t(spark, sf_dir, "documents"))
+
+
+SQL_CORPUS_DATASHEET = f"""
+WITH per AS (
+  SELECT lang, source,
+         CAST({_SQL_TOKENS} AS BIGINT) AS n_tokens,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         CASE WHEN len(text) < 200 THEN 1 ELSE 0 END AS is_short
+  FROM documents),
+s AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(is_short) AS BIGINT) AS n_short
+  FROM per GROUP BY 1, 2),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM s)
+SELECT lang, source, n_docs,
+       CAST(n_docs * 1000000 // total_docs AS BIGINT) AS share_ppm,
+       total_tokens,
+       CAST(total_tokens * 1000000 // n_docs AS BIGINT) AS avg_tokens_ppm,
+       total_chars,
+       CAST(n_short * 1000000 // n_docs AS BIGINT) AS short_docs_ppm
+FROM s, t
+"""
+
+
 # Registry order: the 24 queries with no driver CORRECTNESS row yet
 # (past the r2 gate's first-50 sample) come first, so the driver's
 # first-50 sample covers them; the 50 long-stable queries (green in
@@ -4520,6 +4627,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green driver row is seated here, ahead of the stable tail.  Round 4:
     # q_ann_ivf_topk (persisted-DPP index, rewritten r3) and q_neardup_clusters
     # (batched-convergence CC, rewritten r3) rotate in, plus every new r4 query.
+    "q_link_farm": q_link_farm,
+    "q_corpus_datasheet": q_corpus_datasheet,
     "q_crawl_traps": q_crawl_traps,
     "q_host_skew": q_host_skew,
     "q_anchor_text": q_anchor_text,
@@ -4622,6 +4731,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "q_crawl_traps": SQL_CRAWL_TRAPS,
+    "q_link_farm": SQL_LINK_FARM,
+    "q_corpus_datasheet": SQL_CORPUS_DATASHEET,
     "q_host_skew": SQL_HOST_SKEW,
     "q_anchor_text": SQL_ANCHOR_TEXT,
     "q_warc_ingest": SQL_WARC_INGEST,

@@ -1422,3 +1422,44 @@ def test_semantic_dedup_no_casualties(spark):
     assert out[20000] == (0, 333333) and out[10000] == (0, 333333)
     assert out[10010] == (10, 500000) and out[10] == (10, 500000)
     assert out[1] == (1, 1000000)
+
+
+# --- corpus datasheet (operators/datasheet.corpus_datasheet) -----------------
+
+
+def test_corpus_datasheet_hand_case(spark):
+    from biothings_crawler_spark.operators.datasheet import corpus_datasheet
+
+    docs = spark.createDataFrame(
+        [
+            ("en", "web", "one two three"),          # 3 tokens, 13 chars, short
+            ("en", "web", "x " * 150),               # 150 tokens, 300 chars
+            ("en", "books", "a b"),                  # 2 tokens, short
+            ("de", "web", "ein zwei"),               # 2 tokens, short
+        ],
+        "lang string, source string, text string",
+    )
+    out = {
+        (r.lang, r.source): r
+        for r in corpus_datasheet(docs, short_chars=200).collect()
+    }
+    ew = out[("en", "web")]
+    assert ew.n_docs == 2 and ew.share_ppm == 500_000
+    assert ew.total_tokens == 153
+    assert ew.avg_tokens_ppm == 153 * 1_000_000 // 2
+    assert ew.total_chars == 313 and ew.short_docs_ppm == 500_000
+    assert out[("en", "books")].short_docs_ppm == 1_000_000
+    assert out[("de", "web")].share_ppm == 250_000
+
+
+def test_corpus_datasheet_plan_is_single_agg_plus_broadcast(spark):
+    from biothings_crawler_spark.operators.datasheet import corpus_datasheet
+
+    docs = spark.createDataFrame(
+        [("en", "web", "hello")], "lang string, source string, text string"
+    )
+    plan = (
+        corpus_datasheet(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

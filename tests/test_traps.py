@@ -217,3 +217,61 @@ def test_allocate_budget_exact_and_clamped(spark):
     assert out["h1"].mass == 9 * 10**12  # nodes 1 and 24 share host h1
     assert out["h1"].quota == 9 * 10**12 * 1000 // total
     assert out["h2"].quota == 1  # floor share 0 -> clamped to min_quota
+
+
+# --- reciprocal-link farm detection (operators/traps.link_farm_report) -------
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src_host string, dst_host string")
+
+
+def test_link_farm_hand_case(spark):
+    from biothings_crawler_spark.operators.traps import link_farm_report
+
+    rows = (
+        # 3-clique of farms: every ordered pair, duplicated page-level edges
+        [(f"f{a}", f"f{b}") for a in range(3) for b in range(3) if a != b] * 4
+        # honest spokes -> hub; hub links back to s0 only
+        + [(f"s{i}", "hub") for i in range(5)]
+        + [("hub", "s0")]
+        # self-link must be ignored
+        + [("hub", "hub")]
+    )
+    out = {r.host: r for r in link_farm_report(_edges(spark, rows)).collect()}
+    for f in ("f0", "f1", "f2"):
+        assert out[f].n_partners == 2 and out[f].n_reciprocal == 2
+        assert out[f].recip_ppm == 1_000_000
+        # 2 partners < min_partners=3 with defaults -> gate blocks tiny cliques
+        assert not out[f].is_farm
+    big = link_farm_report(_edges(spark, rows), min_partners=2).collect()
+    flags = {r.host: r.is_farm for r in big}
+    assert flags["f0"] and flags["f1"] and flags["f2"]
+    # spokes: single partner, reciprocated only for s0
+    assert out["s0"].n_partners == 1 and out["s0"].n_reciprocal == 1
+    assert out["s1"].n_reciprocal == 0 and out["s1"].recip_ppm == 0
+    assert not out["s0"].is_farm  # 1 partner < 3
+    # hub: 1 outlink partner (s0; self-link dropped), reciprocated
+    assert out["hub"].n_partners == 1 and out["hub"].n_reciprocal == 1
+    assert not out["hub"].is_farm
+
+
+def test_link_farm_counts_hosts_not_pages(spark):
+    from biothings_crawler_spark.operators.traps import link_farm_report
+
+    # 500 page-level edges between the same two hosts collapse to one pair
+    rows = [("a", "b")] * 500 + [("b", "a")] * 500
+    out = {r.host: r for r in link_farm_report(_edges(spark, rows)).collect()}
+    assert out["a"].n_partners == 1 and out["a"].n_reciprocal == 1
+    assert out["b"].recip_ppm == 1_000_000
+
+
+def test_link_farm_plan_is_jvm_only(spark):
+    from biothings_crawler_spark.operators.traps import link_farm_report
+
+    plan = (
+        link_farm_report(_edges(spark, [("a", "b")]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "Window" not in plan
+    assert "LeftSemi" in plan
