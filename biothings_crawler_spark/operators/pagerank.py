@@ -112,3 +112,71 @@ def allocate_budget(
         "host", "mass",
         F.greatest(share, F.lit(int(min_quota))).cast("long").alias("quota"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 4,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Integer-arithmetic HITS (Kleinberg 1999): ``(node, auth, hub)``
+    micro-unit scores after ``iters`` synchronous rounds — the
+    hub/authority complement to :func:`pagerank` for crawl-frontier
+    prioritization (a good *hub* page is worth fetching because its
+    outlinks are authorities, even when the hub itself has no inlinks).
+
+    Each round: auth_raw(v) = Σ_{u→v} hub(u), then L1-normalize to
+    ``x * scale div Σraw`` (HUGEINT/DECIMAL(38,0) product — raw×scale
+    overflows a BIGINT); hubs likewise from the fresh auths.  Floor
+    division in place of the classic L2 norm keeps every value an
+    exact integer, so sums commute across partitions and the DuckDB
+    oracle matches bit for bit (same rationale as the module
+    docstring).  Requires at least one edge (an empty graph would
+    divide by a zero total).
+
+    Scale shape: per round, two edges⋈scores hash joins + two keyed
+    partial aggs + two 1-row totals broadcast joins; lineage truncated
+    with ``localCheckpoint`` per round like :func:`pagerank`.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _normalize(raw: DataFrame, key: str, out: str) -> DataFrame:
+        # raw is consumed twice (totals + the outer join) — checkpoint
+        # it so the edges⋈scores join runs once, not once per consumer
+        raw = raw.localCheckpoint(eager=True)
+        tot = raw.agg(F.sum("raw").cast("long").alias("total"))
+        return (
+            nodes.join(raw, nodes.node == raw[key], "left")
+            .join(F.broadcast(tot))
+            .select(
+                "node",
+                F.coalesce(
+                    F.expr(f"CAST(raw AS DECIMAL(38,0)) * {scale} div total"),
+                    F.lit(0),
+                ).cast("long").alias(out),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    hubs = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
+    auths = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hubs, e.src == hubs.node)
+            .groupBy("dst").agg(F.sum("hub").alias("raw"))
+        )
+        auths = _normalize(a_raw, "dst", "auth")
+        h_raw = (
+            e.join(auths, e.dst == auths.node)
+            .groupBy("src").agg(F.sum("auth").alias("raw"))
+        )
+        hubs = _normalize(h_raw, "src", "hub")
+    return auths.join(hubs, "node")

@@ -673,3 +673,58 @@ def heavy_bigrams(df, id_col: str, text_col: str, top_k: int = 100):
         .orderBy(F.col("n").desc(), "bigram")
         .limit(top_k)
     )
+
+
+def c4_quality_filter(
+    df,
+    id_col: str,
+    text_col: str,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    line_sep: str = "\n",
+):
+    """C4-style page cleaning (Raffel et al. 2020, arXiv:1910.10683
+    §2.2 — the reference pipeline has no quality filtering at all;
+    its corpus is curated API metadata, reference
+    ``crawler/spiders/*`` fetch structured records): keep only lines
+    that end in a terminal punctuation mark, have at least
+    ``min_words_per_line`` words, and don't mention "javascript";
+    flag whole pages that contain "lorem ipsum" or a ``{`` (code/
+    template leakage), or end up with fewer than ``min_sentences``
+    sentences after line filtering.
+
+    Returns ``(id, clean_text, n_lines_kept, n_sentences, keep)``.
+    ``n_sentences`` counts terminal marks in the KEPT text (C4's
+    sentence proxy).  ``keep`` folds the three page-level gates.
+
+    Scale shape: every step is a row-local array/regex expression —
+    split, higher-order filter, array_join, regexp count — ZERO
+    exchanges, fully inside whole-stage codegen.  All regexes are
+    Java==RE2-safe so the DuckDB oracle runs the identical pipeline.
+    """
+    def line_ok(l):
+        t = F.trim(l)
+        words = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+        return (
+            (F.size(words) >= F.lit(min_words_per_line))
+            & t.rlike('[.!?"]$')
+            & ~F.lower(t).contains("javascript")
+        )
+
+    kept = F.filter(F.split(F.col(text_col), line_sep), line_ok)
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(kept, line_sep).alias("clean_text"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        F.lower(F.col(text_col)).contains("lorem ipsum").alias("_lorem"),
+        F.col(text_col).contains("{").alias("_brace"),
+    )
+    n_sent = F.size(
+        F.regexp_extract_all(F.col("clean_text"), F.lit(r"([.!?])"), 1)
+    ).cast("long")
+    return out.select(
+        "id", "clean_text", "n_lines_kept",
+        n_sent.alias("n_sentences"),
+        (~F.col("_lorem") & ~F.col("_brace")
+         & (n_sent >= F.lit(min_sentences))).alias("keep"),
+    )

@@ -177,3 +177,35 @@ def link_farm_report(
              & (ratio >= F.lit(min_recip_ppm))).alias("is_farm"),
         )
     )
+
+
+def domain_scorecard(traps: DataFrame, farms: DataFrame) -> DataFrame:
+    """Fold the per-host trap report (:func:`detect_traps`) and
+    reciprocity report (:func:`link_farm_report`) into one crawl-policy
+    scorecard: ``(host, n_urls, urls_per_pattern_ppm, is_trap,
+    n_partners, recip_ppm, is_farm, verdict)`` with a row-local
+    precedence verdict ``trap > farm > ok`` — the table a crawl
+    scheduler consults before admitting a host's URLs to the frontier.
+
+    Scale shape: both inputs are already host-keyed aggregates
+    (|hosts|-bounded), so the full-outer join shuffles two small
+    host-keyed tables and everything after is a row-local projection.
+    """
+    t = traps.select("host", "n_urls", "urls_per_pattern_ppm", "is_trap")
+    f = farms.select("host", "n_partners", "recip_ppm", "is_farm")
+    j = t.join(f, "host", "full_outer")
+    verdict = (
+        F.when(F.coalesce(F.col("is_trap"), F.lit(False)), F.lit("trap"))
+        .when(F.coalesce(F.col("is_farm"), F.lit(False)), F.lit("farm"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        "host",
+        F.coalesce("n_urls", F.lit(0)).alias("n_urls"),
+        F.coalesce("urls_per_pattern_ppm", F.lit(0)).alias("urls_per_pattern_ppm"),
+        F.coalesce("is_trap", F.lit(False)).alias("is_trap"),
+        F.coalesce("n_partners", F.lit(0)).alias("n_partners"),
+        F.coalesce("recip_ppm", F.lit(0)).alias("recip_ppm"),
+        F.coalesce("is_farm", F.lit(False)).alias("is_farm"),
+        verdict.alias("verdict"),
+    )

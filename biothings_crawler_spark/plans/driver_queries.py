@@ -4617,6 +4617,228 @@ FROM s, t
 """
 
 
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style page cleaning (operators/text.c4_quality_filter) over
+    synthetic multi-line pages: ``doc_id % 9`` copies of a terminal-
+    punctuated sentence (so the >=5-sentence gate splits the corpus),
+    plus planted casualties — a 2-word line, a "javascript" line, a
+    "lorem ipsum" page flag (doc_id % 13), a ``{`` page flag
+    (doc_id % 17), and a line with no terminal punctuation."""
+    from biothings_crawler_spark.operators.text import c4_quality_filter
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.concat(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 6), " "),
+            F.lit("."),
+        ).alias("sent"),
+        (F.col("doc_id") % 9).cast("int").alias("rep"),
+    )
+    text = F.concat(
+        F.expr("repeat(sent || chr(10), rep)"),
+        F.lit("tiny line\n"),
+        F.lit("Enable javascript to view this page.\n"),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit("lorem ipsum dolor sit amet.\n")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0,
+               F.lit('{ "config": 1 }\n')).otherwise(F.lit("")),
+        F.lit("no terminal punct here at all"),
+    )
+    pages = base.select("doc_id", text.alias("text"))
+    return c4_quality_filter(pages, "doc_id", "text")
+
+
+SQL_C4_FILTER = r"""
+WITH base AS (
+  SELECT doc_id,
+         array_to_string((string_split(text, ' '))[1:6], ' ') || '.' AS sent,
+         CAST(doc_id % 9 AS INTEGER) AS rep
+  FROM documents),
+pages AS (
+  SELECT doc_id,
+         repeat(sent || chr(10), rep)
+         || 'tiny line' || chr(10)
+         || 'Enable javascript to view this page.' || chr(10)
+         || CASE WHEN doc_id % 13 = 0
+                 THEN 'lorem ipsum dolor sit amet.' || chr(10) ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN '{ "config": 1 }' || chr(10) ELSE '' END
+         || 'no terminal punct here at all' AS text
+  FROM base),
+f AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)),
+                     l -> len(list_filter(string_split_regex(trim(l), '\s+'),
+                                          w -> len(w) > 0)) >= 3
+                          AND regexp_matches(trim(l), '[.!?"]$')
+                          AND NOT contains(lower(trim(l)), 'javascript'))
+           AS kept,
+         contains(lower(text), 'lorem ipsum') AS lorem,
+         contains(text, '{') AS brace
+  FROM pages),
+x AS (
+  -- array_to_string([]) is NULL in DuckDB where Spark's array_join
+  --([]) is '' — coalesce to match.
+  SELECT doc_id AS id,
+         coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+         CAST(len(kept) AS BIGINT) AS n_lines_kept,
+         CAST(len(regexp_extract_all(
+                    coalesce(array_to_string(kept, chr(10)), ''),
+                    '([.!?])', 1)) AS BIGINT) AS n_sentences,
+         lorem, brace
+  FROM f)
+SELECT id, clean_text, n_lines_kept, n_sentences,
+       NOT lorem AND NOT brace AND n_sentences >= 5 AS keep
+FROM x
+"""
+
+
+def q_domain_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-policy scorecard (operators/traps.domain_scorecard):
+    the trap report over the _trap_frontier fixture full-outer-joined
+    with the farm report over the _farm_edges fixture — hosts seen by
+    only one signal get zero-filled columns, verdict precedence
+    trap > farm > ok."""
+    from biothings_crawler_spark.operators.traps import (
+        detect_traps,
+        domain_scorecard,
+        link_farm_report,
+    )
+
+    return domain_scorecard(
+        detect_traps(_trap_frontier(spark, sf_dir)),
+        link_farm_report(_farm_edges(spark, sf_dir)),
+    )
+
+
+SQL_DOMAIN_SCORECARD = f"""
+WITH {_SQL_TRAP_FRONTIER},
+tp AS (
+  SELECT host, url,
+         regexp_replace(regexp_replace(url, '[?#].*$', ''),
+                        '[0-9]+', '{{N}}', 'g') AS pattern
+  FROM f),
+ta AS (
+  SELECT host,
+         CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+         CAST(COUNT(DISTINCT pattern) AS BIGINT) AS n_patterns
+  FROM tp GROUP BY host),
+trap AS (
+  SELECT host, n_urls,
+         CAST(n_urls * 1000000 // n_patterns AS BIGINT) AS urls_per_pattern_ppm,
+         n_urls >= 100 AND n_urls * 1000000 // n_patterns >= 50000000 AS is_trap
+  FROM ta),
+e AS (
+  SELECT CASE
+           WHEN o_orderkey % 10 <= 5 THEN
+             'farm' || CAST(o_custkey % 4 AS VARCHAR) || '.example.org'
+           WHEN o_orderkey % 10 <= 8 THEN
+             'site' || CAST(o_custkey % 40 AS VARCHAR) || '.example.org'
+           ELSE 'hub.example.org'
+         END AS src,
+         CASE
+           WHEN o_orderkey % 10 <= 5 THEN
+             'farm' || CAST((o_custkey + 1 + o_orderkey % 3) % 4 AS VARCHAR)
+               || '.example.org'
+           WHEN o_orderkey % 10 <= 8 THEN 'hub.example.org'
+           ELSE 'site' || CAST(o_orderkey % 7 AS VARCHAR) || '.example.org'
+         END AS dst
+  FROM orders),
+fp AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+fr AS (SELECT a.src, a.dst FROM fp a JOIN fp b ON a.src = b.dst AND a.dst = b.src),
+fpa AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_partners FROM fp GROUP BY 1),
+fra AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_reciprocal FROM fr GROUP BY 1),
+farm AS (
+  SELECT fpa.src AS host, n_partners,
+         CAST(COALESCE(n_reciprocal, 0) * 1000000 // n_partners AS BIGINT)
+           AS recip_ppm,
+         n_partners >= 3
+           AND COALESCE(n_reciprocal, 0) * 1000000 // n_partners >= 500000
+           AS is_farm
+  FROM fpa LEFT JOIN fra ON fpa.src = fra.src)
+SELECT COALESCE(trap.host, farm.host) AS host,
+       CAST(COALESCE(n_urls, 0) AS BIGINT) AS n_urls,
+       CAST(COALESCE(urls_per_pattern_ppm, 0) AS BIGINT) AS urls_per_pattern_ppm,
+       COALESCE(is_trap, false) AS is_trap,
+       CAST(COALESCE(n_partners, 0) AS BIGINT) AS n_partners,
+       CAST(COALESCE(recip_ppm, 0) AS BIGINT) AS recip_ppm,
+       COALESCE(is_farm, false) AS is_farm,
+       CASE WHEN COALESCE(is_trap, false) THEN 'trap'
+            WHEN COALESCE(is_farm, false) THEN 'farm'
+            ELSE 'ok' END AS verdict
+FROM trap FULL OUTER JOIN farm ON trap.host = farm.host
+"""
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer HITS hub/authority scores (operators/pagerank.hits) over
+    the same doc_id div 3 / div 7 hub graph as q_pagerank."""
+    from biothings_crawler_spark.operators.pagerank import hits
+
+    d = _t(spark, sf_dir, "documents")
+    e = (
+        d.select(F.col("doc_id").alias("src"), F.expr("doc_id div 3").alias("dst"))
+        .union(
+            d.select(F.col("doc_id").alias("src"), F.expr("doc_id div 7").alias("dst"))
+        )
+        .distinct()
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return hits(e, iters=PR_ITERS)
+
+
+def _sql_hits() -> str:
+    from biothings_crawler_spark.operators.pagerank import PR_SCALE
+
+    s = PR_SCALE
+    # Every unrolled level references the previous one TWICE (the keyed
+    # join + the 1-row total) — DuckDB inlines plain CTEs, which makes
+    # re-evaluation exponential in the iteration count (measured: 97 s
+    # plain vs 0.12 s materialized at sf0.01).  MATERIALIZED is the
+    # oracle-side analog of the Spark operator's localCheckpoint.
+    ctes = [
+        """
+e AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT doc_id AS src, doc_id // 3 AS dst FROM documents
+    UNION
+    SELECT doc_id AS src, doc_id // 7 AS dst FROM documents)
+  WHERE src <> dst),
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""",
+        f"h0 AS MATERIALIZED (SELECT node, CAST({s} AS BIGINT) AS hub FROM nodes)",
+    ]
+    for i in range(PR_ITERS):
+        ctes.append(f"""
+ar{i + 1} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(h.hub) AS raw
+  FROM e JOIN h{i} h ON h.node = e.src GROUP BY e.dst),
+a{i + 1} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(coalesce(CAST(r.raw AS HUGEINT) * {s} // t.total, 0) AS BIGINT)
+           AS auth
+  FROM nodes n
+  LEFT JOIN ar{i + 1} r USING (node)
+  CROSS JOIN (SELECT CAST(SUM(raw) AS BIGINT) AS total FROM ar{i + 1}) t),
+hr{i + 1} AS MATERIALIZED (
+  SELECT e.src AS node, SUM(a.auth) AS raw
+  FROM e JOIN a{i + 1} a ON a.node = e.dst GROUP BY e.src),
+h{i + 1} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(coalesce(CAST(r.raw AS HUGEINT) * {s} // t.total, 0) AS BIGINT)
+           AS hub
+  FROM nodes n
+  LEFT JOIN hr{i + 1} r USING (node)
+  CROSS JOIN (SELECT CAST(SUM(raw) AS BIGINT) AS total FROM hr{i + 1}) t)""")
+    return ("WITH " + ",".join(ctes)
+            + f"\nSELECT node, auth, hub FROM a{PR_ITERS} "
+              f"JOIN h{PR_ITERS} USING (node)")
+
+
+SQL_HITS = _sql_hits()
+
+
 # Registry order: the 24 queries with no driver CORRECTNESS row yet
 # (past the r2 gate's first-50 sample) come first, so the driver's
 # first-50 sample covers them; the 50 long-stable queries (green in
@@ -4627,6 +4849,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green driver row is seated here, ahead of the stable tail.  Round 4:
     # q_ann_ivf_topk (persisted-DPP index, rewritten r3) and q_neardup_clusters
     # (batched-convergence CC, rewritten r3) rotate in, plus every new r4 query.
+    "q_c4_filter": q_c4_filter,
+    "q_hits": q_hits,
+    "q_domain_scorecard": q_domain_scorecard,
     "q_link_farm": q_link_farm,
     "q_corpus_datasheet": q_corpus_datasheet,
     "q_crawl_traps": q_crawl_traps,
@@ -4731,6 +4956,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "q_crawl_traps": SQL_CRAWL_TRAPS,
+    "q_c4_filter": SQL_C4_FILTER,
+    "q_hits": SQL_HITS,
+    "q_domain_scorecard": SQL_DOMAIN_SCORECARD,
     "q_link_farm": SQL_LINK_FARM,
     "q_corpus_datasheet": SQL_CORPUS_DATASHEET,
     "q_host_skew": SQL_HOST_SKEW,

@@ -1040,6 +1040,33 @@ def test_pagerank_deterministic_under_partitioning(spark):
     assert a == b
 
 
+def test_hits_hand_computed(spark):
+    from biothings_crawler_spark.operators.pagerank import hits
+
+    e = spark.createDataFrame([(1, 0), (2, 0), (2, 1)], "src long, dst long")
+    # s=1e12; hub0=s everywhere.
+    # auth_raw: v0 <- hub(1)+hub(2)=2s, v1 <- hub(2)=s; total 3s
+    #   auth = (2s*s//3s, s*s//3s, 0) = (666666666666, 333333333333, 0)
+    # hub_raw: u1 <- auth(0), u2 <- auth(0)+auth(1)=999999999999;
+    #   total 1666666666665 = 5*333333333333 -> exact 2/5 and 3/5 splits
+    out = {r["node"]: (r["auth"], r["hub"]) for r in hits(e, iters=1).collect()}
+    assert out[0] == (666_666_666_666, 0)
+    assert out[1] == (333_333_333_333, 400_000_000_000)
+    assert out[2] == (0, 600_000_000_000)
+
+
+def test_hits_deterministic_under_partitioning(spark):
+    from biothings_crawler_spark.operators.pagerank import hits
+
+    e = spark.range(200).selectExpr("id AS src", "id div 3 AS dst").filter("src <> dst")
+    a = {r["node"]: (r["auth"], r["hub"]) for r in hits(e, iters=2).collect()}
+    b = {
+        r["node"]: (r["auth"], r["hub"])
+        for r in hits(e.repartition(13), iters=2).collect()
+    }
+    assert a == b
+
+
 def test_dedup_weights_sum_to_cluster_unit(spark):
     from biothings_crawler_spark.operators.dedup import connected_components
 
@@ -1463,3 +1490,53 @@ def test_corpus_datasheet_plan_is_single_agg_plus_broadcast(spark):
     )
     assert "BatchEvalPython" not in plan and "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# --- C4 quality filter (operators/text.c4_quality_filter) --------------------
+
+
+def test_c4_filter_hand_case(spark):
+    from biothings_crawler_spark.operators.text import c4_quality_filter
+
+    good = "This sentence is long enough to keep."
+    docs = spark.createDataFrame(
+        [
+            # 5 good sentences -> kept page
+            (1, "\n".join([good] * 5)),
+            # only 4 sentences -> page dropped by the sentence gate
+            (2, "\n".join([good] * 4)),
+            # casualties: short line, no-punct line, javascript line
+            (3, "\n".join([good] * 5 + [
+                "too short.",
+                "this line has no terminal punctuation",
+                "Please enable JavaScript to continue.",
+            ])),
+            # page-level flags beat a clean body
+            (4, "\n".join([good] * 5 + ["lorem ipsum dolor sit amet."])),
+            (5, "\n".join([good] * 5 + ["if (x) { return; }"])),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in c4_quality_filter(docs, "id", "text").collect()}
+    assert out[1].keep and out[1].n_lines_kept == 5 and out[1].n_sentences == 5
+    assert not out[2].keep and out[2].n_sentences == 4
+    r3 = out[3]
+    assert r3.keep and r3.n_lines_kept == 5  # all three casualties dropped
+    assert "javascript" not in r3.clean_text.lower()
+    # lorem line SURVIVES the line filter (5 words, '.') but flags the page
+    assert not out[4].keep and "lorem ipsum" in out[4].clean_text
+    # the '{' line is dropped by the punct rule, yet the page still flags
+    assert not out[5].keep and out[5].n_lines_kept == 5
+
+
+def test_c4_filter_empty_doc_and_plan(spark):
+    from biothings_crawler_spark.operators.text import c4_quality_filter
+
+    docs = spark.createDataFrame([(1, "no lines kept here")], "id long, text string")
+    r = c4_quality_filter(docs, "id", "text").collect()[0]
+    assert r.clean_text == "" and r.n_lines_kept == 0 and not r.keep
+    plan = (
+        c4_quality_filter(docs, "id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -275,3 +275,23 @@ def test_link_farm_plan_is_jvm_only(spark):
     )
     assert "BatchEvalPython" not in plan and "Window" not in plan
     assert "LeftSemi" in plan
+
+
+def test_domain_scorecard_precedence_and_zero_fill(spark):
+    from biothings_crawler_spark.operators.traps import domain_scorecard
+
+    traps = spark.createDataFrame(
+        [("a", 200, 200_000_000, True), ("b", 50, 1_000_000, False)],
+        "host string, n_urls long, urls_per_pattern_ppm long, is_trap boolean",
+    )
+    farms = spark.createDataFrame(
+        [("a", 5, 1_000_000, True), ("c", 4, 750_000, True)],
+        "host string, n_partners long, recip_ppm long, is_farm boolean",
+    )
+    out = {r.host: r for r in domain_scorecard(traps, farms).collect()}
+    assert out["a"].verdict == "trap"          # trap beats farm
+    assert out["b"].verdict == "ok"
+    assert out["c"].verdict == "farm"
+    # one-sided hosts get zero-filled columns, never nulls
+    assert out["c"].n_urls == 0 and not out["c"].is_trap
+    assert out["b"].n_partners == 0 and out["b"].recip_ppm == 0
