@@ -4839,6 +4839,160 @@ h{i + 1} AS MATERIALIZED (
 SQL_HITS = _sql_hits()
 
 
+_ROBOTS_BODY = """'# robots for this host' || chr(10) ||
+'User-agent: *' || chr(10) ||
+'Disallow: /private/' || chr(10) ||
+'Allow: /private/pub   # inline comment' || chr(10) ||
+CASE WHEN doc_id % 4 = 0 THEN 'Crawl-delay: ' || CAST(doc_id % 9 AS {S})
+     ELSE 'Crawl-delay: soon' END || chr(10) ||
+chr(10) ||
+CASE WHEN doc_id % 3 = 0 THEN
+  'User-agent: otherbot' || chr(10) || 'User-agent: SparkBot' || chr(10) ||
+  'Allow: /shared/' || chr(10) || 'Disallow: /tmp/' || chr(10) ||
+  'Crawl-delay: ' || CAST(1 + doc_id % 7 AS {S}) || chr(10) || chr(10)
+ELSE '' END ||
+CASE WHEN doc_id % 5 = 0 THEN
+  'User-agent: sparkbot' || chr(10) || 'Disallow: /deep/' || chr(10)
+ELSE '' END ||
+CASE WHEN doc_id % 7 = 0 THEN
+  'Sitemap: https://h' || CAST(doc_id AS {S}) || '.example.org/sitemap.xml'
+  || chr(10)
+ELSE '' END ||
+'Disallow:' || chr(10) || 'no colon junk' || chr(10) || 'Unknown: x'"""
+
+_ROBOTS_HOST = "'h' || CAST(doc_id AS {S}) || '.example.org'"
+
+_ROBOTS_PATHS = ["/private/secret", "/private/pub/data", "/tmp/x",
+                 "/ok/page", "/deep/page", "/shared/thing"]
+
+
+def _robots_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synthetic robots.txt body per documents row: a ``*`` group
+    with an allow/disallow pair and a sometimes-numeric crawl-delay,
+    a doc_id%3 multi-agent group naming SparkBot (mixed case), a
+    doc_id%5 single-agent sparkbot group, a doc_id%7 global Sitemap
+    line, plus planted junk (inline comment, empty Disallow, no-colon
+    line, unknown key)."""
+    return _t(spark, sf_dir, "documents").selectExpr(
+        _ROBOTS_HOST.format(S="STRING") + " AS host",
+        _ROBOTS_BODY.format(S="STRING") + " AS body",
+    )
+
+
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing (operators/robots.parse_robots_txt) for agent
+    'sparkbot': RFC 9309 group selection (specific groups beat and
+    exclude ``*``), consecutive-User-agent grouping, last-wins integer
+    crawl-delay, global Sitemap collection.  Arrays projected to
+    '|'-joined strings for the value-hash compare."""
+    from biothings_crawler_spark.operators.robots import parse_robots_txt
+
+    parsed = parse_robots_txt(_robots_pages(spark, sf_dir), agent="sparkbot")
+    return parsed.select(
+        "host",
+        F.array_join("allow", "|").alias("allow_rules"),
+        F.array_join("disallow", "|").alias("disallow_rules"),
+        "crawl_delay",
+        F.array_join("sitemap_urls", "|").alias("sitemaps"),
+    )
+
+
+# DuckDB re-derives the same parse relationally: explode lines with
+# position, detect group starts with lag(is_ua), prefix-sum a group id,
+# aggregate each group's agent set, then collect rules from the
+# applicable group class (specific if any group names the agent, else *).
+_SQL_ROBOTS_CTES = f"""pages AS (
+  SELECT {_ROBOTS_HOST.format(S="VARCHAR")} AS host,
+         {_ROBOTS_BODY.format(S="VARCHAR")} AS body
+  FROM documents),
+rlines AS (
+  SELECT host,
+         generate_subscripts(string_split(body, chr(10)), 1) AS pos,
+         unnest(string_split(body, chr(10))) AS raw
+  FROM pages),
+rkv AS (
+  SELECT host, pos, c, instr(c, ':') > 0 AS has,
+         CASE WHEN instr(c, ':') > 0
+              THEN lower(trim(substr(c, 1, instr(c, ':') - 1))) ELSE '' END AS k,
+         CASE WHEN instr(c, ':') > 0
+              THEN trim(substr(c, instr(c, ':') + 1)) ELSE '' END AS v
+  FROM (SELECT host, pos, trim(regexp_replace(raw, '#.*', '')) AS c FROM rlines)),
+rua AS (
+  SELECT *, has AND k = 'user-agent' AND v <> '' AS is_ua FROM rkv),
+rg AS (
+  SELECT *, CASE WHEN is_ua AND NOT coalesce(
+              lag(is_ua) OVER (PARTITION BY host ORDER BY pos), false)
+            THEN 1 ELSE 0 END AS gstart
+  FROM rua),
+rgg AS (
+  SELECT *, SUM(gstart) OVER (PARTITION BY host ORDER BY pos) AS gid FROM rg),
+ragents AS (
+  SELECT host, gid, list(lower(v)) AS ag FROM rgg WHERE is_ua
+  GROUP BY host, gid),
+rr AS (
+  SELECT rgg.*, coalesce(list_contains(ag, 'sparkbot'), false) AS is_sp,
+         coalesce(list_contains(ag, '*'), false) AS is_st
+  FROM rgg LEFT JOIN ragents USING (host, gid)),
+rseen AS (SELECT host, bool_or(is_sp) AS seen FROM rr GROUP BY host),
+rrules AS (
+  SELECT rr.*, CASE WHEN rseen.seen THEN is_sp ELSE is_st END AS app
+  FROM rr JOIN rseen USING (host)),
+rp AS (
+  SELECT host,
+    coalesce(list(v ORDER BY pos)
+      FILTER (WHERE has AND k = 'allow' AND v <> '' AND app), []) AS al,
+    coalesce(list(v ORDER BY pos)
+      FILTER (WHERE has AND k = 'disallow' AND v <> '' AND app), []) AS dl,
+    arg_max(try_cast(v AS BIGINT), pos)
+      FILTER (WHERE has AND k = 'crawl-delay'
+              AND regexp_matches(v, '^[0-9]+$') AND app) AS crawl_delay,
+    coalesce(list(v ORDER BY pos)
+      FILTER (WHERE has AND k = 'sitemap' AND v <> ''), []) AS maps
+  FROM rrules GROUP BY host)"""
+
+SQL_ROBOTS_PARSE = f"""
+WITH {_SQL_ROBOTS_CTES}
+SELECT host,
+       coalesce(array_to_string(al, '|'), '') AS allow_rules,
+       coalesce(array_to_string(dl, '|'), '') AS disallow_rules,
+       crawl_delay,
+       coalesce(array_to_string(maps, '|'), '') AS sitemaps
+FROM rp
+"""
+
+
+def q_robots_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed robots enforcement: parse_robots_txt over the fixture
+    bodies feeding operators/politeness.apply_robots (longest-match
+    wins, specific groups exclude ``*``) on a 6-path-per-host synthetic
+    frontier; returns the admitted (host, url_canon) rows."""
+    from biothings_crawler_spark.operators.robots import parse_robots_txt
+
+    pages = _robots_pages(spark, sf_dir)
+    parsed = parse_robots_txt(pages, agent="sparkbot")
+    paths = ", ".join(f"'{p}'" for p in _ROBOTS_PATHS)
+    frontier = pages.select(
+        "host", F.explode(F.expr(f"array({paths})")).alias("p")
+    ).select("host", F.concat(F.lit("https://"), "host", "p").alias("url_canon"))
+    return apply_robots(frontier, parsed)
+
+
+SQL_ROBOTS_ENFORCE = f"""
+WITH {_SQL_ROBOTS_CTES},
+fr AS (
+  SELECT host, unnest([{", ".join(f"'{p}'" for p in _ROBOTS_PATHS)}]) AS p
+  FROM pages),
+sel AS (
+  SELECT f.host, 'https://' || f.host || f.p AS url_canon,
+    coalesce(list_max(list_transform(
+      list_filter(rp.al, x -> starts_with(f.p, x)), x -> len(x))), 0) AS alen,
+    coalesce(list_max(list_transform(
+      list_filter(rp.dl, x -> starts_with(f.p, x)), x -> len(x))), 0) AS dlen
+  FROM fr f LEFT JOIN rp ON f.host = rp.host)
+SELECT host, url_canon FROM sel WHERE NOT (dlen > alen AND dlen > 0)
+"""
+
+
 # Registry order: the 24 queries with no driver CORRECTNESS row yet
 # (past the r2 gate's first-50 sample) come first, so the driver's
 # first-50 sample covers them; the 50 long-stable queries (green in
@@ -4852,6 +5006,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_c4_filter": q_c4_filter,
     "q_hits": q_hits,
     "q_domain_scorecard": q_domain_scorecard,
+    "q_robots_parse": q_robots_parse,
+    "q_robots_enforce": q_robots_enforce,
     "q_link_farm": q_link_farm,
     "q_corpus_datasheet": q_corpus_datasheet,
     "q_crawl_traps": q_crawl_traps,
@@ -4959,6 +5115,8 @@ ORACLES: dict[str, str] = {
     "q_c4_filter": SQL_C4_FILTER,
     "q_hits": SQL_HITS,
     "q_domain_scorecard": SQL_DOMAIN_SCORECARD,
+    "q_robots_parse": SQL_ROBOTS_PARSE,
+    "q_robots_enforce": SQL_ROBOTS_ENFORCE,
     "q_link_farm": SQL_LINK_FARM,
     "q_corpus_datasheet": SQL_CORPUS_DATASHEET,
     "q_host_skew": SQL_HOST_SKEW,
