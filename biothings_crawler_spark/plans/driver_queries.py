@@ -4993,6 +4993,49 @@ SELECT host, url_canon FROM sel WHERE NOT (dlen > alen AND dlen > 0)
 """
 
 
+_BL_HOST = """CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN 'bad' || CAST(doc_id % 23 AS {S}) || '.example.org'
+  WHEN 1 THEN 'www.bad' || CAST(doc_id % 23 AS {S}) || '.example.org'
+  WHEN 2 THEN 'deep.sub.bad' || CAST(doc_id % 23 AS {S}) || '.example.org'
+  WHEN 3 THEN 'notbad' || CAST(doc_id % 23 AS {S}) || '.example.org'
+  ELSE 'x' || CAST(doc_id % 3 AS {S}) || '.evil.net'
+END"""
+
+_BL_DOMAINS = [f"bad{i}.example.org" for i in range(8)] + ["evil.net"]
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist (operators/blocklist.blocklist_filter):
+    label-boundary suffix matching as chained broadcast anti-joins.
+    Planted cases: exact domain hit, www./deep.sub. subdomain hits, a
+    'notbad<N>' substring trap that must NOT match, and a bare-eTLD+1
+    'evil.net' entry blocking its subdomains."""
+    from biothings_crawler_spark.operators.blocklist import blocklist_filter
+
+    d = _t(spark, sf_dir, "documents")
+    frontier = d.selectExpr(
+        _BL_HOST.format(S="STRING") + " AS host",
+        "'https://' || " + _BL_HOST.format(S="STRING")
+        + " || '/p/' || CAST(doc_id AS STRING) AS url_canon",
+    )
+    bl = spark.createDataFrame([(x,) for x in _BL_DOMAINS], "domain string")
+    return blocklist_filter(frontier, bl)
+
+
+SQL_BLOCKLIST_FILTER = f"""
+WITH fr AS (
+  SELECT {_BL_HOST.format(S="VARCHAR")} AS host,
+         'https://' || {_BL_HOST.format(S="VARCHAR")}
+           || '/p/' || CAST(doc_id AS VARCHAR) AS url_canon
+  FROM documents),
+bl(domain) AS (VALUES {", ".join(f"('{x}')" for x in _BL_DOMAINS)})
+SELECT host, url_canon FROM fr
+WHERE NOT EXISTS (
+  SELECT 1 FROM bl
+  WHERE fr.host = bl.domain OR ends_with(fr.host, '.' || bl.domain))
+"""
+
+
 # Registry order: the 24 queries with no driver CORRECTNESS row yet
 # (past the r2 gate's first-50 sample) come first, so the driver's
 # first-50 sample covers them; the 50 long-stable queries (green in
@@ -5008,6 +5051,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_domain_scorecard": q_domain_scorecard,
     "q_robots_parse": q_robots_parse,
     "q_robots_enforce": q_robots_enforce,
+    "q_blocklist_filter": q_blocklist_filter,
     "q_link_farm": q_link_farm,
     "q_corpus_datasheet": q_corpus_datasheet,
     "q_crawl_traps": q_crawl_traps,
@@ -5117,6 +5161,7 @@ ORACLES: dict[str, str] = {
     "q_domain_scorecard": SQL_DOMAIN_SCORECARD,
     "q_robots_parse": SQL_ROBOTS_PARSE,
     "q_robots_enforce": SQL_ROBOTS_ENFORCE,
+    "q_blocklist_filter": SQL_BLOCKLIST_FILTER,
     "q_link_farm": SQL_LINK_FARM,
     "q_corpus_datasheet": SQL_CORPUS_DATASHEET,
     "q_host_skew": SQL_HOST_SKEW,
