@@ -5036,6 +5036,67 @@ WHERE NOT EXISTS (
 """
 
 
+_LM_TEXT = """CASE WHEN doc_id % 7 = 0 THEN reverse(text)
+     WHEN doc_id % 5 = 0 THEN text || ' ' || reverse(text)
+     ELSE text END"""
+_LM_TRAIN = "id % 2 = 0 AND id % 7 <> 0 AND id % 5 <> 0"
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM filter (operators/lm): train an exact-integer
+    bigram model on the clean half of the corpus, score a corpus with
+    planted casualties — doc_id%7 char-reversed (all-OOV -> tail),
+    doc_id%5 half-reversed (halved score -> middle) — and bucket into
+    head/middle/tail."""
+    from biothings_crawler_spark.operators.lm import lm_score, train_bigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    mutated = d.selectExpr("doc_id", _LM_TEXT + " AS text")
+    train = mutated.filter(_LM_TRAIN.replace("id", "doc_id"))
+    model = train_bigram_lm(train, "doc_id", "text", min_count=2)
+    return lm_score(mutated, model, "doc_id", "text")
+
+
+SQL_LM_SCORE = f"""
+WITH m AS (SELECT doc_id, {_LM_TEXT} AS text FROM documents),
+w AS (SELECT doc_id AS id, {_SQL_WORDS} AS ws FROM m),
+g AS (
+  SELECT id, CASE WHEN len(ws) >= 2
+             THEN list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i + 1])
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM w),
+tr AS (SELECT unnest(grams) AS bg FROM g WHERE {_LM_TRAIN}),
+big AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM tr GROUP BY bg),
+uni AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1
+        FROM big GROUP BY 1),
+mdl AS (SELECT bg, c12, CAST(c1 AS BIGINT) AS c1
+        FROM big JOIN uni ON split_part(big.bg, ' ', 1) = uni.w1
+        WHERE c12 >= 2),
+dg AS (SELECT id, unnest(grams) AS bg FROM g),
+sc AS (
+  SELECT dg.id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(mdl.bg) AS BIGINT) AS n_seen,
+         SUM(CASE WHEN mdl.bg IS NOT NULL
+                  THEN mdl.c12 * 1000000 // mdl.c1 ELSE 0 END) AS s
+  FROM dg LEFT JOIN mdl USING (bg) GROUP BY dg.id),
+f AS (
+  SELECT d.id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CAST(coalesce(n_seen, 0) AS BIGINT) AS n_seen,
+         CAST(CASE WHEN coalesce(n_bigrams, 0) > 0
+              THEN s // n_bigrams ELSE 0 END AS BIGINT) AS score_ppm,
+         CAST(CASE WHEN coalesce(n_bigrams, 0) > 0
+              THEN (n_bigrams - n_seen) * 1000000 // n_bigrams
+              ELSE 0 END AS BIGINT) AS oov_ppm
+  FROM (SELECT doc_id AS id FROM documents) d LEFT JOIN sc USING (id))
+SELECT id, n_bigrams, n_seen, score_ppm, oov_ppm,
+       CASE WHEN score_ppm >= 20000 THEN 'head'
+            WHEN score_ppm >= 2000 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM f
+"""
+
+
 # Registry order: the 24 queries with no driver CORRECTNESS row yet
 # (past the r2 gate's first-50 sample) come first, so the driver's
 # first-50 sample covers them; the 50 long-stable queries (green in
@@ -5052,6 +5113,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_robots_parse": q_robots_parse,
     "q_robots_enforce": q_robots_enforce,
     "q_blocklist_filter": q_blocklist_filter,
+    "q_lm_score": q_lm_score,
     "q_link_farm": q_link_farm,
     "q_corpus_datasheet": q_corpus_datasheet,
     "q_crawl_traps": q_crawl_traps,
@@ -5162,6 +5224,7 @@ ORACLES: dict[str, str] = {
     "q_robots_parse": SQL_ROBOTS_PARSE,
     "q_robots_enforce": SQL_ROBOTS_ENFORCE,
     "q_blocklist_filter": SQL_BLOCKLIST_FILTER,
+    "q_lm_score": SQL_LM_SCORE,
     "q_link_farm": SQL_LINK_FARM,
     "q_corpus_datasheet": SQL_CORPUS_DATASHEET,
     "q_host_skew": SQL_HOST_SKEW,
