@@ -5097,6 +5097,85 @@ FROM f
 """
 
 
+_PACK_CAP = 96
+_PACK_SHARDS = 8
+
+
+def _pack_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tok"),
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+    )
+
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-shard sequence packing (operators/packing): documents
+    in ascending-id order fill capacity-96 context bins; docs past the
+    capacity are clipped and flagged oversized."""
+    from biothings_crawler_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _pack_base(spark, sf_dir), "doc_id", "n_tok", _PACK_CAP, "shard"
+    )
+
+
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing utilization (operators/packing.packing_stats)
+    over q_seq_packing's assignment."""
+    from biothings_crawler_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    packed = pack_sequences(
+        _pack_base(spark, sf_dir), "doc_id", "n_tok", _PACK_CAP, "shard"
+    )
+    return packing_stats(packed, _PACK_CAP)
+
+
+# Greedy packing is a sequential fold per shard; DuckDB re-derives it
+# with a recursive CTE stepping one row per shard per iteration
+# (recursion depth = max shard size — fixture-bounded).
+_SQL_PACK_REC = f"""base AS (
+  SELECT doc_id AS id, doc_id % {_PACK_SHARDS} AS shard,
+         least({_SQL_TOKENS}, {_PACK_CAP}) AS tok,
+         {_SQL_TOKENS} > {_PACK_CAP} AS oversized
+  FROM documents),
+o AS (SELECT id, shard, tok, oversized,
+             row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+      FROM base),
+p AS (
+  SELECT id, shard, rn, tok, oversized,
+         CAST(0 AS BIGINT) AS bin, tok AS fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.id, o.shard, o.rn, o.tok, o.oversized,
+         CASE WHEN p.fill + o.tok <= {_PACK_CAP}
+              THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.fill + o.tok <= {_PACK_CAP}
+              THEN p.fill + o.tok ELSE o.tok END
+  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)"""
+
+SQL_SEQ_PACKING = f"""
+WITH RECURSIVE {_SQL_PACK_REC}
+SELECT id, CAST(shard AS BIGINT) AS shard, bin, CAST(tok AS BIGINT) AS tok,
+       CAST(fill AS BIGINT) AS fill_after, oversized
+FROM p
+"""
+
+SQL_PACK_STATS = f"""
+WITH RECURSIVE {_SQL_PACK_REC}
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(bin) + 1 AS BIGINT) AS n_bins,
+       CAST(SUM(tok) * 1000000 // ((MAX(bin) + 1) * {_PACK_CAP}) AS BIGINT)
+         AS util_ppm
+FROM p GROUP BY shard
+"""
+
+
 # Registry order: the 24 queries with no driver CORRECTNESS row yet
 # (past the r2 gate's first-50 sample) come first, so the driver's
 # first-50 sample covers them; the 50 long-stable queries (green in
@@ -5114,6 +5193,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_robots_enforce": q_robots_enforce,
     "q_blocklist_filter": q_blocklist_filter,
     "q_lm_score": q_lm_score,
+    "q_seq_packing": q_seq_packing,
+    "q_pack_stats": q_pack_stats,
     "q_link_farm": q_link_farm,
     "q_corpus_datasheet": q_corpus_datasheet,
     "q_crawl_traps": q_crawl_traps,
@@ -5225,6 +5306,8 @@ ORACLES: dict[str, str] = {
     "q_robots_enforce": SQL_ROBOTS_ENFORCE,
     "q_blocklist_filter": SQL_BLOCKLIST_FILTER,
     "q_lm_score": SQL_LM_SCORE,
+    "q_seq_packing": SQL_SEQ_PACKING,
+    "q_pack_stats": SQL_PACK_STATS,
     "q_link_farm": SQL_LINK_FARM,
     "q_corpus_datasheet": SQL_CORPUS_DATASHEET,
     "q_host_skew": SQL_HOST_SKEW,

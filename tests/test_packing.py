@@ -1,0 +1,60 @@
+"""Greedy sequence packing (operators/packing)."""
+
+from pyspark.sql import functions as F
+
+from biothings_crawler_spark.operators.packing import (
+    pack_sequences,
+    packing_stats,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, tok long, shard long")
+
+
+def test_greedy_hand_case(spark):
+    # shard 0, capacity 10, ids in order: 4,3,2 -> bin0 (fill 9);
+    # 5 overflows -> bin1; 6 overflows -> bin2; 4 fits bin2 (fill 10)
+    df = _df(spark, [(1, 4, 0), (2, 3, 0), (3, 2, 0), (4, 5, 0),
+                     (5, 6, 0), (6, 4, 0)])
+    out = {r.id: r for r in pack_sequences(df, "id", "tok", 10, "shard").collect()}
+    assert [(out[i].bin, out[i].fill_after) for i in range(1, 7)] == [
+        (0, 4), (0, 7), (0, 9), (1, 5), (2, 6), (2, 10)]
+    assert not any(out[i].oversized for i in range(1, 7))
+
+
+def test_oversized_doc_is_clipped_and_alone(spark):
+    df = _df(spark, [(1, 25, 0), (2, 3, 0)])
+    out = {r.id: r for r in pack_sequences(df, "id", "tok", 10, "shard").collect()}
+    assert out[1].tok == 10 and out[1].oversized and out[1].bin == 0
+    assert out[2].bin == 1  # the full bin can't take more
+
+
+def test_shards_pack_independently_and_deterministically(spark):
+    rows = [(i, (i * 7) % 13 + 1, i % 4) for i in range(200)]
+    df = _df(spark, rows)
+    a = sorted(map(tuple, pack_sequences(df, "id", "tok", 32, "shard").collect()))
+    b = sorted(map(tuple,
+                   pack_sequences(df.repartition(17), "id", "tok", 32, "shard")
+                   .collect()))
+    assert a == b
+    # no bin exceeds capacity
+    for _, _, _, tok, fill, _ in a:
+        assert fill <= 32 and tok <= 32
+
+
+def test_packing_stats_utilization(spark):
+    df = _df(spark, [(1, 6, 0), (2, 6, 0), (3, 6, 0)])
+    packed = pack_sequences(df, "id", "tok", 10, "shard")
+    s = packing_stats(packed, 10).collect()[0]
+    # bins: [6],[6],[6] -> 3 bins, 18/30 tokens used
+    assert (s.n_docs, s.n_bins, s.util_ppm) == (3, 3, 600_000)
+
+
+def test_plan_one_shard_agg_no_window(spark):
+    df = _df(spark, [(1, 4, 0), (2, 3, 1)])
+    plan = (
+        pack_sequences(df, "id", "tok", 10, "shard")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan and "BatchEvalPython" not in plan
