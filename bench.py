@@ -93,6 +93,14 @@ SUITE = [
     "q_warc_ingest",
     "q_link_farm",
     "q_corpus_datasheet",
+    "q_c4_filter",
+    "q_hits",
+    "q_domain_scorecard",
+    "q_robots_parse",
+    "q_robots_enforce",
+    "q_blocklist_filter",
+    "q_lm_score",
+    "q_seq_packing",
 ]
 
 
