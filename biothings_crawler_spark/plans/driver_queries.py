@@ -5176,6 +5176,115 @@ FROM p GROUP BY shard
 """
 
 
+_DUST_URL = """'https://s' || CAST((doc_id div 7) % 20 AS {S}) || '.example.org/page/'
+  || CAST(doc_id div 7 AS {S})
+  || '?lang=' || CAST(doc_id % 2 AS {S})
+  || CASE WHEN doc_id % 3 <> 2
+          THEN '&session=' || CAST(doc_id AS {S}) ELSE '' END
+  || '&utm=x'"""
+_DUST_CONTENT = ("md5(CAST(doc_id div 7 AS {S}) || '|' "
+                 "|| CAST(doc_id % 2 AS {S}))")
+
+
+def _dust_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl corpus where content depends on (page group, lang) only:
+    'session' varies freely within identical-content groups (DUST),
+    'lang' provably changes content, 'utm' never varies (no
+    experiments -> conservatively kept)."""
+    return _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        _DUST_URL.format(S="STRING").replace("div", "div") + " AS url",
+        _DUST_CONTENT.format(S="STRING") + " AS content_hash",
+    )
+
+
+def q_dust_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST rule learning (operators/dust.dust_params): per-parameter
+    content-irrelevance verdicts from residual-group experiments."""
+    from biothings_crawler_spark.operators.dust import dust_params
+
+    return dust_params(_dust_urls(spark, sf_dir))
+
+
+def q_dust_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-rule application (operators/dust.strip_learned_params):
+    canonicalize the corpus URLs by stripping every parameter the
+    evidence marked content-irrelevant ('session' on this fixture)."""
+    from biothings_crawler_spark.operators.dust import (
+        dust_params,
+        strip_learned_params,
+    )
+
+    urls = _dust_urls(spark, sf_dir)
+    return strip_learned_params(
+        urls.select("doc_id", "url"), dust_params(urls)
+    )
+
+
+_SQL_DUST_CTES = f"""urls AS (
+  SELECT doc_id, {_DUST_URL.format(S="VARCHAR").replace("div 7", "// 7")}
+           AS url,
+         {_DUST_CONTENT.format(S="VARCHAR").replace("div 7", "// 7")}
+           AS content_hash
+  FROM documents),
+dx AS (
+  SELECT url, content_hash, split_part(url, '?', 1) AS path,
+         string_split(substr(url, instr(url, '?') + 1), '&') AS params
+  FROM urls),
+dk AS (SELECT url, content_hash, path, params, unnest(params) AS kv FROM dx),
+dg AS (
+  SELECT split_part(kv, '=', 1) AS param,
+         path || '?' ||
+           coalesce(array_to_string(
+             list_filter(params, p -> p <> kv), '&'), '') AS residual,
+         kv, content_hash
+  FROM dk),
+dgr AS (
+  SELECT param, residual, COUNT(DISTINCT kv) AS n_vals,
+         COUNT(DISTINCT content_hash) AS n_contents
+  FROM dg GROUP BY 1, 2),
+dv AS (
+  SELECT param,
+         CAST(SUM(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_groups_multi,
+         CAST(SUM(CASE WHEN n_vals > 1 AND n_contents = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_irrelevant
+  FROM dgr GROUP BY 1),
+dverdict AS (
+  SELECT param, n_groups_multi, n_irrelevant,
+         CAST(CASE WHEN n_groups_multi > 0
+              THEN n_irrelevant * 1000000 // n_groups_multi
+              ELSE 0 END AS BIGINT) AS irrelevant_ppm,
+         n_groups_multi >= 3
+           AND (CASE WHEN n_groups_multi > 0
+                THEN n_irrelevant * 1000000 // n_groups_multi
+                ELSE 0 END) >= 900000 AS strip
+  FROM dv)"""
+
+SQL_DUST_PARAMS = f"""
+WITH {_SQL_DUST_CTES}
+SELECT param, n_groups_multi, n_irrelevant, irrelevant_ppm, strip
+FROM dverdict
+"""
+
+SQL_DUST_STRIP = f"""
+WITH {_SQL_DUST_CTES},
+ss AS (SELECT coalesce(list(param) FILTER (WHERE strip), []) AS sl
+       FROM dverdict),
+cleaned AS (
+  SELECT doc_id, split_part(url, '?', 1) AS path,
+         list_filter(string_split(substr(url, instr(url, '?') + 1), '&'),
+                     p -> NOT list_contains(ss.sl, split_part(p, '=', 1)))
+           AS kept
+  FROM urls CROSS JOIN ss)
+SELECT doc_id,
+       CASE WHEN len(kept) > 0
+            THEN path || '?' || array_to_string(kept, '&')
+            ELSE path END AS url
+FROM cleaned
+"""
+
+
 # Registry order: the 24 queries with no driver CORRECTNESS row yet
 # (past the r2 gate's first-50 sample) come first, so the driver's
 # first-50 sample covers them; the 50 long-stable queries (green in
@@ -5195,6 +5304,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lm_score": q_lm_score,
     "q_seq_packing": q_seq_packing,
     "q_pack_stats": q_pack_stats,
+    "q_dust_params": q_dust_params,
+    "q_dust_strip": q_dust_strip,
     "q_link_farm": q_link_farm,
     "q_corpus_datasheet": q_corpus_datasheet,
     "q_crawl_traps": q_crawl_traps,
@@ -5308,6 +5419,8 @@ ORACLES: dict[str, str] = {
     "q_lm_score": SQL_LM_SCORE,
     "q_seq_packing": SQL_SEQ_PACKING,
     "q_pack_stats": SQL_PACK_STATS,
+    "q_dust_params": SQL_DUST_PARAMS,
+    "q_dust_strip": SQL_DUST_STRIP,
     "q_link_farm": SQL_LINK_FARM,
     "q_corpus_datasheet": SQL_CORPUS_DATASHEET,
     "q_host_skew": SQL_HOST_SKEW,
