@@ -5285,6 +5285,83 @@ FROM cleaned
 """
 
 
+_SM_BLOCK = """'<url><loc>https://h' || CAST(doc_id AS {S}) || '.example.org/p/'
+  || CAST({I} AS {S}) || '</loc>'
+  || CASE WHEN (doc_id + {I}) % 3 = 0 THEN
+       '<lastmod>2024-' || lpad(CAST((doc_id + {I}) % 12 + 1 AS {S}), 2, '0')
+       || '-' || lpad(CAST((doc_id + {I}) % 28 + 1 AS {S}), 2, '0')
+       || '</lastmod>' ELSE '' END
+  || CASE CAST((doc_id + {I}) % 8 AS INT)
+       WHEN 0 THEN '<changefreq>daily</changefreq>'
+       WHEN 1 THEN '<changefreq>Hourly</changefreq>'
+       WHEN 2 THEN '<changefreq>monthly</changefreq>'
+       WHEN 3 THEN '<changefreq>never</changefreq>'
+       ELSE '' END
+  || CASE WHEN (doc_id + {I}) % 4 = 0 THEN
+       '<priority>0.' || CAST((doc_id + {I}) % 10 AS {S}) || '</priority>'
+     WHEN (doc_id + {I}) % 4 = 1 THEN '<priority>1</priority>'
+     ELSE '' END
+  || '</url>'"""
+
+
+def _sm_body(S: str) -> str:
+    blocks = " || chr(10) || ".join(
+        _SM_BLOCK.format(S=S, I=i) for i in range(3)
+    )
+    return ("'<?xml version=\"1.0\"?><urlset>' || chr(10) || " + blocks
+            + " || chr(10) || '<url><lastmod>2024-01-01</lastmod></url>'"
+            + " || '</urlset>'")
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parsing (sources/sitemap.parse_sitemap_xml): per-URL
+    loc/lastmod/changefreq/priority extraction with exact integer
+    milli-priorities and changefreq->recrawl-hours mapping; a loc-less
+    decoy block per sitemap must be dropped."""
+    from biothings_crawler_spark.sources.sitemap import parse_sitemap_xml
+
+    sm = _t(spark, sf_dir, "documents").selectExpr(
+        "'https://h' || CAST(doc_id AS STRING) || '.example.org/sitemap.xml'"
+        " AS sitemap_url",
+        _sm_body("STRING") + " AS body",
+    )
+    return parse_sitemap_xml(sm)
+
+
+SQL_SITEMAP_PARSE = f"""
+WITH sm AS (
+  SELECT 'https://h' || CAST(doc_id AS VARCHAR) || '.example.org/sitemap.xml'
+           AS sitemap_url,
+         {_sm_body("VARCHAR")} AS body
+  FROM documents),
+bl AS (
+  SELECT sitemap_url,
+         unnest(regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1)) AS b
+  FROM sm),
+f AS (
+  SELECT sitemap_url,
+         regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) AS loc,
+         regexp_extract(b, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1) AS lastmod,
+         lower(regexp_extract(b, '(?s)<changefreq>\\s*(.*?)\\s*</changefreq>', 1))
+           AS changefreq,
+         regexp_extract(b, '(?s)<priority>\\s*(.*?)\\s*</priority>', 1) AS pr
+  FROM bl)
+SELECT sitemap_url, loc, lastmod, changefreq,
+  CAST(CASE WHEN pr = '' THEN 500 ELSE
+    (CASE WHEN split_part(pr, '.', 1) = '' THEN 0
+          ELSE CAST(split_part(pr, '.', 1) AS INT) END) * 1000
+    + CASE WHEN instr(pr, '.') > 0
+           THEN CAST(substr(rpad(split_part(pr, '.', 2), 3, '0'), 1, 3) AS INT)
+           ELSE 0 END
+  END AS INT) AS priority_milli,
+  CAST(CASE changefreq WHEN 'always' THEN 1 WHEN 'hourly' THEN 1
+       WHEN 'daily' THEN 24 WHEN 'weekly' THEN 168 WHEN 'monthly' THEN 720
+       WHEN 'yearly' THEN 8760 WHEN 'never' THEN 0 ELSE 168 END AS INT)
+    AS recrawl_hours
+FROM f WHERE loc <> ''
+"""
+
+
 # Registry order: the 24 queries with no driver CORRECTNESS row yet
 # (past the r2 gate's first-50 sample) come first, so the driver's
 # first-50 sample covers them; the 50 long-stable queries (green in
@@ -5306,6 +5383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pack_stats": q_pack_stats,
     "q_dust_params": q_dust_params,
     "q_dust_strip": q_dust_strip,
+    "q_sitemap_parse": q_sitemap_parse,
     "q_link_farm": q_link_farm,
     "q_corpus_datasheet": q_corpus_datasheet,
     "q_crawl_traps": q_crawl_traps,
@@ -5421,6 +5499,7 @@ ORACLES: dict[str, str] = {
     "q_pack_stats": SQL_PACK_STATS,
     "q_dust_params": SQL_DUST_PARAMS,
     "q_dust_strip": SQL_DUST_STRIP,
+    "q_sitemap_parse": SQL_SITEMAP_PARSE,
     "q_link_farm": SQL_LINK_FARM,
     "q_corpus_datasheet": SQL_CORPUS_DATASHEET,
     "q_host_skew": SQL_HOST_SKEW,

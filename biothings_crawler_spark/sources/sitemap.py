@@ -92,3 +92,65 @@ def sitemap_seeds(
             F.lit(priority).alias("priority"),
         )
     )
+
+
+# changefreq -> recrawl interval (hours); absent/unknown -> weekly.
+CHANGEFREQ_HOURS = {
+    "always": 1, "hourly": 1, "daily": 24, "weekly": 168,
+    "monthly": 720, "yearly": 8760, "never": 0,
+}
+DEFAULT_PRIORITY_MILLI = 500  # sitemaps.org: priority defaults to 0.5
+
+
+def parse_sitemap_xml(
+    df: DataFrame, url_col: str = "sitemap_url", body_col: str = "body"
+) -> DataFrame:
+    """Parse raw sitemap XML bodies into per-URL scheduling rows:
+    ``(sitemap_url, loc, lastmod, changefreq, priority_milli,
+    recrawl_hours)`` — the metadata the reference leaves to Scrapy's
+    SitemapSpider internals, lifted into a columnar operator so
+    lastmod/changefreq/priority can drive recrawl scheduling
+    (operators/recrawl.py) and frontier priority at 10^10 scale.
+
+    Whole parse is regex over ``<url>…</url>`` blocks — ``(?s)`` so
+    blocks may span lines, non-greedy, RE2-safe (the DuckDB oracle
+    runs the identical patterns).  ``priority`` is parsed by integer
+    string surgery into exact milli-units (``0.8`` → 800; absent →
+    500), never via float.  Scale shape: one row-local extract +
+    explode + row-local field extracts — zero exchanges, no Python.
+    """
+    blocks = F.expr(
+        f"regexp_extract_all({body_col}, '(?s)<url>(.*?)</url>', 1)"
+    )
+    pe = df.select(F.col(url_col).alias("sitemap_url"), F.explode(blocks).alias("b"))
+    field = lambda tag: F.regexp_extract(  # noqa: E731
+        F.col("b"), f"(?s)<{tag}>\\s*(.*?)\\s*</{tag}>", 1
+    )
+    pr = field("priority")
+    int_part = F.substring_index(pr, ".", 1)
+    # fractional milli-digits: text after the dot, right-padded to 3
+    frac_digits = F.when(
+        F.instr(pr, ".") > 0,
+        F.substring(
+            F.rpad(F.substring_index(pr, ".", -1), 3, "0"), 1, 3
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    priority_milli = F.when(pr == "", F.lit(DEFAULT_PRIORITY_MILLI)).otherwise(
+        F.when(int_part == "", F.lit(0)).otherwise(int_part.cast("int")) * 1000
+        + frac_digits
+    )
+    cf = F.lower(field("changefreq"))
+    mapping = F.create_map(
+        *[F.lit(x) for kv in CHANGEFREQ_HOURS.items() for x in kv]
+    )
+    recrawl_hours = F.coalesce(
+        mapping[cf], F.lit(CHANGEFREQ_HOURS["weekly"])
+    )
+    return pe.select(
+        "sitemap_url",
+        field("loc").alias("loc"),
+        field("lastmod").alias("lastmod"),
+        cf.alias("changefreq"),
+        priority_milli.cast("int").alias("priority_milli"),
+        recrawl_hours.cast("int").alias("recrawl_hours"),
+    ).filter(F.col("loc") != "")
