@@ -97,3 +97,77 @@ def hll_distinct(df: DataFrame, value_col: str) -> DataFrame:
         .otherwise(raw)
         .alias("estimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — frequency estimates
+# for heavy-hitter detection when exact per-key counts won't fit.
+
+CM_D = 4     # hash rows
+CM_W = 512   # counters per row; error ≈ e/W of the L1 mass, conservative
+
+_CM_SLICES = [(1 + 8 * i) for i in range(CM_D)]  # disjoint 32-bit md5 slices
+
+
+def cm_col(value: Column, row: int, w: int = CM_W) -> Column:
+    """Counter column for hash row ``row``: a disjoint 32-bit slice of
+    md5(value) mod w — independent-enough rows from ONE md5 per value,
+    byte-identical in DuckDB."""
+    h = F.md5(value.cast("string"))
+    s = F.conv(F.substring(h, _CM_SLICES[row], 8), 16, 10).cast("long")
+    return F.pmod(s, F.lit(w))
+
+
+def countmin_build(
+    df: DataFrame, value_col: str, d: int = CM_D, w: int = CM_W
+) -> DataFrame:
+    """Build the sketch as a ``(r, c, n)`` table (≤ d·w rows).
+
+    Scale shape: a d-way row-local explode then ONE hash aggregation
+    into at most d·w counters — map-side partials do virtually all the
+    work, the shuffle moves ≤ d·w rows per partition regardless of
+    input size.  Sketches MERGE by unioning and re-aggregating the
+    same (r, c) keys (counts are linear), which is what makes this the
+    streaming/segmented alternative to an exact host groupBy.
+    """
+    v = F.col(value_col)
+    pairs = F.array(
+        *[F.struct(F.lit(r).alias("r"), cm_col(v, r, w).alias("c")) for r in range(d)]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame, keys: DataFrame, value_col: str,
+    d: int = CM_D, w: int = CM_W,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys``: min over the d counters
+    each key hashes to.  Guaranteed >= the true count (conservative
+    overestimate — collisions only add).  The sketch is ≤ d·w rows, so
+    it broadcasts; per key this is d broadcast lookups + one min-agg.
+    """
+    v = F.col(value_col)
+    kk = keys.select(
+        v.alias("value"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), cm_col(v, r, w).alias("c"))
+                    for r in range(d)
+                ]
+            )
+        ).alias("p"),
+    )
+    return (
+        kk.join(
+            F.broadcast(sketch),
+            (F.col("p.r") == sketch.r) & (F.col("p.c") == sketch.c),
+            "left",
+        )
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("estimate"))
+    )

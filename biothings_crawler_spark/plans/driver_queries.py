@@ -5362,6 +5362,54 @@ FROM f WHERE loc <> ''
 """
 
 
+_CM_HOST = """CASE WHEN o_orderkey % 10 <= 3 THEN 'hot.example.org'
+     WHEN o_orderkey % 10 <= 6
+       THEN 'warm' || CAST(o_custkey % 5 AS {S}) || '.example.org'
+     ELSE 'cold' || CAST(o_orderkey % 97 AS {S}) || '.example.org'
+END"""
+
+
+def q_countmin_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min host-frequency sketch (operators/sketch.countmin_build
+    / countmin_estimate) over a skewed host stream (one hot host with
+    ~40% of the mass, 5 warm, 97 cold): per-host conservative estimate
+    joined against the exact count."""
+    from biothings_crawler_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    hosts = _t(spark, sf_dir, "orders").selectExpr(
+        _CM_HOST.format(S="STRING") + " AS host"
+    )
+    sketch = countmin_build(hosts, "host")
+    est = countmin_estimate(sketch, hosts.distinct(), "host")
+    exact = hosts.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    return est.join(exact, est.value == exact.host).select(
+        "host", "exact_n", "estimate"
+    )
+
+
+SQL_COUNTMIN_HOSTS = f"""
+WITH hosts AS (SELECT {_CM_HOST.format(S="VARCHAR")} AS host FROM orders),
+ex AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS exact_n
+       FROM hosts GROUP BY host),
+pairs AS (
+  SELECT host, r,
+         CAST(('0x' || substr(md5(host), 1 + 8 * r, 8))::BIGINT % 512
+              AS BIGINT) AS c
+  FROM hosts CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(r)),
+sk AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY r, c),
+kp AS (SELECT DISTINCT host, r, c FROM pairs),
+est AS (SELECT kp.host, MIN(coalesce(sk.n, 0)) AS estimate
+        FROM kp LEFT JOIN sk USING (r, c) GROUP BY kp.host)
+SELECT ex.host, exact_n, CAST(estimate AS BIGINT) AS estimate
+FROM ex JOIN est ON ex.host = est.host
+"""
+
+
 # Registry order: the 24 queries with no driver CORRECTNESS row yet
 # (past the r2 gate's first-50 sample) come first, so the driver's
 # first-50 sample covers them; the 50 long-stable queries (green in
@@ -5384,6 +5432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dust_params": q_dust_params,
     "q_dust_strip": q_dust_strip,
     "q_sitemap_parse": q_sitemap_parse,
+    "q_countmin_hosts": q_countmin_hosts,
     "q_link_farm": q_link_farm,
     "q_corpus_datasheet": q_corpus_datasheet,
     "q_crawl_traps": q_crawl_traps,
@@ -5500,6 +5549,7 @@ ORACLES: dict[str, str] = {
     "q_dust_params": SQL_DUST_PARAMS,
     "q_dust_strip": SQL_DUST_STRIP,
     "q_sitemap_parse": SQL_SITEMAP_PARSE,
+    "q_countmin_hosts": SQL_COUNTMIN_HOSTS,
     "q_link_farm": SQL_LINK_FARM,
     "q_corpus_datasheet": SQL_CORPUS_DATASHEET,
     "q_host_skew": SQL_HOST_SKEW,
