@@ -5410,6 +5410,81 @@ FROM ex JOIN est ON ex.host = est.host
 """
 
 
+def q_crawl_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-admission pipeline over one coherent fixture:
+    domain blocklist (operators/blocklist) -> robots.txt parse+enforce
+    (operators/robots + politeness.apply_robots, agent 'sparkbot') ->
+    DUST learn+strip (operators/dust) -> distinct.  8 docs per page
+    share content and differ only in a session param; hosts h7/h13/h21
+    are blocklisted; every host's robots disallows /private/ for '*'
+    but hosts with id%3=0 have a sparkbot group disallowing only /tmp/
+    (specific group EXCLUDES the star rules).  The oracle is ONE DuckDB
+    statement encoding the fixture's intended admissions — a golden
+    pair in the q_clean_corpus style: if any stage's learning or rule
+    semantics drift, the hash breaks."""
+    from biothings_crawler_spark.operators.blocklist import blocklist_filter
+    from biothings_crawler_spark.operators.dust import (
+        dust_params,
+        strip_learned_params,
+    )
+    from biothings_crawler_spark.operators.robots import parse_robots_txt
+
+    d = _t(spark, sf_dir, "documents")
+    u = d.selectExpr(
+        "doc_id",
+        "doc_id div 8 AS page",
+        "(doc_id div 8) % 50 AS hid",
+        """CASE WHEN doc_id % 8 < 2 THEN '/private/p' || CAST(doc_id div 8 AS STRING)
+                WHEN doc_id % 8 < 4 THEN '/tmp/p' || CAST(doc_id div 8 AS STRING)
+                ELSE '/ok/p' || CAST(doc_id div 8 AS STRING) END AS path""",
+    ).selectExpr(
+        "doc_id", "page", "hid", "path",
+        "'h' || CAST(hid AS STRING) || '.example.org' AS host",
+    ).selectExpr(
+        "doc_id", "page", "hid", "host",
+        "'https://' || host || path || '?id=' || CAST(page AS STRING)"
+        " || '&session=' || CAST(doc_id AS STRING) AS url_canon",
+        "md5(host || path) AS content_hash",
+    )
+    bl = spark.createDataFrame(
+        [(f"h{i}.example.org",) for i in (7, 13, 21)], "domain string"
+    )
+    robots_pages = u.select("hid", "host").distinct().selectExpr(
+        "host",
+        """'User-agent: *' || chr(10) || 'Disallow: /private/' || chr(10) ||
+           CASE WHEN hid % 3 = 0 THEN chr(10) || 'User-agent: sparkbot'
+                || chr(10) || 'Disallow: /tmp/' || chr(10) ELSE '' END
+           AS body""",
+    )
+    robots = parse_robots_txt(robots_pages, agent="sparkbot")
+    admitted = blocklist_filter(u, bl)
+    admitted = apply_robots(admitted, robots)
+    rules = dust_params(u, "url_canon", "content_hash")
+    cleaned = strip_learned_params(
+        admitted.select("host", "url_canon"), rules, url_col="url_canon"
+    )
+    return cleaned.distinct()
+
+
+SQL_CRAWL_ADMISSION = """
+WITH u AS (
+  SELECT doc_id, doc_id // 8 AS page, (doc_id // 8) % 50 AS hid,
+         CASE WHEN doc_id % 8 < 2 THEN '/private/p' || CAST(doc_id // 8 AS VARCHAR)
+              WHEN doc_id % 8 < 4 THEN '/tmp/p' || CAST(doc_id // 8 AS VARCHAR)
+              ELSE '/ok/p' || CAST(doc_id // 8 AS VARCHAR) END AS path
+  FROM documents),
+a AS (
+  SELECT DISTINCT 'h' || CAST(hid AS VARCHAR) || '.example.org' AS host,
+         'https://h' || CAST(hid AS VARCHAR) || '.example.org' || path
+           || '?id=' || CAST(page AS VARCHAR) AS url_canon
+  FROM u
+  WHERE hid NOT IN (7, 13, 21)
+    AND NOT (CASE WHEN hid % 3 = 0 THEN path LIKE '/tmp/%'
+                  ELSE path LIKE '/private/%' END))
+SELECT host, url_canon FROM a
+"""
+
+
 # Registry order: the 24 queries with no driver CORRECTNESS row yet
 # (past the r2 gate's first-50 sample) come first, so the driver's
 # first-50 sample covers them; the 50 long-stable queries (green in
@@ -5433,6 +5508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dust_strip": q_dust_strip,
     "q_sitemap_parse": q_sitemap_parse,
     "q_countmin_hosts": q_countmin_hosts,
+    "q_crawl_admission": q_crawl_admission,
     "q_link_farm": q_link_farm,
     "q_corpus_datasheet": q_corpus_datasheet,
     "q_crawl_traps": q_crawl_traps,
@@ -5550,6 +5626,7 @@ ORACLES: dict[str, str] = {
     "q_dust_strip": SQL_DUST_STRIP,
     "q_sitemap_parse": SQL_SITEMAP_PARSE,
     "q_countmin_hosts": SQL_COUNTMIN_HOSTS,
+    "q_crawl_admission": SQL_CRAWL_ADMISSION,
     "q_link_farm": SQL_LINK_FARM,
     "q_corpus_datasheet": SQL_CORPUS_DATASHEET,
     "q_host_skew": SQL_HOST_SKEW,
