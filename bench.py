@@ -101,6 +101,11 @@ SUITE = [
     "q_blocklist_filter",
     "q_lm_score",
     "q_seq_packing",
+    "q_dust_params",
+    "q_sitemap_parse",
+    "q_countmin_hosts",
+    "q_crawl_admission",
+    "q_training_prep",
 ]
 
 

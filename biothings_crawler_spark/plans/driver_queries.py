@@ -5485,6 +5485,103 @@ SELECT host, url_canon FROM a
 """
 
 
+_TP_FWD = """CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN 'alpha beta gamma delta epsilon.'
+  WHEN 1 THEN 'beta gamma delta epsilon zeta.'
+  WHEN 2 THEN 'gamma delta epsilon zeta eta.'
+  ELSE 'delta epsilon zeta eta theta.'
+END"""
+_TP_REV = """CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN 'epsilon delta gamma beta alpha.'
+  WHEN 1 THEN 'zeta epsilon delta gamma beta.'
+  WHEN 2 THEN 'eta zeta epsilon delta gamma.'
+  ELSE 'theta eta zeta epsilon delta.'
+END"""
+_TP_SENT = (f"CASE WHEN doc_id % 6 = 1 THEN {_TP_REV} ELSE {_TP_FWD} END")
+
+
+def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data tail (plans/pipeline.training_prep):
+    C4 filter -> bigram-LM tail-drop -> greedy packing, on pages of
+    doc_id%9 repeated shared-vocab sentences.  Casualties: <5-sentence
+    pages die at C4; doc_id%6==1 pages use word-reversed sentences
+    (all bigrams OOV vs the even-id model) and die at the LM stage."""
+    from biothings_crawler_spark.plans.pipeline import training_prep
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"repeat(({_TP_SENT}) || chr(10), CAST(doc_id % 9 AS INT)) AS ptext",
+    )
+    return training_prep(pages, "doc_id", "ptext")
+
+
+SQL_TRAINING_PREP = f"""
+WITH RECURSIVE pg AS (
+  SELECT doc_id AS id,
+         repeat(({_TP_SENT}) || chr(10), CAST(doc_id % 9 AS INT)) AS ptext
+  FROM documents),
+cl AS (
+  SELECT id,
+         list_filter(string_split(ptext, chr(10)),
+           l -> len(list_filter(string_split_regex(trim(l), '\\s+'),
+                                x -> len(x) > 0)) >= 3
+                AND regexp_matches(trim(l), '[.!?"]$')
+                AND NOT contains(lower(trim(l)), 'javascript')) AS kept,
+         contains(lower(ptext), 'lorem ipsum') AS lorem,
+         contains(ptext, '{{') AS brace
+  FROM pg),
+c4 AS (
+  SELECT id, coalesce(array_to_string(kept, chr(10)), '') AS text,
+         CAST(len(regexp_extract_all(
+           coalesce(array_to_string(kept, chr(10)), ''), '([.!?])', 1))
+           AS BIGINT) AS n_sent,
+         lorem, brace
+  FROM cl),
+keep AS (SELECT id, text FROM c4
+         WHERE NOT lorem AND NOT brace AND n_sent >= 5),
+w AS (SELECT id, {_SQL_WORDS} AS ws FROM keep),
+g AS (
+  SELECT id, CASE WHEN len(ws) >= 2
+             THEN list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i + 1])
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM w),
+tr AS (SELECT unnest(grams) AS bg FROM g WHERE id % 2 = 0),
+big AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM tr GROUP BY bg),
+uni AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1
+        FROM big GROUP BY 1),
+mdl AS (SELECT bg, c12, CAST(c1 AS BIGINT) AS c1
+        FROM big JOIN uni ON split_part(big.bg, ' ', 1) = uni.w1
+        WHERE c12 >= 2),
+dg AS (SELECT id, unnest(grams) AS bg FROM g),
+sc AS (
+  SELECT dg.id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         SUM(CASE WHEN mdl.bg IS NOT NULL
+                  THEN mdl.c12 * 1000000 // mdl.c1 ELSE 0 END) AS s
+  FROM dg LEFT JOIN mdl USING (bg) GROUP BY dg.id),
+good AS (
+  SELECT k.id, k.text FROM keep k JOIN sc ON sc.id = k.id
+  WHERE CASE WHEN n_bigrams > 0 THEN s // n_bigrams ELSE 0 END >= 2000),
+base AS (
+  SELECT id, id % 8 AS shard, least(tokc, 128) AS tok, tokc > 128 AS oversized
+  FROM (SELECT id, {_SQL_TOKENS} AS tokc FROM good)),
+o AS (SELECT id, shard, tok, oversized,
+             row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+      FROM base),
+p AS (
+  SELECT id, shard, rn, tok, oversized, CAST(0 AS BIGINT) AS bin, tok AS fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.id, o.shard, o.rn, o.tok, o.oversized,
+         CASE WHEN p.fill + o.tok <= 128 THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.fill + o.tok <= 128 THEN p.fill + o.tok ELSE o.tok END
+  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)
+SELECT id, CAST(shard AS BIGINT) AS shard, bin, CAST(tok AS BIGINT) AS tok,
+       CAST(fill AS BIGINT) AS fill_after, oversized
+FROM p
+"""
+
+
 # Registry order: the 24 queries with no driver CORRECTNESS row yet
 # (past the r2 gate's first-50 sample) come first, so the driver's
 # first-50 sample covers them; the 50 long-stable queries (green in
@@ -5509,6 +5606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sitemap_parse": q_sitemap_parse,
     "q_countmin_hosts": q_countmin_hosts,
     "q_crawl_admission": q_crawl_admission,
+    "q_training_prep": q_training_prep,
     "q_link_farm": q_link_farm,
     "q_corpus_datasheet": q_corpus_datasheet,
     "q_crawl_traps": q_crawl_traps,
@@ -5627,6 +5725,7 @@ ORACLES: dict[str, str] = {
     "q_sitemap_parse": SQL_SITEMAP_PARSE,
     "q_countmin_hosts": SQL_COUNTMIN_HOSTS,
     "q_crawl_admission": SQL_CRAWL_ADMISSION,
+    "q_training_prep": SQL_TRAINING_PREP,
     "q_link_farm": SQL_LINK_FARM,
     "q_corpus_datasheet": SQL_CORPUS_DATASHEET,
     "q_host_skew": SQL_HOST_SKEW,
