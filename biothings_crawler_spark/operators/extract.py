@@ -284,3 +284,55 @@ def anchor_text_index(
         )
         .agg(F.count(F.lit(1)).alias("n_refs"))
     )
+
+
+# block-level boundaries for text-density segmentation
+_BLOCK_SPLIT_RE = r"(?i)</?(?:p|div|td|li|h[1-6]|section|article|table|ul|ol|br)[^>]*>"
+
+
+def extract_main_content(
+    df,
+    id_col: str,
+    html_col: str,
+    min_words: int = 10,
+    max_link_ppm: int = 333_333,
+):
+    """Boilerpipe-style main-content extraction (Kohlschütter et al.
+    2010, by way of trafilatura's density heuristics): segment HTML at
+    block-level tags, score each block by word count and LINK density
+    (words inside ``<a>`` / words total, in exact ppm), and keep only
+    content-dense blocks — nav bars, footers, and link farms are
+    word-sparse or link-saturated.  The refinement pass OVER
+    :func:`html_to_text_col`'s whole-page flattening: same corpus
+    stage, stricter output.
+
+    Returns ``(id, main_text, n_blocks, n_kept)``; ``main_text`` joins
+    surviving blocks with newlines, inner whitespace collapsed.
+
+    Scale shape: one row-local split + two higher-order transforms +
+    a filter — ZERO exchanges, no Python; every regex is RE2-safe so
+    the DuckDB oracle (q_main_content) runs the identical pipeline.
+    """
+    ws = ("size(filter(split({t}, '\\\\s+'), x -> length(x) > 0))")
+    txt = ("trim(regexp_replace(regexp_replace({b}, '<[^>]*>', ' '), "
+           "'\\\\s+', ' '))")
+    atxt = ("regexp_replace(array_join(regexp_extract_all({b}, "
+            "'(?is)<a[^>]*>(.*?)</a>', 1), ' '), '<[^>]*>', ' ')")
+    feats = (
+        f"transform(split(CAST({html_col} AS STRING), '{_BLOCK_SPLIT_RE}'), "
+        f"b -> named_struct("
+        f"'txt', {txt.format(b='b')}, "
+        f"'w', {ws.format(t=txt.format(b='b'))}, "
+        f"'aw', {ws.format(t=atxt.format(b='b'))}))"
+    )
+    kept = (
+        f"filter({feats}, f -> f.w >= {int(min_words)} AND "
+        f"(f.aw * 1000000) div greatest(f.w, 1) <= {int(max_link_ppm)})"
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"array_join(transform({kept}, f -> f.txt), '\\n')")
+        .alias("main_text"),
+        F.expr(f"size({feats})").cast("long").alias("n_blocks"),
+        F.expr(f"size({kept})").cast("long").alias("n_kept"),
+    )

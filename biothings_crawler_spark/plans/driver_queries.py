@@ -5582,6 +5582,78 @@ FROM p
 """
 
 
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-density main-content extraction
+    (operators/extract.extract_main_content) over pages with a planted
+    nav bar, 1-2 content paragraphs (one containing a low-density
+    inline anchor), a word-sparse junk block, and a link-farm footer —
+    only the paragraphs must survive."""
+    from biothings_crawler_spark.operators.extract import extract_main_content
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        """'<div id="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>'
+        || '<p>' || array_join(slice(split(text, ' '), 1, 25), ' ')
+        || ' end of paragraph one here today.</p>'
+        || CASE WHEN doc_id % 3 = 0 THEN
+             '<p>' || array_join(slice(split(text, ' '), 26, 15), ' ')
+             || ' plus filler words to reach the minimum easily see <a href="/d">details page</a> now.</p>'
+           ELSE '' END
+        || '<div>tiny junk</div>'
+        || '<div class="footer"><a href="/1">link one</a> <a href="/2">link two</a> <a href="/3">link three</a></div>'
+        AS html""",
+    )
+    return extract_main_content(pages, "doc_id", "html")
+
+
+SQL_MAIN_CONTENT = r"""
+WITH pages AS (
+  SELECT doc_id,
+    '<div id="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>'
+    || '<p>' || coalesce(array_to_string((string_split(text, ' '))[1:25], ' '), '')
+    || ' end of paragraph one here today.</p>'
+    || CASE WHEN doc_id % 3 = 0 THEN
+         '<p>' || coalesce(array_to_string((string_split(text, ' '))[26:40], ' '), '')
+         || ' plus filler words to reach the minimum easily see <a href="/d">details page</a> now.</p>'
+       ELSE '' END
+    || '<div>tiny junk</div>'
+    || '<div class="footer"><a href="/1">link one</a> <a href="/2">link two</a> <a href="/3">link three</a></div>'
+    AS html
+  FROM documents),
+f AS (
+  SELECT doc_id AS id,
+    list_transform(
+      string_split_regex(html,
+        '(?i)</?(?:p|div|td|li|h[1-6]|section|article|table|ul|ol|br)[^>]*>'),
+      b -> struct_pack(
+        txt := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
+                                   '\s+', ' ', 'g')),
+        w := len(list_filter(string_split_regex(
+               trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
+                                   '\s+', ' ', 'g')), '\s+'),
+               x -> len(x) > 0)),
+        aw := len(list_filter(string_split_regex(
+                regexp_replace(coalesce(array_to_string(
+                  regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''),
+                  '<[^>]*>', ' ', 'g'), '\s+'),
+                x -> len(x) > 0)))) AS feats
+  FROM pages),
+k AS (
+  SELECT id, feats,
+    list_filter(feats, t -> struct_extract(t, 'w') >= 10
+      AND (struct_extract(t, 'aw') * 1000000)
+          // greatest(struct_extract(t, 'w'), 1) <= 333333) AS kept
+  FROM f)
+SELECT id,
+  coalesce(array_to_string(
+    list_transform(kept, t -> struct_extract(t, 'txt')), chr(10)), '')
+    AS main_text,
+  CAST(len(feats) AS BIGINT) AS n_blocks,
+  CAST(len(kept) AS BIGINT) AS n_kept
+FROM k
+"""
+
+
 # Registry order: the 24 queries with no driver CORRECTNESS row yet
 # (past the r2 gate's first-50 sample) come first, so the driver's
 # first-50 sample covers them; the 50 long-stable queries (green in
@@ -5607,6 +5679,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_countmin_hosts": q_countmin_hosts,
     "q_crawl_admission": q_crawl_admission,
     "q_training_prep": q_training_prep,
+    "q_main_content": q_main_content,
     "q_link_farm": q_link_farm,
     "q_corpus_datasheet": q_corpus_datasheet,
     "q_crawl_traps": q_crawl_traps,
@@ -5726,6 +5799,7 @@ ORACLES: dict[str, str] = {
     "q_countmin_hosts": SQL_COUNTMIN_HOSTS,
     "q_crawl_admission": SQL_CRAWL_ADMISSION,
     "q_training_prep": SQL_TRAINING_PREP,
+    "q_main_content": SQL_MAIN_CONTENT,
     "q_link_farm": SQL_LINK_FARM,
     "q_corpus_datasheet": SQL_CORPUS_DATASHEET,
     "q_host_skew": SQL_HOST_SKEW,
