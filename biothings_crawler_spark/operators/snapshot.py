@@ -85,3 +85,62 @@ def latest_snapshot(
         F.col(f"w.{us_col}").alias("fetched_us"),
         *[F.col(f"w.{c}").alias(c) for c in payload_cols],
     )
+
+
+def url_history(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """SCD2-style content-version history from a raw fetch log:
+    collapse each URL's time-ordered fetches into change intervals
+    ``(url, version_no, content_hash, valid_from, valid_to,
+    n_fetches)`` — ``valid_to`` is the next version's ``valid_from``
+    (NULL for the live version).  The temporal complement of
+    :func:`snapshot_diff`: diff answers "what changed between two
+    crawls", history answers "when did each URL's content change,
+    ever" — the table recrawl scheduling (operators/recrawl.py)
+    estimates change rates from.
+
+    Scale shape: ONE url-keyed hash aggregation (collect_list →
+    array_sort → run-collapsing ``aggregate`` fold → indexed transform
+    for valid_to → posexplode) — the bounded per-group pattern shared
+    with packing/sessionize, sized by one URL's fetch count, never a
+    corpus-wide window (this host's WindowExec degrades under
+    concurrency; hash aggs don't — BASELINE.md round-3 controls).
+    """
+    src = df.select(
+        F.col(url_col).alias("url"),
+        F.struct(
+            F.col(ts_col).alias("ts"), F.col(hash_col).alias("h")
+        ).alias("x"),
+    )
+    fold = """aggregate(
+      array_sort(xs),
+      CAST(array() AS array<struct<h:string,vf:timestamp,n:bigint>>),
+      (acc, x) -> IF(
+        size(acc) > 0 AND element_at(acc, -1).h = x.h,
+        concat(slice(acc, 1, size(acc) - 1),
+               array(named_struct('h', x.h,
+                                  'vf', element_at(acc, -1).vf,
+                                  'n', element_at(acc, -1).n + 1))),
+        concat(acc, array(named_struct('h', x.h, 'vf', x.ts,
+                                       'n', CAST(1 AS bigint))))),
+      acc -> transform(acc, (v, i) -> named_struct(
+        'h', v.h, 'vf', v.vf, 'n', v.n,
+        'vt', IF(i + 2 <= size(acc), element_at(acc, i + 2).vf,
+                 CAST(NULL AS timestamp)))))"""
+    packed = (
+        src.groupBy("url")
+        .agg(F.collect_list("x").alias("xs"))
+        .select("url", F.posexplode(F.expr(fold)).alias("pos", "v"))
+    )
+    return packed.select(
+        "url",
+        (F.col("pos") + 1).cast("long").alias("version_no"),
+        F.col("v.h").alias("content_hash"),
+        F.col("v.vf").alias("valid_from"),
+        F.col("v.vt").alias("valid_to"),
+        F.col("v.n").alias("n_fetches"),
+    )

@@ -5654,6 +5654,48 @@ FROM k
 """
 
 
+def q_url_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 URL content-version history (operators/snapshot.url_history)
+    over a fetch log derived from events: 50 URLs keyed by user_id,
+    content hash drifting in event_id div 25 blocks so consecutive
+    same-hash fetches collapse into versions."""
+    from biothings_crawler_spark.operators.snapshot import url_history
+
+    log = _t(spark, sf_dir, "events").selectExpr(
+        "'u' || CAST(user_id AS STRING) AS url",
+        "ts AS fetch_ts",
+        "md5('u' || CAST(user_id AS STRING) || ':' "
+        "|| CAST((event_id div 25) % 5 AS STRING)) AS content_hash",
+    )
+    return url_history(log)
+
+
+SQL_URL_HISTORY = """
+WITH log AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS url, ts,
+         md5('u' || CAST(user_id AS VARCHAR) || ':'
+             || CAST((event_id // 25) % 5 AS VARCHAR)) AS h
+  FROM events),
+c AS (
+  SELECT url, ts, h,
+         CASE WHEN lag(h) OVER (PARTITION BY url ORDER BY ts)
+                   IS DISTINCT FROM h THEN 1 ELSE 0 END AS chg
+  FROM log),
+v AS (
+  SELECT url, ts, h,
+         SUM(chg) OVER (PARTITION BY url ORDER BY ts) AS vid
+  FROM c),
+g AS (
+  SELECT url, vid, MIN(h) AS content_hash, MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_fetches
+  FROM v GROUP BY url, vid)
+SELECT url, CAST(vid AS BIGINT) AS version_no, content_hash, valid_from,
+       lead(valid_from) OVER (PARTITION BY url ORDER BY vid) AS valid_to,
+       n_fetches
+FROM g
+"""
+
+
 # Registry order: the 24 queries with no driver CORRECTNESS row yet
 # (past the r2 gate's first-50 sample) come first, so the driver's
 # first-50 sample covers them; the 50 long-stable queries (green in
@@ -5680,6 +5722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_crawl_admission": q_crawl_admission,
     "q_training_prep": q_training_prep,
     "q_main_content": q_main_content,
+    "q_url_history": q_url_history,
     "q_link_farm": q_link_farm,
     "q_corpus_datasheet": q_corpus_datasheet,
     "q_crawl_traps": q_crawl_traps,
@@ -5800,6 +5843,7 @@ ORACLES: dict[str, str] = {
     "q_crawl_admission": SQL_CRAWL_ADMISSION,
     "q_training_prep": SQL_TRAINING_PREP,
     "q_main_content": SQL_MAIN_CONTENT,
+    "q_url_history": SQL_URL_HISTORY,
     "q_link_farm": SQL_LINK_FARM,
     "q_corpus_datasheet": SQL_CORPUS_DATASHEET,
     "q_host_skew": SQL_HOST_SKEW,
