@@ -87,3 +87,76 @@ def recrawl_schedule(
         fold.alias("interval_s"),
         (F.col("last_us") + fold * F.lit(1_000_000)).alias("next_due_us"),
     )
+
+
+def aimd_host_rates(
+    fetches: DataFrame,
+    host_col: str,
+    ts_col: str,
+    status_col: str,
+    base_rate_rph: int = 60,
+    min_rate_rph: int = 6,
+    max_rate_rph: int = 3600,
+    incr_rph: int = 12,
+) -> DataFrame:
+    """Per-host AIMD crawl-rate controller: fold the fetch log's
+    backpressure signals (HTTP 429 / 5xx) into the next round's
+    per-host request rate, TCP-congestion-control style — additive
+    increase on a clean hour, multiplicative (halving) decrease on a
+    backpressure hour.  The reference fixes politeness budgets per
+    spider (CONCURRENT_REQUESTS_PER_DOMAIN-era settings); at
+    10^10-frontier scale the host set is too large and too uneven to
+    hand-tune, so the fetch log itself must drive the budgets that
+    `politeness.select_politely` enforces.
+
+    Scale shape: per-URL histories are bounded but per-HOST fetch logs
+    are not (a hot host sees millions of rows), so the fold never sees
+    raw fetches.  Stage 1 reduces (host, hour) -> any-backpressure
+    flag in one hash aggregate (map-side partials absorb the hot-host
+    skew); stage 2 folds the ordered HOURLY flags per host — bounded
+    by the log's calendar span, not its row count.  All arithmetic is
+    integer add/halve/clamp, so the fold is bit-identical in the
+    DuckDB list_reduce twin.
+
+    Output: (host, n_hours, n_fetches, n_backoff_hours, rate_rph) —
+    requests-per-hour budget for the next crawl round.
+    """
+    hour_us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    ) - F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    ) % F.lit(3_600_000_000)
+    backpressure = (
+        (F.col(status_col) == 429) | (F.col(status_col) >= 500)
+    ).cast("int")
+    hourly = fetches.groupBy(
+        F.col(host_col).alias("host"), hour_us.alias("hour_us")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.max(backpressure).alias("backoff"),
+    )
+    per_host = hourly.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("n_fetches").cast("long").alias("n_fetches"),
+        F.sum("backoff").cast("long").alias("n_backoff_hours"),
+        F.array_sort(F.collect_list(F.struct("hour_us", "backoff"))).alias("hist"),
+    )
+    fold = F.aggregate(
+        F.col("hist"),
+        F.lit(int(base_rate_rph)).cast("long"),
+        lambda acc, s: F.when(
+            s["backoff"] == 1,
+            F.greatest(
+                F.lit(int(min_rate_rph)).cast("long"),
+                F.floor(acc / 2).cast("long"),
+            ),
+        ).otherwise(
+            F.least(
+                F.lit(int(max_rate_rph)).cast("long"),
+                (acc + F.lit(int(incr_rph))).cast("long"),
+            )
+        ),
+    )
+    return per_host.select(
+        "host", "n_hours", "n_fetches", "n_backoff_hours", fold.alias("rate_rph")
+    )

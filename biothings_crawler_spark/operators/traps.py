@@ -209,3 +209,142 @@ def domain_scorecard(traps: DataFrame, farms: DataFrame) -> DataFrame:
         F.coalesce("is_farm", F.lit(False)).alias("is_farm"),
         verdict.alias("verdict"),
     )
+
+
+SOFT404_PHRASES = (
+    r"(?i)(page not found|404 error|does not exist|no longer available"
+    r"|nothing was found|page you requested)"
+)
+
+
+def soft404_flags(
+    fetches: DataFrame,
+    host_col: str,
+    url_col: str,
+    text_col: str,
+    min_urls: int = 3,
+    phrases: str = SOFT404_PHRASES,
+) -> DataFrame:
+    """Soft-404 detection: hosts that answer HTTP 200 for missing
+    pages poison a frontier — the crawler keeps scheduling dead
+    branches and the corpus fills with identical "not found" boiler-
+    plate.  The reference never meets these (its spiders fetch curated
+    seed lists); a 10^10-URL frontier meets them constantly.
+
+    Signature rule (the classic Bar-Yossef et al. "Sic Transit Gloria
+    Telae" idea, content-side variant): within a host, a normalized
+    body that (a) repeats verbatim across >= ``min_urls`` DISTINCT
+    URLs and (b) carries an error phrase is that host's soft-404
+    template; every URL serving it is flagged.  Repetition alone is
+    NOT enough (shared newsletter/landing boilerplate is dup content,
+    not an error page), so both conditions gate the flag.
+
+    Scale shape: body hash is row-local md5; signature detection is
+    ONE hash aggregate on (host, hash) with a distinct-URL count
+    (Expand + two-phase partial agg); flags come back via a left join
+    on (host, hash) whose right side holds only signature groups —
+    tiny by construction (templates per host, not pages).  No windows,
+    no Python.  Output: (host, url, body_hash, is_soft404).
+    """
+    norm = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    base = fetches.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        norm.alias("body_hash"),
+        F.col(text_col).rlike(phrases).alias("has_phrase"),
+    )
+    sigs = (
+        base.groupBy("host", "body_hash")
+        .agg(
+            F.countDistinct("url").alias("n_urls"),
+            F.max(F.col("has_phrase").cast("int")).alias("phrased"),
+        )
+        .filter((F.col("n_urls") >= int(min_urls)) & (F.col("phrased") == 1))
+        .select("host", "body_hash", F.lit(True).alias("is_soft404"))
+    )
+    return (
+        base.select("host", "url", "body_hash")
+        .join(sigs, ["host", "body_hash"], "left")
+        .select(
+            "host", "url", "body_hash",
+            F.coalesce("is_soft404", F.lit(False)).alias("is_soft404"),
+        )
+    )
+
+
+def mirror_report(
+    pages: DataFrame,
+    host_col: str,
+    url_col: str,
+    text_col: str,
+    max_hosts_per_hash: int = 8,
+    min_shared: int = 3,
+    min_share_ppm: int = 500_000,
+) -> DataFrame:
+    """Host-mirror detection: ``(host_a, host_b, n_shared, share_ppm,
+    is_mirror)`` — host pairs serving the same content under different
+    names.  Mirrors waste crawl budget (every page fetched twice) and
+    double-count documents downstream, so the frontier should collapse
+    each mirror pair onto one canonical host.  The reference's curated
+    sources have no mirrors; Common-Crawl-scale frontiers are full of
+    them (cdn/www variants, resellers, scraped clones).
+
+    Rule: normalized-body hashes are collapsed to distinct (hash,
+    host); a pair's ``n_shared`` = hashes both hosts serve, and
+    ``share_ppm`` = n_shared / min(|a|, |b|) in parts-per-million
+    (containment, so a small full mirror of a big site still scores
+    ~1e6).  Flag when both ``min_shared`` and ``min_share_ppm`` hold.
+
+    Scale shape: everything pivots on the hash equi-join, and the
+    pair domain is explicitly bounded — hashes carried by more than
+    ``max_hosts_per_hash`` hosts (empty pages, cookie walls, shared
+    boilerplate) are dropped BEFORE the self-join, capping pairs per
+    hash at C(cap, 2) instead of |hosts|².  The (host, n_hashes)
+    sizes table is host-bounded (millions of rows at web scale, not
+    billions) — left to AQE to broadcast or shuffle as its measured
+    size dictates.  No windows, no Python.
+    """
+    hh = pages.select(
+        F.col(host_col).alias("host"),
+        F.md5(
+            F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+        ).alias("body_hash"),
+    ).distinct()
+    sizes = hh.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n_hashes"))
+    bounded = hh.join(
+        hh.groupBy("body_hash")
+        .agg(F.count(F.lit(1)).alias("n_hosts"))
+        .filter(F.col("n_hosts") <= int(max_hosts_per_hash))
+        .select("body_hash"),
+        "body_hash",
+        "left_semi",
+    )
+    a = bounded.select("body_hash", F.col("host").alias("host_a"))
+    b = bounded.select("body_hash", F.col("host").alias("host_b"))
+    shared = (
+        a.join(b, "body_hash")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    share = F.expr(
+        "n_shared * 1000000 div least(n_a, n_b)"
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("host").alias("host_a"),
+                         F.col("n_hashes").alias("n_a")),
+            "host_a",
+        )
+        .join(
+            sizes.select(F.col("host").alias("host_b"),
+                         F.col("n_hashes").alias("n_b")),
+            "host_b",
+        )
+        .select(
+            "host_a", "host_b", "n_shared",
+            share.alias("share_ppm"),
+            ((F.col("n_shared") >= F.lit(int(min_shared)))
+             & (share >= F.lit(int(min_share_ppm)))).alias("is_mirror"),
+        )
+    )

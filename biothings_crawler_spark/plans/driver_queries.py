@@ -5696,6 +5696,213 @@ FROM g
 """
 
 
+def q_aimd_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host AIMD crawl-rate controller (operators/recrawl.
+    aimd_host_rates): fetch log synthesized from events (host = user
+    bucket, HTTP status deterministic from a Knuth-hash of event_id:
+    ~7% 429, ~3% 503, rest 200).  Hourly backpressure flags fold into
+    next-round requests-per-hour budgets — additive increase on clean
+    hours, halving on backpressure hours, clamped.  Integer-only, so
+    the DuckDB list_reduce twin is bit-identical."""
+    from biothings_crawler_spark.operators.recrawl import aimd_host_rates
+
+    ev = _t(spark, sf_dir, "events")
+    mix = (F.col("event_id") * F.lit(2654435761)) % 100
+    fetches = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string")).alias("host"),
+        F.col("ts"),
+        F.when(mix < 7, F.lit(429))
+        .when(mix < 10, F.lit(503))
+        .otherwise(F.lit(200))
+        .alias("status"),
+    )
+    return aimd_host_rates(
+        fetches, "host", "ts", "status",
+        base_rate_rph=60, min_rate_rph=6, max_rate_rph=3600, incr_rph=12,
+    )
+
+
+SQL_AIMD_RATES = """
+WITH f AS (
+  SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+         epoch_us(ts) AS us,
+         CASE WHEN (event_id * 2654435761) % 100 < 7 THEN 429
+              WHEN (event_id * 2654435761) % 100 < 10 THEN 503
+              ELSE 200 END AS status
+  FROM events),
+hourly AS (
+  SELECT host, us - us % 3600000000 AS hour_us,
+         CAST(COUNT(*) AS BIGINT) AS n_fetches,
+         MAX(CAST(status = 429 OR status >= 500 AS INT)) AS backoff
+  FROM f GROUP BY host, us - us % 3600000000),
+agg AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(n_fetches) AS BIGINT) AS n_fetches,
+         CAST(SUM(backoff) AS BIGINT) AS n_backoff_hours,
+         list(backoff ORDER BY hour_us) AS flags
+  FROM hourly GROUP BY host)
+SELECT host, n_hours, n_fetches, n_backoff_hours,
+       list_reduce(
+         list_prepend(CAST(60 AS BIGINT),
+                      list_transform(flags, c -> CAST(c AS BIGINT))),
+         (acc, c) -> CASE WHEN c = 1
+                          THEN GREATEST(CAST(6 AS BIGINT), acc // 2)
+                          ELSE LEAST(CAST(3600 AS BIGINT), acc + 12)
+                     END) AS rate_rph
+FROM agg
+"""
+
+
+def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (operators/traps.soft404_flags): fetch
+    bodies synthesized from documents — doc_id%11==0 serves the
+    host's identical 'Page Not Found' template (error phrase +
+    repeats across distinct URLs -> flagged), doc_id%13==0 serves a
+    shared newsletter blurb (repeats but NO error phrase -> stays
+    False: repetition alone must not flag), the rest serve their own
+    text.  Both gate conditions exercised; oracle is the identical
+    two-condition SQL."""
+    from biothings_crawler_spark.operators.traps import soft404_flags
+
+    d = _t(spark, sf_dir, "documents")
+    body = (
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("Oops! Page Not Found. The requested document does not exist."),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("Subscribe to our newsletter today"),
+        )
+        .otherwise(F.col("text"))
+    )
+    fetches = d.select(
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        body.alias("text"),
+    )
+    return soft404_flags(fetches, "host", "url", "text", min_urls=2)
+
+
+SQL_SOFT404 = """
+WITH f AS (
+  SELECT source AS host,
+         'https://' || source || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 11 = 0
+              THEN 'Oops! Page Not Found. The requested document does not exist.'
+              WHEN doc_id % 13 = 0
+              THEN 'Subscribe to our newsletter today'
+              ELSE text END AS text
+  FROM documents),
+b AS (
+  SELECT host, url,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS body_hash,
+         regexp_matches(text,
+           '(?i)(page not found|404 error|does not exist|no longer available|nothing was found|page you requested)')
+           AS has_phrase
+  FROM f),
+sigs AS (
+  SELECT host, body_hash
+  FROM b GROUP BY host, body_hash
+  HAVING COUNT(DISTINCT url) >= 2 AND MAX(CAST(has_phrase AS INT)) = 1)
+SELECT b.host, b.url, b.body_hash,
+       (s.body_hash IS NOT NULL) AS is_soft404
+FROM b LEFT JOIN sigs s ON b.host = s.host AND b.body_hash = s.body_hash
+"""
+
+
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-mirror detection (operators/traps.mirror_report): each
+    source hosts its documents; a '.mirror' twin re-serves doc_id%3!=2
+    of them (→ containment ~2/3e6, flagged); every host also serves
+    one identical 'About us' page whose hash lands on ALL hosts and
+    must be dropped by the max_hosts_per_hash bound BEFORE the pair
+    join — without the bound every host pair would share it."""
+    from biothings_crawler_spark.operators.traps import mirror_report
+
+    d = _t(spark, sf_dir, "documents")
+    orig = d.select(
+        F.col("source").alias("host"),
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("text"),
+    )
+    mirr = d.filter(F.col("doc_id") % 3 != 2).select(
+        F.concat(F.col("source"), F.lit(".mirror")).alias("host"),
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".mirror/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("text"),
+    )
+    about = d.select(F.col("source")).distinct().select(
+        F.col("source").alias("host"),
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/about")).alias("url"),
+        F.lit("About us and our mission statement").alias("text"),
+    )
+    # a '.blog' twin syndicates a few of the host's docs plus its own
+    # unique commentary -> containment well under 50%, must stay
+    # is_mirror=False.  doc_id is STRIPED across sources (source =
+    # 'src'||doc_id%20), so per-host mixes key on the within-host
+    # ordinal doc_id div 20, not raw doc_id mods.
+    ordinal = F.col("doc_id") - (F.col("doc_id") % 20)
+    ordinal = (ordinal / 20).cast("long")
+    blog = d.filter((ordinal % 8 == 0) | (ordinal % 3 == 0)).select(
+        F.concat(F.col("source"), F.lit(".blog")).alias("host"),
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".blog/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.when(ordinal % 8 == 0, F.col("text"))
+        .otherwise(
+            F.concat(F.lit("original commentary on item "),
+                     F.col("doc_id").cast("string"))
+        ).alias("text"),
+    )
+    pages = orig.unionByName(mirr).unionByName(about).unionByName(blog)
+    return mirror_report(
+        pages, "host", "url", "text",
+        max_hosts_per_hash=8, min_shared=3, min_share_ppm=500_000,
+    )
+
+
+SQL_MIRROR_HOSTS = """
+WITH pages AS (
+  SELECT source AS host, text FROM documents
+  UNION ALL
+  SELECT source || '.mirror' AS host, text FROM documents WHERE doc_id % 3 <> 2
+  UNION ALL
+  SELECT DISTINCT source AS host, 'About us and our mission statement' AS text
+  FROM documents
+  UNION ALL
+  SELECT source || '.blog' AS host,
+         CASE WHEN (doc_id // 20) % 8 = 0 THEN text
+              ELSE 'original commentary on item ' || CAST(doc_id AS VARCHAR)
+         END AS text
+  FROM documents WHERE (doc_id // 20) % 8 = 0 OR (doc_id // 20) % 3 = 0),
+hh AS (
+  SELECT DISTINCT host,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS body_hash
+  FROM pages),
+sizes AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_hashes FROM hh GROUP BY host),
+bounded AS (
+  SELECT hh.* FROM hh
+  WHERE body_hash IN (
+    SELECT body_hash FROM hh GROUP BY body_hash HAVING COUNT(*) <= 8)),
+shared AS (
+  SELECT a.host AS host_a, b.host AS host_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM bounded a JOIN bounded b ON a.body_hash = b.body_hash AND a.host < b.host
+  GROUP BY a.host, b.host)
+SELECT s.host_a, s.host_b, s.n_shared,
+       s.n_shared * 1000000 // LEAST(sa.n_hashes, sb.n_hashes) AS share_ppm,
+       (s.n_shared >= 3 AND
+        s.n_shared * 1000000 // LEAST(sa.n_hashes, sb.n_hashes) >= 500000)
+         AS is_mirror
+FROM shared s
+JOIN sizes sa ON s.host_a = sa.host
+JOIN sizes sb ON s.host_b = sb.host
+"""
+
+
 # Registry order: the 24 queries with no driver CORRECTNESS row yet
 # (past the r2 gate's first-50 sample) come first, so the driver's
 # first-50 sample covers them; the 50 long-stable queries (green in
@@ -5740,6 +5947,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivf_quantized": q_ann_ivf_quantized,
     "q_crawl_refetch_round": q_crawl_refetch_round,
     "q_ann_rerank": q_ann_rerank,
+    # Rewritten in round 4 after their last green driver row, so they must sit
+    # inside the gate's first-50 sample: pii_scrub gained SSN/IBAN detectors,
+    # web_refine composes the new scrub, sessionize was reshaped onto the
+    # built-in session_window aggregation.
+    "q_pii_scrub": q_pii_scrub,
+    "q_web_refine": q_web_refine,
+    "q_sessionize": q_sessionize,
+    "q_aimd_rates": q_aimd_rates,
+    "q_soft404": q_soft404,
+    "q_mirror_hosts": q_mirror_hosts,
     "q_latest_snapshot": q_latest_snapshot,
     "q_postings_chunks": q_postings_chunks,
     "q_hll_small": q_hll_small,
@@ -5758,19 +5975,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sitemap_from_robots": q_sitemap_from_robots,
     "q_discovery_dump": q_discovery_dump,
     "q_mainentity_unwrap": q_mainentity_unwrap,
-    "q_pii_scrub": q_pii_scrub,
     "q_repetition_stats": q_repetition_stats,
     "q_decontamination": q_decontamination,
     "q_html_to_text": q_html_to_text,
     "q_mixture_sample": q_mixture_sample,
-    "q_web_refine": q_web_refine,
     "q_doc_chunks": q_doc_chunks,
     "q_pagerank": q_pagerank,
     "q_domain_blocklist": q_domain_blocklist,
     "q_dedup_weights": q_dedup_weights,
     "q_inverted_index": q_inverted_index,
     "q_bm25_topk": q_bm25_topk,
-    "q_sessionize": q_sessionize,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
     "q_hypertable_rollup": q_hypertable_rollup,
@@ -5858,6 +6072,9 @@ ORACLES: dict[str, str] = {
     "q_lang_id_model": SQL_LANG_ID,
     "q_passage_dedup": SQL_PASSAGE_DEDUP,
     "q_recrawl_schedule": SQL_RECRAWL_SCHEDULE,
+    "q_aimd_rates": SQL_AIMD_RATES,
+    "q_soft404": SQL_SOFT404,
+    "q_mirror_hosts": SQL_MIRROR_HOSTS,
     "q_quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "q_ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
     "q_bigram_coverage": SQL_BIGRAM_COVERAGE,

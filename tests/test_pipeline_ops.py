@@ -1540,3 +1540,33 @@ def test_c4_filter_empty_doc_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_aimd_host_rates_fold_and_hour_bounding(spark):
+    """AIMD rate controller: additive increase on clean hours,
+    halving on backpressure hours, clamps both ways; the fold sees
+    HOURLY flags, so a thousand-fetch hour contributes exactly one
+    fold step (hot-host bounding)."""
+    import datetime as dt
+
+    from biothings_crawler_spark.operators.recrawl import aimd_host_rates
+
+    t = lambda h, s=0: dt.datetime(2024, 1, 1) + dt.timedelta(hours=h, seconds=s)
+    rows = (
+        # host A: hours [clean, backoff, clean] -> 60+12=72, //2=36, +12=48
+        [("A", t(0), 200), ("A", t(1), 200), ("A", t(1, 30), 429),
+         ("A", t(2), 200)]
+        # host B: backpressure every hour -> halving to the floor 6
+        + [("B", t(h), 503) for h in range(8)]
+        # host C: one hour, 1000 fetches, none bad -> ONE +12 step
+        + [("C", t(0, s), 200) for s in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "host string, ts timestamp_ntz, status int")
+    out = {r["host"]: r for r in aimd_host_rates(
+        df, "host", "ts", "status",
+        base_rate_rph=60, min_rate_rph=6, max_rate_rph=3600, incr_rph=12,
+    ).collect()}
+    assert out["A"]["rate_rph"] == 48 and out["A"]["n_backoff_hours"] == 1
+    assert out["B"]["rate_rph"] == 6 and out["B"]["n_hours"] == 8
+    assert out["C"]["rate_rph"] == 72 and out["C"]["n_fetches"] == 1000
+    assert out["C"]["n_hours"] == 1

@@ -295,3 +295,69 @@ def test_domain_scorecard_precedence_and_zero_fill(spark):
     # one-sided hosts get zero-filled columns, never nulls
     assert out["c"].n_urls == 0 and not out["c"].is_trap
     assert out["b"].n_partners == 0 and out["b"].recip_ppm == 0
+
+
+def test_soft404_requires_both_gates(spark):
+    """A body is a soft-404 signature only when it BOTH repeats across
+    >= min_urls distinct URLs on the host AND carries an error phrase;
+    repetition alone (newsletter boilerplate) and a single error-ish
+    page stay False.  Per-host scoping: the same template on another
+    host needs its own quorum."""
+    from biothings_crawler_spark.operators.traps import soft404_flags
+
+    err = "Sorry, Page Not Found on this server."
+    news = "Subscribe to our newsletter for updates."
+    rows = [
+        ("a.com", "https://a.com/1", err),
+        ("a.com", "https://a.com/2", err),
+        ("a.com", "https://a.com/3", "real content one"),
+        ("a.com", "https://a.com/4", news),
+        ("a.com", "https://a.com/5", news),       # repeats, no phrase
+        ("b.com", "https://b.com/1", err),        # phrase, but 1 url on b
+        # dup fetch of the same url must not count twice toward quorum
+        ("b.com", "https://b.com/1", err),
+    ]
+    df = spark.createDataFrame(rows, "host string, url string, text string")
+    out = {(r["host"], r["url"]): r["is_soft404"]
+           for r in soft404_flags(df, "host", "url", "text", min_urls=2).collect()}
+    assert out[("a.com", "https://a.com/1")] is True
+    assert out[("a.com", "https://a.com/2")] is True
+    assert out[("a.com", "https://a.com/3")] is False
+    assert out[("a.com", "https://a.com/4")] is False   # no phrase
+    assert out[("b.com", "https://b.com/1")] is False   # distinct-url quorum
+
+
+def test_mirror_report_containment_and_hash_bound(spark):
+    """Mirror pairs score by CONTAINMENT (shared / smaller host), a
+    ubiquitous boilerplate hash (> max_hosts_per_hash hosts) is
+    excluded before the pair join, and partial syndication stays
+    under the flag threshold."""
+    from biothings_crawler_spark.operators.traps import mirror_report
+
+    boiler = "copyright footer"
+    rows = []
+    # big.com: 6 unique docs; mini.com: full mirror of 3 of them
+    for i in range(6):
+        rows.append(("big.com", f"https://big.com/{i}", f"doc number {i}"))
+    for i in range(3):
+        rows.append(("mini.com", f"https://mini.com/{i}", f"doc number {i}"))
+    # partial.com: 1 shared doc + 3 unique -> containment 1/4, n_shared 1
+    rows.append(("partial.com", "https://partial.com/0", "doc number 0"))
+    for i in range(3):
+        rows.append(("partial.com", f"https://partial.com/u{i}", f"partial only {i}"))
+    # boilerplate on 5 hosts (cap=4) -> must not create pairs by itself
+    for h in ("big.com", "mini.com", "partial.com", "x.com", "y.com"):
+        rows.append((h, f"https://{h}/footer", boiler))
+    df = spark.createDataFrame(rows, "host string, url string, text string")
+    out = {(r["host_a"], r["host_b"]): r for r in mirror_report(
+        df, "host", "url", "text",
+        max_hosts_per_hash=4, min_shared=3, min_share_ppm=500_000,
+    ).collect()}
+    pair = out[("big.com", "mini.com")]
+    # mini serves 4 distinct bodies (3 mirrored + the footer): host size
+    # counts ALL content, including bound-excluded boilerplate -> 3/4
+    assert pair["n_shared"] == 3 and pair["share_ppm"] == 750_000
+    assert pair["is_mirror"] is True          # containment: mini mostly mirrored
+    assert out[("big.com", "partial.com")]["is_mirror"] is False
+    # x.com / y.com share ONLY the over-shared boilerplate -> no pair at all
+    assert ("x.com", "y.com") not in out
