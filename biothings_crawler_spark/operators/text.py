@@ -728,3 +728,60 @@ def c4_quality_filter(
         (~F.col("_lorem") & ~F.col("_brace")
          & (n_sent >= F.lit(min_sentences))).alias("keep"),
     )
+
+
+# Unicode script-mix profile (pure codegen)
+# ---------------------------------------------------------------------------
+
+_SCRIPT_CLASSES = (
+    ("latin", "A-Za-z"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("cjk", "一-鿿぀-ヿ"),
+    ("arabic", "؀-ۿ"),
+)
+
+
+def script_mix(df, id_col: str, text_col: str, mixed_ppm: int = 200_000):
+    """Per-document Unicode script profile: ``(id, n_latin,
+    n_cyrillic, n_cjk, n_arabic, n_letters, dominant_script,
+    mixed_ppm, is_mixed)`` — the cheap first-pass language/abuse
+    signal a 100-TB corpus runs before any model-based language ID:
+    wrong-script documents skip expensive downstream stages, and
+    HIGH-MIX documents (Latin text salted with Cyrillic lookalikes)
+    are the classic homoglyph-spoofing / SEO-spam shape (IDN-homograph
+    literature, Gabrilovich & Gontmakher).
+
+    Counts are codepoint-range ``regexp_replace`` lengths — row-local,
+    ZERO exchanges, no Python.  ``dominant_script`` breaks ties in the
+    fixed order latin > cyrillic > cjk > arabic; ``mixed_ppm`` is the
+    non-dominant letter share in exact parts-per-million, and
+    ``is_mixed`` flags documents whose off-script share reaches the
+    threshold.  Documents with no letters at all report dominant
+    'none' and are never mixed.
+    """
+    t = F.col(text_col)
+    counts = {
+        name: F.length(F.regexp_replace(t, f"[^{cls}]", "")).cast("long")
+        for name, cls in _SCRIPT_CLASSES
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    out = df.select(
+        F.col(id_col).alias("id"),
+        *[counts[n].alias(f"n_{n}") for n, _ in _SCRIPT_CLASSES],
+        total.alias("n_letters"),
+    )
+    mx = F.greatest(*[F.col(f"n_{n}") for n, _ in _SCRIPT_CLASSES])
+    dominant = F.when(F.col("n_letters") == 0, F.lit("none"))
+    for name, _ in _SCRIPT_CLASSES:
+        dominant = dominant.when(F.col(f"n_{name}") == mx, F.lit(name))
+    off = F.when(
+        F.col("n_letters") == 0, F.lit(0).cast("long")
+    ).otherwise(F.expr(f"(n_letters - {'greatest(' + ', '.join('n_' + n for n, _ in _SCRIPT_CLASSES) + ')'}) * 1000000 div n_letters"))
+    return out.select(
+        "*",
+        dominant.alias("dominant_script"),
+        off.alias("mixed_ppm"),
+        (off >= F.lit(int(mixed_ppm))).alias("is_mixed"),
+    )

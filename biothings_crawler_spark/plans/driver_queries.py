@@ -5903,6 +5903,138 @@ JOIN sizes sb ON s.host_b = sb.host
 """
 
 
+def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical alias collapse (operators/extract.
+    canonical_map/canonical_clusters): pages synthesized from
+    documents — within-host ordinal%4==1 declares a root-relative
+    canonical onto the previous ordinal's page, %4==2 declares an
+    ABSOLUTE self-canonical with the href-before-rel attribute order,
+    %4 in {0,3} carry no hint (implicit self).  Clusters of size 2
+    (canonical + alias) and singletons both appear; resolution and
+    both attribute orders exercised."""
+    from biothings_crawler_spark.operators.extract import canonical_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    ordinal = (F.col("doc_id") / 20).cast("long")
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit("/p/"), i)
+    link = (
+        F.when(
+            ordinal % 4 == 1,
+            F.concat(F.lit('<link rel="canonical" href="/p/'),
+                     (F.col("doc_id") - 20).cast("string"), F.lit('">')),
+        )
+        .when(
+            ordinal % 4 == 2,
+            F.concat(F.lit('<link href="https://'), F.col("source"),
+                     F.lit("/p/"), i, F.lit('" rel="canonical">')),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), link, F.lit("</head><body><p>"),
+        F.col("text"), F.lit("</p></body></html>"),
+    )
+    pages = d.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    return canonical_clusters(pages)
+
+
+SQL_CANONICAL_CLUSTERS = """
+WITH d AS (
+  SELECT doc_id, source, text, doc_id // 20 AS ord,
+         'https://' || source || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+h AS (
+  SELECT url,
+         '<html><head>' ||
+         CASE WHEN ord % 4 = 1
+              THEN '<link rel="canonical" href="/p/'
+                   || CAST(doc_id - 20 AS VARCHAR) || '">'
+              WHEN ord % 4 = 2
+              THEN '<link href="https://' || source || '/p/'
+                   || CAST(doc_id AS VARCHAR) || '" rel="canonical">'
+              ELSE '' END ||
+         '</head><body><p>' || text || '</p></body></html>' AS t
+  FROM d),
+m AS (
+  SELECT url,
+         COALESCE(
+           NULLIF(regexp_extract(t, '(?i)<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1), ''),
+           NULLIF(regexp_extract(t, '(?i)<link[^>]*href="([^"]*)"[^>]*rel="canonical"', 1), ''))
+           AS href,
+         regexp_extract(url, '^(https?://[^/]+)', 1) AS root
+  FROM h),
+r AS (
+  SELECT url,
+         CASE WHEN regexp_matches(href, '^https?://') THEN href
+              WHEN href LIKE '/%' THEN root || href
+              ELSE url END AS canonical_url
+  FROM m)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(CAST(canonical_url <> url AS INT)) AS BIGINT) AS n_aliases,
+       MAX(canonical_url = url) AS has_canonical_page
+FROM r GROUP BY canonical_url
+"""
+
+
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script-mix profile (operators/text.script_mix): docs
+    salted by within-host ordinal — %5==1 appends a Cyrillic phrase
+    (mixed), %5==2 replaces text with CJK (dominant flips), %5==3
+    appends a short Arabic phrase, %5==4 plants Cyrillic HOMOGLYPHS
+    inside a Latin word (the spoofing shape), %5==0 stays pure Latin.
+    Oracle runs the identical literal codepoint-range regexes."""
+    from biothings_crawler_spark.operators.text import script_mix
+
+    d = _t(spark, sf_dir, "documents")
+    o = (F.col("doc_id") / 20).cast("long") % 5
+    body = (
+        F.when(o == 1, F.concat(F.col("text"), F.lit(" Привет мир сегодня")))
+        .when(o == 2, F.lit("你好世界 こんにちは 你好"))
+        .when(o == 3, F.concat(F.col("text"), F.lit(" مرحبا")))
+        .when(o == 4, F.concat(F.lit("pаypаl sеcurity alеrt "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    docs = d.select(F.col("doc_id").alias("id"), body.alias("text"))
+    return script_mix(docs, "id", "text", mixed_ppm=5_000)
+
+
+SQL_SCRIPT_MIX = """
+WITH d AS (
+  SELECT doc_id AS id,
+         CASE (doc_id // 20) % 5
+           WHEN 1 THEN text || ' Привет мир сегодня'
+           WHEN 2 THEN '你好世界 こんにちは 你好'
+           WHEN 3 THEN text || ' مرحبا'
+           WHEN 4 THEN 'pаypаl sеcurity alеrt ' || text
+           ELSE text END AS text
+  FROM documents),
+c AS (
+  SELECT id,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+         CAST(length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
+         CAST(length(regexp_replace(text, '[^一-鿿぀-ヿ]', '', 'g')) AS BIGINT) AS n_cjk,
+         CAST(length(regexp_replace(text, '[^؀-ۿ]', '', 'g')) AS BIGINT) AS n_arabic
+  FROM d),
+t AS (
+  SELECT *, n_latin + n_cyrillic + n_cjk + n_arabic AS n_letters,
+         GREATEST(n_latin, n_cyrillic, n_cjk, n_arabic) AS mx
+  FROM c)
+SELECT id, n_latin, n_cyrillic, n_cjk, n_arabic, n_letters,
+       CASE WHEN n_letters = 0 THEN 'none'
+            WHEN n_latin = mx THEN 'latin'
+            WHEN n_cyrillic = mx THEN 'cyrillic'
+            WHEN n_cjk = mx THEN 'cjk'
+            ELSE 'arabic' END AS dominant_script,
+       CASE WHEN n_letters = 0 THEN 0
+            ELSE (n_letters - mx) * 1000000 // n_letters END AS mixed_ppm,
+       CASE WHEN n_letters = 0 THEN FALSE
+            ELSE (n_letters - mx) * 1000000 // n_letters >= 5000 END AS is_mixed
+FROM t
+"""
+
+
 # Registry order: the 24 queries with no driver CORRECTNESS row yet
 # (past the r2 gate's first-50 sample) come first, so the driver's
 # first-50 sample covers them; the 50 long-stable queries (green in
@@ -5957,6 +6089,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_aimd_rates": q_aimd_rates,
     "q_soft404": q_soft404,
     "q_mirror_hosts": q_mirror_hosts,
+    "q_canonical_clusters": q_canonical_clusters,
+    "q_script_mix": q_script_mix,
     "q_latest_snapshot": q_latest_snapshot,
     "q_postings_chunks": q_postings_chunks,
     "q_hll_small": q_hll_small,
@@ -6075,6 +6209,8 @@ ORACLES: dict[str, str] = {
     "q_aimd_rates": SQL_AIMD_RATES,
     "q_soft404": SQL_SOFT404,
     "q_mirror_hosts": SQL_MIRROR_HOSTS,
+    "q_canonical_clusters": SQL_CANONICAL_CLUSTERS,
+    "q_script_mix": SQL_SCRIPT_MIX,
     "q_quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "q_ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
     "q_bigram_coverage": SQL_BIGRAM_COVERAGE,

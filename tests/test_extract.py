@@ -87,3 +87,38 @@ def test_html_to_text_plan_is_pure_projection(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_canonical_map_resolution_and_orders(spark):
+    """rel=canonical extraction: both attribute orders, root-relative
+    resolution onto the page's scheme+host, absolute kept verbatim,
+    dir-relative/missing fall back to self; clusters count aliases."""
+    from biothings_crawler_spark.operators.extract import (
+        canonical_clusters,
+        canonical_map,
+    )
+
+    rows = [
+        ("https://a.com/x?print=1",
+         '<html><head><link rel="canonical" href="/x"></head></html>'),
+        ("https://a.com/x",
+         '<html><head><link href="https://a.com/x" rel="canonical"></head></html>'),
+        ("https://a.com/y", "<html><head></head><body>no hint</body></html>"),
+        ("https://a.com/z",
+         '<html><head><link rel="canonical" href="sub/page.html"></head></html>'),
+        ("https://b.com/q",
+         '<html><head><link rel="canonical" href="https://a.com/x"></head></html>'),
+    ]
+    df = spark.createDataFrame(
+        [(u, h.encode()) for u, h in rows], "url string, html binary"
+    )
+    m = {r["url"]: r for r in canonical_map(df).collect()}
+    assert m["https://a.com/x?print=1"]["canonical_url"] == "https://a.com/x"
+    assert m["https://a.com/x"]["is_canonical"] is True
+    assert m["https://a.com/y"]["canonical_url"] == "https://a.com/y"
+    assert m["https://a.com/z"]["canonical_url"] == "https://a.com/z"  # dir-rel -> self
+    assert m["https://b.com/q"]["canonical_url"] == "https://a.com/x"  # cross-host
+    c = {r["canonical_url"]: r for r in canonical_clusters(df).collect()}
+    x = c["https://a.com/x"]
+    assert x["n_pages"] == 3 and x["n_aliases"] == 2
+    assert x["has_canonical_page"] is True

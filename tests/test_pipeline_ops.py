@@ -1570,3 +1570,28 @@ def test_aimd_host_rates_fold_and_hour_bounding(spark):
     assert out["B"]["rate_rph"] == 6 and out["B"]["n_hours"] == 8
     assert out["C"]["rate_rph"] == 72 and out["C"]["n_fetches"] == 1000
     assert out["C"]["n_hours"] == 1
+
+
+def test_script_mix_dominant_and_homoglyph_flag(spark):
+    """Script profile: dominant flips with the majority script, the
+    fixed tie-break order holds, no-letter docs report 'none', and a
+    homoglyph-salted Latin doc crosses the mixed threshold."""
+    from biothings_crawler_spark.operators.text import script_mix
+
+    rows = [
+        (1, "plain english text only"),
+        (2, "Привет мир это русский текст"),
+        (3, "你好世界你好世界"),
+        (4, "pаypаl sеcurity"),        # Cyrillic а/е inside Latin words
+        (5, "1234 .,!? 5678"),          # no letters at all
+        (6, "abcабв"),                  # exact 3/3 tie -> latin wins
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in
+           script_mix(df, "id", "text", mixed_ppm=200_000).collect()}
+    assert out[1]["dominant_script"] == "latin" and out[1]["is_mixed"] is False
+    assert out[2]["dominant_script"] == "cyrillic"
+    assert out[3]["dominant_script"] == "cjk" and out[3]["n_cjk"] == 8
+    assert out[4]["is_mixed"] is True           # 4 homoglyphs / 13 letters
+    assert out[5]["dominant_script"] == "none" and out[5]["mixed_ppm"] == 0
+    assert out[6]["dominant_script"] == "latin"  # tie-break order
