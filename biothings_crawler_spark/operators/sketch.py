@@ -171,3 +171,89 @@ def countmin_estimate(
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("estimate"))
     )
+
+
+# log2-binned latency histogram + quantiles (mergeable, 64-bin bounded)
+# ---------------------------------------------------------------------------
+
+
+def log2_bin_col(value: Column) -> Column:
+    """Integer bin ``floor(log2(v))`` for v >= 1 (v <= 0 -> bin 0),
+    computed as ``length(bin(v)) - 1`` — exact integer arithmetic, no
+    libm, identical in DuckDB (both engines' ``bin()`` render the
+    minimal binary string)."""
+    v = F.greatest(value.cast("long"), F.lit(1).cast("long"))
+    return (F.length(F.bin(v)) - F.lit(1)).cast("long")
+
+
+def latency_histogram(
+    fetches: DataFrame, host_col: str, value_col: str
+) -> DataFrame:
+    """Per-(host, log2 bin) counts — the mergeable sketch behind
+    :func:`host_latency_quantiles`.  At most 64 bins per host
+    regardless of fetch volume, so the histogram is a bounded,
+    commutative aggregate: shards build partial histograms map-side
+    and the shuffle carries (host, bin, count) only.
+    """
+    return (
+        fetches.groupBy(
+            F.col(host_col).alias("host"),
+            log2_bin_col(F.col(value_col)).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def host_latency_quantiles(
+    fetches: DataFrame,
+    host_col: str,
+    value_col: str,
+    quantiles_ppm: tuple = (500_000, 950_000, 990_000),
+) -> DataFrame:
+    """Per-host latency quantiles from the log2 histogram:
+    ``(host, n, p50_us, p95_us, p99_us, ...)`` where each p-value is
+    the UPPER BOUND ``2^(bin+1) - 1`` of the first bin whose running
+    count reaches the quantile — a conservative (never understating)
+    percentile with at most 2x relative error, which is all a
+    politeness controller needs to slow down on a struggling host.
+
+    The reference has no latency plane at all (Scrapy's autothrottle
+    keeps a scalar EWMA per slot in driver memory); at 10^10 fetches
+    the percentile estimate must be a distributed, mergeable
+    aggregate.  Exact-integer everywhere: the 64-bin fold is
+    ``aggregate`` over the sorted (bin, n) array, bit-identical in
+    the DuckDB list twin.
+    """
+    hist = latency_histogram(fetches, host_col, value_col)
+    per_host = hist.groupBy("host").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.array_sort(F.collect_list(F.struct("bin", "n"))).alias("bins"),
+    )
+    bin_cols, labels = [], []
+    for q in quantiles_ppm:
+        # smallest bin with cum*1e6 >= q*n: fold carries (cum, found_bin)
+        fold = F.aggregate(
+            F.col("bins"),
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(-1).cast("long").alias("b"),
+            ),
+            lambda acc, s: F.struct(
+                (acc["cum"] + s["n"]).alias("cum"),
+                F.when(
+                    (acc["b"] == -1)
+                    & ((acc["cum"] + s["n"]) * 1_000_000 >= F.col("n") * q),
+                    s["bin"],
+                ).otherwise(acc["b"]).alias("b"),
+            ),
+        )
+        label = f"p{q // 10000}_us" if q % 10000 == 0 else f"p{q}ppm_us"
+        labels.append(label)
+        bin_cols.append(fold["b"].alias(f"_b_{label}"))
+    staged = per_host.select("host", "n", *bin_cols)
+    # upper bound 2^(b+1) - 1 via integer shift (no libm, no doubles)
+    return staged.select(
+        "host", "n",
+        *[F.expr(f"shiftleft(1L, cast(_b_{l} + 1 AS INT)) - 1L").alias(l)
+          for l in labels],
+    )

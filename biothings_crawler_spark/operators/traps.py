@@ -348,3 +348,56 @@ def mirror_report(
              & (share >= F.lit(int(min_share_ppm)))).alias("is_mirror"),
         )
     )
+
+
+def template_report(
+    pages: DataFrame,
+    host_col: str,
+    url_col: str,
+    html_col: str,
+    min_pages: int = 3,
+) -> DataFrame:
+    """Structural template clustering: ``(host, template_fp, n_pages,
+    share_ppm, is_template)`` — pages grouped by the hash of their
+    OPEN-TAG SEQUENCE, the text-free skeleton that survives content
+    changes.  Two pages from the same CMS template collide here even
+    though every content hash differs, which is what makes this the
+    cheap precursor to boilerplate removal (crawl side of the
+    Gibson/Punera/Tomkins template-detection line): a host whose
+    pages collapse onto one fingerprint is template-driven, and its
+    per-template page share tells the extractor which skeleton to
+    learn boilerplate from.
+
+    Shape: the fingerprint is a row-local ``regexp_extract_all`` +
+    ``array_join`` + md5 (no Python); counting is one hash aggregate
+    on (host, fp); the host-size denominator joins back from a
+    host-bounded aggregate — the same two-level pattern as
+    :func:`host_skew_report`.  All-ppm integers, exact DuckDB twin.
+    """
+    txt = F.decode(F.col(html_col), "utf-8")
+    fp = F.md5(
+        F.array_join(
+            F.regexp_extract_all(txt, F.lit(r"<([a-z][a-z0-9]*)[^>]*>"), F.lit(1)),
+            ",",
+        )
+    )
+    base = pages.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        fp.alias("template_fp"),
+    )
+    per_fp = base.groupBy("host", "template_fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages")
+    )
+    per_host = per_fp.groupBy("host").agg(
+        F.sum("n_pages").cast("long").alias("host_pages")
+    )
+    share = F.expr("n_pages * 1000000 div host_pages")
+    return (
+        per_fp.join(per_host, "host")
+        .select(
+            "host", "template_fp", "n_pages",
+            share.alias("share_ppm"),
+            (F.col("n_pages") >= F.lit(int(min_pages))).alias("is_template"),
+        )
+    )

@@ -6035,6 +6035,144 @@ FROM t
 """
 
 
+def q_template_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural template clustering (operators/traps.
+    template_report): per host, ordinal%3 picks one of three CMS
+    skeletons (text varies, tag sequence doesn't -> pages collide on
+    the fingerprint and clear min_pages), while ordinal%7==0 pages get
+    an ordinal-length run of spans (unique skeleton -> singleton,
+    is_template False)."""
+    from biothings_crawler_spark.operators.traps import template_report
+
+    d = _t(spark, sf_dir, "documents")
+    o = (F.col("doc_id") / 20).cast("long")
+    body = F.col("text")
+    html = (
+        F.when(
+            o % 7 == 0,
+            F.concat(
+                F.lit("<html><body>"),
+                F.expr("repeat('<span class=\"x\">', CAST(doc_id div 20 AS INT) + 1)"),
+                body, F.lit("</body></html>"),
+            ),
+        )
+        .when(
+            o % 3 == 0,
+            F.concat(F.lit('<html><body><article><h1 class="t">'), body,
+                     F.lit("</h1></article></body></html>")),
+        )
+        .when(
+            o % 3 == 1,
+            F.concat(F.lit("<html><body><ul><li>"), body,
+                     F.lit("</li><li>x</li></ul></body></html>")),
+        )
+        .otherwise(
+            F.concat(F.lit('<html><body><div id="m"><p>'), body,
+                     F.lit("</p></div></body></html>")),
+        )
+    )
+    pages = d.select(
+        F.col("source").alias("host"),
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return template_report(pages, "host", "url", "html", min_pages=3)
+
+
+SQL_TEMPLATE_FPS = """
+WITH d AS (
+  SELECT doc_id, source, text, doc_id // 20 AS o FROM documents),
+h AS (
+  SELECT source AS host,
+         CASE WHEN o % 7 = 0
+              THEN '<html><body>' || repeat('<span class="x">', CAST(o AS INT) + 1)
+                   || text || '</body></html>'
+              WHEN o % 3 = 0
+              THEN '<html><body><article><h1 class="t">' || text
+                   || '</h1></article></body></html>'
+              WHEN o % 3 = 1
+              THEN '<html><body><ul><li>' || text
+                   || '</li><li>x</li></ul></body></html>'
+              ELSE '<html><body><div id="m"><p>' || text
+                   || '</p></div></body></html>' END AS t
+  FROM d),
+fp AS (
+  SELECT host,
+         md5(array_to_string(regexp_extract_all(t, '<([a-z][a-z0-9]*)[^>]*>', 1), ','))
+           AS template_fp
+  FROM h),
+per_fp AS (
+  SELECT host, template_fp, CAST(COUNT(*) AS BIGINT) AS n_pages
+  FROM fp GROUP BY host, template_fp),
+per_host AS (
+  SELECT host, CAST(SUM(n_pages) AS BIGINT) AS host_pages
+  FROM per_fp GROUP BY host)
+SELECT f.host, f.template_fp, f.n_pages,
+       f.n_pages * 1000000 // p.host_pages AS share_ppm,
+       f.n_pages >= 3 AS is_template
+FROM per_fp f JOIN per_host p ON f.host = p.host
+"""
+
+
+def q_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host latency percentiles from the 64-bin log2 histogram
+    (operators/sketch.host_latency_quantiles): fetch latencies
+    synthesized from events (host = user bucket, latency_us =
+    floor(value*12345)); p50/p95/p99 are conservative upper bounds
+    2^(bin+1)-1 — exact integer arithmetic end-to-end, DuckDB list
+    fold twin."""
+    from biothings_crawler_spark.operators.sketch import host_latency_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    fetches = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string")).alias("host"),
+        F.floor(F.col("value") * 12345).cast("long").alias("latency_us"),
+    )
+    return host_latency_quantiles(fetches, "host", "latency_us")
+
+
+SQL_LATENCY_QUANTILES = """
+WITH f AS (
+  SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+         GREATEST(CAST(floor(value * 12345) AS BIGINT), 1) AS v
+  FROM events),
+binned AS (
+  SELECT host, CAST(length(bin(v)) - 1 AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM f GROUP BY host, CAST(length(bin(v)) - 1 AS BIGINT)),
+per_host AS (
+  SELECT host, CAST(SUM(n) AS BIGINT) AS n,
+         list({'bin': bin, 'n': n} ORDER BY bin) AS bins
+  FROM binned GROUP BY host),
+q AS (
+  -- field order matters: DuckDB list_reduce materializes the result
+  -- struct field-by-field IN LITERAL ORDER and later fields see the
+  -- already-updated accumulator, so 'cum' must come LAST or the
+  -- quantile conditions read post-increment cum (off-by-one bin)
+  SELECT host, n,
+         list_reduce(
+           list_prepend({'b50': CAST(-1 AS BIGINT), 'b95': CAST(-1 AS BIGINT),
+                         'b99': CAST(-1 AS BIGINT), 'cum': CAST(0 AS BIGINT)},
+                        list_transform(bins, s -> {'b50': s.bin, 'b95': s.bin,
+                                                   'b99': s.bin, 'cum': s.n})),
+           (acc, s) -> {
+             'b50': CASE WHEN acc.b50 = -1 AND (acc.cum + s.cum) * 1000000 >= n * 500000
+                         THEN s.b50 ELSE acc.b50 END,
+             'b95': CASE WHEN acc.b95 = -1 AND (acc.cum + s.cum) * 1000000 >= n * 950000
+                         THEN s.b95 ELSE acc.b95 END,
+             'b99': CASE WHEN acc.b99 = -1 AND (acc.cum + s.cum) * 1000000 >= n * 990000
+                         THEN s.b99 ELSE acc.b99 END,
+             'cum': acc.cum + s.cum}) AS r
+  FROM per_host)
+SELECT host, n,
+       (CAST(1 AS BIGINT) << CAST(r.b50 + 1 AS INT)) - 1 AS p50_us,
+       (CAST(1 AS BIGINT) << CAST(r.b95 + 1 AS INT)) - 1 AS p95_us,
+       (CAST(1 AS BIGINT) << CAST(r.b99 + 1 AS INT)) - 1 AS p99_us
+FROM q
+"""
+
+
 # Registry order: the 24 queries with no driver CORRECTNESS row yet
 # (past the r2 gate's first-50 sample) come first, so the driver's
 # first-50 sample covers them; the 50 long-stable queries (green in
@@ -6091,6 +6229,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mirror_hosts": q_mirror_hosts,
     "q_canonical_clusters": q_canonical_clusters,
     "q_script_mix": q_script_mix,
+    "q_template_fps": q_template_fps,
+    "q_latency_quantiles": q_latency_quantiles,
     "q_latest_snapshot": q_latest_snapshot,
     "q_postings_chunks": q_postings_chunks,
     "q_hll_small": q_hll_small,
@@ -6211,6 +6351,8 @@ ORACLES: dict[str, str] = {
     "q_mirror_hosts": SQL_MIRROR_HOSTS,
     "q_canonical_clusters": SQL_CANONICAL_CLUSTERS,
     "q_script_mix": SQL_SCRIPT_MIX,
+    "q_template_fps": SQL_TEMPLATE_FPS,
+    "q_latency_quantiles": SQL_LATENCY_QUANTILES,
     "q_quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "q_ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
     "q_bigram_coverage": SQL_BIGRAM_COVERAGE,

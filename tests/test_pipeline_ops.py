@@ -1595,3 +1595,26 @@ def test_script_mix_dominant_and_homoglyph_flag(spark):
     assert out[4]["is_mixed"] is True           # 4 homoglyphs / 13 letters
     assert out[5]["dominant_script"] == "none" and out[5]["mixed_ppm"] == 0
     assert out[6]["dominant_script"] == "latin"  # tie-break order
+
+
+def test_latency_quantiles_bins_and_bounds(spark):
+    """log2 histogram quantiles: conservative upper bounds 2^(b+1)-1,
+    values <=0 clamp to bin 0, and the histogram is 64-bin bounded
+    (mergeable) no matter the per-host row count."""
+    from biothings_crawler_spark.operators.sketch import (
+        host_latency_quantiles,
+        latency_histogram,
+    )
+
+    # host A: 99 fast (v=3 -> bin 1) + 1 slow (v=1000 -> bin 9)
+    rows = [("A", 3)] * 99 + [("A", 1000)] + [("B", 0), ("B", -5)]
+    df = spark.createDataFrame(rows, "host string, v long")
+    out = {r["host"]: r for r in
+           host_latency_quantiles(df, "host", "v").collect()}
+    a = out["A"]
+    assert a["n"] == 100 and a["p50_us"] == 3 and a["p95_us"] == 3
+    assert a["p99_us"] == 3          # 99% of 100 = the 99th value, still fast
+    b = out["B"]
+    assert b["p50_us"] == 1          # clamped bin 0 -> 2^1 - 1
+    hist = latency_histogram(df, "host", "v").collect()
+    assert len([h for h in hist if h["host"] == "A"]) == 2

@@ -361,3 +361,29 @@ def test_mirror_report_containment_and_hash_bound(spark):
     assert out[("big.com", "partial.com")]["is_mirror"] is False
     # x.com / y.com share ONLY the over-shared boilerplate -> no pair at all
     assert ("x.com", "y.com") not in out
+
+
+def test_template_report_structure_not_content(spark):
+    """Template fingerprints key on the OPEN-TAG sequence: same
+    skeleton with different text collides, one extra tag separates;
+    shares are exact ppm of the host's pages."""
+    from biothings_crawler_spark.operators.traps import template_report
+
+    sk = '<html><body><article><h1 class="a">{}</h1></article></body></html>'
+    rows = [
+        ("a.com", "https://a.com/1", sk.format("first story")),
+        ("a.com", "https://a.com/2", sk.format("totally different words")),
+        ("a.com", "https://a.com/3", sk.format("third")),
+        ("a.com", "https://a.com/4",
+         '<html><body><div><h1 class="a">odd one</h1></div></body></html>'),
+    ]
+    df = spark.createDataFrame(
+        [(h, u, t.encode()) for h, u, t in rows],
+        "host string, url string, html binary",
+    )
+    out = template_report(df, "host", "url", "html", min_pages=3).collect()
+    by_n = sorted(out, key=lambda r: -r["n_pages"])
+    assert len(out) == 2
+    assert by_n[0]["n_pages"] == 3 and by_n[0]["is_template"] is True
+    assert by_n[0]["share_ppm"] == 750_000
+    assert by_n[1]["n_pages"] == 1 and by_n[1]["is_template"] is False
