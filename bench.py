@@ -106,6 +106,13 @@ SUITE = [
     "q_countmin_hosts",
     "q_crawl_admission",
     "q_training_prep",
+    "q_aimd_rates",
+    "q_soft404",
+    "q_mirror_hosts",
+    "q_canonical_clusters",
+    "q_script_mix",
+    "q_template_fps",
+    "q_latency_quantiles",
 ]
 
 

@@ -6173,10 +6173,11 @@ FROM q
 """
 
 
-# Registry order: the 24 queries with no driver CORRECTNESS row yet
-# (past the r2 gate's first-50 sample) come first, so the driver's
-# first-50 sample covers them; the 50 long-stable queries (green in
-# CORRECTNESS_r01/r02) follow.
+# Registry order: queries with no driver CORRECTNESS row yet for their
+# CURRENT implementation (new this round, or rewritten since their last
+# green row) come first, so the driver's first-50 sample covers them;
+# the long-stable queries (green in earlier rounds, unchanged since)
+# follow.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
