@@ -113,6 +113,7 @@ SUITE = [
     "q_script_mix",
     "q_template_fps",
     "q_latency_quantiles",
+    "q_frontier_aging",
 ]
 
 

@@ -136,3 +136,55 @@ def select_politely(
         .filter(F.col("sched_rank") <= F.col("budget"))
         .drop("budget")
     )
+
+
+def apply_aging(
+    frontier: DataFrame,
+    boost_per_round: int = 1,
+    max_boost: int = 100,
+) -> DataFrame:
+    """Starvation control for the round loop: lower ``priority`` (the
+    order is ascending — smaller schedules first) by ``wait_rounds *
+    boost_per_round``, clamped at ``max_boost``.  Under per-host
+    budgets a stream of fresh high-priority URLs can defer the same
+    old candidates forever; with linear aging every URL's effective
+    priority eventually beats any bounded newcomer priority, so the
+    wait of every frontier row is bounded — the classic aging fix for
+    priority-scheduler starvation, applied to the crawl frontier.
+
+    Row-local projection (ZERO exchanges): the round loop runs it on
+    the deferred frontier before each :func:`select_politely` call.
+    Rows without a ``wait_rounds`` column age as 0.
+    """
+    wait = (
+        F.col("wait_rounds")
+        if "wait_rounds" in frontier.columns
+        else F.lit(0).cast("long")
+    )
+    boost = F.least(
+        wait * F.lit(int(boost_per_round)), F.lit(int(max_boost))
+    ).cast("long")
+    cols = [c for c in frontier.columns if c != "priority"]
+    return frontier.select(
+        *cols, (F.col("priority") - boost).alias("priority")
+    )
+
+
+def defer_unselected(
+    frontier: DataFrame, selected: DataFrame, key_col: str = "url_canon"
+) -> DataFrame:
+    """Next round's carry-over: frontier rows NOT selected this round,
+    with ``wait_rounds`` incremented (created at 1 if absent).  The
+    anti-join shuffles only the key; composes with
+    :func:`apply_aging` + :func:`select_politely` into the bounded-
+    wait round loop."""
+    wait = (
+        F.col("wait_rounds")
+        if "wait_rounds" in frontier.columns
+        else F.lit(0).cast("long")
+    )
+    cols = [c for c in frontier.columns if c != "wait_rounds"]
+    return (
+        frontier.join(selected.select(key_col), key_col, "left_anti")
+        .select(*cols, (wait + F.lit(1)).cast("long").alias("wait_rounds"))
+    )

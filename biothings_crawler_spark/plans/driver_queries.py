@@ -6173,6 +6173,75 @@ FROM q
 """
 
 
+def q_frontier_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Starvation-free frontier rounds (operators/politeness.
+    apply_aging + defer_unselected + select_politely): round 1
+    schedules even event_ids at priority 5 under budget 3/host; the
+    deferred carry-over ages by 2 (effective 3) and must beat the
+    round-2 arrivals at priority 4 — without aging the fresh URLs
+    would starve the old frontier forever.  Output = both rounds'
+    selections; oracle = the naive-window two-round simulation."""
+    from biothings_crawler_spark.operators.politeness import (
+        apply_aging,
+        defer_unselected,
+        select_politely,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias("host"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("url_canon"),
+        F.col("event_id").alias("url_hash"),
+        F.col("event_id"),
+    )
+    r1 = base.filter(F.col("event_id") % 2 == 0).withColumn(
+        "priority", F.lit(5).cast("long")
+    )
+    budgets = spark.createDataFrame([], "host string, budget int")
+    s1 = select_politely(r1, budgets, 3, salt_target=2000)
+    deferred = defer_unselected(r1, s1)
+    fresh = base.filter(F.col("event_id") % 2 == 1).withColumn(
+        "priority", F.lit(4).cast("long")
+    )
+    r2 = apply_aging(deferred, boost_per_round=2).drop("wait_rounds").unionByName(
+        fresh
+    )
+    s2 = select_politely(r2, budgets, 3, salt_target=2000)
+    pick = lambda df, rnd: df.select(
+        "event_id", "host",
+        F.lit(rnd).cast("long").alias("round"),
+        F.col("sched_rank").cast("long").alias("sched_rank"),
+        F.col("priority").cast("long").alias("eff_priority"),
+    )
+    return pick(s1, 1).unionByName(pick(s2, 2))
+
+
+SQL_FRONTIER_AGING = """
+WITH base AS (
+  SELECT 'h' || CAST(user_id % 50 AS VARCHAR) AS host, event_id
+  FROM events),
+r1 AS (
+  SELECT host, event_id, 5 AS priority,
+         row_number() OVER (PARTITION BY host ORDER BY event_id) AS rn
+  FROM base WHERE event_id % 2 = 0),
+s1 AS (SELECT host, event_id, priority, rn FROM r1 WHERE rn <= 3),
+r2 AS (
+  SELECT host, event_id, eff,
+         row_number() OVER (PARTITION BY host ORDER BY eff, event_id) AS rn
+  FROM (
+    SELECT host, event_id, 3 AS eff FROM r1 WHERE rn > 3
+    UNION ALL
+    SELECT host, event_id, 4 AS eff FROM base WHERE event_id % 2 = 1)),
+s2 AS (SELECT host, event_id, eff, rn FROM r2 WHERE rn <= 3)
+SELECT event_id, host, CAST(1 AS BIGINT) AS round,
+       CAST(rn AS BIGINT) AS sched_rank, CAST(priority AS BIGINT) AS eff_priority
+FROM s1
+UNION ALL
+SELECT event_id, host, CAST(2 AS BIGINT), CAST(rn AS BIGINT), CAST(eff AS BIGINT)
+FROM s2
+"""
+
+
 # Registry order: queries with no driver CORRECTNESS row yet for their
 # CURRENT implementation (new this round, or rewritten since their last
 # green row) come first, so the driver's first-50 sample covers them;
@@ -6232,6 +6301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_script_mix": q_script_mix,
     "q_template_fps": q_template_fps,
     "q_latency_quantiles": q_latency_quantiles,
+    "q_frontier_aging": q_frontier_aging,
     "q_latest_snapshot": q_latest_snapshot,
     "q_postings_chunks": q_postings_chunks,
     "q_hll_small": q_hll_small,
@@ -6354,6 +6424,7 @@ ORACLES: dict[str, str] = {
     "q_script_mix": SQL_SCRIPT_MIX,
     "q_template_fps": SQL_TEMPLATE_FPS,
     "q_latency_quantiles": SQL_LATENCY_QUANTILES,
+    "q_frontier_aging": SQL_FRONTIER_AGING,
     "q_quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "q_ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
     "q_bigram_coverage": SQL_BIGRAM_COVERAGE,

@@ -121,3 +121,39 @@ def test_catalog_commit_stamps_meta_provenance(spark, tmp_path):
     assert meta["build_version"] == __version__
     assert meta["src"]["engine"] == "biothings_crawler_spark"
     assert "build_date" in meta
+
+
+def test_aging_defer_loop_prevents_starvation(spark):
+    """apply_aging + defer_unselected + select_politely: a deferred
+    URL's aged priority beats fresher arrivals, so the wait of every
+    frontier row is bounded; defer increments wait_rounds and the
+    boost clamps at max_boost."""
+    from biothings_crawler_spark.operators.politeness import (
+        apply_aging,
+        defer_unselected,
+        select_politely,
+    )
+
+    cand = spark.createDataFrame(
+        [("h", f"u{i:03d}", i, 5) for i in range(4)],
+        "host string, url_canon string, url_hash long, priority long",
+    )
+    budgets = spark.createDataFrame([], "host string, budget int")
+    s1 = select_politely(cand, budgets, 2, salt_target=1000)
+    assert sorted(r["url_canon"] for r in s1.collect()) == ["u000", "u001"]
+    deferred = defer_unselected(cand, s1)
+    dc = deferred.collect()
+    assert sorted(r["url_canon"] for r in dc) == ["u002", "u003"]
+    assert all(r["wait_rounds"] == 1 for r in dc)
+    fresh = spark.createDataFrame(
+        [("h", f"n{i:03d}", 100 + i, 4) for i in range(4)],
+        "host string, url_canon string, url_hash long, priority long",
+    )
+    aged = apply_aging(deferred, boost_per_round=2).drop("wait_rounds")
+    s2 = select_politely(aged.unionByName(fresh), budgets, 2, salt_target=1000)
+    # aged priority 5-2=3 beats the fresh 4s: old URLs selected first
+    assert sorted(r["url_canon"] for r in s2.collect()) == ["u002", "u003"]
+    # clamp: huge wait cannot push priority below priority - max_boost
+    stuck = deferred.withColumn("wait_rounds", F.lit(10_000).cast("long"))
+    a = apply_aging(stuck, boost_per_round=2, max_boost=3).collect()
+    assert all(r["priority"] == 2 for r in a)
