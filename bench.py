@@ -114,6 +114,7 @@ SUITE = [
     "q_template_fps",
     "q_latency_quantiles",
     "q_frontier_aging",
+    "q_robots_wildcards",
 ]
 
 

@@ -188,3 +188,56 @@ def defer_unselected(
         frontier.join(selected.select(key_col), key_col, "left_anti")
         .select(*cols, (wait + F.lit(1)).cast("long").alias("wait_rounds"))
     )
+
+
+def _robots_rule_regex(rule):
+    """RFC 9309 rule -> anchored Java/RE2 regex (both engines accept
+    the output): escape regex metachars, ``*`` -> ``.*``, a TRAILING
+    ``$`` stays an end anchor (inner ``$`` is literal)."""
+    esc = F.regexp_replace(rule, r"([.\[\]{}()+?^$|\\])", r"\\$1")
+    star = F.regexp_replace(esc, r"\*", ".*")
+    anchored = F.regexp_replace(star, r"\\\$$", "\\$")
+    return F.concat(F.lit("^"), anchored)
+
+
+def apply_robots_rfc(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """RFC 9309 wildcard-aware robots enforcement: like
+    :func:`apply_robots` (whose prefix semantics mirror the
+    reference's Scrapy-era matcher) but rules may contain ``*``
+    (any char run) and a trailing ``$`` (end anchor), precedence is
+    the longest RULE TEXT that matches, and a length tie goes to
+    allow (least-restrictive, per the RFC).
+
+    Shape: rule->regex compilation happens ONCE per robots row inside
+    the broadcast dimension (hosts × a handful of rules — never on the
+    candidate side); the candidate side evaluates ``regexp_like``
+    against the precompiled array elements.  Still a broadcast join +
+    row-local filter: no extra shuffle over :func:`apply_robots`.
+    """
+    dim = robots.select(
+        "host",
+        F.transform(
+            F.col("allow"),
+            lambda p: F.struct(
+                _robots_rule_regex(p).alias("re"), F.length(p).alias("n")
+            ),
+        ).alias("_are"),
+        F.transform(
+            F.col("disallow"),
+            lambda p: F.struct(
+                _robots_rule_regex(p).alias("re"), F.length(p).alias("n")
+            ),
+        ).alias("_dre"),
+    )
+    joined = candidates.join(F.broadcast(dim), "host", "left")
+    path = path_col(F.col("url_canon"))
+    longest = lambda arr: F.aggregate(  # noqa: E731
+        F.filter(arr, lambda s: F.regexp_like(F.col("p"), s["re"])),
+        F.lit(0),
+        lambda acc, s: F.greatest(acc, s["n"]),
+    )
+    staged = joined.withColumn("p", path)
+    allow_len = F.coalesce(longest(F.col("_are")), F.lit(0))
+    dis_len = F.coalesce(longest(F.col("_dre")), F.lit(0))
+    blocked = F.col("_dre").isNotNull() & (dis_len > allow_len) & (dis_len > 0)
+    return staged.filter(~blocked).drop("_are", "_dre", "p")

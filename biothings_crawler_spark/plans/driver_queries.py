@@ -6242,6 +6242,60 @@ FROM s2
 """
 
 
+def q_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 wildcard robots enforcement (operators/politeness.
+    apply_robots_rfc): per-host rules allow=['/pub/', '/p/10'],
+    disallow=['/p/*7$', '/p/1*', '/x'] over three synthetic paths per
+    document — exercises the '*' run, the '$' end anchor, longest-
+    rule precedence, and the equal-length tie going to allow
+    ('/p/10...' matches both '/p/1*' and '/p/10' at length 5).
+    Oracle: an INDEPENDENT plain-SQL formulation of the same rule
+    table (LIKE prefixes + one anchored regex), not the engine's
+    regex-compilation pipeline."""
+    from biothings_crawler_spark.operators.politeness import apply_robots_rfc
+
+    d = _t(spark, sf_dir, "documents")
+    robots = d.select(F.col("source").alias("host")).distinct().select(
+        "host",
+        F.expr("array('/pub/', '/p/10')").alias("allow"),
+        F.expr("array('/p/*7$', '/p/1*', '/x')").alias("disallow"),
+    )
+    i = F.col("doc_id").cast("string")
+    frontier = d.select(
+        F.col("source").alias("host"),
+        F.explode(
+            F.array(
+                F.concat(F.lit("/p/"), i),
+                F.concat(F.lit("/pub/"), i),
+                F.concat(F.lit("/x"), (F.col("doc_id") % 10).cast("string")),
+            )
+        ).alias("path"),
+    ).select(
+        "host", F.concat(F.lit("https://"), F.col("host"), F.col("path")).alias("url_canon")
+    )
+    return apply_robots_rfc(frontier, robots).select("host", "url_canon")
+
+
+SQL_ROBOTS_WILDCARDS = """
+WITH fr AS (
+  SELECT source AS host, p
+  FROM documents,
+       UNNEST(['/p/' || CAST(doc_id AS VARCHAR),
+               '/pub/' || CAST(doc_id AS VARCHAR),
+               '/x' || CAST(doc_id % 10 AS VARCHAR)]) AS u(p)),
+scored AS (
+  SELECT host, 'https://' || host || p AS url_canon,
+         GREATEST(CASE WHEN regexp_matches(p, '^/p/.*7$') THEN 7 ELSE 0 END,
+                  CASE WHEN p LIKE '/p/1%' THEN 5 ELSE 0 END,
+                  CASE WHEN p LIKE '/x%' THEN 2 ELSE 0 END) AS dlen,
+         GREATEST(CASE WHEN p LIKE '/pub/%' THEN 5 ELSE 0 END,
+                  CASE WHEN p LIKE '/p/10%' THEN 5 ELSE 0 END) AS alen
+  FROM fr)
+SELECT host, url_canon FROM scored
+WHERE NOT (dlen > alen AND dlen > 0)
+"""
+
+
 # Registry order: queries with no driver CORRECTNESS row yet for their
 # CURRENT implementation (new this round, or rewritten since their last
 # green row) come first, so the driver's first-50 sample covers them;
@@ -6302,6 +6356,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_template_fps": q_template_fps,
     "q_latency_quantiles": q_latency_quantiles,
     "q_frontier_aging": q_frontier_aging,
+    "q_robots_wildcards": q_robots_wildcards,
     "q_latest_snapshot": q_latest_snapshot,
     "q_postings_chunks": q_postings_chunks,
     "q_hll_small": q_hll_small,
@@ -6425,6 +6480,7 @@ ORACLES: dict[str, str] = {
     "q_template_fps": SQL_TEMPLATE_FPS,
     "q_latency_quantiles": SQL_LATENCY_QUANTILES,
     "q_frontier_aging": SQL_FRONTIER_AGING,
+    "q_robots_wildcards": SQL_ROBOTS_WILDCARDS,
     "q_quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "q_ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
     "q_bigram_coverage": SQL_BIGRAM_COVERAGE,

@@ -113,3 +113,34 @@ def test_parse_feeds_apply_robots_and_budgets(spark):
     }
     b = host_budgets(parsed, round_seconds=60, default_budget=100).collect()[0]
     assert b.budget == 6  # floor(60 / crawl_delay 9)
+
+
+def test_apply_robots_rfc_wildcards_anchor_and_tie(spark):
+    """RFC 9309 matching: '*' spans path chars, trailing '$' anchors,
+    longest rule text wins, equal-length ties go to allow, inner
+    regex metachars in rules are literal."""
+    from biothings_crawler_spark.operators.politeness import apply_robots_rfc
+
+    robots = spark.createDataFrame(
+        [("h", ["/private/pub/", "/p/10"],
+          ["/private/*/secret$", "/*.pdf$", "/p/1*", "/a[1]"])],
+        "host string, allow array<string>, disallow array<string>",
+    )
+    paths = ["/private/pub/secret",   # dis 18 > allow 13 -> blocked
+             "/private/x/secretive",  # '$' anchor: no match -> admitted
+             "/doc.pdf",              # wildcard+anchor -> blocked
+             "/doc.pdfx",             # anchor: admitted
+             "/p/100",                # tie 5 == 5 -> allow wins
+             "/p/19",                 # dis '/p/1*' only -> blocked
+             "/a[1]x",                # bracket is LITERAL -> blocked
+             "/ok"]
+    cand = spark.createDataFrame(
+        [("h", f"https://h{p}") for p in paths],
+        "host string, url_canon string",
+    )
+    admitted = {r["url_canon"][9:] for r in apply_robots_rfc(cand, robots).collect()}
+    assert admitted == {"/private/x/secretive", "/doc.pdfx", "/p/100", "/ok"}
+    # host with no robots row at all -> everything admitted
+    other = spark.createDataFrame([("z", "https://z/x.pdf")],
+                                  "host string, url_canon string")
+    assert apply_robots_rfc(other, robots).count() == 1
