@@ -115,6 +115,7 @@ SUITE = [
     "q_latency_quantiles",
     "q_frontier_aging",
     "q_robots_wildcards",
+    "q_containment_pairs",
 ]
 
 

@@ -649,3 +649,65 @@ def semantic_dedup(
     return cc.join(sizes, "component").select(
         "id", "component", F.expr("1000000 div csize").alias("weight_ppm")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    max_docs_per_shingle: int = 16,
+    min_shared: int = 2,
+    min_containment_ppm: int = 800_000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup — quote/scrape detection: ``(id_a, id_b,
+    n_shared, containment_ppm, is_contained)`` where containment is
+    shared shingles over the SMALLER document's shingle count
+    (Broder's containment coefficient, the companion measure to the
+    resemblance his MinHash estimates).  A long article that swallows
+    a short post whole has low Jaccard (the union is huge) but
+    containment ~1e6 — the symmetric MinHash/SimHash family in this
+    module is structurally blind to exactly this case, which is why
+    scraped-content detection needs its own operator.
+
+    Scale shape mirrors :func:`biothings_crawler_spark.operators.traps.
+    mirror_report` one level down: distinct (shingle, id) -> frequency
+    bound (shingles in more than ``max_docs_per_shingle`` docs are
+    stop-phrases and are dropped BEFORE the self-join, capping pairs
+    per shingle at C(cap, 2)) -> pair hash agg -> size rejoin.  The
+    shuffles carry (md5, id) pairs only — never text.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(F.col(text_col), k)).alias("s"),
+    ).select("id", F.md5("s").alias("sh")).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    bounded = sh.join(
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= int(max_docs_per_shingle))
+        .select("sh"),
+        "sh",
+        "left_semi",
+    )
+    a = bounded.select("sh", F.col("id").alias("id_a"))
+    b = bounded.select("sh", F.col("id").alias("id_b"))
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+    cont = F.expr("n_shared * 1000000 div least(n_a, n_b)")
+    return (
+        shared.join(sizes.select(F.col("id").alias("id_a"),
+                                 F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a", "id_b", "n_shared",
+            cont.alias("containment_ppm"),
+            (cont >= F.lit(int(min_containment_ppm))).alias("is_contained"),
+        )
+    )

@@ -6296,6 +6296,71 @@ WHERE NOT (dlen > alen AND dlen > 0)
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric quote/scrape detection (operators/dedup.
+    containment_pairs): within-host ordinal%9==1 documents append a
+    FULL copy of the previous ordinal's text — the quoting pair has
+    low Jaccard (the union is large) but containment 1e6 of the
+    quoted doc, exactly the case the symmetric MinHash family can't
+    flag.  Natural small overlaps in the corpus surface as unflagged
+    pairs; oracle replicates the k=5 shingle pipeline."""
+    from biothings_crawler_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    prev = d.select(
+        (F.col("doc_id") + 20).alias("doc_id"), F.col("text").alias("prev_text")
+    )
+    o = (F.col("doc_id") / 20).cast("long")
+    aug = d.join(prev, "doc_id", "left").select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            (o % 9 == 1) & F.col("prev_text").isNotNull(),
+            F.concat(F.col("text"), F.lit(" "), F.col("prev_text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return containment_pairs(
+        aug, "id", "text", k=5,
+        max_docs_per_shingle=16, min_shared=2, min_containment_ppm=800_000,
+    )
+
+
+SQL_CONTAINMENT_PAIRS = """
+WITH aug AS (
+  SELECT d.doc_id AS id,
+         CASE WHEN (d.doc_id // 20) % 9 = 1 AND p.text IS NOT NULL
+              THEN d.text || ' ' || p.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 20),
+w AS (
+  SELECT id,
+         list_filter(
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+           x -> len(x) > 0) AS words
+  FROM aug),
+s AS (
+  SELECT id,
+         list_distinct(CASE WHEN len(words) >= 5
+           THEN [array_to_string(words[j:j+4], ' ') for j in range(1, len(words) - 3)]
+           ELSE [array_to_string(words, ' ')] END) AS shl
+  FROM w),
+sh AS (
+  SELECT DISTINCT id, md5(u.s) AS sh FROM s, UNNEST(shl) AS u(s)),
+sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY id),
+bounded AS (
+  SELECT sh.* FROM sh
+  WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 16)),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM bounded a JOIN bounded b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id HAVING COUNT(*) >= 2)
+SELECT s.id_a, s.id_b, s.n_shared,
+       s.n_shared * 1000000 // LEAST(sa.n_sh, sb.n_sh) AS containment_ppm,
+       s.n_shared * 1000000 // LEAST(sa.n_sh, sb.n_sh) >= 800000 AS is_contained
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.id
+JOIN sizes sb ON s.id_b = sb.id
+"""
+
+
 # Registry order: queries with no driver CORRECTNESS row yet for their
 # CURRENT implementation (new this round, or rewritten since their last
 # green row) come first, so the driver's first-50 sample covers them;
@@ -6357,6 +6422,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_latency_quantiles": q_latency_quantiles,
     "q_frontier_aging": q_frontier_aging,
     "q_robots_wildcards": q_robots_wildcards,
+    "q_containment_pairs": q_containment_pairs,
     "q_latest_snapshot": q_latest_snapshot,
     "q_postings_chunks": q_postings_chunks,
     "q_hll_small": q_hll_small,
@@ -6481,6 +6547,7 @@ ORACLES: dict[str, str] = {
     "q_latency_quantiles": SQL_LATENCY_QUANTILES,
     "q_frontier_aging": SQL_FRONTIER_AGING,
     "q_robots_wildcards": SQL_ROBOTS_WILDCARDS,
+    "q_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q_quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "q_ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
     "q_bigram_coverage": SQL_BIGRAM_COVERAGE,

