@@ -116,6 +116,7 @@ SUITE = [
     "q_frontier_aging",
     "q_robots_wildcards",
     "q_containment_pairs",
+    "q_relevance_scores",
 ]
 
 

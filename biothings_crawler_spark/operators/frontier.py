@@ -107,3 +107,57 @@ def links_to_frontier(
     if max_depth is not None:
         out = out.filter(F.col("depth") <= F.lit(max_depth))
     return dedup_frontier(out)
+
+
+def relevance_scores(
+    links,
+    topic_terms,
+    target_col: str = "target_url",
+    anchor_col: str = "anchor_text",
+    w_url: int = 2,
+    w_anchor: int = 1,
+):
+    """Focused-crawl frontier scoring (the Chakrabarti et al. focused
+    crawler / shark-search family, batch form): score each candidate
+    target by topic evidence — distinct topic terms in its own URL
+    path tokens (weight ``w_url``) plus topic-term hits summed over
+    the ANCHOR TEXTS of its inlinks (weight ``w_anchor``, one count
+    per inlink: ten pages calling a URL "protein data" is ten units
+    of evidence).  The output ``score`` drops into the frontier's
+    ``priority`` (negated — smaller schedules first) so
+    ``select_politely`` crawls on-topic URLs first under the same
+    politeness budgets.
+
+    Shape: URL tokenization is row-local on the DISTINCT target set;
+    anchor evidence is one hash aggregate keyed by target; the topic
+    list is a literal array (broadcast-free — it compiles into the
+    plan).  Output: (target_url, url_hits, anchor_hits, score).
+    """
+    from pyspark.sql import functions as F
+
+    topics = F.array(*[F.lit(t) for t in sorted(set(topic_terms))])
+    toks = lambda c: F.filter(  # noqa: E731
+        F.split(F.lower(c), r"[^a-z0-9]+"), lambda w: F.length(w) > 0
+    )
+    targets = links.select(F.col(target_col).alias("target_url")).distinct()
+    url_side = targets.select(
+        "target_url",
+        F.size(F.array_intersect(F.array_distinct(toks(F.col("target_url"))), topics))
+        .cast("long")
+        .alias("url_hits"),
+    )
+    anchor_side = (
+        links.select(
+            F.col(target_col).alias("target_url"),
+            F.size(F.array_intersect(F.array_distinct(toks(F.col(anchor_col))), topics))
+            .cast("long")
+            .alias("h"),
+        )
+        .groupBy("target_url")
+        .agg(F.sum("h").alias("anchor_hits"))
+    )
+    return url_side.join(anchor_side, "target_url").select(
+        "target_url", "url_hits", "anchor_hits",
+        (F.col("url_hits") * F.lit(int(w_url))
+         + F.col("anchor_hits") * F.lit(int(w_anchor))).alias("score"),
+    )

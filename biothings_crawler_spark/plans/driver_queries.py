@@ -6361,6 +6361,81 @@ JOIN sizes sb ON s.id_b = sb.id
 """
 
 
+def q_relevance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focused-crawl frontier scoring (operators/frontier.
+    relevance_scores): inlinks synthesized from documents — target
+    paths carry the 'data'/'research' topic tokens for some ordinals,
+    anchors are the target doc's first three words (which sometimes
+    contain topic terms), multiple inlinks per target accumulate
+    anchor evidence.  Exact integer scores; oracle replicates the
+    tokenize-intersect-sum pipeline."""
+    from biothings_crawler_spark.operators.frontier import relevance_scores
+
+    d = _t(spark, sf_dir, "documents")
+    o = (F.col("doc_id") / 20).cast("long")
+    seg = (
+        F.when(o % 4 == 0, F.lit("data"))
+        .when(o % 4 == 1, F.lit("research"))
+        .when(o % 4 == 2, F.lit("data-research"))
+        .otherwise(F.lit("misc"))
+    )
+    target = F.concat(
+        F.lit("https://"), F.col("source"), F.lit("/"), seg, F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    words = F.split(F.col("text"), " ")
+    anchor = F.array_join(F.slice(words, 1, 3), " ")
+    links = d.select(
+        target.alias("target_url"), anchor.alias("anchor_text")
+    ).unionByName(
+        # second inlink for even ordinals: a topic-bearing anchor
+        d.filter(o % 2 == 0).select(
+            target.alias("target_url"),
+            F.lit("open data portal").alias("anchor_text"),
+        )
+    )
+    return relevance_scores(links, ["data", "research"])
+
+
+SQL_RELEVANCE_SCORES = """
+WITH d AS (
+  SELECT doc_id, source, text, doc_id // 20 AS o,
+         CASE (doc_id // 20) % 4
+           WHEN 0 THEN 'data' WHEN 1 THEN 'research'
+           WHEN 2 THEN 'data-research' ELSE 'misc' END AS seg
+  FROM documents),
+links AS (
+  SELECT 'https://' || source || '/' || seg || '/' || CAST(doc_id AS VARCHAR)
+           AS target_url,
+         array_to_string(string_split(text, ' ')[1:3], ' ') AS anchor_text
+  FROM d
+  UNION ALL
+  SELECT 'https://' || source || '/' || seg || '/' || CAST(doc_id AS VARCHAR),
+         'open data portal'
+  FROM d WHERE o % 2 = 0),
+tok AS (
+  SELECT target_url, anchor_text,
+         len(list_intersect(
+           list_distinct(list_filter(
+             string_split_regex(lower(anchor_text), '[^a-z0-9]+'), x -> len(x) > 0)),
+           ['data', 'research'])) AS h
+  FROM links),
+anchor_side AS (
+  SELECT target_url, CAST(SUM(h) AS BIGINT) AS anchor_hits
+  FROM tok GROUP BY target_url),
+url_side AS (
+  SELECT DISTINCT target_url,
+         CAST(len(list_intersect(
+           list_distinct(list_filter(
+             string_split_regex(lower(target_url), '[^a-z0-9]+'), x -> len(x) > 0)),
+           ['data', 'research'])) AS BIGINT) AS url_hits
+  FROM links)
+SELECT u.target_url, u.url_hits, a.anchor_hits,
+       u.url_hits * 2 + a.anchor_hits * 1 AS score
+FROM url_side u JOIN anchor_side a ON u.target_url = a.target_url
+"""
+
+
 # Registry order: queries with no driver CORRECTNESS row yet for their
 # CURRENT implementation (new this round, or rewritten since their last
 # green row) come first, so the driver's first-50 sample covers them;
@@ -6423,6 +6498,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_frontier_aging": q_frontier_aging,
     "q_robots_wildcards": q_robots_wildcards,
     "q_containment_pairs": q_containment_pairs,
+    "q_relevance_scores": q_relevance_scores,
     "q_latest_snapshot": q_latest_snapshot,
     "q_postings_chunks": q_postings_chunks,
     "q_hll_small": q_hll_small,
@@ -6548,6 +6624,7 @@ ORACLES: dict[str, str] = {
     "q_frontier_aging": SQL_FRONTIER_AGING,
     "q_robots_wildcards": SQL_ROBOTS_WILDCARDS,
     "q_containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "q_relevance_scores": SQL_RELEVANCE_SCORES,
     "q_quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "q_ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
     "q_bigram_coverage": SQL_BIGRAM_COVERAGE,

@@ -1654,3 +1654,30 @@ def test_containment_pairs_quote_vs_jaccard(spark):
     }))
     assert containment_pairs(many, "id", "text", k=5,
                              max_docs_per_shingle=4).count() == 0
+
+
+def test_relevance_scores_url_and_anchor_evidence(spark):
+    """Focused-crawl scoring: URL tokens count DISTINCT topic terms
+    once, each inlink anchor contributes its own hits, weights
+    compose, off-topic targets score 0."""
+    from biothings_crawler_spark.operators.frontier import relevance_scores
+
+    links = spark.createDataFrame(
+        [
+            ("https://h/data/research/1", "intro page"),
+            ("https://h/data/research/1", "more data here"),
+            ("https://h/data/data/2", "research data hub"),
+            ("https://h/misc/3", "nothing topical"),
+        ],
+        "target_url string, anchor_text string",
+    )
+    out = {r["target_url"]: r for r in
+           relevance_scores(links, ["data", "research"]).collect()}
+    t1 = out["https://h/data/research/1"]
+    assert t1["url_hits"] == 2          # both topic terms in path
+    assert t1["anchor_hits"] == 1       # one of two anchors hits once
+    assert t1["score"] == 2 * 2 + 1
+    t2 = out["https://h/data/data/2"]
+    assert t2["url_hits"] == 1          # 'data' twice counts ONCE
+    assert t2["anchor_hits"] == 2       # anchor has both terms
+    assert out["https://h/misc/3"]["score"] == 0
