@@ -437,3 +437,68 @@ def delete_from_segments(
         .cogroup(keyed.groupBy("segment_id"))
         .applyInPandas(drop, out_schema)
     )
+
+
+FILL_REPORT_SCHEMA = (
+    "segment_id int, kind string, n_items long, n_bits long, "
+    "bits_set long, fill_ppm long, est_fpr_ppm long, needs_rebuild boolean"
+)
+
+
+def segment_fill_report(
+    segments: DataFrame, max_fpr_ppm: int = 20_000
+) -> DataFrame:
+    """Seen-set operability report: per segment ``(segment_id, kind,
+    n_items, n_bits, bits_set, fill_ppm, est_fpr_ppm,
+    needs_rebuild)``.
+
+    Bloom false-positive rate RISES as segments absorb rounds (fixed
+    bit width, OR-merge) — and every false positive is a paid exact
+    anti-join probe, so at a 10^10-URL frontier FPR drift is a real
+    cost knob, not a curiosity.  The standard estimate from the
+    OBSERVED fill is fpr = (bits_set / n_bits)^k (the textbook bloom
+    analysis with the fill measured, not modeled), reported in ppm;
+    segments over ``max_fpr_ppm`` are flagged for rebuild — blooms
+    cannot split in place (no key set inside the blob), so the rebuild
+    path is :func:`build_segments` from the exact scheduled-URLs table
+    at a larger ``n_segments``, which this report sizes.
+
+    Shape: mapInPandas popcount over the blobs — one Arrow-batched
+    pass, each task touches only its partition's blobs, nothing
+    shuffles.  Cuckoo segments report occupancy as fill and 0 est_fpr
+    (their FPR is fingerprint-width-bound, not fill-bound).
+    """
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                f = filter_from_bytes(bytes(r["bloom"]))
+                if isinstance(f, BloomFilter):
+                    kind = "bloom"
+                    n_bits = int(f.n_bits)
+                    bits_set = int(np.unpackbits(f.bits).sum())
+                    fill = bits_set * 1_000_000 // n_bits
+                    est = int(((bits_set / n_bits) ** f.n_hashes) * 1_000_000)
+                else:
+                    kind = "cuckoo"
+                    occ = int((f.table != 0).sum())
+                    n_bits = int(f.table.size)
+                    bits_set = occ
+                    fill = occ * 1_000_000 // max(n_bits, 1)
+                    est = 0
+                rows.append({
+                    "segment_id": int(r["segment_id"]),
+                    "kind": kind,
+                    "n_items": int(r["n_items"]),
+                    "n_bits": n_bits,
+                    "bits_set": bits_set,
+                    "fill_ppm": fill,
+                    "est_fpr_ppm": est,
+                    "needs_rebuild": kind == "bloom" and est > max_fpr_ppm,
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return segments.select("segment_id", "bloom", "n_items").mapInPandas(
+        gen, FILL_REPORT_SCHEMA
+    )

@@ -170,3 +170,41 @@ def test_cuckoo_segments_end_to_end(spark):
     probed2 = mark_maybe_seen(urls, segs2.select("segment_id", "bloom"), 4)
     unseen = {r["url_canon"] for r in probed2.filter(~F.col("maybe_seen")).collect()}
     assert unseen == {"https://h/c5", "https://h/c50"}
+
+
+def test_segment_fill_report_tracks_fpr_drift(spark):
+    """Fill report: estimated FPR rises with absorbed rounds, the
+    rebuild flag trips past the threshold, cuckoo segments report
+    occupancy with est_fpr 0, and the report never shuffles blobs."""
+    import pandas as pd
+
+    from biothings_crawler_spark.operators.seen import (
+        BloomFilter,
+        CuckooFilter,
+        segment_fill_report,
+    )
+
+    import numpy as np
+
+    light = BloomFilter(1024, 4)
+    light.add_many(np.arange(10, dtype=np.int64))
+    heavy = BloomFilter(1024, 4)
+    heavy.add_many(np.arange(5000, dtype=np.int64))       # way oversubscribed
+    ck = CuckooFilter.sized_for(64)
+    ck.add_many(np.arange(20, dtype=np.int64))
+    segs = spark.createDataFrame(pd.DataFrame({
+        "segment_id": [0, 1, 2],
+        "round": [1, 1, 1],
+        "bloom": [light.to_bytes(), heavy.to_bytes(), ck.to_bytes()],
+        "n_items": [10, 5000, 20],
+    }))
+    out = {r["segment_id"]: r for r in
+           segment_fill_report(segs, max_fpr_ppm=20_000).collect()}
+    assert out[0]["kind"] == "bloom" and out[0]["needs_rebuild"] is False
+    assert out[0]["est_fpr_ppm"] < 100
+    assert out[1]["needs_rebuild"] is True
+    assert out[1]["est_fpr_ppm"] > 500_000       # saturated filter
+    assert out[0]["fill_ppm"] < out[1]["fill_ppm"]
+    assert out[2]["kind"] == "cuckoo" and out[2]["est_fpr_ppm"] == 0
+    plan = segment_fill_report(segs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
