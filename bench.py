@@ -117,6 +117,7 @@ SUITE = [
     "q_robots_wildcards",
     "q_containment_pairs",
     "q_relevance_scores",
+    "q_adaptive_budgets",
 ]
 
 

@@ -241,3 +241,59 @@ def apply_robots_rfc(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     dis_len = F.coalesce(longest(F.col("_dre")), F.lit(0))
     blocked = F.col("_dre").isNotNull() & (dis_len > allow_len) & (dis_len > 0)
     return staged.filter(~blocked).drop("_are", "_dre", "p")
+
+
+def adaptive_budgets(
+    fetches: DataFrame,
+    host_col: str,
+    ts_col: str,
+    status_col: str,
+    latency_col: str,
+    round_seconds: int = 600,
+    min_budget: int = 1,
+    base_rate_rph: int = 60,
+    min_rate_rph: int = 6,
+    max_rate_rph: int = 3600,
+    incr_rph: int = 12,
+) -> DataFrame:
+    """The adaptive politeness plane, composed: per-host round budgets
+    from BOTH backpressure history (AIMD fold — the host TOLD us to
+    slow down) and observed latency (p95 upper bound — the host can't
+    physically serve more than round/p95 sequential requests at
+    target concurrency 1).  budget = clamp(min(rate-derived,
+    latency-derived), min_budget) — the conservative envelope of the
+    two signals, in exact integer arithmetic.  Output ``(host,
+    rate_rph, p95_us, budget)`` drops straight into
+    :func:`select_politely`; hosts absent from the fetch log get the
+    caller's default there.
+
+    Shape: both inputs are the bounded aggregates documented on their
+    operators (hourly-flag fold; 64-bin histogram fold); the composer
+    adds ONE host-keyed equi-join of two host-bounded tables and a
+    row-local clamp.  Nothing here rescans fetch rows.
+    """
+    from biothings_crawler_spark.operators.recrawl import aimd_host_rates
+    from biothings_crawler_spark.operators.sketch import host_latency_quantiles
+
+    rates = aimd_host_rates(
+        fetches, host_col, ts_col, status_col,
+        base_rate_rph=base_rate_rph, min_rate_rph=min_rate_rph,
+        max_rate_rph=max_rate_rph, incr_rph=incr_rph,
+    ).select("host", "rate_rph")
+    lat = host_latency_quantiles(
+        fetches, host_col, latency_col, quantiles_ppm=(500_000, 950_000, 990_000)
+    ).select("host", "p95_us")
+    rs = int(round_seconds)
+    return (
+        rates.join(lat, "host")
+        .select(
+            "host", "rate_rph", "p95_us",
+            F.greatest(
+                F.lit(int(min_budget)).cast("long"),
+                F.least(
+                    F.expr(f"rate_rph * {rs} div 3600"),
+                    F.expr(f"cast({rs} as bigint) * 1000000 div p95_us"),
+                ),
+            ).cast("int").alias("budget"),
+        )
+    )

@@ -257,3 +257,18 @@ def host_latency_quantiles(
         *[F.expr(f"shiftleft(1L, cast(_b_{l} + 1 AS INT)) - 1L").alias(l)
           for l in labels],
     )
+
+
+def merge_latency_histograms(*hists: DataFrame) -> DataFrame:
+    """Merge per-shard latency histograms: union + one (host, bin)
+    hash aggregate.  This IS the sketch's mergeability contract —
+    hist(A) ⊕ hist(B) == hist(A ∪ B) exactly (counts add, bins are
+    value-determined) — which is what lets each crawl shard keep its
+    own histogram and the politeness plane fold them in per round
+    without touching raw fetch rows."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("host", "bin").agg(
+        F.sum("n").cast("long").alias("n")
+    )

@@ -6436,6 +6436,86 @@ FROM url_side u JOIN anchor_side a ON u.target_url = a.target_url
 """
 
 
+def q_adaptive_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed adaptive politeness plane (operators/politeness.
+    adaptive_budgets = AIMD rate fold ∧ p95 latency bound): one fetch
+    log (host, ts, status, latency) from events; budget = clamp(min(
+    rate_rph*round/3600, round_us/p95_us), 1).  Both component
+    operators are oracle-paired alone (q_aimd_rates,
+    q_latency_quantiles); this pair verifies the COMPOSITION in one
+    DuckDB statement."""
+    from biothings_crawler_spark.operators.politeness import adaptive_budgets
+
+    ev = _t(spark, sf_dir, "events")
+    mix = (F.col("event_id") * F.lit(2654435761)) % 100
+    fetches = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string")).alias("host"),
+        F.col("ts"),
+        F.when(mix < 7, F.lit(429))
+        .when(mix < 10, F.lit(503))
+        .otherwise(F.lit(200))
+        .alias("status"),
+        F.floor(F.col("value") * 12345).cast("long").alias("latency_us"),
+    )
+    return adaptive_budgets(
+        fetches, "host", "ts", "status", "latency_us",
+        round_seconds=600, min_budget=1,
+        base_rate_rph=60, min_rate_rph=6, max_rate_rph=3600, incr_rph=12,
+    )
+
+
+SQL_ADAPTIVE_BUDGETS = """
+WITH f AS (
+  SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+         epoch_us(ts) AS us,
+         CASE WHEN (event_id * 2654435761) % 100 < 7 THEN 429
+              WHEN (event_id * 2654435761) % 100 < 10 THEN 503
+              ELSE 200 END AS status,
+         GREATEST(CAST(floor(value * 12345) AS BIGINT), 1) AS v
+  FROM events),
+hourly AS (
+  SELECT host, us - us % 3600000000 AS hour_us,
+         MAX(CAST(status = 429 OR status >= 500 AS INT)) AS backoff
+  FROM f GROUP BY host, us - us % 3600000000),
+rates AS (
+  SELECT host,
+         list_reduce(
+           list_prepend(CAST(60 AS BIGINT),
+                        list_transform(list(backoff ORDER BY hour_us),
+                                       c -> CAST(c AS BIGINT))),
+           (acc, c) -> CASE WHEN c = 1 THEN GREATEST(CAST(6 AS BIGINT), acc // 2)
+                            ELSE LEAST(CAST(3600 AS BIGINT), acc + 12) END)
+           AS rate_rph
+  FROM hourly GROUP BY host),
+binned AS (
+  SELECT host, CAST(length(bin(v)) - 1 AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM f GROUP BY host, CAST(length(bin(v)) - 1 AS BIGINT)),
+ph AS (
+  SELECT host, CAST(SUM(n) AS BIGINT) AS n,
+         list({'bin': bin, 'n': n} ORDER BY bin) AS bins
+  FROM binned GROUP BY host),
+lat AS (
+  -- running counter LAST: see SQL_LATENCY_QUANTILES field-order note
+  SELECT host,
+         (CAST(1 AS BIGINT) << CAST(
+            list_reduce(
+              list_prepend({'b': CAST(-1 AS BIGINT), 'cum': CAST(0 AS BIGINT)},
+                           list_transform(bins, s -> {'b': s.bin, 'cum': s.n})),
+              (acc, s) -> {
+                'b': CASE WHEN acc.b = -1 AND (acc.cum + s.cum) * 1000000 >= n * 950000
+                          THEN s.b ELSE acc.b END,
+                'cum': acc.cum + s.cum}).b + 1 AS INT)) - 1 AS p95_us
+  FROM ph)
+SELECT r.host, r.rate_rph, l.p95_us,
+       CAST(GREATEST(CAST(1 AS BIGINT),
+                     LEAST(r.rate_rph * 600 // 3600,
+                           CAST(600 AS BIGINT) * 1000000 // l.p95_us)) AS INT)
+         AS budget
+FROM rates r JOIN lat l ON r.host = l.host
+"""
+
+
 # Registry order: queries with no driver CORRECTNESS row yet for their
 # CURRENT implementation (new this round, or rewritten since their last
 # green row) come first, so the driver's first-50 sample covers them;
@@ -6499,6 +6579,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_robots_wildcards": q_robots_wildcards,
     "q_containment_pairs": q_containment_pairs,
     "q_relevance_scores": q_relevance_scores,
+    "q_adaptive_budgets": q_adaptive_budgets,
     "q_latest_snapshot": q_latest_snapshot,
     "q_postings_chunks": q_postings_chunks,
     "q_hll_small": q_hll_small,
@@ -6625,6 +6706,7 @@ ORACLES: dict[str, str] = {
     "q_robots_wildcards": SQL_ROBOTS_WILDCARDS,
     "q_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q_relevance_scores": SQL_RELEVANCE_SCORES,
+    "q_adaptive_budgets": SQL_ADAPTIVE_BUDGETS,
     "q_quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "q_ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
     "q_bigram_coverage": SQL_BIGRAM_COVERAGE,

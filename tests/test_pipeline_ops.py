@@ -1681,3 +1681,23 @@ def test_relevance_scores_url_and_anchor_evidence(spark):
     assert t2["url_hits"] == 1          # 'data' twice counts ONCE
     assert t2["anchor_hits"] == 2       # anchor has both terms
     assert out["https://h/misc/3"]["score"] == 0
+
+
+def test_latency_histogram_mergeability(spark):
+    """hist(A) merge hist(B) == hist(A union B), bit-exact — the
+    property that makes the 64-bin histogram a sketch."""
+    from biothings_crawler_spark.operators.sketch import (
+        latency_histogram,
+        merge_latency_histograms,
+    )
+
+    a = spark.createDataFrame(
+        [("h", v) for v in [1, 2, 3, 100, 2000]], "host string, v long")
+    b = spark.createDataFrame(
+        [("h", v) for v in [3, 5, 900]] + [("g", 7)], "host string, v long")
+    merged = {(r["host"], r["bin"]): r["n"] for r in merge_latency_histograms(
+        latency_histogram(a, "host", "v"), latency_histogram(b, "host", "v")
+    ).collect()}
+    direct = {(r["host"], r["bin"]): r["n"] for r in latency_histogram(
+        a.unionByName(b), "host", "v").collect()}
+    assert merged == direct

@@ -157,3 +157,33 @@ def test_aging_defer_loop_prevents_starvation(spark):
     stuck = deferred.withColumn("wait_rounds", F.lit(10_000).cast("long"))
     a = apply_aging(stuck, boost_per_round=2, max_boost=3).collect()
     assert all(r["priority"] == 2 for r in a)
+
+
+def test_adaptive_budgets_conservative_envelope(spark):
+    """budget = clamp(min(AIMD-rate budget, latency p95 bound), 1):
+    a backpressured host gets rate-bound, a slow host gets
+    latency-bound, a healthy fast host gets the larger rate figure."""
+    import datetime as dt
+
+    from biothings_crawler_spark.operators.politeness import adaptive_budgets
+
+    t = lambda h, s=0: dt.datetime(2024, 1, 1) + dt.timedelta(hours=h, seconds=s)
+    rows = (
+        # fast + clean: rate 60+12*3=96 rph -> 16/round(600s); p95 ~ 1ms
+        [("fast", t(h), 200, 1000) for h in range(3)]
+        # slow + clean: same rate, but p95 bin for 60s -> bound 600e6/(2^26-1)=8
+        + [("slow", t(h), 200, 60_000_000) for h in range(3)]
+        # backpressured: halving every hour -> floor 6 rph -> 6*600//3600 = 1
+        + [("bp", t(h), 503, 1000) for h in range(8)]
+    )
+    df = spark.createDataFrame(
+        rows, "host string, ts timestamp_ntz, status int, latency_us long")
+    out = {r["host"]: r for r in adaptive_budgets(
+        df, "host", "ts", "status", "latency_us",
+        round_seconds=600, min_budget=1,
+    ).collect()}
+    assert out["fast"]["budget"] == 16          # rate-bound: 96*600//3600
+    assert out["slow"]["rate_rph"] == out["fast"]["rate_rph"]
+    assert out["slow"]["budget"] == 8           # latency-bound (p95 ub 2^27-1? -> 600e6//p95)
+    assert out["slow"]["budget"] < out["fast"]["budget"]
+    assert out["bp"]["budget"] == 1             # clamped at min_budget
