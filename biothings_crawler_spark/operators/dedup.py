@@ -677,10 +677,39 @@ def containment_pairs(
     per shingle at C(cap, 2)) -> pair hash agg -> size rejoin.  The
     shuffles carry (md5, id) pairs only — never text.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_col(F.col(text_col), k)).alias("s"),
-    ).select("id", F.md5("s").alias("sh")).distinct()
+    # Two deliberate plan cuts (at 10^10 rows both are written tables,
+    # the LSH-index-build pattern):
+    #  1. the words array materializes BEFORE shingling — inside a
+    #     transform() lambda the words subtree re-evaluates PER ELEMENT
+    #     (no CSE into lambda scope: measured 17.5s -> 2.7s at sf0.1);
+    #  2. the distinct shingle index feeds FOUR consumers (sizes, the
+    #     frequency bound, both self-join sides) — without a cut the
+    #     pipeline re-inlines into each (the minhash-signature lesson).
+    words = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")),
+            r"\s+",
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    w = docs.select(F.col(id_col).alias("id"), words.alias("w")).localCheckpoint(
+        eager=True
+    )
+    shingles = F.array_distinct(
+        F.when(
+            F.size("w") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - k),
+                lambda i: F.array_join(F.slice(F.col("w"), i + 1, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(F.col("w"), " ")))
+    )
+    sh = (
+        w.select("id", F.explode(shingles).alias("s"))
+        .select("id", F.md5("s").alias("sh"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     bounded = sh.join(
         sh.groupBy("sh")

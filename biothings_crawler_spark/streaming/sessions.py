@@ -66,3 +66,30 @@ def session_stream(
             (F.col("end_us") - F.col("start_us")).alias("duration_us"),
         )
     )
+
+
+def dedup_fetch_stream(
+    fetches: DataFrame,
+    key_col: str = "url_canon",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exactly-once URL admission — the Structured Streaming
+    twin of the batch seen-set (operators/seen.py) for the INTRA-round
+    horizon: ``dropDuplicatesWithinWatermark`` keeps the first record
+    per key and discards re-fetches arriving within the watermark, with
+    state BOUNDED by the watermark instead of growing with the key
+    space (the property that makes it runnable against an unbounded
+    fetch firehose; the persistent cross-round seen-set stays the
+    bloom/cuckoo segment table — this operator only has to keep the
+    horizon where duplicates can still arrive out of order).
+
+    A killed query restarted on the same checkpoint neither re-emits
+    an admitted key nor loses one (state store + idempotent sink —
+    pytest drives two AvailableNow rounds on one checkpoint).
+    """
+    fetches = fetches.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        fetches.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([key_col])
+    )

@@ -153,3 +153,54 @@ def test_session_stream_watermark_finalizes_and_resumes(spark, tmp_path):
     row = {r["key"]: r for r in spark.read.parquet(dest).collect()}[2]
     base = int(dt.datetime(2024, 1, 1).timestamp())  # UTC session tz
     assert row["duration_us"] == 1_000_000 and row["n_events"] == 2
+
+
+def test_dedup_fetch_stream_watermark_and_resume(spark, tmp_path):
+    """Streaming URL admission: first record per key wins, duplicates
+    within the watermark are dropped, and a second AvailableNow round
+    on the same checkpoint neither re-admits nor loses keys."""
+    import datetime as dt
+
+    from biothings_crawler_spark.streaming.sessions import dedup_fetch_stream
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    schema = "url_canon string, ts timestamp_ntz, body string"
+    src = tmp_path / "fetches"
+    src.mkdir()
+    spark.createDataFrame(
+        [("u1", t(0), "first"), ("u1", t(5), "dup-in-window"),
+         ("u2", t(1), "first"), ("u1", t(8), "dup2")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    dest = str(tmp_path / "admitted")
+
+    def run_round():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            dedup_fetch_stream(stream, "url_canon", "ts", watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", dest)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_round()
+    got = {(r["url_canon"], r["body"]) for r in spark.read.parquet(dest).collect()}
+    assert got == {("u1", "first"), ("u2", "first")}
+
+    # round 2: a re-fetch of u1 within the horizon plus a new key;
+    # restart on the same checkpoint — u1 stays admitted exactly once
+    spark.createDataFrame(
+        [("u1", t(20), "late-dup"), ("u3", t(30), "first")], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    run_round()
+    got2 = sorted((r["url_canon"], r["body"])
+                  for r in spark.read.parquet(dest).collect())
+    assert got2 == [("u1", "first"), ("u2", "first"), ("u3", "first")]
