@@ -398,3 +398,77 @@ def canonical_clusters(
         F.sum((~F.col("is_canonical")).cast("long")).alias("n_aliases"),
         F.max(F.col("is_canonical")).alias("has_canonical_page"),
     )
+
+
+# hreflang alternate-language links (pure codegen)
+# ---------------------------------------------------------------------------
+
+_HREFLANG_RE = (
+    r'(?i)<link[^>]*rel="alternate"[^>]*hreflang="([^"]*)"[^>]*href="([^"]*)"'
+)
+
+
+def hreflang_map(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Per-page language-alternate edges ``(url, lang, target_url)``
+    from ``<link rel="alternate" hreflang=...>`` — the signal that
+    keeps a multilingual site's variants OUT of near-dup dedup (they
+    are translations, not duplicates) and routes each language's pages
+    to its language-specific pipeline.  Same resolution contract as
+    :func:`canonical_map`: absolute http(s) kept, root-relative joined
+    onto the page host, everything else dropped.  Row-local
+    ``regexp_extract_all`` + per-match group extraction inside
+    ``transform`` — one projection, zero exchanges, no Python.
+    """
+    txt = F.decode(F.col(html_col), "utf-8")
+    ms = F.regexp_extract_all(txt, F.lit(_HREFLANG_RE), F.lit(0))
+    root = F.regexp_extract(F.col(url_col), r"^(https?://[^/]+)", 1)
+
+    def _one(m: Column) -> Column:
+        lang = F.lower(F.regexp_extract(m, _HREFLANG_RE, 1))
+        href = F.regexp_extract(m, _HREFLANG_RE, 2)
+        tgt = (
+            F.when(href.rlike(r"^https?://"), href)
+            .when(href.startswith("/"), F.concat(root, href))
+            .otherwise(F.lit(None).cast("string"))
+        )
+        return F.struct(lang.alias("lang"), tgt.alias("target"))
+
+    pairs = F.filter(
+        F.transform(ms, _one), lambda s: s.getField("target").isNotNull()
+    )
+    # the generator lives in its own projection: explode() next to an
+    # identically-named alias trips Spark's lateral-column-alias
+    # resolution into an internal error (LateralColumnAliasReference)
+    staged = pages.select(F.col(url_col).alias("url"), pairs.alias("ps"))
+    return staged.select("url", F.explode("ps").alias("a")).select(
+        "url", F.col("a.lang").alias("lang"), F.col("a.target").alias("target_url")
+    )
+
+
+def hreflang_reciprocity(alternates: DataFrame) -> DataFrame:
+    """Validate the alternate graph: ``(url, lang, target_url,
+    is_reciprocal)`` — an hreflang edge only counts for search engines
+    when the TARGET page links back to the source (any language), and
+    non-reciprocal edges are the classic multilingual-SEO
+    misconfiguration a crawl-quality report should surface.
+
+    Shape: distinct edge set, then ONE left-semi self-join on the
+    reversed (url, target) pair — the link_farm_report pattern; the
+    edge domain is pages×languages, never pages².
+    """
+    edges = alternates.select("url", "lang", "target_url").distinct()
+    back = edges.select(
+        F.col("target_url").alias("url"), F.col("url").alias("target_url")
+    ).distinct()
+    recip = edges.join(back, ["url", "target_url"], "left_semi").select(
+        "url", "target_url", F.lit(True).alias("is_reciprocal")
+    )
+    return (
+        edges.join(recip, ["url", "target_url"], "left")
+        .select(
+            "url", "lang", "target_url",
+            F.coalesce("is_reciprocal", F.lit(False)).alias("is_reciprocal"),
+        )
+    )

@@ -122,3 +122,34 @@ def test_canonical_map_resolution_and_orders(spark):
     x = c["https://a.com/x"]
     assert x["n_pages"] == 3 and x["n_aliases"] == 2
     assert x["has_canonical_page"] is True
+
+
+def test_hreflang_map_and_reciprocity(spark):
+    """hreflang extraction resolves like canonical_map; reciprocity
+    flags edges whose target does not link back (the SEO-bug case)."""
+    from biothings_crawler_spark.operators.extract import (
+        hreflang_map,
+        hreflang_reciprocity,
+    )
+
+    en = ('<link rel="alternate" hreflang="de" href="https://x.com/de/p">'
+          '<link rel="alternate" hreflang="FR" href="/fr/p">'
+          '<link rel="alternate" hreflang="es" href="mailto:no">')
+    de = '<link rel="alternate" hreflang="en" href="https://x.com/p">'
+    fr = "<p>no links back</p>"
+    pages = spark.createDataFrame(
+        [("https://x.com/p", en.encode()),
+         ("https://x.com/de/p", de.encode()),
+         ("https://x.com/fr/p", fr.encode())],
+        "url string, html binary",
+    )
+    m = hreflang_map(pages)
+    got = {(r["url"], r["lang"], r["target_url"]) for r in m.collect()}
+    assert got == {
+        ("https://x.com/p", "de", "https://x.com/de/p"),
+        ("https://x.com/p", "fr", "https://x.com/fr/p"),   # lowered + resolved
+        ("https://x.com/de/p", "en", "https://x.com/p"),
+    }
+    r = {(x["lang"]): x["is_reciprocal"] for x in hreflang_reciprocity(m).collect()
+         if x["url"] == "https://x.com/p"}
+    assert r == {"de": True, "fr": False}   # fr page never links back
