@@ -14,7 +14,7 @@ Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ADDED = "added"
@@ -143,4 +143,48 @@ def url_history(
         F.col("v.vf").alias("valid_from"),
         F.col("v.vt").alias("valid_to"),
         F.col("v.n").alias("n_fetches"),
+    )
+
+
+def conditional_fetch_report(
+    fetches: DataFrame,
+    host_col: str,
+    url_col: str,
+    ts_col: str,
+    hash_col: str,
+    size_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Bandwidth accounting for conditional requests: per host,
+    ``(host, n_fetches, n_refetches, n_unchanged, bytes_unchanged,
+    waste_ppm)`` — every refetch whose content hash equals the
+    previous fetch's is a body the crawler could have skipped with
+    If-None-Match/If-Modified-Since (a 304 costs headers only), so
+    ``bytes_unchanged`` is the recoverable bandwidth and ``waste_ppm``
+    the fraction of refetch bytes wasted.  At 10^10 fetches this
+    number decides whether the fetcher grows a conditional-request
+    path at all; the reference never measures it (Scrapy refetches
+    whole bodies unconditionally).
+
+    Shape: one lag window over (url, ts) — same keyed exchange the
+    recrawl scheduler already pays — then a host-keyed hash agg.
+    Exact integers throughout.
+    """
+    w = Window.partitionBy(url_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(F.col(hash_col)).over(w)
+    flagged = fetches.select(
+        F.col(host_col).alias("host"),
+        F.col(size_col).cast("long").alias("size"),
+        prev.isNotNull().cast("int").alias("is_refetch"),
+        (prev.isNotNull() & (F.col(hash_col) == prev)).cast("int").alias("unchanged"),
+    )
+    return flagged.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.sum("is_refetch").cast("long").alias("n_refetches"),
+        F.sum("unchanged").cast("long").alias("n_unchanged"),
+        F.sum(F.col("size") * F.col("unchanged")).cast("long").alias("bytes_unchanged"),
+        F.expr(
+            "CASE WHEN sum(size * is_refetch) = 0 THEN 0 "
+            "ELSE sum(size * unchanged) * 1000000 div sum(size * is_refetch) END"
+        ).cast("long").alias("waste_ppm"),
     )
