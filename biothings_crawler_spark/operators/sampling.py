@@ -19,7 +19,7 @@ Two deliberate design points for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 U60_MAX = 1 << 60
@@ -61,3 +61,112 @@ def mixture_sample(
     for s, r in sorted(rates.items()):
         thr = F.when(F.col(stratum_col) == s, F.lit(rate_threshold(r))).otherwise(thr)
     return df.filter(u < thr)
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    score_ppm_col: str,
+    base_rate: float = 1.0,
+    seed: str = "qw",
+) -> DataFrame:
+    """Keep each row with probability ``base_rate * score_ppm/1e6`` —
+    quality-PROPORTIONAL sampling (the soft alternative to a hard
+    quality cutoff: high-quality documents are kept almost always, the
+    tail keeps a diversity residue instead of vanishing).  Fully
+    deterministic in (seed, id): keep iff
+    ``u60(id) * 1_000_000 < score_ppm * threshold(base_rate)`` — exact
+    integer comparison (u60 < 2^60, score_ppm <= 1e6, the product
+    fits a 128-bit DECIMAL), zero shuffle, reproducible across runs
+    and cluster widths.
+    """
+    u = hash_u60_col(F.col(id_col), seed)
+    thr = rate_threshold(base_rate)
+    keep = (
+        u.cast("decimal(38,0)") * F.lit(1_000_000)
+        < F.col(score_ppm_col).cast("decimal(38,0)") * F.lit(thr)
+    )
+    return df.filter(keep)
+
+
+def select_token_budget(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    score_ppm_col: str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Greedy quality-first corpus selection under a TOKEN budget: take
+    documents in descending quality order until ``budget_tokens`` is
+    spent (the selection step of every "train on the best N tokens"
+    recipe).  Naively this is a global sort + running-sum window — one
+    task owns the whole corpus.  Scale shape instead:
+
+      1. per-SCORE totals: one hash agg onto at most 1e6+1 integer
+         ppm bands;
+      2. running sum over the BAND table (a window over <= 1e6 rows —
+         bounded by the score domain, not the corpus);
+      3. bands strictly above the cutoff broadcast back as
+         take-everything; only the single BOUNDARY band runs a
+         per-document running-sum window, ordered by ``id`` — bounded
+         by one band's population (fine-grained scores keep it small;
+         a degenerate all-one-score corpus degrades to the naive sort,
+         which is the problem's true lower bound).
+
+    Deterministic: (score desc, id asc) total order.  Returns the
+    selected rows plus ``cum_tokens`` (the running total INCLUDING the
+    row).  A document that would overflow the budget is excluded
+    (strict knapsack-prefix semantics).
+    """
+    b = int(budget_tokens)
+    bands = (
+        df.groupBy(F.col(score_ppm_col).alias("band"))
+        .agg(F.sum(F.col(tokens_col)).cast("long").alias("band_tokens"))
+    )
+    wb = Window.orderBy(F.col("band").desc())
+    banded = bands.select(
+        "band", "band_tokens",
+        F.sum("band_tokens").over(wb).alias("cum_through_band"),
+    )
+    # bands fully inside the budget; the first band that crosses is
+    # the boundary (processed per-document below)
+    full = banded.filter(F.col("cum_through_band") <= b).select(
+        "band", F.lit(False).alias("is_boundary"),
+        (F.col("cum_through_band") - F.col("band_tokens")).alias("tokens_before"),
+    )
+    boundary = (
+        banded.filter(
+            (F.col("cum_through_band") > b)
+            & (F.col("cum_through_band") - F.col("band_tokens") < b)
+        )
+        .select(
+            "band", F.lit(True).alias("is_boundary"),
+            (F.col("cum_through_band") - F.col("band_tokens")).alias("tokens_before"),
+        )
+    )
+    plan = full.unionByName(boundary)
+    joined = df.join(
+        F.broadcast(plan), df[score_ppm_col] == plan.band, "inner"
+    )
+    inside = joined.filter(~F.col("is_boundary")).select(
+        *df.columns, (F.col("tokens_before")).alias("_before"),
+    )
+    edge = (
+        joined.filter(F.col("is_boundary"))
+        .select(*df.columns, "tokens_before")
+        .withColumn("_run", F.sum(F.col(tokens_col)).over(
+            Window.orderBy(F.col(id_col))))
+        .filter(F.col("tokens_before") + F.col("_run") <= b)
+        .select(*df.columns, (F.col("tokens_before")).alias("_before"))
+    )
+    # exact per-row cumulative position: within-band running sum added
+    # to the band's prefix (full bands order by id for determinism)
+    wfull = Window.partitionBy(F.col(score_ppm_col)).orderBy(F.col(id_col))
+    out = inside.withColumn(
+        "cum_tokens", F.col("_before") + F.sum(F.col(tokens_col)).over(wfull)
+    ).unionByName(
+        edge.withColumn(
+            "cum_tokens", F.col("_before") + F.sum(F.col(tokens_col)).over(wfull)
+        )
+    )
+    return out.drop("_before")

@@ -1701,3 +1701,47 @@ def test_latency_histogram_mergeability(spark):
     direct = {(r["host"], r["bin"]): r["n"] for r in latency_histogram(
         a.unionByName(b), "host", "v").collect()}
     assert merged == direct
+
+
+def test_quality_weighted_sample_monotone_and_deterministic(spark):
+    """Keep probability scales with score: score 1e6 keeps everything
+    (base_rate 1), score 0 keeps nothing; two runs are identical."""
+    from biothings_crawler_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1_000_000 if i % 3 == 0 else (0 if i % 3 == 1 else 500_000))
+         for i in range(300)],
+        "id long, score_ppm long",
+    )
+    out = quality_weighted_sample(df, "id", "score_ppm")
+    kept = {r["id"] for r in out.collect()}
+    assert all(i in kept for i in range(0, 300, 3))          # perfect score
+    assert not any(i in kept for i in range(1, 300, 3))      # zero score
+    mid = [i for i in range(2, 300, 3) if i in kept]
+    assert 20 < len(mid) < 80                                # ~half of 100
+    assert kept == {r["id"] for r in
+                    quality_weighted_sample(df, "id", "score_ppm").collect()}
+
+
+def test_select_token_budget_boundary_semantics(spark):
+    """Quality-first budget selection: full high bands taken, the
+    boundary band takes docs in id order until the budget, the
+    overflowing doc is excluded, cum_tokens is exact."""
+    from biothings_crawler_spark.operators.sampling import select_token_budget
+
+    rows = [
+        (1, 100, 900_000), (2, 100, 900_000),        # top band: 200 tokens
+        (10, 60, 500_000), (11, 60, 500_000), (12, 60, 500_000),  # boundary
+        (20, 100, 100_000),                          # below: never taken
+    ]
+    df = spark.createDataFrame(rows, "id long, tokens long, score_ppm long")
+    out = {r["id"]: r["cum_tokens"]
+           for r in select_token_budget(df, "id", "tokens", "score_ppm",
+                                        budget_tokens=330).collect()}
+    # 200 (band 9e5) + 60 + 60 = 320 <= 330; doc 12 would hit 380 -> out
+    assert out == {1: 100, 2: 200, 10: 260, 11: 320}
+    # budget bigger than the corpus: everything selected
+    n = select_token_budget(df, "id", "tokens", "score_ppm", 10_000).count()
+    assert n == 6
