@@ -740,3 +740,115 @@ def containment_pairs(
             (cont >= F.lit(int(min_containment_ppm))).alias("is_contained"),
         )
     )
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_impl: str = "pandas",
+) -> DataFrame:
+    """Persistable LSH index rows ``(id, band_id, band_key,
+    sigs array<long>)`` — the on-disk artifact that makes near-dup
+    INCREMENTAL (see :func:`incremental_neardup`).  Carrying the full
+    n_perm signature per row (a handful of longs) lets later
+    increments verify candidates WITHOUT re-reading old text: the
+    signature-agreement fraction is the classic unbiased MinHash
+    estimate of Jaccard."""
+    rows = n_perm // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _shingles(F.col(text_col), k, shingle_impl).alias("sh"),
+    ).withColumn("hs", shingle_hash_col(F.col("sh"))).localCheckpoint(eager=True)
+    sigs = F.array(*[minhash_perm_col(F.col("hs"), j) for j in range(n_perm)])
+    with_sigs = base.select("id", sigs.alias("sigs")).localCheckpoint(eager=True)
+    return with_sigs.select(
+        "id", "sigs",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws("|", *[
+                    F.element_at("sigs", b * rows + r + 1).cast("string")
+                    for r in range(rows)
+                ]).alias("band_key"),
+            )
+            for b in range(bands)
+        ])).alias("band"),
+    ).select("id", "band.band_id", "band.band_key", "sigs")
+
+
+def incremental_neardup(
+    increment: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_perm: int = 16,
+    bands: int = 4,
+    min_est_ppm: int = 500_000,
+    shingle_impl: str = "pandas",
+) -> tuple:
+    """Add a crawl increment to an ALREADY-DEDUPED corpus without
+    rescanning it: ``(pairs, updated_index)``.
+
+    * ``pairs`` — (new_id, dup_of, est_jaccard_ppm): each increment
+      document whose banded signature collides with the index (or with
+      another increment doc) and whose signature-agreement estimate
+      clears ``min_est_ppm``; ``dup_of`` prefers the smallest matching
+      id (corpus docs sort below increment docs only by id value —
+      callers using disjoint id ranges get corpus-doc winners for
+      free, matching keep-first semantics).
+    * ``updated_index`` — the old index plus the band rows of
+      increment documents that are NOT duplicates (survivors extend
+      the corpus; dups never pollute the index).
+
+    Shape: band equi-join of the increment's index rows against the
+    stored band table (shuffles (id, band_key) only), signature verify
+    as a row-local ``zip_with`` over two 16-long arrays, one min-agg
+    per new id.  Cost scales with the INCREMENT, not the corpus —
+    which is the whole point.
+    """
+    new_idx = minhash_index(increment, id_col, text_col, k, n_perm, bands,
+                            shingle_impl).localCheckpoint(eager=True)
+    old = index.select(
+        F.col("id").alias("old_id"), "band_id", "band_key",
+        F.col("sigs").alias("old_sigs"),
+    )
+    both = new_idx.unionByName(index)
+    # candidates vs the corpus AND vs other increment docs (smaller id
+    # wins, so an increment doc can be dup_of an earlier increment doc)
+    cands = (
+        new_idx.join(
+            both.select(F.col("id").alias("old_id"), "band_id", "band_key",
+                        F.col("sigs").alias("old_sigs")),
+            ["band_id", "band_key"],
+        )
+        .filter(F.col("old_id") < F.col("id"))
+        .dropDuplicates(["id", "old_id"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sigs", "old_sigs", lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("long") * F.lit(1_000_000) / F.lit(int(n_perm))
+    ).cast("long")
+    scored = cands.select("id", "old_id", est.alias("est_jaccard_ppm")).filter(
+        F.col("est_jaccard_ppm") >= int(min_est_ppm)
+    )
+    pairs = (
+        scored.groupBy("id")
+        .agg(F.min(F.struct("old_id", "est_jaccard_ppm")).alias("w"))
+        .select(
+            F.col("id").alias("new_id"), F.col("w.old_id").alias("dup_of"),
+            F.col("w.est_jaccard_ppm").alias("est_jaccard_ppm"),
+        )
+    )
+    survivors = new_idx.join(
+        pairs.select(F.col("new_id").alias("id")), "id", "left_anti"
+    )
+    return pairs, index.unionByName(survivors)

@@ -1745,3 +1745,38 @@ def test_select_token_budget_boundary_semantics(spark):
     # budget bigger than the corpus: everything selected
     n = select_token_budget(df, "id", "tokens", "score_ppm", 10_000).count()
     assert n == 6
+
+
+def test_incremental_neardup_scales_with_increment(spark):
+    """Incremental near-dup: an increment doc near-identical to a
+    corpus doc is flagged against the STORED index (old text never
+    re-read), increment-internal dups resolve to the smaller id, and
+    only survivors extend the index."""
+    import pandas as pd
+
+    from biothings_crawler_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_index,
+    )
+
+    base_text = ("the quick brown fox jumps over the lazy dog while the "
+                 "sun sets slowly behind the ancient mountain range")
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2],
+        "text": [base_text, "completely unrelated content about databases"],
+    }))
+    index = minhash_index(corpus, "id", "text")
+    inc = spark.createDataFrame(pd.DataFrame({
+        "id": [10, 11, 12],
+        "text": [base_text + " tonight",                    # near-dup of 1
+                 "fresh unique text about orbital mechanics and satellites",
+                 "fresh unique text about orbital mechanics and satellites"],
+    }))                                                     # 12 dups 11
+    pairs, updated = incremental_neardup(inc, index, "id", "text",
+                                         min_est_ppm=500_000)
+    got = {r["new_id"]: r["dup_of"] for r in pairs.collect()}
+    assert got == {10: 1, 12: 11}
+    ids = {r["id"] for r in updated.select("id").distinct().collect()}
+    assert ids == {1, 2, 11}                                # survivors only
+    est = {r["new_id"]: r["est_jaccard_ppm"] for r in pairs.collect()}
+    assert est[12] == 1_000_000                             # exact dup
