@@ -116,3 +116,58 @@ def gen_media_rows(n: int = 64) -> list[tuple]:
 
 def gen_media_fixture(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(gen_media_rows(n), MEDIA_SCHEMA)
+
+
+# MIME sniffing from magic bytes (pure codegen)
+# ---------------------------------------------------------------------------
+
+_MAGIC = (
+    ("FFD8FF", "image/jpeg"),
+    ("89504E47", "image/png"),
+    ("47494638", "image/gif"),
+    ("25504446", "application/pdf"),
+    ("1F8B", "application/gzip"),
+    ("504B0304", "application/zip"),
+    ("000000", "video/mp4-candidate"),   # ftyp boxes start size-prefixed
+    ("494433", "audio/mpeg"),            # ID3
+    ("52494646", "audio-or-video/riff"), # WAV/AVI share RIFF
+)
+
+
+def sniff_mime_col(payload):
+    """Content-type from the payload's MAGIC BYTES — servers lie in
+    Content-Type headers constantly (the reason browsers sniff), and a
+    crawler that trusts headers routes PDFs into the HTML parser and
+    JPEGs into the text pipeline.  Row-local: hex of the first 8 bytes
+    against the magic table, HTML/text fallback by leading markup.
+    Pure expressions (hex + startswith chain), zero Python — the
+    binary payloads never leave the JVM."""
+    from pyspark.sql import functions as F
+
+    head = F.upper(F.hex(F.substring(payload, 1, 8)))
+    out = None
+    for magic, mime in _MAGIC:
+        cond = head.startswith(magic)
+        out = F.when(cond, F.lit(mime)) if out is None else out.when(cond, F.lit(mime))
+    text_head = F.lower(F.decode(F.substring(payload, 1, 64), "utf-8"))
+    return out.when(
+        F.trim(text_head).startswith("<!doctype html")
+        | F.trim(text_head).startswith("<html"),
+        F.lit("text/html"),
+    ).otherwise(F.lit("application/octet-stream"))
+
+
+def sniff_report(pages, id_col: str, payload_col: str, claimed_col: str):
+    """(id, sniffed_mime, claimed_mime, mismatch) + routing for the
+    media pipeline: one zero-exchange projection over the corpus; the
+    downstream media stages filter on ``sniffed_mime``, never on the
+    server's claim."""
+    from pyspark.sql import functions as F
+
+    sniffed = sniff_mime_col(F.col(payload_col))
+    return pages.select(
+        F.col(id_col).alias("id"),
+        sniffed.alias("sniffed_mime"),
+        F.col(claimed_col).alias("claimed_mime"),
+        (sniffed != F.col(claimed_col)).alias("mismatch"),
+    )

@@ -1780,3 +1780,28 @@ def test_incremental_neardup_scales_with_increment(spark):
     assert ids == {1, 2, 11}                                # survivors only
     est = {r["new_id"]: r["est_jaccard_ppm"] for r in pairs.collect()}
     assert est[12] == 1_000_000                             # exact dup
+
+
+def test_sniff_mime_magic_bytes_beat_headers(spark):
+    """Magic bytes win over lying Content-Type headers; HTML fallback
+    catches markup; unknown binaries degrade to octet-stream."""
+    from biothings_crawler_spark.operators.multimodal import sniff_report
+
+    rows = [
+        (1, bytes.fromhex("FFD8FFE000104A46"), "text/html"),       # jpeg, lying header
+        (2, bytes.fromhex("89504E470D0A1A0A"), "image/png"),        # honest png
+        (3, b"<!DOCTYPE html><html><body>x</body>", "image/jpeg"),  # html, lying
+        (4, b"  <html lang=\"en\"><head>", "text/html"),
+        (5, bytes.fromhex("25504446"), "application/pdf"),
+        (6, b"\x00\x01\x02\x03 mystery", "text/plain"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary, ct string")
+    out = {r["id"]: r for r in sniff_report(df, "id", "payload", "ct").collect()}
+    assert out[1]["sniffed_mime"] == "image/jpeg" and out[1]["mismatch"] is True
+    assert out[2]["sniffed_mime"] == "image/png" and out[2]["mismatch"] is False
+    assert out[3]["sniffed_mime"] == "text/html" and out[3]["mismatch"] is True
+    assert out[4]["sniffed_mime"] == "text/html"
+    assert out[5]["sniffed_mime"] == "application/pdf"
+    assert out[6]["sniffed_mime"] == "application/octet-stream"
+    plan = sniff_report(df, "id", "payload", "ct")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
