@@ -1,0 +1,79 @@
+"""Corpus table layout for the 100-TB tier: partitioned, sorted,
+pruning-friendly parquet.
+
+A 10^10-document corpus is read thousands of times by downstream
+stages that almost always filter on LANGUAGE (per-language pipelines)
+and QUALITY (training-mix selection).  If those columns are ordinary
+data columns every stage scans all bytes; laid out as Hive/Iceberg-
+style PARTITION columns the scan prunes to the slice (`PartitionFilters`
+in the physical plan — pytest-asserted below) — on a real Iceberg
+catalog the same `partitionedBy` spec applies verbatim.
+
+Within a partition, files are written sorted by content hash
+(`sortWithinPartitions`): co-locating near-identical rows gives
+parquet's RLE/dictionary encodings their best compression ratio and
+makes every downstream hash-ranged operator (exact dedup, snapshot
+diff) read fewer row groups via min/max pruning.
+
+`quality_band` is a coarse integer (score_ppm // band_width) — a
+HIGH-CARDINALITY partition column (raw ppm) would explode into 1e6
+directories of tiny files, the classic small-files failure; ~10 bands
+keeps partitions chunky.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def layout_columns(
+    df: DataFrame,
+    lang_col: str,
+    score_ppm_col: str,
+    text_col: str,
+    band_width_ppm: int = 100_000,
+) -> DataFrame:
+    """Add the layout columns: ``lang`` (partition), ``quality_band``
+    (partition, score_ppm // band_width), ``content_hash`` (sort key,
+    xxhash64 of the text). Row-local, zero exchanges."""
+    return df.withColumn(
+        "quality_band",
+        (F.col(score_ppm_col) / F.lit(int(band_width_ppm))).cast("int"),
+    ).withColumn("content_hash", F.xxhash64(F.col(text_col)))
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    lang_col: str = "lang",
+    score_ppm_col: str = "score_ppm",
+    text_col: str = "text",
+    band_width_ppm: int = 100_000,
+) -> None:
+    """Write the corpus with the pruning layout: partitioned by
+    (lang, quality_band), files sorted by content_hash within each
+    partition."""
+    laid = layout_columns(df, lang_col, score_ppm_col, text_col, band_width_ppm)
+    (
+        laid.repartition(F.col(lang_col), F.col("quality_band"))
+        .sortWithinPartitions("content_hash")
+        .write.mode("overwrite")
+        .partitionBy(lang_col, "quality_band")
+        .parquet(path)
+    )
+
+
+def read_slice(
+    spark: SparkSession, path: str, lang: str | None = None,
+    min_band: int | None = None,
+) -> DataFrame:
+    """Read a corpus slice; the lang/band predicates land in the
+    scan's PartitionFilters (directory pruning, zero data bytes read
+    outside the slice)."""
+    df = spark.read.parquet(path)
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    if min_band is not None:
+        df = df.filter(F.col("quality_band") >= min_band)
+    return df

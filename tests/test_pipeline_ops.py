@@ -1805,3 +1805,29 @@ def test_sniff_mime_magic_bytes_beat_headers(spark):
     assert out[6]["sniffed_mime"] == "application/octet-stream"
     plan = sniff_report(df, "id", "payload", "ct")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_corpus_layout_partition_pruning(spark, tmp_path):
+    """The (lang, quality_band) layout prunes at the DIRECTORY level:
+    the slice read shows the predicates in PartitionFilters and reads
+    only matching files; banding keeps partition cardinality coarse."""
+    from biothings_crawler_spark.layout import read_slice, write_corpus
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], (i % 10) * 100_000,
+          f"document body {i}") for i in range(300)],
+        "id long, lang string, score_ppm long, text string",
+    )
+    path = str(tmp_path / "corpus")
+    write_corpus(df, path)
+    sl = read_slice(spark, path, lang="en", min_band=5)
+    rows = sl.collect()
+    assert len(rows) == 50 and all(r["lang"] == "en" for r in rows)
+    assert all(r["quality_band"] >= 5 for r in rows)
+    plan = sl._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "isnotnull(lang" in plan  # predicates reached the scan
+    # the full-table read sees 3 langs x 10 bands = 30 directories
+    import os
+    langs = [d for d in os.listdir(path) if d.startswith("lang=")]
+    assert sorted(langs) == ["lang=de", "lang=en", "lang=fr"]
