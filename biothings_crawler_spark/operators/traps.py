@@ -401,3 +401,43 @@ def template_report(
             (F.col("n_pages") >= F.lit(int(min_pages))).alias("is_template"),
         )
     )
+
+
+def site_families(
+    pages: DataFrame,
+    host_col: str,
+    url_col: str,
+    text_col: str,
+    max_hosts_per_hash: int = 8,
+    min_shared: int = 3,
+    min_share_ppm: int = 500_000,
+) -> DataFrame:
+    """Collapse mirror/clone hosts into FAMILIES: ``(host, family,
+    is_family_head)`` — the frontier keeps one head host per family
+    and skips the clones entirely, which recovers whole-site crawl
+    budget (a pairwise mirror report alone can't: mirrors are
+    transitive, A~B and B~C must collapse A,B,C together).
+
+    Composition: :func:`mirror_report` flagged pairs -> smallest-host
+    label propagation (:func:`biothings_crawler_spark.operators.dedup.
+    connected_components`, which is type-agnostic — string hosts
+    order lexicographically).  Non-mirrored hosts are their own
+    family head.
+    """
+    from biothings_crawler_spark.operators.dedup import connected_components
+
+    rep = mirror_report(
+        pages, host_col, url_col, text_col,
+        max_hosts_per_hash=max_hosts_per_hash,
+        min_shared=min_shared, min_share_ppm=min_share_ppm,
+    )
+    pairs = rep.filter(F.col("is_mirror")).select(
+        F.col("host_a").alias("id_a"), F.col("host_b").alias("id_b")
+    )
+    nodes = pages.select(F.col(host_col).alias("host")).distinct()
+    comp = connected_components(pairs, nodes, id_col="host")
+    return comp.select(
+        F.col("id").alias("host"),
+        F.col("component").alias("family"),
+        (F.col("id") == F.col("component")).alias("is_family_head"),
+    )

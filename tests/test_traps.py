@@ -387,3 +387,27 @@ def test_template_report_structure_not_content(spark):
     assert by_n[0]["n_pages"] == 3 and by_n[0]["is_template"] is True
     assert by_n[0]["share_ppm"] == 750_000
     assert by_n[1]["n_pages"] == 1 and by_n[1]["is_template"] is False
+
+
+def test_site_families_transitive_collapse(spark):
+    """Mirror transitivity: A~B and B~C collapse into one family with
+    the lexicographically-smallest host as head; unrelated hosts are
+    their own heads."""
+    from biothings_crawler_spark.operators.traps import site_families
+
+    rows = []
+    for h in ("a.com", "b.com", "c.com"):
+        for i in range(4):
+            rows.append((h, f"https://{h}/{i}", f"shared doc {i}"))
+    for i in range(4):
+        rows.append(("solo.com", f"https://solo.com/{i}", f"unique {i}"))
+    df = spark.createDataFrame(rows, "host string, url string, text string")
+    out = {r["host"]: r for r in site_families(
+        df, "host", "url", "text",
+        max_hosts_per_hash=8, min_shared=3, min_share_ppm=500_000,
+    ).collect()}
+    assert out["a.com"]["family"] == out["b.com"]["family"] == out["c.com"]["family"] == "a.com"
+    assert out["a.com"]["is_family_head"] is True
+    assert out["b.com"]["is_family_head"] is False
+    assert out["solo.com"]["family"] == "solo.com"
+    assert out["solo.com"]["is_family_head"] is True
