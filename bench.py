@@ -118,6 +118,14 @@ SUITE = [
     "q_containment_pairs",
     "q_relevance_scores",
     "q_adaptive_budgets",
+    "q_site_families",
+    "q_hreflang_map",
+    "q_conditional_fetch",
+    "q_quality_sample",
+    "q_token_budget",
+    "q_incremental_neardup",
+    "q_hist_merge",
+    "q_wav_decode",
 ]
 
 

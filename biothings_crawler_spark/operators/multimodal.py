@@ -2,11 +2,13 @@
 metadata, processed by Arrow-batched mapInPandas stages.
 
 The Spark-side contract — schema, partitioning, UDF signature, batch
-shape — is real and tested; the actual media decoding is STUBBED
+shape — is real and tested.  IMAGE/VIDEO decoding is STUBBED
 (``decode_stub='fake'`` produces deterministic pseudo-features from the
 bytes; ``decode_stub='error'`` raises NotImplementedError) because no
-image/audio codec libraries exist in this container. Swapping the stub
-for PIL/torchaudio is a one-function change; nothing in the plan moves.
+image/video codec libraries exist in this container; swapping the stub
+for PIL/av is a one-function change.  AUDIO decoding is REAL for
+RIFF/PCM WAV (:func:`decode_wav_features`) — the stdlib ``wave`` codec
+parses actual container bytes inside the same mapInPandas shape.
 
 Design notes for 100 TB of media:
   * media rows are big — keep them in their own table keyed by
@@ -116,6 +118,107 @@ def gen_media_rows(n: int = 64) -> list[tuple]:
 
 def gen_media_fixture(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(gen_media_rows(n), MEDIA_SCHEMA)
+
+
+# REAL audio decode: RIFF/PCM WAV via the stdlib `wave` codec
+# ---------------------------------------------------------------------------
+# The image/video branches above stay stubbed (no PIL/av in this
+# container), but WAV needs only the standard library — so the audio
+# path is a REAL decoder: bytes -> RIFF parse -> PCM frames -> exact
+# integer features.  The same mapInPandas shape PIL/torchaudio would
+# use; swapping in a richer codec changes one inner function.
+
+WAV_FEATURES_SCHEMA = (
+    "media_id long, sample_rate long, n_channels long, n_samples long, "
+    "duration_us long, sum_sq long, peak_abs long"
+)
+
+WAV_RATE = 8000
+
+
+def gen_wav_bytes(media_id: int) -> bytes:
+    """A real RIFF/PCM WAV file with deterministic 16-bit samples:
+    channels = 1 + id%2, frames = 800 + (id%5)*160, interleaved sample
+    j = ((id*31 + j*7) % 2001) - 1000.  Closed-form, so the DuckDB
+    oracle recomputes every feature from the formula while Spark must
+    parse the actual container bytes."""
+    import io
+    import wave as _wave
+
+    c = 1 + media_id % 2
+    n = 800 + (media_id % 5) * 160
+    idx = np.arange(n * c, dtype=np.int64)
+    samples = ((media_id * 31 + idx * 7) % 2001) - 1000
+    buf = io.BytesIO()
+    w = _wave.open(buf, "wb")
+    try:
+        w.setnchannels(c)
+        w.setsampwidth(2)
+        w.setframerate(WAV_RATE)
+        w.writeframes(samples.astype("<i2").tobytes())
+    finally:
+        w.close()
+    return buf.getvalue()
+
+
+def gen_wav_media(ids: DataFrame, id_col: str) -> DataFrame:
+    """Distributed WAV synthesis: (media_id, content) built WORKER-side
+    from ids via mapInPandas — no driver loop, no broadcast of bytes;
+    the generation scales with executors exactly like a fetch stage
+    would."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                "media_id": mids,
+                "content": [gen_wav_bytes(int(m)) for m in mids],
+            })
+
+    return ids.mapInPandas(run, "media_id long, content binary")
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode over a binary column: parse each RIFF/PCM WAV
+    with the stdlib ``wave`` codec, lift the PCM frames through numpy,
+    and emit exact-integer features ``(media_id, sample_rate,
+    n_channels, n_samples, duration_us, sum_sq, peak_abs)``.
+
+    Arrow-batched mapInPandas; per-row codec calls inside the batch
+    loop are the sanctioned slow path (identical shape to a PIL/ffmpeg
+    decode).  duration_us = n_samples * 1e6 // rate — integer, so the
+    oracle comparison is exact, not float-tolerant."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as _wave
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "sample_rate", "n_channels",
+                                   "n_samples", "duration_us", "sum_sq",
+                                   "peak_abs")}
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                w = _wave.open(io.BytesIO(bytes(b)), "rb")
+                try:
+                    c, sw, rate, n = (w.getnchannels(), w.getsampwidth(),
+                                      w.getframerate(), w.getnframes())
+                    if sw != 2:
+                        raise NotImplementedError(
+                            f"only 16-bit PCM supported, got sampwidth={sw}")
+                    arr = np.frombuffer(w.readframes(n), dtype="<i2").astype(
+                        np.int64)
+                finally:
+                    w.close()
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(c)
+                out["n_samples"].append(n)
+                out["duration_us"].append(n * 1_000_000 // rate)
+                out["sum_sq"].append(int((arr * arr).sum()))
+                out["peak_abs"].append(int(np.abs(arr).max()) if arr.size else 0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, WAV_FEATURES_SCHEMA)
 
 
 # MIME sniffing from magic bytes (pure codegen)

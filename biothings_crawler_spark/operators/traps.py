@@ -431,10 +431,17 @@ def site_families(
         max_hosts_per_hash=max_hosts_per_hash,
         min_shared=min_shared, min_share_ppm=min_share_ppm,
     )
+    # the host graph is HOST-bounded (millions of rows at web scale,
+    # tiny next to the corpus) — materialize it ONCE before the CC
+    # loop so the full mirror_report scan doesn't re-execute per
+    # label-propagation iteration
     pairs = rep.filter(F.col("is_mirror")).select(
         F.col("host_a").alias("id_a"), F.col("host_b").alias("id_b")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        pages.select(F.col(host_col).alias("host")).distinct()
+        .localCheckpoint(eager=True)
     )
-    nodes = pages.select(F.col(host_col).alias("host")).distinct()
     comp = connected_components(pairs, nodes, id_col="host")
     return comp.select(
         F.col("id").alias("host"),

@@ -6880,6 +6880,47 @@ FROM f GROUP BY 1, 2
 """
 
 
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (operators/multimodal.decode_wav_features):
+    worker-side mapInPandas synthesizes an actual RIFF/PCM WAV per
+    doc_id (stdlib wave codec), a second mapInPandas stage parses the
+    container bytes back and emits exact-integer features.  The oracle
+    never sees the bytes — it recomputes every feature from the
+    generator's closed-form sample formula, so a Spark-side parse bug
+    (header offsets, channel interleave, sample width) cannot cancel
+    out."""
+    from biothings_crawler_spark.operators.multimodal import (
+        decode_wav_features,
+        gen_wav_media,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    media = gen_wav_media(ids, "doc_id")
+    return decode_wav_features(media)
+
+
+SQL_WAV_DECODE = """
+WITH m AS (
+  SELECT doc_id AS media_id, 1 + doc_id % 2 AS c,
+         800 + (doc_id % 5) * 160 AS n
+  FROM documents WHERE doc_id % 10 = 0),
+s AS (
+  SELECT media_id, c, n,
+         list_transform(range(n * c),
+                        j -> ((media_id * 31 + j * 7) % 2001) - 1000) AS xs
+  FROM m)
+SELECT media_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(c AS BIGINT) AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000000 // 8000 AS BIGINT) AS duration_us,
+       CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS sum_sq,
+       CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak_abs
+FROM s
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -7026,6 +7067,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_token_budget": q_token_budget,
     "q_incremental_neardup": q_incremental_neardup,
     "q_hist_merge": q_hist_merge,
+    "q_wav_decode": q_wav_decode,
 }
 
 ORACLES: dict[str, str] = {
@@ -7165,4 +7207,5 @@ ORACLES: dict[str, str] = {
     "q_token_budget": SQL_TOKEN_BUDGET,
     "q_incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "q_hist_merge": SQL_HIST_MERGE,
+    "q_wav_decode": SQL_WAV_DECODE,
 }

@@ -347,6 +347,43 @@ def test_multimodal_plumbing(spark):
         extract_media_features(media, decode_stub="error").collect()
 
 
+def test_wav_decode_real_roundtrip(spark):
+    """The audio path is a REAL decoder: gen_wav_media writes actual
+    RIFF/PCM containers worker-side; decode_wav_features must parse
+    them back and agree with the generator's closed-form features —
+    including the stereo interleave (odd ids are 2-channel)."""
+    from biothings_crawler_spark.operators.multimodal import (
+        decode_wav_features,
+        gen_wav_bytes,
+        gen_wav_media,
+    )
+
+    ids = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    media = gen_wav_media(ids, "doc_id")
+    got = {r["media_id"]: r for r in decode_wav_features(media).collect()}
+    assert len(got) == 12
+    for mid in range(12):
+        c = 1 + mid % 2
+        n = 800 + (mid % 5) * 160
+        xs = [((mid * 31 + j * 7) % 2001) - 1000 for j in range(n * c)]
+        r = got[mid]
+        assert r["sample_rate"] == 8000
+        assert r["n_channels"] == c and r["n_samples"] == n
+        assert r["duration_us"] == n * 1_000_000 // 8000
+        assert r["sum_sq"] == sum(x * x for x in xs)
+        assert r["peak_abs"] == max(abs(x) for x in xs)
+    # the bytes really are a parseable WAV container, not a blob
+    import io
+    import wave
+
+    w = wave.open(io.BytesIO(gen_wav_bytes(3)), "rb")
+    assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (2, 2, 8000)
+    w.close()
+    # Arrow-batched path only — no row-at-a-time Python in the plan
+    plan = decode_wav_features(media)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
 def _typed_docs(spark):
     rows = [
         ("s1", "a", json.dumps({"name": "n1", "funder": [
