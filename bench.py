@@ -126,6 +126,8 @@ SUITE = [
     "q_incremental_neardup",
     "q_hist_merge",
     "q_wav_decode",
+    "q_shard_rebalance",
+    "q_trustrank",
 ]
 
 

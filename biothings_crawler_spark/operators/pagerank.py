@@ -76,6 +76,72 @@ def pagerank(
     return ranks
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, "Combating web
+    spam with TrustRank", VLDB 2004): PageRank with the teleport mass
+    restricted to a TRUSTED seed set — rank flows outward from vetted
+    hosts, so link-farm neighborhoods that only cite each other decay
+    toward zero instead of bootstrapping authority.  The crawl
+    frontier uses it as the spam-resistant priority: schedule by
+    trustrank, not raw pagerank, and farms stop buying crawl budget
+    (complements the structural detector in
+    :func:`biothings_crawler_spark.operators.traps.link_farm_report`).
+
+    Same integer micro-unit arithmetic and Pregel-lite shape as
+    :func:`pagerank` (one join + one partial-agg per iteration,
+    lineage checkpointed); the two differences are the init vector
+    (``scale`` on seeds, 0 elsewhere) and the base term, which only
+    seeds receive.  Seeds are broadcast — a trusted list is curated,
+    thousands at most.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(F.broadcast(sd.withColumn("_s", F.lit(1))), "node", "left")
+        .select("node", F.coalesce("_s", F.lit(0)).cast("long").alias("is_seed"))
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    base = (100 - damping_pct) * scale // 100
+
+    ranks = nodes.select(
+        "node", "is_seed", (F.col("is_seed") * scale).cast("long").alias("rank")
+    )
+    for _ in range(iters):
+        contribs = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(
+                "dst",
+                F.expr(f"({damping_pct} * rank) div (100 * deg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node", "is_seed",
+                (F.col("is_seed") * base + F.coalesce("in_sum", F.lit(0)))
+                .cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank")
+
+
 def allocate_budget(
     ranks: DataFrame,
     host: Column,

@@ -1,0 +1,96 @@
+"""Rendezvous (highest-random-weight) shard assignment for the crawl
+corpus and its index artifacts — which shard owns a URL's postings,
+seen-set segment, or fetch responsibility.
+
+Why rendezvous and not ``hash(key) % n``: modulo sharding reassigns
+almost EVERY key when the shard count changes (a 10^10-row index
+re-shuffles wholesale to add capacity); highest-random-weight hashing
+(Thaler & Ravishankar, "Using name-based mappings to increase hit
+rates", IEEE/ACM ToN 1998) moves exactly the keys whose new-winner
+shard didn't exist before — an (m-n)/m expected fraction, the provable
+minimum for stateless assignment.  The reference has no sharding plane
+at all (single Scrapy process, one ES index); at web scale shard
+placement IS the storage layout.
+
+Design points:
+
+* **Row-local, zero shuffle.** The winner is an ``array_max`` over a
+  per-shard struct array built from md5-u60 hashes
+  (:func:`biothings_crawler_spark.operators.sampling.hash_u60_col`) —
+  pure projection, rides the scan, no exchange.  ``n_shards`` is a
+  plan-time constant: fine for real deployments (shard counts are
+  config, 16-4096) and keeps everything whole-stage-codegen.
+* **Cross-engine exact.** md5 is portable; the DuckDB twin recomputes
+  every assignment with ``arg_max`` over the same hashes, so the
+  oracle checks individual placements, not distribution moments.
+* **Deterministic tie-break.** The struct carries (hash, shard); ties
+  (astronomically unlikely with 60-bit hashes) resolve to the larger
+  shard id identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from biothings_crawler_spark.operators.sampling import hash_u60_col
+
+
+def rendezvous_shard_col(key: Column, n_shards: int, salt: str = "sh") -> Column:
+    """Winning shard id for ``key`` among ``range(n_shards)``:
+    argmax over s of u60(md5('{salt}{s}:{key}')).  Row-local."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    pairs = F.array(*[
+        F.struct(
+            hash_u60_col(key, f"{salt}{s}").alias("h"),
+            F.lit(s).cast("long").alias("s"),
+        )
+        for s in range(int(n_shards))
+    ])
+    return F.array_max(pairs)["s"]
+
+
+def assign_shards(
+    df: DataFrame, key_col: str, n_shards: int, salt: str = "sh"
+) -> DataFrame:
+    """``df`` plus a ``shard`` column — the stateless owner of each
+    key.  Downstream writes partition by ``shard`` to get co-located,
+    individually-compactable index shards."""
+    return df.withColumn(
+        "shard", rendezvous_shard_col(F.col(key_col), n_shards, salt)
+    )
+
+
+def shard_rebalance_report(
+    df: DataFrame,
+    key_col: str,
+    n_from: int,
+    n_to: int,
+    salt: str = "sh",
+) -> DataFrame:
+    """What a shard-count change does to the corpus BEFORE you run it:
+    ``(shard_from, shard_to, n_keys, moved)`` — one row per observed
+    (old owner, new owner) pair.
+
+    The HRW guarantee this surfaces: growing ``n_from -> n_to`` only
+    ever moves keys TO a shard in ``[n_from, n_to)`` (existing shards'
+    hashes are unchanged, so the argmax either stands or is beaten by
+    a new shard) — any row with ``moved`` and ``shard_to < n_from``
+    would be an implementation bug, and the pytest asserts none exist.
+    Shape: two row-local winner columns + ONE bounded hash agg
+    (≤ n_from * n_to rows out); the 10^10-key corpus is scanned once.
+    """
+    key = F.col(key_col)
+    return (
+        df.select(
+            rendezvous_shard_col(key, n_from, salt).alias("shard_from"),
+            rendezvous_shard_col(key, n_to, salt).alias("shard_to"),
+        )
+        .groupBy("shard_from", "shard_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+        .select(
+            "shard_from", "shard_to", "n_keys",
+            (F.col("shard_from") != F.col("shard_to")).alias("moved"),
+        )
+    )

@@ -6921,6 +6921,115 @@ FROM s
 """
 
 
+SHARD_FROM, SHARD_TO = 8, 12
+
+
+def q_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous shard rebalance (operators/sharding.
+    shard_rebalance_report): URL keys from documents, owners computed
+    for 8 and for 12 shards in one row-local projection; the report
+    shows exactly which (old, new) owner pairs exist.  HRW property
+    under growth: every moved key lands on a NEW shard (id >= 8) —
+    the oracle recomputes each placement with arg_max over the same
+    md5-u60 hashes."""
+    from biothings_crawler_spark.operators.sharding import (
+        shard_rebalance_report,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    keys = d.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example/p/"), F.col("doc_id").cast("string")
+                 ).alias("url")
+    )
+    return shard_rebalance_report(keys, "url", SHARD_FROM, SHARD_TO, salt="sh")
+
+
+SQL_SHARD_REBALANCE = f"""
+WITH k AS (
+  SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+h AS (
+  SELECT url, s,
+         CAST(('0x' || substr(md5('sh' || CAST(s AS VARCHAR) || ':' || url),
+                              1, 15)) AS BIGINT) AS hv
+  FROM k, unnest(range({SHARD_TO})) AS u(s)),
+w AS (
+  SELECT url,
+         arg_max(CASE WHEN s < {SHARD_FROM} THEN s END,
+                 CASE WHEN s < {SHARD_FROM} THEN hv END) AS shard_from,
+         arg_max(s, hv) AS shard_to
+  FROM h GROUP BY url)
+SELECT CAST(shard_from AS BIGINT) AS shard_from,
+       CAST(shard_to AS BIGINT) AS shard_to,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       shard_from <> shard_to AS moved
+FROM w GROUP BY shard_from, shard_to
+"""
+
+
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded TrustRank (operators/pagerank.trustrank) over the same
+    deterministic hub graph as q_pagerank, teleport restricted to
+    nodes divisible by 13 — unreachable-from-seed neighborhoods must
+    end at exactly rank 0 (integer arithmetic, no float residue).
+    Oracle = fixed-iteration SQL recursion with the seed-gated base
+    term."""
+    from biothings_crawler_spark.operators.pagerank import trustrank
+
+    d = _t(spark, sf_dir, "documents")
+    e = (
+        d.select(F.col("doc_id").alias("src"), F.expr("doc_id div 3").alias("dst"))
+        .union(
+            d.select(F.col("doc_id").alias("src"), F.expr("doc_id div 7").alias("dst"))
+        )
+        .distinct()
+        .filter(F.col("src") != F.col("dst"))
+    )
+    seeds = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 13 == 0)
+    )
+    return trustrank(e, seeds, iters=PR_ITERS)
+
+
+def _sql_trustrank() -> str:
+    from biothings_crawler_spark.operators.pagerank import PR_SCALE
+
+    base = 15 * PR_SCALE // 100
+    ctes = [
+        """
+e AS (
+  SELECT src, dst FROM (
+    SELECT doc_id AS src, doc_id // 3 AS dst FROM documents
+    UNION
+    SELECT doc_id AS src, doc_id // 7 AS dst FROM documents)
+  WHERE src <> dst),
+nodes AS (SELECT DISTINCT node,
+                 CASE WHEN node % 13 = 0 THEN 1 ELSE 0 END AS is_seed
+          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)""",
+        f"r0 AS (SELECT node, is_seed, CAST(is_seed * {PR_SCALE} AS BIGINT) "
+        "AS rank FROM nodes)",
+    ]
+    for i in range(PR_ITERS):
+        ctes.append(f"""
+r{i + 1} AS (
+  SELECT n.node, n.is_seed,
+         CAST(n.is_seed * {base} + coalesce(s.in_sum, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM((85 * r.rank) // (100 * d.deg)) AS in_sum
+    FROM e JOIN deg d USING (src) JOIN r{i} r ON r.node = e.src
+    GROUP BY e.dst) s USING (node))""")
+    return "WITH " + ",".join(ctes) + f"\nSELECT node, rank FROM r{PR_ITERS}"
+
+
+SQL_TRUSTRANK = _sql_trustrank()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -7068,6 +7177,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_incremental_neardup": q_incremental_neardup,
     "q_hist_merge": q_hist_merge,
     "q_wav_decode": q_wav_decode,
+    "q_shard_rebalance": q_shard_rebalance,
+    "q_trustrank": q_trustrank,
 }
 
 ORACLES: dict[str, str] = {
@@ -7208,4 +7319,6 @@ ORACLES: dict[str, str] = {
     "q_incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "q_hist_merge": SQL_HIST_MERGE,
     "q_wav_decode": SQL_WAV_DECODE,
+    "q_shard_rebalance": SQL_SHARD_REBALANCE,
+    "q_trustrank": SQL_TRUSTRANK,
 }
