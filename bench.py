@@ -128,6 +128,7 @@ SUITE = [
     "q_wav_decode",
     "q_shard_rebalance",
     "q_trustrank",
+    "q_postings_varint",
 ]
 
 

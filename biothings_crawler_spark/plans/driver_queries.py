@@ -7030,6 +7030,53 @@ r{i + 1} AS (
 SQL_TRUSTRANK = _sql_trustrank()
 
 
+def q_postings_varint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-gap + varint storage accounting for the chunked inverted
+    index (operators/bm25.postings_compression_report, chunk_range 64
+    to match q_postings_chunks): exact LEB128 byte counts per (term,
+    chunk) vs 12-byte raw postings.  Oracle recomputes gaps and varint
+    lengths with DuckDB list folds over the same bin()-length
+    arithmetic."""
+    from biothings_crawler_spark.operators.bm25 import (
+        inverted_postings,
+        postings_compression_report,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return postings_compression_report(
+        inverted_postings(d, "doc_id", "text"), chunk_range=64
+    )
+
+
+SQL_POSTINGS_VARINT = f"""
+WITH tf AS (
+  SELECT term, id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id AS id, unnest({_SQL_WORDS}) AS term FROM documents)
+  GROUP BY term, id),
+ch AS (
+  SELECT term, id // 64 AS chunk_no,
+         list({{'id': id, 'tf': tf}} ORDER BY id) AS ps
+  FROM tf GROUP BY term, id // 64),
+g AS (
+  SELECT term, chunk_no, ps,
+         [ps[i].id - CASE WHEN i = 1 THEN chunk_no * 64
+                          ELSE ps[i-1].id END
+          for i in range(1, len(ps) + 1)] AS gaps
+  FROM ch)
+SELECT term, chunk_no,
+       CAST(len(ps) AS BIGINT) AS df_chunk,
+       CAST(len(ps) * 12 AS BIGINT) AS raw_bytes,
+       CAST(list_sum(list_transform(gaps, x -> (length(bin(x)) + 6) // 7))
+            + list_sum(list_transform(ps, s -> (length(bin(s.tf)) + 6) // 7))
+            AS BIGINT) AS packed_bytes,
+       CAST((len(ps) * 12
+             - (list_sum(list_transform(gaps, x -> (length(bin(x)) + 6) // 7))
+                + list_sum(list_transform(ps, s -> (length(bin(s.tf)) + 6) // 7))))
+            * 1000000 // (len(ps) * 12) AS BIGINT) AS savings_ppm
+FROM g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -7179,6 +7226,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_wav_decode": q_wav_decode,
     "q_shard_rebalance": q_shard_rebalance,
     "q_trustrank": q_trustrank,
+    "q_postings_varint": q_postings_varint,
 }
 
 ORACLES: dict[str, str] = {
@@ -7321,4 +7369,5 @@ ORACLES: dict[str, str] = {
     "q_wav_decode": SQL_WAV_DECODE,
     "q_shard_rebalance": SQL_SHARD_REBALANCE,
     "q_trustrank": SQL_TRUSTRANK,
+    "q_postings_varint": SQL_POSTINGS_VARINT,
 }

@@ -52,3 +52,55 @@ def incremental_cursor_stream(records: DataFrame) -> DataFrame:
         step, RECORD_SCHEMA, _STATE_SCHEMA, "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+REQUEST_SCHEMA = "host string, url string, priority long"
+ADMITTED_SCHEMA = "host string, url string, priority long, batch_rank long"
+_BUCKET_STATE_SCHEMA = "tokens long"
+
+
+def token_bucket_stream(
+    requests: DataFrame,
+    refill_per_batch: int = 2,
+    burst: int = 5,
+) -> DataFrame:
+    """Streaming politeness admission: a per-HOST token bucket in the
+    state store.  Each micro-batch a host's bucket refills by
+    ``refill_per_batch`` (capped at ``burst``), the batch's requests
+    are ordered deterministically (priority desc, url asc), and only
+    as many as there are tokens pass — the streaming twin of the batch
+    plane's ``select_politely`` quota window, with the budget CARRIED
+    ACROSS batches: a host idle for three batches earns a burst, a
+    hammered host stays pinned at the refill rate.  Unadmitted
+    requests are dropped here (in the crawl loop they remain in the
+    frontier and re-enter next round — same contract as the batch
+    ``defer_unselected``).
+
+    Admitted rows carry ``batch_rank`` (1-based admission order within
+    the batch) so downstream fetchers preserve the politeness order.
+    State = one BIGINT per host, sharded by group key across
+    executors; restart resumes buckets from the checkpointed state
+    store (pytest-verified).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cap = int(burst)
+    refill = int(refill_per_batch)
+
+    def step(key, pdfs, state: GroupState):
+        tokens = state.get[0] if state.exists else cap
+        tokens = min(cap, tokens + (refill if state.exists else 0))
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(
+            ["priority", "url"], ascending=[False, True], kind="mergesort"
+        )
+        n = min(tokens, len(batch))
+        out = batch.iloc[:n][["host", "url", "priority"]].copy()
+        out["batch_rank"] = range(1, n + 1)
+        state.update((tokens - n,))
+        yield out
+
+    return requests.groupBy("host").applyInPandasWithState(
+        step, ADMITTED_SCHEMA, _BUCKET_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1352,6 +1352,38 @@ def test_postings_chunks_bounded_and_reassembly(spark):
     assert "Window" not in plan
 
 
+def test_postings_varint_hand_computed(spark):
+    """LEB128 accounting against a hand-worked example: term 'common'
+    in chunk 0 (range 4) has ids 0..3 -> gaps [0,1,1,1] (1 byte each)
+    + tfs [1,1,1,1] (1 byte each) = 8 packed vs 48 raw; a doc id gap
+    needing two varint bytes (>=128) is exercised via chunk_range 1024
+    with ids {0, 500}."""
+    from biothings_crawler_spark.operators.bm25 import (
+        inverted_postings,
+        postings_compression_report,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "common") for i in range(4)], "id long, text string"
+    )
+    r = {(x["term"], x["chunk_no"]): x for x in postings_compression_report(
+        inverted_postings(df, "id", "text"), chunk_range=4).collect()}
+    row = r[("common", 0)]
+    assert (row["df_chunk"], row["raw_bytes"], row["packed_bytes"]) == (4, 48, 8)
+    assert row["savings_ppm"] == (48 - 8) * 1_000_000 // 48
+    df2 = spark.createDataFrame(
+        [(0, "twobyte"), (500, "twobyte")], "id long, text string"
+    )
+    r2 = postings_compression_report(
+        inverted_postings(df2, "id", "text"), chunk_range=1024).collect()[0]
+    # gaps [0, 500]: 1 + 2 varint bytes; tfs: 2 bytes -> 5 packed vs 24 raw
+    assert (r2["raw_bytes"], r2["packed_bytes"]) == (24, 5)
+    plan = postings_compression_report(
+        inverted_postings(df, "id", "text"), chunk_range=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "BatchEvalPython" not in plan
+
+
 def test_lang_id_model_hook_matches_expression(spark):
     """The mapInPandas model hook with the default stand-in predictor
     must agree with the codegen lang_id_col expression row-for-row;

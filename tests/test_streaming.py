@@ -204,3 +204,56 @@ def test_dedup_fetch_stream_watermark_and_resume(spark, tmp_path):
     got2 = sorted((r["url_canon"], r["body"])
                   for r in spark.read.parquet(dest).collect())
     assert got2 == [("u1", "first"), ("u2", "first"), ("u3", "first")]
+
+
+def test_token_bucket_stream_budget_carries_across_batches(spark, tmp_path):
+    """Per-host token bucket in the state store: batch 1 spends the
+    initial burst; batch 2 only gets the refill; an idle batch lets
+    tokens re-accumulate (capped); restart on the same checkpoint
+    resumes bucket levels, and admission order is (priority desc, url)
+    with batch_rank recording it."""
+    from biothings_crawler_spark.streaming.stateful import (
+        REQUEST_SCHEMA,
+        token_bucket_stream,
+    )
+
+    src = tmp_path / "req"
+    out = tmp_path / "adm"
+    ckpt = tmp_path / "ck"
+    src.mkdir()
+
+    def run_once():
+        stream = spark.readStream.schema(REQUEST_SCHEMA).parquet(str(src))
+        q = (
+            token_bucket_stream(stream, refill_per_batch=2, burst=5)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(str(out)).collect()
+
+    # batch 1: 7 requests for hostA -> initial burst admits 5, in
+    # (priority desc, url) order
+    b1 = [("hostA", f"u{i}", i % 3) for i in range(7)] + [("hostB", "x0", 9)]
+    spark.createDataFrame(b1, REQUEST_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(str(src))
+    got1 = run_once()
+    a1 = sorted([r for r in got1 if r["host"] == "hostA"],
+                key=lambda r: r["batch_rank"])
+    assert len(a1) == 5 and len([r for r in got1 if r["host"] == "hostB"]) == 1
+    expected = sorted([("u" + str(i), i % 3) for i in range(7)],
+                      key=lambda t: (-t[1], t[0]))[:5]
+    assert [(r["url"], r["priority"]) for r in a1] == expected
+
+    # batch 2 (restarted query, same checkpoint): hostA exhausted its
+    # burst -> only the refill (2) admits
+    b2 = [("hostA", f"v{i}", 5) for i in range(6)]
+    spark.createDataFrame(b2, REQUEST_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(str(src))
+    got2 = run_once()
+    new_a = [r for r in got2 if r["url"].startswith("v")]
+    assert len(new_a) == 2
+    assert sorted(r["url"] for r in new_a) == ["v0", "v1"]
