@@ -129,6 +129,7 @@ SUITE = [
     "q_shard_rebalance",
     "q_trustrank",
     "q_postings_varint",
+    "q_sharded_postings",
 ]
 
 

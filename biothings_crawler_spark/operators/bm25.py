@@ -130,6 +130,47 @@ def postings_compression_report(
     )
 
 
+def write_postings_index(
+    chunks: DataFrame, path: str, n_shards: int = 16, salt: str = "ix"
+) -> None:
+    """Persist the chunked postings as the SERVING index layout:
+    parquet PARTITIONED BY the term's rendezvous shard
+    (operators/sharding.rendezvous_shard_col).  A query touching Q
+    terms then reads at most Q shard directories out of ``n_shards``
+    — directory-level pruning the same way the IVF index prunes to
+    probed cells — and growing the shard count later moves only the
+    minimal HRW fraction of terms (see shard_rebalance_report).
+    """
+    from biothings_crawler_spark.operators.sharding import (
+        rendezvous_shard_col,
+    )
+
+    chunks.withColumn(
+        "shard", rendezvous_shard_col(F.col("term"), n_shards, salt)
+    ).write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+def probe_postings(
+    spark, path: str, terms: list, n_shards: int = 16, salt: str = "ix"
+) -> DataFrame:
+    """Read a query's postings from the sharded on-disk index touching
+    only the owning shards: the shard set is computed DRIVER-side with
+    the pure-Python rendezvous twin (a few md5s, no job), so the
+    partition filter is a literal IN — static pruning visible as
+    PartitionFilters in the scan (pytest-asserted), no DPP machinery
+    needed."""
+    from biothings_crawler_spark.operators.sharding import (
+        rendezvous_shard_py,
+    )
+
+    owners = sorted({rendezvous_shard_py(t, n_shards, salt) for t in terms})
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("shard").isin(owners) & F.col("term").isin(list(terms)))
+        .drop("shard")
+    )
+
+
 def inverted_index(
     df: DataFrame, id_col: str, text_col: str, chunk_range: int = 1 << 20
 ) -> DataFrame:

@@ -51,6 +51,21 @@ def rendezvous_shard_col(key: Column, n_shards: int, salt: str = "sh") -> Column
     return F.array_max(pairs)["s"]
 
 
+def rendezvous_shard_py(key: str, n_shards: int, salt: str = "sh") -> int:
+    """Pure-Python twin of :func:`rendezvous_shard_col` — same md5-u60
+    winner for one key.  Used DRIVER-side at query time to compute the
+    handful of shards owning a query's terms so the index scan can be
+    statically pruned to those partitions (a few string hashes on the
+    driver, never a collect)."""
+    import hashlib
+
+    def u60(s: int) -> int:
+        h = hashlib.md5(f"{salt}{s}:{key}".encode()).hexdigest()
+        return int(h[:15], 16)
+
+    return max(range(int(n_shards)), key=lambda s: (u60(s), s))
+
+
 def assign_shards(
     df: DataFrame, key_col: str, n_shards: int, salt: str = "sh"
 ) -> DataFrame:

@@ -7077,6 +7077,40 @@ FROM g
 """
 
 
+PROBE_TERMS = ("table", "spark", "hash")
+
+
+def q_sharded_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING index round-trip (operators/bm25.
+    write_postings_index + probe_postings): chunked postings written
+    partitioned by the term's rendezvous shard, then a 3-term query
+    probed back through the on-disk layout with a driver-computed
+    static shard filter — the scan touches at most 3 of 16 shard
+    directories.  Result must equal the unsharded chunk table filtered
+    to the query terms (the oracle), proving the layout loses
+    nothing."""
+    from biothings_crawler_spark.operators.bm25 import (
+        inverted_postings,
+        postings_chunks,
+        probe_postings,
+        write_postings_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = postings_chunks(inverted_postings(d, "doc_id", "text"),
+                             chunk_range=64)
+    path = _scratch_index_path("postings", sf_dir)
+    write_postings_index(chunks, path, n_shards=16, salt="ix")
+    return probe_postings(spark, path, list(PROBE_TERMS), n_shards=16,
+                          salt="ix")
+
+
+SQL_SHARDED_POSTINGS = (
+    SQL_POSTINGS_CHUNKS.rstrip()
+    + "\nHAVING term IN ('table', 'spark', 'hash')\n"
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -7227,6 +7261,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_shard_rebalance": q_shard_rebalance,
     "q_trustrank": q_trustrank,
     "q_postings_varint": q_postings_varint,
+    "q_sharded_postings": q_sharded_postings,
 }
 
 ORACLES: dict[str, str] = {
@@ -7370,4 +7405,5 @@ ORACLES: dict[str, str] = {
     "q_shard_rebalance": SQL_SHARD_REBALANCE,
     "q_trustrank": SQL_TRUSTRANK,
     "q_postings_varint": SQL_POSTINGS_VARINT,
+    "q_sharded_postings": SQL_SHARDED_POSTINGS,
 }

@@ -68,3 +68,55 @@ def test_trustrank_unreached_nodes_zero(spark):
     assert tr[10] == 0 and tr[11] == 0
     assert pr[10] > 0 and pr[11] > 0
     assert tr[1] > 0 and tr[2] > 0 and tr[3] > 0  # trust propagates the cycle
+
+
+def test_python_twin_matches_column(spark):
+    """rendezvous_shard_py (driver-side probe pruning) must agree with
+    the rendezvous_shard_col expression for every key — same md5-u60,
+    same tie-break."""
+    from biothings_crawler_spark.operators.sharding import (
+        rendezvous_shard_col,
+        rendezvous_shard_py,
+    )
+
+    keys = spark.range(0, 300).select(
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("key")
+    )
+    got = {r["key"]: r["s"] for r in keys.select(
+        "key", rendezvous_shard_col(F.col("key"), 16, "ix").alias("s")
+    ).collect()}
+    for k, s in got.items():
+        assert rendezvous_shard_py(k, 16, "ix") == s, k
+
+
+def test_sharded_postings_index_prunes_partitions(spark, tmp_path):
+    """write_postings_index + probe_postings round-trip: the probe
+    result equals the in-memory chunks filtered to the query terms,
+    and the probe SCAN carries a static shard PartitionFilter — the
+    directory-level pruning that makes a Q-term query touch <= Q of
+    n_shards at 10^10 docs."""
+    from biothings_crawler_spark.operators.bm25 import (
+        inverted_postings,
+        postings_chunks,
+        probe_postings,
+        write_postings_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7}") for i in range(50)], "id long, text string"
+    )
+    chunks = postings_chunks(inverted_postings(docs, "id", "text"),
+                             chunk_range=16)
+    path = str(tmp_path / "pidx")
+    write_postings_index(chunks, path, n_shards=8, salt="ix")
+    probed = probe_postings(spark, path, ["alpha", "w3"], n_shards=8, salt="ix")
+    want = sorted(map(tuple, chunks.filter(
+        F.col("term").isin(["alpha", "w3"])).collect()))
+    assert sorted(map(tuple, probed.collect())) == want
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan
+    # the partition filter is non-empty (shard IN (...)), i.e. not
+    # "PartitionFilters: []"
+    import re
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and m.group(1).strip(), plan
