@@ -130,6 +130,7 @@ SUITE = [
     "q_trustrank",
     "q_postings_varint",
     "q_sharded_postings",
+    "q_compact_index",
 ]
 
 

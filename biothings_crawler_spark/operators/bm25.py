@@ -130,6 +130,61 @@ def postings_compression_report(
     )
 
 
+def compact_index(
+    postings: DataFrame,
+    chunks: DataFrame,
+    deleted_ids: DataFrame,
+    id_col: str = "id",
+    chunk_range: int = 1 << 20,
+) -> DataFrame:
+    """Delete-aware index compaction: apply a deletion list (takedowns,
+    purged hosts, right-to-be-forgotten) to the chunked serving index
+    WITHOUT rebuilding it — only the (term, chunk) groups that actually
+    contained a deleted document are re-aggregated; every other chunk
+    row passes through untouched.
+
+    At 10^10 documents a deletion batch is tiny relative to the index:
+    the full rebuild re-shuffles every posting, while this touches
+    ``O(postings of deleted docs)`` — the affected-keys semi-join and
+    the rebuild both key on (term, chunk_no), and the untouched side
+    is a plain anti-join that never opens a postings string.
+
+    Inputs: ``postings`` = the (term, id, tf) scale representation,
+    ``chunks`` = its serialized chunk table (same ``chunk_range``),
+    ``deleted_ids`` = one ``id_col`` column.  Returns the new chunk
+    table; chunks whose every posting was deleted disappear.  Exact:
+    equals ``postings_chunks(postings anti-join deletes)`` (the oracle
+    recomputes that from scratch)."""
+    dels = deleted_ids.select(F.col(id_col).alias("id")).distinct()
+    # fresh af_* aliases: affected shares lineage with both `postings`
+    # and `chunks`, and pass-through column refs would carry the same
+    # attribute ids into the self-joins below (analysis ambiguity)
+    affected = (
+        postings.join(F.broadcast(dels), "id", "left_semi")
+        .select(
+            F.col("term").alias("af_term"),
+            F.expr(f"id div {int(chunk_range)}").alias("af_chunk"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    surviving = postings.join(F.broadcast(dels), "id", "left_anti")
+    to_rebuild = surviving.join(
+        affected,
+        (F.col("term") == F.col("af_term"))
+        & (F.expr(f"id div {int(chunk_range)}") == F.col("af_chunk")),
+        "left_semi",
+    )
+    rebuilt = postings_chunks(to_rebuild, chunk_range)
+    untouched = chunks.join(
+        affected,
+        (F.col("term") == F.col("af_term"))
+        & (F.col("chunk_no") == F.col("af_chunk")),
+        "left_anti",
+    )
+    return untouched.unionByName(rebuilt)
+
+
 def write_postings_index(
     chunks: DataFrame, path: str, n_shards: int = 16, salt: str = "ix"
 ) -> None:

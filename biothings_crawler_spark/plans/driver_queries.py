@@ -7111,6 +7111,43 @@ SQL_SHARDED_POSTINGS = (
 )
 
 
+def q_compact_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown compaction (operators/bm25.compact_index): purge two
+    whole sources (src3, src7 — a host-level takedown) from the
+    chunked serving index by re-aggregating ONLY the (term, chunk)
+    groups that contained their postings; untouched chunk rows pass
+    through by anti-join.  Oracle = the index rebuilt from scratch
+    without the purged docs — the incremental path must equal it
+    exactly, chunk strings included."""
+    from biothings_crawler_spark.operators.bm25 import (
+        compact_index,
+        inverted_postings,
+        postings_chunks,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    postings = inverted_postings(d, "doc_id", "text")
+    chunks = postings_chunks(postings, chunk_range=64)
+    dels = d.filter(F.col("source").isin("src3", "src7")).select(
+        F.col("doc_id").alias("id")
+    )
+    return compact_index(postings, chunks, dels, id_col="id", chunk_range=64)
+
+
+SQL_COMPACT_INDEX = f"""
+WITH tf AS (
+  SELECT term, id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id AS id, unnest({_SQL_WORDS}) AS term FROM documents
+    WHERE source NOT IN ('src3', 'src7'))
+  GROUP BY term, id)
+SELECT term, id // 64 AS chunk_no, CAST(COUNT(*) AS BIGINT) AS df_chunk,
+       array_to_string(
+         list(CAST(id AS VARCHAR) || ':' || CAST(tf AS VARCHAR) ORDER BY id),
+         ' ') AS postings
+FROM tf GROUP BY term, id // 64
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -7262,6 +7299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_trustrank": q_trustrank,
     "q_postings_varint": q_postings_varint,
     "q_sharded_postings": q_sharded_postings,
+    "q_compact_index": q_compact_index,
 }
 
 ORACLES: dict[str, str] = {
@@ -7406,4 +7444,5 @@ ORACLES: dict[str, str] = {
     "q_trustrank": SQL_TRUSTRANK,
     "q_postings_varint": SQL_POSTINGS_VARINT,
     "q_sharded_postings": SQL_SHARDED_POSTINGS,
+    "q_compact_index": SQL_COMPACT_INDEX,
 }

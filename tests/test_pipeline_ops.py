@@ -1900,3 +1900,32 @@ def test_corpus_layout_partition_pruning(spark, tmp_path):
     import os
     langs = [d for d in os.listdir(path) if d.startswith("lang=")]
     assert sorted(langs) == ["lang=de", "lang=en", "lang=fr"]
+
+
+def test_compact_index_touches_only_affected_chunks(spark):
+    """Incremental deletion: the compacted index equals the
+    from-scratch rebuild, AND chunks with no deleted posting are the
+    untouched originals (verified by value).  Deleting every doc of a
+    chunk removes the chunk row entirely."""
+    from biothings_crawler_spark.operators.bm25 import (
+        compact_index,
+        inverted_postings,
+        postings_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i % 3}") for i in range(12)], "id long, text string"
+    )
+    postings = inverted_postings(docs, "id", "text")
+    chunks = postings_chunks(postings, chunk_range=4)
+    dels = spark.createDataFrame([(1,), (4,), (5,), (6,), (7,)], "id long")
+    got = sorted(map(tuple, compact_index(
+        postings, chunks, dels, chunk_range=4).collect()))
+    surviving = docs.join(dels, "id", "left_anti")
+    want = sorted(map(tuple, postings_chunks(
+        inverted_postings(surviving, "id", "text"), chunk_range=4).collect()))
+    assert got == want
+    # chunk 1 of 'alpha' (ids 4-7) was fully deleted -> gone
+    assert not [r for r in got if r[0] == "alpha" and r[1] == 1]
+    # chunk 2 of 'alpha' (ids 8-11, no deletions) survives verbatim
+    assert ("alpha", 2, 4, "8:1 9:1 10:1 11:1") in got
