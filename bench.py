@@ -131,6 +131,8 @@ SUITE = [
     "q_postings_varint",
     "q_sharded_postings",
     "q_compact_index",
+    "q_surt_keys",
+    "q_politeness_audit",
 ]
 
 

@@ -297,3 +297,63 @@ def adaptive_budgets(
             ).cast("int").alias("budget"),
         )
     )
+
+
+def politeness_audit(
+    fetches: DataFrame,
+    host_col: str,
+    ts_col: str,
+    delays: DataFrame,
+    tiebreak_col: str,
+    default_delay_us: int = 1_000_000,
+) -> DataFrame:
+    """Did the fetch plane HONOR its politeness contract?  Per host:
+    consecutive-fetch gaps vs the host's crawl delay -> ``(host,
+    n_fetches, n_gaps, n_violations, min_gap_us, violation_ppm)``.
+
+    The scheduler's quotas (select_politely) bound per-ROUND volume;
+    this audits the actual INTER-REQUEST spacing the host observed —
+    the number an angry webmaster (or RFC 9309 Crawl-delay) cares
+    about.  Closing the loop matters at 10^10 fetches because clock
+    skew, retries, and redirect chains all bypass the scheduler's
+    intent; the audit reads the fetch LOG, so nothing escapes it.
+
+    ``delays`` = (host, crawl_delay_us) — typically from the robots
+    parse; hosts missing from it audit against ``default_delay_us``.
+    Shape: one lag window over (host | ts, tiebreak) — the same keyed
+    exchange every per-host temporal operator pays — then a host
+    hash agg; the delays join is host-bounded (left to AQE to
+    broadcast).  Exact integers end-to-end.
+    """
+    w = Window.partitionBy(host_col).orderBy(ts_col, tiebreak_col)
+    # timestampdiff, not unix_micros: the latter rejects TIMESTAMP_NTZ
+    # (parquet event logs are NTZ), the former takes both kinds
+    staged = fetches.select(
+        F.col(host_col).alias("host"),
+        F.col(ts_col).alias("_ts"),
+        F.lag(F.col(ts_col)).over(w).alias("_prev_ts"),
+    )
+    flagged = staged.select(
+        "host",
+        F.expr("timestampdiff(MICROSECOND, _prev_ts, _ts)").alias("gap_us"),
+    ).join(
+        delays.select(F.col("host"), F.col("crawl_delay_us")), "host", "left"
+    ).withColumn(
+        "delay_us",
+        F.coalesce("crawl_delay_us", F.lit(int(default_delay_us))).cast("long"),
+    )
+    return flagged.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        # CASE-with-ELSE, not a bare boolean cast: a host with no gaps
+        # (single fetch) must audit to 0 violations, and sum over
+        # NULL-comparison rows would yield NULL instead
+        F.sum(F.when(F.col("gap_us") < F.col("delay_us"), 1).otherwise(0))
+        .cast("long").alias("n_violations"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.expr(
+            "CASE WHEN count(gap_us) = 0 THEN 0 ELSE "
+            "sum(CASE WHEN gap_us < delay_us THEN 1 ELSE 0 END) * 1000000 "
+            "div count(gap_us) END"
+        ).cast("long").alias("violation_ppm"),
+    )

@@ -7148,6 +7148,116 @@ FROM tf GROUP BY term, id // 64
 """
 
 
+def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT/CDX canonical sort keys (urlnorm.surt_key_col): archive-
+    convention keys over a URL mix exercising subdomain reversal, www
+    strip, port-bearing authority, missing path, query retention, and
+    a non-URL (null key).  Oracle rebuilds the key with DuckDB string/
+    list ops — independent of the Spark expression chain."""
+    from biothings_crawler_spark.urlnorm import surt_key_col
+
+    d = _t(spark, sf_dir, "documents")
+    s = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit("https://www."), F.col("source"),
+                        F.lit(".example.org/a/"), s, F.lit("?x=1&y=2")))
+        .when(F.col("doc_id") % 7 == 1,
+              F.concat(F.lit("http://news."), F.col("source"),
+                       F.lit(".example.org:8080/p/"), s))
+        .when(F.col("doc_id") % 7 == 2,
+              F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org")))
+        .when(F.col("doc_id") % 7 == 3, F.lit("not a url"))
+        .otherwise(F.concat(F.lit("https://"), F.col("source"),
+                            F.lit(".example.org/"), s))
+    )
+    return d.select(
+        F.col("doc_id"), url.alias("url"), surt_key_col(url).alias("surt")
+    )
+
+
+SQL_SURT_KEYS = """
+WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 7
+           WHEN 0 THEN 'https://www.' || source || '.example.org/a/'
+                       || CAST(doc_id AS VARCHAR) || '?x=1&y=2'
+           WHEN 1 THEN 'http://news.' || source || '.example.org:8080/p/'
+                       || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN 'https://' || source || '.example.org'
+           WHEN 3 THEN 'not a url'
+           ELSE 'https://' || source || '.example.org/'
+                || CAST(doc_id AS VARCHAR)
+         END AS url
+  FROM documents),
+p AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1) AS host,
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*[^?#]*\\?([^#]*)', 1) AS query
+  FROM u)
+SELECT doc_id, url,
+       CASE WHEN NOT regexp_matches(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+            THEN NULL
+            ELSE array_to_string(
+                   list_reverse(string_split(
+                     CASE WHEN starts_with(host, 'www.')
+                          THEN substr(host, 5) ELSE host END, '.')), ',')
+                 || ')'
+                 || CASE WHEN path = '' THEN '/' ELSE path END
+                 || CASE WHEN query = '' THEN '' ELSE '?' || query END
+       END AS surt
+FROM p
+"""
+
+
+def q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-request politeness audit (operators/politeness.
+    politeness_audit): fetch log from events (host = user bucket),
+    per-host crawl delays from a derived table (half the hosts listed,
+    the rest on the 1 s default); gaps vs delay through one lag
+    window.  Oracle = the same lag + epoch arithmetic in SQL."""
+    from biothings_crawler_spark.operators.politeness import politeness_audit
+
+    ev = _t(spark, sf_dir, "events")
+    fetches = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 30).cast("string")
+                 ).alias("host"),
+        F.col("ts"), F.col("event_id"),
+    )
+    hosts = spark.range(0, 15).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        ((F.col("id") % 5 + 1) * 250_000).cast("long").alias("crawl_delay_us"),
+    )
+    return politeness_audit(fetches, "host", "ts", hosts, "event_id")
+
+
+SQL_POLITENESS_AUDIT = """
+WITH f AS (
+  SELECT 'h' || CAST(user_id % 30 AS VARCHAR) AS host, ts, event_id
+  FROM events),
+d AS (
+  SELECT 'h' || CAST(i AS VARCHAR) AS host,
+         CAST((i % 5 + 1) * 250000 AS BIGINT) AS crawl_delay_us
+  FROM unnest(range(15)) AS t(i)),
+g AS (
+  SELECT f.host,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY f.host ORDER BY ts, event_id) AS gap_us,
+         COALESCE(d.crawl_delay_us, 1000000) AS delay_us
+  FROM f LEFT JOIN d ON f.host = d.host)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       CAST(SUM(CASE WHEN gap_us < delay_us THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(CASE WHEN COUNT(gap_us) = 0 THEN 0 ELSE
+            SUM(CASE WHEN gap_us < delay_us THEN 1 ELSE 0 END) * 1000000
+            // COUNT(gap_us) END AS BIGINT) AS violation_ppm
+FROM g GROUP BY host
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -7300,6 +7410,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_postings_varint": q_postings_varint,
     "q_sharded_postings": q_sharded_postings,
     "q_compact_index": q_compact_index,
+    "q_surt_keys": q_surt_keys,
+    "q_politeness_audit": q_politeness_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -7445,4 +7557,6 @@ ORACLES: dict[str, str] = {
     "q_postings_varint": SQL_POSTINGS_VARINT,
     "q_sharded_postings": SQL_SHARDED_POSTINGS,
     "q_compact_index": SQL_COMPACT_INDEX,
+    "q_surt_keys": SQL_SURT_KEYS,
+    "q_politeness_audit": SQL_POLITENESS_AUDIT,
 }

@@ -187,3 +187,34 @@ def test_adaptive_budgets_conservative_envelope(spark):
     assert out["slow"]["budget"] == 8           # latency-bound (p95 ub 2^27-1? -> 600e6//p95)
     assert out["slow"]["budget"] < out["fast"]["budget"]
     assert out["bp"]["budget"] == 1             # clamped at min_budget
+
+
+def test_politeness_audit_gaps_and_defaults(spark):
+    """Hand-worked audit: host 'a' (delay 2s) fetched at 0/1/4/9 s ->
+    gaps 1,3,5 s, one violation; host 'b' absent from the delay table
+    audits against the 1 s default with a 0.5 s gap -> violation;
+    single-fetch host 'c' has no gaps and min_gap_us null."""
+    import datetime as dt
+
+    from biothings_crawler_spark.operators.politeness import politeness_audit
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda s: t0 + dt.timedelta(seconds=s)
+    fetches = spark.createDataFrame(
+        [("a", mk(0), 1), ("a", mk(1), 2), ("a", mk(4), 3), ("a", mk(9), 4),
+         ("b", mk(0), 5), ("b", mk(0.5), 6), ("c", mk(0), 7)],
+        "host string, ts timestamp, event_id long",
+    )
+    delays = spark.createDataFrame([("a", 2_000_000)],
+                                   "host string, crawl_delay_us long")
+    got = {r["host"]: r for r in politeness_audit(
+        fetches, "host", "ts", delays, "event_id").collect()}
+    a = got["a"]
+    assert (a["n_fetches"], a["n_gaps"], a["n_violations"]) == (4, 3, 1)
+    assert a["min_gap_us"] == 1_000_000
+    assert a["violation_ppm"] == 1_000_000 // 3
+    b = got["b"]
+    assert (b["n_gaps"], b["n_violations"], b["min_gap_us"]) == (1, 1, 500_000)
+    c = got["c"]
+    assert (c["n_fetches"], c["n_gaps"], c["n_violations"]) == (1, 0, 0)
+    assert c["min_gap_us"] is None and c["violation_ppm"] == 0

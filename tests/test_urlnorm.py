@@ -84,3 +84,29 @@ def test_domain_key_quirk(spark):
     )
     for r in df.select("h", domain_key_col(df.h).alias("k")).collect():
         assert r["k"] == domain_key(r["h"])
+
+
+def test_surt_key_edges(spark):
+    """SURT keys: label reversal, www strip, port drop, empty path ->
+    '/', query kept as-is, non-URL -> null; prefix helper owns the
+    whole subdomain range."""
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.urlnorm import surt_key_col, surt_prefix
+
+    rows = [
+        ("https://www.news.example.org/a/b?x=1", "org,example,news)/a/b?x=1"),
+        ("http://Example.org:8080/p", "org,example)/p"),
+        ("https://example.org", "org,example)/"),
+        ("https://a.b.c.example.org/z", "org,example,c,b,a)/z"),
+        ("ftp://files.example.org/f", "org,example,files)/f"),
+        ("no scheme here", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    got = [r["s"] for r in df.select(
+        surt_key_col(F.col("url")).alias("s")).collect()]
+    assert got == [s for _, s in rows]
+    assert surt_prefix("example.org") == "org,example"
+    assert surt_prefix("www.example.org") == "org,example"
+    # every host's pages fall under its prefix -> contiguous range scan
+    assert all(s.startswith("org,example") for s in got[:4] if s)
