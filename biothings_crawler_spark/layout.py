@@ -77,3 +77,45 @@ def read_slice(
     if min_band is not None:
         df = df.filter(F.col("quality_band") >= min_band)
     return df
+
+
+def write_surt_layout(
+    df: DataFrame, path: str, url_col: str = "url", files: int = 32,
+) -> None:
+    """Write the corpus RANGE-partitioned and sorted by SURT key —
+    the CDX-lookup layout applied to the page table itself.
+
+    ``repartitionByRange(surt)`` gives every output file a DISJOINT
+    surt range; ``sortWithinPartitions`` orders rows inside each, so
+    parquet row-group min/max statistics on ``surt`` become a real
+    index: a per-domain read (``surt LIKE 'org,example%'``) skips
+    every file and row group outside the domain's contiguous slice.
+    Hive-partitioning by domain would create 10^8 tiny directories at
+    web scale; range layout keeps file count CHOSEN (``files``), not
+    data-driven.  RangePartitioning samples the key distribution, so
+    hot domains spread across several files instead of skewing one.
+    """
+    from .urlnorm import surt_key_col
+
+    laid = df.withColumn("surt", surt_key_col(F.col(url_col)))
+    (
+        laid.repartitionByRange(files, "surt")
+        .sortWithinPartitions("surt")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_domain(spark: SparkSession, path: str, domain: str) -> DataFrame:
+    """Everything under ``domain`` (all subdomains, all paths) from a
+    :func:`write_surt_layout` table — one contiguous range scan.  The
+    ``StringStartsWith`` predicate is pushed to the parquet reader
+    (``PushedFilters`` — pytest-asserted), where the sorted layout's
+    min/max stats prune non-matching files and row groups."""
+    from .urlnorm import surt_prefix
+
+    pref = surt_prefix(domain)
+    df = spark.read.parquet(path)
+    # "org,example" owns both the apex ("org,example)/...") and every
+    # subdomain ("org,example,news)/..."); both start with the prefix.
+    return df.filter(F.col("surt").startswith(pref))

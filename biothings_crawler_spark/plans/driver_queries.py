@@ -7258,6 +7258,125 @@ FROM g GROUP BY host
 """
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX archive index (sources/cdx.cdx_index): synthetic WARC
+    records (the q_warc_ingest family, plus a file assignment
+    ``warc-<doc_id%8>`` and writer sequence number) -> one CDX row per
+    response record with a Target-URI.  Offsets are per-file running
+    sums over ALL records — requests and torn records occupy bytes
+    even though they emit no lines.  Oracle rebuilds record bytes,
+    header/payload split, byte-counted offsets, SURT, and md5 digest
+    independently in DuckDB."""
+    from biothings_crawler_spark.sources.cdx import cdx_index
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    wtype = F.when(F.col("doc_id") % 7 == 3, F.lit("request")).otherwise(
+        F.lit("response")
+    )
+    date = F.concat(
+        F.lit("2026-08-"),
+        F.lpad((F.lit(1) + F.col("doc_id") % 28).cast("string"), 2, "0"),
+        F.lit("T"),
+        F.lpad((F.col("doc_id") % 24).cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((F.col("doc_id") * 7 % 60).cast("string"), 2, "0"),
+        F.lit("Z"),
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><body>"),
+        F.col("text"), F.lit("</body></html>"),
+    )
+    uri_line = F.when(
+        F.col("doc_id") % 13 == 6, F.lit("")
+    ).otherwise(F.concat(
+        F.lit("WARC-Target-URI: https://site"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.org/page/"), i, F.lit("\r\n"),
+    ))
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: "), wtype, F.lit("\r\n"),
+        uri_line,
+        F.lit("WARC-Date: "), date, F.lit("\r\n"),
+        F.lit("Content-Length: "), F.length(http).cast("string"), F.lit("\r\n"),
+        F.lit("\r\n"), http,
+    )
+    recs = d.select(
+        F.concat(F.lit("warc-"), (F.col("doc_id") % 8).cast("string")
+                 ).alias("warc_file"),
+        F.col("doc_id").alias("pos"),
+        F.encode(record, "utf-8").alias("record"),
+    )
+    return cdx_index(recs)
+
+
+SQL_CDX_INDEX = r"""
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 7 = 3 THEN 'request' ELSE 'response' END AS wtype,
+         '2026-08-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+           || 'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+           || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+           || ':' || lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0') || 'Z' AS dt,
+         'HTTP/1.1 200 OK' || chr(13) || chr(10) || 'Content-Type: text/html'
+           || chr(13) || chr(10) || chr(13) || chr(10)
+           || '<html><body>' || text || '</body></html>' AS http,
+         CASE WHEN doc_id % 13 = 6 THEN ''
+              ELSE 'WARC-Target-URI: https://site' || CAST(doc_id % 5 AS VARCHAR)
+                   || '.example.org/page/' || CAST(doc_id AS VARCHAR)
+                   || chr(13) || chr(10) END AS uri_line
+  FROM documents),
+rec AS (
+  SELECT 'warc-' || CAST(doc_id % 8 AS VARCHAR) AS warc_file, doc_id AS pos,
+         'WARC/1.0' || chr(13) || chr(10) || 'WARC-Type: ' || wtype
+         || chr(13) || chr(10) || uri_line
+         || 'WARC-Date: ' || dt || chr(13) || chr(10)
+         || 'Content-Length: ' || CAST(length(http) AS VARCHAR)
+         || chr(13) || chr(10) || chr(13) || chr(10) || http AS t
+  FROM d),
+sized AS (
+  SELECT *, octet_length(encode(t)) + 4 AS len FROM rec),
+off AS (
+  SELECT *, SUM(len) OVER (PARTITION BY warc_file ORDER BY pos) - len AS off
+  FROM sized),
+p AS (
+  SELECT warc_file, len, off,
+         regexp_extract(t, '(?s)^(.*?)\r\n\r\n', 1) AS hdr,
+         regexp_replace(t, '(?s)^.*?\r\n\r\n', '') AS payload
+  FROM off),
+x AS (
+  SELECT warc_file, len, off, payload,
+         nullif(regexp_extract(hdr, '(?m)^WARC-Type: ([^\r\n]+)', 1), '')
+           AS warc_type,
+         nullif(regexp_extract(hdr, '(?m)^WARC-Target-URI: ([^\r\n]+)', 1), '')
+           AS url,
+         regexp_extract(hdr, '(?m)^WARC-Date: ([^\r\n]+)', 1) AS warc_date
+  FROM p),
+h AS (
+  SELECT *,
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1) AS host,
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+           AS path
+  FROM x WHERE warc_type = 'response' AND url IS NOT NULL)
+SELECT array_to_string(list_reverse(string_split(
+         CASE WHEN starts_with(host, 'www.') THEN substr(host, 5) ELSE host END,
+         '.')), ',')
+       || ')' || CASE WHEN path = '' THEN '/' ELSE path END AS surt,
+       regexp_replace(warc_date, '[^0-9]', '', 'g') AS ts14,
+       url,
+       nullif(regexp_extract(payload, '(?m)^Content-Type: ([^;\r\n]+)', 1), '')
+         AS mime,
+       nullif(regexp_extract(payload, '^HTTP/[0-9.]+ ([0-9]{3})', 1), '')
+         AS status,
+       md5(payload) AS digest,
+       CAST(len AS INTEGER) AS length,
+       CAST(off AS BIGINT) AS offset,
+       warc_file
+FROM h
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -7412,6 +7531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_compact_index": q_compact_index,
     "q_surt_keys": q_surt_keys,
     "q_politeness_audit": q_politeness_audit,
+    "q_cdx_index": q_cdx_index,
 }
 
 ORACLES: dict[str, str] = {
@@ -7559,4 +7679,5 @@ ORACLES: dict[str, str] = {
     "q_compact_index": SQL_COMPACT_INDEX,
     "q_surt_keys": SQL_SURT_KEYS,
     "q_politeness_audit": SQL_POLITENESS_AUDIT,
+    "q_cdx_index": SQL_CDX_INDEX,
 }

@@ -1,0 +1,109 @@
+"""CDX index generation — the byte-offset lookup artifact for a WARC
+archive (Internet Archive / Common Crawl convention).
+
+A 100-TB crawl archive is useless without random access: "give me the
+record for this URL" must not scan a petabyte.  The CDX index solves
+it with one line per archived response —
+
+    <surt> <ts14> <url> <mime> <status> <digest> <length> <offset> <file>
+
+— where ``offset``/``length`` locate the raw record inside its WARC
+file, so a reader seeks straight to it.  The reference crawler never
+builds one (Scrapy pushes items to Elasticsearch, reference
+``crawler/pipelines.py``), but a batch engine whose sink IS a WARC
+archive needs the index as a first-class output.
+
+Shape at scale: offsets are a RUNNING SUM of record sizes within one
+WARC file, so the window partitions on the file name — thousands of
+~1 GB files give thousands of independent partitions, each a bounded
+(~50k-row) sorted run; no global sort, no skew (file sizes are capped
+by the writer).  Every field is codegen string/regex work off the raw
+record; the only exchange is the hash partition by file.
+
+Digest note: real CDX uses SHA1-Base32; this engine standardizes on
+md5 hex (its one cross-engine-exact hash primitive — see
+``testing.frame_digest``), documented here rather than hidden.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..urlnorm import surt_key_col
+
+# HTTP response payloads: status line + Content-Type header
+_STATUS_RE = r"^HTTP/[0-9.]+ ([0-9]{3})"
+_MIME_RE = r"(?m)^Content-Type: ([^;\r\n]+)"
+
+# WARC records are stored back-to-back, each followed by two CRLFs
+# (the record trailer mandated by the WARC spec) — 4 bytes the offset
+# arithmetic must count even though parse_warc_records never sees them.
+RECORD_TRAILER_BYTES = 4
+
+
+def cdx_index(
+    df: DataFrame,
+    file_col: str = "warc_file",
+    pos_col: str = "pos",
+    record_col: str = "record",
+) -> DataFrame:
+    """Raw WARC records ``(warc_file, pos, record)`` -> CDX lines.
+
+    ``pos`` is the record's ordinal within its file (the writer's
+    sequence number).  Offsets accumulate over ALL records in file
+    order — request/metadata records occupy bytes too — but only
+    ``response`` records with a target URI get index lines, per the
+    CDX convention.
+
+    Columns out: ``surt, ts14, url, mime, status, digest, length,
+    offset, warc_file`` — ``length`` includes the 4-byte record
+    trailer; ``offset`` is 0-based from the start of the file.
+    """
+    t = F.decode(F.col(record_col), "utf-8")
+    hdr = F.regexp_extract(t, r"(?s)^(.*?)\r\n\r\n", 1)
+    payload = F.regexp_replace(t, r"(?s)^.*?\r\n\r\n", "")
+    size = (F.length(F.col(record_col)) + F.lit(RECORD_TRAILER_BYTES))
+
+    w = Window.partitionBy(file_col).orderBy(pos_col)
+    rows = df.select(
+        F.col(file_col),
+        F.col(pos_col),
+        size.alias("length"),
+        (F.sum(size).over(w) - size).alias("offset"),
+        F.when(F.regexp_extract(hdr, r"(?m)^WARC-Type: ([^\r\n]+)", 1) != "",
+               F.regexp_extract(hdr, r"(?m)^WARC-Type: ([^\r\n]+)", 1))
+        .alias("warc_type"),
+        F.when(F.regexp_extract(hdr, r"(?m)^WARC-Target-URI: ([^\r\n]+)", 1) != "",
+               F.regexp_extract(hdr, r"(?m)^WARC-Target-URI: ([^\r\n]+)", 1))
+        .alias("url"),
+        F.regexp_extract(hdr, r"(?m)^WARC-Date: ([^\r\n]+)", 1).alias("warc_date"),
+        F.when(F.regexp_extract(payload, _STATUS_RE, 1) != "",
+               F.regexp_extract(payload, _STATUS_RE, 1)).alias("status"),
+        F.when(F.regexp_extract(payload, _MIME_RE, 1) != "",
+               F.regexp_extract(payload, _MIME_RE, 1)).alias("mime"),
+        F.md5(F.encode(payload, "utf-8")).alias("digest"),
+    )
+    ts14 = F.regexp_replace(F.col("warc_date"), r"[^0-9]", "")
+    return (
+        rows.filter((F.col("warc_type") == "response") & F.col("url").isNotNull())
+        .select(
+            surt_key_col(F.col("url")).alias("surt"),
+            ts14.alias("ts14"),
+            "url", "mime", "status", "digest", "length", "offset", file_col,
+        )
+    )
+
+
+def cdx_lines(cdx: DataFrame) -> DataFrame:
+    """Render the 9-field space-joined CDX text line (one string
+    column ``line``), sorted by (surt, ts14) — the on-disk order that
+    makes URL lookup a binary search / range scan."""
+    return (
+        cdx.select(F.concat_ws(
+            " ", "surt", "ts14", "url", "mime", "status", "digest",
+            F.col("length").cast("string"), F.col("offset").cast("string"),
+            "warc_file",
+        ).alias("line"), "surt", "ts14")
+        .sort("surt", "ts14")
+        .select("line")
+    )
