@@ -7377,6 +7377,183 @@ FROM h
 """
 
 
+def q_etld1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain extraction (urlnorm.etld1_col): eTLD+1 per
+    the public-suffix rule over a host mix exercising multi-label
+    ccTLD registries (co.uk, ac.jp, com.au), plain gTLDs, deep
+    subdomains, a bare public suffix (null), and a single label
+    (null).  Oracle re-derives the rule with DuckDB list slicing —
+    independent of the Spark substring_index chain."""
+    from biothings_crawler_spark.urlnorm import etld1_col
+
+    d = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 8 == 0,
+               F.concat(F.lit("www."), F.col("source"), F.lit(".example.co.uk")))
+        .when(F.col("doc_id") % 8 == 1, F.concat(F.col("source"), F.lit(".com")))
+        .when(F.col("doc_id") % 8 == 2,
+              F.concat(F.lit("a.b."), F.col("source"), F.lit(".ac.jp")))
+        .when(F.col("doc_id") % 8 == 3, F.lit("co.uk"))
+        .when(F.col("doc_id") % 8 == 4, F.lit("localhost"))
+        .when(F.col("doc_id") % 8 == 5, F.concat(F.col("source"), F.lit(".co.uk")))
+        .when(F.col("doc_id") % 8 == 6,
+              F.concat(F.lit("news."), F.col("source"), F.lit(".org")))
+        .otherwise(F.concat(F.lit("x.y.z."), F.col("source"), F.lit(".com.au")))
+    )
+    return d.select(
+        F.col("doc_id"), host.alias("host"), etld1_col(host).alias("etld1")
+    )
+
+
+_SQL_PSL = ("'ac.jp','ac.uk','co.in','co.jp','co.kr','co.nz','co.uk','co.za',"
+            "'com.ar','com.au','com.br','com.cn','com.mx','com.sg','com.tr',"
+            "'com.tw','edu.au','gov.uk','ne.jp','net.au','nhs.uk','or.jp',"
+            "'org.au','org.uk'")
+
+SQL_ETLD1 = f"""
+WITH h AS (
+  SELECT doc_id,
+         CASE doc_id % 8
+           WHEN 0 THEN 'www.' || source || '.example.co.uk'
+           WHEN 1 THEN source || '.com'
+           WHEN 2 THEN 'a.b.' || source || '.ac.jp'
+           WHEN 3 THEN 'co.uk'
+           WHEN 4 THEN 'localhost'
+           WHEN 5 THEN source || '.co.uk'
+           WHEN 6 THEN 'news.' || source || '.org'
+           ELSE 'x.y.z.' || source || '.com.au'
+         END AS host
+  FROM documents),
+t AS (
+  SELECT doc_id, host, len(l) AS n,
+         array_to_string(l[-2:], '.') AS last2,
+         array_to_string(l[-3:], '.') AS last3
+  FROM (SELECT doc_id, host, string_split(host, '.') AS l FROM h))
+SELECT doc_id, host,
+       CASE WHEN n >= 3 THEN
+              CASE WHEN last2 IN ({_SQL_PSL}) THEN last3 ELSE last2 END
+            WHEN n = 2 AND last2 NOT IN ({_SQL_PSL}) THEN last2
+            ELSE NULL END AS etld1
+FROM t
+"""
+
+
+def q_cdx_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archival identical-digest dedup (sources/cdx.cdx_revisits):
+    three capture snapshots per document with a version matrix
+    covering stable (0,0,0), changed-once (0,1,1), REVERTED (0,1,0 —
+    the any-prior-not-just-consecutive case), and always-changing
+    (0,1,2) histories.  Oracle = the same row_number/first_value
+    window in SQL."""
+    from biothings_crawler_spark.sources.cdx import cdx_revisits
+
+    d = _t(spark, sf_dir, "documents")
+    snaps = d.select("doc_id", "text", F.explode(F.array(
+        F.lit(0), F.lit(1), F.lit(2))).alias("snap"))
+    m = F.col("doc_id") % 4
+    version = (
+        F.when(m == 0, F.lit(0))
+        .when(m == 1, F.least(F.col("snap"), F.lit(1)))
+        .when(m == 2, F.col("snap") % 2)
+        .otherwise(F.col("snap"))
+    )
+    i = F.col("doc_id").cast("string")
+    caps = snaps.select(
+        F.concat(F.lit("org,example,site"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(")/page/"), i).alias("surt"),
+        F.concat(F.lit("202608"),
+                 F.lpad((F.col("snap") + 1).cast("string"), 2, "0"),
+                 F.lit("120000")).alias("ts14"),
+        F.concat(F.lit("https://site"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".example.org/page/"), i).alias("url"),
+        F.md5(F.encode(F.concat(F.col("text"), F.lit("#"),
+                                version.cast("string")), "utf-8")
+              ).alias("digest"),
+        (F.length("text") + 100).alias("length"),
+        (F.col("doc_id") * 1000 + F.col("snap")).alias("offset"),
+        F.concat(F.lit("warc-"), F.col("snap").cast("string")
+                 ).alias("warc_file"),
+    )
+    return cdx_revisits(caps)
+
+
+SQL_CDX_REVISITS = """
+WITH caps AS (
+  SELECT 'org,example,site' || CAST(doc_id % 5 AS VARCHAR) || ')/page/'
+           || CAST(doc_id AS VARCHAR) AS surt,
+         '202608' || lpad(CAST(s.snap + 1 AS VARCHAR), 2, '0') || '120000'
+           AS ts14,
+         'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/page/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         md5(text || '#' || CAST(
+           CASE doc_id % 4
+             WHEN 0 THEN 0
+             WHEN 1 THEN least(s.snap, 1)
+             WHEN 2 THEN s.snap % 2
+             ELSE s.snap END AS VARCHAR)) AS digest,
+         CAST(length(text) + 100 AS INTEGER) AS length,
+         doc_id * 1000 + s.snap AS "offset",
+         'warc-' || CAST(s.snap AS VARCHAR) AS warc_file
+  FROM documents, unnest([0, 1, 2]) AS s(snap))
+SELECT surt, ts14, url, digest, length, "offset", warc_file,
+       row_number() OVER w > 1 AS is_revisit,
+       first_value(warc_file) OVER w AS refers_to_file,
+       first_value("offset") OVER w AS refers_to_offset
+FROM caps
+WINDOW w AS (PARTITION BY surt, digest ORDER BY ts14, warc_file, "offset")
+"""
+
+
+def q_warc_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC writer framing (sources/warc.render_warc): documents ->
+    framed response records; the oracle rebuilds the record STRING in
+    DuckDB and both sides hash it — any framing drift (CRLFs, ISO
+    date, byte-counted Content-Length) breaks the md5.  The parse
+    roundtrip (render -> parse_warc_records recovers the page) is
+    pytest-asserted in tests/test_cdx.py."""
+    from biothings_crawler_spark.sources.warc import render_warc
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("https://site"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".example.org/page/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_micros(
+            (F.lit(1756684800) + F.col("doc_id") % 86400 * 7) * 1_000_000
+        ).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body>"), F.col("text"),
+                          F.lit("</body></html>")), "utf-8").alias("html"),
+    )
+    return render_warc(pages).select(
+        F.length("record").alias("rec_len"),
+        F.md5("record").alias("rec_md5"),
+    )
+
+
+SQL_WARC_RENDER = r"""
+WITH p AS (
+  SELECT 'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/page/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         strftime(make_timestamp((1756684800 + doc_id % 86400 * 7) * 1000000),
+                  '%Y-%m-%dT%H:%M:%SZ') AS dt,
+         'HTTP/1.1 200 OK' || chr(13) || chr(10)
+           || 'Content-Type: text/html' || chr(13) || chr(10) || chr(13)
+           || chr(10) || '<html><body>' || text || '</body></html>' AS payload
+  FROM documents),
+rec AS (
+  SELECT 'WARC/1.0' || chr(13) || chr(10) || 'WARC-Type: response'
+         || chr(13) || chr(10) || 'WARC-Target-URI: ' || url
+         || chr(13) || chr(10) || 'WARC-Date: ' || dt
+         || chr(13) || chr(10) || 'Content-Length: '
+         || CAST(octet_length(encode(payload)) AS VARCHAR)
+         || chr(13) || chr(10) || chr(13) || chr(10) || payload AS t
+  FROM p)
+SELECT CAST(octet_length(encode(t)) AS INTEGER) AS rec_len, md5(t) AS rec_md5
+FROM rec
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -7532,6 +7709,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_surt_keys": q_surt_keys,
     "q_politeness_audit": q_politeness_audit,
     "q_cdx_index": q_cdx_index,
+    "q_etld1": q_etld1,
+    "q_cdx_revisits": q_cdx_revisits,
+    "q_warc_render": q_warc_render,
 }
 
 ORACLES: dict[str, str] = {
@@ -7680,4 +7860,7 @@ ORACLES: dict[str, str] = {
     "q_surt_keys": SQL_SURT_KEYS,
     "q_politeness_audit": SQL_POLITENESS_AUDIT,
     "q_cdx_index": SQL_CDX_INDEX,
+    "q_etld1": SQL_ETLD1,
+    "q_cdx_revisits": SQL_CDX_REVISITS,
+    "q_warc_render": SQL_WARC_RENDER,
 }

@@ -107,3 +107,50 @@ def cdx_lines(cdx: DataFrame) -> DataFrame:
         .sort("surt", "ts14")
         .select("line")
     )
+
+
+def cdx_revisits(cdx: DataFrame) -> DataFrame:
+    """Identical-payload-digest deduplication across captures — the
+    WARC ``revisit`` record convention (Internet Archive / Heritrix):
+    when a URL is re-fetched and the payload digest matches ANY prior
+    capture, the archive stores a slim revisit record pointing at the
+    original instead of the payload bytes (30-50% of a recrawl's
+    volume on stable sites).
+
+    For each capture: ``is_revisit`` plus the original's location
+    (``refers_to_file``/``refers_to_offset`` — the WARC-Refers-To
+    fields).  One window over (surt, digest) ordered by capture time:
+    row 1 is the original, every later row a revisit.  Scale shape:
+    the partition key includes the DIGEST, so state per window is the
+    capture count of one URL *version* — bounded by recrawl frequency,
+    never by corpus size; hot URLs with changing content split across
+    digests.
+    """
+    w = (
+        Window.partitionBy("surt", "digest")
+        .orderBy("ts14", "warc_file", "offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cdx.select(
+        "surt", "ts14", "url", "digest", "length", "offset", "warc_file",
+        (F.row_number().over(
+            Window.partitionBy("surt", "digest")
+            .orderBy("ts14", "warc_file", "offset")) > 1).alias("is_revisit"),
+        F.first("warc_file").over(w).alias("refers_to_file"),
+        F.first("offset").over(w).alias("refers_to_offset"),
+    )
+
+
+def revisit_savings(marked: DataFrame) -> DataFrame:
+    """Storage saved by revisit records, per WARC file: bytes of
+    payload NOT rewritten.  Plain hash aggregation over the marked
+    capture table."""
+    return (
+        marked.groupBy("warc_file")
+        .agg(
+            F.count("*").alias("n_captures"),
+            F.sum(F.col("is_revisit").cast("int")).alias("n_revisits"),
+            F.sum(F.when(F.col("is_revisit"), F.col("length"))
+                  .otherwise(F.lit(0))).alias("saved_bytes"),
+        )
+    )

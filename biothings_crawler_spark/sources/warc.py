@@ -86,3 +86,45 @@ def warc_pages(df: DataFrame, record_col: str = "record") -> DataFrame:
         rec.filter((F.col("warc_type") == "response") & F.col("url").isNotNull())
         .select("url", "warc_ts_us", "content_length", body.alias("html"))
     )
+
+
+def render_warc(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+    status_col: str | None = None,
+    mime: str = "text/html",
+) -> DataFrame:
+    """The writer half of the archive loop: pages -> framed WARC
+    response records (one binary ``record`` column), the exact shape
+    :func:`parse_warc_records` reads back — roundtrip is
+    pytest-asserted.
+
+    Framing per the WARC 1.0 convention this module parses: version
+    line, ``WARC-Type: response``, Target-URI, ``WARC-Date`` (ISO-8601
+    UTC seconds), ``Content-Length`` counting the HTTP payload BYTES
+    (an HTTP status/Content-Type block + the body), blank line,
+    payload.  Entirely codegen string/byte ops — zero exchange, zero
+    Python; at 100 TB this projection feeds a
+    ``repartitionByRange(surt)`` writer and :mod:`.cdx` indexes the
+    files as they land.
+    """
+    body = F.decode(F.col(html_col), "utf-8")
+    status = (
+        F.col(status_col).cast("string") if status_col else F.lit("200 OK")
+    )
+    payload = F.concat(
+        F.lit("HTTP/1.1 "), status, F.lit("\r\nContent-Type: "), F.lit(mime),
+        F.lit("\r\n\r\n"), body,
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        F.col(url_col),
+        F.lit("\r\nWARC-Date: "),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit("\r\nContent-Length: "),
+        F.length(F.encode(payload, "utf-8")).cast("string"),
+        F.lit("\r\n\r\n"), payload,
+    )
+    return df.select(F.encode(record, "utf-8").alias("record"))

@@ -193,3 +193,42 @@ def surt_prefix(domain: str) -> str:
     d = domain.lower()
     d = d[4:] if d.startswith("www.") else d
     return ",".join(reversed(d.split(".")))
+
+
+# Two-label public suffixes (mini public-suffix list). The real
+# Mozilla PSL has ~9k rules; politeness and budget grouping only need
+# the high-traffic ccTLD second-level registries — for a full list,
+# broadcast-join a PSL table on the same label-suffix keys instead
+# (operators/blocklist.py shows the pattern). Sorted, deduped.
+MULTI_LABEL_SUFFIXES: tuple[str, ...] = (
+    "ac.jp", "ac.uk", "co.in", "co.jp", "co.kr", "co.nz", "co.uk",
+    "co.za", "com.ar", "com.au", "com.br", "com.cn", "com.mx",
+    "com.sg", "com.tr", "com.tw", "edu.au", "gov.uk", "ne.jp",
+    "net.au", "nhs.uk", "or.jp", "org.au", "org.uk",
+)
+
+
+def etld1_col(host: Column) -> Column:
+    """Registrable domain (eTLD+1) of ``host`` — the public-suffix-
+    list rule (publicsuffix.org): one label more than the longest
+    matching public suffix.  ``www.news.example.co.uk`` ->
+    ``example.co.uk``; ``foo.com`` -> ``foo.com``; a host that IS a
+    public suffix (``co.uk``) or has one label (``localhost``) has no
+    registrable domain -> null.
+
+    Why the frontier needs it at 10^10 URLs: per-HOST politeness lets
+    a single registrant with wildcard subdomains (``*.blogspot.com``
+    -style farms) multiply its budget by minting hosts; keying budgets
+    and crawl quotas on eTLD+1 closes that hole.  Pure row-local
+    expression (``substring_index`` + a literal ``isin``) — zero
+    exchange, no UDF; swap in a broadcast PSL join for the full list.
+    """
+    last2 = F.substring_index(host, ".", -2)
+    n = F.size(F.split(host, r"\."))
+    is_multi = last2.isin(*MULTI_LABEL_SUFFIXES)
+    return (
+        F.when(n >= 3, F.when(is_multi, F.substring_index(host, ".", -3))
+               .otherwise(last2))
+        .when((n == 2) & ~is_multi, last2)
+        .otherwise(F.lit(None).cast("string"))
+    )

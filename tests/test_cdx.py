@@ -117,3 +117,50 @@ def test_surt_layout_roundtrip_and_pushdown(spark, tmp_path):
     spans = sorted((r.lo, r.hi) for r in per_file)
     for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 <= lo2
+
+
+def test_render_parse_roundtrip(spark):
+    """render_warc -> parse_warc_records recovers url/ts/body exactly."""
+    import datetime as dt
+
+    from biothings_crawler_spark.sources.warc import render_warc, warc_pages
+
+    pages = spark.createDataFrame(
+        [("https://h.example.org/p/1",
+          dt.datetime(2026, 8, 17, 12, 0, 5),
+          "<html><body>héllo &amp; bytes</body></html>".encode()),
+         ("https://h.example.org/p/2",
+          dt.datetime(2026, 1, 2, 3, 4, 5),
+          b"<html>two</html>")],
+        "url string, warc_ts timestamp, html binary",
+    )
+    back = warc_pages(render_warc(pages)).orderBy("url").collect()
+    orig = pages.orderBy("url").collect()
+    assert [(r.url, r.html) for r in back] == \
+        [(r.url, r.html.decode()) for r in orig]
+    # warc_pages returns epoch micros (UTC); timestamps survive framing
+    expect_us = int(dt.datetime(2026, 8, 17, 12, 0, 5,
+                                tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert back[0].warc_ts_us == expect_us
+
+
+def test_revisits_any_prior_not_just_consecutive(spark):
+    """A reverted page (digest history A, B, A) is a revisit on the
+    third capture, pointing at the FIRST capture."""
+    from biothings_crawler_spark.sources.cdx import cdx_revisits, revisit_savings
+
+    rows = [
+        ("org,h)/p", "20260801000000", "u", "A", 100, 0, "w0"),
+        ("org,h)/p", "20260802000000", "u", "B", 100, 0, "w1"),
+        ("org,h)/p", "20260803000000", "u", "A", 100, 0, "w2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "surt string, ts14 string, url string, digest string, "
+              "length int, offset long, warc_file string")
+    out = {r.ts14: r for r in cdx_revisits(df).collect()}
+    assert not out["20260801000000"].is_revisit
+    assert not out["20260802000000"].is_revisit
+    assert out["20260803000000"].is_revisit
+    assert out["20260803000000"].refers_to_file == "w0"
+    sav = {r.warc_file: r for r in revisit_savings(cdx_revisits(df)).collect()}
+    assert sav["w2"].saved_bytes == 100 and sav["w0"].saved_bytes == 0

@@ -110,3 +110,25 @@ def test_surt_key_edges(spark):
     assert surt_prefix("www.example.org") == "org,example"
     # every host's pages fall under its prefix -> contiguous range scan
     assert all(s.startswith("org,example") for s in got[:4] if s)
+
+
+def test_etld1_psl_rule(spark):
+    import pyspark.sql.functions as F
+
+    from biothings_crawler_spark.urlnorm import etld1_col
+
+    cases = {
+        "www.news.example.co.uk": "example.co.uk",
+        "example.co.uk": "example.co.uk",
+        "foo.com": "foo.com",
+        "a.b.c.foo.com": "foo.com",
+        "deep.sub.x.ac.jp": "x.ac.jp",
+        "co.uk": None,          # a bare public suffix registers nothing
+        "localhost": None,      # single label
+        "blog.example.org": "example.org",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {r.host: r.etld1
+           for r in df.select("host", etld1_col(F.col("host")).alias("etld1"))
+           .collect()}
+    assert got == cases
