@@ -133,6 +133,12 @@ SUITE = [
     "q_compact_index",
     "q_surt_keys",
     "q_politeness_audit",
+    "q_cdx_index",
+    "q_cdx_revisits",
+    "q_etld1",
+    "q_warc_render",
+    "q_charset_sniff",
+    "q_cache_ttl",
 ]
 
 

@@ -1,0 +1,150 @@
+"""HTTP response-layer operators: charset sniffing and cache-policy
+TTLs.
+
+The reference crawler delegates both to Scrapy's response machinery
+(reference ``crawler/spiders`` never touch encodings or caching
+explicitly); a batch engine ingesting raw archived bytes has to make
+them first-class columns.  Both operators are pure codegen
+regex/arithmetic projections — zero exchange, zero Python — so at
+100 TB they ride the ingest scan for free.
+
+``sniff_charset`` follows the WHATWG encoding-sniffing precedence
+(https://html.spec.whatwg.org/multipage/parsing.html#determining-the-character-encoding),
+simplified to the layers a batch pipeline can honor:
+
+1. byte-order mark (UTF-8 / UTF-16 LE / UTF-16 BE),
+2. ``charset=`` parameter of the Content-Type header,
+3. ``<meta charset>`` / ``<meta http-equiv=content-type>`` inside the
+   first ``prefix_bytes`` of the body (the spec's prescan window),
+4. the caller's default (HTML5's legacy default is windows-1252).
+
+Labels are lowercased and folded through the WHATWG alias table's
+high-traffic rows (``iso-8859-1``/``latin1`` -> ``windows-1252``,
+``utf8`` -> ``utf-8``) — enough to make downstream decode dispatch on
+a small closed set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# WHATWG alias table, high-traffic rows only.
+_ALIASES: dict[str, str] = {
+    "utf8": "utf-8",
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "latin1": "windows-1252",
+    "latin-1": "windows-1252",
+    "us-ascii": "windows-1252",
+    "ascii": "windows-1252",
+    "shift-jis": "shift_jis",
+    "sjis": "shift_jis",
+}
+
+_CT_RE = r"""(?i)charset\s*=\s*["']?([A-Za-z0-9_.:-]+)"""
+_META_RE = (
+    r"""(?i)<meta[^>]{0,200}?charset\s*=\s*["']?([A-Za-z0-9_.:-]+)"""
+)
+
+
+def _fold(label: Column) -> Column:
+    # ONE map-literal lookup, not a when-chain: chained
+    # when(x==k).otherwise(prev) references the previous expression
+    # twice per alias, doubling the Catalyst tree each row of the
+    # table (2^9 subtrees here — blows past Janino's 64KB method
+    # limit and drops the projection to interpreted).
+    alias_map = F.create_map(
+        *[F.lit(x) for kv in _ALIASES.items() for x in kv])
+    low = F.lower(label)
+    return F.coalesce(F.element_at(alias_map, low), low)
+
+
+def sniff_charset(
+    df: DataFrame,
+    html_col: str = "html",
+    content_type_col: str = "content_type",
+    default: str = "windows-1252",
+    prefix_bytes: int = 1024,
+) -> DataFrame:
+    """Add ``charset`` (folded label) and ``charset_source`` (``bom`` /
+    ``header`` / ``meta`` / ``default``) columns.
+
+    The meta prescan decodes the first ``prefix_bytes`` as ISO-8859-1
+    — a byte-preserving decode every byte sequence survives — so the
+    regex never sees a decode error; BOM detection compares the hex of
+    the first bytes, never decoding them.
+    """
+    head3 = F.hex(F.expr(f"substring({html_col}, 1, 3)"))
+    head2 = F.hex(F.expr(f"substring({html_col}, 1, 2)"))
+    prescan = F.decode(
+        F.expr(f"substring({html_col}, 1, {int(prefix_bytes)})"), "ISO-8859-1"
+    )
+    hdr = F.regexp_extract(F.coalesce(F.col(content_type_col), F.lit("")),
+                           _CT_RE, 1)
+    meta = F.regexp_extract(prescan, _META_RE, 1)
+    charset = (
+        F.when(head3 == "EFBBBF", F.lit("utf-8"))
+        .when(head2 == "FFFE", F.lit("utf-16le"))
+        .when(head2 == "FEFF", F.lit("utf-16be"))
+        .when(hdr != "", _fold(hdr))
+        .when(meta != "", _fold(meta))
+        .otherwise(F.lit(default))
+    )
+    source = (
+        F.when((head3 == "EFBBBF") | head2.isin("FFFE", "FEFF"), F.lit("bom"))
+        .when(hdr != "", F.lit("header"))
+        .when(meta != "", F.lit("meta"))
+        .otherwise(F.lit("default"))
+    )
+    return df.withColumn("charset", charset).withColumn(
+        "charset_source", source)
+
+
+# ---------------------------------------------------------------------------
+
+_MAXAGE_RE = r"(?i)(?:^|[,\s])max-age\s*=\s*([0-9]+)"
+_SMAXAGE_RE = r"(?i)(?:^|[,\s])s-maxage\s*=\s*([0-9]+)"
+_NOSTORE_RE = r"(?i)(?:^|[,\s])(?:no-store|no-cache)(?:$|[,\s=])"
+
+
+def cache_ttl(
+    df: DataFrame,
+    cache_control_col: str = "cache_control",
+    age_col: str | None = "age_s",
+    fetch_ts_us_col: str = "fetch_ts_us",
+    default_ttl_s: int = 86_400,
+) -> DataFrame:
+    """Server-declared revalidation horizon per response (RFC 9111
+    freshness model, shared-cache view):
+
+    * ``no-store`` / ``no-cache`` -> TTL 0 (always refetch),
+    * ``s-maxage`` overrides ``max-age`` (we are a shared cache),
+    * remaining freshness is reduced by the ``Age`` header,
+    * no directive at all -> ``default_ttl_s`` (heuristic freshness).
+
+    Adds ``ttl_s`` and ``stale_at_us`` (fetch time + TTL) — the column
+    adaptive recrawl scheduling (operators/recrawl.py) clamps its
+    model-driven intervals against: a crawler may revisit LATER than
+    the server allows, never assume freshness LONGER than declared.
+    Pure row-local regex + integer arithmetic.
+    """
+    cc = F.coalesce(F.col(cache_control_col), F.lit(""))
+    no_store = cc.rlike(_NOSTORE_RE)
+    smax = F.regexp_extract(cc, _SMAXAGE_RE, 1)
+    maxage = F.regexp_extract(cc, _MAXAGE_RE, 1)
+    declared = (
+        F.when(no_store, F.lit(0))
+        .when(smax != "", smax.cast("long"))
+        .when(maxage != "", maxage.cast("long"))
+        .otherwise(F.lit(int(default_ttl_s)))
+    )
+    age = (
+        F.coalesce(F.col(age_col).cast("long"), F.lit(0))
+        if age_col else F.lit(0)
+    )
+    ttl = F.greatest(F.lit(0), declared - age)
+    return df.withColumn("ttl_s", ttl.cast("long")).withColumn(
+        "stale_at_us",
+        (F.col(fetch_ts_us_col) + F.col("ttl_s") * F.lit(1_000_000))
+        .cast("long"),
+    )

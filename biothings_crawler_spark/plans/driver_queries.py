@@ -7554,6 +7554,165 @@ FROM rec
 """
 
 
+def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHATWG charset sniffing (operators/http.sniff_charset): BOM >
+    Content-Type header > meta prescan > default, with alias folding.
+    Fixture covers a UTF-8 BOM, a header label, ``<meta charset>``, a
+    ``http-equiv`` meta, an unlabeled page, and a header-beats-meta
+    conflict.  Oracle re-derives the precedence with DuckDB regexes on
+    the same constructed page.  (UTF-16 BOMs are pytest-only — their
+    bytes can't live in a DuckDB VARCHAR.)"""
+    from biothings_crawler_spark.operators.http import sniff_charset
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    html_s = (
+        F.when(m == 0, F.concat(F.lit("﻿<html>"), F.col("text")))
+        .when(m == 2, F.concat(
+            F.lit('<html><head><meta charset="Shift_JIS"></head>'),
+            F.col("text")))
+        .when(m == 3, F.concat(
+            F.lit('<head><meta http-equiv="Content-Type" '
+                  'content="text/html; charset=utf8"></head>'),
+            F.col("text")))
+        .when(m == 5, F.concat(
+            F.lit("<head><meta charset='latin1'></head>"), F.col("text")))
+        .otherwise(F.concat(F.lit("<html>"), F.col("text")))
+    )
+    ct = (
+        F.when(m == 1, F.lit("text/html; charset=ISO-8859-1"))
+        .when(m == 5, F.lit('text/html; charset="UTF-8"'))
+        .otherwise(F.lit("text/html"))
+    )
+    pages = d.select(
+        "doc_id",
+        F.encode(html_s, "utf-8").alias("html"),
+        ct.alias("content_type"),
+    )
+    return sniff_charset(pages).select(
+        "doc_id", "charset", "charset_source")
+
+
+SQL_CHARSET_SNIFF = r"""
+WITH p AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN chr(65279) || '<html>' || text
+           WHEN 2 THEN '<html><head><meta charset="Shift_JIS"></head>' || text
+           WHEN 3 THEN '<head><meta http-equiv="Content-Type" '
+                       || 'content="text/html; charset=utf8"></head>' || text
+           WHEN 5 THEN '<head><meta charset=''latin1''></head>' || text
+           ELSE '<html>' || text
+         END AS html,
+         CASE doc_id % 6
+           WHEN 1 THEN 'text/html; charset=ISO-8859-1'
+           WHEN 5 THEN 'text/html; charset="UTF-8"'
+           ELSE 'text/html'
+         END AS content_type
+  FROM documents),
+x AS (
+  SELECT doc_id,
+         starts_with(html, chr(65279)) AS bom,
+         regexp_extract(content_type,
+           'charset\s*=\s*["'']?([A-Za-z0-9_.:-]+)', 1, 'i') AS hdr,
+         regexp_extract(substring(html, 1, 1024),
+           '<meta[^>]{0,200}?charset\s*=\s*["'']?([A-Za-z0-9_.:-]+)', 1, 'i')
+           AS meta
+  FROM p),
+lab AS (
+  SELECT doc_id, bom, hdr, meta,
+         CASE WHEN bom THEN 'utf-8'
+              WHEN hdr <> '' THEN lower(hdr)
+              WHEN meta <> '' THEN lower(meta)
+              ELSE 'windows-1252' END AS raw
+  FROM x)
+SELECT doc_id,
+       CASE raw
+         WHEN 'utf8' THEN 'utf-8'
+         WHEN 'iso-8859-1' THEN 'windows-1252'
+         WHEN 'iso8859-1' THEN 'windows-1252'
+         WHEN 'latin1' THEN 'windows-1252'
+         WHEN 'latin-1' THEN 'windows-1252'
+         WHEN 'us-ascii' THEN 'windows-1252'
+         WHEN 'ascii' THEN 'windows-1252'
+         WHEN 'shift-jis' THEN 'shift_jis'
+         WHEN 'sjis' THEN 'shift_jis'
+         ELSE raw END AS charset,
+       CASE WHEN bom THEN 'bom'
+            WHEN hdr <> '' THEN 'header'
+            WHEN meta <> '' THEN 'meta'
+            ELSE 'default' END AS charset_source
+FROM lab
+"""
+
+
+def q_cache_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9111 freshness TTLs (operators/http.cache_ttl): no-store /
+    no-cache zero, s-maxage over max-age (shared cache), Age-reduced
+    freshness with a zero clamp, heuristic default when undeclared.
+    Oracle = the same directive regexes + integer arithmetic in SQL."""
+    from biothings_crawler_spark.operators.http import cache_ttl
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    cc = (
+        F.when(m == 0, F.lit("max-age=3600, public"))
+        .when(m == 1, F.lit("no-store"))
+        .when(m == 2, F.lit("s-maxage=600, max-age=30"))
+        .when(m == 3, F.lit(""))
+        .when(m == 4, F.lit("private, max-age=0, no-cache"))
+        .otherwise(F.lit("max-age=100"))
+    )
+    resp = d.select(
+        "doc_id",
+        cc.alias("cache_control"),
+        F.when(m == 5, F.lit(150)).otherwise(F.col("doc_id") % 20)
+        .cast("long").alias("age_s"),
+        (F.col("doc_id") * 1_000_000).alias("fetch_ts_us"),
+    )
+    return cache_ttl(resp).select(
+        "doc_id", "cache_control", "ttl_s", "stale_at_us")
+
+
+SQL_CACHE_TTL = r"""
+WITH r AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'max-age=3600, public'
+           WHEN 1 THEN 'no-store'
+           WHEN 2 THEN 's-maxage=600, max-age=30'
+           WHEN 3 THEN ''
+           WHEN 4 THEN 'private, max-age=0, no-cache'
+           ELSE 'max-age=100'
+         END AS cache_control,
+         CAST(CASE WHEN doc_id % 6 = 5 THEN 150 ELSE doc_id % 20 END
+              AS BIGINT) AS age_s,
+         doc_id * 1000000 AS fetch_ts_us
+  FROM documents),
+d AS (
+  SELECT doc_id, cache_control, age_s, fetch_ts_us,
+         regexp_matches(cache_control,
+           '(?:^|[,\s])(?:no-store|no-cache)(?:$|[,\s=])', 'i') AS no_store,
+         regexp_extract(cache_control,
+           '(?:^|[,\s])s-maxage\s*=\s*([0-9]+)', 1, 'i') AS smax,
+         regexp_extract(cache_control,
+           '(?:^|[,\s])max-age\s*=\s*([0-9]+)', 1, 'i') AS maxage
+  FROM r),
+t AS (
+  SELECT doc_id, cache_control, age_s, fetch_ts_us,
+         CASE WHEN no_store THEN 0
+              WHEN smax <> '' THEN CAST(smax AS BIGINT)
+              WHEN maxage <> '' THEN CAST(maxage AS BIGINT)
+              ELSE 86400 END AS declared
+  FROM d)
+SELECT doc_id, cache_control,
+       CAST(greatest(0, declared - age_s) AS BIGINT) AS ttl_s,
+       CAST(fetch_ts_us + greatest(0, declared - age_s) * 1000000 AS BIGINT)
+         AS stale_at_us
+FROM t
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -7712,6 +7871,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_etld1": q_etld1,
     "q_cdx_revisits": q_cdx_revisits,
     "q_warc_render": q_warc_render,
+    "q_charset_sniff": q_charset_sniff,
+    "q_cache_ttl": q_cache_ttl,
 }
 
 ORACLES: dict[str, str] = {
@@ -7863,4 +8024,6 @@ ORACLES: dict[str, str] = {
     "q_etld1": SQL_ETLD1,
     "q_cdx_revisits": SQL_CDX_REVISITS,
     "q_warc_render": SQL_WARC_RENDER,
+    "q_charset_sniff": SQL_CHARSET_SNIFF,
+    "q_cache_ttl": SQL_CACHE_TTL,
 }
