@@ -139,6 +139,8 @@ SUITE = [
     "q_warc_render",
     "q_charset_sniff",
     "q_cache_ttl",
+    "q_recrawl_clamped",
+    "q_sitemap_refetch",
 ]
 
 

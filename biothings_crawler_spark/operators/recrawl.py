@@ -160,3 +160,35 @@ def aimd_host_rates(
     return per_host.select(
         "host", "n_hours", "n_fetches", "n_backoff_hours", fold.alias("rate_rph")
     )
+
+
+def clamp_with_cache_policy(
+    schedule: DataFrame, policies: DataFrame, url_col: str = "url",
+) -> DataFrame:
+    """Apply the server's freshness floor to the model-driven
+    schedule: never refetch BEFORE the declared staleness horizon
+    (``stale_at_us`` from operators/http.cache_ttl) — a fetch inside
+    the freshness window is a guaranteed 304/unchanged, the waste the
+    conditional-fetch report measures.  The floor only delays; the
+    change model still decides how much LATER than staleness to
+    revisit.
+
+    Left join on url (unpoliced urls pass through), row-local
+    ``greatest`` clamp plus a ``was_clamped`` flag for observability.
+    Scale: the policy table shares the schedule's key — co-locate by
+    bucketing on url, or broadcast when the policed subset is small.
+    """
+    pol = policies.select(
+        F.col(url_col).alias("__pol_url"), F.col("stale_at_us"))
+    j = schedule.join(
+        pol, schedule[url_col] == F.col("__pol_url"), "left")
+    clamped = F.greatest(
+        F.col("next_due_us"),
+        F.coalesce(F.col("stale_at_us"), F.lit(0).cast("long")),
+    )
+    return j.select(
+        *[F.col(c) for c in schedule.columns if c != "next_due_us"],
+        clamped.alias("next_due_us"),
+        (F.coalesce(F.col("stale_at_us"), F.lit(0).cast("long"))
+         > F.col("next_due_us")).alias("was_clamped"),
+    )

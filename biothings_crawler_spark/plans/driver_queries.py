@@ -7713,6 +7713,116 @@ FROM t
 """
 
 
+def q_recrawl_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model schedule ∧ server policy (operators/recrawl.
+    clamp_with_cache_policy): the Cho & Garcia-Molina intervals from
+    q_recrawl_schedule, floored by per-URL cache staleness horizons
+    (operators/http.cache_ttl's output shape); a third of the URLs
+    carry no policy and pass through.  Oracle = the recrawl SQL twin
+    wrapped in the same left join + greatest clamp."""
+    from biothings_crawler_spark.operators.recrawl import (
+        clamp_with_cache_policy,
+        recrawl_schedule,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    fetches = ev.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 200).cast("string")).alias("url"),
+        F.col("ts"),
+        F.col("event_id"),
+        (F.floor(F.col("value") * 10).cast("long") % 3).cast("string").alias("h"),
+    )
+    sched = recrawl_schedule(
+        fetches, "url", "ts", "h", "event_id",
+        base_interval_s=86400, min_interval_s=3600, max_interval_s=2592000,
+    )
+    policies = (
+        spark.range(0, 200)
+        .filter(F.col("id") % 3 != 2)
+        .select(
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+            (F.lit(1_787_000_000_000_000)
+             + (F.col("id") % 7) * F.lit(500_000_000_000))
+            .cast("long").alias("stale_at_us"),
+        )
+    )
+    return clamp_with_cache_policy(sched, policies)
+
+
+SQL_RECRAWL_CLAMPED = f"""
+WITH sched AS ({SQL_RECRAWL_SCHEDULE}),
+pol AS (
+  SELECT 'u' || CAST(i AS VARCHAR) AS url,
+         CAST(1787000000000000 + (i % 7) * 500000000000 AS BIGINT)
+           AS stale_at_us
+  FROM unnest(range(200)) AS t(i) WHERE i % 3 <> 2)
+SELECT s.url, n_fetches, n_changes, interval_s,
+       GREATEST(next_due_us, COALESCE(stale_at_us, 0)) AS next_due_us,
+       COALESCE(stale_at_us, 0) > next_due_us AS was_clamped
+FROM sched s LEFT JOIN pol p ON s.url = p.url
+"""
+
+
+def q_sitemap_refetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-driven refetch queue (sources/sitemap.sitemap_refetch):
+    the q_sitemap_parse entries joined against a last-fetch table
+    (a fifth of the locs never fetched), decided by the
+    new > lastmod > changefreq-age precedence with ``never``
+    suppressing the heuristic path.  Oracle = the sitemap-parse SQL
+    twin plus the same join and CASE."""
+    from biothings_crawler_spark.sources.sitemap import (
+        parse_sitemap_xml,
+        sitemap_refetch,
+    )
+
+    sm = _t(spark, sf_dir, "documents").selectExpr(
+        "'https://h' || CAST(doc_id AS STRING) || '.example.org/sitemap.xml'"
+        " AS sitemap_url",
+        _sm_body("STRING") + " AS body",
+    )
+    entries = parse_sitemap_xml(sm)
+    d = _t(spark, sf_dir, "documents")
+    k = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i")
+    pairs = d.select("doc_id", k)
+    fetched = (
+        pairs.filter((F.col("doc_id") + F.col("i")) % 5 != 4)
+        .select(
+            F.concat(F.lit("https://h"), F.col("doc_id").cast("string"),
+                     F.lit(".example.org/p/"), F.col("i").cast("string")
+                     ).alias("loc"),
+            F.concat(F.lit("2024-"),
+                     F.lpad(((F.col("doc_id") + F.col("i")) % 12 + 1)
+                            .cast("string"), 2, "0"),
+                     F.lit("-10")).alias("last_fetch"),
+        )
+    )
+    return sitemap_refetch(entries, fetched, "2026-08-17")
+
+
+SQL_SITEMAP_REFETCH = f"""
+WITH ent AS ({SQL_SITEMAP_PARSE}),
+fet AS (
+  SELECT 'https://h' || CAST(doc_id AS VARCHAR) || '.example.org/p/'
+           || CAST(s.i AS VARCHAR) AS loc,
+         '2024-' || lpad(CAST((doc_id + s.i) % 12 + 1 AS VARCHAR), 2, '0')
+           || '-10' AS last_fetch
+  FROM documents, unnest([0, 1, 2]) AS s(i)
+  WHERE (doc_id + s.i) % 5 <> 4),
+j AS (
+  SELECT ent.*, fet.last_fetch,
+         CASE WHEN fet.last_fetch IS NULL THEN 'new'
+              WHEN ent.lastmod <> '' AND ent.lastmod > fet.last_fetch
+                THEN 'lastmod'
+              WHEN ent.recrawl_hours > 0
+                   AND date_diff('day', CAST(fet.last_fetch AS DATE),
+                                 DATE '2026-08-17') * 24 >= ent.recrawl_hours
+                THEN 'age'
+              ELSE 'fresh' END AS reason
+  FROM ent LEFT JOIN fet ON ent.loc = fet.loc)
+SELECT *, reason <> 'fresh' AS refetch FROM j
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -7873,6 +7983,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_warc_render": q_warc_render,
     "q_charset_sniff": q_charset_sniff,
     "q_cache_ttl": q_cache_ttl,
+    "q_recrawl_clamped": q_recrawl_clamped,
+    "q_sitemap_refetch": q_sitemap_refetch,
 }
 
 ORACLES: dict[str, str] = {
@@ -8026,4 +8138,6 @@ ORACLES: dict[str, str] = {
     "q_warc_render": SQL_WARC_RENDER,
     "q_charset_sniff": SQL_CHARSET_SNIFF,
     "q_cache_ttl": SQL_CACHE_TTL,
+    "q_recrawl_clamped": SQL_RECRAWL_CLAMPED,
+    "q_sitemap_refetch": SQL_SITEMAP_REFETCH,
 }

@@ -154,3 +154,45 @@ def parse_sitemap_xml(
         priority_milli.cast("int").alias("priority_milli"),
         recrawl_hours.cast("int").alias("recrawl_hours"),
     ).filter(F.col("loc") != "")
+
+
+def sitemap_refetch(
+    entries: DataFrame,
+    fetched: DataFrame,
+    now_date: str,
+    loc_col: str = "loc",
+) -> DataFrame:
+    """Sitemap-driven refetch queue — the incremental-crawl decision
+    the sitemaps protocol exists to enable: for each advertised URL,
+    refetch when it is NEW (never fetched), when ``lastmod`` moved
+    past our last fetch (publisher-declared staleness), or when the
+    ``changefreq`` heuristic interval has elapsed; ``never`` suppresses
+    the heuristic path (only lastmod can re-trigger).
+
+    ``fetched`` is ``(loc, last_fetch)`` with ISO ``YYYY-MM-DD`` dates
+    — lastmod comparison is lexicographic on the ISO strings (exact,
+    engine-independent); the age heuristic is integer day arithmetic.
+    Adds ``last_fetch``, ``reason`` (``new`` / ``lastmod`` / ``age`` /
+    ``fresh``) and ``refetch``.  One left equi-join on loc (bucketable
+    on the same key as the seen-set), then row-local CASE — the
+    decision column feeds frontier admission directly.
+    """
+    f = fetched.select(F.col(loc_col).alias("__loc"), F.col("last_fetch"))
+    j = entries.join(f, entries[loc_col] == F.col("__loc"), "left")
+    age_h = (
+        F.datediff(F.lit(now_date).cast("date"),
+                   F.col("last_fetch").cast("date")) * 24
+    )
+    reason = (
+        F.when(F.col("last_fetch").isNull(), F.lit("new"))
+        .when((F.col("lastmod") != "")
+              & (F.col("lastmod") > F.col("last_fetch")), F.lit("lastmod"))
+        .when((F.col("recrawl_hours") > 0)
+              & (age_h >= F.col("recrawl_hours")), F.lit("age"))
+        .otherwise(F.lit("fresh"))
+    )
+    return (
+        j.select(*[F.col(c) for c in entries.columns], "last_fetch",
+                 reason.alias("reason"))
+        .withColumn("refetch", F.col("reason") != "fresh")
+    )

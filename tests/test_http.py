@@ -77,3 +77,44 @@ def test_http_ops_stay_jvm_side(spark):
     )
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_clamp_with_cache_policy(spark):
+    from biothings_crawler_spark.operators.recrawl import clamp_with_cache_policy
+
+    sched = spark.createDataFrame(
+        [("a", 2, 1, 3600, 1_000_000), ("b", 1, 0, 7200, 5_000_000),
+         ("c", 1, 0, 7200, 5_000_000)],
+        "url string, n_fetches long, n_changes long, interval_s long, "
+        "next_due_us long")
+    pol = spark.createDataFrame(
+        [("a", 9_000_000), ("b", 1_000_000)], "url string, stale_at_us long")
+    out = {r.url: r for r in clamp_with_cache_policy(sched, pol).collect()}
+    assert out["a"].next_due_us == 9_000_000 and out["a"].was_clamped
+    assert out["b"].next_due_us == 5_000_000 and not out["b"].was_clamped
+    # unpoliced url passes through
+    assert out["c"].next_due_us == 5_000_000 and not out["c"].was_clamped
+    assert out["a"].interval_s == 3600  # model interval untouched
+
+
+def test_sitemap_refetch_precedence(spark):
+    from biothings_crawler_spark.sources.sitemap import sitemap_refetch
+
+    entries = spark.createDataFrame(
+        [("u1", "", 24), ("u2", "2024-06-01", 0), ("u3", "2024-01-01", 0),
+         ("u4", "", 0), ("u5", "", 8760)],
+        "loc string, lastmod string, recrawl_hours int")
+    fetched = spark.createDataFrame(
+        [("u2", "2024-05-10"), ("u3", "2024-05-10"), ("u4", "2024-05-10"),
+         ("u5", "2026-08-16")],
+        "loc string, last_fetch string")
+    out = {r.loc: r for r in
+           sitemap_refetch(entries, fetched, "2026-08-17").collect()}
+    assert out["u1"].reason == "new" and out["u1"].refetch
+    assert out["u2"].reason == "lastmod" and out["u2"].refetch
+    # lastmod BEFORE last fetch + changefreq 'never': stays fresh
+    assert out["u3"].reason == "fresh" and not out["u3"].refetch
+    # no lastmod + 'never': heuristic suppressed
+    assert out["u4"].reason == "fresh" and not out["u4"].refetch
+    # yearly heuristic not yet elapsed (1 day < 8760h)
+    assert out["u5"].reason == "fresh" and not out["u5"].refetch
