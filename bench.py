@@ -141,6 +141,7 @@ SUITE = [
     "q_cache_ttl",
     "q_recrawl_clamped",
     "q_sitemap_refetch",
+    "q_meta_robots",
 ]
 
 

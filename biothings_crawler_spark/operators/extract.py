@@ -472,3 +472,74 @@ def hreflang_reciprocity(alternates: DataFrame) -> DataFrame:
             F.coalesce("is_reciprocal", F.lit(False)).alias("is_reciprocal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# meta robots / X-Robots-Tag enforcement (pure codegen)
+# ---------------------------------------------------------------------------
+
+_META_ROBOTS_RE1 = (
+    r"""(?i)<meta[^>]*name\s*=\s*["']?robots["']?[^>]*"""
+    r"""content\s*=\s*["']([^"']*)["']"""
+)
+_META_ROBOTS_RE2 = (
+    r"""(?i)<meta[^>]*content\s*=\s*["']([^"']*)["'][^>]*"""
+    r"""name\s*=\s*["']?robots["']?"""
+)
+
+
+def meta_robots(
+    pages: DataFrame,
+    html_col: str = "html",
+    header_col: str | None = "x_robots_tag",
+) -> DataFrame:
+    """Per-page index/follow directives from ``<meta name="robots">``
+    tags (ALL of them — directives union across tags, both attribute
+    orders) and the ``X-Robots-Tag`` response header, per the
+    Robots-Exclusion-Protocol page-level extension (RFC 9309 covers
+    only robots.txt; the meta/header form is the de-facto REP spec
+    both Google and Bing document).
+
+    Adds ``noindex`` and ``nofollow`` booleans: ``none`` implies both,
+    ``all`` implies neither, unknown directives (``noarchive``,
+    ``nosnippet``) are ignored.  robots.txt says "don't FETCH";
+    meta-robots says "you fetched, but don't INDEX / don't follow my
+    links" — a compliant engine needs both gates (robots.txt
+    enforcement: operators/robots.py).  Row-local regex projection,
+    zero exchange, zero Python.
+    """
+    txt = F.decode(F.col(html_col), "utf-8")
+    metas = F.concat(
+        F.array_join(
+            F.regexp_extract_all(txt, F.lit(_META_ROBOTS_RE1), 1), " "),
+        F.lit(" "),
+        F.array_join(
+            F.regexp_extract_all(txt, F.lit(_META_ROBOTS_RE2), 1), " "),
+    )
+    hdr = (
+        F.coalesce(F.col(header_col), F.lit("")) if header_col
+        else F.lit("")
+    )
+    combined = F.lower(F.concat(metas, F.lit(" "), hdr))
+    none_ = combined.rlike(r"\bnone\b")
+    return pages.withColumn(
+        "noindex", combined.rlike(r"\bnoindex\b") | none_
+    ).withColumn(
+        "nofollow", combined.rlike(r"\bnofollow\b") | none_
+    )
+
+
+def enforce_meta_robots(
+    flagged: DataFrame, links: DataFrame,
+    url_col: str = "url", src_col: str = "src",
+) -> tuple[DataFrame, DataFrame]:
+    """Apply the page-level directives: the INDEXABLE page set (drop
+    ``noindex`` rows — a filter, no shuffle) and the FOLLOWABLE link
+    set (drop edges whose source page is ``nofollow`` — one left_semi
+    join against the nofollow-free page set, bucketable on the url
+    key shared with the link table's src)."""
+    indexable = flagged.filter(~F.col("noindex"))
+    follow_src = flagged.filter(~F.col("nofollow")).select(
+        F.col(url_col).alias(src_col))
+    followable = links.join(follow_src, on=src_col, how="left_semi")
+    return indexable, followable

@@ -7823,6 +7823,77 @@ SELECT *, reason <> 'fresh' AS refetch FROM j
 """
 
 
+def q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots directives (operators/extract.meta_robots):
+    meta tags in both attribute orders and casings, an unquoted name
+    attr, multi-tag union, the X-Robots-Tag header, ``none`` implying
+    both flags, ``all``/unknown directives implying neither.  Oracle
+    re-extracts with DuckDB regexes."""
+    from biothings_crawler_spark.operators.extract import meta_robots
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    head = (
+        F.when(m == 0, F.lit(
+            '<meta name="robots" content="noindex, follow">'))
+        .when(m == 1, F.lit('<META NAME="ROBOTS" CONTENT="NOFOLLOW">'))
+        .when(m == 3, F.lit(
+            '<meta name=robots content="nofollow">'
+            '<meta content="noindex" name="robots">'))
+        .when(m == 5, F.lit('<meta name="robots" content="all">'))
+        .otherwise(F.lit(""))
+    )
+    hdr = (
+        F.when(m == 2, F.lit("none"))
+        .when(m == 5, F.lit("noarchive"))
+        .otherwise(F.lit(""))
+    )
+    pages = d.select(
+        "doc_id",
+        F.encode(F.concat(F.lit("<html><head>"), head,
+                          F.lit("</head><body>"), F.col("text"),
+                          F.lit("</body></html>")), "utf-8").alias("html"),
+        hdr.alias("x_robots_tag"),
+    )
+    return meta_robots(pages).select("doc_id", "noindex", "nofollow")
+
+
+SQL_META_ROBOTS = r"""
+WITH p AS (
+  SELECT doc_id,
+         '<html><head>' ||
+         CASE doc_id % 6
+           WHEN 0 THEN '<meta name="robots" content="noindex, follow">'
+           WHEN 1 THEN '<META NAME="ROBOTS" CONTENT="NOFOLLOW">'
+           WHEN 3 THEN '<meta name=robots content="nofollow">'
+                       || '<meta content="noindex" name="robots">'
+           WHEN 5 THEN '<meta name="robots" content="all">'
+           ELSE '' END
+         || '</head><body>' || text || '</body></html>' AS html,
+         CASE doc_id % 6 WHEN 2 THEN 'none' WHEN 5 THEN 'noarchive'
+              ELSE '' END AS hdr
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         lower(
+           COALESCE(array_to_string(regexp_extract_all(html,
+             '(?i)<meta[^>]*name\s*=\s*["'']?robots["'']?[^>]*content\s*=\s*["'']([^"'']*)["'']',
+             1), ' '), '')
+           || ' ' ||
+           COALESCE(array_to_string(regexp_extract_all(html,
+             '(?i)<meta[^>]*content\s*=\s*["'']([^"'']*)["''][^>]*name\s*=\s*["'']?robots["'']?',
+             1), ' '), '')
+           || ' ' || hdr) AS combined
+  FROM p)
+SELECT doc_id,
+       regexp_matches(combined, '\bnoindex\b')
+         OR regexp_matches(combined, '\bnone\b') AS noindex,
+       regexp_matches(combined, '\bnofollow\b')
+         OR regexp_matches(combined, '\bnone\b') AS nofollow
+FROM c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -7985,6 +8056,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cache_ttl": q_cache_ttl,
     "q_recrawl_clamped": q_recrawl_clamped,
     "q_sitemap_refetch": q_sitemap_refetch,
+    "q_meta_robots": q_meta_robots,
 }
 
 ORACLES: dict[str, str] = {
@@ -8140,4 +8212,5 @@ ORACLES: dict[str, str] = {
     "q_cache_ttl": SQL_CACHE_TTL,
     "q_recrawl_clamped": SQL_RECRAWL_CLAMPED,
     "q_sitemap_refetch": SQL_SITEMAP_REFETCH,
+    "q_meta_robots": SQL_META_ROBOTS,
 }

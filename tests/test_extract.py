@@ -153,3 +153,35 @@ def test_hreflang_map_and_reciprocity(spark):
     r = {(x["lang"]): x["is_reciprocal"] for x in hreflang_reciprocity(m).collect()
          if x["url"] == "https://x.com/p"}
     assert r == {"de": True, "fr": False}   # fr page never links back
+
+
+def test_meta_robots_and_enforcement(spark):
+    """Page-level REP: directive union across tags + header; 'none'
+    implies both; enforcement drops noindex pages from the index and
+    nofollow sources' edges from the link set."""
+    import pyspark.sql.functions as F
+
+    from biothings_crawler_spark.operators.extract import (
+        enforce_meta_robots,
+        meta_robots,
+    )
+
+    pages = spark.createDataFrame(
+        [("a", b'<meta name="robots" content="noindex">', ""),
+         ("b", b"<html>", "none"),
+         ("c", b'<meta content="NOFOLLOW" name=robots>', ""),
+         ("d", b"<html>", "noarchive")],
+        "url string, html binary, x_robots_tag string")
+    flagged = meta_robots(pages)
+    got = {r.url: (r.noindex, r.nofollow) for r in flagged.collect()}
+    assert got == {"a": (True, False), "b": (True, True),
+                   "c": (False, True), "d": (False, False)}
+
+    links = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x"), ("d", "x")],
+        "src string, dst string")
+    indexable, followable = enforce_meta_robots(flagged, links)
+    assert sorted(r.url for r in indexable.collect()) == ["c", "d"]
+    assert sorted(r.src for r in followable.collect()) == ["a", "d"]
+    p = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "EvalPython" not in p
