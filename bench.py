@@ -142,6 +142,9 @@ SUITE = [
     "q_recrawl_clamped",
     "q_sitemap_refetch",
     "q_meta_robots",
+    "q_feed_parse",
+    "q_opengraph",
+    "q_fetch_quality",
 ]
 
 

@@ -543,3 +543,42 @@ def enforce_meta_robots(
         F.col(url_col).alias(src_col))
     followable = links.join(follow_src, on=src_col, how="left_semi")
     return indexable, followable
+
+
+# ---------------------------------------------------------------------------
+# Open Graph / Twitter card metadata (pure codegen)
+# ---------------------------------------------------------------------------
+
+def _meta_content(txt: Column, attr: str, name: str) -> Column:
+    """content of ``<meta {attr}="{name}" content="...">``, either
+    attribute order; null when absent."""
+    r1 = (rf'(?i)<meta[^>]*{attr}\s*=\s*["\']{name}["\'][^>]*'
+          r'content\s*=\s*["\']([^"\']*)["\']')
+    r2 = (rf'(?i)<meta[^>]*content\s*=\s*["\']([^"\']*)["\'][^>]*'
+          rf'{attr}\s*=\s*["\']{name}["\']')
+    return F.nullif(
+        F.coalesce(
+            F.nullif(F.regexp_extract(txt, r1, 1), F.lit("")),
+            F.nullif(F.regexp_extract(txt, r2, 1), F.lit("")),
+            F.lit(""),
+        ),
+        F.lit(""),
+    )
+
+
+def opengraph(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Open Graph / Twitter card extraction — the social-preview
+    metadata block (ogp.me).  For a webtext pipeline it is the
+    cheapest high-precision title/description/image source: publishers
+    curate og:* for link previews far more reliably than <title> tags.
+    Adds ``og_title``, ``og_description``, ``og_image``,
+    ``twitter_card`` (nulls when absent).  Both attribute orders per
+    tag; row-local regex projection — zero exchange, zero Python."""
+    txt = F.decode(F.col(html_col), "utf-8")
+    return (
+        pages.withColumn("og_title", _meta_content(txt, "property", "og:title"))
+        .withColumn("og_description",
+                    _meta_content(txt, "property", "og:description"))
+        .withColumn("og_image", _meta_content(txt, "property", "og:image"))
+        .withColumn("twitter_card", _meta_content(txt, "name", "twitter:card"))
+    )

@@ -148,3 +148,62 @@ def cache_ttl(
         (F.col(fetch_ts_us_col) + F.col("ttl_s") * F.lit(1_000_000))
         .cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+
+# ASCII magic prefixes detectable cross-engine; binary magics (PNG
+# \x89PNG, gzip \x1f\x8b) are hex-checked Spark-side and pytest-only
+# (their bytes can't live in a DuckDB VARCHAR fixture).
+_ASCII_MAGICS = ("%PDF", "GIF8", "PK\x03\x04")
+
+
+def fetch_quality(
+    df: DataFrame,
+    status_col: str = "status",
+    content_type_col: str = "content_type",
+    content_length_col: str = "content_length",
+    body_col: str = "body",
+) -> DataFrame:
+    """Per-fetch hygiene flags — the checks that keep garbage out of
+    the corpus before any text operator spends cycles on it:
+
+    * ``truncated``: body shorter than the declared Content-Length
+      (connection cut mid-transfer — the page must be refetched, not
+      indexed);
+    * ``empty_body``: zero bytes;
+    * ``mime_mismatch``: declared text/html but the body leads with a
+      known non-HTML magic (%PDF, GIF8, ZIP/OOXML, PNG, gzip) —
+      mislabeled binary that would poison text extraction;
+    * ``status_class``: 2xx/3xx/4xx/5xx bucket;
+    * ``ok``: 2xx ∧ none of the above.
+
+    Row-local byte/arithmetic projection, zero exchange, zero Python.
+    """
+    body_bytes = F.length(F.col(body_col))
+    head4 = F.decode(F.expr(f"substring({body_col}, 1, 4)"), "ISO-8859-1")
+    hex4 = F.hex(F.expr(f"substring({body_col}, 1, 4)"))
+    is_htmlish = F.lower(F.coalesce(F.col(content_type_col), F.lit(""))).rlike(
+        r"text/html|application/xhtml")
+    magic = (
+        head4.isin(*_ASCII_MAGICS)
+        | hex4.startswith("89504E47")   # PNG
+        | hex4.startswith("1F8B")       # gzip
+    )
+    truncated = (
+        F.col(content_length_col).isNotNull()
+        & (body_bytes < F.col(content_length_col))
+    )
+    status_class = F.concat(
+        F.floor(F.col(status_col) / 100).cast("int").cast("string"),
+        F.lit("xx"))
+    return df.select(
+        *df.columns,
+        body_bytes.cast("long").alias("body_bytes"),
+        status_class.alias("status_class"),
+        truncated.alias("truncated"),
+        (body_bytes == 0).alias("empty_body"),
+        (is_htmlish & magic).alias("mime_mismatch"),
+        ((F.col(status_col) >= 200) & (F.col(status_col) < 300)
+         & ~truncated & (body_bytes > 0) & ~(is_htmlish & magic)).alias("ok"),
+    )

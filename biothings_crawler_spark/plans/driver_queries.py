@@ -7894,6 +7894,307 @@ FROM c
 """
 
 
+def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed polling source (sources/feed.parse_feed): even doc_ids
+    serve RSS (CDATA title, RFC-822 pubDate -> ts14 via exact month
+    map, a dateless item, a linkless decoy dropped), odd serve Atom
+    (href-attribute links, ISO updated -> ts14).  Oracle re-parses
+    with the same RE2 patterns + list_position month arithmetic in
+    DuckDB."""
+    from biothings_crawler_spark.sources.feed import parse_feed
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    h = F.concat(F.lit("https://h"), i, F.lit(".example.org"))
+    mon = F.element_at(
+        F.array(*[F.lit(m) for m in
+                  ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                   "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]]),
+        (F.col("doc_id") % 12 + 1).cast("int"))
+    dd = (F.col("doc_id") % 28 + 1).cast("string")
+    dd2 = F.lpad(dd, 2, "0")
+    rss = F.concat(
+        F.lit("<rss><channel>"),
+        F.lit("<item><title><![CDATA[T"), i, F.lit("a]]></title><link>"),
+        h, F.lit("/a</link><guid>g"), i, F.lit("a</guid><pubDate>Tue, "),
+        dd, F.lit(" "), mon, F.lit(" 2026 07:30:05 GMT</pubDate></item>"),
+        F.lit("<item><title>T"), i, F.lit("b</title><link>"),
+        h, F.lit("/b</link><guid>g"), i, F.lit("b</guid></item>"),
+        F.lit("<item><title>nolink</title><guid>g"), i,
+        F.lit("c</guid></item>"),
+        F.lit("</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit("<feed>"),
+        F.lit("<entry><title>A"), i, F.lit('x</title><link href="'),
+        h, F.lit('/x"/><id>i'), i, F.lit("x</id><updated>2026-08-"),
+        dd2, F.lit("T10:20:30Z</updated></entry>"),
+        F.lit("<entry><title>A"), i, F.lit('y</title><link href="'),
+        h, F.lit('/y"/><id>i'), i, F.lit("y</id></entry>"),
+        F.lit("</feed>"),
+    )
+    feeds = d.select(
+        F.concat(h, F.lit("/feed.xml")).alias("feed_url"),
+        F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom).alias("body"),
+    )
+    return parse_feed(feeds)
+
+
+SQL_FEED_PARSE = r"""
+WITH d AS (
+  SELECT doc_id,
+         'https://h' || CAST(doc_id AS VARCHAR) || '.example.org' AS h,
+         ['Jan','Feb','Mar','Apr','May','Jun',
+          'Jul','Aug','Sep','Oct','Nov','Dec'][CAST(doc_id % 12 + 1 AS INT)]
+           AS mon,
+         CAST(doc_id % 28 + 1 AS VARCHAR) AS dd,
+         lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd2
+  FROM documents),
+f AS (
+  SELECT h || '/feed.xml' AS feed_url,
+         CASE WHEN doc_id % 2 = 0 THEN
+           '<rss><channel>'
+           || '<item><title><![CDATA[T' || CAST(doc_id AS VARCHAR)
+           || 'a]]></title><link>' || h || '/a</link><guid>g'
+           || CAST(doc_id AS VARCHAR) || 'a</guid><pubDate>Tue, ' || dd
+           || ' ' || mon || ' 2026 07:30:05 GMT</pubDate></item>'
+           || '<item><title>T' || CAST(doc_id AS VARCHAR)
+           || 'b</title><link>' || h || '/b</link><guid>g'
+           || CAST(doc_id AS VARCHAR) || 'b</guid></item>'
+           || '<item><title>nolink</title><guid>g'
+           || CAST(doc_id AS VARCHAR) || 'c</guid></item>'
+           || '</channel></rss>'
+         ELSE
+           '<feed>'
+           || '<entry><title>A' || CAST(doc_id AS VARCHAR)
+           || 'x</title><link href="' || h || '/x"/><id>i'
+           || CAST(doc_id AS VARCHAR) || 'x</id><updated>2026-08-' || dd2
+           || 'T10:20:30Z</updated></entry>'
+           || '<entry><title>A' || CAST(doc_id AS VARCHAR)
+           || 'y</title><link href="' || h || '/y"/><id>i'
+           || CAST(doc_id AS VARCHAR) || 'y</id></entry>'
+           || '</feed>'
+         END AS body
+  FROM d),
+bl AS (
+  SELECT feed_url,
+         CASE WHEN len(regexp_extract_all(body, '(?s)<item>(.*?)</item>', 1))
+                   > 0 THEN 'rss' ELSE 'atom' END AS kind,
+         unnest(CASE WHEN len(regexp_extract_all(body,
+                              '(?s)<item>(.*?)</item>', 1)) > 0
+                     THEN regexp_extract_all(body, '(?s)<item>(.*?)</item>', 1)
+                     ELSE regexp_extract_all(body,
+                              '(?s)<entry>(.*?)</entry>', 1) END) AS b
+  FROM f),
+x AS (
+  SELECT feed_url, kind,
+         regexp_replace(
+           regexp_extract(b, '(?s)<title[^>]*>\s*(.*?)\s*</title>', 1),
+           '(?s)^<!\[CDATA\[(.*)\]\]>$', '\1') AS title,
+         CASE WHEN kind = 'rss'
+              THEN regexp_extract(b, '(?s)<link[^>]*>\s*(.*?)\s*</link>', 1)
+              ELSE regexp_extract(b, '(?s)<link[^>]*href="([^"]*)"', 1)
+         END AS link,
+         CASE WHEN kind = 'rss'
+              THEN regexp_extract(b, '(?s)<guid[^>]*>\s*(.*?)\s*</guid>', 1)
+              ELSE regexp_extract(b, '(?s)<id[^>]*>\s*(.*?)\s*</id>', 1)
+         END AS entry_id,
+         CASE WHEN kind = 'rss'
+              THEN regexp_extract(b, '(?s)<pubDate[^>]*>\s*(.*?)\s*</pubDate>', 1)
+              ELSE regexp_extract(b, '(?s)<updated[^>]*>\s*(.*?)\s*</updated>', 1)
+         END AS published_raw
+  FROM bl),
+ts AS (
+  SELECT *,
+    CASE WHEN kind = 'rss' THEN
+      CASE WHEN regexp_extract(published_raw,
+             '([0-9]{1,2}) (Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) ([0-9]{4}) ([0-9]{2}):([0-9]{2}):([0-9]{2})',
+             3) <> ''
+      THEN regexp_extract(published_raw,
+             '([0-9]{1,2}) (Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) ([0-9]{4}) ([0-9]{2}):([0-9]{2}):([0-9]{2})', 3)
+        || lpad(CAST(list_position(
+             ['Jan','Feb','Mar','Apr','May','Jun',
+              'Jul','Aug','Sep','Oct','Nov','Dec'],
+             regexp_extract(published_raw,
+               '([0-9]{1,2}) (Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) ([0-9]{4}) ([0-9]{2}):([0-9]{2}):([0-9]{2})', 2))
+             AS VARCHAR), 2, '0')
+        || lpad(regexp_extract(published_raw,
+             '([0-9]{1,2}) (Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) ([0-9]{4}) ([0-9]{2}):([0-9]{2}):([0-9]{2})', 1), 2, '0')
+        || regexp_extract(published_raw,
+             '([0-9]{1,2}) (Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) ([0-9]{4}) ([0-9]{2}):([0-9]{2}):([0-9]{2})', 4)
+        || regexp_extract(published_raw,
+             '([0-9]{1,2}) (Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) ([0-9]{4}) ([0-9]{2}):([0-9]{2}):([0-9]{2})', 5)
+        || regexp_extract(published_raw,
+             '([0-9]{1,2}) (Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) ([0-9]{4}) ([0-9]{2}):([0-9]{2}):([0-9]{2})', 6)
+      ELSE '' END
+    ELSE CASE WHEN published_raw <> ''
+              THEN substring(regexp_replace(published_raw, '[^0-9]', '', 'g'),
+                             1, 14)
+              ELSE '' END
+    END AS ts14
+  FROM x)
+SELECT feed_url, kind, title, link, entry_id, published_raw, ts14
+FROM ts WHERE link <> ''
+"""
+
+
+def q_opengraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open Graph / Twitter card extraction (operators/extract.
+    opengraph): both attribute orders, single- and double-quoted
+    attrs, partial and absent blocks -> null columns.  Oracle
+    re-extracts with DuckDB regexes."""
+    from biothings_crawler_spark.operators.extract import opengraph
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    i = F.col("doc_id").cast("string")
+    head = (
+        F.when(m == 0, F.concat(
+            F.lit('<meta property="og:title" content="Title '), i,
+            F.lit('"><meta property="og:description" content="Desc '), i,
+            F.lit('">')))
+        .when(m == 1, F.concat(
+            F.lit('<meta content="Rev '), i,
+            F.lit('" property="og:title">'
+                  '<meta name="twitter:card" content="summary">')))
+        .when(m == 2, F.concat(
+            F.lit('<meta property="og:image" content="https://img/'), i,
+            F.lit('.png">')))
+        .when(m == 4, F.concat(
+            F.lit("<meta property='og:title' content='Q "), i,
+            F.lit("'><meta property='og:description' content='D'>"
+                  "<meta property='og:image' content='https://i/x'>"
+                  "<meta name='twitter:card' content='summary_large_image'>")))
+        .otherwise(F.lit(""))
+    )
+    pages = d.select(
+        "doc_id",
+        F.encode(F.concat(F.lit("<html><head>"), head,
+                          F.lit("</head><body>"), F.col("text"),
+                          F.lit("</body></html>")), "utf-8").alias("html"),
+    )
+    return opengraph(pages).select(
+        "doc_id", "og_title", "og_description", "og_image", "twitter_card")
+
+
+SQL_OPENGRAPH = r"""
+WITH p AS (
+  SELECT doc_id,
+         '<html><head>' ||
+         CASE doc_id % 5
+           WHEN 0 THEN '<meta property="og:title" content="Title '
+                       || CAST(doc_id AS VARCHAR)
+                       || '"><meta property="og:description" content="Desc '
+                       || CAST(doc_id AS VARCHAR) || '">'
+           WHEN 1 THEN '<meta content="Rev ' || CAST(doc_id AS VARCHAR)
+                       || '" property="og:title">'
+                       || '<meta name="twitter:card" content="summary">'
+           WHEN 2 THEN '<meta property="og:image" content="https://img/'
+                       || CAST(doc_id AS VARCHAR) || '.png">'
+           WHEN 4 THEN '<meta property=''og:title'' content=''Q '
+                       || CAST(doc_id AS VARCHAR) || '''>'
+                       || '<meta property=''og:description'' content=''D''>'
+                       || '<meta property=''og:image'' content=''https://i/x''>'
+                       || '<meta name=''twitter:card'''
+                       || ' content=''summary_large_image''>'
+           ELSE '' END
+         || '</head><body>' || text || '</body></html>' AS html
+  FROM documents)
+SELECT doc_id,
+  NULLIF(COALESCE(
+    NULLIF(regexp_extract(html,
+      '(?i)<meta[^>]*property\s*=\s*["'']og:title["''][^>]*content\s*=\s*["'']([^"'']*)["'']', 1), ''),
+    NULLIF(regexp_extract(html,
+      '(?i)<meta[^>]*content\s*=\s*["'']([^"'']*)["''][^>]*property\s*=\s*["'']og:title["'']', 1), ''),
+    ''), '') AS og_title,
+  NULLIF(COALESCE(
+    NULLIF(regexp_extract(html,
+      '(?i)<meta[^>]*property\s*=\s*["'']og:description["''][^>]*content\s*=\s*["'']([^"'']*)["'']', 1), ''),
+    NULLIF(regexp_extract(html,
+      '(?i)<meta[^>]*content\s*=\s*["'']([^"'']*)["''][^>]*property\s*=\s*["'']og:description["'']', 1), ''),
+    ''), '') AS og_description,
+  NULLIF(COALESCE(
+    NULLIF(regexp_extract(html,
+      '(?i)<meta[^>]*property\s*=\s*["'']og:image["''][^>]*content\s*=\s*["'']([^"'']*)["'']', 1), ''),
+    NULLIF(regexp_extract(html,
+      '(?i)<meta[^>]*content\s*=\s*["'']([^"'']*)["''][^>]*property\s*=\s*["'']og:image["'']', 1), ''),
+    ''), '') AS og_image,
+  NULLIF(COALESCE(
+    NULLIF(regexp_extract(html,
+      '(?i)<meta[^>]*name\s*=\s*["'']twitter:card["''][^>]*content\s*=\s*["'']([^"'']*)["'']', 1), ''),
+    NULLIF(regexp_extract(html,
+      '(?i)<meta[^>]*content\s*=\s*["'']([^"'']*)["''][^>]*name\s*=\s*["'']twitter:card["'']', 1), ''),
+    ''), '') AS twitter_card
+FROM p
+"""
+
+
+def q_fetch_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch hygiene flags (operators/http.fetch_quality): truncation
+    (declared Content-Length > body bytes), declared-HTML-but-PDF
+    magic, empty body, 4xx/5xx classes, and the clean path.  Binary
+    magics (PNG/gzip) are pytest-only — their bytes can't live in a
+    DuckDB VARCHAR.  Oracle = the same byte arithmetic in SQL."""
+    from biothings_crawler_spark.operators.http import fetch_quality
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    body_s = (
+        F.when(m == 2, F.concat(F.lit("%PDF-1.7 "), F.col("text")))
+        .when(m == 4, F.lit(""))
+        .otherwise(F.concat(F.lit("<html>"), F.col("text"), F.lit("</html>")))
+    )
+    body = F.encode(body_s, "utf-8")
+    status = (
+        F.when(m == 3, F.lit(404)).when(m == 5, F.lit(503))
+        .otherwise(F.lit(200))
+    )
+    clen = F.when(m == 1, F.length(body) + 50).otherwise(F.length(body))
+    resp = d.select(
+        "doc_id",
+        status.alias("status"),
+        F.lit("text/html; charset=utf-8").alias("content_type"),
+        clen.cast("long").alias("content_length"),
+        body.alias("body"),
+    )
+    return fetch_quality(resp).select(
+        "doc_id", "status", "body_bytes", "status_class",
+        "truncated", "empty_body", "mime_mismatch", "ok")
+
+
+SQL_FETCH_QUALITY = r"""
+WITH r AS (
+  SELECT doc_id,
+         CASE doc_id % 6 WHEN 3 THEN 404 WHEN 5 THEN 503 ELSE 200 END
+           AS status,
+         CASE doc_id % 6
+           WHEN 2 THEN '%PDF-1.7 ' || text
+           WHEN 4 THEN ''
+           ELSE '<html>' || text || '</html>' END AS body
+  FROM documents),
+s AS (
+  SELECT doc_id, status, body,
+         CAST(octet_length(encode(body)) AS BIGINT) AS body_bytes,
+         CAST(CASE WHEN doc_id % 6 = 1
+                   THEN octet_length(encode(body)) + 50
+                   ELSE octet_length(encode(body)) END AS BIGINT)
+           AS content_length
+  FROM r),
+q AS (
+  SELECT doc_id, status, body_bytes,
+         CAST(status // 100 AS VARCHAR) || 'xx' AS status_class,
+         body_bytes < content_length AS truncated,
+         body_bytes = 0 AS empty_body,
+         substring(body, 1, 4) IN ('%PDF', 'GIF8') AS mime_mismatch
+  FROM s)
+SELECT doc_id, status, body_bytes, status_class, truncated, empty_body,
+       mime_mismatch,
+       status >= 200 AND status < 300 AND NOT truncated AND body_bytes > 0
+         AND NOT mime_mismatch AS ok
+FROM q
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -8057,6 +8358,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_recrawl_clamped": q_recrawl_clamped,
     "q_sitemap_refetch": q_sitemap_refetch,
     "q_meta_robots": q_meta_robots,
+    "q_feed_parse": q_feed_parse,
+    "q_opengraph": q_opengraph,
+    "q_fetch_quality": q_fetch_quality,
 }
 
 ORACLES: dict[str, str] = {
@@ -8213,4 +8517,7 @@ ORACLES: dict[str, str] = {
     "q_recrawl_clamped": SQL_RECRAWL_CLAMPED,
     "q_sitemap_refetch": SQL_SITEMAP_REFETCH,
     "q_meta_robots": SQL_META_ROBOTS,
+    "q_feed_parse": SQL_FEED_PARSE,
+    "q_opengraph": SQL_OPENGRAPH,
+    "q_fetch_quality": SQL_FETCH_QUALITY,
 }

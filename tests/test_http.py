@@ -118,3 +118,41 @@ def test_sitemap_refetch_precedence(spark):
     assert out["u4"].reason == "fresh" and not out["u4"].refetch
     # yearly heuristic not yet elapsed (1 day < 8760h)
     assert out["u5"].reason == "fresh" and not out["u5"].refetch
+
+
+def test_fetch_quality_binary_magics(spark):
+    """PNG and gzip magics (bytes a DuckDB VARCHAR can't hold) are
+    hex-detected; a real-HTML body is not a mismatch."""
+    from biothings_crawler_spark.operators.http import fetch_quality
+
+    rows = [
+        (0, 200, "text/html", None, b"\x89PNG\r\n\x1a\n....."),
+        (1, 200, "text/html", None, b"\x1f\x8b\x08\x00gz"),
+        (2, 200, "text/html", None, b"<html>real</html>"),
+        (3, 200, "image/png", None, b"\x89PNG\r\n\x1a\n"),  # declared right
+        (4, 200, "text/html", None, b"PK\x03\x04zipzip"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, status int, content_type string, "
+              "content_length long, body binary")
+    out = {r.doc_id: r for r in fetch_quality(df).collect()}
+    assert out[0].mime_mismatch and not out[0].ok
+    assert out[1].mime_mismatch
+    assert not out[2].mime_mismatch and out[2].ok
+    assert not out[3].mime_mismatch and out[3].ok  # honest binary is fine
+    assert out[4].mime_mismatch
+    # null content_length: truncation unknown -> not flagged
+    assert not out[2].truncated
+
+
+def test_opengraph_absent_is_null(spark):
+    from biothings_crawler_spark.operators.extract import opengraph
+
+    df = spark.createDataFrame(
+        [(b"<html><head><meta property='og:title' content='T'></head>",),
+         (b"<html>no og</html>",)],
+        "html binary")
+    rows = opengraph(df).collect()
+    got = {r.og_title for r in rows}
+    assert got == {"T", None}
+    assert all(r.twitter_card is None for r in rows)
