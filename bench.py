@@ -145,6 +145,7 @@ SUITE = [
     "q_feed_parse",
     "q_opengraph",
     "q_fetch_quality",
+    "q_archive_roundtrip",
 ]
 
 

@@ -8195,6 +8195,105 @@ FROM q
 """
 
 
+def q_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The archive plane composed end to end: three crawl snapshots
+    per document (the q_cdx_revisits version matrix) -> render_warc
+    framing -> cdx_index (per-file offsets over the REAL rendered
+    bytes) -> cdx_revisits -> per-file storage savings.  Verified as
+    ONE DuckDB statement rebuilding the same bytes, offsets, digests,
+    window, and rollup — any drift in any stage breaks the digest or
+    the byte counts."""
+    from biothings_crawler_spark.sources.cdx import cdx_index, cdx_revisits, revisit_savings
+    from biothings_crawler_spark.sources.warc import render_warc
+
+    d = _t(spark, sf_dir, "documents")
+    snaps = d.select("doc_id", "text", F.explode(F.array(
+        F.lit(0), F.lit(1), F.lit(2))).alias("snap"))
+    m = F.col("doc_id") % 4
+    version = (
+        F.when(m == 0, F.lit(0))
+        .when(m == 1, F.least(F.col("snap"), F.lit(1)))
+        .when(m == 2, F.col("snap") % 2)
+        .otherwise(F.col("snap"))
+    )
+    pages = snaps.select(
+        "doc_id", "snap",
+        F.concat(F.lit("https://site"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".example.org/page/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_micros(
+            (F.lit(1756684800) + F.col("snap") * 86400
+             + F.col("doc_id") % 3600) * 1_000_000).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body v='"), version.cast("string"),
+                          F.lit("'>"), F.col("text"),
+                          F.lit("</body></html>")), "utf-8").alias("html"),
+    )
+    recs = render_warc(
+        pages.withColumn(
+            "warc_file",
+            F.concat(F.lit("warc-"), F.col("snap").cast("string"))
+        ).withColumn("pos", F.col("doc_id")),
+        keep=("warc_file", "pos"),
+    )
+    return revisit_savings(cdx_revisits(cdx_index(recs)))
+
+
+SQL_ARCHIVE_ROUNDTRIP = r"""
+WITH d AS (
+  SELECT doc_id, s.snap, text,
+         CASE doc_id % 4
+           WHEN 0 THEN 0
+           WHEN 1 THEN least(s.snap, 1)
+           WHEN 2 THEN s.snap % 2
+           ELSE s.snap END AS v
+  FROM documents, unnest([0, 1, 2]) AS s(snap)),
+p AS (
+  SELECT doc_id, snap,
+         'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/page/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         strftime(make_timestamp(
+             (1756684800 + snap * 86400 + doc_id % 3600) * 1000000),
+           '%Y-%m-%dT%H:%M:%SZ') AS dt,
+         'HTTP/1.1 200 OK' || chr(13) || chr(10) || 'Content-Type: text/html'
+           || chr(13) || chr(10) || chr(13) || chr(10)
+           || '<html><body v=''' || CAST(v AS VARCHAR) || '''>' || text
+           || '</body></html>' AS payload
+  FROM d),
+rec AS (
+  SELECT doc_id, 'warc-' || CAST(snap AS VARCHAR) AS warc_file,
+         doc_id AS pos, payload, dt,
+         'WARC/1.0' || chr(13) || chr(10) || 'WARC-Type: response'
+         || chr(13) || chr(10) || 'WARC-Target-URI: ' || url
+         || chr(13) || chr(10) || 'WARC-Date: ' || dt
+         || chr(13) || chr(10) || 'Content-Length: '
+         || CAST(octet_length(encode(payload)) AS VARCHAR)
+         || chr(13) || chr(10) || chr(13) || chr(10) || payload AS t
+  FROM p),
+sized AS (SELECT *, octet_length(encode(t)) + 4 AS len FROM rec),
+cdx AS (
+  SELECT 'org,example,site' || CAST(doc_id % 5 AS VARCHAR) || ')/page/'
+           || CAST(doc_id AS VARCHAR) AS surt,
+         regexp_replace(dt, '[^0-9]', '', 'g') AS ts14,
+         md5(payload) AS digest,
+         len AS length,
+         SUM(len) OVER (PARTITION BY warc_file ORDER BY pos) - len AS off,
+         warc_file
+  FROM sized),
+rev AS (
+  SELECT warc_file, length,
+         row_number() OVER (PARTITION BY surt, digest
+                            ORDER BY ts14, warc_file, off) > 1 AS is_revisit
+  FROM cdx)
+SELECT warc_file,
+       CAST(COUNT(*) AS BIGINT) AS n_captures,
+       CAST(SUM(CASE WHEN is_revisit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_revisits,
+       CAST(SUM(CASE WHEN is_revisit THEN length ELSE 0 END) AS BIGINT)
+         AS saved_bytes
+FROM rev GROUP BY warc_file
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -8361,6 +8460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_feed_parse": q_feed_parse,
     "q_opengraph": q_opengraph,
     "q_fetch_quality": q_fetch_quality,
+    "q_archive_roundtrip": q_archive_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -8520,4 +8620,5 @@ ORACLES: dict[str, str] = {
     "q_feed_parse": SQL_FEED_PARSE,
     "q_opengraph": SQL_OPENGRAPH,
     "q_fetch_quality": SQL_FETCH_QUALITY,
+    "q_archive_roundtrip": SQL_ARCHIVE_ROUNDTRIP,
 }

@@ -95,6 +95,7 @@ def render_warc(
     html_col: str = "html",
     status_col: str | None = None,
     mime: str = "text/html",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """The writer half of the archive loop: pages -> framed WARC
     response records (one binary ``record`` column), the exact shape
@@ -127,4 +128,7 @@ def render_warc(
         F.length(F.encode(payload, "utf-8")).cast("string"),
         F.lit("\r\n\r\n"), payload,
     )
-    return df.select(F.encode(record, "utf-8").alias("record"))
+    # ``keep`` passes writer metadata (file assignment, sequence
+    # number) through to the indexing stage — still a pure projection.
+    return df.select(
+        *[F.col(c) for c in keep], F.encode(record, "utf-8").alias("record"))
