@@ -46,3 +46,55 @@ def test_feed_new_entries_antijoin(spark):
     seen = spark.createDataFrame([("g1",)], "entry_id string")
     new = [r.entry_id for r in feed_new_entries(parsed, seen).collect()]
     assert new == ["g2"]
+
+
+def test_feed_entry_stream_exactly_once_across_restart(spark, tmp_path):
+    """Two AvailableNow rounds on one checkpoint over OVERLAPPING feed
+    snapshots (the second poll re-advertises g1/g2 and adds g3): every
+    entry id lands exactly once across both runs."""
+    from biothings_crawler_spark.streaming.feeds import feed_entry_stream
+
+    def rss(items):
+        blocks = "".join(
+            f"<item><title>t{g}</title><link>https://h/{g}</link>"
+            f"<guid>{g}</guid></item>" for g in items)
+        return f"<rss><channel>{blocks}</channel></rss>"
+
+    schema = "feed_url string, body string"
+    src = tmp_path / "polls"
+    src.mkdir()
+    spark.createDataFrame(
+        [("https://f/feed", rss(["g1", "g2"]))], schema
+    ).coalesce(1).write.parquet(str(src / "p1"))
+
+    dest = str(tmp_path / "entries_out")
+
+    def run_round():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            feed_entry_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", dest)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_round()
+    first = {r.entry_id for r in spark.read.parquet(dest).collect()}
+    assert first == {"g1", "g2"}
+
+    # second poll overlaps the first and adds one new entry
+    spark.createDataFrame(
+        [("https://f/feed", rss(["g1", "g2", "g3"]))], schema
+    ).coalesce(1).write.parquet(str(src / "p2"))
+    run_round()
+    rows = spark.read.parquet(dest).collect()
+    ids = sorted(r.entry_id for r in rows)
+    assert ids == ["g1", "g2", "g3"]  # no duplicates, one new entry
