@@ -146,6 +146,7 @@ SUITE = [
     "q_opengraph",
     "q_fetch_quality",
     "q_archive_roundtrip",
+    "q_wet_render",
 ]
 
 

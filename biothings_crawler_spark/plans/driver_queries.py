@@ -8294,6 +8294,51 @@ FROM rev GROUP BY warc_file
 """
 
 
+def q_wet_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET conversion-record framing (sources/warc.render_wet): the
+    Common-Crawl text companion to the WARC archive — plain-text
+    payload, no HTTP block, byte-counted Content-Length.  Oracle
+    rebuilds the record string in DuckDB; both sides md5 it."""
+    from biothings_crawler_spark.sources.warc import render_wet
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("https://site"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".example.org/page/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_micros(
+            (F.lit(1756684800) + F.col("doc_id") % 86400 * 7) * 1_000_000
+        ).alias("warc_ts"),
+        F.col("text"),
+    )
+    return render_wet(pages).select(
+        F.length("record").alias("rec_len"),
+        F.md5("record").alias("rec_md5"),
+    )
+
+
+SQL_WET_RENDER = r"""
+WITH p AS (
+  SELECT 'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/page/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         strftime(make_timestamp((1756684800 + doc_id % 86400 * 7) * 1000000),
+                  '%Y-%m-%dT%H:%M:%SZ') AS dt,
+         text
+  FROM documents),
+rec AS (
+  SELECT 'WARC/1.0' || chr(13) || chr(10) || 'WARC-Type: conversion'
+         || chr(13) || chr(10) || 'WARC-Target-URI: ' || url
+         || chr(13) || chr(10) || 'WARC-Date: ' || dt
+         || chr(13) || chr(10) || 'Content-Type: text/plain'
+         || chr(13) || chr(10) || 'Content-Length: '
+         || CAST(octet_length(encode(text)) AS VARCHAR)
+         || chr(13) || chr(10) || chr(13) || chr(10) || text AS t
+  FROM p)
+SELECT CAST(octet_length(encode(t)) AS INTEGER) AS rec_len, md5(t) AS rec_md5
+FROM rec
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -8461,6 +8506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_opengraph": q_opengraph,
     "q_fetch_quality": q_fetch_quality,
     "q_archive_roundtrip": q_archive_roundtrip,
+    "q_wet_render": q_wet_render,
 }
 
 ORACLES: dict[str, str] = {
@@ -8621,4 +8667,5 @@ ORACLES: dict[str, str] = {
     "q_opengraph": SQL_OPENGRAPH,
     "q_fetch_quality": SQL_FETCH_QUALITY,
     "q_archive_roundtrip": SQL_ARCHIVE_ROUNDTRIP,
+    "q_wet_render": SQL_WET_RENDER,
 }

@@ -132,3 +132,33 @@ def render_warc(
     # number) through to the indexing stage — still a pure projection.
     return df.select(
         *[F.col(c) for c in keep], F.encode(record, "utf-8").alias("record"))
+
+
+def render_wet(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """WET conversion records — the Common-Crawl companion artifact to
+    the WARC response archive: one ``WARC-Type: conversion`` record per
+    page carrying the EXTRACTED PLAIN TEXT (no HTTP block), so text
+    consumers never re-parse HTML.  Pairs with
+    :func:`render_warc` (responses) the way CC's .warc/.wet files pair;
+    ``operators/extract.html_to_text_col`` produces the text column.
+
+    Same CRLF framing contract as the parser; Content-Length counts
+    the UTF-8 text bytes.  Pure codegen projection — zero exchange,
+    zero Python."""
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        F.col(url_col),
+        F.lit("\r\nWARC-Date: "),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.length(F.encode(F.col(text_col), "utf-8")).cast("string"),
+        F.lit("\r\n\r\n"), F.col(text_col),
+    )
+    return df.select(
+        *[F.col(c) for c in keep], F.encode(record, "utf-8").alias("record"))

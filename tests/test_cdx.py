@@ -164,3 +164,18 @@ def test_revisits_any_prior_not_just_consecutive(spark):
     assert out["20260803000000"].refers_to_file == "w0"
     sav = {r.warc_file: r for r in revisit_savings(cdx_revisits(df)).collect()}
     assert sav["w2"].saved_bytes == 100 and sav["w0"].saved_bytes == 0
+
+
+def test_wet_record_parses_as_conversion(spark):
+    import datetime as dt
+
+    from biothings_crawler_spark.sources.warc import parse_warc_records, render_wet
+
+    pages = spark.createDataFrame(
+        [("https://h/p", dt.datetime(2026, 8, 17, 1, 2, 3), "héllo text")],
+        "url string, warc_ts timestamp, text string")
+    rec = parse_warc_records(render_wet(pages)).collect()[0]
+    assert rec.warc_type == "conversion"
+    assert rec.url == "https://h/p"
+    assert rec.payload == "héllo text"
+    assert rec.content_length == len("héllo text".encode())
