@@ -147,6 +147,7 @@ SUITE = [
     "q_fetch_quality",
     "q_archive_roundtrip",
     "q_wet_render",
+    "q_pct_normalize",
 ]
 
 

@@ -8339,6 +8339,89 @@ FROM rec
 """
 
 
+def q_pct_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 percent-encoding normalization (urlnorm.
+    pct_normalize_col): unreserved escapes decode, reserved escapes
+    uppercase, bare/partial ``%`` passes through.  Oracle re-derives
+    with DuckDB list_transform + strpos hex arithmetic — independent
+    of Spark's conv/char path."""
+    from biothings_crawler_spark.urlnorm import pct_normalize_col
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("https://h"), i,
+                        F.lit(".example.org/p%2Fq/%41%62%5A?x=%7e")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("https://h"), i,
+                       F.lit(".example.org/a%3a%2F%2fb")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("https://h"), i, F.lit(".example.org/plain")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("https://h"), i, F.lit(".example.org/x%4")))
+        .otherwise(F.concat(F.lit("https://h"), i,
+                            F.lit(".example.org/%2e%2E/up")))
+    )
+    return d.select(
+        "doc_id", url.alias("url"),
+        pct_normalize_col(url).alias("normalized"))
+
+
+SQL_PCT_NORMALIZE = r"""
+WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'https://h' || CAST(doc_id AS VARCHAR)
+                       || '.example.org/p%2Fq/%41%62%5A?x=%7e'
+           WHEN 1 THEN 'https://h' || CAST(doc_id AS VARCHAR)
+                       || '.example.org/a%3a%2F%2fb'
+           WHEN 2 THEN 'https://h' || CAST(doc_id AS VARCHAR)
+                       || '.example.org/plain'
+           WHEN 3 THEN 'https://h' || CAST(doc_id AS VARCHAR)
+                       || '.example.org/x%4'
+           ELSE 'https://h' || CAST(doc_id AS VARCHAR)
+                || '.example.org/%2e%2E/up'
+         END AS url
+  FROM documents),
+t AS (
+  SELECT doc_id, url,
+         regexp_extract_all(url, '(%[0-9A-Fa-f]{2}|[^%]+|%)', 0) AS toks
+  FROM u)
+SELECT doc_id, url,
+  array_to_string(list_transform(toks, s ->
+    CASE WHEN regexp_matches(s, '^%[0-9A-Fa-f]{2}$') THEN
+      CASE WHEN
+        ((strpos('0123456789ABCDEF', substr(upper(substr(s, 2, 2)), 1, 1)) - 1)
+           * 16
+         + strpos('0123456789ABCDEF', substr(upper(substr(s, 2, 2)), 2, 1))
+           - 1)
+        IN (45, 46, 95, 126)
+        OR ((strpos('0123456789ABCDEF',
+                    substr(upper(substr(s, 2, 2)), 1, 1)) - 1) * 16
+            + strpos('0123456789ABCDEF',
+                     substr(upper(substr(s, 2, 2)), 2, 1)) - 1)
+           BETWEEN 48 AND 57
+        OR ((strpos('0123456789ABCDEF',
+                    substr(upper(substr(s, 2, 2)), 1, 1)) - 1) * 16
+            + strpos('0123456789ABCDEF',
+                     substr(upper(substr(s, 2, 2)), 2, 1)) - 1)
+           BETWEEN 65 AND 90
+        OR ((strpos('0123456789ABCDEF',
+                    substr(upper(substr(s, 2, 2)), 1, 1)) - 1) * 16
+            + strpos('0123456789ABCDEF',
+                     substr(upper(substr(s, 2, 2)), 2, 1)) - 1)
+           BETWEEN 97 AND 122
+      THEN chr(CAST((strpos('0123456789ABCDEF',
+                       substr(upper(substr(s, 2, 2)), 1, 1)) - 1) * 16
+               + strpos('0123456789ABCDEF',
+                        substr(upper(substr(s, 2, 2)), 2, 1)) - 1 AS INTEGER))
+      ELSE '%' || upper(substr(s, 2, 2)) END
+    ELSE s END), '') AS normalized
+FROM t
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -8507,6 +8590,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fetch_quality": q_fetch_quality,
     "q_archive_roundtrip": q_archive_roundtrip,
     "q_wet_render": q_wet_render,
+    "q_pct_normalize": q_pct_normalize,
 }
 
 ORACLES: dict[str, str] = {
@@ -8668,4 +8752,5 @@ ORACLES: dict[str, str] = {
     "q_fetch_quality": SQL_FETCH_QUALITY,
     "q_archive_roundtrip": SQL_ARCHIVE_ROUNDTRIP,
     "q_wet_render": SQL_WET_RENDER,
+    "q_pct_normalize": SQL_PCT_NORMALIZE,
 }

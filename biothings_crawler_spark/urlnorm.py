@@ -232,3 +232,40 @@ def etld1_col(host: Column) -> Column:
         .when((n == 2) & ~is_multi, last2)
         .otherwise(F.lit(None).cast("string"))
     )
+
+
+def pct_normalize_col(url: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization: decode escapes
+    of UNRESERVED characters (ALPHA / DIGIT / ``-._~``: ``%41`` -> ``A``,
+    ``%7E`` -> ``~``) and uppercase the hex of every other escape
+    (``%3a`` -> ``%3A``).  Without it, ``/a%2Fb``-style URLs split into
+    spurious frontier keys per encoder whim — the same page can carry
+    dozens of byte-distinct URLs in the wild.
+
+    Implementation is tokenize -> transform -> join, all JVM-side: the
+    URL splits into ``%XX`` escapes and literal runs
+    (``regexp_extract_all``), each escape folds through integer hex
+    arithmetic (``conv``+``char``) inside one ``transform`` lambda —
+    no UDF, no join, zero exchange.  Composable before
+    :func:`canonicalize_col` (which is frozen to the reference's own
+    normalization quirks and deliberately left untouched).
+    """
+    toks = F.regexp_extract_all(
+        url, F.lit(r"(%[0-9A-Fa-f]{2}|[^%]+|%)"), 0)
+    is_esc = lambda t: t.rlike("^%[0-9A-Fa-f]{2}$")  # noqa: E731
+
+    def decode_tok(t: Column) -> Column:
+        hexpart = F.upper(F.substring(t, 2, 2))
+        code = F.conv(hexpart, 16, 10).cast("int")
+        unreserved = (
+            ((code >= 48) & (code <= 57)) | ((code >= 65) & (code <= 90))
+            | ((code >= 97) & (code <= 122))
+            | code.isin(45, 46, 95, 126)  # - . _ ~
+        )
+        return F.when(
+            unreserved, F.char(code)
+        ).otherwise(F.concat(F.lit("%"), hexpart))
+    out = F.array_join(
+        F.transform(toks, lambda t: F.when(is_esc(t), decode_tok(t))
+                    .otherwise(t)), "")
+    return F.when(url.isNotNull(), out)

@@ -132,3 +132,23 @@ def test_etld1_psl_rule(spark):
            for r in df.select("host", etld1_col(F.col("host")).alias("etld1"))
            .collect()}
     assert got == cases
+
+
+def test_pct_normalize_rfc3986(spark):
+    import pyspark.sql.functions as F
+
+    from biothings_crawler_spark.urlnorm import pct_normalize_col
+
+    cases = {
+        "https://h/a%2Fb?x=%41%42": "https://h/a%2Fb?x=AB",  # reserved kept
+        "https://h/%7etilde%3a": "https://h/~tilde%3A",      # case both ways
+        "%2d%2e%5f%7e": "-._~",                              # all unreserved marks
+        "plain": "plain",
+        "100%": "100%",                                      # bare %
+        "x%4": "x%4",                                        # partial escape
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r.url: r.n for r in
+           df.select("url", pct_normalize_col(F.col("url")).alias("n"))
+           .collect()}
+    assert got == cases
