@@ -148,6 +148,7 @@ SUITE = [
     "q_archive_roundtrip",
     "q_wet_render",
     "q_pct_normalize",
+    "q_line_trim",
 ]
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # tiny marker-word lists; enough for a deterministic n-gram-free heuristic
@@ -784,4 +784,34 @@ def script_mix(df, id_col: str, text_col: str, mixed_ppm: int = 200_000):
         dominant.alias("dominant_script"),
         off.alias("mixed_ppm"),
         (off >= F.lit(int(mixed_ppm))).alias("is_mixed"),
+    )
+
+
+def trim_repeated_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal — the cleaning step for
+    pages whose template repeats blocks (cookie banners, nav strips
+    duplicated per section): keep each distinct line's FIRST
+    occurrence, preserve order, report what was trimmed.  The
+    cross-corpus twin is ``line_dedup`` (removes lines common across
+    documents); this one never looks past the row.
+
+    Pure row-local array ops: ``split -> array_distinct -> join`` —
+    ``array_distinct`` keeps first occurrences in order (the DuckDB
+    oracle reconstructs the same contract independently via
+    min-ordinality grouping, so the order guarantee is cross-checked,
+    not assumed).  Zero exchange, zero Python; adds ``text_trimmed``,
+    ``n_lines``, ``n_kept``, ``chars_saved``.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.array_distinct(lines)
+    trimmed = F.array_join(kept, "\n")
+    return df.select(
+        F.col(id_col),
+        trimmed.alias("text_trimmed"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.length(F.col(text_col)) - F.length(trimmed)).cast("long")
+        .alias("chars_saved"),
     )

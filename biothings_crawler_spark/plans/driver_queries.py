@@ -8422,6 +8422,50 @@ FROM t
 """
 
 
+def q_line_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line trimming (operators/text.
+    trim_repeated_lines): template banners injected around each text
+    (one doc class repeats its footer too) — first occurrences kept in
+    order.  The Spark path is array_distinct; the oracle reconstructs
+    the keep-first contract INDEPENDENTLY via min-ordinality grouping,
+    cross-checking the order guarantee array_distinct provides."""
+    from biothings_crawler_spark.operators.text import trim_repeated_lines
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    nl = F.lit("\n")
+    tail = F.when(F.col("doc_id") % 3 == 0, F.lit("FOOT")).otherwise(
+        F.concat(F.lit("tail-"), i))
+    t2 = F.concat(
+        F.lit("BANNER"), nl, F.col("text"), nl, F.lit("BANNER"), nl,
+        F.lit("FOOT"), nl, tail)
+    return trim_repeated_lines(d.select("doc_id", t2.alias("text")))
+
+
+SQL_LINE_TRIM = r"""
+WITH u AS (
+  SELECT doc_id,
+         'BANNER' || chr(10) || text || chr(10) || 'BANNER' || chr(10)
+           || 'FOOT' || chr(10)
+           || CASE WHEN doc_id % 3 = 0 THEN 'FOOT'
+                   ELSE 'tail-' || CAST(doc_id AS VARCHAR) END AS t
+  FROM documents),
+s AS (SELECT doc_id, t, string_split(t, chr(10)) AS arr FROM u),
+l AS (
+  SELECT doc_id, arr[CAST(r.i AS INT)] AS line, r.i AS ord
+  FROM s, unnest(range(1, len(arr) + 1)) AS r(i)),
+k AS (SELECT doc_id, line, MIN(ord) AS o FROM l GROUP BY doc_id, line),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY o) AS text_trimmed,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM k GROUP BY doc_id)
+SELECT s.doc_id, agg.text_trimmed,
+       CAST(len(s.arr) AS BIGINT) AS n_lines, agg.n_kept,
+       CAST(length(s.t) - length(agg.text_trimmed) AS BIGINT) AS chars_saved
+FROM s JOIN agg ON s.doc_id = agg.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -8591,6 +8635,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_archive_roundtrip": q_archive_roundtrip,
     "q_wet_render": q_wet_render,
     "q_pct_normalize": q_pct_normalize,
+    "q_line_trim": q_line_trim,
 }
 
 ORACLES: dict[str, str] = {
@@ -8753,4 +8798,5 @@ ORACLES: dict[str, str] = {
     "q_archive_roundtrip": SQL_ARCHIVE_ROUNDTRIP,
     "q_wet_render": SQL_WET_RENDER,
     "q_pct_normalize": SQL_PCT_NORMALIZE,
+    "q_line_trim": SQL_LINE_TRIM,
 }

@@ -1929,3 +1929,17 @@ def test_compact_index_touches_only_affected_chunks(spark):
     assert not [r for r in got if r[0] == "alpha" and r[1] == 1]
     # chunk 2 of 'alpha' (ids 8-11, no deletions) survives verbatim
     assert ("alpha", 2, 4, "8:1 9:1 10:1 11:1") in got
+
+
+def test_trim_repeated_lines_keeps_first_in_order(spark):
+    from biothings_crawler_spark.operators.text import trim_repeated_lines
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb\na"), (2, "x")], "doc_id long, text string")
+    out = {r.doc_id: r for r in trim_repeated_lines(df).collect()}
+    assert out[1].text_trimmed == "a\nb\nc"
+    assert out[1].n_lines == 6 and out[1].n_kept == 3
+    assert out[1].chars_saved == len("a\nb\na\nc\nb\na") - len("a\nb\nc")
+    assert out[2].text_trimmed == "x" and out[2].chars_saved == 0
+    plan = trim_repeated_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
