@@ -149,6 +149,7 @@ SUITE = [
     "q_wet_render",
     "q_pct_normalize",
     "q_line_trim",
+    "q_png_decode",
 ]
 
 

@@ -2,13 +2,14 @@
 metadata, processed by Arrow-batched mapInPandas stages.
 
 The Spark-side contract — schema, partitioning, UDF signature, batch
-shape — is real and tested.  IMAGE/VIDEO decoding is STUBBED
-(``decode_stub='fake'`` produces deterministic pseudo-features from the
-bytes; ``decode_stub='error'`` raises NotImplementedError) because no
-image/video codec libraries exist in this container; swapping the stub
-for PIL/av is a one-function change.  AUDIO decoding is REAL for
-RIFF/PCM WAV (:func:`decode_wav_features`) — the stdlib ``wave`` codec
-parses actual container bytes inside the same mapInPandas shape.
+shape — is real and tested.  AUDIO decoding is REAL for RIFF/PCM WAV
+(:func:`decode_wav_features`, stdlib ``wave``) and IMAGE decoding is
+REAL for PNG (:func:`decode_png_features`, stdlib ``zlib``/``struct``
+— chunk walk, CRC, full filter set).  JPEG/VIDEO decoding stays
+STUBBED (``decode_stub='fake'`` produces deterministic pseudo-features;
+``decode_stub='error'`` raises NotImplementedError) because DCT/av
+codec libraries don't exist in this container; swapping the stub for
+PIL/av is a one-function change in the same mapInPandas shape.
 
 Design notes for 100 TB of media:
   * media rows are big — keep them in their own table keyed by
@@ -274,3 +275,181 @@ def sniff_report(pages, id_col: str, payload_col: str, claimed_col: str):
         F.col(claimed_col).alias("claimed_mime"),
         (sniffed != F.col(claimed_col)).alias("mismatch"),
     )
+
+
+# REAL image decode: PNG via stdlib zlib (no PIL needed for the baseline
+# format family)
+# ---------------------------------------------------------------------------
+
+PNG_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, bit_depth int, color_type int, "
+    "n_pixels long, sum_r long, sum_g long, sum_b long"
+)
+
+
+def gen_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Worker-side synthesis of REAL PNG container bytes: 8-bit RGB,
+    pixel channel ``(id*31 + y*17 + x*7 + ch*3) % 256`` (the closed
+    form the oracle recomputes), scanline filter type ``y % 5`` so all
+    five PNG filters (None/Sub/Up/Average/Paeth) appear in every
+    image taller than four rows.  Encoder-side filtering operates on
+    RAW prior scanlines per the spec."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def chunk(typ: bytes, body: bytes) -> bytes:
+            return (struct.pack(">I", len(body)) + typ + body
+                    + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+        for pdf in batches:
+            out = {"media_id": [], "content": []}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h, bpp = 4 + mid % 5, 3 + mid % 4, 3
+                raws = [
+                    bytes((mid * 31 + y * 17 + x * 7 + ch * 3) % 256
+                          for x in range(w) for ch in range(3))
+                    for y in range(h)
+                ]
+                prior = bytes(w * bpp)
+                stream = bytearray()
+                for y, row in enumerate(raws):
+                    f = y % 5
+                    stream.append(f)
+                    if f == 0:
+                        filt = row
+                    elif f == 1:
+                        filt = bytes((row[i] - (row[i - bpp] if i >= bpp
+                                                else 0)) & 255
+                                     for i in range(len(row)))
+                    elif f == 2:
+                        filt = bytes((row[i] - prior[i]) & 255
+                                     for i in range(len(row)))
+                    elif f == 3:
+                        filt = bytes(
+                            (row[i] - ((row[i - bpp] if i >= bpp else 0)
+                                       + prior[i]) // 2) & 255
+                            for i in range(len(row)))
+                    else:
+                        filt = bytes(
+                            (row[i] - paeth(row[i - bpp] if i >= bpp else 0,
+                                            prior[i],
+                                            prior[i - bpp] if i >= bpp
+                                            else 0)) & 255
+                            for i in range(len(row)))
+                    stream += filt
+                    prior = row
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                       + chunk(b"IDAT", zlib.compress(bytes(stream)))
+                       + chunk(b"IEND", b""))
+                out["media_id"].append(mid)
+                out["content"].append(png)
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(run, "media_id long, content binary")
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """REAL image decode over a binary column — the operator the
+    multimodal stub existed for, now real for PNG (8-bit RGB/RGBA,
+    non-interlaced) using only stdlib zlib/struct: chunk walk with CRC
+    verification, IDAT inflate, full filter-set unfiltering per PNG
+    spec §9 (None/Sub/Up/Average/Paeth on reconstructed priors), and
+    exact-integer channel sums so the oracle comparison is exact.
+
+    Same Arrow-batched mapInPandas shape as decode_wav_features; a
+    JPEG path still needs a DCT codec (PIL) — that format stays behind
+    the documented stub.  Pytest additionally decodes a canonical
+    spec-produced 1x1 RGBA golden (Sub-filtered) so the decoder is
+    checked against REAL encoder bytes, not only this module's own
+    synthesis."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        for pdf in batches:
+            cols = {k: [] for k in ("media_id", "width", "height",
+                                    "bit_depth", "color_type", "n_pixels",
+                                    "sum_r", "sum_g", "sum_b")}
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(b)
+                if data[:8] != b"\x89PNG\r\n\x1a\n":
+                    raise ValueError("not a PNG signature")
+                pos, idat = 8, bytearray()
+                w = h = bd = ct = None
+                while pos < len(data):
+                    ln, typ = struct.unpack(">I4s", data[pos:pos + 8])
+                    body = data[pos + 8:pos + 8 + ln]
+                    crc, = struct.unpack(
+                        ">I", data[pos + 8 + ln:pos + 12 + ln])
+                    if crc != zlib.crc32(typ + body) & 0xFFFFFFFF:
+                        raise ValueError(f"bad CRC in {typ!r}")
+                    if typ == b"IHDR":
+                        w, h, bd, ct, _comp, _filt, inter = struct.unpack(
+                            ">IIBBBBB", body)
+                        if bd != 8 or ct not in (2, 6) or inter:
+                            raise NotImplementedError(
+                                "8-bit RGB/RGBA non-interlaced only")
+                    elif typ == b"IDAT":
+                        idat += body
+                    elif typ == b"IEND":
+                        break
+                    pos += 12 + ln
+                bpp = 4 if ct == 6 else 3
+                stride = w * bpp
+                raw = zlib.decompress(bytes(idat))
+                prior = bytes(stride)
+                sums = [0, 0, 0]
+                p = 0
+                for _y in range(h):
+                    f = raw[p]
+                    line = bytearray(raw[p + 1:p + 1 + stride])
+                    p += 1 + stride
+                    if f == 1:
+                        for i in range(bpp, stride):
+                            line[i] = (line[i] + line[i - bpp]) & 255
+                    elif f == 2:
+                        for i in range(stride):
+                            line[i] = (line[i] + prior[i]) & 255
+                    elif f == 3:
+                        for i in range(stride):
+                            a = line[i - bpp] if i >= bpp else 0
+                            line[i] = (line[i] + (a + prior[i]) // 2) & 255
+                    elif f == 4:
+                        for i in range(stride):
+                            a = line[i - bpp] if i >= bpp else 0
+                            c = prior[i - bpp] if i >= bpp else 0
+                            up = prior[i]
+                            pp = a + up - c
+                            pa, pb, pc = abs(pp - a), abs(pp - up), abs(pp - c)
+                            pred = (a if (pa <= pb and pa <= pc)
+                                    else (up if pb <= pc else c))
+                            line[i] = (line[i] + pred) & 255
+                    elif f != 0:
+                        raise ValueError(f"unknown filter {f}")
+                    for i in range(0, stride, bpp):
+                        sums[0] += line[i]
+                        sums[1] += line[i + 1]
+                        sums[2] += line[i + 2]
+                    prior = bytes(line)
+                cols["media_id"].append(int(mid))
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["bit_depth"].append(bd)
+                cols["color_type"].append(ct)
+                cols["n_pixels"].append(w * h)
+                cols["sum_r"].append(sums[0])
+                cols["sum_g"].append(sums[1])
+                cols["sum_b"].append(sums[2])
+            yield pd.DataFrame(cols)
+
+    return media.mapInPandas(run, PNG_FEATURES_SCHEMA)

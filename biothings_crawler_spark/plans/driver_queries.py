@@ -8466,6 +8466,49 @@ FROM s JOIN agg ON s.doc_id = agg.doc_id
 """
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (operators/multimodal.decode_png_features):
+    worker-side synthesis of actual PNG containers (8-bit RGB, all
+    five scanline filters across rows), decoded back by an independent
+    stdlib-zlib parser — chunk walk, CRC, inflate, spec-§9
+    unfiltering.  The oracle recomputes every feature from the
+    generator's closed-form pixel formula, never touching the bytes,
+    so a symmetric encode/decode bug in the container walk cannot
+    cancel (the filter mirror is additionally pinned by a pytest
+    golden: a canonical spec-produced 1x1 Sub-filtered RGBA PNG)."""
+    from biothings_crawler_spark.operators.multimodal import (
+        decode_png_features,
+        gen_png_media,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") % 10 == 5).select(
+        F.col("doc_id").alias("media_id"))
+    return decode_png_features(gen_png_media(ids))
+
+
+SQL_PNG_DECODE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents WHERE doc_id % 10 = 5)
+SELECT media_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(list_sum(list_transform(range(w * h),
+         j -> (media_id * 31 + (j // w) * 17 + (j % w) * 7 + 0) % 256))
+         AS BIGINT) AS sum_r,
+       CAST(list_sum(list_transform(range(w * h),
+         j -> (media_id * 31 + (j // w) * 17 + (j % w) * 7 + 3) % 256))
+         AS BIGINT) AS sum_g,
+       CAST(list_sum(list_transform(range(w * h),
+         j -> (media_id * 31 + (j // w) * 17 + (j % w) * 7 + 6) % 256))
+         AS BIGINT) AS sum_b
+FROM m
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -8636,6 +8679,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_wet_render": q_wet_render,
     "q_pct_normalize": q_pct_normalize,
     "q_line_trim": q_line_trim,
+    "q_png_decode": q_png_decode,
 }
 
 ORACLES: dict[str, str] = {
@@ -8799,4 +8843,5 @@ ORACLES: dict[str, str] = {
     "q_wet_render": SQL_WET_RENDER,
     "q_pct_normalize": SQL_PCT_NORMALIZE,
     "q_line_trim": SQL_LINE_TRIM,
+    "q_png_decode": SQL_PNG_DECODE,
 }

@@ -1943,3 +1943,33 @@ def test_trim_repeated_lines_keeps_first_in_order(spark):
     assert out[2].text_trimmed == "x" and out[2].chars_saved == 0
     plan = trim_repeated_lines(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_png_decode_spec_golden_and_filters(spark):
+    """The decoder is checked against REAL spec-encoder bytes (the
+    canonical 1x1 semi-transparent-blue RGBA PNG, Sub-filtered), not
+    only this module's own synthesis; the synthesized path exercises
+    all five filters and matches the closed-form sums."""
+    import base64
+
+    from biothings_crawler_spark.operators.multimodal import (
+        decode_png_features,
+        gen_png_media,
+    )
+
+    golden = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhf"
+        "DwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    df = spark.createDataFrame([(0, golden)], "media_id long, content binary")
+    g = decode_png_features(df).collect()[0]
+    assert (g.width, g.height, g.bit_depth, g.color_type) == (1, 1, 8, 6)
+    # Sub filter on the first pixel: raw = filtered bytes = (0,0,255),a=127
+    assert (g.sum_r, g.sum_g, g.sum_b) == (0, 0, 255)
+
+    ids = spark.createDataFrame([(7,)], "media_id long")  # h=6: all 5 filters
+    r = decode_png_features(gen_png_media(ids)).collect()[0]
+    w, h = 4 + 7 % 5, 3 + 7 % 4
+    assert (r.width, r.height) == (w, h)
+    expect = [sum((7 * 31 + y * 17 + x * 7 + ch * 3) % 256
+                  for y in range(h) for x in range(w)) for ch in (0, 1, 2)]
+    assert [r.sum_r, r.sum_g, r.sum_b] == expect
