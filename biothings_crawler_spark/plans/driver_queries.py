@@ -8509,6 +8509,195 @@ FROM m
 """
 
 
+def _entity_fixture_variant(i, text):
+    """Shared Spark-side raw-string construction for q_html_entities:
+    eight lanes of planted references (named / decimal / hex / C1
+    windows-1252 remap / invalid -> U+FFFD / dropped controls +
+    noncharacters / astral / passthrough) prefixing a slice of the
+    document text (which may itself contain stray ``&`` — both engines
+    tokenize it identically)."""
+    lanes = [
+        "Fish &amp; Chips &lt;b&gt;&quot;x&quot;&apos;y&apos; ",
+        "caf&eacute; = caf&#233; = caf&#xE9; &Auml;&szlig;&frac12; ",
+        "smart &#147;quotes&#148; it&#x92;s &permil;&hellip; ",
+        "bad &#0; &#x110000; &#xD800; &#57343; &#9999999; ",
+        "unknown &bogus123; bare & amp; &x; &#x; &#; &#xG1; ",
+        "drop[&#1;&#31;&#127;&#xFDD0;&#xFFFE;&#x1FFFF;]keep[&#9;&#13;] ",
+        "astral &#x1F600;=&#128512; edge &#x10FFFD; nb:&nbsp;&shy;: ",
+        "plain pass-through ",
+    ]
+    out = F.when(i % 8 == 0, F.lit(lanes[0]))
+    for k in range(1, 8):
+        out = out.when(i % 8 == k, F.lit(lanes[k]))
+    return F.concat(out, F.substring(text, 1, 48))
+
+
+def q_html_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML character-reference decoding (operators/textnorm.
+    decode_entities_col): numeric decimal/hex with the WHATWG C1
+    windows-1252 remap, U+FFFD for NUL/surrogates/out-of-range,
+    control/noncharacter drops, an html5 named subset, verbatim
+    passthrough for unknown or malformed references.  The Spark path
+    is one JVM projection that ENCODES UTF-8 arithmetically
+    (shiftright/mask -> unhex -> decode); the oracle re-derives every
+    code point with DuckDB's own chr() — two independent UTF-8
+    encoders must agree byte-for-byte."""
+    from biothings_crawler_spark.operators.textnorm import (
+        decode_entities_col)
+
+    d = _t(spark, sf_dir, "documents")
+    raw = _entity_fixture_variant(F.col("doc_id"), F.col("text"))
+    return d.select(
+        "doc_id", raw.alias("raw"),
+        decode_entities_col(raw).alias("decoded"),
+        F.length(decode_entities_col(raw)).alias("n_decoded"))
+
+
+def _sql_entity_oracle() -> str:
+    """DuckDB twin of q_html_entities, generated from the SAME
+    NAMED_ENTITY_MAP / C1_REMAP constants the Spark expression uses
+    (shared-LUT pattern) — the decode LOGIC is re-implemented
+    independently (struct_pack token stages + chr), only the tables
+    are shared."""
+    from biothings_crawler_spark.operators.textnorm import (
+        C1_REMAP, NAMED_ENTITY_MAP)
+
+    def sqlstr(v: str) -> str:
+        return " || ".join(f"chr({ord(ch)})" for ch in v)
+
+    named_arms = "\n        ".join(
+        f"WHEN '&{n};' THEN {sqlstr(v)}"
+        for n, v in NAMED_ENTITY_MAP.items())
+    c1_list = "[" + ", ".join(str(v) for v in C1_REMAP) + "]"
+    lanes = [
+        "'Fish &amp; Chips &lt;b&gt;&quot;x&quot;&apos;y&apos; '",
+        "'caf&eacute; = caf&#233; = caf&#xE9; &Auml;&szlig;&frac12; '",
+        "'smart &#147;quotes&#148; it&#x92;s &permil;&hellip; '",
+        "'bad &#0; &#x110000; &#xD800; &#57343; &#9999999; '",
+        "'unknown &bogus123; bare & amp; &x; &#x; &#; &#xG1; '",
+        "'drop[&#1;&#31;&#127;&#xFDD0;&#xFFFE;&#x1FFFF;]keep[&#9;&#13;] '",
+        "'astral &#x1F600;=&#128512; edge &#x10FFFD; nb:&nbsp;&shy;: '",
+        "'plain pass-through '",
+    ]
+    lane_arms = "\n           ".join(
+        f"WHEN {k} THEN {lanes[k]}" for k in range(8))
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         (CASE doc_id % 8
+           {lane_arms}
+          END) || substr(text, 1, 48) AS raw
+  FROM documents),
+t AS (
+  SELECT doc_id, raw,
+         regexp_extract_all(raw,
+           '(&#[0-9]{{1,7}};|&#[xX][0-9A-Fa-f]{{1,6}};' ||
+           '|&[a-zA-Z][a-zA-Z0-9]{{1,31}};|[^&]+|&)', 0) AS toks
+  FROM u),
+s1 AS (
+  SELECT doc_id, raw,
+    list_transform(toks, s -> struct_pack(
+      s := s,
+      cp := CASE
+        WHEN regexp_matches(s, '^&#[0-9]{{1,7}};$')
+          THEN CAST(substr(s, 3, len(s) - 3) AS BIGINT)
+        WHEN regexp_matches(s, '^&#[xX][0-9A-Fa-f]{{1,6}};$')
+          THEN CAST('0x' || substr(s, 4, len(s) - 4) AS BIGINT)
+        ELSE NULL END)) AS l1
+  FROM t),
+s2 AS (
+  SELECT doc_id, raw,
+    list_transform(l1, x -> struct_pack(
+      s := x.s,
+      isnum := x.cp IS NOT NULL,
+      cp := CASE WHEN x.cp BETWEEN 128 AND 159
+                 THEN {c1_list}[CAST(x.cp AS INTEGER) - 127]
+                 ELSE x.cp END)) AS l2
+  FROM s1),
+dec AS (
+  SELECT doc_id, raw,
+    COALESCE(array_to_string(list_transform(l2, x ->
+      CASE
+        WHEN NOT x.isnum THEN
+          CASE x.s
+        {named_arms}
+          ELSE x.s END
+        WHEN x.cp <= 0 OR x.cp > 1114111
+             OR x.cp BETWEEN 55296 AND 57343 THEN chr(65533)
+        WHEN (x.cp BETWEEN 1 AND 8) OR x.cp = 11
+             OR (x.cp BETWEEN 14 AND 31) OR x.cp = 127
+             OR (x.cp BETWEEN 64976 AND 65007)
+             OR (x.cp % 65536) >= 65534 THEN ''
+        ELSE chr(CAST(x.cp AS INTEGER))
+      END), ''), '') AS decoded
+  FROM s2)
+SELECT doc_id, raw, decoded, CAST(len(decoded) AS INT) AS n_decoded
+FROM dec
+"""
+
+
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators/textnorm.nfc_normalize):
+    planted canonical-equivalence lanes — decomposed e+ACUTE,
+    A+RING-ABOVE, ANGSTROM-SIGN singleton, combining-mark canonical
+    REORDERING (dot-below sorts before dot-above), Hangul jamo
+    composition, already-composed control lane.  Engine = pandas UDF
+    over CPython unicodedata; oracle = DuckDB nfc_normalize
+    (utf8proc) — two independent Unicode implementations must agree
+    exactly."""
+    from biothings_crawler_spark.operators.textnorm import nfc_normalize
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    lanes = [
+        "cafe\u0301",                          # e + COMBINING ACUTE
+        "A\u030angstrom",                      # A + COMBINING RING ABOVE
+        "\u212bngstr\u00f6m",                  # ANGSTROM SIGN singleton
+        "q\u0307\u0323-reorder",               # dot-above then dot-below
+        "\u1100\u1161\u11a8-hangul",           # jamo -> syllable GAG
+        "caf\u00e9-composed",                  # already NFC
+    ]
+    raw = F.when(i % 6 == 0, F.lit(lanes[0]))
+    for k in range(1, 6):
+        raw = raw.when(i % 6 == k, F.lit(lanes[k]))
+    raw = F.concat(raw, F.lit(" "), F.substring(F.col("text"), 1, 32))
+    base = d.select("doc_id", raw.alias("raw"))
+    out = nfc_normalize(base, "raw", "nfc")
+    return out.select(
+        "doc_id", "raw", "nfc",
+        (F.col("raw") != F.col("nfc")).alias("changed"),
+        F.length("nfc").alias("n_nfc"))
+
+
+def _sql_nfc_oracle() -> str:
+    lanes = [
+        "'cafe' || chr(769)",
+        "'A' || chr(778) || 'ngstrom'",
+        "chr(8491) || 'ngstr' || chr(246) || 'm'",
+        "'q' || chr(775) || chr(803) || '-reorder'",
+        "chr(4352) || chr(4449) || chr(4520) || '-hangul'",
+        "'caf' || chr(233) || '-composed'",
+    ]
+    arms = "\n           ".join(
+        f"WHEN {k} THEN {lanes[k]}" for k in range(6))
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         (CASE doc_id % 6
+           {arms}
+          END) || ' ' || substr(text, 1, 32) AS raw
+  FROM documents)
+SELECT doc_id, raw, nfc_normalize(raw) AS nfc,
+       raw <> nfc_normalize(raw) AS changed,
+       CAST(len(nfc_normalize(raw)) AS INT) AS n_nfc
+FROM u
+"""
+
+
+SQL_HTML_ENTITIES = _sql_entity_oracle()
+SQL_NFC_NORMALIZE = _sql_nfc_oracle()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -8680,6 +8869,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pct_normalize": q_pct_normalize,
     "q_line_trim": q_line_trim,
     "q_png_decode": q_png_decode,
+    "q_html_entities": q_html_entities,
+    "q_nfc_normalize": q_nfc_normalize,
 }
 
 ORACLES: dict[str, str] = {
@@ -8844,4 +9035,6 @@ ORACLES: dict[str, str] = {
     "q_pct_normalize": SQL_PCT_NORMALIZE,
     "q_line_trim": SQL_LINE_TRIM,
     "q_png_decode": SQL_PNG_DECODE,
+    "q_html_entities": SQL_HTML_ENTITIES,
+    "q_nfc_normalize": SQL_NFC_NORMALIZE,
 }

@@ -1,0 +1,108 @@
+"""textnorm: HTML character references + NFC normalization.
+
+The entity decoder's contract IS CPython's html.unescape on the
+supported grammar (semicolon forms, NAMED_ENTITY_MAP names), so the
+main test generates adversarial reference soup and asserts byte
+equality against the stdlib — covering the WHATWG C1 remap, U+FFFD
+substitution, control/noncharacter drops, astral-plane UTF-8
+encoding, and verbatim passthrough in one sweep.
+"""
+
+import html
+import random
+import unicodedata
+
+from pyspark.sql import functions as F
+
+from biothings_crawler_spark.operators.textnorm import (
+    C1_REMAP,
+    NAMED_ENTITY_MAP,
+    decode_entities_col,
+    nfc_normalize,
+    utf8_char_col,
+)
+
+EDGE_CPS = [
+    0, 1, 8, 9, 10, 11, 12, 13, 14, 31, 32, 38, 59, 65, 127, 128, 129,
+    147, 159, 160, 0x7FF, 0x800, 0xD7FF, 0xD800, 0xDFFF, 0xE000,
+    0xFDD0, 0xFDEF, 0xFFFD, 0xFFFE, 0xFFFF, 0x10000, 0x1F600,
+    0x10FFFD, 0x10FFFE, 0x10FFFF, 0x110000, 9999999,
+]
+
+
+def test_entity_decode_matches_html_unescape(spark):
+    rng = random.Random(7)
+    names = list(NAMED_ENTITY_MAP)
+    cases = []
+    for cp in EDGE_CPS:
+        cases += [f"a&#{cp};b", f"a&#x{cp:X};b", f"a&#x{cp:x};b"]
+    for n in names:
+        cases.append(f"[&{n};]")
+    for _ in range(150):
+        parts = []
+        for _ in range(rng.randint(1, 10)):
+            k = rng.randint(0, 5)
+            if k == 0:
+                parts.append(f"&{rng.choice(names)};")
+            elif k == 1:
+                parts.append(f"&#{rng.randint(0, 1200000)};")
+            elif k == 2:
+                parts.append(f"&#x{rng.randint(0, 0x120000):x};")
+            elif k == 3:
+                parts.append(rng.choice(
+                    ["text ", "a&b", "&", "#x27;", "x;&", "&&", ";;"]))
+            elif k == 4:
+                parts.append(f"&#{rng.choice(EDGE_CPS)};")
+            else:
+                parts.append(f"&{rng.choice(['bogus', 'nosuch1', 'Xy'])};")
+        cases.append("".join(parts))
+    cases += ["", "&", "&#", "&#x", "&#;", "&#x;", "&#xG;", "& amp;"]
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, t string")
+    got = {r["i"]: r["d"] for r in df.select(
+        "i", decode_entities_col(F.col("t")).alias("d")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == html.unescape(c), (i, c, got[i], html.unescape(c))
+
+
+def test_entity_decode_null_passthrough(spark):
+    df = spark.createDataFrame([(1, None)], "i int, t string")
+    assert df.select(
+        decode_entities_col(F.col("t")).alias("d")).first()["d"] is None
+
+
+def test_utf8_char_col_all_widths(spark):
+    cps = [1, 65, 127, 128, 0x7FF, 0x800, 0xFFFD, 0xFFFF,
+           0x10000, 0x1F600, 0x10FFFF]
+    df = spark.createDataFrame([(cp,) for cp in cps], "cp long")
+    rows = df.select("cp", utf8_char_col(F.col("cp")).alias("s")).collect()
+    for r in rows:
+        assert r["s"] == chr(r["cp"]), (r["cp"], r["s"])
+
+
+def test_named_map_agrees_with_stdlib():
+    import html.entities as he
+    for n, v in NAMED_ENTITY_MAP.items():
+        assert he.html5[n + ";"] == v
+    assert len(C1_REMAP) == 32
+    # spot-check the WHATWG table: 0x91/0x92 are the curly quotes
+    assert C1_REMAP[0x91 - 0x80] == 0x2018
+    assert C1_REMAP[0x92 - 0x80] == 0x2019
+
+
+def test_nfc_normalize_canonical_cases(spark):
+    cases = [
+        ("e\u0301", "\u00e9"),                     # compose
+        ("\u212b", "\u00c5"),                      # singleton fold
+        ("q\u0307\u0323", "q\u0323\u0307"),        # canonical reorder
+        ("\u1100\u1161\u11a8", "\uac01"),          # Hangul jamo
+        ("\u00e9", "\u00e9"),                      # already NFC
+        ("plain", "plain"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i int, raw string")
+    got = {r["i"]: r["nfc"]
+           for r in nfc_normalize(df, "raw").collect()}
+    for i, (s, exp) in enumerate(cases):
+        assert got[i] == exp == unicodedata.normalize("NFC", s), (i, s)
