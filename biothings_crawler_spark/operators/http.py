@@ -207,3 +207,68 @@ def fetch_quality(
         ((F.col(status_col) >= 200) & (F.col(status_col) < 300)
          & ~truncated & (body_bytes > 0) & ~(is_htmlish & magic)).alias("ok"),
     )
+
+
+def dechunk_col(body: Column, max_chunks: int = 24) -> Column:
+    """Decode an HTTP/1.1 chunked Transfer-Encoding body (RFC 9112
+    §7.1) to ``struct(ok boolean, text string)`` — ``text`` is the
+    concatenated chunk data iff the framing is valid end-to-end
+    (every size line parses, every chunk is terminated by CRLF, and
+    the final ``0`` chunk is present); otherwise ``(false, NULL)``.
+
+    One bounded expression fold (``aggregate`` over
+    ``sequence(1, max_chunks)``): each step reads the hex size line at
+    the cursor (chunk extensions after ``;`` are ignored, per spec),
+    validates the chunk's CRLF terminator, appends the data, and
+    advances.  Trailers after the last chunk are ignored.  All
+    relative arithmetic happens on ``substr(body, pos)`` so only the
+    cursor is absolute.  Row-local, zero exchange, zero Python.
+
+    Contract notes for scale: sizes are CHARACTER counts — exact for
+    single-byte payloads (the transfer framing itself is ASCII; pair
+    with charset decode downstream).  ``max_chunks`` bounds the fold:
+    bodies with more chunks report ``ok = false`` rather than silently
+    truncating (the driver pair plants a body at the bound to pin
+    that).  Size lines longer than 7 hex digits (>256 MiB chunks) fail
+    the terminator check by construction.
+    """
+    crlf = "\r\n"
+
+    def step(acc: Column, _i: Column) -> Column:
+        p = acc["pos"]
+        rest = F.substring(body, p, F.length(body) - p + 1)
+        le = F.locate(crlf, rest)  # 1-based, 0 = not found
+        line = F.substring(rest, F.lit(1), le - 1)
+        hexs = F.regexp_extract(line, r"^([0-9A-Fa-f]{1,7})", 1)
+        size = F.conv(hexs, 16, 10).cast("long")
+        data = F.substring(rest, le + 2, size)
+        term = F.substring(rest, le + 2 + size, 2)
+        step_ok = (
+            (le > 0) & (hexs != "") & size.isNotNull()
+            & ((size == 0)
+               | ((F.length(data) == size) & (term == crlf))))
+        frozen = acc["done"] | ~acc["ok"]
+        return F.struct(
+            F.when(frozen, acc["ok"]).otherwise(step_ok).alias("ok"),
+            F.when(frozen | ~step_ok | (size == 0), acc["out"])
+             .otherwise(F.concat(acc["out"], data)).alias("out"),
+            F.when(frozen, acc["done"])
+             .otherwise(step_ok & (size == 0)).alias("done"),
+            F.when(frozen | ~step_ok, p)
+             .otherwise(p + le + 1 + size + 2).cast("long").alias("pos"),
+        )
+
+    def finish(acc: Column) -> Column:
+        # acc is a lambda VARIABLE — referencing it is a leaf node, so
+        # the final struct does not re-embed the whole fold tree (the
+        # naive `agg[...]` field extraction copies the aggregate once
+        # per reference and multiplies Catalyst analysis time).
+        ok = acc["ok"] & acc["done"] & body.isNotNull()
+        return F.struct(
+            ok.alias("ok"), F.when(ok, acc["out"]).alias("text"))
+
+    init = F.struct(
+        F.lit(True).alias("ok"), F.lit("").alias("out"),
+        F.lit(False).alias("done"), F.lit(1).cast("long").alias("pos"))
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(max_chunks))), init, step, finish)

@@ -8698,6 +8698,127 @@ SQL_HTML_ENTITIES = _sql_entity_oracle()
 SQL_NFC_NORMALIZE = _sql_nfc_oracle()
 
 
+def q_chunked_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP/1.1 chunked Transfer-Encoding decode (operators/http.
+    dechunk_col): six framing lanes — multi-chunk, chunk extension,
+    zero-only body, trailer section, bad chunk terminator, truncated
+    data, missing final zero chunk.  The Spark path is one bounded
+    expression fold (aggregate over sequence); the oracle re-walks the
+    framing with DuckDB list_reduce and its own strpos/substr
+    arithmetic."""
+    from biothings_crawler_spark.operators.http import dechunk_col
+
+    d = _t(spark, sf_dir, "documents")
+    i, text = F.col("doc_id"), F.col("text")
+    nl = "\r\n"
+    p16 = F.rpad(F.substring(text, 1, 16), 16, "x")
+    p10 = F.rpad(F.substring(text, 18, 10), 10, "y")
+    lanes = [
+        F.concat(F.lit("10" + nl), p16, F.lit(nl + "a" + nl), p10,
+                 F.lit(nl + "0" + nl + nl)),
+        F.concat(F.lit("10;x=1" + nl), p16,
+                 F.lit(nl + "0" + nl + "X-T: v" + nl + nl)),
+        F.lit("0" + nl + nl),
+        F.concat(F.lit("10" + nl), p16, F.lit("ZZ0" + nl + nl)),
+        F.concat(F.lit("10" + nl), F.substring(p16, 1, 8)),
+        F.concat(F.lit("a" + nl), p10, F.lit(nl)),
+    ]
+    body = F.when(i % 6 == 0, lanes[0])
+    for k in range(1, 6):
+        body = body.when(i % 6 == k, lanes[k])
+    # Stage body and the fold result as NAMED columns: the fold's step
+    # expression references body ~20x, and the select reads the result
+    # struct 3x — staged projections keep those references as leaf
+    # attributes instead of re-embedding the trees (34s -> sub-second
+    # Catalyst analysis at sf0.01).
+    staged = (d.withColumn("body", body)
+              .withColumn("s", dechunk_col(F.col("body"))))
+    return staged.select(
+        "doc_id", "body",
+        F.col("s")["ok"].alias("ok"), F.col("s")["text"].alias("text"),
+        F.length(F.col("s")["text"]).alias("n_text"))
+
+
+def _sql_chunked_oracle(max_chunks: int = 24) -> str:
+    """DuckDB list_reduce twin of dechunk_col.  Field order in the
+    accumulator struct is deliberate: DuckDB materializes struct
+    fields in literal order and later field expressions observe the
+    ALREADY-UPDATED earlier fields, so the cursor (pos) goes LAST and
+    the out/done/pos expressions are written against that semantics
+    (equivalence with Spark's all-from-old-state evaluation argued
+    field-by-field: divergent branches are reachable only when the
+    final observable is already frozen)."""
+    def locs(pos):
+        rest = f"substr(body, CAST({pos} AS INTEGER))"
+        le = f"strpos({rest}, chr(13)||chr(10))"
+        line = f"substr({rest}, 1, greatest({le} - 1, 0))"
+        hexs = f"regexp_extract({line}, '^([0-9A-Fa-f]{{1,7}})', 1)"
+        size = f"TRY_CAST(('0x' || {hexs}) AS BIGINT)"
+        data = (f"substr({rest}, CAST({le} + 2 AS INTEGER), "
+                f"CAST(COALESCE({size},0) AS INTEGER))")
+        term = (f"substr({rest}, CAST({le} + 2 + COALESCE({size},0) "
+                f"AS INTEGER), 2)")
+        step_ok = (
+            f"({le} > 0 AND {hexs} <> '' AND {size} IS NOT NULL AND "
+            f"({size} = 0 OR (len({data}) = {size} "
+            f"AND {term} = chr(13)||chr(10))))")
+        return le, size, data, step_ok
+
+    le, size, data, step_ok = locs("acc.pos")
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         rpad(substr(text, 1, 16), 16, 'x') AS p16,
+         rpad(substr(text, 18, 10), 10, 'y') AS p10
+  FROM documents),
+b AS (
+  SELECT doc_id,
+    CASE doc_id % 6
+      WHEN 0 THEN '10' || chr(13)||chr(10) || p16 || chr(13)||chr(10)
+                  || 'a' || chr(13)||chr(10) || p10 || chr(13)||chr(10)
+                  || '0' || chr(13)||chr(10) || chr(13)||chr(10)
+      WHEN 1 THEN '10;x=1' || chr(13)||chr(10) || p16 || chr(13)||chr(10)
+                  || '0' || chr(13)||chr(10) || 'X-T: v'
+                  || chr(13)||chr(10) || chr(13)||chr(10)
+      WHEN 2 THEN '0' || chr(13)||chr(10) || chr(13)||chr(10)
+      WHEN 3 THEN '10' || chr(13)||chr(10) || p16 || 'ZZ0'
+                  || chr(13)||chr(10) || chr(13)||chr(10)
+      WHEN 4 THEN '10' || chr(13)||chr(10) || substr(p16, 1, 8)
+      ELSE 'a' || chr(13)||chr(10) || p10 || chr(13)||chr(10)
+    END AS body
+  FROM u),
+r AS (
+  SELECT doc_id, body,
+    list_reduce(
+      list_prepend(
+        struct_pack(ok := true, outp := '', done := false,
+                    pos := CAST(1 AS BIGINT)),
+        list_transform(range({max_chunks}), i ->
+          struct_pack(ok := true, outp := '', done := false,
+                      pos := CAST(1 AS BIGINT)))),
+      (acc, x) -> struct_pack(
+        ok := CASE WHEN acc.done OR NOT acc.ok THEN acc.ok
+                   ELSE {step_ok} END,
+        outp := CASE WHEN NOT acc.ok OR acc.done THEN acc.outp
+                     WHEN COALESCE({size},0) = 0 THEN acc.outp
+                     ELSE acc.outp || {data} END,
+        done := CASE WHEN acc.done THEN true WHEN NOT acc.ok THEN false
+                     ELSE COALESCE({size},-1) = 0 END,
+        pos := CASE WHEN acc.done OR NOT acc.ok THEN acc.pos
+                    ELSE acc.pos + {le} + 1 + {size} + 2 END)) AS s
+  FROM b)
+SELECT doc_id, body, (s.ok AND s.done) AS ok,
+       CASE WHEN s.ok AND s.done THEN s.outp END AS text,
+       CAST(CASE WHEN s.ok AND s.done THEN len(s.outp) END AS INT)
+         AS n_text
+FROM r
+"""
+
+
+SQL_CHUNKED_DECODE = _sql_chunked_oracle()
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -8871,6 +8992,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_png_decode": q_png_decode,
     "q_html_entities": q_html_entities,
     "q_nfc_normalize": q_nfc_normalize,
+    "q_chunked_decode": q_chunked_decode,
 }
 
 ORACLES: dict[str, str] = {
@@ -9037,4 +9159,5 @@ ORACLES: dict[str, str] = {
     "q_png_decode": SQL_PNG_DECODE,
     "q_html_entities": SQL_HTML_ENTITIES,
     "q_nfc_normalize": SQL_NFC_NORMALIZE,
+    "q_chunked_decode": SQL_CHUNKED_DECODE,
 }

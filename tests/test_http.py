@@ -156,3 +156,42 @@ def test_opengraph_absent_is_null(spark):
     got = {r.og_title for r in rows}
     assert got == {"T", None}
     assert all(r.twitter_card is None for r in rows)
+
+
+def test_dechunk_framing_matrix(spark):
+    from biothings_crawler_spark.operators.http import dechunk_col
+
+    CRLF = "\r\n"
+
+    def enc(*pieces, with_zero=True, ext="", trailer=""):
+        out = ""
+        for p in pieces:
+            out += format(len(p), "x") + ext + CRLF + p + CRLF
+        if with_zero:
+            out += "0" + CRLF + trailer + CRLF
+        return out
+
+    cases = [
+        ("two-chunk", enc("hello world, chu", "nked body!"),
+         "hello world, chunked body!"),
+        ("ext", enc("sixteen chars ok", ext=";x=1"), "sixteen chars ok"),
+        ("empty", enc(), ""),
+        ("trailer", enc("abc", trailer="X-T: 1\r\n"), "abc"),
+        ("upperhex", "A" + CRLF + "0123456789" + CRLF + "0" + CRLF + CRLF,
+         "0123456789"),
+        ("bad-term", "10" + CRLF + "0123456789abcdefZZ" + "0" + CRLF + CRLF,
+         None),
+        ("truncated", "10" + CRLF + "0123456", None),
+        ("no-zero", enc("abc", with_zero=False), None),
+        ("garbage", "not chunked at all", None),
+        ("emptybody", "", None),
+        ("null", None, None),
+        ("over-bound", enc(*["x"] * 30), None),    # 30 chunks > max 24
+        ("at-bound-1", enc(*["y"] * 23), "y" * 23),  # 23 + zero = 24 steps
+    ]
+    df = spark.createDataFrame(
+        [(n, b) for n, b, _ in cases], "name string, body string")
+    got = {r["name"]: (r["d"]["ok"], r["d"]["text"]) for r in df.select(
+        "name", dechunk_col(F.col("body")).alias("d")).collect()}
+    for n, _b, exp in cases:
+        assert got[n] == (exp is not None, exp), (n, got[n], exp)
