@@ -272,3 +272,114 @@ def dechunk_col(body: Column, max_chunks: int = 24) -> Column:
         F.lit(False).alias("done"), F.lit(1).cast("long").alias("pos"))
     return F.aggregate(
         F.sequence(F.lit(1), F.lit(int(max_chunks))), init, step, finish)
+
+
+# ---------------------------------------------------------------------------
+# gzip (RFC 1952) payload layer: fixture-side member builder with STORED
+# deflate blocks (framing only — no compressor involved, so the decoder is
+# never tested against its own inverse) and a REAL decoder over stdlib zlib.
+# ---------------------------------------------------------------------------
+
+def gen_gzip_stored(
+    data: bytes,
+    fname: str | None = None,
+    mtime: int = 0,
+    block: int = 20,
+) -> bytes:
+    """Assemble an RFC 1952 gzip member whose deflate stream uses only
+    STORED (BTYPE=0) blocks — pure framing, no compression: 1-byte
+    block header (BFINAL|BTYPE), LEN/NLEN little-endian, raw bytes.
+    Splitting ``data`` into ``block``-byte stored blocks exercises the
+    decoder's multi-block walk.  CRC32 comes from ``zlib.crc32``; the
+    SQL oracle recomputes it with its own table fold, so the two CRC
+    implementations cross-check through the byte-identical payload."""
+    import struct
+    import zlib
+
+    flg = 0x08 if fname is not None else 0x00
+    out = bytearray(b"\x1f\x8b\x08")
+    out.append(flg)
+    out += struct.pack("<I", mtime & 0xFFFFFFFF)
+    out += b"\x00\x03"  # XFL, OS=unix
+    if fname is not None:
+        out += fname.encode("latin-1") + b"\x00"
+    pieces = [data[i:i + block] for i in range(0, len(data), block)] or [b""]
+    for k, p in enumerate(pieces):
+        final = 1 if k == len(pieces) - 1 else 0
+        out.append(final)  # BFINAL=final, BTYPE=00 (stored)
+        out += struct.pack("<H", len(p)) + struct.pack("<H", 0xFFFF - len(p))
+        out += p
+    out += struct.pack("<I", zlib.crc32(data) & 0xFFFFFFFF)
+    out += struct.pack("<I", len(data) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def _parse_gzip_member(b: bytes):
+    """(valid, text, fname, mtime) for one gzip member — real RFC 1952
+    header walk (FEXTRA/FNAME/FCOMMENT/FHCRC) + raw-deflate inflate via
+    zlib, then CRC32 and ISIZE trailer verification.  Any framing,
+    inflate, checksum, or length violation -> (False, None, None,
+    None)."""
+    import zlib
+
+    bad = (False, None, None, None)
+    try:
+        if len(b) < 18 or b[0] != 0x1F or b[1] != 0x8B or b[2] != 0x08:
+            return bad
+        flg = b[3]
+        mtime = int.from_bytes(b[4:8], "little")
+        pos = 10
+        if flg & 0x04:  # FEXTRA
+            xlen = int.from_bytes(b[pos:pos + 2], "little")
+            pos += 2 + xlen
+        fname = None
+        if flg & 0x08:  # FNAME
+            z = b.index(0, pos)
+            fname = b[pos:z].decode("latin-1")
+            pos = z + 1
+        if flg & 0x10:  # FCOMMENT
+            pos = b.index(0, pos) + 1
+        if flg & 0x02:  # FHCRC
+            pos += 2
+        d = zlib.decompressobj(-15)
+        out = d.decompress(b[pos:])
+        if not d.eof or len(d.unused_data) != 8:
+            return bad
+        crc = int.from_bytes(d.unused_data[:4], "little")
+        isize = int.from_bytes(d.unused_data[4:8], "little")
+        if crc != (zlib.crc32(out) & 0xFFFFFFFF):
+            return bad
+        if isize != (len(out) & 0xFFFFFFFF):
+            return bad
+        return (True, out.decode("latin-1"), fname, mtime)
+    except Exception:
+        return bad
+
+
+def gunzip_report(
+    df: DataFrame, id_col: str, payload_col: str,
+) -> DataFrame:
+    """Decode a gzip ``binary`` column: ``(id, payload_hex, valid,
+    text, fname, mtime)``.  Arrow-batched ``mapInPandas`` (the
+    sanctioned Python path — inflate has no JVM expression form);
+    row-local, rides the scan, zero exchange.  ``payload_hex`` carries
+    the member bytes into the output so an oracle that BUILDS the same
+    member independently compares the bytes themselves, not just the
+    decode."""
+    import pandas as pd  # noqa: F811  (worker-side import)
+
+    schema = (f"{id_col} long, payload_hex string, valid boolean, "
+              f"text string, fname string, mtime long")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b) if b is not None else b""
+                valid, text, fname, mtime = _parse_gzip_member(b)
+                rows.append((int(i), b.hex().upper(), valid, text,
+                             fname, mtime if valid else None))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "payload_hex", "valid", "text", "fname", "mtime"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)

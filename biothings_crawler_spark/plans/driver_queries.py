@@ -8819,6 +8819,138 @@ SQL_CHUNKED_DECODE = _sql_chunked_oracle()
 
 
 
+def q_gzip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gzip member decode (operators/http.gen_gzip_stored +
+    gunzip_report): six lanes — 2-block member with FNAME, plain
+    1-block member, bad magic, corrupted CRC, truncated stream, wrong
+    ISIZE.  The engine inflates with REAL zlib (raw-deflate window) and
+    verifies CRC32/ISIZE; the fixture encoder emits STORED deflate
+    blocks (framing only, so the decoder never runs against its own
+    inverse — a hand-crafted spec golden pins it in pytest).  The
+    oracle REBUILDS each member byte-for-byte in SQL — including CRC32
+    via its own table fold, checked against zlib's through the
+    byte-identical payload_hex column — and derives the expected decode
+    by construction."""
+    from biothings_crawler_spark.operators.http import (
+        gen_gzip_stored, gunzip_report)
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.rpad(F.substring("text", 1, 20), 20, "a").alias("p1"),
+        F.rpad(F.substring("text", 22, 12), 12, "b").alias("p2"))
+
+    def build(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i, p1, p2 in zip(pdf["doc_id"], pdf["p1"], pdf["p2"]):
+                i = int(i)
+                lane = i % 6
+                if lane == 0:
+                    b = gen_gzip_stored(
+                        (p1 + p2).encode("latin-1"), fname=f"d{i}",
+                        mtime=1_000_000 + i, block=20)
+                else:
+                    b = bytearray(gen_gzip_stored(
+                        p1.encode("latin-1"), mtime=i))
+                    if lane == 2:
+                        b[0] = 0x1E
+                    elif lane == 3:
+                        b[-8] ^= 0xFF
+                    elif lane == 4:
+                        b = b[:-3]
+                    elif lane == 5:
+                        b[-4] = (b[-4] + 1) % 256
+                    b = bytes(b)
+                rows.append((i, b))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.mapInPandas(build, schema="doc_id long, payload binary")
+    return gunzip_report(payloads, "doc_id", "payload")
+
+
+def _sql_gzip_oracle() -> str:
+    """SQL twin that BUILDS each gzip member independently (hex
+    assembly + CRC32 table fold over the text bytes) and states the
+    expected decode by construction; byte identity of payload_hex is
+    what ties the two builders — and their two CRC32 implementations —
+    together."""
+    tbl = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (0xEDB88320 ^ (c >> 1)) if c & 1 else c >> 1
+        tbl.append(c)
+    TBL = "[" + ", ".join(str(v) for v in tbl) + "]"
+
+    def crc(s: str) -> str:
+        return (
+            f"xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT), "
+            f"list_transform(range(1, len({s}) + 1), i -> "
+            f"CAST(ascii(substr({s}, CAST(i AS INTEGER), 1)) AS BIGINT))), "
+            f"(a, c) -> xor(({TBL})[CAST(xor(a, c) & 255 AS INTEGER) + 1], "
+            f"a >> 8)), 4294967295)"
+        )
+
+    def bh(x: str) -> str:
+        return f"lpad(upper(hex(CAST(({x}) AS BIGINT))), 2, '0')"
+
+    def le2(x: str) -> str:
+        return f"({bh(f'({x}) % 256')} || {bh(f'({x}) // 256')})"
+
+    def le4(x: str) -> str:
+        return (f"({bh(f'({x}) % 256')} || {bh(f'(({x}) // 256) % 256')} || "
+                f"{bh(f'(({x}) // 65536) % 256')} || "
+                f"{bh(f'(({x}) // 16777216) % 256')})")
+
+    block1_p1 = f"('01' || {le2('20')} || {le2('65515')} || hex(p1))"
+    lane1 = (f"('1F8B08' || '00' || {le4('doc_id')} || '0003' || "
+             f"{block1_p1} || {le4('c1')} || {le4('20')})")
+    lane0 = (f"('1F8B08' || '08' || {le4('1000000 + doc_id')} || '0003' || "
+             f"hex('d' || CAST(doc_id AS VARCHAR)) || '00' || "
+             f"'00' || {le2('20')} || {le2('65515')} || hex(p1) || "
+             f"'01' || {le2('12')} || {le2('65523')} || hex(p2) || "
+             f"{le4('c12')} || {le4('32')})")
+    lane3 = (f"('1F8B08' || '00' || {le4('doc_id')} || '0003' || "
+             f"{block1_p1} || {le4('xor(c1, 255)')} || {le4('20')})")
+    lane5 = (f"('1F8B08' || '00' || {le4('doc_id')} || '0003' || "
+             f"{block1_p1} || {le4('c1')} || {le4('21')})")
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         rpad(substr(text, 1, 20), 20, 'a') AS p1,
+         rpad(substr(text, 22, 12), 12, 'b') AS p2
+  FROM documents),
+c AS (
+  SELECT doc_id, p1, p2,
+         {crc('p1')} AS c1,
+         {crc('p1 || p2')} AS c12
+  FROM u),
+b AS (
+  SELECT doc_id, p1, p2,
+    CASE doc_id % 6
+      WHEN 0 THEN {lane0}
+      WHEN 1 THEN {lane1}
+      WHEN 2 THEN '1E' || substr({lane1}, 3)
+      WHEN 3 THEN {lane3}
+      WHEN 4 THEN substr({lane1}, 1, len({lane1}) - 6)
+      ELSE {lane5}
+    END AS payload_hex
+  FROM c)
+SELECT doc_id, payload_hex,
+  (doc_id % 6) IN (0, 1) AS valid,
+  CASE doc_id % 6 WHEN 0 THEN p1 || p2 WHEN 1 THEN p1 END AS text,
+  CASE doc_id % 6 WHEN 0 THEN 'd' || CAST(doc_id AS VARCHAR) END AS fname,
+  CASE doc_id % 6 WHEN 0 THEN 1000000 + doc_id WHEN 1 THEN doc_id
+    END AS mtime
+FROM b
+"""
+
+
+SQL_GZIP_DECODE = _sql_gzip_oracle()
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -8993,6 +9125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_html_entities": q_html_entities,
     "q_nfc_normalize": q_nfc_normalize,
     "q_chunked_decode": q_chunked_decode,
+    "q_gzip_decode": q_gzip_decode,
 }
 
 ORACLES: dict[str, str] = {
@@ -9160,4 +9293,5 @@ ORACLES: dict[str, str] = {
     "q_html_entities": SQL_HTML_ENTITIES,
     "q_nfc_normalize": SQL_NFC_NORMALIZE,
     "q_chunked_decode": SQL_CHUNKED_DECODE,
+    "q_gzip_decode": SQL_GZIP_DECODE,
 }

@@ -195,3 +195,80 @@ def test_dechunk_framing_matrix(spark):
         "name", dechunk_col(F.col("body")).alias("d")).collect()}
     for n, _b, exp in cases:
         assert got[n] == (exp is not None, exp), (n, got[n], exp)
+
+
+def _crc32_bitloop(data: bytes) -> int:
+    # independent CRC-32 (reflected 0xEDB88320) bit loop — no zlib
+    c = 0xFFFFFFFF
+    for byte in data:
+        c ^= byte
+        for _ in range(8):
+            c = (0xEDB88320 ^ (c >> 1)) if c & 1 else c >> 1
+    return c ^ 0xFFFFFFFF
+
+
+def test_gzip_hand_crafted_golden(spark):
+    """A member assembled BY HAND from RFC 1952 + RFC 1951 stored-block
+    framing (no encoder involved anywhere) must decode to 'hello'."""
+    import struct
+    import zlib
+
+    data = b"hello"
+    crc = _crc32_bitloop(data)
+    assert crc == zlib.crc32(data) & 0xFFFFFFFF == 0x3610A686
+    golden = (
+        b"\x1f\x8b\x08\x00" + b"\x00\x00\x00\x00" + b"\x00\x03"
+        + b"\x01" + struct.pack("<H", 5) + struct.pack("<H", 0xFFFA)
+        + data + struct.pack("<I", crc) + struct.pack("<I", 5))
+
+    from biothings_crawler_spark.operators.http import gunzip_report
+    df = spark.createDataFrame([(1, bytearray(golden))],
+                               "doc_id long, payload binary")
+    r = gunzip_report(df, "doc_id", "payload").first()
+    assert r["valid"] and r["text"] == "hello" and r["mtime"] == 0
+
+
+def test_gzip_real_deflate_and_header_variants(spark):
+    """The decoder must also handle REAL compressed members (dynamic
+    huffman via zlib/gzip module) and the optional header fields
+    (FEXTRA, FNAME, FCOMMENT, FHCRC together)."""
+    import gzip as gzmod
+    import struct
+    import zlib
+
+    from biothings_crawler_spark.operators.http import (
+        gen_gzip_stored, gunzip_report)
+
+    text = b"the quick brown fox " * 20
+    real = gzmod.compress(text, compresslevel=9, mtime=7)
+
+    # all-flags member: FTEXT|FHCRC|FEXTRA|FNAME|FCOMMENT
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    deflate = co.compress(text) + co.flush()
+    hdr = bytearray(b"\x1f\x8b\x08")
+    hdr.append(0x01 | 0x02 | 0x04 | 0x08 | 0x10)
+    hdr += struct.pack("<I", 42) + b"\x00\x03"
+    hdr += struct.pack("<H", 4) + b"XTRA"          # FEXTRA
+    hdr += b"name.txt\x00"                          # FNAME
+    hdr += b"a comment\x00"                         # FCOMMENT
+    hdr += struct.pack("<H", zlib.crc32(bytes(hdr)) & 0xFFFF)  # FHCRC
+    allflags = (bytes(hdr) + deflate
+                + struct.pack("<I", zlib.crc32(text) & 0xFFFFFFFF)
+                + struct.pack("<I", len(text) & 0xFFFFFFFF))
+
+    stored = gen_gzip_stored(text, fname="s.txt", mtime=9, block=64)
+    assert _crc32_bitloop(text) == zlib.crc32(text) & 0xFFFFFFFF
+
+    df = spark.createDataFrame(
+        [(1, bytearray(real)), (2, bytearray(allflags)),
+         (3, bytearray(stored))],
+        "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in
+            gunzip_report(df, "doc_id", "payload").collect()}
+    want = text.decode()
+    assert rows[1]["valid"] and rows[1]["text"] == want
+    assert rows[1]["mtime"] == 7
+    assert rows[2]["valid"] and rows[2]["text"] == want
+    assert rows[2]["fname"] == "name.txt"
+    assert rows[3]["valid"] and rows[3]["text"] == want
+    assert rows[3]["fname"] == "s.txt" and rows[3]["mtime"] == 9
