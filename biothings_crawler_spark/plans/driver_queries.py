@@ -8951,6 +8951,93 @@ SQL_GZIP_DECODE = _sql_gzip_oracle()
 
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/cdc.cdc_chunks): gear-hash
+    boundaries with min/max clamps over a doubled document text (long
+    enough for several cuts per doc).  The Spark path is one JVM
+    expression fold per row; the oracle re-walks the same gear recipe
+    with DuckDB list_reduce (shared gear LUT, independent fold/explode
+    logic).  chunk_md5 keys the downstream storage-dedup aggregate."""
+    from biothings_crawler_spark.operators.cdc import cdc_chunks
+
+    # Fixed 301-char text: uniform fold length bounds the per-row work
+    # on BOTH engines and sidesteps DuckDB 1.0's varying-length
+    # list_reduce corruption by construction (see the oracle docstring).
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.substring(
+                     F.rpad(F.concat("text", F.lit(" "), "text"),
+                            301, "."), 1, 301).alias("t")))
+    return cdc_chunks(d, "doc_id", "t")
+
+
+def _sql_cdc_oracle() -> str:
+    """DuckDB twin of the gear CDC fold.  Two DuckDB 1.0 lambda quirks
+    shape this SQL: (1) a LIST-typed field in a list_reduce struct
+    accumulator silently loses appended elements across steps, so cut
+    positions accumulate as a comma-delimited STRING; (2) list_reduce
+    over PER-ROW-VARYING list lengths corrupts accumulator state
+    across rows in a vector (rows receive other rows' intermediate
+    values), so every row folds over the SAME max-length range with
+    no-op steps past its own length."""
+    from biothings_crawler_spark.operators.cdc import GEAR, MOD48
+
+    G = "[" + ", ".join(str(v) for v in GEAR) + "]"
+    h2 = (f"((acc.h * 2 + ({G})[(ascii(substr(t, x.last, 1)) % 256) + 1]) "
+          f"% {MOD48})")
+    cut = (f"(((x.last - acc.last >= 8) AND (({h2} & 31) = 0)) "
+           f"OR (x.last - acc.last >= 128))")
+    live = "(x.last <= len(t))"
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         substr(rpad(text || ' ' || text, 301, '.'), 1, 301) AS t
+  FROM documents),
+m AS (SELECT max(len(t)) AS mx FROM u),
+f AS (
+  SELECT doc_id, t,
+    list_reduce(
+      list_prepend(
+        struct_pack(cuts := '', last := 0, h := CAST(0 AS BIGINT)),
+        list_transform(range(1, (SELECT mx FROM m) + 1), i ->
+          struct_pack(cuts := '', last := CAST(i AS INTEGER),
+                      h := CAST(0 AS BIGINT)))),
+      (acc, x) -> struct_pack(
+        cuts := CASE WHEN {live} AND {cut}
+                     THEN acc.cuts || ',' || CAST(x.last AS VARCHAR)
+                     ELSE acc.cuts END,
+        last := CASE WHEN {live} AND {cut} THEN x.last
+                     ELSE acc.last END,
+        h := CASE WHEN {live} THEN {h2} ELSE acc.h END)) AS st
+  FROM u),
+c AS (
+  SELECT doc_id, t,
+    list_transform(
+      string_split(trim(
+        CASE WHEN st.last = len(t) THEN st.cuts
+             ELSE st.cuts || ',' || CAST(len(t) AS VARCHAR) END, ','), ','),
+      s -> CAST(s AS INTEGER)) AS cuts
+  FROM f)
+SELECT doc_id,
+  CAST(k - 1 AS INT) AS chunk_no,
+  CAST(CASE WHEN k = 1 THEN 1 ELSE cuts[CAST(k - 1 AS INTEGER)] + 1 END
+    AS INT) AS start,
+  CAST(cuts[CAST(k AS INTEGER)]
+       - CASE WHEN k = 1 THEN 0 ELSE cuts[CAST(k - 1 AS INTEGER)] END
+    AS INT) AS chunk_len,
+  md5(substr(t,
+        CASE WHEN k = 1 THEN 1 ELSE cuts[CAST(k - 1 AS INTEGER)] + 1 END,
+        cuts[CAST(k AS INTEGER)]
+        - CASE WHEN k = 1 THEN 0 ELSE cuts[CAST(k - 1 AS INTEGER)] END))
+    AS chunk_md5
+FROM c, unnest(range(1, len(cuts) + 1)) AS s(k)
+"""
+
+
+SQL_CDC_CHUNKS = _sql_cdc_oracle()
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -9126,6 +9213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_nfc_normalize": q_nfc_normalize,
     "q_chunked_decode": q_chunked_decode,
     "q_gzip_decode": q_gzip_decode,
+    "q_cdc_chunks": q_cdc_chunks,
 }
 
 ORACLES: dict[str, str] = {
@@ -9294,4 +9382,5 @@ ORACLES: dict[str, str] = {
     "q_nfc_normalize": SQL_NFC_NORMALIZE,
     "q_chunked_decode": SQL_CHUNKED_DECODE,
     "q_gzip_decode": SQL_GZIP_DECODE,
+    "q_cdc_chunks": SQL_CDC_CHUNKS,
 }
