@@ -119,3 +119,84 @@ def read_domain(spark: SparkSession, path: str, domain: str) -> DataFrame:
     # "org,example" owns both the apex ("org,example)/...") and every
     # subdomain ("org,example,news)/..."); both start with the prefix.
     return df.filter(F.col("surt").startswith(pref))
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout: multi-dimensional range pruning for scans that
+# filter on TWO columns at once (host × time, language × quality).  A 1D
+# sort prunes only its leading column; interleaving the bits of both keys
+# makes parquet min/max stats selective for rectangles in either dimension
+# (Morton, "A computer oriented geodetic data base", 1966; the same layout
+# Delta/Iceberg expose as ZORDER BY).
+# ---------------------------------------------------------------------------
+
+# magic-number bit spread: insert a zero between every bit of a 31-bit int
+_SPREAD = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread_bits(x):
+    for sh, mask in _SPREAD:
+        x = (x | (x << sh)) & mask
+    return x
+
+
+def zorder_key_py(a: int, b: int) -> int:
+    """Pure-Python twin of :func:`zorder_key_col` (driver-side range
+    bound computation + pytest reference)."""
+    a &= 0x7FFFFFFF
+    b &= 0x7FFFFFFF
+    return _spread_bits(a) | (_spread_bits(b) << 1)
+
+
+def zorder_key_col(a, b):
+    """Morton key interleaving two non-negative 31-bit integer columns
+    (a gets the even bits) — five shift/mask rounds per dimension, all
+    JVM integer ops, zero exchange.  Monotone in each coordinate, so
+    ``[zorder_key(a0,b0), zorder_key(a1,b1)]`` is a valid (coarse)
+    key-range bound for the rectangle ``[a0,a1] x [b0,b1]`` — the
+    pruning predicate a reader pushes into parquet min/max stats
+    without needing the exact BIGMIN walk."""
+    def spread(x):
+        x = x.cast("long").bitwiseAND(F.lit(0x7FFFFFFF))
+        for sh, mask in _SPREAD:
+            x = (x.bitwiseOR(F.shiftleft(x, sh))).bitwiseAND(F.lit(mask))
+        return x
+
+    return spread(a).bitwiseOR(F.shiftleft(spread(b), 1))
+
+
+def write_zorder_layout(
+    df: DataFrame, path: str, col_a: str, col_b: str,
+    n_files: int = 16,
+) -> None:
+    """Write ``df`` z-ordered on ``(col_a, col_b)``: range-partitioned
+    and sorted by the Morton key, so every output file covers one
+    compact z-range and its parquet min/max footer makes rectangle
+    scans skip non-intersecting files."""
+    keyed = df.withColumn(
+        "zkey", zorder_key_col(F.col(col_a), F.col(col_b)))
+    (keyed.repartitionByRange(n_files, "zkey")
+     .sortWithinPartitions("zkey")
+     .write.mode("overwrite").parquet(path))
+
+
+def read_zorder_rectangle(
+    spark: SparkSession, path: str,
+    a0: int, a1: int, b0: int, b1: int,
+    col_a: str, col_b: str,
+) -> DataFrame:
+    """Rectangle scan over a z-ordered table: the coarse z-range
+    ``[z(a0,b0), z(a1,b1)]`` prunes files/row-groups via pushed parquet
+    stats, the exact per-column predicates filter the survivors."""
+    zlo = zorder_key_py(a0, b0)
+    zhi = zorder_key_py(a1, b1)
+    return (spark.read.parquet(path)
+            .filter((F.col("zkey") >= zlo) & (F.col("zkey") <= zhi))
+            .filter((F.col(col_a) >= a0) & (F.col(col_a) <= a1)
+                    & (F.col(col_b) >= b0) & (F.col(col_b) <= b1)))

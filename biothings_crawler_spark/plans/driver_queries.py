@@ -9038,6 +9038,60 @@ SQL_CDC_CHUNKS = _sql_cdc_oracle()
 
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order layout key (layout.zorder_key_col): interleave
+    (n_chars, doc_id) and answer a rectangle query through the coarse
+    z-range bound [z(a0,b0), z(a1,b1)] plus the exact per-column
+    predicates — the pruning pattern a z-ordered parquet reader pushes
+    into min/max stats.  The oracle re-derives the five shift/mask
+    spread rounds in staged SQL CTEs."""
+    from biothings_crawler_spark.layout import (
+        zorder_key_col, zorder_key_py)
+
+    a0, a1, b0, b1 = 100, 400, 50, 350
+    zlo, zhi = zorder_key_py(a0, b0), zorder_key_py(a1, b1)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("a"), F.col("doc_id").alias("b"))
+    keyed = d.withColumn("zkey", zorder_key_col(F.col("a"), F.col("b")))
+    return (keyed
+            .filter((F.col("zkey") >= zlo) & (F.col("zkey") <= zhi))
+            .filter((F.col("a") >= a0) & (F.col("a") <= a1)
+                    & (F.col("b") >= b0) & (F.col("b") <= b1))
+            .select("doc_id", "a", "b", "zkey"))
+
+
+def _sql_zorder_oracle() -> str:
+    from biothings_crawler_spark.layout import _SPREAD, zorder_key_py
+
+    a0, a1, b0, b1 = 100, 400, 50, 350
+    zlo, zhi = zorder_key_py(a0, b0), zorder_key_py(a1, b1)
+    stages = []
+    prev = "s0"
+    for k, (sh, mask) in enumerate(_SPREAD, start=1):
+        stages.append(
+            f"s{k} AS (SELECT doc_id, a, b, "
+            f"(ax | (ax << {sh})) & {mask} AS ax, "
+            f"(bx | (bx << {sh})) & {mask} AS bx FROM {prev})")
+        prev = f"s{k}"
+    chain = ",\n".join(stages)
+    return f"""
+WITH s0 AS (
+  SELECT doc_id, n_chars AS a, doc_id AS b,
+         (n_chars & 2147483647) AS ax,
+         (doc_id & 2147483647) AS bx
+  FROM documents),
+{chain}
+SELECT doc_id, a, b, (ax | (bx << 1)) AS zkey
+FROM {prev}
+WHERE (ax | (bx << 1)) BETWEEN {zlo} AND {zhi}
+  AND a BETWEEN {a0} AND {a1} AND b BETWEEN {b0} AND {b1}
+"""
+
+
+SQL_ZORDER_KEY = _sql_zorder_oracle()
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -9214,6 +9268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_chunked_decode": q_chunked_decode,
     "q_gzip_decode": q_gzip_decode,
     "q_cdc_chunks": q_cdc_chunks,
+    "q_zorder_key": q_zorder_key,
 }
 
 ORACLES: dict[str, str] = {
@@ -9383,4 +9438,5 @@ ORACLES: dict[str, str] = {
     "q_chunked_decode": SQL_CHUNKED_DECODE,
     "q_gzip_decode": SQL_GZIP_DECODE,
     "q_cdc_chunks": SQL_CDC_CHUNKS,
+    "q_zorder_key": SQL_ZORDER_KEY,
 }
