@@ -9092,6 +9092,143 @@ SQL_ZORDER_KEY = _sql_zorder_oracle()
 
 
 
+def q_delta_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-storage composition: two crawl rounds of the same pages ->
+    gear-CDC chunk both -> round 2 stores ONLY chunks whose hash is
+    absent from the round-1 store (cross-document dedup against the
+    whole archive).  One doc class takes a length-preserving mid-page
+    edit, one is appended-to via tail rewrite; the rest are unchanged
+    and must store ZERO new bytes.  Spark shape: two row-local chunk
+    projections, one distinct hash set, one anti-join, one hash
+    aggregate; the oracle states the whole composition as ONE DuckDB
+    statement."""
+    from biothings_crawler_spark.operators.cdc import cdc_chunks
+
+    base = (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.substring(
+                        F.rpad(F.concat("text", F.lit(" "), "text"),
+                               301, "."), 1, 301).alias("t1")))
+    t2 = (F.when(F.col("doc_id") % 5 == 0,
+                 F.concat(F.lit("EDIT! "),
+                          F.substring(F.col("t1"), 7, 295)))
+          .when(F.col("doc_id") % 5 == 1,
+                F.concat(F.substring(F.col("t1"), 1, 281),
+                         F.lit(" tail-rewrite v2 etc")))
+          .otherwise(F.col("t1")))
+    rounds = base.withColumn("t2", t2)
+
+    c1 = cdc_chunks(rounds.select("doc_id", "t1"), "doc_id", "t1")
+    c2 = cdc_chunks(rounds.select("doc_id", "t2"), "doc_id", "t2")
+    store = c1.select("chunk_md5").distinct()
+    new = c2.join(F.broadcast(store), "chunk_md5", "left_anti")
+    totals = c2.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_chunks"),
+        F.sum("chunk_len").cast("long").alias("total_bytes"))
+    news = new.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_new_chunks"),
+        F.sum("chunk_len").cast("long").alias("new_bytes"))
+    return (totals.join(news, "doc_id", "left")
+            .select("doc_id", "n_chunks", "total_bytes",
+                    F.coalesce("n_new_chunks", F.lit(0)).cast("int")
+                     .alias("n_new_chunks"),
+                    F.coalesce("new_bytes", F.lit(0)).cast("long")
+                     .alias("new_bytes")))
+
+
+def _sql_delta_storage_oracle() -> str:
+    """ONE-statement DuckDB twin: both rounds fold through the same
+    padded gear recipe (fixed 301-char texts keep every row's fold the
+    same length — the varying-length list_reduce corruption workaround)
+    and the store/anti-join/aggregate run as plain SQL."""
+    from biothings_crawler_spark.operators.cdc import GEAR, MOD48
+
+    G = "[" + ", ".join(str(v) for v in GEAR) + "]"
+
+    def fold(tcol: str) -> str:
+        h2 = (f"((acc.h * 2 + ({G})[(ascii(substr({tcol}, x.last, 1)) "
+              f"% 256) + 1]) % {MOD48})")
+        cut = (f"(((x.last - acc.last >= 8) AND (({h2} & 31) = 0)) "
+               f"OR (x.last - acc.last >= 128))")
+        return f"""list_reduce(
+      list_prepend(
+        struct_pack(cuts := '', last := 0, h := CAST(0 AS BIGINT)),
+        list_transform(range(1, 302), i ->
+          struct_pack(cuts := '', last := CAST(i AS INTEGER),
+                      h := CAST(0 AS BIGINT)))),
+      (acc, x) -> struct_pack(
+        cuts := CASE WHEN {cut}
+                     THEN acc.cuts || ',' || CAST(x.last AS VARCHAR)
+                     ELSE acc.cuts END,
+        last := CASE WHEN {cut} THEN x.last ELSE acc.last END,
+        h := {h2}))"""
+
+    explode = """
+  SELECT doc_id, t,
+    CASE WHEN k = 1 THEN 1 ELSE cuts[CAST(k - 1 AS INTEGER)] + 1 END
+      AS start,
+    cuts[CAST(k AS INTEGER)]
+      - CASE WHEN k = 1 THEN 0 ELSE cuts[CAST(k - 1 AS INTEGER)] END
+      AS chunk_len
+  FROM {src}, unnest(range(1, len(cuts) + 1)) AS s(k)"""
+
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         substr(rpad(text || ' ' || text, 301, '.'), 1, 301) AS t1
+  FROM documents),
+rounds AS (
+  SELECT doc_id, t1,
+    CASE
+      WHEN doc_id % 5 = 0 THEN 'EDIT! ' || substr(t1, 7, 295)
+      WHEN doc_id % 5 = 1 THEN substr(t1, 1, 281) || ' tail-rewrite v2 etc'
+      ELSE t1 END AS t2
+  FROM base),
+f1 AS (
+  SELECT doc_id, t1 AS t, {fold('t1')} AS st FROM rounds),
+f2 AS (
+  SELECT doc_id, t2 AS t, {fold('t2')} AS st FROM rounds),
+c1 AS (
+  SELECT doc_id, t,
+    list_transform(string_split(trim(
+      CASE WHEN st.last = len(t) THEN st.cuts
+           ELSE st.cuts || ',' || CAST(len(t) AS VARCHAR) END, ','), ','),
+      s -> CAST(s AS INTEGER)) AS cuts
+  FROM f1),
+c2 AS (
+  SELECT doc_id, t,
+    list_transform(string_split(trim(
+      CASE WHEN st.last = len(t) THEN st.cuts
+           ELSE st.cuts || ',' || CAST(len(t) AS VARCHAR) END, ','), ','),
+      s -> CAST(s AS INTEGER)) AS cuts
+  FROM f2),
+e1 AS ({explode.format(src='c1')}),
+e2 AS ({explode.format(src='c2')}),
+h1 AS (
+  SELECT DISTINCT md5(substr(t, start, chunk_len)) AS chunk_md5
+  FROM e1),
+h2 AS (
+  SELECT doc_id, chunk_len, md5(substr(t, start, chunk_len)) AS chunk_md5
+  FROM e2),
+news AS (
+  SELECT doc_id, count(*) AS n_new_chunks, sum(chunk_len) AS new_bytes
+  FROM h2 ANTI JOIN h1 USING (chunk_md5)
+  GROUP BY doc_id)
+SELECT h2.doc_id,
+       CAST(count(*) AS INT) AS n_chunks,
+       CAST(sum(h2.chunk_len) AS BIGINT) AS total_bytes,
+       CAST(COALESCE(any_value(news.n_new_chunks), 0) AS INT)
+         AS n_new_chunks,
+       CAST(COALESCE(any_value(news.new_bytes), 0) AS BIGINT) AS new_bytes
+FROM h2 LEFT JOIN news ON h2.doc_id = news.doc_id
+GROUP BY h2.doc_id
+"""
+
+
+SQL_DELTA_STORAGE = _sql_delta_storage_oracle()
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so any query whose underlying operator changed since its last
@@ -9269,6 +9406,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gzip_decode": q_gzip_decode,
     "q_cdc_chunks": q_cdc_chunks,
     "q_zorder_key": q_zorder_key,
+    "q_delta_storage": q_delta_storage,
 }
 
 ORACLES: dict[str, str] = {
@@ -9439,4 +9577,5 @@ ORACLES: dict[str, str] = {
     "q_gzip_decode": SQL_GZIP_DECODE,
     "q_cdc_chunks": SQL_CDC_CHUNKS,
     "q_zorder_key": SQL_ZORDER_KEY,
+    "q_delta_storage": SQL_DELTA_STORAGE,
 }

@@ -61,3 +61,18 @@ def test_cdc_max_size_clamp():
     chunks = _ref_chunks("z" * 400)
     assert all(c[2] <= 128 for c in chunks)
     assert max(c[2] for c in chunks) == 128
+
+
+def test_delta_storage_unchanged_docs_store_nothing(spark):
+    from biothings_crawler_spark.plans.driver_queries import QUERIES
+
+    pdf = QUERIES["q_delta_storage"](
+        spark, "/root/testdata/sf0.001").toPandas()
+    lane = pdf.doc_id % 5
+    unchanged = pdf[lane >= 2]
+    edited = pdf[lane <= 1]
+    assert (unchanged.new_bytes == 0).all()
+    assert (unchanged.n_new_chunks == 0).all()
+    # edits must store SOMETHING but far less than a full re-store
+    assert edited.new_bytes.sum() > 0
+    assert edited.new_bytes.sum() < 0.5 * edited.total_bytes.sum()
