@@ -257,3 +257,92 @@ def test_token_bucket_stream_budget_carries_across_batches(spark, tmp_path):
     new_a = [r for r in got2 if r["url"].startswith("v")]
     assert len(new_a) == 2
     assert sorted(r["url"] for r in new_a) == ["v0", "v1"]
+
+
+def test_spacesaving_bounds_hold():
+    """Metwally guarantees on a skewed synthetic stream: every host
+    with true frequency > n/m is in the table, and each reported count
+    brackets the truth: cnt - err <= true <= cnt."""
+    import random
+    from collections import Counter
+
+    from biothings_crawler_spark.streaming.trending import (
+        spacesaving_update)
+
+    rng = random.Random(11)
+    stream = (["hot-a"] * 300 + ["hot-b"] * 200 + ["hot-c"] * 120
+              + [f"tail{rng.randrange(400)}" for _ in range(600)])
+    rng.shuffle(stream)
+    m = 16
+    hosts, cnts, errs = spacesaving_update([], [], [], stream, m)
+    assert len(hosts) <= m
+    true = Counter(stream)
+    table = {h: (c, e) for h, c, e in zip(hosts, cnts, errs)}
+    threshold = len(stream) / m
+    for h, t in true.items():
+        if t > threshold:
+            assert h in table, (h, t)
+    for h, (c, e) in table.items():
+        assert c - e <= true[h] <= c, (h, c, e, true[h])
+
+
+def test_trending_hosts_stream_resumes_and_merges(spark, tmp_path):
+    """Two AvailableNow rounds on one checkpoint: the per-shard
+    SpaceSaving state must survive the restart (counts keep growing,
+    never reset), and the merged top-k must surface the planted heavy
+    hitters with bound-respecting counts vs the exact batch truth."""
+    from collections import Counter
+
+    from biothings_crawler_spark.streaming.trending import (
+        merge_summaries,
+        trending_hosts_stream,
+    )
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def batch(tag, rows):
+        spark.createDataFrame(
+            [(h,) for h in rows], "host string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(src / tag))
+
+    b1 = ["big.example"] * 60 + ["mid.example"] * 25 + [
+        f"t{i}.example" for i in range(40)]
+    b2 = ["big.example"] * 40 + ["mid.example"] * 35 + [
+        f"u{i}.example" for i in range(40)]
+    batch("b1", b1)
+
+    out = str(tmp_path / "out")
+
+    def run_round():
+        stream = spark.readStream.schema("host string").parquet(
+            str(src / "*"))
+        q = (trending_hosts_stream(stream, m=8)
+             .writeStream.foreachBatch(
+                 lambda df, _eid: df.write.mode("append").parquet(out))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_round()
+    batch("b2", b2)
+    run_round()
+
+    spark.read.parquet(out).createOrReplaceTempView("trend")
+    tables = spark.sql("""
+        SELECT shard, host, cnt, err FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY shard, host ORDER BY cnt DESC) AS rn
+          FROM trend) WHERE rn = 1""")
+    top = {r["host"]: (r["cnt"], r["err"])
+           for r in merge_summaries(tables, k=4).collect()}
+    true = Counter(b1 + b2)
+    assert "big.example" in top and "mid.example" in top
+    for h in ("big.example", "mid.example"):
+        c, e = top[h]
+        assert c - e <= true[h] <= c, (h, c, e, true[h])
+    # state survived the restart: counts reflect BOTH batches
+    assert top["big.example"][0] >= 100
