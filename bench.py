@@ -150,6 +150,13 @@ SUITE = [
     "q_pct_normalize",
     "q_line_trim",
     "q_png_decode",
+    "q_html_entities",
+    "q_nfc_normalize",
+    "q_chunked_decode",
+    "q_gzip_decode",
+    "q_cdc_chunks",
+    "q_delta_storage",
+    "q_zorder_key",
 ]
 
 
