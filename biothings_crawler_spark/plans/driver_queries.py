@@ -9284,6 +9284,121 @@ WHERE a.host < b.host AND levenshtein(a.host, b.host) = 1
 
 
 
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biothings_crawler_spark.operators.bpe import word_counts
+    return word_counts(_t(spark, sf_dir, "documents"), "text")
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (operators/bpe.bpe_train): 6 rounds of
+    weighted adjacent-pair counting + greedy merge over the corpus
+    word table.  The oracle replays the SAME training loop as chained
+    SQL CTEs — per round one pair aggregate, one deterministic argmax
+    (cnt DESC, left ASC, right ASC), one padded string-fold merge
+    application — and must land on the identical merge table."""
+    from biothings_crawler_spark.operators.bpe import bpe_train
+
+    merges, _ = bpe_train(spark, _bpe_words(spark, sf_dir), n_merges=6)
+    return spark.createDataFrame(
+        merges, "rank int, lft string, rgt string, cnt long")
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final BPE segmentation of every corpus word after the 6 learned
+    merges — the per-word evidence that engine and oracle walked the
+    same training trajectory (a divergence at ANY round changes
+    downstream segment strings)."""
+    from biothings_crawler_spark.operators.bpe import bpe_train
+
+    _, seg = bpe_train(spark, _bpe_words(spark, sf_dir), n_merges=6)
+    return seg.select("w", "weight", "seq")
+
+
+def _sql_bpe_oracle(n_merges: int = 6, max_tokens: int = 14,
+                    final: str = "merges") -> str:
+    """Chained-CTE DuckDB twin of bpe_train.  The merge-application
+    fold keeps string-only state padded to a fixed length (both
+    v1.0.0 list_reduce pitfalls avoided); the round's best pair is
+    CROSS JOINed into the row first because DuckDB lambdas cannot
+    contain subqueries."""
+    def fold() -> str:
+        # SINGLE-field string state 'out<US>prev' (US = chr(31)):
+        # experiments show DuckDB 1.0 struct-accumulator lambdas read
+        # sibling fields PRE-update at small row counts but POST-update
+        # past ~tens of rows (vector-strategy dependent), so any fold
+        # whose field reads another mutated field is row-count-unsound.
+        # One field reading only ITSELF is safe in either order.
+        # Tokens come off the plain STRING via split_part (a varying-
+        # length LIST column inside a lambda corrupts across rows —
+        # the CDC oracle documents that sibling bug).
+        live = "(x.i <= len(seq) - len(replace(seq, ' ', '')) + 1)"
+        t = "split_part(seq, ' ', x.i)"
+        op = "split_part(acc.s, chr(31), 1)"
+        pv = "split_part(acc.s, chr(31), 2)"
+        merging = f"({pv} = ma AND {t} = mb)"
+        new_out = (f"CASE WHEN NOT {live} OR {merging} OR {pv} = '' "
+                   f"THEN {op} WHEN {op} = '' THEN {pv} "
+                   f"ELSE {op} || ' ' || {pv} END")
+        new_prev = (f"CASE WHEN NOT {live} THEN {pv} "
+                    f"WHEN {merging} THEN ma || mb ELSE {t} END")
+        return f"""list_reduce(
+      list_prepend(struct_pack(s := chr(31), i := 0),
+        list_transform(range(1, {max_tokens} + 1), j ->
+          struct_pack(s := '', i := CAST(j AS INTEGER)))),
+      (acc, x) -> struct_pack(
+        s := ({new_out}) || chr(31) || ({new_prev}),
+        i := 0))"""
+
+    rounds = []
+    for k in range(1, n_merges + 1):
+        rounds.append(f"""p{k} AS (
+  SELECT toks[CAST(i AS INTEGER)] AS a,
+         toks[CAST(i AS INTEGER) + 1] AS b,
+         CAST(sum(weight) AS BIGINT) AS cnt
+  FROM (SELECT weight, string_split(seq, ' ') AS toks FROM s{k-1}) t,
+       unnest(range(1, len(toks))) u(i)
+  GROUP BY 1, 2),
+b{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+j{k} AS (
+  SELECT w, weight, seq, b.a AS ma, b.b AS mb
+  FROM s{k-1}, b{k} b),
+f{k} AS (
+  SELECT w, weight, {fold()} AS st FROM j{k}),
+s{k} AS (
+  SELECT w, weight,
+    split_part(st.s, chr(31), 1)
+    || CASE WHEN split_part(st.s, chr(31), 2) = '' THEN ''
+            ELSE ' ' || split_part(st.s, chr(31), 2) END AS seq
+  FROM f{k})""")
+    chain = ",\n".join(rounds)
+    if final == "merges":
+        sel = "\nUNION ALL\n".join(
+            f"SELECT CAST({k-1} AS INT) AS rank, a AS lft, b AS rgt, cnt "
+            f"FROM b{k}" for k in range(1, n_merges + 1))
+    else:
+        sel = f"SELECT w, weight, seq FROM s{n_merges}"
+    return f"""
+WITH wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS weight
+  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents)
+  WHERE len(w) > 0 AND len(w) <= 12
+  GROUP BY w),
+s0 AS (
+  SELECT w, weight,
+    array_to_string(list_transform(range(1, len(w) + 1),
+      i -> substr(w, CAST(i AS INTEGER), 1)), ' ') || ' $' AS seq
+  FROM wc),
+{chain}
+{sel}
+"""
+
+
+SQL_BPE_MERGES = _sql_bpe_oracle(final="merges")
+SQL_BPE_SEGMENT = _sql_bpe_oracle(final="segment")
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so queries whose operators changed since their last green
@@ -9293,6 +9408,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_bpe_merges": q_bpe_merges,
+    "q_bpe_segment": q_bpe_segment,
     "q_typosquat_pairs": q_typosquat_pairs,
     "q_delta_storage": q_delta_storage,
     "q_zorder_key": q_zorder_key,
@@ -9634,4 +9751,6 @@ ORACLES: dict[str, str] = {
     "q_zorder_key": SQL_ZORDER_KEY,
     "q_delta_storage": SQL_DELTA_STORAGE,
     "q_typosquat_pairs": SQL_TYPOSQUAT_PAIRS,
+    "q_bpe_merges": SQL_BPE_MERGES,
+    "q_bpe_segment": SQL_BPE_SEGMENT,
 }
