@@ -182,3 +182,16 @@ def nfc_normalize(df: DataFrame, text_col: str,
                      else unicodedata.normalize("NFC", x))
 
     return df.withColumn(out_col, _nfc(F.col(text_col)))
+
+
+def cp1252_from_latin1_col(text: Column) -> Column:
+    """Reinterpret a latin-1-decoded string as windows-1252.
+
+    Spark's ``decode`` whitelists charsets (no windows-1252), but
+    latin-1 is byte-preserving and cp1252 differs from it ONLY on
+    0x80-0x9F — the same 32-entry WHATWG table the entity decoder
+    uses (:data:`C1_REMAP`) — so one JVM ``translate`` finishes the
+    decode.  Composable after ``decode(bin, 'ISO-8859-1')``."""
+    matching = "".join(chr(c) for c in range(0x80, 0xA0))
+    replace = "".join(chr(v) for v in C1_REMAP)
+    return F.translate(text, matching, replace)

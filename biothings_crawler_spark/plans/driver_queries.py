@@ -9399,6 +9399,122 @@ SQL_BPE_SEGMENT = _sql_bpe_oracle(final="segment")
 
 
 
+def q_payload_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE ingest text path in one chain: gzip member -> real
+    zlib inflate (+CRC/ISIZE) -> windows-1252 charset decode (JVM
+    encode/decode; the latin-1 text column out of gunzip_report is
+    byte-preserving by construction) -> HTML character-reference
+    decode -> Unicode NFC.  The fixture's original bytes contain a
+    cp1252 smart-quote pair (0x93/0x94), an entity that decodes to a
+    COMBINING mark ('cafe&#769;' -> 'cafe' + U+0301, which only NFC
+    folds to U+00E9), and '&amp;' — so every stage is load-bearing.
+    One lane ships truncated and must come out NULL.  The oracle
+    rebuilds the member bytes independently (builder + table-fold
+    CRC32 over the cp1252 BYTES) and states the final text by
+    construction with chr() arithmetic."""
+    from biothings_crawler_spark.operators.http import (
+        gen_gzip_stored, gunzip_report)
+    from biothings_crawler_spark.operators.textnorm import (
+        cp1252_from_latin1_col, decode_entities_col, nfc_normalize)
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.rpad(F.substring("text", 1, 16), 16, "w").alias("p1"))
+
+    def build(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i, p1 in zip(pdf["doc_id"], pdf["p1"]):
+                i = int(i)
+                original = (b"cafe&#769; &amp; \x93" + b"fish\x94 "
+                            + p1.encode("latin-1"))
+                b = gen_gzip_stored(original, mtime=i, block=20)
+                if i % 7 == 3:
+                    b = b[:-5]  # truncated member -> invalid
+                rows.append((i, b))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.mapInPandas(build, schema="doc_id long, payload binary")
+    g = gunzip_report(payloads, "doc_id", "payload")
+    txt1252 = cp1252_from_latin1_col(F.col("text"))
+    staged = g.select(
+        "doc_id", "payload_hex", "valid",
+        decode_entities_col(txt1252).alias("decoded"))
+    out = nfc_normalize(staged, "decoded", "final")
+    return out.select(
+        "doc_id", "payload_hex", "valid",
+        F.col("final"), F.length("final").alias("n_final"))
+
+
+def _sql_payload_pipeline_oracle() -> str:
+    tbl = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (0xEDB88320 ^ (c >> 1)) if c & 1 else c >> 1
+        tbl.append(c)
+    TBL = "[" + ", ".join(str(v) for v in tbl) + "]"
+
+    def crc_hex(h: str) -> str:
+        """CRC-32 over the BYTES of a hex string (scalar BIGINT fold —
+        scalar accumulators are safe at any row count)."""
+        return (
+            f"xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT), "
+            f"list_transform(range(1, len({h}) // 2 + 1), i -> "
+            f"('0x' || substr({h}, CAST(i * 2 - 1 AS INTEGER), 2))::BIGINT)), "
+            f"(a, c) -> xor(({TBL})[CAST(xor(a, c) & 255 AS INTEGER) + 1], "
+            f"a >> 8)), 4294967295)"
+        )
+
+    def bh(x: str) -> str:
+        return f"lpad(upper(hex(CAST(({x}) AS BIGINT))), 2, '0')"
+
+    def le2(x: str) -> str:
+        return f"({bh(f'({x}) % 256')} || {bh(f'({x}) // 256')})"
+
+    def le4(x: str) -> str:
+        return (f"({bh(f'({x}) % 256')} || {bh(f'(({x}) // 256) % 256')} || "
+                f"{bh(f'(({x}) // 65536) % 256')} || "
+                f"{bh(f'(({x}) // 16777216) % 256')})")
+
+    # original bytes: 'cafe&#769; &amp; ' + 0x93 + 'fish' + 0x94 + ' ' + p1
+    data_hex = ("hex('cafe&#769; &amp; ') || '93' || hex('fish') || '94' "
+                "|| hex(' ' || p1)")
+    # byte length: 17 + 1 + 4 + 1 + 1 + 16 = 40 -> two 20-byte stored blocks
+    member = (
+        f"('1F8B08' || '00' || {le4('doc_id')} || '0003' || "
+        f"'00' || {le2('20')} || {le2('65515')} || substr(dh, 1, 40) || "
+        f"'01' || {le2('20')} || {le2('65515')} || substr(dh, 41, 40) || "
+        f"{le4('c0')} || {le4('40')})")
+    expected = ("'caf' || chr(233) || ' & ' || chr(8220) || 'fish' || "
+                "chr(8221) || ' ' || p1")
+    return f"""
+WITH u AS (
+  SELECT doc_id, rpad(substr(text, 1, 16), 16, 'w') AS p1
+  FROM documents),
+dhx AS (
+  SELECT doc_id, p1, {data_hex} AS dh FROM u),
+c AS (
+  SELECT doc_id, p1, dh, {crc_hex('dh')} AS c0 FROM dhx),
+b AS (
+  SELECT doc_id, p1,
+    CASE WHEN doc_id % 7 = 3
+         THEN substr({member}, 1, len({member}) - 10)
+         ELSE {member} END AS payload_hex
+  FROM c)
+SELECT doc_id, payload_hex,
+  doc_id % 7 <> 3 AS valid,
+  CASE WHEN doc_id % 7 <> 3 THEN {expected} END AS final,
+  CAST(CASE WHEN doc_id % 7 <> 3
+       THEN len({expected}) END AS INT) AS n_final
+FROM b
+"""
+
+
+SQL_PAYLOAD_PIPELINE = _sql_payload_pipeline_oracle()
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so queries whose operators changed since their last green
@@ -9408,6 +9524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_payload_pipeline": q_payload_pipeline,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_segment": q_bpe_segment,
     "q_typosquat_pairs": q_typosquat_pairs,
@@ -9753,4 +9870,5 @@ ORACLES: dict[str, str] = {
     "q_typosquat_pairs": SQL_TYPOSQUAT_PAIRS,
     "q_bpe_merges": SQL_BPE_MERGES,
     "q_bpe_segment": SQL_BPE_SEGMENT,
+    "q_payload_pipeline": SQL_PAYLOAD_PIPELINE,
 }

@@ -106,3 +106,27 @@ def test_nfc_normalize_canonical_cases(spark):
            for r in nfc_normalize(df, "raw").collect()}
     for i, (s, exp) in enumerate(cases):
         assert got[i] == exp == unicodedata.normalize("NFC", s), (i, s)
+
+
+def test_cp1252_from_latin1_matches_codec(spark):
+    from biothings_crawler_spark.operators.textnorm import (
+        cp1252_from_latin1_col)
+
+    raws = [bytes([b]) for b in range(0x20, 0xFF)]
+    cases = []
+    for rb in raws:
+        latin1 = rb.decode("latin-1")
+        cases.append((latin1, rb.decode("cp1252", errors="replace")))
+    # python's cp1252 codec errors on the 5 undefined bytes; WHATWG (and
+    # our table) maps them to themselves — align expectations
+    fixed = []
+    for latin1, exp in cases:
+        if exp == "�":
+            exp = latin1
+        fixed.append((latin1, exp))
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(fixed)], "i int, s string")
+    got = {r["i"]: r["d"] for r in df.select(
+        "i", cp1252_from_latin1_col(F.col("s")).alias("d")).collect()}
+    for i, (s, exp) in enumerate(fixed):
+        assert got[i] == exp, (hex(ord(s)), got[i], exp)
