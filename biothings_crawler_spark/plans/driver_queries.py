@@ -9515,6 +9515,68 @@ SQL_PAYLOAD_PIPELINE = _sql_payload_pipeline_oracle()
 
 
 
+def q_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair crawl-budget allocation (operators/allocation.
+    waterfill_allocate): 40 hosts with skewed demands share 60% of the
+    total demand as budget; the water level t and the R leftover slots
+    are integer-deterministic, so both engines compute the identical
+    per-host allocation.  The Spark threshold uses the DISTRIBUTED
+    two-pass prefix scan (range repartition + per-partition window +
+    broadcast offsets), never a single-task global window; the oracle
+    uses DuckDB's ordinary global window."""
+    from biothings_crawler_spark.operators.allocation import (
+        waterfill_allocate)
+
+    demands = (_t(spark, sf_dir, "documents")
+               .groupBy(F.concat(F.lit("h"),
+                                 (F.col("doc_id") % 40).cast("string"))
+                        .alias("host"))
+               .agg(F.sum(F.col("doc_id") % 13 + 1).cast("long")
+                    .alias("demand")))
+    total = demands.agg(F.sum("demand")).first()[0]
+    return waterfill_allocate(demands, "host", "demand",
+                              budget=int(total * 6 // 10))
+
+
+SQL_WATERFILL_BUDGET = """
+WITH d AS (
+  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS host,
+         CAST(sum(doc_id % 13 + 1) AS BIGINT) AS demand
+  FROM documents GROUP BY 1),
+g AS (SELECT CAST(sum(demand) * 6 // 10 AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS n FROM d),
+p AS (
+  SELECT host, demand,
+         row_number() OVER (ORDER BY demand, host) AS rank,
+         sum(demand) OVER (ORDER BY demand, host
+                           ROWS UNBOUNDED PRECEDING) AS prefix
+  FROM d),
+feas AS (
+  SELECT COALESCE(max_by(rank, rank), 0) AS k_star,
+         COALESCE(max_by(prefix, rank), 0) AS pref_star,
+         COALESCE(max_by(demand, rank), 0) AS d_star
+  FROM p, g
+  WHERE prefix + (n - rank) * demand <= b),
+lvl AS (
+  SELECT k_star,
+    CASE WHEN k_star = n THEN d_star
+         ELSE d_star + (b - pref_star - (n - k_star) * d_star)
+              // (n - k_star) END AS t,
+    CASE WHEN k_star = n THEN 0
+         ELSE b - pref_star - (n - k_star) *
+           (CASE WHEN k_star = n THEN d_star
+                 ELSE d_star + (b - pref_star - (n - k_star) * d_star)
+                      // (n - k_star) END) END AS leftover
+  FROM feas, g)
+SELECT host, demand,
+  CAST(CASE WHEN demand <= t THEN demand
+       ELSE t + (CASE WHEN rank > k_star AND rank <= k_star + leftover
+                 THEN 1 ELSE 0 END) END AS BIGINT) AS alloc
+FROM p, lvl
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so queries whose operators changed since their last green
@@ -9524,6 +9586,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_waterfill_budget": q_waterfill_budget,
     "q_payload_pipeline": q_payload_pipeline,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_segment": q_bpe_segment,
@@ -9871,4 +9934,5 @@ ORACLES: dict[str, str] = {
     "q_bpe_merges": SQL_BPE_MERGES,
     "q_bpe_segment": SQL_BPE_SEGMENT,
     "q_payload_pipeline": SQL_PAYLOAD_PIPELINE,
+    "q_waterfill_budget": SQL_WATERFILL_BUDGET,
 }
