@@ -157,6 +157,10 @@ SUITE = [
     "q_cdc_chunks",
     "q_delta_storage",
     "q_zorder_key",
+    "q_typosquat_pairs",
+    "q_bpe_merges",
+    "q_payload_pipeline",
+    "q_waterfill_budget",
 ]
 
 
