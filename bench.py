@@ -161,6 +161,7 @@ SUITE = [
     "q_bpe_merges",
     "q_payload_pipeline",
     "q_waterfill_budget",
+    "q_bm25f_topk",
 ]
 
 

@@ -368,3 +368,67 @@ def retrieval_metrics(
             .alias("recall_at_k_ppm"),
         )
     )
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    text_col: str,
+    anchor_col: str,
+    query_terms: list[str],
+    w_anchor: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Field-weighted retrieval (BM25F in the simplified
+    weighted-term-frequency form of Zaragoza et al., CIKM 2004): a
+    term hit in ANCHOR TEXT pointing at a page is worth ``w_anchor``
+    body hits — the web-ranking signal body-only BM25 can't see (the
+    page that everyone links as 'spark table docs' may barely say so
+    itself).  tf' = tf_body + w_anchor * tf_anchor feeds the SAME
+    exact-integer BM25 kernel as :func:`bm25_topk` (k1=1.2, b=0.75,
+    length-normalized by BODY length; df = docs matching in either
+    field).  Shapes: two tf aggregates, one outer join on (id, term),
+    broadcast df/totals — one keyed shuffle family, no new scale risk.
+    """
+    from biothings_crawler_spark.operators.text import words_col
+
+    body = docs.select(F.col(id_col).alias("id"),
+                       words_col(F.col(text_col)).alias("words"))
+    lens = body.select("id", F.size("words").cast("long").alias("dl"))
+    totals = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("w_total"))
+
+    terms = F.array(*[F.lit(t) for t in query_terms])
+
+    def field_tf(df: DataFrame, col: Column, name: str) -> DataFrame:
+        return (df.select(F.col(id_col).alias("id"),
+                          F.explode(words_col(col)).alias("term"))
+                .filter(F.array_contains(terms, F.col("term")))
+                .groupBy("id", "term")
+                .agg(F.count(F.lit(1)).cast("long").alias(name)))
+
+    tfb = field_tf(docs, F.col(text_col), "tfb")
+    tfa = field_tf(anchors, F.col(anchor_col), "tfa")
+    tfw = (tfb.join(tfa, ["id", "term"], "full")
+           .select("id", "term",
+                   (F.coalesce("tfb", F.lit(0))
+                    + w_anchor * F.coalesce("tfa", F.lit(0)))
+                   .cast("long").alias("tf")))
+    dfreq = tfw.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tfw.join(F.broadcast(dfreq), "term")
+        .join(lens, "id")  # anchor-only docs outside the corpus drop here
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            F.expr(
+                "((2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1))"
+                " * 44 * tf * w_total"
+                " div (20 * tf * w_total + 6 * w_total + 18 * dl * n_docs)"
+            ).alias("term_score"))
+        .groupBy("id")
+        .agg(F.sum("term_score").cast("long").alias("score")))
+    return scored.orderBy(F.desc("score"), "id").limit(k)

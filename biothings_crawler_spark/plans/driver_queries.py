@@ -9577,6 +9577,71 @@ FROM p, lvl
 
 
 
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-weighted retrieval (operators/bm25.bm25f_topk): anchor
+    text worth 3 body hits through the same exact-integer BM25 kernel.
+    The fixture plants query terms in the anchors of doc_id%9==2
+    targets (pages linked AS 'spark data table' that barely say so) —
+    those must outrank body-only matches; anchor-only docs outside the
+    corpus drop at the length join.  Oracle = one SQL statement with
+    the identical integer kernel over the same two tf fields."""
+    from biothings_crawler_spark.operators.bm25 import bm25f_topk
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    anchor = (
+        F.when(i % 9 == 2, F.lit("spark data table spark data"))
+        .when(i % 9 == 5, F.concat(F.lit("mirror link "),
+                                   F.substring("text", 10, 20)))
+        .otherwise(F.lit("plain link")))
+    anchors = d.select("doc_id", anchor.alias("anchor"))
+    return bm25f_topk(d, anchors, "doc_id", "text", "anchor",
+                      BM25_QUERY, w_anchor=3, k=20)
+
+
+SQL_BM25F_TOPK = f"""
+WITH docs AS (SELECT doc_id AS id, {_SQL_WORDS} AS words FROM documents),
+anch AS (
+  SELECT doc_id AS id,
+    list_filter(string_split_regex(lower(
+      CASE WHEN doc_id % 9 = 2 THEN 'spark data table spark data'
+           WHEN doc_id % 9 = 5 THEN 'mirror link ' || substr(text, 10, 20)
+           ELSE 'plain link' END), '\\s+'), x -> len(x) > 0) AS words
+  FROM documents),
+lens AS (SELECT id, CAST(len(words) AS BIGINT) AS dl FROM docs),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS w_total FROM lens),
+tfb AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tfb FROM (
+    SELECT id, unnest(words) AS term FROM docs)
+  WHERE term IN ({', '.join("'" + t + "'" for t in BM25_QUERY)})
+  GROUP BY id, term),
+tfa AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tfa FROM (
+    SELECT id, unnest(words) AS term FROM anch)
+  WHERE term IN ({', '.join("'" + t + "'" for t in BM25_QUERY)})
+  GROUP BY id, term),
+tfw AS (
+  SELECT COALESCE(tfb.id, tfa.id) AS id,
+         COALESCE(tfb.term, tfa.term) AS term,
+         COALESCE(tfb, 0) + 3 * COALESCE(tfa, 0) AS tf
+  FROM tfb FULL JOIN tfa USING (id, term)),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfw GROUP BY term),
+sc AS (
+  SELECT tfw.id,
+         ((2 * t.n_docs - 2 * d.df + 1) * 1000000 // (2 * d.df + 1))
+           * 44 * tfw.tf * t.w_total
+           // (20 * tfw.tf * t.w_total + 6 * t.w_total + 18 * l.dl * t.n_docs)
+           AS term_score
+  FROM tfw JOIN dfq d USING (term) JOIN lens l ON l.id = tfw.id
+  CROSS JOIN tot t)
+SELECT id, CAST(SUM(term_score) AS BIGINT) AS score
+FROM sc GROUP BY id
+ORDER BY score DESC, id LIMIT 20
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so queries whose operators changed since their last green
@@ -9586,6 +9651,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_bm25f_topk": q_bm25f_topk,
     "q_waterfill_budget": q_waterfill_budget,
     "q_payload_pipeline": q_payload_pipeline,
     "q_bpe_merges": q_bpe_merges,
@@ -9935,4 +10001,5 @@ ORACLES: dict[str, str] = {
     "q_bpe_segment": SQL_BPE_SEGMENT,
     "q_payload_pipeline": SQL_PAYLOAD_PIPELINE,
     "q_waterfill_budget": SQL_WATERFILL_BUDGET,
+    "q_bm25f_topk": SQL_BM25F_TOPK,
 }
