@@ -130,6 +130,54 @@ def postings_compression_report(
     )
 
 
+def postings_ef_report(
+    postings: DataFrame, chunk_range: int = 1 << 20
+) -> DataFrame:
+    """Elias-Fano storage accounting for the doc-id stream, per (term,
+    chunk): ``(term, chunk_no, df_chunk, low_bits, ef_bits, raw_bits,
+    savings_ppm)``.
+
+    EF over n sorted ids in a universe of u = chunk_range positions
+    stores l = floor(log2(u / n)) low bits per id plus a unary upper
+    stream of n ones and (u >> l) zeros:
+
+        ef_bits = n*l + n + (u >> l)        (≈ n * (2 + log2(u/n)))
+
+    — within half a bit per id of the information-theoretic bound, and
+    supporting O(1) skip access, which is why modern index codecs
+    (Lucene, PISA) use it for dense postings.  raw_bits = 32n (fixed
+    4-byte ids).  Everything is BIGINT arithmetic — floor-log2 is
+    ``length(bin(x)) - 1``, no libm — so the report is bit-exact across
+    engines.
+
+    Shape: one bounded (term, chunk_no) hash agg (count only — ids
+    never collect into an array here), then a row-local projection.
+    """
+    u = int(chunk_range)
+    grouped = postings.groupBy(
+        "term", F.expr(f"id div {u}").alias("chunk_no")
+    ).agg(F.count(F.lit(1)).cast("long").alias("df_chunk"))
+    return (
+        grouped.withColumn(
+            "low_bits", F.expr(f"length(bin({u} div df_chunk)) - 1").cast("long")
+        )
+        .withColumn(
+            "ef_bits",
+            F.expr(
+                f"df_chunk * low_bits + df_chunk + shiftright({u}L, "
+                "cast(low_bits as int))"
+            ).cast("long"),
+        )
+        .withColumn("raw_bits", (F.col("df_chunk") * 32).cast("long"))
+        .select(
+            "term", "chunk_no", "df_chunk", "low_bits", "ef_bits", "raw_bits",
+            F.expr(
+                "(raw_bits - ef_bits) * 1000000 div raw_bits"
+            ).cast("long").alias("savings_ppm"),
+        )
+    )
+
+
 def compact_index(
     postings: DataFrame,
     chunks: DataFrame,
@@ -249,16 +297,15 @@ def inverted_index(
     )
 
 
-def bm25_topk(
+def bm25_scores(
     df: DataFrame,
     id_col: str,
     text_col: str,
     query_terms: list[str],
-    k: int = 20,
 ) -> DataFrame:
-    """Top-k documents for a bag-of-terms query under integer BM25
-    (k1=1.2, b=0.75 — the rational constants cleared above). Returns
-    (id, score) with score in exact integer units, ties broken by id."""
+    """(id, score) for every document matching at least one query term
+    under integer BM25 (k1=1.2, b=0.75 — the rational constants cleared
+    above); scores are exact integers so ranking is deterministic."""
     docs = df.select(F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("words"))
     lens = docs.select("id", F.size("words").cast("long").alias("dl"))
     totals = lens.agg(
@@ -290,7 +337,24 @@ def bm25_topk(
         .groupBy("id")
         .agg(F.sum("term_score").cast("long").alias("score"))
     )
-    return scored.orderBy(F.desc("score"), "id").limit(k)
+    return scored
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query: (id, score) with exact
+    integer scores, ties broken by id — a TakeOrderedAndProject over
+    bm25_scores, never a full sort."""
+    return (
+        bm25_scores(df, id_col, text_col, query_terms)
+        .orderBy(F.desc("score"), "id")
+        .limit(k)
+    )
 
 
 def merge_postings(

@@ -1,0 +1,148 @@
+"""Query-serving operators over the ranked-retrieval plane: positional
+phrase matching, query-dependent snippet extraction, and host-crowding
+diversification (the reference serves ES dis_max + highlight-style hits
+through crawler/web/handlers.py; this module adds the classic serving
+primitives the same index would power, Spark-first).
+
+Scale shapes:
+
+- ``positional_postings`` is one posexplode + nothing else: the
+  positional index is (term, id, pos) ROWS, never a per-term array —
+  a stop word is many rows sharded across reducers, exactly like
+  bm25.inverted_postings with a position column added.
+- ``phrase_topk`` resolves an n-term phrase as (n-1) equi-joins on the
+  composite key (id, first_pos) over per-term posting slivers: each
+  join side is one term's postings (a filter pushed into the scan /
+  index probe), so the shuffled volume is the df of the phrase's
+  terms, not the corpus.  The final top-k is TakeOrderedAndProject.
+- ``snippet_windows`` is a pure row-local projection (zero Exchange):
+  per-doc best-window search costs O(len * width) array ops with a
+  bounded constant width — honest and embarrassingly parallel; the
+  prefix-sum O(len) variant buys nothing until width is large.
+- ``diverse_topk`` adds one narrow (id, host) join and one window over
+  host partitions on top of bm25 scoring; the window input is already
+  reduced to docs matching at least one query term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from biothings_crawler_spark.operators.bm25 import bm25_scores
+from biothings_crawler_spark.operators.text import words_col
+
+
+def positional_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, id, pos) rows with pos 1-based in word order — the
+    positional index representation at scale (rows, not arrays)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words_col(F.col(text_col))).alias("pos0", "term"),
+    ).select("id", "term", (F.col("pos0") + 1).cast("long").alias("pos"))
+
+
+def phrase_matches(postings: DataFrame, phrase: list[str]) -> DataFrame:
+    """(id, pos) of every occurrence of the exact phrase, resolved by
+    chained adjacency joins over the positional index: occurrence at
+    pos means phrase[i] sits at pos+i for every i."""
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    cur = postings.filter(F.col("term") == phrase[0]).select("id", "pos")
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("term") == t).select(
+            F.col("id").alias("_nid"), (F.col("pos") - i).alias("_npos")
+        )
+        cur = cur.join(
+            nxt,
+            (F.col("id") == F.col("_nid")) & (F.col("pos") == F.col("_npos")),
+        ).select("id", "pos")
+    return cur
+
+
+def phrase_topk(
+    df: DataFrame, id_col: str, text_col: str, phrase: list[str], k: int = 20
+) -> DataFrame:
+    """Top-k documents by exact-phrase frequency: (id, phrase_tf),
+    ties broken by id ascending."""
+    hits = phrase_matches(positional_postings(df, id_col, text_col), phrase)
+    counts = hits.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("phrase_tf"))
+    return counts.orderBy(F.desc("phrase_tf"), "id").limit(k)
+
+
+def _terms_lit(terms: list[str]) -> Column:
+    return F.array(*[F.lit(t) for t in terms])
+
+
+def snippet_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    width: int = 8,
+) -> DataFrame:
+    """Best fixed-width snippet per matching document: the ``width``-word
+    window with the most query-term hits, earliest window on ties.
+    Returns (id, start, hits, snippet); documents with zero hits are
+    dropped.  Row-local throughout — no shuffle, no UDF."""
+    terms = _terms_lit(query_terms)
+    n = F.size("words")
+    starts = F.sequence(
+        F.lit(1), F.when(n > width, n - width + 1).otherwise(F.lit(1))
+    )
+    window_score = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.size(
+                F.filter(
+                    F.sequence(s, F.least(s + width - 1, n)),
+                    lambda j: F.array_contains(terms, F.element_at("words", j)),
+                )
+            ).alias("hits"),
+            (-s).alias("neg_start"),
+        ),
+    )
+    best = F.array_max(window_score)
+    return (
+        df.select(F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("words"))
+        .withColumn("best", best)
+        .filter(F.col("best.hits") > 0)
+        .select(
+            "id",
+            (-F.col("best.neg_start")).cast("long").alias("start"),
+            F.col("best.hits").cast("long").alias("hits"),
+            F.array_join(
+                F.slice("words", -F.col("best.neg_start"), F.lit(width)), " "
+            ).alias("snippet"),
+        )
+    )
+
+
+def diverse_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    host_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    per_host: int = 2,
+) -> DataFrame:
+    """Host-crowding-capped serving top-k: integer-BM25 scores, at most
+    ``per_host`` results per host (rank by score desc, id asc within a
+    host), then the global top-k over the survivors.  Returns
+    (id, host, score, host_rank)."""
+    from pyspark.sql.window import Window
+
+    scores = bm25_scores(df, id_col, text_col, query_terms)
+    hosts = df.select(
+        F.col(id_col).alias("id"), F.col(host_col).alias("host")
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("score"), "id")
+    return (
+        scores.join(hosts, "id")
+        .withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("host_rank") <= per_host)
+        .orderBy(F.desc("score"), "id")
+        .limit(k)
+        .select("id", "host", "score", "host_rank")
+    )

@@ -9642,6 +9642,156 @@ ORDER BY score DESC, id LIMIT 20
 
 
 
+# ---------------------------------------------------------------------------
+# query serving: phrase search, snippets, host-diversified top-k, Elias-Fano
+# ---------------------------------------------------------------------------
+
+PHRASE = ["table", "hash"]
+
+
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase ranked retrieval (operators/serving.phrase_topk):
+    the positional index is (term, id, pos) rows, the phrase resolves
+    as an adjacency equi-join between the two terms' posting slivers.
+    Oracle re-derives positions with unnest(range(...)) and the same
+    pos+1 self-join."""
+    from biothings_crawler_spark.operators.serving import phrase_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return phrase_topk(d, "doc_id", "text", PHRASE, k=20)
+
+
+SQL_PHRASE_TOPK = f"""
+WITH w AS (SELECT doc_id AS id, {_SQL_WORDS} AS words FROM documents),
+p AS (SELECT id, i, words[i] AS term
+      FROM w, unnest(range(1, len(words) + 1)) AS r(i)),
+m AS (SELECT p1.id
+      FROM p p1 JOIN p p2 ON p2.id = p1.id AND p2.i = p1.i + 1
+      WHERE p1.term = '{PHRASE[0]}' AND p2.term = '{PHRASE[1]}')
+SELECT id, CAST(COUNT(*) AS BIGINT) AS phrase_tf
+FROM m GROUP BY id
+ORDER BY phrase_tf DESC, id LIMIT 20
+"""
+
+SNIPPET_WIDTH = 8
+
+
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-dependent snippet extraction (operators/serving.
+    snippet_windows): best 8-word window by query-term hits, earliest
+    window on ties — a zero-Exchange row-local projection.  Oracle
+    enumerates the same windows with a lateral range unnest and picks
+    the winner with QUALIFY row_number()."""
+    from biothings_crawler_spark.operators.serving import snippet_windows
+
+    d = _t(spark, sf_dir, "documents")
+    return snippet_windows(d, "doc_id", "text", BM25_QUERY, width=SNIPPET_WIDTH)
+
+
+_SQL_SNIP_TERMS = ", ".join("'" + t + "'" for t in BM25_QUERY)
+
+SQL_SNIPPETS = f"""
+WITH w AS (SELECT doc_id AS id, {_SQL_WORDS} AS words,
+                  len({_SQL_WORDS}) AS n FROM documents),
+s AS (SELECT id, words, n, st
+      FROM w, unnest(range(1,
+           (CASE WHEN n > {SNIPPET_WIDTH} THEN n - {SNIPPET_WIDTH} + 1
+                 ELSE 1 END) + 1)) AS r(st)),
+h AS (SELECT id, words, st,
+             CAST(list_sum(
+               [CASE WHEN words[j] IN ({_SQL_SNIP_TERMS}) THEN 1 ELSE 0 END
+                for j in range(st, least(st + {SNIPPET_WIDTH} - 1, n) + 1)])
+               AS BIGINT) AS hits
+      FROM s),
+b AS (SELECT id, st, hits, words FROM h
+      QUALIFY row_number() OVER (PARTITION BY id ORDER BY hits DESC, st) = 1)
+SELECT id, CAST(st AS BIGINT) AS "start", hits,
+       COALESCE(array_to_string(
+         [words[j] for j in range(st,
+            least(st + {SNIPPET_WIDTH} - 1, len(words)) + 1)], ' '), '')
+         AS snippet
+FROM b WHERE hits > 0
+"""
+
+
+def q_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-crowding diversification (operators/serving.diverse_topk):
+    integer-BM25 scores capped at 2 results per host before the global
+    top-15 — the classic serving-side host-collapse.  Oracle reuses the
+    exact integer BM25 SQL plus the same window."""
+    from biothings_crawler_spark.operators.serving import diverse_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return diverse_topk(d, "doc_id", "text", "source", BM25_QUERY, k=15, per_host=2)
+
+
+SQL_DIVERSE_TOPK = f"""
+WITH docs AS (SELECT doc_id AS id, source AS host, {_SQL_WORDS} AS words
+              FROM documents),
+lens AS (SELECT id, CAST(len(words) AS BIGINT) AS dl FROM docs),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS w_total FROM lens),
+tf AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT id, unnest(words) AS term FROM docs)
+  WHERE term IN ({_SQL_SNIP_TERMS})
+  GROUP BY id, term),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.id,
+         ((2 * t.n_docs - 2 * d.df + 1) * 1000000 // (2 * d.df + 1))
+           * 44 * tf.tf * t.w_total
+           // (20 * tf.tf * t.w_total + 6 * t.w_total + 18 * l.dl * t.n_docs)
+           AS term_score
+  FROM tf JOIN dfq d USING (term) JOIN lens l ON l.id = tf.id CROSS JOIN tot t),
+scored AS (SELECT id, CAST(SUM(term_score) AS BIGINT) AS score
+           FROM sc GROUP BY id),
+ranked AS (
+  SELECT s.id, d.host, s.score,
+         CAST(row_number() OVER (PARTITION BY d.host
+                                 ORDER BY s.score DESC, s.id) AS BIGINT)
+           AS host_rank
+  FROM scored s JOIN docs d ON d.id = s.id)
+SELECT id, host, score, host_rank
+FROM ranked WHERE host_rank <= 2
+ORDER BY score DESC, id LIMIT 15
+"""
+
+
+def q_postings_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elias-Fano doc-id storage accounting (operators/bm25.
+    postings_ef_report, chunk_range 64 to match q_postings_varint):
+    exact bit counts n*l + n + (u >> l) with floor-log2 via bin()
+    length — no libm, bit-identical in DuckDB."""
+    from biothings_crawler_spark.operators.bm25 import (
+        inverted_postings,
+        postings_ef_report,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return postings_ef_report(inverted_postings(d, "doc_id", "text"), chunk_range=64)
+
+
+SQL_POSTINGS_EF = f"""
+WITH tf AS (
+  SELECT DISTINCT term, id FROM (
+    SELECT doc_id AS id, unnest({_SQL_WORDS}) AS term FROM documents)),
+g AS (SELECT term, id // 64 AS chunk_no, CAST(COUNT(*) AS BIGINT) AS df_chunk
+      FROM tf GROUP BY term, id // 64),
+e AS (SELECT term, chunk_no, df_chunk,
+             CAST(length(bin(64 // df_chunk)) - 1 AS BIGINT) AS low_bits
+      FROM g)
+SELECT term, chunk_no, df_chunk, low_bits,
+       CAST(df_chunk * low_bits + df_chunk
+            + (64 >> CAST(low_bits AS INTEGER)) AS BIGINT) AS ef_bits,
+       CAST(df_chunk * 32 AS BIGINT) AS raw_bits,
+       CAST((df_chunk * 32 - (df_chunk * low_bits + df_chunk
+             + (64 >> CAST(low_bits AS INTEGER)))) * 1000000
+            // (df_chunk * 32) AS BIGINT) AS savings_ppm
+FROM e
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so queries whose operators changed since their last green
@@ -9651,6 +9801,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_phrase_topk": q_phrase_topk,
+    "q_snippets": q_snippets,
+    "q_diverse_topk": q_diverse_topk,
+    "q_postings_ef": q_postings_ef,
     "q_bm25f_topk": q_bm25f_topk,
     "q_waterfill_budget": q_waterfill_budget,
     "q_payload_pipeline": q_payload_pipeline,
@@ -9828,6 +9982,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_phrase_topk": SQL_PHRASE_TOPK,
+    "q_snippets": SQL_SNIPPETS,
+    "q_diverse_topk": SQL_DIVERSE_TOPK,
+    "q_postings_ef": SQL_POSTINGS_EF,
     "q_crawl_traps": SQL_CRAWL_TRAPS,
     "q_c4_filter": SQL_C4_FILTER,
     "q_hits": SQL_HITS,

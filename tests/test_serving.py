@@ -1,0 +1,107 @@
+"""Serving plane: positional phrase matching, snippet extraction,
+host-diversified top-k, and Elias-Fano accounting."""
+
+from pyspark.sql import functions as F
+
+from biothings_crawler_spark.operators.bm25 import (
+    inverted_postings,
+    postings_ef_report,
+)
+from biothings_crawler_spark.operators.serving import (
+    diverse_topk,
+    phrase_topk,
+    positional_postings,
+    snippet_windows,
+)
+
+
+def test_phrase_three_terms_overlapping(spark):
+    # "a b a b a" contains "a b a" at pos 1 and 3 (overlap counts)
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b x a b a"), (3, "b a b")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["phrase_tf"] for r in
+           phrase_topk(docs, "id", "text", ["a", "b", "a"]).collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_phrase_requires_adjacency_not_cooccurrence(spark):
+    docs = spark.createDataFrame(
+        [(1, "table x hash"), (2, "table hash")], "id long, text string")
+    got = {r["id"] for r in
+           phrase_topk(docs, "id", "text", ["table", "hash"]).collect()}
+    assert got == {2}
+
+
+def test_positional_postings_one_based_rows(spark):
+    docs = spark.createDataFrame([(7, "X  y\tx")], "id long, text string")
+    rows = sorted(
+        (r["term"], r["pos"]) for r in
+        positional_postings(docs, "id", "text").collect())
+    assert rows == [("x", 1), ("x", 3), ("y", 2)]
+
+
+def test_snippet_picks_densest_window_earliest_tie(spark):
+    # two windows tie at 1 hit -> earliest start wins; doc shorter than
+    # width yields start 1 and the whole doc
+    docs = spark.createDataFrame(
+        [(1, "z z q z z z z z z q z z"), (2, "q z"), (3, "z z z")],
+        "id long, text string",
+    )
+    got = {r["id"]: (r["start"], r["hits"], r["snippet"]) for r in
+           snippet_windows(docs, "id", "text", ["q"], width=4).collect()}
+    # windows of width 4 over doc 1: hits are 1 everywhere a q is in
+    # range; the earliest window containing pos-3 q starts at 1
+    assert got[1][0] == 1 and got[1][1] == 1
+    assert got[2] == (1, 1, "q z")
+    assert 3 not in got  # zero hits drop
+
+
+def test_snippet_two_hit_window_beats_one_hit(spark):
+    docs = spark.createDataFrame(
+        [(1, "q z z z z z z z q q")], "id long, text string")
+    r = snippet_windows(docs, "id", "text", ["q"], width=3).collect()[0]
+    assert r["hits"] == 2 and r["start"] == 8
+    assert r["snippet"] == "z q q"
+
+
+def test_snippet_plan_has_no_exchange(spark):
+    docs = spark.createDataFrame([(1, "q z")], "id long, text string")
+    out = snippet_windows(docs, "id", "text", ["q"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_diverse_topk_caps_per_host(spark):
+    # host A holds the 3 best docs; cap 2 lets the host-B doc in
+    docs = spark.createDataFrame(
+        [
+            (1, "q q q q", "a"),
+            (2, "q q q z", "a"),
+            (3, "q q z z", "a"),
+            (4, "q z z z", "b"),
+        ],
+        "id long, text string, host string",
+    )
+    got = diverse_topk(docs, "id", "text", "host", ["q"], k=3, per_host=2)
+    rows = got.collect()
+    assert [r["id"] for r in rows] == [1, 2, 4]
+    assert all(r["host_rank"] <= 2 for r in rows)
+
+
+def test_ef_bits_match_formula_and_beat_raw_when_dense(spark):
+    # 64 ids in a 64-universe chunk: l=0, ef = n + 64 = 128 bits vs
+    # raw 2048; a singleton posting: l=5, ef = 5 + 1 + 2 = 8 bits
+    dense = [(i, "t") for i in range(64)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in dense] + [(100, "rare")],
+        "doc_id long, text string",
+    )
+    rep = {(r["term"], r["chunk_no"]): r for r in postings_ef_report(
+        inverted_postings(docs, "doc_id", "text"), chunk_range=64).collect()}
+    d = rep[("t", 0)]
+    assert (d["df_chunk"], d["low_bits"], d["ef_bits"]) == (64, 0, 128)
+    assert d["savings_ppm"] == (2048 - 128) * 1000000 // 2048
+    r = rep[("rare", 1)]
+    assert (r["df_chunk"], r["low_bits"], r["ef_bits"]) == (1, 6, 8)
