@@ -246,3 +246,98 @@ def hits(
         )
         hubs = _normalize(h_raw, "src", "hub")
     return auths.join(hubs, "node")
+
+
+def seed_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Minimum hop distance from any seed node following out-edges:
+    ``(node, dist)`` for every node reachable within ``max_hops`` —
+    the crawl-depth map a seeded harvest induces (the reference's
+    DEPTH_LIMIT is a per-request counter, crawler/spiders/helper.py;
+    over a link TABLE the same notion is a multi-source BFS).
+
+    Delta iteration, not dense relaxation: each round joins only the
+    FRONTIER (nodes first reached last round) against the edge table,
+    then folds new reaches in with a min-agg — so a round's shuffle
+    volume is the frontier's out-edge count, never |V|·|E|.  Rounds
+    stop early when the frontier empties (one bounded ``isEmpty``
+    action per round, same trade as redirect tracing); lineage is
+    truncated per round with ``localCheckpoint``.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    dist = seeds.select(
+        F.col(seeds.columns[0]).alias("node"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        if frontier.isEmpty():
+            break
+        reached = (
+            e.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"), F.lit(hop).cast("long").alias("dist"))
+        )
+        merged = (
+            dist.union(reached)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.filter(F.col("dist") == hop).localCheckpoint(eager=True)
+        dist = merged
+    return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007) over the UNDIRECTED link graph: ``(node, label)`` after
+    ``iters`` rounds, where each round every node adopts the most
+    frequent label among its neighbors, smallest label on ties.
+
+    The classic LPA is order-dependent; this variant is fully
+    deterministic — synchronous updates plus the (count DESC, label
+    ASC) total tie order — so the same communities come out under any
+    partitioning and the DuckDB window oracle matches exactly.  Unlike
+    connected components (dedup.connected_components) it splits dense
+    regions joined by thin bridges: mode-of-neighbors, not reachability.
+
+    Scale shape per round: one edges⋈labels hash join, one
+    (node, label) count agg, one argmax via max(struct(cnt, -label))
+    — a partial-aggregating max, no window over the full node set —
+    with ``localCheckpoint`` truncating lineage each round.
+    """
+    fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    und = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").cast("long").alias("label")
+    )
+    for _ in range(iters):
+        nbr = und.join(labels, und.dst == labels.node).select(
+            und.src.alias("node"), "label"
+        )
+        counts = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(F.max(F.struct("cnt", (-F.col("label")).alias("neg"))).alias("m"))
+            .select("node", (-F.col("m.neg")).cast("long").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -9643,6 +9643,101 @@ ORDER BY score DESC, id LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# graph plane: multi-source BFS seed distance, label-propagation communities
+# ---------------------------------------------------------------------------
+
+_SQL_HUBGRAPH = """
+e AS (
+  SELECT src, dst FROM (
+    SELECT doc_id AS src, doc_id // 3 AS dst FROM documents
+    UNION
+    SELECT doc_id AS src, doc_id // 7 AS dst FROM documents)
+  WHERE src <> dst)"""
+
+SEED_HOPS = 6
+
+
+def _hub_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic hub graph shared by q_pagerank / q_trustrank /
+    q_hits: src -> src div 3 and src div 7, self-loops dropped."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("doc_id").alias("src"), F.expr("doc_id div 3").alias("dst"))
+        .union(
+            d.select(F.col("doc_id").alias("src"), F.expr("doc_id div 7").alias("dst"))
+        )
+        .distinct()
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+def q_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS crawl depth (operators/pagerank.seed_distance):
+    min hop count from the trustrank seed set (node %% 13 == 0)
+    following out-edges, capped at 6 hops — frontier-delta iteration,
+    one min-agg per round.  Oracle = a recursive CTE enumerating all
+    paths of length <= 6 and taking MIN(dist) per node."""
+    from biothings_crawler_spark.operators.pagerank import seed_distance
+
+    e = _hub_edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 13 == 0)
+    )
+    return seed_distance(e, seeds, max_hops=SEED_HOPS)
+
+
+SQL_SEED_DISTANCE = f"""
+WITH RECURSIVE {_SQL_HUBGRAPH},
+seeds AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+          WHERE node % 13 = 0),
+d(node, dist) AS (
+  SELECT node, 0 FROM seeds
+  UNION ALL
+  SELECT e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.node
+  WHERE d.dist < {SEED_HOPS})
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM d GROUP BY node
+"""
+
+LPA_ITERS = 4
+
+
+def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities (operators/
+    pagerank.label_propagation) over the undirected hub graph, 4
+    synchronous rounds, (count DESC, label ASC) tie order.  Oracle =
+    per-round count + QUALIFY row_number() CTE chain."""
+    from biothings_crawler_spark.operators.pagerank import label_propagation
+
+    return label_propagation(_hub_edges(spark, sf_dir), iters=LPA_ITERS)
+
+
+def _sql_host_communities() -> str:
+    ctes = [
+        _SQL_HUBGRAPH,
+        """
+und AS (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+        WHERE src <> dst)""",
+        "l0 AS (SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS label FROM und)",
+    ]
+    for i in range(LPA_ITERS):
+        ctes.append(f"""
+c{i} AS (SELECT u.src AS node, l.label, COUNT(*) AS cnt
+         FROM und u JOIN l{i} l ON l.node = u.dst GROUP BY u.src, l.label),
+l{i + 1} AS (SELECT node, label FROM c{i}
+             QUALIFY row_number() OVER (PARTITION BY node
+                                        ORDER BY cnt DESC, label) = 1)""")
+    return "WITH " + ",".join(ctes) + f"\nSELECT node, label FROM l{LPA_ITERS}"
+
+
+SQL_HOST_COMMUNITIES = _sql_host_communities()
+
+
+# ---------------------------------------------------------------------------
 # query serving: phrase search, snippets, host-diversified top-k, Elias-Fano
 # ---------------------------------------------------------------------------
 
@@ -9801,6 +9896,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_seed_distance": q_seed_distance,
+    "q_host_communities": q_host_communities,
     "q_phrase_topk": q_phrase_topk,
     "q_snippets": q_snippets,
     "q_diverse_topk": q_diverse_topk,
@@ -9982,6 +10079,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_seed_distance": SQL_SEED_DISTANCE,
+    "q_host_communities": SQL_HOST_COMMUNITIES,
     "q_phrase_topk": SQL_PHRASE_TOPK,
     "q_snippets": SQL_SNIPPETS,
     "q_diverse_topk": SQL_DIVERSE_TOPK,

@@ -1,0 +1,58 @@
+"""Graph plane: multi-source BFS seed distance and deterministic
+label-propagation communities."""
+
+from biothings_crawler_spark.operators.pagerank import (
+    label_propagation,
+    seed_distance,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_seed_distance_min_over_sources_and_cap(spark):
+    # 0 -> 1 -> 2 -> 3 -> 4 and seed 10 -> 3 (shortcut); seeds {0, 10}
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (10, 3)])
+    seeds = spark.createDataFrame([(0,), (10,)], "node long")
+    got = {r["node"]: r["dist"] for r in
+           seed_distance(e, seeds, max_hops=2).collect()}
+    # 3 is 1 hop from seed 10, not 3 hops from seed 0; 4 is 2 hops
+    assert got == {0: 0, 10: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+
+
+def test_seed_distance_unreachable_nodes_absent(spark):
+    e = _edges(spark, [(0, 1), (5, 6)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"] for r in seed_distance(e, seeds, max_hops=4).collect()}
+    assert got == {0, 1}
+
+
+def test_seed_distance_early_exit_on_empty_frontier(spark):
+    e = _edges(spark, [(0, 1)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    # frontier empties after hop 1; a huge cap must not loop further
+    got = {r["node"]: r["dist"] for r in
+           seed_distance(e, seeds, max_hops=50).collect()}
+    assert got == {0: 0, 1: 1}
+
+
+def test_label_propagation_splits_bridged_triangles(spark):
+    # two triangles {0,1,2} and {10,11,12} joined by one bridge 2-10:
+    # LPA keeps them separate communities; CC would merge them
+    tri1 = [(0, 1), (1, 2), (2, 0)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    e = _edges(spark, tri1 + tri2 + [(2, 10)])
+    got = {r["node"]: r["label"] for r in
+           label_propagation(e, iters=4).collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[10] == got[11] == got[12]
+    assert got[0] != got[10]
+
+
+def test_label_propagation_tie_prefers_min_label(spark):
+    # node 5 sees labels {1, 2} once each after round 1 -> picks 1
+    e = _edges(spark, [(1, 5), (2, 5)])
+    got = {r["node"]: r["label"] for r in
+           label_propagation(e, iters=1).collect()}
+    assert got[5] == 1
