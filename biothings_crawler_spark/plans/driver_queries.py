@@ -9643,6 +9643,49 @@ ORDER BY score DESC, id LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# sparse term-space all-pairs similarity (Bayardo-style df pruning)
+# ---------------------------------------------------------------------------
+
+TFIDF_DF_MAX = 20
+
+
+def q_tfidf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine all-pairs top-50 over the df-pruned bigram
+    vocabulary (operators/sparse.tfidf_neighbors): candidate pairs via
+    posting-list self-join on rare terms only (Σ df² bounded), squared
+    cosine in exact ppm through DECIMAL(38,0).  Oracle repeats the
+    pruned-space algebra with HUGEINT products."""
+    from biothings_crawler_spark.operators.sparse import tfidf_neighbors
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_neighbors(d, "doc_id", "text", df_max=TFIDF_DF_MAX, k=50)
+
+
+SQL_TFIDF_NEIGHBORS = f"""
+WITH w AS (SELECT doc_id AS id, {_SQL_WORDS} AS words FROM documents),
+bg AS (SELECT id, words[i] || ' ' || words[i+1] AS term
+       FROM w, unnest(range(1, len(words))) AS r(i)),
+tf AS (SELECT term, id, CAST(COUNT(*) AS BIGINT) AS tf FROM bg GROUP BY term, id),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfc FROM tf GROUP BY term),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+wt AS (SELECT t.term, t.id,
+              t.tf * ((2 * o.n_docs - 2 * d.dfc + 1) * 1000 // (2 * d.dfc + 1))
+                AS wgt
+       FROM tf t JOIN dfq d USING (term) CROSS JOIN tot o
+       WHERE d.dfc <= {TFIDF_DF_MAX}),
+nrm AS (SELECT id, SUM(wgt * wgt) AS nrm FROM wt GROUP BY id),
+pr AS (SELECT a.id AS id1, b.id AS id2, SUM(a.wgt * b.wgt) AS dot
+       FROM wt a JOIN wt b ON a.term = b.term AND a.id < b.id
+       GROUP BY a.id, b.id)
+SELECT id1, id2,
+       CAST(CAST(dot AS HUGEINT) * dot * 1000000
+            // (CAST(n1.nrm AS HUGEINT) * n2.nrm) AS BIGINT) AS cos2_ppm
+FROM pr JOIN nrm n1 ON n1.id = pr.id1 JOIN nrm n2 ON n2.id = pr.id2
+ORDER BY cos2_ppm DESC, id1, id2 LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
 # graph plane: multi-source BFS seed distance, label-propagation communities
 # ---------------------------------------------------------------------------
 
@@ -9896,6 +9939,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_tfidf_neighbors": q_tfidf_neighbors,
     "q_seed_distance": q_seed_distance,
     "q_host_communities": q_host_communities,
     "q_phrase_topk": q_phrase_topk,
@@ -10079,6 +10123,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_tfidf_neighbors": SQL_TFIDF_NEIGHBORS,
     "q_seed_distance": SQL_SEED_DISTANCE,
     "q_host_communities": SQL_HOST_COMMUNITIES,
     "q_phrase_topk": SQL_PHRASE_TOPK,
