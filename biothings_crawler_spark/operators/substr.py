@@ -1,0 +1,174 @@
+"""Exact-substring duplicate-span detection (ExactSubstr dedup).
+
+Finds, for every document, the maximal character spans that are covered
+by length-``L`` windows occurring two or more times anywhere in the
+corpus — the practical formulation of suffix-array exact-substring
+training-data dedup (Lee et al., "Deduplicating Training Data Makes
+Language Models Better", ACL 2022): any duplicated substring of length
+``>= L`` is a union of duplicated ``L``-windows, so marking duplicated
+windows and merging overlapping/adjacent ones recovers exactly the
+maximal removable regions.
+
+Reference parity: the reference crawler (biothings.crawler) dedups at
+whole-record granularity only (its pipelines drop already-seen ``_id``s,
+crawler/upload.py); sub-document exact dedup is the training-data
+extension this engine adds on top, per the brief.
+
+Spark-first plan (one shuffle for the corpus-wide window count, one
+narrow window for the per-doc merge):
+
+  1. explode each doc into its ``n - L + 1`` window start positions
+     with ``posexplode(sequence(...))`` — pure JVM, stays inside
+     whole-stage codegen; docs shorter than ``L`` are filtered out
+     before the sequence so Spark's descending-``sequence(0, -k)``
+     footgun can't fire;
+  2. hash each window with ``xxhash64(substring(...))`` — we ship the
+     8-byte hash to the shuffle instead of the ``L``-byte gram, an
+     ``L/8``x reduction of the one corpus-wide exchange.  A false merge
+     needs an xxhash64 collision between two of the corpus's distinct
+     windows: at 10^12 windows (a ~1 TB text corpus) the birthday bound
+     is ``(10^12)^2 / 2^65 ~= 2.7e-5`` expected collisions corpus-wide
+     — and a collision only perturbs output if the two colliding grams
+     are also each otherwise-unique.  The DuckDB oracle groups by the
+     literal gram string, so the driver gate additionally proves the
+     hash path collision-free at fixture scale;
+  3. ``groupBy(hash)`` keeping ``count`` and the (doc, pos) list —
+     duplicated-hash groups explode back to marked positions.  This is
+     aggregate-then-explode rather than count-then-join-back: ONE
+     exchange instead of two, and the group payload is bounded because
+     window multiplicity is bounded by doc multiplicity;
+  4. per-doc gaps-and-islands merge: a window over ``(doc_id, pos)``
+     — ``lag`` flags a break when the next marked start is more than
+     ``L`` past the previous (strictly-greater: spans that touch are
+     one contiguous removable region), a running sum numbers islands,
+     and a final hash aggregate emits ``[min(pos), max(pos) + L)``.
+     The window partitions by doc, so it never shuffles more than the
+     marked subset and its sort is per-doc-local.
+
+At 100 TB the dominant cost is step 2/3's exchange of ``total_chars``
+8-byte hashes (+16 bytes of doc/pos) — the same asymptotic shuffle
+volume as the distributed suffix-array alternative's first sort pass,
+without the ``log n`` prefix-doubling repeats, which is why the
+windowed-hash formulation is the one production pipelines (e.g.
+deduplicate-text-datasets' Spark ports) actually run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["duplicated_spans", "strip_spans"]
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 20,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """One row per maximal duplicated span: ``(id_col, span_start,
+    span_end, span_len)``, ``span_start`` 0-based inclusive,
+    ``span_end`` exclusive.  ``hash_family='md5'`` swaps the window key
+    to a 64-bit md5 prefix (bit-identical in DuckDB) for oracle runs;
+    xxhash64 is the production path."""
+    L = int(min_len)
+    d = docs.select(
+        F.col(id_col).alias("_sid"), F.col(text_col).alias("_st")
+    ).filter(F.length("_st") >= L)
+
+    pos = d.select(
+        "_sid",
+        F.explode(
+            F.sequence(F.lit(0), F.length("_st") - L)
+        ).alias("pos"),
+        "_st",
+    )
+    gram = F.substring(F.col("_st"), F.col("pos") + 1, L)
+    if hash_family == "md5":
+        key = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+    else:
+        key = F.xxhash64(gram)
+    occ = pos.select("_sid", "pos", key.alias("wkey"))
+
+    # One exchange: group windows corpus-wide, keep only duplicated
+    # groups, explode their occurrence lists back out.
+    marked = (
+        occ.groupBy("wkey")
+        .agg(F.collect_list(F.struct("_sid", "pos")).alias("occs"))
+        .filter(F.size("occs") >= 2)
+        .select(F.explode("occs").alias("o"))
+        .select(F.col("o._sid").alias("_sid"), F.col("o.pos").alias("pos"))
+    )
+
+    w = Window.partitionBy("_sid").orderBy("pos")
+    brk = marked.select(
+        "_sid",
+        "pos",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > L),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    isl = brk.select(
+        "_sid",
+        "pos",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return (
+        isl.groupBy("_sid", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + L).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col("_sid").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )
+
+
+def strip_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every duplicated span from every doc (the Lee et al.
+    "drop all copies" policy applied symmetrically — a canonical-copy
+    retention policy composes on top by anti-joining a keep-list of
+    corpus-first spans first).  Spans are merged per doc in descending
+    start order and cut with a left fold over ``substring``, all JVM
+    expressions; the fold input is the collected span array, bounded
+    because spans per doc are bounded by ``len/L``."""
+    agg = spans.groupBy(id_col).agg(
+        F.reverse(
+            F.array_sort(F.collect_list(F.struct("span_start", "span_end")))
+        ).alias("_spans")
+    )
+    cut = F.aggregate(
+        "_spans",
+        F.col(text_col),
+        lambda acc, s: F.concat(
+            F.substring(acc, F.lit(1), s["span_start"]),
+            F.substring(
+                acc, s["span_end"] + 1, F.length(acc) - s["span_end"]
+            ),
+        ),
+    )
+    joined = docs.join(agg, id_col, "left")
+    return joined.select(
+        id_col,
+        F.when(F.col("_spans").isNull(), F.col(text_col))
+        .otherwise(cut)
+        .alias("text_clean"),
+        F.coalesce(F.size("_spans"), F.lit(0)).cast("long").alias("n_spans"),
+    )

@@ -9930,6 +9930,129 @@ FROM e
 """
 
 
+_SUBSTR_P1 = ("SHARED-PARAGRAPH: the quick brown fox jumps over the lazy "
+              "dog while the crawler politely waits for robots to allow "
+              "another fetch from this host.")
+_SUBSTR_P2 = "COMMON-BANNER accept cookies to continue reading this page"
+_SUBSTR_L = 25
+
+
+def _substr_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with three planted duplication lanes over the documents
+    text: a shared banner prefix (doc_id%5==2), a shared trailing
+    paragraph (doc_id%7==1), and an intra-document repeat of the doc's
+    own first 40 chars (doc_id%11==3) — cross-doc, cross-doc, and
+    within-doc duplicated regions respectively, all longer than the
+    L=25 window so each yields a merged span."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.when(F.col("doc_id") % 5 == 2,
+               F.lit(_SUBSTR_P2 + " ")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 1,
+               F.lit(" " + _SUBSTR_P1)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 3,
+               F.concat(F.lit(" "), F.substring("text", 1, 40)))
+        .otherwise(F.lit("")),
+    )
+    return d.select("doc_id", t.alias("text"))
+
+
+_SQL_SUBSTR_FIXTURE = f"""
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 2 THEN '{_SUBSTR_P2} ' ELSE '' END
+         || text
+         || CASE WHEN doc_id % 7 = 1 THEN ' {_SUBSTR_P1}' ELSE '' END
+         || CASE WHEN doc_id % 11 = 3 THEN ' ' || substr(text, 1, 40)
+                 ELSE '' END AS text
+  FROM documents
+"""
+
+
+def q_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicated-span detection (operators/substr.
+    duplicated_spans, Lee et al. ACL 2022 semantics): maximal spans
+    covered by corpus-duplicated L=25 windows, found via the xxhash64
+    window key + single-exchange aggregate-explode + per-doc island
+    merge.  The oracle re-derives spans by grouping on the LITERAL
+    window string, so the gate also proves the production hash path
+    collision-free on this corpus."""
+    from biothings_crawler_spark.operators.substr import duplicated_spans
+
+    return duplicated_spans(
+        _substr_fixture(spark, sf_dir), "doc_id", "text", _SUBSTR_L)
+
+
+SQL_SUBSTR_SPANS = f"""
+WITH u AS ({_SQL_SUBSTR_FIXTURE}),
+g AS (
+  SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+         substr(text, CAST(r.i + 1 AS INT), {_SUBSTR_L}) AS gram
+  FROM u, unnest(range(0, length(text) - {_SUBSTR_L} + 1)) AS r(i)
+  WHERE length(text) >= {_SUBSTR_L}),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+b AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > {_SUBSTR_L}
+              THEN 1 ELSE 0 END AS brk
+  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM b)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_SUBSTR_L} AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {_SUBSTR_L} - MIN(pos) AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, island
+"""
+
+
+def q_substr_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span removal composed on detection (operators/substr.
+    strip_spans): every duplicated span cut from every doc by a
+    descending-start substring fold.  The oracle rebuilds the cleaned
+    text as the concatenation of the KEPT inter-span segments (an
+    independent formulation: segment gaps, not iterated cuts)."""
+    from biothings_crawler_spark.operators.substr import (
+        duplicated_spans,
+        strip_spans,
+    )
+
+    docs = _substr_fixture(spark, sf_dir)
+    spans = duplicated_spans(docs, "doc_id", "text", _SUBSTR_L)
+    return strip_spans(docs, spans, "doc_id", "text")
+
+
+SQL_SUBSTR_STRIP = f"""
+WITH u AS ({_SQL_SUBSTR_FIXTURE}),
+spans AS ({SQL_SUBSTR_SPANS}),
+bounds AS (
+  SELECT doc_id,
+         COALESCE(lag(span_end) OVER
+                  (PARTITION BY doc_id ORDER BY span_start), 0)
+           AS keep_from,
+         span_start AS keep_to
+  FROM spans
+  UNION ALL
+  SELECT s.doc_id, MAX(s.span_end) AS keep_from,
+         ANY_VALUE(length(u.text)) AS keep_to
+  FROM spans s JOIN u USING (doc_id) GROUP BY s.doc_id),
+cleaned AS (
+  SELECT b.doc_id,
+         string_agg(substr(u.text, CAST(b.keep_from + 1 AS INT),
+                           CAST(b.keep_to - b.keep_from AS INT)),
+                    '' ORDER BY b.keep_from) AS text_clean
+  FROM bounds b JOIN u USING (doc_id) GROUP BY b.doc_id),
+nsp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+        FROM spans GROUP BY doc_id)
+SELECT u.doc_id, COALESCE(c.text_clean, u.text) AS text_clean,
+       COALESCE(n.n_spans, 0) AS n_spans
+FROM u LEFT JOIN cleaned c USING (doc_id) LEFT JOIN nsp n USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so queries whose operators changed since their last green
@@ -9939,6 +10062,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_substr_spans": q_substr_spans,
+    "q_substr_strip": q_substr_strip,
     "q_tfidf_neighbors": q_tfidf_neighbors,
     "q_seed_distance": q_seed_distance,
     "q_host_communities": q_host_communities,
@@ -10123,6 +10248,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_substr_spans": SQL_SUBSTR_SPANS,
+    "q_substr_strip": SQL_SUBSTR_STRIP,
     "q_tfidf_neighbors": SQL_TFIDF_NEIGHBORS,
     "q_seed_distance": SQL_SEED_DISTANCE,
     "q_host_communities": SQL_HOST_COMMUNITIES,
