@@ -31,7 +31,7 @@ TakeOrderedAndProject, never a full sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from biothings_crawler_spark.operators.text import words_col
@@ -297,15 +297,18 @@ def inverted_index(
     )
 
 
-def bm25_scores(
+def bm25_term_scores(
     df: DataFrame,
     id_col: str,
     text_col: str,
     query_terms: list[str],
 ) -> DataFrame:
-    """(id, score) for every document matching at least one query term
+    """(id, term, term_score) for every (matching doc, query term) pair
     under integer BM25 (k1=1.2, b=0.75 — the rational constants cleared
-    above); scores are exact integers so ranking is deterministic."""
+    above); exact integers, so every consumer ranks deterministically.
+    This is precisely what a serving-index probe returns for a query's
+    postings, so both the exhaustive scorer and the MaxScore-pruned
+    scorer build on it."""
     docs = df.select(F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("words"))
     lens = docs.select("id", F.size("words").cast("long").alias("dl"))
     totals = lens.agg(
@@ -322,22 +325,35 @@ def bm25_scores(
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
 
-    scored = (
+    return (
         tf.join(F.broadcast(dfreq), "term")
         .join(lens, "id")
         .crossJoin(F.broadcast(totals))
         .select(
             "id",
+            "term",
             F.expr(
                 "((2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1))"
                 " * 44 * tf * w_total"
                 " div (20 * tf * w_total + 6 * w_total + 18 * dl * n_docs)"
             ).alias("term_score"),
         )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+) -> DataFrame:
+    """(id, score) for every document matching at least one query term:
+    the exhaustive sum over bm25_term_scores."""
+    return (
+        bm25_term_scores(df, id_col, text_col, query_terms)
         .groupBy("id")
         .agg(F.sum("term_score").cast("long").alias("score"))
     )
-    return scored
 
 
 def bm25_topk(
@@ -355,6 +371,105 @@ def bm25_topk(
         .orderBy(F.desc("score"), "id")
         .limit(k)
     )
+
+
+def _maxscore_parts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int,
+) -> dict[str, DataFrame]:
+    """The MaxScore (Turtle & Flood 1995) pruning pieces, re-expressed
+    as a two-pass batch plan.  Returned parts (tests assert on the
+    intermediate ones; maxscore_topk consumes ``final``):
+
+      ``ts``         probed postings (id, term, term_score), persisted
+                     once — the four consumers below reuse it, exactly
+                     as a serving node reuses the postings it read;
+      ``ub``         per-term score upper bound (|q| rows);
+      ``theta``      1-row safe threshold: the k-th best FULL score
+                     among docs containing the single highest-UB term —
+                     a subset of all matches, so a LOWER bound on the
+                     true k-th best (−1 when that subset has < k docs,
+                     disabling pruning);
+      ``essential``  terms whose ascending-UB cumulative sum reaches
+                     theta.  A doc containing only non-essential terms
+                     scores <= max nonessential cum < theta, and the
+                     true k-th best is >= theta, so pruning it is safe
+                     even under the (score DESC, id ASC) tie-break —
+                     the inequality against theta is strict;
+      ``cand``       doc ids containing >= 1 essential term;
+      ``final``      exhaustive rescoring of candidates only, top-k.
+
+    Everything stays plan-side: theta flows through a broadcast cross
+    join, never a driver collect, so one Spark job serves many queries
+    by unioning their plans.  At 10^10-doc scale the wins compound: the
+    candidate semi-join replaces a full groupBy over every posting of
+    every low-impact term with one over the essential subset."""
+    ts = bm25_term_scores(df, id_col, text_col, query_terms).localCheckpoint()
+    ub = ts.groupBy("term").agg(F.max("term_score").alias("ub"))
+
+    top_term = ub.orderBy(F.desc("ub"), "term").limit(1).select("term")
+    seed_scores = (
+        ts.join(
+            ts.join(F.broadcast(top_term), "term", "left_semi").select("id"),
+            "id",
+            "left_semi",
+        )
+        .groupBy("id")
+        .agg(F.sum("term_score").cast("long").alias("score"))
+    )
+    theta = (
+        seed_scores.orderBy(F.desc("score"), "id")
+        .limit(k)
+        .agg(
+            F.when(F.count(F.lit(1)) >= k, F.min("score"))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("theta")
+        )
+    )
+
+    w = Window.orderBy(F.asc("ub"), F.desc("term")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = ub.select("term", "ub", F.sum("ub").over(w).alias("cum"))
+    essential = (
+        cum.crossJoin(F.broadcast(theta))
+        .filter(F.col("cum") >= F.col("theta"))
+        .select("term")
+    )
+    cand = ts.join(F.broadcast(essential), "term", "left_semi").select("id").distinct()
+    final = (
+        ts.join(cand, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.sum("term_score").cast("long").alias("score"))
+        .orderBy(F.desc("score"), "id")
+        .limit(k)
+    )
+    return {
+        "ts": ts,
+        "ub": ub,
+        "theta": theta,
+        "essential": essential,
+        "cand": cand,
+        "final": final,
+    }
+
+
+def maxscore_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """Top-k under MaxScore pruning — provably EQUAL to bm25_topk's
+    exhaustive ranking (see _maxscore_parts for the safety argument);
+    the driver oracle is therefore the exhaustive SQL ranking, so the
+    gate verifies the pruning logic never drops a true top-k doc."""
+    return _maxscore_parts(df, id_col, text_col, query_terms, k)["final"]
 
 
 def merge_postings(

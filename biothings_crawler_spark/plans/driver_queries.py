@@ -9930,6 +9930,47 @@ FROM e
 """
 
 
+MAXSCORE_QUERY = ["merge", "vector", "window", "stream", "batch"]
+MAXSCORE_K = 15
+
+
+def q_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxScore-pruned disjunctive top-k (operators/bm25.maxscore_topk,
+    Turtle & Flood 1995): per-term upper bounds, a safe threshold from
+    the highest-UB term's postings, essential-term candidate pruning,
+    exhaustive rescoring of candidates only.  The oracle is the plain
+    EXHAUSTIVE ranking — pruning must be output-invisible, so the gate
+    proves the safety argument on real data."""
+    from biothings_crawler_spark.operators.bm25 import maxscore_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return maxscore_topk(d, "doc_id", "text", MAXSCORE_QUERY, k=MAXSCORE_K)
+
+
+SQL_MAXSCORE_TOPK = f"""
+WITH docs AS (SELECT doc_id AS id, {_SQL_WORDS} AS words FROM documents),
+lens AS (SELECT id, CAST(len(words) AS BIGINT) AS dl FROM docs),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS w_total FROM lens),
+tf AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT id, unnest(words) AS term FROM docs)
+  WHERE term IN ({', '.join("'" + t + "'" for t in MAXSCORE_QUERY)})
+  GROUP BY id, term),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.id,
+         ((2 * t.n_docs - 2 * d.df + 1) * 1000000 // (2 * d.df + 1))
+           * 44 * tf.tf * t.w_total
+           // (20 * tf.tf * t.w_total + 6 * t.w_total + 18 * l.dl * t.n_docs)
+           AS term_score
+  FROM tf JOIN dfq d USING (term) JOIN lens l ON l.id = tf.id CROSS JOIN tot t)
+SELECT id, CAST(SUM(term_score) AS BIGINT) AS score
+FROM sc GROUP BY id
+ORDER BY score DESC, id LIMIT {MAXSCORE_K}
+"""
+
+
 _SUBSTR_P1 = ("SHARED-PARAGRAPH: the quick brown fox jumps over the lazy "
               "dog while the crawler politely waits for robots to allow "
               "another fetch from this host.")
@@ -10062,6 +10103,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
     "q_tfidf_neighbors": q_tfidf_neighbors,
@@ -10248,6 +10290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
     "q_tfidf_neighbors": SQL_TFIDF_NEIGHBORS,
