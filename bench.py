@@ -52,6 +52,9 @@ EXTRACT_REPLICAS = int(os.environ.get("SPARK_GRAFT_EXTRACT_REPLICAS", "16"))
 # operator-suite queries worth timing at sf0.1 (brute-force pair ops
 # excluded: they are oracle-scale verifiers, not the 10^10 path)
 SUITE = [
+    "q_substr_spans",
+    "q_maxscore_topk",
+    "q_image_phash",
     "q_pricing_summary",
     "q_top_revenue_orders",
     "q_region_revenue",

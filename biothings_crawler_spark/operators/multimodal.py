@@ -296,65 +296,72 @@ def gen_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     RAW prior scanlines per the spec."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-        import zlib
-
-        def chunk(typ: bytes, body: bytes) -> bytes:
-            return (struct.pack(">I", len(body)) + typ + body
-                    + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
-
-        def paeth(a: int, b: int, c: int) -> int:
-            p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        from biothings_crawler_spark.operators import multimodal as mm
 
         for pdf in batches:
             out = {"media_id": [], "content": []}
             for mid in pdf[id_col]:
                 mid = int(mid)
-                w, h, bpp = 4 + mid % 5, 3 + mid % 4, 3
+                w, h = 4 + mid % 5, 3 + mid % 4
                 raws = [
                     bytes((mid * 31 + y * 17 + x * 7 + ch * 3) % 256
                           for x in range(w) for ch in range(3))
                     for y in range(h)
                 ]
-                prior = bytes(w * bpp)
-                stream = bytearray()
-                for y, row in enumerate(raws):
-                    f = y % 5
-                    stream.append(f)
-                    if f == 0:
-                        filt = row
-                    elif f == 1:
-                        filt = bytes((row[i] - (row[i - bpp] if i >= bpp
-                                                else 0)) & 255
-                                     for i in range(len(row)))
-                    elif f == 2:
-                        filt = bytes((row[i] - prior[i]) & 255
-                                     for i in range(len(row)))
-                    elif f == 3:
-                        filt = bytes(
-                            (row[i] - ((row[i - bpp] if i >= bpp else 0)
-                                       + prior[i]) // 2) & 255
-                            for i in range(len(row)))
-                    else:
-                        filt = bytes(
-                            (row[i] - paeth(row[i - bpp] if i >= bpp else 0,
-                                            prior[i],
-                                            prior[i - bpp] if i >= bpp
-                                            else 0)) & 255
-                            for i in range(len(row)))
-                    stream += filt
-                    prior = row
-                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-                png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-                       + chunk(b"IDAT", zlib.compress(bytes(stream)))
-                       + chunk(b"IEND", b""))
                 out["media_id"].append(mid)
-                out["content"].append(png)
+                out["content"].append(mm._png_encode_rgb(raws, w, h))
             yield pd.DataFrame(out)
 
     return ids.mapInPandas(run, "media_id long, content binary")
+
+
+def _png_encode_rgb(raws: list, w: int, h: int) -> bytes:
+    """The PNG encode core shared by the fixture generators: 8-bit RGB,
+    scanline filter type ``y % 5`` so all five spec filters appear in
+    any image taller than four rows; filtering operates on RAW prior
+    scanlines per the spec."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    bpp = 3
+    prior = bytes(w * bpp)
+    stream = bytearray()
+    for y, row in enumerate(raws):
+        f = y % 5
+        stream.append(f)
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = bytes((row[i] - (row[i - bpp] if i >= bpp else 0)) & 255
+                         for i in range(len(row)))
+        elif f == 2:
+            filt = bytes((row[i] - prior[i]) & 255 for i in range(len(row)))
+        elif f == 3:
+            filt = bytes(
+                (row[i] - ((row[i - bpp] if i >= bpp else 0)
+                           + prior[i]) // 2) & 255
+                for i in range(len(row)))
+        else:
+            filt = bytes(
+                (row[i] - paeth(row[i - bpp] if i >= bpp else 0,
+                                prior[i],
+                                prior[i - bpp] if i >= bpp else 0)) & 255
+                for i in range(len(row)))
+        stream += filt
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + chunk(b"IEND", b""))
 
 
 def decode_png_features(media: DataFrame) -> DataFrame:
@@ -373,74 +380,20 @@ def decode_png_features(media: DataFrame) -> DataFrame:
     synthesis."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-        import zlib
+        from biothings_crawler_spark.operators import multimodal as mm
 
         for pdf in batches:
             cols = {k: [] for k in ("media_id", "width", "height",
                                     "bit_depth", "color_type", "n_pixels",
                                     "sum_r", "sum_g", "sum_b")}
             for mid, b in zip(pdf["media_id"], pdf["content"]):
-                data = bytes(b)
-                if data[:8] != b"\x89PNG\r\n\x1a\n":
-                    raise ValueError("not a PNG signature")
-                pos, idat = 8, bytearray()
-                w = h = bd = ct = None
-                while pos < len(data):
-                    ln, typ = struct.unpack(">I4s", data[pos:pos + 8])
-                    body = data[pos + 8:pos + 8 + ln]
-                    crc, = struct.unpack(
-                        ">I", data[pos + 8 + ln:pos + 12 + ln])
-                    if crc != zlib.crc32(typ + body) & 0xFFFFFFFF:
-                        raise ValueError(f"bad CRC in {typ!r}")
-                    if typ == b"IHDR":
-                        w, h, bd, ct, _comp, _filt, inter = struct.unpack(
-                            ">IIBBBBB", body)
-                        if bd != 8 or ct not in (2, 6) or inter:
-                            raise NotImplementedError(
-                                "8-bit RGB/RGBA non-interlaced only")
-                    elif typ == b"IDAT":
-                        idat += body
-                    elif typ == b"IEND":
-                        break
-                    pos += 12 + ln
-                bpp = 4 if ct == 6 else 3
-                stride = w * bpp
-                raw = zlib.decompress(bytes(idat))
-                prior = bytes(stride)
+                w, h, bd, ct, bpp, rows = mm._png_decode_rows(bytes(b))
                 sums = [0, 0, 0]
-                p = 0
-                for _y in range(h):
-                    f = raw[p]
-                    line = bytearray(raw[p + 1:p + 1 + stride])
-                    p += 1 + stride
-                    if f == 1:
-                        for i in range(bpp, stride):
-                            line[i] = (line[i] + line[i - bpp]) & 255
-                    elif f == 2:
-                        for i in range(stride):
-                            line[i] = (line[i] + prior[i]) & 255
-                    elif f == 3:
-                        for i in range(stride):
-                            a = line[i - bpp] if i >= bpp else 0
-                            line[i] = (line[i] + (a + prior[i]) // 2) & 255
-                    elif f == 4:
-                        for i in range(stride):
-                            a = line[i - bpp] if i >= bpp else 0
-                            c = prior[i - bpp] if i >= bpp else 0
-                            up = prior[i]
-                            pp = a + up - c
-                            pa, pb, pc = abs(pp - a), abs(pp - up), abs(pp - c)
-                            pred = (a if (pa <= pb and pa <= pc)
-                                    else (up if pb <= pc else c))
-                            line[i] = (line[i] + pred) & 255
-                    elif f != 0:
-                        raise ValueError(f"unknown filter {f}")
-                    for i in range(0, stride, bpp):
+                for line in rows:
+                    for i in range(0, w * bpp, bpp):
                         sums[0] += line[i]
                         sums[1] += line[i + 1]
                         sums[2] += line[i + 2]
-                    prior = bytes(line)
                 cols["media_id"].append(int(mid))
                 cols["width"].append(w)
                 cols["height"].append(h)
@@ -453,3 +406,178 @@ def decode_png_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(cols)
 
     return media.mapInPandas(run, PNG_FEATURES_SCHEMA)
+
+
+def _png_decode_rows(data: bytes):
+    """The PNG decode core (chunk walk + CRC verify + inflate + spec-§9
+    unfilter), shared by the channel-sum featurizer and the perceptual
+    hash: returns ``(w, h, bit_depth, color_type, bpp, rows)`` with
+    ``rows`` the reconstructed raw scanlines.  Imported INSIDE the
+    mapInPandas closures via the module (not captured), so cloudpickle
+    ships a reference to the worker's module singleton, never a
+    by-value copy."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, idat = 8, bytearray()
+    w = h = bd = ct = None
+    while pos < len(data):
+        ln, typ = struct.unpack(">I4s", data[pos:pos + 8])
+        body = data[pos + 8:pos + 8 + ln]
+        crc, = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])
+        if crc != zlib.crc32(typ + body) & 0xFFFFFFFF:
+            raise ValueError(f"bad CRC in {typ!r}")
+        if typ == b"IHDR":
+            w, h, bd, ct, _comp, _filt, inter = struct.unpack(
+                ">IIBBBBB", body)
+            if bd != 8 or ct not in (2, 6) or inter:
+                raise NotImplementedError(
+                    "8-bit RGB/RGBA non-interlaced only")
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    bpp = 4 if ct == 6 else 3
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    prior = bytes(stride)
+    rows = []
+    p = 0
+    for _y in range(h):
+        f = raw[p]
+        line = bytearray(raw[p + 1:p + 1 + stride])
+        p += 1 + stride
+        if f == 1:
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 255
+        elif f == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 255
+        elif f == 3:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prior[i]) // 2) & 255
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prior[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                pp = a + up - c
+                pa, pb, pc = abs(pp - a), abs(pp - up), abs(pp - c)
+                pred = (a if (pa <= pb and pa <= pc)
+                        else (up if pb <= pc else c))
+                line[i] = (line[i] + pred) & 255
+        elif f != 0:
+            raise ValueError(f"unknown filter {f}")
+        prior = bytes(line)
+        rows.append(bytes(line))
+    return w, h, bd, ct, bpp, rows
+
+
+def gen_png_media_seeded(ids: DataFrame) -> DataFrame:
+    """PNG fixture generator for the perceptual-hash operator: expects
+    ``(media_id, seed, bright)`` and renders a real PNG whose CONTENT
+    depends only on ``seed`` (size ``16+2*(seed%5) x 12+2*(seed%4)``,
+    channel ``(seed*31 + y*17 + x*7 + ch*3) % 180 + bright``) — so
+    same-seed media are pixel-identical up to a constant brightness
+    shift, the transformation dHash is exactly invariant to (the shift
+    cancels in every cell-mean comparison; 180+75<256 so no clamping
+    ever masks a bug)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from biothings_crawler_spark.operators import multimodal as mm
+
+        for pdf in batches:
+            out = {"media_id": [], "content": []}
+            for mid, seed, br in zip(pdf["media_id"], pdf["seed"],
+                                     pdf["bright"]):
+                seed, br = int(seed), int(br)
+                w, h = 16 + 2 * (seed % 5), 12 + 2 * (seed % 4)
+                raws = [
+                    bytes((seed * 31 + y * 17 + x * 7 + ch * 3) % 180 + br
+                          for x in range(w) for ch in range(3))
+                    for y in range(h)
+                ]
+                out["media_id"].append(int(mid))
+                out["content"].append(mm._png_encode_rgb(raws, w, h))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(run, "media_id long, content binary")
+
+
+PHASH_SCHEMA = ("media_id long, width int, height int, "
+                "phash_hi long, phash_lo long")
+
+
+def decode_png_phash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over a decoded PNG column:
+    integer grayscale ``(299r+587g+114b)//1000``, area-average onto an
+    8x9 grid (pixel (y,x) -> cell ``(y*8//h, x*9//w)`` — every cell
+    non-empty for h>=8, w>=9), one bit per horizontally adjacent cell
+    pair via the exact integer cross-multiplication
+    ``sum_l*cnt_r > sum_r*cnt_l`` (no float means, so the hash is
+    bit-stable across platforms).  64 bits split across two BIGINTs
+    (rows 0-3 -> phash_lo, rows 4-7 -> phash_hi) to stay clear of
+    signed overflow on bit 63.
+
+    Scale shape: same Arrow-batched mapInPandas as the featurizers —
+    decode + numpy ``add.at`` cell pooling per image, no state across
+    rows, so partitioning is free and the 100 TB plan is a pure map
+    stage over the media table."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from biothings_crawler_spark.operators import multimodal as mm
+
+        for pdf in batches:
+            cols = {k: [] for k in ("media_id", "width", "height",
+                                    "phash_hi", "phash_lo")}
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                w, h, _bd, _ct, bpp, rows = mm._png_decode_rows(bytes(b))
+                if h < 8 or w < 9:
+                    raise ValueError(f"dHash needs >=9x8 px, got {w}x{h}")
+                px = np.frombuffer(b"".join(rows), dtype=np.uint8)
+                px = px.reshape(h, w, bpp)[:, :, :3].astype(np.int64)
+                gray = (299 * px[..., 0] + 587 * px[..., 1]
+                        + 114 * px[..., 2]) // 1000
+                ci = (np.arange(h) * 8) // h
+                cj = (np.arange(w) * 9) // w
+                cell = ci[:, None] * 9 + cj[None, :]
+                sums = np.zeros(72, dtype=np.int64)
+                np.add.at(sums, cell, gray)
+                cnts = np.bincount(cell.ravel(), minlength=72)
+                hi = lo = 0
+                for i in range(8):
+                    for j in range(8):
+                        left, right = i * 9 + j, i * 9 + j + 1
+                        bit = int(sums[left] * cnts[right]
+                                  > sums[right] * cnts[left])
+                        if i < 4:
+                            lo |= bit << (i * 8 + j)
+                        else:
+                            hi |= bit << ((i - 4) * 8 + j)
+                cols["media_id"].append(int(mid))
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["phash_hi"].append(hi)
+                cols["phash_lo"].append(lo)
+            yield pd.DataFrame(cols)
+
+    return media.mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_dup_groups(hashes: DataFrame) -> DataFrame:
+    """Exact-phash duplicate grouping: one hash aggregate keyed on the
+    two hash halves (map-side partials, no window sort), exploded back
+    to per-media rows with the canonical representative (min media_id)
+    and group size — the image twin of exact text dedup."""
+    agg = hashes.groupBy("phash_hi", "phash_lo").agg(
+        F.min("media_id").alias("dup_group"),
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+    )
+    return hashes.join(agg, ["phash_hi", "phash_lo"]).select(
+        "media_id", "width", "height", "phash_hi", "phash_lo",
+        "dup_group", "group_size",
+    )

@@ -9930,6 +9930,77 @@ FROM e
 """
 
 
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over REAL decoded pixels (operators/
+    multimodal.decode_png_phash + phash_dup_groups): worker-side PNG
+    synthesis where content follows the SEED (doc_id//30 — triples of
+    media share one) while brightness varies per media, then dHash over
+    the decoded bytes.  Planted triples must land in one dup group —
+    dHash's cell-mean comparisons are exactly invariant to the constant
+    shift — and the oracle recomputes every hash from the closed-form
+    pixel formula, never touching the container bytes."""
+    from biothings_crawler_spark.operators.multimodal import (
+        decode_png_phash,
+        gen_png_media_seeded,
+        phash_dup_groups,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") % 10 == 5).select(
+        F.col("doc_id").alias("media_id"),
+        F.expr("doc_id div 30").alias("seed"),
+        F.expr("((doc_id div 10) % 3) * 25").alias("bright"),
+    )
+    return phash_dup_groups(decode_png_phash(gen_png_media_seeded(ids)))
+
+
+SQL_IMAGE_PHASH = """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id // 30 AS seed,
+         ((doc_id // 10) % 3) * 25 AS bright
+  FROM documents WHERE doc_id % 10 = 5),
+dims AS (SELECT media_id, seed, bright,
+                16 + 2 * (seed % 5) AS w, 12 + 2 * (seed % 4) AS h
+         FROM m),
+px AS (
+  SELECT media_id, w, h, bright, CAST(r.j AS BIGINT) AS idx,
+         seed * 31 + (r.j // w) * 17 + (r.j % w) * 7 AS base
+  FROM dims, unnest(range(w * h)) AS r(j)),
+g AS (
+  SELECT media_id, ((idx // w) * 8) // h AS ci, ((idx % w) * 9) // w AS cj,
+         (299 * (base % 180) + 587 * ((base + 3) % 180)
+          + 114 * ((base + 6) % 180)) // 1000 + bright AS gray
+  FROM px),
+c AS (SELECT media_id, ci, cj, SUM(gray) AS s, COUNT(*) AS n
+      FROM g GROUP BY media_id, ci, cj),
+bits AS (
+  SELECT l.media_id, l.ci, l.cj,
+         CASE WHEN l.s * r.n > r.s * l.n THEN 1 ELSE 0 END AS bit
+  FROM c l JOIN c r
+    ON l.media_id = r.media_id AND l.ci = r.ci AND r.cj = l.cj + 1
+  WHERE l.cj < 8),
+hashes AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN ci >= 4
+                       THEN bit * (CAST(1 AS BIGINT) << ((ci - 4) * 8 + cj))
+                       ELSE 0 END) AS BIGINT) AS phash_hi,
+         CAST(SUM(CASE WHEN ci < 4
+                       THEN bit * (CAST(1 AS BIGINT) << (ci * 8 + cj))
+                       ELSE 0 END) AS BIGINT) AS phash_lo
+  FROM bits GROUP BY media_id),
+fl AS (
+  SELECT h.media_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+         h.phash_hi, h.phash_lo
+  FROM hashes h JOIN dims d USING (media_id)),
+grp AS (SELECT phash_hi, phash_lo, MIN(media_id) AS dup_group,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM fl GROUP BY phash_hi, phash_lo)
+SELECT f.media_id, f.width, f.height, f.phash_hi, f.phash_lo,
+       g2.dup_group, g2.group_size
+FROM fl f JOIN grp g2 USING (phash_hi, phash_lo)
+"""
+
+
 MAXSCORE_QUERY = ["merge", "vector", "window", "stream", "batch"]
 MAXSCORE_K = 15
 
@@ -10103,6 +10174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_image_phash": q_image_phash,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -10290,6 +10362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_image_phash": SQL_IMAGE_PHASH,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

@@ -1,0 +1,41 @@
+"""Perceptual image hash over real decoded PNGs (operators/multimodal)."""
+
+from biothings_crawler_spark.operators.multimodal import (
+    decode_png_phash,
+    gen_png_media_seeded,
+    phash_dup_groups,
+)
+
+
+def _media(spark, rows):
+    return gen_png_media_seeded(
+        spark.createDataFrame(rows, "media_id long, seed long, bright long"))
+
+
+def test_same_seed_any_brightness_same_hash(spark):
+    out = {r.media_id: (r.phash_hi, r.phash_lo, r.width, r.height)
+           for r in decode_png_phash(
+               _media(spark, [(1, 9, 0), (2, 9, 25), (3, 9, 75)])).collect()}
+    assert out[1] == out[2] == out[3]
+
+
+def test_different_seeds_differ(spark):
+    out = {r.media_id: (r.phash_hi, r.phash_lo)
+           for r in decode_png_phash(
+               _media(spark, [(1, 3, 0), (2, 4, 0), (3, 5, 0)])).collect()}
+    assert len(set(out.values())) == 3
+
+
+def test_dup_groups(spark):
+    hashes = decode_png_phash(_media(spark, [
+        (10, 1, 0), (11, 1, 50), (20, 2, 0), (30, 7, 25),
+    ]))
+    got = {r.media_id: (r.dup_group, r.group_size)
+           for r in phash_dup_groups(hashes).collect()}
+    assert got[10] == (10, 2) and got[11] == (10, 2)
+    assert got[20] == (20, 1) and got[30] == (30, 1)
+
+
+def test_hash_halves_fit_in_32_bits(spark):
+    for r in decode_png_phash(_media(spark, [(1, 6, 0), (2, 13, 25)])).collect():
+        assert 0 <= r.phash_hi < 1 << 32 and 0 <= r.phash_lo < 1 << 32
