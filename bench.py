@@ -55,6 +55,7 @@ SUITE = [
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",
+    "q_audio_fingerprint",
     "q_pricing_summary",
     "q_top_revenue_orders",
     "q_region_revenue",

@@ -581,3 +581,121 @@ def phash_dup_groups(hashes: DataFrame) -> DataFrame:
         "media_id", "width", "height", "phash_hi", "phash_lo",
         "dup_group", "group_size",
     )
+
+
+def gen_wav_media_seeded(ids: DataFrame) -> DataFrame:
+    """WAV fixture generator for the audio fingerprint: expects
+    ``(media_id, seed, amp)`` and writes a real RIFF/PCM file whose
+    interleaved 16-bit sample ``j`` is ``(((seed*31 + j*7) % 2001)
+    - 1000) * amp`` with ``channels = 1 + seed%2``, ``frames = 800 +
+    (seed%5)*160`` — same-seed media are the same signal at different
+    gain, which the zero-crossing fingerprint must treat as identical
+    (positive gain never moves a sign change) while the energy-envelope
+    fingerprint must not."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as _wave
+
+        out_rows = {"media_id": [], "content": []}
+        for pdf in batches:
+            for mid, seed, amp in zip(pdf["media_id"], pdf["seed"],
+                                      pdf["amp"]):
+                seed, amp = int(seed), int(amp)
+                c = 1 + seed % 2
+                n = 800 + (seed % 5) * 160
+                idx = np.arange(n * c, dtype=np.int64)
+                samples = (((seed * 31 + idx * 7) % 2001) - 1000) * amp
+                buf = io.BytesIO()
+                w = _wave.open(buf, "wb")
+                try:
+                    w.setnchannels(c)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_RATE)
+                    w.writeframes(samples.astype("<i2").tobytes())
+                finally:
+                    w.close()
+                out_rows["media_id"].append(int(mid))
+                out_rows["content"].append(buf.getvalue())
+            yield pd.DataFrame(out_rows)
+            out_rows = {"media_id": [], "content": []}
+
+    return ids.mapInPandas(run, "media_id long, content binary")
+
+
+AUDIO_FP_SCHEMA = ("media_id long, n_samples long, n_blocks long, "
+                   "zc_fp string, env_fp string")
+AUDIO_FP_BLOCK = 240
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Blockwise acoustic fingerprint over REAL WAV decode: the
+    interleaved PCM stream is cut into 240-sample blocks; per block we
+    take (a) the strict zero-crossing count (``s[j]*s[j-1] < 0``) — a
+    GAIN-INVARIANT shape signature — and (b) the energy envelope
+    quantized to ``bit_length(sum_sq + 1)`` (floor-log2, exact integer)
+    — gain-VARIANT.  Each profile is fingerprinted as the md5 of its
+    comma-joined decimal sequence, the same canonical string the DuckDB
+    oracle builds from the closed-form sample formula, so both hashes
+    get an exact cross-engine check.
+
+    Same pure-map scale shape as the other decoders: no cross-row
+    state, Arrow batches, numpy inner loop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import io
+        import wave as _wave
+
+        B = AUDIO_FP_BLOCK
+        for pdf in batches:
+            cols = {k: [] for k in ("media_id", "n_samples", "n_blocks",
+                                    "zc_fp", "env_fp")}
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                w = _wave.open(io.BytesIO(bytes(b)), "rb")
+                try:
+                    if w.getsampwidth() != 2:
+                        raise NotImplementedError("16-bit PCM only")
+                    s = np.frombuffer(
+                        w.readframes(w.getnframes()), dtype="<i2"
+                    ).astype(np.int64)
+                finally:
+                    w.close()
+                m = len(s)
+                n_blocks = (m + B - 1) // B
+                blk = np.arange(m) // B
+                energy = np.zeros(n_blocks, dtype=np.int64)
+                np.add.at(energy, blk, s * s)
+                cross = np.zeros(n_blocks, dtype=np.int64)
+                if m > 1:
+                    x = (s[1:] * s[:-1] < 0).astype(np.int64)
+                    np.add.at(cross, blk[1:], x)
+                zc_str = ",".join(str(int(v)) for v in cross)
+                env_str = ",".join(
+                    str(int(v + 1).bit_length()) for v in energy)
+                cols["media_id"].append(int(mid))
+                cols["n_samples"].append(m)
+                cols["n_blocks"].append(n_blocks)
+                cols["zc_fp"].append(
+                    hashlib.md5(zc_str.encode()).hexdigest())
+                cols["env_fp"].append(
+                    hashlib.md5(env_str.encode()).hexdigest())
+            yield pd.DataFrame(cols)
+
+    return media.mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
+def audio_dup_groups(fps: DataFrame) -> DataFrame:
+    """Gain-invariant audio dedup: group on the zero-crossing
+    fingerprint (one hash aggregate, map-side partials), keeping the
+    energy fingerprint alongside so exact-copy groups (env_fp also
+    equal) are distinguishable from gain-shifted ones."""
+    agg = fps.groupBy("zc_fp").agg(
+        F.min("media_id").alias("dup_group"),
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct("env_fp").cast("long").alias("n_gain_variants"),
+    )
+    return fps.join(agg, "zc_fp").select(
+        "media_id", "n_samples", "n_blocks", "zc_fp", "env_fp",
+        "dup_group", "group_size", "n_gain_variants",
+    )

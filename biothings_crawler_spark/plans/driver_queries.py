@@ -9930,6 +9930,72 @@ FROM e
 """
 
 
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gain-invariant audio dedup over REAL WAV decode (operators/
+    multimodal.audio_fingerprint + audio_dup_groups): same-seed media
+    pairs differ only by 2x gain, so their zero-crossing fingerprints
+    must collide (one dup group of 2, n_gain_variants 2) while energy
+    envelopes differ.  The oracle rebuilds both canonical profile
+    strings from the closed-form sample formula — block zc via a lag
+    window, envelope via floor-log2 on exact block energies — and md5s
+    them identically."""
+    from biothings_crawler_spark.operators.multimodal import (
+        audio_dup_groups,
+        audio_fingerprint,
+        gen_wav_media_seeded,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("media_id"),
+        F.expr("doc_id div 20").alias("seed"),
+        F.expr("1 + (doc_id div 10) % 2").alias("amp"),
+    )
+    return audio_dup_groups(audio_fingerprint(gen_wav_media_seeded(ids)))
+
+
+SQL_AUDIO_FINGERPRINT = """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id // 20 AS seed,
+         1 + (doc_id // 10) % 2 AS amp
+  FROM documents WHERE doc_id % 10 = 7),
+dims AS (SELECT media_id, seed, amp, 1 + seed % 2 AS c,
+                800 + (seed % 5) * 160 AS n
+         FROM m),
+s AS (
+  SELECT media_id, CAST(r.j AS BIGINT) AS j,
+         (((seed * 31 + r.j * 7) % 2001) - 1000) * amp AS v
+  FROM dims, unnest(range(n * c)) AS r(j)),
+cr AS (
+  SELECT media_id, j, v,
+         CASE WHEN j > 0 AND v * lag(v) OVER
+                (PARTITION BY media_id ORDER BY j) < 0
+              THEN 1 ELSE 0 END AS x
+  FROM s),
+b AS (SELECT media_id, j // 240 AS blk,
+             CAST(SUM(x) AS BIGINT) AS zc, CAST(SUM(v * v) AS BIGINT) AS e
+      FROM cr GROUP BY media_id, j // 240),
+fp AS (
+  SELECT media_id,
+         md5(string_agg(CAST(zc AS VARCHAR), ',' ORDER BY blk)) AS zc_fp,
+         md5(string_agg(CAST(length(bin(e + 1)) AS VARCHAR),
+                        ',' ORDER BY blk)) AS env_fp,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks
+  FROM b GROUP BY media_id),
+base AS (
+  SELECT fp.media_id, CAST(d.n * d.c AS BIGINT) AS n_samples,
+         fp.n_blocks, fp.zc_fp, fp.env_fp
+  FROM fp JOIN dims d USING (media_id)),
+grp AS (SELECT zc_fp, MIN(media_id) AS dup_group,
+               CAST(COUNT(*) AS BIGINT) AS group_size,
+               CAST(COUNT(DISTINCT env_fp) AS BIGINT) AS n_gain_variants
+        FROM base GROUP BY zc_fp)
+SELECT b2.media_id, b2.n_samples, b2.n_blocks, b2.zc_fp, b2.env_fp,
+       g.dup_group, g.group_size, g.n_gain_variants
+FROM base b2 JOIN grp g USING (zc_fp)
+"""
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup over REAL decoded pixels (operators/
     multimodal.decode_png_phash + phash_dup_groups): worker-side PNG
@@ -10174,6 +10240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_audio_fingerprint": q_audio_fingerprint,
     "q_image_phash": q_image_phash,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
@@ -10362,6 +10429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_audio_fingerprint": SQL_AUDIO_FINGERPRINT,
     "q_image_phash": SQL_IMAGE_PHASH,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
