@@ -9930,6 +9930,60 @@ FROM e
 """
 
 
+COMPACTION_TARGET = 200_000
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators/maintenance.
+    compaction_plan): a synthetic manifest from orders (8 table
+    partitions, sizes 0..300k so ~1/3 exceed the 200k target and are
+    kept), packed by the deterministic big-first running-sum boundary
+    rule.  The oracle replays the same windows in SQL."""
+    from biothings_crawler_spark.operators.maintenance import compaction_plan
+
+    o = _t(spark, sf_dir, "orders")
+    manifest = o.select(
+        F.concat(F.lit("p"), (F.col("o_orderkey") % 8).cast("string"))
+        .alias("part"),
+        F.col("o_orderkey").alias("file_id"),
+        ((F.col("o_orderkey") * 9973) % 300_000 + 1024).alias("size_bytes"),
+    )
+    return compaction_plan(manifest, COMPACTION_TARGET)
+
+
+SQL_COMPACTION_PLAN = f"""
+WITH manifest AS (
+  SELECT 'p' || CAST(o_orderkey % 8 AS VARCHAR) AS part,
+         o_orderkey AS file_id,
+         (o_orderkey * 9973) % 300000 + 1024 AS size_bytes
+  FROM orders),
+small AS (
+  SELECT part, file_id, size_bytes,
+         SUM(size_bytes) OVER (PARTITION BY part
+                               ORDER BY size_bytes DESC, file_id) AS cum
+  FROM manifest WHERE size_bytes < {COMPACTION_TARGET}),
+grouped AS (
+  SELECT part, file_id, size_bytes,
+         (cum - size_bytes) // {COMPACTION_TARGET} AS group_no
+  FROM small),
+planned AS (
+  SELECT part, file_id, size_bytes, 'compact' AS action,
+         CAST(group_no AS BIGINT) AS group_no,
+         CAST(SUM(size_bytes) OVER (PARTITION BY part, group_no)
+              AS BIGINT) AS group_bytes,
+         CAST(COUNT(*) OVER (PARTITION BY part, group_no)
+              AS BIGINT) AS group_files
+  FROM grouped)
+SELECT * FROM planned
+UNION ALL
+SELECT part, file_id, size_bytes, 'keep' AS action,
+       CAST(NULL AS BIGINT) AS group_no,
+       CAST(size_bytes AS BIGINT) AS group_bytes,
+       CAST(1 AS BIGINT) AS group_files
+FROM manifest WHERE size_bytes >= {COMPACTION_TARGET}
+"""
+
+
 def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gain-invariant audio dedup over REAL WAV decode (operators/
     multimodal.audio_fingerprint + audio_dup_groups): same-seed media
@@ -10240,6 +10294,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_compaction_plan": q_compaction_plan,
     "q_audio_fingerprint": q_audio_fingerprint,
     "q_image_phash": q_image_phash,
     "q_maxscore_topk": q_maxscore_topk,
@@ -10429,6 +10484,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_compaction_plan": SQL_COMPACTION_PLAN,
     "q_audio_fingerprint": SQL_AUDIO_FINGERPRINT,
     "q_image_phash": SQL_IMAGE_PHASH,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
