@@ -9930,6 +9930,78 @@ FROM e
 """
 
 
+def q_microdata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema.org microdata extraction (operators/microdata.
+    microdata_extract — REAL stdlib HTMLParser, not regex): each doc
+    renders a Dataset item (attribute order and quoting vary by id,
+    ``&amp;`` must decode, a whitespace lane interleaves text nodes, an
+    itemprop outside any scope must be ignored) with @content/@href/
+    @src/text value sources and a nested Person item under ``creator``.
+    The oracle CONSTRUCTS the expected rows from the same closed form
+    the fixture uses — Spark must parse actual HTML to match."""
+    from biothings_crawler_spark.operators.microdata import microdata_extract
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    gap = F.when(F.col("doc_id") % 5 == 0, F.lit("\n  ")).otherwise(F.lit(""))
+    open_div = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.lit('<div itemscope itemtype="https://schema.org/Dataset">'),
+    ).otherwise(F.lit("<div itemtype='https://schema.org/Dataset' itemscope>"))
+    html = F.concat(
+        F.lit("<html><body>"), gap, open_div, gap,
+        F.lit('<h1 itemprop="name">DS '), i, F.lit(" &amp; co</h1>"), gap,
+        F.lit('<meta itemprop="identifier" content="id-'), i, F.lit('">'),
+        gap,
+        F.lit('<a itemprop="url" href="https://ex.org/d/'), i,
+        F.lit('">link '), i, F.lit("</a>"), gap,
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit('<span itemprop="keywords">k'),
+                        (F.col("doc_id") % 7).cast("string"),
+                        F.lit("</span>"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 1,
+               F.concat(F.lit('<img itemprop="image" src="/i/'), i,
+                        F.lit('.png">'))).otherwise(F.lit("")),
+        gap,
+        F.lit('<div itemprop="creator" itemscope '
+              'itemtype="https://schema.org/Person">'
+              '<span itemprop="name">Person '),
+        (F.col("doc_id") % 11).cast("string"),
+        F.lit("</span></div>"), gap,
+        F.lit('</div><p itemprop="orphan">zzz</p></body></html>'),
+    )
+    pages = d.select(F.col("doc_id").alias("id"), html.alias("html"))
+    return microdata_extract(pages)
+
+
+SQL_MICRODATA_EXTRACT = """
+WITH d AS (SELECT doc_id AS id FROM documents),
+ds AS (SELECT id, CAST(0 AS BIGINT) AS item_no,
+              'https://schema.org/Dataset' AS item_type,
+              CAST(NULL AS BIGINT) AS parent_item,
+              CAST(NULL AS VARCHAR) AS parent_prop
+       FROM d)
+SELECT id, item_no, item_type, parent_item, parent_prop,
+       'name' AS prop, 'DS ' || id || ' & co' AS value FROM ds
+UNION ALL
+SELECT id, item_no, item_type, parent_item, parent_prop,
+       'identifier', 'id-' || id FROM ds
+UNION ALL
+SELECT id, item_no, item_type, parent_item, parent_prop,
+       'url', 'https://ex.org/d/' || id FROM ds
+UNION ALL
+SELECT id, item_no, item_type, parent_item, parent_prop,
+       'keywords', 'k' || (id % 7) FROM ds WHERE id % 3 = 0
+UNION ALL
+SELECT id, item_no, item_type, parent_item, parent_prop,
+       'image', '/i/' || id || '.png' FROM ds WHERE id % 4 = 1
+UNION ALL
+SELECT id, CAST(1 AS BIGINT), 'https://schema.org/Person',
+       CAST(0 AS BIGINT), 'creator', 'name',
+       'Person ' || (id % 11) FROM d
+"""
+
+
 COMPACTION_TARGET = 200_000
 
 
@@ -10294,6 +10366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_microdata_extract": q_microdata_extract,
     "q_compaction_plan": q_compaction_plan,
     "q_audio_fingerprint": q_audio_fingerprint,
     "q_image_phash": q_image_phash,
@@ -10484,6 +10557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_microdata_extract": SQL_MICRODATA_EXTRACT,
     "q_compaction_plan": SQL_COMPACTION_PLAN,
     "q_audio_fingerprint": SQL_AUDIO_FINGERPRINT,
     "q_image_phash": SQL_IMAGE_PHASH,
