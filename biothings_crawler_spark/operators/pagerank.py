@@ -341,3 +341,61 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over the undirected host graph via
+    degree-ordered orientation (the MapReduce-era fix for "the curse of
+    the last reducer", Suri & Vassilvitskii, WWW 2011): orient every
+    canonical edge from the (degree, node)-smaller endpoint to the
+    larger, so each triangle survives as exactly ONE directed wedge
+    a->b, b->c closed by a->c, and — the scale point — the wedge join's
+    fan-out per node is bounded by its ORIENTED out-degree, which the
+    ordering caps near the graph's arboricity instead of the raw degree
+    (a 10^7-degree hub host contributes ~0 wedges instead of ~10^14).
+
+    Plan: canonicalize + distinct (one exchange), degree hash-agg, two
+    shuffle joins to attach endpoint degrees, the wedge self-join on
+    the middle node, and a semi-join back onto the oriented edge set to
+    close wedges.  Returns ``(node, triangles)`` for nodes in >= 1
+    triangle."""
+    e = edges.select(
+        F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    keyed = (
+        e.join(deg.withColumnRenamed("node", "a")
+               .withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b")
+              .withColumnRenamed("deg", "db"), "b")
+    )
+    a_first = (F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+               < F.struct(F.col("db").alias("d"), F.col("b").alias("n")))
+    o = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+
+    o1 = o.alias("o1")
+    o2 = o.alias("o2")
+    wedges = o1.join(o2, F.col("o1.v") == F.col("o2.u")).select(
+        F.col("o1.u").alias("x"), F.col("o1.v").alias("y"),
+        F.col("o2.v").alias("z"),
+    )
+    tri = wedges.join(
+        o.withColumnRenamed("u", "x").withColumnRenamed("v", "z"),
+        ["x", "z"],
+        "left_semi",
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )

@@ -9930,6 +9930,34 @@ FROM e
 """
 
 
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting with degree-ordered orientation (operators/
+    pagerank.triangle_counts) over the undirected hub graph — link-spam
+    clique detection's primitive.  Oracle = an independent brute-force
+    enumeration: all node triples joined three ways on the canonical
+    undirected edge list with a < b < c (no orientation logic shared
+    with the engine)."""
+    from biothings_crawler_spark.operators.pagerank import triangle_counts
+
+    return triangle_counts(_hub_edges(spark, sf_dir))
+
+
+SQL_HOST_TRIANGLES = f"""
+WITH {_SQL_HUBGRAPH},
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+      UNION ALL SELECT z FROM t)
+GROUP BY node
+"""
+
+
 def q_microdata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema.org microdata extraction (operators/microdata.
     microdata_extract — REAL stdlib HTMLParser, not regex): each doc
@@ -10366,6 +10394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_host_triangles": q_host_triangles,
     "q_microdata_extract": q_microdata_extract,
     "q_compaction_plan": q_compaction_plan,
     "q_audio_fingerprint": q_audio_fingerprint,
@@ -10557,6 +10586,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_host_triangles": SQL_HOST_TRIANGLES,
     "q_microdata_extract": SQL_MICRODATA_EXTRACT,
     "q_compaction_plan": SQL_COMPACTION_PLAN,
     "q_audio_fingerprint": SQL_AUDIO_FINGERPRINT,

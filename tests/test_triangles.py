@@ -1,0 +1,37 @@
+"""Triangle counting via degree-ordered orientation."""
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from biothings_crawler_spark.operators.pagerank import triangle_counts
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_k5_clique(spark):
+    got = {r.node: r.triangles for r in triangle_counts(
+        _edges(spark, list(combinations(range(5), 2)))).collect()}
+    assert got == {n: 6 for n in range(5)}  # C(4,2) per node
+
+
+def test_star_has_no_triangles(spark):
+    got = triangle_counts(_edges(spark, [(0, i) for i in range(1, 30)]))
+    assert got.count() == 0
+
+
+def test_duplicate_and_reversed_edges_collapse(spark):
+    tri = [(1, 2), (2, 3), (1, 3)]
+    noisy = tri + [(b, a) for a, b in tri] + tri
+    got = {r.node: r.triangles
+           for r in triangle_counts(_edges(spark, noisy)).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_clique_plus_pendant(spark):
+    pairs = list(combinations(range(4), 2)) + [(0, 99)]
+    got = {r.node: r.triangles
+           for r in triangle_counts(_edges(spark, pairs)).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # pendant node absent
