@@ -399,3 +399,48 @@ def triangle_counts(edges: DataFrame, src: str = "src",
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )
+
+
+def related_hosts(edges: DataFrame, src: str = "src", dst: str = "dst",
+                  k: int = 20) -> DataFrame:
+    """Link-prediction over the host graph: top-k non-adjacent node
+    pairs by the Resource-Allocation index (Zhou, Lu & Zhang, EPJ B
+    2009) — ``RA(x,y) = sum over common neighbors z of 1/deg(z)``,
+    computed as exact integer ppm (``1000000 // deg``) so ranking is
+    deterministic cross-engine.  RA is Adamic-Adar's integer-friendly
+    sibling and outperforms it on dense hubs (a 10^6-degree common
+    neighbor contributes ~nothing, which is also what kills the skew:
+    wedges through mega-hubs are exactly the ones whose score vanishes,
+    so at 100 TB the wedge join can PRE-FILTER z by a degree cap with a
+    provable score-loss bound instead of salting).
+
+    Plan: canonical undirected edges -> degree agg -> wedge self-join
+    on the common neighbor -> anti-join out already-linked pairs ->
+    hash-agg sum -> TakeOrderedAndProject."""
+    e = edges.select(
+        F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    und = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("a", "z")
+
+    w1 = und.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    w2 = und.select(F.col("a").alias("z"), F.col("b").alias("y"))
+    wedges = (
+        w1.join(w2, "z")
+        .filter(F.col("x") < F.col("y"))
+        .join(deg, "z")
+        .select("x", "y", F.expr("1000000 div deg").alias("ra_ppm"))
+    )
+    cand = wedges.join(
+        e.withColumnRenamed("a", "x").withColumnRenamed("b", "y"),
+        ["x", "y"],
+        "left_anti",
+    )
+    return (
+        cand.groupBy("x", "y")
+        .agg(F.sum("ra_ppm").cast("long").alias("ra_ppm"),
+             F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+        .orderBy(F.desc("ra_ppm"), "x", "y")
+        .limit(k)
+    )

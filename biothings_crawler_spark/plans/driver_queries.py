@@ -9930,6 +9930,39 @@ FROM e
 """
 
 
+RELATED_K = 25
+
+
+def q_related_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction (operators/pagerank.
+    related_hosts): top-25 non-adjacent hub-graph pairs by integer-ppm
+    RA score.  Oracle recomputes wedges, the adjacency anti-join, and
+    the 1000000//deg sum in plain SQL."""
+    from biothings_crawler_spark.operators.pagerank import related_hosts
+
+    return related_hosts(_hub_edges(spark, sf_dir), k=RELATED_K)
+
+
+SQL_RELATED_HOSTS = f"""
+WITH {_SQL_HUBGRAPH},
+ce AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e),
+und AS (SELECT a, b FROM ce UNION ALL SELECT b, a FROM ce),
+deg AS (SELECT a AS z, COUNT(*) AS d FROM und GROUP BY a),
+wedges AS (
+  SELECT w1.a AS x, w2.b AS y, 1000000 // deg.d AS ra_ppm
+  FROM und w1 JOIN und w2 ON w1.b = w2.a AND w1.a < w2.b
+  JOIN deg ON deg.z = w1.b),
+cand AS (
+  SELECT x, y, ra_ppm FROM wedges
+  WHERE NOT EXISTS (SELECT 1 FROM ce WHERE ce.a = wedges.x
+                    AND ce.b = wedges.y))
+SELECT x, y, CAST(SUM(ra_ppm) AS BIGINT) AS ra_ppm,
+       CAST(COUNT(*) AS BIGINT) AS common_neighbors
+FROM cand GROUP BY x, y
+ORDER BY ra_ppm DESC, x, y LIMIT {RELATED_K}
+"""
+
+
 def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting with degree-ordered orientation (operators/
     pagerank.triangle_counts) over the undirected hub graph — link-spam
@@ -10394,6 +10427,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_related_hosts": q_related_hosts,
     "q_host_triangles": q_host_triangles,
     "q_microdata_extract": q_microdata_extract,
     "q_compaction_plan": q_compaction_plan,
@@ -10586,6 +10620,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_related_hosts": SQL_RELATED_HOSTS,
     "q_host_triangles": SQL_HOST_TRIANGLES,
     "q_microdata_extract": SQL_MICRODATA_EXTRACT,
     "q_compaction_plan": SQL_COMPACTION_PLAN,

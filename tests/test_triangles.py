@@ -35,3 +35,22 @@ def test_clique_plus_pendant(spark):
     got = {r.node: r.triangles
            for r in triangle_counts(_edges(spark, pairs)).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # pendant node absent
+
+
+def test_related_hosts_path_graph(spark):
+    from biothings_crawler_spark.operators.pagerank import related_hosts
+
+    # path 1-2-3-4: non-adjacent pairs (1,3),(2,4) share one middle
+    # node of degree 2 -> 500000 ppm; (1,4) shares none.
+    got = {(r.x, r.y): (r.ra_ppm, r.common_neighbors)
+           for r in related_hosts(
+               _edges(spark, [(1, 2), (2, 3), (3, 4)]), k=10).collect()}
+    assert got == {(1, 3): (500000, 1), (2, 4): (500000, 1)}
+
+
+def test_related_hosts_excludes_adjacent(spark):
+    from biothings_crawler_spark.operators.pagerank import related_hosts
+
+    # triangle: every pair adjacent -> no candidates at all
+    got = related_hosts(_edges(spark, [(1, 2), (2, 3), (1, 3)]), k=10)
+    assert got.count() == 0
