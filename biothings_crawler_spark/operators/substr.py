@@ -77,6 +77,15 @@ def duplicated_spans(
     d = docs.select(
         F.col(id_col).alias("_sid"), F.col(text_col).alias("_st")
     ).filter(F.length("_st") >= L)
+    # The explode below fans each doc out ~len(text)-fold, so upstream
+    # partitioning is the parallelism of the whole window-hash stage.
+    # At warehouse scale the scan arrives in many splits and this is a
+    # no-op; a small single-file fixture corpus would otherwise run the
+    # fan-out on ONE core (and AQE then coalesces the modest shuffle to
+    # one reducer too — 26x observed slowdown at sf0.1).
+    par = d.sparkSession.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
 
     pos = d.select(
         "_sid",
@@ -92,15 +101,22 @@ def duplicated_spans(
         key = F.xxhash64(gram)
     occ = pos.select("_sid", "pos", key.alias("wkey"))
 
-    # One exchange: group windows corpus-wide, keep only duplicated
-    # groups, explode their occurrence lists back out.
-    marked = (
-        occ.groupBy("wkey")
-        .agg(F.collect_list(F.struct("_sid", "pos")).alias("occs"))
-        .filter(F.size("occs") >= 2)
-        .select(F.explode("occs").alias("o"))
-        .select(F.col("o._sid").alias("_sid"), F.col("o.pos").alias("pos"))
-    )
+    # Corpus-wide duplicate keys via a PLAIN count aggregate (Tungsten
+    # hash agg with map-side partials — a collect_list formulation
+    # would plan as ObjectHashAggregate, which silently falls back to
+    # SORT-BASED past 128 distinct keys per partition and turns the
+    # whole stage into a per-task sort of every window).  The dup-key
+    # set is then semi-joined back against a re-computed occ: the
+    # re-computation is one cheap codegen map stage, and the join side
+    # is tiny relative to the corpus (only keys with count >= 2), so
+    # AQE picks a broadcast semi-join at runtime — occ itself is never
+    # shuffled a second time; at scales where the dup set outgrows the
+    # broadcast threshold AQE degrades it to a co-partitioned SMJ,
+    # which is the correct plan there too.
+    dup = occ.groupBy("wkey").agg(
+        F.count(F.lit(1)).alias("_c")
+    ).filter(F.col("_c") >= 2).select("wkey")
+    marked = occ.join(dup, "wkey", "left_semi").select("_sid", "pos")
 
     w = Window.partitionBy("_sid").orderBy("pos")
     brk = marked.select(
