@@ -852,3 +852,78 @@ def incremental_neardup(
         pairs.select(F.col("new_id").alias("id")), "id", "left_anti"
     )
     return pairs, index.unionByName(survivors)
+
+
+def jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    t_ppm: int = 750_000,
+) -> DataFrame:
+    """EXACT set-similarity self-join: every pair with token-set
+    Jaccard >= t — prefix filtering (Chaudhuri et al. ICDE 2006; Xiao
+    et al. WWW 2008 "PPJoin") instead of LSH, so unlike the
+    minhash/simhash family there are NO false negatives by
+    construction.  Tokens get a global (frequency ASC, token) total
+    order; a set of size s indexes only its first ``s - ceil(t*s) + 1``
+    rarest tokens, and the prefix-filtering principle guarantees two
+    qualifying sets share an indexed token.  Candidates are verified
+    with an exact integer test ``inter * 1e6 >= t_ppm * union`` over
+    ``array_intersect`` of the full (distinct) token arrays.
+
+    Scale shape: the candidate join fans out per PREFIX-token posting
+    list — rare-first ordering makes those the shortest lists in the
+    corpus (the frequency skew that kills a naive shared-token join is
+    exactly what the ordering routes around); the verify step touches
+    only candidate pairs.  One agg for frequencies (broadcast-joined
+    back when the vocabulary is small, AQE decides), one agg to order
+    per-doc tokens, the prefix self-join, one verify join."""
+    t = int(t_ppm)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("ws0"),
+    ).select(
+        "id", F.array_compact(F.filter("ws0", lambda w: w != "")).alias("ws")
+    ).filter(F.size("ws") > 0)
+
+    tok = toks.select("id", F.explode("ws").alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    ordered = (
+        tok.join(freq, "w")
+        .groupBy("id")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("f", "w"))).alias("fw"))
+    )
+    p = (F.size("fw")
+         - F.floor((F.lit(t) * F.size("fw") + 999_999) / 1_000_000) + 1)
+    prefix = ordered.select(
+        "id", F.explode(F.slice("fw", 1, p)).alias("pw")
+    ).select("id", F.col("pw.w").alias("w"))
+
+    a = prefix.withColumnRenamed("id", "x")
+    b = prefix.withColumnRenamed("id", "y")
+    cand = (
+        a.join(b, "w")
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y")
+        .distinct()
+    )
+
+    sx = toks.select(F.col("id").alias("x"), F.col("ws").alias("wsx"),
+                     F.size("ws").alias("nx"))
+    sy = toks.select(F.col("id").alias("y"), F.col("ws").alias("wsy"),
+                     F.size("ws").alias("ny"))
+    verified = (
+        cand.join(sx, "x").join(sy, "y")
+        .withColumn("inter",
+                    F.size(F.array_intersect("wsx", "wsy")).cast("long"))
+        .withColumn("uni", (F.col("nx") + F.col("ny")
+                            - F.col("inter")).cast("long"))
+        .filter(F.col("inter") * 1_000_000 >= F.lit(t) * F.col("uni"))
+    )
+    return verified.select(
+        "x", "y", "inter", F.col("uni").alias("union_sz"),
+        F.expr("inter * 1000000 div uni").alias("jacc_ppm"),
+    )

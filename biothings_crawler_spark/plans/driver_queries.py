@@ -9930,6 +9930,56 @@ FROM e
 """
 
 
+JACC_T_PPM = 900_000
+
+
+def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join with prefix filtering
+    (operators/dedup.jaccard_join, PPJoin family) at t=0.9 over
+    documents plus planted one-token-appended twins.  The oracle is the
+    prefix-FREE formulation — every shared-token pair counted and
+    filtered exactly — so the gate proves the prefix filter loses no
+    qualifying pair (the PPJoin completeness lemma, checked on real
+    data, not trusted)."""
+    from biothings_crawler_spark.operators.dedup import jaccard_join
+
+    d = _t(spark, sf_dir, "documents")
+    twins = d.filter(F.col("doc_id") % 9 == 4).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzuniquetoken")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(twins)
+    return jaccard_join(corpus, "doc_id", "text", JACC_T_PPM)
+
+
+SQL_JACCARD_JOIN = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzuniquetoken'
+  FROM documents WHERE doc_id % 9 = 4),
+toks AS (
+  SELECT doc_id AS id,
+         list_distinct(list_filter(
+           string_split_regex(lower(text), '\\s+'),
+           x -> len(x) > 0)) AS ws
+  FROM corpus),
+tok AS (SELECT id, unnest(ws) AS w FROM toks),
+shared AS (
+  SELECT a.id AS x, b.id AS y, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM tok a JOIN tok b ON a.w = b.w AND a.id < b.id
+  GROUP BY a.id, b.id),
+sized AS (
+  SELECT s.x, s.y, s.inter,
+         CAST(len(tx.ws) + len(ty.ws) - s.inter AS BIGINT) AS union_sz
+  FROM shared s
+  JOIN toks tx ON tx.id = s.x JOIN toks ty ON ty.id = s.y)
+SELECT x, y, inter, union_sz,
+       inter * 1000000 // union_sz AS jacc_ppm
+FROM sized WHERE inter * 1000000 >= {JACC_T_PPM} * union_sz
+"""
+
+
 RELATED_K = 25
 
 
@@ -10427,6 +10477,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_jaccard_join": q_jaccard_join,
     "q_related_hosts": q_related_hosts,
     "q_host_triangles": q_host_triangles,
     "q_microdata_extract": q_microdata_extract,
@@ -10620,6 +10671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_jaccard_join": SQL_JACCARD_JOIN,
     "q_related_hosts": SQL_RELATED_HOSTS,
     "q_host_triangles": SQL_HOST_TRIANGLES,
     "q_microdata_extract": SQL_MICRODATA_EXTRACT,

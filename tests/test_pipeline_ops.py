@@ -1973,3 +1973,30 @@ def test_png_decode_spec_golden_and_filters(spark):
     expect = [sum((7 * 31 + y * 17 + x * 7 + ch * 3) % 256
                   for y in range(h) for x in range(w)) for ch in (0, 1, 2)]
     assert [r.sum_r, r.sum_g, r.sum_b] == expect
+
+
+def test_jaccard_join_exact_vs_bruteforce(spark):
+    from itertools import combinations
+
+    from biothings_crawler_spark.operators.dedup import jaccard_join
+
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        ws = [vocab[(i * 7 + j * 3) % 30] for j in range(8 + i % 5)]
+        rows.append((i, " ".join(ws)))
+    rows.append((100, rows[3][1] + " extra"))  # planted near-dup of doc 3
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r.x, r.y): (r.inter, r.union_sz)
+           for r in jaccard_join(d, "doc_id", "text", 800_000).collect()}
+
+    sets = {i: set(t.lower().split()) for i, t in rows}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if inter * 1_000_000 >= 800_000 * uni:
+            want[(a, b)] = (inter, uni)
+    assert got == want
+    assert (3, 100) in got  # the planted twin survived the prefix filter
