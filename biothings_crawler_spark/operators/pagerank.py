@@ -444,3 +444,42 @@ def related_hosts(edges: DataFrame, src: str = "src", dst: str = "dst",
         .orderBy(F.desc("ra_ppm"), "x", "y")
         .limit(k)
     )
+
+
+def k_core(edges: DataFrame, k: int, max_iters: int = 16) -> DataFrame:
+    """The maximal k-core of the undirected host graph (every surviving
+    node keeps >= k neighbors INSIDE the subgraph) by synchronous
+    iterative peeling — the Seidman-coreness primitive behind link-spam
+    cohesion analysis and TrustRank seed vetting.  Each round is one
+    degree hash-agg plus two semi-joins; rounds localCheckpoint so the
+    lineage stays flat (the CC/pagerank pattern), and the loop stops at
+    the fixpoint (a round that drops nobody), checked with one count()
+    per round.  Peeling rounds needed = the graph's degeneracy-ordering
+    depth, small for web host graphs (their cores are shallow); the
+    ``max_iters`` cap is a runaway guard, and hitting it raises rather
+    than returning a non-core silently."""
+    e = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    und = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select("a")
+        pruned = (
+            und.join(alive, "a", "left_semi")
+            .join(alive.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_before, n_after = und.count(), pruned.count()
+        und = pruned
+        if n_after == n_before:
+            return (
+                und.groupBy("a").agg(F.count(F.lit(1)).cast("long")
+                                     .alias("core_deg"))
+                .select(F.col("a").alias("node"), "core_deg")
+            )
+    raise RuntimeError(f"k_core did not converge in {max_iters} rounds")

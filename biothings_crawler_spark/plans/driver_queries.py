@@ -9930,6 +9930,60 @@ FROM e
 """
 
 
+KCORE_K = 4
+KCORE_ORACLE_ROUNDS = 12
+KCORE_CLIQUE = [11, 23, 37, 41, 53, 67]
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal 4-core of the hub graph with a planted K6 (operators/
+    pagerank.k_core, Seidman coreness): synchronous peeling to the
+    FIXPOINT — one degree agg + two semi-joins per round — strips the
+    tree-like hub mass in 8 rounds and must leave exactly the clique
+    (the link-farm shape coreness exists to find).  The oracle replays
+    12 peeling rounds as chained MATERIALIZED CTEs — more than the
+    fixture needs, and peeling past the fixpoint is a no-op, so both
+    terminate at the same core."""
+    from itertools import combinations
+
+    from biothings_crawler_spark.operators.pagerank import k_core
+
+    cliq = _hub_edges(spark, sf_dir).sparkSession.createDataFrame(
+        list(combinations(KCORE_CLIQUE, 2)), "src long, dst long")
+    return k_core(_hub_edges(spark, sf_dir).unionByName(cliq), KCORE_K)
+
+
+def _sql_kcore() -> str:
+    from itertools import combinations
+
+    cliq = " UNION ALL ".join(
+        f"SELECT {a} AS src, {b} AS dst"
+        for a, b in combinations(KCORE_CLIQUE, 2))
+    ctes = [
+        _SQL_HUBGRAPH,
+        f"e2 AS (SELECT src, dst FROM e UNION ALL {cliq})",
+        """
+ce AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM e2),
+u0 AS MATERIALIZED (SELECT a, b FROM ce UNION ALL SELECT b, a FROM ce)""",
+    ]
+    # each round references u{i} three times — without MATERIALIZED,
+    # DuckDB inlines CTEs and the scan tree grows 3^rounds
+    for i in range(KCORE_ORACLE_ROUNDS):
+        ctes.append(f"""
+a{i} AS MATERIALIZED (SELECT a FROM u{i} GROUP BY a
+                      HAVING COUNT(*) >= {KCORE_K}),
+u{i + 1} AS MATERIALIZED (SELECT u.a, u.b FROM u{i} u
+             JOIN a{i} x ON u.a = x.a JOIN a{i} y ON u.b = y.a)""")
+    last = f"u{KCORE_ORACLE_ROUNDS}"
+    return ("WITH " + ",".join(ctes)
+            + f"\nSELECT a AS node, CAST(COUNT(*) AS BIGINT) AS core_deg "
+              f"FROM {last} GROUP BY a")
+
+
+SQL_KCORE = _sql_kcore()
+
+
 JACC_T_PPM = 900_000
 
 
@@ -10477,6 +10531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_kcore": q_kcore,
     "q_jaccard_join": q_jaccard_join,
     "q_related_hosts": q_related_hosts,
     "q_host_triangles": q_host_triangles,
@@ -10671,6 +10726,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_kcore": SQL_KCORE,
     "q_jaccard_join": SQL_JACCARD_JOIN,
     "q_related_hosts": SQL_RELATED_HOSTS,
     "q_host_triangles": SQL_HOST_TRIANGLES,

@@ -54,3 +54,24 @@ def test_related_hosts_excludes_adjacent(spark):
     # triangle: every pair adjacent -> no candidates at all
     got = related_hosts(_edges(spark, [(1, 2), (2, 3), (1, 3)]), k=10)
     assert got.count() == 0
+
+
+def test_k_core_peels_to_clique(spark):
+    from itertools import combinations
+
+    from biothings_crawler_spark.operators.pagerank import k_core
+
+    # a K5 clique with pendant chains: chains peel away over rounds,
+    # clique survives with internal degree 4
+    pairs = list(combinations(range(5), 2))
+    pairs += [(0, 10), (10, 11), (11, 12), (1, 20), (20, 21)]
+    got = {r.node: r.core_deg for r in k_core(_edges(spark, pairs), 4).collect()}
+    assert got == {n: 4 for n in range(5)}
+
+
+def test_k_core_empty_when_no_core(spark):
+    from biothings_crawler_spark.operators.pagerank import k_core
+
+    # a path graph has no 2-core
+    got = k_core(_edges(spark, [(i, i + 1) for i in range(8)]), 2)
+    assert got.count() == 0
