@@ -161,3 +161,44 @@ def relevance_scores(
         (F.col("url_hits") * F.lit(int(w_url))
          + F.col("anchor_hits") * F.lit(int(w_anchor))).alias("score"),
     )
+
+
+def discovery_forecast(
+    counts: DataFrame, alpha_pct: int = 30
+) -> DataFrame:
+    """Per-host EWMA forecast of next-period URL discoveries — the
+    capacity-planning input for the next crawl round's budget split
+    (how many NEW URLs each host is likely to mint, smoothed against
+    burst noise).  Input ``(host, hour_no, n)`` observed-hour counts;
+    recurrence in exact centi-units, ``s_0 = 100*n_0`` and
+    ``s_t = (alpha * 100*n_t + (100-alpha) * s_{t-1}) div 100`` over
+    hours in order — integer floor division, so the fold is
+    deterministic and the DuckDB twin (a single-integer-accumulator
+    list_reduce, the one fold shape that engine evaluates soundly)
+    lands on the identical value.
+
+    Shape: one host-keyed hash agg collecting the bounded hourly
+    series, then a row-local fold — no window, no second exchange."""
+    a = int(alpha_pct)
+    per = counts.groupBy("host").agg(
+        F.array_sort(F.collect_list(F.struct("hour_no", "n"))).alias("hs")
+    )
+    arr = F.transform("hs", lambda s: s["n"].cast("long") * 100)
+    per = per.select(
+        "host", F.size("hs").cast("long").alias("n_hours"), arr.alias("a100")
+    )
+    folded = F.aggregate(
+        F.slice("a100", F.lit(2), F.greatest(F.size("a100") - 1, F.lit(1))),
+        F.element_at("a100", 1),
+        lambda acc, x: F.floor(
+            (F.lit(a) * x + F.lit(100 - a) * acc) / 100
+        ).cast("long"),
+    ).cast("long")
+    return per.select(
+        "host",
+        "n_hours",
+        F.when(F.size("a100") > 1, folded)
+        .otherwise(F.element_at("a100", 1))
+        .cast("long")
+        .alias("ewma_centi"),
+    ).withColumn("forecast", F.expr("ewma_centi div 100"))

@@ -192,3 +192,65 @@ def clamp_with_cache_policy(
         (F.coalesce(F.col("stale_at_us"), F.lit(0).cast("long"))
          > F.col("next_due_us")).alias("was_clamped"),
     )
+
+
+def retry_backoff(
+    fetches: DataFrame,
+    base_s: int = 60,
+    cap_s: int = 3600,
+    max_attempts: int = 5,
+) -> DataFrame:
+    """Exponential-backoff retry scheduling over the fetch log — the
+    failure-side complement of the Cho & Garcia-Molina refresh model
+    above: a URL's TRAILING failure streak (failures since its last
+    success, the whole history if it never succeeded) sets its next
+    attempt at ``last_ts + min(base * 2^(streak-1), cap)``, and streaks
+    past ``max_attempts`` leave the frontier entirely (``give_up``) so
+    dead URLs stop consuming politeness budget.
+
+    Input ``(url, ts_us, ok)``; output one row per url with
+    ``(n_fails, last_ts_us, action ok|retry|give_up, next_due_us)``.
+    Exact integers throughout (delay via shiftleft, no float pow).
+    Shape: two url-keyed hash aggregates (the streak needs last_ok
+    first) joined on their shared key — both sides arrive
+    hash-partitioned on url, so the join adds no third exchange; no
+    window."""
+    agg = fetches.groupBy("url").agg(
+        F.max("ts_us").alias("last_ts_us"),
+        F.max(F.when(F.col("ok"), F.col("ts_us"))).alias("last_ok_us"),
+    )
+    fails = (
+        fetches.join(
+            agg.select("url", "last_ok_us"), "url"
+        )
+        .filter(
+            F.col("last_ok_us").isNull()
+            | (F.col("ts_us") > F.col("last_ok_us"))
+        )
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_fails"))
+    )
+    out = agg.join(fails, "url", "left").select(
+        "url",
+        F.coalesce("n_fails", F.lit(0)).cast("long").alias("n_fails"),
+        F.col("last_ts_us").cast("long"),
+    )
+    # SQL shiftleft takes a column bit count; the Python F.shiftleft
+    # binding is int-only (the F.locate trap's sibling)
+    delay_s = F.expr(
+        f"least(shiftleft({int(base_s)}, cast(n_fails - 1 as int)),"
+        f" {int(cap_s)})"
+    )
+    return out.select(
+        "url",
+        "n_fails",
+        "last_ts_us",
+        F.when(F.col("n_fails") == 0, F.lit("ok"))
+        .when(F.col("n_fails") >= max_attempts, F.lit("give_up"))
+        .otherwise(F.lit("retry"))
+        .alias("action"),
+        F.when(
+            (F.col("n_fails") > 0) & (F.col("n_fails") < max_attempts),
+            F.col("last_ts_us") + delay_s * 1_000_000,
+        ).cast("long").alias("next_due_us"),
+    )

@@ -9930,6 +9930,104 @@ FROM e
 """
 
 
+def q_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-backoff retry scheduling (operators/recrawl.
+    retry_backoff): fetch log from events (error rows = failures),
+    trailing-failure streaks -> ok / retry-with-doubled-delay /
+    give_up.  Oracle recomputes streaks with the same two conditional
+    aggregates and the shifted delay in plain SQL."""
+    from biothings_crawler_spark.operators.recrawl import retry_backoff
+
+    e = _t(spark, sf_dir, "events")
+    fetches = e.select(
+        F.concat(F.lit("u"), (F.col("event_id") % 83).cast("string"))
+        .alias("url"),
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', ts)").alias("ts_us"),
+        (F.col("event_type") != "error").alias("ok"),
+    )
+    return retry_backoff(fetches, base_s=60, cap_s=3600, max_attempts=5)
+
+
+SQL_RETRY_BACKOFF = """
+WITH f AS (
+  SELECT 'u' || CAST(event_id % 83 AS VARCHAR) AS url,
+         epoch_us(ts) AS ts_us,
+         event_type <> 'error' AS ok
+  FROM events),
+agg AS (
+  SELECT url, MAX(ts_us) AS last_ts_us,
+         MAX(CASE WHEN ok THEN ts_us END) AS last_ok_us
+  FROM f GROUP BY url),
+fails AS (
+  SELECT f.url, CAST(COUNT(*) AS BIGINT) AS n_fails
+  FROM f JOIN agg USING (url)
+  WHERE agg.last_ok_us IS NULL OR f.ts_us > agg.last_ok_us
+  GROUP BY f.url),
+j AS (
+  SELECT a.url, COALESCE(x.n_fails, 0) AS n_fails,
+         CAST(a.last_ts_us AS BIGINT) AS last_ts_us
+  FROM agg a LEFT JOIN fails x USING (url))
+SELECT url, n_fails, last_ts_us,
+       CASE WHEN n_fails = 0 THEN 'ok'
+            WHEN n_fails >= 5 THEN 'give_up'
+            ELSE 'retry' END AS action,
+       CASE WHEN n_fails > 0 AND n_fails < 5
+            THEN last_ts_us + LEAST(60 << CAST(n_fails - 1 AS INTEGER),
+                                    3600) * 1000000 END AS next_due_us
+FROM j
+"""
+
+
+FORECAST_ALPHA = 30
+
+
+def q_discovery_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host EWMA discovery forecasting (operators/frontier.
+    discovery_forecast): hourly URL-mint counts from events, exact
+    centi-unit integer recurrence.  Oracle = a single-integer
+    list_reduce (the one DuckDB fold shape that is row-count-sound)
+    over the same ordered series."""
+    from biothings_crawler_spark.operators.frontier import discovery_forecast
+
+    e = _t(spark, sf_dir, "events")
+    counts = (
+        e.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"))
+            .alias("host"),
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+                   "00:00:00', ts) div 3600000000").alias("hour_no"),
+        )
+        .groupBy("host", "hour_no")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return discovery_forecast(counts, FORECAST_ALPHA)
+
+
+SQL_DISCOVERY_FORECAST = f"""
+WITH c AS (
+  SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+         epoch_us(ts) // 3600000000 AS hour_no,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+ser AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_hours,
+         list(n * 100 ORDER BY hour_no) AS a100
+  FROM c GROUP BY host),
+fold AS (
+  SELECT host, n_hours,
+         CAST(CASE WHEN len(a100) > 1
+              THEN list_reduce(a100, (acc, x) ->
+                   ({FORECAST_ALPHA} * x
+                    + {100 - FORECAST_ALPHA} * acc) // 100)
+              ELSE a100[1] END AS BIGINT) AS ewma_centi
+  FROM ser)
+SELECT host, n_hours, ewma_centi,
+       CAST(ewma_centi // 100 AS BIGINT) AS forecast
+FROM fold
+"""
+
+
 KCORE_K = 4
 KCORE_ORACLE_ROUNDS = 12
 KCORE_CLIQUE = [11, 23, 37, 41, 53, 67]
@@ -10531,6 +10629,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_retry_backoff": q_retry_backoff,
+    "q_discovery_forecast": q_discovery_forecast,
     "q_kcore": q_kcore,
     "q_jaccard_join": q_jaccard_join,
     "q_related_hosts": q_related_hosts,
@@ -10726,6 +10826,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_retry_backoff": SQL_RETRY_BACKOFF,
+    "q_discovery_forecast": SQL_DISCOVERY_FORECAST,
     "q_kcore": SQL_KCORE,
     "q_jaccard_join": SQL_JACCARD_JOIN,
     "q_related_hosts": SQL_RELATED_HOSTS,

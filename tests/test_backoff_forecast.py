@@ -1,0 +1,46 @@
+"""Retry backoff scheduling + EWMA discovery forecasting."""
+
+from biothings_crawler_spark.operators.frontier import discovery_forecast
+from biothings_crawler_spark.operators.recrawl import retry_backoff
+
+
+def test_retry_backoff_streaks(spark):
+    f = spark.createDataFrame(
+        [
+            ("a", 100, True),                     # healthy
+            ("b", 100, True), ("b", 200, False),  # 1 trailing fail
+            ("c", 100, False), ("c", 200, False), ("c", 300, False),  # 3
+            ("d", 100, False), ("d", 200, False), ("d", 300, False),
+            ("d", 400, False), ("d", 500, False),  # 5 -> give_up
+            ("e", 100, False), ("e", 200, True), ("e", 300, False),  # 1
+        ],
+        "url string, ts_us long, ok boolean",
+    )
+    out = {r.url: r for r in
+           retry_backoff(f, base_s=60, cap_s=3600, max_attempts=5).collect()}
+    assert out["a"].action == "ok" and out["a"].next_due_us is None
+    assert out["b"].action == "retry"
+    assert out["b"].next_due_us == 200 + 60 * 1_000_000  # base * 2^0
+    assert out["c"].action == "retry"
+    assert out["c"].next_due_us == 300 + 240 * 1_000_000  # base * 2^2
+    assert out["d"].action == "give_up" and out["d"].next_due_us is None
+    assert out["e"].n_fails == 1  # success resets the streak
+
+
+def test_retry_backoff_cap(spark):
+    f = spark.createDataFrame(
+        [("x", 100 + i, False) for i in range(4)],
+        "url string, ts_us long, ok boolean")
+    r = retry_backoff(f, base_s=600, cap_s=1800, max_attempts=9).collect()[0]
+    assert r.next_due_us == 103 + 1800 * 1_000_000  # 600*2^3=4800 capped
+
+
+def test_discovery_forecast_recurrence(spark):
+    c = spark.createDataFrame(
+        [("h", 0, 10), ("h", 1, 20), ("h", 2, 0), ("g", 5, 7)],
+        "host string, hour_no long, n long")
+    out = {r.host: r for r in discovery_forecast(c, 30).collect()}
+    # s0=1000, s1=(30*2000+70*1000)//100=1300, s2=(0+70*1300)//100=910
+    assert out["h"].ewma_centi == 910 and out["h"].forecast == 9
+    assert out["h"].n_hours == 3
+    assert out["g"].ewma_centi == 700 and out["g"].n_hours == 1
