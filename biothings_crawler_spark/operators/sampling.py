@@ -170,3 +170,41 @@ def select_token_budget(
         )
     )
     return out.drop("_before")
+
+
+def leakage_safe_splits(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "id",
+    train_rate: float = 0.98,
+    val_rate: float = 0.01,
+    seed: str = "split1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment that cannot leak
+    near-duplicates across splits: every doc is hashed by its dedup
+    CLUSTER representative (connected-component id from the near-dup
+    pair graph; singletons by their own id), so all members of a
+    near-dup cluster — the pairs that make eval contamination — land in
+    the SAME split by construction, not by a post-hoc check.  The split
+    decision is the mixture-sampling primitive (md5-u60 threshold,
+    cross-engine exact, zero shuffle once components are joined).
+
+    Returns ``(id, component, split)``."""
+    rep = (
+        docs.select(F.col(id_col).alias("id"))
+        .join(clusters.select("id", "component"), "id", "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+    )
+    u = hash_u60_col(F.col("component"), seed)
+    t_train = rate_threshold(train_rate)
+    t_val = rate_threshold(train_rate + val_rate)
+    return rep.select(
+        "id",
+        "component",
+        F.when(u < t_train, F.lit("train"))
+        .when(u < t_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -9930,6 +9930,44 @@ FROM e
 """
 
 
+def q_leakage_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test splits (operators/sampling.
+    leakage_safe_splits): docs hash into splits by their near-dup
+    CLUSTER representative (the q_neardup_clusters components), so
+    contamination pairs cannot straddle train/test.  Oracle = the
+    recursive-CTE transitive closure composed with the md5-u60
+    threshold arithmetic in one statement."""
+    from biothings_crawler_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from biothings_crawler_spark.operators.sampling import (
+        leakage_safe_splits,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", k=3, n_perm=16, bands=4,
+                              verify_threshold=0.5)
+    clusters = connected_components(
+        pairs, d.select(F.col("doc_id").alias("id")))
+    return leakage_safe_splits(
+        d.select(F.col("doc_id").alias("id")), clusters)
+
+
+SQL_LEAKAGE_SPLITS = f"""
+WITH comp AS ({SQL_NEARDUP_CLUSTERS})
+SELECT id, component,
+       CASE WHEN {_SQL_HASH60.format(
+           w="'split1:' || CAST(component AS VARCHAR)")}
+                 < 1129863074514710016 THEN 'train'
+            WHEN {_SQL_HASH60.format(
+           w="'split1:' || CAST(component AS VARCHAR)")}
+                 < 1141392289560778496 THEN 'val'
+            ELSE 'test' END AS split
+FROM comp
+"""
+
+
 def q_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential-backoff retry scheduling (operators/recrawl.
     retry_backoff): fetch log from events (error rows = failures),
@@ -10629,6 +10667,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_leakage_splits": q_leakage_splits,
     "q_retry_backoff": q_retry_backoff,
     "q_discovery_forecast": q_discovery_forecast,
     "q_kcore": q_kcore,
@@ -10826,6 +10865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_leakage_splits": SQL_LEAKAGE_SPLITS,
     "q_retry_backoff": SQL_RETRY_BACKOFF,
     "q_discovery_forecast": SQL_DISCOVERY_FORECAST,
     "q_kcore": SQL_KCORE,

@@ -44,3 +44,26 @@ def test_discovery_forecast_recurrence(spark):
     assert out["h"].ewma_centi == 910 and out["h"].forecast == 9
     assert out["h"].n_hours == 3
     assert out["g"].ewma_centi == 700 and out["g"].n_hours == 1
+
+
+def test_leakage_safe_splits_cluster_integrity(spark):
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.sampling import leakage_safe_splits
+
+    docs = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    # components: docs 0-9 in one cluster, 10-14 in another, rest singleton
+    clusters = spark.createDataFrame(
+        [(i, 0) for i in range(10)] + [(i, 10) for i in range(10, 15)]
+        + [(i, i) for i in range(15, 300)], "id long, component long")
+    out = leakage_safe_splits(docs, clusters)
+    # every cluster lands in exactly one split
+    per = out.groupBy("component").agg(
+        F.countDistinct("split").alias("k")).collect()
+    assert all(r.k == 1 for r in per)
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert "train" in splits and len(splits) >= 2
+    # deterministic across invocations
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, leakage_safe_splits(docs, clusters).collect()))
+    assert a == b
