@@ -258,6 +258,61 @@ def mega_pipeline_job(spark: SparkSession, pages) -> dict:
     return {"survivors": n_surv, "chunks": n_chunks, "topk": n_topk}
 
 
+def training_pipeline_job(spark: SparkSession, pages) -> dict:
+    """The composed crawl-output-to-TRAINING-CORPUS pipeline — the
+    session-7 tail on top of the mega front: html->text -> PII scrub
+    -> exact dedup -> near-dup components -> ExactSubstr duplicated-
+    span removal (Lee et al.) -> leakage-safe train/val/test splits
+    keyed by the near-dup components -> per-shard sequence packing of
+    the TRAIN split only.  One mid-pipeline materialization (the
+    deduped corpus), same discipline as mega_pipeline_job."""
+    from biothings_crawler_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from biothings_crawler_spark.operators.extract import html_to_text_col
+    from biothings_crawler_spark.operators.packing import pack_sequences
+    from biothings_crawler_spark.operators.pii import pii_scrub_col
+    from biothings_crawler_spark.operators.sampling import leakage_safe_splits
+    from biothings_crawler_spark.operators.substr import (
+        duplicated_spans,
+        strip_spans,
+    )
+    from biothings_crawler_spark.operators.text import token_count_col
+
+    txt = pages.select(
+        "id", html_to_text_col(F.col("html")).alias("raw_text"))
+    scrubbed = txt.select("id", pii_scrub_col(F.col("raw_text")).alias("text"))
+    d2 = scrubbed.join(
+        exact_dedup(scrubbed, "id", "text").select("id"), "id", "left_semi")
+
+    pairs = minhash_lsh_pairs(d2, "id", "text", n_perm=16, bands=4,
+                              verify_threshold=0.5)
+    comp = connected_components(pairs, d2.select("id"))
+    survivors = d2.join(
+        comp.filter(F.col("id") == F.col("component")).select("id"),
+        "id", "left_semi").persist()
+    n_surv = survivors.count()
+
+    spans = duplicated_spans(survivors, "id", "text", min_len=25)
+    cleaned = strip_spans(survivors, spans, "id", "text")
+
+    splits = leakage_safe_splits(survivors.select("id"), comp)
+    train = cleaned.join(
+        splits.filter(F.col("split") == "train").select("id"),
+        "id", "left_semi")
+    base = train.select(
+        "id",
+        token_count_col(F.col("text_clean")).alias("n_tok"),
+        (F.col("id") % 8).alias("shard"),
+    )
+    packed = pack_sequences(base, "id", "n_tok", 128, "shard")
+    n_packed = packed.count()
+    survivors.unpersist()
+    return {"survivors": n_surv, "packed": n_packed}
+
+
 def extract_input(spark: SparkSession, sf_dir: str):
     """ld+json pages synthesized from documents — materialized outside
     the timed window (see crawl_sched_input)."""
@@ -339,6 +394,15 @@ def main() -> None:
     timings["mega_pipeline"] = round(best, 3)
     counts["mega_pipeline_pages"] = n_mega_pages
     counts["mega_pipeline_survivors"] = mega_counts["survivors"]
+
+    # the training-corpus tail over the same pages (best-of-2)
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        tp_counts = training_pipeline_job(spark, mega_pages)
+        best = min(best or 1e9, time.time() - t0)
+    timings["training_pipeline"] = round(best, 3)
+    counts["training_pipeline_packed"] = tp_counts["packed"]
     mega_pages.unpersist()
 
     for name in SUITE:
