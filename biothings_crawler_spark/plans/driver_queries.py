@@ -9930,6 +9930,116 @@ FROM e
 """
 
 
+def q_crawl_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ops rollup via GROUPING SETS — (host, day), (host), (day),
+    () in ONE Expand pass over the fetch log (the OLAP surface a crawl
+    dashboard reads), with grouping_id distinguishing the levels and
+    DECIMAL-exact value sums.  Oracle = DuckDB GROUPING SETS with the
+    same grouping-id arithmetic."""
+    e = _t(spark, sf_dir, "events")
+    f = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"))
+        .alias("host"),
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', ts) div 86400000000").alias("day_no"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    return (
+        f.groupingSets(
+            [["host", "day_no"], ["host"], ["day_no"], []],
+            "host", "day_no")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.sum("v").cast("decimal(28,6)").cast("double").alias("sum_v"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+SQL_CRAWL_CUBE = """
+WITH f AS (
+  SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+         epoch_us(ts) // 86400000000 AS day_no,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events)
+SELECT host, day_no,
+       CAST(COUNT(*) AS BIGINT) AS n_fetches,
+       CAST(CAST(SUM(v) AS DECIMAL(28,6)) AS DOUBLE) AS sum_v,
+       CAST(GROUPING(host) * 2 + GROUPING(day_no) AS BIGINT) AS gid
+FROM f
+GROUP BY GROUPING SETS ((host, day_no), (host), (day_no), ())
+"""
+
+
+COLLOC_MIN_COUNT = 24
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining: bigram PMI in exact integer ppm —
+    ``pmi_ppm = c_xy * n_uni * 1e6 div (c_x * c_y)`` (the classic
+    pointwise-mutual-information ratio with the log dropped: log is
+    monotone, so the RANKING is identical and the arithmetic stays
+    cross-engine exact) over bigrams with count >= 24.  The phrase
+    table a tokenizer/boilerplate learner consumes.  Shape: one bigram
+    hash agg + one unigram hash agg + two broadcast-joined lookups."""
+    from biothings_crawler_spark.operators.text import words_col
+
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select(F.col("doc_id").alias("id"),
+                  words_col(F.col("text")).alias("ws"))
+    uni = (
+        ws.select(F.explode("ws").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("long").alias("n_uni"))
+    big = ws.select(
+        F.explode(
+            F.when(
+                F.size("ws") > 1,
+                F.zip_with(
+                    F.slice("ws", 1, F.size("ws") - 1),
+                    F.slice("ws", 2, F.size("ws") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array())
+        ).alias("bg")
+    ).groupBy("bg").agg(F.count(F.lit(1)).alias("c_xy")).filter(
+        F.col("c_xy") >= COLLOC_MIN_COUNT)
+    scored = (
+        big.withColumn("x", F.split("bg", " ")[0])
+        .withColumn("y", F.split("bg", " ")[1])
+        .join(uni.withColumnRenamed("w", "x")
+              .withColumnRenamed("c", "c_x"), "x")
+        .join(uni.withColumnRenamed("w", "y")
+              .withColumnRenamed("c", "c_y"), "y")
+        .crossJoin(F.broadcast(n_uni))
+    )
+    return scored.select(
+        "bg",
+        F.col("c_xy").cast("long"),
+        F.expr("c_xy * n_uni * 1000000 div (c_x * c_y)").alias("pmi_ppm"),
+    )
+
+
+SQL_COLLOCATIONS = f"""
+WITH ws AS (SELECT doc_id AS id, {_SQL_WORDS} AS w FROM documents),
+uni AS (SELECT u.x AS w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ws, unnest(w) AS u(x) GROUP BY u.x),
+nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+big AS (
+  SELECT w[CAST(r.i AS INT)] || ' ' || w[CAST(r.i + 1 AS INT)] AS bg,
+         CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM ws, unnest(range(1, len(w))) AS r(i)
+  GROUP BY 1 HAVING COUNT(*) >= {COLLOC_MIN_COUNT})
+SELECT bg, c_xy,
+       c_xy * nu.n_uni * 1000000 // (ux.c * uy.c) AS pmi_ppm
+FROM big
+JOIN uni ux ON ux.w = string_split(bg, ' ')[1]
+JOIN uni uy ON uy.w = string_split(bg, ' ')[2]
+CROSS JOIN nu
+"""
+
+
 def q_leakage_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test splits (operators/sampling.
     leakage_safe_splits): docs hash into splits by their near-dup
@@ -10667,6 +10777,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_crawl_cube": q_crawl_cube,
+    "q_collocations": q_collocations,
     "q_leakage_splits": q_leakage_splits,
     "q_retry_backoff": q_retry_backoff,
     "q_discovery_forecast": q_discovery_forecast,
@@ -10865,6 +10977,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_crawl_cube": SQL_CRAWL_CUBE,
+    "q_collocations": SQL_COLLOCATIONS,
     "q_leakage_splits": SQL_LEAKAGE_SPLITS,
     "q_retry_backoff": SQL_RETRY_BACKOFF,
     "q_discovery_forecast": SQL_DISCOVERY_FORECAST,
