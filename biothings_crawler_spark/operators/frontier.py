@@ -202,3 +202,46 @@ def discovery_forecast(
         .cast("long")
         .alias("ewma_centi"),
     ).withColumn("forecast", F.expr("ewma_centi div 100"))
+
+
+def greedy_seed_cover(cov: DataFrame, k: int) -> DataFrame:
+    """Budgeted crawl-seed selection as greedy MAXIMUM COVERAGE: given
+    a (seed, host) reach relation, pick k seeds one at a time, each
+    maximizing the count of hosts no earlier pick reaches (ties to the
+    smaller seed) — the classic (1 - 1/e)-approximation, the right
+    shape for "we can afford k seed lists, reach the most of the web".
+
+    Returns ``(round, seed, gain)`` for the picks, ``gain`` = newly
+    covered hosts; rounds stop early once everything reachable is
+    covered.  Each round is one anti-join + one hash agg + a 1-row
+    TakeOrderedAndProject that stays PLAN-SIDE (the winner flows into
+    the next round as a semi-join input, never a driver collect);
+    covered-set lineage is checkpoint-flattened per round, the same
+    iteration discipline as connected_components."""
+    cov = cov.select("seed", "host").distinct().localCheckpoint(eager=True)
+    covered = cov.select("host").limit(0).localCheckpoint(eager=True)
+    picks = []
+    for r in range(1, k + 1):
+        remaining = cov.join(covered, "host", "left_anti")
+        winner = (
+            remaining.groupBy("seed")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            .orderBy(F.desc("gain"), "seed")
+            .limit(1)
+            .select(F.lit(r).cast("long").alias("round"), "seed", "gain")
+            .localCheckpoint(eager=True)
+        )
+        if not winner.take(1):
+            break
+        picks.append(winner)
+        covered = covered.unionByName(
+            remaining.join(winner.select("seed"), "seed", "left_semi")
+            .select("host")
+        ).localCheckpoint(eager=True)
+    if not picks:
+        return cov.sparkSession.createDataFrame(
+            [], "round long, seed string, gain long")
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

@@ -9930,6 +9930,62 @@ FROM e
 """
 
 
+SEED_COVER_K = 8
+
+
+def q_seed_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted seed selection as greedy maximum coverage (operators/
+    frontier.greedy_seed_cover): 50 candidate seeds x 120 reachable
+    hosts, pick 8 — each round's winner maximizes NEWLY covered hosts
+    (ties to the smaller seed), plan-side argmax, no driver collect.
+    Oracle replays all 8 rounds as MATERIALIZED CTEs with QUALIFY
+    argmax."""
+    from biothings_crawler_spark.operators.frontier import greedy_seed_cover
+
+    d = _t(spark, sf_dir, "documents")
+    s = F.concat(F.lit("s"), (F.col("doc_id") % 50).cast("string"))
+    cov = d.select(
+        s.alias("seed"),
+        F.concat(F.lit("h"), F.expr("(doc_id div 3) % 120").cast("string"))
+        .alias("host"),
+    ).unionByName(d.select(
+        s.alias("seed"),
+        F.concat(F.lit("h"), F.expr("(doc_id div 7) % 120").cast("string"))
+        .alias("host"),
+    ))
+    return greedy_seed_cover(cov, SEED_COVER_K)
+
+
+def _sql_seed_cover() -> str:
+    ctes = ["""cov AS MATERIALIZED (
+  SELECT DISTINCT seed, host FROM (
+    SELECT 's' || CAST(doc_id % 50 AS VARCHAR) AS seed,
+           'h' || CAST((doc_id // 3) % 120 AS VARCHAR) AS host
+    FROM documents
+    UNION ALL
+    SELECT 's' || CAST(doc_id % 50 AS VARCHAR),
+           'h' || CAST((doc_id // 7) % 120 AS VARCHAR)
+    FROM documents)),
+c0 AS MATERIALIZED (SELECT host FROM cov WHERE 1 = 0)"""]
+    for r in range(1, SEED_COVER_K + 1):
+        ctes.append(f"""
+w{r} AS MATERIALIZED (
+  SELECT CAST({r} AS BIGINT) AS round, seed,
+         CAST(COUNT(*) AS BIGINT) AS gain
+  FROM cov WHERE host NOT IN (SELECT host FROM c{r - 1})
+  GROUP BY seed
+  QUALIFY row_number() OVER (ORDER BY COUNT(*) DESC, seed) = 1),
+c{r} AS MATERIALIZED (
+  SELECT host FROM c{r - 1}
+  UNION SELECT cov.host FROM cov JOIN w{r} USING (seed))""")
+    final = " UNION ALL ".join(
+        f"SELECT * FROM w{r}" for r in range(1, SEED_COVER_K + 1))
+    return "WITH " + ",".join(ctes) + "\n" + final
+
+
+SQL_SEED_COVER = _sql_seed_cover()
+
+
 def q_crawl_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-ops rollup via GROUPING SETS — (host, day), (host), (day),
     () in ONE Expand pass over the fetch log (the OLAP surface a crawl
@@ -10777,6 +10833,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_seed_cover": q_seed_cover,
     "q_crawl_cube": q_crawl_cube,
     "q_collocations": q_collocations,
     "q_leakage_splits": q_leakage_splits,
@@ -10977,6 +11034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_seed_cover": SQL_SEED_COVER,
     "q_crawl_cube": SQL_CRAWL_CUBE,
     "q_collocations": SQL_COLLOCATIONS,
     "q_leakage_splits": SQL_LEAKAGE_SPLITS,

@@ -67,3 +67,29 @@ def test_leakage_safe_splits_cluster_integrity(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, leakage_safe_splits(docs, clusters).collect()))
     assert a == b
+
+
+def test_greedy_seed_cover_hand_case(spark):
+    from biothings_crawler_spark.operators.frontier import greedy_seed_cover
+
+    cov = spark.createDataFrame(
+        [("a", h) for h in "12345"]        # a covers 5
+        + [("b", h) for h in "456789"]     # b covers 6
+        + [("c", h) for h in "120x"],      # c covers 1,2,0,x
+        "seed string, host string")
+    got = [(r.round, r.seed, r.gain)
+           for r in greedy_seed_cover(cov, 4).orderBy("round").collect()]
+    # b first (6 new), then c ({1,2,0,x} -> 4 new, beats a's 3), then a
+    # ({3} -> 1 new), then nothing remains: early stop before round 4
+    assert got == [(1, "b", 6), (2, "c", 4), (3, "a", 1)]
+
+
+def test_greedy_seed_cover_tie_breaks_to_smaller_seed(spark):
+    from biothings_crawler_spark.operators.frontier import greedy_seed_cover
+
+    cov = spark.createDataFrame(
+        [("z", "1"), ("z", "2"), ("m", "3"), ("m", "4")],
+        "seed string, host string")
+    got = [(r.round, r.seed) for r in
+           greedy_seed_cover(cov, 2).orderBy("round").collect()]
+    assert got == [(1, "m"), (2, "z")]
