@@ -220,3 +220,61 @@ def transform_hits(hits: DataFrame) -> DataFrame:
             F.regexp_extract(F.col("_index"), r"^indexed_([a-z0-9_]+)", 1),
         ).drop("_index")
     return out
+
+
+def url_identity(
+    pages, redirects, url_col: str = "url", html_col: str = "html"
+):
+    """Unified URL identity: one alias graph from the three signals a
+    crawler already extracts separately — ``<link rel="canonical">``
+    hints (operators/extract.canonical_map), redirect edges from the
+    fetch log, and exact body-hash mirrors — closed transitively with
+    connected components, so a tracking-parameter alias that redirects
+    to a print view whose canonical points at a mirrored page all
+    collapse to ONE identity.  The frontier, seen-set and index all key
+    on the representative; every alias fetched is budget recovered.
+
+    Returns ``(url, identity, group_size)`` with identity = the
+    smallest URL string reachable.  Shape: the canonical map is a
+    row-local projection; mirror edges are one body-hash agg + an
+    equi-join; the closure is the bounded CC loop (diameter of alias
+    chains, a handful)."""
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.dedup import connected_components
+    from biothings_crawler_spark.operators.extract import canonical_map
+
+    canon_e = (
+        canonical_map(pages, url_col, html_col)
+        .filter(~F.col("is_canonical"))
+        .select(F.col("url").alias("id_a"),
+                F.col("canonical_url").alias("id_b"))
+    )
+    redir_e = redirects.select(
+        F.col("src_url").alias("id_a"), F.col("dst_url").alias("id_b"))
+
+    hashed = pages.select(
+        F.col(url_col).alias("url"), F.md5(html_col).alias("bh"))
+    reps = hashed.groupBy("bh").agg(F.min("url").alias("rep"))
+    mirror_e = (
+        hashed.join(reps, "bh")
+        .filter(F.col("url") != F.col("rep"))
+        .select(F.col("url").alias("id_a"), F.col("rep").alias("id_b"))
+    )
+
+    edges = canon_e.unionByName(redir_e).unionByName(mirror_e)
+    nodes = (
+        pages.select(F.col(url_col).alias("id"))
+        .unionByName(redirects.select(F.col("src_url").alias("id")))
+        .unionByName(redirects.select(F.col("dst_url").alias("id")))
+        .unionByName(edges.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(edges, nodes)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"))
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("url"),
+        F.col("component").alias("identity"),
+        "group_size",
+    )

@@ -9930,6 +9930,90 @@ FROM e
 """
 
 
+def q_url_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified URL-identity graph (plans/analysis.url_identity):
+    canonical hints + redirect chains (incl. 2-hop) + body-hash
+    mirrors, transitively closed.  The Spark side EXTRACTS canonicals
+    from real HTML; the oracle constructs canonical edges from the
+    fixture's closed form but re-derives mirror edges honestly from
+    md5(html) grouping and closes everything with a recursive CTE."""
+    from biothings_crawler_spark.plans.analysis import url_identity
+
+    d = _t(spark, sf_dir, "documents")
+    u = F.concat(F.lit("https://site.org/p"), F.col("doc_id").cast("string"))
+    base_html = F.concat(F.lit("<html><body>"), F.col("text"),
+                         F.lit("</body></html>"))
+    base = d.select(u.alias("url"), base_html.alias("html"))
+    alias_pages = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(u, F.lit("?ref=x")).alias("url"),
+        F.concat(F.lit('<html><head><link rel="canonical" href="'), u,
+                 F.lit('"></head><body>'), F.col("text"),
+                 F.lit(" ref</body></html>")).alias("html"),
+    )
+    mirrors = d.filter(F.col("doc_id") % 7 == 2).select(
+        F.concat(F.lit("https://mirror.org/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        base_html.alias("html"),
+    )
+    pages = base.unionByName(alias_pages).unionByName(mirrors)
+    redirects = d.filter(F.col("doc_id") % 5 == 1).select(
+        F.concat(u, F.lit("/old")).alias("src_url"), u.alias("dst_url")
+    ).unionByName(d.filter(F.col("doc_id") % 15 == 1).select(
+        F.concat(u, F.lit("/older")).alias("src_url"),
+        F.concat(u, F.lit("/old")).alias("dst_url"),
+    ))
+    return url_identity(pages, redirects)
+
+
+SQL_URL_IDENTITY = """
+WITH RECURSIVE base AS (
+  SELECT 'https://site.org/p' || CAST(doc_id AS VARCHAR) AS u,
+         doc_id, text,
+         '<html><body>' || text || '</body></html>' AS bh_html
+  FROM documents),
+pages AS (
+  SELECT u AS url, bh_html AS html FROM base
+  UNION ALL
+  SELECT u || '?ref=x',
+         '<html><head><link rel="canonical" href="' || u
+           || '"></head><body>' || text || ' ref</body></html>'
+  FROM base WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'https://mirror.org/p' || CAST(doc_id AS VARCHAR), bh_html
+  FROM base WHERE doc_id % 7 = 2),
+redirects AS (
+  SELECT u || '/old' AS src_url, u AS dst_url FROM base WHERE doc_id % 5 = 1
+  UNION ALL
+  SELECT u || '/older', u || '/old' FROM base WHERE doc_id % 15 = 1),
+canon_e AS (
+  SELECT u || '?ref=x' AS a, u AS b FROM base WHERE doc_id % 3 = 0),
+reps AS (SELECT md5(html) AS bh, MIN(url) AS rep FROM pages GROUP BY 1),
+mirror_e AS (
+  SELECT p.url AS a, r.rep AS b
+  FROM pages p JOIN reps r ON md5(p.html) = r.bh
+  WHERE p.url <> r.rep),
+edges AS (
+  SELECT a, b FROM canon_e
+  UNION SELECT src_url, dst_url FROM redirects
+  UNION SELECT a, b FROM mirror_e),
+und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+nodes AS (
+  SELECT url AS n FROM pages
+  UNION SELECT src_url FROM redirects
+  UNION SELECT dst_url FROM redirects
+  UNION SELECT b FROM edges),
+reach(a, b) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.a, u2.b FROM reach r JOIN und u2 ON r.b = u2.a),
+comp AS (SELECT a AS url, MIN(b) AS identity FROM reach GROUP BY a),
+sizes AS (SELECT identity, CAST(COUNT(*) AS BIGINT) AS group_size
+          FROM comp GROUP BY identity)
+SELECT c.url, c.identity, s.group_size
+FROM comp c JOIN sizes s USING (identity)
+"""
+
+
 SEED_COVER_K = 8
 
 
@@ -10833,6 +10917,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_url_identity": q_url_identity,
     "q_seed_cover": q_seed_cover,
     "q_crawl_cube": q_crawl_cube,
     "q_collocations": q_collocations,
@@ -11034,6 +11119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_url_identity": SQL_URL_IDENTITY,
     "q_seed_cover": SQL_SEED_COVER,
     "q_crawl_cube": SQL_CRAWL_CUBE,
     "q_collocations": SQL_COLLOCATIONS,

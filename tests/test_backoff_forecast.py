@@ -93,3 +93,27 @@ def test_greedy_seed_cover_tie_breaks_to_smaller_seed(spark):
     got = [(r.round, r.seed) for r in
            greedy_seed_cover(cov, 2).orderBy("round").collect()]
     assert got == [(1, "m"), (2, "z")]
+
+
+def test_url_identity_transitive_collapse(spark):
+    from biothings_crawler_spark.plans.analysis import url_identity
+
+    pages = spark.createDataFrame([
+        ("https://s/base", "<html><body>B1</body></html>"),
+        ("https://s/base?utm=1",
+         '<html><head><link rel="canonical" href="https://s/base">'
+         "</head><body>B1 utm</body></html>"),
+        ("https://mirror/base", "<html><body>B1</body></html>"),  # mirror
+        ("https://s/other", "<html><body>B2</body></html>"),
+    ], "url string, html string")
+    redirects = spark.createDataFrame(
+        [("https://s/older", "https://s/old"),
+         ("https://s/old", "https://s/base")],
+        "src_url string, dst_url string")
+    got = {r.url: (r.identity, r.group_size)
+           for r in url_identity(pages, redirects).collect()}
+    fam = "https://mirror/base"  # smallest string in the family
+    assert got["https://s/base"] == (fam, 5)
+    assert got["https://s/base?utm=1"][0] == fam
+    assert got["https://s/older"][0] == fam  # 2-hop redirect chain
+    assert got["https://s/other"] == ("https://s/other", 1)
