@@ -357,3 +357,32 @@ def politeness_audit(
             "div count(gap_us) END"
         ).cast("long").alias("violation_ppm"),
     )
+
+
+def fetch_schedule(
+    arrivals: DataFrame, delay_us: int = 500_000
+) -> DataFrame:
+    """Predicted per-host fetch start times under a serial politeness
+    delay — the queueing simulation behind ETA dashboards and
+    completion forecasting: fetch ``i`` of a host starts at
+    ``max(arrival_i, start_{i-1} + delay)``.  That recurrence looks
+    sequential, but substituting forward gives the closed form
+    ``start_i = delay*i + max_{j<=i}(arrival_j - delay*j)`` — a plain
+    RUNNING MAX over a derived column, so one per-host window computes
+    the exact schedule with no fold state and no UDF (the same
+    prefix-transform trick that makes parallel-prefix queueing sims
+    work on GPUs).
+
+    Input ``(host, seq, arrival_us)`` with ``seq`` the 0-based fetch
+    index within the host queue; output adds exact ``start_us`` and
+    ``wait_us``."""
+    d = int(delay_us)
+    w = Window.partitionBy("host").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, 0)
+    base = F.col("arrival_us") - F.lit(d) * F.col("seq")
+    return arrivals.select(
+        "host", "seq", F.col("arrival_us").cast("long"),
+        (F.lit(d) * F.col("seq") + F.max(base).over(w))
+        .cast("long").alias("start_us"),
+    ).withColumn(
+        "wait_us", (F.col("start_us") - F.col("arrival_us")).cast("long"))

@@ -9930,6 +9930,49 @@ FROM e
 """
 
 
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host serial-politeness queue simulation (operators/
+    politeness.fetch_schedule): start_i = max(arrival_i, start_{i-1} +
+    delay) computed EXACTLY via the closed-form prefix transform
+    (delay*i + running max of arrival_j - delay*j — no fold state).
+    Oracle recomputes the same transform with a SQL window."""
+    from pyspark.sql import Window
+
+    from biothings_crawler_spark.operators.politeness import fetch_schedule
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("host").orderBy("arrival_us", "event_id")
+    arr = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"))
+        .alias("host"),
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', ts)").alias("arrival_us"),
+        "event_id",
+    ).withColumn("seq", F.row_number().over(w) - 1).drop("event_id")
+    return fetch_schedule(arr, delay_us=500_000)
+
+
+SQL_FETCH_SCHEDULE = """
+WITH a AS (
+  SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+         epoch_us(ts) AS arrival_us,
+         row_number() OVER (PARTITION BY 'h' || CAST(user_id % 40
+                            AS VARCHAR)
+                            ORDER BY epoch_us(ts), event_id) - 1 AS seq
+  FROM events)
+SELECT host, CAST(seq AS BIGINT) AS seq,
+       CAST(arrival_us AS BIGINT) AS arrival_us,
+       CAST(500000 * seq
+            + MAX(arrival_us - 500000 * seq)
+              OVER (PARTITION BY host ORDER BY seq) AS BIGINT) AS start_us,
+       CAST(500000 * seq
+            + MAX(arrival_us - 500000 * seq)
+              OVER (PARTITION BY host ORDER BY seq)
+            - arrival_us AS BIGINT) AS wait_us
+FROM a
+"""
+
+
 def q_url_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unified URL-identity graph (plans/analysis.url_identity):
     canonical hints + redirect chains (incl. 2-hop) + body-hash
@@ -10917,6 +10960,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
     "q_seed_cover": q_seed_cover,
     "q_crawl_cube": q_crawl_cube,
@@ -11119,6 +11163,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,
     "q_seed_cover": SQL_SEED_COVER,
     "q_crawl_cube": SQL_CRAWL_CUBE,

@@ -117,3 +117,20 @@ def test_url_identity_transitive_collapse(spark):
     assert got["https://s/base?utm=1"][0] == fam
     assert got["https://s/older"][0] == fam  # 2-hop redirect chain
     assert got["https://s/other"] == ("https://s/other", 1)
+
+
+def test_fetch_schedule_closed_form_equals_recurrence(spark):
+    from biothings_crawler_spark.operators.politeness import fetch_schedule
+
+    arr = [0, 100, 150, 1000, 1020]  # bursty then sparse, delay 200
+    df = spark.createDataFrame(
+        [("h", i, a) for i, a in enumerate(arr)],
+        "host string, seq long, arrival_us long")
+    got = {r.seq: (r.start_us, r.wait_us)
+           for r in fetch_schedule(df, delay_us=200).collect()}
+    # sequential reference: start_i = max(arr_i, start_{i-1} + 200)
+    start, want = -10**18, {}
+    for i, a in enumerate(arr):
+        start = max(a, start + 200)
+        want[i] = (start, start - a)
+    assert got == want
