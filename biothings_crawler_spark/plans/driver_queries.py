@@ -9930,6 +9930,48 @@ FROM e
 """
 
 
+def q_indegree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph in-degree distribution in log2 bins — the power-law
+    skew evidence that justifies the politeness plane's salting and
+    the triangle counter's orientation: (bin = floor-log2 of indegree
+    via bin()-length, n_hosts, share_ppm, cumulative hosts from the
+    hottest bin down).  Two hash aggs + one 1-row broadcast + a 64-row
+    window; the degree agg is the only corpus-sized exchange."""
+    e = _hub_edges(spark, sf_dir)
+    deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    bins = deg.select(
+        (F.length(F.bin(F.col("d"))) - 1).cast("long").alias("bin")
+    ).groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("n_hosts"))
+    tot = bins.agg(F.sum("n_hosts").cast("long").alias("t"))
+    from pyspark.sql import Window
+
+    w = (Window.orderBy(F.desc("bin"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "bin", "n_hosts",
+            F.expr("n_hosts * 1000000 div t").alias("share_ppm"),
+            F.sum("n_hosts").over(w).cast("long").alias("hosts_at_least"),
+        )
+    )
+
+
+SQL_INDEGREE_DIST = f"""
+WITH {_SQL_HUBGRAPH},
+deg AS (SELECT dst, COUNT(*) AS d FROM e GROUP BY dst),
+bins AS (SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bin,
+                CAST(COUNT(*) AS BIGINT) AS n_hosts
+         FROM deg GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_hosts) AS BIGINT) AS t FROM bins)
+SELECT bin, n_hosts,
+       n_hosts * 1000000 // t AS share_ppm,
+       CAST(SUM(n_hosts) OVER (ORDER BY bin DESC) AS BIGINT)
+         AS hosts_at_least
+FROM bins CROSS JOIN tot
+"""
+
+
 def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host serial-politeness queue simulation (operators/
     politeness.fetch_schedule): start_i = max(arrival_i, start_{i-1} +
@@ -10960,6 +11002,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
     "q_seed_cover": q_seed_cover,
@@ -11163,6 +11206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,
     "q_seed_cover": SQL_SEED_COVER,
