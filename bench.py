@@ -52,6 +52,7 @@ EXTRACT_REPLICAS = int(os.environ.get("SPARK_GRAFT_EXTRACT_REPLICAS", "16"))
 # operator-suite queries worth timing at sf0.1 (brute-force pair ops
 # excluded: they are oracle-scale verifiers, not the 10^10 path)
 SUITE = [
+    "q_kmeans",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

@@ -10993,6 +10993,86 @@ FROM u LEFT JOIN cleaned c USING (doc_id) LEFT JOIN nsp n USING (doc_id)
 """
 
 
+KMEANS_K = 10
+KMEANS_ROUNDS = 4
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over the 8-bit quantized embeddings (operators/
+    clustering.kmeans_lloyd): md5-sample init, 4 full Lloyd rounds
+    (broadcast-fold assignment, integer floor-mean update, empty-cell
+    carryover), exact BIGINT distances — the iterative algorithm
+    itself is oracle-verified round for round, not just one step.
+    k = 10 matches the fixture's label count; the labels are only
+    weakly separable by construction (nearest-true-centroid accuracy
+    ~0.37 on raw floats), so pytest asserts the algorithmic invariants
+    instead: monotone Lloyd objective, exact convergence on a planted
+    two-blob input, zero-shuffle assignment plan."""
+    from biothings_crawler_spark.operators.clustering import kmeans_lloyd
+    from biothings_crawler_spark.operators.quantize import quantize_embeddings
+
+    qt = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return kmeans_lloyd(qt, KMEANS_K, KMEANS_ROUNDS)
+
+
+def _sql_kmeans() -> str:
+    d2 = ("list_reduce(list_transform(range(64), "
+          "j -> (q.v[j+1] - c.cv[j+1]) * (q.v[j+1] - c.cv[j+1])), "
+          "(x, y) -> x + y)")
+    ctes = [f"""
+mm AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS vmin,
+         CAST(list_max(embedding) AS DOUBLE) AS vmax
+  FROM embeddings),
+qv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(CAST(CASE WHEN vmax - vmin > 0
+                     THEN floor((CAST(x AS DOUBLE) - vmin) * 255
+                                / (vmax - vmin) + 0.5)
+                     ELSE 0 END AS INT) AS BIGINT)) AS v
+  FROM mm),
+c0 AS MATERIALIZED (
+  SELECT vec_id AS cell, v AS cv FROM qv
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {KMEANS_K})"""]
+    # each round: assignment (argmin via QUALIFY), per-(cell,pos) sums,
+    # integer floor-mean reassembly, empty-cell carryover — MATERIALIZED
+    # so DuckDB cannot inline the round chain into an exponential scan
+    # tree (the q_kcore lesson).
+    for i in range(KMEANS_ROUNDS):
+        ctes.append(f"""
+a{i} AS MATERIALIZED (
+  SELECT q.vec_id, q.v, c.cell, {d2} AS d2
+  FROM qv q CROSS JOIN c{i} c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY d2, c.cell) = 1),
+g{i} AS MATERIALIZED (
+  SELECT cell, pos, CAST(SUM(val) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM a{i})
+  GROUP BY 1, 2),
+n{i} AS MATERIALIZED (
+  SELECT cell, list(m ORDER BY pos) AS cv
+  FROM (SELECT cell, pos,
+               CAST((s - ((s % cnt) + cnt) % cnt) // cnt AS BIGINT) AS m
+        FROM g{i})
+  GROUP BY cell),
+c{i + 1} AS MATERIALIZED (
+  SELECT cell, cv FROM n{i}
+  UNION ALL
+  SELECT cell, cv FROM c{i} WHERE cell NOT IN (SELECT cell FROM n{i}))""")
+    last = f"c{KMEANS_ROUNDS}"
+    return ("WITH " + ",".join(ctes) + f"""
+SELECT q.vec_id, c.cell, CAST({d2} AS BIGINT) AS dist2
+FROM qv q CROSS JOIN {last} c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY dist2, c.cell) = 1
+""")
+
+
+SQL_KMEANS = _sql_kmeans()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so queries whose operators changed since their last green
@@ -11002,6 +11082,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_kmeans": q_kmeans,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -11206,6 +11287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_kmeans": SQL_KMEANS,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,
