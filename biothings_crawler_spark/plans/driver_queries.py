@@ -10993,6 +10993,90 @@ FROM u LEFT JOIN cleaned c USING (doc_id) LEFT JOIN nsp n USING (doc_id)
 """
 
 
+def _soft404_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic host/page table from documents: 23 hosts; hosts with
+    id % 3 == 0 serve soft 404s (dead pages answer 200 with the host's
+    error template), the rest answer honest 404s on dead pages
+    (doc_id % 5 == 0). Live pages carry the document text."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    hid = did % 23
+    host = F.concat(F.lit("h"), hid.cast("string"))
+    dead = did % 5 == 0
+    soft_host = hid % 3 == 0
+    return d.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, F.lit("/p/"),
+                 did.cast("string")).alias("url"),
+        F.when(dead & ~soft_host, F.lit(404)).otherwise(F.lit(200))
+        .alias("status"),
+        F.when(dead & soft_host,
+               F.concat(F.lit("Not Found - template "), host))
+        .when(dead, F.lit("hard 404"))
+        .otherwise(F.col("text")).alias("text"),
+    )
+
+
+def _soft404_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One probe per host for a URL that cannot exist: soft-404 hosts
+    answer it 200 with their template (deliberately different case and
+    whitespace than the page copy — the signature normalizes both);
+    honest hosts answer 404."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 23)
+    k = F.col("doc_id")
+    host = F.concat(F.lit("h"), k.cast("string"))
+    return d.select(
+        host.alias("host"),
+        F.when(k % 3 == 0, F.lit(200)).otherwise(F.lit(404)).alias("status"),
+        F.concat(F.lit("  not   FOUND - Template "), host, F.lit(" "))
+        .alias("text"),
+    )
+
+
+def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (operators/soft404, Bar-Yossef et al. WWW
+    2004): per-host probe signatures -> broadcast join -> row-local
+    flag. The reference trusts raw status codes (its spiders index any
+    200 body); this is the plane that keeps host error templates out
+    of a 10^10-page corpus. Flags exactly the dead pages of the
+    template-serving hosts; honest hosts and live pages pass."""
+    from biothings_crawler_spark.operators.soft404 import detect_soft404
+
+    out = detect_soft404(
+        _soft404_pages(spark, sf_dir), _soft404_probes(spark, sf_dir)
+    )
+    return out.select("host", "url", "status", "is_soft404")
+
+
+_SQL_BODY_FP = "md5(trim(regexp_replace(lower({t}), '\\s+', ' ', 'g')))"
+
+SQL_SOFT404 = f"""
+WITH pages AS (
+  SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS host,
+         'https://h' || CAST(doc_id % 23 AS VARCHAR) || '/p/'
+             || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 5 = 0 AND (doc_id % 23) % 3 <> 0
+              THEN 404 ELSE 200 END AS status,
+         CASE WHEN doc_id % 5 = 0 AND (doc_id % 23) % 3 = 0
+              THEN 'Not Found - template h' || CAST(doc_id % 23 AS VARCHAR)
+              WHEN doc_id % 5 = 0 THEN 'hard 404'
+              ELSE text END AS text
+  FROM documents),
+probes AS (
+  SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+         CASE WHEN doc_id % 3 = 0 THEN 200 ELSE 404 END AS status,
+         '  not   FOUND - Template h' || CAST(doc_id AS VARCHAR) || ' ' AS text
+  FROM documents WHERE doc_id < 23),
+sig AS (
+  SELECT host, min({_SQL_BODY_FP.format(t='text')}) AS soft404_fp
+  FROM probes WHERE status = 200 GROUP BY host)
+SELECT p.host, p.url, p.status,
+       (p.status = 200 AND s.soft404_fp IS NOT NULL
+        AND {_SQL_BODY_FP.format(t='p.text')} = s.soft404_fp) AS is_soft404
+FROM pages p LEFT JOIN sig s USING (host)
+"""
+
+
 KMEANS_K = 10
 KMEANS_ROUNDS = 4
 
@@ -11083,6 +11167,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
     "q_kmeans": q_kmeans,
+    "q_soft404": q_soft404,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -11288,6 +11373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "q_kmeans": SQL_KMEANS,
+    "q_soft404": SQL_SOFT404,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,
