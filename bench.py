@@ -54,6 +54,7 @@ EXTRACT_REPLICAS = int(os.environ.get("SPARK_GRAFT_EXTRACT_REPLICAS", "16"))
 SUITE = [
     "q_kmeans",
     "q_soft404",
+    "q_ip_politeness",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

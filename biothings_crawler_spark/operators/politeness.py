@@ -138,6 +138,48 @@ def select_politely(
     )
 
 
+def select_politely_by_ip(
+    candidates: DataFrame,
+    host_ip: DataFrame,
+    budgets_by_ip: DataFrame,
+    default_budget: int,
+    salt_target: int = 100_000,
+    max_salt: int = 4096,
+) -> DataFrame:
+    """IP-group politeness: all virtual hosts behind one IP share ONE
+    budget (Heritrix's queue-assignment-policy=ip; a thousand vhosts on
+    one shared-hosting box must not multiply the per-host budget into a
+    thousandfold hammering of the box). The reference throttles per
+    hostname only (AutoThrottle, crawler/settings.py:82-89) and has no
+    IP notion — this is the web-scale correction.
+
+    ``host_ip`` is the resolver cache (host, ip) — bounded by the host
+    count (~10^7 at a 10^10 frontier), broadcastable; the corpus-side
+    candidates take one broadcast equi-join and then the SAME exact
+    two-phase salted selection, partitioned by ip instead of host. The
+    skew argument strengthens: IP groups are strictly coarser than
+    hosts, so the salting that bounds hot-host tasks is what makes the
+    hot-IP window safe too. Candidates whose host has no resolver row
+    fall back to their own host as the group (fail-open to per-host
+    politeness, never skipped)."""
+    cand = (
+        candidates.withColumnRenamed("host", "vhost")
+        .join(
+            F.broadcast(host_ip.select(F.col("host").alias("vhost"), "ip")),
+            "vhost",
+            "left",
+        )
+        .withColumn("host", F.coalesce(F.col("ip"), F.col("vhost")))
+        .drop("ip")
+    )
+    budgets = budgets_by_ip.select(F.col("ip").alias("host"), "budget")
+    sel = select_politely(cand, budgets, default_budget, salt_target, max_salt)
+    return (
+        sel.withColumnRenamed("host", "ip")
+        .withColumnRenamed("vhost", "host")
+    )
+
+
 def apply_aging(
     frontier: DataFrame,
     boost_per_round: int = 1,

@@ -11077,6 +11077,57 @@ FROM pages p LEFT JOIN sig s USING (host)
 """
 
 
+def q_ip_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP-group politeness (operators/politeness.select_politely_by_ip,
+    Heritrix queue-assignment-policy=ip): 200 vhosts resolve onto 31
+    shared IPs, and the per-IP budget is enforced by the same exact
+    two-phase salted selection as the per-host plane — the oracle is
+    the naive global per-IP window the salted plan must equal. Hosts
+    missing from the resolver cache fail open to per-host politeness
+    (exercised: hosts h190..h199 have no resolver row)."""
+    from biothings_crawler_spark.operators.politeness import (
+        select_politely_by_ip,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hid = F.col("user_id") % 200
+    cand = ev.select(
+        F.concat(F.lit("h"), hid.cast("string")).alias("host"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("url_canon"),
+        F.col("event_id").alias("url_hash"),
+        F.lit(0).alias("priority"),
+        F.col("event_id"),
+    )
+    host_ip = spark.range(190).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.concat(F.lit("ip"), (F.col("id") % 31).cast("string")).alias("ip"),
+    )
+    budgets = spark.createDataFrame([], "ip string, budget int")
+    sel = select_politely_by_ip(cand, host_ip, budgets, POLITENESS_BUDGET,
+                                salt_target=2000)
+    return sel.select(
+        "host", "ip", "event_id",
+        F.col("sched_rank").cast("long").alias("sched_rank"),
+    )
+
+
+SQL_IP_POLITENESS = f"""
+SELECT host, ip, event_id, CAST(rn AS BIGINT) AS sched_rank
+FROM (SELECT 'h' || CAST(user_id % 200 AS VARCHAR) AS host,
+             CASE WHEN user_id % 200 < 190
+                  THEN 'ip' || CAST((user_id % 200) % 31 AS VARCHAR)
+                  ELSE 'h' || CAST(user_id % 200 AS VARCHAR) END AS ip,
+             event_id,
+             row_number() OVER (
+               PARTITION BY CASE WHEN user_id % 200 < 190
+                    THEN 'ip' || CAST((user_id % 200) % 31 AS VARCHAR)
+                    ELSE 'h' || CAST(user_id % 200 AS VARCHAR) END
+               ORDER BY event_id) AS rn
+      FROM events)
+WHERE rn <= {POLITENESS_BUDGET}
+"""
+
+
 KMEANS_K = 10
 KMEANS_ROUNDS = 4
 
@@ -11168,6 +11219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
     "q_kmeans": q_kmeans,
     "q_soft404": q_soft404,
+    "q_ip_politeness": q_ip_politeness,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -11374,6 +11426,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "q_kmeans": SQL_KMEANS,
     "q_soft404": SQL_SOFT404,
+    "q_ip_politeness": SQL_IP_POLITENESS,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -218,3 +218,45 @@ def test_politeness_audit_gaps_and_defaults(spark):
     c = got["c"]
     assert (c["n_fetches"], c["n_gaps"], c["n_violations"]) == (1, 0, 0)
     assert c["min_gap_us"] is None and c["violation_ppm"] == 0
+
+
+def test_ip_politeness_shares_budget_across_vhosts(spark):
+    from biothings_crawler_spark.operators.politeness import (
+        select_politely_by_ip,
+    )
+
+    cands = _cands(spark, n=60, hosts=("a.org", "b.org", "c.org"))
+    host_ip = spark.createDataFrame(
+        [("a.org", "10.0.0.1"), ("b.org", "10.0.0.1")], "host string, ip string"
+    )
+    budgets = spark.createDataFrame([("10.0.0.1", 4)], "ip string, budget int")
+    got = select_politely_by_ip(cands, host_ip, budgets, default_budget=3,
+                                salt_target=10)
+    rows = got.collect()
+    by_ip = {}
+    for r in rows:
+        by_ip.setdefault(r["ip"], []).append(r)
+    # a.org + b.org TOGETHER get 4 slots, not 4 each
+    assert len(by_ip["10.0.0.1"]) == 4
+    assert {r["host"] for r in by_ip["10.0.0.1"]} <= {"a.org", "b.org"}
+    # c.org has no resolver row: fails open to per-host default budget,
+    # grouped under its own host name
+    assert len(by_ip["c.org"]) == 3
+    assert all(r["host"] == "c.org" for r in by_ip["c.org"])
+
+
+def test_ip_politeness_rank_is_global_within_ip(spark):
+    from biothings_crawler_spark.operators.politeness import (
+        select_politely_by_ip,
+    )
+
+    cands = _cands(spark, n=40, hosts=("a.org", "b.org"))
+    host_ip = spark.createDataFrame(
+        [("a.org", "ip1"), ("b.org", "ip1")], "host string, ip string"
+    )
+    budgets = spark.createDataFrame([], "ip string, budget int")
+    got = select_politely_by_ip(cands, host_ip, budgets, default_budget=6,
+                                salt_target=10).collect()
+    # sched_rank is 1..6 across the merged IP group — the ranks of the
+    # naive window over the union of both vhosts' candidates
+    assert sorted(r["sched_rank"] for r in got) == [1, 2, 3, 4, 5, 6]
