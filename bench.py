@@ -53,7 +53,7 @@ EXTRACT_REPLICAS = int(os.environ.get("SPARK_GRAFT_EXTRACT_REPLICAS", "16"))
 # excluded: they are oracle-scale verifiers, not the 10^10 path)
 SUITE = [
     "q_kmeans",
-    "q_soft404",
+    "q_soft404_probe",
     "q_ip_politeness",
     "q_substr_spans",
     "q_maxscore_topk",

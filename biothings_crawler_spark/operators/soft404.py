@@ -10,6 +10,12 @@ exist; if the host answers 200, its probe body fingerprint is the
 host's soft-404 signature, and any 200 page on that host whose body
 fingerprint equals the signature is a soft 404.
 
+Sibling: operators/traps.soft404_flags is the PASSIVE content-side
+variant (verbatim-repeat bodies carrying an error phrase) for hosts
+the crawler has not probed; this module is the paper's active-probe
+form, which needs no phrase list and catches templates in any
+language. Both feed the same frontier-admission audit.
+
 Scale shape (10^10 pages, ~10^7 hosts):
 
   * signatures = one tiny hash agg over the probe rows (<= 1 row per

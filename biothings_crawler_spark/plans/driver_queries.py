@@ -11033,8 +11033,8 @@ def _soft404_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Soft-404 detection (operators/soft404, Bar-Yossef et al. WWW
+def q_soft404_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROBE-side soft-404 detection (operators/soft404, Bar-Yossef et al. WWW
     2004): per-host probe signatures -> broadcast join -> row-local
     flag. The reference trusts raw status codes (its spiders index any
     200 body); this is the plane that keeps host error templates out
@@ -11050,7 +11050,7 @@ def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_BODY_FP = "md5(trim(regexp_replace(lower({t}), '\\s+', ' ', 'g')))"
 
-SQL_SOFT404 = f"""
+SQL_SOFT404_PROBE = f"""
 WITH pages AS (
   SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS host,
          'https://h' || CAST(doc_id % 23 AS VARCHAR) || '/p/'
@@ -11218,7 +11218,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
     "q_kmeans": q_kmeans,
-    "q_soft404": q_soft404,
+    "q_soft404_probe": q_soft404_probe,
     "q_ip_politeness": q_ip_politeness,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
@@ -11425,7 +11425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "q_kmeans": SQL_KMEANS,
-    "q_soft404": SQL_SOFT404,
+    "q_soft404_probe": SQL_SOFT404_PROBE,
     "q_ip_politeness": SQL_IP_POLITENESS,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
