@@ -55,6 +55,7 @@ SUITE = [
     "q_kmeans",
     "q_soft404_probe",
     "q_ip_politeness",
+    "q_opic",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

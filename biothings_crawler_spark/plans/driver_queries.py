@@ -11128,6 +11128,61 @@ WHERE rn <= {POLITENESS_BUDGET}
 """
 
 
+OPIC_ITERS = 4
+
+
+def q_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC on-line page importance (operators/pagerank.opic, Abiteboul
+    et al. WWW 2003) over the shared hub graph: 4 synchronous cash
+    rounds with virtual-root dangling redistribution (node 0 is
+    dangling by construction — both its self-edges drop — so the
+    uniform return path is exercised). Integer micro-units, exact."""
+    from biothings_crawler_spark.operators.pagerank import opic
+
+    return opic(_hub_edges(spark, sf_dir), iters=OPIC_ITERS)
+
+
+def _sql_opic() -> str:
+    from biothings_crawler_spark.operators.pagerank import PR_SCALE
+
+    ctes = [
+        _SQL_HUBGRAPH,
+        """
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)""",
+        f"""
+s0 AS MATERIALIZED (SELECT node, CAST({PR_SCALE} AS BIGINT) AS cash,
+                    CAST(0 AS BIGINT) AS hist FROM nodes)""",
+    ]
+    for i in range(OPIC_ITERS):
+        ctes.append(f"""
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM(s.cash // d.deg) AS BIGINT) AS in_sum
+  FROM e JOIN deg d USING (src) JOIN s{i} s ON s.node = e.src
+  GROUP BY e.dst),
+dg{i} AS (
+  SELECT CAST(COALESCE(SUM(cash), 0) AS BIGINT) AS dang
+  FROM s{i} WHERE node NOT IN (SELECT src FROM deg)),
+s{i + 1} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(COALESCE(c.in_sum, 0)
+              + (SELECT dang FROM dg{i}) // (SELECT n_nodes FROM nn)
+              AS BIGINT) AS cash,
+         CAST(s.hist + s.cash AS BIGINT) AS hist
+  FROM nodes n
+  LEFT JOIN c{i} c USING (node)
+  JOIN s{i} s USING (node))""")
+    last = f"s{OPIC_ITERS}"
+    return ("WITH " + ",".join(ctes) + f"""
+SELECT node, hist, cash, CAST(hist + cash AS BIGINT) AS importance
+FROM {last}""")
+
+
+SQL_OPIC = _sql_opic()
+
+
 KMEANS_K = 10
 KMEANS_ROUNDS = 4
 
@@ -11220,6 +11275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kmeans": q_kmeans,
     "q_soft404_probe": q_soft404_probe,
     "q_ip_politeness": q_ip_politeness,
+    "q_opic": q_opic,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -11427,6 +11483,7 @@ ORACLES: dict[str, str] = {
     "q_kmeans": SQL_KMEANS,
     "q_soft404_probe": SQL_SOFT404_PROBE,
     "q_ip_politeness": SQL_IP_POLITENESS,
+    "q_opic": SQL_OPIC,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

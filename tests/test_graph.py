@@ -56,3 +56,36 @@ def test_label_propagation_tie_prefers_min_label(spark):
     got = {r["node"]: r["label"] for r in
            label_propagation(e, iters=1).collect()}
     assert got[5] == 1
+
+
+def test_opic_cash_conserved_up_to_floor_leak(spark):
+    from biothings_crawler_spark.operators.pagerank import opic
+
+    # includes a sink (3) so the virtual-root return path runs
+    e = _edges(spark, [(0, 1), (0, 2), (1, 3), (2, 3)])
+    scale = 10**6
+    out = opic(e, iters=5, scale=scale).collect()
+    total_cash = sum(r["cash"] for r in out)
+    n, n_edges = 4, 4
+    assert total_cash <= n * scale
+    # each round leaks < 1 unit per edge share and < 1 per node on the
+    # uniform return
+    assert total_cash >= n * scale - 5 * (n_edges + n)
+
+
+def test_opic_star_hub_wins(spark):
+    from biothings_crawler_spark.operators.pagerank import opic
+
+    e = _edges(spark, [(i, 99) for i in range(1, 8)])
+    out = {r["node"]: r["importance"] for r in opic(e, iters=3).collect()}
+    assert out[99] == max(out.values())
+    assert out[99] > 2 * max(v for k, v in out.items() if k != 99)
+
+
+def test_opic_history_monotone_in_rounds(spark):
+    from biothings_crawler_spark.operators.pagerank import opic
+
+    e = _edges(spark, [(0, 1), (1, 0), (1, 2), (2, 0)])
+    h2 = {r["node"]: r["hist"] for r in opic(e, iters=2).collect()}
+    h4 = {r["node"]: r["hist"] for r in opic(e, iters=4).collect()}
+    assert all(h4[k] >= h2[k] for k in h2)
