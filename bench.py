@@ -56,6 +56,7 @@ SUITE = [
     "q_soft404_probe",
     "q_ip_politeness",
     "q_opic",
+    "q_lm_terciles",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

@@ -118,3 +118,81 @@ def lm_score(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def tercile_cutoffs(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str = "score_ppm",
+    bin_width: int = 1000,
+) -> DataFrame:
+    """Per-group head/middle boundaries — CCNet's per-language
+    perplexity terciles (Wenzek et al. §3.3) — computed from a BINNED
+    score histogram instead of a per-language global sort.
+
+    Exact rule: bin = score div bin_width; cum(b) = #docs in the group
+    with bin >= b; head starts at the largest bin whose cum reaches
+    max(n div 3, 1) docs, middle at max(2n div 3, 1). The boundary is
+    bin-granular (documents inside one bin never split — CCNet's
+    sampled cutoffs have the same property), and all-integer, so the
+    DuckDB twin reproduces it exactly.
+
+    Scale shape: ONE (group, bin) hash agg over the corpus, then a
+    window whose partitions hold at most 10^6/bin_width + 1 histogram
+    rows per group — bounded by construction, NOT by corpus size (the
+    naive ntile() per language sorts the whole language; at 100 TB
+    that sort is the job). Output is one row per group: broadcast it
+    back (:func:`bucket_by_terciles`)."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    hist = (
+        scored.groupBy(g.alias("grp"),
+                       F.expr(f"{score_col} div {bin_width}").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("grp").orderBy(F.desc("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.groupBy("grp").agg(F.sum("cnt").cast("long").alias("n"))
+    j = cum.join(tot, "grp")
+    head_t = F.greatest(F.expr("n div 3"), F.lit(1))
+    mid_t = F.greatest(F.expr("(2 * n) div 3"), F.lit(1))
+    return (
+        j.groupBy("grp", "n")
+        .agg(
+            F.max(F.when(F.col("cum") >= head_t, F.col("bin")))
+            .alias("head_bin"),
+            F.max(F.when(F.col("cum") >= mid_t, F.col("bin")))
+            .alias("mid_bin"),
+        )
+        .select(F.col("grp").alias(group_col), "n", "head_bin", "mid_bin")
+    )
+
+
+def bucket_by_terciles(
+    scored: DataFrame,
+    cutoffs: DataFrame,
+    group_col: str,
+    score_col: str = "score_ppm",
+    bin_width: int = 1000,
+) -> DataFrame:
+    """scored + ``bucket`` from per-group tercile boundaries: one
+    broadcast equi-join on the group key (cutoffs are one row per
+    group) + a row-local CASE — the corpus never shuffles."""
+    cut = cutoffs.select(group_col, "head_bin", "mid_bin")
+    b = F.expr(f"{score_col} div {bin_width}")
+    return (
+        scored.join(F.broadcast(cut), group_col, "left")
+        .withColumn(
+            "bucket",
+            F.when(F.col("head_bin").isNotNull() & (b >= F.col("head_bin")),
+                   F.lit("head"))
+            .when(F.col("mid_bin").isNotNull() & (b >= F.col("mid_bin")),
+                  F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("head_bin", "mid_bin")
+    )

@@ -11128,6 +11128,65 @@ WHERE rn <= {POLITENESS_BUDGET}
 """
 
 
+def q_lm_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language LM tercile bucketing (operators/lm.tercile_cutoffs
+    + bucket_by_terciles) — CCNet's actual bucketing rule (per-language
+    perplexity terciles, Wenzek et al. §3.3) replacing q_lm_score's
+    fixed thresholds: cutoffs come from a bounded (lang, bin) histogram
+    window (<= 1001 rows per language), never a per-language sort of
+    the corpus, then return by broadcast join. Same planted-casualty
+    scoring fixture as q_lm_score."""
+    from biothings_crawler_spark.operators.lm import (
+        bucket_by_terciles,
+        lm_score,
+        tercile_cutoffs,
+        train_bigram_lm,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    mutated = d.selectExpr("doc_id", _LM_TEXT + " AS text")
+    train = mutated.filter(_LM_TRAIN.replace("id", "doc_id"))
+    model = train_bigram_lm(train, "doc_id", "text", min_count=2)
+    scored = lm_score(mutated, model, "doc_id", "text").drop("bucket")
+    scored = scored.join(
+        d.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    cuts = tercile_cutoffs(scored, "lang")
+    return bucket_by_terciles(scored, cuts, "lang").select(
+        "id", "lang", "score_ppm", "bucket"
+    )
+
+
+# reuse q_lm_score's entire scoring chain verbatim (everything up to its
+# final fixed-threshold SELECT), then bucket by per-language terciles
+_SQL_LM_CHAIN = SQL_LM_SCORE.rsplit("\nSELECT id, n_bigrams", 1)[0]
+
+SQL_LM_TERCILES = _SQL_LM_CHAIN + """,
+sb AS (
+  SELECT f.id, d.lang, f.score_ppm, f.score_ppm // 1000 AS bin
+  FROM f JOIN (SELECT doc_id AS id, lang FROM documents) d USING (id)),
+hist AS (SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM sb GROUP BY 1, 2),
+cum AS (SELECT lang, bin,
+               CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bin DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM hist),
+tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+cut AS (SELECT lang,
+               MAX(CASE WHEN cum >= greatest(n // 3, 1) THEN bin END)
+                 AS head_bin,
+               MAX(CASE WHEN cum >= greatest((2 * n) // 3, 1) THEN bin END)
+                 AS mid_bin
+        FROM cum JOIN tot USING (lang) GROUP BY lang)
+SELECT sb.id, sb.lang, sb.score_ppm,
+       CASE WHEN sb.bin >= cut.head_bin THEN 'head'
+            WHEN sb.bin >= cut.mid_bin THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sb JOIN cut USING (lang)
+"""
+
+
 OPIC_ITERS = 4
 
 
@@ -11276,6 +11335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_soft404_probe": q_soft404_probe,
     "q_ip_politeness": q_ip_politeness,
     "q_opic": q_opic,
+    "q_lm_terciles": q_lm_terciles,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -11484,6 +11544,7 @@ ORACLES: dict[str, str] = {
     "q_soft404_probe": SQL_SOFT404_PROBE,
     "q_ip_politeness": SQL_IP_POLITENESS,
     "q_opic": SQL_OPIC,
+    "q_lm_terciles": SQL_LM_TERCILES,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

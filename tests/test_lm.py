@@ -62,3 +62,60 @@ def test_plan_no_window_no_python(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan and "BatchEvalPython" not in plan
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "id long, lang string, score_ppm long")
+
+
+def test_terciles_exact_thirds(spark):
+    from biothings_crawler_spark.operators.lm import (
+        bucket_by_terciles,
+        tercile_cutoffs,
+    )
+
+    rows = [(i, "en", i * 1000) for i in range(9)]
+    sc = _scored(spark, rows)
+    out = bucket_by_terciles(sc, tercile_cutoffs(sc, "lang"), "lang")
+    got = {r["id"]: r["bucket"] for r in out.collect()}
+    assert [got[i] for i in range(9)] == (
+        ["tail"] * 3 + ["middle"] * 3 + ["head"] * 3
+    )
+
+
+def test_terciles_one_bin_never_splits(spark):
+    from biothings_crawler_spark.operators.lm import (
+        bucket_by_terciles,
+        tercile_cutoffs,
+    )
+
+    sc = _scored(spark, [(i, "en", 42_000) for i in range(10)])
+    out = bucket_by_terciles(sc, tercile_cutoffs(sc, "lang"), "lang")
+    assert {r["bucket"] for r in out.collect()} == {"head"}
+
+
+def test_terciles_per_group_independent(spark):
+    from biothings_crawler_spark.operators.lm import (
+        bucket_by_terciles,
+        tercile_cutoffs,
+    )
+
+    rows = [(i, "en", i * 1000) for i in range(9)] + [
+        (100 + i, "de", 500_000 + i * 1000) for i in range(9)
+    ]
+    sc = _scored(spark, rows)
+    out = bucket_by_terciles(sc, tercile_cutoffs(sc, "lang"), "lang")
+    got = {r["id"]: r["bucket"] for r in out.collect()}
+    # de's scores all dwarf en's, but each language gets its own thirds
+    assert got[8] == "head" and got[100] == "tail" and got[108] == "head"
+
+
+def test_terciles_singleton_group_is_head(spark):
+    from biothings_crawler_spark.operators.lm import (
+        bucket_by_terciles,
+        tercile_cutoffs,
+    )
+
+    sc = _scored(spark, [(1, "fr", 7)])
+    out = bucket_by_terciles(sc, tercile_cutoffs(sc, "lang"), "lang")
+    assert out.collect()[0]["bucket"] == "head"
