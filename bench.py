@@ -57,6 +57,7 @@ SUITE = [
     "q_ip_politeness",
     "q_opic",
     "q_lm_terciles",
+    "q_hyperball",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

@@ -272,3 +272,113 @@ def merge_latency_histograms(*hists: DataFrame) -> DataFrame:
     return out.groupBy("host", "bin").agg(
         F.sum("n").cast("long").alias("n")
     )
+
+
+def with_hll_estimate(df: DataFrame, regs_col: str, out_col: str = "est") -> DataFrame:
+    """df + ``out_col``: the integer-HLL estimate of a REGISTER-ARRAY
+    column (array<int>, length HLL_M, 0 = empty register) — the same
+    arithmetic as :func:`hll_distinct` (exact power-of-two Z fold, raw
+    vs linear-counting regime split via the shared LUT), row-local, so
+    it composes with per-node sketches (:func:`hyperball`)."""
+    z = F.expr(
+        f"aggregate({regs_col}, cast(0 as bigint), "
+        f"(a, r) -> a + shiftleft(cast(1 as bigint), {RHO_CAP} - r))"
+    )
+    v = F.expr(
+        f"cast(size(filter({regs_col}, r -> r = 0)) as bigint)"
+    )
+    raw = F.expr(
+        f"cast({ALPHA_PPM} * ({HLL_M * HLL_M} * cast({2 ** RHO_CAP} as bigint)"
+        f" div _z) div 1000000 as bigint)"
+    )
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in LC_LUT]), F.col("_v").cast("int")
+    ).cast("long")
+    return (
+        df.withColumn("_z", z)
+        .withColumn("_v", v)
+        .withColumn(
+            out_col,
+            F.when((raw <= LC_CUTOFF) & (F.col("_v") > 0), lc).otherwise(raw),
+        )
+        .drop("_z", "_v")
+    )
+
+
+def hyperball(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, "In-core computation of fundamental
+    centralities with HyperBall", WWW 2013 workshop lineage; the
+    HyperANF neighborhood function): per node, an integer-HLL register
+    array sketching ball(v, t) = {w : dist(v, w) <= t}; each round
+    ball(v, t+1) = ball(v, t) ∪ ⋃_{v→w} ball(w, t), and an HLL union
+    is the element-wise MAX of register arrays. Output one row per
+    (node, t) with the estimated ball cardinality — the neighborhood
+    function that yields effective-diameter / centrality reports a
+    crawl planner reads (how many pages are within t hops of the
+    seeds; when the frontier will exhaust a site family).
+
+    Exactly reproducible cross-engine: registers derive from md5 and
+    the estimate is the integer arithmetic of hll_distinct — so the
+    APPROXIMATION ITSELF is oracle-verifiable, not just sanity-bounded.
+
+    Scale shape (the reason HyperBall exists): exact per-node
+    reachability is quadratic state, this is HLL_M ints per node.
+    Per round: one edges⋈state hash join + one (node, pos) max-agg
+    over the posexploded registers (map-side partials; HLL_M x rows,
+    a constant factor) + a bounded per-node reassembly agg —
+    Pregel-lite with sketch state, lineage checkpointed per round.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bucket, rho = hll_register_cols(F.col("node"))
+    state = nodes.select(
+        "node",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(HLL_M - 1)),
+            lambda j: F.when(j == bucket, rho).otherwise(F.lit(0)).cast("int"),
+        ).alias("regs"),
+    ).localCheckpoint(eager=True)
+
+    snaps = [state.select("node", F.lit(0).cast("long").alias("t"), "regs")]
+    for t in range(1, rounds + 1):
+        # name-based join: cross-frame Column refs (e.dst == state.node)
+        # lose their exprIds once state is re-created from a checkpoint
+        # in later rounds
+        contrib = (
+            e.withColumnRenamed("dst", "node")
+            .join(state, "node")
+            .select(F.col("src").alias("node"), "regs")
+        )
+        merged = (
+            state.select("node", "regs").unionByName(contrib)
+            .select("node", F.posexplode("regs").alias("pos", "r"))
+            .groupBy("node", "pos")
+            .agg(F.max("r").alias("r"))
+            .groupBy("node")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "r"))),
+                    lambda s: s["r"].cast("int"),
+                ).alias("regs")
+            )
+            .localCheckpoint(eager=True)
+        )
+        state = merged
+        snaps.append(state.select("node", F.lit(t).cast("long").alias("t"), "regs"))
+
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return with_hll_estimate(out, "regs", "ball_est").select(
+        "node", "t", "ball_est"
+    )

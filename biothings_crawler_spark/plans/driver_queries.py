@@ -11187,6 +11187,87 @@ FROM sb JOIN cut USING (lang)
 """
 
 
+HYPERBALL_ROUNDS = 3
+
+
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function (operators/sketch.hyperball,
+    Boldi & Vigna): per-(node, t) ball-cardinality estimates over the
+    shared hub graph, t = 0..3. The HLL registers and the integer
+    estimate arithmetic are cross-engine exact, so the driver verifies
+    the approximation itself bit-for-bit, not a tolerance band."""
+    from biothings_crawler_spark.operators.sketch import hyperball
+
+    return hyperball(_hub_edges(spark, sf_dir), rounds=HYPERBALL_ROUNDS)
+
+
+def _sql_hyperball() -> str:
+    from biothings_crawler_spark.operators.sketch import (
+        ALPHA_PPM,
+        HLL_M,
+        LC_CUTOFF,
+        LC_LUT,
+        RHO_CAP,
+    )
+
+    lut = ", ".join(str(x) for x in LC_LUT)
+    ctes = [
+        _SQL_HUBGRAPH,
+        f"""
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+br AS (SELECT node,
+              ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 2))::BIGINT
+                AS bucket,
+              ('0x' || substr(md5(CAST(node AS VARCHAR)), 3, 13))::BIGINT
+                AS suffix
+       FROM nodes),
+s0 AS MATERIALIZED (
+  SELECT node,
+         list_transform(range({HLL_M}), j -> CAST(
+           CASE WHEN j = bucket
+                THEN LEAST(CASE WHEN suffix > 0
+                                THEN 53 - length(bin(suffix))
+                                ELSE {RHO_CAP} END, {RHO_CAP})
+                ELSE 0 END AS INT)) AS regs
+  FROM br)""",
+    ]
+    for i in range(HYPERBALL_ROUNDS):
+        ctes.append(f"""
+u{i} AS (SELECT node, regs FROM s{i}
+         UNION ALL
+         SELECT e.src AS node, s.regs FROM e JOIN s{i} s ON s.node = e.dst),
+p{i} AS (SELECT node, generate_subscripts(regs, 1) AS pos, unnest(regs) AS r
+         FROM u{i}),
+s{i + 1} AS MATERIALIZED (
+  SELECT node, list(r ORDER BY pos) AS regs FROM (
+    SELECT node, pos, CAST(MAX(r) AS INT) AS r FROM p{i} GROUP BY 1, 2)
+  GROUP BY node)""")
+    snaps = " UNION ALL ".join(
+        f"SELECT node, CAST({t} AS BIGINT) AS t, regs FROM s{t}"
+        for t in range(HYPERBALL_ROUNDS + 1)
+    )
+    return ("WITH " + ",".join(ctes) + f""",
+snaps AS ({snaps}),
+zz AS (SELECT node, t,
+              list_reduce(list_transform(regs,
+                  r -> (1::BIGINT << ({RHO_CAP} - r))), (a, b) -> a + b) AS z,
+              CAST(len(list_filter(regs, r -> r = 0)) AS BIGINT) AS v
+       FROM snaps),
+rr AS (SELECT node, t,
+              CAST({ALPHA_PPM} * ({HLL_M * HLL_M} * (1::BIGINT << {RHO_CAP})
+                   // z) // 1000000 AS BIGINT) AS raw, v
+       FROM zz)
+SELECT node, t,
+       CAST(CASE WHEN raw <= {LC_CUTOFF} AND v > 0
+            THEN list_extract([{lut}], CAST(v AS INT))
+            ELSE raw END AS BIGINT) AS ball_est
+FROM rr""")
+
+
+SQL_HYPERBALL = _sql_hyperball()
+
+
 OPIC_ITERS = 4
 
 
@@ -11336,6 +11417,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ip_politeness": q_ip_politeness,
     "q_opic": q_opic,
     "q_lm_terciles": q_lm_terciles,
+    "q_hyperball": q_hyperball,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -11545,6 +11627,7 @@ ORACLES: dict[str, str] = {
     "q_ip_politeness": SQL_IP_POLITENESS,
     "q_opic": SQL_OPIC,
     "q_lm_terciles": SQL_LM_TERCILES,
+    "q_hyperball": SQL_HYPERBALL,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -1,0 +1,39 @@
+"""HyperBall neighborhood function (operators/sketch.hyperball)."""
+
+from biothings_crawler_spark.operators.sketch import hyperball
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _balls(spark, pairs, rounds):
+    out = hyperball(_edges(spark, pairs), rounds=rounds).collect()
+    return {(r["node"], r["t"]): r["ball_est"] for r in out}
+
+
+def test_chain_ball_growth_and_saturation(spark):
+    # 0 -> 1 -> 2 -> 3: ball(0, t) = {0..t}; estimates in the
+    # linear-counting regime are within ±1 of truth at these sizes
+    got = _balls(spark, [(0, 1), (1, 2), (2, 3)], rounds=4)
+    for t in range(5):
+        truth = min(t + 1, 4)
+        assert abs(got[(0, t)] - truth) <= 1, (t, got[(0, t)])
+    # saturated: ball stops growing once t >= eccentricity
+    assert got[(0, 4)] == got[(0, 3)]
+
+
+def test_ball_estimates_monotone_in_t(spark):
+    pairs = [(i, (i * 3) % 11) for i in range(11) if i != (i * 3) % 11]
+    got = _balls(spark, pairs, rounds=3)
+    nodes = {n for n, _ in got}
+    for n in nodes:
+        seq = [got[(n, t)] for t in range(4)]
+        assert seq == sorted(seq), (n, seq)
+
+
+def test_sink_ball_stays_singleton(spark):
+    got = _balls(spark, [(0, 1), (2, 1)], rounds=2)
+    # node 1 has no out-edges: its ball is always just itself
+    assert got[(1, 0)] == got[(1, 1)] == got[(1, 2)]
+    assert 1 <= got[(1, 0)] <= 2
