@@ -58,6 +58,7 @@ SUITE = [
     "q_opic",
     "q_lm_terciles",
     "q_hyperball",
+    "q_harmonic_centrality",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

@@ -382,3 +382,43 @@ def hyperball(
     return with_hll_estimate(out, "regs", "ball_est").select(
         "node", "t", "ball_est"
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 3,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Harmonic centrality from the HyperBall sketches (Boldi & Vigna,
+    "Axioms for centrality" — the application HyperBall was built for):
+    H(v) = Σ_{w != v} 1/d(v, w), estimated as
+    Σ_t (|ball(v, t)| - |ball(v, t-1)|) * ppm div t in integer
+    ppm-units (truncated at the round horizon, the standard HyperBall
+    cut). The per-round ball DELTA is clamped at 0: the integer-HLL
+    estimate is monotone within a regime but may wobble one unit at
+    the linear-counting/raw boundary.
+
+    The crawl reading: harmonic centrality is the seed-quality score —
+    how close a page sits to everything else — robust on disconnected
+    graphs where closeness centrality degenerates (unreachable nodes
+    contribute 0, not infinity).
+
+    Cost on top of :func:`hyperball`: one lag window whose partitions
+    hold rounds+1 rows per node (bounded by the constant round count,
+    never the graph) + one per-node sum."""
+    from pyspark.sql import Window
+
+    balls = hyperball(edges, src_col, dst_col, rounds)
+    w = Window.partitionBy("node").orderBy("t")
+    d = balls.withColumn("prev", F.lag("ball_est").over(w)).filter(
+        F.col("t") > 0
+    )
+    gain = F.greatest(F.col("ball_est") - F.col("prev"), F.lit(0))
+    return (
+        d.select("node", F.expr(f"{ppm} div t").alias("w_ppm"), gain.alias("g"))
+        .groupBy("node")
+        .agg(F.sum(F.col("g") * F.col("w_ppm")).cast("long")
+             .alias("harmonic_ppm"))
+    )

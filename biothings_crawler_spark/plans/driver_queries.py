@@ -11268,6 +11268,30 @@ FROM rr""")
 SQL_HYPERBALL = _sql_hyperball()
 
 
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality via HyperBall (operators/sketch.
+    harmonic_centrality, Boldi & Vigna "Axioms for centrality"):
+    Σ_t Δball(v,t) * ppm div t over the same sketches as q_hyperball —
+    the seed-quality score, robust on the disconnected graphs closeness
+    degenerates on. Integer ppm-units, oracle-exact."""
+    from biothings_crawler_spark.operators.sketch import harmonic_centrality
+
+    return harmonic_centrality(_hub_edges(spark, sf_dir),
+                               rounds=HYPERBALL_ROUNDS)
+
+
+SQL_HARMONIC_CENTRALITY = f"""
+WITH hb AS (SELECT * FROM ({SQL_HYPERBALL}) t),
+d AS (SELECT node, t, ball_est,
+             lag(ball_est) OVER (PARTITION BY node ORDER BY t) AS prev
+      FROM hb)
+SELECT node,
+       CAST(SUM(greatest(ball_est - prev, 0) * (1000000 // t)) AS BIGINT)
+         AS harmonic_ppm
+FROM d WHERE t > 0 GROUP BY node
+"""
+
+
 OPIC_ITERS = 4
 
 
@@ -11418,6 +11442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_opic": q_opic,
     "q_lm_terciles": q_lm_terciles,
     "q_hyperball": q_hyperball,
+    "q_harmonic_centrality": q_harmonic_centrality,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -11628,6 +11653,7 @@ ORACLES: dict[str, str] = {
     "q_opic": SQL_OPIC,
     "q_lm_terciles": SQL_LM_TERCILES,
     "q_hyperball": SQL_HYPERBALL,
+    "q_harmonic_centrality": SQL_HARMONIC_CENTRALITY,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

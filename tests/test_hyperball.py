@@ -37,3 +37,25 @@ def test_sink_ball_stays_singleton(spark):
     # node 1 has no out-edges: its ball is always just itself
     assert got[(1, 0)] == got[(1, 1)] == got[(1, 2)]
     assert 1 <= got[(1, 0)] <= 2
+
+
+def test_harmonic_centrality_star_center_wins(spark):
+    from biothings_crawler_spark.operators.sketch import harmonic_centrality
+
+    # center 0 reaches all leaves at distance 1; leaves reach nothing
+    e = _edges(spark, [(0, i) for i in range(1, 6)])
+    got = {r["node"]: r["harmonic_ppm"]
+           for r in harmonic_centrality(e, rounds=2).collect()}
+    assert got[0] == max(got.values())
+    assert all(got[i] == 0 for i in range(1, 6))
+
+
+def test_harmonic_centrality_chain_decay(spark):
+    from biothings_crawler_spark.operators.sketch import harmonic_centrality
+
+    # 0 -> 1 -> 2 -> 3: H(0) > H(1) > H(2) > H(3) = 0 (within the
+    # ±1-unit sketch error the strict chain ordering still holds here)
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    got = {r["node"]: r["harmonic_ppm"]
+           for r in harmonic_centrality(e, rounds=3).collect()}
+    assert got[0] > got[1] > got[2] > got[3] == 0
