@@ -59,6 +59,7 @@ SUITE = [
     "q_lm_terciles",
     "q_hyperball",
     "q_harmonic_centrality",
+    "q_bowtie",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

@@ -11292,6 +11292,60 @@ FROM d WHERE t > 0 GROUP BY node
 """
 
 
+BOWTIE_CYCLE = [(3, 97), (97, 83), (83, 3)]
+
+
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie decomposition (operators/pagerank.bowtie_decomposition,
+    Broder et al. WWW 2000) of the hub graph with a planted 3-cycle
+    (the division edges only descend, so the plain graph is a DAG with
+    singleton SCCs): pivot = max-degree node, CORE = its SCC via
+    forward ∩ backward fixpoint reachability, IN/OUT/other around it.
+    Oracle = two recursive-CTE reachability closures from the same
+    degree-argmax pivot."""
+    from biothings_crawler_spark.operators.pagerank import (
+        bowtie_decomposition,
+    )
+
+    cyc = spark.createDataFrame(BOWTIE_CYCLE, "src long, dst long")
+    e = _hub_edges(spark, sf_dir).unionByName(cyc)
+    return bowtie_decomposition(e)
+
+
+def _sql_bowtie() -> str:
+    cyc = " UNION ALL ".join(
+        f"SELECT CAST({a} AS BIGINT) AS src, CAST({b} AS BIGINT) AS dst"
+        for a, b in BOWTIE_CYCLE
+    )
+    return f"""
+WITH RECURSIVE {_SQL_HUBGRAPH},
+e2 AS (SELECT src, dst FROM e UNION ALL {cyc}),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e2 UNION ALL SELECT dst FROM e2)),
+deg AS (SELECT node, COUNT(*) AS deg FROM
+        (SELECT src AS node FROM e2 UNION ALL SELECT dst FROM e2)
+        GROUP BY 1),
+piv AS (SELECT node FROM deg ORDER BY deg DESC, node LIMIT 1),
+fwd AS (SELECT node FROM piv
+        UNION
+        SELECT e2.dst AS node FROM e2, fwd WHERE fwd.node = e2.src),
+bwd AS (SELECT node FROM piv
+        UNION
+        SELECT e2.src AS node FROM e2, bwd WHERE bwd.node = e2.dst)
+SELECT n.node,
+       CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'core'
+            WHEN b.node IS NOT NULL THEN 'in'
+            WHEN f.node IS NOT NULL THEN 'out'
+            ELSE 'other' END AS component
+FROM nodes n
+LEFT JOIN fwd f ON f.node = n.node
+LEFT JOIN bwd b ON b.node = n.node
+"""
+
+
+SQL_BOWTIE = _sql_bowtie()
+
+
 OPIC_ITERS = 4
 
 
@@ -11443,6 +11497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lm_terciles": q_lm_terciles,
     "q_hyperball": q_hyperball,
     "q_harmonic_centrality": q_harmonic_centrality,
+    "q_bowtie": q_bowtie,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -11654,6 +11709,7 @@ ORACLES: dict[str, str] = {
     "q_lm_terciles": SQL_LM_TERCILES,
     "q_hyperball": SQL_HYPERBALL,
     "q_harmonic_centrality": SQL_HARMONIC_CENTRALITY,
+    "q_bowtie": SQL_BOWTIE,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

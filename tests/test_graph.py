@@ -89,3 +89,34 @@ def test_opic_history_monotone_in_rounds(spark):
     h2 = {r["node"]: r["hist"] for r in opic(e, iters=2).collect()}
     h4 = {r["node"]: r["hist"] for r in opic(e, iters=4).collect()}
     assert all(h4[k] >= h2[k] for k in h2)
+
+
+def test_bowtie_classifies_all_regions(spark):
+    from biothings_crawler_spark.operators.pagerank import (
+        bowtie_decomposition,
+    )
+
+    # core cycle {0,1,2} (node 0 is max-degree pivot), 5 -> core (IN),
+    # core -> 7 (OUT), 8 -> 9 disconnected (other)
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (5, 0), (2, 7), (8, 9),
+                       (3, 0), (0, 4)])
+    got = {r["node"]: r["component"]
+           for r in bowtie_decomposition(e).collect()}
+    assert got[0] == got[1] == got[2] == "core"
+    assert got[5] == "in" and got[3] == "in"
+    assert got[7] == "out" and got[4] == "out"
+    assert got[8] == "other" and got[9] == "other"
+
+
+def test_bowtie_dag_core_is_pivot_alone(spark):
+    from biothings_crawler_spark.operators.pagerank import (
+        bowtie_decomposition,
+    )
+
+    # pure DAG: the pivot's SCC is itself; everything splits in/out
+    e = _edges(spark, [(0, 1), (1, 2), (1, 3), (4, 1)])
+    got = {r["node"]: r["component"]
+           for r in bowtie_decomposition(e).collect()}
+    assert got[1] == "core"  # node 1 has max degree 4
+    assert got[0] == "in" and got[4] == "in"
+    assert got[2] == "out" and got[3] == "out"
