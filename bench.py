@@ -60,6 +60,7 @@ SUITE = [
     "q_hyperball",
     "q_harmonic_centrality",
     "q_bowtie",
+    "q_random_walks",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

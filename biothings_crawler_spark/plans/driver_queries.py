@@ -11346,6 +11346,60 @@ LEFT JOIN bwd b ON b.node = n.node
 SQL_BOWTIE = _sql_bowtie()
 
 
+WALK_LEN = 4
+WALKS_PER_NODE = 2
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus (operators/walks.random_walks,
+    Perozzi et al. KDD 2014) over the hub graph: 2 walks x 4 steps per
+    node, each step's neighbor chosen by a shared md5 coin mod
+    out-degree — the walk corpus is a pure function of the graph, so
+    the oracle replays every step exactly (and resume/N-vs-4N runs
+    emit identical corpora, the north rule applied to sampling)."""
+    from biothings_crawler_spark.operators.walks import random_walks
+
+    return random_walks(_hub_edges(spark, sf_dir),
+                        walk_len=WALK_LEN, walks_per_node=WALKS_PER_NODE)
+
+
+def _sql_random_walks() -> str:
+    walks = ", ".join(f"({w})" for w in range(WALKS_PER_NODE))
+    ctes = [
+        _SQL_HUBGRAPH,
+        f"""
+nb AS MATERIALIZED (SELECT src, dst,
+        ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rk FROM e),
+dg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM e GROUP BY 1),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+s0 AS MATERIALIZED (
+  SELECT node AS start, CAST(w AS BIGINT) AS walk,
+         CAST(0 AS BIGINT) AS step, node AS cur
+  FROM nodes CROSS JOIN (VALUES {walks}) AS t(w))""",
+    ]
+    for i in range(WALK_LEN):
+        coin = (
+            "('0x' || substr(md5(CAST(s.cur AS VARCHAR) || '_' || "
+            f"CAST(s.walk AS VARCHAR) || '_' || '{i}'), 1, 15))::BIGINT"
+        )
+        ctes.append(f"""
+s{i + 1} AS MATERIALIZED (
+  SELECT s.start, s.walk, CAST({i + 1} AS BIGINT) AS step, nb.dst AS cur
+  FROM s{i} s
+  JOIN dg ON dg.src = s.cur
+  JOIN nb ON nb.src = s.cur AND nb.rk = 1 + ({coin} % dg.deg))""")
+    union = " UNION ALL ".join(
+        f"SELECT start, walk, step, cur FROM s{i}"
+        for i in range(WALK_LEN + 1)
+    )
+    return "WITH " + ",".join(ctes) + f"\n{union}"
+
+
+SQL_RANDOM_WALKS = _sql_random_walks()
+
+
 OPIC_ITERS = 4
 
 
@@ -11498,6 +11552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hyperball": q_hyperball,
     "q_harmonic_centrality": q_harmonic_centrality,
     "q_bowtie": q_bowtie,
+    "q_random_walks": q_random_walks,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -11710,6 +11765,7 @@ ORACLES: dict[str, str] = {
     "q_hyperball": SQL_HYPERBALL,
     "q_harmonic_centrality": SQL_HARMONIC_CENTRALITY,
     "q_bowtie": SQL_BOWTIE,
+    "q_random_walks": SQL_RANDOM_WALKS,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,
