@@ -61,6 +61,7 @@ SUITE = [
     "q_harmonic_centrality",
     "q_bowtie",
     "q_random_walks",
+    "q_ann_truncated_topk",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

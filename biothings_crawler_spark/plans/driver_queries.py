@@ -11400,6 +11400,42 @@ s{i + 1} AS MATERIALIZED (
 SQL_RANDOM_WALKS = _sql_random_walks()
 
 
+ANN_TRUNC_DIMS = 16
+
+
+def q_ann_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncated ANN (operators/similarity.
+    truncated_brute_topk, Matryoshka-style): top-10 by cosine over the
+    first 16 of 64 components — 4x less scan/compute, recall vs the
+    full ranking pytest-measured. Oracle = the same cosine fold over
+    the sliced lists."""
+    from biothings_crawler_spark.operators.similarity import (
+        truncated_brute_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = truncated_brute_topk(e, q, "vec_id", "embedding", k=10,
+                               dims=ANN_TRUNC_DIMS)
+    return out.select("query_id", "vec_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+SQL_ANN_TRUNCATED_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id,
+                  embedding[1:{ANN_TRUNC_DIMS}] AS qv FROM embeddings
+           WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id, embedding[1:{ANN_TRUNC_DIMS}] AS v FROM embeddings),
+sc AS (SELECT query_id, vec_id,
+              {_sql_cosine('qv', 'v', dim=ANN_TRUNC_DIMS)} AS cosine
+       FROM c, q)
+SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rn FROM sc)
+WHERE rn <= 10
+"""
+
+
 OPIC_ITERS = 4
 
 
@@ -11553,6 +11589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_harmonic_centrality": q_harmonic_centrality,
     "q_bowtie": q_bowtie,
     "q_random_walks": q_random_walks,
+    "q_ann_truncated_topk": q_ann_truncated_topk,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -11766,6 +11803,7 @@ ORACLES: dict[str, str] = {
     "q_harmonic_centrality": SQL_HARMONIC_CENTRALITY,
     "q_bowtie": SQL_BOWTIE,
     "q_random_walks": SQL_RANDOM_WALKS,
+    "q_ann_truncated_topk": SQL_ANN_TRUNCATED_TOPK,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -2000,3 +2000,43 @@ def test_jaccard_join_exact_vs_bruteforce(spark):
             want[(a, b)] = (inter, uni)
     assert got == want
     assert (3, 100) in got  # the planted twin survived the prefix filter
+
+
+def test_truncated_ann_recall_and_rerank_pattern(spark):
+    """Fixture embeddings are isotropic (not MRL-trained), so prefix
+    truncation keeps ~1/4 of the signal; the assertions pin the
+    mechanism: far-above-random recall, monotone in kept dims, and the
+    truncated-shortlist -> full-re-rank serving pattern recovering
+    most of the exact top-10."""
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.similarity import (
+        brute_force_topk,
+        truncated_brute_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20)
+
+    def _sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    full = _sets(brute_force_topk(e, q, "vec_id", "embedding", 10))
+    n_q = len(full)
+
+    def _recall(hit_sets):
+        return sum(len(full[k] & hit_sets[k]) for k in full) / (10 * n_q)
+
+    r16 = _recall(_sets(truncated_brute_topk(e, q, "vec_id", "embedding",
+                                             10, dims=16)))
+    r32 = _recall(_sets(truncated_brute_topk(e, q, "vec_id", "embedding",
+                                             10, dims=32)))
+    # random top-10 out of 500 candidates would recall ~0.02
+    assert r16 >= 0.15
+    assert r32 >= r16
+    shortlist = _recall(_sets(truncated_brute_topk(e, q, "vec_id",
+                                                   "embedding", 100, dims=16)))
+    assert shortlist >= 0.6  # measured 0.72: re-rank recovers most
