@@ -62,6 +62,7 @@ SUITE = [
     "q_bowtie",
     "q_random_walks",
     "q_ann_truncated_topk",
+    "q_theta_overlap",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

@@ -422,3 +422,97 @@ def harmonic_centrality(
         .agg(F.sum(F.col("g") * F.col("w_ppm")).cast("long")
              .alias("harmonic_ppm"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (Bar-Yossef et al. 2002; Apache DataSketches' theta
+# family) — mergeable distinct sketches that, unlike HLL, support SET
+# INTERSECTION estimates: "how many distinct URLs do two crawl
+# snapshots share" without an exact distinct join.
+
+KMV_K = 256
+U60 = 1 << 60
+
+
+def kmv_sketch(df: DataFrame, value_col: str, k: int = KMV_K) -> DataFrame:
+    """The k smallest DISTINCT md5-u60 hash values of ``value_col`` —
+    one (h) row each, h < 2^60. Deterministic and parallel-safe: "k
+    smallest of a set" is order-free, so any partitioning (and the
+    DuckDB twin) produces the identical sketch. If the set has fewer
+    than k distinct values the sketch is exact (theta = 2^60).
+
+    Scale shape: one hash-distinct then a k-row TakeOrdered (Spark
+    plans orderBy+limit as per-partition top-k + a k-row driver merge
+    — no global sort materializes)."""
+    from biothings_crawler_spark.operators.sampling import hash_u60_col
+
+    return (
+        df.select(hash_u60_col(F.col(value_col), "kmv").alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def _theta_row(sketch: DataFrame, k: int):
+    """1-row frame (theta, n_kept): theta = 2^60 in exact mode (fewer
+    than k distinct values), else the k-th smallest hash."""
+    return sketch.agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(U60))
+        .otherwise(F.max("h")).cast("long").alias("theta"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+
+
+def theta_overlap(
+    a: DataFrame, b: DataFrame, value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """One-row report estimating distinct |A|, |B|, |A ∩ B| and the
+    Jaccard in ppm from two KMV sketches (theta intersection: keep
+    sketch values below theta = min(theta_a, theta_b) present in BOTH;
+    each survivor stands for 2^60/theta distinct values). All floor
+    arithmetic on the shared u60 hash — the ESTIMATOR is cross-engine
+    exact, and in exact mode (small sets) it degrades gracefully to
+    the true counts.
+
+    Scale: the corpus contributes one distinct + top-k each; the
+    intersection math runs on two <= k-row sketches (broadcast join)."""
+    sa, sb = kmv_sketch(a, value_col, k), kmv_sketch(b, value_col, k)
+    ta = _theta_row(sa, k).select(F.col("theta").alias("ta"),
+                                  F.col("n_kept").alias("na"))
+    tb = _theta_row(sb, k).select(F.col("theta").alias("tb"),
+                                  F.col("n_kept").alias("nb"))
+    inter = sa.join(sb, "h", "inner")
+    t = ta.join(tb)
+    n_inter = (
+        inter.join(F.broadcast(t))
+        .where(F.col("h") < F.least("ta", "tb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    est = t.join(n_inter)
+    # KMV estimator: (k-1) * 2^60 div theta when saturated, else exact.
+    # numerators reach 2^68 — they go through DECIMAL(38,0) (HUGEINT in
+    # the DuckDB twin) and floor-div back to BIGINT
+    a_est = F.when(F.col("ta") == U60, F.col("na")).otherwise(
+        F.expr(f"cast(cast({k - 1} as decimal(38,0)) * {U60} div ta"
+               " as bigint)"))
+    b_est = F.when(F.col("tb") == U60, F.col("nb")).otherwise(
+        F.expr(f"cast(cast({k - 1} as decimal(38,0)) * {U60} div tb"
+               " as bigint)"))
+    i_est = F.expr(
+        f"cast(cast(n_common as decimal(38,0)) * {U60} div least(ta, tb)"
+        " as bigint)")
+    out = est.select(
+        a_est.cast("long").alias("a_est"),
+        b_est.cast("long").alias("b_est"),
+        i_est.alias("inter_est"),
+    ).withColumn("u_est", F.col("a_est") + F.col("b_est") - F.col("inter_est"))
+    return out.select(
+        "a_est", "b_est", "inter_est",
+        F.when(
+            F.col("u_est") > 0,
+            F.expr("cast(cast(inter_est as decimal(38,0)) * 1000000"
+                   " div u_est as bigint)"),
+        ).otherwise(F.lit(0)).cast("long").alias("jaccard_ppm"),
+    )

@@ -11436,6 +11436,63 @@ WHERE rn <= 10
 """
 
 
+def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta sketch set intersection (operators/sketch.
+    theta_overlap, Bar-Yossef et al. / DataSketches theta family):
+    estimated distinct |A|, |B|, |A∩B| and Jaccard for two overlapping
+    URL snapshots, from two 256-value k-min sketches — the cross-crawl
+    overlap report HLL cannot produce (HLL unions only). Estimator is
+    integer floor arithmetic on the shared u60 hash: oracle-exact, and
+    pytest checks it lands near the true overlap."""
+    from biothings_crawler_spark.operators.sketch import theta_overlap
+
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(F.concat(F.lit("u"), (F.col("o_orderkey") % 3000)
+                          .cast("string")).alias("url"))
+    b = o.select(F.concat(F.lit("u"), (F.col("o_orderkey") % 3000 + 1000)
+                          .cast("string")).alias("url"))
+    return theta_overlap(a, b, "url")
+
+
+def _sql_theta_overlap() -> str:
+    from biothings_crawler_spark.operators.sketch import KMV_K, U60
+
+    def sk(expr: str) -> str:
+        return (f"SELECT DISTINCT ('0x' || substr(md5('kmv:' || ({expr})),"
+                f" 1, 15))::BIGINT AS h FROM orders ORDER BY h LIMIT {KMV_K}")
+
+    return f"""
+WITH ska AS MATERIALIZED ({sk("'u' || CAST(o_orderkey % 3000 AS VARCHAR)")}),
+skb AS MATERIALIZED ({sk("'u' || CAST(o_orderkey % 3000 + 1000 AS VARCHAR)")}),
+tt AS (SELECT
+  (SELECT CASE WHEN COUNT(*) < {KMV_K} THEN CAST({U60} AS BIGINT)
+          ELSE MAX(h) END FROM ska) AS ta,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ska) AS na,
+  (SELECT CASE WHEN COUNT(*) < {KMV_K} THEN CAST({U60} AS BIGINT)
+          ELSE MAX(h) END FROM skb) AS tb,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM skb) AS nb),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+       FROM ska JOIN skb USING (h), tt WHERE h < least(ta, tb)),
+est AS (
+  SELECT CASE WHEN ta = {U60} THEN na
+         ELSE CAST({KMV_K - 1}::HUGEINT * {U60} // ta AS BIGINT) END AS a_est,
+         CASE WHEN tb = {U60} THEN nb
+         ELSE CAST({KMV_K - 1}::HUGEINT * {U60} // tb AS BIGINT) END AS b_est,
+         CAST(n_common::HUGEINT * {U60} // least(ta, tb) AS BIGINT)
+           AS inter_est
+  FROM tt, nc)
+SELECT a_est, b_est, inter_est,
+       CASE WHEN a_est + b_est - inter_est > 0
+            THEN CAST(inter_est::HUGEINT * 1000000
+                      // (a_est + b_est - inter_est) AS BIGINT)
+            ELSE 0 END AS jaccard_ppm
+FROM est
+"""
+
+
+SQL_THETA_OVERLAP = _sql_theta_overlap()
+
+
 OPIC_ITERS = 4
 
 
@@ -11590,6 +11647,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bowtie": q_bowtie,
     "q_random_walks": q_random_walks,
     "q_ann_truncated_topk": q_ann_truncated_topk,
+    "q_theta_overlap": q_theta_overlap,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -11804,6 +11862,7 @@ ORACLES: dict[str, str] = {
     "q_bowtie": SQL_BOWTIE,
     "q_random_walks": SQL_RANDOM_WALKS,
     "q_ann_truncated_topk": SQL_ANN_TRUNCATED_TOPK,
+    "q_theta_overlap": SQL_THETA_OVERLAP,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -59,3 +59,43 @@ def test_harmonic_centrality_chain_decay(spark):
     got = {r["node"]: r["harmonic_ppm"]
            for r in harmonic_centrality(e, rounds=3).collect()}
     assert got[0] > got[1] > got[2] > got[3] == 0
+
+
+# --- KMV / theta sketch set operations ------------------------------------
+
+
+def _urls(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "url string")
+
+
+def test_theta_exact_mode_small_sets(spark):
+    from biothings_crawler_spark.operators.sketch import theta_overlap
+
+    a = _urls(spark, [f"u{i}" for i in range(40)])
+    b = _urls(spark, [f"u{i}" for i in range(20, 60)])
+    r = theta_overlap(a, b, "url").collect()[0]
+    # both below k=256: sketches are exact, estimator returns truth
+    assert (r["a_est"], r["b_est"], r["inter_est"]) == (40, 40, 20)
+    assert r["jaccard_ppm"] == 20 * 1_000_000 // 60
+
+
+def test_theta_saturated_estimates_near_truth(spark):
+    from biothings_crawler_spark.operators.sketch import theta_overlap
+
+    # |A| = |B| = 2000, |A ∩ B| = 1000, J = 1/3; k = 256 sketches
+    a = _urls(spark, [f"u{i}" for i in range(2000)])
+    b = _urls(spark, [f"u{i}" for i in range(1000, 3000)])
+    r = theta_overlap(a, b, "url").collect()[0]
+    assert abs(r["a_est"] - 2000) <= 300
+    assert abs(r["b_est"] - 2000) <= 300
+    assert abs(r["inter_est"] - 1000) <= 300
+    assert abs(r["jaccard_ppm"] - 333_333) <= 120_000
+
+
+def test_theta_disjoint_sets(spark):
+    from biothings_crawler_spark.operators.sketch import theta_overlap
+
+    a = _urls(spark, [f"a{i}" for i in range(500)])
+    b = _urls(spark, [f"b{i}" for i in range(500)])
+    r = theta_overlap(a, b, "url").collect()[0]
+    assert r["inter_est"] == 0 and r["jaccard_ppm"] == 0
