@@ -63,6 +63,7 @@ SUITE = [
     "q_random_walks",
     "q_ann_truncated_topk",
     "q_theta_overlap",
+    "q_jpeg_decode",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

@@ -5,11 +5,14 @@ The Spark-side contract — schema, partitioning, UDF signature, batch
 shape — is real and tested.  AUDIO decoding is REAL for RIFF/PCM WAV
 (:func:`decode_wav_features`, stdlib ``wave``) and IMAGE decoding is
 REAL for PNG (:func:`decode_png_features`, stdlib ``zlib``/``struct``
-— chunk walk, CRC, full filter set).  JPEG/VIDEO decoding stays
-STUBBED (``decode_stub='fake'`` produces deterministic pseudo-features;
-``decode_stub='error'`` raises NotImplementedError) because DCT/av
-codec libraries don't exist in this container; swapping the stub for
-PIL/av is a one-function change in the same mapInPandas shape.
+— chunk walk, CRC, full filter set) and for baseline grayscale JPEG
+(:func:`decode_jpeg_features`, pure-numpy DCT codec in
+operators/jpegcodec — marker parse, canonical Huffman, dequant+IDCT).
+VIDEO decoding stays STUBBED (``decode_stub='fake'`` produces
+deterministic pseudo-features; ``decode_stub='error'`` raises
+NotImplementedError) because av/container codec libraries don't exist
+in this container; swapping the stub for av is a one-function change
+in the same mapInPandas shape.
 
 Design notes for 100 TB of media:
   * media rows are big — keep them in their own table keyed by
@@ -699,3 +702,73 @@ def audio_dup_groups(fps: DataFrame) -> DataFrame:
         "media_id", "n_samples", "n_blocks", "zc_fp", "env_fp",
         "dup_group", "group_size", "n_gain_variants",
     )
+
+
+# --- REAL JPEG decode (baseline grayscale, pure-numpy DCT codec) -----------
+
+JPEG_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, n_pixels long, "
+    "sum_gray long, min_gray int, max_gray int"
+)
+
+
+def gen_jpeg_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Worker-side synthesis of REAL baseline JPEG bytes
+    (operators/jpegcodec): 16x16 grayscale, four 8x8 blocks each a
+    constant EVEN value ``2*((id*37 + by*2 + bx) % 128)`` — the
+    closed form the oracle recomputes.  Block-constant + even is the
+    codec's documented exactness lane (pure-DC blocks, DC step 16), so
+    the decoded pixels equal the source bit-for-bit and the feature
+    sums are oracle-exact; pytest separately bounds the error on
+    non-flat images."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from biothings_crawler_spark.operators import jpegcodec as jc
+
+        for pdf in batches:
+            out = {"media_id": [], "content": []}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                blocks = np.array(
+                    [[2 * ((mid * 37 + by * 2 + bx) % 128)
+                      for bx in range(2)] for by in range(2)]
+                )
+                img = np.kron(blocks, np.ones((8, 8), dtype=int)).astype(
+                    np.uint8)
+                out["media_id"].append(mid)
+                out["content"].append(jc.jpeg_encode_gray(img))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(run, "media_id long, content binary")
+
+
+def decode_jpeg_features(media: DataFrame) -> DataFrame:
+    """REAL JPEG decode over a binary column — the last media stub made
+    real: full marker parse (DQT/SOF0/DHT/SOS), canonical-Huffman
+    entropy decode with 0xFF un-stuffing, dequantize + IDCT
+    (operators/jpegcodec; baseline sequential grayscale — the
+    documented scope, like PNG's §9 and WAV's PCM scopes).  Same
+    Arrow-batched mapInPandas shape as the PNG/WAV decoders; exact
+    integer features so the oracle comparison is exact on the
+    block-constant fixture lane."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from biothings_crawler_spark.operators import jpegcodec as jc
+
+        for pdf in batches:
+            cols = {k: [] for k in ("media_id", "width", "height",
+                                    "n_pixels", "sum_gray", "min_gray",
+                                    "max_gray")}
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                img = jc.jpeg_decode_gray(bytes(b))
+                h, w = img.shape
+                cols["media_id"].append(int(mid))
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["n_pixels"].append(w * h)
+                cols["sum_gray"].append(int(img.sum()))
+                cols["min_gray"].append(int(img.min()))
+                cols["max_gray"].append(int(img.max()))
+            yield pd.DataFrame(cols)
+
+    return media.mapInPandas(run, JPEG_FEATURES_SCHEMA)

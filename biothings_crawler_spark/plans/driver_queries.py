@@ -11493,6 +11493,45 @@ FROM est
 SQL_THETA_OVERLAP = _sql_theta_overlap()
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode (operators/multimodal.decode_jpeg_features +
+    operators/jpegcodec): worker-side synthesis of actual baseline
+    grayscale JPEGs (real DQT/SOF0/DHT/SOS segments, canonical-Huffman
+    entropy data with 0xFF stuffing), decoded back through the full
+    marker-parse -> Huffman -> dequant -> IDCT path. The fixture rides
+    the codec's exactness lane (block-constant even values are pure-DC
+    and round-trip bit-exactly), so the oracle recomputes every feature
+    from the generator's closed form, never touching the bytes; pytest
+    separately bounds non-flat roundtrip error and pins Huffman/marker
+    edges."""
+    from biothings_crawler_spark.operators.multimodal import (
+        decode_jpeg_features,
+        gen_jpeg_media,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("media_id"))
+    return decode_jpeg_features(gen_jpeg_media(ids))
+
+
+SQL_JPEG_DECODE = """
+WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 7),
+b AS (SELECT media_id,
+             list_transform(range(4),
+               k -> 2 * ((media_id * 37 + (k // 2) * 2 + (k % 2)) % 128))
+               AS blocks
+      FROM m)
+SELECT media_id,
+       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(256 AS BIGINT) AS n_pixels,
+       CAST(64 * list_sum(blocks) AS BIGINT) AS sum_gray,
+       CAST(list_min(blocks) AS INT) AS min_gray,
+       CAST(list_max(blocks) AS INT) AS max_gray
+FROM b
+"""
+
+
 OPIC_ITERS = 4
 
 
@@ -11648,6 +11687,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_random_walks": q_random_walks,
     "q_ann_truncated_topk": q_ann_truncated_topk,
     "q_theta_overlap": q_theta_overlap,
+    "q_jpeg_decode": q_jpeg_decode,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -11863,6 +11903,7 @@ ORACLES: dict[str, str] = {
     "q_random_walks": SQL_RANDOM_WALKS,
     "q_ann_truncated_topk": SQL_ANN_TRUNCATED_TOPK,
     "q_theta_overlap": SQL_THETA_OVERLAP,
+    "q_jpeg_decode": SQL_JPEG_DECODE,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -1,0 +1,89 @@
+"""Baseline JPEG codec (operators/jpegcodec) + the Spark decode stage."""
+
+import numpy as np
+import pytest
+
+from biothings_crawler_spark.operators.jpegcodec import (
+    _M,
+    jpeg_decode_gray,
+    jpeg_encode_gray,
+)
+
+
+def test_flat_even_blocks_roundtrip_exact():
+    # the documented exactness lane: block-constant EVEN values are
+    # pure-DC (DC step 16 divides 8*(v-128) when v is even)
+    blocks = np.array([[2 * ((i * 3 + j * 5) % 128) for j in range(2)]
+                       for i in range(2)])
+    img = np.kron(blocks, np.ones((8, 8), dtype=int)).astype(np.uint8)
+    assert np.array_equal(jpeg_decode_gray(jpeg_encode_gray(img)), img)
+
+
+def test_nonflat_roundtrip_error_bounded():
+    g = np.fromfunction(lambda y, x: (y * 7 + x * 3) % 256,
+                        (24, 40)).astype(np.uint8)
+    d = jpeg_decode_gray(jpeg_encode_gray(g))
+    assert d.shape == g.shape
+    assert np.abs(d.astype(int) - g.astype(int)).max() <= 12
+
+
+def test_odd_dimensions_pad_and_crop():
+    o = np.full((9, 13), 100, dtype=np.uint8)
+    d = jpeg_decode_gray(jpeg_encode_gray(o))
+    assert d.shape == (9, 13)
+    assert np.array_equal(d, o)
+
+
+def test_zrl_long_zero_run_roundtrip():
+    # a single coefficient at natural (7,7) = the last zigzag slot:
+    # 62 zeros precede it, forcing ZRL (run > 15) codes
+    F = np.zeros((8, 8))
+    F[7, 7] = 200.0
+    img = np.clip(np.rint(_M.T @ F @ _M + 128), 0, 255).astype(np.uint8)
+    d = jpeg_decode_gray(jpeg_encode_gray(img))
+    assert np.array_equal(d, img)
+
+
+def test_byte_stuffing_survives_roundtrip():
+    # seed 3 measurably produces a 0xFF byte in the entropy stream
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    data = jpeg_encode_gray(img)
+    assert b"\xff\x00" in data.split(b"\xff\xda")[1]
+    d = jpeg_decode_gray(data)
+    assert np.abs(d.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_decoder_rejects_non_baseline():
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    data = bytearray(jpeg_encode_gray(img))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        jpeg_decode_gray(bytes(data))
+
+
+def test_decoder_rejects_garbage():
+    with pytest.raises(ValueError):
+        jpeg_decode_gray(b"not a jpeg")
+
+
+def test_spark_decode_stage_matches_closed_form(spark):
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.multimodal import (
+        decode_jpeg_features,
+        gen_jpeg_media,
+    )
+
+    ids = spark.range(12).select(F.col("id").alias("media_id"))
+    got = {r["media_id"]: r for r in
+           decode_jpeg_features(gen_jpeg_media(ids)).collect()}
+    for mid in range(12):
+        blocks = [2 * ((mid * 37 + by * 2 + bx) % 128)
+                  for by in range(2) for bx in range(2)]
+        r = got[mid]
+        assert (r["width"], r["height"], r["n_pixels"]) == (16, 16, 256)
+        assert r["sum_gray"] == 64 * sum(blocks)
+        assert r["min_gray"] == min(blocks)
+        assert r["max_gray"] == max(blocks)
