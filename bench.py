@@ -64,6 +64,7 @@ SUITE = [
     "q_ann_truncated_topk",
     "q_theta_overlap",
     "q_jpeg_decode",
+    "q_video_frames",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

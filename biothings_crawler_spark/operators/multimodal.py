@@ -8,11 +8,12 @@ REAL for PNG (:func:`decode_png_features`, stdlib ``zlib``/``struct``
 — chunk walk, CRC, full filter set) and for baseline grayscale JPEG
 (:func:`decode_jpeg_features`, pure-numpy DCT codec in
 operators/jpegcodec — marker parse, canonical Huffman, dequant+IDCT).
-VIDEO decoding stays STUBBED (``decode_stub='fake'`` produces
-deterministic pseudo-features; ``decode_stub='error'`` raises
-NotImplementedError) because av/container codec libraries don't exist
-in this container; swapping the stub for av is a one-function change
-in the same mapInPandas shape.
+VIDEO decoding is REAL for MJPEG-in-AVI (:func:`decode_video_frames`,
+RIFF walk + the same JPEG codec per frame). Compressed inter-frame
+codecs (H.264 etc.) stay behind the documented stub
+(``decode_stub='fake'`` / ``'error'`` in :func:`sample_video_frames`)
+— they need av, which doesn't exist in this container; swapping the
+stub for av is a one-function change in the same mapInPandas shape.
 
 Design notes for 100 TB of media:
   * media rows are big — keep them in their own table keyed by
@@ -772,3 +773,128 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(cols)
 
     return media.mapInPandas(run, JPEG_FEATURES_SCHEMA)
+
+
+# --- REAL video frame decode: MJPEG-in-AVI (RIFF walk + jpegcodec) ---------
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, frame_no long, width int, height int, "
+    "sum_gray long, min_gray int, max_gray int"
+)
+
+
+def _avi_mjpeg_encode(frames: list, fps: int = 10) -> bytes:
+    """Minimal spec-shaped MJPEG AVI: RIFF('AVI ') with a LIST('hdrl')
+    (avih + one video strl, biCompression='MJPG') and a LIST('movi') of
+    '00dc' chunks, each a baseline JPEG, WORD-aligned per RIFF (odd
+    chunks get a pad byte — the classic parser trap, deliberately
+    exercised because baseline JPEGs are frequently odd-length)."""
+    import struct
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    h, w = 16, 16
+    avih = struct.pack("<14I", 1000000 // fps, 0, 0, 0x10, len(frames),
+                       0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1,
+                                            fps, 0, len(frames), 0, 0, 0, 0))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 8, b"MJPG",
+                       w * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _avi_mjpeg_frames(data: bytes) -> list:
+    """RIFF walk -> the '00dc' JPEG payloads inside LIST('movi'),
+    honoring WORD alignment. Raises on a non-AVI RIFF."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    out = []
+
+    def walk(buf: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(buf):
+            fourcc = buf[pos:pos + 4]
+            ln = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+            body = buf[pos + 8:pos + 8 + ln]
+            if fourcc == b"LIST":
+                if body[:4] in (b"movi", b"hdrl", b"strl"):
+                    walk(body[4:])
+            elif fourcc == b"00dc":
+                out.append(body)
+            pos += 8 + ln + (ln % 2)
+
+    walk(data[12:])
+    return out
+
+
+def gen_mjpeg_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Worker-side synthesis of REAL MJPEG AVI bytes: 3 + id%3 frames,
+    frame f a 16x16 grayscale JPEG of block-constant EVEN values
+    ``2*((id*37 + f*11 + by*2 + bx) % 128)`` — the closed form the
+    oracle recomputes (the jpegcodec exactness lane, per frame)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from biothings_crawler_spark.operators import jpegcodec as jc
+        from biothings_crawler_spark.operators import multimodal as mm
+
+        for pdf in batches:
+            out = {"media_id": [], "content": []}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                frames = []
+                for f in range(3 + mid % 3):
+                    blocks = np.array(
+                        [[2 * ((mid * 37 + f * 11 + by * 2 + bx) % 128)
+                          for bx in range(2)] for by in range(2)])
+                    img = np.kron(blocks, np.ones((8, 8), dtype=int)
+                                  ).astype(np.uint8)
+                    frames.append(jc.jpeg_encode_gray(img))
+                out["media_id"].append(mid)
+                out["content"].append(mm._avi_mjpeg_encode(frames))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(run, "media_id long, content binary")
+
+
+def decode_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling — the operator sample_video_frames's
+    stub stood in for, real for MJPEG-in-AVI (the one video codec this
+    container can express honestly: RIFF walk + the baseline JPEG
+    codec; av-compressed codecs stay out of scope). Emits every
+    ``every_n``-th frame's decoded features: the 1->N fan-out, Arrow
+    batching, and per-frame decode are all real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from biothings_crawler_spark.operators import jpegcodec as jc
+        from biothings_crawler_spark.operators import multimodal as mm
+
+        for pdf in batches:
+            cols = {k: [] for k in ("media_id", "frame_no", "width",
+                                    "height", "sum_gray", "min_gray",
+                                    "max_gray")}
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                for fno, fb in enumerate(mm._avi_mjpeg_frames(bytes(b))):
+                    if fno % every_n:
+                        continue
+                    img = jc.jpeg_decode_gray(fb)
+                    h, w = img.shape
+                    cols["media_id"].append(int(mid))
+                    cols["frame_no"].append(fno)
+                    cols["width"].append(w)
+                    cols["height"].append(h)
+                    cols["sum_gray"].append(int(img.sum()))
+                    cols["min_gray"].append(int(img.min()))
+                    cols["max_gray"].append(int(img.max()))
+            yield pd.DataFrame(cols)
+
+    return media.mapInPandas(run, VIDEO_FRAME_SCHEMA)

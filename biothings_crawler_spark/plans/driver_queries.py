@@ -11532,6 +11532,42 @@ FROM b
 """
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (operators/multimodal.
+    decode_video_frames): worker-synthesized MJPEG AVI containers
+    (RIFF hdrl/movi lists, WORD-aligned 00dc chunks), every 2nd frame
+    decoded through the full RIFF walk + baseline-JPEG path. Frames
+    ride the codec's block-constant exactness lane, so the oracle
+    recomputes per-frame features from the generator's closed form —
+    including WHICH frame numbers survive the sampling stride."""
+    from biothings_crawler_spark.operators.multimodal import (
+        decode_video_frames,
+        gen_mjpeg_media,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("media_id"))
+    return decode_video_frames(gen_mjpeg_media(ids), every_n=2)
+
+
+SQL_VIDEO_FRAMES = """
+WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 3),
+f AS (SELECT media_id, unnest(range(3 + media_id % 3)) AS frame_no FROM m),
+s AS (SELECT media_id, frame_no,
+             list_transform(range(4),
+               k -> 2 * ((media_id * 37 + frame_no * 11
+                          + (k // 2) * 2 + (k % 2)) % 128)) AS blocks
+      FROM f WHERE frame_no % 2 = 0)
+SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(64 * list_sum(blocks) AS BIGINT) AS sum_gray,
+       CAST(list_min(blocks) AS INT) AS min_gray,
+       CAST(list_max(blocks) AS INT) AS max_gray
+FROM s
+"""
+
+
 OPIC_ITERS = 4
 
 
@@ -11688,6 +11724,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_truncated_topk": q_ann_truncated_topk,
     "q_theta_overlap": q_theta_overlap,
     "q_jpeg_decode": q_jpeg_decode,
+    "q_video_frames": q_video_frames,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -11904,6 +11941,7 @@ ORACLES: dict[str, str] = {
     "q_ann_truncated_topk": SQL_ANN_TRUNCATED_TOPK,
     "q_theta_overlap": SQL_THETA_OVERLAP,
     "q_jpeg_decode": SQL_JPEG_DECODE,
+    "q_video_frames": SQL_VIDEO_FRAMES,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -87,3 +87,53 @@ def test_spark_decode_stage_matches_closed_form(spark):
         assert r["sum_gray"] == 64 * sum(blocks)
         assert r["min_gray"] == min(blocks)
         assert r["max_gray"] == max(blocks)
+
+
+# --- MJPEG-in-AVI video frame decode ---------------------------------------
+
+
+def test_avi_roundtrip_frames_and_padding():
+    from biothings_crawler_spark.operators.multimodal import (
+        _avi_mjpeg_encode,
+        _avi_mjpeg_frames,
+    )
+
+    # odd-length frame payloads force the RIFF WORD-alignment pad path
+    frames = [b"\xff" * 3, b"\xab" * 4, b"\x01"]
+    data = _avi_mjpeg_encode(frames)
+    assert _avi_mjpeg_frames(data) == frames
+
+
+def test_avi_rejects_non_avi():
+    import pytest as _pytest
+
+    from biothings_crawler_spark.operators.multimodal import (
+        _avi_mjpeg_frames,
+    )
+
+    with _pytest.raises(ValueError):
+        _avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_video_frame_sampling_stride(spark):
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.multimodal import (
+        decode_video_frames,
+        gen_mjpeg_media,
+    )
+
+    ids = spark.range(6).select(F.col("id").alias("media_id"))
+    got = decode_video_frames(gen_mjpeg_media(ids), every_n=2).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r["frame_no"])
+    for mid, frames in by_id.items():
+        n_frames = 3 + mid % 3
+        assert sorted(frames) == [f for f in range(n_frames) if f % 2 == 0]
+    # per-frame pixels match the generator's closed form
+    for r in got:
+        blocks = [2 * ((r["media_id"] * 37 + r["frame_no"] * 11
+                        + by * 2 + bx) % 128)
+                  for by in range(2) for bx in range(2)]
+        assert r["sum_gray"] == 64 * sum(blocks)
