@@ -11150,7 +11150,12 @@ def q_lm_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = lm_score(mutated, model, "doc_id", "text").drop("bucket")
     scored = scored.join(
         d.select(F.col("doc_id").alias("id"), "lang"), "id"
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the standard mid-pipeline materialization: the cutoff pass and
+    # the bucketing join both read `scored` — without it the whole
+    # train+score chain re-executes per consumer (measured 14.9 s ->
+    # ~2 s at sf0.1; at 100 TB this is a persisted table between the
+    # scoring job and the bucketing job)
     cuts = tercile_cutoffs(scored, "lang")
     return bucket_by_terciles(scored, cuts, "lang").select(
         "id", "lang", "score_ppm", "bucket"
