@@ -65,6 +65,7 @@ SUITE = [
     "q_theta_overlap",
     "q_jpeg_decode",
     "q_video_frames",
+    "q_pagerank_incremental",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

@@ -36,13 +36,24 @@ def pagerank(
     iters: int = 5,
     damping_pct: int = 85,
     scale: int = PR_SCALE,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Ranks after ``iters`` synchronous iterations: (node, rank) with
     rank in integer micro-units (initial rank = ``scale`` per node).
 
     base = (100 - damping_pct) * scale div 100, and each iteration
     r'(v) = base + Σ_{u→v} (damping_pct * r(u)) div (100 * deg(u)).
-    """
+
+    ``init_ranks`` (node, rank) warm-starts the iteration — the
+    INCREMENTAL maintenance path: after a crawl round adds edges,
+    seed with the previous snapshot's converged ranks and run 1–2
+    refinement iterations instead of a cold power iteration (power
+    iteration converges from any start vector; a near-fixpoint start
+    needs only as many rounds as the perturbation is deep — the
+    standard warm-restart argument). Nodes new to the graph start at
+    ``scale``; departed nodes' old rows are ignored (inner semantics
+    via the nodes join). Same exact integer arithmetic, so the
+    warm-started result is still oracle-verifiable."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -54,7 +65,18 @@ def pagerank(
     ed = e.join(deg, "src").localCheckpoint(eager=True)
     base = (100 - damping_pct) * scale // 100
 
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    if init_ranks is None:
+        ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    else:
+        ranks = (
+            nodes.join(init_ranks.select("node", F.col("rank").alias("_r")),
+                       "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_r"), F.lit(scale)).cast("long")
+                .alias("rank"),
+            )
+        )
     for _ in range(iters):
         contribs = (
             ed.join(ranks, ed.src == ranks.node)

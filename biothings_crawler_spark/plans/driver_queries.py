@@ -11573,6 +11573,75 @@ FROM s
 """
 
 
+PR_INC_REFINE = 2
+
+
+def q_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PageRank maintenance (operators/pagerank.pagerank
+    with init_ranks): converge on the snapshot graph (4 iters), add
+    the planted cycle edges (a crawl round's discoveries), then run
+    only 2 WARM-STARTED refinement iterations seeded from the old
+    ranks — the 10^10-graph path where a cold power iteration per
+    crawl round is the cost you must not pay. pytest proves warm-2
+    lands closer to the new fixpoint than cold-2; the oracle replays
+    base rounds + seeded refinement rounds exactly."""
+    from biothings_crawler_spark.operators.pagerank import pagerank
+
+    base = _hub_edges(spark, sf_dir)
+    old = pagerank(base, iters=PR_ITERS)
+    cyc = base.sparkSession.createDataFrame(BOWTIE_CYCLE,
+                                            "src long, dst long")
+    return pagerank(base.unionByName(cyc), iters=PR_INC_REFINE,
+                    init_ranks=old)
+
+
+def _sql_pagerank_incremental() -> str:
+    from biothings_crawler_spark.operators.pagerank import PR_SCALE
+
+    base = 15 * PR_SCALE // 100
+    cyc = " UNION ALL ".join(
+        f"SELECT CAST({a} AS BIGINT) AS src, CAST({b} AS BIGINT) AS dst"
+        for a, b in BOWTIE_CYCLE
+    )
+    ctes = [
+        _SQL_HUBGRAPH,
+        f"""
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes)""",
+    ]
+    for i in range(PR_ITERS):
+        ctes.append(f"""
+r{i + 1} AS (
+  SELECT n.node, CAST({base} + coalesce(s.in_sum, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM((85 * r.rank) // (100 * d.deg)) AS in_sum
+    FROM e JOIN deg d USING (src) JOIN r{i} r ON r.node = e.src
+    GROUP BY e.dst) s USING (node))""")
+    ctes.append(f"""
+e2 AS (SELECT src, dst FROM e UNION ALL {cyc}),
+nodes2 AS (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM e2 UNION ALL SELECT dst FROM e2)),
+deg2 AS (SELECT src, COUNT(*) AS deg FROM e2 GROUP BY src),
+w0 AS (SELECT n.node,
+              CAST(coalesce(r.rank, {PR_SCALE}) AS BIGINT) AS rank
+       FROM nodes2 n LEFT JOIN r{PR_ITERS} r USING (node))""")
+    for i in range(PR_INC_REFINE):
+        ctes.append(f"""
+w{i + 1} AS (
+  SELECT n.node, CAST({base} + coalesce(s.in_sum, 0) AS BIGINT) AS rank
+  FROM nodes2 n LEFT JOIN (
+    SELECT e2.dst AS node, SUM((85 * r.rank) // (100 * d.deg)) AS in_sum
+    FROM e2 JOIN deg2 d USING (src) JOIN w{i} r ON r.node = e2.src
+    GROUP BY e2.dst) s USING (node))""")
+    return ("WITH " + ",".join(ctes)
+            + f"\nSELECT node, rank FROM w{PR_INC_REFINE}")
+
+
+SQL_PAGERANK_INCREMENTAL = _sql_pagerank_incremental()
+
+
 OPIC_ITERS = 4
 
 
@@ -11730,6 +11799,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_theta_overlap": q_theta_overlap,
     "q_jpeg_decode": q_jpeg_decode,
     "q_video_frames": q_video_frames,
+    "q_pagerank_incremental": q_pagerank_incremental,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -11947,6 +12017,7 @@ ORACLES: dict[str, str] = {
     "q_theta_overlap": SQL_THETA_OVERLAP,
     "q_jpeg_decode": SQL_JPEG_DECODE,
     "q_video_frames": SQL_VIDEO_FRAMES,
+    "q_pagerank_incremental": SQL_PAGERANK_INCREMENTAL,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -120,3 +120,35 @@ def test_bowtie_dag_core_is_pivot_alone(spark):
     assert got[1] == "core"  # node 1 has max degree 4
     assert got[0] == "in" and got[4] == "in"
     assert got[2] == "out" and got[3] == "out"
+
+
+def test_warm_started_pagerank_beats_cold_restart(spark):
+    from biothings_crawler_spark.operators.pagerank import pagerank
+
+    # snapshot graph, then a crawl round adds a cycle
+    base = _edges(spark, [(i, i // 2) for i in range(2, 40)])
+    diff = _edges(spark, [(1, 30), (30, 35), (35, 1)])
+    new = base.unionByName(diff)
+    old = pagerank(base, iters=6)
+    truth = {r["node"]: r["rank"] for r in pagerank(new, iters=10).collect()}
+
+    def l1(df):
+        got = {r["node"]: r["rank"] for r in df.collect()}
+        return sum(abs(got[n] - truth[n]) for n in truth)
+
+    warm2 = l1(pagerank(new, iters=2, init_ranks=old))
+    cold2 = l1(pagerank(new, iters=2))
+    assert warm2 < cold2  # the warm start is worth real iterations
+
+
+def test_warm_start_new_nodes_default_to_scale(spark):
+    from biothings_crawler_spark.operators.pagerank import PR_SCALE, pagerank
+
+    base = _edges(spark, [(0, 1)])
+    old = pagerank(base, iters=2)
+    new = _edges(spark, [(0, 1), (5, 6)])  # 5, 6 unseen by old
+    got = {r["node"]: r["rank"]
+           for r in pagerank(new, iters=0, init_ranks=old).collect()}
+    assert got[5] == PR_SCALE and got[6] == PR_SCALE
+    old_ranks = {r["node"]: r["rank"] for r in old.collect()}
+    assert got[0] == old_ranks[0] and got[1] == old_ranks[1]
