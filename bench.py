@@ -66,6 +66,7 @@ SUITE = [
     "q_jpeg_decode",
     "q_video_frames",
     "q_pagerank_incremental",
+    "q_gif_decode",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

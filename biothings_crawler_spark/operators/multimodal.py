@@ -898,3 +898,61 @@ def decode_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame(cols)
 
     return media.mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
+# --- REAL GIF decode (LZW from scratch, operators/gifcodec) ----------------
+
+GIF_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, n_pixels long, "
+    "sum_gray long, min_gray int, max_gray int"
+)
+
+
+def gen_gif_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Worker-side synthesis of REAL GIF87a bytes: grayscale palette,
+    pixel ``(id*29 + y*11 + x*5) % 256`` (the closed form the oracle
+    recomputes), width 4+id%5, height 3+id%4. GIF is lossless, so the
+    decode must reproduce the formula exactly through the LZW layer."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from biothings_crawler_spark.operators import gifcodec as gc
+
+        for pdf in batches:
+            out = {"media_id": [], "content": []}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 4 + mid % 5, 3 + mid % 4
+                pix = bytes((mid * 29 + y * 11 + x * 5) % 256
+                            for y in range(h) for x in range(w))
+                out["media_id"].append(mid)
+                out["content"].append(gc.gif_encode_gray(pix, w, h))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(run, "media_id long, content binary")
+
+
+def decode_gif_features(media: DataFrame) -> DataFrame:
+    """REAL GIF decode over a binary column (operators/gifcodec):
+    block walk + variable-width LZW with CLEAR/EOI, width bumps, the
+    KwKwK case, and 12-bit table resets — the third real image codec
+    beside PNG and JPEG, same Arrow-batched mapInPandas shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from biothings_crawler_spark.operators import gifcodec as gc
+
+        for pdf in batches:
+            cols = {k: [] for k in ("media_id", "width", "height",
+                                    "n_pixels", "sum_gray", "min_gray",
+                                    "max_gray")}
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                w, h, pix = gc.gif_decode_gray(bytes(b))
+                cols["media_id"].append(int(mid))
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["n_pixels"].append(w * h)
+                cols["sum_gray"].append(sum(pix))
+                cols["min_gray"].append(min(pix))
+                cols["max_gray"].append(max(pix))
+            yield pd.DataFrame(cols)
+
+    return media.mapInPandas(run, GIF_FEATURES_SCHEMA)

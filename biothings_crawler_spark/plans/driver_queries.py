@@ -11642,6 +11642,43 @@ w{i + 1} AS (
 SQL_PAGERANK_INCREMENTAL = _sql_pagerank_incremental()
 
 
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (operators/multimodal.decode_gif_features +
+    operators/gifcodec): worker-synthesized GIF87a bytes decoded back
+    through the block walk and a from-scratch variable-width LZW
+    (CLEAR/EOI, width bumps, KwKwK, 12-bit resets). Lossless, so the
+    oracle recomputes the features from the generator's closed-form
+    pixel formula without seeing the bytes."""
+    from biothings_crawler_spark.operators.multimodal import (
+        decode_gif_features,
+        gen_gif_media,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") % 10 == 9).select(
+        F.col("doc_id").alias("media_id"))
+    return decode_gif_features(gen_gif_media(ids))
+
+
+SQL_GIF_DECODE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents WHERE doc_id % 10 = 9),
+p AS (SELECT media_id, w, h,
+             list_transform(range(w * h),
+               j -> (media_id * 29 + (j // w) * 11 + (j % w) * 5) % 256)
+               AS pix
+      FROM m)
+SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(list_sum(pix) AS BIGINT) AS sum_gray,
+       CAST(list_min(pix) AS INT) AS min_gray,
+       CAST(list_max(pix) AS INT) AS max_gray
+FROM p
+"""
+
+
 OPIC_ITERS = 4
 
 
@@ -11800,6 +11837,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_jpeg_decode": q_jpeg_decode,
     "q_video_frames": q_video_frames,
     "q_pagerank_incremental": q_pagerank_incremental,
+    "q_gif_decode": q_gif_decode,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -12018,6 +12056,7 @@ ORACLES: dict[str, str] = {
     "q_jpeg_decode": SQL_JPEG_DECODE,
     "q_video_frames": SQL_VIDEO_FRAMES,
     "q_pagerank_incremental": SQL_PAGERANK_INCREMENTAL,
+    "q_gif_decode": SQL_GIF_DECODE,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,
