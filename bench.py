@@ -67,6 +67,7 @@ SUITE = [
     "q_video_frames",
     "q_pagerank_incremental",
     "q_gif_decode",
+    "q_host_overlap",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

@@ -516,3 +516,105 @@ def theta_overlap(
                    " div u_est as bigint)"),
         ).otherwise(F.lit(0)).cast("long").alias("jaccard_ppm"),
     )
+
+
+def host_content_sketches(
+    df: DataFrame, host_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-host bottom-k content sketch: the k smallest distinct u60
+    hashes of ``value_col`` per host — one KMV sketch per host in a
+    single relation, the input to sketch-space host similarity.
+
+    The per-host top-k runs TWO-PHASE (rank within (host, salt)
+    buckets, keep k per bucket, then rank the <= 16k survivors per
+    host) — the politeness-window trick, because a naive
+    row_number().over(partitionBy(host)) hands a hot host's entire
+    distinct-content set to one task. Phase-1 cannot lose a true
+    bottom-k member (k kept per bucket)."""
+    from pyspark.sql import Window
+
+    from biothings_crawler_spark.operators.sampling import hash_u60_col
+
+    base = (
+        df.select(F.col(host_col).alias("host"),
+                  hash_u60_col(F.col(value_col), "kmv").alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+        .withColumn("salt", F.pmod(F.col("h"), F.lit(16)))
+    )
+    w1 = Window.partitionBy("host", "salt").orderBy("h")
+    p1 = (
+        base.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy("host").orderBy("h")
+    return (
+        p1.withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= k)
+        .drop("r2")
+    )
+
+
+def host_overlap_pairs(
+    sketches: DataFrame, k: int = 64, min_jaccard_ppm: int = 100_000
+) -> DataFrame:
+    """Sketch-space host similarity: join the per-host bottom-k
+    sketches on the hash value (candidate pairs = hosts SHARING a
+    sketch member — hosts with no common content never pair, so the
+    shuffle carries sketch rows, never a host x host product), then
+    the theta estimator per pair. The content-based sibling of the
+    exact-digest mirror detector (operators/traps.mirror_report):
+    catches near-mirrors whose page SETS overlap heavily even when no
+    URL pairing is known, at k rows per host instead of per-page
+    state.
+
+    Emits (host_a, host_b, a_est, b_est, inter_est, jaccard_ppm) for
+    pairs at/above ``min_jaccard_ppm``."""
+    th = sketches.groupBy("host").agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(U60))
+        .otherwise(F.max("h")).cast("long").alias("theta"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    a = sketches.select(F.col("host").alias("host_a"), "h")
+    b = sketches.select(F.col("host").alias("host_b"), "h")
+    common = (
+        a.join(b, "h")
+        .where(F.col("host_a") < F.col("host_b"))
+        .join(F.broadcast(th.select(F.col("host").alias("host_a"),
+                                    F.col("theta").alias("ta"),
+                                    F.col("n_kept").alias("na"))), "host_a")
+        .join(F.broadcast(th.select(F.col("host").alias("host_b"),
+                                    F.col("theta").alias("tb"),
+                                    F.col("n_kept").alias("nb"))), "host_b")
+        .where(F.col("h") < F.least("ta", "tb"))
+        .groupBy("host_a", "host_b", "ta", "na", "tb", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    a_est = F.when(F.col("ta") == U60, F.col("na")).otherwise(
+        F.expr(f"cast(cast({k - 1} as decimal(38,0)) * {U60} div ta"
+               " as bigint)"))
+    b_est = F.when(F.col("tb") == U60, F.col("nb")).otherwise(
+        F.expr(f"cast(cast({k - 1} as decimal(38,0)) * {U60} div tb"
+               " as bigint)"))
+    i_est = F.expr(
+        f"cast(cast(n_common as decimal(38,0)) * {U60} div least(ta, tb)"
+        " as bigint)")
+    out = common.select(
+        "host_a", "host_b",
+        a_est.cast("long").alias("a_est"),
+        b_est.cast("long").alias("b_est"),
+        i_est.alias("inter_est"),
+    ).withColumn("u_est", F.col("a_est") + F.col("b_est") - F.col("inter_est"))
+    return (
+        out.withColumn(
+            "jaccard_ppm",
+            F.when(
+                F.col("u_est") > 0,
+                F.expr("cast(cast(inter_est as decimal(38,0)) * 1000000"
+                       " div u_est as bigint)"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .drop("u_est")
+        .filter(F.col("jaccard_ppm") >= min_jaccard_ppm)
+    )

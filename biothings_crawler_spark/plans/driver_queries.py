@@ -11679,6 +11679,80 @@ FROM p
 """
 
 
+def q_host_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-space host-content overlap (operators/sketch.
+    host_content_sketches + host_overlap_pairs): per-host bottom-64
+    KMV sketches over synthetic page sets with engineered neighbor
+    overlap, candidate pairs from the sketch-member join (no host x
+    host product), theta intersection per pair. The content-based
+    near-mirror detector at k rows per host. Fixture sets are below k
+    so the estimator runs in exact mode here; the saturated regime is
+    exercised by q_theta_overlap and pytest."""
+    from biothings_crawler_spark.operators.sketch import (
+        host_content_sketches,
+        host_overlap_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    v = d.select(
+        F.concat(F.lit("h"), (F.expr("doc_id div 40") % 12).cast("string"))
+        .alias("host"),
+        F.concat(F.lit("p"), (F.col("doc_id") % 70).cast("string"))
+        .alias("page"),
+    )
+    sk = host_content_sketches(v, "host", "page", k=64)
+    return host_overlap_pairs(sk, k=64, min_jaccard_ppm=100_000)
+
+
+def _sql_host_overlap() -> str:
+    from biothings_crawler_spark.operators.sketch import U60
+
+    k = 64
+    return f"""
+WITH v AS (
+  SELECT DISTINCT 'h' || CAST((doc_id // 40) % 12 AS VARCHAR) AS host,
+         ('0x' || substr(md5('kmv:' ||
+              ('p' || CAST(doc_id % 70 AS VARCHAR))), 1, 15))::BIGINT AS h
+  FROM documents),
+sk AS MATERIALIZED (
+  SELECT host, h FROM (
+    SELECT host, h, ROW_NUMBER() OVER (PARTITION BY host ORDER BY h) AS rn
+    FROM v) WHERE rn <= {k}),
+th AS (SELECT host,
+              CASE WHEN COUNT(*) < {k} THEN CAST({U60} AS BIGINT)
+                   ELSE MAX(h) END AS theta,
+              CAST(COUNT(*) AS BIGINT) AS n_kept
+       FROM sk GROUP BY host),
+c AS (
+  SELECT a.host AS host_a, b.host AS host_b, ta.theta AS ta,
+         ta.n_kept AS na, tb.theta AS tb, tb.n_kept AS nb,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sk a JOIN sk b ON a.h = b.h AND a.host < b.host
+  JOIN th ta ON ta.host = a.host
+  JOIN th tb ON tb.host = b.host
+  WHERE a.h < least(ta.theta, tb.theta)
+  GROUP BY 1, 2, 3, 4, 5, 6),
+est AS (
+  SELECT host_a, host_b,
+         CASE WHEN ta = {U60} THEN na
+              ELSE CAST({k - 1}::HUGEINT * {U60} // ta AS BIGINT) END AS a_est,
+         CASE WHEN tb = {U60} THEN nb
+              ELSE CAST({k - 1}::HUGEINT * {U60} // tb AS BIGINT) END AS b_est,
+         CAST(n_common::HUGEINT * {U60} // least(ta, tb) AS BIGINT)
+           AS inter_est
+  FROM c)
+SELECT host_a, host_b, a_est, b_est, inter_est,
+       CAST(inter_est::HUGEINT * 1000000
+            // (a_est + b_est - inter_est) AS BIGINT) AS jaccard_ppm
+FROM est
+WHERE a_est + b_est - inter_est > 0
+  AND inter_est::HUGEINT * 1000000 // (a_est + b_est - inter_est) >= 100000
+"""
+
+
+SQL_HOST_OVERLAP = _sql_host_overlap()
+
+
 OPIC_ITERS = 4
 
 
@@ -11838,6 +11912,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_video_frames": q_video_frames,
     "q_pagerank_incremental": q_pagerank_incremental,
     "q_gif_decode": q_gif_decode,
+    "q_host_overlap": q_host_overlap,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -12057,6 +12132,7 @@ ORACLES: dict[str, str] = {
     "q_video_frames": SQL_VIDEO_FRAMES,
     "q_pagerank_incremental": SQL_PAGERANK_INCREMENTAL,
     "q_gif_decode": SQL_GIF_DECODE,
+    "q_host_overlap": SQL_HOST_OVERLAP,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -99,3 +99,66 @@ def test_theta_disjoint_sets(spark):
     b = _urls(spark, [f"b{i}" for i in range(500)])
     r = theta_overlap(a, b, "url").collect()[0]
     assert r["inter_est"] == 0 and r["jaccard_ppm"] == 0
+
+
+# --- per-host bottom-k sketches + sketch-space host overlap ----------------
+
+
+def _host_pages(spark, rows):
+    return spark.createDataFrame(rows, "host string, page string")
+
+
+def test_host_sketch_is_true_bottom_k(spark):
+    from biothings_crawler_spark.operators.sampling import hash_u60_col
+    from biothings_crawler_spark.operators.sketch import (
+        host_content_sketches,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("a", f"p{i}") for i in range(200)]
+    got = sorted(
+        r["h"] for r in
+        host_content_sketches(_host_pages(spark, rows), "host", "page",
+                              k=16).collect()
+    )
+    truth = sorted(
+        r["h"] for r in
+        _host_pages(spark, rows)
+        .select(hash_u60_col(F.col("page"), "kmv").alias("h")).collect()
+    )[:16]
+    assert got == truth  # two-phase == global bottom-k, exactly
+
+
+def test_host_overlap_exact_mode(spark):
+    from biothings_crawler_spark.operators.sketch import (
+        host_content_sketches,
+        host_overlap_pairs,
+    )
+
+    rows = ([("a", f"p{i}") for i in range(40)]
+            + [("b", f"p{i}") for i in range(20, 60)]
+            + [("c", f"x{i}") for i in range(30)])  # disjoint content
+    sk = host_content_sketches(_host_pages(spark, rows), "host", "page", k=64)
+    got = {(r["host_a"], r["host_b"]): r
+           for r in host_overlap_pairs(sk, k=64, min_jaccard_ppm=0).collect()}
+    r = got[("a", "b")]
+    assert (r["a_est"], r["b_est"], r["inter_est"]) == (40, 40, 20)
+    assert r["jaccard_ppm"] == 20 * 1_000_000 // 60
+    # hosts sharing nothing never even become a candidate pair
+    assert not any("c" in pair for pair in got)
+
+
+def test_host_overlap_saturated_near_truth(spark):
+    from biothings_crawler_spark.operators.sketch import (
+        host_content_sketches,
+        host_overlap_pairs,
+    )
+
+    rows = ([("a", f"p{i}") for i in range(2000)]
+            + [("b", f"p{i}") for i in range(1000, 3000)])
+    sk = host_content_sketches(_host_pages(spark, rows), "host", "page",
+                               k=256)
+    r = host_overlap_pairs(sk, k=256, min_jaccard_ppm=0).collect()[0]
+    assert abs(r["a_est"] - 2000) <= 300
+    assert abs(r["inter_est"] - 1000) <= 350
+    assert abs(r["jaccard_ppm"] - 333_333) <= 130_000
