@@ -34,16 +34,22 @@ from biothings_crawler_spark.operators.text import words_col
 
 def word_ngrams_col(text: Column, n: int) -> Column:
     """Distinct lowercase word n-grams (space-joined); documents with
-    fewer than n words contribute none."""
-    w = words_col(text)
-    grams = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(w, i, n), " "),
+    fewer than n words contribute none. The word split is let-bound
+    (text.bind_col) so it evaluates once per row, not per gram index."""
+    from biothings_crawler_spark.operators.text import bind_col
+
+    return bind_col(
+        words_col(text),
+        lambda w: F.array_distinct(
+            F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice(w, i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    )
 
 
 def decontaminate(

@@ -49,19 +49,29 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # --- shingles + MinHash --------------------------------------------------------
 
 def shingles_col(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of the normalized text."""
-    words = F.filter(
+    """Distinct k-word shingles of the normalized text.
+
+    The normalized word split is let-bound (text.bind_col) so it
+    evaluates once per row — inlined into the slice lambda it would
+    re-run the regex chain per shingle index (the O(words^2)
+    expression blowup documented on bind_col)."""
+    from biothings_crawler_spark.operators.text import bind_col
+
+    split = F.filter(
         F.split(F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")), r"\s+"),
         lambda w: F.length(w) > 0,
     )
-    return F.array_distinct(
-        F.when(
-            F.size(words) >= k,
-            F.transform(
-                F.sequence(F.lit(0), F.size(words) - k),
-                lambda i: F.array_join(F.slice(words, i + 1, k), " "),
-            ),
-        ).otherwise(F.array(F.array_join(words, " ")))
+    return bind_col(
+        split,
+        lambda words: F.array_distinct(
+            F.when(
+                F.size(words) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - k),
+                    lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+                ),
+            ).otherwise(F.array(F.array_join(words, " ")))
+        ),
     )
 
 

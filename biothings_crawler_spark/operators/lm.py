@@ -36,17 +36,29 @@ PPM = 1_000_000
 
 def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, bg) — one row per bigram TOKEN (occurrence), same gram
-    construction as text.bigram_coverage / text.heavy_bigrams."""
-    words = words_col(F.col(text_col))
+    construction as text.bigram_coverage / text.heavy_bigrams.
+
+    Two-step projection ON PURPOSE: the word split is aliased to a
+    real attribute first, and the gram lambda references that
+    attribute. Inlining the split expression into the lambda re-runs
+    the whole regex/split chain for EVERY element_at — O(words^2)
+    expression blowup per document (measured 12 s -> ~1 s at sf0.1).
+    Catalyst's CollapseProject keeps the split un-inlined because the
+    attribute is referenced more than once and the expression is
+    non-cheap (spark.sql.optimizer.collapseProjectAlwaysInline=false,
+    the default)."""
+    w = df.select(F.col(id_col).alias("id"),
+                  words_col(F.col(text_col)).alias("ws"))
+    ws = F.col("ws")
     grams = F.when(
-        F.size(words) >= 2,
+        F.size(ws) >= 2,
         F.transform(
-            F.sequence(F.lit(0), F.size(words) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
-                                  F.element_at(words, i + 2)),
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i + 1),
+                                  F.element_at(ws, i + 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("bg"))
+    return w.select("id", F.explode(grams).alias("bg"))
 
 
 def train_bigram_lm(

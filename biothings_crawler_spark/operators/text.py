@@ -35,6 +35,23 @@ def words_col(text: Column) -> Column:
     )
 
 
+def bind_col(value: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``value`` ONCE per row
+    and pass it to ``body`` as a higher-order-function lambda variable.
+
+    Why it exists: referencing an expensive expression (a regex
+    split, say) inside a ``transform``/``filter`` lambda re-evaluates
+    it PER ELEMENT — Catalyst does not hoist loop-invariant children
+    out of lambda bodies, so shingle/n-gram builders silently go
+    O(words^2) in expression work (measured 12 s -> ~1 s on the LM
+    bigram path at sf0.1). Wrapping the value in a one-element array
+    and reading it back through a lambda variable forces exactly one
+    evaluation while staying a pure Column (usable where a projection
+    boundary, the other fix, is not available).
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def _marker_hits(words: Column, markers: list[str]) -> Column:
     return F.size(
         F.array_intersect(F.array_distinct(words), F.array(*[F.lit(m) for m in markers]))
