@@ -313,11 +313,16 @@ def winnow_fingerprints(
         fps = _udf(F.col(text_col))
         return df.select(F.col(id_col).alias("id"), F.explode(fps).alias("fp"))
 
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.md5(F.substr(norm, i, F.lit(k))),
+    # let-bind the normalized text: inlined into the lambda the regex
+    # chain would re-run per CHARACTER INDEX (the bind_col blowup)
+    norm_expr = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    grams = bind_col(
+        norm_expr,
+        lambda norm: F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))),
+            lambda i: F.md5(F.substr(norm, i, F.lit(k))),
+        ),
     )
     with_grams = df.select(
         F.col(id_col).alias("id"), grams.alias("grams")
@@ -350,15 +355,18 @@ def bigram_coverage(df, id_col: str, text_col: str, min_count: int = 3):
     document's bigram stream against the common-bigram set (AQE may
     broadcast it when small; at web scale it's a shuffled semi-join),
     one per-doc count agg. No windows, no Python."""
-    words = words_col(F.col(text_col))
-    grams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
-                                  F.element_at(words, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # word split let-bound: one evaluation per row, not per gram index
+    grams = bind_col(
+        words_col(F.col(text_col)),
+        lambda words: F.when(
+            F.size(words) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - 2),
+                lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                                      F.element_at(words, i + 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     doc_grams = df.select(
         F.col(id_col).alias("id"), F.explode(grams).alias("bg")
     )
@@ -674,15 +682,18 @@ def heavy_bigrams(df, id_col: str, text_col: str, top_k: int = 100):
     hot bigram is one reducer key holding a single counter — bounded
     state by construction.
     """
-    words = words_col(F.col(text_col))
-    grams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
-                                  F.element_at(words, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # word split let-bound: one evaluation per row, not per gram index
+    grams = bind_col(
+        words_col(F.col(text_col)),
+        lambda words: F.when(
+            F.size(words) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - 2),
+                lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                                      F.element_at(words, i + 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     return (
         df.select(F.explode(grams).alias("bigram"))
         .groupBy("bigram")
