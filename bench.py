@@ -68,6 +68,7 @@ SUITE = [
     "q_pagerank_incremental",
     "q_gif_decode",
     "q_host_overlap",
+    "q_opic_greedy",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

@@ -638,3 +638,92 @@ def bowtie_decomposition(
             .alias("component"),
         )
     )
+
+
+def opic_greedy(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 3,
+    fetch_per_round: int = 64,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """OPIC's ADAPTIVE schedule (Abiteboul et al. §3: "fetch the page
+    with the highest cash") in batch form: each round the top-B nodes
+    by cash are FETCHED — only they distribute their cash (equal
+    integer shares to out-neighbors, dangling cash returned uniformly
+    via the virtual root) and bank it into history; everyone else's
+    cash carries. This is the crawl-frontier integration the
+    synchronous :func:`opic` approximates: cash IS the priority, the
+    fetch set IS the round's schedule, and importance estimates grow
+    exactly where the crawler has been.
+
+    Output: (node, hist, cash, n_fetched, importance).
+
+    Scale shape: per round one global top-B (orderBy+limit plans as
+    per-partition TakeOrdered + a B-row merge — no full sort; at
+    web scale B is the round's fetch budget and the same two-phase
+    salted selection as politeness applies), one fetched⋈edges join +
+    groupBy(dst) partial-agg, two 1-row aggregates for the dangling
+    return, lineage checkpointed. Ties break to the smaller node id,
+    so the schedule is deterministic and width-invariant."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+
+    state = nodes.select(
+        "node",
+        F.lit(scale).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+        F.lit(0).cast("long").alias("n_fetched"),
+    )
+    for _ in range(rounds):
+        sel = (
+            state.orderBy(F.desc("cash"), F.asc("node"))
+            .limit(fetch_per_round)
+            .select(F.col("node").alias("fnode"), F.col("cash").alias("fcash"))
+            .localCheckpoint(eager=True)
+        )
+        contribs = (
+            ed.join(sel, ed.src == sel.fnode)
+            .select("dst", F.expr("fcash div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dang_row = (
+            sel.join(deg, sel.fnode == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("fcash"), F.lit(0)).alias("dang"))
+        )
+        share_row = dang_row.join(F.broadcast(n_row)).select(
+            F.expr("dang div n_nodes").alias("share")
+        )
+        fetched_flag = F.col("fnode").isNotNull()
+        state = (
+            state.join(sel, state.node == sel.fnode, "left")
+            .join(contribs, state.node == contribs.dst, "left")
+            .join(F.broadcast(share_row))
+            .select(
+                "node",
+                (
+                    F.when(fetched_flag, F.lit(0)).otherwise(F.col("cash"))
+                    + F.coalesce("in_sum", F.lit(0)) + F.col("share")
+                ).cast("long").alias("cash"),
+                (F.col("hist")
+                 + F.when(fetched_flag, F.col("cash")).otherwise(F.lit(0)))
+                .cast("long").alias("hist"),
+                (F.col("n_fetched") + fetched_flag.cast("long"))
+                .cast("long").alias("n_fetched"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        "node", "hist", "cash", "n_fetched",
+        (F.col("hist") + F.col("cash")).cast("long").alias("importance"),
+    )

@@ -11753,6 +11753,73 @@ WHERE a_est + b_est - inter_est > 0
 SQL_HOST_OVERLAP = _sql_host_overlap()
 
 
+OPIC_GREEDY_ROUNDS = 3
+OPIC_GREEDY_B = 64
+
+
+def q_opic_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC's adaptive greedy schedule (operators/pagerank.opic_greedy):
+    3 rounds of fetch-the-top-64-by-cash over the hub graph — the
+    fetch set IS the crawl schedule, history banks only where the
+    crawler went. Deterministic ties (cash desc, node asc), so the
+    oracle replays every round's selection and cash flow exactly."""
+    from biothings_crawler_spark.operators.pagerank import opic_greedy
+
+    return opic_greedy(_hub_edges(spark, sf_dir),
+                       rounds=OPIC_GREEDY_ROUNDS,
+                       fetch_per_round=OPIC_GREEDY_B)
+
+
+def _sql_opic_greedy() -> str:
+    from biothings_crawler_spark.operators.pagerank import PR_SCALE
+
+    B = OPIC_GREEDY_B
+    ctes = [
+        _SQL_HUBGRAPH,
+        f"""
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+s0 AS MATERIALIZED (SELECT node, CAST({PR_SCALE} AS BIGINT) AS cash,
+                    CAST(0 AS BIGINT) AS hist,
+                    CAST(0 AS BIGINT) AS n_fetched FROM nodes)""",
+    ]
+    for i in range(OPIC_GREEDY_ROUNDS):
+        ctes.append(f"""
+f{i} AS MATERIALIZED (
+  SELECT node AS fnode, cash AS fcash FROM s{i}
+  QUALIFY ROW_NUMBER() OVER (ORDER BY cash DESC, node) <= {B}),
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM(f.fcash // d.deg) AS BIGINT) AS in_sum
+  FROM e JOIN deg d USING (src) JOIN f{i} f ON f.fnode = e.src
+  GROUP BY e.dst),
+dg{i} AS (
+  SELECT CAST(COALESCE(SUM(fcash), 0) AS BIGINT) AS dang
+  FROM f{i} WHERE fnode NOT IN (SELECT src FROM deg)),
+s{i + 1} AS MATERIALIZED (
+  SELECT s.node,
+         CAST(CASE WHEN f.fnode IS NOT NULL THEN 0 ELSE s.cash END
+              + COALESCE(c.in_sum, 0)
+              + (SELECT dang FROM dg{i}) // (SELECT n_nodes FROM nn)
+              AS BIGINT) AS cash,
+         CAST(s.hist + CASE WHEN f.fnode IS NOT NULL
+                            THEN s.cash ELSE 0 END AS BIGINT) AS hist,
+         CAST(s.n_fetched + CASE WHEN f.fnode IS NOT NULL
+                                 THEN 1 ELSE 0 END AS BIGINT) AS n_fetched
+  FROM s{i} s
+  LEFT JOIN f{i} f ON f.fnode = s.node
+  LEFT JOIN c{i} c ON c.node = s.node)""")
+    last = f"s{OPIC_GREEDY_ROUNDS}"
+    return ("WITH " + ",".join(ctes) + f"""
+SELECT node, hist, cash, n_fetched,
+       CAST(hist + cash AS BIGINT) AS importance
+FROM {last}""")
+
+
+SQL_OPIC_GREEDY = _sql_opic_greedy()
+
+
 OPIC_ITERS = 4
 
 
@@ -11913,6 +11980,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank_incremental": q_pagerank_incremental,
     "q_gif_decode": q_gif_decode,
     "q_host_overlap": q_host_overlap,
+    "q_opic_greedy": q_opic_greedy,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -12133,6 +12201,7 @@ ORACLES: dict[str, str] = {
     "q_pagerank_incremental": SQL_PAGERANK_INCREMENTAL,
     "q_gif_decode": SQL_GIF_DECODE,
     "q_host_overlap": SQL_HOST_OVERLAP,
+    "q_opic_greedy": SQL_OPIC_GREEDY,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -152,3 +152,32 @@ def test_warm_start_new_nodes_default_to_scale(spark):
     assert got[5] == PR_SCALE and got[6] == PR_SCALE
     old_ranks = {r["node"]: r["rank"] for r in old.collect()}
     assert got[0] == old_ranks[0] and got[1] == old_ranks[1]
+
+
+def test_opic_greedy_fetches_hub_first_and_banks_history(spark):
+    from biothings_crawler_spark.operators.pagerank import opic_greedy
+
+    # star into 99: everyone starts with equal cash; round 1 fetches
+    # the top-B by (cash desc, node asc). With B=2 that's nodes 1 and 2
+    # (tie-break); the hub 99 accumulates their cash and gets fetched
+    # next round with the largest bank.
+    e = _edges(spark, [(i, 99) for i in range(1, 8)])
+    out = {r["node"]: r for r in
+           opic_greedy(e, rounds=2, fetch_per_round=2).collect()}
+    assert out[1]["n_fetched"] == 1 and out[2]["n_fetched"] == 1
+    assert out[99]["n_fetched"] == 1  # round 2: hub holds the most cash
+    assert out[99]["hist"] == max(r["hist"] for r in out.values())
+
+
+def test_opic_greedy_unfetched_cash_carries(spark):
+    from biothings_crawler_spark.operators.pagerank import PR_SCALE, opic_greedy
+
+    e = _edges(spark, [(0, 1), (2, 3), (4, 5)])
+    out = {r["node"]: r for r in
+           opic_greedy(e, rounds=1, fetch_per_round=1).collect()}
+    # exactly one node fetched; every unfetched, uncontributed node
+    # still holds its initial cash
+    assert sum(r["n_fetched"] for r in out.values()) == 1
+    untouched = [n for n, r in out.items()
+                 if r["n_fetched"] == 0 and r["cash"] == PR_SCALE]
+    assert len(untouched) >= 3
