@@ -69,6 +69,7 @@ SUITE = [
     "q_gif_decode",
     "q_host_overlap",
     "q_opic_greedy",
+    "q_lang_smooth",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

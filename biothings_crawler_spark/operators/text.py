@@ -843,3 +843,49 @@ def trim_repeated_lines(
         (F.length(F.col(text_col)) - F.length(trimmed)).cast("long")
         .alias("chars_saved"),
     )
+
+
+def smooth_lang_by_host(
+    df: DataFrame, id_col: str, host_col: str, lang_col: str,
+    unknown: str = "und",
+) -> DataFrame:
+    """Host-prior language smoothing: documents whose classifier said
+    ``unknown`` inherit their HOST's majority language — the standard
+    CommonCrawl-pipeline prior (a host is overwhelmingly monolingual;
+    short/markup-heavy pages defeat per-doc classifiers but not the
+    site-level vote). Confident per-doc labels are never overridden.
+
+    Output: (id, host, lang, lang_smoothed, from_host_prior).
+
+    Scale shape: ONE (host, lang) hash agg over the confident docs,
+    an argmax per host over <= |languages| rows (bounded window — the
+    partition is a host's distinct-language count, never its page
+    count), then one broadcast-friendly equi-join on host + row-local
+    CASE. Ties break lexicographically (deterministic). Hosts with no
+    confident doc at all leave ``unknown`` in place."""
+    from pyspark.sql import Window
+
+    votes = (
+        df.filter(F.col(lang_col) != unknown)
+        .groupBy(F.col(host_col).alias("host"),
+                 F.col(lang_col).alias("hl"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("n"), F.asc("hl"))
+    major = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("host", F.col("hl").alias("host_lang"))
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.col(host_col).alias("host"),
+        F.col(lang_col).alias("lang"),
+    ).join(major, "host", "left")
+    prior = (F.col("lang") == unknown) & F.col("host_lang").isNotNull()
+    return out.select(
+        "id", "host", "lang",
+        F.when(prior, F.col("host_lang")).otherwise(F.col("lang"))
+        .alias("lang_smoothed"),
+        prior.alias("from_host_prior"),
+    )

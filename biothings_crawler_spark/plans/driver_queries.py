@@ -11753,6 +11753,62 @@ WHERE a_est + b_est - inter_est > 0
 SQL_HOST_OVERLAP = _sql_host_overlap()
 
 
+def q_lang_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-prior language smoothing (operators/text.
+    smooth_lang_by_host): docs whose classifier says 'und' (planted:
+    doc_id%6==0 gets marker-free digit soup) inherit their host's
+    majority language from the confident docs' votes — the
+    CommonCrawl-style site-level prior. One bounded argmax per host +
+    a broadcast join; confident labels never overridden."""
+    from biothings_crawler_spark.operators.text import (
+        lang_id_col,
+        smooth_lang_by_host,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.when(F.col("doc_id") % 6 == 0, F.lit("0 9 1 8 2 7 zz")) \
+        .otherwise(F.col("text"))
+    base = d.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 17).cast("string"))
+        .alias("host"),
+        lang_id_col(t).alias("lang"),
+    )
+    return smooth_lang_by_host(base, "id", "host", "lang")
+
+
+SQL_LANG_SMOOTH = f"""
+WITH m AS (
+  SELECT doc_id AS id, 'h' || CAST(doc_id % 17 AS VARCHAR) AS host,
+         CASE WHEN doc_id % 6 = 0 THEN '0 9 1 8 2 7 zz' ELSE text END AS text
+  FROM documents),
+l AS (
+  SELECT id, host,
+         len(list_intersect(list_distinct({_SQL_WORDS}), {_SQL_EN})) AS en,
+         len(list_intersect(list_distinct({_SQL_WORDS}), {_SQL_DE})) AS de,
+         len(list_intersect(list_distinct({_SQL_WORDS}), {_SQL_ES})) AS es
+  FROM m),
+langs AS (
+  SELECT id, host,
+         CASE WHEN en >= de AND en >= es AND en > 0 THEN 'en'
+              WHEN de >= es AND de > 0 THEN 'de'
+              WHEN es > 0 THEN 'es'
+              ELSE 'und' END AS lang
+  FROM l),
+votes AS (
+  SELECT host, lang AS hl, COUNT(*) AS n
+  FROM langs WHERE lang <> 'und' GROUP BY 1, 2),
+major AS (
+  SELECT host, hl AS host_lang FROM votes
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY host ORDER BY n DESC, hl) = 1)
+SELECT g.id, g.host, g.lang,
+       CASE WHEN g.lang = 'und' AND m2.host_lang IS NOT NULL
+            THEN m2.host_lang ELSE g.lang END AS lang_smoothed,
+       (g.lang = 'und' AND m2.host_lang IS NOT NULL) AS from_host_prior
+FROM langs g LEFT JOIN major m2 USING (host)
+"""
+
+
 OPIC_GREEDY_ROUNDS = 3
 OPIC_GREEDY_B = 64
 
@@ -11981,6 +12037,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gif_decode": q_gif_decode,
     "q_host_overlap": q_host_overlap,
     "q_opic_greedy": q_opic_greedy,
+    "q_lang_smooth": q_lang_smooth,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -12202,6 +12259,7 @@ ORACLES: dict[str, str] = {
     "q_gif_decode": SQL_GIF_DECODE,
     "q_host_overlap": SQL_HOST_OVERLAP,
     "q_opic_greedy": SQL_OPIC_GREEDY,
+    "q_lang_smooth": SQL_LANG_SMOOTH,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -119,3 +119,31 @@ def test_terciles_singleton_group_is_head(spark):
     sc = _scored(spark, [(1, "fr", 7)])
     out = bucket_by_terciles(sc, tercile_cutoffs(sc, "lang"), "lang")
     assert out.collect()[0]["bucket"] == "head"
+
+
+def test_host_prior_smoothing(spark):
+    from biothings_crawler_spark.operators.text import smooth_lang_by_host
+
+    rows = [
+        (1, "a", "en"), (2, "a", "en"), (3, "a", "de"), (4, "a", "und"),
+        (5, "b", "und"),                       # host with no confident doc
+        (6, "c", "de"), (7, "c", "und"),
+    ]
+    df = spark.createDataFrame(rows, "id long, host string, lang string")
+    got = {r["id"]: r for r in
+           smooth_lang_by_host(df, "id", "host", "lang").collect()}
+    assert got[4]["lang_smoothed"] == "en" and got[4]["from_host_prior"]
+    assert got[7]["lang_smoothed"] == "de" and got[7]["from_host_prior"]
+    assert got[5]["lang_smoothed"] == "und" and not got[5]["from_host_prior"]
+    # confident labels never overridden
+    assert got[3]["lang_smoothed"] == "de" and not got[3]["from_host_prior"]
+
+
+def test_host_prior_tie_breaks_lexicographically(spark):
+    from biothings_crawler_spark.operators.text import smooth_lang_by_host
+
+    rows = [(1, "a", "es"), (2, "a", "de"), (3, "a", "und")]
+    df = spark.createDataFrame(rows, "id long, host string, lang string")
+    got = {r["id"]: r["lang_smoothed"] for r in
+           smooth_lang_by_host(df, "id", "host", "lang").collect()}
+    assert got[3] == "de"  # 1-1 tie -> lexicographically smaller wins
