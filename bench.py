@@ -70,6 +70,7 @@ SUITE = [
     "q_host_overlap",
     "q_opic_greedy",
     "q_lang_smooth",
+    "q_salsa",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

@@ -11809,6 +11809,48 @@ FROM langs g LEFT JOIN major m2 USING (host)
 """
 
 
+SALSA_ITERS = 3
+
+
+def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA authorities (operators/pagerank.salsa_authorities, Lempel
+    & Moran WWW 2000) over the hub graph: 3 alternating back/forward
+    degree-normalized rounds — the TKC-resistant hub/authority
+    variant. Integer micro-units; oracle replays both half-steps per
+    round."""
+    from biothings_crawler_spark.operators.pagerank import salsa_authorities
+
+    return salsa_authorities(_hub_edges(spark, sf_dir), iters=SALSA_ITERS)
+
+
+def _sql_salsa() -> str:
+    from biothings_crawler_spark.operators.pagerank import PR_SCALE
+
+    ctes = [
+        _SQL_HUBGRAPH,
+        f"""
+ind AS MATERIALIZED (SELECT dst, COUNT(*) AS indeg FROM e GROUP BY dst),
+outd AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+a0 AS MATERIALIZED (SELECT dst AS node,
+                    CAST(indeg * {PR_SCALE} AS BIGINT) AS a FROM ind)""",
+    ]
+    for i in range(SALSA_ITERS):
+        ctes.append(f"""
+h{i} AS MATERIALIZED (
+  SELECT e.src, CAST(SUM(a.a // i2.indeg) AS BIGINT) AS m
+  FROM e JOIN a{i} a ON a.node = e.dst JOIN ind i2 ON i2.dst = e.dst
+  GROUP BY e.src),
+a{i + 1} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM(h.m // o.outdeg) AS BIGINT) AS a
+  FROM e JOIN h{i} h ON h.src = e.src JOIN outd o ON o.src = e.src
+  GROUP BY e.dst)""")
+    return ("WITH " + ",".join(ctes)
+            + f"\nSELECT node, a AS authority FROM a{SALSA_ITERS}")
+
+
+SQL_SALSA = _sql_salsa()
+
+
 OPIC_GREEDY_ROUNDS = 3
 OPIC_GREEDY_B = 64
 
@@ -12038,6 +12080,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_host_overlap": q_host_overlap,
     "q_opic_greedy": q_opic_greedy,
     "q_lang_smooth": q_lang_smooth,
+    "q_salsa": q_salsa,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -12260,6 +12303,7 @@ ORACLES: dict[str, str] = {
     "q_host_overlap": SQL_HOST_OVERLAP,
     "q_opic_greedy": SQL_OPIC_GREEDY,
     "q_lang_smooth": SQL_LANG_SMOOTH,
+    "q_salsa": SQL_SALSA,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -181,3 +181,33 @@ def test_opic_greedy_unfetched_cash_carries(spark):
     untouched = [n for n, r in out.items()
                  if r["n_fetched"] == 0 and r["cash"] == PR_SCALE]
     assert len(untouched) >= 3
+
+
+def test_salsa_resists_tight_knit_community(spark):
+    from biothings_crawler_spark.operators.pagerank import salsa_authorities
+
+    # a dense 4-clique of mutual links (the TKC link-farm shape) vs a
+    # genuinely popular page 50 endorsed by 6 INDEPENDENT hubs.
+    clique = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13)
+              if a != b]
+    popular = [(i, 50) for i in range(6)]
+    got = {r["node"]: r["authority"] for r in
+           salsa_authorities(spark.createDataFrame(
+               clique + popular, "src long, dst long"), iters=3).collect()}
+    # SALSA's degree normalization keeps the farm from dominating: the
+    # independently-endorsed page outranks every clique member
+    assert all(got[50] > got[c] for c in (10, 11, 12, 13))
+
+
+def test_salsa_mass_bounded(spark):
+    from biothings_crawler_spark.operators.pagerank import (
+        PR_SCALE,
+        salsa_authorities,
+    )
+
+    e = _edges(spark, [(0, 1), (0, 2), (3, 1), (3, 4), (2, 3)])
+    out = salsa_authorities(e, iters=4).collect()
+    total = sum(r["authority"] for r in out)
+    n_edges = 5  # init mass = one scale per in-link = |E| * scale
+    assert total <= n_edges * PR_SCALE  # floor losses only shrink mass
+    assert total >= n_edges * PR_SCALE - 4 * 5 * 2  # < 1 unit/edge/halfstep
