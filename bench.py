@@ -71,6 +71,7 @@ SUITE = [
     "q_opic_greedy",
     "q_lang_smooth",
     "q_salsa",
+    "q_fetch_fairness",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

@@ -428,3 +428,28 @@ def fetch_schedule(
         .cast("long").alias("start_us"),
     ).withColumn(
         "wait_us", (F.col("start_us") - F.col("arrival_us")).cast("long"))
+
+
+def fetch_fairness(fetches: DataFrame, host_col: str = "host") -> DataFrame:
+    """Jain's fairness index over per-host fetch counts, in exact ppm:
+    J = (Σx)^2 * 10^6 div (n * Σx^2) — 10^6 ppm when every host got
+    the same share, -> 10^6/n as one host monopolizes the budget. The
+    single-number observability row for the politeness plane: a round
+    whose J drops is a round where hot hosts crowded out the tail
+    (aging/budget knobs exist to push it back up).
+
+    One (host) hash agg + a 1-row fold; Σx and Σx^2 go through
+    DECIMAL(38,0) (HUGEINT in the twin) so the square never overflows
+    BIGINT at web-scale counts."""
+    per = fetches.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum("x").cast("long").alias("n_fetches"),
+        F.expr(
+            "cast(cast(sum(x) as decimal(38,0)) * sum(x) * 1000000"
+            " div (count(*) * cast(sum(x * x) as decimal(38,0)))"
+            " as bigint)"
+        ).alias("jain_ppm"),
+    )

@@ -11809,6 +11809,35 @@ FROM langs g LEFT JOIN major m2 USING (host)
 """
 
 
+def q_fetch_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jain fairness index over per-host fetch counts (operators/
+    politeness.fetch_fairness): exact-ppm J = (Σx)^2*10^6 div (n*Σx^2)
+    via DECIMAL/HUGEINT intermediates — the politeness plane's
+    one-number observability row. Hosts from events with a skewed
+    long-tail (user_id % 60, plus a hot host taking every 5th event)."""
+    from biothings_crawler_spark.operators.politeness import fetch_fairness
+
+    ev = _t(spark, sf_dir, "events")
+    host = F.when(F.col("event_id") % 5 == 0, F.lit("hot.example")) \
+        .otherwise(F.concat(F.lit("h"), (F.col("user_id") % 60)
+                            .cast("string")))
+    return fetch_fairness(ev.select(host.alias("host")))
+
+
+SQL_FETCH_FAIRNESS = """
+WITH f AS (
+  SELECT CASE WHEN event_id % 5 = 0 THEN 'hot.example'
+              ELSE 'h' || CAST(user_id % 60 AS VARCHAR) END AS host
+  FROM events),
+per AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS x FROM f GROUP BY host)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(x) AS BIGINT) AS n_fetches,
+       CAST(SUM(x)::HUGEINT * SUM(x) * 1000000
+            // (COUNT(*) * SUM(x * x)::HUGEINT) AS BIGINT) AS jain_ppm
+FROM per
+"""
+
+
 SALSA_ITERS = 3
 
 
@@ -12081,6 +12110,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_opic_greedy": q_opic_greedy,
     "q_lang_smooth": q_lang_smooth,
     "q_salsa": q_salsa,
+    "q_fetch_fairness": q_fetch_fairness,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -12304,6 +12334,7 @@ ORACLES: dict[str, str] = {
     "q_opic_greedy": SQL_OPIC_GREEDY,
     "q_lang_smooth": SQL_LANG_SMOOTH,
     "q_salsa": SQL_SALSA,
+    "q_fetch_fairness": SQL_FETCH_FAIRNESS,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

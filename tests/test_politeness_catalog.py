@@ -260,3 +260,22 @@ def test_ip_politeness_rank_is_global_within_ip(spark):
     # sched_rank is 1..6 across the merged IP group — the ranks of the
     # naive window over the union of both vhosts' candidates
     assert sorted(r["sched_rank"] for r in got) == [1, 2, 3, 4, 5, 6]
+
+
+def test_jain_fairness_bounds(spark):
+    from biothings_crawler_spark.operators.politeness import fetch_fairness
+
+    # perfectly even: J = 1.0 exactly
+    even = spark.createDataFrame(
+        [(f"h{i % 4}",) for i in range(40)], "host string")
+    r = fetch_fairness(even).collect()[0]
+    assert (r["n_hosts"], r["n_fetches"], r["jain_ppm"]) == (4, 40, 1_000_000)
+
+    # one host monopolizes: J -> 1/n
+    skew = spark.createDataFrame(
+        [("hog",)] * 97 + [("a",), ("b",), ("c",)], "host string")
+    r = fetch_fairness(skew).collect()[0]
+    assert r["n_hosts"] == 4
+    # exact: (100^2 * 1e6) // (4 * (97^2 + 3)) = 265,652,...
+    assert r["jain_ppm"] == 100 * 100 * 1_000_000 // (4 * (97 * 97 + 3))
+    assert r["jain_ppm"] < 300_000
