@@ -72,6 +72,7 @@ SUITE = [
     "q_lang_smooth",
     "q_salsa",
     "q_fetch_fairness",
+    "q_robots_drift",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

@@ -50,16 +50,14 @@ def path_col(url):
     return F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
 
 
-def apply_robots(candidates: DataFrame, robots: DataFrame, obey: bool = True) -> DataFrame:
-    """Filter candidates by robots allow/disallow (longest-match wins).
-
-    robots(host, allow, disallow, crawl_delay, sitemap_urls) is a small
-    dimension — broadcast join, no shuffle of the candidate side.
-    Hosts with no robots row are allowed. With ``obey=False`` (the
-    reference's actual configuration) this is the identity.
-    """
-    if not obey:
-        return candidates
+def robots_decisions(
+    candidates: DataFrame, robots: DataFrame, flag_col: str = "blocked"
+) -> DataFrame:
+    """candidates + ``flag_col``: the longest-match allow/disallow
+    verdict under the given robots rules (hosts with no rules row are
+    allowed). The decision primitive behind :func:`apply_robots` and
+    :func:`robots_drift` — one broadcast join + row-local array folds,
+    the candidate side never shuffles."""
     joined = candidates.join(
         F.broadcast(robots.select("host", "allow", "disallow")), "host", "left"
     )
@@ -72,7 +70,49 @@ def apply_robots(candidates: DataFrame, robots: DataFrame, obey: bool = True) ->
     allow_len = F.coalesce(longest(F.col("allow")), F.lit(0))
     dis_len = F.coalesce(longest(F.col("disallow")), F.lit(0))
     blocked = F.col("disallow").isNotNull() & (dis_len > allow_len) & (dis_len > 0)
-    return joined.filter(~blocked).drop("allow", "disallow")
+    return joined.withColumn(flag_col, blocked).drop("allow", "disallow")
+
+
+def apply_robots(candidates: DataFrame, robots: DataFrame, obey: bool = True) -> DataFrame:
+    """Filter candidates by robots allow/disallow (longest-match wins).
+
+    robots(host, allow, disallow, crawl_delay, sitemap_urls) is a small
+    dimension — broadcast join, no shuffle of the candidate side.
+    Hosts with no robots row are allowed. With ``obey=False`` (the
+    reference's actual configuration) this is the identity.
+    """
+    if not obey:
+        return candidates
+    return (
+        robots_decisions(candidates, robots, "__blocked")
+        .filter(~F.col("__blocked"))
+        .drop("__blocked")
+    )
+
+
+def robots_drift(
+    candidates: DataFrame, old_robots: DataFrame, new_robots: DataFrame
+) -> DataFrame:
+    """Policy-drift triage after a robots.txt refetch: every candidate
+    URL re-evaluated under the OLD and the NEW rules, classified
+    ``revoke`` (was crawlable, now disallowed — feed
+    operators/seen.revoke_seen and drop from the index),
+    ``admit`` (was disallowed, now crawlable — back into the
+    frontier), or ``unchanged``. The reference refetches robots but
+    never reconciles past decisions; at 10^10 URLs a policy flip on a
+    big host is a mass takedown/backfill event this op sizes and
+    drives.
+
+    Two broadcast decision joins + a row-local CASE — the candidate
+    side still never shuffles."""
+    d = robots_decisions(candidates, old_robots, "blocked_old")
+    d = robots_decisions(d, new_robots, "blocked_new")
+    return d.withColumn(
+        "action",
+        F.when(~F.col("blocked_old") & F.col("blocked_new"), F.lit("revoke"))
+        .when(F.col("blocked_old") & ~F.col("blocked_new"), F.lit("admit"))
+        .otherwise(F.lit("unchanged")),
+    )
 
 
 def host_budgets(

@@ -11838,6 +11838,82 @@ FROM per
 """
 
 
+_DRIFT_PATHS = ["/pub/a", "/priv/x", "/priv2/y", "/docs/z", "/other"]
+
+
+def q_robots_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots policy-drift triage (operators/politeness.robots_drift):
+    19 hosts x 5 paths re-evaluated under old vs new rule sets — even
+    hosts newly disallow /priv2 (-> revoke), h%3==0 hosts drop their
+    /docs disallow (-> admit), everything else unchanged. The
+    reconciliation pass a robots refetch must trigger; revoke rows
+    feed seen.revoke_seen, admit rows re-enter the frontier."""
+    from biothings_crawler_spark.operators.politeness import robots_drift
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 19)
+    hid = F.col("doc_id")
+    host = F.concat(F.lit("h"), hid.cast("string"))
+    old = d.select(
+        host.alias("host"),
+        F.array(F.lit("/pub")).alias("allow"),
+        F.when(hid % 3 == 0, F.array(F.lit("/priv"), F.lit("/docs")))
+        .otherwise(F.array(F.lit("/priv"))).alias("disallow"),
+    )
+    new = d.select(
+        host.alias("host"),
+        F.array(F.lit("/pub")).alias("allow"),
+        F.when(hid % 2 == 0, F.array(F.lit("/priv"), F.lit("/priv2")))
+        .otherwise(F.array(F.lit("/priv"))).alias("disallow"),
+    )
+    paths = ", ".join(f"'{p}'" for p in _DRIFT_PATHS)
+    cand = d.select(
+        host.alias("host"), F.explode(F.expr(f"array({paths})")).alias("p")
+    ).select("host", F.concat(F.lit("https://"), F.col("host"),
+                              F.col("p")).alias("url_canon"))
+    return robots_drift(cand, old, new).select(
+        "host", "url_canon", "blocked_old", "blocked_new", "action"
+    )
+
+
+def _sql_robots_drift() -> str:
+    paths = ", ".join(f"'{p}'" for p in _DRIFT_PATHS)
+
+    def dec(rules_cte: str, flag: str) -> str:
+        alen = ("coalesce(list_max(list_transform(list_filter(r.al, "
+                "x -> starts_with(c.p, x)), x -> len(x))), 0)")
+        dlen = ("coalesce(list_max(list_transform(list_filter(r.dl, "
+                "x -> starts_with(c.p, x)), x -> len(x))), 0)")
+        return f"""
+  SELECT c.host, c.url_canon,
+         (r.dl IS NOT NULL AND {dlen} > {alen} AND {dlen} > 0) AS {flag}
+  FROM cand c LEFT JOIN {rules_cte} r ON c.host = r.host"""
+
+    return f"""
+WITH h AS (SELECT doc_id AS hid, 'h' || CAST(doc_id AS VARCHAR) AS host
+           FROM documents WHERE doc_id < 19),
+old_r AS (SELECT host, ['/pub'] AS al,
+                 CASE WHEN hid % 3 = 0 THEN ['/priv', '/docs']
+                      ELSE ['/priv'] END AS dl FROM h),
+new_r AS (SELECT host, ['/pub'] AS al,
+                 CASE WHEN hid % 2 = 0 THEN ['/priv', '/priv2']
+                      ELSE ['/priv'] END AS dl FROM h),
+cand AS (SELECT host, p, 'https://' || host || p AS url_canon
+         FROM h, unnest([{paths}]) AS t(p)),
+d_old AS ({dec("old_r", "blocked_old")}),
+d_new AS ({dec("new_r", "blocked_new")})
+SELECT c.host, c.url_canon, o.blocked_old, n.blocked_new,
+       CASE WHEN NOT o.blocked_old AND n.blocked_new THEN 'revoke'
+            WHEN o.blocked_old AND NOT n.blocked_new THEN 'admit'
+            ELSE 'unchanged' END AS action
+FROM cand c
+JOIN d_old o ON o.host = c.host AND o.url_canon = c.url_canon
+JOIN d_new n ON n.host = c.host AND n.url_canon = c.url_canon
+"""
+
+
+SQL_ROBOTS_DRIFT = _sql_robots_drift()
+
+
 SALSA_ITERS = 3
 
 
@@ -12111,6 +12187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lang_smooth": q_lang_smooth,
     "q_salsa": q_salsa,
     "q_fetch_fairness": q_fetch_fairness,
+    "q_robots_drift": q_robots_drift,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -12335,6 +12412,7 @@ ORACLES: dict[str, str] = {
     "q_lang_smooth": SQL_LANG_SMOOTH,
     "q_salsa": SQL_SALSA,
     "q_fetch_fairness": SQL_FETCH_FAIRNESS,
+    "q_robots_drift": SQL_ROBOTS_DRIFT,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -279,3 +279,41 @@ def test_jain_fairness_bounds(spark):
     # exact: (100^2 * 1e6) // (4 * (97^2 + 3)) = 265,652,...
     assert r["jain_ppm"] == 100 * 100 * 1_000_000 // (4 * (97 * 97 + 3))
     assert r["jain_ppm"] < 300_000
+
+
+def test_robots_drift_classifies_revoke_admit_unchanged(spark):
+    from biothings_crawler_spark.operators.politeness import robots_drift
+
+    cand = spark.createDataFrame(
+        [("a", "https://a/docs/p"), ("a", "https://a/priv2/p"),
+         ("a", "https://a/pub/p"), ("b", "https://b/any")],
+        "host string, url_canon string")
+    old = spark.createDataFrame(
+        [("a", ["/pub"], ["/docs"])],
+        "host string, allow array<string>, disallow array<string>")
+    new = spark.createDataFrame(
+        [("a", ["/pub"], ["/priv2"])],
+        "host string, allow array<string>, disallow array<string>")
+    got = {r["url_canon"]: r["action"]
+           for r in robots_drift(cand, old, new).collect()}
+    assert got["https://a/docs/p"] == "admit"      # disallow dropped
+    assert got["https://a/priv2/p"] == "revoke"    # newly disallowed
+    assert got["https://a/pub/p"] == "unchanged"
+    assert got["https://b/any"] == "unchanged"     # no rules either side
+
+
+def test_robots_drift_longest_match_still_wins(spark):
+    from biothings_crawler_spark.operators.politeness import robots_drift
+
+    cand = spark.createDataFrame(
+        [("a", "https://a/priv/pub/ok")], "host string, url_canon string")
+    old = spark.createDataFrame(
+        [("a", ["/priv/pub"], ["/priv"])],
+        "host string, allow array<string>, disallow array<string>")
+    # new rules flip the specificity: allow shortened below the disallow
+    new = spark.createDataFrame(
+        [("a", ["/p"], ["/priv"])],
+        "host string, allow array<string>, disallow array<string>")
+    r = robots_drift(cand, old, new).collect()[0]
+    assert not r["blocked_old"] and r["blocked_new"]
+    assert r["action"] == "revoke"
