@@ -73,6 +73,7 @@ SUITE = [
     "q_salsa",
     "q_fetch_fairness",
     "q_robots_drift",
+    "q_hll_by_host",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

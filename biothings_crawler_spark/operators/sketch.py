@@ -618,3 +618,43 @@ def host_overlap_pairs(
         .drop("u_est")
         .filter(F.col("jaccard_ppm") >= min_jaccard_ppm)
     )
+
+
+def hll_distinct_by(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group integer-HLL distinct estimates — the host-size census
+    (distinct URLs per host) at 10^10 rows without a per-host exact
+    distinct: state is <= HLL_M registers PER GROUP, so the shuffle
+    carries at most |groups| x 256 rows whatever the input size.
+
+    Shape: one (group, bucket) max-agg (map-side partials eat the
+    duplicates), one bounded per-group register-array rebuild, then
+    the same row-local integer estimate as :func:`hll_distinct`
+    (raw/linear-counting regime split included) via
+    :func:`with_hll_estimate`. Output: (group, estimate)."""
+    bucket, rho = hll_register_cols(F.col(value_col))
+    regs = (
+        df.select(F.col(group_col).alias("grp"),
+                  bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    packed = regs.groupBy("grp").agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(HLL_M - 1)),
+            lambda j: F.coalesce(
+                F.element_at(
+                    F.map_from_entries(
+                        F.collect_list(F.struct(F.col("bucket"), F.col("r")))
+                    ),
+                    j.cast("bigint"),
+                ),
+                F.lit(0),
+            ).cast("int"),
+        ).alias("regs")
+    )
+    return with_hll_estimate(packed, "regs", "estimate").select(
+        F.col("grp").alias(group_col), F.col("estimate").cast("long")
+        .alias("estimate")
+    )

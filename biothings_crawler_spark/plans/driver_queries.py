@@ -11914,6 +11914,69 @@ JOIN d_new n ON n.host = c.host AND n.url_canon = c.url_canon
 SQL_ROBOTS_DRIFT = _sql_robots_drift()
 
 
+def q_hll_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host HLL distinct-URL estimates (operators/sketch.
+    hll_distinct_by): the host-size census at sketch cost — state is
+    <= 256 registers per host, never the host's page count. Fixture
+    hosts land in the linear-counting regime (the raw regime is
+    covered by q_hll_distinct); estimates are integer-exact cross-
+    engine like the global sketch."""
+    from biothings_crawler_spark.operators.sketch import hll_distinct_by
+
+    o = _t(spark, sf_dir, "orders")
+    v = o.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 40).cast("string"))
+        .alias("host"),
+        F.concat(F.lit("u"), (F.col("o_orderkey") % 500).cast("string"))
+        .alias("url"),
+    )
+    return hll_distinct_by(v, "host", "url")
+
+
+def _sql_hll_by_host() -> str:
+    from biothings_crawler_spark.operators.sketch import (
+        ALPHA_PPM,
+        HLL_M,
+        LC_CUTOFF,
+        LC_LUT,
+        RHO_CAP,
+    )
+
+    lut = ", ".join(str(x) for x in LC_LUT)
+    return f"""
+WITH vals AS (
+  SELECT 'h' || CAST(o_custkey % 40 AS VARCHAR) AS grp,
+         'u' || CAST(o_orderkey % 500 AS VARCHAR) AS v
+  FROM orders),
+hh AS (SELECT grp, md5(v) AS h FROM vals),
+rr AS (SELECT grp,
+              ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
+              LEAST(CASE WHEN ('0x' || substr(h, 3, 13))::BIGINT > 0
+                         THEN 53 - length(bin(('0x' || substr(h, 3, 13))::BIGINT))
+                         ELSE {RHO_CAP} END, {RHO_CAP}) AS rho
+       FROM hh),
+regs AS (SELECT grp, bucket, MAX(rho) AS r FROM rr GROUP BY 1, 2),
+z AS (SELECT grp,
+             CAST(SUM(1::BIGINT << ({RHO_CAP} - r))
+                  + ({HLL_M} - COUNT(*)) * (1::BIGINT << {RHO_CAP})
+                  AS BIGINT) AS z,
+             CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_empty
+      FROM regs GROUP BY grp),
+raw AS (SELECT grp,
+               CAST({ALPHA_PPM} * ({HLL_M * HLL_M} * (1::BIGINT << {RHO_CAP})
+                    // z) // 1000000 AS BIGINT) AS raw_est, v_empty
+        FROM z)
+SELECT grp AS host,
+       CAST(CASE WHEN raw_est <= {LC_CUTOFF} AND v_empty > 0
+            THEN list_extract([{lut}], CAST(v_empty AS INT))
+            ELSE raw_est END AS BIGINT) AS estimate
+FROM raw
+"""
+
+
+SQL_HLL_BY_HOST = _sql_hll_by_host()
+
+
 SALSA_ITERS = 3
 
 
@@ -12188,6 +12251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_salsa": q_salsa,
     "q_fetch_fairness": q_fetch_fairness,
     "q_robots_drift": q_robots_drift,
+    "q_hll_by_host": q_hll_by_host,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -12413,6 +12477,7 @@ ORACLES: dict[str, str] = {
     "q_salsa": SQL_SALSA,
     "q_fetch_fairness": SQL_FETCH_FAIRNESS,
     "q_robots_drift": SQL_ROBOTS_DRIFT,
+    "q_hll_by_host": SQL_HLL_BY_HOST,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

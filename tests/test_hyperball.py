@@ -162,3 +162,26 @@ def test_host_overlap_saturated_near_truth(spark):
     assert abs(r["a_est"] - 2000) <= 300
     assert abs(r["inter_est"] - 1000) <= 350
     assert abs(r["jaccard_ppm"] - 333_333) <= 130_000
+
+
+def test_hll_by_host_accuracy_and_merge_with_global(spark):
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.sketch import (
+        hll_distinct,
+        hll_distinct_by,
+    )
+
+    # three hosts with known distinct counts (50 / 120 / 700)
+    rows = ([("a", f"u{i % 50}") for i in range(400)]
+            + [("b", f"u{i % 120}") for i in range(400)]
+            + [("c", f"w{i}") for i in range(700)])
+    df = spark.createDataFrame(rows, "host string, url string")
+    got = {r["host"]: r["estimate"]
+           for r in hll_distinct_by(df, "host", "url").collect()}
+    for host, truth in (("a", 50), ("b", 120), ("c", 700)):
+        assert abs(got[host] - truth) <= max(3, truth * 0.12), (host, got)
+    # the per-host sketch of a single-host frame equals the global one
+    only_a = df.filter(F.col("host") == "a")
+    g = hll_distinct(only_a, "url").collect()[0]["estimate"]
+    assert got["a"] == g
