@@ -74,6 +74,7 @@ SUITE = [
     "q_fetch_fairness",
     "q_robots_drift",
     "q_hll_by_host",
+    "q_priority_fusion",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

@@ -11977,6 +11977,63 @@ FROM raw
 SQL_HLL_BY_HOST = _sql_hll_by_host()
 
 
+def q_priority_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier priority fusion (operators/frontier.fuse_priority):
+    authority (real pagerank over the hub graph) + staleness +
+    relevance planes normalized to exact ppm and weight-fused into the
+    single integer priority the politeness window orders by. URLs
+    present in only some planes contribute 0 elsewhere (exercised:
+    staleness/relevance cover only id%2==0 / id%3==0 slices)."""
+    from biothings_crawler_spark.operators.frontier import fuse_priority
+    from biothings_crawler_spark.operators.pagerank import pagerank
+
+    url = lambda c: F.concat(F.lit("https://x/p/"), c.cast("string"))  # noqa: E731
+    auth = pagerank(_hub_edges(spark, sf_dir), iters=PR_ITERS).select(
+        url(F.col("node")).alias("url_canon"), "rank")
+    d = _t(spark, sf_dir, "documents")
+    stale = d.filter(F.col("doc_id") % 2 == 0).select(
+        url(F.col("doc_id")).alias("url_canon"),
+        ((F.col("doc_id") * 37) % 100000).cast("long").alias("stale_s"))
+    rel = d.filter(F.col("doc_id") % 3 == 0).select(
+        url(F.col("doc_id")).alias("url_canon"),
+        ((F.col("doc_id") * 11) % 1000000).cast("long").alias("rel_ppm"))
+    return fuse_priority(auth, stale, rel)
+
+
+def _sql_priority_fusion() -> str:
+    # reuse the unrolled pagerank chain verbatim as a derived table
+    return f"""
+WITH pr AS (SELECT * FROM ({SQL_PAGERANK}) t),
+a AS (SELECT 'https://x/p/' || CAST(node AS VARCHAR) AS url_canon,
+             rank AS a FROM pr),
+s AS (SELECT 'https://x/p/' || CAST(doc_id AS VARCHAR) AS url_canon,
+             CAST((doc_id * 37) % 100000 AS BIGINT) AS s
+      FROM documents WHERE doc_id % 2 = 0),
+r AS (SELECT 'https://x/p/' || CAST(doc_id AS VARCHAR) AS url_canon,
+             CAST((doc_id * 11) % 1000000 AS BIGINT) AS r
+      FROM documents WHERE doc_id % 3 = 0),
+j AS (SELECT COALESCE(a.url_canon, s.url_canon, r.url_canon) AS url_canon,
+             COALESCE(a.a, 0) AS a, COALESCE(s.s, 0) AS s,
+             COALESCE(r.r, 0) AS r
+      FROM a FULL OUTER JOIN s ON a.url_canon = s.url_canon
+      FULL OUTER JOIN r ON COALESCE(a.url_canon, s.url_canon) = r.url_canon),
+mx AS (SELECT greatest(MAX(a), 1) AS ma, greatest(MAX(s), 1) AS ms,
+              greatest(MAX(r), 1) AS mr FROM j),
+f AS (SELECT url_canon,
+             CAST((40 * (a::HUGEINT * 1000000 // ma)
+                   + 30 * (s::HUGEINT * 1000000 // ms)
+                   + 30 * (r::HUGEINT * 1000000 // mr)) // 100
+                  AS BIGINT) AS fused_ppm
+      FROM j, mx)
+SELECT url_canon, fused_ppm,
+       CAST(1000000 - fused_ppm AS BIGINT) AS priority
+FROM f
+"""
+
+
+SQL_PRIORITY_FUSION = _sql_priority_fusion()
+
+
 SALSA_ITERS = 3
 
 
@@ -12252,6 +12309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fetch_fairness": q_fetch_fairness,
     "q_robots_drift": q_robots_drift,
     "q_hll_by_host": q_hll_by_host,
+    "q_priority_fusion": q_priority_fusion,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -12478,6 +12536,7 @@ ORACLES: dict[str, str] = {
     "q_fetch_fairness": SQL_FETCH_FAIRNESS,
     "q_robots_drift": SQL_ROBOTS_DRIFT,
     "q_hll_by_host": SQL_HLL_BY_HOST,
+    "q_priority_fusion": SQL_PRIORITY_FUSION,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,
