@@ -75,6 +75,7 @@ SUITE = [
     "q_robots_drift",
     "q_hll_by_host",
     "q_priority_fusion",
+    "q_graph_census",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

@@ -783,3 +783,47 @@ def salsa_authorities(
             .localCheckpoint(eager=True)
         )
     return auth.select("node", F.col("a").alias("authority"))
+
+
+def graph_census(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """One-row structural census of the link graph — the numbers every
+    web-graph paper reports first (Broder et al. table 1) and a crawl
+    operator reads before tuning salting/orientation: node and edge
+    counts, RECIPROCITY (share of edges whose reverse also exists — a
+    mirror/farm signal at the graph level), self-loop count, max
+    in/out degree (the salting evidence), and density in ppb. All
+    exact integers: reciprocity via one self-join on the edge key,
+    degrees via two hash aggs — no windows, no floats."""
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    m = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum((F.col("src") == F.col("dst")).cast("long"))
+        .cast("long").alias("n_self_loops"),
+    )
+    rc = recip.agg(F.count(F.lit(1)).cast("long").alias("n_recip"))
+    mo = outd.agg(F.max("d").cast("long").alias("max_out"))
+    mi = ind.agg(F.max("d").cast("long").alias("max_in"))
+    row = n.join(m).join(rc).join(mo).join(mi)
+    return row.select(
+        "n_nodes", "n_edges", "n_self_loops",
+        F.expr("n_recip * 1000000 div n_edges").cast("long")
+        .alias("reciprocity_ppm"),
+        "max_out", "max_in",
+        F.expr(
+            "cast(cast(n_edges as decimal(38,0)) * 1000000000"
+            " div (cast(n_nodes as decimal(38,0)) * n_nodes) as bigint)"
+        ).alias("density_ppb"),
+    )

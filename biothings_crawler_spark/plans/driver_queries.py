@@ -12034,6 +12034,55 @@ FROM f
 SQL_PRIORITY_FUSION = _sql_priority_fusion()
 
 
+def q_graph_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph structural census (operators/pagerank.graph_census)
+    over the hub graph plus planted reciprocal pairs (the bow-tie
+    cycle and its reverses): node/edge/self-loop counts, reciprocity
+    ppm, degree maxima, density ppb — Broder-table-1 numbers, exact
+    integers."""
+    from biothings_crawler_spark.operators.pagerank import graph_census
+
+    cyc = spark.createDataFrame(
+        BOWTIE_CYCLE + [(b, a) for a, b in BOWTIE_CYCLE],
+        "src long, dst long")
+    return graph_census(_hub_edges(spark, sf_dir).unionByName(cyc))
+
+
+def _sql_graph_census() -> str:
+    cyc = " UNION ALL ".join(
+        f"SELECT CAST({a} AS BIGINT) AS src, CAST({b} AS BIGINT) AS dst"
+        for a, b in BOWTIE_CYCLE + [(b, a) for a, b in BOWTIE_CYCLE]
+    )
+    return f"""
+WITH {_SQL_HUBGRAPH},
+e2 AS (SELECT DISTINCT src, dst FROM
+       (SELECT src, dst FROM e UNION ALL {cyc})),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e2 UNION ALL SELECT dst FROM e2)),
+rc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_recip FROM e2 a
+       WHERE EXISTS (SELECT 1 FROM e2 b
+                     WHERE b.src = a.dst AND b.dst = a.src)),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_self_loops
+        FROM e2),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+mo AS (SELECT CAST(MAX(d) AS BIGINT) AS max_out FROM
+       (SELECT COUNT(*) AS d FROM e2 GROUP BY src)),
+mi AS (SELECT CAST(MAX(d) AS BIGINT) AS max_in FROM
+       (SELECT COUNT(*) AS d FROM e2 GROUP BY dst))
+SELECT n_nodes, n_edges, n_self_loops,
+       CAST(n_recip * 1000000 // n_edges AS BIGINT) AS reciprocity_ppm,
+       max_out, max_in,
+       CAST(n_edges::HUGEINT * 1000000000
+            // (n_nodes::HUGEINT * n_nodes) AS BIGINT) AS density_ppb
+FROM nn, agg, rc, mo, mi
+"""
+
+
+SQL_GRAPH_CENSUS = _sql_graph_census()
+
+
 SALSA_ITERS = 3
 
 
@@ -12310,6 +12359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_robots_drift": q_robots_drift,
     "q_hll_by_host": q_hll_by_host,
     "q_priority_fusion": q_priority_fusion,
+    "q_graph_census": q_graph_census,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -12537,6 +12587,7 @@ ORACLES: dict[str, str] = {
     "q_robots_drift": SQL_ROBOTS_DRIFT,
     "q_hll_by_host": SQL_HLL_BY_HOST,
     "q_priority_fusion": SQL_PRIORITY_FUSION,
+    "q_graph_census": SQL_GRAPH_CENSUS,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -211,3 +211,18 @@ def test_salsa_mass_bounded(spark):
     n_edges = 5  # init mass = one scale per in-link = |E| * scale
     assert total <= n_edges * PR_SCALE  # floor losses only shrink mass
     assert total >= n_edges * PR_SCALE - 4 * 5 * 2  # < 1 unit/edge/halfstep
+
+
+def test_graph_census_hand_computed(spark):
+    from biothings_crawler_spark.operators.pagerank import graph_census
+
+    # 0->1, 1->0 (reciprocal pair), 1->2, 2->2 (self loop), 3->2
+    e = _edges(spark, [(0, 1), (1, 0), (1, 2), (2, 2), (3, 2)])
+    r = graph_census(e).collect()[0]
+    assert r["n_nodes"] == 4 and r["n_edges"] == 5
+    assert r["n_self_loops"] == 1
+    # reciprocal: 0->1, 1->0, and the self loop 2->2 counts as its own
+    # reverse: 3 of 5 edges
+    assert r["reciprocity_ppm"] == 3 * 1_000_000 // 5
+    assert r["max_out"] == 2 and r["max_in"] == 3
+    assert r["density_ppb"] == 5 * 1_000_000_000 // 16
