@@ -76,6 +76,7 @@ SUITE = [
     "q_hll_by_host",
     "q_priority_fusion",
     "q_graph_census",
+    "q_curriculum",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

