@@ -77,6 +77,7 @@ SUITE = [
     "q_priority_fusion",
     "q_graph_census",
     "q_curriculum",
+    "q_rrf_hybrid",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

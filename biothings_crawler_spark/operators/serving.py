@@ -146,3 +146,35 @@ def diverse_topk(
         .limit(k)
         .select("id", "host", "score", "host_rank")
     )
+
+
+def rrf_fuse(rankings, k_const: int = 60) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    — the standard hybrid-search merge: given N (id, rank) lists from
+    heterogeneous retrievers (integer BM25, ANN cosine, ...), score
+    each id Σ_lists 10^6 div (k + rank). Rank-based, so incomparable
+    score scales fuse safely; k=60 is the paper's constant. Exact
+    integers — the fused ORDER is oracle-verifiable like everything
+    else here.
+
+    Output: (id, n_lists, rrf_ppm). Each input list is top-k sized by
+    construction (a TakeOrdered result), so the union + hash agg is
+    driver-light and broadcastable downstream."""
+    from pyspark.sql import functions as F
+
+    parts = [
+        r.select(F.col(r.columns[0]).alias("id"),
+                 F.col("rank").cast("long").alias("rank"))
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            F.sum(F.expr(f"1000000 div ({k_const} + rank)"))
+            .cast("long").alias("rrf_ppm"),
+        )
+    )

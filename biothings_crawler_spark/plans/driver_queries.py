@@ -12174,6 +12174,50 @@ WHERE cum_tokens <= CASE stage {budgets} END
 SQL_CURRICULUM = _sql_curriculum()
 
 
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (operators/serving.
+    rrf_fuse, Cormack et al. SIGIR 2009): the integer-BM25 lexical
+    top-20 fused with the ANN cosine top-20 for query vector 0 —
+    documents and embeddings share the id domain, so this is the
+    standard two-tower hybrid merge, rank-based and exact."""
+    from pyspark.sql import Window as W
+
+    from biothings_crawler_spark.operators.bm25 import bm25_topk
+    from biothings_crawler_spark.operators.serving import rrf_fuse
+    from biothings_crawler_spark.operators.similarity import brute_force_topk
+
+    lex = bm25_topk(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                    BM25_QUERY, k=20)
+    lex = lex.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("score"), "id"))
+    ).select("id", "rank")
+    e = _t(spark, sf_dir, "embeddings")
+    sem = brute_force_topk(e, e.filter(F.col("vec_id") == 0),
+                           "vec_id", "embedding", k=20) \
+        .select(F.col("vec_id").alias("id"), "rank")
+    return rrf_fuse([lex, sem])
+
+
+SQL_RRF_HYBRID = f"""
+WITH lex AS (
+  SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS BIGINT)
+           AS rank
+  FROM ({SQL_BM25_TOPK}) t),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (SELECT vec_id AS id, {_sql_cosine('qv', 'embedding')} AS cosine
+       FROM embeddings, q),
+sem AS (
+  SELECT id, CAST(rn AS BIGINT) AS rank
+  FROM (SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS rn
+        FROM sc)
+  WHERE rn <= 20),
+u AS (SELECT id, rank FROM lex UNION ALL SELECT id, rank FROM sem)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+       CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm
+FROM u GROUP BY id
+"""
+
+
 SALSA_ITERS = 3
 
 
@@ -12452,6 +12496,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_priority_fusion": q_priority_fusion,
     "q_graph_census": q_graph_census,
     "q_curriculum": q_curriculum,
+    "q_rrf_hybrid": q_rrf_hybrid,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -12681,6 +12726,7 @@ ORACLES: dict[str, str] = {
     "q_priority_fusion": SQL_PRIORITY_FUSION,
     "q_graph_census": SQL_GRAPH_CENSUS,
     "q_curriculum": SQL_CURRICULUM,
+    "q_rrf_hybrid": SQL_RRF_HYBRID,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -105,3 +105,21 @@ def test_ef_bits_match_formula_and_beat_raw_when_dense(spark):
     assert d["savings_ppm"] == (2048 - 128) * 1000000 // 2048
     r = rep[("rare", 1)]
     assert (r["df_chunk"], r["low_bits"], r["ef_bits"]) == (1, 6, 8)
+
+
+def test_rrf_fusion_hand_computed(spark):
+    from biothings_crawler_spark.operators.serving import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                              "id long, rank long")
+    b = spark.createDataFrame([(3, 1), (1, 2), (9, 3)],
+                              "id long, rank long")
+    got = {r["id"]: r for r in rrf_fuse([a, b], k_const=60).collect()}
+    # id 1: 1e6//61 + 1e6//62 ; id 3: 1e6//63 + 1e6//61
+    assert got[1]["rrf_ppm"] == 1000000 // 61 + 1000000 // 62
+    assert got[3]["rrf_ppm"] == 1000000 // 63 + 1000000 // 61
+    assert got[2]["rrf_ppm"] == 1000000 // 62
+    assert got[9]["n_lists"] == 1 and got[1]["n_lists"] == 2
+    # consensus beats a single high rank: id 1 and 3 (both lists)
+    # outscore id 2 (rank 2 in one list only)
+    assert min(got[1]["rrf_ppm"], got[3]["rrf_ppm"]) > got[2]["rrf_ppm"]
