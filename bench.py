@@ -78,6 +78,7 @@ SUITE = [
     "q_graph_census",
     "q_curriculum",
     "q_rrf_hybrid",
+    "q_rank_correlation",
     "q_substr_spans",
     "q_maxscore_topk",
     "q_image_phash",

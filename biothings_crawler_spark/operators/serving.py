@@ -178,3 +178,51 @@ def rrf_fuse(rankings, k_const: int = 60) -> DataFrame:
             .cast("long").alias("rrf_ppm"),
         )
     )
+
+
+def rank_correlation(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Exact Kendall tau-a between two top-k rankings, in ppm: over
+    the ids PRESENT IN BOTH lists, tau = (concordant - discordant)
+    pairs * 10^6 div (m*(m-1)/2). The retrieval-eval primitive for
+    comparing rankers (BM25 vs ANN vs fused) and for change detection
+    between index builds — the sibling of q_retrieval_metrics' nDCG.
+
+    Inputs: (id, rank) frames. The pair enumeration is a self-join of
+    the JOINED top-k list with itself (m <= k rows by construction —
+    this is a serving-side diagnostic over TakeOrdered results, never
+    a corpus op; the m^2 is bounded by k^2). One row out:
+    (n_common, n_pairs, tau_ppm)."""
+    from pyspark.sql import functions as F
+
+    j = (
+        a.select(F.col(a.columns[0]).alias("id"),
+                 F.col("rank").cast("long").alias("ra"))
+        .join(b.select(F.col(b.columns[0]).alias("id"),
+                       F.col("rank").cast("long").alias("rb")), "id")
+    )
+    l = j.select(F.col("id").alias("i1"), F.col("ra").alias("a1"),
+                 F.col("rb").alias("b1"))
+    r = j.select(F.col("id").alias("i2"), F.col("ra").alias("a2"),
+                 F.col("rb").alias("b2"))
+    pairs = l.join(r, F.col("i1") < F.col("i2"))
+    sgn = (
+        F.when(((F.col("a1") < F.col("a2")) & (F.col("b1") < F.col("b2")))
+               | ((F.col("a1") > F.col("a2")) & (F.col("b1") > F.col("b2"))),
+               F.lit(1))
+        .otherwise(F.lit(-1))
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(sgn).cast("long").alias("s"),
+    )
+    m = j.agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    return m.join(agg).select(
+        "n_common", "n_pairs",
+        # trunc-toward-zero on BOTH engines regardless of sign (Spark
+        # div truncates, DuckDB // floors — abs() makes them agree)
+        F.when(F.col("n_pairs") > 0,
+               F.expr("case when s < 0"
+                      " then -(((-s) * 1000000) div n_pairs)"
+                      " else (s * 1000000) div n_pairs end"))
+        .otherwise(F.lit(0)).cast("long").alias("tau_ppm"),
+    )

@@ -12218,6 +12218,58 @@ FROM u GROUP BY id
 """
 
 
+def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a between the lexical (integer BM25) and semantic
+    (ANN cosine) top-20 rankings (operators/serving.rank_correlation)
+    — the ranker-agreement diagnostic behind hybrid-search tuning.
+    Exact ppm over the common ids; bounded k^2 pair enumeration."""
+    from pyspark.sql import Window as W
+
+    from biothings_crawler_spark.operators.bm25 import bm25_topk
+    from biothings_crawler_spark.operators.serving import rank_correlation
+    from biothings_crawler_spark.operators.similarity import brute_force_topk
+
+    lex = bm25_topk(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                    BM25_QUERY, k=20)
+    lex = lex.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("score"), "id"))
+    ).select("id", "rank")
+    e = _t(spark, sf_dir, "embeddings")
+    sem = brute_force_topk(e, e.filter(F.col("vec_id") == 0),
+                           "vec_id", "embedding", k=20) \
+        .select(F.col("vec_id").alias("id"), "rank")
+    return rank_correlation(lex, sem)
+
+
+SQL_RANK_CORRELATION = f"""
+WITH lex AS (
+  SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS BIGINT)
+           AS ra
+  FROM ({SQL_BM25_TOPK}) t),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (SELECT vec_id AS id, {_sql_cosine('qv', 'embedding')} AS cosine
+       FROM embeddings, q),
+sem AS (
+  SELECT id, CAST(rn AS BIGINT) AS rb
+  FROM (SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS rn
+        FROM sc)
+  WHERE rn <= 20),
+j AS (SELECT lex.id, ra, rb FROM lex JOIN sem USING (id)),
+pairs AS (
+  SELECT CASE WHEN (l.ra < r.ra AND l.rb < r.rb)
+                OR (l.ra > r.ra AND l.rb > r.rb) THEN 1 ELSE -1 END AS sgn
+  FROM j l JOIN j r ON l.id < r.id),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(sgn), 0) AS BIGINT) AS s FROM pairs),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common FROM j)
+SELECT n_common, n_pairs,
+       CAST(CASE WHEN n_pairs = 0 THEN 0
+                 WHEN s < 0 THEN -(((-s) * 1000000) // n_pairs)
+                 ELSE (s * 1000000) // n_pairs END AS BIGINT) AS tau_ppm
+FROM m, agg
+"""
+
+
 SALSA_ITERS = 3
 
 
@@ -12497,6 +12549,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_graph_census": q_graph_census,
     "q_curriculum": q_curriculum,
     "q_rrf_hybrid": q_rrf_hybrid,
+    "q_rank_correlation": q_rank_correlation,
     "q_indegree_dist": q_indegree_dist,
     "q_fetch_schedule": q_fetch_schedule,
     "q_url_identity": q_url_identity,
@@ -12727,6 +12780,7 @@ ORACLES: dict[str, str] = {
     "q_graph_census": SQL_GRAPH_CENSUS,
     "q_curriculum": SQL_CURRICULUM,
     "q_rrf_hybrid": SQL_RRF_HYBRID,
+    "q_rank_correlation": SQL_RANK_CORRELATION,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

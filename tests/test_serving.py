@@ -123,3 +123,23 @@ def test_rrf_fusion_hand_computed(spark):
     # consensus beats a single high rank: id 1 and 3 (both lists)
     # outscore id 2 (rank 2 in one list only)
     assert min(got[1]["rrf_ppm"], got[3]["rrf_ppm"]) > got[2]["rrf_ppm"]
+
+
+def test_kendall_tau_extremes_and_sign(spark):
+    from biothings_crawler_spark.operators.serving import rank_correlation
+
+    a = spark.createDataFrame([(i, i) for i in range(1, 6)],
+                              "id long, rank long")
+    same = rank_correlation(a, a).collect()[0]
+    assert (same["n_common"], same["n_pairs"]) == (5, 10)
+    assert same["tau_ppm"] == 1_000_000
+    rev = spark.createDataFrame([(i, 6 - i) for i in range(1, 6)],
+                                "id long, rank long")
+    opp = rank_correlation(a, rev).collect()[0]
+    assert opp["tau_ppm"] == -1_000_000
+    # partial overlap: only common ids participate
+    b = spark.createDataFrame([(1, 1), (2, 3), (9, 2)],
+                              "id long, rank long")
+    part = rank_correlation(a, b).collect()[0]
+    assert part["n_common"] == 2 and part["n_pairs"] == 1
+    assert part["tau_ppm"] == 1_000_000  # 1<2 in both
