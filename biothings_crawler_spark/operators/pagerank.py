@@ -827,3 +827,96 @@ def graph_census(
             " div (cast(n_nodes as decimal(38,0)) * n_nodes) as bigint)"
         ).alias("density_ppb"),
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Newman modularity Q of a node partition over the UNDIRECTED
+    simple graph (Newman & Girvan 2004) — the single number that says
+    whether a community assignment (label_propagation output, host
+    grouping, site families) found real structure or noise.  Q > 0.3
+    on a web host graph means the partition is worth using for
+    crawl sharding; Q ~ 0 means the labels are arbitrary.
+
+    Q = sum_c [ e_c/m - (d_c/2m)^2 ]
+      = (4m * sum_c e_c - sum_c d_c^2) / (4m^2)
+
+    with m undirected edges, e_c intra-community edges, d_c the summed
+    degree of community c.  Output is ONE row
+    ``(n_communities, m_edges, intra_edges, q_ppm)`` with q_ppm the
+    exact floor of 1e6*Q — computed entirely in integer/decimal(38,0)
+    arithmetic via the shift trick (Q >= -1 always, so
+    ``(1e6*(num+den)) div den - 1e6`` floors correctly with both
+    operands non-negative, matching DuckDB's ``//`` semantics).
+
+    Scale shape: canonicalize to (min,max) edge keys + distinct (one
+    shuffle), two label hash-joins keyed on the node id (labels side
+    is (node,label) — slim), then ONE scan of the tagged edges:
+    each edge explodes into its two (community, intra-flag)
+    incidences, one keyed hash agg on community, one one-row agg.
+    The tagged-join output is never recomputed (no union of three
+    separate aggregates over it), m and intra fall out of the same
+    pass (sum d = 2m, sum intra-halves = 2*intra).  No windows, no
+    floats, no driver iteration: at a 10^10-edge graph this is the
+    same plan class as graph_census.  Nodes missing from ``labels``
+    count as singleton communities (their own label), so a partial
+    labeling is still scored correctly.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    lab = labels.select(F.col("node"), F.col("label"))
+    la = lab.withColumnRenamed("node", "a").withColumnRenamed("label", "la")
+    lb = lab.withColumnRenamed("node", "b").withColumnRenamed("label", "lb")
+    tagged = (
+        e.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            F.coalesce("la", "a").alias("la"),
+            F.coalesce("lb", "b").alias("lb"),
+        )
+    )
+    # degree mass per community: every undirected edge adds 1 to each
+    # endpoint's degree, so d_c = #incidences whose endpoint is in c;
+    # the intra flag rides each incidence so m / intra / sum_d2 all
+    # fall out of ONE pass over the tagged join output (sum d = 2m,
+    # sum of intra halves = 2 * intra_edges).
+    inc = tagged.select(
+        F.explode(F.array(F.col("la"), F.col("lb"))).alias("c"),
+        (F.col("la") == F.col("lb")).cast("long").alias("intra_half"),
+    )
+    percomm = inc.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("intra_half").cast("long").alias("intra_halves"),
+    )
+    row = percomm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.expr("sum(d) div 2").cast("long").alias("m_edges"),
+        F.expr("sum(intra_halves) div 2").cast("long").alias("intra_edges"),
+        F.sum(F.col("d") * F.col("d")).cast("decimal(38,0)").alias("sum_d2"),
+    )
+    return row.select(
+        "n_communities",
+        "m_edges",
+        "intra_edges",
+        (
+            F.expr(
+                "cast((cast(1000000 as decimal(38,0))"
+                " * (cast(4 as decimal(38,0)) * m_edges * intra_edges"
+                "    - sum_d2"
+                "    + cast(4 as decimal(38,0)) * m_edges * m_edges))"
+                " div (cast(4 as decimal(38,0)) * m_edges * m_edges)"
+                " as bigint)"
+            )
+            - F.lit(1000000)
+        ).alias("q_ppm"),
+    )

@@ -9758,7 +9758,9 @@ def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(_hub_edges(spark, sf_dir), iters=LPA_ITERS)
 
 
-def _sql_host_communities() -> str:
+def _lpa_ctes() -> list:
+    """The shared LPA CTE chain: hub graph -> undirected edges ->
+    LPA_ITERS synchronous label rounds ending at l{LPA_ITERS}."""
     ctes = [
         _SQL_HUBGRAPH,
         """
@@ -9774,10 +9776,65 @@ c{i} AS (SELECT u.src AS node, l.label, COUNT(*) AS cnt
 l{i + 1} AS (SELECT node, label FROM c{i}
              QUALIFY row_number() OVER (PARTITION BY node
                                         ORDER BY cnt DESC, label) = 1)""")
-    return "WITH " + ",".join(ctes) + f"\nSELECT node, label FROM l{LPA_ITERS}"
+    return ctes
+
+
+def _sql_host_communities() -> str:
+    return (
+        "WITH " + ",".join(_lpa_ctes()) + f"\nSELECT node, label FROM l{LPA_ITERS}"
+    )
 
 
 SQL_HOST_COMMUNITIES = _sql_host_communities()
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the label-propagation partition over the
+    undirected hub graph (operators/pagerank.modularity composed with
+    label_propagation) — the one-row diagnostic that says whether the
+    LPA communities found real structure (Q > 0.3) or noise.  Exact
+    integer arithmetic end-to-end: q_ppm = floor(1e6 * Q) via the
+    shift trick shared with the DuckDB twin."""
+    from biothings_crawler_spark.operators.pagerank import (
+        label_propagation,
+        modularity,
+    )
+
+    e = _hub_edges(spark, sf_dir)
+    labels = label_propagation(e, iters=LPA_ITERS)
+    return modularity(e, labels)
+
+
+def _sql_modularity() -> str:
+    ctes = _lpa_ctes()
+    ctes.append(f"""
+eu AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM e WHERE src <> dst),
+tg AS (SELECT coalesce(la.label, eu.a) AS la, coalesce(lb.label, eu.b) AS lb
+       FROM eu
+       LEFT JOIN l{LPA_ITERS} la ON la.node = eu.a
+       LEFT JOIN l{LPA_ITERS} lb ON lb.node = eu.b),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+              CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+                AS intra_edges
+       FROM tg),
+inc AS (SELECT la AS c FROM tg UNION ALL SELECT lb FROM tg),
+pc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM inc GROUP BY c),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+             SUM(d::HUGEINT * d) AS sum_d2
+      FROM pc)""")
+    return ("WITH " + ",".join(ctes) + """
+SELECT n_communities, m_edges, intra_edges,
+       CAST(1000000::HUGEINT
+            * (4::HUGEINT * m_edges * intra_edges - sum_d2
+               + 4::HUGEINT * m_edges * m_edges)
+            // (4::HUGEINT * m_edges * m_edges) AS BIGINT)
+         - 1000000 AS q_ppm
+FROM s, mm
+""")
+
+
+SQL_MODULARITY = _sql_modularity()
 
 
 # ---------------------------------------------------------------------------
@@ -12523,6 +12580,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_modularity": q_modularity,
     "q_kmeans": q_kmeans,
     "q_soft404_probe": q_soft404_probe,
     "q_ip_politeness": q_ip_politeness,
@@ -12754,6 +12812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_modularity": SQL_MODULARITY,
     "q_kmeans": SQL_KMEANS,
     "q_soft404_probe": SQL_SOFT404_PROBE,
     "q_ip_politeness": SQL_IP_POLITENESS,

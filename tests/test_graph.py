@@ -226,3 +226,63 @@ def test_graph_census_hand_computed(spark):
     assert r["reciprocity_ppm"] == 3 * 1_000_000 // 5
     assert r["max_out"] == 2 and r["max_in"] == 3
     assert r["density_ppb"] == 5 * 1_000_000_000 // 16
+
+
+def _labels(spark, pairs):
+    return spark.createDataFrame(pairs, "node long, label long")
+
+
+def test_modularity_two_triangles_perfect_split(spark):
+    from biothings_crawler_spark.operators.pagerank import modularity
+
+    tri1 = [(0, 1), (1, 2), (2, 0)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    lab = _labels(spark, [(0, 7), (1, 7), (2, 7), (10, 8), (11, 8), (12, 8)])
+    r = modularity(_edges(spark, tri1 + tri2), lab).collect()[0]
+    # m=6, intra=6, d_c=6 each: Q = 1 - 72/144 = 0.5
+    assert r["n_communities"] == 2
+    assert r["m_edges"] == 6 and r["intra_edges"] == 6
+    assert r["q_ppm"] == 500_000
+
+
+def test_modularity_one_community_is_zero(spark):
+    from biothings_crawler_spark.operators.pagerank import modularity
+
+    tri = [(0, 1), (1, 2), (2, 0)]
+    lab = _labels(spark, [(0, 0), (1, 0), (2, 0)])
+    r = modularity(_edges(spark, tri), lab).collect()[0]
+    # Q = 3/3 - 36/36 = 0
+    assert r["q_ppm"] == 0
+
+
+def test_modularity_missing_labels_are_singletons(spark):
+    from biothings_crawler_spark.operators.pagerank import modularity
+
+    lab = _labels(spark, [])
+    r = modularity(_edges(spark, [(1, 2)]), lab).collect()[0]
+    # each node its own community: Q = 0/1 - (1+1)/4 = -0.5
+    assert r["n_communities"] == 2
+    assert r["q_ppm"] == -500_000
+
+
+def test_modularity_floors_negative_q(spark):
+    from biothings_crawler_spark.operators.pagerank import modularity
+
+    # triangle with labels {0:A, 1:B, 2:B}: Q = 1/3 - 20/36 = -2/9
+    # floor(1e6 * -0.2222...) = -222223 (floor, NOT truncation)
+    tri = [(0, 1), (1, 2), (2, 0)]
+    lab = _labels(spark, [(0, 100), (1, 200), (2, 200)])
+    r = modularity(_edges(spark, tri), lab).collect()[0]
+    assert r["q_ppm"] == -222_223
+
+
+def test_modularity_canonicalizes_directed_duplicates(spark):
+    from biothings_crawler_spark.operators.pagerank import modularity
+
+    # both directions + a self loop collapse to ONE undirected edge
+    lab = _labels(spark, [(1, 5), (2, 5)])
+    e = _edges(spark, [(1, 2), (2, 1), (1, 1)])
+    r = modularity(e, lab).collect()[0]
+    assert r["m_edges"] == 1 and r["intra_edges"] == 1
+    # one community holding all degree: Q = 1 - 4/4 = 0
+    assert r["q_ppm"] == 0
