@@ -226,3 +226,68 @@ def rank_correlation(a: DataFrame, b: DataFrame) -> DataFrame:
                       " else (s * 1000000) div n_pairs end"))
         .otherwise(F.lit(0)).cast("long").alias("tau_ppm"),
     )
+
+
+def spell_suggest(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Did-you-mean query-term suggestion over the corpus vocabulary
+    (the serving-side sibling of typosquat_pairs: FastSS / SymSpell
+    deletion-neighborhood indexing, Bocek et al. 2007).  For each
+    query term, the vocabulary terms within edit distance <= 1 ranked
+    by (distance asc, document frequency desc, term asc), top k.
+
+    Scale shape: the vocabulary index is (term, variant) rows —
+    |term|+1 per vocab term, built once per index generation; the
+    query side is a handful of terms whose neighborhoods BROADCAST
+    into the equi-join on ``variant``.  Candidates are verified with
+    one levenshtein() on the sliver, never all-pairs; the ranking
+    window partitions by query term (bounded by the query length,
+    a serving-side top-k, never a corpus window).  Exact-match terms
+    surface at distance 0, so the same call answers both "is this
+    spelled right" and "what did they mean".
+
+    Output: (q, suggestion, dist, term_df, rank).
+    """
+    from pyspark.sql import Window
+
+    from biothings_crawler_spark.operators.typosquat import (
+        deletion_neighborhood_col,
+    )
+
+    vocab = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(words_col(F.col(text_col))).alias("term"),
+        )
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("term_df"))
+    )
+    idx = vocab.select(
+        "term", "term_df",
+        F.explode(deletion_neighborhood_col(F.col("term"))).alias("variant"),
+    )
+    q = df.sparkSession.createDataFrame([(t,) for t in terms], "q string")
+    qn = q.select(
+        "q", F.explode(deletion_neighborhood_col(F.col("q"))).alias("variant")
+    )
+    cand = (
+        idx.join(F.broadcast(qn), "variant")
+        .select("q", F.col("term").alias("suggestion"), "term_df")
+        .distinct()
+        .withColumn("dist", F.levenshtein("q", "suggestion").cast("long"))
+        .filter(F.col("dist") <= 1)
+    )
+    w = Window.partitionBy("q").orderBy(
+        "dist", F.desc("term_df"), "suggestion"
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q", "suggestion", "dist", "term_df", "rank")
+    )

@@ -12327,6 +12327,42 @@ FROM m, agg
 """
 
 
+SPELL_TERMS = ["scann", "colum", "joln", "spark", "zzzzqq"]
+
+
+def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean suggestions (operators/serving.spell_suggest,
+    FastSS deletion-neighborhood index — Bocek et al. 2007) for five
+    query terms against the corpus vocabulary: one exact term, three
+    edit-distance-1 misspellings (insertion / deletion /
+    substitution), one no-match control.  The oracle re-derives the
+    suggestions INDEPENDENTLY by brute force: DuckDB cross-joins the
+    query terms with the full vocabulary and keeps levenshtein <= 1 —
+    exhaustive truth, so the banded index's recall is checked too."""
+    from biothings_crawler_spark.operators.serving import spell_suggest
+
+    return spell_suggest(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", SPELL_TERMS, k=5)
+
+
+SQL_SPELL_SUGGEST = f"""
+WITH w AS (
+  SELECT DISTINCT id, term
+  FROM (SELECT doc_id AS id, unnest({_SQL_WORDS}) AS term FROM documents)),
+v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS term_df FROM w GROUP BY term),
+q AS (SELECT unnest(['scann', 'colum', 'joln', 'spark', 'zzzzqq']) AS q),
+cand AS (
+  SELECT q, term AS suggestion,
+         CAST(levenshtein(q, term) AS BIGINT) AS dist, term_df
+  FROM q, v WHERE levenshtein(q, term) <= 1),
+r AS (SELECT *, row_number()
+        OVER (PARTITION BY q ORDER BY dist, term_df DESC, suggestion) AS rn
+      FROM cand)
+SELECT q, suggestion, dist, term_df, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 5
+"""
+
+
 SALSA_ITERS = 3
 
 
@@ -12580,6 +12616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_spell_suggest": q_spell_suggest,
     "q_modularity": q_modularity,
     "q_kmeans": q_kmeans,
     "q_soft404_probe": q_soft404_probe,
@@ -12840,6 +12877,7 @@ ORACLES: dict[str, str] = {
     "q_curriculum": SQL_CURRICULUM,
     "q_rrf_hybrid": SQL_RRF_HYBRID,
     "q_rank_correlation": SQL_RANK_CORRELATION,
+    "q_spell_suggest": SQL_SPELL_SUGGEST,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -143,3 +143,33 @@ def test_kendall_tau_extremes_and_sign(spark):
     part = rank_correlation(a, b).collect()[0]
     assert part["n_common"] == 2 and part["n_pairs"] == 1
     assert part["tau_ppm"] == 1_000_000  # 1<2 in both
+
+
+def test_spell_suggest_hand_computed(spark):
+    from biothings_crawler_spark.operators.serving import spell_suggest
+
+    docs = spark.createDataFrame(
+        [(1, "table scan table"), (2, "table join"), (3, "join scan"),
+         (4, "cable")],
+        "doc_id long, text string",
+    )
+    rows = spell_suggest(docs, "doc_id", "text",
+                         ["tabel", "scann", "table", "zz"], k=2).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q"], []).append(r)
+    # "tabel" is ed-2 from "table" (two substitutions) -> NOT suggested;
+    # FastSS 1-deletion neighborhoods cover ed<=1 only, and nothing else
+    # in the vocab is within 1 edit.
+    assert "tabel" not in by_q and "zz" not in by_q
+    # "scann" -> insertion of one char from "scan": dist 1, df 2
+    (s,) = by_q["scann"]
+    assert (s["suggestion"], s["dist"], s["term_df"], s["rank"]) == \
+        ("scan", 1, 2, 1)
+    # exact term ranks first at dist 0; "cable" (substitution, df 1)
+    # fills rank 2
+    t = by_q["table"]
+    assert [(r["suggestion"], r["dist"], r["rank"]) for r in t] == \
+        [("table", 0, 1), ("cable", 1, 2)]
+    # df ordering inside a distance band: "table" df=2 beats "cable" df=1
+    assert t[0]["term_df"] == 2 and t[1]["term_df"] == 1
