@@ -423,6 +423,51 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     )
 
 
+def clustering_coefficients(edges: DataFrame, src: str = "src",
+                            dst: str = "dst") -> DataFrame:
+    """Local clustering coefficient per node over the undirected graph:
+    ``C(v) = 2*T(v) / (deg(v) * (deg(v) - 1))`` as an exact ppm floor
+    (Watts & Strogatz 1998) — the density-of-my-neighborhood signal
+    that separates link farms (cliques, C -> 1) from genuine hubs
+    (star-shaped, C -> 0) once triangle counts exist.
+
+    Composition: the degree table is one hash agg over the canonical
+    undirected edge set; triangles ride ``triangle_counts`` (degree-
+    ordered wedge orientation — nothing all-pairs); the two meet in a
+    single left join keyed on node.  The ppm division runs in
+    decimal(38,0) so ``2 * T * 10^6`` cannot overflow a long even at
+    web-scale degrees (deg 10^7 -> numerator ~10^20).  Nodes of degree
+    < 2 have an undefined coefficient and are excluded (matching the
+    usual convention and keeping the output total-ordered by node).
+
+    Output: (node, deg, triangles, lcc_ppm).
+    """
+    e = edges.select(
+        F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .filter(F.col("deg") >= 2)
+    )
+    tri = triangle_counts(edges, src, dst)
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node", "deg",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long")
+            .alias("triangles"),
+            F.expr(
+                "cast(cast(coalesce(triangles, 0) as decimal(38,0))"
+                " * 2000000 div (cast(deg as decimal(38,0)) * (deg - 1))"
+                " as bigint)"
+            ).alias("lcc_ppm"),
+        )
+    )
+
+
 def related_hosts(edges: DataFrame, src: str = "src", dst: str = "dst",
                   k: int = 20) -> DataFrame:
     """Link-prediction over the host graph: top-k non-adjacent node

@@ -10623,6 +10623,47 @@ GROUP BY node
 """
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients (operators/pagerank.
+    clustering_coefficients, Watts & Strogatz): exact ppm floor of
+    2T(v) / (deg(v)(deg(v)-1)) over the hub graph, degree >= 2 only.
+    The oracle recomputes triangles by INDEPENDENT brute-force triple
+    enumeration (no orientation logic shared with the engine) and the
+    same decimal division in HUGEINT."""
+    from biothings_crawler_spark.operators.pagerank import (
+        clustering_coefficients)
+
+    return clustering_coefficients(_hub_edges(spark, sf_dir))
+
+
+SQL_CLUSTERING_COEFF = f"""
+WITH {_SQL_HUBGRAPH},
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+tri AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+  FROM (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+        UNION ALL SELECT z FROM t)
+  GROUP BY node)
+SELECT d.node, d.deg,
+       CAST(COALESCE(tri.triangles, 0) AS BIGINT) AS triangles,
+       CAST(CAST(COALESCE(tri.triangles, 0) AS HUGEINT) * 2000000
+            // (CAST(d.deg AS HUGEINT) * (d.deg - 1)) AS BIGINT)
+         AS lcc_ppm
+FROM deg d LEFT JOIN tri ON tri.node = d.node
+WHERE d.deg >= 2
+"""
+
+
 def q_microdata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema.org microdata extraction (operators/microdata.
     microdata_extract — REAL stdlib HTMLParser, not regex): each doc
@@ -12616,6 +12657,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_clustering_coeff": q_clustering_coeff,
     "q_spell_suggest": q_spell_suggest,
     "q_modularity": q_modularity,
     "q_kmeans": q_kmeans,
@@ -12878,6 +12920,7 @@ ORACLES: dict[str, str] = {
     "q_rrf_hybrid": SQL_RRF_HYBRID,
     "q_rank_correlation": SQL_RANK_CORRELATION,
     "q_spell_suggest": SQL_SPELL_SUGGEST,
+    "q_clustering_coeff": SQL_CLUSTERING_COEFF,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -75,3 +75,38 @@ def test_k_core_empty_when_no_core(spark):
     # a path graph has no 2-core
     got = k_core(_edges(spark, [(i, i + 1) for i in range(8)]), 2)
     assert got.count() == 0
+
+
+def test_clustering_coefficient_hand_computed(spark):
+    from biothings_crawler_spark.operators.pagerank import (
+        clustering_coefficients,
+    )
+
+    # K4 clique (C=1) + a pendant off node 0 + an isolated-ish edge
+    pairs = list(combinations(range(4), 2)) + [(0, 99), (50, 51)]
+    got = {r.node: (r.deg, r.triangles, r.lcc_ppm)
+           for r in clustering_coefficients(_edges(spark, pairs)).collect()}
+    # inner clique nodes 1-3: deg 3, 3 triangles, C = 6/(3*2) = 1
+    for n in (1, 2, 3):
+        assert got[n] == (3, 3, 1_000_000)
+    # node 0: deg 4 (clique + pendant), still 3 triangles:
+    # C = 6/(4*3) = 0.5
+    assert got[0] == (4, 3, 500_000)
+    # degree-1 nodes (pendant 99, edge 50-51) are excluded: undefined C
+    assert 99 not in got and 50 not in got and 51 not in got
+
+
+def test_clustering_coefficient_open_wedge_floor(spark):
+    from biothings_crawler_spark.operators.pagerank import (
+        clustering_coefficients,
+    )
+
+    # path 1-2-3 plus 2-4: node 2 has deg 3, zero triangles -> 0 ppm;
+    # triangle 5-6-7 with extra edge 5-8: node 5 deg 3, 1 triangle ->
+    # floor(2e6/6) = 333333 (exercises the non-trivial floor)
+    pairs = [(1, 2), (2, 3), (2, 4), (5, 6), (6, 7), (5, 7), (5, 8)]
+    got = {r.node: (r.deg, r.triangles, r.lcc_ppm)
+           for r in clustering_coefficients(_edges(spark, pairs)).collect()}
+    assert got[2] == (3, 0, 0)
+    assert got[5] == (3, 1, 333_333)
+    assert got[6] == (2, 1, 1_000_000)
