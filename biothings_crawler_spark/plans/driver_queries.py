@@ -9599,15 +9599,118 @@ def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       BM25_QUERY, w_anchor=3, k=20)
 
 
-SQL_BM25F_TOPK = f"""
-WITH docs AS (SELECT doc_id AS id, {_SQL_WORDS} AS words FROM documents),
-anch AS (
-  SELECT doc_id AS id,
-    list_filter(string_split_regex(lower(
-      CASE WHEN doc_id % 9 = 2 THEN 'spark data table spark data'
-           WHEN doc_id % 9 = 5 THEN 'mirror link ' || substr(text, 10, 20)
-           ELSE 'plain link' END), '\\s+'), x -> len(x) > 0) AS words
-  FROM documents),
+def _anchor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic link rows (src_host, dst, anchor) over the hub
+    rule: two links per doc (-> div 3, -> div 7), 7 source hosts,
+    anchor lanes mixing sitewide nav noise ('click here' from every
+    page of a host) with meaningful terms keyed on the TARGET."""
+    d = _t(spark, sf_dir, "documents")
+    s = F.col("doc_id")
+    rows = d.select(
+        s.alias("src"), F.expr("doc_id div 3").alias("dst"),
+        F.lit(0).alias("pos")
+    ).unionAll(d.select(
+        s.alias("src"), F.expr("doc_id div 7").alias("dst"),
+        F.lit(1).alias("pos")))
+    lane = (F.col("src") + F.col("pos")) % 5
+    anchor = (
+        F.when(lane == 1, F.concat(F.lit("dataset "),
+                                   (F.col("dst") % 17).cast("string")))
+        .when(lane == 2, F.lit("spark data table"))
+        .when(lane == 4, F.concat(F.lit("mirror of page "),
+                                  (F.col("dst") % 3).cast("string")))
+        .otherwise(F.lit("click here")))
+    return rows.select(
+        F.concat(F.lit("h"), (F.col("src") % 7).cast("string"))
+        .alias("src_host"),
+        "dst", anchor.alias("anchor"))
+
+
+_SQL_ANCHOR_LINKS = """
+links AS (
+  SELECT 'h' || CAST(src % 7 AS VARCHAR) AS src_host, dst,
+    CASE (src + pos) % 5
+      WHEN 1 THEN 'dataset ' || CAST(dst % 17 AS VARCHAR)
+      WHEN 2 THEN 'spark data table'
+      WHEN 4 THEN 'mirror of page ' || CAST(dst % 3 AS VARCHAR)
+      ELSE 'click here' END AS anchor
+  FROM (SELECT doc_id AS src, doc_id // 3 AS dst, 0 AS pos FROM documents
+        UNION ALL
+        SELECT doc_id, doc_id // 7, 1 FROM documents))
+""".strip()
+
+_SQL_ANCHOR_SCORED = """
+hits AS (
+  SELECT dst, src_host, unnest(list_filter(
+    string_split_regex(lower(anchor), '\\s+'), x -> len(x) > 0)) AS term
+  FROM links),
+per_host AS (
+  SELECT dst, term, src_host,
+         CAST(COUNT(*) AS BIGINT) AS links_from_host
+  FROM hits GROUP BY dst, term, src_host),
+scored AS (
+  SELECT dst, term, CAST(COUNT(*) AS BIGINT) AS n_hosts,
+         CAST(SUM(links_from_host) AS BIGINT) AS n_links
+  FROM per_host GROUP BY dst, term)
+""".strip()
+
+
+def q_anchor_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-collapsed anchor-term summary (operators/anchors.
+    anchor_summary, Brin & Page / Craswell et al.): top-3 anchor terms
+    per link target weighted by DISTINCT LINKING HOSTS — sitewide
+    'click here' nav links collapse to one vote per host, so
+    meaningful target-keyed terms can outrank them.  Oracle = the same
+    two-stage collapse + QUALIFY top-k in SQL."""
+    from biothings_crawler_spark.operators.anchors import anchor_summary
+
+    return anchor_summary(
+        _anchor_links(spark, sf_dir), "src_host", "dst", "anchor", m=3)
+
+
+SQL_ANCHOR_SUMMARY = f"""
+WITH {_SQL_ANCHOR_LINKS},
+{_SQL_ANCHOR_SCORED}
+SELECT dst, term, n_hosts, n_links, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY dst ORDER BY n_hosts DESC, n_links DESC, term) AS rn
+      FROM scored)
+WHERE rn <= 3
+"""
+
+
+def q_anchor_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor FIELD assembly (operators/anchors.
+    anchor_field): each top-3 term repeated n_hosts times in rank
+    order — the BM25F anchor input whose tf IS the host-collapsed
+    vote.  Oracle rebuilds the bag with repeat()/string_agg in rank
+    order."""
+    from biothings_crawler_spark.operators.anchors import anchor_field
+
+    return anchor_field(
+        _anchor_links(spark, sf_dir), "src_host", "dst", "anchor", m=3)
+
+
+SQL_ANCHOR_FIELD = f"""
+WITH {_SQL_ANCHOR_LINKS},
+{_SQL_ANCHOR_SCORED},
+topk AS (
+  SELECT dst, term, n_hosts, rn FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY dst ORDER BY n_hosts DESC, n_links DESC, term) AS rn
+    FROM scored)
+  WHERE rn <= 3)
+SELECT dst,
+       string_agg(trim(repeat(term || ' ', CAST(n_hosts AS INTEGER))),
+                  ' ' ORDER BY rn) AS anchor
+FROM topk GROUP BY dst
+"""
+
+
+# the BM25F integer kernel over two prepared CTEs: docs(id, words) and
+# anch(id, words) — shared by the synthetic-anchor pair and the
+# link-graph composition
+_SQL_BM25F_KERNEL = f"""
 lens AS (SELECT id, CAST(len(words) AS BIGINT) AS dl FROM docs),
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(dl) AS BIGINT) AS w_total FROM lens),
@@ -9638,8 +9741,56 @@ sc AS (
 SELECT id, CAST(SUM(term_score) AS BIGINT) AS score
 FROM sc GROUP BY id
 ORDER BY score DESC, id LIMIT 20
+""".strip()
+
+SQL_BM25F_TOPK = f"""
+WITH docs AS (SELECT doc_id AS id, {_SQL_WORDS} AS words FROM documents),
+anch AS (
+  SELECT doc_id AS id,
+    list_filter(string_split_regex(lower(
+      CASE WHEN doc_id % 9 = 2 THEN 'spark data table spark data'
+           WHEN doc_id % 9 = 5 THEN 'mirror link ' || substr(text, 10, 20)
+           ELSE 'plain link' END), '\\s+'), x -> len(x) > 0) AS words
+  FROM documents),
+{_SQL_BM25F_KERNEL}
 """
 
+
+def q_anchor_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END anchor retrieval composition: link graph ->
+    host-collapsed anchor field (operators/anchors.anchor_field) ->
+    BM25F (operators/bm25.bm25f_topk) — the full web-ranking anchor
+    pipeline as ONE verified statement.  Targets linked as 'spark data
+    table' by many hosts must outrank body-only matches.  Oracle =
+    anchor chain + the shared BM25F integer-kernel SQL."""
+    from biothings_crawler_spark.operators.anchors import anchor_field
+    from biothings_crawler_spark.operators.bm25 import bm25f_topk
+
+    d = _t(spark, sf_dir, "documents")
+    anchors = anchor_field(
+        _anchor_links(spark, sf_dir), "src_host", "dst", "anchor", m=3
+    ).select(F.col("dst").alias("doc_id"), "anchor")
+    return bm25f_topk(d, anchors, "doc_id", "text", "anchor",
+                      BM25_QUERY, w_anchor=3, k=20)
+
+
+SQL_ANCHOR_BM25F = f"""
+WITH docs AS (SELECT doc_id AS id, {_SQL_WORDS} AS words FROM documents),
+{_SQL_ANCHOR_LINKS},
+{_SQL_ANCHOR_SCORED},
+topk AS (
+  SELECT dst, term, n_hosts, rn FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY dst ORDER BY n_hosts DESC, n_links DESC, term) AS rn
+    FROM scored)
+  WHERE rn <= 3),
+anch AS (
+  SELECT dst AS id, list_filter(string_split_regex(lower(
+    string_agg(trim(repeat(term || ' ', CAST(n_hosts AS INTEGER))),
+               ' ' ORDER BY rn)), '\\s+'), x -> len(x) > 0) AS words
+  FROM topk GROUP BY dst),
+{_SQL_BM25F_KERNEL}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -10661,114 +10812,6 @@ SELECT d.node, d.deg,
          AS lcc_ppm
 FROM deg d LEFT JOIN tri ON tri.node = d.node
 WHERE d.deg >= 2
-"""
-
-
-def _anchor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic link rows (src_host, dst, anchor) over the hub
-    rule: two links per doc (-> div 3, -> div 7), 7 source hosts,
-    anchor lanes mixing sitewide nav noise ('click here' from every
-    page of a host) with meaningful terms keyed on the TARGET."""
-    d = _t(spark, sf_dir, "documents")
-    s = F.col("doc_id")
-    rows = d.select(
-        s.alias("src"), F.expr("doc_id div 3").alias("dst"),
-        F.lit(0).alias("pos")
-    ).unionAll(d.select(
-        s.alias("src"), F.expr("doc_id div 7").alias("dst"),
-        F.lit(1).alias("pos")))
-    lane = (F.col("src") + F.col("pos")) % 5
-    anchor = (
-        F.when(lane == 1, F.concat(F.lit("dataset "),
-                                   (F.col("dst") % 17).cast("string")))
-        .when(lane == 2, F.lit("spark data table"))
-        .when(lane == 4, F.concat(F.lit("mirror of page "),
-                                  (F.col("dst") % 3).cast("string")))
-        .otherwise(F.lit("click here")))
-    return rows.select(
-        F.concat(F.lit("h"), (F.col("src") % 7).cast("string"))
-        .alias("src_host"),
-        "dst", anchor.alias("anchor"))
-
-
-_SQL_ANCHOR_LINKS = """
-links AS (
-  SELECT 'h' || CAST(src % 7 AS VARCHAR) AS src_host, dst,
-    CASE (src + pos) % 5
-      WHEN 1 THEN 'dataset ' || CAST(dst % 17 AS VARCHAR)
-      WHEN 2 THEN 'spark data table'
-      WHEN 4 THEN 'mirror of page ' || CAST(dst % 3 AS VARCHAR)
-      ELSE 'click here' END AS anchor
-  FROM (SELECT doc_id AS src, doc_id // 3 AS dst, 0 AS pos FROM documents
-        UNION ALL
-        SELECT doc_id, doc_id // 7, 1 FROM documents))
-""".strip()
-
-_SQL_ANCHOR_SCORED = """
-hits AS (
-  SELECT dst, src_host, unnest(list_filter(
-    string_split_regex(lower(anchor), '\\s+'), x -> len(x) > 0)) AS term
-  FROM links),
-per_host AS (
-  SELECT dst, term, src_host,
-         CAST(COUNT(*) AS BIGINT) AS links_from_host
-  FROM hits GROUP BY dst, term, src_host),
-scored AS (
-  SELECT dst, term, CAST(COUNT(*) AS BIGINT) AS n_hosts,
-         CAST(SUM(links_from_host) AS BIGINT) AS n_links
-  FROM per_host GROUP BY dst, term)
-""".strip()
-
-
-def q_anchor_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Host-collapsed anchor-term summary (operators/anchors.
-    anchor_summary, Brin & Page / Craswell et al.): top-3 anchor terms
-    per link target weighted by DISTINCT LINKING HOSTS — sitewide
-    'click here' nav links collapse to one vote per host, so
-    meaningful target-keyed terms can outrank them.  Oracle = the same
-    two-stage collapse + QUALIFY top-k in SQL."""
-    from biothings_crawler_spark.operators.anchors import anchor_summary
-
-    return anchor_summary(
-        _anchor_links(spark, sf_dir), "src_host", "dst", "anchor", m=3)
-
-
-SQL_ANCHOR_SUMMARY = f"""
-WITH {_SQL_ANCHOR_LINKS},
-{_SQL_ANCHOR_SCORED}
-SELECT dst, term, n_hosts, n_links, CAST(rn AS BIGINT) AS rank
-FROM (SELECT *, row_number() OVER (
-        PARTITION BY dst ORDER BY n_hosts DESC, n_links DESC, term) AS rn
-      FROM scored)
-WHERE rn <= 3
-"""
-
-
-def q_anchor_field(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-target anchor FIELD assembly (operators/anchors.
-    anchor_field): each top-3 term repeated n_hosts times in rank
-    order — the BM25F anchor input whose tf IS the host-collapsed
-    vote.  Oracle rebuilds the bag with repeat()/string_agg in rank
-    order."""
-    from biothings_crawler_spark.operators.anchors import anchor_field
-
-    return anchor_field(
-        _anchor_links(spark, sf_dir), "src_host", "dst", "anchor", m=3)
-
-
-SQL_ANCHOR_FIELD = f"""
-WITH {_SQL_ANCHOR_LINKS},
-{_SQL_ANCHOR_SCORED},
-topk AS (
-  SELECT dst, term, n_hosts, rn FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY dst ORDER BY n_hosts DESC, n_links DESC, term) AS rn
-    FROM scored)
-  WHERE rn <= 3)
-SELECT dst,
-       string_agg(trim(repeat(term || ' ', CAST(n_hosts AS INTEGER))),
-                  ' ' ORDER BY rn) AS anchor
-FROM topk GROUP BY dst
 """
 
 
@@ -12767,6 +12810,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
     "q_anchor_summary": q_anchor_summary,
     "q_anchor_field": q_anchor_field,
+    "q_anchor_bm25f": q_anchor_bm25f,
     "q_clustering_coeff": q_clustering_coeff,
     "q_spell_suggest": q_spell_suggest,
     "q_modularity": q_modularity,
@@ -13033,6 +13077,7 @@ ORACLES: dict[str, str] = {
     "q_clustering_coeff": SQL_CLUSTERING_COEFF,
     "q_anchor_summary": SQL_ANCHOR_SUMMARY,
     "q_anchor_field": SQL_ANCHOR_FIELD,
+    "q_anchor_bm25f": SQL_ANCHOR_BM25F,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,
