@@ -228,6 +228,55 @@ def rank_correlation(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def autocomplete(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefixes: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Prefix autocompletion over the corpus vocabulary: for each query
+    prefix, the top-``k`` completions ranked by document frequency
+    (df DESC, term ASC) — the search-box suggestion primitive
+    (Bar-Yossef & Kraus, WWW 2011 frame it as most-popular-completion).
+
+    Scale shape: the vocabulary table is one distinct + hash agg (the
+    same shape every index build already pays); the handful of query
+    prefixes BROADCASTS into a ``startswith`` theta-join whose output
+    is only the matching (prefix, term) sliver; the per-prefix top-k
+    window partitions by prefix — bounded by the query list, never a
+    corpus-sized window, and executed as partial/final
+    ``WindowGroupLimit``.  At true scale the vocabulary would persist
+    sorted by term so the prefix probe becomes a range scan; the
+    ranking contract here is the piece that matters.
+
+    Output: (prefix, completion, term_df, rank).
+    """
+    from pyspark.sql import Window
+
+    vocab = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(words_col(F.col(text_col))).alias("term"),
+        )
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("term_df"))
+    )
+    p = df.sparkSession.createDataFrame(
+        [(x,) for x in prefixes], "prefix string")
+    cand = vocab.join(
+        F.broadcast(p), F.col("term").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("term_df"), "term")
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("prefix", F.col("term").alias("completion"),
+                "term_df", "rank")
+    )
+
+
 def spell_suggest(
     df: DataFrame,
     id_col: str,

@@ -12555,6 +12555,39 @@ FROM r WHERE rn <= 5
 """
 
 
+AUTOCOMPLETE_PREFIXES = ["s", "ta", "w", "zzz"]
+
+
+def q_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-box prefix completion (operators/serving.autocomplete,
+    most-popular-completion): top-5 vocabulary completions per prefix
+    by document frequency.  Prefix list broadcasts into a startswith
+    theta-join against the vocab hash agg; per-prefix top-k is a
+    WindowGroupLimit.  Oracle = LIKE prefix match + QUALIFY in SQL."""
+    from biothings_crawler_spark.operators.serving import autocomplete
+
+    return autocomplete(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        AUTOCOMPLETE_PREFIXES, k=5)
+
+
+SQL_AUTOCOMPLETE = f"""
+WITH w AS (
+  SELECT DISTINCT id, term
+  FROM (SELECT doc_id AS id, unnest({_SQL_WORDS}) AS term FROM documents)),
+v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS term_df FROM w GROUP BY term),
+p AS (SELECT unnest(['s', 'ta', 'w', 'zzz']) AS prefix),
+cand AS (
+  SELECT prefix, term AS completion, term_df
+  FROM v JOIN p ON v.term LIKE p.prefix || '%'),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY prefix ORDER BY term_df DESC, completion) AS rn
+      FROM cand)
+SELECT prefix, completion, term_df, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 5
+"""
+
+
 SALSA_ITERS = 3
 
 
@@ -12811,6 +12844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_anchor_summary": q_anchor_summary,
     "q_anchor_field": q_anchor_field,
     "q_anchor_bm25f": q_anchor_bm25f,
+    "q_autocomplete": q_autocomplete,
     "q_clustering_coeff": q_clustering_coeff,
     "q_spell_suggest": q_spell_suggest,
     "q_modularity": q_modularity,
@@ -13078,6 +13112,7 @@ ORACLES: dict[str, str] = {
     "q_anchor_summary": SQL_ANCHOR_SUMMARY,
     "q_anchor_field": SQL_ANCHOR_FIELD,
     "q_anchor_bm25f": SQL_ANCHOR_BM25F,
+    "q_autocomplete": SQL_AUTOCOMPLETE,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -173,3 +173,19 @@ def test_spell_suggest_hand_computed(spark):
         [("table", 0, 1), ("cable", 1, 2)]
     # df ordering inside a distance band: "table" df=2 beats "cable" df=1
     assert t[0]["term_df"] == 2 and t[1]["term_df"] == 1
+
+
+def test_autocomplete_df_ranked(spark):
+    from biothings_crawler_spark.operators.serving import autocomplete
+
+    docs = spark.createDataFrame(
+        [(1, "scan scan scale"), (2, "scan table"), (3, "scale scan"),
+         (4, "other")],
+        "doc_id long, text string",
+    )
+    rows = autocomplete(docs, "doc_id", "text", ["sc", "zz"], k=2).collect()
+    # df counts documents, not occurrences: scan df=3, scale df=2
+    assert [(r["prefix"], r["completion"], r["term_df"], r["rank"])
+            for r in rows] == [("sc", "scan", 3, 1), ("sc", "scale", 2, 2)]
+    # k truncates: "sc" also matches nothing else; "zz" matches none
+    assert all(r["prefix"] != "zz" for r in rows)
