@@ -12555,6 +12555,36 @@ FROM r WHERE rn <= 5
 """
 
 
+QUANTILE_PPMS = [500000, 900000, 990000, 1000000]
+
+
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99/p100 of a synthetic per-event latency
+    (operators/quantiles.exact_quantiles): distributed selection by
+    iterative <=1024-bin histogram narrowing — O(log_B range) passes
+    of bounded hash aggs, no sort, no sketch error.  Oracle = the same
+    integer rank contract against a full ORDER BY."""
+    from biothings_crawler_spark.operators.quantiles import exact_quantiles
+
+    lat = _t(spark, sf_dir, "events").select(
+        ((F.col("event_id") * 2654435761) % 1000003).alias("lat_us"))
+    return exact_quantiles(lat, "lat_us", QUANTILE_PPMS)
+
+
+SQL_EXACT_QUANTILES = """
+WITH v AS (SELECT (event_id * 2654435761) % 1000003 AS x FROM events),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+q AS (SELECT unnest([500000, 900000, 990000, 1000000]) AS q_ppm),
+k AS (SELECT CAST(q_ppm AS BIGINT) AS q_ppm, n,
+             CAST(GREATEST(1, LEAST(n, (q_ppm * n + 999999) // 1000000))
+                  AS BIGINT) AS rank
+      FROM q, n),
+s AS (SELECT x, row_number() OVER (ORDER BY x) AS r FROM v)
+SELECT k.q_ppm, k.n, k.rank, CAST(s.x AS BIGINT) AS value
+FROM k JOIN s ON s.r = k.rank
+"""
+
+
 AUTOCOMPLETE_PREFIXES = ["s", "ta", "w", "zzz"]
 
 
@@ -12845,6 +12875,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_anchor_field": q_anchor_field,
     "q_anchor_bm25f": q_anchor_bm25f,
     "q_autocomplete": q_autocomplete,
+    "q_exact_quantiles": q_exact_quantiles,
     "q_clustering_coeff": q_clustering_coeff,
     "q_spell_suggest": q_spell_suggest,
     "q_modularity": q_modularity,
@@ -13113,6 +13144,7 @@ ORACLES: dict[str, str] = {
     "q_anchor_field": SQL_ANCHOR_FIELD,
     "q_anchor_bm25f": SQL_ANCHOR_BM25F,
     "q_autocomplete": SQL_AUTOCOMPLETE,
+    "q_exact_quantiles": SQL_EXACT_QUANTILES,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,
