@@ -472,6 +472,66 @@ def maxscore_topk(
     return _maxscore_parts(df, id_col, text_col, query_terms, k)["final"]
 
 
+def blockmax_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    chunk_range: int = 1 << 20,
+) -> DataFrame:
+    """Block-Max WAND first-level pruning evidence (Ding & Suel, SIGIR
+    2011): per (query term, posting chunk), the BLOCK MAX term score
+    and whether the chunk is provably skippable at the final top-k
+    threshold.
+
+    BMW stores, next to each posting chunk (the same ``id div
+    chunk_range`` key as :func:`postings_chunks`), the maximum term
+    score inside it.  A chunk can be skipped when even its most
+    optimistic document — block max here plus the GLOBAL max of every
+    other query term — cannot reach the heap threshold theta (the
+    k-th best exhaustive score): ``block_max + (g_sum - g_max) <
+    theta``.  The pruning is safe by construction (upper bound >= any
+    achievable score in the chunk), so the skip fraction is pure
+    bookkeeping the exhaustive oracle can re-derive.
+
+    Shapes: term scores ride :func:`bm25_term_scores` (one keyed
+    shuffle family); block maxima are one (term, chunk_no) hash agg
+    with map-side combine; global maxima and theta are 1-row/≤|q|-row
+    broadcasts.  Nothing new shuffles at corpus scale.
+
+    Output: (term, chunk_no, df_chunk, block_max, upper_bound,
+    skippable) — skippable an exact 0/1 long.
+    """
+    ts = bm25_term_scores(df, id_col, text_col, query_terms)
+    blocks = ts.groupBy(
+        "term", F.expr(f"id div {int(chunk_range)}").alias("chunk_no")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("df_chunk"),
+        F.max("term_score").cast("long").alias("block_max"),
+    )
+    gmax = ts.groupBy("term").agg(
+        F.max("term_score").cast("long").alias("g_max"))
+    gsum = gmax.agg(F.sum("g_max").cast("long").alias("g_sum"))
+    theta = (
+        ts.groupBy("id").agg(F.sum("term_score").cast("long").alias("s"))
+        .orderBy(F.desc("s"), "id").limit(k)
+        .agg(F.min("s").cast("long").alias("theta"))
+    )
+    return (
+        blocks.join(F.broadcast(gmax), "term")
+        .crossJoin(F.broadcast(gsum))
+        .crossJoin(F.broadcast(theta))
+        .select(
+            "term", "chunk_no", "df_chunk", "block_max",
+            (F.col("block_max") + F.col("g_sum") - F.col("g_max"))
+            .cast("long").alias("upper_bound"),
+            (F.col("block_max") + F.col("g_sum") - F.col("g_max")
+             < F.col("theta")).cast("long").alias("skippable"),
+        )
+    )
+
+
 def merge_postings(
     base: DataFrame, delta_docs: DataFrame, removed_ids: DataFrame,
     id_col: str = "id", text_col: str = "text",

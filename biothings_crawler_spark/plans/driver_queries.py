@@ -12555,6 +12555,77 @@ FROM r WHERE rn <= 5
 """
 
 
+BLOCKMAX_K, BLOCKMAX_CHUNK = 10, 64
+
+
+def q_blockmax_skips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-Max WAND pruning evidence (operators/bm25.blockmax_report,
+    Ding & Suel SIGIR 2011): per (query term, 64-doc posting chunk)
+    the block-max term score and a proof-exact skippable flag at the
+    top-10 exhaustive threshold — block_max + sum of OTHER terms'
+    global maxima < theta.  The fixture plants a saturation region
+    (chunk 5 repeats the query terms 25x) so the top-k heap fills with
+    near-maximal docs and REMOTE chunks become provably skippable (21
+    of 24 at sf0.01) while the region's own chunks stay hot — both
+    branches of the flag exercised.  Oracle re-derives block maxima,
+    theta, and the flag from the shared integer kernel."""
+    from biothings_crawler_spark.operators.bm25 import blockmax_report
+
+    d = _t(spark, sf_dir, "documents")
+    boosted = d.select(
+        "doc_id",
+        F.when(F.expr(f"doc_id div {BLOCKMAX_CHUNK}") == 5,
+               F.concat(F.col("text"),
+                        F.expr("repeat(' data table spark', 25)")))
+        .otherwise(F.col("text")).alias("text"))
+    return blockmax_report(
+        boosted, "doc_id", "text", BM25_QUERY,
+        k=BLOCKMAX_K, chunk_range=BLOCKMAX_CHUNK)
+
+
+SQL_BLOCKMAX_SKIPS = f"""
+WITH raw AS (
+  SELECT doc_id, CASE WHEN doc_id // {BLOCKMAX_CHUNK} = 5
+    THEN text || repeat(' data table spark', 25) ELSE text END AS text
+  FROM documents),
+docs AS (SELECT doc_id AS id, {_SQL_WORDS} AS words FROM raw),
+lens AS (SELECT id, CAST(len(words) AS BIGINT) AS dl FROM docs),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS w_total FROM lens),
+tf AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT id, unnest(words) AS term FROM docs)
+  WHERE term IN ({', '.join("'" + t + "'" for t in BM25_QUERY)})
+  GROUP BY id, term),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.id, tf.term,
+         ((2 * t.n_docs - 2 * d.df + 1) * 1000000 // (2 * d.df + 1))
+           * 44 * tf.tf * t.w_total
+           // (20 * tf.tf * t.w_total + 6 * t.w_total + 18 * l.dl * t.n_docs)
+           AS term_score
+  FROM tf JOIN dfq d USING (term) JOIN lens l ON l.id = tf.id CROSS JOIN tot t),
+blocks AS (
+  SELECT term, id // {BLOCKMAX_CHUNK} AS chunk_no,
+         CAST(COUNT(*) AS BIGINT) AS df_chunk,
+         CAST(MAX(term_score) AS BIGINT) AS block_max
+  FROM sc GROUP BY term, id // {BLOCKMAX_CHUNK}),
+gmax AS (SELECT term, CAST(MAX(term_score) AS BIGINT) AS g_max
+         FROM sc GROUP BY term),
+gsum AS (SELECT CAST(SUM(g_max) AS BIGINT) AS g_sum FROM gmax),
+theta AS (
+  SELECT CAST(MIN(s) AS BIGINT) AS theta FROM (
+    SELECT SUM(term_score) AS s FROM sc GROUP BY id
+    ORDER BY s DESC, id LIMIT {BLOCKMAX_K}))
+SELECT b.term, CAST(b.chunk_no AS BIGINT) AS chunk_no, b.df_chunk,
+       b.block_max,
+       CAST(b.block_max + g.g_sum - m.g_max AS BIGINT) AS upper_bound,
+       CAST(CASE WHEN b.block_max + g.g_sum - m.g_max < t.theta
+                 THEN 1 ELSE 0 END AS BIGINT) AS skippable
+FROM blocks b JOIN gmax m USING (term), gsum g, theta t
+"""
+
+
 QUANTILE_PPMS = [500000, 900000, 990000, 1000000]
 
 
@@ -12876,6 +12947,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_anchor_bm25f": q_anchor_bm25f,
     "q_autocomplete": q_autocomplete,
     "q_exact_quantiles": q_exact_quantiles,
+    "q_blockmax_skips": q_blockmax_skips,
     "q_clustering_coeff": q_clustering_coeff,
     "q_spell_suggest": q_spell_suggest,
     "q_modularity": q_modularity,
@@ -13145,6 +13217,7 @@ ORACLES: dict[str, str] = {
     "q_anchor_bm25f": SQL_ANCHOR_BM25F,
     "q_autocomplete": SQL_AUTOCOMPLETE,
     "q_exact_quantiles": SQL_EXACT_QUANTILES,
+    "q_blockmax_skips": SQL_BLOCKMAX_SKIPS,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,
