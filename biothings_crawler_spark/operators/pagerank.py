@@ -468,6 +468,70 @@ def clustering_coefficients(edges: DataFrame, src: str = "src",
     )
 
 
+def degree_assortativity(edges: DataFrame, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL 2002) of the
+    undirected graph, EXACT to the ppm floor — the one-number answer
+    to "do hubs link to hubs?" (webgraphs are famously disassortative:
+    big hubs point at small pages, r < 0; social graphs r > 0).
+
+    The usual formula needs a sqrt — but over an undirected edge list
+    where every edge contributes BOTH (d_a, d_b) and (d_b, d_a), the
+    two marginals are identical, so Sx = Sy, Sxx = Syy and Pearson
+    collapses to a RATIONAL number::
+
+        r = (m2 * Sxy - Sx^2) / (m2 * Sxx - Sx^2),   m2 = 2|E|
+
+    — exactly representable as an integer ppm floor with
+    decimal(38,0) products (deg 10^7, 10^10 edges stays within 38
+    digits).  Sign-correct flooring matches DuckDB's // via the
+    negative-numerator CASE split.
+
+    Shapes: degree hash agg, two slim joins to attach endpoint
+    degrees, one 1-row total agg.  Output: (m2, sxy, sx, sxx, r_ppm)
+    — the sufficient statistics plus the coefficient; r_ppm = 0 when
+    the graph is regular (zero variance).
+    """
+    e = edges.select(
+        F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    keyed = (
+        e.join(deg.select(F.col("node").alias("a"),
+                          F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"),
+                         F.col("deg").alias("db")), "b")
+    )
+    tot = keyed.agg(
+        (2 * F.count(F.lit(1))).cast("long").alias("m2"),
+        (2 * F.sum(F.col("da").cast("decimal(38,0)") * F.col("db")))
+        .cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("da").cast("decimal(38,0)")
+              + F.col("db")).cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("da").cast("decimal(38,0)") * F.col("da")
+              + F.col("db").cast("decimal(38,0)") * F.col("db"))
+        .cast("decimal(38,0)").alias("sxx"),
+    )
+    num = "(m2 * sxy - sx * sx)"
+    den = "(m2 * sxx - sx * sx)"
+    return tot.select(
+        F.col("m2"),
+        F.col("sxy").cast("long").alias("sxy"),
+        F.col("sx").cast("long").alias("sx"),
+        F.col("sxx").cast("long").alias("sxx"),
+        F.expr(
+            f"cast(case when {den} = 0 then 0"
+            f" when {num} < 0 then -((-{num}) * 1000000 div {den})"
+            f" else {num} * 1000000 div {den} end as bigint)"
+        ).alias("r_ppm"),
+    )
+
+
 def related_hosts(edges: DataFrame, src: str = "src", dst: str = "dst",
                   k: int = 20) -> DataFrame:
     """Link-prediction over the host graph: top-k non-adjacent node

@@ -12555,6 +12555,48 @@ FROM r WHERE rn <= 5
 """
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (operators/pagerank.degree_assortativity,
+    Newman PRL 2002) of the hub graph — exact ppm: undirected
+    symmetry collapses Pearson to a rational, no sqrt, decimal(38,0)
+    products, DuckDB-matched negative flooring.  Hub graphs are
+    disassortative (r < 0): big hubs collect small pages."""
+    from biothings_crawler_spark.operators.pagerank import (
+        degree_assortativity)
+
+    return degree_assortativity(_hub_edges(spark, sf_dir))
+
+
+SQL_ASSORTATIVITY = f"""
+WITH {_SQL_HUBGRAPH},
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node),
+keyed AS (
+  SELECT da.deg AS da, db.deg AS db
+  FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b),
+tot AS (
+  SELECT CAST(2 * COUNT(*) AS BIGINT) AS m2,
+         CAST(2 * SUM(CAST(da AS HUGEINT) * db) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(da AS HUGEINT) + db) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(da AS HUGEINT) * da + CAST(db AS HUGEINT) * db)
+              AS HUGEINT) AS sxx
+  FROM keyed)
+SELECT m2, CAST(sxy AS BIGINT) AS sxy, CAST(sx AS BIGINT) AS sx,
+       CAST(sxx AS BIGINT) AS sxx,
+       CAST(CASE WHEN m2 * sxx - sx * sx = 0 THEN 0
+                 WHEN m2 * sxy - sx * sx < 0
+                 THEN -((-(m2 * sxy - sx * sx)) * 1000000
+                        // (m2 * sxx - sx * sx))
+                 ELSE (m2 * sxy - sx * sx) * 1000000
+                      // (m2 * sxx - sx * sx) END AS BIGINT) AS r_ppm
+FROM tot
+"""
+
+
 BLOCKMAX_K, BLOCKMAX_CHUNK = 10, 64
 
 
@@ -12948,6 +12990,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_autocomplete": q_autocomplete,
     "q_exact_quantiles": q_exact_quantiles,
     "q_blockmax_skips": q_blockmax_skips,
+    "q_assortativity": q_assortativity,
     "q_clustering_coeff": q_clustering_coeff,
     "q_spell_suggest": q_spell_suggest,
     "q_modularity": q_modularity,
@@ -13218,6 +13261,7 @@ ORACLES: dict[str, str] = {
     "q_autocomplete": SQL_AUTOCOMPLETE,
     "q_exact_quantiles": SQL_EXACT_QUANTILES,
     "q_blockmax_skips": SQL_BLOCKMAX_SKIPS,
+    "q_assortativity": SQL_ASSORTATIVITY,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -110,3 +110,52 @@ def test_clustering_coefficient_open_wedge_floor(spark):
     assert got[2] == (3, 0, 0)
     assert got[5] == (3, 1, 333_333)
     assert got[6] == (2, 1, 1_000_000)
+
+
+def test_assortativity_star_is_maximally_disassortative(spark):
+    from biothings_crawler_spark.operators.pagerank import (
+        degree_assortativity,
+    )
+
+    # star: hub deg n, leaves deg 1 -> r = -1 exactly
+    got = degree_assortativity(
+        _edges(spark, [(0, i) for i in range(1, 6)])).collect()[0]
+    assert got.r_ppm == -1_000_000
+    # sufficient stats: m2=10, each edge contributes (5,1) and (1,5)
+    assert (got.m2, got.sxy, got.sx, got.sxx) == (10, 50, 30, 130)
+
+
+def test_assortativity_regular_graph_zero_variance(spark):
+    from biothings_crawler_spark.operators.pagerank import (
+        degree_assortativity,
+    )
+
+    # 4-cycle: every node deg 2 -> zero variance, defined r_ppm = 0
+    got = degree_assortativity(
+        _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])).collect()[0]
+    assert got.r_ppm == 0
+
+
+def test_assortative_clique_pair_matches_python(spark):
+    from biothings_crawler_spark.operators.pagerank import (
+        degree_assortativity,
+    )
+
+    # two cliques joined by one bridge: compute r in exact python
+    pairs = list(combinations(range(4), 2)) + \
+        list(combinations(range(10, 13), 2)) + [(0, 10)]
+    got = degree_assortativity(_edges(spark, pairs)).collect()[0]
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [(deg[a], deg[b]) for a, b in pairs] + \
+         [(deg[b], deg[a]) for a, b in pairs]
+    m2 = len(xs)
+    sxy = sum(x * y for x, y in xs)
+    sx = sum(x for x, _ in xs)
+    sxx = sum(x * x for x, _ in xs)
+    num, den = m2 * sxy - sx * sx, m2 * sxx - sx * sx
+    want = -((-num) * 1000000 // den) if num < 0 else num * 1000000 // den
+    assert (got.m2, got.sxy, got.sx, got.sxx) == (m2, sxy, sx, sxx)
+    assert got.r_ppm == want
