@@ -424,6 +424,50 @@ def harmonic_centrality(
     )
 
 
+def effective_diameter(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 3,
+    q_ppm: int = 900_000,
+) -> DataFrame:
+    """Effective diameter from the HyperBall neighborhood function
+    (Palmer, Gibbons & Faloutsos, KDD 2002 "ANF"; Boldi & Vigna): the
+    smallest hop count t at which the global neighborhood function
+    N(t) = Σ_v |ball(v, t)| reaches ``q_ppm`` (default 90%) of its
+    value at the round horizon — web graphs famously sit at ~6-8.
+
+    Contract kept integer-exact: N(t) sums the integer-HLL ball
+    estimates, frac_ppm = floor(N(t) * 10^6 / N(rounds)) in
+    decimal(38,0), ``is_eff`` flags the MINIMAL reached t (the
+    interpolated fractional variant trades exactness for polish; a
+    crawl planner reads the integer hop).  N(t) is monotone because
+    every per-node ball estimate rides monotone register maxima —
+    within one estimator regime; the LC/raw boundary can wobble a unit,
+    which changes nothing about the minimal-t contract.
+
+    Cost on top of :func:`hyperball`: one t-keyed hash agg (rounds+1
+    groups), two 1-row broadcasts.  Output: (t, n_t, frac_ppm,
+    is_eff).
+    """
+    balls = hyperball(edges, src_col, dst_col, rounds)
+    nt = balls.groupBy("t").agg(
+        F.sum("ball_est").cast("long").alias("n_t"))
+    last = nt.filter(F.col("t") == rounds).select(
+        F.col("n_t").alias("n_last"))
+    frac = nt.crossJoin(F.broadcast(last)).select(
+        "t", "n_t",
+        F.expr("cast(cast(n_t as decimal(38,0)) * 1000000 div n_last"
+               " as bigint)").alias("frac_ppm"),
+    )
+    eff = frac.filter(F.col("frac_ppm") >= q_ppm).agg(
+        F.min("t").alias("t_eff"))
+    return frac.crossJoin(F.broadcast(eff)).select(
+        "t", "n_t", "frac_ppm",
+        (F.col("t") == F.col("t_eff")).cast("long").alias("is_eff"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # KMV / theta sketch (Bar-Yossef et al. 2002; Apache DataSketches' theta
 # family) — mergeable distinct sketches that, unlike HLL, support SET

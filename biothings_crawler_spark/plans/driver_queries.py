@@ -11546,6 +11546,33 @@ FROM d WHERE t > 0 GROUP BY node
 """
 
 
+def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective diameter via the HyperBall neighborhood function
+    (operators/sketch.effective_diameter, Palmer et al. ANF / Boldi &
+    Vigna): smallest t where N(t) reaches 90% of the horizon value —
+    integer-exact over the same oracle-verifiable sketches as
+    q_hyperball."""
+    from biothings_crawler_spark.operators.sketch import effective_diameter
+
+    return effective_diameter(_hub_edges(spark, sf_dir),
+                              rounds=HYPERBALL_ROUNDS)
+
+
+SQL_EFFECTIVE_DIAMETER = f"""
+WITH hb AS (SELECT * FROM ({SQL_HYPERBALL}) x),
+nt AS (SELECT t, CAST(SUM(ball_est) AS BIGINT) AS n_t FROM hb GROUP BY t),
+lastn AS (SELECT n_t AS n_last FROM nt WHERE t = {HYPERBALL_ROUNDS}),
+frac AS (SELECT t, n_t,
+                CAST(CAST(n_t AS HUGEINT) * 1000000 // n_last AS BIGINT)
+                  AS frac_ppm
+         FROM nt, lastn),
+eff AS (SELECT MIN(t) AS t_eff FROM frac WHERE frac_ppm >= 900000)
+SELECT t, n_t, frac_ppm,
+       CAST(CASE WHEN t = t_eff THEN 1 ELSE 0 END AS BIGINT) AS is_eff
+FROM frac, eff
+"""
+
+
 BOWTIE_CYCLE = [(3, 97), (97, 83), (83, 3)]
 
 
@@ -12991,6 +13018,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_exact_quantiles": q_exact_quantiles,
     "q_blockmax_skips": q_blockmax_skips,
     "q_assortativity": q_assortativity,
+    "q_effective_diameter": q_effective_diameter,
     "q_clustering_coeff": q_clustering_coeff,
     "q_spell_suggest": q_spell_suggest,
     "q_modularity": q_modularity,
@@ -13262,6 +13290,7 @@ ORACLES: dict[str, str] = {
     "q_exact_quantiles": SQL_EXACT_QUANTILES,
     "q_blockmax_skips": SQL_BLOCKMAX_SKIPS,
     "q_assortativity": SQL_ASSORTATIVITY,
+    "q_effective_diameter": SQL_EFFECTIVE_DIAMETER,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

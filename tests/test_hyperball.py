@@ -185,3 +185,25 @@ def test_hll_by_host_accuracy_and_merge_with_global(spark):
     only_a = df.filter(F.col("host") == "a")
     g = hll_distinct(only_a, "url").collect()[0]["estimate"]
     assert got["a"] == g
+
+
+def test_effective_diameter_path_graph(spark):
+    from biothings_crawler_spark.operators.sketch import effective_diameter
+
+    # directed path 0->1->...->7, 4 rounds: balls grow by one hop per
+    # round; minimal t with N(t) >= 0.9 * N(4) must flag exactly once
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "src long, dst long")
+    rows = effective_diameter(e, rounds=4).collect()
+    assert len(rows) == 5
+    by_t = {r.t: r for r in rows}
+    # monotone N(t), frac hits 1e6 at the horizon
+    ns = [by_t[t].n_t for t in range(5)]
+    assert ns == sorted(ns)
+    assert by_t[4].frac_ppm == 1_000_000
+    eff = [r.t for r in rows if r.is_eff == 1]
+    assert len(eff) == 1
+    # the flagged t is the minimal one at >= 900000
+    t_eff = eff[0]
+    assert by_t[t_eff].frac_ppm >= 900_000
+    assert all(by_t[t].frac_ppm < 900_000 for t in range(t_eff))
