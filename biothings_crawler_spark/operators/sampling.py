@@ -89,6 +89,58 @@ def quality_weighted_sample(
     return df.filter(keep)
 
 
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_ppm_col: str,
+    k: int,
+    seed: str = "pri",
+) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement by priority
+    sampling (Duffield, Lund & Thorup, JACM 2007): each row gets
+    priority q = w / u with u uniform on (0, 1], the sample is the
+    top-k by q, and every sampled row's unbiased weight estimate is
+    ``max(w, tau)`` with tau the (k+1)-th priority — so
+    ``sum(est_w_ppm)`` over the sample estimates the population's
+    total weight (the property subset-sum queries at 100 TB lean on).
+
+    Everything integer-exact, long-only, deterministic in (seed, id):
+    u = (u60(id) div 2^30) + 1 is uniform on [1, 2^30] and the
+    priority is the floored rational ``w_ppm * 2^30 div u`` — in
+    w-ppm units (q >= w always), so tau compares directly with
+    weights; ``w_ppm * 2^30`` requires w_ppm < 2^33.  Ties break by
+    id.  The top-(k+1) is a TakeOrderedAndProject (per-partition
+    heaps, a (k+1)-row merge — never a global sort); tau rides back
+    as a 1-row broadcast.
+
+    Output: (id, w_ppm, priority, est_w_ppm) — exactly k rows when
+    the input has more than k, all rows (est = w, tau = 0) otherwise.
+    """
+    two30 = 1 << 30
+    u = hash_u60_col(F.col(id_col), seed)
+    pri = df.select(
+        F.col(id_col).alias("id"),
+        F.col(weight_ppm_col).cast("long").alias("w_ppm"),
+        u.alias("_u"),
+    ).select(
+        "id", "w_ppm",
+        F.expr(f"(w_ppm * {two30}L) div ((_u div {two30}L) + 1L)")
+        .cast("long").alias("priority"),
+    )
+    top = pri.orderBy(F.desc("priority"), "id").limit(k + 1)
+    tau = top.agg(
+        F.when(F.count(F.lit(1)) > k, F.min("priority"))
+        .otherwise(F.lit(0)).cast("long").alias("tau"))
+    return (
+        top.orderBy(F.desc("priority"), "id").limit(k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "id", "w_ppm", "priority",
+            F.greatest("w_ppm", "tau").cast("long").alias("est_w_ppm"),
+        )
+    )
+
+
 def select_token_budget(
     df: DataFrame,
     id_col: str,

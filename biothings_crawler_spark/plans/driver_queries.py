@@ -11546,6 +11546,47 @@ FROM d WHERE t > 0 GROUP BY node
 """
 
 
+PRIORITY_K = 50
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sampling without replacement (operators/
+    sampling.priority_sample, Duffield-Lund-Thorup priority sampling):
+    top-50 by integer priority w_ppm * 2^30 div u30, tau = the 51st
+    priority, est = max(w, tau) — sum(est) estimates total weight.
+    Weights are a deterministic skew (1 + (id%997) * (id%13)) so the
+    sample is weight-tilted, not uniform.  Oracle replays hash,
+    priority, tau, and estimate in SQL."""
+    from biothings_crawler_spark.operators.sampling import priority_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (1 + (F.col("doc_id") % 997) * (F.col("doc_id") % 13))
+        .cast("long").alias("w_ppm"))
+    return priority_sample(d, "doc_id", "w_ppm", k=PRIORITY_K, seed="pri")
+
+
+SQL_PRIORITY_SAMPLE = f"""
+WITH w AS (
+  SELECT doc_id AS id,
+         CAST(1 + (doc_id % 997) * (doc_id % 13) AS BIGINT) AS w_ppm
+  FROM documents),
+pri AS (
+  SELECT id, w_ppm,
+         (w_ppm * {1 << 30}) //
+           ((CAST(('0x' || substr(md5('pri:' || CAST(id AS VARCHAR)), 1, 15))
+                  AS BIGINT) // {1 << 30}) + 1) AS priority
+  FROM w),
+top AS (SELECT * FROM pri ORDER BY priority DESC, id LIMIT {PRIORITY_K + 1}),
+tau AS (SELECT CASE WHEN COUNT(*) > {PRIORITY_K} THEN MIN(priority)
+                    ELSE 0 END AS tau FROM top),
+s AS (SELECT * FROM top ORDER BY priority DESC, id LIMIT {PRIORITY_K})
+SELECT s.id, s.w_ppm, CAST(s.priority AS BIGINT) AS priority,
+       CAST(GREATEST(s.w_ppm, t.tau) AS BIGINT) AS est_w_ppm
+FROM s, tau t
+"""
+
+
 def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Effective diameter via the HyperBall neighborhood function
     (operators/sketch.effective_diameter, Palmer et al. ANF / Boldi &
@@ -13019,6 +13060,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_blockmax_skips": q_blockmax_skips,
     "q_assortativity": q_assortativity,
     "q_effective_diameter": q_effective_diameter,
+    "q_priority_sample": q_priority_sample,
     "q_clustering_coeff": q_clustering_coeff,
     "q_spell_suggest": q_spell_suggest,
     "q_modularity": q_modularity,
@@ -13291,6 +13333,7 @@ ORACLES: dict[str, str] = {
     "q_blockmax_skips": SQL_BLOCKMAX_SKIPS,
     "q_assortativity": SQL_ASSORTATIVITY,
     "q_effective_diameter": SQL_EFFECTIVE_DIAMETER,
+    "q_priority_sample": SQL_PRIORITY_SAMPLE,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -2040,3 +2040,40 @@ def test_truncated_ann_recall_and_rerank_pattern(spark):
     shortlist = _recall(_sets(truncated_brute_topk(e, q, "vec_id",
                                                    "embedding", 100, dims=16)))
     assert shortlist >= 0.6  # measured 0.72: re-rank recovers most
+
+
+def test_priority_sample_contract(spark):
+    from biothings_crawler_spark.operators.sampling import (
+        hash_u60_col,
+        priority_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1 + (i % 7) * 100) for i in range(200)], "id long, w long")
+    got = priority_sample(df, "id", "w", k=20, seed="t").collect()
+    assert len(got) == 20
+    # replay in python: priority = w * 2^30 // ((u60 >> 30) + 1)
+    us = {r["id"]: r["u"] for r in df.select(
+        "id", hash_u60_col(F.col("id"), "t").alias("u")).collect()}
+    pri = sorted(
+        ((1 + (i % 7) * 100) * (1 << 30) // ((us[i] >> 30) + 1), -i)
+        for i in range(200))[::-1]
+    want_top = [( -i, p) for p, i in pri[:20]]
+    assert sorted((r["id"], r["priority"]) for r in got) == sorted(want_top)
+    tau = pri[20][0]
+    for r in got:
+        assert r["priority"] >= tau
+        assert r["est_w_ppm"] == max(r["w_ppm"], tau)
+    # every priority dominates its own weight (u <= 1 never shrinks)
+    assert all(r["priority"] >= r["w_ppm"] for r in got)
+
+
+def test_priority_sample_small_input_keeps_all(spark):
+    from biothings_crawler_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, w long")
+    got = {r["id"]: r for r in priority_sample(
+        df, "id", "w", k=5, seed="t").collect()}
+    assert set(got) == {1, 2}
+    # tau = 0 when the population fits: estimates are the raw weights
+    assert got[1]["est_w_ppm"] == 10 and got[2]["est_w_ppm"] == 20
