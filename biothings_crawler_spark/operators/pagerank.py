@@ -468,6 +468,89 @@ def clustering_coefficients(edges: DataFrame, src: str = "src",
     )
 
 
+def ppr_push(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    alpha_pct: int = 15,
+    eps: int = 1000,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Personalized PageRank by SYNCHRONOUS forward push (Andersen,
+    Chung & Lang, FOCS 2006, batched: every node whose residual
+    clears ``eps`` pushes each round, instead of the sequential
+    one-node-at-a-time queue — the standard distributed reshaping,
+    deterministic here because the per-round update is a pure
+    aggregate).  PPR from a seed set is the crawl prioritizer that
+    answers "what should I fetch next to grow THIS collection" —
+    topic-focused crawling's scoring function — and the
+    local-community primitive (sweep cuts over p/deg).
+
+    Integer micro-units end to end: seeds start with residual
+    ``scale``; a pushing node settles ``alpha_pct * r div 100`` into
+    its estimate, spreads ``(100 - alpha_pct) * r div (100 * deg)``
+    to each out-neighbor (flooring leaks mass — conservative and
+    deterministic, the usual integer-push trade), and dangling nodes
+    settle their alpha share while the rest leaves the graph
+    (documented absorption).  Sub-``eps`` residuals hold in place, so
+    the worklist SHRINKS geometrically — push volume per round is
+    bounded by residual mass / eps, not graph size.
+
+    Shapes per round: one filter (the frontier), one join onto the
+    degree-annotated edges (contributions), one hash agg, one slim
+    rejoin; lineage truncated by localCheckpoint.  Output: (node,
+    p, r) in micro-units — p the settled PPR estimate, r the
+    undistributed residual.
+    """
+    e = edges.select(F.col("src").alias("src"), F.col("dst").alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(seeds.select(F.col("node")))
+        .distinct()
+    )
+    state = nodes.join(
+        seeds.select("node", F.lit(scale).cast("long").alias("_s")),
+        "node", "left"
+    ).select(
+        "node", F.lit(0).cast("long").alias("p"),
+        F.coalesce("_s", F.lit(0)).cast("long").alias("r"),
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        pushers = state.filter(F.col("r") >= eps)
+        contrib = (
+            pushers.join(ed, pushers.node == ed.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(({100 - alpha_pct}) * r)"
+                       f" div (100 * deg)").alias("add_r"),
+            )
+            .groupBy("node")
+            .agg(F.sum("add_r").cast("long").alias("add_r"))
+        )
+        settled = state.select(
+            "node",
+            F.when(F.col("r") >= eps,
+                   F.col("p") + F.expr(f"({alpha_pct} * r) div 100"))
+            .otherwise(F.col("p")).cast("long").alias("p"),
+            F.when(F.col("r") >= eps, F.lit(0)).otherwise(F.col("r"))
+            .cast("long").alias("r"),
+        )
+        state = (
+            settled.join(contrib, "node", "left")
+            .select(
+                "node", "p",
+                (F.col("r") + F.coalesce("add_r", F.lit(0)))
+                .cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state
+
+
 def degree_assortativity(edges: DataFrame, src: str = "src",
                          dst: str = "dst") -> DataFrame:
     """Degree assortativity coefficient (Newman, PRL 2002) of the

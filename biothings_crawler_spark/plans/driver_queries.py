@@ -11546,6 +11546,66 @@ FROM d WHERE t > 0 GROUP BY node
 """
 
 
+PPR_ITERS, PPR_ALPHA, PPR_EPS = 3, 15, 1000
+
+
+def q_ppr_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank by synchronous forward push (operators/
+    pagerank.ppr_push, Andersen-Chung-Lang batched): 3 rounds from the
+    trustrank seed family (node % 13 == 0), alpha 15%, eps 1000
+    micro-units — the topic-focused crawl prioritizer.  Oracle unrolls
+    the identical push rounds as chained CTEs."""
+    from biothings_crawler_spark.operators.pagerank import ppr_push
+
+    e = _hub_edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 13 == 0)
+    )
+    return ppr_push(e, seeds, iters=PPR_ITERS, alpha_pct=PPR_ALPHA,
+                    eps=PPR_EPS)
+
+
+def _sql_ppr() -> str:
+    from biothings_crawler_spark.operators.pagerank import PR_SCALE
+
+    ctes = [
+        _SQL_HUBGRAPH,
+        f"""
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+s0 AS MATERIALIZED (
+  SELECT node, CAST(0 AS BIGINT) AS p,
+         CAST(CASE WHEN node % 13 = 0 THEN {PR_SCALE} ELSE 0 END
+              AS BIGINT) AS r
+  FROM nodes)""",
+    ]
+    for i in range(PPR_ITERS):
+        ctes.append(f"""
+c{i} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(({100 - PPR_ALPHA} * s.r) // (100 * d.deg)) AS BIGINT)
+           AS add_r
+  FROM s{i} s JOIN e ON e.src = s.node JOIN deg d ON d.src = s.node
+  WHERE s.r >= {PPR_EPS} GROUP BY e.dst),
+s{i + 1} AS MATERIALIZED (
+  SELECT s.node,
+         CAST(CASE WHEN s.r >= {PPR_EPS}
+              THEN s.p + ({PPR_ALPHA} * s.r) // 100
+              ELSE s.p END AS BIGINT) AS p,
+         CAST((CASE WHEN s.r >= {PPR_EPS} THEN 0 ELSE s.r END)
+              + COALESCE(c.add_r, 0) AS BIGINT) AS r
+  FROM s{i} s LEFT JOIN c{i} c ON c.node = s.node)""")
+    return ("WITH " + ",".join(ctes)
+            + f"\nSELECT node, p, r FROM s{PPR_ITERS}")
+
+
+SQL_PPR_PUSH = _sql_ppr()
+
+
 PRIORITY_K = 50
 
 
@@ -13061,6 +13121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_assortativity": q_assortativity,
     "q_effective_diameter": q_effective_diameter,
     "q_priority_sample": q_priority_sample,
+    "q_ppr_push": q_ppr_push,
     "q_clustering_coeff": q_clustering_coeff,
     "q_spell_suggest": q_spell_suggest,
     "q_modularity": q_modularity,
@@ -13334,6 +13395,7 @@ ORACLES: dict[str, str] = {
     "q_assortativity": SQL_ASSORTATIVITY,
     "q_effective_diameter": SQL_EFFECTIVE_DIAMETER,
     "q_priority_sample": SQL_PRIORITY_SAMPLE,
+    "q_ppr_push": SQL_PPR_PUSH,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

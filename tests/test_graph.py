@@ -286,3 +286,41 @@ def test_modularity_canonicalizes_directed_duplicates(spark):
     assert r["m_edges"] == 1 and r["intra_edges"] == 1
     # one community holding all degree: Q = 1 - 4/4 = 0
     assert r["q_ppm"] == 0
+
+def test_ppr_push_hand_computed_two_rounds(spark):
+    from biothings_crawler_spark.operators.pagerank import ppr_push
+
+    # star 0 -> {1, 2}, seed {0}, scale 1e6, alpha 15%, eps 1000.
+    # Round 1: 0 settles 150_000, sends (85e6 div 200) = 425_000 each.
+    # Round 2: 1 and 2 are dangling -> settle 63_750, rest absorbed.
+    e = _edges(spark, [(0, 1), (0, 2)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: (r["p"], r["r"]) for r in
+           ppr_push(e, seeds, iters=2, alpha_pct=15, eps=1000,
+                    scale=1_000_000).collect()}
+    assert got == {0: (150_000, 0), 1: (63_750, 0), 2: (63_750, 0)}
+
+
+def test_ppr_push_sub_eps_residual_holds_in_place(spark):
+    from biothings_crawler_spark.operators.pagerank import ppr_push
+
+    # eps above the seed mass: nothing ever pushes, state is frozen
+    e = _edges(spark, [(0, 1)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: (r["p"], r["r"]) for r in
+           ppr_push(e, seeds, iters=3, alpha_pct=15, eps=2_000_000,
+                    scale=1_000_000).collect()}
+    assert got == {0: (0, 1_000_000), 1: (0, 0)}
+
+
+def test_ppr_push_mass_never_exceeds_seed_mass(spark):
+    from biothings_crawler_spark.operators.pagerank import ppr_push
+
+    # flooring + dangling absorption only LEAK mass: sum(p+r) <= seeds
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 3)])
+    seeds = spark.createDataFrame([(0,), (2,)], "node long")
+    rows = ppr_push(e, seeds, iters=4, alpha_pct=15, eps=10,
+                    scale=1_000_000).collect()
+    total = sum(r["p"] + r["r"] for r in rows)
+    assert 0 < total <= 2_000_000
+    assert all(r["p"] >= 0 and r["r"] >= 0 for r in rows)
