@@ -125,3 +125,49 @@ def bucketed_range_join(
         )
         .drop("__b")
     )
+
+
+def cusum_drift(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    k: int,
+    h: int,
+) -> DataFrame:
+    """One-sided CUSUM drift statistic (Page 1954) per key — the
+    change-point detector for crawl health: has this host's fetch
+    latency / error rate drifted upward past ``h``, allowing slack
+    ``k`` per observation?
+
+    The textbook recurrence ``s_t = max(0, s_{t-1} + (x_t - k))`` is
+    sequential, but it has the exact closed form
+    ``s_t = S_t - min(0, min_{j<=t} S_j)`` over the prefix sums
+    ``S_t = sum_{i<=t} (x_i - k)`` — so the whole per-key scan runs as
+    ONE window (running sum + running min in the same ordered frame),
+    not an iterative fold or a Python UDF.  Integer-exact end to end.
+
+    Scale shape: one shuffle on ``key_col``, one per-key ordered scan
+    with O(1) frame state; rows within a key sort by (ts, order_col)
+    so duplicate timestamps stay deterministic.  ``alarm`` marks every
+    row at or past the threshold (monitoring variant — the statistic
+    keeps running rather than resetting at the first alarm).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = events.withColumn("__d", F.col(value_col).cast("long") - F.lit(k))
+    s = d.withColumn("__s", F.sum("__d").over(w)).withColumn(
+        "__low", F.least(F.lit(0).cast("long"), F.min("__s").over(w))
+    )
+    return s.select(
+        key_col,
+        ts_col,
+        order_col,
+        F.col(value_col).cast("long").alias(value_col),
+        (F.col("__s") - F.col("__low")).alias("stat"),
+        ((F.col("__s") - F.col("__low")) >= h).alias("alarm"),
+    )

@@ -11606,6 +11606,54 @@ s{i + 1} AS MATERIALIZED (
 SQL_PPR_PUSH = _sql_ppr()
 
 
+CUSUM_K, CUSUM_H = 650_000, 5_000_000
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host latency drift detection (operators/temporal.cusum_drift,
+    Page 1954 one-sided CUSUM): hosts = user bucket %% 40, latency_us =
+    floor(value*12345) as in q_latency_quantiles, slack k=650k/obs,
+    alarm threshold h=5M.  The sequential max(0, s+d) recurrence runs
+    as ONE window via the prefix-sum-minus-running-min closed form.
+    Oracle = the same two window functions in DuckDB."""
+    from biothings_crawler_spark.operators.temporal import cusum_drift
+
+    ev = _t(spark, sf_dir, "events")
+    fetches = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string")).alias("host"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.floor(F.col("value") * 12345).cast("long").alias("latency_us"),
+    )
+    out = cusum_drift(fetches, "host", "ts", "event_id", "latency_us",
+                      k=CUSUM_K, h=CUSUM_H)
+    return out.select("host", "event_id", "stat", "alarm")
+
+
+SQL_CUSUM_DRIFT = f"""
+WITH f AS (
+  SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host, ts, event_id,
+         CAST(floor(value * 12345) AS BIGINT) - {CUSUM_K} AS d
+  FROM events),
+r AS (
+  SELECT host, ts, event_id,
+         SUM(d) OVER (PARTITION BY host ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run
+  FROM f),
+s AS (
+  SELECT host, event_id, run,
+         LEAST(CAST(0 AS BIGINT),
+               MIN(run) OVER (PARTITION BY host ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)) AS low
+  FROM r)
+SELECT host, event_id, CAST(run - low AS BIGINT) AS stat,
+       (run - low) >= {CUSUM_H} AS alarm
+FROM s
+"""
+
+
 PRIORITY_K = 50
 
 
@@ -13122,6 +13170,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_effective_diameter": q_effective_diameter,
     "q_priority_sample": q_priority_sample,
     "q_ppr_push": q_ppr_push,
+    "q_cusum_drift": q_cusum_drift,
     "q_clustering_coeff": q_clustering_coeff,
     "q_spell_suggest": q_spell_suggest,
     "q_modularity": q_modularity,
@@ -13396,6 +13445,7 @@ ORACLES: dict[str, str] = {
     "q_effective_diameter": SQL_EFFECTIVE_DIAMETER,
     "q_priority_sample": SQL_PRIORITY_SAMPLE,
     "q_ppr_push": SQL_PPR_PUSH,
+    "q_cusum_drift": SQL_CUSUM_DRIFT,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

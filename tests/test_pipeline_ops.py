@@ -2077,3 +2077,35 @@ def test_priority_sample_small_input_keeps_all(spark):
     assert set(got) == {1, 2}
     # tau = 0 when the population fits: estimates are the raw weights
     assert got[1]["est_w_ppm"] == 10 and got[2]["est_w_ppm"] == 20
+
+
+def test_cusum_drift_matches_sequential_recurrence(spark):
+    from biothings_crawler_spark.operators.temporal import cusum_drift
+
+    # hand recurrence: s_t = max(0, s_{t-1} + x_t - k), k=5, h=6
+    xs = [3, 9, 9, 1, 0, 8, 9, 9]
+    rows = [("h", i, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "host string, ts long, eid long, v long")
+    got = {
+        r["ts"]: (r["stat"], r["alarm"])
+        for r in cusum_drift(df, "host", "ts", "eid", "v", k=5, h=6).collect()
+    }
+    s, want = 0, {}
+    for i, x in enumerate(xs):
+        s = max(0, s + x - 5)
+        want[i] = (s, s >= 6)
+    assert got == want
+
+
+def test_cusum_drift_keys_independent_and_tie_deterministic(spark):
+    from biothings_crawler_spark.operators.temporal import cusum_drift
+
+    # same ts twice on one key: order falls back to eid; two keys
+    # never share state
+    rows = [("a", 0, 0, 10), ("a", 0, 1, 0), ("b", 0, 0, 2)]
+    df = spark.createDataFrame(rows, "host string, ts long, eid long, v long")
+    got = {
+        (r["host"], r["eid"]): r["stat"]
+        for r in cusum_drift(df, "host", "ts", "eid", "v", k=3, h=100).collect()
+    }
+    assert got == {("a", 0): 7, ("a", 1): 4, ("b", 0): 0}
