@@ -1112,3 +1112,50 @@ def modularity(
             - F.lit(1000000)
         ).alias("q_ppm"),
     )
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 4,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Relative spam mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen,
+    "Link spam detection based on mass estimation", VLDB 2006): the
+    fraction of a page's PageRank that does NOT come through the
+    trusted core — the complement of TrustRank, used to DEMOTE, where
+    trustrank promotes.  Composition of the two existing fixed-point
+    operators over one shared edge set:
+
+        m~(p) = (PR(p) - min(PR(p), TR'(p))) / PR(p)
+
+    where TR' is seed-teleport trustrank rescaled by n_nodes/n_seeds
+    so both vectors describe the same total teleport mass (the paper's
+    ``k = n/|S|`` estimator).  Emitted in parts-per-million computed as
+    ``((deficit div 1000) * 1e6) div (pr div 1000)`` — the double
+    down-shift keeps every intermediate inside int64 even when a hub
+    node holds most of the graph's mass (pr can reach n*scale ~ 2^59;
+    a direct *1e6 would overflow), and the formula is identical
+    integer arithmetic in the DuckDB twin, so still cross-engine
+    exact.  Scale shape: the two rank fixed points (join+agg per
+    round, checkpointed), one node-keyed equi-join, one 1-row
+    broadcast counts join — nothing new shuffles.
+    """
+    pr = pagerank(edges, iters=iters, scale=scale).withColumnRenamed("rank", "pr")
+    tr = trustrank(edges, seeds, iters=iters, scale=scale).withColumnRenamed(
+        "rank", "tr"
+    )
+    counts = pr.crossJoin(
+        F.broadcast(seeds.select(F.countDistinct("node").alias("n_seeds")))
+    ).crossJoin(F.broadcast(pr.select(F.count(F.lit(1)).alias("n_nodes"))))
+    j = counts.join(tr, "node", "left").select(
+        "node", "pr",
+        F.expr("coalesce(tr, 0) * n_nodes div n_seeds").alias("tr_adj"),
+    )
+    return j.select(
+        "node", "pr", "tr_adj",
+        F.expr(
+            "(((pr - least(pr, tr_adj)) div 1000) * 1000000)"
+            " div (pr div 1000)"
+        ).alias("spam_ppm"),
+    )

@@ -11606,6 +11606,73 @@ s{i + 1} AS MATERIALIZED (
 SQL_PPR_PUSH = _sql_ppr()
 
 
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative spam mass (operators/pagerank.spam_mass, Gyöngyi et al.
+    VLDB 2006): fraction of each hub-graph node's PageRank that lacks
+    trust lineage, trust seeds = node %% 13 == 0 rescaled by n/|S|.
+    Oracle = the q_pagerank and q_trustrank CTE chains side by side
+    plus the identical shift-guarded ppm formula."""
+    from biothings_crawler_spark.operators.pagerank import spam_mass
+
+    e = _hub_edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 13 == 0)
+    )
+    return spam_mass(e, seeds, iters=PR_ITERS)
+
+
+def _sql_spam_mass() -> str:
+    from biothings_crawler_spark.operators.pagerank import PR_SCALE
+
+    base = 15 * PR_SCALE // 100
+    ctes = [
+        _SQL_HUBGRAPH,
+        f"""
+nodes AS (SELECT DISTINCT node,
+                 CASE WHEN node % 13 = 0 THEN 1 ELSE 0 END AS is_seed
+          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes),
+t0 AS (SELECT node, is_seed, CAST(is_seed * {PR_SCALE} AS BIGINT) AS rank
+       FROM nodes)""",
+    ]
+    for i in range(PR_ITERS):
+        ctes.append(f"""
+r{i + 1} AS (
+  SELECT n.node, CAST({base} + coalesce(s.in_sum, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM((85 * r.rank) // (100 * d.deg)) AS in_sum
+    FROM e JOIN deg d USING (src) JOIN r{i} r ON r.node = e.src
+    GROUP BY e.dst) s USING (node)),
+t{i + 1} AS (
+  SELECT n.node, n.is_seed,
+         CAST(n.is_seed * {base} + coalesce(s.in_sum, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM((85 * t.rank) // (100 * d.deg)) AS in_sum
+    FROM e JOIN deg d USING (src) JOIN t{i} t ON t.node = e.src
+    GROUP BY e.dst) s USING (node))""")
+    ctes.append(f"""
+cnt AS (SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+               (SELECT COUNT(*) FROM nodes WHERE is_seed = 1) AS n_seeds),
+j AS (
+  SELECT r.node, r.rank AS pr,
+         CAST(coalesce(t.rank, 0) * c.n_nodes // c.n_seeds AS BIGINT)
+           AS tr_adj
+  FROM r{PR_ITERS} r
+  JOIN t{PR_ITERS} t ON t.node = r.node CROSS JOIN cnt c)""")
+    return ("WITH " + ",".join(ctes) + """
+SELECT node, pr, tr_adj,
+       CAST((((pr - LEAST(pr, tr_adj)) // 1000) * 1000000)
+            // (pr // 1000) AS BIGINT) AS spam_ppm
+FROM j""")
+
+
+SQL_SPAM_MASS = _sql_spam_mass()
+
+
 CUSUM_K, CUSUM_H = 650_000, 5_000_000
 
 
@@ -13171,6 +13238,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_priority_sample": q_priority_sample,
     "q_ppr_push": q_ppr_push,
     "q_cusum_drift": q_cusum_drift,
+    "q_spam_mass": q_spam_mass,
     "q_clustering_coeff": q_clustering_coeff,
     "q_spell_suggest": q_spell_suggest,
     "q_modularity": q_modularity,
@@ -13446,6 +13514,7 @@ ORACLES: dict[str, str] = {
     "q_priority_sample": SQL_PRIORITY_SAMPLE,
     "q_ppr_push": SQL_PPR_PUSH,
     "q_cusum_drift": SQL_CUSUM_DRIFT,
+    "q_spam_mass": SQL_SPAM_MASS,
     "q_indegree_dist": SQL_INDEGREE_DIST,
     "q_fetch_schedule": SQL_FETCH_SCHEDULE,
     "q_url_identity": SQL_URL_IDENTITY,

@@ -324,3 +324,28 @@ def test_ppr_push_mass_never_exceeds_seed_mass(spark):
     total = sum(r["p"] + r["r"] for r in rows)
     assert 0 < total <= 2_000_000
     assert all(r["p"] >= 0 and r["r"] >= 0 for r in rows)
+
+
+def test_spam_mass_farm_is_all_spam_seed_side_is_clean(spark):
+    from biothings_crawler_spark.operators.pagerank import spam_mass
+
+    # trusted pair {0,1} (0 seeded) vs an isolated farm {10,11}:
+    # the farm's rank has zero trust lineage -> spam_ppm = 1e6 exactly;
+    # the rescaled trust (x n/|S| = x4) swamps pr on the seeded side
+    e = _edges(spark, [(0, 1), (1, 0), (10, 11), (11, 10)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["spam_ppm"] for r in
+           spam_mass(e, seeds, iters=3).collect()}
+    assert got[10] == got[11] == 1_000_000
+    assert got[0] == 0 and got[1] == 0
+
+
+def test_spam_mass_bounded_and_deficit_consistent(spark):
+    from biothings_crawler_spark.operators.pagerank import spam_mass
+
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (3, 2), (2, 3)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    for r in spam_mass(e, seeds, iters=4).collect():
+        assert 0 <= r["spam_ppm"] <= 1_000_000
+        if r["tr_adj"] >= r["pr"]:
+            assert r["spam_ppm"] == 0
