@@ -889,3 +889,59 @@ def smooth_lang_by_host(
         .alias("lang_smoothed"),
         prior.alias("from_host_prior"),
     )
+
+
+def trending_terms(
+    docs: DataFrame,
+    snap_col: str,
+    text_col: str,
+    min_count: int = 8,
+) -> DataFrame:
+    """Terms whose relative frequency shifted between two crawl
+    snapshots (``snap_col`` = 0 for the old crawl, 1 for the new) —
+    the drift monitor that tells a corpus curator WHAT changed when
+    q_snapshot_diff says THAT things changed.  Add-one-smoothed
+    frequency-ratio ranking: the classic log-odds trender with the
+    monotone log dropped (same trick as the PMI ranker in
+    q_collocations), so everything stays integer and cross-engine
+    exact:
+
+        t1 = (c_new + 1) * 1e6 div (c_old + 1)       # count ratio
+        t2 = (tot_old + V) * 1e6 div (tot_new + V)   # size correction
+        score_ppm = t1 * t2 div 1e6                  # smoothed ratio
+
+    ``V`` = vocabulary size (the add-one mass).  Intermediates stay
+    under int64 while per-term counts are below ~1e12; a term hot
+    enough to break that is a stopword the ``min_count`` band and any
+    sane vocab cap would have excluded long before the arithmetic
+    matters.  Scale shape: one explode + one (term, snap) hash agg
+    with map-side partials, one term-keyed conditional re-agg, one
+    1-row broadcast totals join — no window, no self-join.
+    """
+    toks = docs.select(
+        F.col(snap_col).alias("snap"),
+        F.explode(words_col(F.col(text_col))).alias("term"),
+    )
+    per = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).alias("c_old"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("c_new"),
+    )
+    totals = per.agg(
+        F.sum("c_old").cast("long").alias("tot_old"),
+        F.sum("c_new").cast("long").alias("tot_new"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    return (
+        per.filter(F.col("c_old") + F.col("c_new") >= min_count)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            F.col("c_old").cast("long").alias("c_old"),
+            F.col("c_new").cast("long").alias("c_new"),
+            F.expr(
+                "(((c_new + 1) * 1000000 div (c_old + 1))"
+                " * ((tot_old + vocab) * 1000000 div (tot_new + vocab)))"
+                " div 1000000"
+            ).alias("score_ppm"),
+        )
+    )

@@ -2109,3 +2109,30 @@ def test_cusum_drift_keys_independent_and_tie_deterministic(spark):
         for r in cusum_drift(df, "host", "ts", "eid", "v", k=3, h=100).collect()
     }
     assert got == {("a", 0): 7, ("a", 1): 4, ("b", 0): 0}
+
+
+def test_trending_terms_hand_computed(spark):
+    from biothings_crawler_spark.operators.text import trending_terms
+
+    # old snapshot: "a a b"; new snapshot: "a b b b"
+    # totals: tot_old=3, tot_new=4, vocab=2
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b b b")], "snap long, text string"
+    )
+    got = {r["term"]: (r["c_old"], r["c_new"], r["score_ppm"])
+           for r in trending_terms(df, "snap", "text", min_count=1).collect()}
+    # a: t1=(1+1)*1e6//3=666666, t2=5*1e6//6=833333 -> 555554
+    # b: t1=4*1e6//2=2000000, t2=833333 -> 1666666
+    assert got["a"] == (2, 1, 555_554)
+    assert got["b"] == (1, 3, 1_666_666)
+
+
+def test_trending_terms_min_count_band(spark):
+    from biothings_crawler_spark.operators.text import trending_terms
+
+    df = spark.createDataFrame(
+        [(0, "x x x rare"), (1, "x x x")], "snap long, text string"
+    )
+    got = {r["term"] for r in
+           trending_terms(df, "snap", "text", min_count=2).collect()}
+    assert got == {"x"}
