@@ -13218,6 +13218,45 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY dist2, c.cell) = 1
 SQL_KMEANS = _sql_kmeans()
 
 
+TREND_MIN_COUNT = 8
+
+
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot term drift (operators/text.trending_terms):
+    snapshots synthesized as doc_id %% 2 (0 = old crawl, 1 = new),
+    add-one-smoothed integer frequency-ratio score in ppm, min_count
+    band = 8.  Oracle replays the explode + conditional agg + totals
+    join and the identical div-chain in DuckDB."""
+    from biothings_crawler_spark.operators.text import trending_terms
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).cast("long").alias("snap"), "text"
+    )
+    return trending_terms(d, "snap", "text", min_count=TREND_MIN_COUNT)
+
+
+SQL_TRENDING_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id % 2 AS snap, unnest({_SQL_WORDS}) AS term FROM documents),
+per AS (
+  SELECT term,
+         CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+         CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+  FROM toks GROUP BY term),
+tot AS (
+  SELECT CAST(SUM(c_old) AS BIGINT) AS tot_old,
+         CAST(SUM(c_new) AS BIGINT) AS tot_new,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM per)
+SELECT term, c_old, c_new,
+       CAST((((c_new + 1) * 1000000 // (c_old + 1))
+             * ((tot_old + vocab) * 1000000 // (tot_new + vocab)))
+            // 1000000 AS BIGINT) AS score_ppm
+FROM per CROSS JOIN tot
+WHERE c_old + c_new >= {TREND_MIN_COUNT}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so queries whose operators changed since their last green
@@ -13227,6 +13266,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_trending_terms": q_trending_terms,
     "q_anchor_summary": q_anchor_summary,
     "q_anchor_field": q_anchor_field,
     "q_anchor_bm25f": q_anchor_bm25f,
@@ -13503,6 +13543,7 @@ ORACLES: dict[str, str] = {
     "q_rank_correlation": SQL_RANK_CORRELATION,
     "q_spell_suggest": SQL_SPELL_SUGGEST,
     "q_clustering_coeff": SQL_CLUSTERING_COEFF,
+    "q_trending_terms": SQL_TRENDING_TERMS,
     "q_anchor_summary": SQL_ANCHOR_SUMMARY,
     "q_anchor_field": SQL_ANCHOR_FIELD,
     "q_anchor_bm25f": SQL_ANCHOR_BM25F,
