@@ -945,3 +945,56 @@ def trending_terms(
             ).alias("score_ppm"),
         )
     )
+
+
+def readability_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document, in
+    exact integer thousandths — the classic curation signal for
+    "too-simple boilerplate vs. unreadable slurry" quality banding
+    (both formula families are public: Flesch 1948, Kincaid et al.
+    1975).  Syllables use the standard vowel-group heuristic (runs of
+    ``[aeiouy]+`` per lowercased word, minimum 1) — deterministic and
+    cross-engine replayable, unlike dictionary-based counters:
+
+        flesch_milli = 206835 - 1015*W div S - 84600*Y div W
+        fk_grade_milli = 390*W div S + 11800*Y div W - 15590
+
+    with W = words, S = sentences (runs of ``[.!?]+``, min 1), Y =
+    syllables.  Each ``a*x div y`` term is the exact floor of the
+    real-valued term in thousandths, so both engines agree bit-for-bit.
+    Scale shape: ONE row-local projection — no shuffle, no UDF, rides
+    the scan inside whole-stage codegen.
+    """
+    words = words_col(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(words).cast("long").alias("n_words"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")).cast("long"),
+        ).alias("n_sentences"),
+        F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc
+            + F.greatest(
+                F.lit(1).cast("long"),
+                F.regexp_count(w, F.lit("[aeiouy]+")).cast("long"),
+            ),
+        ).alias("n_syllables"),
+    )
+    return base.select(
+        "id", "n_words", "n_sentences", "n_syllables",
+        F.expr(
+            "206835 - (1015 * n_words) div n_sentences"
+            " - (84600 * n_syllables) div greatest(1L, n_words)"
+        ).alias("flesch_milli"),
+        F.expr(
+            "(390 * n_words) div n_sentences"
+            " + (11800 * n_syllables) div greatest(1L, n_words) - 15590"
+        ).alias("fk_grade_milli"),
+    )

@@ -13257,6 +13257,45 @@ WHERE c_old + c_new >= {TREND_MIN_COUNT}
 """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch / Flesch-Kincaid readability in integer thousandths
+    (operators/text.readability_scores): vowel-run syllable heuristic,
+    ``[.!?]+``-run sentence counting, exact div-chain scoring.  Oracle
+    replays the identical word split, regex counts, and floor-division
+    chain in DuckDB."""
+    from biothings_crawler_spark.operators.text import readability_scores
+
+    return readability_scores(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+SQL_READABILITY = f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         {_SQL_WORDS} AS words,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+           AS n_sentences
+  FROM documents),
+agg AS (
+  SELECT id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         n_sentences,
+         CAST(COALESCE(list_sum(list_transform(words,
+                w -> GREATEST(CAST(1 AS BIGINT),
+                              CAST(len(regexp_extract_all(w, '[aeiouy]+'))
+                                   AS BIGINT)))), 0) AS BIGINT) AS n_syllables
+  FROM base)
+SELECT id, n_words, n_sentences, n_syllables,
+       CAST(206835 - (1015 * n_words) // n_sentences
+            - (84600 * n_syllables) // GREATEST(CAST(1 AS BIGINT), n_words)
+            AS BIGINT) AS flesch_milli,
+       CAST((390 * n_words) // n_sentences
+            + (11800 * n_syllables) // GREATEST(CAST(1 AS BIGINT), n_words)
+            - 15590 AS BIGINT) AS fk_grade_milli
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so queries whose operators changed since their last green
@@ -13266,6 +13305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_readability": q_readability,
     "q_trending_terms": q_trending_terms,
     "q_anchor_summary": q_anchor_summary,
     "q_anchor_field": q_anchor_field,
@@ -13543,6 +13583,7 @@ ORACLES: dict[str, str] = {
     "q_rank_correlation": SQL_RANK_CORRELATION,
     "q_spell_suggest": SQL_SPELL_SUGGEST,
     "q_clustering_coeff": SQL_CLUSTERING_COEFF,
+    "q_readability": SQL_READABILITY,
     "q_trending_terms": SQL_TRENDING_TERMS,
     "q_anchor_summary": SQL_ANCHOR_SUMMARY,
     "q_anchor_field": SQL_ANCHOR_FIELD,

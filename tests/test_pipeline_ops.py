@@ -2136,3 +2136,33 @@ def test_trending_terms_min_count_band(spark):
     got = {r["term"] for r in
            trending_terms(df, "snap", "text", min_count=2).collect()}
     assert got == {"x"}
+
+
+def test_readability_hand_computed(spark):
+    from biothings_crawler_spark.operators.text import readability_scores
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It ran!"),
+         (2, "xyz"),
+         (3, "beautiful education")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: (r["n_words"], r["n_sentences"], r["n_syllables"],
+                     r["flesch_milli"], r["fk_grade_milli"])
+           for r in readability_scores(df, "doc_id", "text").collect()}
+    # W=5 S=2 Y=5: 206835 - 1015*5//2 - 84600 = 119698; fk = 975+11800-15590
+    assert got[1] == (5, 2, 5, 119_698, -2_815)
+    # vowel-less word still counts 1 syllable; zero sentence marks -> S=1
+    assert got[2] == (1, 1, 1, 121_220, -3_400)
+    # beau-ti-ful=3 runs, e-du-ca-tio-n=4 runs
+    assert got[3] == (2, 1, 7, -91_295, 26_490)
+
+
+def test_readability_plan_is_pure_projection(spark):
+    from biothings_crawler_spark.operators.text import readability_scores
+
+    df = spark.createDataFrame([(1, "a b c.")], "doc_id long, text string")
+    plan = readability_scores(df, "doc_id", "text")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
