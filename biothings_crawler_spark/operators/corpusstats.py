@@ -1,0 +1,144 @@
+"""Corpus-scale statistical diagnostics: Heaps-law vocabulary growth
+and Zipf rank-frequency profiles, both integer-exact.
+
+Why a crawler cares (reference parity: biothings.crawler exposes no
+corpus statistics — this is the LLM-data-pipeline extension plane):
+a training-data operator watches two curves while a crawl runs —
+"is vocabulary still growing sublinearly like natural text (Heaps
+1978), or did a template/spam source flatten it?" and "does the
+rank-frequency profile still follow a Zipf power law (Zipf 1949), or
+is the head collapsing into boilerplate?"  Both are classic public
+diagnostics; both are computed here without any transcendental math so
+the DuckDB oracle can replay them bit-for-bit.
+
+Scale shapes (the whole point):
+
+* ``vocab_growth`` — one 1-row bounds aggregation broadcast back, one
+  explode + hash agg keyed on (bucket), one hash agg keyed on (term)
+  to find each term's FIRST bucket, then cumulative sums over a table
+  of exactly ``buckets`` rows.  The only window runs over <= buckets
+  rows; everything heavy is map-side-combinable hash aggregation.
+* ``zipf_profile`` — term frequencies (hash agg), then a histogram of
+  frequencies ``(freq, n_terms)``: if the corpus has N total tokens,
+  the number of DISTINCT frequency values is <= sqrt(2N) (the partial
+  sums 1+2+...+k bound), so at 10^13 tokens the histogram is ~4.5M
+  rows — the global cumulative window runs over THAT, never over the
+  vocabulary, and never over raw tokens.  Target ranks (powers of two)
+  join against the cumulative rank spans via a broadcast of <= 64 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from biothings_crawler_spark.operators.text import words_col
+
+
+def vocab_growth(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Heaps-law growth curve: cumulative token count vs cumulative
+    distinct-vocabulary size at ``buckets`` checkpoints of the corpus,
+    ordered by ``id_col`` range position (deterministic, replayable).
+
+    A term contributes to the vocabulary at the FIRST bucket any
+    document containing it lands in — so ``vocab_cum`` at bucket b is
+    exactly the distinct vocabulary of buckets 0..b, computed with one
+    min-aggregation instead of b nested distinct counts.
+
+    Returns one row per non-empty bucket:
+    (bucket, tokens, tokens_cum, new_terms, vocab_cum).
+    """
+    bounds = docs.agg(
+        F.min(F.col(id_col)).cast("long").alias("_lo"),
+        F.max(F.col(id_col)).cast("long").alias("_hi"),
+    )
+    b = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        words_col(F.col(text_col)).alias("_words"),
+    ).crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(buckets - 1).cast("long"),
+            F.expr(f"((_id - _lo) * {buckets}) div (_hi - _lo + 1)"),
+        ).alias("bucket"),
+        "_words",
+    )
+    tokens = b.groupBy("bucket").agg(
+        F.sum(F.size("_words")).cast("long").alias("tokens")
+    )
+    first = (
+        b.select("bucket", F.explode("_words").alias("term"))
+        .groupBy("term").agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tokens.join(first, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("tokens", F.lit(0)).cast("long").alias("tokens"),
+            F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms"),
+        )
+        # the window runs over <= `buckets` rows — bounded by contract
+        .select(
+            "bucket", "tokens",
+            F.sum("tokens").over(w).cast("long").alias("tokens_cum"),
+            "new_terms",
+            F.sum("new_terms").over(w).cast("long").alias("vocab_cum"),
+        )
+    )
+
+
+def zipf_profile(
+    docs: DataFrame,
+    text_col: str,
+    max_log2_rank: int = 12,
+) -> DataFrame:
+    """Zipf rank-frequency profile: the exact term frequency at ranks
+    1, 2, 4, ..., 2^max_log2_rank (rank 1 = most frequent term; ranks
+    beyond the vocabulary are absent).
+
+    Rank here is the standard competition rank over frequencies: the
+    rank span of frequency f is [1 + #terms with freq > f, #terms with
+    freq >= f], so equal-frequency terms share one span and the
+    answer is a VALUE, never an ordering of ties — which is what makes
+    it both deterministic and computable from the frequency histogram
+    alone.
+
+    Returns (rank, freq, n_terms) — n_terms = how many terms share
+    that frequency (the tie-class width).
+    """
+    freq = (
+        docs.select(F.explode(words_col(F.col(text_col))).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    hist = freq.groupBy("freq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    # cumulative rank spans over the sqrt(2N)-bounded histogram
+    w = Window.orderBy(F.desc("freq")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    spans = hist.select(
+        "freq", "n_terms",
+        F.sum("n_terms").over(w).cast("long").alias("rank_end"),
+    ).select(
+        "freq", "n_terms",
+        (F.col("rank_end") - F.col("n_terms") + 1).alias("rank_start"),
+        "rank_end",
+    )
+    ranks = docs.sparkSession.range(0, max_log2_rank + 1).select(
+        F.expr("cast(shiftleft(1L, cast(id as int)) as long)").alias("rank")
+    )
+    return (
+        spans.join(
+            F.broadcast(ranks),
+            (F.col("rank") >= F.col("rank_start"))
+            & (F.col("rank") <= F.col("rank_end")),
+        )
+        .select("rank", "freq", "n_terms")
+    )

@@ -13296,6 +13296,89 @@ FROM agg
 """
 
 
+GROWTH_BUCKETS = 10
+ZIPF_MAX_LOG2 = 12
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth (operators/corpusstats.vocab_growth):
+    cumulative tokens vs cumulative distinct vocabulary at 10 id-range
+    checkpoints; a term counts at the FIRST bucket it appears in, so
+    one min-agg replaces b nested distinct counts.  Oracle replays the
+    bucket arithmetic, first-bucket agg, and cumulative sums."""
+    from biothings_crawler_spark.operators.corpusstats import vocab_growth
+
+    return vocab_growth(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        buckets=GROWTH_BUCKETS,
+    )
+
+
+SQL_VOCAB_GROWTH = f"""
+WITH bounds AS (
+  SELECT CAST(MIN(doc_id) AS BIGINT) AS lo, CAST(MAX(doc_id) AS BIGINT) AS hi
+  FROM documents),
+d AS (
+  SELECT LEAST(CAST({GROWTH_BUCKETS} - 1 AS BIGINT),
+               ((CAST(doc_id AS BIGINT) - lo) * {GROWTH_BUCKETS})
+                 // (hi - lo + 1)) AS bucket,
+         {_SQL_WORDS} AS words
+  FROM documents CROSS JOIN bounds),
+toks AS (
+  SELECT bucket, CAST(SUM(len(words)) AS BIGINT) AS tokens
+  FROM d GROUP BY 1),
+fb AS (
+  SELECT term, MIN(bucket) AS bucket
+  FROM (SELECT bucket, unnest(words) AS term FROM d) GROUP BY 1),
+nt AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_terms FROM fb GROUP BY 1),
+j AS (
+  SELECT COALESCE(t.bucket, n.bucket) AS bucket,
+         CAST(COALESCE(t.tokens, 0) AS BIGINT) AS tokens,
+         CAST(COALESCE(n.new_terms, 0) AS BIGINT) AS new_terms
+  FROM toks t FULL OUTER JOIN nt n ON t.bucket = n.bucket)
+SELECT bucket, tokens,
+       CAST(SUM(tokens) OVER (ORDER BY bucket) AS BIGINT) AS tokens_cum,
+       new_terms,
+       CAST(SUM(new_terms) OVER (ORDER BY bucket) AS BIGINT) AS vocab_cum
+FROM j
+"""
+
+
+def q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile (operators/corpusstats.zipf_profile):
+    exact term frequency at ranks 1,2,4,...,2^12 via competition-rank
+    spans over the sqrt(2N)-bounded frequency histogram.  Oracle
+    replays histogram + cumulative spans + power-of-two rank join."""
+    from biothings_crawler_spark.operators.corpusstats import zipf_profile
+
+    return zipf_profile(
+        _t(spark, sf_dir, "documents"), "text",
+        max_log2_rank=ZIPF_MAX_LOG2,
+    )
+
+
+SQL_ZIPF_PROFILE = f"""
+WITH freq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_SQL_WORDS}) AS term FROM documents) GROUP BY 1),
+hist AS (
+  SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_terms FROM freq GROUP BY 1),
+spans AS (
+  SELECT freq, n_terms,
+         CAST(SUM(n_terms) OVER (ORDER BY freq DESC) AS BIGINT) AS rank_end
+  FROM hist),
+s2 AS (
+  SELECT freq, n_terms, rank_end - n_terms + 1 AS rank_start, rank_end
+  FROM spans),
+ranks AS (
+  SELECT CAST(1 << CAST(x AS INTEGER) AS BIGINT) AS "rank"
+  FROM (SELECT unnest(range(0, {ZIPF_MAX_LOG2} + 1)) AS x))
+SELECT "rank", freq, n_terms
+FROM s2 JOIN ranks ON "rank" BETWEEN rank_start AND rank_end
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so queries whose operators changed since their last green
@@ -13305,6 +13388,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_vocab_growth": q_vocab_growth,
+    "q_zipf_profile": q_zipf_profile,
     "q_readability": q_readability,
     "q_trending_terms": q_trending_terms,
     "q_anchor_summary": q_anchor_summary,
@@ -13583,6 +13668,8 @@ ORACLES: dict[str, str] = {
     "q_rank_correlation": SQL_RANK_CORRELATION,
     "q_spell_suggest": SQL_SPELL_SUGGEST,
     "q_clustering_coeff": SQL_CLUSTERING_COEFF,
+    "q_vocab_growth": SQL_VOCAB_GROWTH,
+    "q_zipf_profile": SQL_ZIPF_PROFILE,
     "q_readability": SQL_READABILITY,
     "q_trending_terms": SQL_TRENDING_TERMS,
     "q_anchor_summary": SQL_ANCHOR_SUMMARY,

@@ -2166,3 +2166,40 @@ def test_readability_plan_is_pure_projection(spark):
     ).executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_vocab_growth_hand_computed(spark):
+    from biothings_crawler_spark.operators.corpusstats import vocab_growth
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (5, "a c"), (9, "c c d")],
+        "doc_id long, text string",
+    )
+    got = {r["bucket"]: (r["tokens"], r["tokens_cum"],
+                         r["new_terms"], r["vocab_cum"])
+           for r in vocab_growth(df, "doc_id", "text", buckets=2).collect()}
+    # id 0 -> bucket 0; ids 5, 9 -> bucket 1 (range [0,9], 2 buckets)
+    assert got[0] == (2, 2, 2, 2)          # tokens a,b; vocab {a,b}
+    assert got[1] == (5, 7, 2, 4)          # +a,c,c,c,d; new {c,d}
+
+
+def test_zipf_profile_rank_spans(spark):
+    from biothings_crawler_spark.operators.corpusstats import zipf_profile
+
+    df = spark.createDataFrame(
+        [(1, "a a a a b b c d")], "doc_id long, text string")
+    got = {r["rank"]: (r["freq"], r["n_terms"])
+           for r in zipf_profile(df, "text", max_log2_rank=2).collect()}
+    # freqs: a=4 (rank 1), b=2 (rank 2), c=d=1 (ranks 3-4 share freq 1)
+    assert got == {1: (4, 1), 2: (2, 1), 4: (1, 2)}
+
+
+def test_zipf_profile_window_is_on_histogram_only(spark):
+    from biothings_crawler_spark.operators.corpusstats import zipf_profile
+
+    df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    plan = zipf_profile(df, "text")._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    # the Window's child must aggregate by freq (the sqrt(2N)-bounded
+    # histogram), never order raw terms
+    assert plan.index("Window") < plan.index("Aggregate")
