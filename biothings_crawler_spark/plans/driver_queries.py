@@ -13379,6 +13379,64 @@ FROM s2 JOIN ranks ON "rank" BETWEEN rank_start AND rank_end
 """
 
 
+SLO_SHORT_SECS = 21600
+SLO_LONG_BUCKETS = 4
+SLO_TARGET_PPM = 800_000
+SLO_THR_MILLI = 900
+
+
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window error-budget burn alerts (operators/slo): events
+    keyed by service = user_id % 4, error = event_type 'error',
+    6-hour short buckets, 24-hour trailing long window (RANGE frame),
+    80% SLO, alert at burn >= 0.9 on BOTH windows.  Oracle replays the
+    bucket arithmetic, the trailing RANGE window, and the exact
+    floor-division burn chain."""
+    from biothings_crawler_spark.operators.slo import slo_burn_alerts
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("svc"), "ts",
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    return slo_burn_alerts(
+        ev, "ts", "is_err", "svc",
+        short_secs=SLO_SHORT_SECS, long_buckets=SLO_LONG_BUCKETS,
+        slo_ppm=SLO_TARGET_PPM, thr_milli=SLO_THR_MILLI,
+    )
+
+
+SQL_SLO_BURN = f"""
+WITH per AS (
+  SELECT CAST(user_id % 4 AS BIGINT) AS key,
+         CAST(epoch_us(ts) // 1000000 // {SLO_SHORT_SECS} AS BIGINT) AS bucket,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errors,
+         CAST(COUNT(*) AS BIGINT) AS total
+  FROM events GROUP BY 1, 2),
+roll AS (
+  SELECT key, bucket, errors, total,
+         CAST(SUM(errors) OVER w AS BIGINT) AS errors_long,
+         CAST(SUM(total) OVER w AS BIGINT) AS total_long
+  FROM per
+  WINDOW w AS (PARTITION BY key ORDER BY bucket
+               RANGE BETWEEN {SLO_LONG_BUCKETS - 1} PRECEDING
+                         AND CURRENT ROW)),
+burn AS (
+  SELECT key, bucket, errors, total,
+         CAST(((errors * 1000000) // total) * 1000
+              // {1_000_000 - SLO_TARGET_PPM} AS BIGINT)
+           AS burn_short_milli,
+         errors_long, total_long,
+         CAST(((errors_long * 1000000) // total_long) * 1000
+              // {1_000_000 - SLO_TARGET_PPM} AS BIGINT)
+           AS burn_long_milli
+  FROM roll)
+SELECT *, (burn_short_milli >= {SLO_THR_MILLI}
+           AND burn_long_milli >= {SLO_THR_MILLI}) AS alert
+FROM burn
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so queries whose operators changed since their last green
@@ -13388,6 +13446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_slo_burn": q_slo_burn,
     "q_vocab_growth": q_vocab_growth,
     "q_zipf_profile": q_zipf_profile,
     "q_readability": q_readability,
@@ -13668,6 +13727,7 @@ ORACLES: dict[str, str] = {
     "q_rank_correlation": SQL_RANK_CORRELATION,
     "q_spell_suggest": SQL_SPELL_SUGGEST,
     "q_clustering_coeff": SQL_CLUSTERING_COEFF,
+    "q_slo_burn": SQL_SLO_BURN,
     "q_vocab_growth": SQL_VOCAB_GROWTH,
     "q_zipf_profile": SQL_ZIPF_PROFILE,
     "q_readability": SQL_READABILITY,

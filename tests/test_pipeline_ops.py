@@ -2203,3 +2203,41 @@ def test_zipf_profile_window_is_on_histogram_only(spark):
     # the Window's child must aggregate by freq (the sqrt(2N)-bounded
     # histogram), never order raw terms
     assert plan.index("Window") < plan.index("Aggregate")
+
+
+def test_slo_burn_hand_computed(spark):
+    from datetime import datetime
+    from biothings_crawler_spark.operators.slo import slo_burn_alerts
+
+    rows = [(1, datetime.utcfromtimestamp(t), err) for t, err in
+            [(5, True), (7, False), (15, True), (35, False)]]
+    df = spark.createDataFrame(rows, "svc long, ts timestamp, is_err boolean")
+    got = {r["bucket"]: (r["errors"], r["total"], r["burn_short_milli"],
+                         r["errors_long"], r["total_long"],
+                         r["burn_long_milli"], r["alert"])
+           for r in slo_burn_alerts(
+               df, "ts", "is_err", "svc",
+               short_secs=10, long_buckets=2,
+               slo_ppm=500_000, thr_milli=1000).collect()}
+    # bucket 0: 1/2 errors -> burn 1000 both windows -> alert
+    assert got[0] == (1, 2, 1000, 1, 2, 1000, True)
+    # bucket 1: short 1/1 -> 2000; long (b0+b1) 2/3 -> floor chain 1333
+    assert got[1] == (1, 1, 2000, 2, 3, 1333, True)
+    # bucket 3: trailing RANGE covers buckets 2-3 only -> excludes b1
+    assert got[3] == (0, 1, 0, 0, 1, 0, False)
+
+
+def test_slo_burn_window_partitioned_by_key(spark):
+    from datetime import datetime
+    from biothings_crawler_spark.operators.slo import slo_burn_alerts
+
+    df = spark.createDataFrame(
+        [(1, datetime.utcfromtimestamp(5), True)],
+        "svc long, ts timestamp, is_err boolean")
+    qe = slo_burn_alerts(df, "ts", "is_err", "svc")._jdf.queryExecution()
+    assert "BatchEvalPython" not in qe.executedPlan().toString()
+    opt = qe.optimizedPlan().toString()
+    # the rolling-long window is partitioned by key (no global sort)
+    # and uses a RANGE frame (time-gap-correct trailing window)
+    assert "windowspecdefinition(key#" in opt
+    assert "RangeFrame" in opt
