@@ -13379,6 +13379,48 @@ FROM s2 JOIN ranks ON "rank" BETWEEN rank_start AND rank_end
 """
 
 
+UCB_BUDGET = 20
+
+
+def q_ucb_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1-log2 recrawl allocation (operators/bandit.ucb_recrawl):
+    arms = users, reward = click, top-20 budget.  Oracle replays the
+    hash agg, bin()-length log2, corrected integer sqrt, and the
+    (score desc, arm) tiebreak."""
+    from biothings_crawler_spark.operators.bandit import ucb_recrawl
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", (F.col("event_type") == "click").alias("won"))
+    return ucb_recrawl(ev, "user_id", "won", budget=UCB_BUDGET)
+
+
+SQL_UCB_RECRAWL = f"""
+WITH per AS (
+  SELECT CAST(user_id AS BIGINT) AS arm,
+         CAST(COUNT(*) AS BIGINT) AS pulls,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS wins
+  FROM events GROUP BY 1),
+g AS (SELECT CAST(SUM(pulls) AS BIGINT) AS n_total FROM per),
+s AS (
+  SELECT arm, pulls, wins,
+         (wins * 1000000) // pulls AS mean_ppm,
+         (2 * (length(bin(n_total)) - 1) * 1000000000000) // pulls AS x
+  FROM per CROSS JOIN g),
+s2 AS (
+  SELECT *, CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) AS s0 FROM s),
+s3 AS (
+  SELECT arm, pulls, wins, CAST(mean_ppm AS BIGINT) AS mean_ppm,
+         CAST(CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1
+                   WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS BIGINT)
+           AS bonus_ppm
+  FROM s2)
+SELECT arm, pulls, wins, mean_ppm, bonus_ppm,
+       CAST(mean_ppm + bonus_ppm AS BIGINT) AS score_ppm
+FROM s3 ORDER BY score_ppm DESC, arm LIMIT {UCB_BUDGET}
+"""
+
+
 SLO_SHORT_SECS = 21600
 SLO_LONG_BUCKETS = 4
 SLO_TARGET_PPM = 800_000
@@ -13446,6 +13488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_ucb_recrawl": q_ucb_recrawl,
     "q_slo_burn": q_slo_burn,
     "q_vocab_growth": q_vocab_growth,
     "q_zipf_profile": q_zipf_profile,
@@ -13727,6 +13770,7 @@ ORACLES: dict[str, str] = {
     "q_rank_correlation": SQL_RANK_CORRELATION,
     "q_spell_suggest": SQL_SPELL_SUGGEST,
     "q_clustering_coeff": SQL_CLUSTERING_COEFF,
+    "q_ucb_recrawl": SQL_UCB_RECRAWL,
     "q_slo_burn": SQL_SLO_BURN,
     "q_vocab_growth": SQL_VOCAB_GROWTH,
     "q_zipf_profile": SQL_ZIPF_PROFILE,

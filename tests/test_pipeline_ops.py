@@ -2241,3 +2241,29 @@ def test_slo_burn_window_partitioned_by_key(spark):
     # and uses a RANGE frame (time-gap-correct trailing window)
     assert "windowspecdefinition(key#" in opt
     assert "RangeFrame" in opt
+
+
+def test_ucb_recrawl_hand_computed(spark):
+    from biothings_crawler_spark.operators.bandit import ucb_recrawl
+
+    df = spark.createDataFrame(
+        [(1, True), (1, True), (1, False), (2, False)],
+        "host long, changed boolean")
+    rows = ucb_recrawl(df, "host", "changed", budget=2).collect()
+    # N=4 pulls -> log2N=2.  arm2: mean 0, x=4e12, isqrt exact 2_000_000.
+    # arm1: mean 666666, x=2*2e12//3=1333333333333, isqrt=1154700.
+    assert [(r["arm"], r["pulls"], r["wins"], r["mean_ppm"],
+             r["bonus_ppm"], r["score_ppm"]) for r in rows] == [
+        (2, 1, 0, 0, 2_000_000, 2_000_000),
+        (1, 3, 2, 666_666, 1_154_700, 1_821_366),
+    ]
+
+
+def test_ucb_recrawl_plan_take_ordered(spark):
+    from biothings_crawler_spark.operators.bandit import ucb_recrawl
+
+    df = spark.createDataFrame([(1, True)], "host long, changed boolean")
+    plan = ucb_recrawl(df, "host", "changed")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrdered" in plan           # top-k, never a global sort
+    assert "BatchEvalPython" not in plan
