@@ -13379,6 +13379,53 @@ FROM s2 JOIN ranks ON "rank" BETWEEN rank_start AND rank_end
 """
 
 
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert locality key (layout.hilbert_key_col): 16-bit xy2d walk
+    over (n_chars, doc_id) as one runtime aggregate fold.  Oracle
+    replays the identical (x, y, d) accumulator walk with a DuckDB
+    list_reduce struct fold over the descending bit levels."""
+    from biothings_crawler_spark.layout import hilbert_key_col
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("a"),
+        hilbert_key_col(F.col("n_chars"), F.col("doc_id")).alias("hkey"),
+    )
+
+
+def _sql_hilbert_oracle(bits: int = 15) -> str:
+    # single packed-BIGINT accumulator (d << 32 | x << 16 | y): DuckDB
+    # 1.0's list_reduce reuses accumulator-struct storage across steps,
+    # so a struct fold reads already-overwritten fields — a scalar
+    # accumulator is aliasing-proof by construction
+    n1 = (1 << bits) - 1
+    levels = ", ".join(str(1 << i) for i in reversed(range(bits)))
+    x = f"((acc >> 16) & {n1})"
+    y = f"(acc & {n1})"
+    d = "(acc >> 32)"
+    rx = f"(CASE WHEN ({x} & e) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN ({y} & e) > 0 THEN 1 ELSE 0 END)"
+    nx = (f"(CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 "
+          f"THEN {n1} - {y} ELSE {y} END ELSE {x} END)")
+    ny = (f"(CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 "
+          f"THEN {n1} - {x} ELSE {x} END ELSE {y} END)")
+    nd = f"({d} + e * e * xor(3 * {rx}, {ry}))"
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+         (CAST(n_chars AS BIGINT) & {n1}) << 16
+           | (CAST(doc_id AS BIGINT) & {n1}) AS p0
+  FROM documents)
+SELECT doc_id, a,
+  list_reduce(
+    list_prepend(p0, [{levels}]),
+    (acc, e) -> ({nd} << 32) | ({nx} << 16) | {ny}) >> 32 AS hkey
+FROM base
+"""
+
+
+SQL_HILBERT_KEY = _sql_hilbert_oracle()
+
+
 UCB_BUDGET = 20
 
 
@@ -13488,6 +13535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_hilbert_key": q_hilbert_key,
     "q_ucb_recrawl": q_ucb_recrawl,
     "q_slo_burn": q_slo_burn,
     "q_vocab_growth": q_vocab_growth,
@@ -13770,6 +13818,7 @@ ORACLES: dict[str, str] = {
     "q_rank_correlation": SQL_RANK_CORRELATION,
     "q_spell_suggest": SQL_SPELL_SUGGEST,
     "q_clustering_coeff": SQL_CLUSTERING_COEFF,
+    "q_hilbert_key": SQL_HILBERT_KEY,
     "q_ucb_recrawl": SQL_UCB_RECRAWL,
     "q_slo_burn": SQL_SLO_BURN,
     "q_vocab_growth": SQL_VOCAB_GROWTH,

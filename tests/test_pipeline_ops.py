@@ -2267,3 +2267,42 @@ def test_ucb_recrawl_plan_take_ordered(spark):
     ).executedPlan().toString()
     assert "TakeOrdered" in plan           # top-k, never a global sort
     assert "BatchEvalPython" not in plan
+
+
+def test_hilbert_key_spark_matches_python_twin(spark):
+    from biothings_crawler_spark.layout import hilbert_key_col, hilbert_key_py
+    from pyspark.sql import functions as F
+
+    grid = [(x, y) for x in range(0, 300, 37) for y in range(0, 70000, 7919)]
+    df = spark.createDataFrame(grid, "a long, b long")
+    got = {(r["a"], r["b"]): r["h"] for r in df.select(
+        "a", "b", hilbert_key_col(F.col("a"), F.col("b")).alias("h")
+    ).collect()}
+    for a, b in grid:
+        assert got[(a, b)] == hilbert_key_py(a, b), (a, b)
+
+
+def test_hilbert_key_plan_no_exchange_no_udf(spark):
+    from biothings_crawler_spark.layout import hilbert_key_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    plan = df.select(hilbert_key_col(F.col("a"), F.col("b")).alias("h")
+                     )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hilbert_twin_bijective_and_unit_step():
+    from biothings_crawler_spark.layout import hilbert_key_py
+
+    seen = {}
+    for x in range(16):
+        for y in range(16):
+            seen[hilbert_key_py(x, y, 4)] = (x, y)
+    assert sorted(seen) == list(range(256))
+    for d in range(255):
+        (x0, y0), (x1, y1) = seen[d], seen[d + 1]
+        # the Hilbert guarantee Morton lacks: consecutive keys are
+        # Manhattan neighbours, so a key range is one connected blob
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
