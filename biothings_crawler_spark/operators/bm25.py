@@ -341,6 +341,49 @@ def bm25_term_scores(
     )
 
 
+def bm25_scores_terms_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: DataFrame,
+) -> DataFrame:
+    """(id, score) like :func:`bm25_scores`, but the query's term set
+    arrives as a one-column DataFrame ``(term)`` broadcast-joined into
+    the postings instead of a literal array — so operators that DERIVE
+    the term set (pseudo-relevance-feedback expansion) stay fully
+    declarative with no driver-side collect between passes.  Identical
+    integer scoring to bm25_term_scores."""
+    docs = df.select(
+        F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("words"))
+    lens = docs.select("id", F.size("words").cast("long").alias("dl"))
+    totals = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("w_total"),
+    )
+    tf = (
+        docs.select("id", F.explode("words").alias("term"))
+        .join(F.broadcast(terms.select("term").distinct()), "term")
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            F.expr(
+                "((2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1))"
+                " * 44 * tf * w_total"
+                " div (20 * tf * w_total + 6 * w_total + 18 * dl * n_docs)"
+            ).alias("term_score"),
+        )
+        .groupBy("id")
+        .agg(F.sum("term_score").cast("long").alias("score"))
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     id_col: str,

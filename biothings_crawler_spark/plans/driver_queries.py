@@ -13379,6 +13379,79 @@ FROM s2 JOIN ranks ON "rank" BETWEEN rank_start AND rank_end
 """
 
 
+PRF_QUERY = ["data", "table"]
+PRF_FB_DOCS = 10
+PRF_N_EXP = 3
+PRF_K = 20
+
+
+def q_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass pseudo-relevance-feedback retrieval (operators/prf):
+    BM25 top-10 feedback set, tf-idf expansion (top-3 terms), second
+    BM25 pass over the expanded set via a broadcast terms-DataFrame —
+    one Spark plan, no driver collect.  Oracle replays both passes and
+    the expansion selection as one DuckDB statement."""
+    from biothings_crawler_spark.operators.prf import prf_search
+
+    return prf_search(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", PRF_QUERY,
+        fb_docs=PRF_FB_DOCS, n_exp=PRF_N_EXP, k=PRF_K,
+    )
+
+
+def _sql_prf_oracle() -> str:
+    qlit = ", ".join(f"'{t}'" for t in PRF_QUERY)
+    qrows = " UNION ALL ".join(f"SELECT '{t}' AS term" for t in PRF_QUERY)
+    score = (
+        "((2 * t.n_docs - 2 * d.df + 1) * 1000000 // (2 * d.df + 1))"
+        " * 44 * tf.tf * t.w_total"
+        " // (20 * tf.tf * t.w_total + 6 * t.w_total + 18 * l.dl * t.n_docs)"
+    )
+    return f"""
+WITH docs AS (SELECT doc_id AS id, {_SQL_WORDS} AS words FROM documents),
+lens AS (SELECT id, CAST(len(words) AS BIGINT) AS dl FROM docs),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS w_total FROM lens),
+wds AS (SELECT id, unnest(words) AS term FROM docs),
+tf1 AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM wds
+  WHERE term IN ({qlit}) GROUP BY id, term),
+df1 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf1 GROUP BY term),
+fb AS (
+  SELECT tf.id FROM tf1 tf
+  JOIN df1 d USING (term) JOIN lens l ON l.id = tf.id CROSS JOIN tot t
+  GROUP BY tf.id
+  ORDER BY SUM({score.replace('tf.tf', 'tf.tf')}) DESC, tf.id
+  LIMIT {PRF_FB_DOCS}),
+dfc AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_corpus
+  FROM (SELECT DISTINCT id, term FROM wds) GROUP BY term),
+tffb AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS tf_fb FROM wds
+  WHERE id IN (SELECT id FROM fb) AND term NOT IN ({qlit})
+  GROUP BY term),
+expd AS (
+  SELECT term FROM (
+    SELECT tf.term, tf.tf_fb * 1000000 // (dc.df_corpus + 1) AS score_ppm
+    FROM tffb tf JOIN dfc dc ON dc.term = tf.term)
+  ORDER BY score_ppm DESC, term LIMIT {PRF_N_EXP}),
+allt AS (SELECT DISTINCT term FROM ({qrows} UNION ALL SELECT term FROM expd)),
+tf2 AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM wds
+  WHERE term IN (SELECT term FROM allt) GROUP BY id, term),
+df2 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf2 GROUP BY term),
+sc2 AS (
+  SELECT tf.id, {score} AS term_score
+  FROM tf2 tf JOIN df2 d USING (term) JOIN lens l ON l.id = tf.id
+  CROSS JOIN tot t)
+SELECT id, CAST(SUM(term_score) AS BIGINT) AS score
+FROM sc2 GROUP BY id ORDER BY score DESC, id LIMIT {PRF_K}
+"""
+
+
+SQL_PRF_SEARCH = _sql_prf_oracle()
+
+
 def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hilbert locality key (layout.hilbert_key_col): 16-bit xy2d walk
     over (n_chars, doc_id) as one runtime aggregate fold.  Oracle
@@ -13535,6 +13608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_prf_search": q_prf_search,
     "q_hilbert_key": q_hilbert_key,
     "q_ucb_recrawl": q_ucb_recrawl,
     "q_slo_burn": q_slo_burn,
@@ -13818,6 +13892,7 @@ ORACLES: dict[str, str] = {
     "q_rank_correlation": SQL_RANK_CORRELATION,
     "q_spell_suggest": SQL_SPELL_SUGGEST,
     "q_clustering_coeff": SQL_CLUSTERING_COEFF,
+    "q_prf_search": SQL_PRF_SEARCH,
     "q_hilbert_key": SQL_HILBERT_KEY,
     "q_ucb_recrawl": SQL_UCB_RECRAWL,
     "q_slo_burn": SQL_SLO_BURN,

@@ -2306,3 +2306,40 @@ def test_hilbert_twin_bijective_and_unit_step():
         # the Hilbert guarantee Morton lacks: consecutive keys are
         # Manhattan neighbours, so a key range is one connected blob
         assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+
+def test_bm25_terms_df_matches_literal_variant(spark):
+    from biothings_crawler_spark.operators.bm25 import (
+        bm25_scores, bm25_scores_terms_df)
+
+    df = spark.createDataFrame(
+        [(1, "data table spark data"), (2, "data lake house"),
+         (3, "spark table"), (4, "warehouse of bricks")],
+        "doc_id long, text string")
+    lit = {(r["id"], r["score"])
+           for r in bm25_scores(df, "doc_id", "text",
+                                ["data", "spark"]).collect()}
+    tdf = spark.createDataFrame([("data",), ("spark",)], "term string")
+    viadf = {(r["id"], r["score"])
+             for r in bm25_scores_terms_df(df, "doc_id", "text",
+                                           tdf).collect()}
+    assert lit == viadf and lit
+
+
+def test_prf_expands_with_planted_cooccurring_term(spark):
+    from biothings_crawler_spark.operators.prf import (
+        prf_expand_terms, prf_search)
+
+    # "zeta" rides along with the query term in the feedback docs and
+    # is rare elsewhere; "the" is everywhere (high df -> low score)
+    rows = [(i, "alpha zeta zeta the") for i in range(4)]
+    rows += [(10 + i, "the filler words here") for i in range(4)]
+    rows += [(20, "zeta zeta zeta the")]          # no alpha: pass-2-only hit
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exp = prf_expand_terms(df, "doc_id", "text", ["alpha"],
+                           fb_docs=4, n_exp=1).collect()
+    assert [r["term"] for r in exp] == ["zeta"]
+    hits = {r["id"] for r in prf_search(df, "doc_id", "text", ["alpha"],
+                                        fb_docs=4, n_exp=1, k=20).collect()}
+    assert 20 in hits                  # reachable only via expansion
+    assert all(i in hits for i in range(4))
