@@ -1159,3 +1159,89 @@ def spam_mass(
             " div (pr div 1000)"
         ).alias("spam_ppm"),
     )
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support over canonical undirected edges
+    ``(a < b)``: degree-ordered orientation (same Suri–Vassilvitskii
+    wedge bound as :func:`triangle_counts`, so fan-out per node is
+    capped near arboricity, not raw degree), each triangle emits its
+    three canonical edges once, one hash agg counts them.  Returns
+    ``(a, b, support)`` for edges in >= 1 triangle."""
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    keyed = (
+        e.join(deg.withColumnRenamed("node", "a")
+               .withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b")
+              .withColumnRenamed("deg", "db"), "b")
+    )
+    a_first = (F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+               < F.struct(F.col("db").alias("d"), F.col("b").alias("n")))
+    o = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    o1, o2 = o.alias("o1"), o.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.v") < F.col("o2.v")),
+    ).select(
+        F.col("o1.u").alias("x"),
+        F.col("o1.v").alias("y"),
+        F.col("o2.v").alias("z"),
+    )
+    tri = wedges.join(
+        o.select(
+            F.least("u", "v").alias("cy"), F.greatest("u", "v").alias("cz")
+        ),
+        (F.least("y", "z") == F.col("cy"))
+        & (F.greatest("y", "z") == F.col("cz")),
+        "left_semi",
+    )
+    return (
+        tri.select(F.explode(F.array(
+            F.struct(F.least("x", "y").alias("a"),
+                     F.greatest("x", "y").alias("b")),
+            F.struct(F.least("x", "z").alias("a"),
+                     F.greatest("x", "z").alias("b")),
+            F.struct(F.least("y", "z").alias("a"),
+                     F.greatest("y", "z").alias("b")),
+        )).alias("edge"))
+        .select("edge.a", "edge.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+
+
+def k_truss(edges: DataFrame, k: int, max_iters: int = 16) -> DataFrame:
+    """The maximal k-truss of the undirected host graph (every
+    surviving edge closes >= k-2 triangles INSIDE the subgraph; Cohen
+    2008, "Trusses: cohesive subgraphs for social network analysis") by
+    synchronous support peeling — a strictly stronger cohesion filter
+    than k-core for link-farm detection, since trees and stars carry
+    NO triangles at all.  Each round: one degree-oriented per-edge
+    support computation + a filter; rounds localCheckpoint so lineage
+    stays flat; the loop stops at the fixpoint (a round that drops no
+    edge).  Returns ``(a, b, support)`` of the surviving truss with the
+    support measured in the final subgraph."""
+    e = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        sup = _edge_support(e)
+        kept = (
+            sup.filter(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_before, n_after = e.count(), kept.count()
+        if n_after == n_before:
+            return _edge_support(e).filter(F.col("support") >= k - 2)
+        e = kept
+    raise RuntimeError(f"k_truss did not converge in {max_iters} rounds")

@@ -13379,6 +13379,70 @@ FROM s2 JOIN ranks ON "rank" BETWEEN rank_start AND rank_end
 """
 
 
+KTRUSS_K = 5
+KTRUSS_ORACLE_ROUNDS = 8
+
+
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal 5-truss of the hub graph with the planted K6 (operators/
+    pagerank.k_truss, Cohen 2008): support peeling to the fixpoint —
+    degree-oriented wedge enumeration per round, so fan-out stays
+    arboricity-bounded.  Every K6 edge closes 4 triangles (>= k-2 = 3);
+    the tree-like hub mass carries none and peels in round one.  The
+    oracle replays 8 peeling rounds as chained MATERIALIZED CTEs
+    (peeling past the fixpoint is a no-op)."""
+    from itertools import combinations
+
+    from biothings_crawler_spark.operators.pagerank import k_truss
+
+    cliq = _hub_edges(spark, sf_dir).sparkSession.createDataFrame(
+        list(combinations(KCORE_CLIQUE, 2)), "src long, dst long")
+    return k_truss(_hub_edges(spark, sf_dir).unionByName(cliq), KTRUSS_K)
+
+
+def _sql_ktruss() -> str:
+    from itertools import combinations
+
+    cliq = " UNION ALL ".join(
+        f"SELECT {a} AS src, {b} AS dst"
+        for a, b in combinations(KCORE_CLIQUE, 2))
+    ctes = [
+        _SQL_HUBGRAPH,
+        f"e2 AS (SELECT src, dst FROM e UNION ALL {cliq})",
+        """
+c0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+                           GREATEST(src, dst) AS b FROM e2)""",
+    ]
+    # support via common-neighbor counting over the undirected
+    # adjacency; MATERIALIZED per round (the q_kcore inlining lesson)
+    for i in range(KTRUSS_ORACLE_ROUNDS):
+        ctes.append(f"""
+u{i} AS MATERIALIZED (SELECT a, b FROM c{i} UNION ALL
+                      SELECT b AS a, a AS b FROM c{i}),
+t{i} AS MATERIALIZED (
+  SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS support
+  FROM c{i} e
+  JOIN u{i} x ON x.a = e.a
+  JOIN u{i} y ON y.a = e.b AND y.b = x.b
+  GROUP BY e.a, e.b),
+c{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM t{i} WHERE support >= {KTRUSS_K - 2})""")
+    last = KTRUSS_ORACLE_ROUNDS
+    return ("WITH " + ",".join(ctes) + f"""
+SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS support
+FROM c{last} e
+JOIN (SELECT a, b FROM c{last} UNION ALL
+      SELECT b AS a, a AS b FROM c{last}) x ON x.a = e.a
+JOIN (SELECT a, b FROM c{last} UNION ALL
+      SELECT b AS a, a AS b FROM c{last}) y ON y.a = e.b AND y.b = x.b
+GROUP BY e.a, e.b
+HAVING COUNT(*) >= {KTRUSS_K - 2}
+""")
+
+
+SQL_KTRUSS = _sql_ktruss()
+
+
 PRF_QUERY = ["data", "table"]
 PRF_FB_DOCS = 10
 PRF_N_EXP = 3
@@ -13608,6 +13672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_ktruss": q_ktruss,
     "q_prf_search": q_prf_search,
     "q_hilbert_key": q_hilbert_key,
     "q_ucb_recrawl": q_ucb_recrawl,
@@ -13892,6 +13957,7 @@ ORACLES: dict[str, str] = {
     "q_rank_correlation": SQL_RANK_CORRELATION,
     "q_spell_suggest": SQL_SPELL_SUGGEST,
     "q_clustering_coeff": SQL_CLUSTERING_COEFF,
+    "q_ktruss": SQL_KTRUSS,
     "q_prf_search": SQL_PRF_SEARCH,
     "q_hilbert_key": SQL_HILBERT_KEY,
     "q_ucb_recrawl": SQL_UCB_RECRAWL,

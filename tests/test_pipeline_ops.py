@@ -2343,3 +2343,26 @@ def test_prf_expands_with_planted_cooccurring_term(spark):
                                         fb_docs=4, n_exp=1, k=20).collect()}
     assert 20 in hits                  # reachable only via expansion
     assert all(i in hits for i in range(4))
+
+
+def test_k_truss_strips_tails_keeps_clique(spark):
+    from itertools import combinations
+    from biothings_crawler_spark.operators.pagerank import k_truss
+
+    # K5 clique (every edge support 3) + a pendant path + a triangle
+    # hanging off node 0 (its edges have support 1 -> peeled at k=4)
+    edges = list(combinations(range(5), 2))
+    edges += [(0, 10), (10, 11), (0, 20), (0, 21), (20, 21)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["a"], r["b"]): r["support"]
+           for r in k_truss(df, 4).collect()}
+    assert got == {(a, b): 3 for a, b in combinations(range(5), 2)}
+
+
+def test_k_truss_triangle_survives_k3(spark):
+    from biothings_crawler_spark.operators.pagerank import k_truss
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long")
+    got = {(r["a"], r["b"]) for r in k_truss(df, 3).collect()}
+    assert got == {(1, 2), (2, 3), (1, 3)}       # the pendant edge peels
