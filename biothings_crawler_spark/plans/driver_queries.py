@@ -13379,6 +13379,158 @@ FROM s2 JOIN ranks ON "rank" BETWEEN rank_start AND rank_end
 """
 
 
+PQ_DIM = 64
+PQ_ORACLE_M = 16
+PQ_ORACLE_K = 16
+PQ_ORACLE_ROUNDS = 2
+PQ_N_QUERIES = 5
+
+
+def _sql_pq_prefix() -> str:
+    """Shared CTE chain: 8-bit quantization, subvector split, md5
+    seeds, PQ_ORACLE_ROUNDS Lloyd rounds with integer floor-means —
+    the exact replay of operators/pq.pq_codebooks."""
+    m, k, dsub = PQ_ORACLE_M, PQ_ORACLE_K, PQ_DIM // PQ_ORACLE_M
+
+    def d2(a: str, b: str) -> str:
+        return (f"list_reduce(list_transform(range({dsub}), "
+                f"j -> ({a}[j+1] - {b}[j+1]) * ({a}[j+1] - {b}[j+1])), "
+                f"(x, y) -> x + y)")
+
+    ctes = [f"""
+mm AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS vmin,
+         CAST(list_max(embedding) AS DOUBLE) AS vmax
+  FROM embeddings),
+qv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(CAST(CASE WHEN vmax - vmin > 0
+                     THEN floor((CAST(x AS DOUBLE) - vmin) * 255
+                                / (vmax - vmin) + 0.5)
+                     ELSE 0 END AS INT) AS BIGINT)) AS v
+  FROM mm),
+svs AS MATERIALIZED (
+  SELECT vec_id, sub,
+         list_transform(range({dsub}),
+                        j -> v[sub * {dsub} + j + 1]) AS sv
+  FROM qv CROSS JOIN (SELECT unnest(range({m})) AS sub)),
+smp AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                            vec_id) - 1 AS cid, v
+  FROM qv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}),
+c0 AS MATERIALIZED (
+  SELECT sub, cid,
+         list_transform(range({dsub}),
+                        j -> v[sub * {dsub} + j + 1]) AS cv
+  FROM smp CROSS JOIN (SELECT unnest(range({m})) AS sub))"""]
+    for i in range(PQ_ORACLE_ROUNDS):
+        ctes.append(f"""
+a{i} AS MATERIALIZED (
+  SELECT s.vec_id, s.sub, s.sv, c.cid
+  FROM svs s JOIN c{i} c ON c.sub = s.sub
+  QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.sub
+                             ORDER BY {d2('s.sv', 'c.cv')}, c.cid) = 1),
+g{i} AS MATERIALIZED (
+  SELECT sub, cid, pos, CAST(SUM(val) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT sub, cid, generate_subscripts(sv, 1) AS pos,
+               unnest(sv) AS val FROM a{i})
+  GROUP BY 1, 2, 3),
+n{i} AS MATERIALIZED (
+  SELECT sub, cid, list(mv ORDER BY pos) AS cv
+  FROM (SELECT sub, cid, pos,
+               CAST((s - ((s % cnt) + cnt) % cnt) // cnt AS BIGINT) AS mv
+        FROM g{i})
+  GROUP BY sub, cid),
+c{i + 1} AS MATERIALIZED (
+  SELECT sub, cid, cv FROM n{i}
+  UNION ALL
+  SELECT c.sub, c.cid, c.cv FROM c{i} c
+  WHERE NOT EXISTS (SELECT 1 FROM n{i} n
+                    WHERE n.sub = c.sub AND n.cid = c.cid))""")
+    last = f"c{PQ_ORACLE_ROUNDS}"
+    ctes.append(f"""
+enc AS MATERIALIZED (
+  SELECT s.vec_id, s.sub, c.cid AS code
+  FROM svs s JOIN {last} c ON c.sub = s.sub
+  QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.sub
+                             ORDER BY {d2('s.sv', 'c.cv')}, c.cid) = 1)""")
+    return "WITH " + ",".join(ctes)
+
+
+def _sql_pq_d2(a: str, b: str) -> str:
+    dsub = PQ_DIM // PQ_ORACLE_M
+    return (f"list_reduce(list_transform(range({dsub}), "
+            f"j -> ({a}[j+1] - {b}[j+1]) * ({a}[j+1] - {b}[j+1])), "
+            f"(x, y) -> x + y)")
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (operators/pq): 16 subspaces x 16
+    centroids over the 8-bit quantized embeddings, md5 seeds + 2 Lloyd
+    rounds with integer floor-means — 8 bytes per 64-dim vector.
+    Codes emitted as a canonical comma string.  Oracle replays seeding,
+    both Lloyd rounds, and the argmin encode bit-for-bit."""
+    from biothings_crawler_spark.operators.pq import (
+        pq_codebooks, pq_encode)
+    from biothings_crawler_spark.operators.quantize import quantize_embeddings
+
+    qt = quantize_embeddings(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "qvec")
+    books = pq_codebooks(qt, m=PQ_ORACLE_M, k=PQ_ORACLE_K,
+                         rounds=PQ_ORACLE_ROUNDS)
+    return pq_encode(qt, books, m=PQ_ORACLE_M).select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",")
+        .alias("codes"),
+    )
+
+
+SQL_PQ_ENCODE = _sql_pq_prefix() + """
+SELECT vec_id,
+       array_to_string(list(CAST(code AS VARCHAR) ORDER BY sub), ',')
+         AS codes
+FROM enc GROUP BY vec_id
+"""
+
+
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-10 over the PQ codes (operators/pq):
+    queries keep full quantized vectors, candidates cost 16 lookups in
+    the broadcast partial-distance table.  Oracle replays the LUT and
+    the (adc_d2, vec_id) ranking exactly."""
+    from biothings_crawler_spark.operators.pq import (
+        pq_codebooks, pq_encode, pq_topk_adc)
+    from biothings_crawler_spark.operators.quantize import quantize_embeddings
+
+    qt = quantize_embeddings(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "qvec")
+    books = pq_codebooks(qt, m=PQ_ORACLE_M, k=PQ_ORACLE_K,
+                         rounds=PQ_ORACLE_ROUNDS)
+    codes = pq_encode(qt, books, m=PQ_ORACLE_M)
+    return pq_topk_adc(qt.filter(F.col("vec_id") < PQ_N_QUERIES),
+                       books, codes, k=10, m=PQ_ORACLE_M)
+
+
+SQL_PQ_ADC = _sql_pq_prefix() + f""",
+lut AS MATERIALIZED (
+  SELECT s.vec_id AS query_id, s.sub, c.cid,
+         CAST({_sql_pq_d2('s.sv', 'c.cv')} AS BIGINT) AS pd2
+  FROM svs s JOIN c{PQ_ORACLE_ROUNDS} c ON c.sub = s.sub
+  WHERE s.vec_id < {PQ_N_QUERIES}),
+sc AS (
+  SELECT l.query_id, e.vec_id, CAST(SUM(l.pd2) AS BIGINT) AS adc_d2
+  FROM enc e JOIN lut l ON l.sub = e.sub AND l.cid = e.code
+  GROUP BY 1, 2)
+SELECT query_id, vec_id, adc_d2, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2, vec_id) AS rn FROM sc)
+WHERE rn <= 10
+"""
+
+
 KTRUSS_K = 5
 KTRUSS_ORACLE_ROUNDS = 8
 
@@ -13672,6 +13824,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTTP layers, then the most recent analysis operators).  Earlier round-4
     # additions follow immediately after the window — the full-registry oracle
     # run (scripts/compare_oracle.py, exit 0) covers them each session.
+    "q_pq_encode": q_pq_encode,
+    "q_pq_adc": q_pq_adc,
     "q_ktruss": q_ktruss,
     "q_prf_search": q_prf_search,
     "q_hilbert_key": q_hilbert_key,
@@ -13957,6 +14111,8 @@ ORACLES: dict[str, str] = {
     "q_rank_correlation": SQL_RANK_CORRELATION,
     "q_spell_suggest": SQL_SPELL_SUGGEST,
     "q_clustering_coeff": SQL_CLUSTERING_COEFF,
+    "q_pq_encode": SQL_PQ_ENCODE,
+    "q_pq_adc": SQL_PQ_ADC,
     "q_ktruss": SQL_KTRUSS,
     "q_prf_search": SQL_PRF_SEARCH,
     "q_hilbert_key": SQL_HILBERT_KEY,

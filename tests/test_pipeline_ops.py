@@ -2366,3 +2366,62 @@ def test_k_truss_triangle_survives_k3(spark):
         [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long")
     got = {(r["a"], r["b"]) for r in k_truss(df, 3).collect()}
     assert got == {(1, 2), (2, 3), (1, 3)}       # the pendant edge peels
+
+
+def test_pq_encode_centroid_vectors_code_to_themselves(spark):
+    from biothings_crawler_spark.operators.pq import (
+        pq_codebooks, pq_encode, pq_topk_adc)
+
+    # 4 vectors of dim 4, m=2 subspaces, k=4 codebook = ALL vectors,
+    # so every vector's subvectors are exact centroids: d2 = 0
+    rows = [(i, [i * 10, i * 10 + 1, i * 20, i * 20 + 3]) for i in range(4)]
+    qt = spark.createDataFrame(rows, "vec_id long, qvec array<int>")
+    books = pq_codebooks(qt, m=2, k=4)
+    codes = pq_encode(qt, books, m=2)
+    got = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    cb = {(r["sub"], tuple(r["cv"])): r["cid"] for r in books.collect()}
+    for i in range(4):
+        sv0 = (i * 10, i * 10 + 1)
+        sv1 = (i * 20, i * 20 + 3)
+        assert got[i] == [cb[(0, sv0)], cb[(1, sv1)]]
+
+    # ADC with a query equal to a database vector: its own entry
+    # scores adc_d2 = 0 and ranks first
+    top = pq_topk_adc(qt.filter("vec_id = 2"), books, codes, k=1, m=2)
+    r = top.collect()[0]
+    assert (r["query_id"], r["vec_id"], r["adc_d2"], r["rank"]) == (2, 2, 0, 1)
+
+
+def test_pq_adc_recall_vs_exact_on_quantized(spark):
+    from biothings_crawler_spark.operators.pq import (
+        pq_codebooks, pq_encode, pq_topk_adc)
+    from biothings_crawler_spark.operators.quantize import quantize_embeddings
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qt = quantize_embeddings(emb).select("vec_id", "qvec")
+    books = pq_codebooks(qt)
+    codes = pq_encode(qt, books)
+    queries = qt.filter("vec_id < 5")
+    adc = pq_topk_adc(queries, books, codes, k=10)
+    got = {(r["query_id"], r["vec_id"]) for r in adc.collect()}
+    # exact integer L2 on the same quantized vectors
+    exact = (
+        qt.alias("c").crossJoin(
+            queries.select(F.col("vec_id").alias("query_id"),
+                           F.col("qvec").alias("qq")))
+        .select("query_id", F.col("c.vec_id").alias("vec_id"),
+                F.expr("aggregate(zip_with(qvec, qq, (x, y) -> "
+                       "cast((x - y) * (x - y) as bigint)), 0L, "
+                       "(a, v) -> a + v)").alias("d2"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    ex = {(r["query_id"], r["vec_id"]) for r in
+          exact.select("query_id", "vec_id",
+                       F.row_number().over(w).alias("rn"))
+          .filter("rn <= 10").collect()}
+    recall = len(got & ex) / len(ex)
+    # 8-byte codes vs 64-byte vectors (measured 0.54 on this fixture
+    # at the m=16/k=16/rounds=2 defaults; pinned with headroom)
+    assert recall >= 0.45, recall
