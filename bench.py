@@ -193,6 +193,16 @@ SUITE = [
     "q_payload_pipeline",
     "q_waterfill_budget",
     "q_bm25f_topk",
+    "q_readability",
+    "q_vocab_growth",
+    "q_zipf_profile",
+    "q_slo_burn",
+    "q_ucb_recrawl",
+    "q_hilbert_key",
+    "q_prf_search",
+    "q_ktruss",
+    "q_pq_encode",
+    "q_pq_adc",
 ]
 
 
