@@ -13815,7 +13815,99 @@ FROM burn
 """
 
 
+NB_V = 256
+# planted class signal: every doc carries three 'm<lang>' marker tokens,
+# so a correct classifier must recover lang from text alone
+_NB_TEXT = "text || ' m' || lang || ' m' || lang || ' m' || lang"
+
+
+def q_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes TRAINING (operators/nbayes.nb_train):
+    hashed bag-of-words (md5-u32 mod 256), Laplace +1, exact
+    fixed-point log2 weights — the dense (label, bucket, w_fxp) model
+    table plus bucket=-1 prior rows.  The oracle re-derives every
+    weight with its own integer squaring-recurrence log2."""
+    from biothings_crawler_spark.operators.nbayes import nb_train
+
+    d = _t(spark, sf_dir, "documents")
+    mut = d.selectExpr("doc_id", "lang", _NB_TEXT + " AS text")
+    train = mut.filter("doc_id % 2 = 0")
+    return nb_train(train, "doc_id", "text", "lang", n_buckets=NB_V)
+
+
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB scoring (operators/nbayes.nb_classify): train on even
+    doc_ids, classify the whole corpus; min-struct argmax with
+    (score desc, label asc) tie-break.  The planted 'm<lang>' markers
+    make the task learnable — a pytest asserts high accuracy — while
+    the oracle checks every score bit-for-bit."""
+    from biothings_crawler_spark.operators.nbayes import nb_classify, nb_train
+
+    d = _t(spark, sf_dir, "documents")
+    mut = d.selectExpr("doc_id", "lang", _NB_TEXT + " AS text")
+    train = mut.filter("doc_id % 2 = 0")
+    model = nb_train(train, "doc_id", "text", "lang", n_buckets=NB_V)
+    return nb_classify(mut, model, "doc_id", "text", n_buckets=NB_V)
+
+
+def _sql_nb_model() -> str:
+    """Shared CTE chain: mutated corpus -> hashed features -> dense NB
+    model (cond + pri), replayed with ilog2_fxp_duck."""
+    from biothings_crawler_spark.operators.nbayes import ilog2_fxp_duck
+
+    return f"""
+m AS (SELECT doc_id, lang, {_NB_TEXT} AS text FROM documents),
+wd AS (SELECT doc_id AS id, unnest({_SQL_WORDS}) AS w FROM m),
+ft AS (SELECT id,
+              ('0x' || substr(md5(w), 1, 8))::BIGINT % {NB_V} AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS tf
+       FROM wd GROUP BY 1, 2),
+tr AS (SELECT doc_id AS id, lang AS label FROM m WHERE doc_id % 2 = 0),
+cnt AS (SELECT tr.label, ft.bucket, CAST(SUM(ft.tf) AS BIGINT) AS cnt
+        FROM ft JOIN tr USING (id) GROUP BY 1, 2),
+grid AS (SELECT l.label, r.range::BIGINT AS bucket
+         FROM (SELECT DISTINCT label FROM tr) l CROSS JOIN range({NB_V}) r),
+dense AS (SELECT g.label, g.bucket, coalesce(c.cnt, 0) AS cnt
+          FROM grid g LEFT JOIN cnt c USING (label, bucket)),
+tot AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS tot FROM dense GROUP BY 1),
+cond AS (SELECT d.label, d.bucket,
+                CAST({ilog2_fxp_duck('cnt + 1')}
+                     - {ilog2_fxp_duck(f'tot + {NB_V}')} AS BIGINT) AS w_fxp
+         FROM dense d JOIN tot USING (label)),
+docs AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nd FROM tr GROUP BY 1),
+ndt AS (SELECT CAST(SUM(nd) AS BIGINT) AS ndt FROM docs),
+pri AS (SELECT label, CAST(-1 AS BIGINT) AS bucket,
+               CAST({ilog2_fxp_duck('nd')}
+                    - {ilog2_fxp_duck('ndt')} AS BIGINT) AS w_fxp
+        FROM docs CROSS JOIN ndt)"""
+
+
+SQL_NB_TRAIN = f"""
+WITH {_sql_nb_model()}
+SELECT label, bucket, w_fxp FROM cond
+UNION ALL SELECT label, bucket, w_fxp FROM pri
+"""
+
+SQL_NB_CLASSIFY = f"""
+WITH {_sql_nb_model()},
+per AS (SELECT ft.id, c.label, CAST(SUM(ft.tf * c.w_fxp) AS BIGINT) AS s
+        FROM ft JOIN cond c USING (bucket) GROUP BY 1, 2),
+sc AS (SELECT per.id, per.label, per.s + p.w_fxp AS score_fxp
+       FROM per JOIN pri p ON p.label = per.label),
+emp AS (SELECT m.doc_id AS id, p.label, p.w_fxp AS score_fxp
+        FROM m CROSS JOIN pri p
+        WHERE m.doc_id NOT IN (SELECT DISTINCT id FROM ft)),
+allsc AS (SELECT * FROM sc UNION ALL SELECT * FROM emp)
+SELECT id, label AS pred, CAST(score_fxp AS BIGINT) AS score_fxp
+FROM allsc
+QUALIFY row_number() OVER (PARTITION BY id
+                           ORDER BY score_fxp DESC, label) = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_nb_train": q_nb_train,
+    "q_nb_classify": q_nb_classify,
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
     # 50 entries, so queries whose operators changed since their last green
     # driver row are seated here, newest first.  Round 4 added more queries
@@ -14081,6 +14173,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_nb_train": SQL_NB_TRAIN,
+    "q_nb_classify": SQL_NB_CLASSIFY,
     "q_modularity": SQL_MODULARITY,
     "q_kmeans": SQL_KMEANS,
     "q_soft404_probe": SQL_SOFT404_PROBE,
