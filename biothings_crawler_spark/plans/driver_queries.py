@@ -13905,7 +13905,55 @@ QUALIFY row_number() OVER (PARTITION BY id
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.dsir_weights): target =
+    the 'en' slice of the marker-mutated corpus, raw = all of it; each
+    doc scored Σ tf·(lg p_target − lg p_raw) in exact lg-fxp units over
+    256 hashed buckets.  The oracle rebuilds both smoothed bucket
+    distributions and every weight with its own integer log2."""
+    from biothings_crawler_spark.operators.dsir import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    mut = d.selectExpr("doc_id", "lang", _NB_TEXT + " AS text")
+    target = mut.filter("lang = 'en'")
+    return dsir_weights(mut, target, "doc_id", "text", n_buckets=NB_V)
+
+
+from biothings_crawler_spark.operators.nbayes import ilog2_fxp_duck
+
+SQL_DSIR_WEIGHTS = f"""
+WITH m AS (SELECT doc_id, lang, {_NB_TEXT} AS text FROM documents),
+wd AS (SELECT doc_id AS id, lang, unnest({_SQL_WORDS}) AS w FROM m),
+ft AS (SELECT id, lang,
+              ('0x' || substr(md5(w), 1, 8))::BIGINT % {NB_V} AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS tf
+       FROM wd GROUP BY 1, 2, 3),
+grid AS (SELECT range::BIGINT AS bucket FROM range({NB_V})),
+tc AS (SELECT g.bucket, coalesce(SUM(ft.tf) FILTER (ft.lang = 'en'), 0) AS cnt
+       FROM grid g LEFT JOIN ft USING (bucket) GROUP BY 1),
+rc AS (SELECT g.bucket, coalesce(SUM(ft.tf), 0) AS cnt
+       FROM grid g LEFT JOIN ft USING (bucket) GROUP BY 1),
+tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM tc),
+rt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM rc),
+lr AS (SELECT tc.bucket,
+              ({ilog2_fxp_duck('tc.cnt + 1')}
+               - {ilog2_fxp_duck(f'tt.tot + {NB_V}')})
+              - ({ilog2_fxp_duck('rc.cnt + 1')}
+                 - {ilog2_fxp_duck(f'rt.tot + {NB_V}')}) AS lr_fxp
+       FROM tc JOIN rc USING (bucket) CROSS JOIN tt CROSS JOIN rt),
+sc AS (SELECT ft.id, CAST(SUM(ft.tf) AS BIGINT) AS n_tokens,
+              CAST(SUM(ft.tf * lr.lr_fxp) AS BIGINT) AS w_fxp
+       FROM ft JOIN lr USING (bucket) GROUP BY 1)
+SELECT m.doc_id AS id,
+       coalesce(sc.n_tokens, 0) AS n_tokens,
+       coalesce(sc.w_fxp, 0) AS w_fxp,
+       coalesce(sc.w_fxp, 0) > 0 AS selected
+FROM m LEFT JOIN sc ON sc.id = m.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_dsir_weights": q_dsir_weights,
     "q_nb_train": q_nb_train,
     "q_nb_classify": q_nb_classify,
     # --- Gate-rotation rule: the driver's correctness gate samples the FIRST
@@ -14173,6 +14221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_dsir_weights": SQL_DSIR_WEIGHTS,
     "q_nb_train": SQL_NB_TRAIN,
     "q_nb_classify": SQL_NB_CLASSIFY,
     "q_modularity": SQL_MODULARITY,
