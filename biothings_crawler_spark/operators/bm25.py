@@ -714,3 +714,94 @@ def bm25f_topk(
         .groupBy("id")
         .agg(F.sum("term_score").cast("long").alias("score")))
     return scored.orderBy(F.desc("score"), "id").limit(k)
+
+
+def ql_dirichlet_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    mu: int = 2000,
+    k: int = 20,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty
+    2001) — the language-model companion to BM25 over the same
+    (term, id, tf) index plane, exact in lg-fxp units (the integer
+    floor(65536*log2 x) recurrence from operators/nbayes, so the rank
+    order is cross-engine verifiable like BM25's rational scores).
+
+    The smoothed per-term likelihood (tf + mu*cf/C) / (dl + mu) is
+    scored in the candidate-doc decomposition, every lg floored
+    individually (the oracle must replay the SAME decomposition —
+    floored lgs do not re-associate):
+
+        score = sum_{w in Q and d} [lg(tf*C + mu*cf_w) - lg(mu*cf_w)]
+              + sum_{w in Q'} lg(mu*cf_w)  -  |Q'|*(lg C + lg(dl+mu))
+
+    with C = collection token count, cf_w = collection frequency, and
+    Q' = query terms present in the collection (cf = 0 terms carry no
+    evidence for any document and are dropped, the standard
+    convention). Docs matching no query term never enter the ranking.
+
+    Scale shape mirrors bm25_topk: the query-term filter lands before
+    the tf aggregation (k postings lists, not the corpus), cf/C and
+    the query constant are one tiny broadcast row, and the top-k is a
+    TakeOrderedAndProject. Integer bound: tf*C + mu*cf <= (tf_max +
+    mu)*C must stay under 2^46 for the lg recurrence — at 10^12
+    collection tokens, pre-scale C and cf by a common 2^s shift (the
+    ratio cf/C is what the score depends on, up to a per-query
+    constant that cancels in ranking)."""
+    from biothings_crawler_spark.operators.nbayes import ilog2_fxp_spark
+
+    m = int(mu)
+    docs = df.select(
+        F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("words")
+    )
+    lens = docs.select("id", F.size("words").cast("long").alias("dl"))
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    occ = docs.select("id", F.explode("words").alias("term")).filter(
+        F.array_contains(terms, F.col("term"))
+    )
+    tf = occ.groupBy("id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    cfreq = occ.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cf")
+    )
+    coll = docs.select(F.explode("words").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_total")
+    )
+    # one-row query constant: sum lg(mu*cf_w) over present terms + |Q'|
+    qconst = cfreq.crossJoin(F.broadcast(coll)).agg(
+        F.sum(F.expr(ilog2_fxp_spark(f"{m} * cf"))).cast("long").alias("k_fxp"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.first("c_total").alias("c_total"),
+    )
+    matched = (
+        tf.join(F.broadcast(cfreq), "term")
+        .crossJoin(F.broadcast(coll))
+        .select(
+            "id",
+            (
+                F.expr(ilog2_fxp_spark(f"tf * c_total + {m} * cf"))
+                - F.expr(ilog2_fxp_spark(f"{m} * cf"))
+            ).cast("long").alias("gain_fxp"),
+        )
+        .groupBy("id")
+        .agg(F.sum("gain_fxp").cast("long").alias("match_fxp"))
+    )
+    scored = (
+        matched.join(lens, "id")
+        .crossJoin(F.broadcast(qconst))
+        .select(
+            "id",
+            (
+                F.col("match_fxp") + F.col("k_fxp")
+                - F.col("n_terms") * (
+                    F.expr(ilog2_fxp_spark("c_total"))
+                    + F.expr(ilog2_fxp_spark(f"dl + {m}"))
+                )
+            ).cast("long").alias("score_fxp"),
+        )
+    )
+    return scored.orderBy(F.desc("score_fxp"), "id").limit(k)

@@ -13952,7 +13952,55 @@ FROM m LEFT JOIN sc ON sc.id = m.doc_id
 """
 
 
+QL_MU = 2000
+
+
+def q_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood ranking (operators/bm25.
+    ql_dirichlet_topk) for the same 3-term query as q_bm25_topk — the
+    LM-based ranker next to the BM25 one over the identical index
+    plane, exact lg-fxp scores.  The oracle replays the identical
+    floored-lg decomposition with its own integer log2."""
+    from biothings_crawler_spark.operators.bm25 import ql_dirichlet_topk
+
+    return ql_dirichlet_topk(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", BM25_QUERY,
+        mu=QL_MU, k=20,
+    )
+
+
+SQL_QL_DIRICHLET = f"""
+WITH docs AS (SELECT doc_id AS id, {_SQL_WORDS} AS words FROM documents),
+lens AS (SELECT id, CAST(len(words) AS BIGINT) AS dl FROM docs),
+coll AS (SELECT CAST(SUM(len(words)) AS BIGINT) AS c_total FROM docs),
+occ AS (SELECT id, unnest(words) AS term FROM docs),
+tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM occ
+       WHERE term IN ({', '.join("'" + t + "'" for t in BM25_QUERY)})
+       GROUP BY 1, 2),
+cfreq AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+qconst AS (SELECT CAST(SUM({ilog2_fxp_duck(f'{QL_MU} * cf')}) AS BIGINT)
+                    AS k_fxp,
+                  CAST(COUNT(*) AS BIGINT) AS n_terms
+           FROM cfreq),
+matched AS (
+  SELECT tf.id,
+         CAST(SUM({ilog2_fxp_duck(f'tf.tf * coll.c_total + {QL_MU} * cf')}
+                  - {ilog2_fxp_duck(f'{QL_MU} * cf')}) AS BIGINT) AS match_fxp
+  FROM tf JOIN cfreq USING (term) CROSS JOIN coll
+  GROUP BY tf.id)
+SELECT m.id,
+       CAST(m.match_fxp + q.k_fxp
+            - q.n_terms * ({ilog2_fxp_duck('coll.c_total')}
+                           + {ilog2_fxp_duck(f'lens.dl + {QL_MU}')})
+            AS BIGINT) AS score_fxp
+FROM matched m JOIN lens ON lens.id = m.id
+CROSS JOIN qconst q CROSS JOIN coll
+ORDER BY score_fxp DESC, m.id LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_ql_dirichlet": q_ql_dirichlet,
     "q_dsir_weights": q_dsir_weights,
     "q_nb_train": q_nb_train,
     "q_nb_classify": q_nb_classify,
@@ -14221,6 +14269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_ql_dirichlet": SQL_QL_DIRICHLET,
     "q_dsir_weights": SQL_DSIR_WEIGHTS,
     "q_nb_train": SQL_NB_TRAIN,
     "q_nb_classify": SQL_NB_CLASSIFY,

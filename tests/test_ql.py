@@ -1,0 +1,78 @@
+"""Dirichlet query-likelihood ranking (operators/bm25.ql_dirichlet_topk)."""
+
+import math
+
+from biothings_crawler_spark.operators.bm25 import ql_dirichlet_topk
+from biothings_crawler_spark.operators.nbayes import FXP
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "data data table filler filler"),
+            (2, "data filler filler filler filler"),
+            (3, "filler filler filler filler filler"),
+            (4, "data table " + "pad " * 50),
+        ],
+        "id long, text string",
+    )
+
+
+def test_hand_computed_scores(spark):
+    out = {
+        r.id: r.score_fxp
+        for r in ql_dirichlet_topk(
+            _docs(spark), "id", "text", ["data", "table"], mu=10, k=10
+        ).collect()
+    }
+    def lg(v):
+        # exact floor(65536*log2 v): integer square-and-compare, the
+        # reference recurrence both engines run (float log2 is off by
+        # one ulp exactly at floor boundaries)
+        n = v.bit_length() - 1
+        m, bits = (v * FXP) >> n, 0
+        for _ in range(16):
+            m = (m * m) >> 16
+            bit = 1 if m >= 2 * FXP else 0
+            bits = bits * 2 + bit
+            m >>= bit
+        return n * FXP + bits
+
+    # C = 5+5+5+52 = 67 tokens; cf(data)=4, cf(table)=2; mu=10
+    C, cfd, cft, m = 67, 4, 2, 10
+    k_fxp = lg(m * cfd) + lg(m * cft)
+
+    def score(tfs, dl):
+        match = sum(
+            lg(tf * C + m * cf) - lg(m * cf)
+            for tf, cf in tfs
+        )
+        return match + k_fxp - 2 * (lg(C) + lg(dl + m))
+
+    assert out[1] == score([(2, cfd), (1, cft)], 5)
+    assert out[2] == score([(1, cfd)], 5)
+    assert 3 not in out  # no query term -> never a candidate
+    assert out[4] == score([(1, cfd), (1, cft)], 52)
+    # two-term short doc beats one-term doc; verbose doc pays dl penalty
+    assert out[1] > out[2] and out[1] > out[4]
+
+
+def test_absent_query_term_is_dropped(spark):
+    docs = _docs(spark)
+    with_ghost = ql_dirichlet_topk(
+        docs, "id", "text", ["data", "table", "zzghost"], mu=10, k=10
+    ).collect()
+    without = ql_dirichlet_topk(
+        docs, "id", "text", ["data", "table"], mu=10, k=10
+    ).collect()
+    assert [(r.id, r.score_fxp) for r in with_ghost] == [
+        (r.id, r.score_fxp) for r in without
+    ]
+
+
+def test_plan_broadcast_topk_no_window_no_python(spark):
+    df = ql_dirichlet_topk(_docs(spark), "id", "text", ["data"], mu=10, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
