@@ -998,3 +998,52 @@ def readability_scores(
             " + (11800 * n_syllables) div greatest(1L, n_words) - 15590"
         ).alias("fk_grade_milli"),
     )
+
+
+def char_entropy(df, id_col: str, text_col: str):
+    """Exact per-document character-level Shannon entropy — the
+    gibberish / binary-spill / keyboard-mash detector (low entropy =
+    one char repeated; entropy at the lg-alphabet ceiling with no
+    word structure = random bytes), complementing the word-level
+    quality_stats and Gopher repetition family.
+
+    Exactness: H = lg N - (sum_c n_c*lg n_c)/N is transcendental, so
+    what is returned is the integer **total self-information**
+    ``ent_tot_fxp = N*lg(N) - sum_c n_c*lg(n_c)`` in lg-fxp units
+    (floor(65536*log2), the operators/nbayes integer recurrence) plus
+    its floor per-char rate — bit-identical in the DuckDB twin, and
+    0 exactly when the text is one repeated character (or empty).
+
+    Scale shape: one ROW-LOCAL expression chain — split to chars,
+    histogram via distinct+filter counts (O(alphabet * len) per row,
+    alphabet bounded by the charset), nested integer folds for the
+    lgs. Zero exchanges, zero Python; the histogram never leaves the
+    row, so nothing shuffles per character.
+    """
+    from biothings_crawler_spark.operators.nbayes import ilog2_fxp_spark
+
+    clg = ilog2_fxp_spark("c")
+    nlg = ilog2_fxp_spark("size(cs)")
+    staged = df.selectExpr(
+        f"{id_col} AS id",
+        f"filter(split({text_col}, ''), c -> c <> '') AS cs",
+    )
+    return staged.selectExpr(
+        "id",
+        "size(cs) AS n_chars",
+        "size(array_distinct(cs)) AS n_distinct",
+        f"""CASE WHEN size(cs) = 0 THEN 0L ELSE
+            cast(size(cs) * ({nlg})
+                 - aggregate(
+                     transform(array_distinct(cs),
+                               d -> cast(size(filter(cs, x -> x = d)) AS bigint)),
+                     0L, (acc, c) -> acc + c * ({clg})) AS bigint)
+            END AS ent_tot_fxp""",
+    ).selectExpr(
+        "id",
+        "cast(n_chars AS bigint) AS n_chars",
+        "cast(n_distinct AS bigint) AS n_distinct",
+        "ent_tot_fxp",
+        "CASE WHEN n_chars = 0 THEN 0L "
+        "ELSE ent_tot_fxp div n_chars END AS ent_char_fxp",
+    )

@@ -13999,7 +13999,40 @@ ORDER BY score_fxp DESC, m.id LIMIT 20
 """
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-level Shannon self-information per document
+    (operators/text.char_entropy) — the gibberish/binary-spill
+    detector; integer lg-fxp units, one row-local expression chain
+    (zero exchanges).  The oracle rebuilds every histogram with a
+    lateral char unnest and replays the identical floored lgs."""
+    from biothings_crawler_spark.operators.text import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+SQL_CHAR_ENTROPY = f"""
+WITH ch AS (
+  SELECT doc_id AS id, unnest(string_split(text, '')) AS c FROM documents),
+hist AS (SELECT id, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM ch GROUP BY 1, 2),
+per AS (SELECT id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(cnt * ({ilog2_fxp_duck('cnt')})) AS BIGINT) AS sum_clg
+        FROM hist GROUP BY 1)
+SELECT d.doc_id AS id,
+       coalesce(p.n_chars, 0) AS n_chars,
+       coalesce(p.n_distinct, 0) AS n_distinct,
+       CASE WHEN p.id IS NULL THEN 0
+            ELSE p.n_chars * ({ilog2_fxp_duck('p.n_chars')}) - p.sum_clg
+            END::BIGINT AS ent_tot_fxp,
+       CASE WHEN p.id IS NULL THEN 0
+            ELSE (p.n_chars * ({ilog2_fxp_duck('p.n_chars')}) - p.sum_clg)
+                 // p.n_chars END::BIGINT AS ent_char_fxp
+FROM documents d LEFT JOIN per p ON p.id = d.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_char_entropy": q_char_entropy,
     "q_ql_dirichlet": q_ql_dirichlet,
     "q_dsir_weights": q_dsir_weights,
     "q_nb_train": q_nb_train,
@@ -14269,6 +14302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_char_entropy": SQL_CHAR_ENTROPY,
     "q_ql_dirichlet": SQL_QL_DIRICHLET,
     "q_dsir_weights": SQL_DSIR_WEIGHTS,
     "q_nb_train": SQL_NB_TRAIN,
