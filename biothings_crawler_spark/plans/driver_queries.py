@@ -14031,7 +14031,103 @@ FROM documents d LEFT JOIN per p ON p.id = d.doc_id
 """
 
 
+BURST_ENTER, BURST_EXIT, BURST_ALPHA = 200, 100, 30
+# deterministic spike plant: term t7 gets +40 every 50th hour, so the
+# fixture provably contains bursts for the detector to find
+_BURST_PLANT = ("n + CASE WHEN term = 't7' AND hour_no % 50 = 3 "
+                "THEN 40 ELSE 0 END")
+
+
+def q_burst_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hysteresis-EWMA burst intervals (operators/bursts.
+    burst_intervals) over per-term hourly counts from events, with a
+    planted periodic spike on one term.  The oracle replays the exact
+    integer fold as a single-string-state list_reduce (the one DuckDB
+    fold shape that is row-count-sound) and re-derives every
+    interval."""
+    from biothings_crawler_spark.operators.bursts import burst_intervals
+
+    e = _t(spark, sf_dir, "events")
+    counts = (
+        e.select(
+            F.concat(F.lit("t"), (F.col("user_id") % 25).cast("string"))
+            .alias("term"),
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+                   "00:00:00', ts) div 3600000000").alias("hour_no"),
+        )
+        .groupBy("term", "hour_no")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .selectExpr("term", "hour_no", f"CAST({_BURST_PLANT} AS BIGINT) AS n")
+    )
+    return burst_intervals(counts, BURST_ENTER, BURST_EXIT, BURST_ALPHA)
+
+
+def _sql_burst() -> str:
+    sp = "string_split(acc, '|')"
+    a_e, a_i = f"CAST({sp}[1] AS BIGINT)", f"CAST({sp}[2] AS BIGINT)"
+    a_s, a_l, a_v = f"{sp}[3]", f"{sp}[4]", f"{sp}[5]"
+    e_h = "string_split(e, ':')[1]"
+    e_n = "CAST(string_split(e, ':')[2] AS BIGINT)"
+    first = f"({a_e} < 0)"
+    enter = (f"(NOT {first} AND {a_i} = 0 "
+             f"AND {e_n} * 10000 >= {BURST_ENTER} * {a_e})")
+    exit_ = f"({a_i} = 1 AND {e_n} * 10000 < {BURST_EXIT} * {a_e})"
+    upd = (f"({BURST_ALPHA} * {e_n} * 100 "
+           f"+ {100 - BURST_ALPHA} * {a_e}) // 100")
+    closed = (f"(CASE WHEN {a_v} = '' THEN '' ELSE {a_v} || ',' END "
+              f"|| {a_s} || '-' || {a_l})")
+    step = (
+        f"CAST(CASE WHEN {first} THEN {e_n} * 100 "
+        f"     WHEN {enter} OR ({a_i} = 1 AND NOT {exit_}) THEN {a_e} "
+        f"     ELSE {upd} END AS VARCHAR) || '|' || "
+        f"CASE WHEN {enter} THEN '1' WHEN {exit_} THEN '0' "
+        f"     ELSE {sp}[2] END || '|' || "
+        f"CASE WHEN {enter} THEN {e_h} ELSE {a_s} END || '|' || "
+        f"{e_h} || '|' || "
+        f"CASE WHEN {exit_} THEN {closed} ELSE {a_v} END"
+    )
+    fin_v = a_v.replace("acc", "fin")
+    fin_i = a_i.replace("acc", "fin")
+    fin_s = a_s.replace("acc", "fin")
+    fin_l = a_l.replace("acc", "fin")
+    fin_closed = (f"(CASE WHEN {fin_v} = '' THEN '' ELSE {fin_v} || ',' END "
+                  f"|| {fin_s} || '-' || {fin_l})")
+    return f"""
+WITH base AS (
+  SELECT 't' || CAST(user_id % 25 AS VARCHAR) AS term,
+         epoch_us(ts) // 3600000000 AS hour_no,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+c AS (SELECT term, hour_no, CAST({_BURST_PLANT} AS BIGINT) AS n FROM base),
+ser AS (SELECT term,
+               list(CAST(hour_no AS VARCHAR) || ':' || CAST(n AS VARCHAR)
+                    ORDER BY hour_no) AS hs
+        FROM c GROUP BY term),
+folded AS (SELECT term,
+                  list_reduce(list_prepend('-1|0|0|0|', hs),
+                              (acc, e) -> {step}) AS fin
+           FROM ser),
+iv AS (SELECT term,
+              CASE WHEN {fin_i} = 1 THEN {fin_closed} ELSE {fin_v} END AS iv
+       FROM folded),
+spans AS (SELECT term, unnest(string_split(iv, ',')) AS span
+          FROM iv WHERE iv <> '')
+SELECT term,
+       CAST(row_number() OVER (PARTITION BY term
+                               ORDER BY CAST(string_split(span, '-')[1]
+                                             AS BIGINT)) AS BIGINT)
+         AS burst_no,
+       CAST(string_split(span, '-')[1] AS BIGINT) AS start_hour,
+       CAST(string_split(span, '-')[2] AS BIGINT) AS end_hour
+FROM spans
+"""
+
+
+SQL_BURST_INTERVALS = _sql_burst()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_burst_intervals": q_burst_intervals,
     "q_char_entropy": q_char_entropy,
     "q_ql_dirichlet": q_ql_dirichlet,
     "q_dsir_weights": q_dsir_weights,
@@ -14302,6 +14398,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_burst_intervals": SQL_BURST_INTERVALS,
     "q_char_entropy": SQL_CHAR_ENTROPY,
     "q_ql_dirichlet": SQL_QL_DIRICHLET,
     "q_dsir_weights": SQL_DSIR_WEIGHTS,
