@@ -14126,7 +14126,53 @@ FROM spans
 SQL_BURST_INTERVALS = _sql_burst()
 
 
+# mojibake fixture lanes: UTF-8 read as cp1252 (repairable), genuine
+# Latin-1-range text (must be kept — its inverse bytes are invalid
+# UTF-8), plain ASCII (identity)
+_MOJI_DAMAGED = "café — déjà vu".encode("utf-8").decode("cp1252")
+_MOJI_CLEAN = "café naïve"
+
+
+def q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-core mojibake repair (operators/mojibake.fix_mojibake):
+    documents with planted damage lanes — doc_id%7==0 gets a UTF-8-
+    read-as-cp1252 suffix (must repair), %7==1 gets genuine accented
+    text (must NOT change: its inverse bytes are invalid UTF-8), the
+    rest stay ASCII.  The oracle re-derives every repaired code point
+    with a from-scratch UTF-8 validator fold + chr()."""
+    from biothings_crawler_spark.operators.mojibake import fix_mojibake
+
+    d = _t(spark, sf_dir, "documents")
+    mut = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat("text", F.lit(" " + _MOJI_DAMAGED)))
+        .when(F.col("doc_id") % 7 == 1,
+              F.concat("text", F.lit(" " + _MOJI_CLEAN)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return fix_mojibake(mut, "doc_id", "text")
+
+
+def _sql_mojibake() -> str:
+    from biothings_crawler_spark.operators.mojibake import mojibake_oracle_sql
+
+    return f"""
+WITH m AS (
+  SELECT doc_id AS id,
+         text || CASE WHEN doc_id % 7 = 0 THEN ' {_MOJI_DAMAGED}'
+                      WHEN doc_id % 7 = 1 THEN ' {_MOJI_CLEAN}'
+                      ELSE '' END AS text
+  FROM documents),
+{mojibake_oracle_sql("m", "id", "text")}
+"""
+
+
+SQL_MOJIBAKE = _sql_mojibake()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_mojibake": q_mojibake,
     "q_burst_intervals": q_burst_intervals,
     "q_char_entropy": q_char_entropy,
     "q_ql_dirichlet": q_ql_dirichlet,
@@ -14398,6 +14444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_mojibake": SQL_MOJIBAKE,
     "q_burst_intervals": SQL_BURST_INTERVALS,
     "q_char_entropy": SQL_CHAR_ENTROPY,
     "q_ql_dirichlet": SQL_QL_DIRICHLET,
