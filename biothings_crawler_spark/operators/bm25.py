@@ -805,3 +805,72 @@ def ql_dirichlet_topk(
         )
     )
     return scored.orderBy(F.desc("score_fxp"), "id").limit(k)
+
+
+def prune_postings_topn(
+    scored: DataFrame,
+    keep_n: int,
+    salt_target: int = 100_000,
+    max_salt: int = 4096,
+) -> DataFrame:
+    """Static impact-ordered index pruning (Carmel et al. 2001): keep
+    only each term's ``keep_n`` highest-impact postings — the offline
+    index-build step that trades a bounded index size for (empirically
+    tiny) tail-rank error; the pytest evidence measures top-k overlap
+    against the unpruned ranking.
+
+    Input ``(term, id, term_score)`` (bm25_term_scores shape or a
+    precomputed impact plane). Exact and skew-proof: per-term top-N
+    done as the politeness plane's TWO-PHASE SALTED selection — a hot
+    term with 10^8 postings never lands in one window task; phase 1
+    ranks within (term, salt buckets sized by the term's posting
+    count) keeping N per bucket (can never lose a true top-N row),
+    phase 2 ranks the <= salt_n*N survivors. Deterministic order
+    (term_score desc, id asc)."""
+    counts = scored.groupBy("term").agg(F.count(F.lit(1)).alias("n_post"))
+    plan = counts.select(
+        "term",
+        F.least(
+            F.greatest(F.ceil(F.col("n_post") / F.lit(salt_target)), F.lit(1)),
+            F.lit(max_salt),
+        ).cast("int").alias("salt_n"),
+    )
+    order = [F.desc("term_score"), F.asc("id")]
+    cand = scored.join(F.broadcast(plan), "term").withColumn(
+        "salt", F.pmod(F.xxhash64("id"), F.col("salt_n"))
+    )
+    w1 = Window.partitionBy("term", "salt").orderBy(*order)
+    phase1 = (
+        cand.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= keep_n)
+        .drop("__r1", "salt", "salt_n")
+    )
+    w2 = Window.partitionBy("term").orderBy(*order)
+    return (
+        phase1.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= keep_n)
+        .drop("__r2")
+    )
+
+
+def pruned_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    keep_n: int,
+    k: int = 20,
+) -> DataFrame:
+    """Ranked retrieval over the statically pruned index: bm25 term
+    scores -> per-term top-``keep_n`` prune -> per-doc sum -> top-k.
+    A doc's score uses only the postings that SURVIVED pruning (the
+    whole point: the dropped tail never gets read at query time)."""
+    pruned = prune_postings_topn(
+        bm25_term_scores(df, id_col, text_col, query_terms), keep_n
+    )
+    return (
+        pruned.groupBy("id")
+        .agg(F.sum("term_score").cast("long").alias("score"))
+        .orderBy(F.desc("score"), "id")
+        .limit(k)
+    )

@@ -14171,7 +14171,54 @@ WITH m AS (
 SQL_MOJIBAKE = _sql_mojibake()
 
 
+PRUNE_KEEP = 50
+
+
+def q_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval over the statically PRUNED index (operators/bm25.
+    pruned_topk, Carmel-style impact-ordered pruning): per query term
+    only the top-50 highest-impact postings survive the index build;
+    ranking sums surviving scores only.  The two-phase salted prune is
+    exact, so the oracle is ONE QUALIFY per term — salt choices can
+    never change the output."""
+    from biothings_crawler_spark.operators.bm25 import pruned_topk
+
+    return pruned_topk(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", BM25_QUERY,
+        keep_n=PRUNE_KEEP, k=20,
+    )
+
+
+SQL_PRUNED_TOPK = f"""
+WITH docs AS (SELECT doc_id AS id, {_SQL_WORDS} AS words FROM documents),
+lens AS (SELECT id, CAST(len(words) AS BIGINT) AS dl FROM docs),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS w_total FROM lens),
+tf AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT id, unnest(words) AS term FROM docs)
+  WHERE term IN ({', '.join("'" + t + "'" for t in BM25_QUERY)})
+  GROUP BY id, term),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.id, tf.term,
+         ((2 * t.n_docs - 2 * d.df + 1) * 1000000 // (2 * d.df + 1))
+           * 44 * tf.tf * t.w_total
+           // (20 * tf.tf * t.w_total + 6 * t.w_total + 18 * l.dl * t.n_docs)
+           AS term_score
+  FROM tf JOIN dfq d USING (term) JOIN lens l ON l.id = tf.id CROSS JOIN tot t),
+pruned AS (
+  SELECT id, term, term_score FROM sc
+  QUALIFY row_number() OVER (PARTITION BY term
+                             ORDER BY term_score DESC, id) <= {PRUNE_KEEP})
+SELECT id, CAST(SUM(term_score) AS BIGINT) AS score
+FROM pruned GROUP BY id
+ORDER BY score DESC, id LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_pruned_topk": q_pruned_topk,
     "q_mojibake": q_mojibake,
     "q_burst_intervals": q_burst_intervals,
     "q_char_entropy": q_char_entropy,
@@ -14444,6 +14491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_pruned_topk": SQL_PRUNED_TOPK,
     "q_mojibake": SQL_MOJIBAKE,
     "q_burst_intervals": SQL_BURST_INTERVALS,
     "q_char_entropy": SQL_CHAR_ENTROPY,
