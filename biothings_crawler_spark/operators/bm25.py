@@ -716,15 +716,14 @@ def bm25f_topk(
     return scored.orderBy(F.desc("score"), "id").limit(k)
 
 
-def ql_dirichlet_topk(
+def ql_dirichlet_scores(
     df: DataFrame,
     id_col: str,
     text_col: str,
     query_terms: list[str],
     mu: int = 2000,
-    k: int = 20,
 ) -> DataFrame:
-    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty
+    """Dirichlet-smoothed query-likelihood scores (Zhai & Lafferty
     2001) — the language-model companion to BM25 over the same
     (term, id, tf) index plane, exact in lg-fxp units (the integer
     floor(65536*log2 x) recurrence from operators/nbayes, so the rank
@@ -790,7 +789,7 @@ def ql_dirichlet_topk(
         .groupBy("id")
         .agg(F.sum("gain_fxp").cast("long").alias("match_fxp"))
     )
-    scored = (
+    return (
         matched.join(lens, "id")
         .crossJoin(F.broadcast(qconst))
         .select(
@@ -804,6 +803,19 @@ def ql_dirichlet_topk(
             ).cast("long").alias("score_fxp"),
         )
     )
+
+
+def ql_dirichlet_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    mu: int = 2000,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k over :func:`ql_dirichlet_scores` — (score desc, id) as a
+    TakeOrderedAndProject, never a full sort."""
+    scored = ql_dirichlet_scores(df, id_col, text_col, query_terms, mu)
     return scored.orderBy(F.desc("score_fxp"), "id").limit(k)
 
 
@@ -873,4 +885,57 @@ def pruned_topk(
         .agg(F.sum("term_score").cast("long").alias("score"))
         .orderBy(F.desc("score"), "id")
         .limit(k)
+    )
+
+
+def ltr_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    mu: int = 2000,
+) -> DataFrame:
+    """Learning-to-rank feature table for one query — the training
+    input an MSLR-style ranker consumes, assembled from this module's
+    retrieval planes so every feature is integer-exact and
+    cross-engine verifiable: per candidate document (>= 1 matching
+    term) returns
+
+      (id, n_matched, tf_total, dl, bm25_score, ql_fxp)
+
+    where bm25_score is the summed rational-integer BM25, ql_fxp the
+    Dirichlet query-likelihood in lg-fxp units, dl the doc length,
+    tf_total the summed query-term frequency and n_matched the count
+    of distinct matching terms.  Shape: the two scorers share one
+    candidate set; each is hash-agg + broadcast stats (see their
+    docstrings); the final assembly is two equi-joins on id — at
+    scale, candidates of ONE query are a small fraction of the corpus,
+    so the joins are candidate-sized, never corpus-sized."""
+    bm = (
+        bm25_term_scores(df, id_col, text_col, query_terms)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.sum("term_score").cast("long").alias("bm25_score"),
+        )
+    )
+    docs = df.select(
+        F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("words")
+    )
+    lens = docs.select("id", F.size("words").cast("long").alias("dl"))
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    tfs = (
+        docs.select("id", F.explode("words").alias("term"))
+        .filter(F.array_contains(terms, F.col("term")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf_total"))
+    )
+    ql = ql_dirichlet_scores(
+        df, id_col, text_col, query_terms, mu=mu
+    ).withColumnRenamed("score_fxp", "ql_fxp")
+    return (
+        bm.join(tfs, "id")
+        .join(lens, "id")
+        .join(ql, "id")
+        .select("id", "n_matched", "tf_total", "dl", "bm25_score", "ql_fxp")
     )

@@ -14217,7 +14217,67 @@ ORDER BY score DESC, id LIMIT 20
 """
 
 
+def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-to-rank feature table (operators/bm25.ltr_features):
+    one row per candidate doc of the shared 3-term query with integer
+    BM25, Dirichlet-QL lg-fxp score, dl, summed tf and matched-term
+    count — the MSLR-style training input, every feature replayed by
+    the oracle from the shared CTE planes in one statement."""
+    from biothings_crawler_spark.operators.bm25 import ltr_features
+
+    return ltr_features(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", BM25_QUERY,
+        mu=QL_MU,
+    )
+
+
+SQL_LTR_FEATURES = f"""
+WITH docs AS (SELECT doc_id AS id, {_SQL_WORDS} AS words FROM documents),
+lens AS (SELECT id, CAST(len(words) AS BIGINT) AS dl FROM docs),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS w_total FROM lens),
+coll AS (SELECT CAST(SUM(dl) AS BIGINT) AS c_total FROM lens),
+tf AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT id, unnest(words) AS term FROM docs)
+  WHERE term IN ({', '.join("'" + t + "'" for t in BM25_QUERY)})
+  GROUP BY id, term),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT tf.id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+         CAST(SUM(((2 * t.n_docs - 2 * d.df + 1) * 1000000 // (2 * d.df + 1))
+           * 44 * tf.tf * t.w_total
+           // (20 * tf.tf * t.w_total + 6 * t.w_total
+               + 18 * l.dl * t.n_docs)) AS BIGINT) AS bm25_score
+  FROM tf JOIN dfq d USING (term) JOIN lens l ON l.id = tf.id CROSS JOIN tot t
+  GROUP BY tf.id),
+tft AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS tf_total FROM tf GROUP BY id),
+cfreq AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+qconst AS (SELECT CAST(SUM({ilog2_fxp_duck(f'{QL_MU} * cf')}) AS BIGINT)
+                    AS k_fxp,
+                  CAST(COUNT(*) AS BIGINT) AS n_terms
+           FROM cfreq),
+matched AS (
+  SELECT tf.id,
+         CAST(SUM({ilog2_fxp_duck(f'tf.tf * coll.c_total + {QL_MU} * cf')}
+                  - {ilog2_fxp_duck(f'{QL_MU} * cf')}) AS BIGINT) AS match_fxp
+  FROM tf JOIN cfreq USING (term) CROSS JOIN coll
+  GROUP BY tf.id),
+ql AS (
+  SELECT m.id,
+         CAST(m.match_fxp + q.k_fxp
+              - q.n_terms * ({ilog2_fxp_duck('coll.c_total')}
+                             + {ilog2_fxp_duck(f'lens.dl + {QL_MU}')})
+              AS BIGINT) AS ql_fxp
+  FROM matched m JOIN lens ON lens.id = m.id
+  CROSS JOIN qconst q CROSS JOIN coll)
+SELECT bm.id, bm.n_matched, tft.tf_total, lens.dl, bm.bm25_score, ql.ql_fxp
+FROM bm JOIN tft USING (id) JOIN lens USING (id) JOIN ql USING (id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_ltr_features": q_ltr_features,
     "q_pruned_topk": q_pruned_topk,
     "q_mojibake": q_mojibake,
     "q_burst_intervals": q_burst_intervals,
@@ -14491,6 +14551,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_ltr_features": SQL_LTR_FEATURES,
     "q_pruned_topk": SQL_PRUNED_TOPK,
     "q_mojibake": SQL_MOJIBAKE,
     "q_burst_intervals": SQL_BURST_INTERVALS,

@@ -76,3 +76,28 @@ def test_plan_broadcast_topk_no_window_no_python(spark):
     assert "Window" not in plan and "BatchEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ltr_features_consistent_with_scorers(spark):
+    from biothings_crawler_spark.operators.bm25 import (
+        bm25_topk,
+        ltr_features,
+        ql_dirichlet_scores,
+    )
+
+    docs = _docs(spark)
+    feats = {r.id: r for r in
+             ltr_features(docs, "id", "text", ["data", "table"], mu=10)
+             .collect()}
+    assert set(feats) == {1, 2, 4}  # doc 3 matches nothing
+    bm = {r.id: r.score for r in
+          bm25_topk(docs, "id", "text", ["data", "table"], k=10).collect()}
+    ql = {r.id: r.score_fxp for r in
+          ql_dirichlet_scores(docs, "id", "text", ["data", "table"], mu=10)
+          .collect()}
+    for i in (1, 2, 4):
+        assert feats[i].bm25_score == bm[i]
+        assert feats[i].ql_fxp == ql[i]
+    assert feats[1].n_matched == 2 and feats[1].tf_total == 3
+    assert feats[2].n_matched == 1 and feats[2].tf_total == 1
+    assert feats[4].dl == 52
