@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from biothings_crawler_spark.operators.sampling import hash_u60_col
+from biothings_crawler_spark.operators.text import words_col
 
 
 def rendezvous_shard_col(key: Column, n_shards: int, salt: str = "sh") -> Column:
@@ -108,4 +109,86 @@ def shard_rebalance_report(
             "shard_from", "shard_to", "n_keys",
             (F.col("shard_from") != F.col("shard_to")).alias("moved"),
         )
+    )
+
+
+def cori_shard_scores(
+    df: DataFrame,
+    shard_col: str,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+) -> DataFrame:
+    """CORI resource selection (Callan et al. 1995) — federated /
+    shard-routed search: rank document COLLECTIONS (index shards, or
+    per-source sub-indexes) by how likely they are to hold a query's
+    answers, so a broker fans the query out to the few best shards
+    instead of all of them. The df.icf belief per (term, shard), in
+    exact ppm/lg-fxp integers so both engines rank identically:
+
+        T_ppm  = df * 10^6 // (df + 50 + (150 * cw_s * S) // cw_total)
+        I_ppm  = (lg(2S+1) - lg(2*cf_t)) * 10^6 // lg(S+1)
+        belief = 400000 + 600000 * T_ppm * I_ppm // 10^12
+        score(q, s) = sum over query terms present SOMEWHERE (absent-
+        in-this-shard terms contribute the df=0 default belief 400000)
+
+    with df = shard docs containing t, cw_s = shard word count, S =
+    shard count, cf_t = shards containing t (the b=0.4 default-belief
+    constant and 50/150 T-smoothing are the published values; floors
+    replace real division — the oracle replays the identical floors).
+
+    Scale shape: per-shard stats are two hash aggs over the corpus;
+    the belief table is |shards| x |query terms| — broadcast-tiny; the
+    final ranking sorts |shards| rows. Input needs no co-location.
+    """
+    from biothings_crawler_spark.operators.nbayes import ilog2_fxp_spark
+
+    docs = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("id"),
+        words_col(F.col(text_col)).alias("words"),
+    )
+    cw = docs.groupBy("shard").agg(
+        F.sum(F.size("words")).cast("long").alias("cw")
+    )
+    totals = cw.agg(
+        F.count(F.lit(1)).cast("long").alias("s_cnt"),
+        F.sum("cw").cast("long").alias("cw_total"),
+    )
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    dfreq = (
+        docs.select("shard", "id", F.explode(F.array_distinct("words"))
+                    .alias("term"))
+        .filter(F.array_contains(terms, F.col("term")))
+        .groupBy("shard", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    cf = dfreq.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cf")
+    )
+    grid = cw.select("shard").crossJoin(F.broadcast(cf))
+    beliefs = (
+        grid.join(dfreq, ["shard", "term"], "left")
+        .join(cw, "shard")
+        .crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "shard",
+            "coalesce(df, 0L) AS df",
+            "cw", "cf", "s_cnt", "cw_total",
+        )
+        .selectExpr(
+            "shard",
+            f"""400000L + 600000
+                * (df * 1000000 div (df + 50 + (150 * cw * s_cnt)
+                                     div cw_total))
+                * (({ilog2_fxp_spark('2 * s_cnt + 1')}
+                    - {ilog2_fxp_spark('2 * cf')}) * 1000000
+                   div ({ilog2_fxp_spark('s_cnt + 1')}))
+                div 1000000000000 AS belief_ppm""",
+        )
+    )
+    return (
+        beliefs.groupBy("shard")
+        .agg(F.sum("belief_ppm").cast("long").alias("score_ppm"))
+        .orderBy(F.desc("score_ppm"), "shard")
     )

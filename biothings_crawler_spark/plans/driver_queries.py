@@ -14276,7 +14276,55 @@ FROM bm JOIN tft USING (id) JOIN lens USING (id) JOIN ql USING (id)
 """
 
 
+def q_cori_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORI federated resource selection (operators/sharding.
+    cori_shard_scores): rank the per-source sub-collections for the
+    shared 3-term query by exact ppm df.icf beliefs — the broker step
+    that routes a query to the few shards worth probing.  The oracle
+    replays T, I, and every floor bit-for-bit."""
+    from biothings_crawler_spark.operators.sharding import cori_shard_scores
+
+    return cori_shard_scores(
+        _t(spark, sf_dir, "documents"), "source", "doc_id", "text",
+        BM25_QUERY,
+    )
+
+
+SQL_CORI_SHARDS = f"""
+WITH docs AS (SELECT source AS shard, doc_id AS id, {_SQL_WORDS} AS words
+              FROM documents),
+cw AS (SELECT shard, CAST(SUM(len(words)) AS BIGINT) AS cw
+       FROM docs GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS s_cnt,
+               CAST(SUM(cw) AS BIGINT) AS cw_total FROM cw),
+dfreq AS (
+  SELECT shard, term, CAST(COUNT(*) AS BIGINT) AS df FROM (
+    SELECT DISTINCT shard, id, unnest(words) AS term FROM docs)
+  WHERE term IN ({', '.join("'" + t + "'" for t in BM25_QUERY)})
+  GROUP BY 1, 2),
+cf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM dfreq GROUP BY 1),
+grid AS (SELECT cw.shard, cf.term, cf.cf FROM cw CROSS JOIN cf),
+bel AS (
+  SELECT g.shard,
+         400000 + 600000
+           * (coalesce(d.df, 0) * 1000000
+              // (coalesce(d.df, 0) + 50
+                  + (150 * cw.cw * t.s_cnt) // t.cw_total))
+           * (({ilog2_fxp_duck('2 * t.s_cnt + 1')}
+               - {ilog2_fxp_duck('2 * g.cf')}) * 1000000
+              // ({ilog2_fxp_duck('t.s_cnt + 1')}))
+           // 1000000000000 AS belief_ppm
+  FROM grid g
+  LEFT JOIN dfreq d ON d.shard = g.shard AND d.term = g.term
+  JOIN cw ON cw.shard = g.shard CROSS JOIN tot t)
+SELECT shard, CAST(SUM(belief_ppm) AS BIGINT) AS score_ppm
+FROM bel GROUP BY shard
+ORDER BY score_ppm DESC, shard
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_cori_shards": q_cori_shards,
     "q_ltr_features": q_ltr_features,
     "q_pruned_topk": q_pruned_topk,
     "q_mojibake": q_mojibake,
@@ -14551,6 +14599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_cori_shards": SQL_CORI_SHARDS,
     "q_ltr_features": SQL_LTR_FEATURES,
     "q_pruned_topk": SQL_PRUNED_TOPK,
     "q_mojibake": SQL_MOJIBAKE,
