@@ -939,3 +939,82 @@ def ltr_features(
         .join(ql, "id")
         .select("id", "n_matched", "tf_total", "dl", "bm25_score", "ql_fxp")
     )
+
+
+def query_clarity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    mu: int = 2000,
+    fb_k: int = 10,
+) -> DataFrame:
+    """Query clarity score (Cronen-Townsend et al. 2002) — query
+    performance PREDICTION: the KL divergence between the language
+    model of the query's top-``fb_k`` retrieved documents and the
+    collection model. Unambiguous queries retrieve a focused slice
+    whose term distribution diverges sharply from the collection
+    (high clarity); queries that retrieve "more of the same" score
+    near zero — the broker-side signal for triggering PRF, query
+    rewriting, or shard re-routing without relevance labels.
+
+    Exact integers: with tf_fb(w) the term counts over the feedback
+    docs, L their total, cf(w)/C the collection model,
+
+        clarity_fxp = sum_w tf_fb(w) * (lg(tf_fb(w)*C) - lg(L*cf(w)))
+
+    which is L*KL in lg-fxp units (every floor replayed by the
+    oracle); the per-token rate divides by L. Returns ONE row
+    ``(n_fb_docs, fb_tokens, clarity_fxp, clarity_tok_fxp)``.
+
+    Shape: the feedback set is a TakeOrdered k-row slice joined back
+    to the corpus (semi-join, candidate-sized), its vocabulary one
+    hash agg, the collection stats one corpus hash agg joined on the
+    feedback vocabulary only. No windows, no Python."""
+    from biothings_crawler_spark.operators.nbayes import ilog2_fxp_spark
+
+    fb_ids = ql_dirichlet_topk(
+        df, id_col, text_col, query_terms, mu=mu, k=fb_k
+    ).select("id")
+    docs = df.select(
+        F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("words")
+    )
+    coll_occ = docs.select(F.explode("words").alias("w"))
+    coll = coll_occ.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("cf")
+    )
+    c_total = coll_occ.agg(F.count(F.lit(1)).cast("long").alias("c_total"))
+    fb_tf = (
+        docs.join(F.broadcast(fb_ids), "id", "left_semi")
+        .select(F.explode("words").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf_fb"))
+    )
+    fb_len = fb_tf.agg(F.sum("tf_fb").cast("long").alias("fb_len"))
+    per_term = (
+        fb_tf.join(coll, "w")
+        .crossJoin(F.broadcast(c_total))
+        .crossJoin(F.broadcast(fb_len))
+        .selectExpr(
+            f"""tf_fb * (({ilog2_fxp_spark('tf_fb * c_total')})
+                         - ({ilog2_fxp_spark('fb_len * cf')})) AS kl_fxp""",
+            "fb_len",
+        )
+    )
+    n_fb = fb_ids.agg(F.count(F.lit(1)).cast("long").alias("n_fb_docs"))
+    return (
+        per_term.groupBy("fb_len")
+        .agg(
+            # Gibbs: true KL >= 0; per-term floors can shave the sum a
+            # hair below zero on a degenerate feedback set, and the two
+            # engines floor negative division differently - clamp at 0
+            F.greatest(F.sum("kl_fxp"), F.lit(0))
+            .cast("long").alias("clarity_fxp"))
+        .crossJoin(F.broadcast(n_fb))
+        .selectExpr(
+            "n_fb_docs",
+            "cast(fb_len AS bigint) AS fb_tokens",
+            "clarity_fxp",
+            "clarity_fxp div fb_len AS clarity_tok_fxp",
+        )
+    )

@@ -14323,7 +14323,75 @@ ORDER BY score_ppm DESC, shard
 """
 
 
+CLARITY_FB_K = 10
+
+
+def q_query_clarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query clarity / performance prediction (operators/bm25.
+    query_clarity): KL of the top-10 QL feedback docs' language model
+    vs the collection model, exact lg-fxp (one diagnostic row).  The
+    oracle re-ranks, rebuilds both models and replays every floor."""
+    from biothings_crawler_spark.operators.bm25 import query_clarity
+
+    return query_clarity(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", BM25_QUERY,
+        mu=QL_MU, fb_k=CLARITY_FB_K,
+    )
+
+
+SQL_QUERY_CLARITY = f"""
+WITH docs AS (SELECT doc_id AS id, {_SQL_WORDS} AS words FROM documents),
+lens AS (SELECT id, CAST(len(words) AS BIGINT) AS dl FROM docs),
+coll AS (SELECT CAST(SUM(dl) AS BIGINT) AS c_total FROM lens),
+tf AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT id, unnest(words) AS term FROM docs)
+  WHERE term IN ({', '.join("'" + t + "'" for t in BM25_QUERY)})
+  GROUP BY 1, 2),
+cfreq AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+qconst AS (SELECT CAST(SUM({ilog2_fxp_duck(f'{QL_MU} * cf')}) AS BIGINT)
+                    AS k_fxp,
+                  CAST(COUNT(*) AS BIGINT) AS n_terms
+           FROM cfreq),
+matched AS (
+  SELECT tf.id,
+         CAST(SUM({ilog2_fxp_duck(f'tf.tf * coll.c_total + {QL_MU} * cf')}
+                  - {ilog2_fxp_duck(f'{QL_MU} * cf')}) AS BIGINT) AS match_fxp
+  FROM tf JOIN cfreq USING (term) CROSS JOIN coll
+  GROUP BY tf.id),
+fb AS (
+  SELECT m.id
+  FROM matched m JOIN lens ON lens.id = m.id
+  CROSS JOIN qconst q CROSS JOIN coll
+  ORDER BY m.match_fxp + q.k_fxp
+           - q.n_terms * ({ilog2_fxp_duck('coll.c_total')}
+                          + {ilog2_fxp_duck(f'lens.dl + {QL_MU}')}) DESC,
+           m.id
+  LIMIT {CLARITY_FB_K}),
+collw AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cf FROM (
+    SELECT unnest(words) AS w FROM docs) GROUP BY 1),
+fbtf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS tf_fb FROM (
+    SELECT unnest(words) AS w FROM docs JOIN fb USING (id)) GROUP BY 1),
+fblen AS (SELECT CAST(SUM(tf_fb) AS BIGINT) AS fb_len FROM fbtf),
+kl AS (
+  SELECT CAST(GREATEST(
+           SUM(tf_fb * (({ilog2_fxp_duck('tf_fb * coll.c_total')})
+                        - ({ilog2_fxp_duck('fblen.fb_len * cf')}))), 0)
+              AS BIGINT) AS clarity_fxp,
+         CAST(MAX(fblen.fb_len) AS BIGINT) AS fb_len
+  FROM fbtf JOIN collw USING (w) CROSS JOIN coll CROSS JOIN fblen)
+SELECT CAST((SELECT COUNT(*) FROM fb) AS BIGINT) AS n_fb_docs,
+       fb_len AS fb_tokens,
+       clarity_fxp,
+       clarity_fxp // fb_len AS clarity_tok_fxp
+FROM kl
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_query_clarity": q_query_clarity,
     "q_cori_shards": q_cori_shards,
     "q_ltr_features": q_ltr_features,
     "q_pruned_topk": q_pruned_topk,
@@ -14599,6 +14667,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_query_clarity": SQL_QUERY_CLARITY,
     "q_cori_shards": SQL_CORI_SHARDS,
     "q_ltr_features": SQL_LTR_FEATURES,
     "q_pruned_topk": SQL_PRUNED_TOPK,

@@ -101,3 +101,26 @@ def test_ltr_features_consistent_with_scorers(spark):
     assert feats[1].n_matched == 2 and feats[1].tf_total == 3
     assert feats[2].n_matched == 1 and feats[2].tf_total == 1
     assert feats[4].dl == 52
+
+
+def test_query_clarity_orders_focused_above_diffuse(spark):
+    from biothings_crawler_spark.operators.bm25 import query_clarity
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "common words shared by every document here"))
+    for i in range(30, 34):
+        rows.append((i, "quantum entanglement qubit decoherence physics"))
+    docs = spark.createDataFrame(rows, "id long, text string")
+    # focused query: the 4 physics docs dominate the feedback set
+    focused = query_clarity(
+        docs, "id", "text", ["quantum"], mu=10, fb_k=4
+    ).collect()[0]
+    # diffuse query: feedback looks like the collection
+    diffuse = query_clarity(
+        docs, "id", "text", ["common"], mu=10, fb_k=30
+    ).collect()[0]
+    assert focused.n_fb_docs == 4 and diffuse.n_fb_docs == 30
+    assert focused.clarity_tok_fxp > diffuse.clarity_tok_fxp
+    assert diffuse.clarity_tok_fxp < 65536 // 4  # well under a quarter bit
+    assert focused.clarity_fxp >= 0 and diffuse.clarity_fxp >= 0
