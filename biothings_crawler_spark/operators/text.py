@@ -1047,3 +1047,42 @@ def char_entropy(df, id_col: str, text_col: str):
         "CASE WHEN n_chars = 0 THEN 0L "
         "ELSE ent_tot_fxp div n_chars END AS ent_char_fxp",
     )
+
+
+def tokenizer_fertility(df, id_col: str, text_col: str, lang_col: str):
+    """Per-language tokenizer fertility — the multilingual budgeting
+    metric (how many tokens a language costs per word / per char
+    decides its effective context length and its share of a token
+    budget; high-fertility languages are systematically under-served
+    by a tokenizer trained elsewhere).  Returns per language
+
+        (lang, n_docs, words, tokens, chars,
+         fertility_ppm = tokens*10^6 div words,
+         chars_per_token_ppm = chars*10^6 div tokens)
+
+    using the engine's BPE-ish token proxy (token_count_col) and
+    whitespace words — both already oracle-paired primitives.  One
+    hash agg keyed by language; every ratio an exact integer ppm.
+    """
+    per = df.select(
+        F.col(lang_col).alias("lang"),
+        F.size(words_col(F.col(text_col))).cast("long").alias("w"),
+        token_count_col(F.col(text_col)).cast("long").alias("t"),
+        F.length(F.col(text_col)).cast("long").alias("c"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("words"),
+            F.sum("t").cast("long").alias("tokens"),
+            F.sum("c").cast("long").alias("chars"),
+        )
+        .selectExpr(
+            "lang", "n_docs", "words", "tokens", "chars",
+            "CASE WHEN words = 0 THEN 0L "
+            "ELSE tokens * 1000000 div words END AS fertility_ppm",
+            "CASE WHEN tokens = 0 THEN 0L "
+            "ELSE chars * 1000000 div tokens END AS chars_per_token_ppm",
+        )
+    )

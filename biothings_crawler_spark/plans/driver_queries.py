@@ -14390,7 +14390,42 @@ FROM kl
 """
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (operators/text.
+    tokenizer_fertility): tokens-per-word and chars-per-token in exact
+    ppm — the multilingual token-budget planning table.  Oracle
+    recomputes both counts with the shared regex twins."""
+    from biothings_crawler_spark.operators.text import tokenizer_fertility
+
+    return tokenizer_fertility(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "lang"
+    )
+
+
+SQL_TOKENIZER_FERTILITY = f"""
+WITH per AS (
+  SELECT lang,
+         CAST(len({_SQL_WORDS}) AS BIGINT) AS w,
+         CAST({_SQL_TOKENS} AS BIGINT) AS t,
+         CAST(length(text) AS BIGINT) AS c
+  FROM documents),
+agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS words,
+         CAST(SUM(t) AS BIGINT) AS tokens,
+         CAST(SUM(c) AS BIGINT) AS chars
+  FROM per GROUP BY lang)
+SELECT lang, n_docs, words, tokens, chars,
+       CASE WHEN words = 0 THEN 0
+            ELSE tokens * 1000000 // words END::BIGINT AS fertility_ppm,
+       CASE WHEN tokens = 0 THEN 0
+            ELSE chars * 1000000 // tokens END::BIGINT AS chars_per_token_ppm
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_tokenizer_fertility": q_tokenizer_fertility,
     "q_query_clarity": q_query_clarity,
     "q_cori_shards": q_cori_shards,
     "q_ltr_features": q_ltr_features,
@@ -14667,6 +14702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "q_query_clarity": SQL_QUERY_CLARITY,
     "q_cori_shards": SQL_CORI_SHARDS,
     "q_ltr_features": SQL_LTR_FEATURES,

@@ -48,3 +48,25 @@ def test_plan_is_row_local(spark):
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    from biothings_crawler_spark.operators.text import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "don't stop"),        # words 2; tokens: don ' t stop = 4
+            (2, "en", "a b"),               # words 2; tokens 2
+            (3, "zz", ""),                  # empty: all zeros, no div-by-0
+        ],
+        "id long, lang string, text string",
+    )
+    out = {r.lang: r for r in
+           tokenizer_fertility(docs, "id", "text", "lang").collect()}
+    en = out["en"]
+    assert (en.n_docs, en.words, en.tokens, en.chars) == (2, 4, 6, 13)
+    assert en.fertility_ppm == 6 * 1_000_000 // 4
+    assert en.chars_per_token_ppm == 13 * 1_000_000 // 6
+    zz = out["zz"]
+    assert (zz.words, zz.tokens, zz.fertility_ppm,
+            zz.chars_per_token_ppm) == (0, 0, 0, 0)
