@@ -346,3 +346,62 @@ def test_trending_hosts_stream_resumes_and_merges(spark, tmp_path):
         assert c - e <= true[h] <= c, (h, c, e, true[h])
     # state survived the restart: counts reflect BOTH batches
     assert top["big.example"][0] >= 100
+
+
+def test_cusum_stream_matches_batch_and_resumes(spark, tmp_path):
+    """Streaming CUSUM fed in two micro-batches with a restart between
+    must land on the batch operator's final stat per host, and raise
+    the alarm exactly when the planted drift crosses h."""
+    from biothings_crawler_spark.operators.temporal import cusum_drift
+    from biothings_crawler_spark.streaming.drift import cusum_drift_stream
+
+    schema = "host string, ts long, seq long, latency_us long"
+    src = tmp_path / "f"
+    out = tmp_path / "o"
+    ckpt = tmp_path / "c"
+    src.mkdir()
+
+    # hostA drifts upward late; hostB stays flat
+    rows1 = [("hostA", t, t, 100) for t in range(10)]
+    rows1 += [("hostB", t, t, 100) for t in range(10)]
+    rows2 = [("hostA", 10 + t, 10 + t, 400) for t in range(10)]
+    rows2 += [("hostB", 10 + t, 10 + t, 100) for t in range(10)]
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            cusum_drift_stream(stream, k=150, h=1000)
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(str(out)))
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(str(out)).collect()
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append").parquet(str(src))
+    got1 = {r.host: r for r in run_once()}
+    assert got1["hostA"].stat == 0 and not got1["hostA"].alarm
+
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append").parquet(str(src))
+    latest = {}
+    for r in run_once():
+        if r.host not in latest or r.n_obs > latest[r.host].n_obs:
+            latest[r.host] = r
+    # 10 x (400-150) = 2500 >= h -> alarm; flat host stays at 0
+    assert latest["hostA"].stat == 2500 and latest["hostA"].alarm
+    assert latest["hostB"].stat == 0 and not latest["hostB"].alarm
+
+    # pin stream-final stats to the batch operator on the same rows
+    all_rows = spark.createDataFrame(rows1 + rows2, schema).select(
+        "host", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("seq").alias("event_id"), "latency_us")
+    batch = cusum_drift(all_rows, "host", "ts", "event_id",
+                        "latency_us", k=150, h=1000)
+    last = {r.host: r for r in batch.collect() if r.event_id == 19}
+    assert latest["hostA"].stat == last["hostA"].stat
+    assert latest["hostB"].stat == last["hostB"].stat
