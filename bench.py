@@ -52,6 +52,19 @@ EXTRACT_REPLICAS = int(os.environ.get("SPARK_GRAFT_EXTRACT_REPLICAS", "16"))
 # operator-suite queries worth timing at sf0.1 (brute-force pair ops
 # excluded: they are oracle-scale verifiers, not the 10^10 path)
 SUITE = [
+    # session-9 additions (classifier/selection/retrieval/drift planes)
+    "q_nb_train",
+    "q_nb_classify",
+    "q_dsir_weights",
+    "q_ql_dirichlet",
+    "q_char_entropy",
+    "q_burst_intervals",
+    "q_mojibake",
+    "q_pruned_topk",
+    "q_ltr_features",
+    "q_cori_shards",
+    "q_query_clarity",
+    "q_tokenizer_fertility",
     "q_kmeans",
     "q_soft404_probe",
     "q_ip_politeness",
