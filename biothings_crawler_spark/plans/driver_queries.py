@@ -14424,7 +14424,53 @@ FROM agg
 """
 
 
+# standing-subscription fixture: conjunctions over the corpus vocab,
+# including one unsatisfiable query (ghost term) and one single-term
+PERC_QUERIES = [
+    ("alert1", ["data", "table"]),
+    ("alert2", ["data", "spark", "key"]),
+    ("alert3", ["spark"]),
+    ("alert4", ["data", "zzghost"]),
+]
+
+
+def q_prospective_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation / prospective search (operators/percolate.
+    prospective_match): four standing conjunction subscriptions
+    matched against every document; the watched-term broadcast filter
+    prunes the doc stream before the only shuffle.  Oracle replays the
+    distinct-term conjunction in plain SQL."""
+    from biothings_crawler_spark.operators.percolate import prospective_match
+
+    d = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        PERC_QUERIES, "query_id string, terms array<string>"
+    )
+    return prospective_match(d, qs, "doc_id", "text")
+
+
+_SQL_PERC_QUERIES = " UNION ALL ".join(
+    f"SELECT '{qid}' AS query_id, '{t}' AS term"
+    for qid, terms in PERC_QUERIES
+    for t in sorted(set(terms))
+)
+
+SQL_PROSPECTIVE_MATCH = f"""
+WITH q AS ({_SQL_PERC_QUERIES}),
+qs AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_terms
+       FROM q GROUP BY 1),
+dt AS (SELECT DISTINCT doc_id AS id, unnest({_SQL_WORDS}) AS term
+       FROM documents),
+m AS (SELECT dt.id, q.query_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+      FROM dt JOIN q USING (term) GROUP BY 1, 2)
+SELECT m.id, m.query_id, m.n_matched, qs.n_terms
+FROM m JOIN qs USING (query_id)
+WHERE m.n_matched >= qs.n_terms
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_prospective_match": q_prospective_match,
     "q_tokenizer_fertility": q_tokenizer_fertility,
     "q_query_clarity": q_query_clarity,
     "q_cori_shards": q_cori_shards,
@@ -14702,6 +14748,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_prospective_match": SQL_PROSPECTIVE_MATCH,
     "q_tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "q_query_clarity": SQL_QUERY_CLARITY,
     "q_cori_shards": SQL_CORI_SHARDS,
