@@ -1,0 +1,89 @@
+"""Column profiling + snapshot drift — the data-contract gate between
+crawl rounds: profile every column of a round's output (row count,
+null rate, distinct cardinality), diff against the previous round's
+profile, and flag the columns whose shape moved — the cheap tripwire
+that catches a broken extractor (nulls spike), an exploded enum (a
+parser starts emitting raw strings), or a collapsed join (rows crater)
+BEFORE the round is promoted.  snapshot_diff answers "which pages
+changed"; this answers "did the TABLE's contract change".
+
+Exactness: counts only — no floats, no min/max string casts (numeric
+formatting differs across engines); every rate is integer ppm.
+
+Scale shape: one aggregate per profiled column, unioned — on a
+columnar source each agg prunes to its single column, so the table is
+read once per column with no Expand blow-up, and each agg is a
+map-side-combinable count. The profile output is |columns| rows; the
+drift join is trivially broadcast.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """``(column, n_rows, n_null, n_distinct, null_ppm)`` per profiled
+    column — n_distinct counts non-null values exactly."""
+    parts = []
+    for c in cols:
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("long")).cast("long")
+                .alias("n_null"),
+                F.countDistinct(F.col(c)).cast("long").alias("n_distinct"),
+            ).select(F.lit(c).alias("column"), "n_rows", "n_null",
+                     "n_distinct")
+        )
+    prof = reduce(lambda a, b: a.unionByName(b), parts)
+    return prof.withColumn(
+        "null_ppm",
+        F.expr("CASE WHEN n_rows = 0 THEN 0L "
+               "ELSE n_null * 1000000 div n_rows END"),
+    )
+
+
+def profile_drift(
+    old: DataFrame, new: DataFrame, null_tol_ppm: int = 10_000,
+    distinct_tol_ppm: int = 200_000,
+) -> DataFrame:
+    """Diff two column profiles: ``(column, rows_old, rows_new,
+    null_ppm_old, null_ppm_new, distinct_old, distinct_new,
+    distinct_delta_ppm, flag)`` — ``flag`` is 'null_spike' when the
+    null rate grew more than ``null_tol_ppm``, 'cardinality' when
+    distinct count moved more than ``distinct_tol_ppm`` relative to
+    old, else 'ok'. Absolute-value deltas are computed with integer
+    arithmetic only."""
+    o = old.select(
+        "column",
+        F.col("n_rows").alias("rows_old"),
+        F.col("null_ppm").alias("null_ppm_old"),
+        F.col("n_distinct").alias("distinct_old"),
+    )
+    n = new.select(
+        "column",
+        F.col("n_rows").alias("rows_new"),
+        F.col("null_ppm").alias("null_ppm_new"),
+        F.col("n_distinct").alias("distinct_new"),
+    )
+    j = o.join(n, "column")
+    delta = F.expr(
+        "CASE WHEN distinct_old = 0 THEN 1000000 "
+        "ELSE abs(distinct_new - distinct_old) * 1000000 div distinct_old "
+        "END"
+    )
+    return j.select(
+        "column", "rows_old", "rows_new", "null_ppm_old", "null_ppm_new",
+        "distinct_old", "distinct_new",
+        delta.cast("long").alias("distinct_delta_ppm"),
+        F.when(
+            F.col("null_ppm_new") - F.col("null_ppm_old") > null_tol_ppm,
+            F.lit("null_spike"),
+        )
+        .when(delta > distinct_tol_ppm, F.lit("cardinality"))
+        .otherwise(F.lit("ok")).alias("flag"),
+    )

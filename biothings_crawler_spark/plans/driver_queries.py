@@ -14469,7 +14469,79 @@ WHERE m.n_matched >= qs.n_terms
 """
 
 
+PROFILE_COLS = ["event_id", "user_id", "event_type", "value"]
+# planted round-2 damage: a null-spiking extractor and an exploding id
+_PROF_NEW_TYPE = ("CASE WHEN event_id % 37 = 0 THEN NULL "
+                  "ELSE event_type END")
+_PROF_NEW_USER = "user_id + (event_id % 7) * 100"
+
+
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract drift gate (operators/profile.column_profile +
+    profile_drift): round 1 = even event_ids, round 2 = odd event_ids
+    with a planted null-spiking extractor bug on event_type and a
+    cardinality explosion on user_id — the gate must flag exactly
+    those two columns.  Oracle replays both profiles and every ppm."""
+    from biothings_crawler_spark.operators.profile import (
+        column_profile,
+        profile_drift,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    old = e.filter("event_id % 2 = 0")
+    new = e.filter("event_id % 2 = 1").selectExpr(
+        "event_id", f"CAST({_PROF_NEW_USER} AS BIGINT) AS user_id",
+        f"{_PROF_NEW_TYPE} AS event_type", "value",
+    )
+    return profile_drift(
+        column_profile(old, PROFILE_COLS),
+        column_profile(new, PROFILE_COLS),
+    )
+
+
+def _sql_profile(src: str) -> str:
+    parts = []
+    for c in PROFILE_COLS:
+        parts.append(
+            f'SELECT \'{c}\' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows, '
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM {src}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+SQL_PROFILE_DRIFT = f"""
+WITH oldt AS (SELECT event_id, user_id, event_type, value FROM events
+              WHERE event_id % 2 = 0),
+newt AS (SELECT event_id,
+                CAST({_PROF_NEW_USER} AS BIGINT) AS user_id,
+                {_PROF_NEW_TYPE} AS event_type, value
+         FROM events WHERE event_id % 2 = 1),
+po AS (SELECT *, CASE WHEN n_rows = 0 THEN 0
+                      ELSE n_null * 1000000 // n_rows END AS null_ppm
+       FROM ({_sql_profile('oldt')})),
+pn AS (SELECT *, CASE WHEN n_rows = 0 THEN 0
+                      ELSE n_null * 1000000 // n_rows END AS null_ppm
+       FROM ({_sql_profile('newt')}))
+SELECT po."column",
+       po.n_rows AS rows_old, pn.n_rows AS rows_new,
+       CAST(po.null_ppm AS BIGINT) AS null_ppm_old,
+       CAST(pn.null_ppm AS BIGINT) AS null_ppm_new,
+       po.n_distinct AS distinct_old, pn.n_distinct AS distinct_new,
+       CAST(CASE WHEN po.n_distinct = 0 THEN 1000000
+            ELSE abs(pn.n_distinct - po.n_distinct) * 1000000
+                 // po.n_distinct END AS BIGINT) AS distinct_delta_ppm,
+       CASE WHEN pn.null_ppm - po.null_ppm > 10000 THEN 'null_spike'
+            WHEN (CASE WHEN po.n_distinct = 0 THEN 1000000
+                  ELSE abs(pn.n_distinct - po.n_distinct) * 1000000
+                       // po.n_distinct END) > 200000 THEN 'cardinality'
+            ELSE 'ok' END AS flag
+FROM po JOIN pn USING ("column")
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_profile_drift": q_profile_drift,
     "q_prospective_match": q_prospective_match,
     "q_tokenizer_fertility": q_tokenizer_fertility,
     "q_query_clarity": q_query_clarity,
@@ -14748,6 +14820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_profile_drift": SQL_PROFILE_DRIFT,
     "q_prospective_match": SQL_PROSPECTIVE_MATCH,
     "q_tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "q_query_clarity": SQL_QUERY_CLARITY,

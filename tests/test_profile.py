@@ -1,0 +1,62 @@
+"""Column profiling + contract drift (operators/profile)."""
+
+from biothings_crawler_spark.operators.profile import (
+    column_profile,
+    profile_drift,
+)
+
+
+def _old(spark):
+    return spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", None if i >= 8 else i * 10)
+         for i in range(10)],
+        "id long, kind string, score long",
+    )
+
+
+def test_profile_counts(spark):
+    prof = {r.column: r for r in
+            column_profile(_old(spark), ["id", "kind", "score"]).collect()}
+    assert (prof["id"].n_rows, prof["id"].n_null,
+            prof["id"].n_distinct) == (10, 0, 10)
+    assert (prof["kind"].n_null, prof["kind"].n_distinct) == (0, 2)
+    assert (prof["score"].n_null, prof["score"].n_distinct) == (2, 8)
+    assert prof["score"].null_ppm == 200_000
+
+
+def test_drift_flags_null_spike_and_cardinality(spark):
+    old = _old(spark)
+    # new round: score nulls spike to 60%; kind explodes to 10 values
+    new = spark.createDataFrame(
+        [(i, f"k{i}", None if i >= 4 else i * 10) for i in range(10)],
+        "id long, kind string, score long",
+    )
+    cols = ["id", "kind", "score"]
+    out = {r.column: r for r in profile_drift(
+        column_profile(old, cols), column_profile(new, cols)
+    ).collect()}
+    assert out["id"].flag == "ok"
+    assert out["kind"].flag == "cardinality"
+    assert out["kind"].distinct_delta_ppm == (10 - 2) * 1_000_000 // 2
+    assert out["score"].flag == "null_spike"
+    assert out["score"].null_ppm_new == 600_000
+
+
+def test_zero_distinct_old_maxes_delta(spark):
+    allnull = _old(spark).selectExpr("id", "kind",
+                                     "CAST(NULL AS BIGINT) AS score")
+    out = {r.column: r for r in profile_drift(
+        column_profile(allnull, ["score"]),
+        column_profile(_old(spark), ["score"]),
+    ).collect()}
+    assert out["score"].distinct_delta_ppm == 1_000_000
+
+
+def test_plan_no_expand_no_python(spark):
+    plan = (
+        column_profile(_old(spark), ["id", "kind", "score"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # union of single-column aggs, not one multi-countDistinct Expand
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Expand") <= 3  # one per column, never multiplied
