@@ -260,3 +260,68 @@ def leakage_safe_splits(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def temperature_mix(
+    counts: DataFrame,
+    temperature: int = 2,
+    budget: int | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture weighting (the multilingual sampling
+    rule of XLM/mT5-class pipelines): given per-stratum token counts
+    ``(stratum, tokens)``, reweight each stratum proportionally to
+    ``tokens^(1/T)`` — T=1 is proportional (head languages dominate),
+    larger T flattens the mixture toward uniform so tail languages are
+    up-sampled.  Returns ``(stratum, tokens, weight, share_ppm[,
+    quota])`` with ``quota`` the stratum's slice of ``budget`` tokens.
+
+    Exact integers: the T-th root is a truncated-double seed corrected
+    by integer comparison (r^T <= x < (r+1)^T — the bandit module's
+    isqrt trick generalized), applied to ``tokens`` pre-scaled by
+    10^(6·T) for T<=2 / 10^(3·T) for T in {3,4}, so weights carry ~6
+    (resp. ~3) decimal digits of root resolution and both engines land
+    on identical shares.  Supported T: 1..4.
+
+    Shape: strata are bounded by construction (languages, sources) —
+    one hash agg upstream produces ``counts``; everything here is a
+    broadcast-sized projection + one single-row totals join."""
+    t = int(temperature)
+    if t not in (1, 2, 3, 4):
+        raise ValueError(f"temperature must be 1..4, got {t}")
+    scale = {1: 10**6, 2: 10**12, 3: 10**9, 4: 10**8}[t]
+    pow_r = " * ".join(["_r"] * t)
+    pow_r1 = " * ".join(["(_r + 1)"] * t)
+    pow_rm = " * ".join(["(_r - 1)"] * t)
+    staged = (
+        counts.selectExpr("stratum", "CAST(tokens AS BIGINT) AS tokens")
+        .withColumn("_x", F.expr(f"tokens * {scale}L"))
+        .withColumn(
+            "_r",
+            F.expr(f"cast(pow(cast(_x as double), 1.0d / {t}) as bigint)"),
+        )
+        .withColumn(
+            "weight",
+            F.expr(
+                f"CASE WHEN {pow_r1} <= _x THEN _r + 1 "
+                f"WHEN {pow_r} > _x THEN "
+                f"  CASE WHEN _r >= 1 AND {pow_rm} <= _x THEN _r - 1 "
+                f"       ELSE _r END "
+                f"ELSE _r END"
+            ).cast("long"),
+        )
+        .drop("_x", "_r")
+    )
+    tot = staged.agg(F.sum("weight").cast("long").alias("_w_total"))
+    out = staged.crossJoin(F.broadcast(tot)).selectExpr(
+        "stratum", "tokens", "weight",
+        "weight * 1000000 div _w_total AS share_ppm",
+        "_w_total",
+    )
+    if budget is not None:
+        out = out.selectExpr(
+            "stratum", "tokens", "weight", "share_ppm",
+            f"CAST({int(budget)} AS BIGINT) * weight div _w_total AS quota",
+        )
+    else:
+        out = out.drop("_w_total")
+    return out

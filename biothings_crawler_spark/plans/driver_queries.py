@@ -14540,7 +14540,53 @@ FROM po JOIN pn USING ("column")
 """
 
 
+MIX_T, MIX_BUDGET = 2, 1_000_000_000
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (operators/sampling.
+    temperature_mix, T=2 — the XLM/mT5 sampling rule): per-language
+    token counts reweighted by sqrt, exact integer root with the
+    corrected-seed trick, shares in ppm and a 10^9-token budget split.
+    The oracle replays the same seed-and-correct root, so a one-ulp
+    libm difference between engines cannot change a weight."""
+    from biothings_crawler_spark.operators.sampling import temperature_mix
+    from biothings_crawler_spark.operators.text import token_count_col
+
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy(F.col("lang").alias("stratum")).agg(
+        F.sum(token_count_col(F.col("text"))).cast("long").alias("tokens")
+    )
+    return temperature_mix(counts, temperature=MIX_T, budget=MIX_BUDGET)
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH c AS (
+  SELECT lang AS stratum, CAST(SUM({_SQL_TOKENS}) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1),
+seed AS (
+  SELECT stratum, tokens, tokens * 1000000000000 AS x,
+         CAST(floor(pow(CAST(tokens * 1000000000000 AS DOUBLE),
+                        1.0 / {MIX_T})) AS BIGINT) AS r
+  FROM c),
+w AS (
+  SELECT stratum, tokens,
+         CAST(CASE WHEN (r + 1) * (r + 1) <= x THEN r + 1
+                   WHEN r * r > x THEN
+                     CASE WHEN r >= 1 AND (r - 1) * (r - 1) <= x THEN r - 1
+                          ELSE r END
+                   ELSE r END AS BIGINT) AS weight
+  FROM seed),
+tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS w_total FROM w)
+SELECT stratum, tokens, weight,
+       CAST(weight * 1000000 // w_total AS BIGINT) AS share_ppm,
+       CAST({MIX_BUDGET} * weight // w_total AS BIGINT) AS quota
+FROM w CROSS JOIN tot
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_temperature_mix": q_temperature_mix,
     "q_profile_drift": q_profile_drift,
     "q_prospective_match": q_prospective_match,
     "q_tokenizer_fertility": q_tokenizer_fertility,
@@ -14820,6 +14866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_temperature_mix": SQL_TEMPERATURE_MIX,
     "q_profile_drift": SQL_PROFILE_DRIFT,
     "q_prospective_match": SQL_PROSPECTIVE_MATCH,
     "q_tokenizer_fertility": SQL_TOKENIZER_FERTILITY,

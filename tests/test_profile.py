@@ -60,3 +60,43 @@ def test_plan_no_expand_no_python(spark):
     # union of single-column aggs, not one multi-countDistinct Expand
     assert "BatchEvalPython" not in plan
     assert plan.count("Expand") <= 3  # one per column, never multiplied
+
+
+def test_temperature_mix_exact_roots_and_flattening(spark):
+    import math
+
+    from biothings_crawler_spark.operators.sampling import temperature_mix
+
+    counts = spark.createDataFrame(
+        [("en", 1_000_000), ("sw", 10_000), ("yo", 100)],
+        "stratum string, tokens long",
+    )
+    t1 = {r.stratum: r for r in
+          temperature_mix(counts, temperature=1).collect()}
+    t2 = {r.stratum: r for r in
+          temperature_mix(counts, temperature=2,
+                          budget=10**9).collect()}
+    # T=1 proportional; T=2 sqrt-flattened
+    for lang, tok in (("en", 10**6), ("sw", 10**4), ("yo", 100)):
+        assert t1[lang].weight == tok * 10**6
+        assert t2[lang].weight == math.isqrt(tok * 10**12)
+    assert t1["en"].share_ppm == 990_000  # 1e6/1.0101e6
+    # sqrt flattening: tail share grows, head share shrinks
+    assert t2["yo"].share_ppm > t1["yo"].share_ppm
+    assert t2["en"].share_ppm < t1["en"].share_ppm
+    # budget split sums to <= budget and matches exact division
+    tot_w = sum(r.weight for r in t2.values())
+    for lang in t2:
+        assert t2[lang].quota == 10**9 * t2[lang].weight // tot_w
+
+
+def test_temperature_mix_t3_exact_cube_root(spark):
+    from biothings_crawler_spark.operators.sampling import temperature_mix
+
+    counts = spark.createDataFrame(
+        [("a", 8), ("b", 27), ("c", 0)], "stratum string, tokens long"
+    )
+    out = {r.stratum: r.weight for r in
+           temperature_mix(counts, temperature=3).collect()}
+    # scale 10^9: (8e9)^(1/3) = 2000, (27e9)^(1/3) = 3000
+    assert out == {"a": 2000, "b": 3000, "c": 0}
