@@ -142,3 +142,46 @@ def zipf_profile(
         )
         .select("rank", "freq", "n_terms")
     )
+
+
+def vocab_coverage(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unseen-vocabulary estimation — "how much of this corpus's
+    vocabulary have we NOT crawled yet": the Chao1 species-richness
+    estimator (Chao 1984) and the Good-Turing unseen-probability mass,
+    both RATIONAL in the frequency-of-frequencies table, so exact:
+
+      * ``chao1 = V + f1*(f1-1) div (2*(f2+1))`` — the bias-corrected
+        form (defined even when f2 = 0), where f1/f2 = singleton /
+        doubleton term counts and V = observed vocabulary;
+      * ``gt_oov_ppm = f1 * 10^6 div N`` — the probability the NEXT
+        token is an unseen word (Good 1953), N = corpus tokens;
+      * ``coverage_ppm = V * 10^6 div chao1`` — observed share of the
+        estimated vocabulary, the stop-crawling signal.
+
+    One diagnostic row. Shape: one explode + (term) hash agg, one
+    (frequency) hash agg over the vocabulary, one 1-row fold — the
+    frequency-of-frequencies table is sqrt(N)-bounded like the Zipf
+    profile's histogram."""
+    tf = (
+        df.select(F.explode(words_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    fof = tf.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    return fof.agg(
+        F.sum("f").cast("long").alias("v_obs"),
+        F.sum(F.col("f") * F.col("c")).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, F.col("f")).otherwise(0))
+        .cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, F.col("f")).otherwise(0))
+        .cast("long").alias("f2"),
+    ).selectExpr(
+        "v_obs", "n_tokens", "f1", "f2",
+        "v_obs + f1 * (f1 - 1) div (2 * (f2 + 1)) AS chao1",
+        "CASE WHEN n_tokens = 0 THEN 0L "
+        "ELSE f1 * 1000000 div n_tokens END AS gt_oov_ppm",
+        "CASE WHEN v_obs + f1 * (f1 - 1) div (2 * (f2 + 1)) = 0 THEN 0L "
+        "ELSE v_obs * 1000000 div "
+        "     (v_obs + f1 * (f1 - 1) div (2 * (f2 + 1))) END "
+        "AS coverage_ppm",
+    )

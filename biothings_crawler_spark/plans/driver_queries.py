@@ -14585,7 +14585,88 @@ FROM w CROSS JOIN tot
 """
 
 
+def q_wilson_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson lower-bound host quarantine (operators/confidence.
+    wilson_flags, z=2): per-host error rates from events judged by
+    their exact lower confidence bound, so sparse hosts can't alert on
+    noise.  Oracle replays the corrected isqrt and every ppm floor."""
+    from biothings_crawler_spark.operators.confidence import wilson_flags
+
+    e = _t(spark, sf_dir, "events")
+    outcomes = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"))
+        .alias("host"),
+        (F.col("event_type") == "error").alias("bad"),
+    )
+    return wilson_flags(outcomes, "host", "bad", alert_ppm=150_000)
+
+
+SQL_WILSON_ERRORS = """
+WITH per AS (
+  SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS key,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS bad
+  FROM events GROUP BY 1),
+st AS (
+  SELECT *, (bad * (n - bad) * 1000000000000) // n + 1000000000000 AS x
+  FROM per),
+sd AS (SELECT *, CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) AS s0
+       FROM st),
+sc AS (
+  SELECT key, n, bad,
+         CAST(CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1
+                   WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS BIGINT) AS s
+  FROM sd)
+SELECT key, n, bad,
+       CAST(bad * 1000000 // n AS BIGINT) AS rate_ppm,
+       CAST(GREATEST((bad + 2) * 1000000 - 2 * s, 0) // (n + 4) AS BIGINT)
+         AS lb_ppm,
+       CAST(LEAST(((bad + 2) * 1000000 + 2 * s) // (n + 4), 1000000)
+            AS BIGINT) AS ub_ppm,
+       CAST(GREATEST((bad + 2) * 1000000 - 2 * s, 0) // (n + 4) AS BIGINT)
+         > 150000 AS flag
+FROM sc
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unseen-vocabulary estimation (operators/corpusstats.
+    vocab_coverage): Chao1 bias-corrected richness + Good-Turing OOV
+    mass + observed-coverage share, all rational in the frequency-of-
+    frequencies table — the stop-crawling signal.  One diagnostic
+    row; oracle replays every division."""
+    from biothings_crawler_spark.operators.corpusstats import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"), "text")
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH tf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT unnest({_SQL_WORDS}) AS w FROM documents) GROUP BY 1),
+fof AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS f FROM tf GROUP BY 1),
+agg AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS v_obs,
+         CAST(SUM(f * c) AS BIGINT) AS n_tokens,
+         CAST(coalesce(SUM(f) FILTER (c = 1), 0) AS BIGINT) AS f1,
+         CAST(coalesce(SUM(f) FILTER (c = 2), 0) AS BIGINT) AS f2
+  FROM fof)
+SELECT v_obs, n_tokens, f1, f2,
+       CAST(v_obs + f1 * (f1 - 1) // (2 * (f2 + 1)) AS BIGINT) AS chao1,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE f1 * 1000000 // n_tokens END AS BIGINT) AS gt_oov_ppm,
+       CAST(CASE WHEN v_obs + f1 * (f1 - 1) // (2 * (f2 + 1)) = 0 THEN 0
+            ELSE v_obs * 1000000 //
+                 (v_obs + f1 * (f1 - 1) // (2 * (f2 + 1))) END AS BIGINT)
+         AS coverage_ppm
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_wilson_errors": q_wilson_errors,
+    "q_vocab_coverage": q_vocab_coverage,
     "q_temperature_mix": q_temperature_mix,
     "q_profile_drift": q_profile_drift,
     "q_prospective_match": q_prospective_match,
@@ -14866,6 +14947,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_wilson_errors": SQL_WILSON_ERRORS,
+    "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_temperature_mix": SQL_TEMPERATURE_MIX,
     "q_profile_drift": SQL_PROFILE_DRIFT,
     "q_prospective_match": SQL_PROSPECTIVE_MATCH,

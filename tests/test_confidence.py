@@ -1,0 +1,62 @@
+"""Wilson bounds (operators/confidence) + vocab coverage (corpusstats)."""
+
+import math
+
+from biothings_crawler_spark.operators.confidence import wilson_flags
+from biothings_crawler_spark.operators.corpusstats import vocab_coverage
+
+
+def _wilson_py(bad: int, n: int):
+    s = math.isqrt((bad * (n - bad) * 10**12) // n + 10**12)
+    lb = max((bad + 2) * 10**6 - 2 * s, 0) // (n + 4)
+    ub = min(((bad + 2) * 10**6 + 2 * s) // (n + 4), 10**6)
+    return lb, ub
+
+
+def test_wilson_hand_computed_and_small_sample_protection(spark):
+    rows = (
+        [("sparse", True)] * 1 + [("sparse", False)] * 1
+        + [("bulk", True)] * 200 + [("bulk", False)] * 800
+        + [("clean", False)] * 50
+    )
+    df = spark.createDataFrame(rows, "host string, bad boolean")
+    out = {r.key: r for r in
+           wilson_flags(df, "host", "bad", alert_ppm=150_000).collect()}
+    # sparse: 1/2 raw rate 500k but n=2 -> wide interval, LB small
+    lb, ub = _wilson_py(1, 2)
+    assert (out["sparse"].lb_ppm, out["sparse"].ub_ppm) == (lb, ub)
+    assert out["sparse"].rate_ppm == 500_000
+    # bulk: 20% of 1000 -> tight interval, LB > 15% -> flags
+    lbb, ubb = _wilson_py(200, 1000)
+    assert (out["bulk"].lb_ppm, out["bulk"].ub_ppm) == (lbb, ubb)
+    assert out["bulk"].flag and lbb > 150_000
+    # the statistically honest part: sparse's raw rate TRIPLES bulk's
+    # but its lower bound must not flag
+    assert not out["sparse"].flag and out["sparse"].lb_ppm < lbb
+    assert out["clean"].lb_ppm == out["clean"].bad == 0
+
+
+def test_wilson_bounds_bracket_rate(spark):
+    rows = [("h", i % 4 == 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "host string, bad boolean")
+    r = wilson_flags(df, "host", "bad").collect()[0]
+    assert r.lb_ppm <= r.rate_ppm <= r.ub_ppm
+
+
+def test_vocab_coverage_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c d e")], "id long, text string"
+    )
+    r = vocab_coverage(docs, "text").collect()[0]
+    # V=5 (a b c d e), N=8, f1=3 (c d e), f2=1 (b)
+    assert (r.v_obs, r.n_tokens, r.f1, r.f2) == (5, 8, 3, 1)
+    assert r.chao1 == 5 + 3 * 2 // (2 * 2)  # bias-corrected: +1
+    assert r.gt_oov_ppm == 3 * 1_000_000 // 8
+    assert r.coverage_ppm == 5 * 1_000_000 // 6
+
+
+def test_vocab_coverage_no_doubletons_defined(spark):
+    docs = spark.createDataFrame([(1, "x y z")], "id long, text string")
+    r = vocab_coverage(docs, "text").collect()[0]
+    # f2=0: bias-corrected form stays finite (f1=3 -> +3)
+    assert (r.f1, r.f2, r.chao1) == (3, 0, 6)
