@@ -29,7 +29,7 @@ Scale shapes (the whole point):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from biothings_crawler_spark.operators.text import words_col
@@ -185,3 +185,61 @@ def vocab_coverage(df: DataFrame, text_col: str = "text") -> DataFrame:
         "     (v_obs + f1 * (f1 - 1) div (2 * (f2 + 1))) END "
         "AS coverage_ppm",
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    text_col: str,
+    in_focus: Column,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus keyness via the Dunning log-likelihood ratio (Dunning
+    1993): which terms distinguish the FOCUS slice (a language, a
+    source, this week's crawl) from the rest of the corpus — the
+    drift-attribution / topic-shift tool that raw frequency deltas get
+    wrong for rare words. Per term with tf a in focus (total N_A) and
+    b elsewhere (N_B), the two-corpus G² in lg-fxp units (log2 instead
+    of ln scales every score by 1/ln2 — ranking is unchanged and the
+    integers stay exact):
+
+        g2_fxp = 2*( a*(lg(a*N) - lg((a+b)*N_A))
+                   + b*(lg(b*N) - lg((a+b)*N_B)) ),  N = N_A + N_B
+
+    zero cells contribute zero. Returns the top-``k``
+    ``(term, tf_focus, tf_rest, g2_fxp, overused)`` by (g2 desc,
+    term), ``overused`` = focus rate exceeds rest rate.
+
+    Shape: one explode + (term, side) hash agg, one-row totals
+    broadcast, row-local lg arithmetic, TakeOrdered top-k. Integer
+    bound: lg arguments are tf*N products and must stay under 2^46 —
+    past ~10^11 corpus tokens, right-shift N_A/N_B/N by a common 2^s
+    before scoring (the ratios inside both lgs are what G² measures).
+    """
+    from biothings_crawler_spark.operators.nbayes import ilog2_fxp_spark
+
+    occ = df.select(
+        in_focus.cast("int").alias("side"),
+        F.explode(words_col(F.col(text_col))).alias("term"),
+    )
+    tf = occ.groupBy("term").agg(
+        F.sum("side").cast("long").alias("a"),
+        F.sum(1 - F.col("side")).cast("long").alias("b"),
+    )
+    tot = tf.agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+    )
+    part_a = (f"CASE WHEN a = 0 THEN 0L ELSE a * "
+              f"(({ilog2_fxp_spark('a * (na + nb)')}) "
+              f"- ({ilog2_fxp_spark('(a + b) * na')})) END")
+    part_b = (f"CASE WHEN b = 0 THEN 0L ELSE b * "
+              f"(({ilog2_fxp_spark('b * (na + nb)')}) "
+              f"- ({ilog2_fxp_spark('(a + b) * nb')})) END")
+    scored = tf.crossJoin(F.broadcast(tot)).selectExpr(
+        "term",
+        "a AS tf_focus",
+        "b AS tf_rest",
+        f"cast(2 * (({part_a}) + ({part_b})) AS bigint) AS g2_fxp",
+        "a * nb > b * na AS overused",
+    )
+    return scored.orderBy(F.desc("g2_fxp"), "term").limit(k)

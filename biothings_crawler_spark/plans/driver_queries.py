@@ -14664,7 +14664,47 @@ FROM agg
 """
 
 
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning-G² keyness (operators/corpusstats.distinctive_terms):
+    top-20 terms distinguishing the marker-mutated 'en' slice from the
+    rest — the drift-attribution tool.  Planted m<lang> markers must
+    dominate the ranking.  Oracle replays the two-cell G² with its own
+    integer lgs."""
+    from biothings_crawler_spark.operators.corpusstats import (
+        distinctive_terms,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    mut = d.selectExpr("doc_id", "lang", _NB_TEXT + " AS text")
+    return distinctive_terms(mut, "text", F.col("lang") == "en", k=20)
+
+
+SQL_DISTINCTIVE_TERMS = f"""
+WITH m AS (SELECT doc_id, lang, {_NB_TEXT} AS text FROM documents),
+occ AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS side,
+               unnest({_SQL_WORDS}) AS term
+        FROM m),
+tf AS (SELECT term, CAST(SUM(side) AS BIGINT) AS a,
+              CAST(SUM(1 - side) AS BIGINT) AS b
+       FROM occ GROUP BY 1),
+tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+               CAST(SUM(b) AS BIGINT) AS nb FROM tf)
+SELECT term, a AS tf_focus, b AS tf_rest,
+       CAST(2 * ((CASE WHEN a = 0 THEN 0 ELSE a *
+                  (({ilog2_fxp_duck('a * (na + nb)')})
+                   - ({ilog2_fxp_duck('(a + b) * na')})) END)
+                 + (CASE WHEN b = 0 THEN 0 ELSE b *
+                    (({ilog2_fxp_duck('b * (na + nb)')})
+                     - ({ilog2_fxp_duck('(a + b) * nb')})) END))
+            AS BIGINT) AS g2_fxp,
+       a * nb > b * na AS overused
+FROM tf CROSS JOIN tot
+ORDER BY g2_fxp DESC, term LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_distinctive_terms": q_distinctive_terms,
     "q_wilson_errors": q_wilson_errors,
     "q_vocab_coverage": q_vocab_coverage,
     "q_temperature_mix": q_temperature_mix,
@@ -14947,6 +14987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "q_wilson_errors": SQL_WILSON_ERRORS,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_temperature_mix": SQL_TEMPERATURE_MIX,
