@@ -70,3 +70,73 @@ def wilson_flags(
         "least(((bad + 2) * 1000000 + 2 * _s) div (n + 4), 1000000L) "
         "AS ub_ppm",
     ).withColumn("flag", F.col("lb_ppm") > F.lit(int(alert_ppm)))
+
+
+def ks_drift_binned(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    drift_ppm: int = 100_000,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift between rounds, computed on
+    the engine's bounded log2-bin histogram plane (the same 64-bin
+    representation as the latency-quantile operator): D = max over
+    bins of |CDF_old - CDF_new| in exact ppm. Binning makes the
+    statistic a LOWER bound on the true KS D (coarsening can only
+    shrink a sup-distance), so a drift flag is never a binning
+    artifact — and the heavy side of the computation is two hash aggs;
+    the only window runs over <= 64 histogram rows.
+
+    Returns ONE row ``(n_old, n_new, d_ppm, at_bin, drifted)`` —
+    ``at_bin`` the smallest bin where the max gap is attained."""
+    def hist(df, side):
+        return (
+            df.select(
+                F.expr(f"length(bin(greatest(CAST({value_col} AS BIGINT), "
+                       "0L) + 1)) - 1").alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(side))
+        )
+
+    from pyspark.sql import Window
+
+    merged = hist(old, "c_old").join(hist(new, "c_new"), "bin", "full").select(
+        "bin",
+        F.coalesce("c_old", F.lit(0)).alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "bin",
+        F.sum("c_old").over(w).cast("long").alias("cum_old"),
+        F.sum("c_new").over(w).cast("long").alias("cum_new"),
+    )
+    tot = merged.agg(
+        F.sum("c_old").cast("long").alias("n_old"),
+        F.sum("c_new").cast("long").alias("n_new"),
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).selectExpr(
+        "bin", "n_old", "n_new",
+        "abs(cum_old * 1000000 div n_old - cum_new * 1000000 div n_new) "
+        "AS gap_ppm",
+    )
+    # argmax as a min-struct (largest gap, then smallest bin) — no
+    # window needed over the gap rows
+    return (
+        gaps.groupBy("n_old", "n_new")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("gap_ppm")).alias("ng"),
+                    F.col("bin").alias("b"),
+                )
+            ).alias("_m")
+        )
+        .select(
+            "n_old", "n_new",
+            (-F.col("_m.ng")).cast("long").alias("d_ppm"),
+            F.col("_m.b").cast("long").alias("at_bin"),
+        )
+        .withColumn("drifted", F.col("d_ppm") > F.lit(int(drift_ppm)))
+    )

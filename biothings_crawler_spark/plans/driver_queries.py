@@ -14703,7 +14703,58 @@ ORDER BY g2_fxp DESC, term LIMIT 20
 """
 
 
+_KS_OLD_LAT = "CAST(floor(value * 12345) AS BIGINT)"
+_KS_NEW_LAT = ("CAST(floor(value * 12345) AS BIGINT) * "
+               "(CASE WHEN event_id % 3 = 0 THEN 4 ELSE 1 END)")
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS drift (operators/confidence.
+    ks_drift_binned) between the even-id round's latencies and an
+    odd-id round where a third of fetches got 4x slower (a planted
+    2-bin shift).  Exact ppm over the 64-bin log2 histogram; oracle
+    replays the CDF gap bin-for-bin."""
+    from biothings_crawler_spark.operators.confidence import ks_drift_binned
+
+    e = _t(spark, sf_dir, "events")
+    old = e.filter("event_id % 2 = 0").selectExpr(f"{_KS_OLD_LAT} AS lat")
+    new = e.filter("event_id % 2 = 1").selectExpr(f"{_KS_NEW_LAT} AS lat")
+    return ks_drift_binned(old, new, "lat", drift_ppm=100_000)
+
+
+SQL_KS_DRIFT = f"""
+WITH oldh AS (
+  SELECT length(bin(GREATEST({_KS_OLD_LAT}, 0) + 1)) - 1 AS bin,
+         CAST(COUNT(*) AS BIGINT) AS c_old
+  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+newh AS (
+  SELECT length(bin(GREATEST({_KS_NEW_LAT}, 0) + 1)) - 1 AS bin,
+         CAST(COUNT(*) AS BIGINT) AS c_new
+  FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+m AS (SELECT coalesce(oldh.bin, newh.bin) AS bin,
+             coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+      FROM oldh FULL JOIN newh ON oldh.bin = newh.bin),
+cum AS (SELECT bin,
+               SUM(c_old) OVER (ORDER BY bin) AS cum_old,
+               SUM(c_new) OVER (ORDER BY bin) AS cum_new
+        FROM m),
+tot AS (SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+               CAST(SUM(c_new) AS BIGINT) AS n_new FROM m),
+gaps AS (SELECT bin, n_old, n_new,
+                abs(cum_old * 1000000 // n_old
+                    - cum_new * 1000000 // n_new) AS gap_ppm
+         FROM cum CROSS JOIN tot)
+SELECT n_old, n_new,
+       CAST(MAX(gap_ppm) AS BIGINT) AS d_ppm,
+       CAST(MIN(CASE WHEN gap_ppm = (SELECT MAX(gap_ppm) FROM gaps)
+                     THEN bin END) AS BIGINT) AS at_bin,
+       MAX(gap_ppm) > 100000 AS drifted
+FROM gaps GROUP BY n_old, n_new
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_ks_drift": q_ks_drift,
     "q_distinctive_terms": q_distinctive_terms,
     "q_wilson_errors": q_wilson_errors,
     "q_vocab_coverage": q_vocab_coverage,
@@ -14987,6 +15038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_ks_drift": SQL_KS_DRIFT,
     "q_distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "q_wilson_errors": SQL_WILSON_ERRORS,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,

@@ -100,3 +100,31 @@ def test_distinctive_terms_zero_cells_finite(spark):
     out = distinctive_terms(docs, "text", F.col("grp") == "a", k=10)
     rows = out.collect()
     assert len(rows) == 4 and all(r.g2_fxp >= 0 for r in rows)
+
+
+def test_ks_drift_detects_planted_shift(spark):
+    from biothings_crawler_spark.operators.confidence import ks_drift_binned
+
+    old = spark.createDataFrame([(100,)] * 60 + [(800,)] * 40, "lat long")
+    same = spark.createDataFrame([(101,)] * 30 + [(900,)] * 20, "lat long")
+    shifted = spark.createDataFrame([(1600,)] * 50, "lat long")
+
+    r_same = ks_drift_binned(old, same, "lat").collect()[0]
+    # identical bin shapes: 60/40 vs 30/20 -> D = 0
+    assert (r_same.n_old, r_same.n_new) == (100, 50)
+    assert r_same.d_ppm == 0 and not r_same.drifted
+
+    r_shift = ks_drift_binned(old, shifted, "lat").collect()[0]
+    # all new mass above every old bin: gap peaks at old's top bin
+    assert r_shift.d_ppm == 1_000_000 and r_shift.drifted
+    assert r_shift.at_bin == 9  # bin of 800 (2^9 <= 801 < 2^10)
+
+
+def test_ks_binned_is_lower_bound_within_bin(spark):
+    from biothings_crawler_spark.operators.confidence import ks_drift_binned
+
+    # values differ but share every log2 bin -> binned D sees nothing
+    old = spark.createDataFrame([(64,)] * 10, "lat long")
+    new = spark.createDataFrame([(100,)] * 10, "lat long")
+    r = ks_drift_binned(old, new, "lat").collect()[0]
+    assert r.d_ppm == 0  # the documented coarsening property
