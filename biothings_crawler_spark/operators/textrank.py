@@ -1,0 +1,100 @@
+"""TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank
+over the word co-occurrence graph: words that many other words
+"vote for" through adjacency are a document collection's keywords,
+no training data needed. The graph plane (operators/pagerank's
+iterate-join-agg discipline) composed with the text plane (the
+bigram construction shared with heavy_bigrams / bigram_coverage).
+
+Semantics: nodes = corpus words; undirected edges = adjacent word
+pairs (window 2), weighted by corpus co-occurrence count, self-pairs
+dropped. The weighted TextRank recurrence in exact micro-units
+(damping 85/100, every division a floor, so the DuckDB twin's
+materialized CTE rounds land on identical scores):
+
+    s'(i) = 150000 + sum_j (s(j) * 85 * w_ji) div (100 * W_j)
+
+with W_j = total edge weight at j — each edge term floored
+individually, matching the oracle term for term. Fixed-round
+iteration (like operators/pagerank): scores start at 10^6.
+
+Scale shape per round: one broadcast-eligible join of scores onto
+edges + one destination-keyed hash agg; lineage is checkpoint-
+flattened every round. Isolated words (no neighbors) never enter the
+graph — they can't be keywords by definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from biothings_crawler_spark.operators.text import bind_col, words_col
+
+
+def cooccurrence_edges(
+    df: DataFrame, text_col: str
+) -> DataFrame:
+    """Symmetric weighted adjacency ``(src, dst, w)`` from window-2
+    co-occurrence: one explode + one hash agg; both directions
+    materialized so the rank join is a plain equi-join."""
+    grams = bind_col(
+        words_col(F.col(text_col)),
+        lambda words: F.when(
+            F.size(words) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - 2),
+                lambda i: F.struct(
+                    F.element_at(words, i + 1).alias("a"),
+                    F.element_at(words, i + 2).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>")),
+    )
+    pairs = (
+        df.select(F.explode(grams).alias("g"))
+        .select(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    sym = pairs.selectExpr("a AS src", "b AS dst", "w").unionByName(
+        pairs.selectExpr("b AS src", "a AS dst", "w")
+    )
+    return sym.groupBy("src", "dst").agg(F.sum("w").cast("long").alias("w"))
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str,
+    rounds: int = 4,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` corpus keywords ``(term, score_micro)`` after
+    ``rounds`` weighted TextRank iterations, ties to the smaller
+    term."""
+    edges = cooccurrence_edges(df, text_col)
+    wout = edges.groupBy("src").agg(
+        F.sum("w").cast("long").alias("w_out")
+    )
+    edges = edges.join(wout, "src").localCheckpoint(eager=True)
+    scores = edges.select(F.col("src").alias("term")).distinct().select(
+        "term", F.lit(1_000_000).cast("long").alias("s")
+    )
+    for _ in range(int(rounds)):
+        contrib = (
+            edges.join(scores, edges.src == scores.term)
+            .select(
+                F.col("dst").alias("term"),
+                F.expr("s * 85 * w div (100 * w_out)").alias("c"),
+            )
+            .groupBy("term")
+            .agg(F.sum("c").cast("long").alias("inflow"))
+        )
+        scores = contrib.select(
+            "term", (F.lit(150_000) + F.col("inflow")).cast("long").alias("s")
+        ).localCheckpoint(eager=True)
+    return (
+        scores.select("term", F.col("s").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), "term")
+        .limit(k)
+    )

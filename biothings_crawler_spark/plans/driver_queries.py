@@ -14753,7 +14753,66 @@ FROM gaps GROUP BY n_old, n_new
 """
 
 
+TEXTRANK_ROUNDS = 4
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (operators/textrank.textrank_keywords): 4
+    weighted micro-unit rounds over the window-2 co-occurrence graph,
+    top-20.  The oracle replays the identical per-edge floors through
+    4 materialized CTE rounds."""
+    from biothings_crawler_spark.operators.textrank import textrank_keywords
+
+    return textrank_keywords(
+        _t(spark, sf_dir, "documents"), "text", rounds=TEXTRANK_ROUNDS, k=20
+    )
+
+
+def _sql_textrank() -> str:
+    rounds = []
+    prev = "r0"
+    for t in range(1, TEXTRANK_ROUNDS + 1):
+        rounds.append(
+            f"r{t} AS MATERIALIZED ("
+            f"SELECT e.dst AS term, "
+            f"CAST(150000 + SUM(r.s * 85 * e.w // (100 * e.w_out)) "
+            f"AS BIGINT) AS s "
+            f"FROM e JOIN {prev} r ON r.term = e.src GROUP BY 1)"
+        )
+        prev = f"r{t}"
+    return f"""
+WITH w AS (SELECT {_SQL_WORDS} AS ws FROM documents),
+g AS (
+  SELECT CASE WHEN len(ws) >= 2
+         THEN list_transform(range(1, len(ws)),
+                             i -> ws[i] || ' ' || ws[i + 1])
+         ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM w),
+p AS (
+  SELECT string_split(gram, ' ')[1] AS a, string_split(gram, ' ')[2] AS b,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM (SELECT unnest(grams) AS gram FROM g)
+  WHERE string_split(gram, ' ')[1] <> string_split(gram, ' ')[2]
+  GROUP BY 1, 2),
+sym AS (SELECT a AS src, b AS dst, w FROM p
+        UNION ALL SELECT b, a, w FROM p),
+e0 AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
+       FROM sym GROUP BY 1, 2),
+wout AS (SELECT src, CAST(SUM(w) AS BIGINT) AS w_out FROM e0 GROUP BY 1),
+e AS MATERIALIZED (SELECT e0.src, e0.dst, e0.w, wout.w_out
+                   FROM e0 JOIN wout USING (src)),
+r0 AS (SELECT DISTINCT src AS term, CAST(1000000 AS BIGINT) AS s FROM e),
+{", ".join(rounds)}
+SELECT term, s AS score_micro FROM {prev}
+ORDER BY score_micro DESC, term LIMIT 20
+"""
+
+
+SQL_TEXTRANK_KEYWORDS = _sql_textrank()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_textrank_keywords": q_textrank_keywords,
     "q_ks_drift": q_ks_drift,
     "q_distinctive_terms": q_distinctive_terms,
     "q_wilson_errors": q_wilson_errors,
@@ -15038,6 +15097,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_textrank_keywords": SQL_TEXTRANK_KEYWORDS,
     "q_ks_drift": SQL_KS_DRIFT,
     "q_distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "q_wilson_errors": SQL_WILSON_ERRORS,
