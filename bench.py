@@ -53,6 +53,15 @@ EXTRACT_REPLICAS = int(os.environ.get("SPARK_GRAFT_EXTRACT_REPLICAS", "16"))
 # excluded: they are oracle-scale verifiers, not the 10^10 path)
 SUITE = [
     # session-9 additions (classifier/selection/retrieval/drift planes)
+    "q_search_pipeline",
+    "q_prospective_match",
+    "q_profile_drift",
+    "q_temperature_mix",
+    "q_wilson_errors",
+    "q_vocab_coverage",
+    "q_distinctive_terms",
+    "q_ks_drift",
+    "q_textrank_keywords",
     "q_nb_train",
     "q_nb_classify",
     "q_dsir_weights",

@@ -14811,7 +14811,52 @@ ORDER BY score_micro DESC, term LIMIT 20
 SQL_TEXTRANK_KEYWORDS = _sql_textrank()
 
 
+def q_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed lexical-hybrid serving pipeline: BM25 top-20 and
+    Dirichlet-QL top-20 over the SAME index plane fused by RRF, final
+    top-10 — probability-ranking and vector-space lexical evidence
+    merged rank-wise (the all-text sibling of q_rrf_hybrid's
+    BM25+ANN fusion).  Verified as ONE DuckDB statement across the
+    whole composition."""
+    from pyspark.sql import Window as W
+
+    from biothings_crawler_spark.operators.bm25 import (
+        bm25_topk,
+        ql_dirichlet_topk,
+    )
+    from biothings_crawler_spark.operators.serving import rrf_fuse
+
+    d = _t(spark, sf_dir, "documents")
+    lex = bm25_topk(d, "doc_id", "text", BM25_QUERY, k=20).withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("score"), "id"))
+    ).select("id", "rank")
+    lm = ql_dirichlet_topk(d, "doc_id", "text", BM25_QUERY, mu=QL_MU,
+                           k=20).withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("score_fxp"), "id"))
+    ).select("id", "rank")
+    fused = rrf_fuse([lex, lm])
+    return fused.orderBy(F.desc("rrf_ppm"), "id").limit(10)
+
+
+SQL_SEARCH_PIPELINE = f"""
+WITH lex AS (
+  SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS BIGINT)
+           AS rank
+  FROM ({SQL_BM25_TOPK}) t),
+lm AS (
+  SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY score_fxp DESC, id)
+                  AS BIGINT) AS rank
+  FROM ({SQL_QL_DIRICHLET}) t),
+u AS (SELECT * FROM lex UNION ALL SELECT * FROM lm)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+       CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm
+FROM u GROUP BY id
+ORDER BY rrf_ppm DESC, id LIMIT 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_search_pipeline": q_search_pipeline,
     "q_textrank_keywords": q_textrank_keywords,
     "q_ks_drift": q_ks_drift,
     "q_distinctive_terms": q_distinctive_terms,
@@ -15097,6 +15142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_search_pipeline": SQL_SEARCH_PIPELINE,
     "q_textrank_keywords": SQL_TEXTRANK_KEYWORDS,
     "q_ks_drift": SQL_KS_DRIFT,
     "q_distinctive_terms": SQL_DISTINCTIVE_TERMS,

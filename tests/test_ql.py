@@ -124,3 +124,31 @@ def test_query_clarity_orders_focused_above_diffuse(spark):
     assert focused.clarity_tok_fxp > diffuse.clarity_tok_fxp
     assert diffuse.clarity_tok_fxp < 65536 // 4  # well under a quarter bit
     assert focused.clarity_fxp >= 0 and diffuse.clarity_fxp >= 0
+
+
+def test_search_pipeline_fuses_both_rankers(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from biothings_crawler_spark.operators.bm25 import (
+        bm25_topk,
+        ql_dirichlet_topk,
+    )
+    from biothings_crawler_spark.operators.serving import rrf_fuse
+
+    docs = _docs(spark)
+    q = ["data", "table"]
+    lex = bm25_topk(docs, "id", "text", q, k=3).withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("score"), "id"))
+    ).select("id", "rank")
+    lm = ql_dirichlet_topk(docs, "id", "text", q, mu=10, k=3).withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("score_fxp"), "id"))
+    ).select("id", "rank")
+    out = {r.id: r for r in rrf_fuse([lex, lm]).collect()}
+    # every candidate appears in both 3-deep lists (only 3 candidates)
+    assert all(r.n_lists == 2 for r in out.values())
+    # rrf of rank pair (r1, r2) is exactly the floored reciprocal sum
+    lexr = {r.id: r.rank for r in lex.collect()}
+    lmr = {r.id: r.rank for r in lm.collect()}
+    for i, r in out.items():
+        assert r.rrf_ppm == 10**6 // (60 + lexr[i]) + 10**6 // (60 + lmr[i])
