@@ -1018,3 +1018,65 @@ def query_clarity(
             "clarity_fxp div fb_len AS clarity_tok_fxp",
         )
     )
+
+
+def dictionary_frontcoding_report(
+    postings: DataFrame, block: int = 16
+) -> DataFrame:
+    """Term-DICTIONARY storage accounting under front coding — the
+    third leg of the index-storage trio (varint postings, Elias-Fano
+    doc ids, and now the term dictionary): consecutive sorted terms
+    share long prefixes, so each block of ``block`` terms stores its
+    head in full and every follower as (lcp byte, suffix) — the
+    classic Lucene/PISA dictionary layout. Returns per block
+
+        (pfx, block_no, n_terms, raw_bytes, packed_bytes, savings_ppm)
+
+    with raw = 1 length byte + full term per entry, packed = head +
+    per-follower 2 control bytes + the lcp-stripped suffix. Exact
+    char arithmetic (fixture terms are ASCII words; multi-byte
+    charsets would count code points — documented, not a correctness
+    lane).
+
+    Scale shape: the vocabulary is orders of magnitude smaller than
+    the corpus, and the sort windows are PARTITIONED by the term's
+    2-char prefix (blocks never cross a prefix group — front coding
+    restarts at block heads anyway), so no single task ever owns the
+    whole dictionary. LCP against the predecessor is one row-local
+    integer fold."""
+    vocab = postings.select("term").distinct().withColumn(
+        "pfx", F.expr("substring(term, 1, 2)")
+    )
+    w = Window.partitionBy("pfx").orderBy("term")
+    seq = vocab.withColumn("rn", F.row_number().over(w)).withColumn(
+        "prev", F.lag("term").over(w)
+    )
+    lcp = F.expr(
+        "CASE WHEN prev IS NULL THEN 0L ELSE "
+        "aggregate(sequence(1, least(length(term), length(prev))), 0L, "
+        "(acc, i) -> CASE WHEN acc = i - 1 "
+        "AND substring(term, i, 1) = substring(prev, i, 1) "
+        "THEN cast(i as bigint) ELSE acc END) END"
+    )
+    staged = seq.select(
+        "pfx",
+        F.expr(f"(rn - 1) div {int(block)}").cast("long").alias("block_no"),
+        F.expr(f"(rn - 1) % {int(block)} = 0").alias("is_head"),
+        F.length("term").cast("long").alias("tlen"),
+        lcp.cast("long").alias("lcp"),
+    )
+    return (
+        staged.groupBy("pfx", "block_no")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(F.lit(1) + F.col("tlen")).cast("long").alias("raw_bytes"),
+            F.sum(
+                F.when(F.col("is_head"), F.lit(1) + F.col("tlen"))
+                .otherwise(F.lit(2) + F.col("tlen") - F.col("lcp"))
+            ).cast("long").alias("packed_bytes"),
+        )
+        .withColumn(
+            "savings_ppm",
+            F.expr("(raw_bytes - packed_bytes) * 1000000 div raw_bytes"),
+        )
+    )

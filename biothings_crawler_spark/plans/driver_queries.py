@@ -14855,7 +14855,65 @@ ORDER BY rrf_ppm DESC, id LIMIT 10
 """
 
 
+FC_BLOCK = 16
+
+
+def q_dict_frontcoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Front-coded term-dictionary accounting (operators/bm25.
+    dictionary_frontcoding_report): per 16-term block of the sorted
+    vocabulary, exact raw vs front-coded byte costs — the dictionary
+    leg of the index-storage trio.  Oracle replays the prefix-
+    partitioned ordering and every LCP fold."""
+    from biothings_crawler_spark.operators.bm25 import (
+        dictionary_frontcoding_report,
+        inverted_postings,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return dictionary_frontcoding_report(
+        inverted_postings(d, "doc_id", "text"), block=FC_BLOCK
+    )
+
+
+SQL_DICT_FRONTCODING = f"""
+WITH vocab AS (
+  SELECT DISTINCT term, substr(term, 1, 2) AS pfx FROM (
+    SELECT unnest({_SQL_WORDS}) AS term FROM documents)),
+seq AS (
+  SELECT pfx, term,
+         row_number() OVER (PARTITION BY pfx ORDER BY term) AS rn,
+         lag(term) OVER (PARTITION BY pfx ORDER BY term) AS prev
+  FROM vocab),
+st AS (
+  SELECT pfx,
+         CAST((rn - 1) // {FC_BLOCK} AS BIGINT) AS block_no,
+         (rn - 1) % {FC_BLOCK} = 0 AS is_head,
+         CAST(length(term) AS BIGINT) AS tlen,
+         CASE WHEN prev IS NULL THEN 0
+              ELSE list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(
+                    range(1, least(length(term), length(prev)) + 1),
+                    x -> CAST(x AS BIGINT))),
+                (acc, i) -> CASE WHEN acc = i - 1
+                  AND substr(term, CAST(i AS INTEGER), 1)
+                      = substr(prev, CAST(i AS INTEGER), 1)
+                  THEN i ELSE acc END) END AS lcp
+  FROM seq)
+SELECT pfx, block_no,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(1 + tlen) AS BIGINT) AS raw_bytes,
+       CAST(SUM(CASE WHEN is_head THEN 1 + tlen
+                     ELSE 2 + tlen - lcp END) AS BIGINT) AS packed_bytes,
+       CAST((SUM(1 + tlen) - SUM(CASE WHEN is_head THEN 1 + tlen
+                                      ELSE 2 + tlen - lcp END)) * 1000000
+            // SUM(1 + tlen) AS BIGINT) AS savings_ppm
+FROM st GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_dict_frontcoding": q_dict_frontcoding,
     "q_search_pipeline": q_search_pipeline,
     "q_textrank_keywords": q_textrank_keywords,
     "q_ks_drift": q_ks_drift,
@@ -15142,6 +15200,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_dict_frontcoding": SQL_DICT_FRONTCODING,
     "q_search_pipeline": SQL_SEARCH_PIPELINE,
     "q_textrank_keywords": SQL_TEXTRANK_KEYWORDS,
     "q_ks_drift": SQL_KS_DRIFT,

@@ -62,3 +62,40 @@ def test_plan_no_unsalted_giant_window(spark):
     assert "BatchEvalPython" not in plan
     # both phases present: (term, salt) window then term window
     assert plan.count("Window") >= 2
+
+
+def test_frontcoding_hand_computed(spark):
+    from biothings_crawler_spark.operators.bm25 import (
+        dictionary_frontcoding_report,
+    )
+
+    postings = spark.createDataFrame(
+        [("prefix", 1, 1), ("prefixes", 1, 1), ("prefixing", 2, 1),
+         ("zz", 1, 1)],
+        "term string, id long, tf long",
+    )
+    out = {(r.pfx, r.block_no): r for r in
+           dictionary_frontcoding_report(postings, block=16).collect()}
+    pr = out[("pr", 0)]
+    # head 'prefix' = 1+6; 'prefixes' lcp 6 -> 2+8-6; 'prefixing'
+    # lcp 6 vs PREVIOUS ('prefixes': prefix + e vs i mismatch) -> 2+9-6
+    assert pr.n_terms == 3
+    assert pr.raw_bytes == (1 + 6) + (1 + 8) + (1 + 9)
+    assert pr.packed_bytes == 7 + 4 + 5
+    assert pr.savings_ppm == (26 - 16) * 1_000_000 // 26
+    zz = out[("zz", 0)]
+    assert zz.packed_bytes == zz.raw_bytes == 3  # lone head, no sharing
+
+
+def test_frontcoding_blocks_restart(spark):
+    from biothings_crawler_spark.operators.bm25 import (
+        dictionary_frontcoding_report,
+    )
+
+    rows = [(f"aa{i:03d}", 1, 1) for i in range(20)]
+    postings = spark.createDataFrame(rows, "term string, id long, tf long")
+    out = {r.block_no: r for r in
+           dictionary_frontcoding_report(postings, block=16).collect()}
+    assert out[0].n_terms == 16 and out[1].n_terms == 4
+    # block 1's head is stored FULL even though it shares 'aa0'
+    assert out[1].packed_bytes == (1 + 5) + 3 * (2 + 5 - 4)
