@@ -1080,3 +1080,55 @@ def dictionary_frontcoding_report(
             F.expr("(raw_bytes - packed_bytes) * 1000000 div raw_bytes"),
         )
     )
+
+
+def ndcg_at_k(
+    ranked: DataFrame, qrels: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact-integer graded nDCG@k — the evaluation metric the
+    reciprocal-rank/recall report (retrieval_metrics) lacks: DCG's
+    1/log2(rank+1) discount is the one place eval usually goes
+    transcendental, and the fixed-point lg makes it exact:
+
+        dcg_fxp  = sum over retrieved relevant at rank r <= k of
+                   rel * 10^12 div lg_fxp(r + 1)
+        idcg_fxp = the same sum over the query's qrels sorted by
+                   (rel desc, id) at ranks 1..k
+        ndcg_ppm = dcg_fxp * 10^6 div idcg_fxp
+
+    (floored lg in the denominator — bit-identical across engines;
+    a *floored-discount* DCG, monotone-equivalent to the textbook
+    value at every practical depth). ``qrels`` = (query_id, id, rel)
+    graded judgments.
+
+    Scale shape: qrels are broadcast-small by construction; the run
+    join is one broadcast equi-join + a query-keyed hash agg; the
+    ideal ordering is a window over each query's judgments only."""
+    from biothings_crawler_spark.operators.nbayes import ilog2_fxp_spark
+
+    disc = f"rel * 1000000000000 div ({ilog2_fxp_spark('rank + 1')})"
+    dcg = (
+        ranked.filter(F.col("rank") <= k)
+        .join(F.broadcast(qrels), ["query_id", "id"])
+        .selectExpr("query_id", f"{disc} AS g")
+        .groupBy("query_id")
+        .agg(F.sum("g").cast("long").alias("dcg_fxp"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "id")
+    ideal = (
+        qrels.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .selectExpr("query_id", f"{disc} AS g")
+        .groupBy("query_id")
+        .agg(F.sum("g").cast("long").alias("idcg_fxp"))
+    )
+    return (
+        ideal.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("dcg_fxp", F.lit(0)).cast("long").alias("dcg_fxp"),
+            "idcg_fxp",
+            F.expr("coalesce(dcg_fxp, 0L) * 1000000 div idcg_fxp")
+            .cast("long").alias("ndcg_ppm"),
+        )
+    )

@@ -14912,7 +14912,76 @@ FROM st GROUP BY 1, 2
 """
 
 
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded nDCG@10 (operators/bm25.ndcg_at_k) for the BM25 and QL
+    runs of the shared query against deterministic planted judgments
+    (doc_id%7==0 relevant, grade 1 + doc_id%3) — the exact fixed-point
+    discount makes the one transcendental eval metric oracle-exact."""
+    from pyspark.sql import Window as W
+
+    from biothings_crawler_spark.operators.bm25 import (
+        bm25_topk,
+        ndcg_at_k,
+        ql_dirichlet_topk,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lex = bm25_topk(d, "doc_id", "text", BM25_QUERY, k=20).withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("score"), "id"))
+    ).select(F.lit("bm25").alias("query_id"), "id", "rank")
+    lm = ql_dirichlet_topk(d, "doc_id", "text", BM25_QUERY, mu=QL_MU,
+                           k=20).withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("score_fxp"), "id"))
+    ).select(F.lit("ql").alias("query_id"), "id", "rank")
+    qrels = (
+        d.filter("doc_id % 7 = 0")
+        .selectExpr("doc_id AS id", "CAST(1 + doc_id % 3 AS BIGINT) AS rel")
+    )
+    qrels2 = qrels.selectExpr("'bm25' AS query_id", "id", "rel").unionByName(
+        qrels.selectExpr("'ql' AS query_id", "id", "rel")
+    )
+    return ndcg_at_k(lex.unionByName(lm), qrels2, k=10)
+
+
+SQL_NDCG = f"""
+WITH lex AS (
+  SELECT 'bm25' AS query_id, id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS BIGINT) AS rank
+  FROM ({SQL_BM25_TOPK}) t),
+lm AS (
+  SELECT 'ql' AS query_id, id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score_fxp DESC, id) AS BIGINT)
+           AS rank
+  FROM ({SQL_QL_DIRICHLET}) t),
+run AS (SELECT * FROM lex UNION ALL SELECT * FROM lm),
+qr AS (SELECT doc_id AS id, CAST(1 + doc_id % 3 AS BIGINT) AS rel
+       FROM documents WHERE doc_id % 7 = 0),
+qr2 AS (SELECT 'bm25' AS query_id, id, rel FROM qr
+        UNION ALL SELECT 'ql', id, rel FROM qr),
+dcg AS (
+  SELECT r.query_id,
+         CAST(SUM(q.rel * 1000000000000
+                  // ({ilog2_fxp_duck('r.rank + 1')})) AS BIGINT) AS dcg_fxp
+  FROM run r JOIN qr2 q ON q.query_id = r.query_id AND q.id = r.id
+  WHERE r.rank <= 10 GROUP BY 1),
+ideal AS (
+  SELECT query_id,
+         CAST(SUM(rel * 1000000000000
+                  // ({ilog2_fxp_duck('rank + 1')})) AS BIGINT) AS idcg_fxp
+  FROM (SELECT query_id, rel,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rel DESC, id) AS BIGINT)
+                 AS rank
+        FROM qr2) WHERE rank <= 10 GROUP BY 1)
+SELECT i.query_id, coalesce(d.dcg_fxp, 0) AS dcg_fxp, i.idcg_fxp,
+       CAST(coalesce(d.dcg_fxp, 0) * 1000000 // i.idcg_fxp AS BIGINT)
+         AS ndcg_ppm
+FROM ideal i LEFT JOIN dcg d USING (query_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_ndcg": q_ndcg,
     "q_dict_frontcoding": q_dict_frontcoding,
     "q_search_pipeline": q_search_pipeline,
     "q_textrank_keywords": q_textrank_keywords,
@@ -15200,6 +15269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_ndcg": SQL_NDCG,
     "q_dict_frontcoding": SQL_DICT_FRONTCODING,
     "q_search_pipeline": SQL_SEARCH_PIPELINE,
     "q_textrank_keywords": SQL_TEXTRANK_KEYWORDS,

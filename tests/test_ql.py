@@ -152,3 +152,45 @@ def test_search_pipeline_fuses_both_rankers(spark):
     lmr = {r.id: r.rank for r in lm.collect()}
     for i, r in out.items():
         assert r.rrf_ppm == 10**6 // (60 + lexr[i]) + 10**6 // (60 + lmr[i])
+
+
+def test_ndcg_hand_computed_and_bounds(spark):
+    from biothings_crawler_spark.operators.bm25 import ndcg_at_k
+
+    FXP = 65536
+    LG3 = 103872  # floor(65536*log2 3)
+
+    ranked = spark.createDataFrame(
+        [("q", 10, 1), ("q", 20, 2), ("q", 30, 3),
+         ("perfect", 10, 1), ("perfect", 20, 2)],
+        "query_id string, id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q", 20, 3), ("q", 99, 2), ("q", 10, 1),
+         ("perfect", 10, 2), ("perfect", 20, 1)],
+        "query_id string, id long, rel long",
+    )
+    out = {r.query_id: r for r in ndcg_at_k(ranked, qrels, k=10).collect()}
+    # q: retrieved rel docs at ranks 1 (rel 1) and 2 (rel 3);
+    # dcg = 1*1e12//lg(2) + 3*1e12//lg(3)
+    dcg = 10**12 // FXP + 3 * 10**12 // LG3
+    # ideal order: rel 3 @1, rel 2 @2, rel 1 @3
+    idcg = (3 * 10**12 // FXP + 2 * 10**12 // LG3
+            + 1 * 10**12 // (2 * FXP))
+    assert out["q"].dcg_fxp == dcg and out["q"].idcg_fxp == idcg
+    assert out["q"].ndcg_ppm == dcg * 10**6 // idcg < 1_000_000
+    # perfect run: retrieved = ideal -> exactly 1.0
+    assert out["perfect"].ndcg_ppm == 1_000_000
+
+
+def test_ndcg_zero_when_nothing_relevant_retrieved(spark):
+    from biothings_crawler_spark.operators.bm25 import ndcg_at_k
+
+    ranked = spark.createDataFrame(
+        [("q", 1, 1)], "query_id string, id long, rank long"
+    )
+    qrels = spark.createDataFrame(
+        [("q", 2, 3)], "query_id string, id long, rel long"
+    )
+    r = ndcg_at_k(ranked, qrels, k=10).collect()[0]
+    assert (r.dcg_fxp, r.ndcg_ppm) == (0, 0) and r.idcg_fxp > 0
