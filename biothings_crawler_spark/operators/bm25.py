@@ -1132,3 +1132,46 @@ def ndcg_at_k(
             .cast("long").alias("ndcg_ppm"),
         )
     )
+
+
+def map_at_k(
+    ranked: DataFrame, qrels: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact mean-average-precision companion to :func:`ndcg_at_k` —
+    AP is purely rational (no discount log): per query,
+
+        ap_ppm = (sum over relevant hits at rank r of
+                  hits_so_far(r) * 10^6 div r) div n_rel
+
+    binary relevance (any rel > 0 counts). The per-hit cumulative
+    count is a window over each query's <= k HIT rows (qrels-bounded,
+    never the corpus).  Returns (query_id, n_rel, n_hits, ap_ppm)."""
+    rel = qrels.filter(F.col("rel") > 0).select("query_id", "id")
+    totals = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    hits = ranked.filter(F.col("rank") <= k).join(
+        F.broadcast(rel), ["query_id", "id"]
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per = (
+        hits.withColumn("cum", F.count(F.lit(1)).over(w))
+        .selectExpr("query_id", "cum * 1000000 div rank AS p_at_r")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.sum("p_at_r").cast("long").alias("sum_p"),
+        )
+    )
+    return (
+        totals.join(per, "query_id", "left")
+        .selectExpr(
+            "query_id", "n_rel",
+            "coalesce(n_hits, 0L) AS n_hits",
+            "coalesce(sum_p, 0L) div n_rel AS ap_ppm",
+        )
+    )

@@ -14980,7 +14980,72 @@ FROM ideal i LEFT JOIN dcg d USING (query_id)
 """
 
 
+def q_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-average-precision@10 (operators/bm25.map_at_k) for the
+    same two runs and planted judgments as q_ndcg — AP is purely
+    rational, so the whole metric is plain integer floors."""
+    from pyspark.sql import Window as W
+
+    from biothings_crawler_spark.operators.bm25 import (
+        bm25_topk,
+        map_at_k,
+        ql_dirichlet_topk,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lex = bm25_topk(d, "doc_id", "text", BM25_QUERY, k=20).withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("score"), "id"))
+    ).select(F.lit("bm25").alias("query_id"), "id", "rank")
+    lm = ql_dirichlet_topk(d, "doc_id", "text", BM25_QUERY, mu=QL_MU,
+                           k=20).withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("score_fxp"), "id"))
+    ).select(F.lit("ql").alias("query_id"), "id", "rank")
+    qrels = (
+        d.filter("doc_id % 7 = 0")
+        .selectExpr("doc_id AS id", "CAST(1 + doc_id % 3 AS BIGINT) AS rel")
+    )
+    qrels2 = qrels.selectExpr("'bm25' AS query_id", "id", "rel").unionByName(
+        qrels.selectExpr("'ql' AS query_id", "id", "rel")
+    )
+    return map_at_k(lex.unionByName(lm), qrels2, k=10)
+
+
+SQL_MAP_EVAL = f"""
+WITH lex AS (
+  SELECT 'bm25' AS query_id, id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS BIGINT) AS rank
+  FROM ({SQL_BM25_TOPK}) t),
+lm AS (
+  SELECT 'ql' AS query_id, id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score_fxp DESC, id) AS BIGINT)
+           AS rank
+  FROM ({SQL_QL_DIRICHLET}) t),
+run AS (SELECT * FROM lex UNION ALL SELECT * FROM lm),
+qr AS (SELECT doc_id AS id FROM documents WHERE doc_id % 7 = 0),
+qr2 AS (SELECT 'bm25' AS query_id, id FROM qr
+        UNION ALL SELECT 'ql', id FROM qr),
+tot AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+        FROM qr2 GROUP BY 1),
+hits AS (SELECT r.query_id, r.rank FROM run r
+         JOIN qr2 q ON q.query_id = r.query_id AND q.id = r.id
+         WHERE r.rank <= 10),
+per AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         CAST(SUM(cum * 1000000 // rank) AS BIGINT) AS sum_p
+  FROM (SELECT query_id, rank,
+               COUNT(*) OVER (PARTITION BY query_id ORDER BY rank
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+        FROM hits) GROUP BY 1)
+SELECT t.query_id, t.n_rel,
+       coalesce(p.n_hits, 0) AS n_hits,
+       CAST(coalesce(p.sum_p, 0) // t.n_rel AS BIGINT) AS ap_ppm
+FROM tot t LEFT JOIN per p USING (query_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_map_eval": q_map_eval,
     "q_ndcg": q_ndcg,
     "q_dict_frontcoding": q_dict_frontcoding,
     "q_search_pipeline": q_search_pipeline,
@@ -15269,6 +15334,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_map_eval": SQL_MAP_EVAL,
     "q_ndcg": SQL_NDCG,
     "q_dict_frontcoding": SQL_DICT_FRONTCODING,
     "q_search_pipeline": SQL_SEARCH_PIPELINE,

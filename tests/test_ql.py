@@ -194,3 +194,33 @@ def test_ndcg_zero_when_nothing_relevant_retrieved(spark):
     )
     r = ndcg_at_k(ranked, qrels, k=10).collect()[0]
     assert (r.dcg_fxp, r.ndcg_ppm) == (0, 0) and r.idcg_fxp > 0
+
+
+def test_map_hand_computed(spark):
+    from biothings_crawler_spark.operators.bm25 import map_at_k
+
+    ranked = spark.createDataFrame(
+        [("q", 10, 1), ("q", 20, 2), ("q", 30, 3), ("q", 40, 4)],
+        "query_id string, id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q", 10, 1), ("q", 30, 2), ("q", 99, 1)],
+        "query_id string, id long, rel long",
+    )
+    r = map_at_k(ranked, qrels, k=10).collect()[0]
+    # hits at ranks 1 and 3: P@1 = 1/1, P@3 = 2/3; n_rel = 3
+    assert (r.n_rel, r.n_hits) == (3, 2)
+    assert r.ap_ppm == (1_000_000 + 2 * 1_000_000 // 3) // 3
+
+
+def test_map_zero_when_no_hits(spark):
+    from biothings_crawler_spark.operators.bm25 import map_at_k
+
+    ranked = spark.createDataFrame(
+        [("q", 1, 1)], "query_id string, id long, rank long"
+    )
+    qrels = spark.createDataFrame(
+        [("q", 2, 1)], "query_id string, id long, rel long"
+    )
+    r = map_at_k(ranked, qrels, k=10).collect()[0]
+    assert (r.n_hits, r.ap_ppm) == (0, 0)
