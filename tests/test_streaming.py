@@ -405,3 +405,56 @@ def test_cusum_stream_matches_batch_and_resumes(spark, tmp_path):
     last = {r.host: r for r in batch.collect() if r.event_id == 19}
     assert latest["hostA"].stat == last["hostA"].stat
     assert latest["hostB"].stat == last["hostB"].stat
+
+
+def test_percolate_stream_alerts_once_and_resumes(spark, tmp_path):
+    """Streaming percolation: conjunction alerts fire on match, a
+    re-fetch of the same page within the watermark is suppressed
+    (exactly-once per horizon) across a checkpoint restart, and the
+    unsatisfiable subscription never fires."""
+    from biothings_crawler_spark.streaming.percolate import (
+        percolate_alerts_stream,
+    )
+
+    schema = "id long, ts timestamp, text string"
+    src = tmp_path / "docs"
+    out = tmp_path / "alerts"
+    ckpt = tmp_path / "ck"
+    src.mkdir()
+    queries = spark.createDataFrame(
+        [("leak", ["data", "leak"]), ("ghost", ["data", "zzghost"])],
+        "query_id string, terms array<string>",
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            percolate_alerts_stream(stream, queries, "id", "text", "ts",
+                                    watermark="1 hour")
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(str(out)))
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(str(out)).collect()
+
+    t0 = "2024-01-01 10:00:00"
+    b1 = [(1, t0, "big data leak today"), (2, t0, "nothing to see")]
+    spark.createDataFrame(b1, "id long, ts string, text string").selectExpr(
+        "id", "CAST(ts AS TIMESTAMP) AS ts", "text"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    got1 = [(r.id, r.query_id) for r in run_once()]
+    assert got1 == [(1, "leak")]
+
+    # batch 2 (restart, same checkpoint): doc 1 re-fetched 5 min later
+    # inside the horizon -> suppressed; doc 3 is a fresh alert
+    t1 = "2024-01-01 10:05:00"
+    b2 = [(1, t1, "big data leak today"), (3, t1, "data leak again")]
+    spark.createDataFrame(b2, "id long, ts string, text string").selectExpr(
+        "id", "CAST(ts AS TIMESTAMP) AS ts", "text"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    got2 = sorted((r.id, r.query_id) for r in run_once())
+    assert got2 == [(1, "leak"), (3, "leak")]  # no duplicate for id 1
