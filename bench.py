@@ -53,6 +53,7 @@ EXTRACT_REPLICAS = int(os.environ.get("SPARK_GRAFT_EXTRACT_REPLICAS", "16"))
 # excluded: they are oracle-scale verifiers, not the 10^10 path)
 SUITE = [
     # session-9 additions (classifier/selection/retrieval/drift planes)
+    "q_err_eval",
     "q_map_eval",
     "q_ndcg",
     "q_dict_frontcoding",

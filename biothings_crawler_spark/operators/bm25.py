@@ -1175,3 +1175,56 @@ def map_at_k(
             "coalesce(sum_p, 0L) div n_rel AS ap_ppm",
         )
     )
+
+
+def err_at_k(
+    ranked: DataFrame, qrels: DataFrame, k: int = 10, g_max: int = 3
+) -> DataFrame:
+    """Exact Expected Reciprocal Rank (Chapelle et al. 2009) — the
+    cascade-model metric completing the eval family (RR, recall,
+    nDCG, MAP, Kendall): a user scans down the ranking and stops at a
+    document with probability R_r = (2^g - 1) / 2^g_max;
+    ERR = sum_r (1/r) * R_r * prod_{i<r}(1 - R_i).
+
+    Exact integers: with D = 2^g_max the fold carries survival
+    probability p in ppm and accumulates ERR in ppb —
+
+        err += p * (2^g - 1) * 1000 div (D * r);  p' = p * (D - (2^g - 1)) div D
+
+    every step floored identically in the DuckDB twin (which packs
+    (p, err) into one BIGINT accumulator, p * 10^10 + err, since
+    list_reduce is only row-count-sound with scalar state).
+
+    Shape: the run joins broadcast qrels, each query's <= k
+    (rank, grade) rows collect into a BOUNDED ordered array, and the
+    fold is row-local. Returns (query_id, n_graded, err_ppb)."""
+    d = 1 << int(g_max)
+    graded = (
+        ranked.filter(F.col("rank") <= k)
+        .join(F.broadcast(qrels), ["query_id", "id"], "left")
+        .select(
+            "query_id", "rank",
+            F.coalesce("rel", F.lit(0)).cast("long").alias("g"),
+        )
+    )
+    per = graded.groupBy("query_id").agg(
+        F.array_sort(F.collect_list(F.struct("rank", "g"))).alias("rs"),
+        F.sum((F.col("g") > 0).cast("long")).cast("long").alias("n_graded"),
+    )
+    # integer-exact fold as SQL text: Spark's Column `/` is DOUBLE
+    # division, unusable past 2^53 — `div` keeps every step in int64
+    step = (
+        f"((acc div 10000000000) * ({d} - (shiftleft(1L, cast(s.g as int)) - 1))"
+        f" div {d}) * 10000000000"
+        f" + acc % 10000000000"
+        f" + ((acc div 10000000000) * (shiftleft(1L, cast(s.g as int)) - 1)"
+        f" * 1000 div ({d} * s.rank))"
+    )
+    fold = F.expr(
+        f"aggregate(rs, {10**10 * 10**6}L, (acc, s) -> cast(({step}) as bigint))"
+    )
+    return per.select(
+        "query_id",
+        "n_graded",
+        (fold % F.lit(10**10)).cast("long").alias("err_ppb"),
+    )

@@ -15044,7 +15044,85 @@ FROM tot t LEFT JOIN per p USING (query_id)
 """
 
 
+def q_err_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Reciprocal Rank@10 (operators/bm25.err_at_k, cascade
+    model) for the same runs and graded judgments as q_ndcg — the
+    survival-probability fold replayed by the oracle with a packed
+    single-BIGINT list_reduce."""
+    from pyspark.sql import Window as W
+
+    from biothings_crawler_spark.operators.bm25 import (
+        bm25_topk,
+        err_at_k,
+        ql_dirichlet_topk,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lex = bm25_topk(d, "doc_id", "text", BM25_QUERY, k=20).withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("score"), "id"))
+    ).select(F.lit("bm25").alias("query_id"), "id", "rank")
+    lm = ql_dirichlet_topk(d, "doc_id", "text", BM25_QUERY, mu=QL_MU,
+                           k=20).withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("score_fxp"), "id"))
+    ).select(F.lit("ql").alias("query_id"), "id", "rank")
+    qrels = (
+        d.filter("doc_id % 7 = 0")
+        .selectExpr("doc_id AS id", "CAST(1 + doc_id % 3 AS BIGINT) AS rel")
+    )
+    qrels2 = qrels.selectExpr("'bm25' AS query_id", "id", "rel").unionByName(
+        qrels.selectExpr("'ql' AS query_id", "id", "rel")
+    )
+    return err_at_k(lex.unionByName(lm), qrels2, k=10, g_max=3)
+
+
+def _sql_err() -> str:
+    g = "CAST(string_split(e, ':')[2] AS BIGINT)"
+    r = "CAST(string_split(e, ':')[1] AS BIGINT)"
+    step = (
+        f"((acc // 10000000000) * (8 - ((1::BIGINT << {g}) - 1)) // 8)"
+        f" * 10000000000"
+        f" + acc % 10000000000"
+        f" + ((acc // 10000000000) * ((1::BIGINT << {g}) - 1)"
+        f" * 1000 // (8 * {r}))"
+    )
+    return f"""
+WITH lex AS (
+  SELECT 'bm25' AS query_id, id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS BIGINT) AS rank
+  FROM ({SQL_BM25_TOPK}) t),
+lm AS (
+  SELECT 'ql' AS query_id, id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score_fxp DESC, id) AS BIGINT)
+           AS rank
+  FROM ({SQL_QL_DIRICHLET}) t),
+run AS (SELECT * FROM lex UNION ALL SELECT * FROM lm),
+qr AS (SELECT doc_id AS id, CAST(1 + doc_id % 3 AS BIGINT) AS rel
+       FROM documents WHERE doc_id % 7 = 0),
+qr2 AS (SELECT 'bm25' AS query_id, id, rel FROM qr
+        UNION ALL SELECT 'ql', id, rel FROM qr),
+graded AS (
+  SELECT r.query_id, r.rank, coalesce(q.rel, 0) AS g
+  FROM run r LEFT JOIN qr2 q ON q.query_id = r.query_id AND q.id = r.id
+  WHERE r.rank <= 10),
+ser AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_graded,
+         list(CAST(rank AS VARCHAR) || ':' || CAST(g AS VARCHAR)
+              ORDER BY rank) AS rs
+  FROM graded GROUP BY 1)
+SELECT query_id, n_graded,
+       CAST(list_reduce(list_prepend('{10**10 * 10**6}', rs),
+                        (acc, e) -> CAST(({step.replace("acc", "CAST(acc AS BIGINT)")}) AS VARCHAR))
+            AS BIGINT) % 10000000000 AS err_ppb
+FROM ser
+"""
+
+
+SQL_ERR_EVAL = _sql_err()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_err_eval": q_err_eval,
     "q_map_eval": q_map_eval,
     "q_ndcg": q_ndcg,
     "q_dict_frontcoding": q_dict_frontcoding,
@@ -15334,6 +15412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q_err_eval": SQL_ERR_EVAL,
     "q_map_eval": SQL_MAP_EVAL,
     "q_ndcg": SQL_NDCG,
     "q_dict_frontcoding": SQL_DICT_FRONTCODING,

@@ -224,3 +224,40 @@ def test_map_zero_when_no_hits(spark):
     )
     r = map_at_k(ranked, qrels, k=10).collect()[0]
     assert (r.n_hits, r.ap_ppm) == (0, 0)
+
+
+def test_err_hand_computed_and_cascade(spark):
+    from biothings_crawler_spark.operators.bm25 import err_at_k
+
+    ranked = spark.createDataFrame(
+        [("q", 10, 1), ("q", 20, 2), ("q", 30, 3),
+         ("early", 10, 1), ("late", 10, 3)],
+        "query_id string, id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q", 10, 3), ("q", 30, 1),
+         ("early", 10, 3), ("late", 10, 3)],
+        "query_id string, id long, rel long",
+    )
+    out = {r.query_id: r for r in err_at_k(ranked, qrels, k=10).collect()}
+    # q: R1 = 7/8 at rank 1, survivor 1/8 meets R = 1/8 at rank 3
+    p2 = (10**6 * 1) // 8
+    want = (10**6 * 7 * 1000) // 8 + (p2 * 1 * 1000) // (8 * 3)
+    assert out["q"].err_ppb == want and out["q"].n_graded == 2
+    # cascade property: the same grade earlier is worth strictly more
+    assert out["early"].err_ppb == 875_000_000
+    assert out["late"].err_ppb == 875_000_000 // 3
+    assert out["early"].err_ppb > out["late"].err_ppb
+
+
+def test_err_zero_without_relevance(spark):
+    from biothings_crawler_spark.operators.bm25 import err_at_k
+
+    ranked = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2)], "query_id string, id long, rank long"
+    )
+    qrels = spark.createDataFrame(
+        [("q", 99, 3)], "query_id string, id long, rel long"
+    )
+    r = err_at_k(ranked, qrels, k=10).collect()[0]
+    assert (r.n_graded, r.err_ppb) == (0, 0)
