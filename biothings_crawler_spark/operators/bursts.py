@@ -54,7 +54,14 @@ def burst_intervals(
         first = acc["ewma"] < 0
         enter = (~first) & (acc["inb"] == 0) & (n100 * 100 >= ent * acc["ewma"])
         exit_ = (acc["inb"] == 1) & (n100 * 100 < ext * acc["ewma"])
-        upd = F.floor((F.lit(a) * n100 + F.lit(100 - a) * acc["ewma"]) / 100)
+        # exact floor-division by 100: route through decimal(38,0) so the
+        # fold stays bit-identical to the oracle's integer `// 100` even
+        # past 2^53 (double `/` + floor diverges from the integer floor
+        # there, breaking the advertised exact fold)
+        upd = F.floor(
+            (F.lit(a) * n100.cast("decimal(38,0)")
+             + F.lit(100 - a) * acc["ewma"].cast("decimal(38,0)")) / 100
+        )
         return F.struct(
             F.when(first, n100)
             .when(enter | ((acc["inb"] == 1) & ~exit_), acc["ewma"])

@@ -35,7 +35,14 @@ def wilson_flags(
     """``(key, n, bad, rate_ppm, lb_ppm, ub_ppm, flag)`` per key from
     boolean ``bad_col`` outcome rows: ``flag`` when even the LOWER
     bound of the bad-rate clears ``alert_ppm`` — small samples can't
-    alert no matter how bad they look."""
+    alert no matter how bad they look.
+
+    The scaled variance ``floor(bad*(n-bad)*10^12 / n)`` is computed
+    divide-first in two 10^6 stages (quotient/remainder each stage) so
+    the intermediate never multiplies ``bad*(n-bad)`` by 10^12 —
+    exact for any per-key ``n`` up to 3*10^7 (the scaled value itself
+    outgrows int64 beyond that; earlier revisions overflowed past
+    n ~ 6,000 with mid-range rates)."""
     per = (
         outcomes.select(
             F.col(key_col).alias("key"),
@@ -48,9 +55,16 @@ def wilson_flags(
         )
     )
     staged = (
-        per.withColumn(
-            "_x", F.expr("(bad * (n - bad) * 1000000000000) div n "
-                         "+ 1000000000000")
+        per.withColumn("_p", F.expr("bad * (n - bad)"))
+        .withColumn(
+            "_t1",
+            F.expr("(_p div n) * 1000000 + ((_p % n) * 1000000) div n"),
+        )
+        .withColumn("_r2", F.expr("((_p % n) * 1000000) % n"))
+        .withColumn(
+            "_x",
+            F.expr("_t1 * 1000000 + (_r2 * 1000000) div n "
+                   "+ 1000000000000"),
         )
         .withColumn(
             "_s0", F.expr("cast(sqrt(cast(_x as double)) as bigint)")

@@ -197,10 +197,13 @@ def nb_classify(
             (F.col("s") + F.col("prior_fxp")).alias("score_fxp"),
         )
     )
-    # docs with no tokens score prior-only: union a zero row per label
+    # docs with no tokens score prior-only: union a zero row per label.
+    # NULL text counts as empty (size(NULL) is -1 non-ANSI / NULL ANSI,
+    # never 0 — a bare == 0 silently dropped NULL-text docs while the
+    # SQL oracle's NOT-IN branch kept them).
     empty = (
         df.select(F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("ws"))
-        .filter(F.size("ws") == 0)
+        .filter(F.coalesce(F.size("ws"), F.lit(0)) <= 0)
         .crossJoin(F.broadcast(prior))
         .select("id", "label", F.col("prior_fxp").alias("score_fxp"))
     )

@@ -278,9 +278,13 @@ def temperature_mix(
     Exact integers: the T-th root is a truncated-double seed corrected
     by integer comparison (r^T <= x < (r+1)^T — the bandit module's
     isqrt trick generalized), applied to ``tokens`` pre-scaled by
-    10^(6·T) for T<=2 / 10^(3·T) for T in {3,4}, so weights carry ~6
-    (resp. ~3) decimal digits of root resolution and both engines land
-    on identical shares.  Supported T: 1..4.
+    10^6 (T=1), 10^8 (T=2), 10^9 (T=3), 10^8 (T=4), so weights carry
+    ~6 root digits for T=1 and ~4/~3/~2 for T=2/3/4, and both engines
+    land on identical shares.  Supported T: 1..4.  The pre-scale bounds
+    the per-stratum token count: tokens*scale must fit int64, i.e.
+    ~9.2e12 tokens for T=1 and ~9.2e10 for T=2 (an earlier 10^12
+    scale for T=2 overflowed past 9.2e6 tokens — trivially reached by
+    any real language in a multilingual corpus).
 
     Shape: strata are bounded by construction (languages, sources) —
     one hash agg upstream produces ``counts``; everything here is a
@@ -288,7 +292,7 @@ def temperature_mix(
     t = int(temperature)
     if t not in (1, 2, 3, 4):
         raise ValueError(f"temperature must be 1..4, got {t}")
-    scale = {1: 10**6, 2: 10**12, 3: 10**9, 4: 10**8}[t]
+    scale = {1: 10**6, 2: 10**8, 3: 10**9, 4: 10**8}[t]
     pow_r = " * ".join(["_r"] * t)
     pow_r1 = " * ".join(["(_r + 1)"] * t)
     pow_rm = " * ".join(["(_r - 1)"] * t)

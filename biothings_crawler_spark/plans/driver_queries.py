@@ -14565,8 +14565,8 @@ WITH c AS (
   SELECT lang AS stratum, CAST(SUM({_SQL_TOKENS}) AS BIGINT) AS tokens
   FROM documents GROUP BY 1),
 seed AS (
-  SELECT stratum, tokens, tokens * 1000000000000 AS x,
-         CAST(floor(pow(CAST(tokens * 1000000000000 AS DOUBLE),
+  SELECT stratum, tokens, tokens * 100000000 AS x,
+         CAST(floor(pow(CAST(tokens * 100000000 AS DOUBLE),
                         1.0 / {MIX_T})) AS BIGINT) AS r
   FROM c),
 w AS (
@@ -14608,9 +14608,16 @@ WITH per AS (
          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
               AS BIGINT) AS bad
   FROM events GROUP BY 1),
+pp AS (
+  SELECT *, bad * (n - bad) AS p FROM per),
+t1s AS (
+  SELECT *, (p // n) * 1000000 + ((p % n) * 1000000) // n AS t1,
+         ((p % n) * 1000000) % n AS r2
+  FROM pp),
 st AS (
-  SELECT *, (bad * (n - bad) * 1000000000000) // n + 1000000000000 AS x
-  FROM per),
+  SELECT key, n, bad,
+         t1 * 1000000 + (r2 * 1000000) // n + 1000000000000 AS x
+  FROM t1s),
 sd AS (SELECT *, CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) AS s0
        FROM st),
 sc AS (
@@ -15409,6 +15416,35 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_clic_hub_links": q_clic_hub_links,
     "q_line_dedup": q_line_dedup,
     "q_winnow_fingerprints": q_winnow_fingerprints,
+}
+
+# Gate-rotation (round 5): the driver's correctness gate samples the FIRST 50
+# registry entries.  Rounds 1-4 left 145 of 279 queries without a hard driver
+# row, and five operators were rewritten after their last green row
+# (q_pii_scrub, q_web_refine, q_sessionize, q_ann_ivf_topk,
+# q_neardup_clusters).  Seat those five plus the round-4 crawl-plane core and
+# never-gated graph/IR queries in the window; everything else keeps its
+# registry order.  The full-registry oracle run (scripts/compare_oracle.py)
+# still covers all 279 every session.
+_GATE_FIRST: list[str] = [
+    "q_pii_scrub", "q_web_refine", "q_sessionize", "q_ann_ivf_topk",
+    "q_neardup_clusters", "q_pct_normalize", "q_opengraph",
+    "q_robots_wildcards", "q_warc_ingest", "q_cdx_index",
+    "q_modularity", "q_kmeans", "q_soft404_probe", "q_ip_politeness",
+    "q_opic", "q_lm_terciles", "q_hyperball", "q_harmonic_centrality",
+    "q_bowtie", "q_random_walks", "q_ann_truncated_topk", "q_theta_overlap",
+    "q_jpeg_decode", "q_video_frames", "q_pagerank_incremental",
+    "q_gif_decode", "q_host_overlap", "q_opic_greedy", "q_lang_smooth",
+    "q_salsa", "q_fetch_fairness", "q_robots_drift", "q_hll_by_host",
+    "q_priority_fusion", "q_graph_census", "q_curriculum", "q_rrf_hybrid",
+    "q_rank_correlation", "q_indegree_dist", "q_fetch_schedule",
+    "q_url_identity", "q_seed_cover", "q_crawl_cube", "q_collocations",
+    "q_leakage_splits", "q_retry_backoff", "q_discovery_forecast",
+    "q_kcore", "q_jaccard_join", "q_related_hosts",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _GATE_FIRST},
+    **{k: v for k, v in QUERIES.items() if k not in set(_GATE_FIRST)},
 }
 
 ORACLES: dict[str, str] = {

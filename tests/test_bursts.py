@@ -65,3 +65,20 @@ def test_plan_fold_no_corpus_window(spark):
     assert "BatchEvalPython" not in plan
     # the only Window is per-term numbering over interval rows
     assert plan.count("Window") <= 1
+
+
+def test_ewma_integer_division_past_2_53(spark):
+    # Regression: the EWMA update must floor-divide in INTEGER semantics
+    # (matching the oracle's `// 100`).  With counts this large the EWMA
+    # after hour 1 is ~4.2e16 (> 2^53); double `/` + floor lands 2 low,
+    # and this n2 sits exactly in the gap: integer semantics enter a
+    # burst at hour 2, double semantics miss it.  All comparisons stay
+    # inside int64 (ent*ewma <= 9.2e18).
+    rows = [
+        ("a", 0, 450_000_000_000_008),
+        ("a", 1, 13),
+        ("a", 2, 630_000_000_000_019),
+        ("a", 3, 1),
+        ("a", 4, 1),
+    ]
+    assert _run(spark, rows) == [("a", 1, 2, 2)]

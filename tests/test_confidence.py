@@ -128,3 +128,23 @@ def test_ks_binned_is_lower_bound_within_bin(spark):
     new = spark.createDataFrame([(100,)] * 10, "lat long")
     r = ks_drift_binned(old, new, "lat").collect()[0]
     assert r.d_ppm == 0  # the documented coarsening property
+
+
+def test_wilson_large_n_no_overflow(spark):
+    # Regression: bad*(n-bad)*10^12 overflows int64 once bad*(n-bad)
+    # exceeds ~9.2e6 (n over ~6k at mid-range rates).  The staged
+    # divide-first computation must stay exact for per-key n up to
+    # 3e7.  n=100k, bad=40k: bad*(n-bad)=2.4e9 — the old single-shot
+    # multiply wrapped.
+    from pyspark.sql import functions as F
+
+    df = spark.range(100_000).select(
+        F.lit("h").alias("host"), (F.col("id") < 40_000).alias("bad")
+    )
+    r = wilson_flags(df, "host", "bad").collect()[0]
+    lb, ub = _wilson_py(40_000, 100_000)
+    assert (r.n, r.bad) == (100_000, 40_000)
+    assert (r.lb_ppm, r.ub_ppm) == (lb, ub)
+    assert r.lb_ppm <= r.rate_ppm <= r.ub_ppm
+    # interval is tight at this n: both bounds within 1% of 40%
+    assert 390_000 < r.lb_ppm < 400_000 < r.ub_ppm < 410_000

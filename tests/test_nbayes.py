@@ -92,3 +92,21 @@ def test_plans_no_window_no_python_broadcast_model(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in cls_plan
+
+
+def test_null_text_scores_prior_only_like_oracle(spark):
+    # Regression: NULL text must behave like empty text (prior-only
+    # prediction).  explode(NULL) yields no feature rows and
+    # size(NULL) is -1 (never 0), so the old `size == 0` empty branch
+    # silently dropped NULL-text docs while the DuckDB oracle's NOT-IN
+    # branch kept them.
+    docs = spark.createDataFrame(
+        [(1, "a", "w w w"), (2, "b", "v"), (3, "a", None)],
+        "id long, lang string, text string",
+    )
+    model = nb_train(docs.filter("id <= 2"), "id", "text", "lang", n_buckets=8)
+    out = {r.id: r for r in nb_classify(docs, model, "id", "text",
+                                        n_buckets=8).collect()}
+    assert set(out) == {1, 2, 3}
+    lg = lambda v: math.floor(FXP * math.log2(v))
+    assert out[3].pred == "a" and out[3].score_fxp == lg(1) - lg(2)

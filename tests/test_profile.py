@@ -79,7 +79,7 @@ def test_temperature_mix_exact_roots_and_flattening(spark):
     # T=1 proportional; T=2 sqrt-flattened
     for lang, tok in (("en", 10**6), ("sw", 10**4), ("yo", 100)):
         assert t1[lang].weight == tok * 10**6
-        assert t2[lang].weight == math.isqrt(tok * 10**12)
+        assert t2[lang].weight == math.isqrt(tok * 10**8)
     assert t1["en"].share_ppm == 990_000  # 1e6/1.0101e6
     # sqrt flattening: tail share grows, head share shrinks
     assert t2["yo"].share_ppm > t1["yo"].share_ppm
@@ -100,3 +100,23 @@ def test_temperature_mix_t3_exact_cube_root(spark):
            temperature_mix(counts, temperature=3).collect()}
     # scale 10^9: (8e9)^(1/3) = 2000, (27e9)^(1/3) = 3000
     assert out == {"a": 2000, "b": 3000, "c": 0}
+
+
+def test_temperature_mix_t2_large_stratum_no_overflow(spark):
+    # Regression: the old 10^12 pre-scale for T=2 overflowed int64 past
+    # ~9.2e6 tokens per stratum — trivially reached by any real
+    # language.  The 10^8 scale stays exact to ~9.2e10 tokens.
+    import math
+
+    from biothings_crawler_spark.operators.sampling import temperature_mix
+
+    counts = spark.createDataFrame(
+        [("en", 50_000_000_000), ("yo", 1_000_000)],
+        "stratum string, tokens long",
+    )
+    out = {r.stratum: r for r in
+           temperature_mix(counts, temperature=2).collect()}
+    assert out["en"].weight == math.isqrt(50_000_000_000 * 10**8)
+    assert out["yo"].weight == math.isqrt(1_000_000 * 10**8)
+    tot = out["en"].weight + out["yo"].weight
+    assert out["en"].share_ppm == out["en"].weight * 10**6 // tot
