@@ -26,6 +26,7 @@ Design notes for 100 TB of media:
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -709,11 +710,15 @@ def audio_dup_groups(fps: DataFrame) -> DataFrame:
 
 JPEG_FEATURES_SCHEMA = (
     "media_id long, width int, height int, n_pixels long, "
-    "sum_gray long, min_gray int, max_gray int"
+    "sum_gray long, min_gray int, max_gray int, decode_err string"
 )
 
 
-def gen_jpeg_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+def gen_jpeg_media(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    progressive_every: int | None = None,
+) -> DataFrame:
     """Worker-side synthesis of REAL baseline JPEG bytes
     (operators/jpegcodec): 16x16 grayscale, four 8x8 blocks each a
     constant EVEN value ``2*((id*37 + by*2 + bx) % 128)`` — the
@@ -721,22 +726,37 @@ def gen_jpeg_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     codec's documented exactness lane (pure-DC blocks, DC step 16), so
     the decoded pixels equal the source bit-for-bit and the feature
     sums are oracle-exact; pytest separately bounds the error on
-    non-flat images."""
+    non-flat images.
+
+    ``progressive_every=k`` makes ids divisible by k emit a
+    PROGRESSIVE (SOF2) stub instead — the malformed-input lane for the
+    decoder's decode_err path (real web corpora mix progressive/chroma
+    JPEGs into any image column)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
         from biothings_crawler_spark.operators import jpegcodec as jc
 
         for pdf in batches:
             out = {"media_id": [], "content": []}
             for mid in pdf[id_col]:
                 mid = int(mid)
+                out["media_id"].append(mid)
+                if progressive_every and mid % progressive_every == 0:
+                    # SOI + SOF2 header stub: enough structure to reach
+                    # the marker dispatch and fail as 'progressive'
+                    sof2 = (b"\xff\xc2" + _struct.pack(">H", 11)
+                            + bytes([8]) + _struct.pack(">HH", 16, 16)
+                            + bytes([1, 1, 0x11, 0]))
+                    out["content"].append(b"\xff\xd8" + sof2 + b"\xff\xd9")
+                    continue
                 blocks = np.array(
                     [[2 * ((mid * 37 + by * 2 + bx) % 128)
                       for bx in range(2)] for by in range(2)]
                 )
                 img = np.kron(blocks, np.ones((8, 8), dtype=int)).astype(
                     np.uint8)
-                out["media_id"].append(mid)
                 out["content"].append(jc.jpeg_encode_gray(img))
             yield pd.DataFrame(out)
 
@@ -751,7 +771,12 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
     documented scope, like PNG's §9 and WAV's PCM scopes).  Same
     Arrow-batched mapInPandas shape as the PNG/WAV decoders; exact
     integer features so the oracle comparison is exact on the
-    block-constant fixture lane."""
+    block-constant fixture lane.
+
+    Out-of-scope inputs (progressive/chroma-subsampled/truncated
+    JPEGs — routine in any real web image column) land in the
+    ``decode_err`` column with NULL features instead of killing the
+    task: one malformed image must never fail a 100-TB stage."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from biothings_crawler_spark.operators import jpegcodec as jc
@@ -759,17 +784,26 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             cols = {k: [] for k in ("media_id", "width", "height",
                                     "n_pixels", "sum_gray", "min_gray",
-                                    "max_gray")}
+                                    "max_gray", "decode_err")}
             for mid, b in zip(pdf["media_id"], pdf["content"]):
-                img = jc.jpeg_decode_gray(bytes(b))
-                h, w = img.shape
                 cols["media_id"].append(int(mid))
+                try:
+                    img = jc.jpeg_decode_gray(bytes(b))
+                except (NotImplementedError, ValueError, KeyError,
+                        IndexError, struct.error) as e:
+                    for k in ("width", "height", "n_pixels", "sum_gray",
+                              "min_gray", "max_gray"):
+                        cols[k].append(None)
+                    cols["decode_err"].append(str(e) or type(e).__name__)
+                    continue
+                h, w = img.shape
                 cols["width"].append(w)
                 cols["height"].append(h)
                 cols["n_pixels"].append(w * h)
                 cols["sum_gray"].append(int(img.sum()))
                 cols["min_gray"].append(int(img.min()))
                 cols["max_gray"].append(int(img.max()))
+                cols["decode_err"].append(None)
             yield pd.DataFrame(cols)
 
     return media.mapInPandas(run, JPEG_FEATURES_SCHEMA)

@@ -2780,10 +2780,14 @@ keyed AS (
            AS eligible
   FROM lines),
 winners AS (
-  SELECT k, MIN(id * 1048576 + pos) AS w FROM keyed WHERE eligible GROUP BY k),
+  -- lexicographic struct MIN mirrors the Spark side's min(struct(id,pos)):
+  -- no bit-packing, so ids >= 2^43 and >2^20 passages per doc stay exact
+  SELECT k, MIN(struct_pack(i := id, p := pos)) AS w
+  FROM keyed WHERE eligible GROUP BY k),
 kept AS (
   SELECT x.id, x.pos, x.passage FROM keyed x LEFT JOIN winners USING (k)
-  WHERE NOT eligible OR id * 1048576 + pos = w),
+  WHERE NOT eligible
+     OR (id = struct_extract(w, 'i') AND pos = struct_extract(w, 'p'))),
 rebuilt AS (
   SELECT id, array_to_string(list(passage ORDER BY pos), chr(10)) AS clean_text,
          CAST(COUNT(*) AS BIGINT) AS n_kept
@@ -12000,7 +12004,10 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     and round-trip bit-exactly), so the oracle recomputes every feature
     from the generator's closed form, never touching the bytes; pytest
     separately bounds non-flat roundtrip error and pins Huffman/marker
-    edges."""
+    edges.  Ids divisible by 7 emit a PROGRESSIVE (SOF2) stub — the
+    out-of-scope marker class — and must land in ``decode_err`` with
+    NULL features while the stage completes (one malformed image never
+    fails the batch)."""
     from biothings_crawler_spark.operators.multimodal import (
         decode_jpeg_features,
         gen_jpeg_media,
@@ -12009,22 +12016,27 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     ids = d.filter(F.col("doc_id") % 10 == 7).select(
         F.col("doc_id").alias("media_id"))
-    return decode_jpeg_features(gen_jpeg_media(ids))
+    return decode_jpeg_features(gen_jpeg_media(ids, progressive_every=7))
 
 
 SQL_JPEG_DECODE = """
 WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 7),
-b AS (SELECT media_id,
+b AS (SELECT media_id, media_id % 7 = 0 AS prog,
              list_transform(range(4),
                k -> 2 * ((media_id * 37 + (k // 2) * 2 + (k % 2)) % 128))
                AS blocks
       FROM m)
 SELECT media_id,
-       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
-       CAST(256 AS BIGINT) AS n_pixels,
-       CAST(64 * list_sum(blocks) AS BIGINT) AS sum_gray,
-       CAST(list_min(blocks) AS INT) AS min_gray,
-       CAST(list_max(blocks) AS INT) AS max_gray
+       CASE WHEN prog THEN NULL ELSE CAST(16 AS INT) END AS width,
+       CASE WHEN prog THEN NULL ELSE CAST(16 AS INT) END AS height,
+       CASE WHEN prog THEN NULL ELSE CAST(256 AS BIGINT) END AS n_pixels,
+       CASE WHEN prog THEN NULL
+            ELSE CAST(64 * list_sum(blocks) AS BIGINT) END AS sum_gray,
+       CASE WHEN prog THEN NULL
+            ELSE CAST(list_min(blocks) AS INT) END AS min_gray,
+       CASE WHEN prog THEN NULL
+            ELSE CAST(list_max(blocks) AS INT) END AS max_gray,
+       CASE WHEN prog THEN 'baseline SOF0 only' ELSE NULL END AS decode_err
 FROM b
 """
 

@@ -137,3 +137,27 @@ def test_video_frame_sampling_stride(spark):
                         + by * 2 + bx) % 128)
                   for by in range(2) for bx in range(2)]
         assert r["sum_gray"] == 64 * sum(blocks)
+
+
+def test_spark_decode_stage_routes_progressive_to_decode_err(spark):
+    """A progressive (SOF2) JPEG in the batch must not kill the stage:
+    it lands in decode_err with NULL features while baseline rows
+    decode normally."""
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.multimodal import (
+        decode_jpeg_features,
+        gen_jpeg_media,
+    )
+
+    ids = spark.range(1, 15).select(F.col("id").alias("media_id"))
+    got = {r["media_id"]: r for r in
+           decode_jpeg_features(
+               gen_jpeg_media(ids, progressive_every=7)).collect()}
+    assert len(got) == 14  # every input produced a row — stage completed
+    for mid in (7, 14):
+        assert got[mid]["decode_err"] == "baseline SOF0 only"
+        assert got[mid]["width"] is None and got[mid]["sum_gray"] is None
+    for mid in (1, 2, 13):
+        assert got[mid]["decode_err"] is None
+        assert got[mid]["n_pixels"] == 256

@@ -2425,3 +2425,42 @@ def test_pq_adc_recall_vs_exact_on_quantized(spark):
     # 8-byte codes vs 64-byte vectors (measured 0.54 on this fixture
     # at the m=16/k=16/rounds=2 defaults; pinned with headroom)
     assert recall >= 0.45, recall
+
+
+def test_passage_dedup_huge_ids_and_million_passage_doc(spark):
+    """Winner selection is exact min(struct(id, pos)) — no bit-packed
+    `id * 2^20 + pos` encoding.  The packed form overflows int64 for
+    ids >= 2^43 and bleeds pos into id bits past 2^20 passages; both
+    cases must pick the true lexicographic-first copy."""
+    import pandas as pd
+
+    from biothings_crawler_spark.operators.text import passage_dedup
+
+    dup = "this passage is duplicated verbatim across documents"
+    # ids >= 2^43: packed winner key (id * 2^20) would overflow int64
+    big = spark.createDataFrame(pd.DataFrame({
+        "id": [2**50 + 1, 2**43 + 7],
+        "t": [f"{dup}\nbig unique line one", f"{dup}\nbig unique line two"],
+    }))
+    out = {r["id"]: r for r in
+           passage_dedup(big, "id", "t", min_chars=20).collect()}
+    assert out[2**43 + 7]["n_removed"] == 0      # smaller id wins
+    assert out[2**50 + 1]["n_removed"] == 1
+    assert dup in out[2**43 + 7]["clean_text"]
+    assert dup not in out[2**50 + 1]["clean_text"]
+
+    # >2^20 passages in one doc: packed pos would overflow into the id
+    # field, making (0, 2^20+3) rank AFTER (1, 0) — the true winner is
+    # doc 0 (smaller id) even though its copy sits past position 2^20.
+    n = 2**20 + 3
+    doc0 = "\n".join(f"unique filler line number {i} aaaa" for i in range(n))
+    doc0 += "\n" + dup
+    docs = spark.createDataFrame(pd.DataFrame({
+        "id": [0, 1],
+        "t": [doc0, f"{dup}\nsecond doc unique line"],
+    }))
+    out = {r["id"]: r for r in
+           passage_dedup(docs, "id", "t", min_chars=20).collect()}
+    assert out[0]["n_removed"] == 0 and out[0]["n_kept"] == n + 1
+    assert out[1]["n_removed"] == 1
+    assert dup not in out[1]["clean_text"]
