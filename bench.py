@@ -496,14 +496,28 @@ def main() -> None:
         "rows": counts,
     }
     # emit the result BEFORE spark.stop() and ALSO to a file: the
-    # driver parses stdout's last line, and a noisy shutdown tail once
-    # truncated the JSON mid-value (BENCH_r03 lesson). The file is the
-    # always-complete copy.
+    # driver parses a bounded stdout TAIL (~2000 chars), and the full
+    # 180-entry line outgrew it in r04 (parsed: null). Print the full
+    # line first for the log, then a COMPACT headline (flagship timings
+    # only, guaranteed < 1 KB) as the FINAL line so the tail window
+    # always holds one complete JSON object. BENCH_LAST.json remains
+    # the always-complete copy.
     line = json.dumps(out)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LAST.json"), "w") as f:
         f.write(line + "\n")
     print(line, flush=True)
+    headline_queries = {
+        k: timings[k]
+        for k in ("crawl_sched", "extract_jsonld", "mega_pipeline",
+                  "training_pipeline", "q_politeness_quota",
+                  "q_minhash_lsh", "q_ann_ivf_topk", "q_sessionize")
+        if k in timings
+    }
+    compact = dict(out, queries=headline_queries,
+                   rows={"suite_entries": len(timings)},
+                   full="BENCH_LAST.json")
+    print(json.dumps(compact), flush=True)
     spark.stop()
 
 

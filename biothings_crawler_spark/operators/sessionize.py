@@ -103,3 +103,90 @@ def sessionize(
         F.col("s.end_us").alias("end_us"),
         (F.col("s.end_us") - F.col("s.start_us")).alias("duration_us"),
     )
+
+
+def sessionize_fold(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak_col: str,
+    gap_seconds: int = 600,
+) -> DataFrame:
+    """Hash-agg-only twin of :func:`sessionize` — identical output
+    (pytest cross-checks every column, session_idx included), computed
+    without ANY SortExec or WindowExec in the physical plan.
+
+    Why a second shape exists: ``session_window``'s physical operator
+    sorts each key-partition by time, and partition-wide sorts are the
+    one operator family measured to degrade >=2.15x under 4-way
+    executor concurrency on this host class (pure-JVM control,
+    BASELINE.md) — the lone N->4N scaling datapoint below 0.8.  This
+    shape replaces the sort with per-key ARRAY expressions:
+
+      groupBy(key) -> array_sort(collect_list(ts_us))       [hash agg]
+      boundaries   = filter(indices, gap exceeded at i)     [row-local]
+      sessions     = transform(boundaries, slice stats)     [row-local]
+      posexplode                                            [row-local]
+
+    ``array_sort`` is an expression over one key's own events —
+    embarrassingly parallel, no shared sort buffers — so the whole
+    plan is the same two-hash-agg shape as the chunked index build
+    that holds 0.99 N->4N efficiency.  Per-group memory is one key's
+    EVENT count (vs session count for :func:`sessionize`): bounded for
+    real web keys (users/hosts have bounded activity per retention
+    window); pre-split a degenerate single-key stream by time before
+    calling, as with :func:`sessionize`.
+
+    All boundary semantics match :func:`sessionize`: strict ``>`` on
+    the gap, ties timestamp-equal events into one session,
+    tiebreak-independent membership.
+    """
+    gap_us = gap_seconds * 1_000_000
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.array_sort(F.collect_list(us)).alias("evs")
+    )
+    n = F.size("evs")
+    # 0-based positions where a new session starts: position 0, and any
+    # i whose gap from i-1 strictly exceeds gap_us.  greatest(i,1)
+    # keeps element_at's 1-based index legal at i=0 (that branch of the
+    # OR is then decided by i==0 regardless of the gap value).
+    per = per.withColumn(
+        "starts",
+        F.filter(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: (i == 0)
+            | (
+                F.element_at("evs", (i + 1).cast("int"))
+                - F.element_at(
+                    "evs", F.greatest(i, F.lit(1)).cast("int"))
+                > F.lit(gap_us)
+            ),
+        ),
+    )
+
+    # session j spans positions [starts[j], starts[j+1]-1] (last: n-1)
+    def mk_session(s, j):
+        nxt = F.when(
+            j == F.size("starts") - 1, n
+        ).otherwise(F.element_at("starts", (j + 2).cast("int")))
+        return F.struct(
+            (nxt - s).cast("long").alias("n_events"),
+            F.element_at("evs", (s + 1).cast("int")).alias("start_us"),
+            F.element_at("evs", nxt.cast("int")).alias("end_us"),
+        )
+
+    folded = per.select(
+        "key",
+        F.posexplode(F.transform("starts", mk_session)).alias("idx", "s"),
+    )
+    return folded.select(
+        "key",
+        (F.col("idx") + 1).cast("long").alias("session_idx"),
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.start_us").alias("start_us"),
+        F.col("s.end_us").alias("end_us"),
+        (F.col("s.end_us") - F.col("s.start_us")).alias("duration_us"),
+    )

@@ -3723,6 +3723,20 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, "user_id", "ts", "event_id", gap_seconds=SESSION_GAP_S)
 
 
+def q_sessionize_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-agg-only sessionization (operators/sessionize.
+    sessionize_fold): same sessions as q_sessionize — same oracle —
+    computed with zero SortExec/WindowExec (array_sort + filter +
+    transform per key), the shape built for N->4N executor-concurrency
+    scaling on hosts where partition sorts degrade."""
+    from biothings_crawler_spark.operators.sessionize import sessionize_fold
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_fold(
+        ev, "user_id", "ts", "event_id", gap_seconds=SESSION_GAP_S
+    )
+
+
 SQL_SESSIONIZE = f"""
 WITH flagged AS (
   SELECT user_id AS key, epoch_us(ts) AS us,
@@ -4367,8 +4381,18 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     CRLF-framed WARC records synthesized from documents — response
     records with an HTTP header block, request records (dropped), and
     a torn record with no Target-URI (dropped) — parsed to the
-    input_hint page shape entirely in codegen regexes."""
-    from biothings_crawler_spark.sources.warc import warc_pages
+    input_hint page shape entirely in codegen regexes.
+
+    The records ride CC's REAL archive framing end-to-end: packed into
+    .warc.gz blobs of concatenated per-record gzip members
+    (gzip_member_files, ~25 records/file), then split + gunzipped back
+    (split_warc_gz_members) before parsing — so the oracle match also
+    certifies the member framing roundtrip."""
+    from biothings_crawler_spark.sources.warc import (
+        gzip_member_files,
+        split_warc_gz_members,
+        warc_pages,
+    )
 
     d = _t(spark, sf_dir, "documents")
     i = F.col("doc_id").cast("string")
@@ -4404,7 +4428,13 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("Content-Length: "), F.length(http).cast("string"), F.lit("\r\n"),
         F.lit("\r\n"), http,
     )
-    return warc_pages(d.select(F.encode(record, "utf-8").alias("record")))
+    framed = d.select(
+        (F.col("doc_id") % 20).alias("file_id"),
+        F.encode(record, "utf-8").alias("record"),
+    )
+    files = gzip_member_files(framed)           # .warc.gz member blobs
+    records = split_warc_gz_members(files)      # back to one row/record
+    return warc_pages(records)
 
 
 SQL_WARC_INGEST = r"""
@@ -15428,6 +15458,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_clic_hub_links": q_clic_hub_links,
     "q_line_dedup": q_line_dedup,
     "q_winnow_fingerprints": q_winnow_fingerprints,
+    "q_sessionize_fold": q_sessionize_fold,
 }
 
 # Gate-rotation (round 5): the driver's correctness gate samples the FIRST 50
@@ -15690,6 +15721,7 @@ ORACLES: dict[str, str] = {
     "q_inverted_index": SQL_INVERTED_INDEX,
     "q_bm25_topk": SQL_BM25_TOPK,
     "q_sessionize": SQL_SESSIONIZE,
+    "q_sessionize_fold": SQL_SESSIONIZE,
     "q_asof_join": SQL_ASOF_JOIN,
     "q_range_join": SQL_RANGE_JOIN,
     "q_hypertable_rollup": SQL_HYPERTABLE_ROLLUP,

@@ -162,3 +162,99 @@ def render_wet(
     )
     return df.select(
         *[F.col(c) for c in keep], F.encode(record, "utf-8").alias("record"))
+
+
+def gzip_member_files(
+    df: DataFrame,
+    file_col: str = "file_id",
+    record_col: str = "record",
+) -> DataFrame:
+    """The writer half of Common Crawl's ``.warc.gz`` framing: group
+    records by ``file_col`` and emit ONE binary blob per file made of
+    CONCATENATED GZIP MEMBERS — one member per record, deterministic
+    record order (lexicographic by raw record bytes), mtime=0 so the
+    bytes are reproducible.  This member-per-record layout is what
+    makes CC archives randomly addressable: a CDX row's
+    (offset, length) slice of the file is a self-contained gzip
+    stream.
+
+    Arrow-batched ``applyInPandas`` (gzip itself is Python's zlib —
+    there is no JVM-side expression for it); one keyed shuffle on the
+    file assignment, the same shape any archive writer needs."""
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import gzip as _gzip
+
+        blob = b""
+        for rec in sorted(pdf[record_col], key=bytes):
+            blob += _gzip.compress(bytes(rec), compresslevel=6, mtime=0)
+        return pd.DataFrame(
+            {"file_id": [pdf[file_col].iloc[0]], "content": [blob]}
+        )
+
+    return df.groupBy(file_col).applyInPandas(
+        pack, "file_id long, content binary"
+    )
+
+
+def split_warc_gz_members(
+    df: DataFrame,
+    content_col: str = "content",
+    keep: tuple[str, ...] = ("file_id",),
+) -> DataFrame:
+    """The reader half: split a ``.warc.gz`` blob (one binary column,
+    e.g. from ``spark.read.format('binaryFile')``) into its gzip
+    members and decompress each — one output row per WARC record:
+    ``(*keep, member_no, offset, comp_length, record)``.
+
+    ``offset``/``comp_length`` delimit the member INSIDE the blob —
+    exactly the (offset, length) pair a CDX index records, so
+    ``content[offset : offset+comp_length]`` gunzips standalone
+    (pytest-asserted).  Decompression walks ``zlib.decompressobj``'s
+    ``unused_data`` chain — sequential per file by gzip's nature, but
+    embarrassingly parallel ACROSS files, which is how a 100-TB
+    archive scales (CC shards are ~1 GB each; parallelism = file
+    count).  A trailing torn member degrades to a truncated final
+    record rather than failing the task."""
+    import pandas as pd
+
+    def split(batches):
+        import zlib as _zlib
+
+        for pdf in batches:
+            out: dict = {k: [] for k in keep}
+            out.update({"member_no": [], "offset": [],
+                        "comp_length": [], "record": []})
+            for _, row in pdf.iterrows():
+                data = bytes(row[content_col])
+                pos = 0
+                member = 0
+                while pos < len(data):
+                    d = _zlib.decompressobj(wbits=31)
+                    try:
+                        rec = d.decompress(data[pos:])
+                        rec += d.flush()
+                    except _zlib.error:
+                        break  # torn trailing member: stop, keep prior
+                    if not d.eof:
+                        break  # incomplete member (no trailer): torn
+                    consumed = len(data) - pos - len(d.unused_data)
+                    if consumed <= 0:
+                        break
+                    for k in keep:
+                        out[k].append(row[k])
+                    out["member_no"].append(member)
+                    out["offset"].append(pos)
+                    out["comp_length"].append(consumed)
+                    out["record"].append(rec)
+                    member += 1
+                    pos += consumed
+            yield pd.DataFrame(out)
+
+    schema = ", ".join(
+        [f"{k} long" for k in keep]
+        + ["member_no long", "offset long", "comp_length long",
+           "record binary"]
+    )
+    return df.mapInPandas(split, schema)

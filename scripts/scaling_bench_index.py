@@ -56,7 +56,10 @@ def child(cores: int, job: str, barrier: str | None = None) -> None:
         inverted_postings,
         postings_chunks,
     )
-    from biothings_crawler_spark.operators.sessionize import sessionize
+    from biothings_crawler_spark.operators.sessionize import (
+        sessionize,
+        sessionize_fold,
+    )
     from biothings_crawler_spark.session import get_spark
 
     # per-process tmpfs scratch for shuffle/spill: colocating 4
@@ -110,7 +113,10 @@ def child(cores: int, job: str, barrier: str | None = None) -> None:
 
     # ---- job 2: sessionize replicated events (distinct key space per
     # replica, so hot-key size stays constant while data grows).
-    if job in ("sessionize", "all"):
+    # job "sessionize" times the session_window shape; "sessionize_fold"
+    # times the hash-agg-only twin (zero SortExec — the shape built for
+    # exactly this N->4N criterion; operators/sessionize.py docstring).
+    if job in ("sessionize", "sessionize_fold", "all"):
         ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
         reps_e = spark.range(REPLICAS_EV).select(F.col("id").alias("rep"))
         e = (
@@ -124,13 +130,14 @@ def child(cores: int, job: str, barrier: str | None = None) -> None:
             .localCheckpoint(eager=True)
         )
         n_events = e.count()
+        impl = sessionize_fold if job == "sessionize_fold" else sessionize
         if barrier:
             await_barrier(barrier)
         t0 = time.time()
-        sess = sessionize(e, "uid", "ts", "event_id", gap_seconds=600)
+        sess = impl(e, "uid", "ts", "event_id", gap_seconds=600)
         n_sessions = sess.count()
         dt_sess = time.time() - t0
-        out["sessionize"] = {
+        out[job if job != "all" else "sessionize"] = {
             "seconds": round(dt_sess, 3), "n_events": n_events,
             "n_sessions": n_sessions,
             "events_per_sec": round(n_events / dt_sess, 1),
@@ -161,13 +168,27 @@ def main() -> None:
     def run_one(jb):
         out = subprocess.run(
             [sys.executable, me, "--cores", "1", "--job", jb],
-            capture_output=True, text=True, check=True, env=env,
+            capture_output=True, text=True, env=env,
         )
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        lines = (out.stdout or "").strip().splitlines()
+        if out.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"solo scaling child (job={jb}) failed: rc={out.returncode}, "
+                f"stdout empty={not lines}, stderr tail: "
+                f"{(out.stderr or '')[-400:]}"
+            )
+        try:
+            return json.loads(lines[-1])
+        except json.JSONDecodeError as e:
+            raise RuntimeError(
+                f"solo scaling child (job={jb}) emitted non-JSON last "
+                f"line: {lines[-1][:200]!r}"
+            ) from e
 
     tables = {}
     for job, unit_rows, unit in (
         ("sessionize", "n_events", "events"),
+        ("sessionize_fold", "n_events", "events"),
         ("bm25_index", "n_postings", "postings"),
     ):
         # leg A: one 1-core executor; leg B: four concurrent 1-core
@@ -197,7 +218,13 @@ def main() -> None:
                         f"scaling child (job={job}, n={n}) died after the "
                         f"barrier: rc={p.returncode}, stdout empty={not lines}"
                     )
-                outs.append(json.loads(lines[-1]))
+                try:
+                    outs.append(json.loads(lines[-1]))
+                except json.JSONDecodeError as e:
+                    raise RuntimeError(
+                        f"scaling child (job={job}, n={n}) emitted non-JSON "
+                        f"last line: {lines[-1][:200]!r}"
+                    ) from e
             return outs
 
         solo = run_one(job)
@@ -239,11 +266,17 @@ def main() -> None:
     }
 
     out_path = os.path.join(REPO, "BENCH_SCALING_WEBTEXT.json")
+    existing = {}
     if os.path.exists(out_path):
-        with open(out_path) as f:
-            existing = json.load(f)
-    else:
-        existing = {}
+        try:
+            with open(out_path) as f:
+                existing = json.load(f)
+        except (json.JSONDecodeError, OSError) as e:
+            # a corrupt/partial accumulator file must not kill the run
+            # — start a fresh window list and say so
+            print(f"warning: unreadable {out_path} ({e}); starting fresh",
+                  file=sys.stderr)
+            existing = {}
     if "job" in existing:  # old single-table layout
         existing = {"webtext_refine": existing}
     # ACCUMULATE windows instead of overwriting: this host's noise
@@ -255,15 +288,19 @@ def main() -> None:
     existing["bm25_index_and_sessionize_windows"] = wlist
     headline = {"model": entry["model"], "sf": SF_DIR,
                 "n_windows": len(wlist)}
-    for job in ("sessionize", "bm25_index"):
-        effs2 = [w[job]["local2N"]["scaling_efficiency"]
-                 for w in wlist if job in w]
-        effs4 = [w[job]["local4N"]["scaling_efficiency"]
-                 for w in wlist if job in w]
-        bi = max(range(len(wlist)),
-                 key=lambda k: wlist[k][job]["local4N"]["scaling_efficiency"])
+    for job in ("sessionize", "sessionize_fold", "bm25_index"):
+        # windows may carry only one job (filtered runs, old layouts):
+        # aggregate over the windows that actually have this one
+        jwins = [w[job] for w in wlist
+                 if job in w and "local4N" in w.get(job, {})]
+        if not jwins:
+            continue
+        effs2 = [jw["local2N"]["scaling_efficiency"] for jw in jwins]
+        effs4 = [jw["local4N"]["scaling_efficiency"] for jw in jwins]
+        best = max(jwins,
+                   key=lambda jw: jw["local4N"]["scaling_efficiency"])
         headline[job] = {
-            **wlist[bi][job],
+            **best,
             "windows_2N": effs2,
             "windows_4N": effs4,
             "best_window_4N": max(effs4),

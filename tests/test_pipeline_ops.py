@@ -2464,3 +2464,59 @@ def test_passage_dedup_huge_ids_and_million_passage_doc(spark):
     assert out[0]["n_removed"] == 0 and out[0]["n_kept"] == n + 1
     assert out[1]["n_removed"] == 1
     assert dup not in out[1]["clean_text"]
+
+
+def test_sessionize_fold_matches_sessionize_and_has_no_sort(spark):
+    """The hash-agg-only sessionizer must (a) reproduce sessionize
+    exactly on real event data — every column, session_idx included —
+    and (b) compile to a plan with ZERO SortExec / WindowExec (the
+    operator family that degrades under 4-way executor concurrency on
+    this host class; that absence is its reason to exist)."""
+    import re
+
+    from biothings_crawler_spark.operators.sessionize import (
+        sessionize,
+        sessionize_fold,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cols = ("key", "session_idx", "n_events", "start_us", "end_us",
+            "duration_us")
+    a = {tuple(r[c] for c in cols)
+         for r in sessionize(ev, "user_id", "ts", "event_id",
+                             gap_seconds=600).collect()}
+    fold = sessionize_fold(ev, "user_id", "ts", "event_id", gap_seconds=600)
+    b = {tuple(r[c] for c in cols) for r in fold.collect()}
+    assert a == b and len(a) > 100
+    plan = fold._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"\bSort\b", plan)      # no partition sort
+    assert "Window" not in plan                  # no WindowExec
+    assert "BatchEvalPython" not in plan
+
+
+def test_sessionize_fold_gap_boundaries(spark):
+    """Same 1-microsecond boundary contract as sessionize: an event
+    exactly at the gap stays in the session; one microsecond over
+    starts a new one.  Also pins single-event keys (starts=[0] path)."""
+    import datetime as dt
+
+    from biothings_crawler_spark.operators.sessionize import sessionize_fold
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 100),
+        (2, t0 + dt.timedelta(seconds=300), 100),
+        (3, t0 + dt.timedelta(seconds=1000), 100),
+        (4, t0 + dt.timedelta(seconds=1600.000001), 100),
+        (5, t0, 200),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long"
+    )
+    out = sessionize_fold(df, "user_id", "ts", "event_id", gap_seconds=600)
+    got = {(r["key"], r["session_idx"]): (r["n_events"], r["duration_us"])
+           for r in out.collect()}
+    assert got[(100, 1)] == (2, 300_000_000)
+    assert got[(100, 2)] == (1, 0)
+    assert got[(100, 3)] == (1, 0)  # one microsecond over the gap
+    assert got[(200, 1)] == (1, 0)

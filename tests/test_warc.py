@@ -67,3 +67,54 @@ def test_warc_plan_is_jvm_only(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # narrow projection end-to-end
+
+
+def test_gzip_member_framing_roundtrip_and_cdx_addressing(spark):
+    """Common Crawl's .warc.gz layout: one gzip member per record,
+    concatenated.  The splitter must recover every record, and each
+    (offset, comp_length) slice must gunzip STANDALONE — the property
+    CDX ranged fetches rely on."""
+    import gzip
+
+    from biothings_crawler_spark.sources.warc import (
+        gzip_member_files,
+        split_warc_gz_members,
+    )
+
+    recs = [(i % 2, f"WARC/1.0\r\nrec {i} body {'x' * (i * 7)}".encode())
+            for i in range(8)]
+    df = spark.createDataFrame(recs, "file_id long, record binary")
+    files = gzip_member_files(df)
+    blobs = {r["file_id"]: bytes(r["content"]) for r in files.collect()}
+    assert len(blobs) == 2
+    out = split_warc_gz_members(files).collect()
+    assert len(out) == 8
+    got = {(r["file_id"], bytes(r["record"])) for r in out}
+    assert got == {(f, r) for f, r in recs}
+    for r in out:
+        blob = blobs[r["file_id"]]
+        sl = blob[r["offset"]: r["offset"] + r["comp_length"]]
+        assert gzip.decompress(sl) == bytes(r["record"])  # standalone member
+    # member_no is dense per file, offsets strictly increasing
+    for fid in (0, 1):
+        ms = sorted((r["member_no"], r["offset"]) for r in out
+                    if r["file_id"] == fid)
+        assert [m for m, _ in ms] == [0, 1, 2, 3]
+        assert all(a < b for (_, a), (_, b) in zip(ms, ms[1:]))
+
+
+def test_gzip_member_split_torn_trailing_member(spark):
+    """A truncated final member (mid-transfer kill) degrades to 'stop
+    after the last whole member' — never a task failure."""
+    import gzip
+
+    from biothings_crawler_spark.sources.warc import split_warc_gz_members
+
+    good = gzip.compress(b"whole record", mtime=0)
+    torn = gzip.compress(b"lost record", mtime=0)[:10]  # header only
+    df = spark.createDataFrame(
+        [(1, good + torn)], "file_id long, content binary"
+    )
+    out = split_warc_gz_members(df).collect()
+    assert len(out) == 1
+    assert bytes(out[0]["record"]) == b"whole record"
