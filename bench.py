@@ -141,6 +141,7 @@ SUITE = [
     "q_hll_small",
     "q_bm25_topk",
     "q_sessionize",
+    "q_sessionize_fold",
     "q_asof_join",
     "q_range_join",
     "q_hypertable_rollup",
