@@ -154,3 +154,55 @@ def revisit_savings(marked: DataFrame) -> DataFrame:
                   .otherwise(F.lit(0))).alias("saved_bytes"),
         )
     )
+
+
+def cdx_from_members(
+    records: DataFrame,
+    file_col: str = "file_id",
+) -> DataFrame:
+    """CDX index for a COMPRESSED (.warc.gz) archive — the framing
+    Common Crawl actually serves.  Input is
+    :func:`..warc.split_warc_gz_members` output
+    ``(*, member_no, offset, comp_length, record)``: here
+    ``offset``/``length`` are the gzip member's position in the .gz
+    file (NOT uncompressed-stream arithmetic), so a reader satisfies a
+    CDX row with one ranged GET + standalone gunzip — the CC access
+    pattern.
+
+    Better scale shape than :func:`cdx_index`: the offsets come free
+    from the member walk, so there is NO window at all — pure
+    projection + filter over the already-split records.  Same columns
+    out: ``surt, ts14, url, mime, status, digest, length, offset,
+    warc_file``."""
+    t = F.decode(F.col("record"), "utf-8")
+    hdr = F.regexp_extract(t, r"(?s)^(.*?)\r\n\r\n", 1)
+    payload = F.regexp_replace(t, r"(?s)^.*?\r\n\r\n", "")
+    rows = records.select(
+        F.col(file_col).cast("string").alias("warc_file"),
+        F.col("comp_length").alias("length"),
+        F.col("offset"),
+        F.regexp_extract(hdr, r"(?m)^WARC-Type: ([^\r\n]+)", 1)
+        .alias("warc_type"),
+        F.when(F.regexp_extract(hdr, r"(?m)^WARC-Target-URI: ([^\r\n]+)", 1)
+               != "",
+               F.regexp_extract(hdr, r"(?m)^WARC-Target-URI: ([^\r\n]+)", 1))
+        .alias("url"),
+        F.regexp_extract(hdr, r"(?m)^WARC-Date: ([^\r\n]+)", 1)
+        .alias("warc_date"),
+        F.when(F.regexp_extract(payload, _STATUS_RE, 1) != "",
+               F.regexp_extract(payload, _STATUS_RE, 1)).alias("status"),
+        F.when(F.regexp_extract(payload, _MIME_RE, 1) != "",
+               F.regexp_extract(payload, _MIME_RE, 1)).alias("mime"),
+        F.md5(F.encode(payload, "utf-8")).alias("digest"),
+    )
+    ts14 = F.regexp_replace(F.col("warc_date"), r"[^0-9]", "")
+    return (
+        rows.filter((F.col("warc_type") == "response")
+                    & F.col("url").isNotNull())
+        .select(
+            surt_key_col(F.col("url")).alias("surt"),
+            ts14.alias("ts14"),
+            "url", "mime", "status", "digest", "length", "offset",
+            "warc_file",
+        )
+    )

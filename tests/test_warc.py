@@ -118,3 +118,45 @@ def test_gzip_member_split_torn_trailing_member(spark):
     out = split_warc_gz_members(df).collect()
     assert len(out) == 1
     assert bytes(out[0]["record"]) == b"whole record"
+
+
+def test_cdx_from_members_ranged_get_roundtrip(spark):
+    """The compressed-offset CDX property CC readers rely on: for every
+    index row, blob[offset : offset+length] gunzips standalone into the
+    WARC record whose Target-URI the row names — no window in the plan
+    (offsets come free from the member walk)."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.sources.cdx import cdx_from_members
+    from biothings_crawler_spark.sources.warc import (
+        gzip_member_files,
+        render_warc,
+        split_warc_gz_members,
+    )
+    import datetime as dt
+
+    pages = spark.createDataFrame(
+        [(f"https://h{i % 3}.example.org/p/{i}",
+          dt.datetime(2026, 3, 1, 12, 0, i),
+          f"<html>page {i} body {'z' * (i * 13)}</html>".encode(),
+          i % 4)
+         for i in range(10)],
+        "url string, warc_ts timestamp_ntz, html binary, file_id long",
+    )
+    recs = render_warc(pages, keep=("file_id",))
+    files = gzip_member_files(recs)
+    members = split_warc_gz_members(files)
+    idx = cdx_from_members(members)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    blobs = {r["file_id"]: bytes(r["content"]) for r in files.collect()}
+    rows = idx.collect()
+    assert len(rows) == 10
+    for r in rows:
+        sl = blobs[int(r["warc_file"])][r["offset"]: r["offset"] + r["length"]]
+        rec = gzip.decompress(sl).decode()
+        assert f"WARC-Target-URI: {r['url']}\r\n" in rec
+        assert r["status"] == "200" and r["mime"] == "text/html"
+        assert r["ts14"].startswith("20260301")
