@@ -136,18 +136,19 @@ def gen_media_fixture(spark, n: int = 64) -> DataFrame:
 
 WAV_FEATURES_SCHEMA = (
     "media_id long, sample_rate long, n_channels long, n_samples long, "
-    "duration_us long, sum_sq long, peak_abs long"
+    "duration_us long, sum_sq long, peak_abs long, decode_err string"
 )
 
 WAV_RATE = 8000
 
 
-def gen_wav_bytes(media_id: int) -> bytes:
+def gen_wav_bytes(media_id: int, sampwidth: int = 2) -> bytes:
     """A real RIFF/PCM WAV file with deterministic 16-bit samples:
     channels = 1 + id%2, frames = 800 + (id%5)*160, interleaved sample
     j = ((id*31 + j*7) % 2001) - 1000.  Closed-form, so the DuckDB
     oracle recomputes every feature from the formula while Spark must
-    parse the actual container bytes."""
+    parse the actual container bytes.  ``sampwidth=1`` emits a valid
+    8-bit PCM container — the decoder's documented out-of-scope lane."""
     import io
     import wave as _wave
 
@@ -159,26 +160,40 @@ def gen_wav_bytes(media_id: int) -> bytes:
     w = _wave.open(buf, "wb")
     try:
         w.setnchannels(c)
-        w.setsampwidth(2)
+        w.setsampwidth(sampwidth)
         w.setframerate(WAV_RATE)
-        w.writeframes(samples.astype("<i2").tobytes())
+        if sampwidth == 2:
+            w.writeframes(samples.astype("<i2").tobytes())
+        else:
+            w.writeframes((samples % 256).astype("u1").tobytes())
     finally:
         w.close()
     return buf.getvalue()
 
 
-def gen_wav_media(ids: DataFrame, id_col: str) -> DataFrame:
+def gen_wav_media(
+    ids: DataFrame, id_col: str, malformed_every: int | None = None
+) -> DataFrame:
     """Distributed WAV synthesis: (media_id, content) built WORKER-side
     from ids via mapInPandas — no driver loop, no broadcast of bytes;
     the generation scales with executors exactly like a fetch stage
-    would."""
+    would.  ``malformed_every=k``: ids divisible by k emit an 8-bit
+    PCM container — the out-of-scope lane for the decoder's
+    ``decode_err`` path."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mids = pdf[id_col].astype("int64")
             yield pd.DataFrame({
                 "media_id": mids,
-                "content": [gen_wav_bytes(int(m)) for m in mids],
+                "content": [
+                    gen_wav_bytes(
+                        int(m),
+                        1 if malformed_every and int(m) % malformed_every == 0
+                        else 2,
+                    )
+                    for m in mids
+                ],
             })
 
     return ids.mapInPandas(run, "media_id long, content binary")
@@ -193,35 +208,48 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
     Arrow-batched mapInPandas; per-row codec calls inside the batch
     loop are the sanctioned slow path (identical shape to a PIL/ffmpeg
     decode).  duration_us = n_samples * 1e6 // rate — integer, so the
-    oracle comparison is exact, not float-tolerant."""
+    oracle comparison is exact, not float-tolerant.
+
+    Out-of-scope or torn containers (non-16-bit PCM, truncated RIFF)
+    land in ``decode_err`` with NULL features — one malformed file
+    must never fail a 100-TB stage."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
         import wave as _wave
 
+        feat = ("sample_rate", "n_channels", "n_samples", "duration_us",
+                "sum_sq", "peak_abs")
         for pdf in batches:
-            out = {k: [] for k in ("media_id", "sample_rate", "n_channels",
-                                   "n_samples", "duration_us", "sum_sq",
-                                   "peak_abs")}
+            out = {k: [] for k in
+                   ("media_id",) + feat + ("decode_err",)}
             for mid, b in zip(pdf["media_id"], pdf["content"]):
-                w = _wave.open(io.BytesIO(bytes(b)), "rb")
-                try:
-                    c, sw, rate, n = (w.getnchannels(), w.getsampwidth(),
-                                      w.getframerate(), w.getnframes())
-                    if sw != 2:
-                        raise NotImplementedError(
-                            f"only 16-bit PCM supported, got sampwidth={sw}")
-                    arr = np.frombuffer(w.readframes(n), dtype="<i2").astype(
-                        np.int64)
-                finally:
-                    w.close()
                 out["media_id"].append(int(mid))
+                try:
+                    w = _wave.open(io.BytesIO(bytes(b)), "rb")
+                    try:
+                        c, sw, rate, n = (w.getnchannels(), w.getsampwidth(),
+                                          w.getframerate(), w.getnframes())
+                        if sw != 2:
+                            raise NotImplementedError(
+                                f"only 16-bit PCM supported, got sampwidth={sw}")
+                        arr = np.frombuffer(
+                            w.readframes(n), dtype="<i2").astype(np.int64)
+                    finally:
+                        w.close()
+                except (_wave.Error, EOFError, ValueError,
+                        NotImplementedError, struct.error) as e:
+                    for k in feat:
+                        out[k].append(None)
+                    out["decode_err"].append(str(e) or type(e).__name__)
+                    continue
                 out["sample_rate"].append(rate)
                 out["n_channels"].append(c)
                 out["n_samples"].append(n)
                 out["duration_us"].append(n * 1_000_000 // rate)
                 out["sum_sq"].append(int((arr * arr).sum()))
                 out["peak_abs"].append(int(np.abs(arr).max()) if arr.size else 0)
+                out["decode_err"].append(None)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, WAV_FEATURES_SCHEMA)
@@ -288,17 +316,25 @@ def sniff_report(pages, id_col: str, payload_col: str, claimed_col: str):
 
 PNG_FEATURES_SCHEMA = (
     "media_id long, width int, height int, bit_depth int, color_type int, "
-    "n_pixels long, sum_r long, sum_g long, sum_b long"
+    "n_pixels long, sum_r long, sum_g long, sum_b long, decode_err string"
 )
 
 
-def gen_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+def gen_png_media(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    malformed_every: int | None = None,
+) -> DataFrame:
     """Worker-side synthesis of REAL PNG container bytes: 8-bit RGB,
     pixel channel ``(id*31 + y*17 + x*7 + ch*3) % 256`` (the closed
     form the oracle recomputes), scanline filter type ``y % 5`` so all
     five PNG filters (None/Sub/Up/Average/Paeth) appear in every
     image taller than four rows.  Encoder-side filtering operates on
-    RAW prior scanlines per the spec."""
+    RAW prior scanlines per the spec.
+
+    ``malformed_every=k``: ids divisible by k get their first IDAT
+    data byte flipped — a CRC-corrupt image for the decoder's
+    ``decode_err`` lane (bit-rot in a real archive is a certainty)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from biothings_crawler_spark.operators import multimodal as mm
@@ -313,8 +349,12 @@ def gen_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                           for x in range(w) for ch in range(3))
                     for y in range(h)
                 ]
+                png = mm._png_encode_rgb(raws, w, h)
+                if malformed_every and mid % malformed_every == 0:
+                    i = png.find(b"IDAT") + 4  # first IDAT data byte
+                    png = png[:i] + bytes([png[i] ^ 0xFF]) + png[i + 1:]
                 out["media_id"].append(mid)
-                out["content"].append(mm._png_encode_rgb(raws, w, h))
+                out["content"].append(png)
             yield pd.DataFrame(out)
 
     return ids.mapInPandas(run, "media_id long, content binary")
@@ -385,21 +425,32 @@ def decode_png_features(media: DataFrame) -> DataFrame:
     synthesis."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib as _zlib
+
         from biothings_crawler_spark.operators import multimodal as mm
 
+        feat = ("width", "height", "bit_depth", "color_type", "n_pixels",
+                "sum_r", "sum_g", "sum_b")
         for pdf in batches:
-            cols = {k: [] for k in ("media_id", "width", "height",
-                                    "bit_depth", "color_type", "n_pixels",
-                                    "sum_r", "sum_g", "sum_b")}
+            cols = {k: [] for k in ("media_id",) + feat + ("decode_err",)}
             for mid, b in zip(pdf["media_id"], pdf["content"]):
-                w, h, bd, ct, bpp, rows = mm._png_decode_rows(bytes(b))
+                cols["media_id"].append(int(mid))
+                try:
+                    w, h, bd, ct, bpp, rows = mm._png_decode_rows(bytes(b))
+                except (ValueError, NotImplementedError, KeyError,
+                        IndexError, struct.error, _zlib.error) as e:
+                    # bad CRC, torn chunk walk, out-of-scope color
+                    # modes: data, not a task kill
+                    for k in feat:
+                        cols[k].append(None)
+                    cols["decode_err"].append(str(e) or type(e).__name__)
+                    continue
                 sums = [0, 0, 0]
                 for line in rows:
                     for i in range(0, w * bpp, bpp):
                         sums[0] += line[i]
                         sums[1] += line[i + 1]
                         sums[2] += line[i + 2]
-                cols["media_id"].append(int(mid))
                 cols["width"].append(w)
                 cols["height"].append(h)
                 cols["bit_depth"].append(bd)
@@ -408,6 +459,7 @@ def decode_png_features(media: DataFrame) -> DataFrame:
                 cols["sum_r"].append(sums[0])
                 cols["sum_g"].append(sums[1])
                 cols["sum_b"].append(sums[2])
+                cols["decode_err"].append(None)
             yield pd.DataFrame(cols)
 
     return media.mapInPandas(run, PNG_FEATURES_SCHEMA)
@@ -813,7 +865,7 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
 
 VIDEO_FRAME_SCHEMA = (
     "media_id long, frame_no long, width int, height int, "
-    "sum_gray long, min_gray int, max_gray int"
+    "sum_gray long, min_gray int, max_gray int, decode_err string"
 )
 
 
@@ -871,11 +923,18 @@ def _avi_mjpeg_frames(data: bytes) -> list:
     return out
 
 
-def gen_mjpeg_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+def gen_mjpeg_media(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    malformed_every: int | None = None,
+) -> DataFrame:
     """Worker-side synthesis of REAL MJPEG AVI bytes: 3 + id%3 frames,
     frame f a 16x16 grayscale JPEG of block-constant EVEN values
     ``2*((id*37 + f*11 + by*2 + bx) % 128)`` — the closed form the
-    oracle recomputes (the jpegcodec exactness lane, per frame)."""
+    oracle recomputes (the jpegcodec exactness lane, per frame).
+
+    ``malformed_every=k``: ids divisible by k get a corrupted RIFF
+    magic — an unreadable container for the decode_err lane."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from biothings_crawler_spark.operators import jpegcodec as jc
@@ -893,8 +952,11 @@ def gen_mjpeg_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                     img = np.kron(blocks, np.ones((8, 8), dtype=int)
                                   ).astype(np.uint8)
                     frames.append(jc.jpeg_encode_gray(img))
+                avi = mm._avi_mjpeg_encode(frames)
+                if malformed_every and mid % malformed_every == 0:
+                    avi = b"RIFX" + avi[4:]
                 out["media_id"].append(mid)
-                out["content"].append(mm._avi_mjpeg_encode(frames))
+                out["content"].append(avi)
             yield pd.DataFrame(out)
 
     return ids.mapInPandas(run, "media_id long, content binary")
@@ -912,15 +974,36 @@ def decode_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
         from biothings_crawler_spark.operators import jpegcodec as jc
         from biothings_crawler_spark.operators import multimodal as mm
 
+        feat = ("width", "height", "sum_gray", "min_gray", "max_gray")
+        err_classes = (ValueError, NotImplementedError, KeyError,
+                       IndexError, struct.error)
+
+        def err_row(cols, mid, fno, e):
+            cols["media_id"].append(int(mid))
+            cols["frame_no"].append(fno)
+            for k in feat:
+                cols[k].append(None)
+            cols["decode_err"].append(str(e) or type(e).__name__)
+
         for pdf in batches:
-            cols = {k: [] for k in ("media_id", "frame_no", "width",
-                                    "height", "sum_gray", "min_gray",
-                                    "max_gray")}
+            cols = {k: [] for k in
+                    ("media_id", "frame_no") + feat + ("decode_err",)}
             for mid, b in zip(pdf["media_id"], pdf["content"]):
-                for fno, fb in enumerate(mm._avi_mjpeg_frames(bytes(b))):
+                try:
+                    frames = mm._avi_mjpeg_frames(bytes(b))
+                except err_classes as e:
+                    # unreadable container: one err row, frame_no NULL
+                    err_row(cols, mid, None, e)
+                    continue
+                for fno, fb in enumerate(frames):
                     if fno % every_n:
                         continue
-                    img = jc.jpeg_decode_gray(fb)
+                    try:
+                        img = jc.jpeg_decode_gray(fb)
+                    except err_classes as e:
+                        # one bad frame must not drop the whole video
+                        err_row(cols, mid, fno, e)
+                        continue
                     h, w = img.shape
                     cols["media_id"].append(int(mid))
                     cols["frame_no"].append(fno)
@@ -929,6 +1012,7 @@ def decode_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                     cols["sum_gray"].append(int(img.sum()))
                     cols["min_gray"].append(int(img.min()))
                     cols["max_gray"].append(int(img.max()))
+                    cols["decode_err"].append(None)
             yield pd.DataFrame(cols)
 
     return media.mapInPandas(run, VIDEO_FRAME_SCHEMA)
@@ -938,15 +1022,22 @@ def decode_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
 
 GIF_FEATURES_SCHEMA = (
     "media_id long, width int, height int, n_pixels long, "
-    "sum_gray long, min_gray int, max_gray int"
+    "sum_gray long, min_gray int, max_gray int, decode_err string"
 )
 
 
-def gen_gif_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+def gen_gif_media(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    malformed_every: int | None = None,
+) -> DataFrame:
     """Worker-side synthesis of REAL GIF87a bytes: grayscale palette,
     pixel ``(id*29 + y*11 + x*5) % 256`` (the closed form the oracle
     recomputes), width 4+id%5, height 3+id%4. GIF is lossless, so the
-    decode must reproduce the formula exactly through the LZW layer."""
+    decode must reproduce the formula exactly through the LZW layer.
+
+    ``malformed_every=k``: ids divisible by k get a corrupted magic
+    (GIF -> GIX) — the decode_err lane."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from biothings_crawler_spark.operators import gifcodec as gc
@@ -958,8 +1049,11 @@ def gen_gif_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 w, h = 4 + mid % 5, 3 + mid % 4
                 pix = bytes((mid * 29 + y * 11 + x * 5) % 256
                             for y in range(h) for x in range(w))
+                gif = gc.gif_encode_gray(pix, w, h)
+                if malformed_every and mid % malformed_every == 0:
+                    gif = b"GIX" + gif[3:]
                 out["media_id"].append(mid)
-                out["content"].append(gc.gif_encode_gray(pix, w, h))
+                out["content"].append(gif)
             yield pd.DataFrame(out)
 
     return ids.mapInPandas(run, "media_id long, content binary")
@@ -974,19 +1068,29 @@ def decode_gif_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from biothings_crawler_spark.operators import gifcodec as gc
 
+        feat = ("width", "height", "n_pixels", "sum_gray", "min_gray",
+                "max_gray")
         for pdf in batches:
-            cols = {k: [] for k in ("media_id", "width", "height",
-                                    "n_pixels", "sum_gray", "min_gray",
-                                    "max_gray")}
+            cols = {k: [] for k in ("media_id",) + feat + ("decode_err",)}
             for mid, b in zip(pdf["media_id"], pdf["content"]):
-                w, h, pix = gc.gif_decode_gray(bytes(b))
                 cols["media_id"].append(int(mid))
+                try:
+                    w, h, pix = gc.gif_decode_gray(bytes(b))
+                except (ValueError, NotImplementedError, KeyError,
+                        IndexError, struct.error) as e:
+                    # torn header/stream, interlace, local tables:
+                    # data, not a task kill
+                    for k in feat:
+                        cols[k].append(None)
+                    cols["decode_err"].append(str(e) or type(e).__name__)
+                    continue
                 cols["width"].append(w)
                 cols["height"].append(h)
                 cols["n_pixels"].append(w * h)
                 cols["sum_gray"].append(sum(pix))
                 cols["min_gray"].append(min(pix))
                 cols["max_gray"].append(max(pix))
+                cols["decode_err"].append(None)
             yield pd.DataFrame(cols)
 
     return media.mapInPandas(run, GIF_FEATURES_SCHEMA)

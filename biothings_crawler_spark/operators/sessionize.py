@@ -148,6 +148,10 @@ def sessionize_fold(
     per = df.groupBy(F.col(key_col).alias("key")).agg(
         F.array_sort(F.collect_list(us)).alias("evs")
     )
+    # collect_list skips NULL timestamps (matching session_window's
+    # NULL-row drop); a key with ONLY NULL timestamps leaves an empty
+    # array — drop it entirely rather than emit a phantom session
+    per = per.filter(F.size("evs") > 0)
     n = F.size("evs")
     # 0-based positions where a new session starts: position 0, and any
     # i whose gap from i-1 strictly exceeds gap_us.  greatest(i,1)

@@ -6922,7 +6922,9 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     never sees the bytes — it recomputes every feature from the
     generator's closed-form sample formula, so a Spark-side parse bug
     (header offsets, channel interleave, sample width) cannot cancel
-    out."""
+    out.  Ids divisible by 30 emit an 8-bit PCM container — the
+    out-of-scope lane that must land in ``decode_err`` with NULL
+    features while the stage completes."""
     from biothings_crawler_spark.operators.multimodal import (
         decode_wav_features,
         gen_wav_media,
@@ -6930,27 +6932,34 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     ids = d.filter(F.col("doc_id") % 10 == 0).select("doc_id")
-    media = gen_wav_media(ids, "doc_id")
+    media = gen_wav_media(ids, "doc_id", malformed_every=30)
     return decode_wav_features(media)
 
 
 SQL_WAV_DECODE = """
 WITH m AS (
-  SELECT doc_id AS media_id, 1 + doc_id % 2 AS c,
+  SELECT doc_id AS media_id, doc_id % 30 = 0 AS bad, 1 + doc_id % 2 AS c,
          800 + (doc_id % 5) * 160 AS n
   FROM documents WHERE doc_id % 10 = 0),
 s AS (
-  SELECT media_id, c, n,
+  SELECT media_id, bad, c, n,
          list_transform(range(n * c),
                         j -> ((media_id * 31 + j * 7) % 2001) - 1000) AS xs
   FROM m)
 SELECT media_id,
-       CAST(8000 AS BIGINT) AS sample_rate,
-       CAST(c AS BIGINT) AS n_channels,
-       CAST(n AS BIGINT) AS n_samples,
-       CAST(n * 1000000 // 8000 AS BIGINT) AS duration_us,
-       CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS sum_sq,
-       CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak_abs
+       CASE WHEN bad THEN NULL ELSE CAST(8000 AS BIGINT) END AS sample_rate,
+       CASE WHEN bad THEN NULL ELSE CAST(c AS BIGINT) END AS n_channels,
+       CASE WHEN bad THEN NULL ELSE CAST(n AS BIGINT) END AS n_samples,
+       CASE WHEN bad THEN NULL
+            ELSE CAST(n * 1000000 // 8000 AS BIGINT) END AS duration_us,
+       CASE WHEN bad THEN NULL
+            ELSE CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT)
+            END AS sum_sq,
+       CASE WHEN bad THEN NULL
+            ELSE CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT)
+            END AS peak_abs,
+       CASE WHEN bad THEN 'only 16-bit PCM supported, got sampwidth=1'
+            ELSE NULL END AS decode_err
 FROM s
 """
 
@@ -8509,7 +8518,10 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator's closed-form pixel formula, never touching the bytes,
     so a symmetric encode/decode bug in the container walk cannot
     cancel (the filter mirror is additionally pinned by a pytest
-    golden: a canonical spec-produced 1x1 Sub-filtered RGBA PNG)."""
+    golden: a canonical spec-produced 1x1 Sub-filtered RGBA PNG).
+    Ids divisible by 15 get a flipped IDAT byte — bit-rot that must
+    land in ``decode_err`` (bad CRC) with NULL features, stage
+    completing."""
     from biothings_crawler_spark.operators.multimodal import (
         decode_png_features,
         gen_png_media,
@@ -8518,27 +8530,33 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     ids = d.filter(F.col("doc_id") % 10 == 5).select(
         F.col("doc_id").alias("media_id"))
-    return decode_png_features(gen_png_media(ids))
+    return decode_png_features(gen_png_media(ids, malformed_every=15))
 
 
 SQL_PNG_DECODE = """
 WITH m AS (
-  SELECT doc_id AS media_id,
+  SELECT doc_id AS media_id, doc_id % 15 = 0 AS bad,
          4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
   FROM documents WHERE doc_id % 10 = 5)
 SELECT media_id,
-       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-       CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type,
-       CAST(w * h AS BIGINT) AS n_pixels,
-       CAST(list_sum(list_transform(range(w * h),
-         j -> (media_id * 31 + (j // w) * 17 + (j % w) * 7 + 0) % 256))
-         AS BIGINT) AS sum_r,
-       CAST(list_sum(list_transform(range(w * h),
-         j -> (media_id * 31 + (j // w) * 17 + (j % w) * 7 + 3) % 256))
-         AS BIGINT) AS sum_g,
-       CAST(list_sum(list_transform(range(w * h),
-         j -> (media_id * 31 + (j // w) * 17 + (j % w) * 7 + 6) % 256))
-         AS BIGINT) AS sum_b
+       CASE WHEN bad THEN NULL ELSE CAST(w AS INT) END AS width,
+       CASE WHEN bad THEN NULL ELSE CAST(h AS INT) END AS height,
+       CASE WHEN bad THEN NULL ELSE CAST(8 AS INT) END AS bit_depth,
+       CASE WHEN bad THEN NULL ELSE CAST(2 AS INT) END AS color_type,
+       CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_pixels,
+       CASE WHEN bad THEN NULL
+            ELSE CAST(list_sum(list_transform(range(w * h),
+              j -> (media_id * 31 + (j // w) * 17 + (j % w) * 7 + 0) % 256))
+              AS BIGINT) END AS sum_r,
+       CASE WHEN bad THEN NULL
+            ELSE CAST(list_sum(list_transform(range(w * h),
+              j -> (media_id * 31 + (j // w) * 17 + (j % w) * 7 + 3) % 256))
+              AS BIGINT) END AS sum_g,
+       CASE WHEN bad THEN NULL
+            ELSE CAST(list_sum(list_transform(range(w * h),
+              j -> (media_id * 31 + (j // w) * 17 + (j % w) * 7 + 6) % 256))
+              AS BIGINT) END AS sum_b,
+       CASE WHEN bad THEN 'bad CRC in b''IDAT''' ELSE NULL END AS decode_err
 FROM m
 """
 
@@ -12078,7 +12096,10 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded through the full RIFF walk + baseline-JPEG path. Frames
     ride the codec's block-constant exactness lane, so the oracle
     recomputes per-frame features from the generator's closed form —
-    including WHICH frame numbers survive the sampling stride."""
+    including WHICH frame numbers survive the sampling stride.  Ids
+    divisible by 3 get a corrupted RIFF magic — the whole container
+    lands as ONE ``decode_err`` row (frame_no NULL), stage
+    completing."""
     from biothings_crawler_spark.operators.multimodal import (
         decode_video_frames,
         gen_mjpeg_media,
@@ -12087,12 +12108,14 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     ids = d.filter(F.col("doc_id") % 10 == 3).select(
         F.col("doc_id").alias("media_id"))
-    return decode_video_frames(gen_mjpeg_media(ids), every_n=2)
+    return decode_video_frames(
+        gen_mjpeg_media(ids, malformed_every=3), every_n=2)
 
 
 SQL_VIDEO_FRAMES = """
 WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 3),
-f AS (SELECT media_id, unnest(range(3 + media_id % 3)) AS frame_no FROM m),
+f AS (SELECT media_id, unnest(range(3 + media_id % 3)) AS frame_no
+      FROM m WHERE media_id % 3 <> 0),
 s AS (SELECT media_id, frame_no,
              list_transform(range(4),
                k -> 2 * ((media_id * 37 + frame_no * 11
@@ -12102,8 +12125,16 @@ SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
        CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
        CAST(64 * list_sum(blocks) AS BIGINT) AS sum_gray,
        CAST(list_min(blocks) AS INT) AS min_gray,
-       CAST(list_max(blocks) AS INT) AS max_gray
+       CAST(list_max(blocks) AS INT) AS max_gray,
+       CAST(NULL AS VARCHAR) AS decode_err
 FROM s
+UNION ALL
+SELECT media_id, CAST(NULL AS BIGINT) AS frame_no,
+       CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+       CAST(NULL AS BIGINT) AS sum_gray,
+       CAST(NULL AS INT) AS min_gray, CAST(NULL AS INT) AS max_gray,
+       'not a RIFF/AVI container' AS decode_err
+FROM m WHERE media_id % 3 = 0
 """
 
 
@@ -12182,7 +12213,8 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the block walk and a from-scratch variable-width LZW
     (CLEAR/EOI, width bumps, KwKwK, 12-bit resets). Lossless, so the
     oracle recomputes the features from the generator's closed-form
-    pixel formula without seeing the bytes."""
+    pixel formula without seeing the bytes.  Ids divisible by 3 get a
+    corrupted magic — must land in ``decode_err``, stage completing."""
     from biothings_crawler_spark.operators.multimodal import (
         decode_gif_features,
         gen_gif_media,
@@ -12191,24 +12223,30 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     ids = d.filter(F.col("doc_id") % 10 == 9).select(
         F.col("doc_id").alias("media_id"))
-    return decode_gif_features(gen_gif_media(ids))
+    return decode_gif_features(gen_gif_media(ids, malformed_every=3))
 
 
 SQL_GIF_DECODE = """
 WITH m AS (
-  SELECT doc_id AS media_id,
+  SELECT doc_id AS media_id, doc_id % 3 = 0 AS bad,
          4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
   FROM documents WHERE doc_id % 10 = 9),
-p AS (SELECT media_id, w, h,
+p AS (SELECT media_id, bad, w, h,
              list_transform(range(w * h),
                j -> (media_id * 29 + (j // w) * 11 + (j % w) * 5) % 256)
                AS pix
       FROM m)
-SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-       CAST(w * h AS BIGINT) AS n_pixels,
-       CAST(list_sum(pix) AS BIGINT) AS sum_gray,
-       CAST(list_min(pix) AS INT) AS min_gray,
-       CAST(list_max(pix) AS INT) AS max_gray
+SELECT media_id,
+       CASE WHEN bad THEN NULL ELSE CAST(w AS INT) END AS width,
+       CASE WHEN bad THEN NULL ELSE CAST(h AS INT) END AS height,
+       CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_pixels,
+       CASE WHEN bad THEN NULL
+            ELSE CAST(list_sum(pix) AS BIGINT) END AS sum_gray,
+       CASE WHEN bad THEN NULL ELSE CAST(list_min(pix) AS INT) END
+         AS min_gray,
+       CASE WHEN bad THEN NULL ELSE CAST(list_max(pix) AS INT) END
+         AS max_gray,
+       CASE WHEN bad THEN 'not a GIF header' ELSE NULL END AS decode_err
 FROM p
 """
 

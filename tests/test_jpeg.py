@@ -161,3 +161,46 @@ def test_spark_decode_stage_routes_progressive_to_decode_err(spark):
     for mid in (1, 2, 13):
         assert got[mid]["decode_err"] is None
         assert got[mid]["n_pixels"] == 256
+
+
+def test_all_media_decoders_route_malformed_to_decode_err(spark):
+    """Every media decode stage (WAV/PNG/GIF/video, like JPEG) must
+    turn an out-of-scope or corrupted input into a decode_err row with
+    NULL features — never a task failure."""
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.multimodal import (
+        decode_gif_features,
+        decode_png_features,
+        decode_video_frames,
+        decode_wav_features,
+        gen_gif_media,
+        gen_mjpeg_media,
+        gen_png_media,
+        gen_wav_media,
+    )
+
+    ids = spark.range(1, 7).select(F.col("id").alias("media_id"))
+
+    wav = {r["media_id"]: r for r in decode_wav_features(
+        gen_wav_media(ids, "media_id", malformed_every=3)).collect()}
+    assert wav[3]["decode_err"].startswith("only 16-bit PCM")
+    assert wav[3]["sum_sq"] is None and wav[4]["decode_err"] is None
+
+    png = {r["media_id"]: r for r in decode_png_features(
+        gen_png_media(ids, malformed_every=3)).collect()}
+    assert png[3]["decode_err"] == "bad CRC in b'IDAT'"
+    assert png[3]["sum_r"] is None and png[5]["decode_err"] is None
+
+    gif = {r["media_id"]: r for r in decode_gif_features(
+        gen_gif_media(ids, malformed_every=3)).collect()}
+    assert gif[6]["decode_err"] == "not a GIF header"
+    assert gif[6]["sum_gray"] is None and gif[1]["decode_err"] is None
+
+    vid = decode_video_frames(
+        gen_mjpeg_media(ids, malformed_every=3), every_n=2).collect()
+    bad = [r for r in vid if r["media_id"] in (3, 6)]
+    good = [r for r in vid if r["media_id"] not in (3, 6)]
+    assert {r["decode_err"] for r in bad} == {"not a RIFF/AVI container"}
+    assert all(r["frame_no"] is None for r in bad) and len(bad) == 2
+    assert good and all(r["decode_err"] is None for r in good)

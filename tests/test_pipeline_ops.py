@@ -2520,3 +2520,29 @@ def test_sessionize_fold_gap_boundaries(spark):
     assert got[(100, 2)] == (1, 0)
     assert got[(100, 3)] == (1, 0)  # one microsecond over the gap
     assert got[(200, 1)] == (1, 0)
+
+
+def test_sessionize_fold_null_timestamps_match_session_window(spark):
+    """NULL timestamps: skipped within a key (like session_window's
+    NULL-row drop); a key with ONLY NULL timestamps yields no rows in
+    either implementation."""
+    import datetime as dt
+
+    from biothings_crawler_spark.operators.sessionize import (
+        sessionize,
+        sessionize_fold,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 100), (2, None, 100), (3, t0, 100),
+            (4, None, 200), (5, None, 200)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long"
+    )
+    cols = ("key", "session_idx", "n_events", "start_us", "end_us")
+    a = {tuple(r[c] for c in cols)
+         for r in sessionize(df, "user_id", "ts", "event_id").collect()}
+    b = {tuple(r[c] for c in cols)
+         for r in sessionize_fold(df, "user_id", "ts", "event_id").collect()}
+    assert a == b
+    assert {k for k, *_ in b} == {100}  # all-NULL key 200 absent
