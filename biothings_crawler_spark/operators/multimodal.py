@@ -566,7 +566,7 @@ def gen_png_media_seeded(ids: DataFrame) -> DataFrame:
 
 
 PHASH_SCHEMA = ("media_id long, width int, height int, "
-                "phash_hi long, phash_lo long")
+                "phash_hi long, phash_lo long, decode_err string")
 
 
 def decode_png_phash(media: DataFrame) -> DataFrame:
@@ -586,15 +586,28 @@ def decode_png_phash(media: DataFrame) -> DataFrame:
     stage over the media table."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib as _zlib
+
         from biothings_crawler_spark.operators import multimodal as mm
 
         for pdf in batches:
             cols = {k: [] for k in ("media_id", "width", "height",
-                                    "phash_hi", "phash_lo")}
+                                    "phash_hi", "phash_lo", "decode_err")}
             for mid, b in zip(pdf["media_id"], pdf["content"]):
-                w, h, _bd, _ct, bpp, rows = mm._png_decode_rows(bytes(b))
-                if h < 8 or w < 9:
-                    raise ValueError(f"dHash needs >=9x8 px, got {w}x{h}")
+                try:
+                    w, h, _bd, _ct, bpp, rows = mm._png_decode_rows(bytes(b))
+                    if h < 8 or w < 9:
+                        raise ValueError(
+                            f"dHash needs >=9x8 px, got {w}x{h}")
+                except (ValueError, NotImplementedError, KeyError,
+                        IndexError, struct.error, _zlib.error) as e:
+                    # undecodable or sub-grid image: data, not a task
+                    # kill (the dedup join ignores NULL-hash rows)
+                    cols["media_id"].append(int(mid))
+                    for k in ("width", "height", "phash_hi", "phash_lo"):
+                        cols[k].append(None)
+                    cols["decode_err"].append(str(e) or type(e).__name__)
+                    continue
                 px = np.frombuffer(b"".join(rows), dtype=np.uint8)
                 px = px.reshape(h, w, bpp)[:, :, :3].astype(np.int64)
                 gray = (299 * px[..., 0] + 587 * px[..., 1]
@@ -620,6 +633,7 @@ def decode_png_phash(media: DataFrame) -> DataFrame:
                 cols["height"].append(h)
                 cols["phash_hi"].append(hi)
                 cols["phash_lo"].append(lo)
+                cols["decode_err"].append(None)
             yield pd.DataFrame(cols)
 
     return media.mapInPandas(run, PHASH_SCHEMA)
@@ -629,15 +643,26 @@ def phash_dup_groups(hashes: DataFrame) -> DataFrame:
     """Exact-phash duplicate grouping: one hash aggregate keyed on the
     two hash halves (map-side partials, no window sort), exploded back
     to per-media rows with the canonical representative (min media_id)
-    and group size — the image twin of exact text dedup."""
-    agg = hashes.groupBy("phash_hi", "phash_lo").agg(
+    and group size — the image twin of exact text dedup.
+
+    decode_err rows (NULL hashes) pass through with NULL group fields
+    — they never join into a group, and they never disappear."""
+    ok = hashes.filter(F.col("decode_err").isNull())
+    agg = ok.groupBy("phash_hi", "phash_lo").agg(
         F.min("media_id").alias("dup_group"),
         F.count(F.lit(1)).cast("long").alias("group_size"),
     )
-    return hashes.join(agg, ["phash_hi", "phash_lo"]).select(
+    grouped = ok.join(agg, ["phash_hi", "phash_lo"]).select(
         "media_id", "width", "height", "phash_hi", "phash_lo",
-        "dup_group", "group_size",
+        "dup_group", "group_size", "decode_err",
     )
+    errs = hashes.filter(F.col("decode_err").isNotNull()).select(
+        "media_id", "width", "height", "phash_hi", "phash_lo",
+        F.lit(None).cast("long").alias("dup_group"),
+        F.lit(None).cast("long").alias("group_size"),
+        "decode_err",
+    )
+    return grouped.unionByName(errs)
 
 
 def gen_wav_media_seeded(ids: DataFrame) -> DataFrame:
@@ -681,7 +706,7 @@ def gen_wav_media_seeded(ids: DataFrame) -> DataFrame:
 
 
 AUDIO_FP_SCHEMA = ("media_id long, n_samples long, n_blocks long, "
-                   "zc_fp string, env_fp string")
+                   "zc_fp string, env_fp string, decode_err string")
 AUDIO_FP_BLOCK = 240
 
 
@@ -707,17 +732,26 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
         B = AUDIO_FP_BLOCK
         for pdf in batches:
             cols = {k: [] for k in ("media_id", "n_samples", "n_blocks",
-                                    "zc_fp", "env_fp")}
+                                    "zc_fp", "env_fp", "decode_err")}
             for mid, b in zip(pdf["media_id"], pdf["content"]):
-                w = _wave.open(io.BytesIO(bytes(b)), "rb")
                 try:
-                    if w.getsampwidth() != 2:
-                        raise NotImplementedError("16-bit PCM only")
-                    s = np.frombuffer(
-                        w.readframes(w.getnframes()), dtype="<i2"
-                    ).astype(np.int64)
-                finally:
-                    w.close()
+                    w = _wave.open(io.BytesIO(bytes(b)), "rb")
+                    try:
+                        if w.getsampwidth() != 2:
+                            raise NotImplementedError("16-bit PCM only")
+                        s = np.frombuffer(
+                            w.readframes(w.getnframes()), dtype="<i2"
+                        ).astype(np.int64)
+                    finally:
+                        w.close()
+                except (_wave.Error, EOFError, ValueError,
+                        NotImplementedError, struct.error) as e:
+                    # torn/out-of-scope container: data, not a task kill
+                    cols["media_id"].append(int(mid))
+                    for k in ("n_samples", "n_blocks", "zc_fp", "env_fp"):
+                        cols[k].append(None)
+                    cols["decode_err"].append(str(e) or type(e).__name__)
+                    continue
                 m = len(s)
                 n_blocks = (m + B - 1) // B
                 blk = np.arange(m) // B
@@ -737,6 +771,7 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
                     hashlib.md5(zc_str.encode()).hexdigest())
                 cols["env_fp"].append(
                     hashlib.md5(env_str.encode()).hexdigest())
+                cols["decode_err"].append(None)
             yield pd.DataFrame(cols)
 
     return media.mapInPandas(run, AUDIO_FP_SCHEMA)
@@ -746,16 +781,28 @@ def audio_dup_groups(fps: DataFrame) -> DataFrame:
     """Gain-invariant audio dedup: group on the zero-crossing
     fingerprint (one hash aggregate, map-side partials), keeping the
     energy fingerprint alongside so exact-copy groups (env_fp also
-    equal) are distinguishable from gain-shifted ones."""
-    agg = fps.groupBy("zc_fp").agg(
+    equal) are distinguishable from gain-shifted ones.
+
+    decode_err rows (NULL fingerprints) pass through with NULL group
+    fields — never grouped, never dropped."""
+    ok = fps.filter(F.col("decode_err").isNull())
+    agg = ok.groupBy("zc_fp").agg(
         F.min("media_id").alias("dup_group"),
         F.count(F.lit(1)).cast("long").alias("group_size"),
         F.countDistinct("env_fp").cast("long").alias("n_gain_variants"),
     )
-    return fps.join(agg, "zc_fp").select(
+    grouped = ok.join(agg, "zc_fp").select(
         "media_id", "n_samples", "n_blocks", "zc_fp", "env_fp",
-        "dup_group", "group_size", "n_gain_variants",
+        "dup_group", "group_size", "n_gain_variants", "decode_err",
     )
+    errs = fps.filter(F.col("decode_err").isNotNull()).select(
+        "media_id", "n_samples", "n_blocks", "zc_fp", "env_fp",
+        F.lit(None).cast("long").alias("dup_group"),
+        F.lit(None).cast("long").alias("group_size"),
+        F.lit(None).cast("long").alias("n_gain_variants"),
+        "decode_err",
+    )
+    return grouped.unionByName(errs)
 
 
 # --- REAL JPEG decode (baseline grayscale, pure-numpy DCT codec) -----------

@@ -11054,7 +11054,8 @@ grp AS (SELECT zc_fp, MIN(media_id) AS dup_group,
                CAST(COUNT(DISTINCT env_fp) AS BIGINT) AS n_gain_variants
         FROM base GROUP BY zc_fp)
 SELECT b2.media_id, b2.n_samples, b2.n_blocks, b2.zc_fp, b2.env_fp,
-       g.dup_group, g.group_size, g.n_gain_variants
+       g.dup_group, g.group_size, g.n_gain_variants,
+       CAST(NULL AS VARCHAR) AS decode_err
 FROM base b2 JOIN grp g USING (zc_fp)
 """
 
@@ -11125,7 +11126,7 @@ grp AS (SELECT phash_hi, phash_lo, MIN(media_id) AS dup_group,
                CAST(COUNT(*) AS BIGINT) AS group_size
         FROM fl GROUP BY phash_hi, phash_lo)
 SELECT f.media_id, f.width, f.height, f.phash_hi, f.phash_lo,
-       g2.dup_group, g2.group_size
+       g2.dup_group, g2.group_size, CAST(NULL AS VARCHAR) AS decode_err
 FROM fl f JOIN grp g2 USING (phash_hi, phash_lo)
 """
 

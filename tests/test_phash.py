@@ -39,3 +39,55 @@ def test_dup_groups(spark):
 def test_hash_halves_fit_in_32_bits(spark):
     for r in decode_png_phash(_media(spark, [(1, 6, 0), (2, 13, 25)])).collect():
         assert 0 <= r.phash_hi < 1 << 32 and 0 <= r.phash_lo < 1 << 32
+
+
+def test_phash_and_audio_fp_route_malformed_to_decode_err(spark):
+    """The fingerprint stages share the media-plane policy: corrupt
+    bytes become decode_err rows with NULL group fields; valid rows
+    still group normally around them."""
+    from biothings_crawler_spark.operators.multimodal import (
+        audio_dup_groups,
+        audio_fingerprint,
+        decode_png_phash,
+        gen_png_media_seeded,
+        gen_wav_media_seeded,
+        phash_dup_groups,
+    )
+
+    ids = spark.createDataFrame(
+        [(1, 5, 0), (2, 5, 25), (3, 6, 0)],
+        "media_id long, seed long, amp long",
+    ).withColumnRenamed("amp", "bright")
+    png = gen_png_media_seeded(ids)
+    # corrupt media 3's bytes entirely
+    from pyspark.sql import functions as F
+
+    png = png.withColumn(
+        "content",
+        F.when(F.col("media_id") == 3,
+               F.lit(b"not a png at all")).otherwise(F.col("content")),
+    )
+    out = {r["media_id"]: r for r in
+           phash_dup_groups(decode_png_phash(png)).collect()}
+    assert len(out) == 3
+    assert out[3]["decode_err"] == "not a PNG signature"
+    assert out[3]["dup_group"] is None
+    assert out[1]["dup_group"] == out[2]["dup_group"] == 1  # same seed
+    assert out[1]["group_size"] == 2
+
+    aids = spark.createDataFrame(
+        [(1, 5, 1), (2, 5, 3), (3, 6, 1)],
+        "media_id long, seed long, amp long",
+    )
+    wav = gen_wav_media_seeded(aids)
+    wav = wav.withColumn(
+        "content",
+        F.when(F.col("media_id") == 3,
+               F.lit(b"RIFFgarbage")).otherwise(F.col("content")),
+    )
+    fps = {r["media_id"]: r for r in
+           audio_dup_groups(audio_fingerprint(wav)).collect()}
+    assert len(fps) == 3
+    assert fps[3]["decode_err"] is not None and fps[3]["dup_group"] is None
+    assert fps[1]["dup_group"] == fps[2]["dup_group"] == 1  # gain-invariant
+    assert fps[1]["n_gain_variants"] == 2
