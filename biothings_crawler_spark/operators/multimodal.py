@@ -646,23 +646,19 @@ def phash_dup_groups(hashes: DataFrame) -> DataFrame:
     and group size — the image twin of exact text dedup.
 
     decode_err rows (NULL hashes) pass through with NULL group fields
-    — they never join into a group, and they never disappear."""
-    ok = hashes.filter(F.col("decode_err").isNull())
-    agg = ok.groupBy("phash_hi", "phash_lo").agg(
+    — NULL join keys never match, so a LEFT join gives them NULL group
+    info for free (no filter-split + union, which would traverse the
+    Python decode stage a third time)."""
+    agg = hashes.filter(F.col("decode_err").isNull()).groupBy(
+        "phash_hi", "phash_lo"
+    ).agg(
         F.min("media_id").alias("dup_group"),
         F.count(F.lit(1)).cast("long").alias("group_size"),
     )
-    grouped = ok.join(agg, ["phash_hi", "phash_lo"]).select(
+    return hashes.join(agg, ["phash_hi", "phash_lo"], "left").select(
         "media_id", "width", "height", "phash_hi", "phash_lo",
         "dup_group", "group_size", "decode_err",
     )
-    errs = hashes.filter(F.col("decode_err").isNotNull()).select(
-        "media_id", "width", "height", "phash_hi", "phash_lo",
-        F.lit(None).cast("long").alias("dup_group"),
-        F.lit(None).cast("long").alias("group_size"),
-        "decode_err",
-    )
-    return grouped.unionByName(errs)
 
 
 def gen_wav_media_seeded(ids: DataFrame) -> DataFrame:
@@ -784,25 +780,17 @@ def audio_dup_groups(fps: DataFrame) -> DataFrame:
     equal) are distinguishable from gain-shifted ones.
 
     decode_err rows (NULL fingerprints) pass through with NULL group
-    fields — never grouped, never dropped."""
-    ok = fps.filter(F.col("decode_err").isNull())
-    agg = ok.groupBy("zc_fp").agg(
+    fields — NULL join keys never match, so one LEFT join covers both
+    lanes without re-traversing the decode stage."""
+    agg = fps.filter(F.col("decode_err").isNull()).groupBy("zc_fp").agg(
         F.min("media_id").alias("dup_group"),
         F.count(F.lit(1)).cast("long").alias("group_size"),
         F.countDistinct("env_fp").cast("long").alias("n_gain_variants"),
     )
-    grouped = ok.join(agg, "zc_fp").select(
+    return fps.join(agg, ["zc_fp"], "left").select(
         "media_id", "n_samples", "n_blocks", "zc_fp", "env_fp",
         "dup_group", "group_size", "n_gain_variants", "decode_err",
     )
-    errs = fps.filter(F.col("decode_err").isNotNull()).select(
-        "media_id", "n_samples", "n_blocks", "zc_fp", "env_fp",
-        F.lit(None).cast("long").alias("dup_group"),
-        F.lit(None).cast("long").alias("group_size"),
-        F.lit(None).cast("long").alias("n_gain_variants"),
-        "decode_err",
-    )
-    return grouped.unionByName(errs)
 
 
 # --- REAL JPEG decode (baseline grayscale, pure-numpy DCT codec) -----------
