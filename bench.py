@@ -322,6 +322,39 @@ def mega_pipeline_job(spark: SparkSession, pages) -> dict:
     return {"survivors": n_surv, "chunks": n_chunks, "topk": n_topk}
 
 
+def archive_pipeline_job(spark: SparkSession, pages) -> dict:
+    """The composed PAGES -> ARCHIVE -> PAGES loop — Common Crawl's
+    storage plane end-to-end: render WARC response records, pack them
+    into .warc.gz blobs of per-record gzip members, split the members
+    back out, re-parse to the input_hint page shape, and build the
+    compressed-offset CDX index — the artifact a 100-TB archive needs
+    for random access.  Round-trip counts must match the input."""
+    from biothings_crawler_spark.sources.cdx import cdx_from_members
+    from biothings_crawler_spark.sources.warc import (
+        gzip_member_files,
+        render_warc,
+        split_warc_gz_members,
+        warc_pages,
+    )
+
+    framed = pages.select(
+        F.concat(F.lit("https://h"), (F.col("id") % 500).cast("string"),
+                 F.lit(".example.org/p/"), F.col("id").cast("string"))
+        .alias("url"),
+        F.lit("2026-08-19 12:00:00").cast("timestamp_ntz").alias("warc_ts"),
+        F.col("html"),
+        (F.col("id") % 256).alias("file_id"),
+    )
+    files = gzip_member_files(render_warc(framed, keep=("file_id",)))
+    files = files.persist()
+    n_files = files.count()
+    members = split_warc_gz_members(files)
+    n_pages = warc_pages(members).count()
+    n_idx = cdx_from_members(members).count()
+    files.unpersist()
+    return {"files": n_files, "pages": n_pages, "cdx_rows": n_idx}
+
+
 def training_pipeline_job(spark: SparkSession, pages) -> dict:
     """The composed crawl-output-to-TRAINING-CORPUS pipeline — the
     session-7 tail on top of the mega front: html->text -> PII scrub
@@ -467,6 +500,17 @@ def main() -> None:
         best = min(best or 1e9, time.time() - t0)
     timings["training_pipeline"] = round(best, 3)
     counts["training_pipeline_packed"] = tp_counts["packed"]
+
+    # the archive storage loop over the same pages (best-of-2)
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        ap_counts = archive_pipeline_job(spark, mega_pages)
+        best = min(best or 1e9, time.time() - t0)
+    timings["archive_pipeline"] = round(best, 3)
+    counts["archive_pipeline_pages"] = ap_counts["pages"]
+    counts["archive_pipeline_cdx_rows"] = ap_counts["cdx_rows"]
+    assert ap_counts["pages"] == n_mega_pages, "archive roundtrip lost pages"
     mega_pages.unpersist()
 
     for name in SUITE:
@@ -511,8 +555,9 @@ def main() -> None:
     headline_queries = {
         k: timings[k]
         for k in ("crawl_sched", "extract_jsonld", "mega_pipeline",
-                  "training_pipeline", "q_politeness_quota",
-                  "q_minhash_lsh", "q_ann_ivf_topk", "q_sessionize")
+                  "training_pipeline", "archive_pipeline",
+                  "q_politeness_quota", "q_minhash_lsh",
+                  "q_ann_ivf_topk", "q_sessionize", "q_sessionize_fold")
         if k in timings
     }
     compact = dict(out, queries=headline_queries,
