@@ -2546,3 +2546,47 @@ def test_sessionize_fold_null_timestamps_match_session_window(spark):
          for r in sessionize_fold(df, "user_id", "ts", "event_id").collect()}
     assert a == b
     assert {k for k, *_ in b} == {100}  # all-NULL key 200 absent
+
+
+def test_sessionize_fold_property_random_events(spark):
+    """Property check: on random event sets (duplicate timestamps,
+    single-event keys, runs exactly at/over the gap), sessionize and
+    sessionize_fold produce identical session tables.  Driven by
+    hypothesis over the TIMESTAMP STRUCTURE (offsets around multiples
+    of the gap) where the boundary semantics live."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from biothings_crawler_spark.operators.sessionize import (
+        sessionize,
+        sessionize_fold,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    cols = ("key", "session_idx", "n_events", "start_us", "end_us",
+            "duration_us")
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(
+        st.tuples(st.integers(0, 3),                  # key
+                  st.integers(0, 8),                  # gap multiples
+                  st.sampled_from([-1, 0, 1, 300])),  # offset at boundary
+        min_size=1, max_size=30))
+    def check(evs):
+        rows = [
+            (i, t0 + dt.timedelta(seconds=600 * m + o), k)
+            for i, (k, m, o) in enumerate(evs)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long")
+        a = {tuple(r[c] for c in cols)
+             for r in sessionize(df, "user_id", "ts", "event_id").collect()}
+        b = {tuple(r[c] for c in cols)
+             for r in sessionize_fold(df, "user_id", "ts",
+                                      "event_id").collect()}
+        assert a == b
+
+    check()
