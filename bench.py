@@ -348,9 +348,12 @@ def archive_pipeline_job(spark: SparkSession, pages) -> dict:
     files = gzip_member_files(render_warc(framed, keep=("file_id",)))
     files = files.persist()
     n_files = files.count()
-    members = split_warc_gz_members(files)
+    # persist the split too: pages and CDX both derive from it, and
+    # without the pin the per-record Python gunzip would run twice
+    members = split_warc_gz_members(files).persist()
     n_pages = warc_pages(members).count()
     n_idx = cdx_from_members(members).count()
+    members.unpersist()
     files.unpersist()
     return {"files": n_files, "pages": n_pages, "cdx_rows": n_idx}
 

@@ -42,6 +42,35 @@ FEATURES_SCHEMA = "media_id long, kind string, n_bytes long, feature array<float
 
 N_FEATURES = 8
 
+# the decode_err contract shared by every media decode stage: catch
+# exactly the per-record decode failure classes (never MemoryError /
+# KeyboardInterrupt — worker-level problems must still kill the task)
+DECODE_ERR_CLASSES = (ValueError, NotImplementedError, KeyError,
+                      IndexError, struct.error, EOFError)
+
+
+def _decode_rows(pdf, feat_cols: tuple, decode_one, err_classes):
+    """Shared decode_err scaffolding for one-row-in/one-row-out media
+    decoders: iterate (media_id, content); ``decode_one(bytes)``
+    returns the feature tuple in ``feat_cols`` order or raises one of
+    ``err_classes`` — which becomes a row of NULL features plus the
+    error string.  Single point of policy for all decode stages."""
+    cols: dict = {k: [] for k in ("media_id",) + feat_cols
+                  + ("decode_err",)}
+    for mid, b in zip(pdf["media_id"], pdf["content"]):
+        cols["media_id"].append(int(mid))
+        try:
+            vals = decode_one(bytes(b))
+        except err_classes as e:
+            for k in feat_cols:
+                cols[k].append(None)
+            cols["decode_err"].append(str(e) or type(e).__name__)
+            continue
+        for k, v in zip(feat_cols, vals):
+            cols[k].append(v)
+        cols["decode_err"].append(None)
+    return cols
+
 
 def _fake_features(content: bytes, n: int = N_FEATURES) -> list[float]:
     """Deterministic pseudo-features: byte-histogram moments. Stands in
@@ -220,37 +249,26 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
 
         feat = ("sample_rate", "n_channels", "n_samples", "duration_us",
                 "sum_sq", "peak_abs")
+
+        def one(b: bytes):
+            w = _wave.open(io.BytesIO(b), "rb")
+            try:
+                c, sw, rate, n = (w.getnchannels(), w.getsampwidth(),
+                                  w.getframerate(), w.getnframes())
+                if sw != 2:
+                    raise NotImplementedError(
+                        f"only 16-bit PCM supported, got sampwidth={sw}")
+                arr = np.frombuffer(
+                    w.readframes(n), dtype="<i2").astype(np.int64)
+            finally:
+                w.close()
+            return (rate, c, n, n * 1_000_000 // rate,
+                    int((arr * arr).sum()),
+                    int(np.abs(arr).max()) if arr.size else 0)
+
         for pdf in batches:
-            out = {k: [] for k in
-                   ("media_id",) + feat + ("decode_err",)}
-            for mid, b in zip(pdf["media_id"], pdf["content"]):
-                out["media_id"].append(int(mid))
-                try:
-                    w = _wave.open(io.BytesIO(bytes(b)), "rb")
-                    try:
-                        c, sw, rate, n = (w.getnchannels(), w.getsampwidth(),
-                                          w.getframerate(), w.getnframes())
-                        if sw != 2:
-                            raise NotImplementedError(
-                                f"only 16-bit PCM supported, got sampwidth={sw}")
-                        arr = np.frombuffer(
-                            w.readframes(n), dtype="<i2").astype(np.int64)
-                    finally:
-                        w.close()
-                except (_wave.Error, EOFError, ValueError,
-                        NotImplementedError, struct.error) as e:
-                    for k in feat:
-                        out[k].append(None)
-                    out["decode_err"].append(str(e) or type(e).__name__)
-                    continue
-                out["sample_rate"].append(rate)
-                out["n_channels"].append(c)
-                out["n_samples"].append(n)
-                out["duration_us"].append(n * 1_000_000 // rate)
-                out["sum_sq"].append(int((arr * arr).sum()))
-                out["peak_abs"].append(int(np.abs(arr).max()) if arr.size else 0)
-                out["decode_err"].append(None)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(_decode_rows(
+                pdf, feat, one, DECODE_ERR_CLASSES + (_wave.Error,)))
 
     return media.mapInPandas(run, WAV_FEATURES_SCHEMA)
 
@@ -431,36 +449,20 @@ def decode_png_features(media: DataFrame) -> DataFrame:
 
         feat = ("width", "height", "bit_depth", "color_type", "n_pixels",
                 "sum_r", "sum_g", "sum_b")
+
+        def one(b: bytes):
+            w, h, bd, ct, bpp, rows = mm._png_decode_rows(b)
+            sums = [0, 0, 0]
+            for line in rows:
+                for i in range(0, w * bpp, bpp):
+                    sums[0] += line[i]
+                    sums[1] += line[i + 1]
+                    sums[2] += line[i + 2]
+            return (w, h, bd, ct, w * h, sums[0], sums[1], sums[2])
+
         for pdf in batches:
-            cols = {k: [] for k in ("media_id",) + feat + ("decode_err",)}
-            for mid, b in zip(pdf["media_id"], pdf["content"]):
-                cols["media_id"].append(int(mid))
-                try:
-                    w, h, bd, ct, bpp, rows = mm._png_decode_rows(bytes(b))
-                except (ValueError, NotImplementedError, KeyError,
-                        IndexError, struct.error, _zlib.error) as e:
-                    # bad CRC, torn chunk walk, out-of-scope color
-                    # modes: data, not a task kill
-                    for k in feat:
-                        cols[k].append(None)
-                    cols["decode_err"].append(str(e) or type(e).__name__)
-                    continue
-                sums = [0, 0, 0]
-                for line in rows:
-                    for i in range(0, w * bpp, bpp):
-                        sums[0] += line[i]
-                        sums[1] += line[i + 1]
-                        sums[2] += line[i + 2]
-                cols["width"].append(w)
-                cols["height"].append(h)
-                cols["bit_depth"].append(bd)
-                cols["color_type"].append(ct)
-                cols["n_pixels"].append(w * h)
-                cols["sum_r"].append(sums[0])
-                cols["sum_g"].append(sums[1])
-                cols["sum_b"].append(sums[2])
-                cols["decode_err"].append(None)
-            yield pd.DataFrame(cols)
+            yield pd.DataFrame(_decode_rows(
+                pdf, feat, one, DECODE_ERR_CLASSES + (_zlib.error,)))
 
     return media.mapInPandas(run, PNG_FEATURES_SCHEMA)
 
@@ -590,51 +592,38 @@ def decode_png_phash(media: DataFrame) -> DataFrame:
 
         from biothings_crawler_spark.operators import multimodal as mm
 
+        def one(b: bytes):
+            # undecodable or sub-grid image raises -> decode_err row
+            # (the dedup join ignores NULL-hash rows)
+            w, h, _bd, _ct, bpp, rows = mm._png_decode_rows(b)
+            if h < 8 or w < 9:
+                raise ValueError(f"dHash needs >=9x8 px, got {w}x{h}")
+            px = np.frombuffer(b"".join(rows), dtype=np.uint8)
+            px = px.reshape(h, w, bpp)[:, :, :3].astype(np.int64)
+            gray = (299 * px[..., 0] + 587 * px[..., 1]
+                    + 114 * px[..., 2]) // 1000
+            ci = (np.arange(h) * 8) // h
+            cj = (np.arange(w) * 9) // w
+            cell = ci[:, None] * 9 + cj[None, :]
+            sums = np.zeros(72, dtype=np.int64)
+            np.add.at(sums, cell, gray)
+            cnts = np.bincount(cell.ravel(), minlength=72)
+            hi = lo = 0
+            for i in range(8):
+                for j in range(8):
+                    left, right = i * 9 + j, i * 9 + j + 1
+                    bit = int(sums[left] * cnts[right]
+                              > sums[right] * cnts[left])
+                    if i < 4:
+                        lo |= bit << (i * 8 + j)
+                    else:
+                        hi |= bit << ((i - 4) * 8 + j)
+            return (w, h, hi, lo)
+
         for pdf in batches:
-            cols = {k: [] for k in ("media_id", "width", "height",
-                                    "phash_hi", "phash_lo", "decode_err")}
-            for mid, b in zip(pdf["media_id"], pdf["content"]):
-                try:
-                    w, h, _bd, _ct, bpp, rows = mm._png_decode_rows(bytes(b))
-                    if h < 8 or w < 9:
-                        raise ValueError(
-                            f"dHash needs >=9x8 px, got {w}x{h}")
-                except (ValueError, NotImplementedError, KeyError,
-                        IndexError, struct.error, _zlib.error) as e:
-                    # undecodable or sub-grid image: data, not a task
-                    # kill (the dedup join ignores NULL-hash rows)
-                    cols["media_id"].append(int(mid))
-                    for k in ("width", "height", "phash_hi", "phash_lo"):
-                        cols[k].append(None)
-                    cols["decode_err"].append(str(e) or type(e).__name__)
-                    continue
-                px = np.frombuffer(b"".join(rows), dtype=np.uint8)
-                px = px.reshape(h, w, bpp)[:, :, :3].astype(np.int64)
-                gray = (299 * px[..., 0] + 587 * px[..., 1]
-                        + 114 * px[..., 2]) // 1000
-                ci = (np.arange(h) * 8) // h
-                cj = (np.arange(w) * 9) // w
-                cell = ci[:, None] * 9 + cj[None, :]
-                sums = np.zeros(72, dtype=np.int64)
-                np.add.at(sums, cell, gray)
-                cnts = np.bincount(cell.ravel(), minlength=72)
-                hi = lo = 0
-                for i in range(8):
-                    for j in range(8):
-                        left, right = i * 9 + j, i * 9 + j + 1
-                        bit = int(sums[left] * cnts[right]
-                                  > sums[right] * cnts[left])
-                        if i < 4:
-                            lo |= bit << (i * 8 + j)
-                        else:
-                            hi |= bit << ((i - 4) * 8 + j)
-                cols["media_id"].append(int(mid))
-                cols["width"].append(w)
-                cols["height"].append(h)
-                cols["phash_hi"].append(hi)
-                cols["phash_lo"].append(lo)
-                cols["decode_err"].append(None)
-            yield pd.DataFrame(cols)
+            yield pd.DataFrame(_decode_rows(
+                pdf, ("width", "height", "phash_hi", "phash_lo"), one,
+                DECODE_ERR_CLASSES + (_zlib.error,)))
 
     return media.mapInPandas(run, PHASH_SCHEMA)
 
@@ -726,49 +715,36 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
         import wave as _wave
 
         B = AUDIO_FP_BLOCK
-        for pdf in batches:
-            cols = {k: [] for k in ("media_id", "n_samples", "n_blocks",
-                                    "zc_fp", "env_fp", "decode_err")}
-            for mid, b in zip(pdf["media_id"], pdf["content"]):
-                try:
-                    w = _wave.open(io.BytesIO(bytes(b)), "rb")
-                    try:
-                        if w.getsampwidth() != 2:
-                            raise NotImplementedError("16-bit PCM only")
-                        s = np.frombuffer(
-                            w.readframes(w.getnframes()), dtype="<i2"
-                        ).astype(np.int64)
-                    finally:
-                        w.close()
-                except (_wave.Error, EOFError, ValueError,
-                        NotImplementedError, struct.error) as e:
-                    # torn/out-of-scope container: data, not a task kill
-                    cols["media_id"].append(int(mid))
-                    for k in ("n_samples", "n_blocks", "zc_fp", "env_fp"):
-                        cols[k].append(None)
-                    cols["decode_err"].append(str(e) or type(e).__name__)
-                    continue
-                m = len(s)
-                n_blocks = (m + B - 1) // B
-                blk = np.arange(m) // B
-                energy = np.zeros(n_blocks, dtype=np.int64)
-                np.add.at(energy, blk, s * s)
-                cross = np.zeros(n_blocks, dtype=np.int64)
-                if m > 1:
-                    x = (s[1:] * s[:-1] < 0).astype(np.int64)
-                    np.add.at(cross, blk[1:], x)
-                zc_str = ",".join(str(int(v)) for v in cross)
-                env_str = ",".join(
-                    str(int(v + 1).bit_length()) for v in energy)
-                cols["media_id"].append(int(mid))
-                cols["n_samples"].append(m)
-                cols["n_blocks"].append(n_blocks)
-                cols["zc_fp"].append(
-                    hashlib.md5(zc_str.encode()).hexdigest())
-                cols["env_fp"].append(
+
+        def one(b: bytes):
+            w = _wave.open(io.BytesIO(b), "rb")
+            try:
+                if w.getsampwidth() != 2:
+                    raise NotImplementedError("16-bit PCM only")
+                s = np.frombuffer(
+                    w.readframes(w.getnframes()), dtype="<i2"
+                ).astype(np.int64)
+            finally:
+                w.close()
+            m = len(s)
+            n_blocks = (m + B - 1) // B
+            blk = np.arange(m) // B
+            energy = np.zeros(n_blocks, dtype=np.int64)
+            np.add.at(energy, blk, s * s)
+            cross = np.zeros(n_blocks, dtype=np.int64)
+            if m > 1:
+                x = (s[1:] * s[:-1] < 0).astype(np.int64)
+                np.add.at(cross, blk[1:], x)
+            zc_str = ",".join(str(int(v)) for v in cross)
+            env_str = ",".join(str(int(v + 1).bit_length()) for v in energy)
+            return (m, n_blocks,
+                    hashlib.md5(zc_str.encode()).hexdigest(),
                     hashlib.md5(env_str.encode()).hexdigest())
-                cols["decode_err"].append(None)
-            yield pd.DataFrame(cols)
+
+        for pdf in batches:
+            yield pd.DataFrame(_decode_rows(
+                pdf, ("n_samples", "n_blocks", "zc_fp", "env_fp"), one,
+                DECODE_ERR_CLASSES + (_wave.Error,)))
 
     return media.mapInPandas(run, AUDIO_FP_SCHEMA)
 
@@ -868,30 +844,16 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from biothings_crawler_spark.operators import jpegcodec as jc
 
+        def one(b: bytes):
+            img = jc.jpeg_decode_gray(b)
+            h, w = img.shape
+            return (w, h, w * h, int(img.sum()), int(img.min()),
+                    int(img.max()))
+
         for pdf in batches:
-            cols = {k: [] for k in ("media_id", "width", "height",
-                                    "n_pixels", "sum_gray", "min_gray",
-                                    "max_gray", "decode_err")}
-            for mid, b in zip(pdf["media_id"], pdf["content"]):
-                cols["media_id"].append(int(mid))
-                try:
-                    img = jc.jpeg_decode_gray(bytes(b))
-                except (NotImplementedError, ValueError, KeyError,
-                        IndexError, struct.error) as e:
-                    for k in ("width", "height", "n_pixels", "sum_gray",
-                              "min_gray", "max_gray"):
-                        cols[k].append(None)
-                    cols["decode_err"].append(str(e) or type(e).__name__)
-                    continue
-                h, w = img.shape
-                cols["width"].append(w)
-                cols["height"].append(h)
-                cols["n_pixels"].append(w * h)
-                cols["sum_gray"].append(int(img.sum()))
-                cols["min_gray"].append(int(img.min()))
-                cols["max_gray"].append(int(img.max()))
-                cols["decode_err"].append(None)
-            yield pd.DataFrame(cols)
+            yield pd.DataFrame(_decode_rows(
+                pdf, ("width", "height", "n_pixels", "sum_gray",
+                      "min_gray", "max_gray"), one, DECODE_ERR_CLASSES))
 
     return media.mapInPandas(run, JPEG_FEATURES_SCHEMA)
 
@@ -1010,8 +972,7 @@ def decode_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
         from biothings_crawler_spark.operators import multimodal as mm
 
         feat = ("width", "height", "sum_gray", "min_gray", "max_gray")
-        err_classes = (ValueError, NotImplementedError, KeyError,
-                       IndexError, struct.error)
+        err_classes = DECODE_ERR_CLASSES
 
         def err_row(cols, mid, fno, e):
             cols["media_id"].append(int(mid))
@@ -1103,29 +1064,15 @@ def decode_gif_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from biothings_crawler_spark.operators import gifcodec as gc
 
-        feat = ("width", "height", "n_pixels", "sum_gray", "min_gray",
-                "max_gray")
+        def one(b: bytes):
+            # torn header/stream, interlace, local tables raise ->
+            # decode_err row
+            w, h, pix = gc.gif_decode_gray(b)
+            return (w, h, w * h, sum(pix), min(pix), max(pix))
+
         for pdf in batches:
-            cols = {k: [] for k in ("media_id",) + feat + ("decode_err",)}
-            for mid, b in zip(pdf["media_id"], pdf["content"]):
-                cols["media_id"].append(int(mid))
-                try:
-                    w, h, pix = gc.gif_decode_gray(bytes(b))
-                except (ValueError, NotImplementedError, KeyError,
-                        IndexError, struct.error) as e:
-                    # torn header/stream, interlace, local tables:
-                    # data, not a task kill
-                    for k in feat:
-                        cols[k].append(None)
-                    cols["decode_err"].append(str(e) or type(e).__name__)
-                    continue
-                cols["width"].append(w)
-                cols["height"].append(h)
-                cols["n_pixels"].append(w * h)
-                cols["sum_gray"].append(sum(pix))
-                cols["min_gray"].append(min(pix))
-                cols["max_gray"].append(max(pix))
-                cols["decode_err"].append(None)
-            yield pd.DataFrame(cols)
+            yield pd.DataFrame(_decode_rows(
+                pdf, ("width", "height", "n_pixels", "sum_gray",
+                      "min_gray", "max_gray"), one, DECODE_ERR_CLASSES))
 
     return media.mapInPandas(run, GIF_FEATURES_SCHEMA)

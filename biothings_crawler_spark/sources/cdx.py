@@ -173,26 +173,25 @@ def cdx_from_members(
     from the member walk, so there is NO window at all — pure
     projection + filter over the already-split records.  Same columns
     out: ``surt, ts14, url, mime, status, digest, length, offset,
-    warc_file``."""
+    warc_file``.  Header patterns are the parser's own (sources/warc)
+    so a header-format fix there applies to the index too; split_err
+    rows (NULL record) regex to NULL url and fall out of the response
+    filter."""
+    from .warc import _DATE_RE, _HDR_RE, _TYPE_RE, _URI_RE, _nullif_empty
+
     t = F.decode(F.col("record"), "utf-8")
-    hdr = F.regexp_extract(t, r"(?s)^(.*?)\r\n\r\n", 1)
+    hdr = F.regexp_extract(t, _HDR_RE, 1)
     payload = F.regexp_replace(t, r"(?s)^.*?\r\n\r\n", "")
     rows = records.select(
         F.col(file_col).cast("string").alias("warc_file"),
         F.col("comp_length").alias("length"),
         F.col("offset"),
-        F.regexp_extract(hdr, r"(?m)^WARC-Type: ([^\r\n]+)", 1)
-        .alias("warc_type"),
-        F.when(F.regexp_extract(hdr, r"(?m)^WARC-Target-URI: ([^\r\n]+)", 1)
-               != "",
-               F.regexp_extract(hdr, r"(?m)^WARC-Target-URI: ([^\r\n]+)", 1))
-        .alias("url"),
-        F.regexp_extract(hdr, r"(?m)^WARC-Date: ([^\r\n]+)", 1)
-        .alias("warc_date"),
-        F.when(F.regexp_extract(payload, _STATUS_RE, 1) != "",
-               F.regexp_extract(payload, _STATUS_RE, 1)).alias("status"),
-        F.when(F.regexp_extract(payload, _MIME_RE, 1) != "",
-               F.regexp_extract(payload, _MIME_RE, 1)).alias("mime"),
+        F.regexp_extract(hdr, _TYPE_RE, 1).alias("warc_type"),
+        _nullif_empty(F.regexp_extract(hdr, _URI_RE, 1)).alias("url"),
+        F.regexp_extract(hdr, _DATE_RE, 1).alias("warc_date"),
+        _nullif_empty(F.regexp_extract(payload, _STATUS_RE, 1))
+        .alias("status"),
+        _nullif_empty(F.regexp_extract(payload, _MIME_RE, 1)).alias("mime"),
         F.md5(F.encode(payload, "utf-8")).alias("digest"),
     )
     ts14 = F.regexp_replace(F.col("warc_date"), r"[^0-9]", "")

@@ -180,21 +180,26 @@ def gzip_member_files(
 
     Arrow-batched ``applyInPandas`` (gzip itself is Python's zlib —
     there is no JVM-side expression for it); one keyed shuffle on the
-    file assignment, the same shape any archive writer needs."""
+    file assignment, the same shape any archive writer needs.  The
+    output file column keeps ``file_col``'s name and type."""
     import pandas as pd
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         import gzip as _gzip
 
-        blob = b""
-        for rec in sorted(pdf[record_col], key=bytes):
-            blob += _gzip.compress(bytes(rec), compresslevel=6, mtime=0)
+        # join once at the end — += over immutable bytes is quadratic
+        # in member count (CC shards carry ~50k members per file)
+        blob = b"".join(
+            _gzip.compress(bytes(rec), compresslevel=6, mtime=0)
+            for rec in sorted(pdf[record_col], key=bytes)
+        )
         return pd.DataFrame(
-            {"file_id": [pdf[file_col].iloc[0]], "content": [blob]}
+            {file_col: [pdf[file_col].iloc[0]], "content": [blob]}
         )
 
+    ftype = df.schema[file_col].dataType.simpleString()
     return df.groupBy(file_col).applyInPandas(
-        pack, "file_id long, content binary"
+        pack, f"{file_col} {ftype}, content binary"
     )
 
 
@@ -206,7 +211,7 @@ def split_warc_gz_members(
     """The reader half: split a ``.warc.gz`` blob (one binary column,
     e.g. from ``spark.read.format('binaryFile')``) into its gzip
     members and decompress each — one output row per WARC record:
-    ``(*keep, member_no, offset, comp_length, record)``.
+    ``(*keep, member_no, offset, comp_length, record, split_err)``.
 
     ``offset``/``comp_length`` delimit the member INSIDE the blob —
     exactly the (offset, length) pair a CDX index records, so
@@ -215,9 +220,18 @@ def split_warc_gz_members(
     ``unused_data`` chain — sequential per file by gzip's nature, but
     embarrassingly parallel ACROSS files, which is how a 100-TB
     archive scales (CC shards are ~1 GB each; parallelism = file
-    count).  A trailing torn member degrades to a truncated final
-    record rather than failing the task."""
+    count).  ``keep`` columns keep their input types.
+
+    Corruption policy (the media-plane decode_err contract): a corrupt
+    or torn member becomes a ``split_err`` row (NULL record) covering
+    the damaged byte range, and the walk RESYNCS at the next gzip
+    magic (``1f 8b 08``) so one flipped bit cannot silently drop the
+    rest of a 50k-member shard — a false-positive magic inside
+    compressed data just fails the next decompress and the scan
+    continues.  Good rows carry ``split_err`` NULL."""
     import pandas as pd
+
+    MAGIC = b"\x1f\x8b\x08"
 
     def split(batches):
         import zlib as _zlib
@@ -225,36 +239,55 @@ def split_warc_gz_members(
         for pdf in batches:
             out: dict = {k: [] for k in keep}
             out.update({"member_no": [], "offset": [],
-                        "comp_length": [], "record": []})
+                        "comp_length": [], "record": [],
+                        "split_err": []})
+
+            def emit(row, member, pos, length, rec, err):
+                for k in keep:
+                    out[k].append(row[k])
+                out["member_no"].append(member)
+                out["offset"].append(pos)
+                out["comp_length"].append(length)
+                out["record"].append(rec)
+                out["split_err"].append(err)
+
             for _, row in pdf.iterrows():
                 data = bytes(row[content_col])
                 pos = 0
                 member = 0
                 while pos < len(data):
                     d = _zlib.decompressobj(wbits=31)
+                    err = None
                     try:
                         rec = d.decompress(data[pos:])
                         rec += d.flush()
-                    except _zlib.error:
-                        break  # torn trailing member: stop, keep prior
-                    if not d.eof:
-                        break  # incomplete member (no trailer): torn
-                    consumed = len(data) - pos - len(d.unused_data)
-                    if consumed <= 0:
-                        break
-                    for k in keep:
-                        out[k].append(row[k])
-                    out["member_no"].append(member)
-                    out["offset"].append(pos)
-                    out["comp_length"].append(consumed)
-                    out["record"].append(rec)
+                        if not d.eof:
+                            err = "torn gzip member (no trailer)"
+                    except _zlib.error as e:
+                        err = f"corrupt gzip member: {e}"
+                    if err is None:
+                        consumed = len(data) - pos - len(d.unused_data)
+                        if consumed <= 0:
+                            err = "empty gzip member"
+                    if err is not None:
+                        # resync at the next member magic; the error
+                        # row covers the skipped byte range
+                        nxt = data.find(MAGIC, pos + 1)
+                        end = nxt if nxt >= 0 else len(data)
+                        emit(row, member, pos, end - pos, None, err)
+                        member += 1
+                        if nxt < 0:
+                            break
+                        pos = nxt
+                        continue
+                    emit(row, member, pos, consumed, rec, None)
                     member += 1
                     pos += consumed
             yield pd.DataFrame(out)
 
     schema = ", ".join(
-        [f"{k} long" for k in keep]
+        [f"{k} {df.schema[k].dataType.simpleString()}" for k in keep]
         + ["member_no long", "offset long", "comp_length long",
-           "record binary"]
+           "record binary", "split_err string"]
     )
     return df.mapInPandas(split, schema)

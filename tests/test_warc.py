@@ -104,8 +104,9 @@ def test_gzip_member_framing_roundtrip_and_cdx_addressing(spark):
 
 
 def test_gzip_member_split_torn_trailing_member(spark):
-    """A truncated final member (mid-transfer kill) degrades to 'stop
-    after the last whole member' — never a task failure."""
+    """A truncated final member (mid-transfer kill) becomes a
+    split_err row covering the torn byte range — data, never a task
+    failure OR a silent drop."""
     import gzip
 
     from biothings_crawler_spark.sources.warc import split_warc_gz_members
@@ -115,9 +116,42 @@ def test_gzip_member_split_torn_trailing_member(spark):
     df = spark.createDataFrame(
         [(1, good + torn)], "file_id long, content binary"
     )
-    out = split_warc_gz_members(df).collect()
-    assert len(out) == 1
+    out = sorted(split_warc_gz_members(df).collect(),
+                 key=lambda r: r["member_no"])
+    assert len(out) == 2
     assert bytes(out[0]["record"]) == b"whole record"
+    assert out[0]["split_err"] is None
+    assert out[1]["record"] is None
+    assert out[1]["split_err"] == "torn gzip member (no trailer)"
+    assert out[1]["offset"] == len(good) and out[1]["comp_length"] == 10
+
+
+def test_gzip_member_split_resyncs_after_mid_blob_corruption(spark):
+    """Bit-rot in member 2 of 4 must not drop members 3-4: the walk
+    emits a split_err row for the damaged range and RESYNCS at the
+    next gzip magic."""
+    import gzip
+
+    from biothings_crawler_spark.sources.warc import split_warc_gz_members
+
+    recs = [b"record one", b"record two", b"record three", b"record four"]
+    members = [gzip.compress(r, mtime=0) for r in recs]
+    # flip a byte in member 2's deflate data (past the 10-byte header)
+    bad = bytearray(members[1])
+    bad[12] ^= 0xFF
+    blob = members[0] + bytes(bad) + members[2] + members[3]
+    df = spark.createDataFrame([(1, blob)], "file_id long, content binary")
+    out = sorted(split_warc_gz_members(df).collect(),
+                 key=lambda r: r["offset"])
+    good = [bytes(r["record"]) for r in out if r["split_err"] is None]
+    errs = [r for r in out if r["split_err"] is not None]
+    assert good == [b"record one", b"record three", b"record four"]
+    assert len(errs) >= 1  # damaged range reported, not swallowed
+    # recovered members keep standalone (offset, length) addressing
+    for r in out:
+        if r["split_err"] is None:
+            sl = blob[r["offset"]: r["offset"] + r["comp_length"]]
+            assert gzip.decompress(sl) == bytes(r["record"])
 
 
 def test_cdx_from_members_ranged_get_roundtrip(spark):
