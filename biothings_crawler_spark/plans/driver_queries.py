@@ -8382,6 +8382,97 @@ FROM rec
 """
 
 
+def q_wat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT metadata-sidecar framing (sources/warc.render_wat): the
+    third Common-Crawl archive artifact beside .warc/.wet — JSON
+    Envelope with title + outgoing links per response, JSON-escaped,
+    byte-counted Content-Length.  Fixture lanes: one page in four has
+    no title and no links (empty-Title/empty-Links shape); the rest
+    carry a quote-and-backslash title (escape path) and one or two
+    links.  Oracle re-derives title and links from the html with the
+    same RE2 patterns and re-builds the record string in DuckDB; both
+    sides md5 the full record."""
+    from biothings_crawler_spark.sources.warc import render_wat
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    link1 = F.concat(F.lit('<a href="https://h'),
+                     (F.col("doc_id") % 7).cast("string"),
+                     F.lit(".example.org/p"), i, F.lit('">x</a>'))
+    link2 = F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit('<a href="/rel/'), i, F.lit('">y</a>'))
+                   ).otherwise(F.lit(""))
+    html = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.lit("<html><body>plain</body></html>"),
+    ).otherwise(F.concat(
+        F.lit('<html><head><title>Doc "'), i, F.lit('" \\ t</title></head>'),
+        F.lit("<body>"), link1, link2, F.lit("</body></html>"),
+    ))
+    pages = d.select(
+        F.concat(F.lit("https://site"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".example.org/page/"), i).alias("url"),
+        F.timestamp_micros(
+            (F.lit(1756684800) + F.col("doc_id") % 86400 * 7) * 1_000_000
+        ).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return render_wat(pages).select(
+        F.length("record").alias("rec_len"),
+        F.md5("record").alias("rec_md5"),
+    )
+
+
+SQL_WAT_RENDER = r"""
+WITH p AS (
+  SELECT 'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/page/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         strftime(make_timestamp((1756684800 + doc_id % 86400 * 7) * 1000000),
+                  '%Y-%m-%dT%H:%M:%SZ') AS dt,
+         CASE WHEN doc_id % 4 = 0 THEN '<html><body>plain</body></html>'
+              ELSE '<html><head><title>Doc "' || CAST(doc_id AS VARCHAR)
+                   || '" \ t</title></head><body><a href="https://h'
+                   || CAST(doc_id % 7 AS VARCHAR) || '.example.org/p'
+                   || CAST(doc_id AS VARCHAR) || '">x</a>'
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN '<a href="/rel/' || CAST(doc_id AS VARCHAR)
+                                || '">y</a>'
+                           ELSE '' END
+                   || '</body></html>'
+         END AS html
+  FROM documents),
+m AS (
+  SELECT url, dt,
+         replace(replace(
+             regexp_extract(html, '(?s)<title>(.*?)</title>', 1),
+             '\', '\\'), '"', '\"') AS title,
+         '[' || coalesce(array_to_string(list_transform(
+             regexp_extract_all(html, '<a href="([^"]*)"', 1),
+             u -> '{"url":"' || replace(replace(u, '\', '\\'), '"', '\"')
+                  || '"}'), ','), '') || ']' AS links
+  FROM p),
+j AS (
+  SELECT url, dt,
+         '{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":'
+         || '{"HTML-Metadata":{"Links":' || links || ',"Title":"' || title
+         || '"}}},"WARC-Header-Metadata":{"WARC-Date":"' || dt
+         || '","WARC-Target-URI":"' || url
+         || '","WARC-Type":"response"}}}' AS payload
+  FROM m),
+rec AS (
+  SELECT 'WARC/1.0' || chr(13) || chr(10) || 'WARC-Type: metadata'
+         || chr(13) || chr(10) || 'WARC-Target-URI: ' || url
+         || chr(13) || chr(10) || 'WARC-Date: ' || dt
+         || chr(13) || chr(10) || 'Content-Type: application/json'
+         || chr(13) || chr(10) || 'Content-Length: '
+         || CAST(octet_length(encode(payload)) AS VARCHAR)
+         || chr(13) || chr(10) || chr(13) || chr(10) || payload AS t
+  FROM j)
+SELECT CAST(octet_length(encode(t)) AS INTEGER) AS rec_len, md5(t) AS rec_md5
+FROM rec
+"""
+
+
 def q_pct_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 3986 percent-encoding normalization (urlnorm.
     pct_normalize_col): unreserved escapes decode, reserved escapes
@@ -15498,6 +15589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_line_dedup": q_line_dedup,
     "q_winnow_fingerprints": q_winnow_fingerprints,
     "q_sessionize_fold": q_sessionize_fold,
+    "q_wat_render": q_wat_render,
 }
 
 # Gate-rotation (round 5): the driver's correctness gate samples the FIRST 50
@@ -15794,6 +15886,7 @@ ORACLES: dict[str, str] = {
     "q_fetch_quality": SQL_FETCH_QUALITY,
     "q_archive_roundtrip": SQL_ARCHIVE_ROUNDTRIP,
     "q_wet_render": SQL_WET_RENDER,
+    "q_wat_render": SQL_WAT_RENDER,
     "q_pct_normalize": SQL_PCT_NORMALIZE,
     "q_line_trim": SQL_LINE_TRIM,
     "q_png_decode": SQL_PNG_DECODE,

@@ -164,6 +164,78 @@ def render_wet(
         *[F.col(c) for c in keep], F.encode(record, "utf-8").alias("record"))
 
 
+def _json_escape(c: Column) -> Column:
+    # backslash first, then quote — the two escapes JSON requires for the
+    # URL/title value domain this module handles (control chars in a
+    # Target-URI or <title> are already stripped by the extract plane).
+    return F.regexp_replace(
+        F.regexp_replace(c, r"\\", r"\\\\"), '"', r'\\"')
+
+
+def render_wat(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """WAT metadata-sidecar records — the third Common-Crawl archive
+    artifact beside .warc (responses, :func:`render_warc`) and .wet
+    (extracted text, :func:`render_wet`): one ``WARC-Type: metadata``
+    record per page whose JSON payload carries the response's header
+    metadata plus HTML metadata (``<title>``, outgoing ``<a href>``
+    links in document order), so link-graph and catalog consumers never
+    touch the response bytes.
+
+    The payload is canonical compact JSON with keys in sorted order
+    (the house json_canon contract), built entirely from codegen
+    string/regexp ops — title via one ``regexp_extract``, links via
+    ``regexp_extract_all`` + ``transform`` + ``array_join``, values
+    JSON-escaped for backslash/quote.  Missing title renders as ``""``
+    and a linkless page as ``[]`` (deviation from CC's key-omission,
+    documented here, so the record schema stays fixed-shape for
+    downstream parquet).  Same CRLF framing and byte-counted
+    Content-Length as the other two renderers; pure projection, zero
+    exchange, zero Python.  Reference never emits archives (Scrapy
+    pipelines, reference ``crawler/pipelines.py``) — this is the
+    batch-engine storage plane the 100-TB tier needs.
+    """
+    html = F.decode(F.col(html_col), "utf-8")
+    title = _json_escape(
+        F.regexp_extract(html, r"(?s)<title>(.*?)</title>", 1))
+    links = F.regexp_extract_all(html, F.lit(r'<a href="([^"]*)"'), 1)
+    links_json = F.concat(
+        F.lit("["),
+        F.array_join(
+            F.transform(
+                links,
+                lambda u: F.concat(
+                    F.lit('{"url":"'), _json_escape(u), F.lit('"}'))),
+            ","),
+        F.lit("]"),
+    )
+    dt = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    payload = F.concat(
+        F.lit('{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":'
+              '{"HTML-Metadata":{"Links":'),
+        links_json,
+        F.lit(',"Title":"'), title,
+        F.lit('"}}},"WARC-Header-Metadata":{"WARC-Date":"'), dt,
+        F.lit('","WARC-Target-URI":"'), F.col(url_col),
+        F.lit('","WARC-Type":"response"}}}'),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: "),
+        F.col(url_col),
+        F.lit("\r\nWARC-Date: "), dt,
+        F.lit("\r\nContent-Type: application/json\r\nContent-Length: "),
+        F.length(F.encode(payload, "utf-8")).cast("string"),
+        F.lit("\r\n\r\n"), payload,
+    )
+    return df.select(
+        *[F.col(c) for c in keep], F.encode(record, "utf-8").alias("record"))
+
+
 def gzip_member_files(
     df: DataFrame,
     file_col: str = "file_id",

@@ -194,3 +194,54 @@ def test_cdx_from_members_ranged_get_roundtrip(spark):
         assert f"WARC-Target-URI: {r['url']}\r\n" in rec
         assert r["status"] == "200" and r["mime"] == "text/html"
         assert r["ts14"].startswith("20260301")
+
+
+def test_wat_render_roundtrip_json_and_framing(spark):
+    import json
+
+    from biothings_crawler_spark.sources.warc import render_wat
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://h.example.org/a",
+                datetime(2026, 8, 17, 12, 0, 5, tzinfo=timezone.utc),
+                b'<html><head><title>T "q" \\ s</title></head><body>'
+                b'<a href="https://h.example.org/b">x</a>'
+                b'<a href="/rel/1">y</a></body></html>',
+            ),
+            (
+                "https://h.example.org/plain",
+                datetime(2026, 8, 17, 12, 0, 6, tzinfo=timezone.utc),
+                b"<html><body>no title no links</body></html>",
+            ),
+        ],
+        "url string, warc_ts timestamp, html binary",
+    )
+    recs = render_wat(pages)
+    # frames parse back through the generic record parser
+    parsed = {
+        r.url: r for r in parse_warc_records(recs).collect()
+    }
+    assert set(parsed) == {"https://h.example.org/a", "https://h.example.org/plain"}
+    a = parsed["https://h.example.org/a"]
+    assert a.warc_type == "metadata"
+    assert a.content_length == len(a.payload.encode("utf-8"))
+    env = json.loads(a.payload)["Envelope"]
+    hm = env["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+    assert hm["Title"] == 'T "q" \\ s'  # escapes survive a real JSON parse
+    assert [l["url"] for l in hm["Links"]] == [
+        "https://h.example.org/b", "/rel/1",
+    ]  # document order
+    assert env["WARC-Header-Metadata"] == {
+        "WARC-Date": "2026-08-17T12:00:05Z",
+        "WARC-Target-URI": "https://h.example.org/a",
+        "WARC-Type": "response",
+    }
+    p = json.loads(parsed["https://h.example.org/plain"].payload)["Envelope"]
+    phm = p["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+    assert phm == {"Links": [], "Title": ""}  # fixed-shape empty lanes
+    # pure projection: no Python eval, no exchange
+    plan = recs._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
