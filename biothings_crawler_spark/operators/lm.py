@@ -132,6 +132,225 @@ def lm_score(
     )
 
 
+def train_kn_bigram(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; the
+    interpolated form and D=0.75 from Chen & Goodman 1998 §2.7) —
+    the smoothing CCNet's KenLM actually uses (modified KN), in the
+    module's exact-integer idiom so the DuckDB twin lands on identical
+    ppm values.
+
+    Returns three model tables, all derived from ONE (w1,w2) bigram
+    hash agg over the training corpus (no second corpus pass):
+
+      * ``big``  (bg, c12)            — bigram counts
+      * ``w1tab`` (w1, c1, n1w1)      — continuation denominator
+        ``c1 = Σ_w2 c12`` and type count ``n1w1 = |{w2 : c12>0}|``
+      * ``cont`` (w2, pc_ppm)         — Kneser-Ney continuation
+        probability ``N1+(·w2) * 10^6 div N1+(··)`` (how many distinct
+        LEFT contexts the word completes, not how often it occurs —
+        the insight that makes 'Francisco' cheap despite 'San
+        Francisco' being frequent)
+
+    No min-count pruning: discount mass must stay normalized
+    (pruning c12 rows silently re-inflates seen-bigram probability).
+    At web scale the model is therefore bigram-type-sized — the
+    documented trade; :func:`train_stupid_backoff` is the
+    prune-friendly scale alternative (Brants et al., EMNLP 2007).
+    ``N1+(··)`` rides a broadcast 1-row crossJoin, the house pattern
+    for scalar totals."""
+    big = (
+        _doc_bigrams(df, id_col, text_col)
+        .groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    w2 = F.substring_index(F.col("bg"), " ", -1)
+    w1tab = big.groupBy(w1.alias("w1")).agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1w1"),
+    )
+    tot = big.agg(F.count(F.lit(1)).cast("long").alias("n1tot"))
+    cont = (
+        big.groupBy(w2.alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n1w2"))
+        .crossJoin(F.broadcast(tot))
+        .select("w2", F.expr(f"n1w2 * {PPM} div n1tot").alias("pc_ppm"))
+    )
+    return big, w1tab, cont
+
+
+def kn_score(
+    df: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame],
+    id_col: str,
+    text_col: str,
+    d_num: int = 3,
+    d_den: int = 4,
+) -> DataFrame:
+    """Score documents under the interpolated-KN model from
+    :func:`train_kn_bigram` with absolute discount ``D = d_num/d_den``
+    (default 3/4).  Per bigram token, in exact ppm integers:
+
+        seen bg:    (d_den*c12 - d_num) * 10^6 div (d_den*c1)
+                    + (d_num * n1w1 * pc_ppm) div (d_den*c1)
+        seen w1:    (d_num * n1w1 * pc_ppm) div (d_den*c1)   (backoff
+                    mass λ(w1) times the continuation probability)
+        unseen w1:  pc_ppm (continuation prob alone; 0 if w2 is also
+                    unseen as a continuation)
+
+    ``d_den*c12 - d_num >= 1`` whenever ``c12 >= 1`` and ``D < 1``, so
+    the textbook ``max(c - D, 0)`` clamp is vacuous and omitted.
+    Output ``(id, n_bigrams, n_seen, kn_ppm, oov_ppm)`` with
+    ``kn_ppm = Σ p_ppm div n_bigrams`` (0 for docs with no bigram,
+    NULL text included — every input doc gets a row).
+
+    Int64 bounds: ``c12 * d_den * 10^6`` caps per-bigram counts at
+    ~2.3e12 and ``d_num * n1w1 * pc_ppm`` caps per-context type counts
+    at ~3e12 — both far past any single bigram/context at 100 TB.
+
+    Scale shape: the gram stream takes three equi-joins (bg, w1, w2) —
+    each co-keyed on its join column, model sides AQE-broadcast when
+    they fit — then ONE per-doc hash agg.  No windows, no Python, no
+    floats."""
+    big, w1tab, cont = model
+    dn, dd = int(d_num), int(d_den)
+    dg = _doc_bigrams(df, id_col, text_col).select(
+        "id", "bg",
+        F.substring_index(F.col("bg"), " ", 1).alias("w1"),
+        F.substring_index(F.col("bg"), " ", -1).alias("w2"),
+    )
+    j = (
+        dg.join(big, "bg", "left")
+        .join(w1tab, "w1", "left")
+        .join(cont, "w2", "left")
+    )
+    pc = F.coalesce(F.col("pc_ppm"), F.lit(0))
+    p_ppm = (
+        F.when(
+            F.col("c12").isNotNull(),
+            F.expr(f"({dd} * c12 - {dn}) * {PPM} div ({dd} * c1)")
+            + F.expr(f"({dn} * n1w1 * coalesce(pc_ppm, 0)) div ({dd} * c1)"),
+        )
+        .when(
+            F.col("c1").isNotNull(),
+            F.expr(f"({dn} * n1w1 * coalesce(pc_ppm, 0)) div ({dd} * c1)"),
+        )
+        .otherwise(pc)
+    )
+    scored = (
+        j.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.count("c12").cast("long").alias("n_seen"),
+            F.sum(p_ppm).alias("_s"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    out = base.join(scored, "id", "left")
+    n = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    return out.select(
+        "id",
+        n.cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("n_seen"), F.lit(0)).cast("long").alias("n_seen"),
+        F.when(n > 0, F.expr("_s div n_bigrams")).otherwise(F.lit(0))
+        .cast("long").alias("kn_ppm"),
+        F.when(n > 0, F.expr(f"(n_bigrams - n_seen) * {PPM} div n_bigrams"))
+        .otherwise(F.lit(0)).cast("long").alias("oov_ppm"),
+    )
+
+
+def train_stupid_backoff(
+    df: DataFrame, id_col: str, text_col: str, min_count: int = 1
+) -> tuple[DataFrame, DataFrame]:
+    """Stupid-backoff bigram model (Brants, Popat, Xu, Och & Dean,
+    "Large Language Models in Machine Translation", EMNLP 2007 §4) —
+    the smoothing Google designed FOR MapReduce-scale web corpora:
+    no discounting, no normalization, just relative frequencies with a
+    fixed backoff multiplier, which is why (unlike KN) the model
+    PRUNES freely and builds in two embarrassingly-parallel hash aggs.
+
+    Returns ``(big, uni)``: bigram counts ``(bg, c12, c1)`` with rows
+    under ``min_count`` pruned AFTER the denominator is fixed (same
+    prune-late rule as :func:`train_bigram_lm`), and unigram token
+    counts ``(w, cw, ntok)`` with the corpus total riding each row via
+    a broadcast 1-row crossJoin."""
+    big = (
+        _doc_bigrams(df, id_col, text_col)
+        .groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    c1 = big.groupBy(w1.alias("w1")).agg(F.sum("c12").cast("long").alias("c1"))
+    bgm = (
+        big.filter(F.col("c12") >= F.lit(int(min_count)))
+        .join(c1, w1 == c1.w1)
+        .select("bg", "c12", "c1")
+    )
+    toks = df.select(
+        F.explode(words_col(F.col(text_col))).alias("w")
+    ).groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cw"))
+    tot = toks.agg(F.sum("cw").cast("long").alias("ntok"))
+    uni = toks.crossJoin(F.broadcast(tot))
+    return bgm, uni
+
+
+def sb_score(
+    df: DataFrame,
+    model: tuple[DataFrame, DataFrame],
+    id_col: str,
+    text_col: str,
+    alpha_num: int = 2,
+    alpha_den: int = 5,
+) -> DataFrame:
+    """Score documents under stupid backoff with
+    ``alpha = alpha_num/alpha_den`` (default 2/5 = the paper's 0.4).
+    Per bigram token, exact ppm:
+
+        seen bg:  c12 * 10^6 div c1
+        else:     (alpha_num * cw2 * 10^6) div (alpha_den * ntok)
+                  (0 when w2 is OOV)
+
+    Output ``(id, n_bigrams, n_seen, sb_ppm, oov_ppm)`` — same contract
+    as :func:`kn_score`; scores are relative frequencies, not
+    probabilities (the paper's point: at web scale the ranking is what
+    matters and normalization costs a corpus-wide pass).
+
+    Int64 bound: ``alpha_num * cw2 * 10^6`` caps any single token's
+    corpus count at ~4.6e12 — generous even for 'the' at 100 TB; shift
+    to ppm-of-thousands if a corpus ever crosses it."""
+    bgm, uni = model
+    an, ad = int(alpha_num), int(alpha_den)
+    dg = _doc_bigrams(df, id_col, text_col).select(
+        "id", "bg",
+        F.substring_index(F.col("bg"), " ", -1).alias("w2"),
+    )
+    j = dg.join(bgm, "bg", "left").join(
+        uni.select(F.col("w").alias("w2"), "cw", "ntok"), "w2", "left"
+    )
+    p_ppm = F.when(
+        F.col("c12").isNotNull(), F.expr(f"c12 * {PPM} div c1")
+    ).otherwise(
+        F.coalesce(F.expr(f"({an} * cw * {PPM}) div ({ad} * ntok)"), F.lit(0))
+    )
+    scored = j.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.count("c12").cast("long").alias("n_seen"),
+        F.sum(p_ppm).alias("_s"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    out = base.join(scored, "id", "left")
+    n = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    return out.select(
+        "id",
+        n.cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("n_seen"), F.lit(0)).cast("long").alias("n_seen"),
+        F.when(n > 0, F.expr("_s div n_bigrams")).otherwise(F.lit(0))
+        .cast("long").alias("sb_ppm"),
+        F.when(n > 0, F.expr(f"(n_bigrams - n_seen) * {PPM} div n_bigrams"))
+        .otherwise(F.lit(0)).cast("long").alias("oov_ppm"),
+    )
+
+
 def tercile_cutoffs(
     scored: DataFrame,
     group_col: str,

@@ -5131,6 +5131,128 @@ FROM f
 """
 
 
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (operators/lm
+    .train_kn_bigram + kn_score, D=3/4) on the q_lm_score fixture:
+    clean-half training corpus, planted casualties (doc_id%7 reversed
+    -> backoff/continuation-only mass, doc_id%5 half-reversed).  Exact
+    integer ppm — discounted seen-bigram mass plus λ(w1)-weighted
+    continuation probability, the CCNet/KenLM smoothing family."""
+    from biothings_crawler_spark.operators.lm import kn_score, train_kn_bigram
+
+    d = _t(spark, sf_dir, "documents")
+    mutated = d.selectExpr("doc_id", _LM_TEXT + " AS text")
+    train = mutated.filter(_LM_TRAIN.replace("id", "doc_id"))
+    model = train_kn_bigram(train, "doc_id", "text")
+    return kn_score(mutated, model, "doc_id", "text")
+
+
+SQL_KNESER_NEY = f"""
+WITH m AS (SELECT doc_id, {_LM_TEXT} AS text FROM documents),
+w AS (SELECT doc_id AS id, {_SQL_WORDS} AS ws FROM m),
+g AS (
+  SELECT id, CASE WHEN len(ws) >= 2
+             THEN list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i + 1])
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM w),
+tr AS (SELECT unnest(grams) AS bg FROM g WHERE {_LM_TRAIN}),
+big AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM tr GROUP BY bg),
+w1tab AS (SELECT split_part(bg, ' ', 1) AS w1,
+                 CAST(SUM(c12) AS BIGINT) AS c1,
+                 CAST(COUNT(*) AS BIGINT) AS n1w1
+          FROM big GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1tot FROM big),
+contp AS (
+  SELECT w2, CAST(n1w2 * 1000000 // n1tot AS BIGINT) AS pc_ppm
+  FROM (SELECT split_part(bg, ' ', 2) AS w2,
+               CAST(COUNT(*) AS BIGINT) AS n1w2
+        FROM big GROUP BY 1), tot),
+dgx AS (
+  SELECT id, bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+  FROM (SELECT id, unnest(grams) AS bg FROM g)),
+sc AS (
+  SELECT dgx.id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(big.bg) AS BIGINT) AS n_seen,
+         SUM(CASE WHEN big.bg IS NOT NULL
+                  THEN (4 * c12 - 3) * 1000000 // (4 * c1)
+                       + (3 * n1w1 * coalesce(pc_ppm, 0)) // (4 * c1)
+                  WHEN c1 IS NOT NULL
+                  THEN (3 * n1w1 * coalesce(pc_ppm, 0)) // (4 * c1)
+                  ELSE coalesce(pc_ppm, 0) END) AS s
+  FROM dgx LEFT JOIN big USING (bg) LEFT JOIN w1tab USING (w1)
+           LEFT JOIN contp USING (w2)
+  GROUP BY dgx.id)
+SELECT d.id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(n_seen, 0) AS BIGINT) AS n_seen,
+       CAST(CASE WHEN coalesce(n_bigrams, 0) > 0
+            THEN s // n_bigrams ELSE 0 END AS BIGINT) AS kn_ppm,
+       CAST(CASE WHEN coalesce(n_bigrams, 0) > 0
+            THEN (n_bigrams - n_seen) * 1000000 // n_bigrams
+            ELSE 0 END AS BIGINT) AS oov_ppm
+FROM (SELECT doc_id AS id FROM documents) d LEFT JOIN sc USING (id)
+"""
+
+
+def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram scoring (operators/lm.train_stupid_backoff
+    + sb_score, α=2/5 — Brants et al. EMNLP 2007, the MapReduce-scale
+    smoothing) on the same fixture as q_kneser_ney: seen bigrams score
+    their relative frequency, unseen back off to α times the w2
+    unigram frequency, all exact integer ppm."""
+    from biothings_crawler_spark.operators.lm import (
+        sb_score,
+        train_stupid_backoff,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    mutated = d.selectExpr("doc_id", _LM_TEXT + " AS text")
+    train = mutated.filter(_LM_TRAIN.replace("id", "doc_id"))
+    model = train_stupid_backoff(train, "doc_id", "text")
+    return sb_score(mutated, model, "doc_id", "text")
+
+
+SQL_STUPID_BACKOFF = f"""
+WITH m AS (SELECT doc_id, {_LM_TEXT} AS text FROM documents),
+w AS (SELECT doc_id AS id, {_SQL_WORDS} AS ws FROM m),
+g AS (
+  SELECT id, CASE WHEN len(ws) >= 2
+             THEN list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i + 1])
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM w),
+tr AS (SELECT id, unnest(grams) AS bg FROM g WHERE {_LM_TRAIN}),
+big0 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM tr GROUP BY bg),
+big AS (SELECT bg, c12, CAST(c1 AS BIGINT) AS c1
+        FROM big0 JOIN (SELECT split_part(bg, ' ', 1) AS w1,
+                               SUM(c12) AS c1 FROM big0 GROUP BY 1) u
+        ON split_part(big0.bg, ' ', 1) = u.w1),
+toks AS (
+  SELECT w2 AS w, CAST(COUNT(*) AS BIGINT) AS cw
+  FROM (SELECT unnest(ws) AS w2 FROM w WHERE {_LM_TRAIN}) GROUP BY 1),
+tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS ntok FROM toks),
+dgx AS (SELECT id, bg, split_part(bg, ' ', 2) AS w2
+        FROM (SELECT id, unnest(grams) AS bg FROM g)),
+sc AS (
+  SELECT dgx.id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(big.bg) AS BIGINT) AS n_seen,
+         SUM(CASE WHEN big.bg IS NOT NULL THEN c12 * 1000000 // c1
+                  ELSE coalesce((2 * cw * 1000000) // (5 * ntok), 0)
+             END) AS s
+  FROM dgx LEFT JOIN big USING (bg)
+           LEFT JOIN (SELECT w AS w2, cw FROM toks) t USING (w2), tot
+  GROUP BY dgx.id)
+SELECT d.id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(n_seen, 0) AS BIGINT) AS n_seen,
+       CAST(CASE WHEN coalesce(n_bigrams, 0) > 0
+            THEN s // n_bigrams ELSE 0 END AS BIGINT) AS sb_ppm,
+       CAST(CASE WHEN coalesce(n_bigrams, 0) > 0
+            THEN (n_bigrams - n_seen) * 1000000 // n_bigrams
+            ELSE 0 END AS BIGINT) AS oov_ppm
+FROM (SELECT doc_id AS id FROM documents) d LEFT JOIN sc USING (id)
+"""
+
+
 _PACK_CAP = 96
 _PACK_SHARDS = 8
 
@@ -15590,6 +15712,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_winnow_fingerprints": q_winnow_fingerprints,
     "q_sessionize_fold": q_sessionize_fold,
     "q_wat_render": q_wat_render,
+    "q_kneser_ney": q_kneser_ney,
+    "q_stupid_backoff": q_stupid_backoff,
 }
 
 # Gate-rotation (round 5): the driver's correctness gate samples the FIRST 50
@@ -15903,4 +16027,6 @@ ORACLES: dict[str, str] = {
     "q_payload_pipeline": SQL_PAYLOAD_PIPELINE,
     "q_waterfill_budget": SQL_WATERFILL_BUDGET,
     "q_bm25f_topk": SQL_BM25F_TOPK,
+    "q_kneser_ney": SQL_KNESER_NEY,
+    "q_stupid_backoff": SQL_STUPID_BACKOFF,
 }

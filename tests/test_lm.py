@@ -167,3 +167,91 @@ def test_curriculum_budgets_respected_per_stage(spark):
         # quality-first: the selected set's scores dominate — every
         # selected doc's score >= the stage's selection boundary
         assert all(d["cum_tokens"] > 0 for d in docs)
+
+
+# --- interpolated Kneser-Ney + stupid backoff (train_kn_bigram,
+# kn_score, train_stupid_backoff, sb_score) -------------------------
+
+
+def _kn_train(spark):
+    # bigrams: 'a b' x2, 'b a' x2, 'a c' x1
+    return spark.createDataFrame([(1, "a b a b a c")], "id long, text string")
+
+
+def test_kn_hand_computed_values(spark):
+    from biothings_crawler_spark.operators.lm import kn_score, train_kn_bigram
+
+    model = train_kn_bigram(_kn_train(spark), "id", "text")
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a c"),   # seen bigrams: 583332 + 749999 + 249999
+            (2, "a a"),       # unseen bg, seen w1: lambda(a)*pc(a)
+            (3, "x a"),       # unseen w1: continuation prob alone
+            (4, "x z"),       # fully OOV
+            (5, None),        # NULL text scores like empty
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in kn_score(docs, model, "id", "text").collect()}
+    # pc_ppm = 1e6 // 3 = 333333 for a, b, c (one left context each);
+    # w1tab: a -> (c1=3, n1w1=2), b -> (c1=2, n1w1=1)
+    assert out[1].kn_ppm == (583332 + 749999 + 249999) // 3
+    assert out[1].n_seen == 3 and out[1].oov_ppm == 0
+    assert out[2].kn_ppm == (3 * 2 * 333333) // (4 * 3)  # 166666
+    assert out[2].n_seen == 0 and out[2].oov_ppm == 1_000_000
+    assert out[3].kn_ppm == 333333
+    assert out[4].kn_ppm == 0
+    assert out[5].n_bigrams == 0 and out[5].kn_ppm == 0
+
+
+def test_kn_context_mass_normalizes(spark):
+    # interpolated KN is a proper distribution: summing p(w2|'a') over
+    # the whole vocab {a,b,c} recovers 1e6 ppm up to floor loss
+    from biothings_crawler_spark.operators.lm import kn_score, train_kn_bigram
+
+    model = train_kn_bigram(_kn_train(spark), "id", "text")
+    probes = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "a a")], "id long, text string"
+    )
+    total = sum(
+        r.kn_ppm for r in kn_score(probes, model, "id", "text").collect()
+    )
+    assert 999_990 <= total <= 1_000_000
+
+
+def test_stupid_backoff_hand_computed(spark):
+    from biothings_crawler_spark.operators.lm import (
+        sb_score,
+        train_stupid_backoff,
+    )
+
+    model = train_stupid_backoff(_kn_train(spark), "id", "text")
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a c"),  # 666666 + 1000000 + 333333 over 3
+            (2, "a a"),      # unseen: alpha * cw(a)/ntok = 2*3e6 // 30
+            (3, "x z"),      # fully OOV
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in sb_score(docs, model, "id", "text").collect()}
+    assert out[1].sb_ppm == (666666 + 1000000 + 333333) // 3
+    assert out[2].sb_ppm == 200000 and out[2].oov_ppm == 1_000_000
+    assert out[3].sb_ppm == 0
+
+
+def test_kn_sb_plans_no_window_no_python(spark):
+    from biothings_crawler_spark.operators.lm import (
+        kn_score,
+        sb_score,
+        train_kn_bigram,
+        train_stupid_backoff,
+    )
+
+    docs = _kn_train(spark)
+    for scored in (
+        kn_score(docs, train_kn_bigram(docs, "id", "text"), "id", "text"),
+        sb_score(docs, train_stupid_backoff(docs, "id", "text"), "id", "text"),
+    ):
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan and "BatchEvalPython" not in plan
