@@ -52,9 +52,11 @@ EXTRACT_REPLICAS = int(os.environ.get("SPARK_GRAFT_EXTRACT_REPLICAS", "16"))
 # operator-suite queries worth timing at sf0.1 (brute-force pair ops
 # excluded: they are oracle-scale verifiers, not the 10^10 path)
 SUITE = [
-    # round-5 additions (LM smoothing plane)
+    # round-5 additions (LM smoothing + parallel-corpus mining planes)
     "q_kneser_ney",
     "q_stupid_backoff",
+    "q_hreflang_clusters",
+    "q_url_parallel_pairs",
     # session-9 additions (classifier/selection/retrieval/drift planes)
     "q_err_eval",
     "q_map_eval",

@@ -5253,6 +5253,147 @@ FROM (SELECT doc_id AS id FROM documents) d LEFT JOIN sc USING (id)
 """
 
 
+def _hre_fixture(S: str, D: str) -> tuple[str, str, str]:
+    """(url, lang, html) SQL exprs for the hreflang fixture, dialect-
+    parameterized (S = STRING/VARCHAR, D = div///).  3 language
+    variants per group; groups %4=0 declare only their en alternate
+    (partial clusters), doc_id%11=0 pages declare nothing, and quote
+    style alternates by doc parity to exercise both attribute forms."""
+    grp = f"(doc_id {D} 3)"
+    lang = "CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END"
+    site = f"'https://site' || CAST({grp} % 50 AS {S}) || '.example'"
+
+    def url_of(lx: str) -> str:
+        return f"{site} || '/' || {lx} || '/page/' || CAST({grp} AS {S})"
+
+    def tag(lit_lang: str, q: int) -> str:
+        quote = f"chr({q})"
+        u = url_of(f"'{lit_lang}'")
+        return (
+            f"'<link rel=' || {quote} || 'alternate' || {quote}"
+            f" || ' hreflang=' || {quote} || '{lit_lang}' || {quote}"
+            f" || ' href=' || {quote} || {u} || {quote} || '/>'"
+        )
+
+    def tags(q: int) -> str:
+        return " || ".join(tag(lx, q) for lx in ("en", "de", "fr"))
+
+    html = (
+        "CASE WHEN doc_id % 11 = 0 THEN '<html><head></head></html>' "
+        f"WHEN {grp} % 4 = 0 AND doc_id % 2 = 0 THEN "
+        f"'<html><head>' || {tag('en', 34)} || '</head></html>' "
+        f"WHEN {grp} % 4 = 0 THEN "
+        f"'<html><head>' || {tag('en', 39)} || '</head></html>' "
+        f"WHEN doc_id % 2 = 0 THEN "
+        f"'<html><head>' || {tags(34)} || '</head></html>' "
+        f"ELSE '<html><head>' || {tags(39)} || '</head></html>' END"
+    )
+    return url_of(f"({lang})"), lang, html
+
+
+def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate-cluster mining (operators/hreflang — the
+    CCAligned EMNLP-2020 declared-translation signal): extract
+    <link rel=alternate hreflang=..> tags from synthesized page HTML
+    (both quote styles), cluster each declaring page under the
+    lexicographic min of {self} ∪ {hrefs}.  Complete groups collapse
+    to one cluster per group; partial declarers degrade to subclusters
+    (asserted by the oracle); silent pages drop out."""
+    from biothings_crawler_spark.operators.hreflang import (
+        hreflang_clusters,
+        hreflang_links,
+    )
+
+    url, lang, html = _hre_fixture("STRING", "div")
+    d = _t(spark, sf_dir, "documents")
+    pages = d.selectExpr(
+        f"{url} AS url", f"{lang} AS lang", f"{html} AS html"
+    )
+    return hreflang_clusters(hreflang_links(pages), pages)
+
+
+def _sql_hreflang() -> str:
+    url, lang, html = _hre_fixture("VARCHAR", "//")
+    return f"""
+WITH pages AS (
+  SELECT {url} AS url, {lang} AS lang, {html} AS html FROM documents),
+tg AS (
+  SELECT url, unnest(regexp_extract_all(html,
+           '<link[^>]*rel=["'']alternate["''][^>]*>', 0)) AS tag
+  FROM pages),
+lx AS (
+  SELECT url,
+         regexp_extract(tag, 'hreflang=["'']([^"'']+)["'']', 1) AS hreflang,
+         regexp_extract(tag, 'href=["'']([^"'']+)["'']', 1) AS href
+  FROM tg),
+cl AS (
+  SELECT url, least(min(href), url) AS cluster_id
+  FROM lx WHERE hreflang <> '' AND href <> '' GROUP BY url)
+SELECT cluster_id, url, lang FROM cl JOIN pages USING (url)
+"""
+
+
+SQL_HREFLANG_CLUSTERS = _sql_hreflang()
+
+
+_UAP_LANGS = "en|de|fr|es|it|pt|ja|zh|ru|ar"
+_UAP_URL = """CASE doc_id % 4
+  WHEN 0 THEN 'https://www.site' || CAST(doc_id {D} 12 AS {S})
+              || '.example/' || {L} || '/docs/' || CAST(doc_id {D} 12 AS {S})
+  WHEN 1 THEN 'https://site' || CAST(doc_id {D} 12 AS {S})
+              || '.example/page?id=' || CAST(doc_id {D} 12 AS {S})
+              || '&lang=' || {L}
+  WHEN 2 THEN 'https://' || {L} || '.site' || CAST(doc_id {D} 12 AS {S})
+              || '.example/docs/' || CAST(doc_id {D} 12 AS {S})
+  ELSE 'https://site' || CAST(doc_id {D} 12 AS {S})
+       || '.example/plain/' || CAST(doc_id {D} 12 AS {S}) END"""
+_UAP_LANG = "(CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END)"
+
+
+def q_url_parallel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCAligned URL-matching document alignment (operators/hreflang
+    .url_align_pairs): strip language identifiers (path segment, query
+    param, subdomain) from frontier URLs and pair English pages with
+    other-language pages colliding on the stripped key.  Fixture URLs
+    cycle all three marker styles plus a marker-free lane that must
+    never pair."""
+    from biothings_crawler_spark.operators.hreflang import url_align_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    frontier = d.selectExpr(
+        _UAP_URL.format(D="div", S="STRING", L=_UAP_LANG) + " AS url"
+    )
+    return url_align_pairs(frontier)
+
+
+SQL_URL_PARALLEL_PAIRS = f"""
+WITH fr AS (
+  SELECT {_UAP_URL.format(D="//", S="VARCHAR", L=_UAP_LANG)} AS url
+  FROM documents),
+keyed AS (
+  SELECT url AS u,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(
+           url, '://({_UAP_LANGS})\\.', '://_.', 'g'),
+           '/({_UAP_LANGS})/', '/_/', 'g'),
+           '/({_UAP_LANGS})$', '/_', 'g'),
+           '[?]lang=({_UAP_LANGS})', '?lang=_', 'g'),
+           '[?]hl=({_UAP_LANGS})', '?hl=_', 'g'),
+           '&lang=({_UAP_LANGS})', '&lang=_', 'g'),
+           '&hl=({_UAP_LANGS})', '&hl=_', 'g') AS align_key,
+         CASE WHEN regexp_extract(url, '/({_UAP_LANGS})(/|$)', 1) <> ''
+              THEN regexp_extract(url, '/({_UAP_LANGS})(/|$)', 1)
+              WHEN regexp_extract(url, '[?&](?:lang|hl)=({_UAP_LANGS})', 1) <> ''
+              THEN regexp_extract(url, '[?&](?:lang|hl)=({_UAP_LANGS})', 1)
+              ELSE regexp_extract(url, '://({_UAP_LANGS})\\.', 1) END AS lg
+  FROM fr),
+k AS (SELECT * FROM keyed WHERE lg <> '')
+SELECT s.align_key, s.u AS src_url, t.u AS tgt_url, t.lg AS tgt_lang
+FROM (SELECT * FROM k WHERE lg = 'en') s
+JOIN (SELECT * FROM k WHERE lg <> 'en') t USING (align_key)
+"""
+
+
 _PACK_CAP = 96
 _PACK_SHARDS = 8
 
@@ -15714,6 +15855,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_wat_render": q_wat_render,
     "q_kneser_ney": q_kneser_ney,
     "q_stupid_backoff": q_stupid_backoff,
+    "q_hreflang_clusters": q_hreflang_clusters,
+    "q_url_parallel_pairs": q_url_parallel_pairs,
 }
 
 # Gate-rotation (round 5): the driver's correctness gate samples the FIRST 50
@@ -16029,4 +16172,6 @@ ORACLES: dict[str, str] = {
     "q_bm25f_topk": SQL_BM25F_TOPK,
     "q_kneser_ney": SQL_KNESER_NEY,
     "q_stupid_backoff": SQL_STUPID_BACKOFF,
+    "q_hreflang_clusters": SQL_HREFLANG_CLUSTERS,
+    "q_url_parallel_pairs": SQL_URL_PARALLEL_PAIRS,
 }
