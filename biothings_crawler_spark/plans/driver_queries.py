@@ -2624,31 +2624,35 @@ def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("."), ((did * 7) % 256).cast("string"),
         F.lit("."), ((did * 13) % 256).cast("string"),
     )
-    t = F.col("text")
-    t = F.when(did % 3 == 0, F.concat(t, email)).otherwise(t)
-    t = F.when(did % 4 == 0, F.concat(t, phone)).otherwise(t)
-    t = F.when(did % 5 == 0, F.concat(t, ip)).otherwise(t)
-    # Luhn-VALID card for id%6==0, card-SHAPED-but-invalid for id%7==0:
-    # counts must see only the former, redaction masks both
-    t = F.when(
-        did % 6 == 0, F.concat(t, F.lit(" card 4111-1111-1111-1111"))
-    ).otherwise(t)
-    t = F.when(
-        did % 7 == 0, F.concat(t, F.lit(" ref 4111 1111 1111 1112"))
-    ).otherwise(t)
-    # SSN shape for id%8==0 (varying last group, no checksum);
+    # SSN shape for id%8==0 (varying last group, no checksum); Luhn-
+    # VALID card for id%6==0, card-SHAPED-but-invalid for id%7==0;
     # mod-97-VALID IBAN for id%9==0, IBAN-SHAPED-but-invalid (bad check
-    # digits) for id%11==0: counts see only the valid one, redaction
-    # masks both
+    # digits) for id%11==0: counts see only the valid ones, redaction
+    # masks both.
     ssn = F.concat(F.lit(" ssn 078-05-"),
                    F.lpad((did % 10000).cast("string"), 4, "0"))
-    t = F.when(did % 8 == 0, F.concat(t, ssn)).otherwise(t)
-    t = F.when(
-        did % 9 == 0, F.concat(t, F.lit(" iban DE89370400440532013000"))
-    ).otherwise(t)
-    t = F.when(
-        did % 11 == 0, F.concat(t, F.lit(" acct DE00370400440532013000"))
-    ).otherwise(t)
+    # ONE flat concat of conditional suffixes, NOT a nested
+    # when(...).otherwise(t) chain: nesting references the running
+    # text expression twice per level, duplicating the subtree 2^9
+    # times — that single fixture expression overflowed Janino's 64 KB
+    # method limit and silently dropped the whole fused projection
+    # (fixture + scrub cascade) to interpreted mode.  The flat form is
+    # linear, matches the SQL twin's `|| CASE ... ELSE '' END` shape,
+    # and keeps the scrub pass inside WholeStageCodegen.
+    def _sfx(cond, piece):
+        return F.when(cond, piece).otherwise(F.lit(""))
+
+    t = F.concat(
+        F.col("text"),
+        _sfx(did % 3 == 0, email),
+        _sfx(did % 4 == 0, phone),
+        _sfx(did % 5 == 0, ip),
+        _sfx(did % 6 == 0, F.lit(" card 4111-1111-1111-1111")),
+        _sfx(did % 7 == 0, F.lit(" ref 4111 1111 1111 1112")),
+        _sfx(did % 8 == 0, ssn),
+        _sfx(did % 9 == 0, F.lit(" iban DE89370400440532013000")),
+        _sfx(did % 11 == 0, F.lit(" acct DE00370400440532013000")),
+    )
     return d.select(did.alias("id"), t.alias("text"))
 
 
