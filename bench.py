@@ -57,6 +57,7 @@ SUITE = [
     "q_stupid_backoff",
     "q_hreflang_clusters",
     "q_url_parallel_pairs",
+    "q_bitext_verify",
     # session-9 additions (classifier/selection/retrieval/drift planes)
     "q_err_eval",
     "q_map_eval",

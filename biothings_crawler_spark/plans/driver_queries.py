@@ -5398,6 +5398,109 @@ JOIN (SELECT * FROM k WHERE lg <> 'en') t USING (align_key)
 """
 
 
+def q_bitext_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilingual-lexicon overlap verification of mined document pairs
+    (operators/bitext.bitext_lexicon_score — the Resnik-&-Smith-2003 /
+    CCAligned dictionary baseline): even docs are 'en' pages, odd slots
+    synthesize the paired 'de' page as a word-level translation
+    (lexicon = w -> 'q'||w over the corpus vocabulary).  Casualty
+    lanes: g%5 pairs carry the RAW untranslated text (fake pair,
+    ~0 overlap), g%3 pairs carry the translation of the NEXT group's
+    document (related-but-wrong page, partial vocabulary overlap);
+    everything else scores full coverage."""
+    from biothings_crawler_spark.operators.bitext import bitext_lexicon_score
+    from biothings_crawler_spark.operators.text import words_col
+
+    d = _t(spark, sf_dir, "documents")
+    src = d.filter("doc_id % 2 = 0").selectExpr(
+        "doc_id div 2 AS g", "text AS src_text"
+    )
+    nxt = src.selectExpr("g - 1 AS g", "src_text AS next_text")
+    base = src.join(nxt, "g", "left")
+
+    def tr(c):
+        return F.concat_ws(
+            " ", F.transform(words_col(c), lambda w: F.concat(F.lit("q"), w))
+        )
+
+    gs = F.col("g").cast("string")
+    url_s = F.concat(F.lit("https://en.site"), gs, F.lit(".example/d/"), gs)
+    url_t = F.concat(F.lit("https://de.site"), gs, F.lit(".example/d/"), gs)
+    tgt_text = (
+        F.when(F.col("g") % 5 == 0, F.col("src_text"))
+        .when(F.col("g") % 3 == 0,
+              tr(F.coalesce(F.col("next_text"), F.col("src_text"))))
+        .otherwise(tr(F.col("src_text")))
+    )
+    src_docs = base.select(url_s.alias("url"), F.col("src_text").alias("text"))
+    tgt_docs = base.select(url_t.alias("url"), tgt_text.alias("text"))
+    pairs = base.select(url_s.alias("src_url"), url_t.alias("tgt_url"))
+    lex = (
+        d.select(F.explode(words_col(F.col("text"))).alias("src_word"))
+        .distinct()
+        .select("src_word",
+                F.concat(F.lit("q"), F.col("src_word")).alias("tgt_word"))
+    )
+    return bitext_lexicon_score(pairs, src_docs, tgt_docs, lex)
+
+
+def _sql_bitext() -> str:
+    def W(e: str) -> str:
+        return _SQL_WORDS.replace("lower(text)", f"lower({e})")
+
+    def TR(e: str) -> str:
+        return f"array_to_string(list_transform({W(e)}, w -> 'q' || w), ' ')"
+
+    us = "'https://en.site' || CAST(g AS VARCHAR) || '.example/d/' || CAST(g AS VARCHAR)"
+    ut = "'https://de.site' || CAST(g AS VARCHAR) || '.example/d/' || CAST(g AS VARCHAR)"
+    return f"""
+WITH src AS (
+  SELECT doc_id // 2 AS g, text AS src_text FROM documents
+  WHERE doc_id % 2 = 0),
+nxt AS (SELECT g - 1 AS g, src_text AS next_text FROM src),
+tx AS (
+  SELECT src.g, src_text,
+         CASE WHEN src.g % 5 = 0 THEN src_text
+              WHEN src.g % 3 = 0
+              THEN {TR("coalesce(next_text, src_text)")}
+              ELSE {TR("src_text")} END AS tgt_text
+  FROM src LEFT JOIN nxt USING (g)),
+pairs AS (SELECT {us} AS src_url, {ut} AS tgt_url FROM tx),
+lex AS (
+  SELECT DISTINCT w AS src_word, 'q' || w AS tgt_word
+  FROM (SELECT unnest({_SQL_WORDS}) AS w FROM documents)),
+sw AS (
+  SELECT DISTINCT {us} AS url, unnest({W("src_text")}) AS w FROM tx),
+tw AS (
+  SELECT DISTINCT {ut} AS url, unnest({W("tgt_text")}) AS w FROM tx),
+pw AS (
+  SELECT p.src_url, p.tgt_url, sw.w,
+         MAX(CASE WHEN l.src_word IS NOT NULL THEN 1 ELSE 0 END) AS in_lex,
+         MAX(CASE WHEN t2.w IS NOT NULL THEN 1 ELSE 0 END) AS covered
+  FROM pairs p
+  JOIN sw ON sw.url = p.src_url
+  LEFT JOIN lex l ON l.src_word = sw.w
+  LEFT JOIN tw t2 ON t2.url = p.tgt_url AND t2.w = l.tgt_word
+  GROUP BY 1, 2, 3),
+sc AS (
+  SELECT src_url, tgt_url, CAST(COUNT(*) AS BIGINT) AS n_src_words,
+         CAST(SUM(in_lex) AS BIGINT) AS n_lexical,
+         CAST(SUM(covered) AS BIGINT) AS n_covered
+  FROM pw GROUP BY 1, 2)
+SELECT p.src_url, p.tgt_url,
+       CAST(coalesce(n_src_words, 0) AS BIGINT) AS n_src_words,
+       CAST(coalesce(n_lexical, 0) AS BIGINT) AS n_lexical,
+       CAST(coalesce(n_covered, 0) AS BIGINT) AS n_covered,
+       CAST(CASE WHEN coalesce(n_lexical, 0) > 0
+            THEN n_covered * 1000000 // n_lexical ELSE 0 END AS BIGINT)
+         AS overlap_ppm
+FROM pairs p LEFT JOIN sc USING (src_url, tgt_url)
+"""
+
+
+SQL_BITEXT_VERIFY = _sql_bitext()
+
+
 _PACK_CAP = 96
 _PACK_SHARDS = 8
 
@@ -15861,6 +15964,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stupid_backoff": q_stupid_backoff,
     "q_hreflang_clusters": q_hreflang_clusters,
     "q_url_parallel_pairs": q_url_parallel_pairs,
+    "q_bitext_verify": q_bitext_verify,
 }
 
 # Gate-rotation (round 5): the driver's correctness gate samples the FIRST 50
@@ -16178,4 +16282,5 @@ ORACLES: dict[str, str] = {
     "q_stupid_backoff": SQL_STUPID_BACKOFF,
     "q_hreflang_clusters": SQL_HREFLANG_CLUSTERS,
     "q_url_parallel_pairs": SQL_URL_PARALLEL_PAIRS,
+    "q_bitext_verify": SQL_BITEXT_VERIFY,
 }
