@@ -11,17 +11,18 @@ extension the 100-TB brief calls for: a training pipeline that wants
 translation pairs gets them from the SAME pages table the crawl plane
 already maintains.
 
-Two independent signals, both pure column expressions until one
-well-keyed shuffle each:
+Tag extraction itself is NOT re-implemented here — that is
+``operators/extract.hreflang_map`` (absolute/root-relative resolution,
+case-folded lang, binary html), already oracle-paired as
+``q_hreflang_map``.  This module takes those edges further:
 
-  * ``hreflang_links`` / ``hreflang_clusters`` — pages declare their
-    own translations via ``<link rel="alternate" hreflang=..>`` tags;
-    a cluster is the page plus everything it points at, keyed by the
-    lexicographic minimum URL of the group (hreflang groups are
-    mutually complete when webmasters follow the Google spec, so the
-    local min IS the global min; partially-declared groups degrade to
-    per-declarer subclusters — CCAligned accepts the same degradation
-    rather than running a connected-components pass over 10^10 URLs).
+  * ``hreflang_clusters`` — a cluster is the declaring page plus
+    everything it points at, keyed by the lexicographic minimum URL of
+    the group (hreflang groups are mutually complete when webmasters
+    follow the Google spec, so the local min IS the global min;
+    partially-declared groups degrade to per-declarer subclusters —
+    CCAligned accepts the same degradation rather than running a
+    connected-components pass over 10^10 URLs).
   * ``url_align_pairs`` — most parallel pages never declare hreflang;
     CCAligned's higher-recall signal strips language identifiers from
     the URL (path segment ``/en/``, query param ``lang=en``, subdomain
@@ -29,9 +30,8 @@ well-keyed shuffle each:
     pair join is keyed on ``align_key`` whose group size is bounded by
     the language inventory (~100), never an all-pairs corpus join.
 
-Scale shape: extraction is regexp projections inside whole-stage
-codegen over the pages scan; clustering is ONE explode + (url) hash
-agg; pairing is ONE equi-join co-keyed on align_key.  No windows, no
+Scale shape: clustering is ONE url-keyed hash agg over the edge table;
+pairing is ONE equi-join co-keyed on align_key.  No windows, no
 Python, no floats.
 """
 
@@ -45,44 +45,23 @@ from pyspark.sql import functions as F
 # logic is inventory-independent)
 LANGS = ["en", "de", "fr", "es", "it", "pt", "ja", "zh", "ru", "ar"]
 
-_TAG_RE = r"<link[^>]*rel=[\"']alternate[\"'][^>]*>"
-_HL_RE = r"hreflang=[\"']([^\"']+)[\"']"
-_HREF_RE = r"href=[\"']([^\"']+)[\"']"
-
-
-def hreflang_links(
-    pages: DataFrame, url_col: str = "url", html_col: str = "html"
-) -> DataFrame:
-    """``(url, hreflang, href)`` — one row per well-formed
-    ``<link rel="alternate" hreflang=.. href=..>`` tag (either quote
-    style); tags missing either attribute are dropped.  Pure regexp
-    extraction in codegen, then one explode."""
-    # column-function form: _TAG_RE contains both quote characters, so
-    # it must not ride inside a SQL string literal
-    tags = F.regexp_extract_all(F.col(html_col), F.lit(_TAG_RE), F.lit(0))
-    return (
-        pages.select(F.col(url_col).alias("url"), F.explode(tags).alias("tag"))
-        .select(
-            "url",
-            F.regexp_extract("tag", _HL_RE, 1).alias("hreflang"),
-            F.regexp_extract("tag", _HREF_RE, 1).alias("href"),
-        )
-        .filter((F.col("hreflang") != "") & (F.col("href") != ""))
-    )
-
 
 def hreflang_clusters(
-    links: DataFrame, pages: DataFrame,
+    alternates: DataFrame, pages: DataFrame,
     url_col: str = "url", lang_col: str = "lang",
 ) -> DataFrame:
     """``(cluster_id, url, lang)`` — every page that declares at least
-    one alternate, keyed by the lexicographic min of {self} ∪ {hrefs}.
-    ``lang`` comes from the PAGE row (the crawl plane's language-ID
-    column), not from the self-referential hreflang tag — CCAligned
-    trusts its own LID over webmaster declarations for the same
-    reason (§2.1: mislabeled hreflang is common)."""
-    grouped = links.groupBy("url").agg(F.min("href").alias("_mh")).select(
-        "url", F.least(F.col("_mh"), F.col("url")).alias("cluster_id")
+    one alternate, keyed by the lexicographic min of {self} ∪
+    {targets}.  ``alternates`` is :func:`operators.extract.hreflang_map`
+    output ``(url, lang, target_url)``; ``lang`` in the result comes
+    from the PAGE row (the crawl plane's language-ID column), not from
+    the self-referential hreflang tag — CCAligned trusts its own LID
+    over webmaster declarations for the same reason (§2.1: mislabeled
+    hreflang is common)."""
+    grouped = (
+        alternates.groupBy("url")
+        .agg(F.min("target_url").alias("_mt"))
+        .select("url", F.least(F.col("_mt"), F.col("url")).alias("cluster_id"))
     )
     lang = pages.select(
         F.col(url_col).alias("url"), F.col(lang_col).alias("lang")

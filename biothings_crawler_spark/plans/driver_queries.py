@@ -5258,11 +5258,12 @@ FROM (SELECT doc_id AS id FROM documents) d LEFT JOIN sc USING (id)
 
 
 def _hre_fixture(S: str, D: str) -> tuple[str, str, str]:
-    """(url, lang, html) SQL exprs for the hreflang fixture, dialect-
-    parameterized (S = STRING/VARCHAR, D = div///).  3 language
+    """(url, lang, html) SQL exprs for the hreflang-cluster fixture,
+    dialect-parameterized (S = STRING/VARCHAR, D = div///).  3 language
     variants per group; groups %4=0 declare only their en alternate
-    (partial clusters), doc_id%11=0 pages declare nothing, and quote
-    style alternates by doc parity to exercise both attribute forms."""
+    (partial clusters), doc_id%11=0 pages declare nothing.  Quote-style
+    and relative-URL extraction quirks are q_hreflang_map's fixture
+    concern — this one exercises the CLUSTERING contract."""
     grp = f"(doc_id {D} 3)"
     lang = "CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END"
     site = f"'https://site' || CAST({grp} % 50 AS {S}) || '.example'"
@@ -5270,69 +5271,59 @@ def _hre_fixture(S: str, D: str) -> tuple[str, str, str]:
     def url_of(lx: str) -> str:
         return f"{site} || '/' || {lx} || '/page/' || CAST({grp} AS {S})"
 
-    def tag(lit_lang: str, q: int) -> str:
-        quote = f"chr({q})"
+    def tag(lit_lang: str) -> str:
         u = url_of(f"'{lit_lang}'")
         return (
-            f"'<link rel=' || {quote} || 'alternate' || {quote}"
-            f" || ' hreflang=' || {quote} || '{lit_lang}' || {quote}"
-            f" || ' href=' || {quote} || {u} || {quote} || '/>'"
+            f"'<link rel=\"alternate\" hreflang=\"{lit_lang}\" href=\"'"
+            f" || {u} || '\"/>'"
         )
 
-    def tags(q: int) -> str:
-        return " || ".join(tag(lx, q) for lx in ("en", "de", "fr"))
-
+    tags = " || ".join(tag(lx) for lx in ("en", "de", "fr"))
     html = (
         "CASE WHEN doc_id % 11 = 0 THEN '<html><head></head></html>' "
-        f"WHEN {grp} % 4 = 0 AND doc_id % 2 = 0 THEN "
-        f"'<html><head>' || {tag('en', 34)} || '</head></html>' "
         f"WHEN {grp} % 4 = 0 THEN "
-        f"'<html><head>' || {tag('en', 39)} || '</head></html>' "
-        f"WHEN doc_id % 2 = 0 THEN "
-        f"'<html><head>' || {tags(34)} || '</head></html>' "
-        f"ELSE '<html><head>' || {tags(39)} || '</head></html>' END"
+        f"'<html><head>' || {tag('en')} || '</head></html>' "
+        f"ELSE '<html><head>' || {tags} || '</head></html>' END"
     )
     return url_of(f"({lang})"), lang, html
 
 
 def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hreflang alternate-cluster mining (operators/hreflang — the
-    CCAligned EMNLP-2020 declared-translation signal): extract
-    <link rel=alternate hreflang=..> tags from synthesized page HTML
-    (both quote styles), cluster each declaring page under the
-    lexicographic min of {self} ∪ {hrefs}.  Complete groups collapse
-    to one cluster per group; partial declarers degrade to subclusters
-    (asserted by the oracle); silent pages drop out."""
-    from biothings_crawler_spark.operators.hreflang import (
-        hreflang_clusters,
-        hreflang_links,
-    )
+    """hreflang alternate-cluster mining (operators/hreflang
+    .hreflang_clusters over operators/extract.hreflang_map edges — the
+    CCAligned EMNLP-2020 declared-translation signal): cluster each
+    declaring page under the lexicographic min of {self} ∪ {targets}.
+    Complete groups collapse to one cluster per group; partial
+    declarers degrade to subclusters (asserted by the oracle); silent
+    pages drop out."""
+    from biothings_crawler_spark.operators.extract import hreflang_map
+    from biothings_crawler_spark.operators.hreflang import hreflang_clusters
 
     url, lang, html = _hre_fixture("STRING", "div")
     d = _t(spark, sf_dir, "documents")
     pages = d.selectExpr(
-        f"{url} AS url", f"{lang} AS lang", f"{html} AS html"
+        f"{url} AS url", f"{lang} AS lang",
+        f"encode({html}, 'utf-8') AS html",
     )
-    return hreflang_clusters(hreflang_links(pages), pages)
+    return hreflang_clusters(hreflang_map(pages), pages)
 
 
 def _sql_hreflang() -> str:
     url, lang, html = _hre_fixture("VARCHAR", "//")
+    # mirror hreflang_map's extraction: one regex requiring
+    # rel -> hreflang -> href within the tag, href = group 2; fixture
+    # hrefs are absolute https so resolution is identity
+    pat = ('(?i)<link[^>]*rel="alternate"[^>]*hreflang="([^"]*)"'
+           '[^>]*href="([^"]*)"')
     return f"""
 WITH pages AS (
   SELECT {url} AS url, {lang} AS lang, {html} AS html FROM documents),
-tg AS (
-  SELECT url, unnest(regexp_extract_all(html,
-           '<link[^>]*rel=["'']alternate["''][^>]*>', 0)) AS tag
-  FROM pages),
 lx AS (
-  SELECT url,
-         regexp_extract(tag, 'hreflang=["'']([^"'']+)["'']', 1) AS hreflang,
-         regexp_extract(tag, 'href=["'']([^"'']+)["'']', 1) AS href
-  FROM tg),
+  SELECT url, unnest(regexp_extract_all(html, '{pat}', 2)) AS href
+  FROM pages),
 cl AS (
   SELECT url, least(min(href), url) AS cluster_id
-  FROM lx WHERE hreflang <> '' AND href <> '' GROUP BY url)
+  FROM lx WHERE href <> '' GROUP BY url)
 SELECT cluster_id, url, lang FROM cl JOIN pages USING (url)
 """
 
