@@ -58,6 +58,7 @@ SUITE = [
     "q_hreflang_clusters",
     "q_url_parallel_pairs",
     "q_bitext_verify",
+    "q_sent_align",
     # session-9 additions (classifier/selection/retrieval/drift planes)
     "q_err_eval",
     "q_map_eval",

@@ -38,6 +38,7 @@ CRAWL_CFG = dict(max_rounds=2, default_budget=15, round_seconds=10.0,
                  bloom_bits_per_segment=1 << 14, bloom_hashes=5)
 JSONLD_N = 300
 MEDIA_N = 64
+SENTALIGN_N = 120
 
 
 def _dir() -> str:
@@ -170,6 +171,33 @@ def _media_golden() -> str:
     }))
 
 
+def _sentalign_golden() -> str:
+    """Expected Gale-Church beads for the SENTALIGN_N fixture pairs,
+    from the frozen memoized-recursion aligner (oracle/galechurch.py);
+    the Spark side runs the iterative-table mapInPandas operator over
+    the same pairs."""
+    from biothings_crawler_spark.oracle import galechurch as gc
+
+    cols = {k: [] for k in ("src_url", "tgt_url", "bead_no", "src_lo",
+                            "src_hi", "tgt_lo", "tgt_hi", "bead_cost")}
+    for row in gc.fixture_rows(SENTALIGN_N):
+        sl = [len(x) for x in gc.split_sentences(row["src_text"])]
+        tl = [len(x) for x in gc.split_sentences(row["tgt_text"])]
+        for k, (lo, hi, tlo, thi, c) in enumerate(gc.align(sl, tl)):
+            cols["src_url"].append(row["src_url"])
+            cols["tgt_url"].append(row["tgt_url"])
+            cols["bead_no"].append(k)
+            cols["src_lo"].append(lo)
+            cols["src_hi"].append(hi)
+            cols["tgt_lo"].append(tlo)
+            cols["tgt_hi"].append(thi)
+            cols["bead_cost"].append(c)
+    return _write("sentalign_beads.parquet", pa.table({
+        k: pa.array(v, pa.string() if k.endswith("url") else pa.int64())
+        for k, v in cols.items()
+    }))
+
+
 def paths() -> dict[str, str]:
     """Generate-if-missing and return {name: parquet path}."""
     d = _dir()
@@ -179,10 +207,12 @@ def paths() -> dict[str, str]:
         "refetch_docs": os.path.join(d, "refetch_docs.parquet"),
         "jsonld_items": os.path.join(d, "jsonld_items.parquet"),
         "media_features": os.path.join(d, "media_features.parquet"),
+        "sentalign_beads": os.path.join(d, "sentalign_beads.parquet"),
     }
     if not all(os.path.exists(p) for p in need.values()):
         _crawl_golden()
         _refetch_golden()
         _jsonld_golden()
         _media_golden()
+        _sentalign_golden()
     return need

@@ -5492,6 +5492,29 @@ FROM pairs p LEFT JOIN sc USING (src_url, tgt_url)
 SQL_BITEXT_VERIFY = _sql_bitext()
 
 
+def q_sent_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gale-Church sentence alignment (operators/sentalign
+    .gale_church_align — integer bead penalties from Gale & Church CL
+    1993, exact-rational length term): the iterative-DP mapInPandas
+    operator over the deterministic fixture pairs
+    (oracle/galechurch.fixture_rows: 2-1 merges, surplus/deficit target
+    ends) vs the frozen memoized-recursion aligner materialized to
+    golden parquet — an exact cross-implementation pair, same pattern
+    as the BFS crawl golden."""
+    from biothings_crawler_spark.operators.sentalign import gale_church_align
+    from biothings_crawler_spark.oracle import galechurch as gc
+    from biothings_crawler_spark.oracle.golden import SENTALIGN_N
+
+    pairs = spark.createDataFrame(gc.fixture_rows(SENTALIGN_N))
+    return gale_church_align(pairs)
+
+
+SQL_SENT_ALIGN = (
+    "SELECT src_url, tgt_url, bead_no, src_lo, src_hi, tgt_lo, tgt_hi, "
+    f"bead_cost FROM read_parquet('{_GOLDEN['sentalign_beads']}')"
+)
+
+
 _PACK_CAP = 96
 _PACK_SHARDS = 8
 
@@ -15956,6 +15979,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hreflang_clusters": q_hreflang_clusters,
     "q_url_parallel_pairs": q_url_parallel_pairs,
     "q_bitext_verify": q_bitext_verify,
+    "q_sent_align": q_sent_align,
 }
 
 # Gate-rotation (round 5): the driver's correctness gate samples the FIRST 50
@@ -16274,4 +16298,5 @@ ORACLES: dict[str, str] = {
     "q_hreflang_clusters": SQL_HREFLANG_CLUSTERS,
     "q_url_parallel_pairs": SQL_URL_PARALLEL_PAIRS,
     "q_bitext_verify": SQL_BITEXT_VERIFY,
+    "q_sent_align": SQL_SENT_ALIGN,
 }
