@@ -255,3 +255,74 @@ def test_kn_sb_plans_no_window_no_python(spark):
     ):
         plan = scored._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan and "BatchEvalPython" not in plan
+
+
+def test_kn_property_random_corpora(spark):
+    """Property check: kn_score equals a brute-force pure-Python
+    interpolated-KN model (same documented spec) on random tiny
+    corpora — seen/backoff/unseen-context lanes and the empty-train
+    edge all emerge from the generator."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from biothings_crawler_spark.operators.lm import kn_score, train_kn_bigram
+
+    P = 10**6
+
+    def py_kn(train_texts, score_texts):
+        bg = Counter()
+        for t in train_texts:
+            ws = t.split()
+            for i in range(len(ws) - 1):
+                bg[(ws[i], ws[i + 1])] += 1
+        c1, n1w1, n1w2 = Counter(), Counter(), Counter()
+        for (w1, w2), c in bg.items():
+            c1[w1] += c
+            n1w1[w1] += 1
+            n1w2[w2] += 1
+        n1tot = len(bg)
+        pc = {w: n1w2[w] * P // n1tot for w in n1w2} if n1tot else {}
+        out = []
+        for t in score_texts:
+            ws = t.split()
+            n = len(ws) - 1 if len(ws) >= 2 else 0
+            s = seen = 0
+            for i in range(len(ws) - 1):
+                w1, w2 = ws[i], ws[i + 1]
+                p = pc.get(w2, 0)
+                if (w1, w2) in bg:
+                    c = bg[(w1, w2)]
+                    s += ((4 * c - 3) * P // (4 * c1[w1])
+                          + (3 * n1w1[w1] * p) // (4 * c1[w1]))
+                    seen += 1
+                elif w1 in c1:
+                    s += (3 * n1w1[w1] * p) // (4 * c1[w1])
+                else:
+                    s += p
+            out.append((n, seen, s // n if n > 0 else 0,
+                        (n - seen) * P // n if n > 0 else 0))
+        return out
+
+    word = st.sampled_from(["a", "b", "c", "d"])
+    doc = st.lists(word, min_size=0, max_size=6).map(" ".join)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(doc, min_size=1, max_size=6),
+           st.lists(doc, min_size=1, max_size=6))
+    def check(train_texts, score_texts):
+        train = spark.createDataFrame(
+            list(enumerate(train_texts)), "id long, text string")
+        score = spark.createDataFrame(
+            list(enumerate(score_texts)), "id long, text string")
+        model = train_kn_bigram(train, "id", "text")
+        got = {
+            r.id: (r.n_bigrams, r.n_seen, r.kn_ppm, r.oov_ppm)
+            for r in kn_score(score, model, "id", "text").collect()
+        }
+        want = dict(enumerate(py_kn(train_texts, score_texts)))
+        assert got == want
+
+    check()

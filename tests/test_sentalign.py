@@ -64,3 +64,31 @@ def test_plan_is_arrow_not_row_python(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan  # mapInPandas = Arrow batches
+
+
+def test_property_random_lengths_agree_and_tile():
+    """Property check: on random sentence-length lists the iterative
+    table and the frozen recursion emit identical beads, and the beads
+    tile [0,n) x [0,m) in order with every bead a legal OPS shape."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from biothings_crawler_spark.oracle.galechurch import OPS
+
+    shapes = {(a, b) for a, b, _ in OPS}
+    lens = st.lists(st.integers(1, 80), min_size=0, max_size=9)
+
+    @settings(max_examples=120, deadline=None)
+    @given(lens, lens)
+    def check(sl, tl):
+        got = _align_iterative(sl, tl)
+        assert got == gc.align(sl, tl)
+        i = j = 0
+        for lo, hi, tlo, thi, cost in got:
+            assert (lo, tlo) == (i, j)
+            assert (hi - lo, thi - tlo) in shapes
+            assert cost >= 0
+            i, j = hi, thi
+        assert (i, j) == (len(sl), len(tl))
+
+    check()
