@@ -5515,6 +5515,114 @@ SQL_SENT_ALIGN = (
 )
 
 
+_RAG_M = 24   # chunk token budget
+_RAG_V = 1    # sentence overlap between consecutive chunks
+
+
+def _rag_fixture_sql(dialect: str) -> str:
+    """Punctuated-document fixture, dialect-parameterized.  The
+    synthetic documents carry no sentence punctuation, so the fixture
+    inserts a terminal mark after every 5th word — the mark cycles
+    .!? by doc so all three boundary chars are exercised — and the
+    doc_id%7 lane keeps the raw unpunctuated text (one run-on
+    sentence longer than the budget: the oversized own-chunk path)."""
+    if dialect == "spark":
+        # Spark SQL string literals eat single backslashes — double them
+        pat = r"((?:\\S+ ){4}\\S+) "
+
+        def rep(p: str) -> str:
+            return f"regexp_replace(text, '{pat}', '$1{p} ')"
+    else:
+        pat = r"((?:\S+ ){4}\S+) "
+
+        def rep(p: str) -> str:
+            return f"regexp_replace(text, '{pat}', '\\1{p} ', 'g')"
+    return (
+        "CASE WHEN doc_id % 7 = 0 THEN text "
+        f"WHEN doc_id % 3 = 0 THEN {rep('.')} "
+        f"WHEN doc_id % 3 = 1 THEN {rep('!')} "
+        f"ELSE {rep('?')} END"
+    )
+
+
+def q_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-snapped overlapping retrieval chunking
+    (operators/chunking.rag_chunks): greedy token-bounded passages
+    with 1-sentence overlap, one row-local JVM expression fold per
+    document — the RAG corpus splitter.  The doc_id%7 lane is a
+    single run-on sentence over budget (own-chunk path); the rest
+    split into ~5-token sentences and pack 4 per chunk."""
+    from biothings_crawler_spark.operators.chunking import rag_chunks
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _rag_fixture_sql("spark") + " AS t"
+    )
+    return rag_chunks(d, "doc_id", "t", max_tokens=_RAG_M, overlap=_RAG_V)
+
+
+def _sql_rag_chunks() -> str:
+    """DuckDB twin of the rag_chunks fold.  Same two list_reduce
+    quirk workarounds as SQL_CDC_CHUNKS: spans accumulate as a
+    delimited STRING (list-in-struct accumulators drop appends), and
+    every row folds over the same max-length range with live-guarded
+    no-op steps (varying fold lengths corrupt accumulator state
+    across rows in a vector)."""
+    live = "x.b <= len(tk)"
+    close = (f"({live} AND x.b - 1 > acc.b AND "
+             f"list_sum(array_slice(tk, acc.b + 1, x.b)) > {_RAG_M})")
+    sl = "array_slice(sents, lo + 1, hi + 1)"
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_rag_fixture_sql("duckdb")} AS t FROM documents),
+s AS (
+  SELECT doc_id,
+    list_filter(list_transform(
+      string_split(regexp_replace(t, '([.!?])\\s+', '\\1' || chr(1), 'g'),
+                   chr(1)),
+      x -> trim(x)), x -> x <> '') AS sents
+  FROM d),
+t2 AS (
+  SELECT doc_id, sents,
+    list_transform(sents,
+                   x -> len(regexp_split_to_array(x, '\\s+'))) AS tk
+  FROM s WHERE len(sents) > 0),
+m AS (SELECT max(len(tk)) AS mx FROM t2),
+f AS (
+  SELECT doc_id, sents, tk,
+    list_reduce(
+      list_prepend(struct_pack(spans := '', b := 0),
+        list_transform(range(1, (SELECT mx FROM m) + 1), i ->
+          struct_pack(spans := '', b := CAST(i AS INTEGER)))),
+      (acc, x) -> CASE WHEN {close}
+        THEN struct_pack(
+               spans := acc.spans || CAST(acc.b AS VARCHAR) || ':' ||
+                        CAST(x.b - 2 AS VARCHAR) || ';',
+               b := greatest(acc.b + 1, x.b - 1 - {_RAG_V}))
+        ELSE acc END) AS st
+  FROM t2),
+c AS (
+  SELECT doc_id, sents, tk,
+    string_split(st.spans || CAST(st.b AS VARCHAR) || ':' ||
+                 CAST(len(tk) - 1 AS VARCHAR), ';') AS spans
+  FROM f),
+x AS (
+  SELECT doc_id, sents, tk, CAST(k - 1 AS INT) AS chunk_id,
+    CAST(string_split(spans[CAST(k AS INTEGER)], ':')[1] AS INTEGER) AS lo,
+    CAST(string_split(spans[CAST(k AS INTEGER)], ':')[2] AS INTEGER) AS hi
+  FROM c, unnest(range(1, len(spans) + 1)) AS u(k))
+SELECT doc_id, chunk_id,
+  CAST(lo AS INT) AS sent_lo, CAST(hi AS INT) AS sent_hi,
+  CAST(hi - lo + 1 AS INT) AS n_sents,
+  CAST(list_sum(array_slice(tk, lo + 1, hi + 1)) AS BIGINT) AS n_tokens,
+  CAST(len(array_to_string({sl}, ' ')) AS INT) AS n_chars,
+  md5(array_to_string({sl}, ' ')) AS chunk_md5
+FROM x
+"""
+
+
+SQL_RAG_CHUNKS = _sql_rag_chunks()
+
+
 _PACK_CAP = 96
 _PACK_SHARDS = 8
 
@@ -15980,6 +16088,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_url_parallel_pairs": q_url_parallel_pairs,
     "q_bitext_verify": q_bitext_verify,
     "q_sent_align": q_sent_align,
+    "q_rag_chunks": q_rag_chunks,
 }
 
 # Gate-rotation (round 5): the driver's correctness gate samples the FIRST 50
@@ -16299,4 +16408,5 @@ ORACLES: dict[str, str] = {
     "q_url_parallel_pairs": SQL_URL_PARALLEL_PAIRS,
     "q_bitext_verify": SQL_BITEXT_VERIFY,
     "q_sent_align": SQL_SENT_ALIGN,
+    "q_rag_chunks": SQL_RAG_CHUNKS,
 }

@@ -1,0 +1,98 @@
+"""Sentence-snapped RAG chunking (operators/chunking.rag_chunks)."""
+
+import hashlib
+import random
+import re
+
+from pyspark.sql import functions as F
+
+from biothings_crawler_spark.operators.chunking import rag_chunks
+
+
+def _ref_chunks(text, max_tokens, overlap):
+    """Plain-Python reference of the greedy fold (independent shape:
+    explicit loop over sentences, no prefix tricks)."""
+    sents = [s.strip() for s in re.split(r"(?<=[.!?])\s+", text or "")
+             if s.strip()]
+    tk = [len(s.split()) for s in sents]
+    n = len(tk)
+    if n == 0:
+        return []
+    spans, b = [], 0
+    for s in range(n):
+        if s > b and sum(tk[b:s + 1]) > max_tokens:
+            spans.append((b, s - 1))
+            b = max(b + 1, s - overlap)
+    spans.append((b, n - 1))
+    out = []
+    for k, (lo, hi) in enumerate(spans):
+        ctext = " ".join(sents[lo:hi + 1])
+        out.append((k, lo, hi, hi - lo + 1, sum(tk[lo:hi + 1]),
+                    len(ctext), hashlib.md5(ctext.encode()).hexdigest()))
+    return out
+
+
+def _rand_doc(rng):
+    words, out = ["alpha", "beta", "gamma", "delta", "eps"], []
+    for _ in range(rng.randint(1, 60)):
+        out.append(rng.choice(words))
+        if rng.random() < 0.25:
+            out[-1] += rng.choice(".!?")
+    return " ".join(out)
+
+
+def test_matches_reference_on_random_docs(spark):
+    rng = random.Random(41)
+    docs = [(i, _rand_doc(rng)) for i in range(80)]
+    got = {
+        (r["id"], r["chunk_id"]): (
+            r["sent_lo"], r["sent_hi"], r["n_sents"], r["n_tokens"],
+            r["n_chars"], r["chunk_md5"])
+        for r in rag_chunks(
+            spark.createDataFrame(docs, "id long, t string"),
+            "id", "t", max_tokens=9, overlap=2,
+        ).collect()
+    }
+    want = {}
+    for i, t in docs:
+        for k, lo, hi, ns, nt, nc, h in _ref_chunks(t, 9, 2):
+            want[(i, k)] = (lo, hi, ns, nt, nc, h)
+    assert got == want
+
+
+def test_token_bound_and_oversized_own_chunk(spark):
+    long_run = " ".join(["w"] * 30)  # no punctuation: one sentence
+    df = spark.createDataFrame(
+        [(1, "a b c. d e f. g h i. j k l."), (2, long_run)],
+        "id long, t string")
+    rows = rag_chunks(df, "id", "t", max_tokens=6, overlap=1).collect()
+    for r in rows:
+        # the bound can only be exceeded by a single run-on sentence
+        assert r["n_tokens"] <= 6 or r["n_sents"] == 1
+    over = [r for r in rows if r["id"] == 2]
+    assert len(over) == 1 and over[0]["n_tokens"] == 30
+
+
+def test_overlap_and_contiguous_coverage(spark):
+    text = " ".join(f"w{i} x{i} y{i}." for i in range(12))
+    rows = sorted(
+        rag_chunks(
+            spark.createDataFrame([(1, text)], "id long, t string"),
+            "id", "t", max_tokens=7, overlap=1,
+        ).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert rows[0]["sent_lo"] == 0 and rows[-1]["sent_hi"] == 11
+    for a, b in zip(rows, rows[1:]):
+        assert b["sent_lo"] > a["sent_lo"]          # progress
+        assert b["sent_lo"] == a["sent_hi"]         # 1-sentence overlap
+        # (2 sentences = 6 tokens fit; the 3rd overflows 7)
+        assert a["n_sents"] == 2
+
+
+def test_row_local_plan_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "a b. c d. e f.")], "id long, t string")
+    plan = rag_chunks(df, "id", "t", 4, 1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
