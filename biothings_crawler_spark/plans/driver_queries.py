@@ -5623,6 +5623,125 @@ FROM x
 SQL_RAG_CHUNKS = _sql_rag_chunks()
 
 
+def q_ai_optout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI/TDM opt-out compliance census (operators/compliance):
+    noai / noimageai / TDM-Reservation signals from robots meta tags
+    (both attr orders, unquoted-uppercase lane) and the response
+    header, rolled up per host with exact ppm and tokens kept/lost.
+    Lanes (doc_id%8): meta noai, reversed-attr noai, header noai,
+    tdm meta 1, tdm meta 0 (waived — must NOT flag), header
+    noimageai (images only — must not gate text), tdm header, clean."""
+    from biothings_crawler_spark.operators.compliance import (
+        ai_optout_flags,
+        optout_accounting,
+    )
+    from biothings_crawler_spark.operators.text import words_col
+
+    d = _t(spark, sf_dir, "documents")
+    lane = F.col("doc_id") % 8
+    html = (
+        F.when(lane == 0, F.lit(
+            '<html><head><meta name="robots" content="noai"></head>'
+            "<body>b</body></html>"))
+        .when(lane == 1, F.lit(
+            '<html><head><META CONTENT="noindex, noai" NAME=ROBOTS>'
+            "</head></html>"))
+        .when(lane == 3, F.lit(
+            '<html><head><meta name="tdm-reservation" content="1">'
+            "</head></html>"))
+        .when(lane == 4, F.lit(
+            '<html><head><meta name="tdm-reservation" content="0">'
+            "</head></html>"))
+        .otherwise(F.lit("<html><head><title>t</title></head></html>"))
+    )
+    hdr = (
+        F.when(lane == 2, F.lit("X-Robots-Tag: noai"))
+        .when(lane == 5, F.lit("X-Robots-Tag: noimageai"))
+        .when(lane == 6, F.lit("tdm-reservation: 1"))
+        .otherwise(F.lit(""))
+    )
+    pages = d.select(
+        F.concat(F.lit("h"),
+                 F.expr("CAST(doc_id div 20 AS STRING)")).alias("host"),
+        F.encode(html, "utf-8").alias("html"),
+        hdr.alias("x_robots_tag"),
+        F.size(words_col(F.col("text"))).alias("n_tokens"),
+    )
+    return optout_accounting(ai_optout_flags(pages), "host", "n_tokens")
+
+
+def _sql_ai_optout() -> str:
+    from biothings_crawler_spark.operators.compliance import (
+        _ROBOTS_RE1,
+        _ROBOTS_RE2,
+        _TDM_RE1,
+        _TDM_RE2,
+    )
+
+    def q(pat: str) -> str:  # SQL-quote a regex containing apostrophes
+        return "'" + pat.replace("'", "''") + "'"
+
+    def meta_union(r1: str, r2: str) -> str:
+        # DuckDB array_to_string([]) is NULL (same quirk q_meta_robots
+        # documents) — coalesce each side or the concat goes NULL
+        return (
+            f"coalesce(array_to_string("
+            f"regexp_extract_all(html, {q(r1)}, 1), ' '), '')"
+            f" || ' ' || "
+            f"coalesce(array_to_string("
+            f"regexp_extract_all(html, {q(r2)}, 1), ' '), '')"
+        )
+
+    return f"""
+WITH p AS (
+  SELECT 'h' || CAST(doc_id // 20 AS VARCHAR) AS host,
+    CASE doc_id % 8
+      WHEN 0 THEN '<html><head><meta name="robots" content="noai"></head><body>b</body></html>'
+      WHEN 1 THEN '<html><head><META CONTENT="noindex, noai" NAME=ROBOTS></head></html>'
+      WHEN 3 THEN '<html><head><meta name="tdm-reservation" content="1"></head></html>'
+      WHEN 4 THEN '<html><head><meta name="tdm-reservation" content="0"></head></html>'
+      ELSE '<html><head><title>t</title></head></html>' END AS html,
+    CASE doc_id % 8
+      WHEN 2 THEN 'X-Robots-Tag: noai'
+      WHEN 5 THEN 'X-Robots-Tag: noimageai'
+      WHEN 6 THEN 'tdm-reservation: 1'
+      ELSE '' END AS hdr,
+    len({_SQL_WORDS}) AS n_tokens
+  FROM documents),
+fl AS (
+  SELECT host, n_tokens,
+    lower({meta_union(_ROBOTS_RE1, _ROBOTS_RE2)} || ' ' || hdr) AS comb,
+    lower({meta_union(_TDM_RE1, _TDM_RE2)}) AS tdmc,
+    lower(hdr) AS lh
+  FROM p),
+fg AS (
+  SELECT host, n_tokens,
+    regexp_matches(comb, '\\bnoai\\b') AS noai,
+    regexp_matches(comb, '\\bnoimageai\\b') AS noimageai,
+    (regexp_matches(tdmc, '(^|\\s)1(\\s|$)')
+     OR regexp_matches(lh, 'tdm-reservation\\s*:\\s*1(\\s|$|;)')) AS tdm
+  FROM fl)
+SELECT host,
+  CAST(COUNT(*) AS BIGINT) AS n_pages,
+  CAST(SUM(CASE WHEN noai THEN 1 ELSE 0 END) AS BIGINT) AS n_noai,
+  CAST(SUM(CASE WHEN noimageai THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_noimageai,
+  CAST(SUM(CASE WHEN tdm THEN 1 ELSE 0 END) AS BIGINT) AS n_tdm,
+  CAST(SUM(CASE WHEN noai OR tdm THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_opt_out,
+  CAST(SUM(CASE WHEN noai OR tdm THEN 0 ELSE n_tokens END) AS BIGINT)
+    AS tokens_kept,
+  CAST(SUM(CASE WHEN noai OR tdm THEN n_tokens ELSE 0 END) AS BIGINT)
+    AS tokens_lost,
+  CAST(SUM(CASE WHEN noai OR tdm THEN 1 ELSE 0 END) * 1000000
+       // COUNT(*) AS BIGINT) AS optout_ppm
+FROM fg GROUP BY host
+"""
+
+
+SQL_AI_OPTOUT = _sql_ai_optout()
+
+
 _PACK_CAP = 96
 _PACK_SHARDS = 8
 
@@ -16089,6 +16208,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bitext_verify": q_bitext_verify,
     "q_sent_align": q_sent_align,
     "q_rag_chunks": q_rag_chunks,
+    "q_ai_optout": q_ai_optout,
 }
 
 # Gate-rotation (round 5): the driver's correctness gate samples the FIRST 50
@@ -16409,4 +16529,5 @@ ORACLES: dict[str, str] = {
     "q_bitext_verify": SQL_BITEXT_VERIFY,
     "q_sent_align": SQL_SENT_ALIGN,
     "q_rag_chunks": SQL_RAG_CHUNKS,
+    "q_ai_optout": SQL_AI_OPTOUT,
 }
