@@ -5742,6 +5742,91 @@ FROM fg GROUP BY host
 SQL_AI_OPTOUT = _sql_ai_optout()
 
 
+_TILE_W, _TILE_K = 10, 2
+
+
+def q_texttiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic segmentation (operators/texttiling — Hearst CL
+    1997 with the squared-cosine ppm surrogate and the sqrt-free
+    integer cutoff): fixture doc = text followed by its z-prefixed
+    twin, a vocabulary-disjoint second topic, so the strongest depth
+    lands at the junction gap.  Three hash aggs + one bounded per-doc
+    collect; the depth fold is row-local."""
+    from biothings_crawler_spark.operators.texttiling import texttiling
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "),
+            F.regexp_replace("text", r"(\S+)", r"z$1"),
+        ).alias("t"),
+    )
+    return texttiling(d, "doc_id", "t", w=_TILE_W, k=_TILE_K)
+
+
+def _sql_texttiling() -> str:
+    w, k = _TILE_W, _TILE_K
+    dj = "d[CAST(j AS INTEGER)]"
+    b = f"(2 * sd - 2 * m * {dj})"
+    return f"""
+WITH dd AS (
+  SELECT doc_id,
+         text || ' ' || regexp_replace(text, '(\\S+)', 'z\\1', 'g') AS text
+  FROM documents),
+w2 AS (
+  SELECT doc_id, ws, len(ws) AS ntok
+  FROM (SELECT doc_id, {_SQL_WORDS} AS ws FROM dd)
+  WHERE len(ws) > {w}),
+tok AS (
+  SELECT doc_id, CAST((ntok + {w} - 1) // {w} AS INTEGER) AS pp,
+         CAST((i - 1) // {w} AS INTEGER) AS p,
+         ws[CAST(i AS INTEGER)] AS tok
+  FROM w2, unnest(range(1, len(ws) + 1)) AS u(i)),
+cnt AS (
+  SELECT doc_id, pp, p, tok, COUNT(*) AS c FROM tok GROUP BY ALL),
+sides AS (
+  SELECT doc_id, tok, c, CAST(g AS INTEGER) AS gap, 'l' AS side
+  FROM cnt, unnest(range(p + 1, p + {k} + 1)) AS u(g)
+  WHERE g >= 1 AND g <= pp - 1
+  UNION ALL
+  SELECT doc_id, tok, c, CAST(g AS INTEGER) AS gap, 'r' AS side
+  FROM cnt, unnest(range(p - {k} + 1, p + 1)) AS u(g)
+  WHERE g >= 1 AND g <= pp - 1),
+pt AS (
+  SELECT doc_id, gap, tok,
+         SUM(CASE WHEN side = 'l' THEN c ELSE 0 END) AS cl,
+         SUM(CASE WHEN side = 'r' THEN c ELSE 0 END) AS cr
+  FROM sides GROUP BY ALL),
+sc0 AS (
+  SELECT doc_id, gap,
+         CAST(SUM(cl * cr) * SUM(cl * cr) * 1000000
+              // (SUM(cl * cl) * SUM(cr * cr)) AS BIGINT) AS s
+  FROM pt GROUP BY doc_id, gap),
+ar AS (SELECT doc_id, list(s ORDER BY gap) AS sc FROM sc0 GROUP BY doc_id),
+dp AS (
+  SELECT doc_id, sc, len(sc) AS m,
+    list_transform(range(0, len(sc)), j ->
+      sc[list_max(list_filter(range(0, j + 1),
+           t -> t = 0 OR sc[t] < sc[t + 1])) + 1]
+      + sc[list_min(list_filter(range(j, len(sc)),
+           t -> t = len(sc) - 1 OR sc[t + 2] < sc[t + 1])) + 1]
+      - 2 * sc[j + 1]) AS d
+  FROM ar),
+st AS (
+  SELECT doc_id, sc, m, d, list_sum(d) AS sd,
+         list_sum(list_transform(d, x -> x * x)) AS sd2
+  FROM dp)
+SELECT doc_id, CAST(j AS INT) AS gap, CAST(j * {w} AS INT) AS pos,
+  CAST(sc[CAST(j AS INTEGER)] AS BIGINT) AS score_ppm,
+  CAST({dj} AS BIGINT) AS depth,
+  ({b} < 0 OR m * sd2 - sd * sd > {b} * {b}) AS is_boundary
+FROM st, unnest(range(1, m + 1)) AS u(j)
+"""
+
+
+SQL_TEXTTILING = _sql_texttiling()
+
+
 _PACK_CAP = 96
 _PACK_SHARDS = 8
 
@@ -16209,6 +16294,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sent_align": q_sent_align,
     "q_rag_chunks": q_rag_chunks,
     "q_ai_optout": q_ai_optout,
+    "q_texttiling": q_texttiling,
 }
 
 # Gate-rotation (round 5): the driver's correctness gate samples the FIRST 50
@@ -16530,4 +16616,5 @@ ORACLES: dict[str, str] = {
     "q_sent_align": SQL_SENT_ALIGN,
     "q_rag_chunks": SQL_RAG_CHUNKS,
     "q_ai_optout": SQL_AI_OPTOUT,
+    "q_texttiling": SQL_TEXTTILING,
 }
