@@ -5764,10 +5764,10 @@ def q_texttiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return texttiling(d, "doc_id", "t", w=_TILE_W, k=_TILE_K)
 
 
-def _sql_texttiling() -> str:
-    w, k = _TILE_W, _TILE_K
-    dj = "d[CAST(j AS INTEGER)]"
-    b = f"(2 * sd - 2 * m * {dj})"
+def _sql_tile_core(w: int, k: int) -> str:
+    """Shared CTE prefix for the tiling twins: the two-topic fixture,
+    the agg pipeline, and the depth fold — ends at ``st`` with
+    ``(doc_id, ntok, sc, m, d, sd, sd2)``."""
     return f"""
 WITH dd AS (
   SELECT doc_id,
@@ -5778,33 +5778,34 @@ w2 AS (
   FROM (SELECT doc_id, {_SQL_WORDS} AS ws FROM dd)
   WHERE len(ws) > {w}),
 tok AS (
-  SELECT doc_id, CAST((ntok + {w} - 1) // {w} AS INTEGER) AS pp,
+  SELECT doc_id, ntok, CAST((ntok + {w} - 1) // {w} AS INTEGER) AS pp,
          CAST((i - 1) // {w} AS INTEGER) AS p,
          ws[CAST(i AS INTEGER)] AS tok
   FROM w2, unnest(range(1, len(ws) + 1)) AS u(i)),
 cnt AS (
-  SELECT doc_id, pp, p, tok, COUNT(*) AS c FROM tok GROUP BY ALL),
+  SELECT doc_id, ntok, pp, p, tok, COUNT(*) AS c FROM tok GROUP BY ALL),
 sides AS (
-  SELECT doc_id, tok, c, CAST(g AS INTEGER) AS gap, 'l' AS side
+  SELECT doc_id, ntok, tok, c, CAST(g AS INTEGER) AS gap, 'l' AS side
   FROM cnt, unnest(range(p + 1, p + {k} + 1)) AS u(g)
   WHERE g >= 1 AND g <= pp - 1
   UNION ALL
-  SELECT doc_id, tok, c, CAST(g AS INTEGER) AS gap, 'r' AS side
+  SELECT doc_id, ntok, tok, c, CAST(g AS INTEGER) AS gap, 'r' AS side
   FROM cnt, unnest(range(p - {k} + 1, p + 1)) AS u(g)
   WHERE g >= 1 AND g <= pp - 1),
 pt AS (
-  SELECT doc_id, gap, tok,
+  SELECT doc_id, ntok, gap, tok,
          SUM(CASE WHEN side = 'l' THEN c ELSE 0 END) AS cl,
          SUM(CASE WHEN side = 'r' THEN c ELSE 0 END) AS cr
   FROM sides GROUP BY ALL),
 sc0 AS (
-  SELECT doc_id, gap,
+  SELECT doc_id, ntok, gap,
          CAST(SUM(cl * cr) * SUM(cl * cr) * 1000000
               // (SUM(cl * cl) * SUM(cr * cr)) AS BIGINT) AS s
-  FROM pt GROUP BY doc_id, gap),
-ar AS (SELECT doc_id, list(s ORDER BY gap) AS sc FROM sc0 GROUP BY doc_id),
+  FROM pt GROUP BY doc_id, ntok, gap),
+ar AS (SELECT doc_id, ntok, list(s ORDER BY gap) AS sc
+       FROM sc0 GROUP BY doc_id, ntok),
 dp AS (
-  SELECT doc_id, sc, len(sc) AS m,
+  SELECT doc_id, ntok, sc, len(sc) AS m,
     list_transform(range(0, len(sc)), j ->
       sc[list_max(list_filter(range(0, j + 1),
            t -> t = 0 OR sc[t] < sc[t + 1])) + 1]
@@ -5813,9 +5814,16 @@ dp AS (
       - 2 * sc[j + 1]) AS d
   FROM ar),
 st AS (
-  SELECT doc_id, sc, m, d, list_sum(d) AS sd,
+  SELECT doc_id, ntok, sc, m, d, list_sum(d) AS sd,
          list_sum(list_transform(d, x -> x * x)) AS sd2
-  FROM dp)
+  FROM dp)"""
+
+
+def _sql_texttiling() -> str:
+    w = _TILE_W
+    dj = "d[CAST(j AS INTEGER)]"
+    b = f"(2 * sd - 2 * m * {dj})"
+    return f"""{_sql_tile_core(_TILE_W, _TILE_K)}
 SELECT doc_id, CAST(j AS INT) AS gap, CAST(j * {w} AS INT) AS pos,
   CAST(sc[CAST(j AS INTEGER)] AS BIGINT) AS score_ppm,
   CAST({dj} AS BIGINT) AS depth,
@@ -5825,6 +5833,69 @@ FROM st, unnest(range(1, m + 1)) AS u(j)
 
 
 SQL_TEXTTILING = _sql_texttiling()
+
+
+_TILE_M = 40  # topic-chunk token budget
+
+
+def q_topic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic chunking (operators/texttiling.topic_chunks): TextTiling
+    boundaries first, token budget second — chunks never straddle a
+    topic shift.  Same two-topic fixture as q_texttiling, so the
+    z-twin junction must always be a chunk edge."""
+    from biothings_crawler_spark.operators.texttiling import topic_chunks
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "),
+            F.regexp_replace("text", r"(\S+)", r"z$1"),
+        ).alias("t"),
+    )
+    return topic_chunks(d, "doc_id", "t",
+                        w=_TILE_W, k=_TILE_K, max_tokens=_TILE_M)
+
+
+def _sql_topic_chunks() -> str:
+    w, s = _TILE_W, max(1, _TILE_M // _TILE_W)
+    x = "2 * sd - 2 * m * x"
+    cj = "ck[CAST(j AS INTEGER)]"
+    hi = f"least({cj}.phi * {w}, ntok)"
+    return f"""{_sql_tile_core(_TILE_W, _TILE_K)},
+bf AS (
+  SELECT doc_id, ntok, m,
+    list_transform(d, x -> {x} < 0
+      OR m * sd2 - sd * sd > ({x}) * ({x})) AS bf
+  FROM st),
+ct AS (
+  SELECT doc_id, ntok,
+    list_concat(list_concat([0],
+      list_filter(range(1, m + 1), g -> bf[CAST(g AS INTEGER)])),
+      [m + 1]) AS cuts
+  FROM bf),
+ck AS (
+  SELECT doc_id, ntok,
+    flatten(list_transform(range(1, len(cuts)), si ->
+      list_transform(range(0,
+          (cuts[CAST(si + 1 AS INTEGER)] - cuts[CAST(si AS INTEGER)] - 1)
+          // {s} + 1), t ->
+        struct_pack(
+          seg := si - 1,
+          plo := cuts[CAST(si AS INTEGER)] + t * {s},
+          phi := least(cuts[CAST(si AS INTEGER)] + (t + 1) * {s},
+                       cuts[CAST(si + 1 AS INTEGER)]))))) AS ck
+  FROM ct)
+SELECT doc_id,
+  CAST({cj}.seg AS INT) AS seg_id,
+  CAST(j - 1 AS INT) AS chunk_id,
+  CAST({cj}.plo * {w} AS INT) AS tok_lo,
+  CAST({hi} AS INT) AS tok_hi,
+  CAST({hi} - {cj}.plo * {w} AS INT) AS n_tokens
+FROM ck, unnest(range(1, len(ck) + 1)) AS u(j)
+"""
+
+
+SQL_TOPIC_CHUNKS = _sql_topic_chunks()
 
 
 _PACK_CAP = 96
@@ -16295,6 +16366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rag_chunks": q_rag_chunks,
     "q_ai_optout": q_ai_optout,
     "q_texttiling": q_texttiling,
+    "q_topic_chunks": q_topic_chunks,
 }
 
 # Gate-rotation (round 5): the driver's correctness gate samples the FIRST 50
@@ -16617,4 +16689,5 @@ ORACLES: dict[str, str] = {
     "q_rag_chunks": SQL_RAG_CHUNKS,
     "q_ai_optout": SQL_AI_OPTOUT,
     "q_texttiling": SQL_TEXTTILING,
+    "q_topic_chunks": SQL_TOPIC_CHUNKS,
 }

@@ -99,3 +99,73 @@ def test_plan_shape(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def _brute_chunks(text, w, k, max_tokens):
+    tiles = _brute(text, w, k)
+    ws = [x for x in text.lower().split() if x]
+    n = len(ws)
+    if n <= w:
+        return []
+    P = (n + w - 1) // w
+    s = max(1, max_tokens // w)
+    cuts = [0] + [g for g, _, _, _, isb in tiles if isb] + [P]
+    out, cid = [], 0
+    for si in range(len(cuts) - 1):
+        lo = cuts[si]
+        while lo < cuts[si + 1]:
+            hi = min(lo + s, cuts[si + 1])
+            tlo, thi = lo * w, min(hi * w, n)
+            out.append((si, cid, tlo, thi, thi - tlo))
+            cid += 1
+            lo = hi
+    return out
+
+
+def test_topic_chunks_match_reference(spark):
+    from biothings_crawler_spark.operators.texttiling import topic_chunks
+
+    rng = random.Random(23)
+    vocab = ["cat", "dog", "run", "eat", "sky", "sea", "oak", "ant"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 90))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "id long, t string")
+    got = sorted(
+        (r["id"], r["seg_id"], r["chunk_id"], r["tok_lo"], r["tok_hi"],
+         r["n_tokens"])
+        for r in topic_chunks(df, "id", "t", w=7, k=2,
+                              max_tokens=21).collect())
+    want = sorted((i, *row) for i, t in docs
+                  for row in _brute_chunks(t, 7, 2, 21))
+    assert got == want
+
+
+def test_topic_chunks_respect_boundaries_and_budget(spark):
+    from biothings_crawler_spark.operators.texttiling import (
+        texttiling,
+        topic_chunks,
+    )
+
+    t = ("cat dog fish bird " * 10).strip() + " " + \
+        ("qux zap mop lid " * 10).strip()
+    df = spark.createDataFrame([(1, t)], "id long, t string")
+    rows = sorted(
+        (r["chunk_id"], r["seg_id"], r["tok_lo"], r["tok_hi"],
+         r["n_tokens"])
+        for r in topic_chunks(df, "id", "t", w=10, k=2,
+                              max_tokens=30).collect())
+    # budget holds, coverage is exact and contiguous
+    assert all(r[4] <= 30 for r in rows)
+    assert rows[0][2] == 0 and rows[-1][3] == 80
+    for a, b in zip(rows, rows[1:]):
+        assert b[2] == a[3]
+    # every tiling boundary is a chunk edge
+    bounds = {r["pos"] for r in texttiling(df, "id", "t", 10, 2).collect()
+              if r["is_boundary"]}
+    edges = {r[2] for r in rows} | {r[3] for r in rows}
+    assert bounds <= edges
+    # segments change exactly at the planted topic junction (token 40)
+    seg_at = {r[2]: r[1] for r in rows}
+    assert 40 in bounds and seg_at[40] > seg_at[0]
