@@ -52,6 +52,11 @@ EXTRACT_REPLICAS = int(os.environ.get("SPARK_GRAFT_EXTRACT_REPLICAS", "16"))
 # operator-suite queries worth timing at sf0.1 (brute-force pair ops
 # excluded: they are oracle-scale verifiers, not the 10^10 path)
 SUITE = [
+    # round-5 session-3 additions (chunking/segmentation + compliance)
+    "q_rag_chunks",
+    "q_ai_optout",
+    "q_texttiling",
+    "q_topic_chunks",
     # round-5 additions (LM smoothing + parallel-corpus mining planes)
     "q_kneser_ney",
     "q_stupid_backoff",
