@@ -54,6 +54,7 @@ EXTRACT_REPLICAS = int(os.environ.get("SPARK_GRAFT_EXTRACT_REPLICAS", "16"))
 SUITE = [
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
+    "q_sitemap_audit",
     "q_ai_optout",
     "q_texttiling",
     "q_topic_chunks",

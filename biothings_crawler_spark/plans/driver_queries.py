@@ -5898,6 +5898,63 @@ FROM ck, unnest(range(1, len(ck) + 1)) AS u(j)
 SQL_TOPIC_CHUNKS = _sql_topic_chunks()
 
 
+def q_sitemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-vs-crawl coverage audit (operators/audit
+    .sitemap_coverage): per-host declared/fetched census with exact
+    ppm coverage and orphan rates.  Lanes (doc_id%5): 0 = crawled but
+    never declared (orphan), 1 = declared but never fetched (gap),
+    else both; the crawl side re-lists doc_id%10==3 twice to prove
+    the distinct() guard."""
+    from biothings_crawler_spark.operators.audit import sitemap_coverage
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "CAST(doc_id div 25 AS STRING) AS hid",
+        "doc_id", "doc_id % 5 AS lane",
+    ).select(
+        F.concat(F.lit("h"), F.col("hid")).alias("host"),
+        F.concat(F.lit("https://h"), F.col("hid"),
+                 F.lit(".example/p/"), F.col("doc_id")).alias("url"),
+        "lane", "doc_id",
+    )
+    declared = d.filter("lane <> 0").select("host", "url")
+    crawled = d.filter("lane <> 1").select("host", "url")
+    dup = d.filter("lane <> 1 AND doc_id % 10 = 3").select("host", "url")
+    return sitemap_coverage(declared, crawled.unionAll(dup))
+
+
+SQL_SITEMAP_AUDIT = """
+WITH d AS (
+  SELECT 'h' || CAST(doc_id // 25 AS VARCHAR) AS host,
+         'https://h' || CAST(doc_id // 25 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         doc_id % 5 AS lane
+  FROM documents),
+j AS (
+  SELECT coalesce(dd.host, cc.host) AS host,
+         CASE WHEN dd.url IS NOT NULL THEN 1 ELSE 0 END AS dd,
+         CASE WHEN cc.url IS NOT NULL THEN 1 ELSE 0 END AS cc
+  FROM (SELECT DISTINCT host, url FROM d WHERE lane <> 0) dd
+  FULL OUTER JOIN (SELECT DISTINCT host, url FROM d WHERE lane <> 1) cc
+  USING (host, url)),
+a AS (
+  SELECT host,
+         CAST(SUM(dd) AS BIGINT) AS n_declared,
+         CAST(SUM(cc) AS BIGINT) AS n_crawled,
+         CAST(SUM(dd * cc) AS BIGINT) AS n_both,
+         CAST(SUM(dd * (1 - cc)) AS BIGINT) AS n_gaps,
+         CAST(SUM((1 - dd) * cc) AS BIGINT) AS n_orphans
+  FROM j GROUP BY host)
+SELECT host, n_declared, n_crawled, n_both, n_gaps, n_orphans,
+  CAST(CASE WHEN n_declared > 0
+       THEN n_both * 1000000 // n_declared ELSE 0 END AS BIGINT)
+    AS coverage_ppm,
+  CAST(CASE WHEN n_crawled > 0
+       THEN n_orphans * 1000000 // n_crawled ELSE 0 END AS BIGINT)
+    AS orphan_ppm
+FROM a
+"""
+
+
 _PACK_CAP = 96
 _PACK_SHARDS = 8
 
@@ -16367,6 +16424,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ai_optout": q_ai_optout,
     "q_texttiling": q_texttiling,
     "q_topic_chunks": q_topic_chunks,
+    "q_sitemap_audit": q_sitemap_audit,
 }
 
 # Gate-rotation (round 5): the driver's correctness gate samples the FIRST 50
@@ -16690,4 +16748,5 @@ ORACLES: dict[str, str] = {
     "q_ai_optout": SQL_AI_OPTOUT,
     "q_texttiling": SQL_TEXTTILING,
     "q_topic_chunks": SQL_TOPIC_CHUNKS,
+    "q_sitemap_audit": SQL_SITEMAP_AUDIT,
 }
