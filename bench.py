@@ -55,6 +55,7 @@ SUITE = [
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",
+    "q_textrank_summary",
     "q_ai_optout",
     "q_texttiling",
     "q_topic_chunks",

@@ -98,3 +98,103 @@ def textrank_keywords(
         .orderBy(F.desc("score_micro"), "term")
         .limit(k)
     )
+
+
+def sentence_sim_edges(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document sentence-similarity graph ``(id, si, sj, w)``.
+
+    Nodes = sentences (marker-rule split shared with
+    ``chunking.sentences_col``); edge weight between two sentences of
+    the SAME document = ``common_word_types * 10^6 div (types_i +
+    types_j)`` — the exact-integer surrogate of TextRank §4.1's
+    ``|overlap| / (log|Si| + log|Sj|)`` normalization (monotone in
+    overlap, penalizes long sentences; no float, no log).  Built from
+    one (id, word-type) explode self-joined on the word key — the
+    pair join is bounded per document and co-keyed on (id, word), so
+    no document's sentences ever meet another document's.
+    """
+    from biothings_crawler_spark.operators.chunking import sentences_col
+
+    sent = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(sentences_col(F.col(text_col)))
+            .alias("si", "stext"),
+        )
+        .select(
+            "id", "si",
+            F.array_distinct(words_col(F.col("stext"))).alias("tw"),
+        )
+        .withColumn("nt", F.size("tw"))
+        .filter(F.col("nt") > 0)
+    )
+    st = sent.select("id", "si", "nt", F.explode("tw").alias("w"))
+    a, b = st.alias("a"), st.alias("b")
+    return (
+        a.join(b, ["id", "w"])
+        .filter(F.col("a.si") < F.col("b.si"))
+        .groupBy("id", F.col("a.si").alias("si"), F.col("b.si").alias("sj"),
+                 F.col("a.nt").alias("ni"), F.col("b.nt").alias("nj"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "id", "si", "sj",
+            F.expr("c * 1000000 div (ni + nj)").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+
+
+def textrank_summary(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    rounds: int = 3,
+    n: int = 2,
+) -> DataFrame:
+    """Extractive summarization (TextRank over the sentence graph):
+    top-``n`` sentences per document after ``rounds`` weighted
+    iterations.  Returns ``(id_col, si, score_micro, pick)`` — ``si``
+    the sentence's position (so callers re-emit the summary in
+    original order), ``pick`` the 1-based selection rank.
+
+    Same per-round shape as ``textrank_keywords`` — one score join
+    onto the edge table + one destination-keyed hash agg, lineage
+    flattened per round — except every key carries the document id,
+    so all documents iterate in the same two shuffles.  Sentences
+    sharing no vocabulary with a sibling are isolated (they cannot be
+    voted for — TextRank semantics) and single-sentence documents
+    emit nothing.  The final top-``n`` is a per-document
+    WindowGroupLimit, bounded by ``n``."""
+    from pyspark.sql import Window
+
+    half = sentence_sim_edges(docs, id_col, text_col)
+    edges = half.unionByName(
+        half.selectExpr("id", "sj AS si", "si AS sj", "w")
+    )
+    wout = edges.groupBy("id", "si").agg(
+        F.sum("w").cast("long").alias("w_out"))
+    edges = edges.join(wout, ["id", "si"]).localCheckpoint(eager=True)
+    scores = edges.select("id", "si").distinct().withColumn(
+        "s", F.lit(1_000_000).cast("long"))
+    for _ in range(int(rounds)):
+        contrib = (
+            edges.join(scores, ["id", "si"])
+            .select("id", F.col("sj").alias("si"),
+                    F.expr("s * 85 * w div (100 * w_out)").alias("c"))
+            .groupBy("id", "si")
+            .agg(F.sum("c").cast("long").alias("inflow"))
+        )
+        scores = contrib.select(
+            "id", "si",
+            (F.lit(150_000) + F.col("inflow")).cast("long").alias("s"),
+        ).localCheckpoint(eager=True)
+    win = Window.partitionBy("id").orderBy(F.desc("s"), F.asc("si"))
+    return (
+        scores.withColumn("pick", F.row_number().over(win))
+        .filter(F.col("pick") <= n)
+        .select(F.col("id").alias(id_col), "si",
+                F.col("s").alias("score_micro"),
+                F.col("pick").cast("int").alias("pick"))
+    )

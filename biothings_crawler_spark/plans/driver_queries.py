@@ -5955,6 +5955,85 @@ FROM a
 """
 
 
+_TRS_ROUNDS, _TRS_N = 3, 2
+
+
+def q_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive summarization (operators/textrank.textrank_summary —
+    TextRank over the per-document sentence-similarity graph, the
+    §4.1 sentence variant of q_textrank_keywords): top-2 sentences
+    per doc after 3 exact-integer weighted rounds.  Fixture reuses
+    the rag punctuation rule; the doc_id%7 unpunctuated lane is a
+    single isolated sentence and must emit nothing."""
+    from biothings_crawler_spark.operators.textrank import textrank_summary
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _rag_fixture_sql("spark") + " AS t"
+    )
+    return textrank_summary(d, "doc_id", "t",
+                            rounds=_TRS_ROUNDS, n=_TRS_N)
+
+
+def _sql_textrank_summary() -> str:
+    def W(e: str) -> str:
+        return _SQL_WORDS.replace("lower(text)", f"lower({e})")
+
+    it = "it0"
+    iters = ""
+    for r in range(1, _TRS_ROUNDS + 1):
+        iters += f""",
+it{r} AS MATERIALIZED (
+  SELECT e.doc_id, e.sj AS si,
+         CAST(150000 + SUM(p.s * 85 * e.w // (100 * e.w_out))
+              AS BIGINT) AS s
+  FROM edges e JOIN it{r - 1} p ON p.doc_id = e.doc_id AND p.si = e.si
+  GROUP BY e.doc_id, e.sj)"""
+        it = f"it{r}"
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_rag_fixture_sql("duckdb")} AS t FROM documents),
+sl AS (
+  SELECT doc_id,
+    list_filter(list_transform(
+      string_split(regexp_replace(t, '([.!?])\\s+', '\\1' || chr(1), 'g'),
+                   chr(1)), x -> trim(x)), x -> x <> '') AS sl
+  FROM d),
+sen AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS si,
+         list_distinct({W("sl[CAST(i AS INTEGER)]")}) AS tw
+  FROM sl, unnest(range(1, len(sl) + 1)) AS u(i)),
+s2 AS (SELECT doc_id, si, tw, len(tw) AS nt FROM sen WHERE len(tw) > 0),
+st AS (SELECT doc_id, si, nt, unnest(tw) AS w FROM s2),
+half AS (
+  SELECT a.doc_id, a.si, b.si AS sj,
+         CAST(COUNT(*) * 1000000 // (a.nt + b.nt) AS BIGINT) AS w
+  FROM st a JOIN st b ON a.doc_id = b.doc_id AND a.w = b.w
+                      AND a.si < b.si
+  GROUP BY a.doc_id, a.si, b.si, a.nt, b.nt
+  HAVING COUNT(*) * 1000000 // (a.nt + b.nt) > 0),
+edges0 AS (
+  SELECT doc_id, si, sj, w FROM half
+  UNION ALL SELECT doc_id, sj, si, w FROM half),
+wout AS (
+  SELECT doc_id, si, CAST(SUM(w) AS BIGINT) AS w_out
+  FROM edges0 GROUP BY doc_id, si),
+edges AS MATERIALIZED (
+  SELECT e.doc_id, e.si, e.sj, e.w, o.w_out
+  FROM edges0 e JOIN wout o USING (doc_id, si)),
+it0 AS (
+  SELECT DISTINCT doc_id, si, CAST(1000000 AS BIGINT) AS s
+  FROM edges){iters}
+SELECT doc_id, si, s AS score_micro,
+       CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY s DESC, si) AS INT) AS pick
+FROM {it}
+QUALIFY pick <= {_TRS_N}
+"""
+
+
+SQL_TEXTRANK_SUMMARY = _sql_textrank_summary()
+
+
 _PACK_CAP = 96
 _PACK_SHARDS = 8
 
@@ -16425,6 +16504,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_texttiling": q_texttiling,
     "q_topic_chunks": q_topic_chunks,
     "q_sitemap_audit": q_sitemap_audit,
+    "q_textrank_summary": q_textrank_summary,
 }
 
 # Gate-rotation (round 5): the driver's correctness gate samples the FIRST 50
@@ -16749,4 +16829,5 @@ ORACLES: dict[str, str] = {
     "q_texttiling": SQL_TEXTTILING,
     "q_topic_chunks": SQL_TOPIC_CHUNKS,
     "q_sitemap_audit": SQL_SITEMAP_AUDIT,
+    "q_textrank_summary": SQL_TEXTRANK_SUMMARY,
 }
