@@ -544,22 +544,29 @@ def gen_png_media_seeded(ids: DataFrame) -> DataFrame:
     same-seed media are pixel-identical up to a constant brightness
     shift, the transformation dHash is exactly invariant to (the shift
     cancels in every cell-mean comparison; 180+75<256 so no clamping
-    ever masks a bug)."""
+    ever masks a bug).  An optional ``scratch`` column perturbs ONLY
+    pixel row y=0 (adds ``scratch*41`` inside the mod) — a localized
+    edit that can flip at most the 8 dHash bits of cell row ci=0, the
+    planted near-duplicate lane for the banded hamming pairer."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from biothings_crawler_spark.operators import multimodal as mm
 
         for pdf in batches:
+            scratches = (pdf["scratch"] if "scratch" in pdf.columns
+                         else [0] * len(pdf))
             out = {"media_id": [], "content": []}
-            for mid, seed, br in zip(pdf["media_id"], pdf["seed"],
-                                     pdf["bright"]):
-                seed, br = int(seed), int(br)
+            for mid, seed, br, scr in zip(pdf["media_id"], pdf["seed"],
+                                          pdf["bright"], scratches):
+                seed, br, scr = int(seed), int(br), int(scr)
+                raws = []
                 w, h = 16 + 2 * (seed % 5), 12 + 2 * (seed % 4)
-                raws = [
-                    bytes((seed * 31 + y * 17 + x * 7 + ch * 3) % 180 + br
-                          for x in range(w) for ch in range(3))
-                    for y in range(h)
-                ]
+                for y in range(h):
+                    bump = scr * 41 if y == 0 else 0
+                    raws.append(bytes(
+                        (seed * 31 + y * 17 + x * 7 + ch * 3 + bump)
+                        % 180 + br
+                        for x in range(w) for ch in range(3)))
                 out["media_id"].append(int(mid))
                 out["content"].append(mm._png_encode_rgb(raws, w, h))
             yield pd.DataFrame(out)
@@ -647,6 +654,73 @@ def phash_dup_groups(hashes: DataFrame) -> DataFrame:
     return hashes.join(agg, ["phash_hi", "phash_lo"], "left").select(
         "media_id", "width", "height", "phash_hi", "phash_lo",
         "dup_group", "group_size", "decode_err",
+    )
+
+
+def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """NEAR-duplicate image pairs by banded hamming join over the 64-bit
+    dHash — the image twin of MinHash LSH banding (reference crawls
+    re-encounter the same figure panel re-exported at different
+    brightness/crop margins; exact-hash grouping misses any single
+    flipped bit).
+
+    Recall is EXACT, not probabilistic: the 64 bits split into 8
+    single-byte bands (4 per half; both halves only populate bits
+    0..31, so every band is a non-negative byte), and by pigeonhole two
+    hashes within hamming distance ``max_hamming <= 7`` cannot differ
+    in all 8 bands — at least one band byte collides, so the candidate
+    join finds every qualifying pair.  Verification is the exact
+    integer ``bit_count(xor)`` on the two halves.
+
+    Scale shape (the minhash-LSH discipline, operators/dedup.py): the
+    exploded band stream carries only ``(media_id, band, byte)``; the
+    self-join runs on the (band, byte) key with ``a < b`` to halve the
+    output; hashes re-join per DEDUPED candidate, so full hash rows
+    never ride the band shuffle and nothing is all-pairs.  At 10^9
+    images the band groups stay small because byte collisions across
+    unrelated images are ~n/256 per band — AQE skew-split covers the
+    pathological monochrome-band case."""
+    ok = hashes.filter(F.col("decode_err").isNull()).select(
+        "media_id", "phash_hi", "phash_lo")
+    bands = ok.select(
+        "media_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(
+                    F.col("phash_hi") if b >= 4 else F.col("phash_lo"),
+                    (b % 4) * 8,
+                ).bitwiseAND(F.lit(255)).alias("byte"),
+            )
+            for b in range(8)
+        ])).alias("bb"),
+    ).select("media_id", "bb.band", "bb.byte")
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"),
+              [F.col("l.band") == F.col("r.band"),
+               F.col("l.byte") == F.col("r.byte"),
+               F.col("l.media_id") < F.col("r.media_id")])
+        .select(F.col("l.media_id").alias("media_a"),
+                F.col("r.media_id").alias("media_b"))
+        .distinct()
+    )
+    return (
+        cand
+        .join(ok.select(F.col("media_id").alias("media_a"),
+                        F.col("phash_hi").alias("hi_a"),
+                        F.col("phash_lo").alias("lo_a")), "media_a")
+        .join(ok.select(F.col("media_id").alias("media_b"),
+                        F.col("phash_hi").alias("hi_b"),
+                        F.col("phash_lo").alias("lo_b")), "media_b")
+        .withColumn(
+            "hamming",
+            (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+             + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
+            .cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
     )
 
 

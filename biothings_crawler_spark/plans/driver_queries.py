@@ -12125,6 +12125,91 @@ FROM fl f JOIN grp g2 USING (phash_hi, phash_lo)
 """
 
 
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image pairs via banded hamming join over the real
+    decoded dHash (operators/multimodal.phash_neardup_pairs — the image
+    twin of MinHash LSH banding).  Fixture quads share a seed: two
+    brightness levels (dHash-invariant, hamming 0 → exact-dup pairs)
+    crossed with a row-0 "scratch" edit that can flip only the 8 bits
+    of dHash cell row 0 (hamming <= 8 → the near-dup lane); distinct
+    seeds stay far apart.  Pigeonhole over the 8 single-byte bands
+    makes recall at hamming <= 7 EXACT, so the oracle — which
+    recomputes every hash from the closed-form pixel formula and
+    replays the identical band/verify rule — must agree pair-for-pair,
+    hamming-for-hamming."""
+    from biothings_crawler_spark.operators.multimodal import (
+        decode_png_phash,
+        gen_png_media_seeded,
+        phash_neardup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("media_id"),
+        F.expr("doc_id div 40").alias("seed"),
+        F.expr("(((doc_id div 10) % 4) % 2) * 25").alias("bright"),
+        F.expr("((doc_id div 10) % 4) div 2").alias("scratch"),
+    )
+    return phash_neardup_pairs(decode_png_phash(gen_png_media_seeded(ids)))
+
+
+SQL_IMAGE_NEARDUP = """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id // 40 AS seed,
+         (((doc_id // 10) % 4) % 2) * 25 AS bright,
+         ((doc_id // 10) % 4) // 2 AS scratch
+  FROM documents WHERE doc_id % 10 = 7),
+dims AS (SELECT media_id, seed, bright, scratch,
+                16 + 2 * (seed % 5) AS w, 12 + 2 * (seed % 4) AS h
+         FROM m),
+px AS (
+  SELECT media_id, w, h, bright, CAST(r.j AS BIGINT) AS idx,
+         seed * 31 + (r.j // w) * 17 + (r.j % w) * 7
+           + CASE WHEN r.j // w = 0 THEN scratch * 41 ELSE 0 END AS base
+  FROM dims, unnest(range(w * h)) AS r(j)),
+g AS (
+  SELECT media_id, ((idx // w) * 8) // h AS ci, ((idx % w) * 9) // w AS cj,
+         (299 * (base % 180) + 587 * ((base + 3) % 180)
+          + 114 * ((base + 6) % 180)) // 1000 + bright AS gray
+  FROM px),
+c AS (SELECT media_id, ci, cj, SUM(gray) AS s, COUNT(*) AS n
+      FROM g GROUP BY media_id, ci, cj),
+bits AS (
+  SELECT l.media_id, l.ci, l.cj,
+         CASE WHEN l.s * r.n > r.s * l.n THEN 1 ELSE 0 END AS bit
+  FROM c l JOIN c r
+    ON l.media_id = r.media_id AND l.ci = r.ci AND r.cj = l.cj + 1
+  WHERE l.cj < 8),
+hl AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN ci >= 4
+                       THEN bit * (CAST(1 AS BIGINT) << ((ci - 4) * 8 + cj))
+                       ELSE 0 END) AS BIGINT) AS phash_hi,
+         CAST(SUM(CASE WHEN ci < 4
+                       THEN bit * (CAST(1 AS BIGINT) << (ci * 8 + cj))
+                       ELSE 0 END) AS BIGINT) AS phash_lo
+  FROM bits GROUP BY media_id),
+bands AS (
+  SELECT media_id,
+         CASE WHEN b.i >= 4 THEN (phash_hi >> (CAST(b.i - 4 AS INT) * 8)) & 255
+              ELSE (phash_lo >> (CAST(b.i AS INT) * 8)) & 255 END AS byte,
+         CAST(b.i AS BIGINT) AS band
+  FROM hl, unnest(range(8)) AS b(i)),
+cand AS (
+  SELECT DISTINCT l.media_id AS media_a, r.media_id AS media_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.byte = r.byte AND l.media_id < r.media_id)
+SELECT c2.media_a, c2.media_b,
+       CAST(bit_count(xor(a.phash_hi, b.phash_hi))
+            + bit_count(xor(a.phash_lo, b.phash_lo)) AS BIGINT) AS hamming
+FROM cand c2
+JOIN hl a ON a.media_id = c2.media_a
+JOIN hl b ON b.media_id = c2.media_b
+WHERE bit_count(xor(a.phash_hi, b.phash_hi))
+      + bit_count(xor(a.phash_lo, b.phash_lo)) <= 7
+"""
+
+
 MAXSCORE_QUERY = ["merge", "vector", "window", "stream", "batch"]
 MAXSCORE_K = 15
 
@@ -16307,6 +16392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_compaction_plan": q_compaction_plan,
     "q_audio_fingerprint": q_audio_fingerprint,
     "q_image_phash": q_image_phash,
+    "q_image_neardup": q_image_neardup,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -16632,6 +16718,7 @@ ORACLES: dict[str, str] = {
     "q_compaction_plan": SQL_COMPACTION_PLAN,
     "q_audio_fingerprint": SQL_AUDIO_FINGERPRINT,
     "q_image_phash": SQL_IMAGE_PHASH,
+    "q_image_neardup": SQL_IMAGE_NEARDUP,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

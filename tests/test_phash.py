@@ -91,3 +91,81 @@ def test_phash_and_audio_fp_route_malformed_to_decode_err(spark):
     assert fps[3]["decode_err"] is not None and fps[3]["dup_group"] is None
     assert fps[1]["dup_group"] == fps[2]["dup_group"] == 1  # gain-invariant
     assert fps[1]["n_gain_variants"] == 2
+
+def _media_s(spark, rows):
+    return gen_png_media_seeded(spark.createDataFrame(
+        rows, "media_id long, seed long, bright long, scratch long"))
+
+
+def test_neardup_exact_and_scratched_pairs(spark):
+    """Brightness twins pair at hamming 0; a row-0 scratch stays within
+    the 8 bits of dHash cell row 0 (near lane); different seeds don't
+    pair at all."""
+    from biothings_crawler_spark.operators.multimodal import (
+        phash_neardup_pairs,
+    )
+
+    hashes = decode_png_phash(_media_s(spark, [
+        (1, 9, 0, 0), (2, 9, 25, 0),   # exact twins
+        (3, 9, 0, 1),                  # scratched sibling of 1/2
+        (4, 123, 0, 0),                # unrelated seed
+    ]))
+    pairs = {(r.media_a, r.media_b): r.hamming
+             for r in phash_neardup_pairs(hashes).collect()}
+    assert pairs[(1, 2)] == 0
+    # the scratch flips only cell-row-0 bits: 0 < hamming <= 8, and the
+    # pair survives the <=7 gate for this pinned seed
+    assert 0 < pairs[(1, 3)] <= 7 and pairs[(1, 3)] == pairs[(2, 3)]
+    assert not any(4 in p for p in pairs)
+
+
+def test_neardup_scratch_touches_only_low_row_bits(spark):
+    """The scratched and unscratched hashes may differ ONLY in dHash
+    cell row ci=0 — bits 0..7 of phash_lo."""
+    out = {r.media_id: (r.phash_hi, r.phash_lo)
+           for r in decode_png_phash(_media_s(spark, [
+               (1, 9, 0, 0), (2, 9, 0, 1), (3, 17, 0, 0), (4, 17, 0, 1),
+           ])).collect()}
+    for a, b in [(1, 2), (3, 4)]:
+        assert out[a][0] == out[b][0]                  # hi untouched
+        assert (out[a][1] ^ out[b][1]) < 256           # only bits 0..7
+
+
+def test_neardup_banding_recall_equals_bruteforce(spark):
+    """Pigeonhole recall proof on data: the banded join returns exactly
+    the brute-force hamming<=7 pair set."""
+    from biothings_crawler_spark.operators.multimodal import (
+        phash_neardup_pairs,
+    )
+
+    rows = [(m, 5 + m % 3, (m % 2) * 25, (m % 4) // 2) for m in range(12)]
+    hashes = decode_png_phash(_media_s(spark, rows))
+    hs = {r.media_id: (r.phash_hi, r.phash_lo) for r in hashes.collect()}
+    brute = {}
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = (bin(hs[a][0] ^ hs[b][0]).count("1")
+                 + bin(hs[a][1] ^ hs[b][1]).count("1"))
+            if d <= 7:
+                brute[(a, b)] = d
+    got = {(r.media_a, r.media_b): r.hamming
+           for r in phash_neardup_pairs(hashes).collect()}
+    assert got == brute and brute  # non-vacuous
+
+
+def test_neardup_decode_err_rows_never_pair(spark):
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.multimodal import (
+        phash_neardup_pairs,
+    )
+
+    png = _media_s(spark, [(1, 9, 0, 0), (2, 9, 25, 0), (3, 9, 0, 0)])
+    png = png.withColumn(
+        "content",
+        F.when(F.col("media_id") == 3,
+               F.lit(b"junk")).otherwise(F.col("content")))
+    pairs = {(r.media_a, r.media_b) for r in
+             phash_neardup_pairs(decode_png_phash(png)).collect()}
+    assert pairs == {(1, 2)}
