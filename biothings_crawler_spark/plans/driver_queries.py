@@ -12210,6 +12210,54 @@ WHERE bit_count(xor(a.phash_hi, b.phash_hi))
 """
 
 
+def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF text extraction (operators/pdftext) — the corpus
+    build's third document format beside HTML and WARC/WET.  The
+    decoder navigates trailer -> /Root -> /Pages -> /Kids (logical page
+    order), slices streams by declared /Length, inflates FlateDecode
+    with zlib, and scans Tj/TJ show ops with PDF string-escape
+    handling.  Fixture lanes: Flate vs plain streams (seed%2), object
+    numbering REVERSED vs /Kids (seed%5==0 — a linear-scan parser
+    emits pages out of order and fails the hash), lines as split TJ
+    arrays with kern numbers (seed%3==1 — concatenation must be
+    exact).  The oracle rebuilds the text closed-form from the shared
+    fixture formula and never touches the bytes."""
+    from biothings_crawler_spark.operators.pdftext import (
+        decode_pdf_text,
+        gen_pdf_media_seeded,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("media_id"),
+        F.expr("doc_id div 10").alias("seed"),
+    )
+    return decode_pdf_text(gen_pdf_media_seeded(ids))
+
+
+SQL_PDF_TEXT = """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id // 10 AS seed
+  FROM documents WHERE doc_id % 10 = 3),
+dims AS (SELECT media_id, seed, 1 + seed % 3 AS np, 2 + seed % 4 AS nl
+         FROM m),
+lines AS (
+  SELECT media_id, CAST(p.i AS BIGINT) AS p, CAST(l.i AS BIGINT) AS i,
+         'pg' || CAST(p.i AS VARCHAR) || ' ln' || CAST(l.i AS VARCHAR)
+         || ' w' || CAST((seed * 31 + p.i * 17 + l.i * 7) % 97 AS VARCHAR)
+         || ' (k' || CAST(l.i AS VARCHAR) || ')' AS ln
+  FROM dims, unnest(range(np)) AS p(i), unnest(range(nl)) AS l(i)),
+pg AS (SELECT media_id, p, string_agg(ln, chr(10) ORDER BY i) AS ptxt
+       FROM lines GROUP BY media_id, p),
+doc AS (SELECT media_id, string_agg(ptxt, chr(12) ORDER BY p) AS text,
+               CAST(COUNT(*) AS BIGINT) AS n_pages
+        FROM pg GROUP BY media_id)
+SELECT media_id, n_pages, text, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(NULL AS VARCHAR) AS decode_err
+FROM doc
+"""
+
+
 MAXSCORE_QUERY = ["merge", "vector", "window", "stream", "batch"]
 MAXSCORE_K = 15
 
@@ -16393,6 +16441,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_audio_fingerprint": q_audio_fingerprint,
     "q_image_phash": q_image_phash,
     "q_image_neardup": q_image_neardup,
+    "q_pdf_text": q_pdf_text,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -16719,6 +16768,7 @@ ORACLES: dict[str, str] = {
     "q_audio_fingerprint": SQL_AUDIO_FINGERPRINT,
     "q_image_phash": SQL_IMAGE_PHASH,
     "q_image_neardup": SQL_IMAGE_NEARDUP,
+    "q_pdf_text": SQL_PDF_TEXT,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
