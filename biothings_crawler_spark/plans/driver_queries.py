@@ -12258,6 +12258,95 @@ FROM doc
 """
 
 
+_LICENSE_HDR_SPARK = """CASE doc_id % 9
+  WHEN 1 THEN '// SPDX-License-Identifier: MIT\n'
+  WHEN 2 THEN '// SPDX-License-Identifier: Apache-2.0\n'
+  WHEN 3 THEN '// SPDX-License-Identifier: GPL-3.0-only\n'
+  WHEN 4 THEN '/* Permission is hereby granted, free of charge */\n'
+  WHEN 5 THEN '/* Licensed under the Apache License, Version 2.0 */\n'
+  WHEN 6 THEN '/* Redistribution and use in source and binary forms */\n'
+  WHEN 7 THEN '/* free software under the GNU General Public License */\n'
+  WHEN 8 THEN '// SPDX-License-Identifier: MIT\n/* GNU General Public License */\n'
+  ELSE '' END"""
+
+
+def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License classification for training-data compliance
+    (operators/license.detect_licenses, The Stack's inclusion rule):
+    SPDX identifier beats phrase heuristics beats 'unknown', scan
+    bounded to the 600-char header window.  Fixture lanes prepend a
+    deterministic header per doc_id%9 — SPDX ids (incl. GPL), each
+    phrase family, a conflict lane where the SPDX MIT line must beat a
+    GPL phrase, and a no-header lane.  Oracle replays the identical
+    header construction + CASE chain in SQL."""
+    from biothings_crawler_spark.operators.license import detect_licenses
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.concat(F.expr(_LICENSE_HDR_SPARK),
+                 F.coalesce(F.col("text"), F.lit(""))).alias("text"),
+    )
+    return detect_licenses(docs).select(
+        "doc_id", "license", "detector", "permissive")
+
+
+SQL_LICENSE_DETECT = """
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id % 9
+           WHEN 1 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+           WHEN 2 THEN '// SPDX-License-Identifier: Apache-2.0' || chr(10)
+           WHEN 3 THEN '// SPDX-License-Identifier: GPL-3.0-only' || chr(10)
+           WHEN 4 THEN '/* Permission is hereby granted, free of charge */'
+                       || chr(10)
+           WHEN 5 THEN '/* Licensed under the Apache License, Version 2.0 */'
+                       || chr(10)
+           WHEN 6 THEN '/* Redistribution and use in source and binary forms */'
+                       || chr(10)
+           WHEN 7 THEN '/* free software under the GNU General Public License */'
+                       || chr(10)
+           WHEN 8 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+                       || '/* GNU General Public License */' || chr(10)
+           ELSE '' END || coalesce(text, '') AS t
+  FROM documents),
+w AS (SELECT doc_id,
+             regexp_extract(substring(t, 1, 600),
+                            'SPDX-License-Identifier: ([A-Za-z0-9.\\-]+)',
+                            1) AS spdx,
+             substring(t, 1, 600) AS win
+      FROM d),
+cls AS (
+  SELECT doc_id,
+         CASE WHEN spdx <> '' THEN spdx
+              WHEN contains(win, 'Permission is hereby granted, free of charge')
+                THEN 'MIT'
+              WHEN contains(win, 'Licensed under the Apache License, Version 2.0')
+                THEN 'Apache-2.0'
+              WHEN contains(win, 'Redistribution and use in source and binary forms')
+                THEN 'BSD-3-Clause'
+              WHEN contains(win, 'This is free and unencumbered software')
+                THEN 'Unlicense'
+              WHEN contains(win, 'GNU General Public License')
+                THEN 'GPL-3.0-only'
+              ELSE 'unknown' END AS license,
+         CASE WHEN spdx <> '' THEN 'spdx'
+              WHEN contains(win, 'Permission is hereby granted, free of charge')
+                OR contains(win, 'Licensed under the Apache License, Version 2.0')
+                OR contains(win, 'Redistribution and use in source and binary forms')
+                OR contains(win, 'This is free and unencumbered software')
+                OR contains(win, 'GNU General Public License')
+                THEN 'phrase'
+              ELSE 'none' END AS detector
+  FROM w)
+SELECT doc_id, license, detector,
+       CAST(CASE WHEN license IN
+                 ('MIT', 'Apache-2.0', 'BSD-3-Clause', 'Unlicense')
+                 THEN 1 ELSE 0 END AS BIGINT) AS permissive
+FROM cls
+"""
+
+
 MAXSCORE_QUERY = ["merge", "vector", "window", "stream", "batch"]
 MAXSCORE_K = 15
 
@@ -16442,6 +16531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_image_phash": q_image_phash,
     "q_image_neardup": q_image_neardup,
     "q_pdf_text": q_pdf_text,
+    "q_license_detect": q_license_detect,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -16769,6 +16859,7 @@ ORACLES: dict[str, str] = {
     "q_image_phash": SQL_IMAGE_PHASH,
     "q_image_neardup": SQL_IMAGE_NEARDUP,
     "q_pdf_text": SQL_PDF_TEXT,
+    "q_license_detect": SQL_LICENSE_DETECT,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
