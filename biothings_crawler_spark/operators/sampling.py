@@ -329,3 +329,71 @@ def temperature_mix(
     else:
         out = out.drop("_w_total")
     return out
+
+
+DEFAULT_EPOCH_DECAY_PPM = (1_000_000, 880_000, 700_000, 450_000, 180_000)
+
+
+def allocate_epochs(
+    src_tokens: DataFrame,
+    budget: int,
+    decay_ppm: tuple = DEFAULT_EPOCH_DECAY_PPM,
+) -> DataFrame:
+    """Data-constrained epoch allocation (after Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models": repeating data is worth
+    progressively less — roughly full value through the first few
+    epochs, then sharply decaying).  Given per-source unique-token
+    counts and a total training-token budget larger than the unique
+    pool, decide how many (possibly fractional) repeat epochs of each
+    source to take.
+
+    The marginal value of epoch ``e`` of ANY source is ``decay_ppm[e-1]``
+    per token, so the greedy optimum is a pure threshold rule: order
+    candidate (source, epoch) units by (value desc, tokens desc, source)
+    and take whole units while the running token sum fits, one partial
+    unit at the boundary, nothing after.  ``utility`` is the exact
+    integer ``tokens_used * value_ppm div 10^6``.
+
+    Scale shape: ``src_tokens`` is already an aggregation output — one
+    row per source, a BOUNDED dimension table (languages / corpus
+    sources number in the hundreds, never corpus-sized) — so the
+    unpartitioned running-sum window over ``|sources| * |epochs|`` rows
+    is a driver-bounded plan by construction, the q_token_budget
+    boundary-band precedent.  The corpus itself is touched only by the
+    upstream per-source count, one map-side-combine hash agg."""
+    n_ep = len(decay_ppm)
+    decay_arr = F.array(*[F.lit(int(v)) for v in decay_ppm])
+    cand = (
+        src_tokens.selectExpr("source", "CAST(tokens AS BIGINT) AS tokens")
+        .withColumn("epoch", F.explode(F.array(
+            *[F.lit(e) for e in range(1, n_ep + 1)])))
+        .withColumn("value_ppm",
+                    F.element_at(decay_arr, F.col("epoch")).cast("long"))
+        .withColumn("epoch", F.col("epoch").cast("long"))
+    )
+    w = Window.orderBy(F.desc("value_ppm"), F.desc("tokens"), F.asc("source"))
+    alloc = (
+        cand
+        .withColumn("_cum", F.sum("tokens").over(w).cast("long"))
+        .withColumn("_before", (F.col("_cum") - F.col("tokens")).cast("long"))
+        .withColumn(
+            "tokens_used",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.col("tokens"),
+                        F.lit(int(budget)).cast("long") - F.col("_before")),
+            ),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("tokens_used") == F.col("tokens"), F.lit("full"))
+            .when(F.col("tokens_used") > 0, F.lit("partial"))
+            .otherwise(F.lit("cut")),
+        )
+        .withColumn(
+            "utility",
+            F.expr("tokens_used * value_ppm div 1000000").cast("long"),
+        )
+    )
+    return alloc.select("source", "epoch", "tokens", "value_ppm",
+                        "tokens_used", "utility", "status")

@@ -12347,6 +12347,55 @@ FROM cls
 """
 
 
+def q_epoch_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch allocation (operators/sampling.
+    allocate_epochs, after Muennighoff et al. 2023): per-source unique
+    tokens from ONE corpus hash agg, then the greedy threshold rule
+    over the bounded (source x epoch) candidate table — whole epochs
+    while the budget lasts, one partial boundary epoch, integer
+    utility.  Budget is pinned at 2.3x the unique pool so the fixture
+    exercises full, partial, and cut lanes.  Oracle replays the same
+    running-sum prefix in SQL."""
+    from biothings_crawler_spark.operators.sampling import allocate_epochs
+
+    d = _t(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.lit(1) + F.col("n_chars") % 50).cast("long").alias("tokens"))
+    total = src.agg(F.sum("tokens")).collect()[0][0]
+    return allocate_epochs(src, int(total) * 23 // 10)
+
+
+SQL_EPOCH_ALLOC = """
+WITH src AS (
+  SELECT source, CAST(SUM(1 + n_chars % 50) AS BIGINT) AS tokens
+  FROM documents GROUP BY source),
+b AS (SELECT CAST(SUM(tokens) AS BIGINT) * 23 // 10 AS budget FROM src),
+decay AS (
+  SELECT CAST(e.i + 1 AS BIGINT) AS epoch,
+         CAST([1000000, 880000, 700000, 450000, 180000][e.i + 1] AS BIGINT)
+           AS value_ppm
+  FROM unnest(range(5)) AS e(i)),
+cand AS (SELECT source, tokens, epoch, value_ppm FROM src, decay),
+run AS (
+  SELECT source, tokens, epoch, value_ppm,
+         SUM(tokens) OVER (ORDER BY value_ppm DESC, tokens DESC, source)
+           - tokens AS before_cum
+  FROM cand),
+alloc AS (
+  SELECT source, epoch, tokens, value_ppm,
+         CAST(GREATEST(CAST(0 AS BIGINT),
+                       LEAST(tokens, (SELECT budget FROM b) - before_cum))
+              AS BIGINT) AS tokens_used
+  FROM run)
+SELECT source, epoch, tokens, value_ppm, tokens_used,
+       CAST(tokens_used * value_ppm // 1000000 AS BIGINT) AS utility,
+       CASE WHEN tokens_used = tokens THEN 'full'
+            WHEN tokens_used > 0 THEN 'partial'
+            ELSE 'cut' END AS status
+FROM alloc
+"""
+
+
 MAXSCORE_QUERY = ["merge", "vector", "window", "stream", "batch"]
 MAXSCORE_K = 15
 
@@ -16532,6 +16581,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_image_neardup": q_image_neardup,
     "q_pdf_text": q_pdf_text,
     "q_license_detect": q_license_detect,
+    "q_epoch_alloc": q_epoch_alloc,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -16860,6 +16910,7 @@ ORACLES: dict[str, str] = {
     "q_image_neardup": SQL_IMAGE_NEARDUP,
     "q_pdf_text": SQL_PDF_TEXT,
     "q_license_detect": SQL_LICENSE_DETECT,
+    "q_epoch_alloc": SQL_EPOCH_ALLOC,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
