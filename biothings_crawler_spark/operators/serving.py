@@ -340,3 +340,67 @@ def spell_suggest(
         .filter(F.col("rank") <= k)
         .select("q", "suggestion", "dist", "term_df", "rank")
     )
+
+
+def proximity_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """Term-proximity ranked retrieval (after Büttcher & Clarke 2006:
+    adjacent query-term pairs contribute ``10^6 div min_dist^2``): for
+    each adjacent pair of query terms, the minimum token distance
+    between ANY occurrence of the two in the document, summed into an
+    exact-integer proximity score; documents containing no complete
+    pair score zero and drop.  (id, prox) top-k by (prox desc, id).
+
+    Scale shape: min-distance is computed ROW-LOCAL from the words
+    array with a nested integer fold — positions of each query term
+    via one filtered index sequence, pairwise |i-j| min via
+    F.aggregate — so the corpus never rides a positional self-join
+    shuffle (the phrase_matches adjacency join is only economical for
+    exact phrases; proximity wants all O(tf_a*tf_b) gaps, which stay
+    per-row here).  The only Exchange is the final TakeOrdered top-k."""
+    if len(terms) < 2:
+        raise ValueError("proximity needs at least two query terms")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        words_col(F.col(text_col)).alias("words"),
+    )
+    n = F.size("words")
+    big = F.lit(1 << 40).cast("long")
+
+    def positions(t: str) -> Column:
+        return F.when(
+            n > 0,
+            F.filter(F.sequence(F.lit(1), n),
+                     lambda j: F.element_at("words", j) == F.lit(t)),
+        ).otherwise(F.array().cast("array<int>"))
+
+    cur = base
+    contribs = []
+    for i, (a, b) in enumerate(zip(terms, terms[1:])):
+        pa, pb = f"_pa{i}", f"_md{i}"
+        cur = cur.withColumn(pa, positions(a)).withColumn(
+            f"_pb{i}", positions(b))
+        md = F.aggregate(
+            F.col(pa), big,
+            lambda acc, x: F.least(acc, F.aggregate(
+                F.col(f"_pb{i}"), big,
+                lambda acc2, y: F.least(acc2,
+                                        F.abs(x.cast("long") - y)))),
+        )
+        cur = cur.withColumn(pb, md)
+        contribs.append(
+            f"CASE WHEN size(_pa{i}) > 0 AND size(_pb{i}) > 0 "
+            f"THEN 1000000 div (_md{i} * _md{i}) ELSE 0L END")
+    cur = cur.withColumn(
+        "prox", F.expr(" + ".join(contribs)).cast("long"))
+    return (
+        cur.filter(F.col("prox") > 0)
+        .select("id", "prox")
+        .orderBy(F.desc("prox"), F.asc("id"))
+        .limit(k)
+    )

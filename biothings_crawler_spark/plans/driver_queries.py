@@ -12396,6 +12396,47 @@ FROM alloc
 """
 
 
+PROX_TERMS = ["hash", "join", "scan"]
+
+
+def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-proximity retrieval (operators/serving.proximity_topk,
+    Büttcher & Clarke min-dist^2 accumulation): adjacent query-term
+    pairs contribute 10^6 div d^2 with d the minimum token gap between
+    any two occurrences, summed exactly in integers.  The Spark side
+    computes the min-gap ROW-LOCAL from the words array (nested
+    integer folds, no positional self-join shuffle); the oracle derives
+    the same minima from an exploded positional index and a pair join
+    — two independent plans, one answer."""
+    from biothings_crawler_spark.operators.serving import proximity_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return proximity_topk(d, "doc_id", "text", PROX_TERMS, k=25)
+
+
+SQL_PROXIMITY_TOPK = f"""
+WITH w AS (SELECT doc_id AS id, {_SQL_WORDS} AS words FROM documents),
+p AS (SELECT id, CAST(r.i AS BIGINT) AS i, words[i] AS term
+      FROM w, unnest(range(1, len(words) + 1)) AS r(i)),
+pair0 AS (SELECT a.id, MIN(ABS(a.i - b.i)) AS d
+          FROM p a JOIN p b ON a.id = b.id
+          WHERE a.term = '{{t0}}' AND b.term = '{{t1}}'
+          GROUP BY a.id),
+pair1 AS (SELECT a.id, MIN(ABS(a.i - b.i)) AS d
+          FROM p a JOIN p b ON a.id = b.id
+          WHERE a.term = '{{t1}}' AND b.term = '{{t2}}'
+          GROUP BY a.id),
+s AS (SELECT COALESCE(p0.id, p1.id) AS id,
+             COALESCE(1000000 // (p0.d * p0.d), 0)
+             + COALESCE(1000000 // (p1.d * p1.d), 0) AS prox
+      FROM pair0 p0 FULL OUTER JOIN pair1 p1 ON p0.id = p1.id)
+SELECT id, CAST(prox AS BIGINT) AS prox
+FROM s WHERE prox > 0
+ORDER BY prox DESC, id
+LIMIT 25
+""".format(t0=PROX_TERMS[0], t1=PROX_TERMS[1], t2=PROX_TERMS[2])
+
+
 MAXSCORE_QUERY = ["merge", "vector", "window", "stream", "batch"]
 MAXSCORE_K = 15
 
@@ -16582,6 +16623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pdf_text": q_pdf_text,
     "q_license_detect": q_license_detect,
     "q_epoch_alloc": q_epoch_alloc,
+    "q_proximity_topk": q_proximity_topk,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -16911,6 +16953,7 @@ ORACLES: dict[str, str] = {
     "q_pdf_text": SQL_PDF_TEXT,
     "q_license_detect": SQL_LICENSE_DETECT,
     "q_epoch_alloc": SQL_EPOCH_ALLOC,
+    "q_proximity_topk": SQL_PROXIMITY_TOPK,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
