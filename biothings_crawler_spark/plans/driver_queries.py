@@ -12396,6 +12396,49 @@ FROM alloc
 """
 
 
+def q_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction from real JPEG APP1 segments
+    (operators/exif): marker scan, TIFF header in BOTH endiannesses
+    (seed%2), IFD0 walk with inline vs offset-addressed values (model
+    strings inline, make/datetime offset), ExifIFD pointer follow,
+    exact-rational exposure.  The oracle rebuilds every field
+    closed-form from the shared seed formula and never touches the
+    bytes — so endianness, offset arithmetic, and type decoding are
+    all on the hook."""
+    from biothings_crawler_spark.operators.exif import (
+        decode_exif,
+        gen_exif_media_seeded,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") % 10 == 9).select(
+        F.col("doc_id").alias("media_id"),
+        F.expr("doc_id div 10").alias("seed"),
+    )
+    return decode_exif(gen_exif_media_seeded(ids))
+
+
+SQL_EXIF_EXTRACT = """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id // 10 AS seed
+  FROM documents WHERE doc_id % 10 = 9)
+SELECT media_id,
+       'Cam' || CAST(seed % 7 AS VARCHAR) AS make,
+       'M' || CAST(seed % 13 AS VARCHAR) AS model,
+       CAST(1 + seed % 8 AS BIGINT) AS orientation,
+       '2025:' || lpad(CAST(1 + seed % 12 AS VARCHAR), 2, '0')
+       || ':' || lpad(CAST(1 + seed % 28 AS VARCHAR), 2, '0')
+       || ' ' || lpad(CAST(seed % 24 AS VARCHAR), 2, '0')
+       || ':' || lpad(CAST(seed % 60 AS VARCHAR), 2, '0') || ':00'
+         AS taken_at,
+       CAST(1 AS BIGINT) AS exposure_num,
+       CAST(50 + (seed % 20) * 10 AS BIGINT) AS exposure_den,
+       CAST(100 * (1 + seed % 32) AS BIGINT) AS iso,
+       CAST(NULL AS VARCHAR) AS decode_err
+FROM m
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -16624,6 +16667,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_license_detect": q_license_detect,
     "q_epoch_alloc": q_epoch_alloc,
     "q_proximity_topk": q_proximity_topk,
+    "q_exif_extract": q_exif_extract,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -16954,6 +16998,7 @@ ORACLES: dict[str, str] = {
     "q_license_detect": SQL_LICENSE_DETECT,
     "q_epoch_alloc": SQL_EPOCH_ALLOC,
     "q_proximity_topk": SQL_PROXIMITY_TOPK,
+    "q_exif_extract": SQL_EXIF_EXTRACT,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
