@@ -12439,6 +12439,90 @@ FROM m
 """
 
 
+def q_sitemap_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host sitemap.xml rendering (sources/sitemap.render_sitemaps)
+    — the inverse of the sitemap scan plane, completing the
+    scan/render symmetry the WARC/WET/WAT trio already has.  Part
+    files respect the protocol's URL cap (pinned to 20 here so the
+    fixture forces multi-part hosts + index documents); part
+    assignment is the bounded two-level bucket-offset rank, never a
+    whole-host sort; ampersands and angle brackets in URLs must leave
+    as XML entities.  Oracle replays buckets, offsets, ranks, caps,
+    and the entity escaping in SQL."""
+    from biothings_crawler_spark.sources.sitemap import render_sitemaps
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        F.concat(F.lit("https://site"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+                 F.lit("?a=1&b=<2>")).alias("url"),
+        F.date_format(
+            F.timestamp_micros(
+                (F.lit(1756684800) + F.col("doc_id") % 90 * 86400)
+                * 1_000_000),
+            "yyyy-MM-dd").alias("lastmod"),
+    )
+    return render_sitemaps(pages, cap=20, n_buckets=8)
+
+
+SQL_SITEMAP_RENDER = """
+WITH pages AS (
+  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+         'https://site' || CAST(doc_id % 7 AS VARCHAR)
+         || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+         || '?a=1&b=<2>' AS url,
+         strftime(to_timestamp(1756684800 + doc_id % 90 * 86400),
+                  '%Y-%m-%d') AS lastmod
+  FROM documents),
+b AS (
+  SELECT host, url, lastmod,
+         CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT) % 8 AS bucket
+  FROM pages),
+counts AS (SELECT host, bucket, CAST(COUNT(*) AS BIGINT) AS n
+           FROM b GROUP BY host, bucket),
+offs AS (
+  SELECT host, bucket,
+         CAST(SUM(n) OVER (PARTITION BY host ORDER BY bucket) - n
+              AS BIGINT) AS off
+  FROM counts),
+ranked AS (
+  SELECT b.host, b.url, b.lastmod,
+         o.off + ROW_NUMBER() OVER
+           (PARTITION BY b.host, b.bucket ORDER BY b.url) - 1 AS rank
+  FROM b JOIN offs o ON b.host = o.host AND b.bucket = o.bucket),
+ent AS (
+  SELECT host, rank // 20 AS part, rank,
+         '<url><loc>'
+         || replace(replace(replace(replace(replace(url,
+              '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+              '"', '&quot;'), CHR(39), '&apos;')
+         || '</loc><lastmod>' || lastmod || '</lastmod></url>' AS e
+  FROM ranked),
+parts AS (
+  SELECT host, CAST(part AS BIGINT) AS part, 'sitemap' AS kind,
+         '<?xml version="1.0" encoding="UTF-8"?><urlset '
+         || 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+         || string_agg(e, '' ORDER BY rank) || '</urlset>' AS xml,
+         CAST(COUNT(*) AS BIGINT) AS n_urls
+  FROM ent GROUP BY host, part),
+idx AS (
+  SELECT host, CAST(-1 AS BIGINT) AS part, 'index' AS kind,
+         '<?xml version="1.0" encoding="UTF-8"?><sitemapindex '
+         || 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+         || string_agg('<sitemap><loc>https://' || host || '/sitemap-'
+                       || CAST(part AS VARCHAR) || '.xml</loc></sitemap>',
+                       '' ORDER BY part)
+         || '</sitemapindex>' AS xml,
+         CAST(0 AS BIGINT) AS n_urls
+  FROM parts GROUP BY host HAVING COUNT(*) > 1)
+SELECT host, part, kind, xml, n_urls FROM parts
+UNION ALL
+SELECT host, part, kind, xml, n_urls FROM idx
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -16668,6 +16752,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_epoch_alloc": q_epoch_alloc,
     "q_proximity_topk": q_proximity_topk,
     "q_exif_extract": q_exif_extract,
+    "q_sitemap_render": q_sitemap_render,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -16999,6 +17084,7 @@ ORACLES: dict[str, str] = {
     "q_epoch_alloc": SQL_EPOCH_ALLOC,
     "q_proximity_topk": SQL_PROXIMITY_TOPK,
     "q_exif_extract": SQL_EXIF_EXTRACT,
+    "q_sitemap_render": SQL_SITEMAP_RENDER,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

@@ -196,3 +196,112 @@ def sitemap_refetch(
                  reason.alias("reason"))
         .withColumn("refetch", F.col("reason") != "fresh")
     )
+
+
+def _xml_escape(c: F.Column) -> F.Column:
+    # the five XML predefined entities, ampersand FIRST (it appears in
+    # every later replacement's output)
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                     ('"', "&quot;"), ("'", "&apos;")):
+        c = F.replace(c, F.lit(raw), F.lit(ent))
+    return c
+
+
+def render_sitemaps(
+    pages: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    lastmod_col: str = "lastmod",
+    cap: int = 50_000,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Render per-host sitemap.xml documents from a crawled pages table
+    — the INVERSE of the sitemap scan plane (seed_sitemap_urls /
+    expand_sitemap_indexes), for re-publishing a mirror or handing a
+    partner the crawl census.  Output rows: ``(host, part, kind, xml,
+    n_urls)`` — ``kind='sitemap'`` part files respecting the protocol's
+    50,000-URL-per-file cap (sitemaps.org §"Manage large sitemaps"),
+    plus one ``kind='index'`` document per multi-part host listing the
+    part files.
+
+    Scale shape — the part assignment NEVER sorts a whole host: URLs
+    hash into ``n_buckets`` row-local md5 buckets; per-(host, bucket)
+    counts form a BOUNDED table (≤ n_buckets rows per host) whose
+    running offsets use a window over that bounded table only; the
+    global part rank is ``bucket_offset + rank within (host, bucket)``
+    — the select_token_budget two-level discipline — so no window
+    partition exceeds ~|host|/n_buckets rows.  The per-part document
+    string_agg is bounded by the cap (≤ 50k entries ≈ 5 MB).  The
+    protocol does not require URL-sorted parts, only the cap;
+    bucket-major order is deterministic and resume-stable."""
+    b = F.conv(F.substring(F.md5(F.col(url_col)), 1, 8), 16, 10) \
+        .cast("long") % n_buckets
+    base = pages.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        F.col(lastmod_col).alias("lastmod"),
+        b.alias("bucket"),
+    )
+    from pyspark.sql import Window
+
+    counts = base.groupBy("host", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    woff = Window.partitionBy("host").orderBy("bucket")
+    offsets = counts.withColumn(
+        "offset", (F.sum("n").over(woff) - F.col("n")).cast("long"))
+    wrank = Window.partitionBy("host", "bucket").orderBy("url")
+    ranked = (
+        base.join(offsets.select("host", "bucket", "offset"),
+                  ["host", "bucket"])
+        .withColumn("rank",
+                    (F.row_number().over(wrank) - 1 + F.col("offset"))
+                    .cast("long"))
+        .withColumn("part", F.expr(f"rank div {int(cap)}").cast("long"))
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"), _xml_escape(F.col("url")),
+        F.lit("</loc><lastmod>"), F.col("lastmod"),
+        F.lit("</lastmod></url>"),
+    )
+    parts = (
+        ranked.withColumn("entry", entry)
+        .groupBy("host", "part")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset '
+                      'xmlns="http://www.sitemaps.org/schemas/'
+                      'sitemap/0.9">'),
+                F.array_join(F.array_sort(F.collect_list(
+                    F.struct("rank", "entry"))).entry, ""),
+                F.lit("</urlset>"),
+            ).alias("xml"),
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+        )
+        .withColumn("kind", F.lit("sitemap"))
+    )
+    idx_entry = F.concat(
+        F.lit("<sitemap><loc>https://"), F.col("host"),
+        F.lit("/sitemap-"), F.col("part").cast("string"),
+        F.lit(".xml</loc></sitemap>"),
+    )
+    index = (
+        parts.filter(F.col("part") >= 0)
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+                      '<sitemapindex xmlns="http://www.sitemaps.org/'
+                      'schemas/sitemap/0.9">'),
+                F.array_join(F.array_sort(F.collect_list(
+                    F.struct("part", idx_entry.alias("e")))).e, ""),
+                F.lit("</sitemapindex>"),
+            ).alias("xml"),
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+        )
+        .filter(F.col("n_parts") > 1)
+        .select("host", F.lit(-1).cast("long").alias("part"),
+                F.lit("index").alias("kind"), "xml",
+                F.lit(0).cast("long").alias("n_urls"))
+    )
+    return parts.select("host", "part", "kind", "xml", "n_urls") \
+        .unionByName(index)
