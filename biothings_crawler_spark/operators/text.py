@@ -1086,3 +1086,53 @@ def tokenizer_fertility(df, id_col: str, text_col: str, lang_col: str):
             "ELSE chars * 1000000 div tokens END AS chars_per_token_ppm",
         )
     )
+
+
+def ngram_novelty(df, id_col: str, text_col: str, n: int = 3):
+    """Per-document corpus n-gram novelty — the memorization /
+    diversity audit a synthetic-data pipeline runs before mixing
+    generated text into training corpora (the document-level inverse
+    of Self-BLEU: high novelty = the document shares few word n-grams
+    with ANY other document).
+
+    For each document: its DISTINCT word n-grams, each gram's
+    document frequency across the corpus, and
+    ``novelty_ppm = |grams with df == 1| * 10^6 div |grams|`` — exact
+    integers, so cross-engine bit-stable.  Documents with fewer than
+    ``n`` words have no grams and drop (both engines agree by
+    construction).
+
+    Scale shape: gram construction is row-local (same transform
+    contract as :func:`heavy_bigrams`); dedup to DISTINCT (id, gram)
+    is one hash agg; document frequency is ONE gram-keyed hash agg
+    with map-side combine; the df join carries (gram, df) only —
+    never text.  No windows, no self-join of the corpus."""
+    grams = bind_col(
+        words_col(F.col(text_col)),
+        lambda words: F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + k + 1)
+                           for k in range(n)]),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    dg = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    dfreq = dg.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    return (
+        dg.join(dfreq, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long").alias("n_novel"),
+        )
+        .withColumn("novelty_ppm",
+                    F.expr("n_novel * 1000000 div n_grams").cast("long"))
+    )

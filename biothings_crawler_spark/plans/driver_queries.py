@@ -12523,6 +12523,38 @@ SELECT host, part, kind, xml, n_urls FROM idx
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus trigram novelty (operators/text.
+    ngram_novelty) — the Self-BLEU-inverse memorization audit: share
+    of a document's distinct trigrams that occur in NO other document,
+    exact ppm.  One distinct hash agg + one gram-keyed df agg + a
+    (gram, df)-only join; oracle replays the identical pipeline from
+    an unnest-derived gram stream."""
+    from biothings_crawler_spark.operators.text import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH w AS (SELECT doc_id AS id, {_SQL_WORDS} AS words FROM documents),
+g AS (
+  SELECT DISTINCT id,
+         words[r.i + 1] || ' ' || words[r.i + 2] || ' ' || words[r.i + 3]
+           AS gram
+  FROM w, unnest(range(len(words) - 2)) AS r(i)
+  WHERE len(words) >= 3),
+dfreq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+          FROM g GROUP BY gram),
+agg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM g JOIN dfreq USING (gram) GROUP BY id)
+SELECT id, n_grams, n_novel,
+       CAST(n_novel * 1000000 // n_grams AS BIGINT) AS novelty_ppm
+FROM agg
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -16753,6 +16785,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_proximity_topk": q_proximity_topk,
     "q_exif_extract": q_exif_extract,
     "q_sitemap_render": q_sitemap_render,
+    "q_ngram_novelty": q_ngram_novelty,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -17085,6 +17118,7 @@ ORACLES: dict[str, str] = {
     "q_proximity_topk": SQL_PROXIMITY_TOPK,
     "q_exif_extract": SQL_EXIF_EXTRACT,
     "q_sitemap_render": SQL_SITEMAP_RENDER,
+    "q_ngram_novelty": SQL_NGRAM_NOVELTY,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

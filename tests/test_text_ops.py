@@ -1,0 +1,43 @@
+
+
+def test_ngram_novelty_exact_counts(spark):
+    from biothings_crawler_spark.operators.text import ngram_novelty
+
+    df = spark.createDataFrame([
+        (1, "a b c d"),        # grams: "a b c", "b c d"
+        (2, "a b c"),          # gram:  "a b c"  (shared with doc 1)
+        (3, "x y z w"),        # both grams unique to doc 3
+        (4, "a b"),            # too short: drops
+        (5, None),             # NULL: drops
+    ], "doc_id long, text string")
+    got = {r.id: (r.n_grams, r.n_novel, r.novelty_ppm)
+           for r in ngram_novelty(df, "doc_id", "text").collect()}
+    assert got[1] == (2, 1, 500_000)   # "b c d" novel, "a b c" shared
+    assert got[2] == (1, 0, 0)
+    assert got[3] == (2, 2, 1_000_000)
+    assert 4 not in got and 5 not in got
+
+
+def test_ngram_novelty_repeated_gram_in_one_doc_counts_once(spark):
+    from biothings_crawler_spark.operators.text import ngram_novelty
+
+    df = spark.createDataFrame([
+        (1, "a b c a b c a b c"),  # "a b c" repeats internally
+        (2, "q r s"),
+    ], "doc_id long, text string")
+    got = {r.id: (r.n_grams, r.n_novel)
+           for r in ngram_novelty(df, "doc_id", "text").collect()}
+    # doc 1 has 7 positional grams but only 3 DISTINCT
+    # ("a b c", "b c a", "c a b"); all df==1
+    assert got[1] == (3, 3)
+    assert got[2] == (1, 1)
+
+
+def test_ngram_novelty_plan_no_window_no_cartesian(spark):
+    from biothings_crawler_spark.operators.text import ngram_novelty
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = ngram_novelty(df, "doc_id", "text") \
+        ._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Window", "CartesianProduct", "BatchEvalPython"):
+        assert bad not in plan
