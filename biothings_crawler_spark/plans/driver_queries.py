@@ -12555,6 +12555,42 @@ FROM agg
 """
 
 
+def q_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style release manifest (operators/manifest.
+    release_manifest): per-bucket md5 digests over id-ordered leaf
+    hashes plus the root row — the verifiable-handoff artifact for a
+    corpus release.  Bucketing depends only on ids, so the manifest is
+    invariant to physical layout (pinned in pytest); the oracle
+    reproduces every digest byte-for-byte in SQL."""
+    from biothings_crawler_spark.operators.manifest import release_manifest
+
+    return release_manifest(_t(spark, sf_dir, "documents"),
+                            "doc_id", "text", n_buckets=32)
+
+
+SQL_RELEASE_MANIFEST = """
+WITH leaves AS (
+  SELECT doc_id AS id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 32 AS bucket,
+         md5(CAST(doc_id AS VARCHAR) || ':' || md5(coalesce(text, '')))
+           AS leaf
+  FROM documents),
+buckets AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         md5(string_agg(leaf, '' ORDER BY id)) AS digest
+  FROM leaves GROUP BY bucket),
+root AS (
+  SELECT CAST(-1 AS BIGINT) AS bucket,
+         CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         md5(string_agg(digest, '' ORDER BY bucket)) AS digest
+  FROM buckets)
+SELECT bucket, n_docs, digest FROM buckets
+UNION ALL
+SELECT bucket, n_docs, digest FROM root
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -16786,6 +16822,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_exif_extract": q_exif_extract,
     "q_sitemap_render": q_sitemap_render,
     "q_ngram_novelty": q_ngram_novelty,
+    "q_release_manifest": q_release_manifest,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -17119,6 +17156,7 @@ ORACLES: dict[str, str] = {
     "q_exif_extract": SQL_EXIF_EXTRACT,
     "q_sitemap_render": SQL_SITEMAP_RENDER,
     "q_ngram_novelty": SQL_NGRAM_NOVELTY,
+    "q_release_manifest": SQL_RELEASE_MANIFEST,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
