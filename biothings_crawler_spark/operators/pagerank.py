@@ -1245,3 +1245,108 @@ def k_truss(edges: DataFrame, k: int, max_iters: int = 16) -> DataFrame:
             return _edge_support(e).filter(F.col("support") >= k - 2)
         e = kept
     raise RuntimeError(f"k_truss did not converge in {max_iters} rounds")
+
+
+def scc_census(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_pivots: int = 32,
+    max_trim_passes: int = 64,
+    max_hops: int = 32,
+) -> DataFrame:
+    """FULL strongly-connected-component labeling — the general case
+    of :func:`bowtie_decomposition` (which extracts only the pivot's
+    SCC): ``(node, scc_label, scc_size)`` with the canonical label =
+    the smallest member id.  The crawl planner's duplicate-cluster map
+    for redirect rings and mutually-linked mirror families, and the
+    precondition for per-SCC condensation analytics.
+
+    Algorithm (FW-BW with trimming, Fleischer et al. 2000 shape):
+
+    1. TRIM to fixpoint: a node with no in-edge or no out-edge in the
+       remaining graph is its own SCC — label and remove.  Each pass
+       is two distinct-aggs + anti-joins; web-like graphs (short
+       tendrils off a core) trim in a handful of passes.
+    2. PIVOT PEEL: pivot = smallest remaining node; its SCC =
+       fwd(pivot) ∩ bwd(pivot) via two :func:`seed_distance` delta
+       iterations (frontier-sized shuffles, lineage checkpointed);
+       label the SCC with its min member, remove it, re-trim.  One
+       round per NONTRIVIAL SCC — the Broder bow-tie insight says
+       real web graphs concentrate mass in one giant SCC, so rounds
+       stay small; ``max_pivots``/``max_trim_passes`` are honest
+       safety caps that raise rather than emit a wrong labeling.
+
+    Scale plan per round: bounded ``isEmpty``/1-row probes, hash aggs
+    and semi/anti joins only — no windows, no closure materialization
+    (the transitive closure lives only in the fixture-scale oracle)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().localCheckpoint(eager=True)
+    remaining = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    labels = spark.createDataFrame([], "node long, scc_label long")
+
+    def _trim(rem_nodes, rem_edges):
+        nonlocal labels
+        for _ in range(max_trim_passes):
+            srcs = rem_edges.select(F.col("src").alias("node")).distinct()
+            dsts = rem_edges.select(F.col("dst").alias("node")).distinct()
+            trivial = (
+                rem_nodes.join(srcs, "node", "left_anti")
+                .union(rem_nodes.join(dsts, "node", "left_anti"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if trivial.isEmpty():
+                return rem_nodes, rem_edges
+            labels = labels.union(
+                trivial.select("node", F.col("node").alias("scc_label"))
+            ).localCheckpoint(eager=True)
+            rem_nodes = rem_nodes.join(
+                trivial, "node", "left_anti").localCheckpoint(eager=True)
+            rem_edges = (
+                rem_edges
+                .join(rem_nodes.select(F.col("node").alias("src")),
+                      "src", "left_semi")
+                .join(rem_nodes.select(F.col("node").alias("dst")),
+                      "dst", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        raise ValueError(f"trim did not converge in {max_trim_passes} passes")
+
+    remaining, e = _trim(remaining, e)
+    for _ in range(max_pivots):
+        if remaining.isEmpty():
+            break
+        pivot = remaining.agg(F.min("node").alias("node"))
+        fwd = seed_distance(e, pivot, max_hops=max_hops).select("node")
+        rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        bwd = seed_distance(rev, pivot, max_hops=max_hops).select("node")
+        scc = fwd.join(bwd, "node", "left_semi").localCheckpoint(eager=True)
+        lab = scc.agg(F.min("node").alias("scc_label"))
+        labels = labels.union(
+            scc.join(F.broadcast(lab)).select("node", "scc_label")
+        ).localCheckpoint(eager=True)
+        remaining = remaining.join(scc, "node", "left_anti") \
+            .localCheckpoint(eager=True)
+        e = (
+            e.join(remaining.select(F.col("node").alias("src")),
+                   "src", "left_semi")
+            .join(remaining.select(F.col("node").alias("dst")),
+                  "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        remaining, e = _trim(remaining, e)
+    else:
+        if not remaining.isEmpty():
+            raise ValueError(f"more than {max_pivots} nontrivial SCCs")
+    sizes = labels.groupBy("scc_label").agg(
+        F.count(F.lit(1)).cast("long").alias("scc_size"))
+    return labels.join(sizes, "scc_label").select(
+        "node", "scc_label", "scc_size")

@@ -12591,6 +12591,91 @@ SELECT bucket, n_docs, digest FROM root
 """
 
 
+def q_scc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SCC labeling (operators/pagerank.scc_census, FW-BW with
+    trimming): three planted chorded-cycle SCCs (one per residue
+    class, chords +1/+4/+16 keep the BFS diameter logarithmic) with
+    tree nodes hanging off them — trim peels every tree node in one
+    pass, then exactly three pivot rounds find the cycles.  The
+    oracle computes ground truth from a recursive-CTE transitive
+    closure (mutual-reachability min label) — a completely independent
+    derivation at fixture scale of what the distributed algorithm must
+    produce."""
+    from pyspark.sql import Window
+
+    from biothings_crawler_spark.operators.pagerank import scc_census
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    mem = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("id"), (F.col("doc_id") % 3).alias("g"))
+    w = Window.partitionBy("g").orderBy("id")
+    mem = mem.withColumn("k", (F.row_number().over(w) - 1).cast("long"))
+    msz = mem.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    mm = mem.join(msz, "g")
+    cyc = None
+    for off in (1, 4, 16):
+        part = (
+            mm.select("g", F.col("id").alias("src"),
+                      ((F.col("k") + off) % F.col("m")).alias("kt"))
+            .join(mem.select("g", F.col("k").alias("kt"),
+                             F.col("id").alias("dst")), ["g", "kt"])
+            .select("src", "dst")
+        )
+        cyc = part if cyc is None else cyc.union(part)
+    tre = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(
+            F.col("doc_id").alias("src"),
+            (F.expr("doc_id div 15") * 15
+             + F.expr("CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 10 "
+                      "ELSE 5 END")).cast("long").alias("dst"),
+        )
+        .join(mem.select(F.col("id").alias("dst")), "dst", "left_semi")
+    )
+    return scc_census(cyc.union(tre.select("src", "dst")))
+
+
+SQL_SCC_CENSUS = """
+WITH RECURSIVE
+mem AS (SELECT doc_id AS id, doc_id % 3 AS g,
+               ROW_NUMBER() OVER (PARTITION BY doc_id % 3
+                                  ORDER BY doc_id) - 1 AS k
+        FROM documents WHERE doc_id % 5 = 0),
+msz AS (SELECT g, COUNT(*) AS m FROM mem GROUP BY g),
+offs AS (SELECT unnest([1, 4, 16]) AS off),
+cyc AS (SELECT a.id AS src, b.id AS dst
+        FROM mem a, offs o, msz s, mem b
+        WHERE s.g = a.g AND b.g = a.g AND b.k = (a.k + o.off) % s.m),
+tre AS (SELECT doc_id AS src,
+               (doc_id // 15) * 15
+               + CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 10
+                 ELSE 5 END AS dst
+        FROM documents
+        WHERE doc_id % 5 <> 0),
+edges AS (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM cyc
+            UNION ALL
+            SELECT src, dst FROM tre
+            WHERE dst IN (SELECT id FROM mem))),
+reach AS (SELECT src AS a, dst AS b FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst AS node FROM edges),
+mutual AS (SELECT r1.a AS v, r1.b AS u
+           FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+lab AS (SELECT n.node,
+               CAST(LEAST(n.node, COALESCE(MIN(m.u), n.node)) AS BIGINT)
+                 AS scc_label
+        FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+        GROUP BY n.node),
+sz AS (SELECT scc_label, CAST(COUNT(*) AS BIGINT) AS scc_size
+       FROM lab GROUP BY scc_label)
+SELECT l.node, l.scc_label, s.scc_size
+FROM lab l JOIN sz s USING (scc_label)
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -16823,6 +16908,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sitemap_render": q_sitemap_render,
     "q_ngram_novelty": q_ngram_novelty,
     "q_release_manifest": q_release_manifest,
+    "q_scc_census": q_scc_census,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -17157,6 +17243,7 @@ ORACLES: dict[str, str] = {
     "q_sitemap_render": SQL_SITEMAP_RENDER,
     "q_ngram_novelty": SQL_NGRAM_NOVELTY,
     "q_release_manifest": SQL_RELEASE_MANIFEST,
+    "q_scc_census": SQL_SCC_CENSUS,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
