@@ -147,3 +147,41 @@ def parse_robots_txt(
         F.col("_r.crawl_delay").alias("crawl_delay"),
         F.col("_r.sitemap_urls").alias("sitemap_urls"),
     )
+
+
+def render_robots_txt(
+    policy: DataFrame,
+    host_col: str = "host",
+    agent: str = "*",
+) -> DataFrame:
+    """Render canonical robots.txt bodies from a policy table —
+    the inverse of :func:`parse_robots_txt`, completing the
+    parse/render symmetry the sitemap and WARC planes already have
+    (sources/sitemap.render_sitemaps, sources/warc.render_warc).  A
+    crawl operator publishes its OWN robots.txt for mirror endpoints,
+    and round-tripping (``parse(render(p)) == p``, pinned in pytest)
+    is the cheapest full-coverage proof both directions are faithful.
+
+    Canonical form: one ``User-agent`` group with Allow lines first
+    (input order), then Disallow, then ``Crawl-delay`` when set, then
+    global ``Sitemap`` lines; LF separators, no trailing newline.
+    Pure codegen projection — zero Exchange, zero Python."""
+    def lines(prefix: str, arr: str):
+        return F.transform(F.col(arr), lambda r: F.concat(
+            F.lit(prefix + ": "), r))
+
+    body = F.concat_ws(
+        "\n",
+        F.flatten(F.array(
+            F.array(F.lit("User-agent: " + agent)),
+            lines("Allow", "allow"),
+            lines("Disallow", "disallow"),
+            F.when(F.col("crawl_delay").isNotNull(),
+                   F.array(F.concat(F.lit("Crawl-delay: "),
+                                    F.col("crawl_delay").cast("string"))))
+            .otherwise(F.array().cast("array<string>")),
+            lines("Sitemap", "sitemap_urls"),
+        )),
+    )
+    return policy.select(F.col(host_col).alias("host"),
+                         body.alias("robots_txt"))

@@ -12676,6 +12676,69 @@ FROM lab l JOIN sz s USING (scc_label)
 """
 
 
+def q_robots_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical robots.txt rendering (operators/robots.
+    render_robots_txt) from a closed-form per-host policy — the
+    parse/render symmetry completion (pytest additionally pins the
+    full round-trip parse(render(p)) == p through the REAL parser).
+    Lanes: empty and multi-entry rule arrays, NULL vs set
+    crawl-delay, multi-sitemap hosts."""
+    from biothings_crawler_spark.operators.robots import render_robots_txt
+
+    d = _t(spark, sf_dir, "documents")
+    policy = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit("-"), F.col("doc_id").cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        F.when(F.col("doc_id") % 3 != 0,
+               F.array(F.lit("/pub/"), F.lit("/data/")))
+        .otherwise(F.array().cast("array<string>")).alias("allow"),
+        F.when(F.col("doc_id") % 2 == 0, F.array(F.lit("/private/")))
+        .otherwise(F.array(F.lit("/tmp/"),
+                           F.lit("/cgi/"))).alias("disallow"),
+        F.when(F.col("doc_id") % 4 == 0,
+               (1 + F.col("doc_id") % 9).cast("long"))
+        .otherwise(F.lit(None).cast("long")).alias("crawl_delay"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.array(F.concat(F.lit("https://s"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("/sm-0.xml")),
+                       F.concat(F.lit("https://s"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("/sm-1.xml"))))
+        .otherwise(F.array().cast("array<string>")).alias("sitemap_urls"),
+    )
+    return render_robots_txt(policy)
+
+
+SQL_ROBOTS_RENDER = """
+WITH p AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 7 AS VARCHAR) || '-'
+         || CAST(doc_id AS VARCHAR) || '.example.org' AS host,
+         CASE WHEN doc_id % 3 <> 0
+              THEN ['Allow: /pub/', 'Allow: /data/']
+              ELSE [] END AS al,
+         CASE WHEN doc_id % 2 = 0 THEN ['Disallow: /private/']
+              ELSE ['Disallow: /tmp/', 'Disallow: /cgi/'] END AS dis,
+         CASE WHEN doc_id % 4 = 0
+              THEN ['Crawl-delay: ' || CAST(1 + doc_id % 9 AS VARCHAR)]
+              ELSE [] END AS cd,
+         CASE WHEN doc_id % 5 = 0
+              THEN ['Sitemap: https://s' || CAST(doc_id AS VARCHAR)
+                    || '/sm-0.xml',
+                    'Sitemap: https://s' || CAST(doc_id AS VARCHAR)
+                    || '/sm-1.xml']
+              ELSE [] END AS sm
+  FROM documents WHERE doc_id % 25 = 0)
+SELECT host,
+       array_to_string(
+         flatten([['User-agent: *'], al, dis, cd, sm]), chr(10))
+         AS robots_txt
+FROM p
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -16909,6 +16972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ngram_novelty": q_ngram_novelty,
     "q_release_manifest": q_release_manifest,
     "q_scc_census": q_scc_census,
+    "q_robots_render": q_robots_render,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -17244,6 +17308,7 @@ ORACLES: dict[str, str] = {
     "q_ngram_novelty": SQL_NGRAM_NOVELTY,
     "q_release_manifest": SQL_RELEASE_MANIFEST,
     "q_scc_census": SQL_SCC_CENSUS,
+    "q_robots_render": SQL_ROBOTS_RENDER,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
