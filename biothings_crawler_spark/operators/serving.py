@@ -404,3 +404,56 @@ def proximity_topk(
         .orderBy(F.desc("prox"), F.asc("id"))
         .limit(k)
     )
+
+
+def calibration_report(
+    scored: DataFrame,
+    score_col: str = "score_ppm",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error for a quality
+    classifier's scores — the admission gate's audit (a corpus filter
+    that keeps docs with score >= tau implicitly trusts the score as a
+    probability; ECE is the standard measure of whether it is one,
+    Naeini et al. AAAI 2015).
+
+    Scores are ppm integers in [0, 10^6]; equal-width bins by
+    ``score * n_bins div (10^6 + 1)``.  Per bin: count, exact integer
+    mean score (ppm, floor), empirical positive rate (ppm, floor), and
+    the absolute gap.  One extra ``bin = -1`` row carries the ECE:
+    ``sum(n_b * gap_b) div N`` — the count-weighted mean gap, exact.
+
+    Scale shape: ONE hash agg to the bounded bin table, a 1-row
+    broadcast total, arithmetic in decimal(38,0) where products can
+    exceed int64.  No windows, no sort."""
+    b = scored.select(
+        F.col(score_col).cast("long").alias("s"),
+        F.col(label_col).cast("long").alias("y"),
+    ).withColumn("bin", F.expr(f"s * {int(n_bins)} div 1000001")
+                 .cast("long"))
+    bins = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("decimal(38,0)").alias("_ss"),
+        F.sum("y").cast("long").alias("_pos"),
+    ).selectExpr(
+        "bin", "n",
+        "CAST(_ss div n AS BIGINT) AS mean_score_ppm",
+        "CAST(_pos * 1000000 div n AS BIGINT) AS emp_ppm",
+    ).withColumn(
+        "gap_ppm",
+        F.abs(F.col("mean_score_ppm") - F.col("emp_ppm")).cast("long"),
+    )
+    tot = bins.agg(
+        F.sum("n").cast("decimal(38,0)").alias("_n"),
+        F.sum(F.col("n").cast("decimal(38,0)")
+              * F.col("gap_ppm")).alias("_w"),
+    ).selectExpr(
+        "CAST(-1 AS BIGINT) AS bin",
+        "CAST(_n AS BIGINT) AS n",
+        "CAST(NULL AS BIGINT) AS mean_score_ppm",
+        "CAST(NULL AS BIGINT) AS emp_ppm",
+        "CAST(_w div _n AS BIGINT) AS gap_ppm",
+    )
+    return bins.select("bin", "n", "mean_score_ppm", "emp_ppm",
+                       "gap_ppm").unionByName(tot)

@@ -12739,6 +12739,59 @@ FROM p
 """
 
 
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score calibration audit (operators/serving.
+    calibration_report): reliability bins + exact-integer ECE.  The
+    fixture plants a classifier that is systematically OVERCONFIDENT
+    (empirical positive rate = half the score), so bins show a growing
+    gap and ECE is provably nonzero; labels derive from a hash coin so
+    both engines replay them exactly."""
+    from biothings_crawler_spark.operators.serving import calibration_report
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        ((F.col("doc_id") * 37 % 101) * 10000).cast("long")
+        .alias("score_ppm"),
+        F.when(
+            F.conv(F.substring(F.md5(F.concat(
+                F.lit("cal:"), F.col("doc_id").cast("string"))), 1, 8),
+                16, 10).cast("long") % 1000000
+            < (F.col("doc_id") * 37 % 101) * 5000,
+            F.lit(1)).otherwise(F.lit(0)).cast("long").alias("label"),
+    )
+    return calibration_report(scored)
+
+
+SQL_CALIBRATION = """
+WITH scored AS (
+  SELECT (doc_id * 37 % 101) * 10000 AS s,
+         CASE WHEN CAST(('0x' || substr(md5('cal:'
+                  || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+                  < (doc_id * 37 % 101) * 5000
+              THEN 1 ELSE 0 END AS y
+  FROM documents),
+b AS (SELECT s * 10 // 1000001 AS bin, s, y FROM scored),
+bins AS (
+  SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(s) // COUNT(*) AS BIGINT) AS mean_score_ppm,
+         CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS emp_ppm
+  FROM b GROUP BY bin),
+g AS (SELECT bin, n, mean_score_ppm, emp_ppm,
+             CAST(ABS(mean_score_ppm - emp_ppm) AS BIGINT) AS gap_ppm
+      FROM bins),
+tot AS (
+  SELECT CAST(-1 AS BIGINT) AS bin, CAST(SUM(n) AS BIGINT) AS n,
+         CAST(NULL AS BIGINT) AS mean_score_ppm,
+         CAST(NULL AS BIGINT) AS emp_ppm,
+         CAST(SUM(CAST(n AS HUGEINT) * gap_ppm) // SUM(n) AS BIGINT)
+           AS gap_ppm
+  FROM g)
+SELECT bin, n, mean_score_ppm, emp_ppm, gap_ppm FROM g
+UNION ALL
+SELECT bin, n, mean_score_ppm, emp_ppm, gap_ppm FROM tot
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -16973,6 +17026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_release_manifest": q_release_manifest,
     "q_scc_census": q_scc_census,
     "q_robots_render": q_robots_render,
+    "q_calibration": q_calibration,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -17309,6 +17363,7 @@ ORACLES: dict[str, str] = {
     "q_release_manifest": SQL_RELEASE_MANIFEST,
     "q_scc_census": SQL_SCC_CENSUS,
     "q_robots_render": SQL_ROBOTS_RENDER,
+    "q_calibration": SQL_CALIBRATION,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

@@ -1,0 +1,36 @@
+
+
+def test_calibration_perfectly_calibrated_bin(spark):
+    from biothings_crawler_spark.operators.serving import calibration_report
+
+    # 4 rows at score 500000, half positive -> gap 0; ECE 0
+    rows = [(500_000, 1), (500_000, 0), (500_000, 1), (500_000, 0)]
+    df = spark.createDataFrame(rows, "score_ppm long, label long")
+    got = {r.bin: r for r in calibration_report(df).collect()}
+    # 500000*10 div 1000001 = 4: exact mid-score lands in bin 4
+    assert got[4].n == 4 and got[4].gap_ppm == 0
+    assert got[4].mean_score_ppm == 500_000 and got[4].emp_ppm == 500_000
+    assert got[-1].gap_ppm == 0 and got[-1].n == 4
+
+
+def test_calibration_overconfident_gap_and_weighted_ece(spark):
+    from biothings_crawler_spark.operators.serving import calibration_report
+
+    # bin 8: score 900000 (900000*10 div 1000001), 0/2 positive ->
+    # gap 900000 over 2 rows; bin 0: score 100000, 1/1 -> gap 900000
+    rows = [(900_000, 0), (900_000, 0), (100_000, 1)]
+    df = spark.createDataFrame(rows, "score_ppm long, label long")
+    got = {r.bin: r for r in calibration_report(df).collect()}
+    assert got[8].gap_ppm == 900_000
+    assert got[0].gap_ppm == 900_000
+    assert got[-1].gap_ppm == (2 * 900_000 + 1 * 900_000) // 3
+
+
+def test_calibration_bin_edges(spark):
+    from biothings_crawler_spark.operators.serving import calibration_report
+
+    # 10^6 lands in the top bin (div 1000001 keeps it at 9), 0 in bin 0
+    df = spark.createDataFrame([(0, 0), (1_000_000, 1)],
+                               "score_ppm long, label long")
+    got = {r.bin: r.n for r in calibration_report(df).collect()}
+    assert got[0] == 1 and got[9] == 1
