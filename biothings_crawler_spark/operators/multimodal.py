@@ -732,7 +732,10 @@ def gen_wav_media_seeded(ids: DataFrame) -> DataFrame:
     (seed%5)*160`` — same-seed media are the same signal at different
     gain, which the zero-crossing fingerprint must treat as identical
     (positive gain never moves a sign change) while the energy-envelope
-    fingerprint must not."""
+    fingerprint must not.  An optional ``glitch`` column negates every
+    5th sample of block 2 only — a localized dropout that perturbs one
+    fingerprint block, the planted near-match lane for the block-level
+    matcher."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -740,13 +743,18 @@ def gen_wav_media_seeded(ids: DataFrame) -> DataFrame:
 
         out_rows = {"media_id": [], "content": []}
         for pdf in batches:
-            for mid, seed, amp in zip(pdf["media_id"], pdf["seed"],
-                                      pdf["amp"]):
-                seed, amp = int(seed), int(amp)
+            glitches = (pdf["glitch"] if "glitch" in pdf.columns
+                        else [0] * len(pdf))
+            for mid, seed, amp, gl in zip(pdf["media_id"], pdf["seed"],
+                                          pdf["amp"], glitches):
+                seed, amp, gl = int(seed), int(amp), int(gl)
                 c = 1 + seed % 2
                 n = 800 + (seed % 5) * 160
                 idx = np.arange(n * c, dtype=np.int64)
                 samples = (((seed * 31 + idx * 7) % 2001) - 1000) * amp
+                if gl:
+                    hit = (idx // AUDIO_FP_BLOCK == 2) & (idx % 5 == 0)
+                    samples = np.where(hit, -samples, samples)
                 buf = io.BytesIO()
                 w = _wave.open(buf, "wb")
                 try:
@@ -1150,3 +1158,113 @@ def decode_gif_features(media: DataFrame) -> DataFrame:
                       "min_gray", "max_gray"), one, DECODE_ERR_CLASSES))
 
     return media.mapInPandas(run, GIF_FEATURES_SCHEMA)
+
+
+AUDIO_MATCH_WINDOW = 4
+
+
+def audio_block_fps(media: DataFrame) -> DataFrame:
+    """Per-window acoustic landmarks for clip matching (the Shazam-way
+    key design, Wang 2003: a match key must be LOCAL — so one dropout
+    only kills nearby keys — and DISCRIMINATIVE — so the candidate join
+    never degenerates): each key is the md5 of ``AUDIO_MATCH_WINDOW``
+    consecutive blocks' zero-crossing counts at an aligned window
+    index.  Gain-invariant (zc is), glitch-local (a corrupted block
+    kills at most WINDOW windows), and specific enough that unrelated
+    clips virtually never collide.
+
+    Rows: ``(media_id, widx, wfp, n_windows, decode_err)`` — one row
+    per window; undecodable clips yield ONE row with NULL landmark
+    fields and the error string (policy shared with every decoder)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import io
+        import wave as _wave
+
+        B, W = AUDIO_FP_BLOCK, AUDIO_MATCH_WINDOW
+
+        for pdf in batches:
+            out = {"media_id": [], "widx": [], "wfp": [],
+                   "n_windows": [], "decode_err": []}
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                mid = int(mid)
+                try:
+                    w = _wave.open(io.BytesIO(bytes(b)), "rb")
+                    try:
+                        if w.getsampwidth() != 2:
+                            raise NotImplementedError("16-bit PCM only")
+                        s = np.frombuffer(
+                            w.readframes(w.getnframes()), dtype="<i2"
+                        ).astype(np.int64)
+                    finally:
+                        w.close()
+                    m = len(s)
+                    n_blocks = (m + B - 1) // B
+                    if n_blocks < W:
+                        raise ValueError(
+                            f"clip shorter than {W} fingerprint blocks")
+                    blk = np.arange(m) // B
+                    cross = np.zeros(n_blocks, dtype=np.int64)
+                    if m > 1:
+                        x = (s[1:] * s[:-1] < 0).astype(np.int64)
+                        np.add.at(cross, blk[1:], x)
+                    nw = n_blocks - W + 1
+                    for i in range(nw):
+                        key = ",".join(str(int(v))
+                                       for v in cross[i:i + W])
+                        out["media_id"].append(mid)
+                        out["widx"].append(i)
+                        out["wfp"].append(
+                            hashlib.md5(key.encode()).hexdigest())
+                        out["n_windows"].append(nw)
+                        out["decode_err"].append(None)
+                except (ValueError, NotImplementedError, EOFError,
+                        _wave.Error) as e:
+                    out["media_id"].append(mid)
+                    out["widx"].append(None)
+                    out["wfp"].append(None)
+                    out["n_windows"].append(None)
+                    out["decode_err"].append(str(e) or type(e).__name__)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, "media_id long, widx long, wfp string, n_windows long, "
+             "decode_err string")
+
+
+def audio_match_pairs(fps: DataFrame,
+                      min_match_ppm: int = 500_000) -> DataFrame:
+    """Clip pairs whose ALIGNED landmark windows agree on at least
+    ``min_match_ppm`` of the shorter clip's windows: join on
+    ``(widx, wfp)`` — landmark rows carry only (id, widx, wfp), the
+    minhash-band discipline — count matches per pair, normalize by
+    ``least(n_windows)`` in exact ppm.  Output
+    ``(media_a, media_b, n_match, match_ppm)``."""
+    ok = fps.filter(F.col("decode_err").isNull()) \
+        .select("media_id", "widx", "wfp", "n_windows")
+    lm = ok.select("media_id", "widx", "wfp")
+    hits = (
+        lm.alias("l")
+        .join(lm.alias("r"),
+              [F.col("l.widx") == F.col("r.widx"),
+               F.col("l.wfp") == F.col("r.wfp"),
+               F.col("l.media_id") < F.col("r.media_id")])
+        .groupBy(F.col("l.media_id").alias("media_a"),
+                 F.col("r.media_id").alias("media_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_match"))
+    )
+    nw = ok.groupBy("media_id").agg(
+        F.first("n_windows").cast("long").alias("nw"))
+    return (
+        hits
+        .join(nw.select(F.col("media_id").alias("media_a"),
+                        F.col("nw").alias("nw_a")), "media_a")
+        .join(nw.select(F.col("media_id").alias("media_b"),
+                        F.col("nw").alias("nw_b")), "media_b")
+        .withColumn("match_ppm",
+                    F.expr("n_match * 1000000 div least(nw_a, nw_b)")
+                    .cast("long"))
+        .filter(F.col("match_ppm") >= min_match_ppm)
+        .select("media_a", "media_b", "n_match", "match_ppm")
+    )

@@ -12792,6 +12792,84 @@ SELECT bin, n, mean_score_ppm, emp_ppm, gap_ppm FROM tot
 """
 
 
+def q_audio_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio clip matching by aligned landmark windows
+    (operators/multimodal.audio_block_fps + audio_match_pairs, the
+    Wang-2003 local-key design over real WAV decode): 4-block
+    zero-crossing window md5s joined on (widx, wfp), match ratio in
+    exact ppm of the shorter clip.  Fixture quads share a seed — gain
+    variants must match fully (zc is gain-invariant), a block-2
+    dropout ('glitch') kills only the ≤3 windows touching that block
+    so long clips still clear the 50% gate while 1-window clips drop
+    — and the oracle recomputes every window hash from the closed-form
+    sample formula."""
+    from biothings_crawler_spark.operators.multimodal import (
+        audio_block_fps,
+        audio_match_pairs,
+        gen_wav_media_seeded,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") % 10 == 1).select(
+        F.col("doc_id").alias("media_id"),
+        F.expr("doc_id div 40").alias("seed"),
+        F.expr("1 + (((doc_id div 10) % 4) % 2) * 2").alias("amp"),
+        F.expr("((doc_id div 10) % 4) div 2").alias("glitch"),
+    )
+    return audio_match_pairs(audio_block_fps(gen_wav_media_seeded(ids)))
+
+
+SQL_AUDIO_MATCH = """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id // 40 AS seed,
+         1 + (((doc_id // 10) % 4) % 2) * 2 AS amp,
+         ((doc_id // 10) % 4) // 2 AS gl
+  FROM documents WHERE doc_id % 10 = 1),
+dims AS (SELECT media_id, seed, amp, gl, 1 + seed % 2 AS c,
+                800 + (seed % 5) * 160 AS n
+         FROM m),
+s AS (
+  SELECT media_id, CAST(r.j AS BIGINT) AS j,
+         CASE WHEN gl = 1 AND r.j // 240 = 2 AND r.j % 5 = 0
+              THEN -((((seed * 31 + r.j * 7) % 2001) - 1000) * amp)
+              ELSE (((seed * 31 + r.j * 7) % 2001) - 1000) * amp
+         END AS v
+  FROM dims, unnest(range(n * c)) AS r(j)),
+cr AS (
+  SELECT media_id, j, v,
+         CASE WHEN j > 0 AND v * lag(v) OVER
+                (PARTITION BY media_id ORDER BY j) < 0
+              THEN 1 ELSE 0 END AS x
+  FROM s),
+b AS (SELECT media_id, j // 240 AS blk, CAST(SUM(x) AS BIGINT) AS zc
+      FROM cr GROUP BY media_id, j // 240),
+nw AS (SELECT media_id, CAST(COUNT(*) - 3 AS BIGINT) AS nw
+       FROM b GROUP BY media_id),
+w AS (
+  SELECT b0.media_id, CAST(b0.blk AS BIGINT) AS widx,
+         md5(CAST(b0.zc AS VARCHAR) || ',' || CAST(b1.zc AS VARCHAR)
+             || ',' || CAST(b2.zc AS VARCHAR) || ','
+             || CAST(b3.zc AS VARCHAR)) AS wfp
+  FROM b b0
+  JOIN b b1 ON b1.media_id = b0.media_id AND b1.blk = b0.blk + 1
+  JOIN b b2 ON b2.media_id = b0.media_id AND b2.blk = b0.blk + 2
+  JOIN b b3 ON b3.media_id = b0.media_id AND b3.blk = b0.blk + 3),
+hits AS (
+  SELECT l.media_id AS media_a, r.media_id AS media_b,
+         CAST(COUNT(*) AS BIGINT) AS n_match
+  FROM w l JOIN w r
+    ON l.widx = r.widx AND l.wfp = r.wfp AND l.media_id < r.media_id
+  GROUP BY 1, 2)
+SELECT h.media_a, h.media_b, h.n_match,
+       CAST(h.n_match * 1000000 // LEAST(a.nw, b2.nw) AS BIGINT)
+         AS match_ppm
+FROM hits h
+JOIN nw a ON a.media_id = h.media_a
+JOIN nw b2 ON b2.media_id = h.media_b
+WHERE h.n_match * 1000000 // LEAST(a.nw, b2.nw) >= 500000
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -17027,6 +17105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scc_census": q_scc_census,
     "q_robots_render": q_robots_render,
     "q_calibration": q_calibration,
+    "q_audio_match": q_audio_match,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -17364,6 +17443,7 @@ ORACLES: dict[str, str] = {
     "q_scc_census": SQL_SCC_CENSUS,
     "q_robots_render": SQL_ROBOTS_RENDER,
     "q_calibration": SQL_CALIBRATION,
+    "q_audio_match": SQL_AUDIO_MATCH,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

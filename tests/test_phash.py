@@ -169,3 +169,71 @@ def test_neardup_decode_err_rows_never_pair(spark):
     pairs = {(r.media_a, r.media_b) for r in
              phash_neardup_pairs(decode_png_phash(png)).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_audio_match_gain_invariant_and_glitch_local(spark):
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.multimodal import (
+        audio_block_fps,
+        audio_match_pairs,
+        gen_wav_media_seeded,
+    )
+
+    # seed 9: n = 800 + 4*160 = 1440, c = 2 -> 2880 samples -> 12
+    # blocks -> 9 windows; glitch kills <= 3 of them
+    ids = spark.createDataFrame(
+        [(1, 9, 1, 0), (2, 9, 3, 0), (3, 9, 1, 1), (4, 123, 1, 0)],
+        "media_id long, seed long, amp long, glitch long")
+    fps = audio_block_fps(gen_wav_media_seeded(ids))
+    pairs = {(r.media_a, r.media_b): (r.n_match, r.match_ppm)
+             for r in audio_match_pairs(fps).collect()}
+    assert pairs[(1, 2)] == (9, 10**6)          # pure gain: full match
+    n3, ppm3 = pairs[(1, 3)]
+    assert 6 <= n3 < 9 and 500_000 <= ppm3 < 10**6
+    assert pairs[(1, 3)] == pairs[(2, 3)]       # gain doesn't interact
+    assert not any(4 in p for p in pairs)       # unrelated seed
+
+    # corrupt clip: one decode_err row, never pairs
+    wav = gen_wav_media_seeded(ids).withColumn(
+        "content",
+        F.when(F.col("media_id") == 4,
+               F.lit(b"RIFFjunk")).otherwise(F.col("content")))
+    out = audio_block_fps(wav)
+    errs = out.filter(F.col("decode_err").isNotNull()).collect()
+    assert len(errs) == 1 and errs[0].media_id == 4
+    pairs2 = {(r.media_a, r.media_b)
+              for r in audio_match_pairs(out).collect()}
+    assert pairs2 == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_audio_match_short_clip_raises_into_err_lane(spark):
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.multimodal import (
+        audio_block_fps,
+        gen_wav_media_seeded,
+    )
+
+    # seed 0, c=1, n=800 -> 4 blocks = exactly W: 1 window, fine;
+    # truncate the payload to < 4 blocks to hit the short-clip error
+    ids = spark.createDataFrame([(1, 0, 1, 0)],
+                                "media_id long, seed long, amp long, "
+                                "glitch long")
+    wav = gen_wav_media_seeded(ids)
+    ok = audio_block_fps(wav).collect()
+    assert all(r.decode_err is None for r in ok) and len(ok) == 1
+    import io
+    import wave as _wave
+
+    buf = io.BytesIO()
+    w = _wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(8000)
+    w.writeframes(b"\x00\x01" * 100)   # 100 samples < 4 blocks
+    w.close()
+    short = spark.createDataFrame([(9, bytearray(buf.getvalue()))],
+                                  "media_id long, content binary")
+    rows = audio_block_fps(short).collect()
+    assert len(rows) == 1 and "shorter than" in rows[0].decode_err
