@@ -12613,7 +12613,7 @@ def q_scc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     msz = mem.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("m"))
     mm = mem.join(msz, "g")
     cyc = None
-    for off in (1, 4, 16):
+    for off in (1, 4, 16, 64, 256):
         part = (
             mm.select("g", F.col("id").alias("src"),
                       ((F.col("k") + off) % F.col("m")).alias("kt"))
@@ -12632,7 +12632,7 @@ def q_scc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(mem.select(F.col("id").alias("dst")), "dst", "left_semi")
     )
-    return scc_census(cyc.union(tre.select("src", "dst")))
+    return scc_census(cyc.union(tre.select("src", "dst")), max_hops=64)
 
 
 SQL_SCC_CENSUS = """
@@ -12642,7 +12642,7 @@ mem AS (SELECT doc_id AS id, doc_id % 3 AS g,
                                   ORDER BY doc_id) - 1 AS k
         FROM documents WHERE doc_id % 5 = 0),
 msz AS (SELECT g, COUNT(*) AS m FROM mem GROUP BY g),
-offs AS (SELECT unnest([1, 4, 16]) AS off),
+offs AS (SELECT unnest([1, 4, 16, 64, 256]) AS off),
 cyc AS (SELECT a.id AS src, b.id AS dst
         FROM mem a, offs o, msz s, mem b
         WHERE s.g = a.g AND b.g = a.g AND b.k = (a.k + o.off) % s.m),
