@@ -52,6 +52,20 @@ EXTRACT_REPLICAS = int(os.environ.get("SPARK_GRAFT_EXTRACT_REPLICAS", "16"))
 # operator-suite queries worth timing at sf0.1 (brute-force pair ops
 # excluded: they are oracle-scale verifiers, not the 10^10 path)
 SUITE = [
+    # round-5 session-4 additions (media matching, new source formats,
+    # compliance, retrieval, release integrity)
+    "q_image_neardup",
+    "q_pdf_text",
+    "q_license_detect",
+    "q_epoch_alloc",
+    "q_proximity_topk",
+    "q_exif_extract",
+    "q_sitemap_render",
+    "q_ngram_novelty",
+    "q_release_manifest",
+    "q_robots_render",
+    "q_calibration",
+    "q_audio_match",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",
