@@ -3860,6 +3860,67 @@ ORDER BY score DESC, id LIMIT 20
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 hard-negative mining for retrieval training pairs (the
+    DPR/Karpukhin recipe: the strongest negatives are top-ranked
+    lexical hits that are NOT judged positive): exact-integer BM25
+    scores, judged positives anti-joined out (broadcast — judgment
+    sets are small by construction), top-20 survivors ranked.  The
+    final rank window runs over the 20-row TakeOrdered result, never
+    the corpus.  Oracle shares the BM25 kernel chain + the same
+    anti-join and QUALIFY."""
+    from pyspark.sql import Window
+
+    from biothings_crawler_spark.operators.bm25 import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    pos = d.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("id"))
+    negs = (
+        bm25_scores(d, "doc_id", "text", BM25_QUERY)
+        .join(F.broadcast(pos), "id", "left_anti")
+        .orderBy(F.desc("score"), "id")
+        .limit(20)
+    )
+    w = Window.orderBy(F.desc("score"), "id")
+    return negs.withColumn(
+        "neg_rank", F.row_number().over(w).cast("long")
+    ).select("id", "score", "neg_rank")
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH docs AS (SELECT doc_id AS id, {{words}} AS words FROM documents),
+lens AS (SELECT id, CAST(len(words) AS BIGINT) AS dl FROM docs),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS w_total FROM lens),
+tf AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT id, unnest(words) AS term FROM docs)
+  WHERE term IN ({{terms}})
+  GROUP BY id, term),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.id,
+         ((2 * t.n_docs - 2 * d.df + 1) * 1000000 // (2 * d.df + 1))
+           * 44 * tf.tf * t.w_total
+           // (20 * tf.tf * t.w_total + 6 * t.w_total + 18 * l.dl * t.n_docs)
+           AS term_score
+  FROM tf JOIN dfq d USING (term) JOIN lens l ON l.id = tf.id
+  CROSS JOIN tot t),
+scores AS (SELECT id, CAST(SUM(term_score) AS BIGINT) AS score
+           FROM sc GROUP BY id),
+negs AS (SELECT id, score FROM scores WHERE id % 17 <> 0
+         ORDER BY score DESC, id LIMIT 20)
+SELECT id, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS BIGINT)
+         AS neg_rank
+FROM negs
+""".format(
+    words=_SQL_WORDS,
+    terms=", ".join("'" + t + "'" for t in BM25_QUERY),
+)
+
+
 BLOCKLIST_MIN_QUALITY = 0.8
 
 
@@ -17106,6 +17167,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_robots_render": q_robots_render,
     "q_calibration": q_calibration,
     "q_audio_match": q_audio_match,
+    "q_hard_negatives": q_hard_negatives,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -17444,6 +17506,7 @@ ORACLES: dict[str, str] = {
     "q_robots_render": SQL_ROBOTS_RENDER,
     "q_calibration": SQL_CALIBRATION,
     "q_audio_match": SQL_AUDIO_MATCH,
+    "q_hard_negatives": SQL_HARD_NEGATIVES,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

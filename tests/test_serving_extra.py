@@ -34,3 +34,28 @@ def test_calibration_bin_edges(spark):
                                "score_ppm long, label long")
     got = {r.bin: r.n for r in calibration_report(df).collect()}
     assert got[0] == 1 and got[9] == 1
+
+
+def test_hard_negatives_exclude_positives_and_rank(spark):
+    """Mined negatives are exactly the top-scored non-positives, in
+    rank order."""
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.bm25 import bm25_scores
+
+    rows = [
+        (1, "data data data table spark"),   # strong hit, positive
+        (2, "data table spark extra pad"),   # strong hit, negative
+        (3, "data only here"),               # weak hit, negative
+        (4, "nothing relevant at all"),      # no hit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = df.filter(F.col("doc_id") == 1).select(
+        F.col("doc_id").alias("id"))
+    scored = bm25_scores(df, "doc_id", "text",
+                         ["data", "table", "spark"])
+    negs = (scored.join(F.broadcast(pos), "id", "left_anti")
+            .orderBy(F.desc("score"), "id").limit(10).collect())
+    ids = [r.id for r in negs]
+    assert 1 not in ids
+    assert ids[0] == 2 and 3 in ids
