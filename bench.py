@@ -441,6 +441,43 @@ def training_pipeline_job(spark: SparkSession, pages) -> dict:
     return {"survivors": n_surv, "packed": n_packed}
 
 
+def release_pipeline_job(spark: SparkSession, pages) -> dict:
+    """The composed crawl-output-to-PUBLISHED-RELEASE pipeline over
+    the session-4 operators: html->text -> license admission gate
+    (permissive or unknown-with-no-copyleft policy: here keep
+    permissive + unknown) -> exact dedup -> corpus trigram novelty
+    (drop fully-boilerplate docs, novelty 0 with >= 8 grams) ->
+    Merkle release manifest.  Same one-materialization discipline as
+    the other composed jobs; the manifest is the artifact a consumer
+    verifies bucket-by-bucket."""
+    from biothings_crawler_spark.operators.dedup import exact_dedup
+    from biothings_crawler_spark.operators.extract import html_to_text_col
+    from biothings_crawler_spark.operators.license import detect_licenses
+    from biothings_crawler_spark.operators.manifest import release_manifest
+    from biothings_crawler_spark.operators.text import ngram_novelty
+
+    txt = pages.select(
+        "id", html_to_text_col(F.col("html")).alias("text"))
+    lic = detect_licenses(txt)
+    admitted = lic.filter(
+        (F.col("permissive") == 1) | (F.col("license") == "unknown"))
+    d2 = admitted.join(
+        exact_dedup(admitted, "id", "text").select("id"),
+        "id", "left_semi").persist()
+    n_admitted = d2.count()
+    nov = ngram_novelty(d2, "id", "text")
+    keep = d2.join(
+        nov.filter((F.col("novelty_ppm") > 0) | (F.col("n_grams") < 8))
+        .select(F.col("id")), "id", "left_semi")
+    manifest = release_manifest(keep, "id", "text", n_buckets=64)
+    rows = manifest.collect()
+    d2.unpersist()
+    root = [r for r in rows if r.bucket == -1]
+    return {"admitted": n_admitted,
+            "released": int(root[0].n_docs) if root else 0,
+            "buckets": len(rows) - 1}
+
+
 def extract_input(spark: SparkSession, sf_dir: str):
     """ld+json pages synthesized from documents — materialized outside
     the timed window (see crawl_sched_input)."""
@@ -542,6 +579,16 @@ def main() -> None:
     counts["archive_pipeline_pages"] = ap_counts["pages"]
     counts["archive_pipeline_cdx_rows"] = ap_counts["cdx_rows"]
     assert ap_counts["pages"] == n_mega_pages, "archive roundtrip lost pages"
+
+    # the license->dedup->novelty->manifest release tail (best-of-2)
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        rp_counts = release_pipeline_job(spark, mega_pages)
+        best = min(best or 1e9, time.time() - t0)
+    timings["release_pipeline"] = round(best, 3)
+    counts["release_pipeline_released"] = rp_counts["released"]
+    counts["release_pipeline_buckets"] = rp_counts["buckets"]
     mega_pages.unpersist()
 
     for name in SUITE:
