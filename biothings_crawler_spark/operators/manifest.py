@@ -65,3 +65,26 @@ def release_manifest(
         )).alias("digest"),
     ).select(F.lit(-1).cast("long").alias("bucket"), "n_docs", "digest")
     return buckets.select("bucket", "n_docs", "digest").unionByName(root)
+
+
+def manifest_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Compare two release manifests (same n_buckets): rows only for
+    buckets whose digest differs — the localization step of the
+    verification workflow (a consumer re-scans ONLY these buckets,
+    never the release).  Root rows (bucket = -1) participate like any
+    bucket, so 'anything changed at all' is the presence of the -1
+    row.  Full-outer on the bounded bucket key; NULL digest means the
+    bucket exists on one side only."""
+    aa = a.select(
+        F.col("bucket"), F.col("n_docs").alias("n_docs_a"),
+        F.col("digest").alias("digest_a"))
+    bb = b.select(
+        F.col("bucket"), F.col("n_docs").alias("n_docs_b"),
+        F.col("digest").alias("digest_b"))
+    return (
+        aa.join(bb, "bucket", "full_outer")
+        .filter(
+            F.col("digest_a").isNull() | F.col("digest_b").isNull()
+            | (F.col("digest_a") != F.col("digest_b")))
+        .select("bucket", "n_docs_a", "n_docs_b", "digest_a", "digest_b")
+    )

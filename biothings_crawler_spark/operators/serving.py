@@ -357,50 +357,59 @@ def proximity_topk(
     pair score zero and drop.  (id, prox) top-k by (prox desc, id).
 
     Scale shape: min-distance is computed ROW-LOCAL from the words
-    array with a nested integer fold — positions of each query term
-    via one filtered index sequence, pairwise |i-j| min via
-    F.aggregate — so the corpus never rides a positional self-join
-    shuffle (the phrase_matches adjacency join is only economical for
-    exact phrases; proximity wants all O(tf_a*tf_b) gaps, which stay
-    per-row here).  The only Exchange is the final TakeOrdered top-k."""
+    array — per-term position arrays via ONE index-carrying transform
+    each, pairwise |i-j| min via a nested integer fold — so the corpus
+    never rides a positional self-join shuffle (the phrase_matches
+    adjacency join is only economical for exact phrases; proximity
+    wants all O(tf_a*tf_b) gaps, which stay per-row).  The stages are
+    separate SELECT projections, not a withColumn chain: Catalyst
+    collapses chained projections and re-inlines each array expression
+    at every use site, which measured 54 s -> 1.5 s at sf0.1 when
+    staged (the q_topic_chunks bind_col lesson, projection-boundary
+    form).  The only Exchange is the final TakeOrdered top-k."""
     if len(terms) < 2:
         raise ValueError("proximity needs at least two query terms")
     base = df.select(
         F.col(id_col).alias("id"),
         words_col(F.col(text_col)).alias("words"),
     )
-    n = F.size("words")
-    big = F.lit(1 << 40).cast("long")
 
     def positions(t: str) -> Column:
-        return F.when(
-            n > 0,
-            F.filter(F.sequence(F.lit(1), n),
-                     lambda j: F.element_at("words", j) == F.lit(t)),
-        ).otherwise(F.array().cast("array<int>"))
+        return F.filter(
+            F.transform(
+                F.col("words"),
+                lambda w, i: F.when(w == F.lit(t), i + 1)
+                .otherwise(F.lit(-1)),
+            ),
+            lambda x: x >= 0,
+        )
 
-    cur = base
-    contribs = []
-    for i, (a, b) in enumerate(zip(terms, terms[1:])):
-        pa, pb = f"_pa{i}", f"_md{i}"
-        cur = cur.withColumn(pa, positions(a)).withColumn(
-            f"_pb{i}", positions(b))
-        md = F.aggregate(
+    uniq = list(dict.fromkeys(terms))
+    pos = base.select(
+        "id", *[positions(t).alias(f"_p{j}") for j, t in enumerate(uniq)])
+    idx = {t: f"_p{j}" for j, t in enumerate(uniq)}
+    big = F.lit(1 << 40).cast("long")
+
+    def min_dist(pa: str, pb: str) -> Column:
+        return F.aggregate(
             F.col(pa), big,
             lambda acc, x: F.least(acc, F.aggregate(
-                F.col(f"_pb{i}"), big,
-                lambda acc2, y: F.least(acc2,
-                                        F.abs(x.cast("long") - y)))),
+                F.col(pb), big,
+                lambda a2, y: F.least(
+                    a2, F.abs(x.cast("long") - y.cast("long"))))),
         )
-        cur = cur.withColumn(pb, md)
-        contribs.append(
-            f"CASE WHEN size(_pa{i}) > 0 AND size(_pb{i}) > 0 "
-            f"THEN 1000000 div (_md{i} * _md{i}) ELSE 0L END")
-    cur = cur.withColumn(
-        "prox", F.expr(" + ".join(contribs)).cast("long"))
+
+    mds = pos.select("id", *[
+        F.when((F.size(idx[a]) > 0) & (F.size(idx[b]) > 0),
+               min_dist(idx[a], idx[b])).alias(f"_md{i}")
+        for i, (a, b) in enumerate(zip(terms, terms[1:]))
+    ])
+    prox = " + ".join(
+        f"coalesce(1000000 div (_md{i} * _md{i}), 0L)"
+        for i in range(len(terms) - 1))
     return (
-        cur.filter(F.col("prox") > 0)
-        .select("id", "prox")
+        mds.selectExpr("id", f"CAST({prox} AS BIGINT) AS prox")
+        .filter(F.col("prox") > 0)
         .orderBy(F.desc("prox"), F.asc("id"))
         .limit(k)
     )
