@@ -12931,6 +12931,71 @@ WHERE h.n_match * 1000000 // LEAST(a.nw, b2.nw) >= 500000
 """
 
 
+def q_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-manifest diff (operators/manifest.manifest_diff): two
+    manifests of the same corpus where release B tampers with
+    doc_id % 97 == 13 rows — the diff must localize to exactly the
+    tampered buckets plus the root row, and every untouched bucket
+    must vanish from the output.  Oracle rebuilds both manifests and
+    the same digest-inequality filter in SQL."""
+    from biothings_crawler_spark.operators.manifest import (
+        manifest_diff,
+        release_manifest,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    a = release_manifest(d, "doc_id", "text", n_buckets=32)
+    tampered = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 97 == 13,
+               F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit("!")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    b = release_manifest(tampered, "doc_id", "text", n_buckets=32)
+    return manifest_diff(a, b)
+
+
+SQL_MANIFEST_DIFF = """
+WITH leaves_a AS (
+  SELECT doc_id AS id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 32 AS bucket,
+         md5(CAST(doc_id AS VARCHAR) || ':' || md5(coalesce(text, '')))
+           AS leaf
+  FROM documents),
+leaves_b AS (
+  SELECT doc_id AS id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 32 AS bucket,
+         md5(CAST(doc_id AS VARCHAR) || ':'
+             || md5(CASE WHEN doc_id % 97 = 13
+                         THEN coalesce(text, '') || '!'
+                         ELSE coalesce(text, '') END)) AS leaf
+  FROM documents),
+ba AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              md5(string_agg(leaf, '' ORDER BY id)) AS digest
+       FROM leaves_a GROUP BY bucket),
+bb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              md5(string_agg(leaf, '' ORDER BY id)) AS digest
+       FROM leaves_b GROUP BY bucket),
+ra AS (SELECT CAST(-1 AS BIGINT) AS bucket,
+              CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+              md5(string_agg(digest, '' ORDER BY bucket)) AS digest
+       FROM ba),
+rb AS (SELECT CAST(-1 AS BIGINT) AS bucket,
+              CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+              md5(string_agg(digest, '' ORDER BY bucket)) AS digest
+       FROM bb),
+ma AS (SELECT * FROM ba UNION ALL SELECT * FROM ra),
+mb AS (SELECT * FROM bb UNION ALL SELECT * FROM rb)
+SELECT COALESCE(ma.bucket, mb.bucket) AS bucket,
+       ma.n_docs AS n_docs_a, mb.n_docs AS n_docs_b,
+       ma.digest AS digest_a, mb.digest AS digest_b
+FROM ma FULL OUTER JOIN mb ON ma.bucket = mb.bucket
+WHERE ma.digest IS NULL OR mb.digest IS NULL OR ma.digest <> mb.digest
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -17168,6 +17233,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_calibration": q_calibration,
     "q_audio_match": q_audio_match,
     "q_hard_negatives": q_hard_negatives,
+    "q_manifest_diff": q_manifest_diff,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -17507,6 +17573,7 @@ ORACLES: dict[str, str] = {
     "q_calibration": SQL_CALIBRATION,
     "q_audio_match": SQL_AUDIO_MATCH,
     "q_hard_negatives": SQL_HARD_NEGATIVES,
+    "q_manifest_diff": SQL_MANIFEST_DIFF,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

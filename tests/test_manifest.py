@@ -62,3 +62,36 @@ def test_null_payload_is_stable(spark):
     out = release_manifest(df, "doc_id", "text", 2).collect()
     assert all(r.digest for r in out)
     assert sum(r.n_docs for r in out if r.bucket >= 0) == 2
+
+
+def test_manifest_diff_localizes_and_is_empty_on_identical(spark):
+    from biothings_crawler_spark.operators.manifest import manifest_diff
+
+    rows = [(i, f"p{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = release_manifest(df, "doc_id", "text", 8)
+    assert manifest_diff(a, a).count() == 0
+
+    rows[11] = (11, "CHANGED")
+    df2 = spark.createDataFrame(rows, "doc_id long, text string")
+    b = release_manifest(df2, "doc_id", "text", 8)
+    got = {r.bucket: r for r in manifest_diff(a, b).collect()}
+    assert set(got) == {_bucket(11, 8), -1}
+    ch = got[_bucket(11, 8)]
+    assert ch.n_docs_a == ch.n_docs_b and ch.digest_a != ch.digest_b
+
+
+def test_manifest_diff_one_sided_bucket(spark):
+    from biothings_crawler_spark.operators.manifest import manifest_diff
+
+    a = release_manifest(
+        spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+        "doc_id", "text", 4)
+    b = release_manifest(
+        spark.createDataFrame([(1, "x"), (2, "y")],
+                              "doc_id long, text string"),
+        "doc_id", "text", 4)
+    got = {r.bucket: r for r in manifest_diff(a, b).collect()}
+    new_bucket = _bucket(2, 4)
+    assert new_bucket in got and got[new_bucket].digest_a is None
+    assert -1 in got
