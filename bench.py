@@ -66,6 +66,8 @@ SUITE = [
     "q_robots_render",
     "q_calibration",
     "q_audio_match",
+    "q_hard_negatives",
+    "q_manifest_diff",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",
