@@ -1136,3 +1136,72 @@ def ngram_novelty(df, id_col: str, text_col: str, n: int = 3):
         .withColumn("novelty_ppm",
                     F.expr("n_novel * 1000000 div n_grams").cast("long"))
     )
+
+
+def host_boilerplate_strip(
+    df,
+    id_col: str,
+    host_col: str,
+    text_col: str,
+    min_share_ppm: int = 800_000,
+    min_pages: int = 3,
+):
+    """HOST-scoped template subtraction — the site-level sibling of
+    :func:`line_dedup` (which is corpus-global): a line appearing on at
+    least ``min_share_ppm`` of a host's pages (hosts with >=
+    ``min_pages`` pages) is that site's chrome — nav, footer, cookie
+    banner — and is dropped from that host's documents only.  The same
+    sentence on a DIFFERENT host is untouched, which is exactly the
+    semantics global line-dedup cannot express (a quote syndicated to
+    3 sites survives here; a footer on 95% of one site's pages dies
+    even if the corpus only has one such site).
+
+    Returns (id, host, clean_text, n_kept, n_removed).
+
+    Scale shape: posexplode -> ONE (host, line) hash agg with
+    countDistinct(id) (per-document presence — internal repetition is
+    not template evidence) -> per-host page counts (bounded host
+    table, broadcast by AQE) -> the template set anti-joins back on
+    the (host, line) key, so templates of one host never shuffle
+    against another host's pages.  No windows; line keys are
+    near-unique per host so no skew."""
+    lines = df.select(
+        F.col(id_col).alias("id"), F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    pages = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct(F.col(id_col)).cast("long").alias("n_pages"))
+    freq = lines.groupBy("host", "line").agg(
+        F.countDistinct("id").cast("long").alias("n_docs"))
+    tmpl = (
+        freq.join(pages, "host")
+        .filter((F.col("n_pages") >= min_pages)
+                & (F.col("n_docs") * 1_000_000
+                   >= F.lit(min_share_ppm) * F.col("n_pages")))
+        .select("host", "line")
+    )
+    kept = lines.join(tmpl, ["host", "line"], "left_anti")
+    stats = lines.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"))
+    out = (
+        kept.groupBy("id", "host")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))).line,
+                "\n").alias("clean_text"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(host_col).alias("host"))
+        .join(out, ["id", "host"], "left")
+        .join(stats, "id", "left")
+        .select(
+            "id", "host",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.coalesce("n_total", F.lit(0))
+             - F.coalesce("n_kept", F.lit(0))).cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -12996,6 +12996,119 @@ WHERE ma.digest IS NULL OR mb.digest IS NULL OR ma.digest <> mb.digest
 """
 
 
+def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-scoped template subtraction (operators/text.
+    host_boilerplate_strip): a line on >=80% of ONE host's pages is
+    that site's chrome and dies there only — the planted cross-host
+    'syndicated quote' (14% of each host's pages) must survive
+    everywhere, which corpus-global line dedup cannot express.
+    Oracle replays the (host, line) presence aggregation, threshold,
+    anti-join, and order-preserving reassembly."""
+    from biothings_crawler_spark.operators.text import host_boilerplate_strip
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"))
+        .alias("host"),
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nfooter of h"), (F.col("doc_id") % 5).cast("string"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("\nshared syndicated quote"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return host_boilerplate_strip(docs, "doc_id", "host", "text")
+
+
+SQL_HOST_BOILERPLATE = """
+WITH w AS (
+  SELECT doc_id AS id, 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+         string_split(
+           coalesce(text, '') || chr(10) || 'footer of h'
+           || CAST(doc_id % 5 AS VARCHAR)
+           || CASE WHEN doc_id % 7 = 0
+                   THEN chr(10) || 'shared syndicated quote'
+                   ELSE '' END,
+           chr(10)) AS ls
+  FROM documents),
+l AS (SELECT id, host, CAST(r.i AS BIGINT) AS pos, ls[r.i + 1] AS line
+      FROM w, unnest(range(len(ls))) AS r(i)),
+pages AS (SELECT host, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_pages
+          FROM l GROUP BY host),
+freq AS (SELECT host, line, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
+         FROM l GROUP BY host, line),
+tmpl AS (SELECT f.host, f.line
+         FROM freq f JOIN pages p USING (host)
+         WHERE p.n_pages >= 3
+           AND f.n_docs * 1000000 >= 800000 * p.n_pages),
+kept AS (SELECT l.id, l.host, l.pos, l.line FROM l
+         WHERE NOT EXISTS (SELECT 1 FROM tmpl t
+                           WHERE t.host = l.host AND t.line = l.line)),
+outp AS (SELECT id, host,
+                string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                CAST(COUNT(*) AS BIGINT) AS n_kept
+         FROM kept GROUP BY id, host),
+tot AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM l GROUP BY id)
+SELECT w.id, w.host,
+       coalesce(o.clean_text, '') AS clean_text,
+       CAST(coalesce(o.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(t.n_total, 0) - coalesce(o.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM w
+LEFT JOIN outp o ON o.id = w.id AND o.host = w.host
+LEFT JOIN tot t ON t.id = w.id
+"""
+
+
+def q_homograph_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN homograph collision census (operators/homograph): hosts
+    whose confusable skeletons collide.  Fixture plants Cyrillic-і
+    spoofs (doc_id%10==4) and digit-0 spoofs (doc_id%10==8) of the
+    Latin base hosts; the census must group each spoof with its Latin
+    canonical and ignore non-colliding hosts.  Oracle replays the
+    identical translate() map — DuckDB's translate is codepoint-wise
+    like Spark's."""
+    from biothings_crawler_spark.operators.homograph import homograph_groups
+
+    d = _t(spark, sf_dir, "documents")
+    base = F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.org"))
+    host = (
+        F.when(F.col("doc_id") % 10 == 4,
+               F.translate(base, "i", "і"))
+        .when(F.col("doc_id") % 10 == 8, F.translate(base, "o", "0"))
+        .otherwise(base)
+    )
+    return homograph_groups(d.select(host.alias("host")))
+
+
+SQL_HOMOGRAPH_HOSTS = """
+WITH hosts AS (
+  SELECT DISTINCT
+         CASE WHEN doc_id % 10 = 4
+              THEN translate('site' || CAST(doc_id % 7 AS VARCHAR)
+                             || '.example.org', 'i', 'і')
+              WHEN doc_id % 10 = 8
+              THEN translate('site' || CAST(doc_id % 7 AS VARCHAR)
+                             || '.example.org', 'o', '0')
+              ELSE 'site' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example.org' END AS host
+  FROM documents),
+sk AS (SELECT host,
+              translate(lower(host), 'аеорсхуіѕј01', 'aeopcxyisjol')
+                AS skeleton
+       FROM hosts),
+grp AS (SELECT skeleton, CAST(COUNT(*) AS BIGINT) AS n_hosts,
+               MIN(host) AS canonical
+        FROM sk GROUP BY skeleton HAVING COUNT(*) > 1)
+SELECT g.skeleton, s.host, g.canonical, g.n_hosts
+FROM sk s JOIN grp g USING (skeleton)
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -17234,6 +17347,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_audio_match": q_audio_match,
     "q_hard_negatives": q_hard_negatives,
     "q_manifest_diff": q_manifest_diff,
+    "q_host_boilerplate": q_host_boilerplate,
+    "q_homograph_hosts": q_homograph_hosts,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -17574,6 +17689,8 @@ ORACLES: dict[str, str] = {
     "q_audio_match": SQL_AUDIO_MATCH,
     "q_hard_negatives": SQL_HARD_NEGATIVES,
     "q_manifest_diff": SQL_MANIFEST_DIFF,
+    "q_host_boilerplate": SQL_HOST_BOILERPLATE,
+    "q_homograph_hosts": SQL_HOMOGRAPH_HOSTS,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
