@@ -68,6 +68,8 @@ SUITE = [
     "q_audio_match",
     "q_hard_negatives",
     "q_manifest_diff",
+    "q_host_boilerplate",
+    "q_homograph_hosts",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",
