@@ -13109,6 +13109,94 @@ FROM sk s JOIN grp g USING (skeleton)
 """
 
 
+def q_nofollow_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-level rel-attribute classification (RFC-style
+    nofollow/ugc/sponsored beside the PAGE-level meta-robots gate,
+    q_meta_robots): per anchor, the href plus whether a compliant
+    frontier may follow it — rel tokens are matched as tokens inside
+    the quoted attribute, attribute order must not matter, and
+    anchors without href drop.  Pure codegen regex chain shared
+    shape-for-shape with the RE2 oracle."""
+    d = _t(spark, sf_dir, "documents")
+    n_links = 1 + F.col("doc_id") % 4
+    link = F.transform(
+        F.sequence(F.lit(0), n_links - 1),
+        lambda j: F.concat(
+            F.lit('<a '),
+            F.when((F.col("doc_id") + j) % 3 == 0,
+                   F.lit('rel="nofollow noopener" '))
+            .when((F.col("doc_id") + j) % 3 == 1,
+                  F.lit('rel="ugc sponsored" '))
+            .otherwise(F.lit("")),
+            F.lit('href="https://t'), (F.col("doc_id") * 10 + j)
+            .cast("string"), F.lit('.org/p">x</a>'),
+        ),
+    )
+    html = F.concat(F.lit("<html><body>"),
+                    F.array_join(link, " "),
+                    F.lit('<a name="anchor-no-href">y</a></body></html>'))
+    pages = d.select("doc_id", html.alias("html"))
+    attrs = pages.select(
+        "doc_id",
+        F.explode(F.expr(r"regexp_extract_all(html, '<a\\s+([^>]*)>', 1)"))
+        .alias("attr"),
+    )
+    out = attrs.select(
+        "doc_id",
+        F.regexp_extract("attr", r'href="([^"]*)"', 1).alias("href"),
+        F.regexp_extract("attr", r'rel="([^"]*)"', 1).alias("_rel"),
+    ).filter(F.col("href") != "").select(
+        "doc_id", "href",
+        F.when(F.col("_rel").rlike(r"(^|\s)nofollow(\s|$)"),
+               F.lit("nofollow"))
+        .when(F.col("_rel").rlike(r"(^|\s)(ugc|sponsored)(\s|$)"),
+              F.lit("ugc_sponsored"))
+        .otherwise(F.lit("follow")).alias("rel_class"),
+    ).withColumn(
+        "may_follow",
+        F.when(F.col("rel_class") == "follow", F.lit(1))
+        .otherwise(F.lit(0)).cast("long"),
+    )
+    return out
+
+
+SQL_NOFOLLOW_LINKS = """
+WITH pages AS (
+  SELECT doc_id,
+         '<html><body>' || array_to_string(list_transform(
+           range(1 + doc_id % 4),
+           j -> '<a ' ||
+                CASE WHEN (doc_id + j) % 3 = 0
+                     THEN 'rel="nofollow noopener" '
+                     WHEN (doc_id + j) % 3 = 1
+                     THEN 'rel="ugc sponsored" '
+                     ELSE '' END
+                || 'href="https://t' || CAST(doc_id * 10 + j AS VARCHAR)
+                || '.org/p">x</a>'), ' ')
+         || '<a name="anchor-no-href">y</a></body></html>' AS html
+  FROM documents),
+attrs AS (
+  SELECT doc_id, unnest(regexp_extract_all(html, '<a\\s+([^>]*)>', 1))
+           AS attr
+  FROM pages),
+links AS (
+  SELECT doc_id,
+         regexp_extract(attr, 'href="([^"]*)"', 1) AS href,
+         regexp_extract(attr, 'rel="([^"]*)"', 1) AS r
+  FROM attrs)
+SELECT doc_id, href,
+       CASE WHEN regexp_matches(r, '(^|[ ])nofollow([ ]|$)')
+              THEN 'nofollow'
+            WHEN regexp_matches(r, '(^|[ ])(ugc|sponsored)([ ]|$)')
+              THEN 'ugc_sponsored'
+            ELSE 'follow' END AS rel_class,
+       CAST(CASE WHEN NOT regexp_matches(r, '(^|[ ])nofollow([ ]|$)')
+                  AND NOT regexp_matches(r, '(^|[ ])(ugc|sponsored)([ ]|$)')
+                 THEN 1 ELSE 0 END AS BIGINT) AS may_follow
+FROM links WHERE href <> ''
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -17349,6 +17437,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_manifest_diff": q_manifest_diff,
     "q_host_boilerplate": q_host_boilerplate,
     "q_homograph_hosts": q_homograph_hosts,
+    "q_nofollow_links": q_nofollow_links,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -17691,6 +17780,7 @@ ORACLES: dict[str, str] = {
     "q_manifest_diff": SQL_MANIFEST_DIFF,
     "q_host_boilerplate": SQL_HOST_BOILERPLATE,
     "q_homograph_hosts": SQL_HOMOGRAPH_HOSTS,
+    "q_nofollow_links": SQL_NOFOLLOW_LINKS,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

@@ -84,3 +84,33 @@ def test_homograph_digit_fold(spark):
     got = {r.host: r.n_hosts for r in homograph_groups(hosts).collect()}
     assert set(got) == {"google.com", "g0ogle.com", "goog1e.com"}
     assert all(n == 3 for n in got.values())
+
+
+def test_nofollow_token_matching_not_substring(spark):
+    """'nofollowed' as a rel token must NOT match the nofollow rule;
+    token-boundary matching only."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, '<a rel="nofollow" href="https://a/1">x</a>'),
+        (2, '<a rel="nofollowed" href="https://a/2">x</a>'),
+        (3, '<a rel="noopener nofollow" href="https://a/3">x</a>'),
+        (4, '<a href="https://a/4" rel="sponsored">x</a>'),
+        (5, '<a name="nohref">x</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    attrs = df.select(
+        "doc_id",
+        F.explode(F.expr(
+            r"regexp_extract_all(html, '<a\\s+([^>]*)>', 1)")).alias("attr"))
+    out = attrs.select(
+        "doc_id",
+        F.regexp_extract("attr", r'href="([^"]*)"', 1).alias("href"),
+        F.regexp_extract("attr", r'rel="([^"]*)"', 1).alias("r"),
+    ).filter(F.col("href") != "")
+    cls = {r.doc_id: (
+        "nofollow" if __import__("re").search(r"(^|\s)nofollow(\s|$)", r.r)
+        else "other") for r in out.collect()}
+    assert cls[1] == "nofollow" and cls[3] == "nofollow"
+    assert cls[2] == "other" and cls[4] == "other"
+    assert 5 not in cls
