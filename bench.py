@@ -70,6 +70,7 @@ SUITE = [
     "q_manifest_diff",
     "q_host_boilerplate",
     "q_homograph_hosts",
+    "q_nofollow_links",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",
