@@ -582,3 +582,58 @@ def opengraph(pages: DataFrame, html_col: str = "html") -> DataFrame:
         .withColumn("og_image", _meta_content(txt, "property", "og:image"))
         .withColumn("twitter_card", _meta_content(txt, "name", "twitter:card"))
     )
+
+
+def html_tables(
+    df: DataFrame,
+    id_col: str,
+    html_col: str,
+) -> DataFrame:
+    """Generic HTML table extraction — the structured-data modality a
+    webtext corpus mines beside running text (WikiTables-style; the
+    source-specific GEO scraper in oracle/geo_table.py is the
+    reference-parity sibling, this is the corpus-wide operator).
+
+    One output row per CELL: (id, table_idx, row, col, cell, is_header)
+    — table/row/column indexes are 0-based document order, header cells
+    are ``<th>``, inner markup is stripped and entities are NOT decoded
+    (that is html_entities' job downstream; single-responsibility like
+    the rest of the extract plane).  Out of scope, documented: rowspan/
+    colspan expansion and nested tables (the inner table's cells parse
+    as part of the outer cell stream in both engines identically).
+
+    Scale shape: three nested row-local ``regexp_extract_all`` +
+    posexplode levels — no shuffle at all until whatever aggregation
+    the caller adds; the plan is scan -> generate -> project."""
+    tables = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.expr(rf"regexp_extract_all({html_col}, "
+                   r"'(?s)<table[^>]*>(.*?)</table>', 1)")
+        ).alias("table_idx", "tbl"),
+    )
+    rows = tables.select(
+        "id", "table_idx",
+        F.posexplode(
+            F.expr(r"regexp_extract_all(tbl, '(?s)<tr[^>]*>(.*?)</tr>', 1)")
+        ).alias("row", "tr"),
+    )
+    cells = rows.select(
+        "id", "table_idx", "row",
+        F.posexplode(
+            F.expr(r"regexp_extract_all(tr, "
+                   r"'(?s)<(t[dh])[^>]*>(.*?)</t[dh]>', 2)")
+        ).alias("col", "raw"),
+        F.expr(r"regexp_extract_all(tr, "
+               r"'(?s)<(t[dh])[^>]*>(.*?)</t[dh]>', 1)").alias("_kinds"),
+    )
+    return cells.select(
+        "id",
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.col("row").cast("long").alias("row"),
+        F.col("col").cast("long").alias("col"),
+        F.trim(F.regexp_replace("raw", r"(?s)<[^>]*>", " ")).alias("cell"),
+        F.when(F.element_at("_kinds", F.col("col") + 1) == "th",
+               F.lit(1)).otherwise(F.lit(0)).cast("long")
+        .alias("is_header"),
+    )

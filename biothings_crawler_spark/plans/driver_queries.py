@@ -13197,6 +13197,80 @@ FROM links WHERE href <> ''
 """
 
 
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic HTML table extraction (operators/extract.html_tables):
+    per-cell rows with 0-based table/row/col indexes, th-vs-td header
+    flags, inner markup stripped.  Fixture: a header+data table per
+    doc (dims vary by doc), a second single-row table for doc_id%4==0
+    (multi-table indexing lane), and bold markup inside every
+    (r+c)%5==0 cell (strip lane).  Oracle rebuilds every cell from the
+    closed-form value formula, never parsing HTML."""
+    from biothings_crawler_spark.operators.extract import html_tables
+
+    d = _t(spark, sf_dir, "documents")
+    ncols = 2 + F.col("doc_id") % 2
+    nrows = 1 + F.col("doc_id") % 3
+
+    def cell(r, c):
+        v = F.concat(F.lit("v"),
+                     ((F.col("doc_id") * 97 + r * 7 + c) % 1000)
+                     .cast("string"))
+        return F.when((r + c) % 5 == 0,
+                      F.concat(F.lit("<b>"), v, F.lit("</b>"))) \
+            .otherwise(v)
+
+    hdr = F.concat(F.lit("<tr>"), F.array_join(
+        F.transform(F.sequence(F.lit(0), ncols - 1),
+                    lambda c: F.concat(F.lit("<th>hd"), c.cast("string"),
+                                       F.lit("</th>"))), ""),
+        F.lit("</tr>"))
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), nrows),
+            lambda r: F.concat(F.lit("<tr>"), F.array_join(
+                F.transform(F.sequence(F.lit(0), ncols - 1),
+                            lambda c: F.concat(F.lit("<td>"), cell(r, c),
+                                               F.lit("</td>"))), ""),
+                F.lit("</tr>"))), "")
+    t2 = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.lit("<table class=x><tr><td>extra0</td><td>extra1</td></tr>"
+              "</table>")).otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><body><p>prose</p><table>"), hdr, body,
+                    F.lit("</table>"), t2, F.lit("</body></html>"))
+    return html_tables(d.select("doc_id", html.alias("html")),
+                       "doc_id", "html").withColumnRenamed("id", "doc_id")
+
+
+SQL_HTML_TABLES = """
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 2 AS ncols, 1 + doc_id % 3 AS nrows
+  FROM documents),
+hdr AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS table_idx, CAST(0 AS BIGINT) AS row,
+         CAST(c.i AS BIGINT) AS col,
+         'hd' || CAST(c.i AS VARCHAR) AS cell, CAST(1 AS BIGINT) AS is_header
+  FROM d, unnest(range(ncols)) AS c(i)),
+body AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS table_idx,
+         CAST(r.i + 1 AS BIGINT) AS row, CAST(c.i AS BIGINT) AS col,
+         'v' || CAST((doc_id * 97 + (r.i + 1) * 7 + c.i) % 1000 AS VARCHAR)
+           AS cell,
+         CAST(0 AS BIGINT) AS is_header
+  FROM d, unnest(range(nrows)) AS r(i), unnest(range(ncols)) AS c(i)),
+extra AS (
+  SELECT doc_id, CAST(1 AS BIGINT) AS table_idx, CAST(0 AS BIGINT) AS row,
+         CAST(c.i AS BIGINT) AS col,
+         'extra' || CAST(c.i AS VARCHAR) AS cell,
+         CAST(0 AS BIGINT) AS is_header
+  FROM d, unnest(range(2)) AS c(i)
+  WHERE doc_id % 4 = 0)
+SELECT doc_id, table_idx, row, col, cell, is_header FROM hdr
+UNION ALL SELECT doc_id, table_idx, row, col, cell, is_header FROM body
+UNION ALL SELECT doc_id, table_idx, row, col, cell, is_header FROM extra
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -17438,6 +17512,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_host_boilerplate": q_host_boilerplate,
     "q_homograph_hosts": q_homograph_hosts,
     "q_nofollow_links": q_nofollow_links,
+    "q_html_tables": q_html_tables,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -17781,6 +17856,7 @@ ORACLES: dict[str, str] = {
     "q_host_boilerplate": SQL_HOST_BOILERPLATE,
     "q_homograph_hosts": SQL_HOMOGRAPH_HOSTS,
     "q_nofollow_links": SQL_NOFOLLOW_LINKS,
+    "q_html_tables": SQL_HTML_TABLES,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
