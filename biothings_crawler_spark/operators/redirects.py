@@ -137,3 +137,78 @@ def redirect_error_docs(traced: DataFrame) -> DataFrame:
             F.lit('","success":false}'),
         ).alias("_document"),
     )
+
+
+def assemble_pagination(
+    pages: DataFrame,
+    url_col: str = "url",
+    next_col: str = "next_url",
+    max_hops: int = 16,
+) -> DataFrame:
+    """Multi-page article assembly from rel="next" chains — the
+    pagination sibling of :func:`trace_redirects` (the extract plane
+    already surfaces rel attributes; a webtext corpus that treats each
+    page of a 5-page article as its own document double-counts
+    boilerplate and splits the text mid-sentence).
+
+    ``pages``: (url, next_url nullable).  A SERIES starts at a page no
+    other page points to; each round extends every unfinished chain by
+    one hop.  Cycle defense is row-local: a next already in the chain
+    ends the series there (flagged ``cycle``), so a malicious
+    next-loop terminates without burning the hop budget.  Chains
+    still unfinished at ``max_hops`` end flagged ``truncated``.
+
+    Output: (series, n_pages, chain, status) with ``chain`` the
+    '|'-joined page URLs in reading order and status in
+    {complete, cycle, truncated}.
+
+    Scale shape: the trace_redirects delta discipline — each round
+    joins only the UNFINISHED chains against the (url -> next) table
+    (frontier-sized shuffles, geometric shrink), lineage truncated per
+    round, one bounded isEmpty probe per round."""
+    p = pages.select(
+        F.col(url_col).alias("url"), F.col(next_col).alias("next"),
+    ).localCheckpoint(eager=True)
+    targets = p.filter(F.col("next").isNotNull()) \
+        .select(F.col("next").alias("url")).distinct()
+    starts = p.join(targets, "url", "left_anti")
+    state = starts.select(
+        F.col("url").alias("series"),
+        F.col("next").alias("cur"),
+        F.array(F.col("url")).alias("chain"),
+        F.when(F.col("next").isNull(), F.lit("complete"))
+        .otherwise(F.lit(None).cast("string")).alias("status"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_hops):
+        open_ = state.filter(F.col("status").isNull())
+        if open_.isEmpty():
+            break
+        done = state.filter(F.col("status").isNotNull())
+        stepped = (
+            open_.join(p, open_.cur == p.url, "left")
+            .select(
+                "series",
+                F.col("next").alias("_nxt"),
+                F.concat(F.col("chain"), F.array(F.col("cur")))
+                .alias("chain"),
+            )
+            .select(
+                "series", "chain",
+                F.when(F.col("_nxt").isNull(), F.lit("complete"))
+                .when(F.array_contains(F.col("chain"), F.col("_nxt")),
+                      F.lit("cycle"))
+                .otherwise(F.lit(None).cast("string")).alias("status"),
+                F.col("_nxt").alias("cur"),
+            )
+        )
+        state = done.select("series", "cur", "chain", "status").unionByName(
+            stepped.select("series", "cur", "chain", "status")
+        ).localCheckpoint(eager=True)
+    state = state.withColumn(
+        "status", F.coalesce("status", F.lit("truncated")))
+    return state.select(
+        "series",
+        F.size("chain").cast("long").alias("n_pages"),
+        F.array_join("chain", "|").alias("chain"),
+        "status",
+    )

@@ -13271,6 +13271,74 @@ UNION ALL SELECT doc_id, table_idx, row, col, cell, is_header FROM extra
 """
 
 
+def q_pagination_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=next pagination assembly (operators/redirects.
+    assemble_pagination): series = chains of pages in reading order.
+    Fixture chains vary 1-4 pages; every 13th chain's last page points
+    BACK to page 1 — the cycle lane must flag and terminate without
+    burning the hop budget.  Oracle replays the walk as a recursive
+    CTE with the same row-local cycle test."""
+    from biothings_crawler_spark.operators.redirects import (
+        assemble_pagination,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    g = F.expr("doc_id div 4")
+    pp = F.col("doc_id") % 4
+    ln = 1 + g % 4
+    cyc = (g % 13 == 5) & (ln >= 2)
+
+    def url(pos):
+        return F.concat(F.lit("https://s/a"), g.cast("string"),
+                        F.lit("/p"), pos.cast("string"))
+
+    pages = d.filter(pp < ln).select(
+        url(pp).alias("url"),
+        F.when(cyc & (pp == ln - 1), url(F.lit(1)))
+        .when(pp + 1 < ln, url(pp + 1))
+        .otherwise(F.lit(None).cast("string")).alias("next_url"),
+    )
+    return assemble_pagination(pages)
+
+
+SQL_PAGINATION_CHAINS = """
+WITH RECURSIVE base AS (
+  SELECT doc_id // 4 AS g, doc_id % 4 AS pp,
+         1 + (doc_id // 4) % 4 AS L,
+         ((doc_id // 4) % 13 = 5) AND (1 + (doc_id // 4) % 4 >= 2) AS cyc
+  FROM documents),
+p AS (
+  SELECT 'https://s/a' || CAST(g AS VARCHAR) || '/p' || CAST(pp AS VARCHAR)
+           AS url,
+         CASE WHEN cyc AND pp = L - 1
+              THEN 'https://s/a' || CAST(g AS VARCHAR) || '/p1'
+              WHEN pp + 1 < L
+              THEN 'https://s/a' || CAST(g AS VARCHAR) || '/p'
+                   || CAST(pp + 1 AS VARCHAR)
+              ELSE NULL END AS next
+  FROM base WHERE pp < L),
+starts AS (
+  SELECT url, next FROM p
+  WHERE url NOT IN (SELECT next FROM p WHERE next IS NOT NULL)),
+walk AS (
+  SELECT url AS series, url AS chain, next AS cur, 1 AS n,
+         CASE WHEN next IS NULL THEN 'complete' END AS status
+  FROM starts
+  UNION ALL
+  SELECT w.series, w.chain || '|' || w.cur, p2.next, w.n + 1,
+         CASE WHEN p2.next IS NULL THEN 'complete'
+              WHEN position('|' || p2.next || '|'
+                   IN '|' || w.chain || '|' || w.cur || '|') > 0
+                THEN 'cycle'
+         END
+  FROM walk w LEFT JOIN p p2 ON p2.url = w.cur
+  WHERE w.status IS NULL AND w.n <= 16)
+SELECT series, CAST(n AS BIGINT) AS n_pages, chain,
+       COALESCE(status, 'truncated') AS status
+FROM walk WHERE status IS NOT NULL
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -17513,6 +17581,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_homograph_hosts": q_homograph_hosts,
     "q_nofollow_links": q_nofollow_links,
     "q_html_tables": q_html_tables,
+    "q_pagination_chains": q_pagination_chains,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -17857,6 +17926,7 @@ ORACLES: dict[str, str] = {
     "q_homograph_hosts": SQL_HOMOGRAPH_HOSTS,
     "q_nofollow_links": SQL_NOFOLLOW_LINKS,
     "q_html_tables": SQL_HTML_TABLES,
+    "q_pagination_chains": SQL_PAGINATION_CHAINS,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

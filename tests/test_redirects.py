@@ -93,3 +93,42 @@ def test_error_doc_sink_shape(spark):
     doc = json.loads(docs[0]["_document"])
     assert doc == {"_id": "http://x/nowhere",
                    "exception": "connection error", "success": False}
+
+
+def test_pagination_assembly_lanes(spark):
+    from biothings_crawler_spark.operators.redirects import (
+        assemble_pagination,
+    )
+
+    pages = spark.createDataFrame([
+        ("a0", "a1"), ("a1", "a2"), ("a2", None),   # 3-page series
+        ("b0", None),                               # single page
+        ("c0", "c1"), ("c1", "c0"),                 # cycle back to start?
+        ("d0", "d1"), ("d1", "d2"), ("d2", "d1"),   # cycle to mid
+    ], "url string, next_url string")
+    got = {r.series: (r.n_pages, r.chain, r.status)
+           for r in assemble_pagination(pages).collect()}
+    assert got["a0"] == (3, "a0|a1|a2", "complete")
+    assert got["b0"] == (1, "b0", "complete")
+    # c0<->c1: both are targets, no start — a pure cycle emits nothing
+    assert "c0" not in got and "c1" not in got
+    assert got["d0"] == (3, "d0|d1|d2", "cycle")
+    assert len(got) == 3
+
+
+def test_pagination_truncation_and_dangling_next(spark):
+    from biothings_crawler_spark.operators.redirects import (
+        assemble_pagination,
+    )
+
+    long_chain = [(f"p{i}", f"p{i+1}") for i in range(6)] + [("p6", None)]
+    got = {r.series: r for r in assemble_pagination(
+        spark.createDataFrame(long_chain, "url string, next_url string"),
+        max_hops=3).collect()}
+    assert got["p0"].status == "truncated" and got["p0"].n_pages == 4
+    # next pointing at an unfetched page: series completes with the
+    # dangling url included (it IS part of the article)
+    got2 = {r.series: (r.n_pages, r.chain, r.status)
+            for r in assemble_pagination(spark.createDataFrame(
+                [("x0", "x1")], "url string, next_url string")).collect()}
+    assert got2["x0"] == (2, "x0|x1", "complete")
