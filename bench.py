@@ -71,6 +71,8 @@ SUITE = [
     "q_host_boilerplate",
     "q_homograph_hosts",
     "q_nofollow_links",
+    "q_html_tables",
+    "q_pagination_chains",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",
