@@ -637,3 +637,48 @@ def html_tables(
                F.lit(1)).otherwise(F.lit(0)).cast("long")
         .alias("is_header"),
     )
+
+
+def js_required_col(html: Column) -> dict:
+    """Client-side-rendering detection — the routing gate that decides
+    which URLs need a headless-browser fetch queue instead of the
+    plain HTTP fetcher (the reference's Scrapy stack has the same
+    split: SitemapSpider vs the Splash-style render path its
+    static-SPA sources would need; SURVEY §2.10 records remote-exec as
+    the sanctioned non-goal, and THIS operator is the batch side of
+    that decision).
+
+    Pure codegen metrics over the raw HTML string:
+
+    * ``script_ratio_ppm`` — bytes inside <script> blocks / total,
+    * ``visible_len`` — text length after a cheap strip pass,
+    * ``spa_mount`` — an empty <div id="root|app"> mount point,
+    * ``has_noscript`` — a <noscript> fallback is present.
+
+    ``js_required`` = spa_mount OR (visible text < 80 chars AND any
+    script) OR script_ratio > 60%.  Returns a dict of named Columns so
+    callers project what they need (single pass, zero shuffle)."""
+    stripped = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", "")
+    visible = F.trim(F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        stripped, r"(?is)<style[^>]*>.*?</style>", ""),
+        r"<[^>]+>", " "), r"\s+", " "))
+    script_bytes = F.length(html) - F.length(stripped)
+    # exact integer ppm: decimal(38,0) numerator / int, floored —
+    # identical to DuckDB's BIGINT // for non-negative operands
+    ratio = F.floor(
+        (script_bytes.cast("decimal(38,0)") * 1_000_000)
+        / F.greatest(F.length(html), F.lit(1))
+    ).cast("long")
+    spa = html.rlike(r'(?i)<div id="(root|app)"\s*>\s*</div>')
+    nos = html.rlike(r"(?i)<noscript[\s>]")
+    vlen = F.length(visible)
+    return {
+        "script_ratio_ppm": ratio,
+        "visible_len": vlen.cast("long"),
+        "spa_mount": F.when(spa, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        "has_noscript": F.when(nos, F.lit(1)).otherwise(F.lit(0))
+        .cast("long"),
+        "js_required": F.when(
+            spa | ((vlen < 80) & (script_bytes > 0)) | (ratio > 600_000),
+            F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    }

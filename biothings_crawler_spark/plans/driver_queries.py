@@ -13339,6 +13339,100 @@ FROM walk WHERE status IS NOT NULL
 """
 
 
+def q_js_required(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client-side-rendering detection (operators/extract.
+    js_required_col): the routing gate for a headless-fetch queue.
+    Fixture lanes by doc_id%5: plain article (not flagged), SPA mount
+    point + giant bundle (flagged via spa), script-heavy-but-readable
+    page (flagged via >60% ratio), noscript fallback (reported, not
+    flagged), thin page with a small script (flagged via
+    visible<80&script>0).  Oracle replays the strip/ratio/rule chain
+    in RE2 + BIGINT //."""
+    from biothings_crawler_spark.operators.extract import js_required_col
+
+    d = _t(spark, sf_dir, "documents")
+    body = F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 120)
+    lane = F.col("doc_id") % 5
+    html = (
+        F.when(lane == 0, F.concat(
+            F.lit("<html><body><p>"), body, F.lit("</p></body></html>")))
+        .when(lane == 1, F.concat(
+            F.lit('<html><body><div id="root"></div><script>'),
+            F.repeat(F.lit("var x=1;"), 40), F.lit("</script></body></html>")))
+        .when(lane == 2, F.concat(
+            F.lit("<html><body><p>"), body,
+            F.lit("</p><script>"), F.repeat(F.lit("f();"), 200),
+            F.lit("</script></body></html>")))
+        .when(lane == 3, F.concat(
+            F.lit("<html><body><noscript><p>"), body,
+            F.lit("</p></noscript></body></html>")))
+        .otherwise(F.concat(
+            F.lit("<html><body><p>hi</p><script>go()</script>"
+                  "</body></html>")))
+    )
+    m = js_required_col(html)
+    return d.select(
+        "doc_id",
+        m["script_ratio_ppm"].alias("script_ratio_ppm"),
+        m["visible_len"].alias("visible_len"),
+        m["spa_mount"].alias("spa_mount"),
+        m["has_noscript"].alias("has_noscript"),
+        m["js_required"].alias("js_required"),
+    )
+
+
+SQL_JS_REQUIRED = """
+WITH pages AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN '<html><body><p>'
+                       || substring(coalesce(text, ''), 1, 120)
+                       || '</p></body></html>'
+           WHEN 1 THEN '<html><body><div id="root"></div><script>'
+                       || repeat('var x=1;', 40)
+                       || '</script></body></html>'
+           WHEN 2 THEN '<html><body><p>'
+                       || substring(coalesce(text, ''), 1, 120)
+                       || '</p><script>' || repeat('f();', 200)
+                       || '</script></body></html>'
+           WHEN 3 THEN '<html><body><noscript><p>'
+                       || substring(coalesce(text, ''), 1, 120)
+                       || '</p></noscript></body></html>'
+           ELSE '<html><body><p>hi</p><script>go()</script></body></html>'
+         END AS html
+  FROM documents),
+m AS (
+  SELECT doc_id, html,
+         regexp_replace(html, '(?is)<script[^>]*>.*?</script>', '', 'gs')
+           AS stripped
+  FROM pages),
+m2 AS (
+  SELECT doc_id, html, stripped,
+         length(html) - length(stripped) AS script_bytes,
+         length(trim(regexp_replace(regexp_replace(regexp_replace(
+           stripped, '(?is)<style[^>]*>.*?</style>', '', 'gs'),
+           '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g'))) AS visible_len,
+         CASE WHEN regexp_matches(html,
+                '(?i)<div id="(root|app)"\\s*>\\s*</div>')
+              THEN 1 ELSE 0 END AS spa_mount,
+         CASE WHEN regexp_matches(html, '(?i)<noscript[\\s>]')
+              THEN 1 ELSE 0 END AS has_noscript
+  FROM m)
+SELECT doc_id,
+       CAST(script_bytes * 1000000 // GREATEST(length(html), 1) AS BIGINT)
+         AS script_ratio_ppm,
+       CAST(visible_len AS BIGINT) AS visible_len,
+       CAST(spa_mount AS BIGINT) AS spa_mount,
+       CAST(has_noscript AS BIGINT) AS has_noscript,
+       CAST(CASE WHEN spa_mount = 1
+                  OR (visible_len < 80 AND script_bytes > 0)
+                  OR script_bytes * 1000000
+                     // GREATEST(length(html), 1) > 600000
+                 THEN 1 ELSE 0 END AS BIGINT) AS js_required
+FROM m2
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -17582,6 +17676,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_nofollow_links": q_nofollow_links,
     "q_html_tables": q_html_tables,
     "q_pagination_chains": q_pagination_chains,
+    "q_js_required": q_js_required,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -17927,6 +18022,7 @@ ORACLES: dict[str, str] = {
     "q_nofollow_links": SQL_NOFOLLOW_LINKS,
     "q_html_tables": SQL_HTML_TABLES,
     "q_pagination_chains": SQL_PAGINATION_CHAINS,
+    "q_js_required": SQL_JS_REQUIRED,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
