@@ -466,3 +466,56 @@ def calibration_report(
     )
     return bins.select("bin", "n", "mean_score_ppm", "emp_ppm",
                        "gap_ppm").unionByName(tot)
+
+
+QUERY_FIELDS = ("title", "host", "lang", "text")
+
+
+def parse_queries(
+    queries: DataFrame,
+    id_col: str = "query_id",
+    q_col: str = "q",
+) -> DataFrame:
+    """Fielded query-language parsing — the serving-side front door
+    (Lucene-style syntax subset): ``host:example.org -lang:de "exact
+    phrase" plain terms``.  One output row per clause:
+    (query_id, clause_idx, field, term, negated, is_phrase).
+
+    Rules, shared verbatim with the RE2 oracle: clauses split on
+    whitespace EXCEPT inside double quotes; a leading ``-`` negates;
+    ``field:`` prefixes from the known field set route the clause,
+    anything else (including unknown prefixes like ``foo:bar``) stays
+    a plain text term; quoted clauses keep interior spaces and set
+    is_phrase; terms lowercase.
+
+    Scale shape: one regexp_extract_all + posexplode + row-local
+    projections — queries are a bounded table, but the same plan runs
+    on a 10^9-row query log unchanged (no shuffle)."""
+    tok_re = r'(-?(?:[a-z]+:)?"[^"]*"|\S+)'
+    toks = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(q_col)), F.lit(tok_re), 1)
+        ).alias("clause_idx", "tok"),
+    )
+    neg = F.col("tok").startswith("-")
+    body = F.when(neg, F.expr("substring(tok, 2)")).otherwise(F.col("tok"))
+    fields = "|".join(QUERY_FIELDS)
+    field = F.regexp_extract(body, f"^({fields}):", 1)
+    rest = F.when(
+        field != "",
+        body.substr(F.length(field) + F.lit(2), F.lit(1 << 20)),
+    ).otherwise(body)
+    is_phrase = rest.rlike('^"[^"]*"$')
+    term = F.when(is_phrase, rest.substr(F.lit(2), F.length(rest) - 2)) \
+        .otherwise(rest)
+    return toks.select(
+        "query_id",
+        F.col("clause_idx").cast("long").alias("clause_idx"),
+        F.when(field == "", F.lit("text")).otherwise(field).alias("field"),
+        term.alias("term"),
+        F.when(neg, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        .alias("negated"),
+        F.when(is_phrase, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        .alias("is_phrase"),
+    ).filter(F.col("term") != "")

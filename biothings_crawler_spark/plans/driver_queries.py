@@ -13433,6 +13433,75 @@ FROM m2
 """
 
 
+def q_query_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fielded query-language parsing (operators/serving.
+    parse_queries): Lucene-style subset — field prefixes, ``-``
+    negation, quoted phrases with interior spaces, unknown prefixes
+    degrade to text terms.  Query strings are synthesized closed-form
+    per doc so the oracle rebuilds and re-parses identically in RE2."""
+    from biothings_crawler_spark.operators.serving import parse_queries
+
+    d = _t(spark, sf_dir, "documents")
+    q = F.concat(
+        F.lit("data host:s"), (F.col("doc_id") % 9).cast("string"),
+        F.lit(".org -lang:de "),
+        F.lit('"exact phrase '), (F.col("doc_id") % 4).cast("string"),
+        F.lit('" '),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("foo:bar "))
+        .otherwise(F.lit("")),
+        F.lit("-noise title:spark"),
+    )
+    return parse_queries(
+        d.select(F.col("doc_id").alias("query_id"), q.alias("q")))
+
+
+SQL_QUERY_PARSE = """
+WITH qs AS (
+  SELECT doc_id AS query_id,
+         lower('data host:s' || CAST(doc_id % 9 AS VARCHAR)
+         || '.org -lang:de "exact phrase '
+         || CAST(doc_id % 4 AS VARCHAR) || '" '
+         || CASE WHEN doc_id % 3 = 0 THEN 'foo:bar ' ELSE '' END
+         || '-noise title:spark') AS q
+  FROM documents),
+toks AS (
+  SELECT query_id, t.i - 1 AS clause_idx,
+         arr[t.i] AS tok
+  FROM (SELECT query_id,
+               regexp_extract_all(q,
+                 '(-?(?:[a-z]+:)?"[^"]*"|\\S+)', 1) AS arr
+        FROM qs), unnest(range(1, len(arr) + 1)) AS t(i)),
+c1 AS (
+  SELECT query_id, clause_idx,
+         CASE WHEN tok LIKE '-%' THEN 1 ELSE 0 END AS negated,
+         CASE WHEN tok LIKE '-%' THEN substring(tok, 2) ELSE tok END
+           AS body
+  FROM toks),
+c2 AS (
+  SELECT query_id, clause_idx, negated,
+         regexp_extract(body, '^(title|host|lang|text):', 1) AS fld,
+         body
+  FROM c1),
+c3 AS (
+  SELECT query_id, clause_idx, negated,
+         CASE WHEN fld = '' THEN 'text' ELSE fld END AS field,
+         CASE WHEN fld = '' THEN body
+              ELSE substring(body, length(fld) + 2) END AS rest
+  FROM c2)
+SELECT query_id, CAST(clause_idx AS BIGINT) AS clause_idx, field,
+       CASE WHEN regexp_matches(rest, '^"[^"]*"$')
+            THEN substring(rest, 2, length(rest) - 2)
+            ELSE rest END AS term,
+       CAST(negated AS BIGINT) AS negated,
+       CAST(CASE WHEN regexp_matches(rest, '^"[^"]*"$') THEN 1 ELSE 0 END
+            AS BIGINT) AS is_phrase
+FROM c3
+WHERE (CASE WHEN regexp_matches(rest, '^"[^"]*"$')
+            THEN substring(rest, 2, length(rest) - 2)
+            ELSE rest END) <> ''
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -17677,6 +17746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_html_tables": q_html_tables,
     "q_pagination_chains": q_pagination_chains,
     "q_js_required": q_js_required,
+    "q_query_parse": q_query_parse,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -18023,6 +18093,7 @@ ORACLES: dict[str, str] = {
     "q_html_tables": SQL_HTML_TABLES,
     "q_pagination_chains": SQL_PAGINATION_CHAINS,
     "q_js_required": SQL_JS_REQUIRED,
+    "q_query_parse": SQL_QUERY_PARSE,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

@@ -59,3 +59,34 @@ def test_hard_negatives_exclude_positives_and_rank(spark):
     ids = [r.id for r in negs]
     assert 1 not in ids
     assert ids[0] == 2 and 3 in ids
+
+
+def test_query_parse_clauses(spark):
+    from biothings_crawler_spark.operators.serving import parse_queries
+
+    df = spark.createDataFrame(
+        [(1, 'Data host:Ex.org -lang:de "New York times" -bad foo:bar')],
+        "query_id long, q string")
+    got = [(r.clause_idx, r.field, r.term, r.negated, r.is_phrase)
+           for r in parse_queries(df).orderBy("clause_idx").collect()]
+    assert got == [
+        (0, "text", "data", 0, 0),
+        (1, "host", "ex.org", 0, 0),
+        (2, "lang", "de", 1, 0),
+        (3, "text", "new york times", 0, 1),   # phrase keeps spaces
+        (4, "text", "bad", 1, 0),
+        (5, "text", "foo:bar", 0, 0),          # unknown prefix -> text
+    ]
+
+
+def test_query_parse_fielded_phrase_and_empty(spark):
+    from biothings_crawler_spark.operators.serving import parse_queries
+
+    df = spark.createDataFrame(
+        [(1, 'title:"big data" ""'), (2, "   ")],
+        "query_id long, q string")
+    got = [(r.query_id, r.field, r.term, r.is_phrase)
+           for r in parse_queries(df).orderBy("query_id",
+                                              "clause_idx").collect()]
+    # the empty phrase clause drops; the blank query yields nothing
+    assert got == [(1, "title", "big data", 1)]
