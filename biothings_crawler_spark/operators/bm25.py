@@ -1228,3 +1228,110 @@ def err_at_k(
         "n_graded",
         (fold % F.lit(10**10)).cast("long").alias("err_ppb"),
     )
+
+
+SHARD_BLOOM_M = 1024
+SHARD_BLOOM_K = 3
+
+
+def shard_term_blooms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shard_col: str,
+    m_bits: int = SHARD_BLOOM_M,
+    k_hashes: int = SHARD_BLOOM_K,
+) -> DataFrame:
+    """Per-shard term-membership bloom bits — the term-space zone map
+    a sharded index consults BEFORE fanning a query out (CORI,
+    operators/serving, routes by score mass; this is the cheaper hard
+    filter: a shard whose bloom misses any query-term bit cannot
+    contain that term at all, so conjunctive queries skip it with zero
+    I/O and NO false negatives by construction).
+
+    Representation is the SPARSE exact form — one (shard, bit) row per
+    set bit — which is what a cross-engine oracle can verify
+    bit-for-bit; packing to m_bits/64 longs per shard is a storage
+    projection on top (one groupBy(shard), documented, not part of
+    the verified contract).
+
+    Scale shape: distinct (shard, term) is one hash agg over the
+    corpus; bits explode ×k off the DISTINCT pairs (bounded by
+    vocabulary × shards, not by corpus rows); final distinct
+    (shard, bit) is a second hash agg.  No windows, no joins."""
+    pairs = docs.select(
+        F.col(shard_col).alias("shard"),
+        F.explode(words_col(F.col(text_col))).alias("term"),
+    ).distinct()
+    bits = pairs.select(
+        "shard",
+        F.explode(F.array(*[
+            (F.conv(F.substring(F.md5(
+                F.concat(F.lit(f"{h}:"), F.col("term"))), 1, 8), 16, 10)
+             .cast("long") % m_bits)
+            for h in range(k_hashes)
+        ])).alias("bit"),
+    ).distinct()
+    return bits
+
+
+def shard_skip_report(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shard_col: str,
+    query_terms: list[str],
+    m_bits: int = SHARD_BLOOM_M,
+    k_hashes: int = SHARD_BLOOM_K,
+) -> DataFrame:
+    """Conjunctive-query shard pruning with its own safety audit:
+    (shard, candidate, truth) where candidate = every query term's
+    every bloom bit is set in the shard, truth = the shard REALLY
+    contains every query term.  The bloom guarantee (truth = 1 implies
+    candidate = 1) is structural; the report exposes the false-positive
+    shards a real planner would still scan."""
+    import hashlib
+
+    blooms = shard_term_blooms(docs, id_col, text_col, shard_col,
+                               m_bits, k_hashes)
+    qbits = [
+        (t, h,
+         int(hashlib.md5(f"{h}:{t}".encode()).hexdigest()[:8], 16) % m_bits)
+        for t in query_terms for h in range(k_hashes)
+    ]
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(b,) for _, _, b in qbits], "bit long").distinct()
+    n_qbits = qdf.count()
+    cand = (
+        blooms.join(F.broadcast(qdf), "bit", "left_semi")
+        .groupBy("shard")
+        .agg(F.countDistinct("bit").cast("long").alias("n_hit"))
+        .withColumn("candidate",
+                    F.when(F.col("n_hit") == n_qbits, F.lit(1))
+                    .otherwise(F.lit(0)).cast("long"))
+    )
+    present = docs.select(
+        F.col(shard_col).alias("shard"),
+        F.explode(words_col(F.col(text_col))).alias("term"),
+    ).distinct().filter(
+        F.col("term").isin(*query_terms)
+    ).groupBy("shard").agg(
+        F.countDistinct("term").cast("long").alias("n_terms"))
+    truth = present.withColumn(
+        "truth",
+        F.when(F.col("n_terms") == len(query_terms), F.lit(1))
+        .otherwise(F.lit(0)).cast("long"))
+    shards = docs.select(F.col(shard_col).alias("shard")).distinct()
+    return (
+        shards
+        .join(cand.select("shard", "n_hit", "candidate"), "shard", "left")
+        .join(truth.select("shard", "truth"), "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.coalesce("candidate", F.lit(0)).cast("long")
+            .alias("candidate"),
+            F.coalesce("truth", F.lit(0)).cast("long").alias("truth"),
+        )
+    )

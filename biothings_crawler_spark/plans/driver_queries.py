@@ -13502,6 +13502,69 @@ WHERE (CASE WHEN regexp_matches(rest, '^"[^"]*"$')
 """
 
 
+SHARD_SKIP_QUERY = ["merge", "vector", "dup"]
+
+
+def q_shard_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-skip bloom planning (operators/bm25.shard_skip_report):
+    per-shard term-membership bloom bits (sparse exact form) probed by
+    a conjunctive query, with the ground truth beside it — the bloom
+    guarantee (truth=1 implies candidate=1) is structural and
+    pytest-pinned; false-positive shards are visible in the report.
+    'dup' appears in ~5% of documents, so over 64 fine shards many
+    genuinely lack it and the skip actually skips (bloom false
+    positives, if any, are visible as candidate=1/truth=0 rows).  Oracle replays the md5 bit math,
+    the distinct-bit probe count, and the truth join in SQL."""
+    from biothings_crawler_spark.operators.bm25 import shard_skip_report
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 64).alias("shard"))
+    return shard_skip_report(d, "doc_id", "text", "shard",
+                             SHARD_SKIP_QUERY)
+
+
+def _sql_shard_skip() -> str:
+    qb = []
+    import hashlib
+
+    for t in SHARD_SKIP_QUERY:
+        for h in range(3):
+            qb.append(int(hashlib.md5(f"{h}:{t}".encode())
+                          .hexdigest()[:8], 16) % 1024)
+    qbits = sorted(set(qb))
+    terms = ", ".join(f"'{t}'" for t in SHARD_SKIP_QUERY)
+    return f"""
+WITH d AS (SELECT doc_id, doc_id % 64 AS shard, {_SQL_WORDS} AS words
+           FROM documents),
+pairs AS (SELECT DISTINCT shard, unnest(words) AS term FROM d),
+bits AS (
+  SELECT DISTINCT shard,
+         CAST(('0x' || substr(md5(CAST(h.i AS VARCHAR) || ':' || term),
+                              1, 8)) AS BIGINT) % 1024 AS bit
+  FROM pairs, unnest(range(3)) AS h(i)),
+cand AS (
+  SELECT shard, CAST(COUNT(DISTINCT bit) AS BIGINT) AS n_hit
+  FROM bits WHERE bit IN ({', '.join(str(b) for b in qbits)})
+  GROUP BY shard),
+truth AS (
+  SELECT shard, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+  FROM pairs WHERE term IN ({terms}) GROUP BY shard),
+shards AS (SELECT DISTINCT shard FROM d)
+SELECT s.shard,
+       CAST(COALESCE(c.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(CASE WHEN COALESCE(c.n_hit, 0) = {len(qbits)}
+                 THEN 1 ELSE 0 END AS BIGINT) AS candidate,
+       CAST(CASE WHEN COALESCE(t.n_terms, 0) = {len(SHARD_SKIP_QUERY)}
+                 THEN 1 ELSE 0 END AS BIGINT) AS truth
+FROM shards s
+LEFT JOIN cand c ON c.shard = s.shard
+LEFT JOIN truth t ON t.shard = s.shard
+"""
+
+
+SQL_SHARD_SKIP = _sql_shard_skip()
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -17747,6 +17810,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagination_chains": q_pagination_chains,
     "q_js_required": q_js_required,
     "q_query_parse": q_query_parse,
+    "q_shard_skip": q_shard_skip,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -18094,6 +18158,7 @@ ORACLES: dict[str, str] = {
     "q_pagination_chains": SQL_PAGINATION_CHAINS,
     "q_js_required": SQL_JS_REQUIRED,
     "q_query_parse": SQL_QUERY_PARSE,
+    "q_shard_skip": SQL_SHARD_SKIP,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

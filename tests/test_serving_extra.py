@@ -90,3 +90,42 @@ def test_query_parse_fielded_phrase_and_empty(spark):
                                               "clause_idx").collect()]
     # the empty phrase clause drops; the blank query yields nothing
     assert got == [(1, "title", "big data", 1)]
+
+
+def test_shard_skip_no_false_negatives_and_real_skips(spark):
+    from biothings_crawler_spark.operators.bm25 import shard_skip_report
+
+    rows = [
+        (1, 0, "alpha beta gamma"),
+        (2, 0, "alpha delta"),
+        (3, 1, "alpha beta"),       # shard 1 lacks gamma
+        (4, 2, "epsilon zeta"),     # shard 2 lacks all three
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, text string")
+    got = {r.shard: (r.candidate, r.truth)
+           for r in shard_skip_report(df, "doc_id", "text", "shard",
+                                      ["alpha", "beta", "gamma"]).collect()}
+    assert got[0] == (1, 1)
+    # structural guarantee: truth=1 -> candidate=1; and real skips
+    for c, t in got.values():
+        assert not (t == 1 and c == 0)
+    assert got[2] == (0, 0)
+
+
+def test_shard_skip_false_positives_visible_with_tiny_bloom(spark):
+    """m_bits=2 forces bit collisions: shards lacking a term can still
+    be candidates — visible as candidate=1/truth=0, never the
+    reverse."""
+    from biothings_crawler_spark.operators.bm25 import shard_skip_report
+
+    rows = [(i, i % 3, f"w{i} common") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, text string")
+    got = {r.shard: (r.candidate, r.truth)
+           for r in shard_skip_report(df, "doc_id", "text", "shard",
+                                      ["common", "w1"],
+                                      m_bits=2, k_hashes=1).collect()}
+    for c, t in got.values():
+        assert not (t == 1 and c == 0)
+    # w1 lives only in shard 1; with a 2-bit bloom the other shards
+    # almost surely collide into candidacy
+    assert got[1] == (1, 1)
