@@ -73,6 +73,9 @@ SUITE = [
     "q_nofollow_links",
     "q_html_tables",
     "q_pagination_chains",
+    "q_js_required",
+    "q_query_parse",
+    "q_shard_skip",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",
