@@ -519,3 +519,67 @@ def parse_queries(
         F.when(is_phrase, F.lit(1)).otherwise(F.lit(0)).cast("long")
         .alias("is_phrase"),
     ).filter(F.col("term") != "")
+
+
+def segment_words(
+    queries: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "query_id",
+    q_col: str = "q",
+    max_word_len: int = 12,
+) -> DataFrame:
+    """Dictionary word segmentation of concatenated strings —
+    ``newyorktimes -> new york times`` — the serving-side repair for
+    space-free queries and smashed-together URL slugs (the spell /
+    autocomplete family's third member; operators here:
+    spell_suggest, autocomplete).
+
+    Exact DP, deterministic tie-break: among segmentations using
+    vocabulary words only, pick fewest words, then highest total word
+    frequency, then lexicographically smallest joined result.  Rows
+    that cannot be fully segmented return NULL with n_words 0.
+
+    Scale shape: the VOCABULARY (term, freq) is the broadcast side —
+    collected to a plain dict and shipped in the Arrow-batched
+    mapInPandas closure (bounded: a corpus vocabulary, not the
+    corpus); each row's DP is O(len * max_word_len) row-local work.
+    Queries tables are themselves bounded, but the same plan runs over
+    a 10^9-row slug column unchanged — one map stage, no shuffle."""
+    terms = {r["term"]: int(r["freq"]) for r in vocab.collect()}
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"query_id": [], "segmented": [], "n_words": []}
+            for qid, q in zip(pdf[id_col], pdf[q_col]):
+                s = (q or "").lower()
+                n = len(s)
+                # dp[i]: best (n_words, -freq_sum, path_tuple) for s[:i]
+                dp = [None] * (n + 1)
+                dp[0] = (0, 0, ())
+                for i in range(1, n + 1):
+                    best = None
+                    for j in range(max(0, i - max_word_len), i):
+                        if dp[j] is None:
+                            continue
+                        w = s[j:i]
+                        f = terms.get(w)
+                        if f is None:
+                            continue
+                        cand = (dp[j][0] + 1, dp[j][1] - f,
+                                dp[j][2] + (w,))
+                        if best is None or cand < best:
+                            best = cand
+                    dp[i] = best
+                out["query_id"].append(int(qid))
+                if n and dp[n] is not None:
+                    out["segmented"].append(" ".join(dp[n][2]))
+                    out["n_words"].append(dp[n][0])
+                else:
+                    out["segmented"].append(None)
+                    out["n_words"].append(0)
+            yield pd.DataFrame(out)
+
+    return queries.mapInPandas(
+        run, "query_id long, segmented string, n_words long")

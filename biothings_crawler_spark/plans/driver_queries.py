@@ -13565,6 +13565,74 @@ LEFT JOIN truth t ON t.shard = s.shard
 SQL_SHARD_SKIP = _sql_shard_skip()
 
 
+WSEG_WORDS = ["merge", "vector", "stream", "hash", "join", "scan",
+              "data", "table", "spark", "window", "batch", "row"]
+
+
+def q_word_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary word segmentation (operators/serving.segment_words):
+    space-free strings rebuilt from the corpus vocabulary by exact DP
+    — fewest words, then highest total frequency, then smallest
+    joined string.  Inputs concatenate three known corpus words per
+    doc; the corpus-derived (term, freq) table is the broadcast side.
+    The oracle walks EVERY segmentation with a recursive CTE and
+    applies the identical tie-break — DP optimality itself is on the
+    hook, not just the arithmetic."""
+    from biothings_crawler_spark.operators.serving import segment_words
+    from biothings_crawler_spark.operators.text import words_col
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = d.select(F.explode(words_col(F.col("text"))).alias("term")) \
+        .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    w = F.array(*[F.lit(x) for x in WSEG_WORDS])
+    q = F.concat(
+        F.element_at(w, (F.col("doc_id") % 12 + 1).cast("int")),
+        F.element_at(w, (F.expr("doc_id div 12") % 12 + 1).cast("int")),
+        F.element_at(w, (F.col("doc_id") * 7 % 12 + 1).cast("int")),
+    )
+    queries = d.select(F.col("doc_id").alias("query_id"), q.alias("q"))
+    return segment_words(queries, vocab)
+
+
+def _sql_word_segment() -> str:
+    arr = "[" + ", ".join(f"'{x}'" for x in WSEG_WORDS) + "]"
+    return f"""
+WITH RECURSIVE
+v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest({_SQL_WORDS}) AS term FROM documents)
+      GROUP BY term),
+qs AS (
+  SELECT doc_id AS query_id,
+         {arr}[CAST(doc_id % 12 AS INT) + 1]
+         || {arr}[CAST((doc_id // 12) % 12 AS INT) + 1]
+         || {arr}[CAST(doc_id * 7 % 12 AS INT) + 1] AS q
+  FROM documents),
+walk AS (
+  SELECT query_id, q, 0 AS pos, 0 AS n, CAST(0 AS BIGINT) AS fs,
+         '' AS path
+  FROM qs
+  UNION ALL
+  SELECT w.query_id, w.q, w.pos + len(v.term), w.n + 1, w.fs + v.freq,
+         CASE WHEN w.path = '' THEN v.term
+              ELSE w.path || ' ' || v.term END
+  FROM walk w JOIN v
+    ON substring(w.q, w.pos + 1, len(v.term)) = v.term
+  WHERE w.pos < len(w.q) AND len(v.term) <= 12),
+full_segs AS (
+  SELECT query_id, n, fs, path FROM walk WHERE pos = len(q)),
+best AS (
+  SELECT query_id, path, n FROM full_segs
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY n, fs DESC, path) = 1)
+SELECT q2.query_id, b.path AS segmented,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n_words
+FROM qs q2 LEFT JOIN best b USING (query_id)
+"""
+
+
+SQL_WORD_SEGMENT = _sql_word_segment()
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -17811,6 +17879,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_js_required": q_js_required,
     "q_query_parse": q_query_parse,
     "q_shard_skip": q_shard_skip,
+    "q_word_segment": q_word_segment,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -18159,6 +18228,7 @@ ORACLES: dict[str, str] = {
     "q_js_required": SQL_JS_REQUIRED,
     "q_query_parse": SQL_QUERY_PARSE,
     "q_shard_skip": SQL_SHARD_SKIP,
+    "q_word_segment": SQL_WORD_SEGMENT,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

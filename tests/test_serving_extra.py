@@ -129,3 +129,44 @@ def test_shard_skip_false_positives_visible_with_tiny_bloom(spark):
     # w1 lives only in shard 1; with a 2-bit bloom the other shards
     # almost surely collide into candidacy
     assert got[1] == (1, 1)
+
+
+def test_word_segment_tiebreak_and_unsegmentable(spark):
+    from biothings_crawler_spark.operators.serving import segment_words
+
+    vocab = spark.createDataFrame(
+        [("new", 10), ("york", 10), ("times", 10), ("newyork", 3),
+         ("a", 100), ("ab", 5), ("b", 100)],
+        "term string, freq long")
+    qs = spark.createDataFrame(
+        [(1, "newyorktimes"),   # 2 words (newyork+times) beats 3
+         (2, "ab"),             # 1 word 'ab' beats 'a'+'b'
+         (3, "zzz"),            # unsegmentable
+         (4, "NewYorkTimes"),   # case-folded
+         (5, "")],
+        "query_id long, q string")
+    got = {r.query_id: (r.segmented, r.n_words)
+           for r in segment_words(qs, vocab).collect()}
+    assert got[1] == ("newyork times", 2)
+    assert got[2] == ("ab", 1)
+    assert got[3] == (None, 0)
+    assert got[4] == ("newyork times", 2)
+    assert got[5] == (None, 0)
+
+
+def test_word_segment_frequency_then_lexicographic(spark):
+    from biothings_crawler_spark.operators.serving import segment_words
+
+    # 'abc' = 'ab'+'c' or 'a'+'bc': both 2 words; freq decides
+    vocab = spark.createDataFrame(
+        [("ab", 9), ("c", 1), ("a", 3), ("bc", 5)],
+        "term string, freq long")
+    qs = spark.createDataFrame([(1, "abc")], "query_id long, q string")
+    got = segment_words(qs, vocab).collect()[0]
+    assert got.segmented == "ab c"       # 9+1 > 3+5
+    # exact tie on count AND freq -> smallest joined string
+    vocab2 = spark.createDataFrame(
+        [("ab", 5), ("c", 5), ("a", 5), ("bc", 5)],
+        "term string, freq long")
+    got2 = segment_words(qs, vocab2).collect()[0]
+    assert got2.segmented == "a bc"      # 'a bc' < 'ab c'
