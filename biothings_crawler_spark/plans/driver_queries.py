@@ -13633,6 +13633,65 @@ FROM qs q2 LEFT JOIN best b USING (query_id)
 SQL_WORD_SEGMENT = _sql_word_segment()
 
 
+def q_feed_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atom feed rendering (sources/feed.render_atom) — the publishing
+    side of the polling loop; cap pinned to 5 so the newest-first
+    truncation lane is exercised (feeds have 3-10 candidate entries).
+    Titles carry '&'/'<' to exercise escaping; pytest additionally
+    round-trips parse_feed(render_atom(e)).  Oracle replays ranking,
+    cap, escaping, and framing in SQL."""
+    from biothings_crawler_spark.sources.feed import render_atom
+
+    d = _t(spark, sf_dir, "documents")
+    entries = d.select(
+        F.concat(F.lit("https://f"), (F.col("doc_id") % 60).cast("string"),
+                 F.lit(".org/feed")).alias("feed_url"),
+        F.concat(F.lit("id-"), F.col("doc_id").cast("string"))
+        .alias("entry_id"),
+        F.concat(F.lit("T&tle <"), (F.col("doc_id") % 97).cast("string"),
+                 F.lit(">")).alias("title"),
+        F.concat(F.lit("https://p/"), F.col("doc_id").cast("string"))
+        .alias("link"),
+        F.date_format(
+            F.timestamp_micros(
+                (F.lit(1756684800) + F.col("doc_id") % 400 * 3600)
+                * 1_000_000),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("updated_iso"),
+    )
+    return render_atom(entries, cap=5)
+
+
+SQL_FEED_RENDER = """
+WITH e AS (
+  SELECT 'https://f' || CAST(doc_id % 60 AS VARCHAR) || '.org/feed'
+           AS feed,
+         'id-' || CAST(doc_id AS VARCHAR) AS entry_id,
+         replace(replace(replace(
+           'T&tle <' || CAST(doc_id % 97 AS VARCHAR) || '>',
+           '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS title_esc,
+         'https://p/' || CAST(doc_id AS VARCHAR) AS link,
+         strftime(to_timestamp(1756684800 + doc_id % 400 * 3600),
+                  '%Y-%m-%dT%H:%M:%SZ') AS upd
+  FROM documents),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY feed
+                               ORDER BY upd DESC, entry_id) AS r
+  FROM e QUALIFY r <= 5),
+docs AS (
+  SELECT feed,
+         '<?xml version="1.0" encoding="utf-8"?>'
+         || '<feed xmlns="http://www.w3.org/2005/Atom">'
+         || string_agg('<entry><id>' || entry_id || '</id><title>'
+                       || title_esc || '</title><link href="' || link
+                       || '"/><updated>' || upd || '</updated></entry>',
+                       '' ORDER BY r)
+         || '</feed>' AS atom_xml,
+         CAST(COUNT(*) AS BIGINT) AS n_entries
+  FROM ranked GROUP BY feed)
+SELECT feed AS feed_url, atom_xml, n_entries FROM docs
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -17880,6 +17939,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_query_parse": q_query_parse,
     "q_shard_skip": q_shard_skip,
     "q_word_segment": q_word_segment,
+    "q_feed_render": q_feed_render,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -18229,6 +18289,7 @@ ORACLES: dict[str, str] = {
     "q_query_parse": SQL_QUERY_PARSE,
     "q_shard_skip": SQL_SHARD_SKIP,
     "q_word_segment": SQL_WORD_SEGMENT,
+    "q_feed_render": SQL_FEED_RENDER,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

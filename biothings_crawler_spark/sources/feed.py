@@ -114,3 +114,60 @@ def feed_new_entries(
     seen-set shape as URL dedup; bucketable on the id key)."""
     return parsed.join(
         seen_ids.select(F.col(id_col)), on=id_col, how="left_anti")
+
+
+def render_atom(
+    entries: DataFrame,
+    feed_col: str = "feed_url",
+    cap: int = 50,
+) -> DataFrame:
+    """Render canonical Atom feeds from an entries table — the fourth
+    parse/render symmetry (robots, sitemap, WARC trio), and the
+    publishing side of the polling loop: a mirror republishes what it
+    crawled, and ``parse_feed(render_atom(e))`` recovering the entries
+    is the cheapest full-coverage proof (pytest-pinned).
+
+    Entries: (feed_url, entry_id, title, link, updated_iso).  Per
+    feed: newest ``cap`` entries by (updated desc, entry_id) — the
+    bounded-feed convention every real publisher follows — rendered
+    newest-first; titles XML-escaped; one row per feed with the
+    document and its entry count.
+
+    Scale shape: the per-feed top-cap is a (feed) window over entry
+    rows — bounded output per feed by construction — then one
+    string_agg bounded by the cap; at 10^8 feeds both shuffles key on
+    feed_url with near-unique keys."""
+    from pyspark.sql import Window
+
+    esc = F.col("title")
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    w = Window.partitionBy("feed").orderBy(
+        F.desc("updated_iso"), F.asc("entry_id"))
+    ranked = entries.select(
+        F.col(feed_col).alias("feed"), "entry_id", "link", "updated_iso",
+        esc.alias("title_esc"),
+    ).withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= cap)
+    entry_xml = F.concat(
+        F.lit("<entry><id>"), F.col("entry_id"),
+        F.lit("</id><title>"), F.col("title_esc"),
+        F.lit('</title><link href="'), F.col("link"),
+        F.lit('"/><updated>'), F.col("updated_iso"),
+        F.lit("</updated></entry>"),
+    )
+    return (
+        ranked.withColumn("e", entry_xml)
+        .groupBy("feed")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0" encoding="utf-8"?>'
+                      '<feed xmlns="http://www.w3.org/2005/Atom">'),
+                F.array_join(
+                    F.array_sort(F.collect_list(F.struct("_r", "e"))).e,
+                    ""),
+                F.lit("</feed>"),
+            ).alias("atom_xml"),
+            F.count(F.lit(1)).cast("long").alias("n_entries"),
+        )
+        .select(F.col("feed").alias("feed_url"), "atom_xml", "n_entries")
+    )

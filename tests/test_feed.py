@@ -98,3 +98,40 @@ def test_feed_entry_stream_exactly_once_across_restart(spark, tmp_path):
     rows = spark.read.parquet(dest).collect()
     ids = sorted(r.entry_id for r in rows)
     assert ids == ["g1", "g2", "g3"]  # no duplicates, one new entry
+
+
+def test_render_atom_roundtrip_through_real_parser(spark):
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.sources.feed import parse_feed, render_atom
+
+    rows = [
+        ("https://f1/feed", f"e{i}", f"Title {i}", f"https://p/{i}",
+         f"2025-01-{10 + i:02d}T00:00:00Z")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "feed_url string, entry_id string, title string, "
+              "link string, updated_iso string")
+    rendered = render_atom(df, cap=5)
+    out = rendered.collect()[0]
+    assert out.n_entries == 5 and out.atom_xml.count("<entry>") == 5
+    back = parse_feed(
+        rendered.select(F.col("feed_url"),
+                        F.col("atom_xml").alias("body")))
+    got = {r.entry_id: (r.title, r.link, r.ts14)
+           for r in back.collect()}
+    # newest 5 survive the cap: e3..e7
+    assert set(got) == {f"e{i}" for i in range(3, 8)}
+    assert got["e7"] == ("Title 7", "https://p/7", "20250117000000")
+
+
+def test_render_atom_escapes_titles(spark):
+    from biothings_crawler_spark.sources.feed import render_atom
+
+    df = spark.createDataFrame(
+        [("f", "e1", "a & <b>", "https://p/1", "2025-01-01T00:00:00Z")],
+        "feed_url string, entry_id string, title string, link string, "
+        "updated_iso string")
+    xml = render_atom(df).collect()[0].atom_xml
+    assert "<title>a &amp; &lt;b&gt;</title>" in xml
