@@ -185,3 +185,65 @@ def quantized_brute_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def embedding_drift(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    warn_below_ppm: int = 900_000,
+) -> DataFrame:
+    """Per-stratum embedding-centroid drift between two corpus
+    snapshots — the VECTOR lane of the drift plane (CUSUM/KS/profile
+    gates watch scalars; a retrained or corrupted encoder moves
+    centroids long before scalar stats notice).
+
+    The metric is defined in CODE SPACE: each vector's 8-bit affine
+    codes (quantize_embeddings) summed per (label, dim) — integer sums
+    are ORDER-INDEPENDENT, so the statistic is exact and
+    partitioning-invariant, which float centroids are not (float
+    addition does not commute at scale; that is why this is the
+    monitored quantity rather than the float mean).  Drift per label =
+    squared cosine between the two integer sum-vectors, exact ppm in
+    decimal(38,0); identical snapshots give exactly 10^6.
+
+    Scale shape: one posexplode + (label, dim) hash agg per snapshot
+    (map-side combine; dims are a constant fan-out), a co-keyed join,
+    one (label) fold, a 1-row-per-label output.  No windows."""
+    def sums(df):
+        q = quantize_embeddings(df, id_col, vec_col,
+                                extra_cols=(label_col,))
+        return (
+            q.select(label_col, F.posexplode("qvec").alias("dim", "c"))
+            .groupBy(label_col, "dim")
+            .agg(F.sum("c").cast("long").alias("s"),
+                 F.count(F.lit(1)).cast("long").alias("n"))
+        )
+    a = sums(snap_a).select(
+        F.col(label_col).alias("label"), "dim",
+        F.col("s").alias("sa"), F.col("n").alias("na"))
+    b = sums(snap_b).select(
+        F.col(label_col).alias("label"), "dim",
+        F.col("s").alias("sb"), F.col("n").alias("nb"))
+    j = a.join(b, ["label", "dim"])
+    per = j.groupBy("label").agg(
+        F.sum(F.col("sa").cast("decimal(38,0)") * F.col("sb"))
+        .alias("_dot"),
+        F.sum(F.col("sa").cast("decimal(38,0)") * F.col("sa"))
+        .alias("_aa"),
+        F.sum(F.col("sb").cast("decimal(38,0)") * F.col("sb"))
+        .alias("_bb"),
+        F.max("na").cast("long").alias("n_vecs_a"),
+        F.max("nb").cast("long").alias("n_vecs_b"),
+    )
+    return per.selectExpr(
+        "label",
+        "n_vecs_a", "n_vecs_b",
+        "CAST(_dot * _dot * 1000000 div (_aa * _bb) AS BIGINT) AS cos2_ppm",
+    ).withColumn(
+        "drifted",
+        F.when(F.col("cos2_ppm") < warn_below_ppm, F.lit(1))
+        .otherwise(F.lit(0)).cast("long"),
+    )

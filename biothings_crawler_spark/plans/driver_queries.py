@@ -13692,6 +13692,75 @@ SELECT feed AS feed_url, atom_xml, n_entries FROM docs
 """
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-centroid drift between snapshots (operators/quantize.
+    embedding_drift): snapshot B REVERSES the vectors of labels with
+    label%3==0 (a deterministic stand-in for a re-trained encoder) —
+    those labels must show cos2 far below 10^6 while untouched labels
+    sit at exactly 10^6.  Code-space integer sums make the statistic
+    order-independent; oracle replays quantization, per-(label,dim)
+    sums, and the HUGEINT cosine fold."""
+    from biothings_crawler_spark.operators.quantize import embedding_drift
+
+    e = _t(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        F.when(F.col("label") % 3 == 0, F.reverse("embedding"))
+        .otherwise(F.col("embedding")).alias("embedding"),
+        "label",
+    )
+    return embedding_drift(e, b)
+
+
+SQL_EMBEDDING_DRIFT = """
+WITH qa AS (
+  SELECT label, embedding AS v FROM embeddings),
+qb AS (
+  SELECT label,
+         CASE WHEN label % 3 = 0 THEN list_reverse(embedding)
+              ELSE embedding END AS v
+  FROM embeddings),
+ca AS (
+  SELECT label, CAST(d.i AS INT) AS dim,
+         CAST(SUM(CASE WHEN list_max(v) - list_min(v) > 0
+                  THEN CAST(floor((CAST(v[d.i + 1] AS DOUBLE)
+                       - CAST(list_min(v) AS DOUBLE)) * 255
+                       / (CAST(list_max(v) AS DOUBLE)
+                          - CAST(list_min(v) AS DOUBLE)) + 0.5) AS INT)
+                  ELSE 0 END) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM qa, unnest(range(len(v))) AS d(i)
+  GROUP BY label, d.i),
+cb AS (
+  SELECT label, CAST(d.i AS INT) AS dim,
+         CAST(SUM(CASE WHEN list_max(v) - list_min(v) > 0
+                  THEN CAST(floor((CAST(v[d.i + 1] AS DOUBLE)
+                       - CAST(list_min(v) AS DOUBLE)) * 255
+                       / (CAST(list_max(v) AS DOUBLE)
+                          - CAST(list_min(v) AS DOUBLE)) + 0.5) AS INT)
+                  ELSE 0 END) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM qb, unnest(range(len(v))) AS d(i)
+  GROUP BY label, d.i),
+j AS (
+  SELECT ca.label, ca.s AS sa, cb.s AS sb, ca.n AS na, cb.n AS nb
+  FROM ca JOIN cb ON ca.label = cb.label AND ca.dim = cb.dim),
+per AS (
+  SELECT label,
+         SUM(CAST(sa AS HUGEINT) * sb) AS dot,
+         SUM(CAST(sa AS HUGEINT) * sa) AS aa,
+         SUM(CAST(sb AS HUGEINT) * sb) AS bb,
+         CAST(MAX(na) AS BIGINT) AS n_vecs_a,
+         CAST(MAX(nb) AS BIGINT) AS n_vecs_b
+  FROM j GROUP BY label)
+SELECT label, n_vecs_a, n_vecs_b,
+       CAST(dot * dot * 1000000 // (aa * bb) AS BIGINT) AS cos2_ppm,
+       CAST(CASE WHEN dot * dot * 1000000 // (aa * bb) < 900000
+                 THEN 1 ELSE 0 END AS BIGINT) AS drifted
+FROM per
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -17940,6 +18009,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_shard_skip": q_shard_skip,
     "q_word_segment": q_word_segment,
     "q_feed_render": q_feed_render,
+    "q_embedding_drift": q_embedding_drift,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -18290,6 +18360,7 @@ ORACLES: dict[str, str] = {
     "q_shard_skip": SQL_SHARD_SKIP,
     "q_word_segment": SQL_WORD_SEGMENT,
     "q_feed_render": SQL_FEED_RENDER,
+    "q_embedding_drift": SQL_EMBEDDING_DRIFT,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
