@@ -76,6 +76,9 @@ SUITE = [
     "q_js_required",
     "q_query_parse",
     "q_shard_skip",
+    "q_word_segment",
+    "q_feed_render",
+    "q_embedding_drift",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",
