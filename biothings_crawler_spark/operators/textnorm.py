@@ -195,3 +195,51 @@ def cp1252_from_latin1_col(text: Column) -> Column:
     matching = "".join(chr(c) for c in range(0x80, 0xA0))
     replace = "".join(chr(v) for v in C1_REMAP)
     return F.translate(text, matching, replace)
+
+
+REFS_HEADINGS = ("references", "bibliography", "works cited")
+
+
+def strip_references(
+    df,
+    id_col: str,
+    text_col: str,
+):
+    """Trailing reference-section removal — the academic-webtext
+    sibling of boilerplate stripping (papers and preprint mirrors end
+    in a citation block that is metadata, not prose; left in, it
+    poisons n-gram stats and teaches models to hallucinate citations).
+
+    Rule, shared verbatim with the RE2 oracle: the LAST line that
+    consists solely of a known heading ('references' / 'bibliography'
+    / 'works cited', case-insensitive, optional trailing colon) cuts
+    the document there — everything from that heading on is dropped;
+    documents without such a line pass through unchanged.  'last'
+    matters: prose that merely contains the word references is not cut
+    (only whole-line headings match), and a heading after an earlier
+    one cuts at the later one (greedy prefix capture).
+
+    Returns (id, clean_text, n_chars_kept, n_chars_cut).  Pure
+    codegen: one regexp extract + one rlike, no shuffle."""
+    alts = "|".join(h.replace(" ", r"\s+") for h in REFS_HEADINGS)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    # greedy (?:.*\n)* pushes the heading match to its LAST
+    # whole-line occurrence; group 1 is everything before it
+    pat = rf"(?is)^((?:.*\n)*)(?:{alts})[ \t]*:?[ \t]*(?:\n.*)?$"
+    matched = t.rlike(rf"(?im)^(?:{alts})[ \t]*:?[ \t]*$")
+    return df.select(
+        F.col(id_col).alias("id"), t.alias("_t"),
+        F.regexp_extract(t, pat, 1).alias("_head"),
+        matched.alias("_m"),
+    ).select(
+        "id",
+        F.when(F.col("_m"),
+               F.regexp_replace(F.col("_head"), r"\s+$", ""))
+        .otherwise(F.col("_t")).alias("clean_text"),
+        F.col("_t").alias("_t"),
+    ).select(
+        "id", "clean_text",
+        F.length("clean_text").cast("long").alias("n_chars_kept"),
+        (F.length("_t") - F.length("clean_text")).cast("long")
+        .alias("n_chars_cut"),
+    )

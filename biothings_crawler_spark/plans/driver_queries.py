@@ -13761,6 +13761,74 @@ FROM per
 """
 
 
+def q_refs_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing reference-section removal (operators/textnorm.
+    strip_references).  Lanes by doc_id%5: clean doc (unchanged),
+    'References' heading + citation lines (cut), 'Bibliography:' with
+    colon (cut), the word references mid-prose only (NOT cut), and
+    TWO headings where the cut must land at the LAST one.  Oracle
+    replays the greedy-prefix extract and the whole-line match in
+    RE2."""
+    from biothings_crawler_spark.operators.textnorm import strip_references
+
+    d = _t(spark, sf_dir, "documents")
+    body = F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 100)
+    lane = F.col("doc_id") % 5
+    txt = (
+        F.when(lane == 0, body)
+        .when(lane == 1, F.concat(
+            body, F.lit("\nReferences\n[1] Smith 2020\n[2] Lee 2021")))
+        .when(lane == 2, F.concat(
+            body, F.lit("\nBibliography:\n- a book")))
+        .when(lane == 3, F.concat(
+            F.lit("see the references section of "), body))
+        .otherwise(F.concat(
+            body, F.lit("\nreferences\nearly block\nmore prose\n"
+                        "REFERENCES\n[9] Late 2024")))
+    )
+    return strip_references(
+        d.select("doc_id", txt.alias("text")), "doc_id", "text")
+
+
+SQL_REFS_STRIP = """
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN substring(coalesce(text, ''), 1, 100)
+           WHEN 1 THEN substring(coalesce(text, ''), 1, 100)
+                || chr(10) || 'References' || chr(10) || '[1] Smith 2020'
+                || chr(10) || '[2] Lee 2021'
+           WHEN 2 THEN substring(coalesce(text, ''), 1, 100)
+                || chr(10) || 'Bibliography:' || chr(10) || '- a book'
+           WHEN 3 THEN 'see the references section of '
+                || substring(coalesce(text, ''), 1, 100)
+           ELSE substring(coalesce(text, ''), 1, 100)
+                || chr(10) || 'references' || chr(10) || 'early block'
+                || chr(10) || 'more prose' || chr(10) || 'REFERENCES'
+                || chr(10) || '[9] Late 2024'
+         END AS t
+  FROM documents),
+m AS (
+  SELECT doc_id, t,
+         regexp_matches(t,
+           '(?im)^(?:references|bibliography|works\\s+cited)'
+           || '[ \\t]*:?[ \\t]*$') AS hit,
+         regexp_extract(t,
+           '(?is)^((?:.*\\n)*)(?:references|bibliography|works\\s+cited)'
+           || '[ \\t]*:?[ \\t]*(?:\\n.*)?$', 1) AS head
+  FROM d)
+SELECT doc_id AS id,
+       CASE WHEN hit THEN regexp_replace(head, '\\s+$', '')
+            ELSE t END AS clean_text,
+       CAST(length(CASE WHEN hit THEN regexp_replace(head, '\\s+$', '')
+                        ELSE t END) AS BIGINT) AS n_chars_kept,
+       CAST(length(t)
+            - length(CASE WHEN hit THEN regexp_replace(head, '\\s+$', '')
+                          ELSE t END) AS BIGINT) AS n_chars_cut
+FROM m
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -18010,6 +18078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_word_segment": q_word_segment,
     "q_feed_render": q_feed_render,
     "q_embedding_drift": q_embedding_drift,
+    "q_refs_strip": q_refs_strip,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -18361,6 +18430,7 @@ ORACLES: dict[str, str] = {
     "q_word_segment": SQL_WORD_SEGMENT,
     "q_feed_render": SQL_FEED_RENDER,
     "q_embedding_drift": SQL_EMBEDDING_DRIFT,
+    "q_refs_strip": SQL_REFS_STRIP,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

@@ -130,3 +130,30 @@ def test_cp1252_from_latin1_matches_codec(spark):
         "i", cp1252_from_latin1_col(F.col("s")).alias("d")).collect()}
     for i, (s, exp) in enumerate(fixed):
         assert got[i] == exp, (hex(ord(s)), got[i], exp)
+
+
+def test_strip_references_lanes(spark):
+    from biothings_crawler_spark.operators.textnorm import strip_references
+
+    rows = [
+        (1, "prose only, no heading"),
+        (2, "intro text\nReferences\n[1] a\n[2] b"),
+        (3, "intro\nBibliography:\n- book"),
+        (4, "the references section is discussed here"),  # mid-prose
+        (5, "a\nreferences\nearly\nmore\nREFERENCES\n[9] late"),
+        (6, "works   cited\n[1] only a heading doc"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: (r.clean_text, r.n_chars_cut)
+           for r in strip_references(df, "doc_id", "text").collect()}
+    assert got[1] == ("prose only, no heading", 0)
+    assert got[2][0] == "intro text"
+    assert got[2][1] == len("\nReferences\n[1] a\n[2] b")
+    assert got[3][0] == "intro"
+    assert got[4] == ("the references section is discussed here", 0)
+    # LAST heading wins: the early lowercase block survives
+    assert got[5][0] == "a\nreferences\nearly\nmore"
+    # heading on line 1: everything cut
+    assert got[6][0] == ""
+    assert got[7] == ("", 0)
