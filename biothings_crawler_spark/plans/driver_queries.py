@@ -13829,6 +13829,78 @@ FROM m
 """
 
 
+def q_depth_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl depth-yield curve — the planner's 'how deep is still
+    worth it' report: per BFS depth from the trustrank seed set
+    (q_seed_distance's exact shape), page count, exact mean quality
+    (ppm over the q40 scale), and the cumulative page share.  The
+    per-depth census is one hash agg; the cumulative runs over <= 7
+    depth rows (bounded window by construction, the epoch-alloc
+    precedent).  Oracle: the same recursive-CTE distances + quality
+    twin + window."""
+    from pyspark.sql import Window
+
+    from biothings_crawler_spark.operators.pagerank import seed_distance
+
+    e = _hub_edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 13 == 0)
+    )
+    dist = seed_distance(e, seeds, max_hops=SEED_HOPS)
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(F.col("doc_id").alias("node"),
+                 F.round(quality_score_col(F.col("text")) * 40)
+                 .cast("long").alias("q40"))
+    per = (
+        dist.join(q, "node")
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"),
+             F.sum("q40").cast("long").alias("_sq"))
+        .withColumn("mean_q_ppm",
+                    F.expr("_sq * 1000000 div (n_pages * 40)")
+                    .cast("long"))
+    )
+    tot = per.agg(F.sum("n_pages").cast("long").alias("_tot"))
+    w = Window.orderBy("dist")
+    return (
+        per.join(F.broadcast(tot))
+        .withColumn("cum_pages", F.sum("n_pages").over(w).cast("long"))
+        .selectExpr(
+            "dist", "n_pages", "mean_q_ppm",
+            "CAST(cum_pages * 1000000 div _tot AS BIGINT) AS cum_share_ppm",
+        )
+    )
+
+
+SQL_DEPTH_YIELD = f"""
+WITH RECURSIVE {_SQL_HUBGRAPH},
+seeds AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+          WHERE node % 13 = 0),
+dd(node, dist) AS (
+  SELECT node, 0 FROM seeds
+  UNION ALL
+  SELECT e.dst, dd.dist + 1 FROM dd JOIN e ON e.src = dd.node
+  WHERE dd.dist < {{hops}}),
+dist AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+         FROM dd GROUP BY node),
+q AS (SELECT doc_id AS node, {{q40}} AS q40 FROM documents),
+per AS (
+  SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_pages,
+         CAST(SUM(q40) AS BIGINT) AS sq
+  FROM dist JOIN q USING (node) GROUP BY dist),
+tot AS (SELECT CAST(SUM(n_pages) AS BIGINT) AS t FROM per)
+SELECT dist, n_pages,
+       CAST(sq * 1000000 // (n_pages * 40) AS BIGINT) AS mean_q_ppm,
+       CAST(CAST(SUM(n_pages) OVER (ORDER BY dist) AS BIGINT)
+            * 1000000 // (SELECT t FROM tot) AS BIGINT) AS cum_share_ppm
+FROM per
+""".format(hops=SEED_HOPS, q40=_SQL_Q40)
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -18079,6 +18151,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_feed_render": q_feed_render,
     "q_embedding_drift": q_embedding_drift,
     "q_refs_strip": q_refs_strip,
+    "q_depth_yield": q_depth_yield,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -18431,6 +18504,7 @@ ORACLES: dict[str, str] = {
     "q_feed_render": SQL_FEED_RENDER,
     "q_embedding_drift": SQL_EMBEDDING_DRIFT,
     "q_refs_strip": SQL_REFS_STRIP,
+    "q_depth_yield": SQL_DEPTH_YIELD,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
