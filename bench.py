@@ -79,6 +79,8 @@ SUITE = [
     "q_word_segment",
     "q_feed_render",
     "q_embedding_drift",
+    "q_refs_strip",
+    "q_depth_yield",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",
