@@ -493,3 +493,44 @@ def fetch_fairness(fetches: DataFrame, host_col: str = "host") -> DataFrame:
             " as bigint)"
         ).alias("jain_ppm"),
     )
+
+
+def rendezvous_assign(
+    hosts: DataFrame,
+    n_workers: int,
+    host_col: str = "host",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) fetcher assignment — which
+    crawler worker owns which host (Thaler & Ravishankar 1998; the
+    politeness plane needs hosts PINNED to workers so per-host rate
+    limits are enforced by exactly one process, and HRW beats
+    mod-hashing because adding a worker moves only ~1/(N+1) of hosts
+    instead of reshuffling nearly all of them).
+
+    weight(host, w) = md5-u32 of 'w:host'; owner = argmax weight, ties
+    to the smaller worker id.  Row-local: the argmax folds over the
+    bounded worker list inside one projection — no shuffle, no join;
+    the oracle replays every weight."""
+    scores = F.array(*[
+        F.struct(
+            F.conv(F.substring(F.md5(F.concat(
+                F.lit(f"{w}:"), F.col(host_col))), 1, 8), 16, 10)
+            .cast("long").alias("weight"),
+            F.lit(w).alias("worker"),
+        )
+        for w in range(n_workers)
+    ])
+    best = F.aggregate(
+        scores,
+        F.struct(F.lit(-1).cast("long").alias("weight"),
+                 F.lit(-1).alias("worker")),
+        lambda acc, s: F.when(
+            (s["weight"] > acc["weight"])
+            | ((s["weight"] == acc["weight"])
+               & (s["worker"] < acc["worker"])), s).otherwise(acc),
+    )
+    return hosts.select(
+        F.col(host_col).alias("host"),
+        best["worker"].cast("long").alias("worker"),
+        best["weight"].alias("weight"),
+    )

@@ -13901,6 +13901,58 @@ FROM per
 """.format(hops=SEED_HOPS, q40=_SQL_Q40)
 
 
+def q_rendezvous_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HRW fetcher assignment (operators/politeness.rendezvous_assign)
+    at N=8 and N=9 side by side: per host, both owners plus a moved
+    flag — the minimal-churn property (≈1/9 of hosts move when a
+    worker joins) is the operational point and is pytest-asserted on
+    the aggregate.  Oracle replays every md5 weight and both
+    argmaxes."""
+    from biothings_crawler_spark.operators.politeness import (
+        rendezvous_assign,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id")).cast("string"),
+                 F.lit(".example.org")).alias("host")).distinct()
+    a = rendezvous_assign(hosts, 8).select(
+        "host", F.col("worker").alias("worker_8"))
+    b = rendezvous_assign(hosts, 9).select(
+        "host", F.col("worker").alias("worker_9"))
+    return a.join(b, "host").select(
+        "host", "worker_8", "worker_9",
+        F.when(F.col("worker_8") != F.col("worker_9"), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("moved"),
+    )
+
+
+SQL_RENDEZVOUS_ASSIGN = """
+WITH hosts AS (
+  SELECT DISTINCT 'h' || CAST(doc_id AS VARCHAR) || '.example.org' AS host
+  FROM documents),
+w AS (
+  SELECT host, CAST(n.i AS BIGINT) AS worker,
+         CAST(('0x' || substr(md5(CAST(n.i AS VARCHAR) || ':' || host),
+                              1, 8)) AS BIGINT) AS weight
+  FROM hosts, unnest(range(9)) AS n(i)),
+a8 AS (
+  SELECT host, worker AS worker_8 FROM w WHERE worker < 8
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY host
+                             ORDER BY weight DESC, worker) = 1),
+a9 AS (
+  SELECT host, worker AS worker_9 FROM w
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY host
+                             ORDER BY weight DESC, worker) = 1)
+SELECT h.host, a8.worker_8, a9.worker_9,
+       CAST(CASE WHEN a8.worker_8 <> a9.worker_9 THEN 1 ELSE 0 END
+            AS BIGINT) AS moved
+FROM hosts h
+JOIN a8 ON a8.host = h.host
+JOIN a9 ON a9.host = h.host
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -18152,6 +18204,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_drift": q_embedding_drift,
     "q_refs_strip": q_refs_strip,
     "q_depth_yield": q_depth_yield,
+    "q_rendezvous_assign": q_rendezvous_assign,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -18505,6 +18558,7 @@ ORACLES: dict[str, str] = {
     "q_embedding_drift": SQL_EMBEDDING_DRIFT,
     "q_refs_strip": SQL_REFS_STRIP,
     "q_depth_yield": SQL_DEPTH_YIELD,
+    "q_rendezvous_assign": SQL_RENDEZVOUS_ASSIGN,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

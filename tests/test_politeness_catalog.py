@@ -349,3 +349,29 @@ def test_priority_fusion_huge_scores_no_overflow(spark):
     got = {r["url_canon"]: r["fused_ppm"]
            for r in fuse_priority(a, empty, empty, 100, 0, 0).collect()}
     assert got["u1"] == 1_000_000 and got["u2"] == 500_000
+
+
+def test_rendezvous_minimal_movement_and_balance(spark):
+    """HRW: adding a worker moves only the hosts the NEW worker wins
+    (~1/(N+1)), and every moved host moves TO the new worker."""
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.politeness import (
+        rendezvous_assign,
+    )
+
+    hosts = spark.createDataFrame(
+        [(f"h{i}.org",) for i in range(400)], "host string")
+    a = rendezvous_assign(hosts, 8).select(
+        "host", F.col("worker").alias("w8"))
+    b = rendezvous_assign(hosts, 9).select(
+        "host", F.col("worker").alias("w9"))
+    j = a.join(b, "host").collect()
+    moved = [r for r in j if r.w8 != r.w9]
+    assert all(r.w9 == 8 for r in moved)          # only to the newcomer
+    assert 400 // 9 * 0.4 < len(moved) < 400 // 9 * 2.0
+    # assignment is total and deterministic
+    assert all(0 <= r.w8 < 8 and 0 <= r.w9 < 9 for r in j)
+    again = {r.host: r.worker
+             for r in rendezvous_assign(hosts.repartition(7), 8).collect()}
+    assert all(again[r.host] == r.w8 for r in j)
