@@ -81,6 +81,7 @@ SUITE = [
     "q_embedding_drift",
     "q_refs_strip",
     "q_depth_yield",
+    "q_rendezvous_assign",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",
