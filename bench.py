@@ -82,6 +82,7 @@ SUITE = [
     "q_refs_strip",
     "q_depth_yield",
     "q_rendezvous_assign",
+    "q_meta_refresh",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

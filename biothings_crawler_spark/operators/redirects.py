@@ -212,3 +212,117 @@ def assemble_pagination(
         F.array_join("chain", "|").alias("chain"),
         "status",
     )
+
+
+# --- client-side (meta refresh / JS) redirects --------------------------
+#
+# The HTTP redirect plane above only sees 3xx hops; real sites also
+# redirect client-side, and search engines treat an immediate
+# meta-refresh or scripted location change as a "sneaky redirect"
+# (classic cloaking vector).  A crawler that ignores them both misses
+# content (the target never enters the frontier) and mis-attributes it
+# (text indexed under the redirecting URL).  All regexes are RE2-safe
+# so the DuckDB oracle replays the identical extraction.
+
+_META_REFRESH_EL = r"(?i)<meta\b[^>]*http-equiv\s*=\s*[\"']?refresh[\"']?[^>]*>"
+# content= value split by quote style: a double-quoted attr may carry
+# single quotes inside (content="5;URL='/x'"), so a joint [^"'] class
+# would truncate it — try double-quoted first, then single-quoted.
+_CONTENT_ATTR_DQ = r'(?i)content\s*=\s*"([^">]*)"'
+_CONTENT_ATTR_SQ = r"(?i)content\s*=\s*'([^'>]*)'"
+_REFRESH_DELAY = r"^\s*(\d+)"
+_REFRESH_URL = r"(?i)url\s*=\s*[\"']?\s*([^\"' >;]+)"
+_JS_ASSIGN = (
+    r"(?i)(?:window\.|document\.|top\.)?location(?:\.href)?"
+    r"\s*=\s*[\"']([^\"']+)[\"']"
+)
+_JS_REPLACE = r"(?i)location\.replace\(\s*[\"']([^\"']+)[\"']\s*\)"
+
+
+def client_redirects(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html_text",
+) -> DataFrame:
+    """Client-side redirect extraction: one row per detected signal.
+
+    Signals (first occurrence each, which is what browsers honor):
+
+    * ``meta`` — ``<meta http-equiv=refresh content="N; url=T">``,
+      either attribute order, optionally quoted target, delay
+      defaulting to 0 when the content string leads with ``url=``.
+      A delay-only refresh (no url= part) reloads self — not a
+      redirect, no row.
+    * ``js`` — ``[window.]location[.href] = '...'`` assignment or
+      ``location.replace('...')``.
+
+    Targets resolve with the anchor-plane policy (extract.
+    anchor_pairs_col): absolute http(s) kept, root-relative joined
+    onto the page's scheme+host, anything else → ``target_abs`` NULL.
+    ``sneaky`` flags what search engines penalize: any scripted
+    redirect, or a meta refresh with delay ≤ 1 s.
+
+    Output: (id, url, kind, delay, target, target_abs, sneaky).
+    Shape: pure whole-stage-codegen projections + one explode of a
+    ≤2-element array — zero shuffles, zero Python.
+    """
+    html = F.col(html_col)
+    root = F.regexp_extract(F.col(url_col), r"^(https?://[^/]+)", 1)
+
+    el = F.regexp_extract(html, _META_REFRESH_EL, 0)
+    content = F.coalesce(
+        F.nullif(F.regexp_extract(el, _CONTENT_ATTR_DQ, 1), F.lit("")),
+        F.nullif(F.regexp_extract(el, _CONTENT_ATTR_SQ, 1), F.lit("")),
+        F.lit(""),
+    )
+    meta_tgt = F.nullif(F.regexp_extract(content, _REFRESH_URL, 1), F.lit(""))
+    meta_delay = F.coalesce(
+        F.nullif(F.regexp_extract(content, _REFRESH_DELAY, 1), F.lit(""))
+        .cast("long"),
+        F.lit(0),
+    )
+    js_tgt = F.nullif(
+        F.coalesce(
+            F.nullif(F.regexp_extract(html, _JS_ASSIGN, 1), F.lit("")),
+            F.nullif(F.regexp_extract(html, _JS_REPLACE, 1), F.lit("")),
+        ),
+        F.lit(""),
+    )
+
+    def _sig(kind: str, tgt: F.Column, delay: F.Column) -> F.Column:
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            delay.cast("long").alias("delay"),
+            tgt.alias("target"),
+        )
+
+    sigs = F.filter(
+        F.array(
+            _sig("meta", meta_tgt, meta_delay),
+            _sig("js", js_tgt, F.lit(0)),
+        ),
+        lambda s: s.getField("target").isNotNull(),
+    )
+    out = pages.select(
+        F.col(id_col).alias("id"),
+        F.col(url_col).alias("url"),
+        root.alias("_root"),
+        F.explode(sigs).alias("s"),
+    )
+    tgt = F.col("s.target")
+    abs_ = (
+        F.when(tgt.rlike(r"^https?://"), tgt)
+        .when(tgt.startswith("/"), F.concat(F.col("_root"), tgt))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return out.select(
+        "id", "url",
+        F.col("s.kind").alias("kind"),
+        F.col("s.delay").alias("delay"),
+        tgt.alias("target"),
+        abs_.alias("target_abs"),
+        F.when(
+            (F.col("s.kind") == "js") | (F.col("s.delay") <= 1), F.lit(1)
+        ).otherwise(F.lit(0)).cast("long").alias("sneaky"),
+    )

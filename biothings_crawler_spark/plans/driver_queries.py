@@ -13953,6 +13953,113 @@ JOIN a9 ON a9.host = h.host
 """
 
 
+def q_meta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client-side redirect extraction (operators/redirects.
+    client_redirects): meta refresh in both attribute orders and both
+    quote styles (incl. a double-quoted content carrying a
+    single-quoted url), delay-only refresh dropped, JS location
+    assignment and location.replace, root-relative resolution onto the
+    page origin, sneaky flag on immediate/scripted redirects.  Oracle
+    replays the identical RE2 extraction in DuckDB."""
+    from biothings_crawler_spark.operators.redirects import client_redirects
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 7
+    body = (
+        F.when(m == 1, F.concat(
+            F.lit('<meta http-equiv="refresh" '
+                  'content="0; url=https://other.example.com/p'),
+            i, F.lit('">')))
+        .when(m == 2, F.concat(
+            F.lit('<meta http-equiv=refresh content="5;URL=\'/page'),
+            i, F.lit("'\">")))
+        .when(m == 3, F.concat(
+            F.lit('<meta content="2; url=next'), i,
+            F.lit('.html" http-equiv="Refresh">')))
+        .when(m == 4, F.lit('<meta http-equiv="refresh" content="30">'))
+        .when(m == 5, F.concat(
+            F.lit('<script>window.location.href="https://js.example.org/'),
+            i, F.lit('";</script>')))
+        .when(m == 6, F.concat(
+            F.lit("<script>location.replace('/moved/"), i,
+            F.lit("')</script>")))
+        .otherwise(F.lit(""))
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".example.com/a/page"), i).alias("url"),
+        F.concat(F.lit("<html><head>"), body, F.lit("</head><body>"),
+                 F.col("text"), F.lit("</body></html>")).alias("html_text"),
+    )
+    return client_redirects(pages)
+
+
+SQL_META_REFRESH = r"""
+WITH p AS (
+  SELECT doc_id,
+         'https://h' || CAST(doc_id % 50 AS VARCHAR)
+         || '.example.com/a/page' || CAST(doc_id AS VARCHAR) AS url,
+         '<html><head>' ||
+         CASE doc_id % 7
+           WHEN 1 THEN '<meta http-equiv="refresh" '
+                       || 'content="0; url=https://other.example.com/p'
+                       || CAST(doc_id AS VARCHAR) || '">'
+           WHEN 2 THEN '<meta http-equiv=refresh content="5;URL=''/page'
+                       || CAST(doc_id AS VARCHAR) || '''">'
+           WHEN 3 THEN '<meta content="2; url=next'
+                       || CAST(doc_id AS VARCHAR)
+                       || '.html" http-equiv="Refresh">'
+           WHEN 4 THEN '<meta http-equiv="refresh" content="30">'
+           WHEN 5 THEN '<script>window.location.href="https://js.example.org/'
+                       || CAST(doc_id AS VARCHAR) || '";</script>'
+           WHEN 6 THEN '<script>location.replace(''/moved/'
+                       || CAST(doc_id AS VARCHAR) || ''')</script>'
+           ELSE '' END
+         || '</head><body>' || text || '</body></html>' AS html
+  FROM documents),
+el AS (
+  SELECT doc_id, url, html,
+         regexp_extract(html,
+           '(?i)<meta\b[^>]*http-equiv\s*=\s*["'']?refresh["'']?[^>]*>',
+           0) AS el,
+         regexp_extract(url, '^(https?://[^/]+)', 1) AS root
+  FROM p),
+c AS (
+  SELECT *, COALESCE(
+           NULLIF(regexp_extract(el, '(?i)content\s*=\s*"([^">]*)"', 1), ''),
+           NULLIF(regexp_extract(el, '(?i)content\s*=\s*''([^''>]*)''', 1),
+                  ''),
+           '') AS content
+  FROM el),
+sig AS (
+  SELECT doc_id, url, root, 'meta' AS kind,
+         COALESCE(TRY_CAST(NULLIF(regexp_extract(content,
+           '^\s*([0-9]+)', 1), '') AS BIGINT), 0) AS delay,
+         NULLIF(regexp_extract(content,
+           '(?i)url\s*=\s*["'']?\s*([^"'' >;]+)', 1), '') AS target
+  FROM c
+  UNION ALL
+  SELECT doc_id, url, root, 'js' AS kind, CAST(0 AS BIGINT) AS delay,
+         COALESCE(
+           NULLIF(regexp_extract(html,
+             '(?i)(?:window\.|document\.|top\.)?location(?:\.href)?\s*=\s*["'']([^"'']+)["'']',
+             1), ''),
+           NULLIF(regexp_extract(html,
+             '(?i)location\.replace\(\s*["'']([^"'']+)["'']\s*\)', 1),
+             '')) AS target
+  FROM c)
+SELECT doc_id AS id, url, kind, delay, target,
+       CASE WHEN regexp_matches(target, '^https?://') THEN target
+            WHEN target LIKE '/%' THEN root || target
+            ELSE NULL END AS target_abs,
+       CAST(CASE WHEN kind = 'js' OR delay <= 1 THEN 1 ELSE 0 END
+            AS BIGINT) AS sneaky
+FROM sig WHERE target IS NOT NULL
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -18205,6 +18312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_refs_strip": q_refs_strip,
     "q_depth_yield": q_depth_yield,
     "q_rendezvous_assign": q_rendezvous_assign,
+    "q_meta_refresh": q_meta_refresh,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -18559,6 +18667,7 @@ ORACLES: dict[str, str] = {
     "q_refs_strip": SQL_REFS_STRIP,
     "q_depth_yield": SQL_DEPTH_YIELD,
     "q_rendezvous_assign": SQL_RENDEZVOUS_ASSIGN,
+    "q_meta_refresh": SQL_META_REFRESH,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

@@ -132,3 +132,53 @@ def test_pagination_truncation_and_dangling_next(spark):
             for r in assemble_pagination(spark.createDataFrame(
                 [("x0", "x1")], "url string, next_url string")).collect()}
     assert got2["x0"] == (2, "x0|x1", "complete")
+
+
+def test_client_redirects_lanes(spark):
+    from biothings_crawler_spark.operators.redirects import client_redirects
+
+    pages = spark.createDataFrame(
+        [
+            # immediate absolute meta refresh -> sneaky
+            (1, "https://a.com/x/p",
+             '<meta http-equiv="refresh" content="0; url=https://b.com/t">'),
+            # double-quoted content carrying a single-quoted root-relative url
+            (2, "https://a.com/x/p",
+             "<meta http-equiv=refresh content=\"5;URL='/page2'\">"),
+            # content-first attribute order, dir-relative target
+            (3, "https://a.com/x/p",
+             '<meta content="2; url=next.html" http-equiv="Refresh">'),
+            # delay-only refresh: reload-self, not a redirect
+            (4, "https://a.com/x/p",
+             '<meta http-equiv="refresh" content="30">'),
+            # scripted assignment
+            (5, "https://a.com/x/p",
+             '<script>window.location.href="https://js.org/5";</script>'),
+            # scripted replace, root-relative
+            (6, "https://a.com/x/p",
+             "<script>location.replace('/moved/6')</script>"),
+            # both signals on one page -> two rows
+            (7, "https://a.com/x/p",
+             '<meta http-equiv="refresh" content="0;url=/m7">'
+             '<script>location.replace("/j7")</script>'),
+            (8, "https://a.com/x/p", "<p>no redirect</p>"),
+        ],
+        "doc_id long, url string, html_text string",
+    )
+    rows = {(r["id"], r["kind"]): r for r in client_redirects(pages).collect()}
+    assert set(rows) == {(1, "meta"), (2, "meta"), (3, "meta"), (5, "js"),
+                         (6, "js"), (7, "meta"), (7, "js")}
+    r1 = rows[(1, "meta")]
+    assert (r1["delay"], r1["target_abs"], r1["sneaky"]) == (
+        0, "https://b.com/t", 1)
+    r2 = rows[(2, "meta")]
+    assert (r2["delay"], r2["target"], r2["target_abs"], r2["sneaky"]) == (
+        5, "/page2", "https://a.com/page2", 0)
+    r3 = rows[(3, "meta")]
+    assert (r3["delay"], r3["target"], r3["target_abs"]) == (
+        2, "next.html", None)
+    assert rows[(5, "js")]["target_abs"] == "https://js.org/5"
+    assert rows[(5, "js")]["sneaky"] == 1
+    assert rows[(6, "js")]["target_abs"] == "https://a.com/moved/6"
+    assert rows[(7, "meta")]["target_abs"] == "https://a.com/m7"
+    assert rows[(7, "js")]["target_abs"] == "https://a.com/j7"
