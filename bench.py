@@ -83,6 +83,7 @@ SUITE = [
     "q_depth_yield",
     "q_rendezvous_assign",
     "q_meta_refresh",
+    "q_cloaking_hosts",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

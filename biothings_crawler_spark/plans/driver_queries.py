@@ -14060,6 +14060,100 @@ FROM sig WHERE target IS NOT NULL
 """
 
 
+def q_cloaking_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-UA cloaking verdicts (operators/cloaking.cloaking_verdicts):
+    long-format fetch table pivoted by ONE hash agg, then row-local
+    integer word-set Jaccard + length-ratio ladder. Lanes: identical,
+    whitespace/case-only dynamic, keyword-stuffed cloak, tripled-text
+    stuffing cloak (ratio trigger), one-word drift, missing bot fetch.
+    Oracle replays the ladder on the pivoted shape."""
+    from biothings_crawler_spark.operators.cloaking import cloaking_verdicts
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 6
+    bot = (
+        F.when(m == 1, F.upper(F.regexp_replace(F.col("text"), " ", "  ")))
+        .when(m == 2, F.concat(F.repeat(F.lit("buy cheap pills now "), 8), i))
+        .when(m == 3, F.concat(F.col("text"), F.lit(" "), F.col("text"),
+                               F.lit(" "), F.col("text")))
+        .when(m == 4, F.concat(F.col("text"), F.lit(" zzzunique"), i))
+        .when(m == 5, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+    )
+    base = d.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 40).cast("string"),
+                 F.lit(".example.com/p"), i).alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string")).alias("host"),
+        bot.alias("bot"), F.col("text").alias("browser"),
+    )
+    fetches = base.select(
+        "url", "host",
+        F.explode(F.array(
+            F.struct(F.lit("bot").alias("ua"), F.col("bot").alias("text")),
+            F.struct(F.lit("browser").alias("ua"),
+                     F.col("browser").alias("text")),
+        )).alias("f"),
+    ).select("url", "host", "f.ua", "f.text").filter(F.col("text").isNotNull())
+    return cloaking_verdicts(fetches)
+
+
+SQL_CLOAKING_HOSTS = r"""
+WITH base AS (
+  SELECT 'https://h' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+         'h' || CAST(doc_id % 40 AS VARCHAR) AS host,
+         CASE doc_id % 6
+           WHEN 1 THEN upper(replace(text, ' ', '  '))
+           WHEN 2 THEN repeat('buy cheap pills now ', 8)
+                       || CAST(doc_id AS VARCHAR)
+           WHEN 3 THEN text || ' ' || text || ' ' || text
+           WHEN 4 THEN text || ' zzzunique' || CAST(doc_id AS VARCHAR)
+           WHEN 5 THEN NULL
+           ELSE text END AS bot,
+         text AS browser
+  FROM documents),
+w AS (
+  SELECT url, host, bot, browser,
+         list_filter(string_split_regex(lower(bot), '\s+'),
+                     x -> len(x) > 0) AS wb,
+         list_filter(string_split_regex(lower(browser), '\s+'),
+                     x -> len(x) > 0) AS ww
+  FROM base),
+s AS (
+  SELECT url, host, bot, browser,
+         CAST(len(wb) AS BIGINT) AS n_bot,
+         CAST(len(ww) AS BIGINT) AS n_browser,
+         array_to_string(wb, ' ') AS norm_b,
+         array_to_string(ww, ' ') AS norm_w,
+         CAST(len(list_intersect(list_distinct(wb), list_distinct(ww)))
+              AS BIGINT) AS inter,
+         CAST(len(list_distinct(wb)) + len(list_distinct(ww))
+              AS BIGINT) AS sizes
+  FROM w),
+v AS (
+  SELECT *,
+         CASE WHEN sizes - inter > 0
+              THEN inter * 1000000 // (sizes - inter)
+              ELSE 1000000 END AS jac,
+         greatest(n_bot, n_browser) * 1000000
+           // greatest(least(n_bot, n_browser), 1) AS ratio,
+         (bot IS NULL OR browser IS NULL) AS part
+  FROM s)
+SELECT url, host,
+       CASE WHEN part THEN 'partial'
+            WHEN bot = browser THEN 'same'
+            WHEN norm_b = norm_w THEN 'dynamic'
+            WHEN jac < 500000 OR ratio > 1500000 THEN 'cloaked'
+            ELSE 'differs' END AS verdict,
+       CASE WHEN NOT part THEN n_bot END AS n_bot,
+       CASE WHEN NOT part THEN n_browser END AS n_browser,
+       CAST(CASE WHEN NOT part THEN jac END AS BIGINT) AS jaccard_ppm,
+       CAST(CASE WHEN NOT part THEN ratio END AS BIGINT) AS ratio_ppm
+FROM v
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -18313,6 +18407,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_depth_yield": q_depth_yield,
     "q_rendezvous_assign": q_rendezvous_assign,
     "q_meta_refresh": q_meta_refresh,
+    "q_cloaking_hosts": q_cloaking_hosts,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -18668,6 +18763,7 @@ ORACLES: dict[str, str] = {
     "q_depth_yield": SQL_DEPTH_YIELD,
     "q_rendezvous_assign": SQL_RENDEZVOUS_ASSIGN,
     "q_meta_refresh": SQL_META_REFRESH,
+    "q_cloaking_hosts": SQL_CLOAKING_HOSTS,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
