@@ -84,6 +84,7 @@ SUITE = [
     "q_rendezvous_assign",
     "q_meta_refresh",
     "q_cloaking_hosts",
+    "q_idn_decode",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

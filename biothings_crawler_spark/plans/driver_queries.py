@@ -14154,6 +14154,72 @@ FROM v
 """
 
 
+def q_idn_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3492 Punycode host decoding (operators/idn.idn_decode):
+    Latin/Cyrillic/Greek/CJK labels, a mixed-script homograph label,
+    case-folded ACE prefix, plain-ASCII passthrough, and two malformed
+    lanes (bad digit, codepoint overflow) landing in decode_err — the
+    media plane's policy. Oracle pins stdlib-verified ground-truth
+    pairs (pytest fuzz-checks the decoder against the stdlib codec on
+    5000 random labels)."""
+    from biothings_crawler_spark.operators.idn import idn_decode
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 9
+    lab = (
+        F.when(m == 0, F.lit("XN--MNCHEN-3YA"))
+        .when(m == 1, F.lit("xn--bcher-kva"))
+        .when(m == 2, F.lit("xn--h1alffa9f"))
+        .when(m == 3, F.lit("xn--hxakic4aa"))
+        .when(m == 4, F.lit("xn--r8jz45g"))
+        .when(m == 5, F.lit("xn--paypal-ccount-21k"))
+        .when(m == 6, F.lit("WWW"))
+        .when(m == 7, F.lit("xn--a-ecp!"))
+        .otherwise(F.lit("xn--9999999999h"))
+    )
+    hosts = d.select(
+        "doc_id",
+        F.concat(lab, F.lit(".site"), (F.col("doc_id") % 30).cast("string"),
+                 F.lit(".example")).alias("host"),
+    )
+    return idn_decode(hosts).select(
+        "doc_id", "host", "unicode_host", "decode_err", "ace")
+
+
+SQL_IDN_DECODE = """
+WITH h AS (
+  SELECT doc_id,
+         CASE doc_id % 9
+           WHEN 0 THEN 'XN--MNCHEN-3YA'
+           WHEN 1 THEN 'xn--bcher-kva'
+           WHEN 2 THEN 'xn--h1alffa9f'
+           WHEN 3 THEN 'xn--hxakic4aa'
+           WHEN 4 THEN 'xn--r8jz45g'
+           WHEN 5 THEN 'xn--paypal-ccount-21k'
+           WHEN 6 THEN 'WWW'
+           WHEN 7 THEN 'xn--a-ecp!'
+           ELSE 'xn--9999999999h' END AS lab,
+         '.site' || CAST(doc_id % 30 AS VARCHAR) || '.example' AS tail
+  FROM documents)
+SELECT doc_id, lab || tail AS host,
+       CASE doc_id % 9
+         WHEN 0 THEN 'münchen' || tail
+         WHEN 1 THEN 'bücher' || tail
+         WHEN 2 THEN 'россия' || tail
+         WHEN 3 THEN 'ελλάδα' || tail
+         WHEN 4 THEN '例え' || tail
+         WHEN 5 THEN 'paypal-аccount' || tail
+         WHEN 6 THEN 'www' || tail
+         ELSE lab || tail END AS unicode_host,
+       CASE doc_id % 9
+         WHEN 7 THEN 'xn--a-ecp!: invalid punycode digit ''!'''
+         WHEN 8 THEN 'xn--9999999999h: codepoint overflow'
+         END AS decode_err,
+       CAST(CASE WHEN doc_id % 9 = 6 THEN 0 ELSE 1 END AS BIGINT) AS ace
+FROM h
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -18408,6 +18474,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rendezvous_assign": q_rendezvous_assign,
     "q_meta_refresh": q_meta_refresh,
     "q_cloaking_hosts": q_cloaking_hosts,
+    "q_idn_decode": q_idn_decode,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -18764,6 +18831,7 @@ ORACLES: dict[str, str] = {
     "q_rendezvous_assign": SQL_RENDEZVOUS_ASSIGN,
     "q_meta_refresh": SQL_META_REFRESH,
     "q_cloaking_hosts": SQL_CLOAKING_HOSTS,
+    "q_idn_decode": SQL_IDN_DECODE,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
