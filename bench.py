@@ -85,6 +85,7 @@ SUITE = [
     "q_meta_refresh",
     "q_cloaking_hosts",
     "q_idn_decode",
+    "q_pairwise_auc",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

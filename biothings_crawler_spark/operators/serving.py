@@ -583,3 +583,66 @@ def segment_words(
 
     return queries.mapInPandas(
         run, "query_id long, segmented string, n_words long")
+
+
+def pairwise_auc(
+    scored: DataFrame,
+    group_col: str = "grp",
+    score_col: str = "score_ppm",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact ROC-AUC per group via the Mann-Whitney rank-sum identity
+    (Hanley & McNeil 1982), ties at 0.5 through midranks — the
+    threshold-free complement to calibration_report's ECE: ECE says
+    whether scores are honest probabilities, AUC says whether they
+    ORDER positives above negatives at all (what a quality-filter
+    cutoff actually uses).
+
+    Integer-exact formulation: ``2·midrank(s) = 2·cum_below + n_at + 1``
+    over per-score-value aggregates, so
+    ``auc_ppm = (Σ_pos 2·midrank − n_pos·(n_pos+1)) · 10⁶
+    div (2·n_pos·n_neg)`` — no floats anywhere, and the enumeration is
+    O(distinct scores), never the O(n²) pair join.
+
+    Scale shape: one hash aggregation to (group, score) cells, one
+    window over DISTINCT score values per group (bounded by score
+    resolution — ppm scores cap it at 10⁶ rows per group regardless of
+    corpus size), one final hash aggregation. Degenerate groups
+    (no positives or no negatives) emit NULL auc_ppm rather than a
+    divide-by-zero.
+
+    Output: (group, n_pos, n_neg, auc_ppm).
+    """
+    from pyspark.sql import Window as W
+
+    cells = scored.groupBy(
+        F.col(group_col).alias("grp"), F.col(score_col).alias("s")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("pos_at"),
+    )
+    w = (
+        W.partitionBy("grp").orderBy("s")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = cells.select(
+        "grp", "n_at", "pos_at",
+        (F.sum("n_at").over(w) - F.col("n_at")).alias("cum_below"),
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.sum("pos_at").cast("long").alias("n_pos"),
+        (F.sum("n_at") - F.sum("pos_at")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos_at") * (2 * F.col("cum_below") + F.col("n_at") + 1)
+        ).cast("long").alias("rank2_pos"),
+    )
+    return agg.select(
+        F.col("grp").alias("group"), "n_pos", "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr(
+                "(rank2_pos - n_pos * (n_pos + 1)) * 1000000"
+                " div (2 * n_pos * n_neg)"
+            ),
+        ).cast("long").alias("auc_ppm"),
+    )

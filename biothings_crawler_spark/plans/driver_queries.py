@@ -14220,6 +14220,63 @@ FROM h
 """
 
 
+def q_pairwise_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group ROC-AUC (operators/serving.pairwise_auc,
+    Mann-Whitney rank-sum with midrank ties): the fixture plants a
+    hash-derived score whose label coin is biased by the score, so
+    AUC is provably above 500000 ppm, with heavy score ties exercising
+    the midrank path; one group is all-negative -> NULL auc_ppm.
+    Oracle replays the rank-sum identity with SQL window functions."""
+    from biothings_crawler_spark.operators.serving import pairwise_auc
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        (F.col("doc_id") % 5).alias("grp"),
+        ((F.col("doc_id") * 37) % 101).cast("long").alias("score_ppm"),
+        F.when(
+            (F.col("doc_id") % 5) == 4, F.lit(0)
+        ).otherwise(
+            (((F.col("doc_id") * 13 + 5) % 100)
+             < ((F.col("doc_id") * 37) % 101)).cast("int")
+        ).alias("label"),
+    )
+    return pairwise_auc(scored)
+
+
+SQL_PAIRWISE_AUC = """
+WITH scored AS (
+  SELECT doc_id % 5 AS grp,
+         CAST((doc_id * 37) % 101 AS BIGINT) AS s,
+         CASE WHEN doc_id % 5 = 4 THEN 0
+              WHEN ((doc_id * 13 + 5) % 100) < ((doc_id * 37) % 101)
+              THEN 1 ELSE 0 END AS label
+  FROM documents),
+cells AS (
+  SELECT grp, s, CAST(COUNT(*) AS BIGINT) AS n_at,
+         CAST(SUM(label) AS BIGINT) AS pos_at
+  FROM scored GROUP BY grp, s),
+ranked AS (
+  SELECT grp, n_at, pos_at,
+         SUM(n_at) OVER (PARTITION BY grp ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_at AS cum_below
+  FROM cells),
+agg AS (
+  SELECT grp AS "group",
+         CAST(SUM(pos_at) AS BIGINT) AS n_pos,
+         CAST(SUM(n_at) - SUM(pos_at) AS BIGINT) AS n_neg,
+         CAST(SUM(pos_at * (2 * cum_below + n_at + 1)) AS BIGINT)
+           AS rank2_pos
+  FROM ranked GROUP BY grp)
+SELECT "group", n_pos, n_neg,
+       CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+                 THEN (rank2_pos - n_pos * (n_pos + 1)) * 1000000
+                      // (2 * n_pos * n_neg)
+            END AS BIGINT) AS auc_ppm
+FROM agg
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -18475,6 +18532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_meta_refresh": q_meta_refresh,
     "q_cloaking_hosts": q_cloaking_hosts,
     "q_idn_decode": q_idn_decode,
+    "q_pairwise_auc": q_pairwise_auc,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -18832,6 +18890,7 @@ ORACLES: dict[str, str] = {
     "q_meta_refresh": SQL_META_REFRESH,
     "q_cloaking_hosts": SQL_CLOAKING_HOSTS,
     "q_idn_decode": SQL_IDN_DECODE,
+    "q_pairwise_auc": SQL_PAIRWISE_AUC,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
