@@ -86,6 +86,7 @@ SUITE = [
     "q_cloaking_hosts",
     "q_idn_decode",
     "q_pairwise_auc",
+    "q_label_agreement",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

@@ -154,3 +154,59 @@ def ks_drift_binned(
         )
         .withColumn("drifted", F.col("d_ppm") > F.lit(int(drift_ppm)))
     )
+
+
+def cohen_kappa(
+    labels: DataFrame,
+    group_col: str = "grp",
+    a_col: str = "label_a",
+    b_col: str = "label_b",
+) -> DataFrame:
+    """Chance-corrected inter-annotator agreement per group (Cohen
+    1960) — the label-QA gate for classifier training sets: raw
+    agreement flatters annotators whenever one class dominates, so
+    acceptance thresholds ("kappa >= 0.6") must correct for the
+    agreement two annotators would reach by marginal chance alone.
+
+    Integer-exact:  with n items, ``agree`` exact matches and
+    ``pe_num = Σ_k row_k · col_k`` (marginal products over shared
+    categories),
+
+        kappa_ppm = (agree·n − pe_num) · 10⁶ div (n² − pe_num)
+
+    — one floor division, replayed verbatim by the oracle.  Degenerate
+    groups where chance agreement is total (n² == pe_num: both
+    annotators constant) emit NULL.
+
+    Scale shape: one hash agg to (group, a, b) confusion cells, two
+    marginal aggs over those CELLS (bounded by category-pair count,
+    not items), one (group, label)-keyed join of the marginals, one
+    final agg.  Category cardinality bounds every post-cell structure,
+    so a 10^10-item labeling audit reduces to cells after the first
+    map-side-combined pass.
+    """
+    cells = labels.groupBy(
+        F.col(group_col).alias("grp"),
+        F.col(a_col).alias("a"),
+        F.col(b_col).alias("b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    totals = cells.groupBy("grp").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("cnt"))
+              .otherwise(F.lit(0))).cast("long").alias("agree"),
+    )
+    rows_ = cells.groupBy("grp", F.col("a").alias("k")).agg(
+        F.sum("cnt").cast("long").alias("row_k"))
+    cols_ = cells.groupBy("grp", F.col("b").alias("k")).agg(
+        F.sum("cnt").cast("long").alias("col_k"))
+    pe = rows_.join(cols_, ["grp", "k"]).groupBy("grp").agg(
+        F.sum(F.col("row_k") * F.col("col_k")).cast("long").alias("pe_num"))
+    out = totals.join(pe, "grp")
+    return out.select(
+        F.col("grp").alias("group"), "n", "agree", "pe_num",
+        F.when(
+            F.col("n") * F.col("n") != F.col("pe_num"),
+            F.expr("(agree * n - pe_num) * 1000000"
+                   " div (n * n - pe_num)"),
+        ).cast("long").alias("kappa_ppm"),
+    )

@@ -14277,6 +14277,64 @@ FROM agg
 """
 
 
+def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per language stratum (operators/confidence.
+    cohen_kappa): annotator B copies A on a 70% hash coin and drifts
+    one of two ways otherwise, so kappa is provably positive but well
+    under raw agreement; one stratum makes both annotators constant
+    (chance agreement total) -> NULL kappa. Oracle replays the
+    marginal-product identity."""
+    from biothings_crawler_spark.operators.confidence import cohen_kappa
+
+    d = _t(spark, sf_dir, "documents")
+    a = (F.col("doc_id") * 7) % 3
+    agree_coin = (F.col("doc_id") % 10) < 7
+    b = F.when(agree_coin, a).otherwise(
+        (a + 1 + (F.col("doc_id") % 2)) % 3)
+    labels = d.select(
+        F.when(F.col("doc_id") % 11 == 0, F.lit("zz"))
+        .otherwise(F.col("lang")).alias("grp"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(9)).otherwise(a)
+        .cast("long").alias("label_a"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(9)).otherwise(b)
+        .cast("long").alias("label_b"),
+    )
+    return cohen_kappa(labels)
+
+
+SQL_LABEL_AGREEMENT = """
+WITH labels AS (
+  SELECT CASE WHEN doc_id % 11 = 0 THEN 'zz' ELSE lang END AS grp,
+         CAST(CASE WHEN doc_id % 11 = 0 THEN 9
+                   ELSE (doc_id * 7) % 3 END AS BIGINT) AS a,
+         CAST(CASE WHEN doc_id % 11 = 0 THEN 9
+                   WHEN doc_id % 10 < 7 THEN (doc_id * 7) % 3
+                   ELSE ((doc_id * 7) % 3 + 1 + doc_id % 2) % 3
+              END AS BIGINT) AS b
+  FROM documents),
+cells AS (
+  SELECT grp, a, b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM labels GROUP BY grp, a, b),
+totals AS (
+  SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = b THEN cnt ELSE 0 END) AS BIGINT) AS agree
+  FROM cells GROUP BY grp),
+r AS (SELECT grp, a AS k, CAST(SUM(cnt) AS BIGINT) AS row_k
+      FROM cells GROUP BY grp, a),
+c AS (SELECT grp, b AS k, CAST(SUM(cnt) AS BIGINT) AS col_k
+      FROM cells GROUP BY grp, b),
+pe AS (
+  SELECT r.grp, CAST(SUM(row_k * col_k) AS BIGINT) AS pe_num
+  FROM r JOIN c ON r.grp = c.grp AND r.k = c.k GROUP BY r.grp)
+SELECT t.grp AS "group", t.n, t.agree, pe.pe_num,
+       CAST(CASE WHEN t.n * t.n <> pe.pe_num
+                 THEN (t.agree * t.n - pe.pe_num) * 1000000
+                      // (t.n * t.n - pe.pe_num)
+            END AS BIGINT) AS kappa_ppm
+FROM totals t JOIN pe ON pe.grp = t.grp
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -18533,6 +18591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cloaking_hosts": q_cloaking_hosts,
     "q_idn_decode": q_idn_decode,
     "q_pairwise_auc": q_pairwise_auc,
+    "q_label_agreement": q_label_agreement,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -18891,6 +18950,7 @@ ORACLES: dict[str, str] = {
     "q_cloaking_hosts": SQL_CLOAKING_HOSTS,
     "q_idn_decode": SQL_IDN_DECODE,
     "q_pairwise_auc": SQL_PAIRWISE_AUC,
+    "q_label_agreement": SQL_LABEL_AGREEMENT,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

@@ -148,3 +148,29 @@ def test_wilson_large_n_no_overflow(spark):
     assert r.lb_ppm <= r.rate_ppm <= r.ub_ppm
     # interval is tight at this n: both bounds within 1% of 40%
     assert 390_000 < r.lb_ppm < 400_000 < r.ub_ppm < 410_000
+
+
+def test_cohen_kappa_textbook_and_edges(spark):
+    from biothings_crawler_spark.operators.confidence import cohen_kappa
+
+    # Cohen's worked-example shape: 2x2 with marginally-skewed
+    # annotators.  a/b confusion: [[20, 5], [10, 15]] -> n=50,
+    # agree=35, pe_num = 25*30 + 25*20 = 1250,
+    # kappa = (35*50 - 1250)/(2500 - 1250) = 0.4 exactly.
+    rows = (
+        [(0, 0, 0)] * 20 + [(0, 0, 1)] * 5
+        + [(0, 1, 0)] * 10 + [(0, 1, 1)] * 15
+        # perfect agreement over 3 classes
+        + [(1, k, k) for k in range(3) for _ in range(4)]
+        # both annotators constant: chance agreement total -> NULL
+        + [(2, 7, 7)] * 6
+        # systematic disagreement worse than chance -> negative kappa
+        + [(3, 0, 1)] * 10 + [(3, 1, 0)] * 10
+    )
+    df = spark.createDataFrame(rows, "grp long, label_a long, label_b long")
+    got = {r["group"]: r for r in cohen_kappa(df).collect()}
+    assert got[0]["kappa_ppm"] == 400_000
+    assert (got[0]["n"], got[0]["agree"], got[0]["pe_num"]) == (50, 35, 1250)
+    assert got[1]["kappa_ppm"] == 1_000_000
+    assert got[2]["kappa_ppm"] is None
+    assert got[3]["kappa_ppm"] == -1_000_000
