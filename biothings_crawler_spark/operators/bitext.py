@@ -115,3 +115,72 @@ def bitext_lexicon_score(
         F.when(n_lex > 0, F.expr(f"n_covered * {PPM} div n_lexical"))
         .otherwise(F.lit(0)).cast("long").alias("overlap_ppm"),
     )
+
+
+def margin_mining(
+    candidates: DataFrame,
+    k: int = 4,
+    margin_threshold_ppm: int = 1_300_000,
+) -> DataFrame:
+    """Margin-based parallel-corpus mining (Artetxe & Schwenk 2019,
+    the LASER/CCMatrix criterion): a candidate pair survives only if
+    its similarity stands out RELATIVELY to each side's neighborhood —
+    absolute cosine thresholds fail because hubness inflates whole
+    regions of embedding space.
+
+    ``candidates``: (src_id, tgt_id, cos_ppm) — any candidate
+    generator: brute force at oracle scale, the IVF/PQ probe plane at
+    10^10 (the operator is deliberately candidate-agnostic so the ANN
+    index does the heavy lifting in production).
+
+    ratio margin, integer-exact with per-side neighbor counts m ≤ k:
+
+        margin_ppm = cos · 2·m_src·m_tgt · 10⁶
+                     div (sum_src·m_tgt + sum_tgt·m_src)
+
+    where sum_side is the side's top-m cosine sum (the pair itself
+    included, per the reference implementation). Non-positive-cosine
+    candidates are dropped first — they cannot be translations, and
+    keeping every sum strictly positive makes truncating and flooring
+    division agree, so the DuckDB twin is exact.
+
+    Mutual-best filter: forward argmax over tgt for each src AND
+    backward argmax over src for each tgt must agree (the
+    'max' strategy), then the margin threshold gates mining.
+
+    Shape: two windows over the candidate lists (each bounded by the
+    generator's per-probe candidate count, not the corpus), two
+    cell-sized hash aggs, one co-keyed join. Output: one row per
+    mutual-best pair — (src_id, tgt_id, cos_ppm, margin_ppm, mined).
+    """
+    from pyspark.sql import Window as W
+
+    c = candidates.filter(F.col("cos_ppm") > 0)
+
+    def topk_side(key: str) -> DataFrame:
+        w = W.partitionBy(key).orderBy(
+            F.desc("cos_ppm"), "src_id", "tgt_id")
+        r = c.withColumn("rn", F.row_number().over(w))
+        return r.filter(F.col("rn") <= k).groupBy(key).agg(
+            F.sum("cos_ppm").cast("long").alias(f"sum_{key}"),
+            F.count(F.lit(1)).cast("long").alias(f"m_{key}"),
+        ), r.filter(F.col("rn") == 1).select(
+            "src_id", "tgt_id")
+
+    src_stats, fwd_best = topk_side("src_id")
+    tgt_stats, bwd_best = topk_side("tgt_id")
+    mutual = fwd_best.join(bwd_best, ["src_id", "tgt_id"])
+    out = (
+        c.join(mutual, ["src_id", "tgt_id"])
+        .join(src_stats, "src_id")
+        .join(tgt_stats, "tgt_id")
+    )
+    margin = F.expr(
+        "cos_ppm * 2 * m_src_id * m_tgt_id * 1000000"
+        " div (sum_src_id * m_tgt_id + sum_tgt_id * m_src_id)"
+    )
+    return out.select(
+        "src_id", "tgt_id", "cos_ppm",
+        margin.cast("long").alias("margin_ppm"),
+        (margin >= F.lit(margin_threshold_ppm)).cast("long").alias("mined"),
+    )

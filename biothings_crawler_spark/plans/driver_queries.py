@@ -14335,6 +14335,111 @@ FROM totals t JOIN pe ON pe.grp = t.grp
 """
 
 
+N_MINE_SRC = 500
+
+
+def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/bitext.margin_mining,
+    Artetxe & Schwenk ratio margin, mutual-best): the 'de' side is the
+    'en' vector under a tiny deterministic perturbation (true pairs,
+    cos ~ 0.999) except every vec_id%10==2, whose pair is sign-flipped
+    (hubness decoy — its best match is an unrelated vector with margin
+    ~ 1.1, which the 1.3 threshold rejects while true pairs score ~2).
+    Candidates here are the bounded brute set (the production path
+    plugs the IVF probe in); oracle replays windows, sums and the
+    integer margin."""
+    from biothings_crawler_spark.operators.bitext import margin_mining
+
+    e = _t(spark, sf_dir, "embeddings")
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x + (((F.col("vec_id") * (i + F.lit(1))) % 7) - 3)
+            .cast("double") * F.lit(0.01)
+        ).cast("float"),
+    )
+    alt = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x * F.when((i + 1) % 2 == 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        ).cast("float"),
+    )
+    def norm(v) -> F.Column:
+        return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                                  F.lit(0.0), lambda acc, x: acc + x))
+
+    # norms are per-SIDE quantities: computing them once per row here
+    # (instead of per pair inside a cosine call) cuts the pair work to
+    # a single dot fold — same expression tree per value, so the
+    # doubles are bit-identical to the per-pair formulation.
+    tgt = e.select(
+        F.col("vec_id").alias("tgt_id"),
+        F.when(F.col("vec_id") % 10 == 2, alt).otherwise(pert).alias("tv"),
+    ).withColumn("tn", norm(F.col("tv")))
+    src = e.filter(F.col("vec_id") < N_MINE_SRC).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("sv"),
+    ).withColumn("sn", norm(F.col("sv"))).repartition(32)
+    dot = F.aggregate(F.zip_with(F.col("sv"), F.col("tv"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cand = src.crossJoin(tgt).select(
+        "src_id", "tgt_id",
+        F.floor(dot / (F.col("sn") * F.col("tn")) * 1_000_000)
+        .cast("long").alias("cos_ppm"),
+    )
+    return margin_mining(cand)
+
+
+SQL_MARGIN_MINING = f"""
+WITH tgt AS (
+  SELECT vec_id AS tgt_id,
+         CASE WHEN vec_id % 10 = 2
+              THEN list_transform(embedding, (x, i) ->
+                     CAST(x * (CASE WHEN i % 2 = 0 THEN -1.0 ELSE 1.0 END)
+                          AS FLOAT))
+              ELSE list_transform(embedding, (x, i) ->
+                     CAST(x + CAST((vec_id * i) % 7 - 3 AS DOUBLE)
+                              * CAST(0.01 AS DOUBLE) AS FLOAT))
+         END AS tv
+  FROM embeddings),
+src AS (SELECT vec_id AS src_id, embedding AS sv FROM embeddings
+        WHERE vec_id < {{n_src}}),
+cand0 AS (
+  SELECT src_id, tgt_id,
+         CAST(floor({_sql_cosine('sv', 'tv')} * 1000000) AS BIGINT)
+           AS cos_ppm
+  FROM src, tgt),
+cand AS (SELECT * FROM cand0 WHERE cos_ppm > 0),
+rs AS (SELECT *, row_number() OVER (PARTITION BY src_id
+         ORDER BY cos_ppm DESC, src_id, tgt_id) AS rn FROM cand),
+rt AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+         ORDER BY cos_ppm DESC, src_id, tgt_id) AS rn FROM cand),
+ss AS (SELECT src_id, CAST(SUM(cos_ppm) AS BIGINT) AS sum_s,
+              CAST(COUNT(*) AS BIGINT) AS m_s
+       FROM rs WHERE rn <= 4 GROUP BY src_id),
+st AS (SELECT tgt_id, CAST(SUM(cos_ppm) AS BIGINT) AS sum_t,
+              CAST(COUNT(*) AS BIGINT) AS m_t
+       FROM rt WHERE rn <= 4 GROUP BY tgt_id),
+fwd AS (SELECT src_id, tgt_id FROM rs WHERE rn = 1),
+bwd AS (SELECT src_id, tgt_id FROM rt WHERE rn = 1),
+mutual AS (SELECT f.src_id, f.tgt_id FROM fwd f
+           JOIN bwd b ON b.src_id = f.src_id AND b.tgt_id = f.tgt_id),
+o AS (
+  SELECT c.src_id, c.tgt_id, c.cos_ppm,
+         c.cos_ppm * 2 * ss.m_s * st.m_t * 1000000
+           // (ss.sum_s * st.m_t + st.sum_t * ss.m_s) AS margin
+  FROM cand c
+  JOIN mutual m ON m.src_id = c.src_id AND m.tgt_id = c.tgt_id
+  JOIN ss ON ss.src_id = c.src_id
+  JOIN st ON st.tgt_id = c.tgt_id)
+SELECT src_id, tgt_id, cos_ppm,
+       CAST(margin AS BIGINT) AS margin_ppm,
+       CAST(CASE WHEN margin >= 1300000 THEN 1 ELSE 0 END AS BIGINT)
+         AS mined
+FROM o
+""".format(n_src=N_MINE_SRC)
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -18592,6 +18697,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_idn_decode": q_idn_decode,
     "q_pairwise_auc": q_pairwise_auc,
     "q_label_agreement": q_label_agreement,
+    "q_margin_mining": q_margin_mining,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -18951,6 +19057,7 @@ ORACLES: dict[str, str] = {
     "q_idn_decode": SQL_IDN_DECODE,
     "q_pairwise_auc": SQL_PAIRWISE_AUC,
     "q_label_agreement": SQL_LABEL_AGREEMENT,
+    "q_margin_mining": SQL_MARGIN_MINING,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
