@@ -87,6 +87,7 @@ SUITE = [
     "q_idn_decode",
     "q_pairwise_auc",
     "q_label_agreement",
+    "q_rdfa_extract",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

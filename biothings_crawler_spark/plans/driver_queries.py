@@ -14440,6 +14440,90 @@ FROM o
 """.format(n_src=N_MINE_SRC)
 
 
+def q_rdfa_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFa Lite extraction (operators/rdfa.rdfa_extract — REAL stdlib
+    HTMLParser, like the microdata sibling): body-level vocab
+    inheritance, text/@content/@href/@src/@resource value sources,
+    charref decoding, subject-as-value nesting (creator -> Person),
+    a document-level triple with no open subject, and an absolute
+    CURIE typeof that must NOT get the vocab prefix. The oracle
+    CONSTRUCTS the expected rows from the fixture's closed form —
+    Spark must parse actual HTML to match."""
+    from biothings_crawler_spark.operators.rdfa import rdfa_extract
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    gap = F.when(F.col("doc_id") % 5 == 0, F.lit("\n  ")).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><body vocab="https://schema.org/">'), gap,
+        F.lit('<div typeof="Dataset">'), gap,
+        F.lit('<h1 property="name">DS '), i, F.lit(" &amp; co</h1>"), gap,
+        F.lit('<meta property="identifier" content="id-'), i, F.lit('">'),
+        gap,
+        F.lit('<a property="url" href="https://ex.org/d/'), i,
+        F.lit('">link '), i, F.lit("</a>"), gap,
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit('<span property="keywords">k'),
+                        (F.col("doc_id") % 7).cast("string"),
+                        F.lit("</span>"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 1,
+               F.concat(F.lit('<img property="image" src="/i/'), i,
+                        F.lit('.png">'))).otherwise(F.lit("")),
+        gap,
+        F.lit('<div property="creator" typeof="Person">'
+              '<span property="name">Person '),
+        (F.col("doc_id") % 11).cast("string"),
+        F.lit("</span></div>"), gap,
+        F.lit('</div><p property="note">N'),
+        (F.col("doc_id") % 13).cast("string"), F.lit("</p>"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit('<div typeof="dc:Text">'
+                              '<span property="title">T'), i,
+                        F.lit("</span></div>"))).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = d.repartition(32, "doc_id").select(
+        F.col("doc_id").alias("id"), html.alias("html"))
+    return rdfa_extract(pages)
+
+
+SQL_RDFA_EXTRACT = """
+WITH d AS (SELECT doc_id AS id FROM documents),
+ds AS (SELECT id, CAST(0 AS BIGINT) AS subj_no,
+              'https://schema.org/Dataset' AS type_iri,
+              CAST(NULL AS BIGINT) AS parent_subj,
+              CAST(NULL AS VARCHAR) AS parent_prop
+       FROM d)
+SELECT id, subj_no, type_iri, parent_subj, parent_prop,
+       'name' AS prop, 'DS ' || id || ' & co' AS value FROM ds
+UNION ALL
+SELECT id, subj_no, type_iri, parent_subj, parent_prop,
+       'identifier', 'id-' || id FROM ds
+UNION ALL
+SELECT id, subj_no, type_iri, parent_subj, parent_prop,
+       'url', 'https://ex.org/d/' || id FROM ds
+UNION ALL
+SELECT id, subj_no, type_iri, parent_subj, parent_prop,
+       'keywords', 'k' || (id % 7) FROM ds WHERE id % 3 = 0
+UNION ALL
+SELECT id, subj_no, type_iri, parent_subj, parent_prop,
+       'image', '/i/' || id || '.png' FROM ds WHERE id % 4 = 1
+UNION ALL
+SELECT id, CAST(1 AS BIGINT), 'https://schema.org/Person',
+       CAST(0 AS BIGINT), 'creator', 'name', 'Person ' || (id % 11)
+FROM d
+UNION ALL
+SELECT id, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       'note', 'N' || (id % 13)
+FROM d
+UNION ALL
+SELECT id, CAST(2 AS BIGINT), 'dc:Text', CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), 'title', 'T' || id
+FROM d WHERE id % 2 = 0
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -18698,6 +18782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pairwise_auc": q_pairwise_auc,
     "q_label_agreement": q_label_agreement,
     "q_margin_mining": q_margin_mining,
+    "q_rdfa_extract": q_rdfa_extract,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -19058,6 +19143,7 @@ ORACLES: dict[str, str] = {
     "q_pairwise_auc": SQL_PAIRWISE_AUC,
     "q_label_agreement": SQL_LABEL_AGREEMENT,
     "q_margin_mining": SQL_MARGIN_MINING,
+    "q_rdfa_extract": SQL_RDFA_EXTRACT,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
