@@ -88,6 +88,7 @@ SUITE = [
     "q_pairwise_auc",
     "q_label_agreement",
     "q_rdfa_extract",
+    "q_span_corruption",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

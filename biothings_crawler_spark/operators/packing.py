@@ -100,3 +100,88 @@ def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
             .cast("long").alias("util_ppm"),
         )
     )
+
+
+def span_corruption_stats(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    rate_pct: int = 15,
+    min_span: int = 2,
+    span_jitter: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """T5/UL2 span-corruption mask accounting (Raffel et al. 2020 §3.1.4
+    denoising objective): deterministic, hash-driven noise-span
+    placement over each document's token sequence, reporting exactly
+    what the packing/budget plane needs BEFORE materializing examples
+    — encoder/decoder lengths after sentinel substitution.
+
+    Deterministic replayable rule (both engines walk it identically):
+    token i (1-based) STARTS a noise span iff i is past the previous
+    span's end and md5(seed:id:i) mod 100 < rate_pct; the span runs
+    ``min_span + md5(seed:id:i:L) mod span_jitter`` tokens (2-4 by
+    default, mean 3 — the T5 configuration), clamped at the document
+    end. Sequential exclusion (a span suppresses starts inside
+    itself) makes this a ROW-LOCAL integer left fold over the token
+    index sequence — one pass, no explode, no shuffle; the DuckDB twin
+    is the same fold via list_reduce over struct_pack accumulators.
+
+    Output per document: (id, n_tokens, n_spans, n_noise,
+    corrupted_ppm, enc_len, dec_len) where enc_len = n_tokens −
+    n_noise + n_spans (each span collapses to one sentinel) and
+    dec_len = n_noise + n_spans + 1 (sentinels + EOS) — the T5 target
+    layout. Empty/NULL docs emit zeros with NULL corrupted_ppm.
+    """
+    from biothings_crawler_spark.operators.text import words_col
+
+    ids = F.col(id_col).cast("string")
+    n = F.size(words_col(F.col(text_col)))
+
+    def coin(i: F.Column, tag: str) -> F.Column:
+        s = F.concat(F.lit(f"{seed}:"), ids, F.lit(":"),
+                     i.cast("string"), F.lit(tag))
+        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+    zero = F.struct(
+        F.lit(0).cast("long").alias("nf"),
+        F.lit(0).cast("long").alias("ns"),
+        F.lit(0).cast("long").alias("nn"),
+    )
+
+    def step(acc: F.Column, i: F.Column) -> F.Column:
+        start = (i >= acc.getField("nf")) & (coin(i, "") % 100 < rate_pct)
+        ln = F.lit(min_span) + coin(i, ":L") % span_jitter
+        take = F.least(ln, n - i + 1)
+        return F.struct(
+            F.when(start, i + ln).otherwise(acc.getField("nf"))
+            .cast("long").alias("nf"),
+            F.when(start, acc.getField("ns") + 1)
+            .otherwise(acc.getField("ns")).cast("long").alias("ns"),
+            F.when(start, acc.getField("nn") + take)
+            .otherwise(acc.getField("nn")).cast("long").alias("nn"),
+        )
+
+    folded = F.when(n >= 1, F.aggregate(
+        F.sequence(F.lit(1).cast("long"), n.cast("long")), zero, step,
+    )).otherwise(zero)
+
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_tokens"),
+        folded.alias("_f"),
+    ).select(
+        "id", "n_tokens",
+        F.col("_f.ns").alias("n_spans"),
+        F.col("_f.nn").alias("n_noise"),
+    )
+    return out.select(
+        "id", "n_tokens", "n_spans", "n_noise",
+        F.when(F.col("n_tokens") > 0,
+               F.expr("n_noise * 1000000 div n_tokens"))
+        .cast("long").alias("corrupted_ppm"),
+        (F.col("n_tokens") - F.col("n_noise") + F.col("n_spans"))
+        .cast("long").alias("enc_len"),
+        (F.col("n_noise") + F.col("n_spans") + 1).cast("long")
+        .alias("dec_len"),
+    )

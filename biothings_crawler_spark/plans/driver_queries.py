@@ -14524,6 +14524,72 @@ FROM d WHERE id % 2 = 0
 """
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption accounting (operators/packing.
+    span_corruption_stats): hash-coin span starts with sequential
+    exclusion folded row-local over each document's token indices;
+    enc/dec lengths after sentinel substitution. Oracle replays the
+    identical struct fold via list_reduce."""
+    from biothings_crawler_spark.operators.packing import (
+        span_corruption_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text")
+    return span_corruption_stats(d)
+
+
+# Oracle note: the first formulation used list_reduce struct folds;
+# DuckDB 1.0.0 computes those INCORRECTLY in full-table vectorized
+# runs while giving the right answer under a pushed id filter (9 of
+# 500 docs drifted, deterministic across reruns/threads=1; a minimal
+# fold reproduces fine, so the trigger is the md5-bearing CASE body).
+# The twin below avoids lambdas entirely: per-(id, i) coins in a flat
+# UNNEST projection, then the sequential-exclusion walk as a
+# one-token-per-iteration RECURSIVE CTE -- plain scalar SQL per step.
+SQL_SPAN_CORRUPTION = """
+WITH RECURSIVE w AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> len(x) > 0) AS ws
+  FROM documents),
+base AS (
+  SELECT id, CAST(coalesce(len(ws), 0) AS BIGINT) AS n FROM w),
+tok AS (
+  SELECT id, n, CAST(r.i AS BIGINT) AS i,
+         CAST(('0x' || substr(md5('7:' || id || ':' || r.i), 1, 8))
+              AS BIGINT) % 100 AS coin,
+         2 + CAST(('0x' || substr(md5('7:' || id || ':' || r.i
+                                      || ':L'), 1, 8))
+                  AS BIGINT) % 3 AS ln
+  FROM base, unnest(range(1, n + 1)) AS r(i)),
+walk AS (
+  SELECT id, n, CAST(1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS nf,
+         CAST(0 AS BIGINT) AS ns, CAST(0 AS BIGINT) AS nn
+  FROM base WHERE n >= 1
+  UNION ALL
+  SELECT wk.id, wk.n, wk.i + 1,
+         CASE WHEN t.i >= wk.nf AND t.coin < 15
+              THEN t.i + t.ln ELSE wk.nf END,
+         CASE WHEN t.i >= wk.nf AND t.coin < 15
+              THEN wk.ns + 1 ELSE wk.ns END,
+         CASE WHEN t.i >= wk.nf AND t.coin < 15
+              THEN wk.nn + least(t.ln, wk.n - t.i + 1) ELSE wk.nn END
+  FROM walk wk JOIN tok t ON t.id = wk.id AND t.i = wk.i
+  WHERE wk.i <= wk.n),
+fin AS (
+  SELECT id, n, ns, nn FROM walk WHERE i = n + 1
+  UNION ALL
+  SELECT id, n, 0, 0 FROM base WHERE n = 0)
+SELECT id, n AS n_tokens, ns AS n_spans, nn AS n_noise,
+       CAST(CASE WHEN n > 0 THEN nn * 1000000 // n END AS BIGINT)
+         AS corrupted_ppm,
+       n - nn + ns AS enc_len,
+       nn + ns + 1 AS dec_len
+FROM fin
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -18783,6 +18849,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_label_agreement": q_label_agreement,
     "q_margin_mining": q_margin_mining,
     "q_rdfa_extract": q_rdfa_extract,
+    "q_span_corruption": q_span_corruption,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -19144,6 +19211,7 @@ ORACLES: dict[str, str] = {
     "q_label_agreement": SQL_LABEL_AGREEMENT,
     "q_margin_mining": SQL_MARGIN_MINING,
     "q_rdfa_extract": SQL_RDFA_EXTRACT,
+    "q_span_corruption": SQL_SPAN_CORRUPTION,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

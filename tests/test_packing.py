@@ -58,3 +58,50 @@ def test_plan_one_shard_agg_no_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan and "BatchEvalPython" not in plan
+
+
+def test_span_corruption_matches_python_walk(spark):
+    import hashlib
+
+    from biothings_crawler_spark.operators.packing import (
+        span_corruption_stats,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog " * 8),
+        (2, "a b"),          # shorter than a max span
+        (3, ""),             # empty
+        (4, None),           # NULL text
+        (5, "single"),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {r["id"]: r for r in span_corruption_stats(df).collect()}
+
+    def ref(did, text):
+        ws = [w for w in (text or "").lower().split() if w]
+        n = len(ws)
+        nf = ns = nn = 0
+        for i in range(1, n + 1):
+            coin = int(hashlib.md5(
+                f"7:{did}:{i}".encode()).hexdigest()[:8], 16) % 100
+            if i >= nf and coin < 15:
+                ln = 2 + int(hashlib.md5(
+                    f"7:{did}:{i}:L".encode()).hexdigest()[:8], 16) % 3
+                nf = i + ln
+                ns += 1
+                nn += min(ln, n - i + 1)
+        return n, ns, nn
+
+    for did, text in docs:
+        n, ns, nn = ref(did, text)
+        r = got[did]
+        assert (r["n_tokens"], r["n_spans"], r["n_noise"]) == (n, ns, nn)
+        assert r["enc_len"] == n - nn + ns
+        assert r["dec_len"] == nn + ns + 1
+        if n:
+            assert r["corrupted_ppm"] == nn * 1_000_000 // n
+        else:
+            assert r["corrupted_ppm"] is None
+    # the corruption rate lands near the configured 15% on a long doc
+    r1 = got[1]
+    assert 50_000 < r1["corrupted_ppm"] < 500_000
