@@ -89,6 +89,7 @@ SUITE = [
     "q_label_agreement",
     "q_rdfa_extract",
     "q_span_corruption",
+    "q_sitemap_scope",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

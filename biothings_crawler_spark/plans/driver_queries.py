@@ -14590,6 +14590,84 @@ FROM fin
 """
 
 
+def q_sitemap_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemaps.org cross-scope audit (sources/sitemap.
+    sitemap_scope_audit + census): /sub/ sitemaps vs root sitemaps,
+    lanes for wrong host, http-vs-https origin mismatch, sibling-path
+    escape (ignored for /sub/ sitemaps but IN scope for root ones),
+    and deeper-subtree URLs. Returns the per-sitemap census join of
+    both outputs; oracle replays verdicts and the rollup."""
+    from biothings_crawler_spark.sources.sitemap import (
+        sitemap_scope_audit,
+        sitemap_scope_census,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    # 7 is coprime to the parity and lane moduli, so every sitemap
+    # sees every lane (a %20 host key would alias doc_id%5 and give
+    # each sitemap a single degenerate verdict mix)
+    k = (F.col("doc_id") % 7).cast("string")
+    k2 = ((F.col("doc_id") + 1) % 7).cast("string")
+    host = F.concat(F.lit("https://h"), k, F.lit(".example.com"))
+    sm = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(host, F.lit("/sub/sitemap.xml")),
+    ).otherwise(F.concat(host, F.lit("/sitemap.xml")))
+    m = F.col("doc_id") % 5
+    url = (
+        F.when(m == 0, F.concat(host, F.lit("/sub/page"), i))
+        .when(m == 1, F.concat(host, F.lit("/other/page"), i))
+        .when(m == 2, F.concat(F.lit("https://h"), k2,
+                               F.lit(".example.com/sub/p"), i))
+        .when(m == 3, F.concat(F.lit("http://h"), k,
+                               F.lit(".example.com/sub/p"), i))
+        .otherwise(F.concat(host, F.lit("/sub/a/b/p"), i))
+    )
+    entries = d.select(sm.alias("sitemap_url"), url.alias("url"))
+    audited = sitemap_scope_audit(entries)
+    return sitemap_scope_census(audited)
+
+
+SQL_SITEMAP_SCOPE = """
+WITH e AS (
+  SELECT CASE WHEN doc_id % 2 = 0
+              THEN 'https://h' || (doc_id % 7) || '.example.com/sub/sitemap.xml'
+              ELSE 'https://h' || (doc_id % 7) || '.example.com/sitemap.xml'
+         END AS sitemap_url,
+         CASE doc_id % 5
+           WHEN 0 THEN 'https://h' || (doc_id % 7)
+                       || '.example.com/sub/page' || doc_id
+           WHEN 1 THEN 'https://h' || (doc_id % 7)
+                       || '.example.com/other/page' || doc_id
+           WHEN 2 THEN 'https://h' || ((doc_id + 1) % 7)
+                       || '.example.com/sub/p' || doc_id
+           WHEN 3 THEN 'http://h' || (doc_id % 7)
+                       || '.example.com/sub/p' || doc_id
+           ELSE 'https://h' || (doc_id % 7)
+                || '.example.com/sub/a/b/p' || doc_id
+         END AS url
+  FROM documents),
+v AS (
+  SELECT sitemap_url, url,
+         CASE WHEN regexp_extract(url, '^(https?://[^/]+)', 1)
+                   <> regexp_extract(sitemap_url, '^(https?://[^/]+)', 1)
+              THEN 'wrong_origin'
+              WHEN NOT starts_with(url,
+                     regexp_replace(sitemap_url, '[^/]*$', ''))
+              THEN 'above_path'
+              ELSE 'in_scope' END AS verdict
+  FROM e)
+SELECT sitemap_url,
+       CAST(COUNT(*) AS BIGINT) AS n_declared,
+       CAST(SUM(CASE WHEN verdict <> 'in_scope' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ignored,
+       CAST(SUM(CASE WHEN verdict <> 'in_scope' THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS ignored_ppm
+FROM v GROUP BY sitemap_url
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -18850,6 +18928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_margin_mining": q_margin_mining,
     "q_rdfa_extract": q_rdfa_extract,
     "q_span_corruption": q_span_corruption,
+    "q_sitemap_scope": q_sitemap_scope,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -19212,6 +19291,7 @@ ORACLES: dict[str, str] = {
     "q_margin_mining": SQL_MARGIN_MINING,
     "q_rdfa_extract": SQL_RDFA_EXTRACT,
     "q_span_corruption": SQL_SPAN_CORRUPTION,
+    "q_sitemap_scope": SQL_SITEMAP_SCOPE,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

@@ -59,3 +59,38 @@ def test_deterministic_across_partitionings(spark):
     many = {(r.host, r.part, r.kind): r.xml
             for r in render_sitemaps(df1.repartition(16), cap=8).collect()}
     assert one == many
+
+
+def test_sitemap_scope_audit_verdicts(spark):
+    from biothings_crawler_spark.sources.sitemap import (
+        sitemap_scope_audit,
+        sitemap_scope_census,
+    )
+
+    entries = spark.createDataFrame(
+        [
+            ("https://a.com/sub/sitemap.xml", "https://a.com/sub/p1"),
+            ("https://a.com/sub/sitemap.xml", "https://a.com/sub/x/p2"),
+            ("https://a.com/sub/sitemap.xml", "https://a.com/other/p3"),
+            ("https://a.com/sub/sitemap.xml", "https://b.com/sub/p4"),
+            ("https://a.com/sub/sitemap.xml", "http://a.com/sub/p5"),
+            # root sitemap scopes the whole host
+            ("https://a.com/sitemap.xml", "https://a.com/other/p6"),
+        ],
+        "sitemap_url string, url string",
+    )
+    rows = {r["url"]: r["verdict"]
+            for r in sitemap_scope_audit(entries).collect()}
+    assert rows == {
+        "https://a.com/sub/p1": "in_scope",
+        "https://a.com/sub/x/p2": "in_scope",
+        "https://a.com/other/p3": "above_path",
+        "https://b.com/sub/p4": "wrong_origin",
+        "http://a.com/sub/p5": "wrong_origin",
+        "https://a.com/other/p6": "in_scope",
+    }
+    c = {r["sitemap_url"]: r for r in
+         sitemap_scope_census(sitemap_scope_audit(entries)).collect()}
+    sub = c["https://a.com/sub/sitemap.xml"]
+    assert (sub["n_declared"], sub["n_ignored"]) == (5, 3)
+    assert sub["ignored_ppm"] == 600_000
