@@ -188,3 +188,96 @@ def strip_spans(
         .alias("text_clean"),
         F.coalesce(F.size("_spans"), F.lit(0)).cast("long").alias("n_spans"),
     )
+
+
+def suffix_array(
+    docs: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    max_rounds: int = 24,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Distributed suffix-array construction by prefix doubling
+    (Manber & Myers 1990) over the doc-separated corpus string — the
+    index structure under suffix-array exact-substring dedup (Lee et
+    al. 2022 build exactly this over the concatenated corpus; the
+    windowed ``duplicated_spans`` above is the hash approximation,
+    this is the exact backbone) and BWT-style compression.
+
+    Corpus string: documents in ``id`` order, each followed by a
+    ``chr(1)`` separator; document text must not contain codepoints
+    below 2 (crawl text never does after the textnorm plane). Global
+    character positions come from a doc-length prefix scan, NOT a
+    global window.
+
+    Prefix doubling, DataFrame-native: ranks start as codepoints;
+    round k pairs each position's rank with the rank at ``pos + 2^k``
+    (0 past the end — shorter suffix sorts first, matching binary
+    string comparison since UTF-8 byte order preserves codepoint
+    order), then re-ranks pairs DENSELY via distinct-pairs +
+    ``global_prefix_sum`` (operators/allocation.py — range repartition
+    + per-partition window + broadcast offsets; no single-task global
+    window anywhere) and a hash join back. The loop stops as soon as
+    ranks are all distinct (suffixes are pairwise distinct by length,
+    so this always happens within ``ceil(log2 n)`` rounds); lineage is
+    truncated per round with localCheckpoint like every bounded loop
+    in this repo.
+
+    Scale shape per round: one self-join on position (co-partitioned
+    hash join), one distinct (hash agg), one prefix scan, one pair
+    join — all shuffle-bounded by corpus length; nothing quadratic,
+    no driver state beyond the 32-row partition offsets. ~log2(n)
+    rounds total, the textbook distributed SA bound.
+
+    Output: (pos, rank) with rank 1..n — ``ORDER BY rank`` is the
+    suffix array; ``rank BY pos`` is the inverse (the rank array
+    Kasai's LCP pass consumes).
+    """
+    from biothings_crawler_spark.operators.allocation import (
+        global_prefix_sum,
+    )
+
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    ).withColumn("n", F.length("t") + F.lit(1))
+    offs = global_prefix_sum(d, ["id"], "n", n_partitions)
+    chars = offs.select(
+        (F.col("prefix") - F.col("n")).alias("off"), "t", "n",
+        F.posexplode(F.sequence(F.lit(1), F.col("n"))).alias("_i", "i"),
+    ).select(
+        (F.col("off") + F.col("i")).cast("long").alias("pos"),
+        F.when(F.col("i") < F.col("n"),
+               F.expr("ascii(substr(t, i, 1))"))
+        .otherwise(F.lit(1)).cast("long").alias("rank"),
+    )
+    n_total = chars.count()
+    r = chars.repartition(n_partitions, "pos").localCheckpoint(eager=True)
+    k = 1
+    for _ in range(max_rounds):
+        shifted = r.select((F.col("pos") - k).alias("pos"),
+                           F.col("rank").alias("r2"))
+        pairs = (
+            r.withColumnRenamed("rank", "r1")
+            .join(shifted, "pos", "left")
+            .select("pos", "r1", F.coalesce("r2", F.lit(0)).alias("r2"))
+        )
+        codes = global_prefix_sum(
+            pairs.select("r1", "r2").distinct()
+            .withColumn("_one", F.lit(1)),
+            ["r1", "r2"], "_one", n_partitions,
+        ).select("r1", "r2", F.col("rank").alias("_new"))
+        r = (
+            pairs.join(codes, ["r1", "r2"])
+            .select("pos", F.col("_new").alias("rank"))
+            .repartition(n_partitions, "pos")
+            .localCheckpoint(eager=True)
+        )
+        k *= 2
+        # the dense code count m == n means every rank is now unique:
+        # one cheap agg over the CODES frame (distinct-pair-sized)
+        # doubles as the convergence probe, so no separate pre-round
+        # check job
+        if r.agg(F.max("rank")).first()[0] == n_total:
+            break
+    return r.select("pos", F.col("rank").cast("long").alias("rank"))

@@ -14668,6 +14668,44 @@ FROM v GROUP BY sitemap_url
 """
 
 
+SA_DOCS = 200
+SA_TRUNC = 64
+
+
+def q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed suffix array by prefix doubling (operators/substr.
+    suffix_array — Manber-Myers rounds, distinct-pair dense re-ranking
+    through the distributed two-pass prefix scan, no global window).
+    The oracle sorts the ACTUAL suffix strings of the identical
+    corpus string — two unrelated algorithms, one answer; bounded
+    fixture (200 docs x 64 chars) because the oracle's comparison
+    sort is quadratic in character work."""
+    from biothings_crawler_spark.operators.substr import suffix_array
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < SA_DOCS
+    ).select(
+        F.col("doc_id").alias("id"),
+        F.substring("text", 1, SA_TRUNC).alias("text"),
+    )
+    return suffix_array(d, n_partitions=8)
+
+
+SQL_SUFFIX_ARRAY = f"""
+WITH d AS (
+  SELECT doc_id AS id, left(text, {SA_TRUNC}) AS t
+  FROM documents WHERE doc_id < {SA_DOCS}),
+s AS (SELECT string_agg(t || chr(1), '' ORDER BY id) AS S FROM d),
+p AS (SELECT CAST(r.i AS BIGINT) AS pos
+      FROM s, unnest(range(1, len(S) + 1)) AS r(i))
+SELECT pos,
+       CAST(row_number() OVER (
+              ORDER BY substr((SELECT S FROM s), CAST(pos AS INTEGER)))
+            AS BIGINT) AS rank
+FROM p
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -18929,6 +18967,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rdfa_extract": q_rdfa_extract,
     "q_span_corruption": q_span_corruption,
     "q_sitemap_scope": q_sitemap_scope,
+    "q_suffix_array": q_suffix_array,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -19292,6 +19331,7 @@ ORACLES: dict[str, str] = {
     "q_rdfa_extract": SQL_RDFA_EXTRACT,
     "q_span_corruption": SQL_SPAN_CORRUPTION,
     "q_sitemap_scope": SQL_SITEMAP_SCOPE,
+    "q_suffix_array": SQL_SUFFIX_ARRAY,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

@@ -63,3 +63,31 @@ def test_md5_hash_family_matches_xxhash_path(spark):
     b = sorted(map(tuple, duplicated_spans(
         docs, min_len=20, hash_family="md5").collect()))
     assert a == b
+
+
+def test_suffix_array_matches_sorted_suffixes(spark):
+    from biothings_crawler_spark.operators.substr import suffix_array
+
+    docs = [(1, "banana"), (2, "ban"), (3, ""), (4, "abracadabra"),
+            (5, "banana")]  # exact duplicate doc -> long cross-doc LCPs
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {r["pos"]: r["rank"] for r in suffix_array(df).collect()}
+    S = "".join(t + "\x01" for _, t in docs)
+    ref = {p: rk for rk, p in enumerate(
+        sorted(range(1, len(S) + 1), key=lambda i: S[i - 1:]), 1)}
+    assert got == ref
+
+
+def test_suffix_array_unicode_and_inverse(spark):
+    from biothings_crawler_spark.operators.substr import suffix_array
+
+    docs = [(1, "日本語 text"), (2, "zz 日本")]
+    df = spark.createDataFrame(docs, "id long, text string")
+    rows = suffix_array(df).collect()
+    got = {r["pos"]: r["rank"] for r in rows}
+    S = "".join(t + "\x01" for _, t in docs)
+    ref = {p: rk for rk, p in enumerate(
+        sorted(range(1, len(S) + 1), key=lambda i: S[i - 1:]), 1)}
+    assert got == ref
+    # ranks are a permutation of 1..n (a valid inverse SA)
+    assert sorted(got.values()) == list(range(1, len(S) + 1))
