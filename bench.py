@@ -90,6 +90,7 @@ SUITE = [
     "q_rdfa_extract",
     "q_span_corruption",
     "q_sitemap_scope",
+    "q_survival_ledger",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

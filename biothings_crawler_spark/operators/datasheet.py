@@ -70,3 +70,72 @@ def corpus_datasheet(
             F.expr("n_short * 1000000 div n_docs").alias("short_docs_ppm"),
         )
     )
+
+
+def survival_attribution(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    allowed_langs: tuple = ("en", "de", "es", "fr"),
+    lang_col: str = "lang",
+    min_words: int = 10,
+) -> DataFrame:
+    """Per-source pipeline survival ledger: which cleaning stage kills
+    which documents and tokens — the datasheet companion every corpus
+    release needs ("of source X's 2.1B tokens, 40% fell to language
+    ID, 5% to quality, 12% to dedup").  Attribution is FIRST-KILL:
+    stages run in pipeline order (language -> quality -> exact dedup),
+    a doc is charged to the first stage that drops it, and exact
+    dedup elects winners only among docs that SURVIVED the earlier
+    stages (deduping against already-dropped docs would misattribute).
+
+    Shape: row-local stage flags, ONE text-keyed hash aggregation for
+    the dedup winner election (min id per text over eligible docs,
+    map-side combined), one broadcast-sized join back, one final
+    source-keyed rollup. No windows.
+
+    Output per source: (source, n_docs, tokens_in, killed_lang,
+    killed_quality, killed_dup, survived, tokens_out,
+    survival_ppm).
+    """
+    from biothings_crawler_spark.operators.text import words_col
+
+    flags = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.size(words_col(F.col(text_col))).cast("long").alias("tok"),
+        F.col(lang_col).isin(*allowed_langs).alias("ok_lang"),
+    ).withColumn(
+        "ok_quality", F.col("tok") >= min_words
+    )
+    eligible = flags.filter(F.col("ok_lang") & F.col("ok_quality"))
+    winners = eligible.groupBy("text").agg(
+        F.min("id").alias("_winner"))
+    j = flags.join(winners, "text", "left")
+    verdict = (
+        F.when(~F.col("ok_lang"), F.lit("lang"))
+        .when(~F.col("ok_quality"), F.lit("quality"))
+        .when(F.col("id") != F.col("_winner"), F.lit("dup"))
+        .otherwise(F.lit("ok"))
+    )
+    v = j.select("source", "tok", verdict.alias("v"))
+
+    def k(name: str) -> F.Column:
+        return F.sum(F.when(F.col("v") == name, 1).otherwise(0)) \
+            .cast("long").alias(f"killed_{name}")
+
+    return v.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("tokens_in"),
+        k("lang"), k("quality"), k("dup"),
+        F.sum(F.when(F.col("v") == "ok", 1).otherwise(0))
+        .cast("long").alias("survived"),
+        F.sum(F.when(F.col("v") == "ok", F.col("tok")).otherwise(0))
+        .cast("long").alias("tokens_out"),
+        F.expr(
+            "sum(case when v = 'ok' then tok else 0 end) * 1000000"
+            " div greatest(sum(tok), 1)"
+        ).cast("long").alias("survival_ppm"),
+    )

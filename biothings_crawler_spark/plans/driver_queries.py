@@ -14706,6 +14706,74 @@ FROM p
 """
 
 
+def q_survival_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source first-kill survival ledger (operators/datasheet.
+    survival_attribution): language gate -> quality gate (25 words; corpus spans 10-99) -> exact
+    dedup with winners elected only among earlier-stage survivors.
+    The fixture plants extra duplicates by mapping every doc_id%9==4
+    text onto its neighbor's text, so dedup kills are guaranteed in
+    every source. Oracle replays the election and ledger."""
+    from biothings_crawler_spark.operators.datasheet import (
+        survival_attribution,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.alias("a").join(
+        d.select(F.col("doc_id").alias("nid"),
+                 F.col("text").alias("ntext")).alias("b"),
+        F.col("a.doc_id") - (F.col("a.doc_id") % 9 == 4).cast("long")
+        == F.col("nid"),
+    ).select(
+        "a.doc_id", "a.lang", "a.source",
+        F.when(F.col("a.doc_id") % 9 == 4, F.col("ntext"))
+        .otherwise(F.col("a.text")).alias("text"),
+    )
+    return survival_attribution(planted, min_words=25)
+
+
+SQL_SURVIVAL_LEDGER = f"""
+WITH planted AS (
+  SELECT a.doc_id, a.lang, a.source,
+         CASE WHEN a.doc_id % 9 = 4 THEN b.text ELSE a.text END AS text
+  FROM documents a
+  JOIN documents b
+    ON b.doc_id = a.doc_id - CASE WHEN a.doc_id % 9 = 4
+                                  THEN 1 ELSE 0 END),
+flags AS (
+  SELECT source, doc_id AS id, text,
+         CAST(len({_SQL_WORDS}) AS BIGINT) AS tok,
+         lang IN ('en', 'de', 'es', 'fr') AS ok_lang,
+         CAST(len({_SQL_WORDS}) AS BIGINT) >= 25 AS ok_quality
+  FROM planted),
+winners AS (
+  SELECT text, MIN(id) AS w FROM flags
+  WHERE ok_lang AND ok_quality GROUP BY text),
+v AS (
+  SELECT f.source, f.tok,
+         CASE WHEN NOT f.ok_lang THEN 'lang'
+              WHEN NOT f.ok_quality THEN 'quality'
+              WHEN f.id <> w.w THEN 'dup'
+              ELSE 'ok' END AS v
+  FROM flags f LEFT JOIN winners w ON w.text = f.text)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS tokens_in,
+       CAST(SUM(CASE WHEN v = 'lang' THEN 1 ELSE 0 END) AS BIGINT)
+         AS killed_lang,
+       CAST(SUM(CASE WHEN v = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+         AS killed_quality,
+       CAST(SUM(CASE WHEN v = 'dup' THEN 1 ELSE 0 END) AS BIGINT)
+         AS killed_dup,
+       CAST(SUM(CASE WHEN v = 'ok' THEN 1 ELSE 0 END) AS BIGINT)
+         AS survived,
+       CAST(SUM(CASE WHEN v = 'ok' THEN tok ELSE 0 END) AS BIGINT)
+         AS tokens_out,
+       CAST(SUM(CASE WHEN v = 'ok' THEN tok ELSE 0 END) * 1000000
+            // greatest(SUM(tok), 1) AS BIGINT) AS survival_ppm
+FROM v GROUP BY source
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -18968,6 +19036,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_span_corruption": q_span_corruption,
     "q_sitemap_scope": q_sitemap_scope,
     "q_suffix_array": q_suffix_array,
+    "q_survival_ledger": q_survival_ledger,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -19332,6 +19401,7 @@ ORACLES: dict[str, str] = {
     "q_span_corruption": SQL_SPAN_CORRUPTION,
     "q_sitemap_scope": SQL_SITEMAP_SCOPE,
     "q_suffix_array": SQL_SUFFIX_ARRAY,
+    "q_survival_ledger": SQL_SURVIVAL_LEDGER,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

@@ -2590,3 +2590,37 @@ def test_sessionize_fold_property_random_events(spark):
         assert a == b
 
     check()
+
+
+def test_survival_attribution_first_kill_order(spark):
+    from biothings_crawler_spark.operators.datasheet import (
+        survival_attribution,
+    )
+
+    long = "w " * 30
+    docs = [
+        # src A: survivor + exact dup of it (dup killed, not winner)
+        (1, "en", "A", long + "alpha"),
+        (2, "en", "A", long + "alpha"),
+        # src A: wrong lang AND would-be dup -> charged to lang
+        (3, "zh", "A", long + "alpha"),
+        # src B: too short -> quality
+        (4, "en", "B", "tiny doc"),
+        # src B: duplicate of a QUALITY-KILLED text must NOT count as
+        # dup (no eligible winner besides itself)
+        (5, "en", "B", long + "beta"),
+        (6, "en", "B", long + "beta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, "
+                                     "source string, text string")
+    got = {r["source"]: r for r in survival_attribution(
+        df, min_words=10).collect()}
+    a, b = got["A"], got["B"]
+    assert (a["n_docs"], a["killed_lang"], a["killed_dup"],
+            a["survived"]) == (3, 1, 1, 1)
+    assert a["killed_quality"] == 0
+    assert (b["n_docs"], b["killed_quality"], b["killed_dup"],
+            b["survived"]) == (3, 1, 1, 1)
+    # token ledger: survivors' tokens only
+    assert a["tokens_out"] == 31 and b["tokens_out"] == 31
+    assert b["survival_ppm"] == 31 * 1_000_000 // b["tokens_in"]
