@@ -91,6 +91,7 @@ SUITE = [
     "q_span_corruption",
     "q_sitemap_scope",
     "q_survival_ledger",
+    "q_event_transitions",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

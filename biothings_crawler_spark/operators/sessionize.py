@@ -194,3 +194,56 @@ def sessionize_fold(
         F.col("s.end_us").alias("end_us"),
         (F.col("s.end_us") - F.col("s.start_us")).alias("duration_us"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+    max_gap_s: int = 1800,
+) -> DataFrame:
+    """First-order Markov transition census over per-user event
+    streams — the navigation model behind next-action suggestion,
+    funnel-dropoff dashboards, and crawl-trap detection on click
+    paths (a state whose top transition loops back to itself with
+    ~1.0 probability is the behavioral twin of a URL trap).
+
+    Consecutive events of a user form a transition unless the gap
+    exceeds ``max_gap_s`` (the sessionize boundary, so transitions
+    never span sessions). Census per (src, dst): count, share of the
+    source's outgoing transitions as exact ppm, and the source-local
+    rank (1 = the suggestion).
+
+    Shape: one per-user LEAD window (user-keyed partitions — the same
+    distribution sessionize uses; no global window), one hash agg to
+    state pairs, then a window over the STATE-PAIR census (bounded by
+    |states|^2, not event count).
+
+    Output: (src, dst, n, share_ppm, rank).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    # gaps in integer MICROSECONDS: sub-second timestamps would make a
+    # seconds cast truncate on one engine and keep fractions on the
+    # other, flipping boundary transitions
+    us = F.unix_micros(F.col(ts_col).cast('timestamp'))
+    stepped = events.select(
+        F.col(type_col).alias("src"),
+        F.lead(type_col).over(w).alias("dst"),
+        (F.lead(us).over(w) - us).alias("_gap"),
+    ).filter(F.col("dst").isNotNull()
+             & (F.col("_gap") <= max_gap_s * 1_000_000))
+    census = stepped.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    tot = census.groupBy("src").agg(F.sum("n").alias("_tot"))
+    ranked = census.join(tot, "src").select(
+        "src", "dst", "n",
+        F.expr("n * 1000000 div _tot").cast("long").alias("share_ppm"),
+        F.row_number().over(
+            W.partitionBy("src").orderBy(F.desc("n"), "dst")
+        ).cast("long").alias("rank"),
+    )
+    return ranked

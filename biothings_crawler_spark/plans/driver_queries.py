@@ -14774,6 +14774,41 @@ FROM v GROUP BY source
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition census over per-user event streams
+    (operators/sessionize.event_transitions): LEAD within user
+    partitions, session-gap cutoff, exact outgoing-share ppm and
+    source-local suggestion rank. Oracle replays lead + census with
+    SQL windows."""
+    from biothings_crawler_spark.operators.sessionize import (
+        event_transitions,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return event_transitions(e)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER w AS dst,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+census AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE dst IS NOT NULL AND gap <= 1800000000
+  GROUP BY src, dst),
+tot AS (SELECT src, SUM(n) AS t FROM census GROUP BY src)
+SELECT c.src, c.dst, c.n,
+       CAST(c.n * 1000000 // t.t AS BIGINT) AS share_ppm,
+       CAST(row_number() OVER (PARTITION BY c.src
+                               ORDER BY c.n DESC, c.dst) AS BIGINT)
+         AS rank
+FROM census c JOIN tot t ON t.src = c.src
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -19037,6 +19072,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sitemap_scope": q_sitemap_scope,
     "q_suffix_array": q_suffix_array,
     "q_survival_ledger": q_survival_ledger,
+    "q_event_transitions": q_event_transitions,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -19402,6 +19438,7 @@ ORACLES: dict[str, str] = {
     "q_sitemap_scope": SQL_SITEMAP_SCOPE,
     "q_suffix_array": SQL_SUFFIX_ARRAY,
     "q_survival_ledger": SQL_SURVIVAL_LEDGER,
+    "q_event_transitions": SQL_EVENT_TRANSITIONS,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

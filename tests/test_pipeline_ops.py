@@ -2624,3 +2624,42 @@ def test_survival_attribution_first_kill_order(spark):
     # token ledger: survivors' tokens only
     assert a["tokens_out"] == 31 and b["tokens_out"] == 31
     assert b["survival_ppm"] == 31 * 1_000_000 // b["tokens_in"]
+
+
+def test_event_transitions_census(spark):
+    import datetime as dt
+
+    from biothings_crawler_spark.operators.sessionize import (
+        event_transitions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, kind, sec):
+        return (i, user, kind, t0 + dt.timedelta(seconds=sec))
+
+    rows = [
+        # user 1: a->b, b->a, a->b (within session)
+        ev(1, 1, "a", 0), ev(2, 1, "b", 10), ev(3, 1, "a", 20),
+        ev(4, 1, "b", 30),
+        # session break: >30min gap, transition b->c must NOT count
+        ev(5, 1, "c", 30 + 1801),
+        # user 2: c->c self loop (trap shape)
+        ev(6, 2, "c", 0), ev(7, 2, "c", 5),
+        # tie-break: same ts ordering falls back to event_id
+        ev(8, 3, "a", 0), ev(9, 3, "c", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp")
+    got = {(r["src"], r["dst"]): r
+           for r in event_transitions(df).collect()}
+    assert got[("a", "b")]["n"] == 2
+    assert got[("b", "a")]["n"] == 1
+    assert ("b", "c") not in got          # session boundary respected
+    assert got[("c", "c")]["n"] == 1      # self-loop trap shape
+    assert got[("a", "c")]["n"] == 1      # event_id tie-break
+    # share: a has 3 outgoing (2x a->b, 1x a->c)
+    assert got[("a", "b")]["share_ppm"] == 666_666
+    assert got[("a", "b")]["rank"] == 1
+    assert got[("a", "c")]["rank"] == 2
