@@ -92,6 +92,7 @@ SUITE = [
     "q_sitemap_scope",
     "q_survival_ledger",
     "q_event_transitions",
+    "q_heading_chunks",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

@@ -135,3 +135,78 @@ def rag_chunks(
             F.md5(ctext).alias("chunk_md5"),
         )
     )
+
+
+HEADING_SCHEMA = ("id long, sec_no long, level long, path string, "
+                  "title string, n_words long, content string")
+
+
+def _parse_outline(html: str) -> list[tuple]:
+    """One page -> [(sec_no, level, path, title, n_words, content)].
+
+    Sections run from each ``<h1>``-``<h6>`` to the next heading of
+    ANY level; ``path`` is the ``>``-joined titles of the open
+    ancestor stack (an ``h3`` under ``h1 > h2``), which is what a RAG
+    citation renders as breadcrumbs. A page's preamble before its
+    first heading becomes section 0 with an empty path/title. Tags
+    inside section bodies are stripped to whitespace; charrefs are NOT
+    decoded here (the textnorm plane owns entity decoding).
+    """
+    import re
+
+    heads = list(re.finditer(
+        r"<[hH]([1-6])[^>]*>([^<]*)</[hH][1-6]\s*>", html))
+    bounds = [(m.start(), m.end(), int(m.group(1)), m.group(2).strip())
+              for m in heads]
+    out = []
+    stack: list[tuple[int, str]] = []     # (level, title)
+
+    def body(lo: int, hi: int) -> str:
+        return re.sub(r"\s+", " ",
+                      re.sub(r"<[^>]*>", " ", html[lo:hi])).strip()
+
+    pre = body(0, bounds[0][0] if bounds else len(html))
+    sec_no = 0
+    if pre:
+        out.append((0, 0, "", "", len(pre.split()), pre))
+        sec_no = 1
+    for j, (s, e, lvl, title) in enumerate(bounds):
+        while stack and stack[-1][0] >= lvl:
+            stack.pop()
+        path = " > ".join(t for _, t in stack)
+        stack.append((lvl, title))
+        nxt = bounds[j + 1][0] if j + 1 < len(bounds) else len(html)
+        content = body(e, nxt)
+        out.append((sec_no, lvl, path, title,
+                    len(content.split()), content))
+        sec_no += 1
+    return out
+
+
+def heading_chunks(
+    pages, id_col: str = "id", html_col: str = "html"
+):
+    """Structural (heading-outline) chunking — the third chunking mode
+    beside token-budget ``rag_chunks`` and topical ``topic_chunks``:
+    practical RAG pipelines split on the author's own section
+    boundaries first and only re-split oversized sections. Output one
+    row per section with the ancestor breadcrumb path. Arrow-batched
+    ``mapInPandas`` in the parser-plane shape (microdata/rdfa
+    precedent): pure map, no cross-row state.
+    """
+    import pandas as pd
+
+    def run(batches):
+        for b in batches:
+            rows = []
+            for pid, html in zip(b[id_col], b[html_col]):
+                if html is None:
+                    continue
+                for r in _parse_outline(html):
+                    rows.append((pid, *r))
+            yield pd.DataFrame(
+                rows, columns=["id", "sec_no", "level", "path",
+                               "title", "n_words", "content"])
+
+    return pages.select(id_col, html_col).mapInPandas(
+        run, HEADING_SCHEMA)

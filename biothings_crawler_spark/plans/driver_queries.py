@@ -14809,6 +14809,58 @@ FROM census c JOIN tot t ON t.src = c.src
 """
 
 
+def q_heading_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-outline structural chunking (operators/chunking.
+    heading_chunks): preamble section, h1/h2/h3 breadcrumb paths,
+    stack pops on sibling/uplevel headings, tag-stripped bodies.
+    Oracle constructs the expected sections in closed form."""
+    from biothings_crawler_spark.operators.chunking import heading_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("intro "), i)).otherwise(F.lit("")),
+        F.lit("<h1>Doc "), i, F.lit("</h1><p>alpha "), i,
+        F.lit(" beta</p><h2>Part A</h2><p>gamma gamma</p>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("<h3>Deep "),
+                        (F.col("doc_id") % 5).cast("string"),
+                        F.lit("</h3><span>delta</span>")))
+        .otherwise(F.lit("")),
+        F.lit("<h2>Part B</h2>omega "), i,
+    )
+    pages = d.repartition(32, "doc_id").select(
+        F.col("doc_id").alias("id"), html.alias("html"))
+    return heading_chunks(pages)
+
+
+SQL_HEADING_CHUNKS = """
+WITH d AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS pre,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS deep
+  FROM documents)
+SELECT id, CAST(0 AS BIGINT) AS sec_no, CAST(0 AS BIGINT) AS level,
+       '' AS path, '' AS title, CAST(2 AS BIGINT) AS n_words,
+       'intro ' || id AS content
+FROM d WHERE pre = 1
+UNION ALL
+SELECT id, CAST(pre AS BIGINT), 1, '', 'Doc ' || id, 3,
+       'alpha ' || id || ' beta' FROM d
+UNION ALL
+SELECT id, CAST(pre + 1 AS BIGINT), 2, 'Doc ' || id, 'Part A', 2,
+       'gamma gamma' FROM d
+UNION ALL
+SELECT id, CAST(pre + 2 AS BIGINT), 3, 'Doc ' || id || ' > Part A',
+       'Deep ' || (id % 5), 1, 'delta'
+FROM d WHERE deep = 1
+UNION ALL
+SELECT id, CAST(pre + 2 + deep AS BIGINT), 2, 'Doc ' || id, 'Part B',
+       2, 'omega ' || id FROM d
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -19073,6 +19125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_suffix_array": q_suffix_array,
     "q_survival_ledger": q_survival_ledger,
     "q_event_transitions": q_event_transitions,
+    "q_heading_chunks": q_heading_chunks,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -19439,6 +19492,7 @@ ORACLES: dict[str, str] = {
     "q_suffix_array": SQL_SUFFIX_ARRAY,
     "q_survival_ledger": SQL_SURVIVAL_LEDGER,
     "q_event_transitions": SQL_EVENT_TRANSITIONS,
+    "q_heading_chunks": SQL_HEADING_CHUNKS,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

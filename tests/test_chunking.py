@@ -96,3 +96,35 @@ def test_row_local_plan_no_shuffle(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_heading_outline_sections(spark):
+    from biothings_crawler_spark.operators.chunking import (
+        _parse_outline,
+        heading_chunks,
+    )
+
+    html = ("intro text "
+            "<h1>Title</h1><p>alpha beta</p>"
+            "<h2 class='x'>Sub A</h2><p>gamma</p><div>delta</div>"
+            "<h3>Deep</h3>eps"
+            "<h2>Sub B</h2>zeta"
+            "<h1>Next</h1>eta")
+    assert _parse_outline(html) == [
+        (0, 0, "", "", 2, "intro text"),
+        (1, 1, "", "Title", 2, "alpha beta"),
+        (2, 2, "Title", "Sub A", 2, "gamma delta"),
+        (3, 3, "Title > Sub A", "Deep", 1, "eps"),
+        (4, 2, "Title", "Sub B", 1, "zeta"),
+        (5, 1, "", "Next", 1, "eta"),
+    ]
+    # level skip down and up: h3 directly under h1, then h2 pops it
+    assert [r[2] for r in _parse_outline(
+        "<h1>A</h1><h3>B</h3>x<h2>C</h2>y")] == ["", "A", "A"]
+    # no headings at all -> single preamble section
+    assert _parse_outline("<p>just text</p>") == [
+        (0, 0, "", "", 2, "just text")]
+    assert _parse_outline("") == []
+    df = spark.createDataFrame([(1, html), (2, None)], "id long, html string")
+    rows = heading_chunks(df).collect()
+    assert len(rows) == 6 and all(r["id"] == 1 for r in rows)
