@@ -93,6 +93,7 @@ SUITE = [
     "q_survival_ledger",
     "q_event_transitions",
     "q_heading_chunks",
+    "q_maxsim_topk",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

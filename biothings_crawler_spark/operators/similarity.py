@@ -176,3 +176,80 @@ def truncated_brute_topk(
         queries.select(F.col(id_col), cut.alias(vec_col)),
         id_col, vec_col, k,
     )
+
+
+def maxsim_topk(
+    candidates: DataFrame,
+    query_vecs: DataFrame,
+    doc_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    d: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Late-interaction (ColBERT MaxSim, Khattab & Zaharia 2020)
+    scoring: a query and a document each carry M token sub-vectors;
+    score = Σ_i max_j cos(q_i, d_j). Single-vector retrieval (the
+    ANN plane) collapses a document to one point; late interaction
+    keeps per-token resolution and re-scores a CANDIDATE set — this
+    operator is the re-scorer, candidate-agnostic like margin_mining
+    (brute candidates at oracle scale, IVF/PQ probes at 10^10).
+
+    Token vectors here are M contiguous D-dim slices of the stored
+    vector (the packed multi-vector layout; a real ColBERT index
+    stores exactly this shape per passage). Per-slice norms are
+    computed ONCE per row, then every (i, j) interaction is one
+    D-element dot fold; cosines floor to ppm integers before max/sum,
+    so the DuckDB twin is exact. All row-local whole-stage-codegen
+    folds — the only shuffles are the candidate join (query side
+    broadcast) and the bounded per-query top-k window.
+
+    Output: (query_id, doc_id, score_ppm, rank), rank <= k.
+    """
+    from pyspark.sql import Window as W
+
+    def norms(v) -> F.Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda i: F.sqrt(F.aggregate(
+                F.transform(F.sequence(F.lit(1), F.lit(d)),
+                            lambda kk: F.element_at(v, i * d + kk)
+                            * F.element_at(v, i * d + kk)),
+                F.lit(0.0), lambda a, x: a + x)),
+        )
+
+    q = F.broadcast(query_vecs.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+    ).withColumn("qn", norms(F.col("qv"))))
+    dv = doc_vecs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("dv"),
+    ).withColumn("dn", norms(F.col("dv")))
+
+    joined = candidates.join(q, "query_id").join(dv, "doc_id")
+
+    def cos_ppm(i, j) -> F.Column:
+        dot = F.aggregate(
+            F.transform(F.sequence(F.lit(1), F.lit(d)),
+                        lambda kk: F.element_at(F.col("qv"), i * d + kk)
+                        * F.element_at(F.col("dv"), j * d + kk)),
+            F.lit(0.0), lambda a, x: a + x)
+        return F.floor(
+            dot / (F.element_at(F.col("qn"), i + 1)
+                   * F.element_at(F.col("dn"), j + 1)) * 1_000_000
+        ).cast("long")
+
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0).cast("long"),
+        lambda acc, i: acc + F.array_max(
+            F.transform(F.sequence(F.lit(0), F.lit(m - 1)),
+                        lambda j: cos_ppm(i, j))),
+    )
+    scored = joined.select(
+        "query_id", "doc_id", score.alias("score_ppm"))
+    w = W.partitionBy("query_id").orderBy(F.desc("score_ppm"), "doc_id")
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)

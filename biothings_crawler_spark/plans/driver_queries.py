@@ -14861,6 +14861,55 @@ SELECT id, CAST(pre + 2 + deep AS BIGINT), 2, 'Doc ' || id, 'Part B',
 """
 
 
+def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim re-scoring (operators/similarity.
+    maxsim_topk): 3 queries, the full corpus as the bounded candidate
+    set, 8x8-dim token slices, floor-ppm cosines. Oracle replays the
+    sum-of-max-of-cos with list folds."""
+    from biothings_crawler_spark.operators.similarity import maxsim_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    cand = q.select(F.col("vec_id").alias("query_id")).crossJoin(
+        e.select(F.col("vec_id").alias("doc_id")))
+    return maxsim_topk(cand, q, e)
+
+
+def _sql_subcos(i: str, j: str) -> str:
+    dot = (f"list_reduce(list_transform(range(1, 9), kk -> "
+           f"CAST(qv[{i} * 8 + kk] * dv[{j} * 8 + kk] AS DOUBLE)), "
+           f"(a, b) -> a + b)")
+    qn = (f"sqrt(list_reduce(list_transform(range(1, 9), kk -> "
+          f"CAST(qv[{i} * 8 + kk] * qv[{i} * 8 + kk] AS DOUBLE)), "
+          f"(a, b) -> a + b))")
+    dn = (f"sqrt(list_reduce(list_transform(range(1, 9), kk -> "
+          f"CAST(dv[{j} * 8 + kk] * dv[{j} * 8 + kk] AS DOUBLE)), "
+          f"(a, b) -> a + b))")
+    return f"CAST(floor({dot} / ({qn} * {dn}) * 1000000) AS BIGINT)"
+
+
+SQL_MAXSIM_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 3),
+dd AS (SELECT vec_id AS doc_id, embedding AS dv FROM embeddings),
+ij AS (SELECT CAST(a.i AS BIGINT) AS i, CAST(b.j AS BIGINT) AS j
+       FROM unnest(range(8)) AS a(i), unnest(range(8)) AS b(j)),
+pairs AS (
+  SELECT query_id, doc_id, ij.i,
+         MAX({_sql_subcos('ij.i', 'ij.j')}) AS best
+  FROM q, dd, ij
+  GROUP BY query_id, doc_id, ij.i),
+sc AS (
+  SELECT query_id, doc_id, CAST(SUM(best) AS BIGINT) AS score_ppm
+  FROM pairs GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, score_ppm,
+       CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY score_ppm DESC, doc_id) AS rn FROM sc)
+WHERE rn <= 10
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -19126,6 +19175,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_survival_ledger": q_survival_ledger,
     "q_event_transitions": q_event_transitions,
     "q_heading_chunks": q_heading_chunks,
+    "q_maxsim_topk": q_maxsim_topk,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -19493,6 +19543,7 @@ ORACLES: dict[str, str] = {
     "q_survival_ledger": SQL_SURVIVAL_LEDGER,
     "q_event_transitions": SQL_EVENT_TRANSITIONS,
     "q_heading_chunks": SQL_HEADING_CHUNKS,
+    "q_maxsim_topk": SQL_MAXSIM_TOPK,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,
