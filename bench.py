@@ -94,6 +94,7 @@ SUITE = [
     "q_event_transitions",
     "q_heading_chunks",
     "q_maxsim_topk",
+    "q_lexicon_filter",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

@@ -1205,3 +1205,60 @@ def host_boilerplate_strip(
             .alias("n_removed"),
         )
     )
+
+
+def lexicon_hits(
+    df,
+    id_col: str,
+    text_col: str,
+    lexicon: dict,
+    severe_at: int = 3,
+    max_density_ppm: int = 50_000,
+):
+    """Weighted-lexicon safety scoring (the C4 "bad words" gate,
+    Raffel et al. §2.2, generalized to severity weights) with
+    obfuscation folding: ``0/1/3/@/$`` fold to ``o/i/e/a/s`` BEFORE
+    matching, so ``z3br@`` hits a ``zebra`` lexicon entry — the
+    cheap leetspeak evasion a plain word filter misses.  The lexicon
+    is a caller-supplied ``{term: weight}`` map (weights >=
+    ``severe_at`` are drop-on-sight); this module ships no word list.
+
+    Matching is word-boundary exact on lowercased, leet-folded,
+    edge-punctuation-stripped whitespace words — substring matching
+    is deliberately avoided (the classic 'Scunthorpe' false-positive
+    class).  One pass: the per-word weight lookup is a map literal
+    folded over the words array; everything stays in whole-stage
+    codegen, zero shuffles.
+
+    Output: (id, n_words, n_hits, score, density_ppm, verdict) with
+    verdict in {clean, flag, drop}: drop on any severe term or
+    density above ``max_density_ppm``, flag on any hit.
+    """
+    folded = F.translate(F.lower(F.col(text_col)), "013@$", "oieas")
+    words = F.transform(
+        words_col(folded),
+        lambda w: F.regexp_replace(w, r"^[^\w]+|[^\w]+$", ""),
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for kv in lexicon.items() for x in kv])
+    weights = F.transform(words, lambda w: F.coalesce(
+        wmap[w], F.lit(0)))
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(weights, F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("score"),
+        F.size(F.filter(weights, lambda x: x > 0)).cast("long")
+        .alias("n_hits"),
+        F.size(F.filter(weights, lambda x: x >= severe_at))
+        .cast("long").alias("_severe"),
+    )
+    density = F.expr("n_hits * 1000000 div greatest(n_words, 1)")
+    return staged.select(
+        "id", "n_words", "n_hits", F.col("score").cast("long").alias("score"),
+        density.cast("long").alias("density_ppm"),
+        F.when((F.col("_severe") > 0)
+               | (density > max_density_ppm), F.lit("drop"))
+        .when(F.col("n_hits") > 0, F.lit("flag"))
+        .otherwise(F.lit("clean")).alias("verdict"),
+    )

@@ -14910,6 +14910,81 @@ WHERE rn <= 10
 """
 
 
+LEX_TERMS = {"zebra": 1, "quagga": 2, "okapi": 3}
+
+
+def q_lexicon_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-lexicon safety gate (operators/text.lexicon_hits):
+    clean docs, single mild hit, leet-folded hit (z3br@ -> zebra)
+    plus a weight-2 term, a severe drop-on-sight term, and a
+    high-density repetition lane; word-boundary matching with edge
+    punctuation stripped. Oracle replays fold + verdict ladder."""
+    from biothings_crawler_spark.operators.text import lexicon_hits
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    extra = (
+        F.when(m == 1, F.lit(" zebra."))
+        .when(m == 2, F.lit(" z3br@ quagga"))
+        .when(m == 3, F.lit(" okapi"))
+        .when(m == 4, F.lit(" zebra" * 12))
+        .when(m == 5, F.lit(" zebrafish"))  # substring must NOT hit
+        .otherwise(F.lit(""))
+    )
+    pages = d.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.col("text"), extra).alias("text"),
+    )
+    return lexicon_hits(pages, "id", "text", LEX_TERMS)
+
+
+SQL_LEXICON_FILTER = """
+WITH p AS (
+  SELECT doc_id AS id,
+         text || CASE doc_id % 6
+           WHEN 1 THEN ' zebra.'
+           WHEN 2 THEN ' z3br@ quagga'
+           WHEN 3 THEN ' okapi'
+           WHEN 4 THEN repeat(' zebra', 12)
+           WHEN 5 THEN ' zebrafish'
+           ELSE '' END AS text
+  FROM documents),
+w AS (
+  SELECT id,
+         list_transform(
+           list_filter(string_split_regex(
+             translate(lower(text), '013@$', 'oieas'), '\\s+'),
+             x -> len(x) > 0),
+           x -> regexp_replace(regexp_replace(x, '^[^a-z0-9_]+', ''),
+                               '[^a-z0-9_]+$', '')) AS ws
+  FROM p),
+s AS (
+  SELECT id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         list_transform(ws, x -> CASE x
+           WHEN 'zebra' THEN 1
+           WHEN 'quagga' THEN 2
+           WHEN 'okapi' THEN 3
+           ELSE 0 END) AS wt
+  FROM w),
+agg AS (
+  SELECT id, n_words,
+         CAST(coalesce(list_sum(wt), 0) AS BIGINT) AS score,
+         CAST(len(list_filter(wt, x -> x > 0)) AS BIGINT) AS n_hits,
+         CAST(len(list_filter(wt, x -> x >= 3)) AS BIGINT) AS sev
+  FROM s)
+SELECT id, n_words, n_hits, score,
+       CAST(n_hits * 1000000 // greatest(n_words, 1) AS BIGINT)
+         AS density_ppm,
+       CASE WHEN sev > 0
+              OR n_hits * 1000000 // greatest(n_words, 1) > 50000
+            THEN 'drop'
+            WHEN n_hits > 0 THEN 'flag'
+            ELSE 'clean' END AS verdict
+FROM agg
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -19176,6 +19251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_event_transitions": q_event_transitions,
     "q_heading_chunks": q_heading_chunks,
     "q_maxsim_topk": q_maxsim_topk,
+    "q_lexicon_filter": q_lexicon_filter,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -19544,6 +19620,7 @@ ORACLES: dict[str, str] = {
     "q_event_transitions": SQL_EVENT_TRANSITIONS,
     "q_heading_chunks": SQL_HEADING_CHUNKS,
     "q_maxsim_topk": SQL_MAXSIM_TOPK,
+    "q_lexicon_filter": SQL_LEXICON_FILTER,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

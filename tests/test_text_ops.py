@@ -41,3 +41,28 @@ def test_ngram_novelty_plan_no_window_no_cartesian(spark):
         ._jdf.queryExecution().executedPlan().toString()
     for bad in ("Window", "CartesianProduct", "BatchEvalPython"):
         assert bad not in plan
+
+
+def test_lexicon_hits_ladder(spark):
+    from biothings_crawler_spark.operators.text import lexicon_hits
+
+    lex = {"zebra": 1, "okapi": 3}
+    docs = [
+        (1, "clean words only here " * 3),
+        (2, "one zebra walked by " + "pad " * 26),        # flag
+        (3, "Z3BR@ spotted " + "pad " * 28),              # leet fold -> flag
+        (4, "an okapi appears " + "pad " * 30),           # severe -> drop
+        (5, "zebra zebra zebra zebra"),                   # density -> drop
+        (6, "the zebrafish is a fish " + "pad " * 20),    # no substring hit
+        (7, '"zebra," quoted and punctuated ' + "pad " * 26),  # edge strip
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {r["id"]: r for r in lexicon_hits(df, "id", "text", lex).collect()}
+    assert got[1]["verdict"] == "clean" and got[1]["n_hits"] == 0
+    assert got[2]["verdict"] == "flag" and got[2]["score"] == 1
+    assert got[3]["verdict"] == "flag" and got[3]["n_hits"] == 1
+    assert got[4]["verdict"] == "drop" and got[4]["score"] == 3
+    assert got[5]["verdict"] == "drop"
+    assert got[5]["density_ppm"] == 1_000_000
+    assert got[6]["verdict"] == "clean"      # Scunthorpe guard
+    assert got[7]["n_hits"] == 1             # "zebra," matches
