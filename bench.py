@@ -95,6 +95,7 @@ SUITE = [
     "q_heading_chunks",
     "q_maxsim_topk",
     "q_lexicon_filter",
+    "q_schema_drift",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

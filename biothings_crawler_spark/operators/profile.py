@@ -87,3 +87,47 @@ def profile_drift(
         .when(delta > distinct_tol_ppm, F.lit("cardinality"))
         .otherwise(F.lit("ok")).alias("flag"),
     )
+
+
+def schema_signatures(
+    df: DataFrame,
+    group_col: str = "grp",
+    json_col: str = "payload",
+) -> DataFrame:
+    """JSON payload schema census per group — the semi-structured
+    companion of the column-profile drift gate: producers evolve
+    event payloads silently (new keys, reordered keys, truncated
+    writes), and a 100-TB ingest wants "event_type X has 3 payload
+    schemas this week, the dominant one at 94%, plus 0.2% malformed"
+    BEFORE a downstream extractor starts returning NULLs.
+
+    The signature is the comma-joined SORTED top-level key set, so
+    key ORDER changes (serializer swaps — the classic false alarm)
+    collapse to one schema while genuine key additions/removals
+    split. Malformed payloads get the '<invalid>' signature instead
+    of killing the stage (decode_err policy).
+
+    Shape: row-local key extraction + sort (codegen JSON path), one
+    hash agg to (group, signature) cells, share/rank over the
+    bounded cell census. Output: (group, signature, n, share_ppm,
+    rank).
+    """
+    from pyspark.sql import Window as W
+
+    sig = F.coalesce(
+        F.array_join(F.array_sort(
+            F.json_object_keys(F.col(json_col))), ","),
+        F.lit("<invalid>"),
+    )
+    cells = df.select(
+        F.col(group_col).alias("grp"), sig.alias("signature")
+    ).groupBy("grp", "signature").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cells.groupBy("grp").agg(F.sum("n").alias("_t"))
+    return cells.join(tot, "grp").select(
+        F.col("grp").alias("group"), "signature", "n",
+        F.expr("n * 1000000 div _t").cast("long").alias("share_ppm"),
+        F.row_number().over(
+            W.partitionBy("grp").orderBy(F.desc("n"), "signature")
+        ).cast("long").alias("rank"),
+    )

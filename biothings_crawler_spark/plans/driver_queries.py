@@ -14985,6 +14985,61 @@ FROM agg
 """
 
 
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload schema census (operators/profile.
+    schema_signatures): base {"k"} payloads, an added-key variant, a
+    nested-object variant (top-level keys only), a REORDERED-key lane
+    that must collapse into the added-key signature, and a truncated
+    malformed lane landing in '<invalid>'. Oracle replays with
+    DuckDB's json_keys guarded by json_valid."""
+    from biothings_crawler_spark.operators.profile import (
+        schema_signatures,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    i = (F.col("event_id") % 50).cast("string")
+    m = F.col("event_id") % 7
+    payload = (
+        F.when(m == 3, F.concat(F.lit('{"k":'), i, F.lit(',"ts":"t"}')))
+        .when(m == 4, F.concat(F.lit('{"k":'), i,
+                               F.lit(',"user":{"id":1}}')))
+        .when(m == 5, F.concat(F.lit('{"ts":"t","k":'), i, F.lit("}")))
+        .when(m == 6, F.concat(F.lit('{"k":'), i))
+        .otherwise(F.col("props"))
+    )
+    ev = e.select(F.col("event_type").alias("grp"),
+                  payload.alias("payload"))
+    return schema_signatures(ev)
+
+
+SQL_SCHEMA_DRIFT = """
+WITH p AS (
+  SELECT event_type AS grp,
+         CASE event_id % 7
+           WHEN 3 THEN '{"k":' || (event_id % 50) || ',"ts":"t"}'
+           WHEN 4 THEN '{"k":' || (event_id % 50) || ',"user":{"id":1}}'
+           WHEN 5 THEN '{"ts":"t","k":' || (event_id % 50) || '}'
+           WHEN 6 THEN '{"k":' || (event_id % 50)
+           ELSE props END AS payload
+  FROM events),
+sig AS (
+  SELECT grp,
+         CASE WHEN json_valid(payload)
+              THEN array_to_string(list_sort(json_keys(payload)), ',')
+              ELSE '<invalid>' END AS signature
+  FROM p),
+cells AS (
+  SELECT grp, signature, CAST(COUNT(*) AS BIGINT) AS n
+  FROM sig GROUP BY grp, signature),
+tot AS (SELECT grp, SUM(n) AS t FROM cells GROUP BY grp)
+SELECT c.grp AS "group", c.signature, c.n,
+       CAST(c.n * 1000000 // t.t AS BIGINT) AS share_ppm,
+       CAST(row_number() OVER (PARTITION BY c.grp
+              ORDER BY c.n DESC, c.signature) AS BIGINT) AS rank
+FROM cells c JOIN tot t ON t.grp = c.grp
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -19252,6 +19307,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_heading_chunks": q_heading_chunks,
     "q_maxsim_topk": q_maxsim_topk,
     "q_lexicon_filter": q_lexicon_filter,
+    "q_schema_drift": q_schema_drift,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -19621,6 +19677,7 @@ ORACLES: dict[str, str] = {
     "q_heading_chunks": SQL_HEADING_CHUNKS,
     "q_maxsim_topk": SQL_MAXSIM_TOPK,
     "q_lexicon_filter": SQL_LEXICON_FILTER,
+    "q_schema_drift": SQL_SCHEMA_DRIFT,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

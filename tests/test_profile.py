@@ -120,3 +120,28 @@ def test_temperature_mix_t2_large_stratum_no_overflow(spark):
     assert out["yo"].weight == math.isqrt(1_000_000 * 10**8)
     tot = out["en"].weight + out["yo"].weight
     assert out["en"].share_ppm == out["en"].weight * 10**6 // tot
+
+
+def test_schema_signatures_census(spark):
+    from biothings_crawler_spark.operators.profile import (
+        schema_signatures,
+    )
+
+    rows = [
+        ("click", '{"k":1}'), ("click", '{"k":2}'),
+        ("click", '{"k":3,"ts":"t"}'),
+        ("click", '{"ts":"u","k":4}'),       # reorder -> same signature
+        ("click", '{"k":5,"user":{"id":1}}'),  # nested: top-level only
+        ("click", '{"k":'),                   # malformed
+        ("view", '{"a":1,"b":2}'),
+    ]
+    df = spark.createDataFrame(rows, "grp string, payload string")
+    got = {(r["group"], r["signature"]): r
+           for r in schema_signatures(df).collect()}
+    assert got[("click", "k")]["n"] == 2
+    assert got[("click", "k,ts")]["n"] == 2          # order collapsed
+    assert got[("click", "k,user")]["n"] == 1
+    assert got[("click", "<invalid>")]["n"] == 1
+    assert got[("click", "k")]["rank"] == 1
+    assert got[("click", "k")]["share_ppm"] == 333_333
+    assert got[("view", "a,b")]["rank"] == 1
