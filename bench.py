@@ -96,6 +96,7 @@ SUITE = [
     "q_maxsim_topk",
     "q_lexicon_filter",
     "q_schema_drift",
+    "q_erasure_impact",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

@@ -79,3 +79,68 @@ def compaction_plan(
         F.lit(1).cast("long").alias("group_files"),
     )
     return planned.unionByName(kept)
+
+
+def erasure_impact(
+    docs: DataFrame,
+    erased: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Right-to-be-forgotten impact census: BEFORE executing an
+    erasure batch, report exactly what each deletion touches across
+    the engine's derived artifacts — the plan a compliance run signs
+    off on.  A 100-TB corpus cannot "just delete the row": the doc's
+    postings live in the inverted index, it may be the elected
+    representative of an exact-dup cluster (its duplicates silently
+    resurface content unless the cluster is re-elected), and its
+    release-manifest bucket digest goes stale.
+
+    Per erased id:
+
+    * ``n_index_rows``  — postings rows to delete (distinct terms).
+    * ``group_size``    — size of its exact-dup text cluster.
+    * ``was_winner``    — 1 if it is the cluster's elected
+      representative (min id, the dedup plane's rule).
+    * ``new_winner``    — the re-elected representative among
+      SURVIVORS (NULL when the whole cluster is erased — the content
+      genuinely leaves the corpus).
+    * ``bucket``        — md5 id-bucket whose manifest digest must be
+      recomputed (matches the release-manifest bucketing discipline:
+      id-only, layout-invariant).
+
+    Shape: erased set broadcast-joined onto docs, one text-keyed hash
+    agg for cluster stats, one for survivor re-election, row-local
+    term counting — no windows, nothing quadratic in corpus size.
+    """
+    e = F.broadcast(erased.select(F.col(id_col).alias("id"))
+                    .withColumn("_erased", F.lit(1)))
+    from biothings_crawler_spark.operators.text import words_col
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.size(F.array_distinct(words_col(F.col(text_col))))
+        .cast("long").alias("n_index_rows"),
+    ).join(e, "id", "left").withColumn(
+        "_erased", F.coalesce("_erased", F.lit(0)))
+    groups = base.groupBy("text").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.min("id").alias("_winner"),
+        F.min(F.when(F.col("_erased") == 0, F.col("id")))
+        .alias("_surv_winner"),
+    )
+    out = base.filter(F.col("_erased") == 1).join(groups, "text")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+               16, 10).cast("long") % n_buckets
+    )
+    return out.select(
+        "id", "n_index_rows", "group_size",
+        (F.col("id") == F.col("_winner")).cast("long")
+        .alias("was_winner"),
+        F.when(F.col("id") == F.col("_winner"), F.col("_surv_winner"))
+        .alias("new_winner"),
+        bucket.alias("bucket"),
+    )

@@ -15040,6 +15040,62 @@ FROM cells c JOIN tot t ON t.grp = c.grp
 """
 
 
+def q_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure-impact census (operators/maintenance.erasure_impact):
+    planted duplicate clusters (doc_id%9==4 copies its neighbor's
+    text) with an erased set (doc_id%13==6) that hits winners,
+    non-winners, and whole clusters; re-election picks the surviving
+    min id, NULL when the content genuinely leaves. Oracle replays
+    election + bucket math."""
+    from biothings_crawler_spark.operators.maintenance import (
+        erasure_impact,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.alias("a").join(
+        d.select(F.col("doc_id").alias("nid"),
+                 F.col("text").alias("ntext")).alias("b"),
+        F.col("a.doc_id") - (F.col("a.doc_id") % 9 == 4).cast("long")
+        == F.col("nid"),
+    ).select(
+        "a.doc_id",
+        F.when(F.col("a.doc_id") % 9 == 4, F.col("ntext"))
+        .otherwise(F.col("a.text")).alias("text"),
+    )
+    erased = d.filter(F.col("doc_id") % 13 == 6).select("doc_id")
+    return erasure_impact(planted, erased)
+
+
+SQL_ERASURE_IMPACT = f"""
+WITH planted AS (
+  SELECT a.doc_id,
+         CASE WHEN a.doc_id % 9 = 4 THEN b.text ELSE a.text END AS text
+  FROM documents a
+  JOIN documents b
+    ON b.doc_id = a.doc_id - CASE WHEN a.doc_id % 9 = 4
+                                  THEN 1 ELSE 0 END),
+base AS (
+  SELECT doc_id AS id, text,
+         CAST(len(list_distinct({_SQL_WORDS})) AS BIGINT)
+           AS n_index_rows,
+         CASE WHEN doc_id % 13 = 6 THEN 1 ELSE 0 END AS er
+  FROM planted),
+groups AS (
+  SELECT text, CAST(COUNT(*) AS BIGINT) AS group_size,
+         MIN(id) AS w,
+         MIN(CASE WHEN er = 0 THEN id END) AS sw
+  FROM base GROUP BY text)
+SELECT b.id, b.n_index_rows, g.group_size,
+       CAST(CASE WHEN b.id = g.w THEN 1 ELSE 0 END AS BIGINT)
+         AS was_winner,
+       CASE WHEN b.id = g.w THEN g.sw END AS new_winner,
+       CAST(CAST(('0x' || substr(md5(CAST(b.id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 64 AS BIGINT) AS bucket
+FROM base b JOIN groups g ON g.text = b.text
+WHERE b.er = 1
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -19308,6 +19364,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_maxsim_topk": q_maxsim_topk,
     "q_lexicon_filter": q_lexicon_filter,
     "q_schema_drift": q_schema_drift,
+    "q_erasure_impact": q_erasure_impact,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -19678,6 +19735,7 @@ ORACLES: dict[str, str] = {
     "q_maxsim_topk": SQL_MAXSIM_TOPK,
     "q_lexicon_filter": SQL_LEXICON_FILTER,
     "q_schema_drift": SQL_SCHEMA_DRIFT,
+    "q_erasure_impact": SQL_ERASURE_IMPACT,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

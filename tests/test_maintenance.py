@@ -43,3 +43,33 @@ def test_group_invariants(spark):
     assert all(r.group_bytes < 2 * 256 for r in g)
     total = sum(r.group_bytes for r in g)
     assert total == sum(s for (_, _, s) in rows)
+
+
+def test_erasure_impact_lanes(spark):
+    from biothings_crawler_spark.operators.maintenance import (
+        erasure_impact,
+    )
+
+    docs = [
+        (1, "shared content a"), (2, "shared content a"),
+        (3, "shared content a"),
+        (10, "solo content b"),
+        (20, "pair c"), (21, "pair c"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    erased = spark.createDataFrame(
+        [(1,), (10,), (20,), (21,)], "doc_id long")
+    got = {r["id"]: r for r in erasure_impact(d, erased).collect()}
+    # winner of a 3-cluster erased -> re-elect min survivor (2)
+    assert (got[1]["was_winner"], got[1]["new_winner"],
+            got[1]["group_size"]) == (1, 2, 3)
+    # singleton erased -> content leaves, no new winner
+    assert (got[10]["was_winner"], got[10]["new_winner"]) == (1, None)
+    # whole pair erased -> winner row has NULL re-election,
+    # non-winner row carries no election duty
+    assert (got[20]["was_winner"], got[20]["new_winner"]) == (1, None)
+    assert (got[21]["was_winner"], got[21]["new_winner"]) == (0, None)
+    # postings accounting = distinct words
+    assert got[10]["n_index_rows"] == 3
+    # non-erased docs emit no rows
+    assert set(got) == {1, 10, 20, 21}
