@@ -97,6 +97,7 @@ SUITE = [
     "q_lexicon_filter",
     "q_schema_drift",
     "q_erasure_impact",
+    "q_active_select",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

@@ -218,3 +218,72 @@ def nb_classify(
         F.col("b.l").alias("pred"),
         (-F.col("b.ns")).cast("long").alias("score_fxp"),
     )
+
+
+def active_select(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 512,
+    k: int = 10,
+) -> DataFrame:
+    """Uncertainty sampling for the labeling loop (Lewis & Gale 1994):
+    rank unlabeled documents by the classifier's top-two MARGIN —
+    smallest first — within each predicted class, and surface the k
+    most ambiguous per class for human annotation. The data-centric
+    complement of nb_classify: the classifier's least-confident
+    decisions are where the next labeling dollar buys the most
+    accuracy (and where cohen_kappa then audits the annotators).
+
+    Exactness: scores are the nb fixed-point integers; the top-2 per
+    document comes from sorting the per-id score list, which is
+    BOUNDED by |labels| (a collect over label count, never corpus
+    size), so margin = best − second is a plain integer. Selection is
+    a per-predicted-class window over the candidate census.
+
+    Output: (pred, id, margin_fxp, rank), rank <= k, most ambiguous
+    first (ties by id).
+    """
+    from pyspark.sql import Window as W
+
+    feats = hashed_features(df, id_col, text_col, n_buckets)
+    cond = model.filter(F.col("bucket") >= 0)
+    prior = model.filter(F.col("bucket") == -1).select(
+        "label", F.col("w_fxp").alias("prior_fxp"))
+    per_label = (
+        feats.join(F.broadcast(cond), "bucket")
+        .groupBy("id", "label")
+        .agg(F.sum(F.col("tf") * F.col("w_fxp")).cast("long").alias("s"))
+        .join(F.broadcast(prior), "label")
+        .select("id", "label",
+                (F.col("s") + F.col("prior_fxp")).alias("score_fxp"))
+    )
+    empty = (
+        df.select(F.col(id_col).alias("id"),
+                  words_col(F.col(text_col)).alias("ws"))
+        .filter(F.coalesce(F.size("ws"), F.lit(0)) <= 0)
+        .crossJoin(F.broadcast(prior))
+        .select("id", "label", F.col("prior_fxp").alias("score_fxp"))
+    )
+    allrows = per_label.unionByName(empty)
+    top2 = allrows.groupBy("id").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct(
+                (-F.col("score_fxp")).alias("ns"),
+                F.col("label").alias("l")))),
+            1, 2,
+        ).alias("t2"))
+    margins = top2.select(
+        "id",
+        F.col("t2")[0].getField("l").alias("pred"),
+        F.when(
+            F.size("t2") > 1,
+            F.col("t2")[1].getField("ns") - F.col("t2")[0].getField("ns"),
+        ).otherwise(F.lit(None)).cast("long").alias("margin_fxp"),
+    ).filter(F.col("margin_fxp").isNotNull())
+    w = W.partitionBy("pred").orderBy("margin_fxp", "id")
+    return margins.select(
+        "pred", "id", "margin_fxp",
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= k)

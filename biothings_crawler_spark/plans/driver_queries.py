@@ -17992,6 +17992,53 @@ QUALIFY row_number() OVER (PARTITION BY id
 """
 
 
+def q_active_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty sampling for the labeling loop (operators/nbayes.
+    active_select, Lewis-Gale margin sampling): train on even ids,
+    rank the whole corpus by top-two fixed-point score margin within
+    each predicted class, keep the 10 most ambiguous per class.
+    Oracle replays the shared NB model chain + margin windows."""
+    from biothings_crawler_spark.operators.nbayes import (
+        active_select,
+        nb_train,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    mut = d.selectExpr("doc_id", "lang", _NB_TEXT + " AS text")
+    train = mut.filter("doc_id % 2 = 0")
+    model = nb_train(train, "doc_id", "text", "lang", n_buckets=NB_V)
+    return active_select(mut, model, "doc_id", "text",
+                         n_buckets=NB_V, k=10)
+
+
+SQL_ACTIVE_SELECT = f"""
+WITH {_sql_nb_model()},
+per AS (SELECT ft.id, c.label, CAST(SUM(ft.tf * c.w_fxp) AS BIGINT) AS s
+        FROM ft JOIN cond c USING (bucket) GROUP BY 1, 2),
+sc AS (SELECT per.id, per.label, per.s + p.w_fxp AS score_fxp
+       FROM per JOIN pri p ON p.label = per.label),
+emp AS (SELECT m.doc_id AS id, p.label, p.w_fxp AS score_fxp
+        FROM m CROSS JOIN pri p
+        WHERE m.doc_id NOT IN (SELECT DISTINCT id FROM ft)),
+allsc AS (SELECT * FROM sc UNION ALL SELECT * FROM emp),
+rnk AS (SELECT id, label, score_fxp,
+               row_number() OVER (PARTITION BY id
+                 ORDER BY score_fxp DESC, label) AS rn
+        FROM allsc),
+marg AS (
+  SELECT a.id, a.label AS pred,
+         CAST(a.score_fxp - b.score_fxp AS BIGINT) AS margin_fxp
+  FROM rnk a JOIN rnk b ON b.id = a.id AND b.rn = 2
+  WHERE a.rn = 1)
+SELECT pred, id, margin_fxp,
+       CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY pred
+        ORDER BY margin_fxp, id) AS rn FROM marg)
+WHERE rn <= 10
+"""
+
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/dsir.dsir_weights): target =
     the 'en' slice of the marker-mutated corpus, raw = all of it; each
@@ -19365,6 +19412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lexicon_filter": q_lexicon_filter,
     "q_schema_drift": q_schema_drift,
     "q_erasure_impact": q_erasure_impact,
+    "q_active_select": q_active_select,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -19736,6 +19784,7 @@ ORACLES: dict[str, str] = {
     "q_lexicon_filter": SQL_LEXICON_FILTER,
     "q_schema_drift": SQL_SCHEMA_DRIFT,
     "q_erasure_impact": SQL_ERASURE_IMPACT,
+    "q_active_select": SQL_ACTIVE_SELECT,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

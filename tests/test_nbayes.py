@@ -110,3 +110,42 @@ def test_null_text_scores_prior_only_like_oracle(spark):
     assert set(out) == {1, 2, 3}
     lg = lambda v: math.floor(FXP * math.log2(v))
     assert out[3].pred == "a" and out[3].score_fxp == lg(1) - lg(2)
+
+
+def test_active_select_surfaces_ambiguous_docs(spark):
+    from biothings_crawler_spark.operators.nbayes import (
+        active_select,
+        nb_train,
+    )
+
+    # two sharply separable classes plus docs mixing both markers --
+    # the mixed docs are the ambiguous ones margin sampling must
+    # surface first
+    rows = []
+    for i in range(40):
+        rows.append((i, "a", "alpha alpha alpha filler%d" % (i % 7)))
+    for i in range(40, 80):
+        rows.append((i, "b", "beta beta beta filler%d" % (i % 7)))
+    mixed = [(100 + j, "a", "alpha beta filler%d" % j) for j in range(6)]
+    df = spark.createDataFrame(rows + mixed,
+                               "doc_id long, lang string, text string")
+    model = nb_train(df.filter("doc_id < 80"), "doc_id", "text", "lang",
+                     n_buckets=64)
+    got = active_select(df, model, "doc_id", "text", n_buckets=64, k=5)
+    sel = got.collect()
+    assert all(r["rank"] <= 5 for r in sel)
+    # every mixed doc that got selected outranks (smaller margin than)
+    # every pure doc selected in the same class
+    by_pred = {}
+    for r in sel:
+        by_pred.setdefault(r["pred"], []).append(r)
+    mixed_ids = {100 + j for j in range(6)}
+    for pred, rs in by_pred.items():
+        mixed_margins = [r["margin_fxp"] for r in rs if r["id"] in mixed_ids]
+        pure_margins = [r["margin_fxp"] for r in rs
+                        if r["id"] not in mixed_ids]
+        if mixed_margins and pure_margins:
+            assert max(mixed_margins) <= min(pure_margins)
+    # at least some mixed docs were surfaced at the top of a class
+    tops = [r for r in sel if r["rank"] == 1]
+    assert any(r["id"] in mixed_ids for r in tops)
