@@ -98,6 +98,7 @@ SUITE = [
     "q_schema_drift",
     "q_erasure_impact",
     "q_active_select",
+    "q_pack_fragmentation",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

@@ -185,3 +185,35 @@ def span_corruption_stats(
         (F.col("n_noise") + F.col("n_spans") + 1).cast("long")
         .alias("dec_len"),
     )
+
+
+def packing_fragmentation(packed: DataFrame) -> DataFrame:
+    """Cross-document attention accounting per packed bin — the
+    CONTAMINATION metric of sequence packing that utilization
+    (packing_stats) does not see: without block-diagonal attention
+    masking, a packed context of docs sized n_1..n_k exposes
+    T² − Σ n_i² cross-document attention pairs (T = Σ n_i), which is
+    exactly what mask-aware training must zero out.  Per (shard, bin):
+
+    * ``n_docs``, ``tokens``  — composition.
+    * ``intra_pairs``  = Σ n_i²  (the legitimate attention volume).
+    * ``cross_ppm``    = (T² − Σ n_i²)·10⁶ div T²  — the share of the
+      full attention matrix that is cross-document leakage if the
+      packer's consumer forgets the mask.
+
+    One hash aggregation over the packer's output; every column is an
+    exact integer.
+    """
+    g = packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("tokens"),
+        F.sum(F.col("tok") * F.col("tok")).cast("long")
+        .alias("intra_pairs"),
+    )
+    return g.select(
+        "shard", "bin", "n_docs", "tokens", "intra_pairs",
+        F.expr(
+            "(tokens * tokens - intra_pairs) * 1000000"
+            " div greatest(tokens * tokens, 1)"
+        ).cast("long").alias("cross_ppm"),
+    )

@@ -6174,6 +6174,34 @@ FROM p GROUP BY shard
 """
 
 
+def q_pack_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document attention accounting (operators/packing.
+    packing_fragmentation) over q_seq_packing's assignment: per bin,
+    intra-doc pair volume and the cross-doc leakage ppm a missing
+    block-diagonal mask would expose."""
+    from biothings_crawler_spark.operators.packing import (
+        pack_sequences,
+        packing_fragmentation,
+    )
+
+    packed = pack_sequences(
+        _pack_base(spark, sf_dir), "doc_id", "n_tok", _PACK_CAP, "shard"
+    )
+    return packing_fragmentation(packed)
+
+
+SQL_PACK_FRAGMENTATION = f"""
+WITH RECURSIVE {_SQL_PACK_REC}
+SELECT CAST(shard AS BIGINT) AS shard, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS tokens,
+       CAST(SUM(tok * tok) AS BIGINT) AS intra_pairs,
+       CAST((SUM(tok) * SUM(tok) - SUM(tok * tok)) * 1000000
+            // greatest(SUM(tok) * SUM(tok), 1) AS BIGINT) AS cross_ppm
+FROM p GROUP BY shard, bin
+"""
+
+
 _DUST_URL = """'https://s' || CAST((doc_id div 7) % 20 AS {S}) || '.example.org/page/'
   || CAST(doc_id div 7 AS {S})
   || '?lang=' || CAST(doc_id % 2 AS {S})
@@ -19413,6 +19441,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_schema_drift": q_schema_drift,
     "q_erasure_impact": q_erasure_impact,
     "q_active_select": q_active_select,
+    "q_pack_fragmentation": q_pack_fragmentation,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -19785,6 +19814,7 @@ ORACLES: dict[str, str] = {
     "q_schema_drift": SQL_SCHEMA_DRIFT,
     "q_erasure_impact": SQL_ERASURE_IMPACT,
     "q_active_select": SQL_ACTIVE_SELECT,
+    "q_pack_fragmentation": SQL_PACK_FRAGMENTATION,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

@@ -105,3 +105,28 @@ def test_span_corruption_matches_python_walk(spark):
     # the corruption rate lands near the configured 15% on a long doc
     r1 = got[1]
     assert 50_000 < r1["corrupted_ppm"] < 500_000
+
+
+def test_packing_fragmentation_accounting(spark):
+    from biothings_crawler_spark.operators.packing import (
+        pack_sequences,
+        packing_fragmentation,
+    )
+
+    docs = [(1, 4, 0), (2, 4, 0), (3, 8, 0),   # bin0: 4+4, bin1: 8
+            (10, 3, 1), (11, 3, 1), (12, 2, 1)]  # shard1 bin0: 3+3+2
+    df = spark.createDataFrame(docs, "id long, tok long, shard long")
+    packed = pack_sequences(df, "id", "tok", 8, "shard")
+    got = {(r["shard"], r["bin"]): r
+           for r in packing_fragmentation(packed).collect()}
+    b00 = got[(0, 0)]
+    # two 4-token docs: T=8, intra=32, cross=(64-32)/64
+    assert (b00["n_docs"], b00["tokens"], b00["intra_pairs"]) == (2, 8, 32)
+    assert b00["cross_ppm"] == 500_000
+    # single-doc bin: zero cross-document leakage
+    b01 = got[(0, 1)]
+    assert b01["n_docs"] == 1 and b01["cross_ppm"] == 0
+    # 3+3+2: T=8, intra=9+9+4=22, cross=(64-22)*1e6//64
+    b10 = got[(1, 0)]
+    assert b10["intra_pairs"] == 22
+    assert b10["cross_ppm"] == (64 - 22) * 1_000_000 // 64
