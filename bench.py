@@ -99,6 +99,7 @@ SUITE = [
     "q_erasure_impact",
     "q_active_select",
     "q_pack_fragmentation",
+    "q_identifier_extract",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

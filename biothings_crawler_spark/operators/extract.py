@@ -682,3 +682,56 @@ def js_required_col(html: Column) -> dict:
             spa | ((vlen < 80) & (script_bytes > 0)) | (ratio > 600_000),
             F.lit(1)).otherwise(F.lit(0)).cast("long"),
     }
+
+
+# --- typed identifier extraction -------------------------------------
+#
+# The reference's whole purpose is harvesting dataset metadata
+# (GEO/ImmPort/Zenodo spiders, crawler/spiders/*); free text on the
+# same pages carries typed identifiers those structured paths miss.
+# All patterns are RE2-safe (shared verbatim with the DuckDB twin) and
+# anchored on word boundaries so prose like 'GSE12345x' cannot half-
+# match.
+
+ID_PATTERNS = [
+    # (kind, regex with ONE capture group)
+    ("doi", r"\b(10\.[0-9]{4,9}/[-._;()/:A-Za-z0-9]+)"),
+    ("geo_series", r"\b(GSE[0-9]{3,8})\b"),
+    ("geo_sample", r"\b(GSM[0-9]{3,8})\b"),
+    ("sra_run", r"\b([SED]RR[0-9]{5,9})\b"),
+    ("pdb", r"\bPDB[ :]([0-9][A-Za-z0-9]{3})\b"),
+    ("pmid", r"\bPMID[: ]{0,2}([0-9]{1,8})\b"),
+]
+
+
+def extract_identifiers(
+    pages: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per (document, kind, identifier occurrence) — DOI, GEO
+    series/sample, SRA run, PDB entry, PMID — duplicates preserved in
+    document order per kind (the mention COUNT is signal: a dataset
+    landing page mentions its own accession many times, a citing page
+    once).  Pure whole-stage-codegen ``regexp_extract_all`` chain +
+    one bounded explode per kind; zero shuffles, zero Python.
+
+    Output: (id, kind, ident, n_in_doc) with n_in_doc the document's
+    total mention count for that kind.
+    """
+    t = F.col(text_col)
+    per_kind = F.array(*[
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.regexp_extract_all(t, F.lit(rx), 1).alias("hits"),
+        )
+        for kind, rx in ID_PATTERNS
+    ])
+    rows = pages.select(
+        F.col(id_col).alias("id"), F.explode(per_kind).alias("k")
+    ).select(
+        "id", F.col("k.kind").alias("kind"), F.col("k.hits").alias("hits")
+    ).filter(F.size("hits") > 0)
+    return rows.select(
+        "id", "kind",
+        F.explode("hits").alias("ident"),
+        F.size("hits").cast("long").alias("n_in_doc"),
+    )

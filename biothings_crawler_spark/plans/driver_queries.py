@@ -15124,6 +15124,73 @@ WHERE b.er = 1
 """
 
 
+def q_identifier_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed identifier extraction (operators/extract.
+    extract_identifiers): DOI with suffix punctuation, repeated GEO
+    series mentions (count = landing-page signal), SRA/PDB/PMID
+    lanes, and a near-miss lane (GSE12x) that word boundaries must
+    reject. Oracle replays the RE2 chain."""
+    from biothings_crawler_spark.operators.extract import (
+        extract_identifiers,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    g = (F.col("doc_id") % 9000 + 100).cast("string")
+    m = F.col("doc_id") % 6
+    extra = (
+        F.when(m == 0, F.concat(
+            F.lit(" see doi 10.1093/nar/gkx"), i, F.lit(" for details")))
+        .when(m == 1, F.concat(
+            F.lit(" GSE"), g, F.lit(" and again GSE"), g,
+            F.lit(" plus sample GSM"), g))
+        .when(m == 2, F.concat(F.lit(" runs SRR10203"), i.substr(1, 1),
+                               F.lit(" and ERR20304"), i.substr(1, 1)))
+        .when(m == 3, F.concat(F.lit(" structure PDB 1ab"),
+                               (F.col("doc_id") % 10).cast("string"),
+                               F.lit(" cited")))
+        .when(m == 4, F.concat(F.lit(" PMID: 123"), i))
+        .otherwise(F.lit(" almost GSE12x not an accession"))
+    )
+    pages = d.select(
+        "doc_id", F.concat(F.col("text"), extra).alias("text"))
+    return extract_identifiers(pages)
+
+
+SQL_IDENTIFIER_EXTRACT = """
+WITH p AS (
+  SELECT doc_id AS id,
+         text || CASE doc_id % 6
+           WHEN 0 THEN ' see doi 10.1093/nar/gkx' || doc_id
+                       || ' for details'
+           WHEN 1 THEN ' GSE' || (doc_id % 9000 + 100) || ' and again GSE'
+                       || (doc_id % 9000 + 100) || ' plus sample GSM'
+                       || (doc_id % 9000 + 100)
+           WHEN 2 THEN ' runs SRR10203' || substr(CAST(doc_id AS VARCHAR), 1, 1)
+                       || ' and ERR20304' || substr(CAST(doc_id AS VARCHAR), 1, 1)
+           WHEN 3 THEN ' structure PDB 1ab' || (doc_id % 10) || ' cited'
+           WHEN 4 THEN ' PMID: 123' || doc_id
+           ELSE ' almost GSE12x not an accession' END AS text
+  FROM documents),
+pats AS (
+  SELECT * FROM (VALUES
+    ('doi', '\\b(10\\.[0-9]{4,9}/[-._;()/:A-Za-z0-9]+)'),
+    ('geo_series', '\\b(GSE[0-9]{3,8})\\b'),
+    ('geo_sample', '\\b(GSM[0-9]{3,8})\\b'),
+    ('sra_run', '\\b([SED]RR[0-9]{5,9})\\b'),
+    ('pdb', '\\bPDB[ :]([0-9][A-Za-z0-9]{3})\\b'),
+    ('pmid', '\\bPMID[: ]{0,2}([0-9]{1,8})\\b')
+  ) AS v(kind, rx)),
+hits AS (
+  SELECT p.id, pats.kind,
+         regexp_extract_all(p.text, pats.rx, 1) AS hs
+  FROM p, pats)
+SELECT id, kind, unnest(hs) AS ident,
+       CAST(len(hs) AS BIGINT) AS n_in_doc
+FROM hits WHERE len(hs) > 0
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -19442,6 +19509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_erasure_impact": q_erasure_impact,
     "q_active_select": q_active_select,
     "q_pack_fragmentation": q_pack_fragmentation,
+    "q_identifier_extract": q_identifier_extract,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -19815,6 +19883,7 @@ ORACLES: dict[str, str] = {
     "q_erasure_impact": SQL_ERASURE_IMPACT,
     "q_active_select": SQL_ACTIVE_SELECT,
     "q_pack_fragmentation": SQL_PACK_FRAGMENTATION,
+    "q_identifier_extract": SQL_IDENTIFIER_EXTRACT,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

@@ -185,3 +185,40 @@ def test_meta_robots_and_enforcement(spark):
     assert sorted(r.src for r in followable.collect()) == ["a", "d"]
     p = flagged._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "EvalPython" not in p
+
+
+def test_identifier_extraction_lanes(spark):
+    from biothings_crawler_spark.operators.extract import (
+        extract_identifiers,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (1, "cited as 10.1093/nar/gkx1098, see also "
+                "GSE12345 text GSE12345 and GSM999"),
+            (2, "runs SRR102030 ERR203040 DRR304050 done"),
+            (3, "PDB 1abc and PDB:2xyz but not PDBX9999"),
+            (4, "PMID: 12345678 PMID 99 PMID:7"),
+            # near-misses: boundaries must reject all of these
+            (5, "GSE12x SRR123 notGSE12345 10.12/short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = extract_identifiers(pages).collect()
+    got = {}
+    for r in rows:
+        got.setdefault((r["id"], r["kind"]), []).append(
+            (r["ident"], r["n_in_doc"]))
+    assert got[(1, "doi")] == [("10.1093/nar/gkx1098,", 1)] or \
+        got[(1, "doi")] == [("10.1093/nar/gkx1098", 1)]
+    assert [x[0] for x in got[(1, "geo_series")]] == ["GSE12345"] * 2
+    assert got[(1, "geo_series")][0][1] == 2        # mention count
+    assert got[(1, "geo_sample")] == [("GSM999", 1)]
+    assert sorted(x[0] for x in got[(2, "sra_run")]) == [
+        "DRR304050", "ERR203040", "SRR102030"]
+    assert sorted(x[0] for x in got[(3, "pdb")]) == ["1abc", "2xyz"]
+    assert sorted(x[0] for x in got[(4, "pmid")]) == [
+        "12345678", "7", "99"]
+    # near-miss page yields nothing: SRR123 too short, GSE12x broken
+    # boundary, notGSE12345 mid-word, 10.12/ too-short prefix
+    assert not any(k[0] == 5 for k in got)
