@@ -100,6 +100,7 @@ SUITE = [
     "q_active_select",
     "q_pack_fragmentation",
     "q_identifier_extract",
+    "q_mad_outliers",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

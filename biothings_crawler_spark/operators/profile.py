@@ -131,3 +131,65 @@ def schema_signatures(
             W.partitionBy("grp").orderBy(F.desc("n"), "signature")
         ).cast("long").alias("rank"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str = "grp",
+    value_fx_col: str = "x",
+    k_num: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier census: median + MAD (median absolute
+    deviation) with a ``|x − med| > k·MAD`` flag — the monitoring
+    gate mean/σ profiling gets WRONG on crawl-shaped data, where the
+    outliers themselves inflate σ until nothing is flagged (masking).
+    MAD has a 50% breakdown point; ±3·MAD is the textbook robust
+    fence (Leys et al. 2013).
+
+    Exactness: values arrive as fixed-point integers; both medians
+    are the LOWER median (rank ``(n+1) div 2`` in ascending order —
+    rank-based selection is deterministic under duplicate values, and
+    avoids the even-count averaging whose halving DuckDB and Spark
+    round differently).  The degenerate MAD == 0 case (over half the
+    group identical) flags every off-median value — the standard MAD
+    caveat, documented rather than patched.
+
+    Shape: two group-keyed window passes (rank within group) + bounded
+    per-group aggregates. For groups too large to window, the exact
+    distributed-selection quantile plane (operators/quantiles.py) is
+    the drop-in replacement for the median steps; this operator is
+    the bounded-group formulation.
+
+    Output: (group, n, med_fx, mad_fx, n_outliers, outlier_ppm).
+    """
+    from pyspark.sql import Window as W
+
+    x = F.col(value_fx_col)
+    n_w = W.partitionBy(group_col)
+    r_w = W.partitionBy(group_col).orderBy(value_fx_col)
+    med = df.select(
+        F.col(group_col).alias("grp"), x.alias("x"),
+        F.row_number().over(r_w).alias("_r"),
+        F.count(F.lit(1)).over(n_w).alias("_n"),
+    ).filter(F.col("_r") == F.expr("(_n + 1) div 2")) \
+        .select("grp", F.col("x").alias("med_fx"),
+                F.col("_n").cast("long").alias("n"))
+    dev = df.select(F.col(group_col).alias("grp"), x.alias("x")) \
+        .join(med, "grp") \
+        .withColumn("d", F.abs(F.col("x") - F.col("med_fx")))
+    mad_w = W.partitionBy("grp").orderBy("d")
+    mad = dev.select(
+        "grp", "d", F.row_number().over(mad_w).alias("_r"),
+        F.col("n"),
+    ).filter(F.col("_r") == F.expr("(n + 1) div 2")) \
+        .select("grp", F.col("d").alias("mad_fx"))
+    flagged = dev.join(mad, "grp").select(
+        "grp", "n", "med_fx", "mad_fx",
+        (F.col("d") > k_num * F.col("mad_fx")).cast("long").alias("_o"),
+    )
+    return flagged.groupBy("grp", "n", "med_fx", "mad_fx").agg(
+        F.sum("_o").cast("long").alias("n_outliers"),
+        F.expr("sum(_o) * 1000000 div count(1)").cast("long")
+        .alias("outlier_ppm"),
+    ).select(F.col("grp").alias("group"), "n", "med_fx", "mad_fx",
+             "n_outliers", "outlier_ppm")

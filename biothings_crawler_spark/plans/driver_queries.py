@@ -15191,6 +15191,59 @@ FROM hits WHERE len(hs) > 0
 """
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier census (operators/profile.mad_outliers) over
+    fixed-point event values with planted contamination: every
+    event_id%17==3 value is inflated 20x, which classic mean/sigma
+    profiling partially masks but the 3-MAD fence flags. Oracle
+    replays lower-median selection and the fence."""
+    from biothings_crawler_spark.operators.profile import mad_outliers
+
+    e = _t(spark, sf_dir, "events")
+    vals = e.select(
+        F.col("event_type").alias("grp"),
+        (F.floor(
+            F.col("value") * F.when(F.col("event_id") % 17 == 3,
+                                    F.lit(20.0)).otherwise(F.lit(1.0))
+            * 1000
+        )).cast("long").alias("x"),
+    )
+    return mad_outliers(vals)
+
+
+SQL_MAD_OUTLIERS = """
+WITH v AS (
+  SELECT event_type AS grp,
+         CAST(floor(value * CASE WHEN event_id % 17 = 3
+                                 THEN 20.0 ELSE 1.0 END * 1000)
+              AS BIGINT) AS x
+  FROM events),
+r AS (
+  SELECT grp, x,
+         row_number() OVER (PARTITION BY grp ORDER BY x) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM v),
+med AS (
+  SELECT grp, x AS med_fx, CAST(n AS BIGINT) AS n
+  FROM r WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT v.grp, v.x, m.med_fx, m.n, abs(v.x - m.med_fx) AS d
+  FROM v JOIN med m ON m.grp = v.grp),
+rd AS (
+  SELECT grp, d, row_number() OVER (PARTITION BY grp ORDER BY d) AS rn,
+         n
+  FROM dev),
+mad AS (SELECT grp, d AS mad_fx FROM rd WHERE rn = (n + 1) // 2)
+SELECT dev.grp AS "group", dev.n, dev.med_fx, mad.mad_fx,
+       CAST(SUM(CASE WHEN dev.d > 3 * mad.mad_fx THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN dev.d > 3 * mad.mad_fx THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS outlier_ppm
+FROM dev JOIN mad ON mad.grp = dev.grp
+GROUP BY dev.grp, dev.n, dev.med_fx, mad.mad_fx
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -19510,6 +19563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_active_select": q_active_select,
     "q_pack_fragmentation": q_pack_fragmentation,
     "q_identifier_extract": q_identifier_extract,
+    "q_mad_outliers": q_mad_outliers,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -19884,6 +19938,7 @@ ORACLES: dict[str, str] = {
     "q_active_select": SQL_ACTIVE_SELECT,
     "q_pack_fragmentation": SQL_PACK_FRAGMENTATION,
     "q_identifier_extract": SQL_IDENTIFIER_EXTRACT,
+    "q_mad_outliers": SQL_MAD_OUTLIERS,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

@@ -145,3 +145,32 @@ def test_schema_signatures_census(spark):
     assert got[("click", "k")]["rank"] == 1
     assert got[("click", "k")]["share_ppm"] == 333_333
     assert got[("view", "a,b")]["rank"] == 1
+
+
+def test_mad_outliers_resists_masking(spark):
+    from biothings_crawler_spark.operators.profile import mad_outliers
+
+    # 88 inliers around 1000 plus 12 huge outliers: with >n/10
+    # contamination the outliers' own sigma inflation masks them
+    # (z ~ sqrt(88/12) < 3, so 3-sigma flags ZERO), while the MAD
+    # fence flags exactly the twelve
+    import statistics
+
+    inliers = [1000 + (i * 7) % 25 for i in range(88)]
+    outliers = [1_000_000 + i for i in range(12)]
+    xs = inliers + outliers
+    mu = statistics.mean(xs)
+    sd = statistics.pstdev(xs)
+    assert sum(1 for x in xs if abs(x - mu) > 3 * sd) == 0  # masked!
+    df = spark.createDataFrame([(0, x) for x in xs], "grp long, x long")
+    got = mad_outliers(df).collect()[0]
+    assert got["n_outliers"] == 12
+    assert got["outlier_ppm"] == 120_000
+    # lower-median semantics: rank (n+1) div 2 of ascending values
+    assert got["med_fx"] == sorted(xs)[(100 + 1) // 2 - 1]
+    # degenerate MAD == 0: over half identical -> every off-median
+    # value flagged (documented caveat)
+    df2 = spark.createDataFrame(
+        [(0, 5)] * 6 + [(0, 7)] * 2, "grp long, x long")
+    got2 = mad_outliers(df2).collect()[0]
+    assert got2["mad_fx"] == 0 and got2["n_outliers"] == 2
