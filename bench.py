@@ -101,6 +101,7 @@ SUITE = [
     "q_pack_fragmentation",
     "q_identifier_extract",
     "q_mad_outliers",
+    "q_url_templates",
     # round-5 session-3 additions (chunking/segmentation + compliance)
     "q_rag_chunks",
     "q_sitemap_audit",

@@ -141,3 +141,52 @@ def strip_learned_params(
         .withColumn(url_col, cleaned)
         .drop("__strip_set")
     )
+
+
+# generalization rules, applied in THIS order on the PATH (uuid before
+# hex before digits: each later class would half-match the earlier)
+_TPL_RULES = [
+    (r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+     "<uuid>"),
+    (r"[0-9a-f]{8,}", "<hex>"),
+    (r"[0-9]+", "<d>"),
+]
+
+
+def url_path_templates(
+    df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """URL path-template census per host — the crawl-budget planner's
+    structural view of a site: ``/article/88172/view`` and
+    ``/article/93's`` sibling collapse to ``/article/<d>/view``, so a
+    host's URL space reads as a handful of templates with counts
+    instead of millions of opaque paths. The DUST plane
+    (``dust_params``) learns which QUERY parameters are content-
+    irrelevant; this is its PATH-shape sibling (id segments, hex
+    session tokens, UUIDs generalized in a fixed rule order — uuid
+    before hex before digits, each later class would half-match the
+    earlier).
+
+    Pure codegen regexp_replace chain + one (host, signature) hash
+    agg + a rank window over the bounded per-host template census.
+
+    Output: (host, signature, n_urls, share_ppm, rank).
+    """
+    from pyspark.sql import Window as W
+
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1)
+    path = F.regexp_extract(F.col(url_col), r"^https?://[^/]+([^?#]*)", 1)
+    sig = F.when(path == "", F.lit("/")).otherwise(path)
+    for rx, token in _TPL_RULES:
+        sig = F.regexp_replace(sig, rx, token)
+    cells = df.select(host.alias("host"), sig.alias("signature")) \
+        .groupBy("host", "signature") \
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    tot = cells.groupBy("host").agg(F.sum("n_urls").alias("_t"))
+    return cells.join(tot, "host").select(
+        "host", "signature", "n_urls",
+        F.expr("n_urls * 1000000 div _t").cast("long").alias("share_ppm"),
+        F.row_number().over(
+            W.partitionBy("host").orderBy(F.desc("n_urls"), "signature")
+        ).cast("long").alias("rank"),
+    )

@@ -15244,6 +15244,78 @@ GROUP BY dev.grp, dev.n, dev.med_fx, mad.mad_fx
 """
 
 
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL path-template census (operators/dust.url_path_templates):
+    two id-bearing lanes that must COLLAPSE to one template, a static
+    asset, a hex session token, and a UUID lane built from md5 (both
+    engines derive the identical uuid text). Oracle replays the
+    ordered generalization chain."""
+    from biothings_crawler_spark.operators.dust import url_path_templates
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    h = F.md5(i)
+    uuid = F.concat_ws(
+        "-", F.substring(h, 1, 8), F.substring(h, 9, 4),
+        F.substring(h, 13, 4), F.substring(h, 17, 4),
+        F.substring(h, 21, 12))
+    m = F.col("doc_id") % 5
+    path = (
+        F.when(m == 0, F.concat(F.lit("/article/"), i, F.lit("/view")))
+        .when(m == 1, F.concat(F.lit("/article/"),
+                               ((F.col("doc_id") + 7000) % 100000)
+                               .cast("string"), F.lit("/view")))
+        .when(m == 2, F.lit("/static/css/main.css"))
+        .when(m == 3, F.concat(F.lit("/session/"), F.substring(h, 1, 16),
+                               F.lit("/cart")))
+        .otherwise(F.concat(F.lit("/u/"), uuid))
+    )
+    urls = d.select(F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com"), path).alias("url"))
+    return url_path_templates(urls)
+
+
+SQL_URL_TEMPLATES = """
+WITH u AS (
+  SELECT 'https://h' || (doc_id % 7) || '.example.com' ||
+         CASE doc_id % 5
+           WHEN 0 THEN '/article/' || doc_id || '/view'
+           WHEN 1 THEN '/article/' || ((doc_id + 7000) % 100000)
+                       || '/view'
+           WHEN 2 THEN '/static/css/main.css'
+           WHEN 3 THEN '/session/' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 16) || '/cart'
+           ELSE '/u/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-'
+                || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4) || '-'
+                || substr(md5(CAST(doc_id AS VARCHAR)), 13, 4) || '-'
+                || substr(md5(CAST(doc_id AS VARCHAR)), 17, 4) || '-'
+                || substr(md5(CAST(doc_id AS VARCHAR)), 21, 12)
+         END AS url
+  FROM documents),
+s AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         regexp_replace(regexp_replace(regexp_replace(
+           CASE WHEN regexp_extract(url, '^https?://[^/]+([^?#]*)', 1) = ''
+                THEN '/' ELSE regexp_extract(url,
+                  '^https?://[^/]+([^?#]*)', 1) END,
+           '[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}',
+           '<uuid>', 'g'),
+           '[0-9a-f]{8,}', '<hex>', 'g'),
+           '[0-9]+', '<d>', 'g') AS signature
+  FROM u),
+cells AS (
+  SELECT host, signature, CAST(COUNT(*) AS BIGINT) AS n_urls
+  FROM s GROUP BY host, signature),
+tot AS (SELECT host, SUM(n_urls) AS t FROM cells GROUP BY host)
+SELECT c.host, c.signature, c.n_urls,
+       CAST(c.n_urls * 1000000 // t.t AS BIGINT) AS share_ppm,
+       CAST(row_number() OVER (PARTITION BY c.host
+              ORDER BY c.n_urls DESC, c.signature) AS BIGINT) AS rank
+FROM cells c JOIN tot t ON t.host = c.host
+"""
+
+
 PROX_TERMS = ["hash", "join", "scan"]
 
 
@@ -19564,6 +19636,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pack_fragmentation": q_pack_fragmentation,
     "q_identifier_extract": q_identifier_extract,
     "q_mad_outliers": q_mad_outliers,
+    "q_url_templates": q_url_templates,
     "q_maxscore_topk": q_maxscore_topk,
     "q_substr_spans": q_substr_spans,
     "q_substr_strip": q_substr_strip,
@@ -19939,6 +20012,7 @@ ORACLES: dict[str, str] = {
     "q_pack_fragmentation": SQL_PACK_FRAGMENTATION,
     "q_identifier_extract": SQL_IDENTIFIER_EXTRACT,
     "q_mad_outliers": SQL_MAD_OUTLIERS,
+    "q_url_templates": SQL_URL_TEMPLATES,
     "q_maxscore_topk": SQL_MAXSCORE_TOPK,
     "q_substr_spans": SQL_SUBSTR_SPANS,
     "q_substr_strip": SQL_SUBSTR_STRIP,

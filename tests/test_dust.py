@@ -79,3 +79,30 @@ def test_plan_shape(spark):
     )
     assert "Window" not in plan and "BatchEvalPython" not in plan
     assert "Expand" in plan  # the two count-distincts share one agg
+
+
+def test_url_path_templates_generalization(spark):
+    from biothings_crawler_spark.operators.dust import url_path_templates
+
+    urls = [
+        "https://a.com/article/123/view",
+        "https://a.com/article/98765/view",     # collapses with above
+        "https://a.com/static/css/main.css",
+        "https://a.com/session/deadbeefcafe1234/cart",
+        "https://a.com/u/deadbeef-cafe-1234-abcd-0123456789ab",
+        "https://a.com/v2/api/7/items",          # digits in two spots
+        "https://a.com",                         # empty path -> '/'
+        "https://b.com/article/5/view",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {(r["host"], r["signature"]): r
+           for r in url_path_templates(df).collect()}
+    a = {sig: r for (h, sig), r in got.items() if h == "a.com"}
+    assert a["/article/<d>/view"]["n_urls"] == 2
+    assert a["/article/<d>/view"]["rank"] == 1
+    assert "/static/css/main.css" in a
+    assert "/session/<hex>/cart" in a
+    assert "/u/<uuid>" in a
+    assert "/v<d>/api/<d>/items" in a
+    assert "/" in a
+    assert got[("b.com", "/article/<d>/view")]["share_ppm"] == 1_000_000
