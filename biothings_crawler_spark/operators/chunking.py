@@ -148,22 +148,31 @@ def _parse_outline(html: str) -> list[tuple]:
     ANY level; ``path`` is the ``>``-joined titles of the open
     ancestor stack (an ``h3`` under ``h1 > h2``), which is what a RAG
     citation renders as breadcrumbs. A page's preamble before its
-    first heading becomes section 0 with an empty path/title. Tags
+    first heading becomes section 0 with an empty path/title. Script/style element CONTENTS are removed from bodies, then tags
     inside section bodies are stripped to whitespace; charrefs are NOT
     decoded here (the textnorm plane owns entity decoding).
     """
     import re
 
+    # non-greedy title group: anchor-wrapped headings
+    # (<h2><a>...</a></h2>) are the common case, so titles may carry
+    # markup, stripped below (review finding: the [^<]* form silently
+    # dropped such boundaries)
     heads = list(re.finditer(
-        r"<[hH]([1-6])[^>]*>([^<]*)</[hH][1-6]\s*>", html))
-    bounds = [(m.start(), m.end(), int(m.group(1)), m.group(2).strip())
+        r"<[hH]([1-6])[^>]*>(.*?)</[hH][1-6]\s*>", html, re.S))
+
+    def detag(t: str) -> str:
+        return re.sub(r"\s+", " ", re.sub(r"<[^>]*>", " ", t)).strip()
+
+    bounds = [(m.start(), m.end(), int(m.group(1)), detag(m.group(2)))
               for m in heads]
     out = []
     stack: list[tuple[int, str]] = []     # (level, title)
 
     def body(lo: int, hi: int) -> str:
-        return re.sub(r"\s+", " ",
-                      re.sub(r"<[^>]*>", " ", html[lo:hi])).strip()
+        seg = re.sub(r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ",
+                     html[lo:hi])
+        return re.sub(r"\s+", " ", re.sub(r"<[^>]*>", " ", seg)).strip()
 
     pre = body(0, bounds[0][0] if bounds else len(html))
     sec_no = 0

@@ -101,12 +101,18 @@ def survival_attribution(
     """
     from biothings_crawler_spark.operators.text import words_col
 
+    # NULLs are kills, not fall-throughs: a NULL lang or NULL text
+    # must not slide past the when() ladder's three-valued logic into
+    # the 'ok' branch (review finding: un-coalesced, both counted as
+    # survivors)
     flags = docs.select(
         F.col(source_col).alias("source"),
         F.col(id_col).alias("id"),
         F.col(text_col).alias("text"),
-        F.size(words_col(F.col(text_col))).cast("long").alias("tok"),
-        F.col(lang_col).isin(*allowed_langs).alias("ok_lang"),
+        F.coalesce(F.size(words_col(F.col(text_col))), F.lit(0))
+        .cast("long").alias("tok"),
+        F.coalesce(F.col(lang_col).isin(*allowed_langs), F.lit(False))
+        .alias("ok_lang"),
     ).withColumn(
         "ok_quality", F.col("tok") >= min_words
     )

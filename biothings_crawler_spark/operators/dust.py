@@ -172,21 +172,18 @@ def url_path_templates(
 
     Output: (host, signature, n_urls, share_ppm, rank).
     """
-    from pyspark.sql import Window as W
-
     host = F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1)
     path = F.regexp_extract(F.col(url_col), r"^https?://[^/]+([^?#]*)", 1)
     sig = F.when(path == "", F.lit("/")).otherwise(path)
     for rx, token in _TPL_RULES:
         sig = F.regexp_replace(sig, rx, token)
+    from biothings_crawler_spark.operators.profile import (
+        census_share_rank,
+    )
+
     cells = df.select(host.alias("host"), sig.alias("signature")) \
         .groupBy("host", "signature") \
         .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
-    tot = cells.groupBy("host").agg(F.sum("n_urls").alias("_t"))
-    return cells.join(tot, "host").select(
-        "host", "signature", "n_urls",
-        F.expr("n_urls * 1000000 div _t").cast("long").alias("share_ppm"),
-        F.row_number().over(
-            W.partitionBy("host").orderBy(F.desc("n_urls"), "signature")
-        ).cast("long").alias("rank"),
-    )
+    return census_share_rank(
+        cells, ["host"], "n_urls", ["signature"]
+    ).select("host", "signature", "n_urls", "share_ppm", "rank")

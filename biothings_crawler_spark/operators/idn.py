@@ -144,9 +144,16 @@ def idn_decode(
         return pd.DataFrame({"unicode_host": dec, "decode_err": err})
 
     c = F.col(host_col)
+    # ace = some LABEL starts with xn-- (review finding: a substring
+    # contains() also matched hosts merely embedding the sequence
+    # mid-label, e.g. 'foxn--bar.example')
+    ace = F.exists(
+        F.split(F.lower(c), r"\."),
+        lambda lab: lab.startswith("xn--"),
+    )
     return df.withColumn("_d", _dec(c)).select(
         *df.columns,
         F.col("_d.unicode_host").alias("unicode_host"),
         F.col("_d.decode_err").alias("decode_err"),
-        F.lower(c).contains("xn--").cast("long").alias("ace"),
+        F.coalesce(ace, F.lit(False)).cast("long").alias("ace"),
     )

@@ -118,11 +118,21 @@ def erasure_impact(
                     .withColumn("_erased", F.lit(1)))
     from biothings_crawler_spark.operators.text import words_col
 
+    # NULL text must not cluster: groupBy treats NULLs as equal, which
+    # would fabricate duplicate relationships between unrelated empty
+    # docs (review finding) -- key NULL-text docs by their own id so
+    # they are singletons with zero postings
+    text_key = F.when(
+        F.col(text_col).isNotNull(), F.col(text_col)
+    ).otherwise(F.concat(F.lit("\x01null:"),
+                         F.col(id_col).cast("string")))
     base = docs.select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("text"),
-        F.size(F.array_distinct(words_col(F.col(text_col))))
-        .cast("long").alias("n_index_rows"),
+        text_key.alias("text"),
+        F.coalesce(
+            F.size(F.array_distinct(words_col(F.col(text_col)))),
+            F.lit(0),
+        ).cast("long").alias("n_index_rows"),
     ).join(e, "id", "left").withColumn(
         "_erased", F.coalesce("_erased", F.lit(0)))
     groups = base.groupBy("text").agg(

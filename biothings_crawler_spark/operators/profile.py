@@ -89,6 +89,32 @@ def profile_drift(
     )
 
 
+def census_share_rank(
+    cells: DataFrame,
+    group_cols: list,
+    n_col: str,
+    tiebreak_cols: list,
+) -> DataFrame:
+    """Shared census rollup: append exact ``share_ppm`` (n·10⁶ div the
+    group total) and ``rank`` (row_number by n desc, then the given
+    tie-breaks asc) to a (group..., item..., n) cell table — the
+    group-total join + window shape three census operators
+    (schema_signatures, event_transitions, url_path_templates) share;
+    one definition keeps the ppm/tie-break semantics from drifting
+    apart (review finding)."""
+    from pyspark.sql import Window as W
+
+    tot = cells.groupBy(*group_cols).agg(F.sum(n_col).alias("_t"))
+    w = W.partitionBy(*group_cols).orderBy(
+        F.desc(n_col), *tiebreak_cols)
+    return cells.join(tot, group_cols).select(
+        *cells.columns,
+        F.expr(f"{n_col} * 1000000 div _t").cast("long")
+        .alias("share_ppm"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 def schema_signatures(
     df: DataFrame,
     group_col: str = "grp",
@@ -112,24 +138,25 @@ def schema_signatures(
     bounded cell census. Output: (group, signature, n, share_ppm,
     rank).
     """
-    from pyspark.sql import Window as W
-
-    sig = F.coalesce(
-        F.array_join(F.array_sort(
-            F.json_object_keys(F.col(json_col))), ","),
-        F.lit("<invalid>"),
+    # three-way signature (review finding): json_object_keys is NULL
+    # for BOTH malformed payloads and valid non-objects, while the
+    # DuckDB twin's json_keys returns [] for valid arrays/scalars --
+    # a '<non-object>' lane keeps the engines exact and the monitor
+    # honest (an array-typed producer is drift, not corruption)
+    keys = F.json_object_keys(F.col(json_col))
+    valid = F.get_json_object(F.col(json_col), "$").isNotNull()
+    sig = (
+        F.when(keys.isNotNull(), F.array_join(F.array_sort(keys), ","))
+        .when(valid, F.lit("<non-object>"))
+        .otherwise(F.lit("<invalid>"))
     )
     cells = df.select(
         F.col(group_col).alias("grp"), sig.alias("signature")
     ).groupBy("grp", "signature").agg(
         F.count(F.lit(1)).cast("long").alias("n"))
-    tot = cells.groupBy("grp").agg(F.sum("n").alias("_t"))
-    return cells.join(tot, "grp").select(
+    return census_share_rank(cells, ["grp"], "n", ["signature"]).select(
         F.col("grp").alias("group"), "signature", "n",
-        F.expr("n * 1000000 div _t").cast("long").alias("share_ppm"),
-        F.row_number().over(
-            W.partitionBy("grp").orderBy(F.desc("n"), "signature")
-        ).cast("long").alias("rank"),
+        "share_ppm", "rank",
     )
 
 

@@ -232,11 +232,14 @@ _CONTENT_ATTR_DQ = r'(?i)content\s*=\s*"([^">]*)"'
 _CONTENT_ATTR_SQ = r"(?i)content\s*=\s*'([^'>]*)'"
 _REFRESH_DELAY = r"^\s*(\d+)"
 _REFRESH_URL = r"(?i)url\s*=\s*[\"']?\s*([^\"' >;]+)"
+# leading \b: without it, prose like "memory allocation = 'dynamic'"
+# or calls on geolocation objects match as sneaky redirects (review
+# finding, runtime-confirmed)
 _JS_ASSIGN = (
-    r"(?i)(?:window\.|document\.|top\.)?location(?:\.href)?"
+    r"(?i)\b(?:window\.|document\.|top\.)?location(?:\.href)?"
     r"\s*=\s*[\"']([^\"']+)[\"']"
 )
-_JS_REPLACE = r"(?i)location\.replace\(\s*[\"']([^\"']+)[\"']\s*\)"
+_JS_REPLACE = r"(?i)\blocation\.replace\(\s*[\"']([^\"']+)[\"']\s*\)"
 
 
 def client_redirects(

@@ -236,14 +236,11 @@ def event_transitions(
         (F.lead(us).over(w) - us).alias("_gap"),
     ).filter(F.col("dst").isNotNull()
              & (F.col("_gap") <= max_gap_s * 1_000_000))
+    from biothings_crawler_spark.operators.profile import (
+        census_share_rank,
+    )
+
     census = stepped.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("long").alias("n"))
-    tot = census.groupBy("src").agg(F.sum("n").alias("_tot"))
-    ranked = census.join(tot, "src").select(
-        "src", "dst", "n",
-        F.expr("n * 1000000 div _tot").cast("long").alias("share_ppm"),
-        F.row_number().over(
-            W.partitionBy("src").orderBy(F.desc("n"), "dst")
-        ).cast("long").alias("rank"),
-    )
-    return ranked
+    return census_share_rank(census, ["src"], "n", ["dst"]).select(
+        "src", "dst", "n", "share_ppm", "rank")

@@ -14072,10 +14072,10 @@ sig AS (
   SELECT doc_id, url, root, 'js' AS kind, CAST(0 AS BIGINT) AS delay,
          COALESCE(
            NULLIF(regexp_extract(html,
-             '(?i)(?:window\.|document\.|top\.)?location(?:\.href)?\s*=\s*["'']([^"'']+)["'']',
+             '(?i)\b(?:window\.|document\.|top\.)?location(?:\.href)?\s*=\s*["'']([^"'']+)["'']',
              1), ''),
            NULLIF(regexp_extract(html,
-             '(?i)location\.replace\(\s*["'']([^"'']+)["'']\s*\)', 1),
+             '(?i)\blocation\.replace\(\s*["'']([^"'']+)["'']\s*\)', 1),
              '')) AS target
   FROM c)
 SELECT doc_id AS id, url, kind, delay, target,
@@ -14681,7 +14681,10 @@ v AS (
          CASE WHEN regexp_extract(url, '^(https?://[^/]+)', 1)
                    <> regexp_extract(sitemap_url, '^(https?://[^/]+)', 1)
               THEN 'wrong_origin'
-              WHEN NOT starts_with(url,
+              WHEN NOT starts_with(
+                     CASE WHEN url = regexp_extract(url,
+                                       '^(https?://[^/]+)', 1)
+                          THEN url || '/' ELSE url END,
                      regexp_replace(sitemap_url, '[^/]*$', ''))
               THEN 'above_path'
               ELSE 'in_scope' END AS verdict
@@ -14769,8 +14772,8 @@ WITH planted AS (
                                   THEN 1 ELSE 0 END),
 flags AS (
   SELECT source, doc_id AS id, text,
-         CAST(len({_SQL_WORDS}) AS BIGINT) AS tok,
-         lang IN ('en', 'de', 'es', 'fr') AS ok_lang,
+         CAST(coalesce(len({_SQL_WORDS}), 0) AS BIGINT) AS tok,
+         coalesce(lang IN ('en', 'de', 'es', 'fr'), false) AS ok_lang,
          CAST(len({_SQL_WORDS}) AS BIGINT) >= 25 AS ok_quality
   FROM planted),
 winners AS (
@@ -15028,7 +15031,8 @@ def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     i = (F.col("event_id") % 50).cast("string")
     m = F.col("event_id") % 7
     payload = (
-        F.when(m == 3, F.concat(F.lit('{"k":'), i, F.lit(',"ts":"t"}')))
+        F.when(m == 2, F.concat(F.lit('[1,'), i, F.lit(']')))
+        .when(m == 3, F.concat(F.lit('{"k":'), i, F.lit(',"ts":"t"}')))
         .when(m == 4, F.concat(F.lit('{"k":'), i,
                                F.lit(',"user":{"id":1}}')))
         .when(m == 5, F.concat(F.lit('{"ts":"t","k":'), i, F.lit("}")))
@@ -15044,6 +15048,7 @@ SQL_SCHEMA_DRIFT = """
 WITH p AS (
   SELECT event_type AS grp,
          CASE event_id % 7
+           WHEN 2 THEN '[1,' || (event_id % 50) || ']'
            WHEN 3 THEN '{"k":' || (event_id % 50) || ',"ts":"t"}'
            WHEN 4 THEN '{"k":' || (event_id % 50) || ',"user":{"id":1}}'
            WHEN 5 THEN '{"ts":"t","k":' || (event_id % 50) || '}'
@@ -15052,8 +15057,9 @@ WITH p AS (
   FROM events),
 sig AS (
   SELECT grp,
-         CASE WHEN json_valid(payload)
+         CASE WHEN json_valid(payload) AND json_type(payload) = 'OBJECT'
               THEN array_to_string(list_sort(json_keys(payload)), ',')
+              WHEN json_valid(payload) THEN '<non-object>'
               ELSE '<invalid>' END AS signature
   FROM p),
 cells AS (

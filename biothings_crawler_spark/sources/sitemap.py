@@ -340,9 +340,13 @@ def sitemap_scope_audit(
     scope = F.regexp_replace(sm, r"[^/]*$", "")
     origin = F.regexp_extract(sm, r"^(https?://[^/]+)", 1)
     u_origin = F.regexp_extract(u, r"^(https?://[^/]+)", 1)
+    # the bare-origin homepage ('https://a.com', no trailing slash --
+    # common generator output) IS the root path (review finding: the
+    # raw startswith check verdicted it above_path for root sitemaps)
+    u_norm = F.when(u == u_origin, F.concat(u, F.lit("/"))).otherwise(u)
     verdict = (
         F.when(u_origin != origin, F.lit("wrong_origin"))
-        .when(~u.startswith(scope), F.lit("above_path"))
+        .when(~u_norm.startswith(scope), F.lit("above_path"))
         .otherwise(F.lit("in_scope"))
     )
     return entries.select(

@@ -128,3 +128,14 @@ def test_heading_outline_sections(spark):
     df = spark.createDataFrame([(1, html), (2, None)], "id long, html string")
     rows = heading_chunks(df).collect()
     assert len(rows) == 6 and all(r["id"] == 1 for r in rows)
+    # anchor-wrapped heading is a real boundary with a detagged title
+    # (review finding), and script/style contents never reach bodies
+    out = _parse_outline(
+        "<h1>Top</h1>aaa"
+        "<h2><a href=#s>Linked <b>Section</b></a></h2>bbb"
+        "<script>var a=1;</script>ccc"
+        "<style>.x{color:red}</style>")
+    assert out == [
+        (0, 1, "", "Top", 1, "aaa"),
+        (1, 2, "Top", "Linked Section", 2, "bbb ccc"),
+    ]

@@ -79,3 +79,13 @@ def test_idn_decode_dataframe(spark):
     assert "overflow" in rows[3]["decode_err"]
     assert rows[3]["unicode_host"] == "xn--9999999999h.example"
     assert rows[4]["unicode_host"] is None and rows[4]["decode_err"] is None
+
+
+def test_ace_flag_is_label_anchored(spark):
+    df = spark.createDataFrame(
+        [(1, "foxn--bar.example"), (2, "a.xn--mnchen-3ya.example")],
+        "id long, host string")
+    rows = {r["id"]: r for r in idn_decode(df).collect()}
+    # mid-label 'xn--' is not an ACE label (review finding)
+    assert rows[1]["ace"] == 0 and rows[1]["unicode_host"] == rows[1]["host"]
+    assert rows[2]["ace"] == 1

@@ -73,3 +73,18 @@ def test_erasure_impact_lanes(spark):
     assert got[10]["n_index_rows"] == 3
     # non-erased docs emit no rows
     assert set(got) == {1, 10, 20, 21}
+
+
+def test_erasure_impact_null_text_is_singleton(spark):
+    from biothings_crawler_spark.operators.maintenance import (
+        erasure_impact,
+    )
+
+    d = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text")],
+        "doc_id long, text string")
+    erased = spark.createDataFrame([(1,)], "doc_id long")
+    got = {r["id"]: r for r in erasure_impact(d, erased).collect()}
+    # NULL-text docs never cluster with each other (review finding)
+    assert (got[1]["group_size"], got[1]["was_winner"],
+            got[1]["new_winner"], got[1]["n_index_rows"]) == (1, 1, None, 0)

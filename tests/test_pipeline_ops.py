@@ -2624,6 +2624,15 @@ def test_survival_attribution_first_kill_order(spark):
     # token ledger: survivors' tokens only
     assert a["tokens_out"] == 31 and b["tokens_out"] == 31
     assert b["survival_ppm"] == 31 * 1_000_000 // b["tokens_in"]
+    # NULL lang / NULL text are KILLS, not three-valued fall-throughs
+    # into 'ok' (review finding)
+    nulls = spark.createDataFrame(
+        [(1, None, "C", long + "x"), (2, "en", "C", None),
+         (3, "en", "C", long + "y")],
+        "doc_id long, lang string, source string, text string")
+    c = {r["source"]: r for r in survival_attribution(
+        nulls, min_words=10).collect()}["C"]
+    assert (c["killed_lang"], c["killed_quality"], c["survived"]) == (1, 1, 1)
 
 
 def test_event_transitions_census(spark):

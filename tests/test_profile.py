@@ -147,6 +147,20 @@ def test_schema_signatures_census(spark):
     assert got[("view", "a,b")]["rank"] == 1
 
 
+def test_schema_signatures_non_object_lane(spark):
+    from biothings_crawler_spark.operators.profile import (
+        schema_signatures,
+    )
+
+    rows = [("e", "[1,2]"), ("e", "42"), ("e", '"s"'),
+            ("e", "{}"), ("e", "{bad"), ("e", None)]
+    df = spark.createDataFrame(rows, "grp string, payload string")
+    got = {r["signature"]: r["n"] for r in schema_signatures(df).collect()}
+    assert got["<non-object>"] == 3      # array, number, string
+    assert got[""] == 1                  # empty object keeps its own lane
+    assert got["<invalid>"] == 2         # malformed + NULL
+
+
 def test_mad_outliers_resists_masking(spark):
     from biothings_crawler_spark.operators.profile import mad_outliers
 

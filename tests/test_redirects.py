@@ -182,3 +182,24 @@ def test_client_redirects_lanes(spark):
     assert rows[(6, "js")]["target_abs"] == "https://a.com/moved/6"
     assert rows[(7, "meta")]["target_abs"] == "https://a.com/m7"
     assert rows[(7, "js")]["target_abs"] == "https://a.com/j7"
+
+
+def test_client_redirects_word_boundaries(spark):
+    from biothings_crawler_spark.operators.redirects import (
+        client_redirects,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.com/p",
+             "<p>memory allocation = 'dynamic' is used</p>"),
+            (2, "https://a.com/p",
+             "<script>geolocation.replace('city')</script>"),
+            (3, "https://a.com/p",
+             '<script>location.href="/real"</script>'),
+        ],
+        "doc_id long, url string, html_text string",
+    )
+    rows = {r["id"]: r for r in client_redirects(pages).collect()}
+    assert set(rows) == {3}              # prose/geolocation rejected
+    assert rows[3]["target_abs"] == "https://a.com/real"

@@ -76,6 +76,9 @@ def test_sitemap_scope_audit_verdicts(spark):
             ("https://a.com/sub/sitemap.xml", "http://a.com/sub/p5"),
             # root sitemap scopes the whole host
             ("https://a.com/sitemap.xml", "https://a.com/other/p6"),
+            # bare-origin homepage without trailing slash (review
+            # finding: must be in_scope for the root sitemap)
+            ("https://a.com/sitemap.xml", "https://a.com"),
         ],
         "sitemap_url string, url string",
     )
@@ -88,6 +91,7 @@ def test_sitemap_scope_audit_verdicts(spark):
         "https://b.com/sub/p4": "wrong_origin",
         "http://a.com/sub/p5": "wrong_origin",
         "https://a.com/other/p6": "in_scope",
+        "https://a.com": "in_scope",
     }
     c = {r["sitemap_url"]: r for r in
          sitemap_scope_census(sitemap_scope_audit(entries)).collect()}
