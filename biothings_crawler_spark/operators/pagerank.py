@@ -287,10 +287,17 @@ def seed_distance(
     FRONTIER (nodes first reached last round) against the edge table,
     then folds new reaches in with a min-agg — so a round's shuffle
     volume is the frontier's out-edge count, never |V|·|E|.  Rounds
-    stop early when the frontier empties (one bounded ``isEmpty``
-    action per round, same trade as redirect tracing); lineage is
-    truncated per round with ``localCheckpoint``.
+    stop early when the frontier empties; lineage is truncated with
+    ``localCheckpoint``.  Three hops ride each checkpointed job (the
+    connected_components ``check_every`` pattern): a hop is one
+    join+agg layer, so batching turns three blocking jobs + three
+    ``isEmpty`` actions into one of each — past the fixpoint a hop
+    joins an empty frontier, so overrunning by up to two hops inside
+    the last batch costs nothing and changes nothing (the min-fold is
+    idempotent there).  The frontier is a plain filter over the
+    checkpointed labels, never separately materialized.
     """
+    check_every = 3
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)
@@ -299,8 +306,6 @@ def seed_distance(
     ).localCheckpoint(eager=True)
     frontier = dist
     for hop in range(1, max_hops + 1):
-        if frontier.isEmpty():
-            break
         reached = (
             e.join(frontier.select(F.col("node").alias("src")), "src")
             .select(F.col("dst").alias("node"), F.lit(hop).cast("long").alias("dist"))
@@ -309,10 +314,13 @@ def seed_distance(
             dist.union(reached)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
         )
-        frontier = merged.filter(F.col("dist") == hop).localCheckpoint(eager=True)
+        if hop % check_every == 0 or hop == max_hops:
+            merged = merged.localCheckpoint(eager=True)
+        frontier = merged.filter(F.col("dist") == hop)
         dist = merged
+        if (hop % check_every == 0 or hop == max_hops) and frontier.isEmpty():
+            break
     return dist
 
 
@@ -809,11 +817,14 @@ def bowtie_decomposition(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    pivot = deg.orderBy(F.desc("deg"), F.asc("node")).limit(1).select("node")
+    pivot = (
+        deg.orderBy(F.desc("deg"), F.asc("node")).limit(1).select("node")
+        .localCheckpoint(eager=True)
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     fwd = seed_distance(e, pivot, max_hops=max_hops).select(
         "node", F.lit(1).alias("_f")
     )
-    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     bwd = seed_distance(rev, pivot, max_hops=max_hops).select(
         "node", F.lit(1).alias("_b")
     )

@@ -327,29 +327,37 @@ def hyperball(
     APPROXIMATION ITSELF is oracle-verifiable, not just sanity-bounded.
 
     Scale shape (the reason HyperBall exists): exact per-node
-    reachability is quadratic state, this is HLL_M ints per node.
-    Per round: one edges⋈state hash join + one (node, pos) max-agg
-    over the posexploded registers (map-side partials; HLL_M x rows,
-    a constant factor) + a bounded per-node reassembly agg —
+    reachability is quadratic state, this is at most HLL_M ints per
+    node — and the state is kept SPARSE: (node, pos, r) rows for the
+    non-empty registers only (every register that exists has r >= 1 by
+    construction, so absence encodes zero).  A node's sketch starts as
+    ONE row and only grows toward HLL_M as its ball grows, so early
+    rounds carry a fraction of the dense payload.  Per round: one
+    edges⋈state hash join + ONE (node, pos) max hash agg over three
+    integer columns (map-side partials, full codegen — no array
+    rebuild, no posexplode row blowup, no struct allocation) —
     Pregel-lite with sketch state, lineage checkpointed per round.
+    The estimate arithmetic reads the sparse state directly, exactly
+    like :func:`hll_distinct`: empty registers contribute the closed
+    form (HLL_M - n_present) * 2^RHO_CAP.
+    Edges are materialized once so the caller's plan (typically a
+    union+distinct) does not re-execute every round.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
     bucket, rho = hll_register_cols(F.col("node"))
     state = nodes.select(
         "node",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(HLL_M - 1)),
-            lambda j: F.when(j == bucket, rho).otherwise(F.lit(0)).cast("int"),
-        ).alias("regs"),
+        bucket.cast("int").alias("pos"),
+        rho.cast("int").alias("r"),
     ).localCheckpoint(eager=True)
 
-    snaps = [state.select("node", F.lit(0).cast("long").alias("t"), "regs")]
+    snaps = [state.select("node", F.lit(0).cast("long").alias("t"),
+                          "pos", "r")]
     for t in range(1, rounds + 1):
         # name-based join: cross-frame Column refs (e.dst == state.node)
         # lose their exprIds once state is re-created from a checkpoint
@@ -357,30 +365,39 @@ def hyperball(
         contrib = (
             e.withColumnRenamed("dst", "node")
             .join(state, "node")
-            .select(F.col("src").alias("node"), "regs")
+            .select(F.col("src").alias("node"), "pos", "r")
         )
-        merged = (
-            state.select("node", "regs").unionByName(contrib)
-            .select("node", F.posexplode("regs").alias("pos", "r"))
+        state = (
+            state.select("node", "pos", "r").unionByName(contrib)
             .groupBy("node", "pos")
             .agg(F.max("r").alias("r"))
-            .groupBy("node")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "r"))),
-                    lambda s: s["r"].cast("int"),
-                ).alias("regs")
-            )
             .localCheckpoint(eager=True)
         )
-        state = merged
-        snaps.append(state.select("node", F.lit(t).cast("long").alias("t"), "regs"))
+        snaps.append(state.select("node", F.lit(t).cast("long").alias("t"),
+                                  "pos", "r"))
 
     out = snaps[0]
     for s in snaps[1:]:
         out = out.unionByName(s)
-    return with_hll_estimate(out, "regs", "ball_est").select(
-        "node", "t", "ball_est"
+    zv = out.groupBy("node", "t").agg(
+        (
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {RHO_CAP} - r)"))
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(2 ** RHO_CAP)
+        ).alias("_z"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("long").alias("_v"),
+    )
+    raw = F.expr(
+        f"cast({ALPHA_PPM} * ({HLL_M * HLL_M} * cast({2 ** RHO_CAP} as bigint)"
+        f" div _z) div 1000000 as bigint)"
+    )
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in LC_LUT]), F.col("_v").cast("int")
+    ).cast("long")
+    return zv.select(
+        "node", "t",
+        F.when((raw <= LC_CUTOFF) & (F.col("_v") > 0), lc)
+        .otherwise(raw)
+        .alias("ball_est"),
     )
 
 
