@@ -159,6 +159,40 @@ def minhash_perm_col(hashes: Column, j: int) -> Column:
     )
 
 
+def minhash_sigs_udf(n_perm: int):
+    """Arrow-vectorized twin of the md5-hash + n_perm affine-min chain:
+    shingles -> array<long> signature, one numpy broadcast per row
+    instead of n_perm interpreted aggregate folds (which walk the
+    shingle array n_perm times in the expression evaluator — the
+    dominant cost of the LSH banding pass, ~2x the whole band join at
+    sf0.1).  Bit-identical: h = int(md5[:8], 16) % P exactly as
+    shingle_hash_col, perm_j = (A_j*h + B_j) % P in int64 (A_j*h <
+    2^62, no overflow), empty shingle arrays yield the fold's
+    initial value P, NULL stays NULL."""
+    a = np.asarray(_MH_A[:n_perm], dtype=np.int64)[:, None]
+    b = np.asarray(_MH_B[:n_perm], dtype=np.int64)[:, None]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(sh: pd.Series) -> pd.Series:
+        out = []
+        for row in sh:
+            if row is None:
+                out.append(None)
+                continue
+            if not len(row):
+                out.append([MINHASH_P] * n_perm)
+                continue
+            h = np.fromiter(
+                (int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                 for s in row),
+                dtype=np.int64, count=len(row),
+            ) % MINHASH_P
+            out.append(((a * h + b) % MINHASH_P).min(axis=1).tolist())
+        return pd.Series(out)
+
+    return sigs
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -174,21 +208,38 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows = n_perm // bands
-    # materialized (eager localCheckpoint): the (id, sh, hs) index is
+    # materialized (eager localCheckpoint): the (id, sh, sigs) index is
     # read by the band projection AND the per-pair verify join; without
     # materialization Catalyst's projection collapse re-inlines the
-    # md5-hash transform once per downstream reference. ONE md5 per
-    # shingle lives here; the n_perm permutations are integer folds
-    # over the checkpointed hs array, and each fold expression appears
-    # exactly once (inside its band key), so nothing multiplies.
+    # shingle/signature work once per downstream reference (the band
+    # self-join references it TWICE).  Signatures ride the numpy UDF
+    # (minhash_sigs_udf) — one Arrow pass — instead of n_perm
+    # interpreted affine-min folds.
     # localCheckpoint rather than persist() so the blocks are reclaimed
     # by the ContextCleaner when this DataFrame is GC'd — a bare
     # persist() here leaked cache for the session lifetime. At 10^10
     # rows this index is a written table (LSH index build stage).
-    base = df.select(
+    shingled = df.select(
         F.col(id_col).alias("id"),
         _shingles(F.col(text_col), k, shingle_impl).alias("sh"),
-    ).withColumn("hs", shingle_hash_col(F.col("sh"))).localCheckpoint(eager=True)
+    )
+    if shingle_impl == "pandas" and k == 3:
+        # the default path: shingles and signatures fuse into one
+        # ArrowEvalPython pass
+        base = shingled.withColumn(
+            "sigs", minhash_sigs_udf(n_perm)(F.col("sh"))
+        ).localCheckpoint(eager=True)
+    else:
+        # expression-shingle fallback: a pandas UDF over a JVM
+        # higher-order-function argument trips UDF extraction in some
+        # plan contexts — keep the interpreted fold chain here
+        base = shingled.withColumn(
+            "hs", shingle_hash_col(F.col("sh"))
+        ).select(
+            "id", "sh",
+            F.array(*[minhash_perm_col(F.col("hs"), j)
+                      for j in range(n_perm)]).alias("sigs"),
+        ).localCheckpoint(eager=True)
     # band join carries ONLY (id, band) — shuffling the shingle arrays
     # (KBs/row) through the self-join would dominate at 10^10 rows; the
     # arrays are re-joined per deduped candidate pair instead (two hash
@@ -199,7 +250,7 @@ def minhash_lsh_pairs(
             F.struct(
                 F.lit(b).alias("band_id"),
                 F.concat_ws("|", *[
-                    minhash_perm_col(F.col("hs"), b * rows + r).cast("string")
+                    F.element_at("sigs", b * rows + r + 1).cast("string")
                     for r in range(rows)
                 ]).alias("band_key"),
             )
@@ -769,12 +820,23 @@ def minhash_index(
     signature-agreement fraction is the classic unbiased MinHash
     estimate of Jaccard."""
     rows = n_perm // bands
-    base = df.select(
+    shingled = df.select(
         F.col(id_col).alias("id"),
         _shingles(F.col(text_col), k, shingle_impl).alias("sh"),
-    ).withColumn("hs", shingle_hash_col(F.col("sh"))).localCheckpoint(eager=True)
-    sigs = F.array(*[minhash_perm_col(F.col("hs"), j) for j in range(n_perm)])
-    with_sigs = base.select("id", sigs.alias("sigs")).localCheckpoint(eager=True)
+    )
+    if shingle_impl == "pandas" and k == 3:
+        with_sigs = shingled.select(
+            "id", minhash_sigs_udf(n_perm)(F.col("sh")).alias("sigs")
+        ).localCheckpoint(eager=True)
+    else:
+        # see minhash_lsh_pairs: keep the fold chain off the UDF path
+        with_sigs = shingled.withColumn(
+            "hs", shingle_hash_col(F.col("sh"))
+        ).select(
+            "id",
+            F.array(*[minhash_perm_col(F.col("hs"), j)
+                      for j in range(n_perm)]).alias("sigs"),
+        ).localCheckpoint(eager=True)
     return with_sigs.select(
         "id", "sigs",
         F.explode(F.array(*[

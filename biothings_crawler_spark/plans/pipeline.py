@@ -56,7 +56,12 @@ def clean_corpus(
     it for cheaper candidate generation at scale."""
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     q40 = F.round(quality_score_col(F.col("text")) * 40).cast("long")
-    kept = base.filter(lang_id_col(F.col("text")) == lang).filter(q40 >= min_q40)
+    # the filtered corpus is read by five downstream consumers (dedup
+    # agg, semi-join, LSH base, CC nodes, survivor join) — materialize
+    # the lang/quality pass once instead of re-running it per consumer
+    kept = base.filter(lang_id_col(F.col("text")) == lang).filter(
+        q40 >= min_q40
+    ).localCheckpoint(eager=True)
 
     exact_winners = exact_dedup(kept, "id", "text").select("id")
     d2 = kept.join(exact_winners, "id", "left_semi")
@@ -120,7 +125,15 @@ def web_pipeline(
         F.col(id_col).alias("id"),
         html_to_text_col(F.col(html_col)).alias("raw_text"),
     )
-    scrubbed = txt.select("id", pii_scrub_col(F.col("raw_text")).alias("text"))
+    # extraction + scrubbing materialize ONCE: downstream the cleaned
+    # text is read by the dedup agg, the semi-join, the LSH base, the
+    # CC node set and the survivor join — without the cut each consumer
+    # re-runs the whole regex chain over the raw HTML (measured 4
+    # full re-evaluations at sf0.1).  At 10^10 rows this is the
+    # extracted-text table a production run writes anyway.
+    scrubbed = txt.select(
+        "id", pii_scrub_col(F.col("raw_text")).alias("text")
+    ).localCheckpoint(eager=True)
 
     exact_winners = exact_dedup(scrubbed, "id", "text").select("id")
     d2 = scrubbed.join(exact_winners, "id", "left_semi")

@@ -2672,3 +2672,41 @@ def test_event_transitions_census(spark):
     assert got[("a", "b")]["share_ppm"] == 666_666
     assert got[("a", "b")]["rank"] == 1
     assert got[("a", "c")]["rank"] == 2
+
+
+def test_minhash_sigs_udf_matches_expression_folds(spark):
+    """The numpy signature kernel (minhash_sigs_udf) must reproduce the
+    md5-hash + affine-min expression chain bit for bit — including the
+    empty-shingle fold identity (P) and NULL passthrough."""
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_perm_col,
+        minhash_sigs_udf,
+        shingle_hash_col,
+        shingles_col,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.select(
+        "doc_id", shingles_col(F.col("text"), 3).alias("sh")
+    ).localCheckpoint(eager=True)
+    old = base.select(
+        "doc_id",
+        F.array(*[minhash_perm_col(shingle_hash_col(F.col("sh")), j)
+                  for j in range(16)]).alias("sigs"),
+    )
+    new = base.select(
+        "doc_id", minhash_sigs_udf(16)(F.col("sh")).alias("sigs"))
+    assert (
+        old.alias("o").join(new.alias("n"), "doc_id")
+        .filter("o.sigs <> n.sigs").count() == 0
+    )
+    edge = spark.createDataFrame(
+        [(1, []), (2, None)], "id long, sh array<string>"
+    ).localCheckpoint(eager=True)
+    got = {r["id"]: r["s"] for r in
+           edge.select("id", minhash_sigs_udf(4)(F.col("sh")).alias("s"))
+           .collect()}
+    assert got[1] == [MINHASH_P] * 4 and got[2] is None
