@@ -160,10 +160,29 @@ def select_politely(
             ).cast("int"),
         )
         .select("host", "budget", "salt_n")
+        # host-bounded (the politeness contract); materialized because
+        # it is read twice — the broadcast below and the salt probe
+        .localCheckpoint(eager=True)
     )
-    cand = candidates.join(F.broadcast(plan), "host", "left").withColumn(
-        "salt", F.pmod(F.col("url_hash"), F.col("salt_n"))
-    )
+    # adaptive phase fusion: when NO host clears salt_target (salt_n=1
+    # everywhere — every round at moderate per-host candidate counts,
+    # and the common case even at 10^10 frontiers outside the hot
+    # hosts), phase 1's (host, salt=0) ranking IS the exact per-host
+    # ranking, so the second window — a full extra sort+shuffle of the
+    # survivors for identical output — is skipped.  With any salted
+    # host present, both phases run unchanged.  The probe is a 1-row
+    # aggregate on the checkpointed host table.
+    max_salt_n = plan.agg(F.max("salt_n")).first()[0] or 1
+    cand = candidates.join(F.broadcast(plan), "host", "left")
+    if max_salt_n == 1:
+        w = Window.partitionBy("host").orderBy(*ORDER_COLS)
+        return (
+            cand.drop("salt_n")
+            .withColumn("sched_rank", F.row_number().over(w))
+            .filter(F.col("sched_rank") <= F.col("budget"))
+            .drop("budget")
+        )
+    cand = cand.withColumn("salt", F.pmod(F.col("url_hash"), F.col("salt_n")))
     w1 = Window.partitionBy("host", "salt").orderBy(*ORDER_COLS)
     phase1 = (
         cand.withColumn("__r1", F.row_number().over(w1))

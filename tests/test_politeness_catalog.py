@@ -375,3 +375,24 @@ def test_rendezvous_minimal_movement_and_balance(spark):
     again = {r.host: r.worker
              for r in rendezvous_assign(hosts.repartition(7), 8).collect()}
     assert all(again[r.host] == r.w8 for r in j)
+
+
+def test_fused_and_salted_phases_agree(spark):
+    """The adaptive single-window branch (all salt_n == 1) must emit
+    exactly the rows and ranks of the two-phase salted branch — same
+    input, salt_target toggling which plan runs."""
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.politeness import select_politely
+
+    cands = spark.createDataFrame(
+        [(f"h{i % 3}", f"{j:04d}", i * 100 + j, j % 2)
+         for i in range(3) for j in range(40)],
+        "host string, url_canon string, url_hash long, priority int",
+    )
+    budgets = spark.createDataFrame([], "host string, budget int")
+    fused = select_politely(cands, budgets, 7, salt_target=1000)
+    salted = select_politely(cands, budgets, 7, salt_target=10)
+    key = ["host", "url_canon", "url_hash", "priority", "sched_rank"]
+    assert sorted(map(tuple, fused.select(*key).collect())) == \
+        sorted(map(tuple, salted.select(*key).collect()))
