@@ -54,7 +54,9 @@ def pagerank(
     ``scale``; departed nodes' old rows are ignored (inner semantics
     via the nodes join). Same exact integer arithmetic, so the
     warm-started result is still oracle-verifiable."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)  # materialize the caller's edge plan ONCE
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -125,7 +127,9 @@ def trustrank(
     seeds receive.  Seeds are broadcast — a trusted list is curated,
     thousands at most.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)  # materialize the caller's edge plan ONCE
     sd = seeds.select(F.col(seed_col).alias("node")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -228,7 +232,9 @@ def hits(
     partial aggs + two 1-row totals broadcast joins; lineage truncated
     with ``localCheckpoint`` per round like :func:`pagerank`.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)  # materialize the caller's edge plan ONCE
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -510,7 +516,9 @@ def ppr_push(
     p, r) in micro-units — p the settled PPR estimate, r the
     undistributed residual.
     """
-    e = edges.select(F.col("src").alias("src"), F.col("dst").alias("dst"))
+    e = edges.select(
+        F.col("src").alias("src"), F.col("dst").alias("dst")
+    ).localCheckpoint(eager=True)  # materialize the caller's edge plan ONCE
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = e.join(deg, "src").localCheckpoint(eager=True)
     nodes = (
@@ -736,7 +744,9 @@ def opic(
     node per round, documented), so totals shrink negligibly but every
     value is exact and engine-identical.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)  # materialize the caller's edge plan ONCE
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -805,7 +815,9 @@ def bowtie_decomposition(
     membership left joins. ``max_hops`` is a safety cap; both BFS runs
     stop at their true fixpoint (empty frontier), which is what the
     recursive-CTE oracle computes."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)  # materialize the caller's edge plan ONCE
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -870,7 +882,9 @@ def opic_greedy(
     groupBy(dst) partial-agg, two 1-row aggregates for the dangling
     return, lineage checkpointed. Ties break to the smaller node id,
     so the schedule is deterministic and width-invariant."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)  # materialize the caller's edge plan ONCE
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -956,7 +970,9 @@ def salsa_authorities(
     groupBy partial-aggs (back-step per hub, forward-step per
     authority), lineage checkpointed — 2x pagerank's Pregel-lite cost.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)  # materialize the caller's edge plan ONCE
     ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
     outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     eb = e.join(ind, "dst").localCheckpoint(eager=True)    # back step

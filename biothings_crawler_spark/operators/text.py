@@ -1119,9 +1119,14 @@ def ngram_novelty(df, id_col: str, text_col: str, n: int = 3):
             ),
         ).otherwise(F.array().cast("array<string>")),
     )
+    # the distinct (id, gram) set feeds BOTH the document-frequency
+    # agg and the novelty join — materialize it once so the gram
+    # construction + distinct shuffle don't run twice (at 10^10 rows
+    # this is the written gram-index table)
     dg = (
         df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     dfreq = dg.groupBy("gram").agg(
         F.count(F.lit(1)).cast("long").alias("df"))

@@ -45,7 +45,9 @@ def random_walks(
     """(start, walk, step, cur): every visit of every walk — the
     corpus rows skip-gram windows read. step 0 is the start node;
     walks truncate at sinks."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)  # materialize the caller's edge plan ONCE
     nb = e.withColumn(
         "rk", F.row_number().over(Window.partitionBy("src").orderBy("dst"))
     ).localCheckpoint(eager=True)
