@@ -79,7 +79,7 @@ def pagerank(
                 .alias("rank"),
             )
         )
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (
             ed.join(ranks, ed.src == ranks.node)
             .select(
@@ -89,14 +89,16 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .select(
-                "node",
-                (F.lit(base) + F.coalesce("in_sum", F.lit(0))).cast("long").alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contribs, nodes.node == contribs.dst, "left").select(
+            "node",
+            (F.lit(base) + F.coalesce("in_sum", F.lit(0))).cast("long").alias("rank"),
         )
+        # rank state is single-referenced between rounds — three rounds
+        # ride each checkpointed job (the seed_distance batching), so
+        # lineage stays bounded at 3 join+agg layers with 1/3 of the
+        # blocking materializations
+        if (i + 1) % 3 == 0 or i == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -146,7 +148,7 @@ def trustrank(
     ranks = nodes.select(
         "node", "is_seed", (F.col("is_seed") * scale).cast("long").alias("rank")
     )
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (
             ed.join(ranks, ed.src == ranks.node)
             .select(
@@ -156,15 +158,14 @@ def trustrank(
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .select(
-                "node", "is_seed",
-                (F.col("is_seed") * base + F.coalesce("in_sum", F.lit(0)))
-                .cast("long").alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contribs, nodes.node == contribs.dst, "left").select(
+            "node", "is_seed",
+            (F.col("is_seed") * base + F.coalesce("in_sum", F.lit(0)))
+            .cast("long").alias("rank"),
         )
+        # batched lineage truncation — see pagerank
+        if (i + 1) % 3 == 0 or i == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
 
 
@@ -363,7 +364,7 @@ def label_propagation(
     labels = und.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").cast("long").alias("label")
     )
-    for _ in range(iters):
+    for i in range(iters):
         nbr = und.join(labels, und.dst == labels.node).select(
             und.src.alias("node"), "label"
         )
@@ -374,8 +375,10 @@ def label_propagation(
             counts.groupBy("node")
             .agg(F.max(F.struct("cnt", (-F.col("label")).alias("neg"))).alias("m"))
             .select("node", (-F.col("m.neg")).cast("long").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        # batched lineage truncation — see pagerank
+        if (i + 1) % 3 == 0 or i == iters - 1:
+            labels = labels.localCheckpoint(eager=True)
     return labels
 
 
@@ -986,7 +989,7 @@ def salsa_authorities(
     # losses are the only drift (pytest bounds them).
     auth = ind.select(F.col("dst").alias("node"),
                       (F.col("indeg") * scale).cast("long").alias("a"))
-    for _ in range(iters):
+    for i in range(iters):
         hubs = (
             eb.join(auth, eb.dst == auth.node)
             .select("src", F.expr("a div indeg").alias("m"))
@@ -999,8 +1002,10 @@ def salsa_authorities(
             .groupBy("dst")
             .agg(F.sum("c").cast("long").alias("a"))
             .select(F.col("dst").alias("node"), "a")
-            .localCheckpoint(eager=True)
         )
+        # batched lineage truncation — see pagerank
+        if (i + 1) % 3 == 0 or i == iters - 1:
+            auth = auth.localCheckpoint(eager=True)
     return auth.select("node", F.col("a").alias("authority"))
 
 

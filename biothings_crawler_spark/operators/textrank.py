@@ -90,9 +90,12 @@ def textrank_keywords(
             .groupBy("term")
             .agg(F.sum("c").cast("long").alias("inflow"))
         )
+        # single-referenced between rounds and rounds is a small
+        # constant: let all rounds ride ONE job instead of a blocking
+        # checkpoint per round (edges above stays the only cut)
         scores = contrib.select(
             "term", (F.lit(150_000) + F.col("inflow")).cast("long").alias("s")
-        ).localCheckpoint(eager=True)
+        )
     return (
         scores.select("term", F.col("s").alias("score_micro"))
         .orderBy(F.desc("score_micro"), "term")
@@ -186,10 +189,11 @@ def textrank_summary(
             .groupBy("id", "si")
             .agg(F.sum("c").cast("long").alias("inflow"))
         )
+        # see textrank_keywords: one job for the whole round chain
         scores = contrib.select(
             "id", "si",
             (F.lit(150_000) + F.col("inflow")).cast("long").alias("s"),
-        ).localCheckpoint(eager=True)
+        )
     win = Window.partitionBy("id").orderBy(F.desc("s"), F.asc("si"))
     return (
         scores.withColumn("pick", F.row_number().over(win))
