@@ -19843,29 +19843,36 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_textrank_summary": q_textrank_summary,
 }
 
-# Gate-rotation (round 5): the driver's correctness gate samples the FIRST 50
-# registry entries.  Rounds 1-4 left 145 of 279 queries without a hard driver
-# row, and five operators were rewritten after their last green row
-# (q_pii_scrub, q_web_refine, q_sessionize, q_ann_ivf_topk,
-# q_neardup_clusters).  Seat those five plus the round-4 crawl-plane core and
-# never-gated graph/IR queries in the window; everything else keeps its
-# registry order.  The full-registry oracle run (scripts/compare_oracle.py)
-# still covers all 279 every session.
+# Gate-rotation (round 6, optimization round): the driver's correctness gate
+# samples the FIRST 50 registry entries.  This round rewrote the internals of
+# the kmeans/PQ training loops, the HyperBall register state, the
+# seed-distance/bowtie BFS, the pagerank-family lineage batching, the MinHash
+# signature kernel, the politeness phase fusion and the pipeline
+# materialization cuts — every query over a touched operator is seated FIRST
+# so its CURRENT implementation gets a hard driver row (the rotation
+# discipline from rounds 4-5), followed by the never-gated queries VERDICT r5
+# named, then further never-gated entries.  Registry size unchanged (the
+# growth freeze r4/r5 asked for).  The full-registry oracle run
+# (scripts/compare_oracle.py) still covers all 344 every session.
 _GATE_FIRST: list[str] = [
-    "q_pii_scrub", "q_web_refine", "q_sessionize", "q_ann_ivf_topk",
-    "q_neardup_clusters", "q_pct_normalize", "q_opengraph",
-    "q_robots_wildcards", "q_warc_ingest", "q_cdx_index",
-    "q_modularity", "q_kmeans", "q_soft404_probe", "q_ip_politeness",
-    "q_opic", "q_lm_terciles", "q_hyperball", "q_harmonic_centrality",
-    "q_bowtie", "q_random_walks", "q_ann_truncated_topk", "q_theta_overlap",
-    "q_jpeg_decode", "q_video_frames", "q_pagerank_incremental",
-    "q_gif_decode", "q_host_overlap", "q_opic_greedy", "q_lang_smooth",
-    "q_salsa", "q_fetch_fairness", "q_robots_drift", "q_hll_by_host",
-    "q_priority_fusion", "q_graph_census", "q_curriculum", "q_rrf_hybrid",
-    "q_rank_correlation", "q_indegree_dist", "q_fetch_schedule",
-    "q_url_identity", "q_seed_cover", "q_crawl_cube", "q_collocations",
-    "q_leakage_splits", "q_retry_backoff", "q_discovery_forecast",
-    "q_kcore", "q_jaccard_join", "q_related_hosts",
+    # queries over operators rewritten this round (stale green rows)
+    "q_kmeans", "q_pq_encode", "q_pq_adc", "q_hyperball",
+    "q_harmonic_centrality", "q_effective_diameter", "q_seed_distance",
+    "q_bowtie", "q_scc_census", "q_pagerank", "q_trustrank", "q_hits",
+    "q_salsa", "q_host_communities", "q_ppr_push", "q_spam_mass",
+    "q_pagerank_incremental", "q_random_walks", "q_minhash_lsh",
+    "q_incremental_neardup", "q_neardup_clusters", "q_clean_corpus",
+    "q_ngram_novelty", "q_politeness_quota", "q_ip_politeness",
+    "q_textrank_keywords", "q_textrank_summary", "q_site_families",
+    "q_modularity", "q_priority_fusion", "q_frontier_aging",
+    "q_crawl_budget", "q_depth_yield", "q_leakage_splits",
+    # VERDICT r5's named never-gated queries
+    "q_substr_spans", "q_bm25f_topk", "q_semantic_dedup", "q_rag_chunks",
+    "q_ai_optout", "q_texttiling", "q_erasure_impact", "q_topic_chunks",
+    # further never-gated entries (toward the 229/344 union target)
+    "q_containment_pairs", "q_active_select", "q_cdc_chunks", "q_c4_filter",
+    "q_bpe_merges", "q_audio_fingerprint", "q_archive_roundtrip",
+    "q_crawl_admission",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _GATE_FIRST},
