@@ -107,6 +107,41 @@ def shingles3_pandas_udf(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def make_shingles_udf(k: int):
+    """Factory variant of :func:`shingles3_pandas_udf` for any k —
+    a pandas_udf body cannot take parameters, but a closure over k
+    can (the minhash_sigs_udf pattern).  Byte-identical to
+    shingles_col(k): first-occurrence-distinct k-word shingles,
+    short texts collapse to one joined shingle, NULL -> NULL."""
+    kk = int(k)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def sh(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if t is None:
+                out.append(None)
+                continue
+            words = [w for w in
+                     _WS_RE.split(_NONALNUM_RE.sub(" ", t.lower()).strip())
+                     if w]
+            if len(words) >= kk:
+                grams = [" ".join(words[i:i + kk])
+                         for i in range(len(words) - kk + 1)]
+            else:
+                grams = [" ".join(words)]
+            seen: set = set()
+            uniq = []
+            for x in grams:
+                if x not in seen:
+                    seen.add(x)
+                    uniq.append(x)
+            out.append(uniq)
+        return pd.Series(out)
+
+    return sh
+
+
 def _shingles(text: Column, k: int, impl: str) -> Column:
     if impl == "pandas" and k == 3:
         return shingles3_pandas_udf(text)
@@ -738,35 +773,20 @@ def containment_pairs(
     per shingle at C(cap, 2)) -> pair hash agg -> size rejoin.  The
     shuffles carry (md5, id) pairs only — never text.
     """
-    # Two deliberate plan cuts (at 10^10 rows both are written tables,
-    # the LSH-index-build pattern):
-    #  1. the words array materializes BEFORE shingling — inside a
-    #     transform() lambda the words subtree re-evaluates PER ELEMENT
-    #     (no CSE into lambda scope: measured 17.5s -> 2.7s at sf0.1);
-    #  2. the distinct shingle index feeds FOUR consumers (sizes, the
-    #     frequency bound, both self-join sides) — without a cut the
-    #     pipeline re-inlines into each (the minhash-signature lesson).
-    words = F.filter(
-        F.split(
-            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")),
-            r"\s+",
-        ),
-        lambda w: F.length(w) > 0,
-    )
-    w = docs.select(F.col(id_col).alias("id"), words.alias("w")).localCheckpoint(
-        eager=True
-    )
-    shingles = F.array_distinct(
-        F.when(
-            F.size("w") >= k,
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - k),
-                lambda i: F.array_join(F.slice(F.col("w"), i + 1, k), " "),
-            ),
-        ).otherwise(F.array(F.array_join(F.col("w"), " ")))
-    )
+    # One deliberate plan cut (at 10^10 rows this is a written table,
+    # the LSH-index-build pattern): the distinct shingle index feeds
+    # FOUR consumers (sizes, the frequency bound, both self-join
+    # sides) — without a cut the pipeline re-inlines into each (the
+    # minhash-signature lesson).  Shingling itself runs as the
+    # Arrow-vectorized pandas UDF (make_shingles_udf) — the
+    # interpreted transform() path needed a second materialization of
+    # the words array just to stop O(words^2) lambda re-evaluation;
+    # the UDF needs neither.
     sh = (
-        w.select("id", F.explode(shingles).alias("s"))
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(make_shingles_udf(k)(F.col(text_col))).alias("s"),
+        )
         .select("id", F.md5("s").alias("sh"))
         .distinct()
         .localCheckpoint(eager=True)

@@ -245,16 +245,21 @@ def hits(
 
     def _normalize(raw: DataFrame, key: str, out: str) -> DataFrame:
         # raw is consumed twice (totals + the outer join) — checkpoint
-        # it so the edges⋈scores join runs once, not once per consumer
+        # it so the edges⋈scores join runs once, not once per consumer.
+        # The L1 total is ONE bounded row: collect it and divide by the
+        # literal instead of building a broadcast exchange per
+        # normalization (two fewer broadcast stages per round).
         raw = raw.localCheckpoint(eager=True)
-        tot = raw.agg(F.sum("raw").cast("long").alias("total"))
+        # an empty raw side (documented: needs >= 1 edge) leaves every
+        # outer-join row NULL -> coalesce 0; divisor 1 avoids div-0
+        total = raw.agg(F.sum("raw").cast("long")).first()[0] or 1
         return (
             nodes.join(raw, nodes.node == raw[key], "left")
-            .join(F.broadcast(tot))
             .select(
                 "node",
                 F.coalesce(
-                    F.expr(f"CAST(raw AS DECIMAL(38,0)) * {scale} div total"),
+                    F.expr(f"CAST(raw AS DECIMAL(38,0)) * {scale}"
+                           f" div {int(total)}"),
                     F.lit(0),
                 ).cast("long").alias(out),
             )
