@@ -1122,7 +1122,10 @@ def ngram_novelty(df, id_col: str, text_col: str, n: int = 3):
     # the distinct (id, gram) set feeds BOTH the document-frequency
     # agg and the novelty join — materialize it once so the gram
     # construction + distinct shuffle don't run twice (at 10^10 rows
-    # this is the written gram-index table)
+    # this is the written gram-index table).  (An Arrow-UDF gram
+    # kernel was A/B-measured SLOWER than this bind_col chain — 0.78
+    # vs 0.68 s at sf0.1 — the n=3 element_at chain is already cheap,
+    # unlike the n_perm-fold MinHash case; kept as expressions.)
     dg = (
         df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
         .distinct()
