@@ -39,8 +39,11 @@ without an explicit subtract.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 MOD48 = 1 << 48
 
@@ -94,6 +97,94 @@ def cdc_boundaries_col(
     ).otherwise(F.array().cast("array<int>"))
 
 
+_GEAR_NP = np.asarray(GEAR, dtype=np.uint64)
+
+
+def make_cdc_cuts_udf(mask: int = 0x1F, min_size: int = 8, max_size: int = 128):
+    """Arrow-vectorized twin of :func:`cdc_boundaries_col` — the same
+    cut array, computed by numpy instead of the interpreted per-char
+    expression fold (the fold walks ``aggregate(sequence(1, n))`` in
+    the expression evaluator: ~2 s per corpus pass at sf0.1, the whole
+    cost of the delta-storage plane).
+
+    Exactness (pinned by ``test_cdc_udf_matches_expression_fold``):
+
+    * the gear register at position i is ``h_i = sum_{d=0}^{47}
+      2^d * G[c_{i-d}] mod 2^48`` — terms with d >= 48 vanish because
+      ``2^d ≡ 0 (mod 2^48)`` — so one batch-wide pass of 48 shifted
+      adds in uint64 (wraparound is exact mod 2^64, and
+      ``x mod 2^64 mod 2^48 = x mod 2^48`` since 2^48 | 2^64)
+      reproduces the recurrence ``h = (2h + G[c]) mod 2^48`` bit for
+      bit; docs are concatenated with 48 zero-contribution gap slots so
+      the register never leaks across documents;
+    * cut selection from the mask-candidate positions replays the
+      fold's sequential rule exactly: from the previous cut ``last``
+      the next cut is ``min(first candidate >= last+min_size,
+      last+max_size)``, because the forced max-size cut is the first
+      position where the second disjunct holds;
+    * codepoints come from UTF-32 (``ascii(substring(text, i, 1))`` is
+      the Unicode codepoint of the i-th character), NULL/empty text ->
+      empty array, matching the expression's outer ``when``.
+    """
+    m_np = np.uint64(mask)
+    mask48 = np.uint64(MOD48 - 1)
+    mn, mx = int(min_size), int(max_size)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cuts_udf(text: pd.Series) -> pd.Series:
+        cps: list = []
+        lens: list = []
+        for t in text:
+            if t is None or not t:
+                cps.append(None)
+                lens.append(0)
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            cps.append(cp.astype(np.intp) % 256)
+            lens.append(len(cp))
+        # one concatenated gear-contribution array for the whole batch,
+        # 48 zero slots between docs (a zero contribution is invisible
+        # to the 48-term window, so registers never cross documents)
+        gap = np.zeros(48, dtype=np.uint64)
+        parts: list = []
+        offs: list = []
+        pos = 0
+        for cp, n in zip(cps, lens):
+            offs.append(pos)
+            if n:
+                parts.append(_GEAR_NP[cp])
+                parts.append(gap)
+                pos += n + 48
+        if parts:
+            g = np.concatenate(parts)
+            h = np.zeros(len(g), dtype=np.uint64)
+            for d in range(48):
+                h[d:] += g[: len(g) - d] << np.uint64(d)
+            hit = (h & mask48 & m_np) == 0
+        out: list = []
+        for cp, n, off in zip(cps, lens, offs):
+            if cp is None:
+                out.append([])
+                continue
+            cand = np.flatnonzero(hit[off:off + n]) + 1  # 1-based
+            limit = len(cand)
+            cuts: list = []
+            last = 0
+            while True:
+                j = int(np.searchsorted(cand, last + mn))
+                forced = last + mx
+                nxt = int(cand[j]) if j < limit and cand[j] <= forced else forced
+                if nxt >= n:
+                    break
+                cuts.append(nxt)
+                last = nxt
+            cuts.append(n)
+            out.append(cuts)
+        return pd.Series(out)
+
+    return cuts_udf
+
+
 def cdc_chunks(
     df: DataFrame,
     id_col: str,
@@ -101,6 +192,7 @@ def cdc_chunks(
     mask: int = 0x1F,
     min_size: int = 8,
     max_size: int = 128,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Explode each document into its content-defined chunks:
     ``(id, chunk_no, start, chunk_len, chunk_md5)``.  Boundary scan
@@ -108,8 +200,12 @@ def cdc_chunks(
     through a named column so downstream references stay leaf
     attributes); global dedup is whatever hash aggregate the caller
     runs on ``chunk_md5``."""
-    cuts = cdc_boundaries_col(
-        F.col(text_col), mask=mask, min_size=min_size, max_size=max_size)
+    if impl == "pandas":
+        cuts = make_cdc_cuts_udf(
+            mask=mask, min_size=min_size, max_size=max_size)(F.col(text_col))
+    else:
+        cuts = cdc_boundaries_col(
+            F.col(text_col), mask=mask, min_size=min_size, max_size=max_size)
     staged = df.withColumn("_cuts", cuts).localCheckpoint(eager=True)
     spans = F.transform(
         F.col("_cuts"),

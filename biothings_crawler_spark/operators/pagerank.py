@@ -1271,16 +1271,19 @@ def k_truss(edges: DataFrame, k: int, max_iters: int = 16) -> DataFrame:
     ).filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
 
     for _ in range(max_iters):
-        sup = _edge_support(e)
+        # checkpoint the SUPPORT-bearing survivor rows, not just (a, b):
+        # at the fixpoint round no edge dropped, so this frame already IS
+        # the final answer (support measured in the final subgraph) and
+        # the converged round returns it without re-running the whole
+        # wedge/triangle join a second time over the identical edge set.
         kept = (
-            sup.filter(F.col("support") >= k - 2)
-            .select("a", "b")
+            _edge_support(e).filter(F.col("support") >= k - 2)
             .localCheckpoint(eager=True)
         )
         n_before, n_after = e.count(), kept.count()
         if n_after == n_before:
-            return _edge_support(e).filter(F.col("support") >= k - 2)
-        e = kept
+            return kept
+        e = kept.select("a", "b")  # projection over the checkpoint — flat lineage
     raise RuntimeError(f"k_truss did not converge in {max_iters} rounds")
 
 

@@ -49,6 +49,40 @@ def test_cdc_matches_reference(spark):
         assert sorted(got.get(i, [])) == _ref_chunks(t), i
 
 
+def test_cdc_udf_matches_expression_fold(spark):
+    """The numpy cuts kernel must equal the expression fold row for
+    row — including unicode codepoints (ascii() = codepoint), forced
+    max-size cuts, short/empty/NULL text, and non-default params."""
+    from pyspark.sql import functions as F
+
+    from biothings_crawler_spark.operators.cdc import (
+        cdc_boundaries_col,
+        make_cdc_cuts_udf,
+    )
+
+    texts = [
+        BASE,
+        "a" * 145,
+        "short", "x" * 8, "", None,
+        "prefix edit: " + BASE,
+        "ünïcødé — ñ π " * 20,          # multibyte codepoints
+        "z" * 400,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string")
+    for params in ({}, {"mask": 0x7, "min_size": 2, "max_size": 16}):
+        got = df.select(
+            "id",
+            make_cdc_cuts_udf(**params)(F.col("text")).alias("u"),
+            F.when(
+                F.col("text").isNotNull() & (F.length("text") > 0),
+                cdc_boundaries_col(F.col("text"), **params),
+            ).otherwise(F.array().cast("array<int>")).alias("e"),
+        ).collect()
+        for r in got:
+            assert list(r["u"]) == list(r["e"]), (params, r["id"])
+
+
 def test_cdc_realigns_after_prefix_edit():
     h0 = {c[3] for c in _ref_chunks(BASE)}
     h1 = {c[3] for c in _ref_chunks("inserted prefix :: " + BASE)}
