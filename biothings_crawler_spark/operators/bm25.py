@@ -302,14 +302,19 @@ def bm25_term_scores(
     id_col: str,
     text_col: str,
     query_terms: list[str],
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """(id, term, term_score) for every (matching doc, query term) pair
     under integer BM25 (k1=1.2, b=0.75 — the rational constants cleared
     above); exact integers, so every consumer ranks deterministically.
     This is precisely what a serving-index probe returns for a query's
     postings, so both the exhaustive scorer and the MaxScore-pruned
-    scorer build on it."""
-    docs = df.select(F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("words"))
+    scorer build on it.  ``docs`` optionally supplies a pre-tokenized
+    ``(id, words)`` frame so a multi-pass caller (PRF) tokenizes the
+    corpus once instead of once per pass."""
+    if docs is None:
+        docs = df.select(
+            F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("words"))
     lens = docs.select("id", F.size("words").cast("long").alias("dl"))
     totals = lens.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -346,15 +351,18 @@ def bm25_scores_terms_df(
     id_col: str,
     text_col: str,
     terms: DataFrame,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """(id, score) like :func:`bm25_scores`, but the query's term set
     arrives as a one-column DataFrame ``(term)`` broadcast-joined into
     the postings instead of a literal array — so operators that DERIVE
     the term set (pseudo-relevance-feedback expansion) stay fully
     declarative with no driver-side collect between passes.  Identical
-    integer scoring to bm25_term_scores."""
-    docs = df.select(
-        F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("words"))
+    integer scoring to bm25_term_scores; ``docs`` optionally supplies a
+    pre-tokenized ``(id, words)`` frame (the PRF sharing hook)."""
+    if docs is None:
+        docs = df.select(
+            F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("words"))
     lens = docs.select("id", F.size("words").cast("long").alias("dl"))
     totals = lens.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -389,11 +397,12 @@ def bm25_scores(
     id_col: str,
     text_col: str,
     query_terms: list[str],
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """(id, score) for every document matching at least one query term:
     the exhaustive sum over bm25_term_scores."""
     return (
-        bm25_term_scores(df, id_col, text_col, query_terms)
+        bm25_term_scores(df, id_col, text_col, query_terms, docs=docs)
         .groupBy("id")
         .agg(F.sum("term_score").cast("long").alias("score"))
     )
@@ -405,12 +414,13 @@ def bm25_topk(
     text_col: str,
     query_terms: list[str],
     k: int = 20,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents for a bag-of-terms query: (id, score) with exact
     integer scores, ties broken by id — a TakeOrderedAndProject over
     bm25_scores, never a full sort."""
     return (
-        bm25_scores(df, id_col, text_col, query_terms)
+        bm25_scores(df, id_col, text_col, query_terms, docs=docs)
         .orderBy(F.desc("score"), "id")
         .limit(k)
     )

@@ -71,34 +71,45 @@ def _np_books(books: dict) -> "np.ndarray":
     )
 
 
-def _encode_codes_udf(arr: "np.ndarray"):
-    """Arrow-vectorized PQ encoder: qvec -> array<int> of M nearest
-    cids, one numpy kernel per batch.  Exact int64 arithmetic;
+def _np_codes(arr: "np.ndarray", qvecs: "np.ndarray") -> "np.ndarray":
+    """(n, m) int32 codes: nearest cid per subvector by exact int64 L2.
     ``argmin`` returns the FIRST minimum, i.e. ties break to the
     smaller cid — identical to min(struct(d2, cid)) over the
-    cid-ascending codebook.  The (m, k, dsub) tensor rides in the
-    task closure (a few KB).  This replaced an interpreted
+    cid-ascending codebook.  This kernel replaced an interpreted
     higher-order-function fold that cost ~1.2 s per 32k-subvector
     pass at M=K=16 — the JVM expression evaluator allocates per
     centroid per row; the einsum does not."""
     m, k, dsub = arr.shape
+    s = qvecs[:, : m * dsub].reshape(len(qvecs), m, dsub)
+    diff = s[:, :, None, :] - arr[None, :, :, :]
+    d2 = np.einsum("nmkd,nmkd->nmk", diff, diff)
+    return d2.argmin(axis=2).astype(np.int32)
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def enc(qvec: pd.Series) -> pd.Series:
-        out = []
-        for batch in (qvec,):
-            if not len(batch):
-                out.append(pd.Series([], dtype=object))
+
+def _encode_map(qt: DataFrame, arr: "np.ndarray") -> DataFrame:
+    """(vec_id, codes array<int>) via ``mapInPandas`` — row-local Arrow
+    batches, zero exchange.  mapInPandas rather than a pandas_udf
+    column: a pandas UDF whose argument plan contains higher-order-
+    function lambdas (e.g. quantize_embeddings' let-bound code
+    transform) trips Spark's UDF extraction with an INTERNAL_ERROR
+    (the minhash operator documents the same bug); the map node takes
+    the whole projected input through Arrow instead, so upstream
+    expression shape cannot break it.  The (m, k, dsub) tensor rides
+    in the task closure (a few KB)."""
+    id_type = qt.schema["vec_id"].dataType.simpleString()
+
+    def gen(batches):
+        for b in batches:
+            if not len(b):
                 continue
-            x = np.asarray(batch.tolist(), dtype=np.int64)[:, : m * dsub]
-            s = x.reshape(len(batch), m, dsub)
-            diff = s[:, :, None, :] - arr[None, :, :, :]
-            d2 = np.einsum("nmkd,nmkd->nmk", diff, diff)
-            codes = d2.argmin(axis=2).astype(np.int32)
-            out.append(pd.Series([c.tolist() for c in codes]))
-        return out[0]
+            x = np.asarray(b["qvec"].tolist(), dtype=np.int64)
+            codes = _np_codes(arr, x)
+            yield pd.DataFrame(
+                {"vec_id": b["vec_id"],
+                 "codes": [c.tolist() for c in codes]})
 
-    return enc
+    return qt.select("vec_id", "qvec").mapInPandas(
+        gen, f"vec_id {id_type}, codes array<int>")
 
 
 def pq_codebooks(
@@ -139,15 +150,40 @@ def pq_codebooks(
     }
     base = qt.select("qvec")
     for _ in range(rounds):
-        enc = _encode_codes_udf(_np_books(books))
+        arr = _np_books(books)
+
+        def agg_gen(batches, arr=arr):
+            # numpy map-side partial aggregation: each Arrow batch
+            # collapses to <= m*k rows of (sub, cid, cnt, per-dim sums)
+            # — exact int64 sums, order-independent — instead of
+            # shipping one (sub, cid, qvec) row per subvector into the
+            # Spark aggregate
+            m_, k_, dsub_ = arr.shape
+            for b in batches:
+                if not len(b):
+                    continue
+                x = np.asarray(b["qvec"].tolist(), dtype=np.int64)
+                s = x[:, : m_ * dsub_].reshape(len(x), m_, dsub_)
+                codes = _np_codes(arr, x)
+                out = []
+                for sub in range(m_):
+                    c = codes[:, sub]
+                    cnt = np.bincount(c, minlength=k_)
+                    sums = np.zeros((k_, dsub_), dtype=np.int64)
+                    np.add.at(sums, c, s[:, sub, :])
+                    for cid in np.flatnonzero(cnt):
+                        out.append((sub, int(cid), int(cnt[cid]),
+                                    sums[cid].tolist()))
+                yield pd.DataFrame(
+                    out, columns=["sub", "cid", "cnt", "s"])
+
         rows = (
-            base.select(F.posexplode(enc("qvec")).alias("sub", "cid"), "qvec")
+            base.mapInPandas(
+                agg_gen, "sub int, cid int, cnt bigint, s array<bigint>")
             .groupBy("sub", "cid")
             .agg(
-                F.expr("cast(count(1) as bigint) as cnt"),
-                *[F.expr(
-                    f"sum(cast(qvec[sub * {dsub} + {j}] as bigint)) as s{j}")
-                  for j in range(dsub)],
+                F.expr("cast(sum(cnt) as bigint) as cnt"),
+                *[F.expr(f"sum(s[{j}]) as s{j}") for j in range(dsub)],
             )
             .collect()
         )
@@ -197,8 +233,7 @@ def pq_encode(qt: DataFrame, books: DataFrame, m: int = PQ_M) -> DataFrame:
     if not local:
         return qt.select(
             "vec_id", F.expr("cast(null as array<int>)").alias("codes"))
-    enc = _encode_codes_udf(_np_books(local))
-    return qt.select("vec_id", enc("qvec").alias("codes"))
+    return _encode_map(qt, _np_books(local))
 
 
 def pq_topk_adc(

@@ -42,14 +42,20 @@ def prf_expand_terms(
     query_terms: list[str],
     fb_docs: int = 10,
     n_exp: int = 5,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``n_exp`` expansion terms: (term, tf_fb, df_corpus,
-    score_ppm), ties broken by term."""
-    fb = bm25_topk(df, id_col, text_col, query_terms, k=fb_docs).select("id")
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(words_col(F.col(text_col))).alias("term"),
-    )
+    score_ppm), ties broken by term.  ``docs`` optionally supplies the
+    pre-tokenized ``(id, words)`` corpus shared with the retrieval
+    passes (prf_search materializes it once — tokenization is the
+    dominant repeated cost of the two-pass plan)."""
+    fb = bm25_topk(
+        df, id_col, text_col, query_terms, k=fb_docs, docs=docs
+    ).select("id")
+    if docs is None:
+        docs = df.select(
+            F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("words"))
+    words = docs.select("id", F.explode("words").alias("term"))
     df_corpus = (
         words.distinct()
         .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_corpus"))
@@ -80,15 +86,25 @@ def prf_search(
     k: int = 20,
 ) -> DataFrame:
     """Two-pass PRF retrieval: final top-``k`` (id, score) under the
-    expanded term set, ties broken by id."""
+    expanded term set, ties broken by id.
+
+    The tokenized corpus is materialized ONCE (eager localCheckpoint)
+    and shared by all four consumers — pass-1 BM25, the corpus df
+    table, the feedback tf table, and pass-2 BM25 — which otherwise
+    each re-run the words_col regex tokenization over the full corpus
+    (four passes measured at sf0.1).  At 10^10 rows this is the token
+    table a serving index materializes anyway."""
+    toks = df.select(
+        F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("words")
+    ).localCheckpoint(eager=True)
     exp = prf_expand_terms(
-        df, id_col, text_col, query_terms, fb_docs, n_exp
+        df, id_col, text_col, query_terms, fb_docs, n_exp, docs=toks
     ).select("term")
     spark = df.sparkSession
     orig = spark.createDataFrame([(t,) for t in query_terms], "term string")
     terms = orig.union(exp).distinct()
     return (
-        bm25_scores_terms_df(df, id_col, text_col, terms)
+        bm25_scores_terms_df(df, id_col, text_col, terms, docs=toks)
         .orderBy(F.desc("score"), "id")
         .limit(k)
     )

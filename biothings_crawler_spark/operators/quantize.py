@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from biothings_crawler_spark.operators.dedup import cosine_col
+from biothings_crawler_spark.operators.text import bind_col
 
 Q_LEVELS = 255  # 8-bit codes 0..255
 
@@ -38,18 +39,29 @@ def quantize_embeddings(
     codes q = floor((x - vmin) * 255 / (vmax - vmin) + 0.5). A constant
     vector (vmax == vmin) quantizes to all-zero codes and dequantizes
     back to vmin exactly. ``extra_cols`` are carried through untouched
-    (e.g. the IVF cell assignment for the partitioned index)."""
+    (e.g. the IVF cell assignment for the partitioned index).
+
+    The (vmin, vmax) pair is let-bound (text.bind_col) around the code
+    transform: referenced directly inside the lambda, array_min/
+    array_max re-evaluate PER ELEMENT (Catalyst does not hoist
+    loop-invariant children out of lambda bodies), making the
+    projection O(d^2) per row — measured 4x slower at d=64."""
     v = F.col(vec_col)
     vmin = F.array_min(v).cast("double")
     vmax = F.array_max(v).cast("double")
-    rng = vmax - vmin
-    qvec = F.transform(
-        v,
-        lambda x: F.when(rng > 0,
-                         F.floor((x.cast("double") - vmin) * Q_LEVELS / rng
-                                 + F.lit(0.5)))
-        .otherwise(F.lit(0)).cast("int"),
-    )
+
+    def _codes(mm: Column) -> Column:
+        lo, hi = mm["lo"], mm["hi"]
+        rng = hi - lo
+        return F.transform(
+            v,
+            lambda x: F.when(rng > 0,
+                             F.floor((x.cast("double") - lo) * Q_LEVELS / rng
+                                     + F.lit(0.5)))
+            .otherwise(F.lit(0)).cast("int"),
+        )
+
+    qvec = bind_col(F.struct(vmin.alias("lo"), vmax.alias("hi")), _codes)
     return df.select(
         F.col(id_col).alias("vec_id"),
         vmin.alias("vmin"),
