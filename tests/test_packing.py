@@ -12,6 +12,26 @@ def _df(spark, rows):
     return spark.createDataFrame(rows, "id long, tok long, shard long")
 
 
+def test_pack_pandas_matches_fold(spark):
+    """The grouped-map packer must equal the SQL-fold twin row for row
+    — including oversized clipping, bin resets, and multi-shard
+    independence."""
+    import hashlib
+
+    rows = [
+        (i, int(hashlib.md5(f"t{i}".encode()).hexdigest()[:4], 16) % 140,
+         i % 5)
+        for i in range(400)
+    ]
+    df = _df(spark, rows)
+    for cap in (100, 17):
+        a = sorted(map(tuple, pack_sequences(
+            df, "id", "tok", cap, "shard").collect()))
+        b = sorted(map(tuple, pack_sequences(
+            df, "id", "tok", cap, "shard", impl="expr").collect()))
+        assert a == b, cap
+
+
 def test_greedy_hand_case(spark):
     # shard 0, capacity 10, ids in order: 4,3,2 -> bin0 (fill 9);
     # 5 overflows -> bin1; 6 overflows -> bin2; 4 fits bin2 (fill 10)
