@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from biothings_crawler_spark.operators.text import fingerprint_col
+from biothings_crawler_spark.operators.text import fingerprint_col, once_col
 
 
 
@@ -307,8 +307,11 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # once_col: the threshold filter otherwise pushes below the
+    # projection and re-runs the array_intersect/array_union pass a
+    # second time per candidate pair (FilterExec has no CSE)
     return (
-        joined.withColumn("jaccard", inter / union)
+        joined.withColumn("jaccard", once_col(inter / union))
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -330,7 +333,7 @@ def ngram_jaccard_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", inter / union)
+        .withColumn("jaccard", once_col(inter / union))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -602,7 +605,7 @@ def embedding_near_dup_pairs(
     return (
         pairs.join(base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
         .join(base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
-        .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
+        .withColumn("cosine", once_col(cosine_col(F.col("v_a"), F.col("v_b"))))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -714,7 +717,7 @@ def semantic_dedup_pairs(
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
+        .withColumn("cosine", once_col(cosine_col(F.col("v_a"), F.col("v_b"))))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -58,11 +58,24 @@ def detect_licenses(docs: DataFrame, text_col: str = "text",
     """Append (license, detector, permissive) to a corpus: SPDX id wins
     over phrase heuristics wins over 'unknown'; the scan is bounded to
     the first ``header_chars`` characters (real headers lead the file;
-    a 100 MB document costs the same as a 1 KB one)."""
+    a 100 MB document costs the same as a 1 KB one).  The detection
+    runs EXACTLY ONCE per row (``once_col`` barrier): without it,
+    ``.filter(permissive = 1 OR license = 'unknown')`` pushes the
+    predicate below the projection, substituting the whole detection
+    chain — with the caller's text extraction inside ``win`` — into
+    the filter once per disjunct, and FilterExec does no common-
+    subexpression elimination, so each of win's ~7 references re-runs
+    the full html->text regex chain (measured 6.4 s vs 1.3 s on the
+    20k-page release-pipeline input)."""
+    from biothings_crawler_spark.operators.text import once_col
+
     win = F.substring(F.col(text_col), 1, header_chars)
     lic, det = _detect(win)
-    return docs.withColumn("license", lic).withColumn(
-        "detector", det
+    st = once_col(F.struct(lic.alias("l"), det.alias("d")))
+    return docs.withColumn("_lic_st", st).select(
+        *docs.columns,
+        F.col("_lic_st.l").alias("license"),
+        F.col("_lic_st.d").alias("detector"),
     ).withColumn(
         "permissive",
         F.when(F.col("license").isin(*PERMISSIVE), F.lit(1))

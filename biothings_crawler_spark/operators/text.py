@@ -52,6 +52,24 @@ def bind_col(value: Column, body) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
+def once_col(value: Column) -> Column:
+    """Optimizer barrier: evaluate ``value`` exactly once per row, no
+    matter how many filters/projections the caller stacks on top.
+
+    ``shuffle`` of a one-element array returns that element, always —
+    the VALUE is deterministic (task retries are safe) — but the
+    expression is FLAGGED non-deterministic, so the optimizer may not
+    push predicates through it, duplicate it, or re-inline it per
+    downstream reference (the expression-level analog of
+    ``udf.asNondeterministic()`` for the filter-duplication pathology:
+    a pushed-down predicate substitutes the full expression chain per
+    disjunct, and FilterExec does no common-subexpression
+    elimination).  Use on EXPENSIVE derived columns that callers
+    filter on; don't blanket-apply — it also blocks legitimate
+    pushdowns past the column."""
+    return F.element_at(F.shuffle(F.array(value)), 1)
+
+
 def _marker_hits(words: Column, markers: list[str]) -> Column:
     return F.size(
         F.array_intersect(F.array_distinct(words), F.array(*[F.lit(m) for m in markers]))
@@ -740,9 +758,12 @@ def c4_quality_filter(
         )
 
     kept = F.filter(F.split(F.col(text_col), line_sep), line_ok)
+    # once_col: callers filter on `keep`, whose n_sentences term reads
+    # clean_text — without the barrier the pushed-down predicate
+    # re-runs the whole line-filter chain a second time per row
     out = df.select(
         F.col(id_col).alias("id"),
-        F.array_join(kept, line_sep).alias("clean_text"),
+        once_col(F.array_join(kept, line_sep)).alias("clean_text"),
         F.size(kept).cast("long").alias("n_lines_kept"),
         F.lower(F.col(text_col)).contains("lorem ipsum").alias("_lorem"),
         F.col(text_col).contains("{").alias("_brace"),
