@@ -34,8 +34,15 @@ FRONTIER_COLS = [
 
 
 def with_url_identity(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Add url_canon / url_hash / host (native expressions, codegen)."""
-    c = canonicalize_col(F.col(url_col))
+    """Add url_canon / url_hash / host (native expressions, codegen).
+
+    ``once_col``: the not-null guard below otherwise pushes into the
+    scan with the whole canonicalization chain substituted into the
+    predicate, doubling the parse work per row (measured ~2x on a
+    150k-URL identity pass)."""
+    from biothings_crawler_spark.operators.text import once_col
+
+    c = once_col(canonicalize_col(F.col(url_col)))
     return (
         df.withColumn("url_canon", c)
         .withColumn("url_hash", F.xxhash64(F.col("url_canon")))

@@ -160,9 +160,13 @@ def select_politely(
             ).cast("int"),
         )
         .select("host", "budget", "salt_n")
-        # host-bounded (the politeness contract); materialized because
-        # it is read twice — the broadcast below and the salt probe
-        .localCheckpoint(eager=True)
+        # host-bounded (the politeness contract); checkpointed because
+        # it is read twice — the broadcast below and the salt probe.
+        # LAZY checkpoint: the probe's 1-row aggregate is the first
+        # action over it, so one job both materializes the host table
+        # and answers the probe (eager=True cost a separate blocking
+        # job per call — visible per-round in the crawl loop)
+        .localCheckpoint(eager=False)
     )
     # adaptive phase fusion: when NO host clears salt_target (salt_n=1
     # everywhere — every round at moderate per-host candidate counts,
