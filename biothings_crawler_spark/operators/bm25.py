@@ -732,6 +732,7 @@ def ql_dirichlet_scores(
     text_col: str,
     query_terms: list[str],
     mu: int = 2000,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Dirichlet-smoothed query-likelihood scores (Zhai & Lafferty
     2001) — the language-model companion to BM25 over the same
@@ -763,9 +764,10 @@ def ql_dirichlet_scores(
     from biothings_crawler_spark.operators.nbayes import ilog2_fxp_spark
 
     m = int(mu)
-    docs = df.select(
-        F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("words")
-    )
+    if docs is None:
+        docs = df.select(
+            F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("words")
+        )
     lens = docs.select("id", F.size("words").cast("long").alias("dl"))
     terms = F.array(*[F.lit(t) for t in query_terms])
     occ = docs.select("id", F.explode("words").alias("term")).filter(
@@ -822,10 +824,12 @@ def ql_dirichlet_topk(
     query_terms: list[str],
     mu: int = 2000,
     k: int = 20,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k over :func:`ql_dirichlet_scores` — (score desc, id) as a
     TakeOrderedAndProject, never a full sort."""
-    scored = ql_dirichlet_scores(df, id_col, text_col, query_terms, mu)
+    scored = ql_dirichlet_scores(df, id_col, text_col, query_terms, mu,
+                                 docs=docs)
     return scored.orderBy(F.desc("score_fxp"), "id").limit(k)
 
 
@@ -983,12 +987,16 @@ def query_clarity(
     feedback vocabulary only. No windows, no Python."""
     from biothings_crawler_spark.operators.nbayes import ilog2_fxp_spark
 
-    fb_ids = ql_dirichlet_topk(
-        df, id_col, text_col, query_terms, mu=mu, k=fb_k
-    ).select("id")
+    # tokenize the corpus ONCE (eager checkpoint) — the QL ranking and
+    # the clarity models otherwise each re-run the words_col pass
+    # (~6 evaluations measured); at 10^10 rows this is the token table
+    # a serving index materializes anyway (the prf_search discipline)
     docs = df.select(
         F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("words")
-    )
+    ).localCheckpoint(eager=True)
+    fb_ids = ql_dirichlet_topk(
+        df, id_col, text_col, query_terms, mu=mu, k=fb_k, docs=docs
+    ).select("id")
     coll_occ = docs.select(F.explode("words").alias("w"))
     coll = coll_occ.groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("cf")

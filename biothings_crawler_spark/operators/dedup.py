@@ -656,7 +656,11 @@ def connected_components(
             (new_comp < F.col("component")).alias("chg"),
         )
         if (i + 1) % check_every == 0 or i == max_iters - 1:
-            new_labels = new_labels.localCheckpoint()
+            # lazy checkpoint: the convergence count below is the first
+            # action, so one job materializes the labels AND counts the
+            # changed rows (was: a blocking eager checkpoint + a second
+            # scan job per probe round)
+            new_labels = new_labels.localCheckpoint(eager=False)
             changed = new_labels.filter("chg").count()
         labels = new_labels.drop("chg")
         if changed == 0:

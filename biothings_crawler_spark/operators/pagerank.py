@@ -248,8 +248,11 @@ def hits(
         # it so the edges⋈scores join runs once, not once per consumer.
         # The L1 total is ONE bounded row: collect it and divide by the
         # literal instead of building a broadcast exchange per
-        # normalization (two fewer broadcast stages per round).
-        raw = raw.localCheckpoint(eager=True)
+        # normalization (two fewer broadcast stages per round).  LAZY
+        # checkpoint: the total's aggregate below is the first action,
+        # so one job materializes raw AND answers the total — halving
+        # the blocking jobs per round (politeness salt-probe pattern).
+        raw = raw.localCheckpoint(eager=False)
         # an empty raw side (documented: needs >= 1 edge) leaves every
         # outer-join row NULL -> coalesce 0; divisor 1 avoids div-0
         total = raw.agg(F.sum("raw").cast("long")).first()[0] or 1
@@ -1278,7 +1281,9 @@ def k_truss(edges: DataFrame, k: int, max_iters: int = 16) -> DataFrame:
         # wedge/triangle join a second time over the identical edge set.
         kept = (
             _edge_support(e).filter(F.col("support") >= k - 2)
-            .localCheckpoint(eager=True)
+            # lazy: the count below is the first action, so one job
+            # materializes the round's survivors AND counts them
+            .localCheckpoint(eager=False)
         )
         n_before, n_after = e.count(), kept.count()
         if n_after == n_before:
