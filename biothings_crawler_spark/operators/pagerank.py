@@ -1273,6 +1273,11 @@ def k_truss(edges: DataFrame, k: int, max_iters: int = 16) -> DataFrame:
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     ).filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
 
+    # the round's edge count is carried across iterations (round r's
+    # survivor count IS round r+1's input count — e is a pure
+    # projection of the previous kept checkpoint), so each round runs
+    # ONE blocking job, not a count of a frame already counted.
+    n_before = None
     for _ in range(max_iters):
         # checkpoint the SUPPORT-bearing survivor rows, not just (a, b):
         # at the fixpoint round no edge dropped, so this frame already IS
@@ -1285,9 +1290,12 @@ def k_truss(edges: DataFrame, k: int, max_iters: int = 16) -> DataFrame:
             # materializes the round's survivors AND counts them
             .localCheckpoint(eager=False)
         )
-        n_before, n_after = e.count(), kept.count()
+        if n_before is None:
+            n_before = e.count()
+        n_after = kept.count()
         if n_after == n_before:
             return kept
+        n_before = n_after
         e = kept.select("a", "b")  # projection over the checkpoint — flat lineage
     raise RuntimeError(f"k_truss did not converge in {max_iters} rounds")
 
