@@ -706,6 +706,12 @@ def k_core(edges: DataFrame, k: int, max_iters: int = 16) -> DataFrame:
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
 
+    # count carried across rounds (k_truss discipline: round r's
+    # survivor count IS round r+1's input count) and the survivor
+    # checkpoint is lazy, so each round runs ONE blocking job — the
+    # count materializes it — instead of three (eager checkpoint +
+    # two counts).
+    n_before = None
     for _ in range(max_iters):
         deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         alive = deg.filter(F.col("deg") >= k).select("a")
@@ -713,9 +719,11 @@ def k_core(edges: DataFrame, k: int, max_iters: int = 16) -> DataFrame:
             und.join(alive, "a", "left_semi")
             .join(alive.withColumnRenamed("a", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        n_before, n_after = und.count(), pruned.count()
+        if n_before is None:
+            n_before = und.count()
+        n_after = pruned.count()
         und = pruned
         if n_after == n_before:
             return (
@@ -723,6 +731,7 @@ def k_core(edges: DataFrame, k: int, max_iters: int = 16) -> DataFrame:
                                      .alias("core_deg"))
                 .select(F.col("a").alias("node"), "core_deg")
             )
+        n_before = n_after
     raise RuntimeError(f"k_core did not converge in {max_iters} rounds")
 
 
