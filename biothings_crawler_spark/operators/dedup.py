@@ -486,12 +486,16 @@ def simhash_pairs(
                       "band_id", "band_key")
     r = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
                       "band_id", "band_key")
+    # hamming is a pure function of (sig_a, sig_b), which are constant
+    # per (id_a, id_b) — so the verify filter commutes with the pair
+    # dedup and runs FIRST, shrinking the dropDuplicates shuffle to the
+    # surviving pairs instead of every band collision.
     return (
         l.join(r, ["band_id", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
